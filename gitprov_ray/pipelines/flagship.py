@@ -1,0 +1,81 @@
+"""The flagship KG-construction pipeline (SURVEY.md §3.1 engine equivalent).
+
+    read pages → map_batches(parse html → revision events)
+               → map_batches(EmitStateless, broadcast agents)   [stateless stmts]
+               → groupby(bucket(graph,page_key)).map_groups     [version lag]
+               → union(agent stmts)
+               → flatten to triples → bucketed dedup → sort     [final graph]
+
+Everything streams; the only materialized side input is the tiny
+contributors table (broadcast via ``ray.put``). Callers own the Ray session
+(driver contract) — nothing here calls ``ray.init``.
+"""
+
+from __future__ import annotations
+
+import ray.data as rd
+
+from ..stages import emit, pages as pages_stage, triples as triples_stage, versions
+from .. import synth
+
+
+def revisions_from_pages(pages_ds: "rd.Dataset") -> "rd.Dataset":
+    return pages_ds.map_batches(pages_stage.page_events_batch,
+                                batch_format="pyarrow", batch_size=1024)
+
+
+def statements_from_revisions(revisions_ds: "rd.Dataset",
+                              contributor_rows: list[dict],
+                              num_buckets: int = 64) -> "rd.Dataset":
+    # Broadcast: the tiny agents index is serialized ONCE into the object
+    # store by Ray as a constructor arg and fetched once per actor in
+    # __init__ — never re-shipped per batch.
+    agents_idx = emit.agents_index(contributor_rows)
+    stateless = revisions_ds.map_batches(
+        emit.EmitStateless, fn_constructor_args=(agents_idx,),
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8),
+    )
+    versioned = versions.version_statements(revisions_ds, num_buckets=num_buckets)
+    agent_stmts = rd.from_arrow(emit.emit_agents_table(contributor_rows))
+    return stateless.union(versioned).union(agent_stmts)
+
+
+def triples_from_revisions(revisions_ds, contributor_rows,
+                           num_buckets: int = 64, sort: bool = True):
+    stmts = statements_from_revisions(revisions_ds, contributor_rows,
+                                      num_buckets=num_buckets)
+    return triples_stage.statements_to_triples(stmts, num_buckets=num_buckets,
+                                               sort=sort)
+
+
+def triples_from_pages(pages_ds, contributor_rows,
+                       num_buckets: int = 64, sort: bool = True):
+    return triples_from_revisions(revisions_from_pages(pages_ds),
+                                  contributor_rows, num_buckets=num_buckets,
+                                  sort=sort)
+
+
+def pages_from_documents(sf_dir: str) -> "rd.Dataset":
+    """documents.parquet → deterministic synthetic pages corpus (in-engine
+    rendering; no external data). Column-pruned at the read."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang", "source"])
+    return docs.map_batches(pages_stage.render_pages_from_documents_batch,
+                            batch_format="pyarrow", batch_size=512)
+
+
+def contributors_for_sf(sf_dir: str) -> list[dict]:
+    """Deterministic contributors side table for the documents-derived corpus."""
+    import pyarrow.parquet as pq
+
+    sources = pq.read_table(f"{sf_dir}/documents.parquet", columns=["source"])
+    graphs = sorted({f"{s}.example" for s in sources.column("source").to_pylist()})
+    return synth.contributors_for_sources(graphs).to_pylist()
+
+
+def flagship(sf_dir: str, num_buckets: int = 64, sort: bool = True):
+    """documents-derived pages → final sorted deduped triples Dataset."""
+    pages_ds = pages_from_documents(sf_dir)
+    contributors = contributors_for_sf(sf_dir)
+    return triples_from_pages(pages_ds, contributors,
+                              num_buckets=num_buckets, sort=sort)

@@ -1,0 +1,77 @@
+"""End-to-end golden parity: Ray pipeline vs single-threaded oracle
+(SURVEY.md §5.2-2/4): P/R must be 1.0 on the tiny corpus, and the result
+must be invariant to input row order."""
+
+import pandas as pd
+import pytest
+
+
+def _engine_triples(pages_table, contributors, num_buckets=8):
+    import ray.data as rd
+    from gitprov_ray.pipelines import flagship
+
+    ds = flagship.triples_from_pages(
+        rd.from_arrow(pages_table), contributors.to_pylist(),
+        num_buckets=num_buckets)
+    return ds.to_pandas()
+
+
+def _keys(df: pd.DataFrame):
+    return set(zip(df.graph, df.subj, df.pred, df.obj))
+
+
+def _golden_keys(revisions, contributors):
+    from gitprov_ray import oracle
+
+    golden, _ = oracle.build_triples(revisions.to_pylist(),
+                                     contributors.to_pylist())
+    return {(t["graph"], t["subj"], t["pred"], t["obj"]) for t in golden}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_engine_matches_oracle_exactly(tiny_corpus):
+    pages, revisions, contributors = tiny_corpus
+    engine = _engine_triples(pages, contributors)
+    ek, gk = _keys(engine), _golden_keys(revisions, contributors)
+    assert ek == gk  # P = R = 1.0
+    # engine output itself is exactly deduplicated
+    assert len(engine) == len(ek)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_order_insensitivity(tiny_corpus):
+    """Shuffled input blocks ⇒ identical triple set (SURVEY.md §5.2-4)."""
+    import pyarrow as pa
+
+    pages, revisions, contributors = tiny_corpus
+    idx = list(range(pages.num_rows))[::-1]
+    shuffled = pages.take(pa.array(idx))
+    a = _engine_triples(pages, contributors, num_buckets=4)
+    b = _engine_triples(shuffled, contributors, num_buckets=8)
+    assert _keys(a) == _keys(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sorted_deterministic_output(tiny_corpus):
+    pages, _, contributors = tiny_corpus
+    df = _engine_triples(pages, contributors)
+    key = df[["graph", "subj", "pred", "obj"]].apply(tuple, axis=1)
+    assert list(key) == sorted(key)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_text_extraction_through_pipeline_matches_direct(tiny_corpus):
+    """Per-row invariant: pipeline-extracted text == direct extraction, byte
+    for byte (input_hint)."""
+    import ray.data as rd
+    from gitprov_ray import extract
+    from gitprov_ray.stages.pages import extract_text_batch
+
+    pages, _, _ = tiny_corpus
+    out = (rd.from_arrow(pages)
+           .map_batches(extract_text_batch, batch_format="pyarrow")
+           .to_pandas())
+    direct = {(r["url"], r["warc_ts"]): extract.extract_text(r["html"])
+              for r in pages.to_pylist()}
+    for _, row in out.iterrows():
+        assert row["text"] == direct[(row["url"], row["warc_ts"].to_pydatetime())]
