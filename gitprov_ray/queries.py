@@ -1,0 +1,478 @@
+"""Driver-facing query registry: one entry per operator family from
+SURVEY.md §2, each a Ray Data pipeline over ``{sf_dir}/*.parquet`` with (for
+SQL-expressible ops) a DuckDB oracle twin in ``ORACLE_SQL``.
+
+Conventions for driver value-hash parity:
+  * every computed/aggregate column is explicitly named, identically in the
+    Ray result and the SQL (``AS <name>``);
+  * money/value aggregates are summed in integer cents
+    (``CAST(ROUND(x*100) AS BIGINT)`` per row, then SUM) so no
+    floating-point association-order noise can break the hash;
+  * results that are rankings return integer (id, rank) pairs, never raw
+    float scores.
+
+Scale notes are inline per query: broadcast small sides, partial pre-agg
+before groupbys, column pruning at the read.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from . import annsearch, linking, textops
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(x: pd.Series) -> pd.Series:
+    # half-away-from-zero to match DuckDB ROUND (numpy round is half-to-even)
+    v = np.asarray(x, dtype=np.float64) * 100
+    return pd.Series(np.sign(v) * np.floor(np.abs(v) + 0.5), index=x.index).astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# relational battery (TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str):
+    """Grouped aggregate with per-batch partial combine (A-family).
+    Engine mapping of reference A1/A3 (SURVEY.md §2.5)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            qty=df["l_quantity"].astype("int64"),
+            base=_cents(df["l_extendedprice"]),
+            disc=_cents(df["l_extendedprice"] * (1 - df["l_discount"])),
+            n=1,
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("qty", "sum"), sum_base_cents=("base", "sum"),
+            sum_disc_cents=("disc", "sum"), count_order=("n", "sum"))
+        return g.reset_index()
+
+    out = ds.map_batches(partial, batch_format="pandas").groupby(
+        ["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_cents", alias_name="sum_base_cents"),
+        Sum("sum_disc_cents", alias_name="sum_disc_cents"),
+        Sum("count_order", alias_name="count_order"),
+    )
+    return out.sort(["l_returnflag", "l_linestatus"])
+
+
+def q_top_orders(sf_dir: str):
+    """Global sort + limit (O-family; engine top-k)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(10)
+
+
+def q_segment_revenue(sf_dir: str):
+    """Broadcast hash join (J1/J2 engine mapping): customer is the small
+    side, shipped once into the batch fn closure — never per batch."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_of = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def join_agg(df: pd.DataFrame) -> pd.DataFrame:
+        seg = df["o_custkey"].map(seg_of)
+        g = pd.DataFrame({"c_mktsegment": seg,
+                          "cents": _cents(df["o_totalprice"]), "n": 1})
+        a = g.groupby("c_mktsegment", sort=False).agg(
+            sum_price_cents=("cents", "sum"), n_orders=("n", "sum"))
+        return a.reset_index()
+
+    out = ds.map_batches(join_agg, batch_format="pandas").groupby(
+        "c_mktsegment").aggregate(
+        Sum("sum_price_cents", alias_name="sum_price_cents"),
+        Sum("n_orders", alias_name="n_orders"))
+    return out.sort("c_mktsegment")
+
+
+def q_supplier_nation(sf_dir: str):
+    """Second broadcast join: supplier ⋈ nation → per-nation stats."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"n_name": df["s_nationkey"].map(name_of),
+                          "bal": _cents(df["s_acctbal"]), "n": 1})
+        a = g.groupby("n_name", sort=False).agg(
+            sum_acctbal_cents=("bal", "sum"), n_suppliers=("n", "sum"))
+        return a.reset_index()
+
+    out = ds.map_batches(f, batch_format="pandas").groupby("n_name").aggregate(
+        Sum("sum_acctbal_cents", alias_name="sum_acctbal_cents"),
+        Sum("n_suppliers", alias_name="n_suppliers"))
+    return out.sort("n_name")
+
+
+def q_lag_events(sf_dir: str):
+    """Per-key ordered lag (reference ST1/J3 as-of semantics on the events
+    table): previous event id per user, ordered by (ts, event_id).
+    Hash-bucketed groupby + vectorized pandas shift (same pattern as the
+    version-chain shuffle)."""
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["user_id"].astype(str)
+        df = df.copy()
+        df["bucket"] = stable_bucket(key, key, 32)
+        return df
+
+    def lag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        df["prev_event_id"] = df.groupby("user_id", sort=False)["event_id"].shift(1)
+        out = df[["event_id", "user_id", "prev_event_id"]].copy()
+        out["prev_event_id"] = out["prev_event_id"].astype("Int64")
+        return out
+
+    return (ds.map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: lag(df.drop(columns=["bucket"])),
+                        batch_format="pandas")
+            .sort("event_id"))
+
+
+def q_hourly_user_activity(sf_dir: str):
+    """Tumbling-window aggregate (streaming-shaped op over the events log):
+    events per (user, hour) with partial pre-agg."""
+    ds = _read(sf_dir, "events", ["ts", "user_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"user_id": df["user_id"],
+                          "hour": df["ts"].dt.floor("h"),
+                          "cents": _cents(df["value"]), "n": 1})
+        a = g.groupby(["user_id", "hour"], sort=False).agg(
+            n_events=("n", "sum"), sum_value_cents=("cents", "sum"))
+        return a.reset_index()
+
+    out = ds.map_batches(partial, batch_format="pandas").groupby(
+        ["user_id", "hour"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value_cents", alias_name="sum_value_cents"))
+    return out.sort(["user_id", "hour"])
+
+
+def q_event_type_stats(sf_dir: str):
+    """Plain grouped aggregate over the stream table."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"event_type": df["event_type"],
+                          "cents": _cents(df["value"]), "n": 1})
+        a = g.groupby("event_type", sort=False).agg(
+            n=("n", "sum"), sum_value_cents=("cents", "sum"))
+        return a.reset_index()
+
+    out = ds.map_batches(partial, batch_format="pandas").groupby(
+        "event_type").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sum_value_cents", alias_name="sum_value_cents"))
+    return out.sort("event_type")
+
+
+def q_distinct_sources(sf_dir: str):
+    """Distinct values (reference A4 / S12 catalog listing)."""
+    ds = _read(sf_dir, "documents", ["source"])
+    vals = sorted(ds.unique("source"))
+    return pa.table({"source": pa.array(vals, type=pa.string())})
+
+
+def q_filter_en_docs(sf_dir: str):
+    """Vectorized filter + projection (M-family) with pushdown at the read."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return (ds.map_batches(
+        lambda t: t.filter(pc.equal(t["lang"], "en")).select(["doc_id", "n_chars"]),
+        batch_format="pyarrow")
+        .sort("doc_id"))
+
+
+def q_explode_embeddings(sf_dir: str):
+    """List-explode (J4 parents-explode engine mapping) on a list<float>
+    column, vectorized via pyarrow list kernels."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["vec_id"], 50))
+        col = t["embedding"].combine_chunks()
+        parent = pc.list_parent_indices(col)
+        flat = pc.list_flatten(col)
+        lens = pc.list_value_length(col).to_numpy()
+        idx = np.concatenate([np.arange(n, dtype=np.int64) for n in lens]) \
+            if len(lens) else np.array([], dtype=np.int64)
+        return pa.table({
+            "vec_id": pc.take(t["vec_id"].combine_chunks(), parent),
+            "idx": pa.array(idx, type=pa.int64()),
+            "val": flat,
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow").sort(["vec_id", "idx"])
+
+
+def q_exact_dedup_docs(sf_dir: str):
+    """Exact dedup: hash-partition + per-group first (min id) + count."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return linking.exact_dedup_stats(ds).sort("text_md5")
+
+
+def q_anti_join_customers(sf_dir: str):
+    """Anti join via broadcast key set: customers with NO high-value order
+    (>400k). The key set is small (filtered first), so it broadcasts; the
+    scale path for a large key set is a bucketed hash anti-join or a Bloom
+    filter broadcast."""
+    import pyarrow.compute as pc
+
+    hi = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 400000.0))
+                   .select(["o_custkey"]),
+        batch_format="pyarrow")
+    okeys = pa.array(hi.unique("o_custkey"), type=pa.int64())
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=okeys))),
+        batch_format="pyarrow").sort("c_custkey")
+
+
+def q_semi_join_orders(sf_dir: str):
+    """Semi join via broadcast key set (orders having a big lineitem)."""
+    import pyarrow.compute as pc
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    keys = pa.array(li.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["l_quantity"], 48.0))
+                   .select(["l_orderkey"]),
+        batch_format="pyarrow").unique("l_orderkey"), type=pa.int64())
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["o_orderkey"], value_set=keys)),
+        batch_format="pyarrow").sort("o_orderkey")
+
+
+def q_token_stats(sf_dir: str):
+    """Token counting + quality stats (text-analysis ops, integers only)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out = textops.quality_stats(df)
+        out.insert(0, "doc_id", df["doc_id"].to_numpy())
+        return out[["doc_id", "tok_cnt", "punct_cnt"]]
+
+    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+
+
+def q_fingerprint_docs(sf_dir: str):
+    """Normalization fingerprint (md5 of lower+collapsed text)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                                 "fp_md5": textops.fingerprint(df["text"])}),
+        batch_format="pandas").sort("doc_id")
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k (similarity-search baseline)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return annsearch.brute_force_topk(ds, query_ids=[0, 1, 2, 3, 4], k=5) \
+        .sort(["query_id", "rank"])
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible ops (driver records rows-only checks)
+# ---------------------------------------------------------------------------
+
+def kg_flagship_triples(sf_dir: str):
+    """The flagship KG pipeline over the documents-derived page corpus."""
+    from .pipelines import flagship
+
+    return flagship.flagship(sf_dir, num_buckets=32)
+
+
+def q_langid_docs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                                 "lang_pred": textops.lang_id(df["text"])}),
+        batch_format="pandas").sort("doc_id")
+
+
+def q_simhash_docs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                                 "simhash_hex": textops.simhash64(df["text"])}),
+        batch_format="pandas").sort("doc_id")
+
+
+def q_minhash_neardup_pairs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = linking.minhash_candidate_pairs(ds, threshold=0.8)
+    return out.select_columns(["a", "b"]).sort(["a", "b"])
+
+
+def q_neardup_clusters(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return linking.neardup_clusters(ds, threshold=0.8).sort("doc_id")
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = linking.ngram_jaccard_pairs(ds, threshold=0.5)
+    return out.select_columns(["a", "b"]).sort(["a", "b"])
+
+
+def q_ann_lsh_topk(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return annsearch.lsh_topk(ds, query_ids=[0, 1, 2, 3, 4], k=5) \
+        .sort(["query_id", "rank"])
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q_top_orders": q_top_orders,
+    "q_segment_revenue": q_segment_revenue,
+    "q_supplier_nation": q_supplier_nation,
+    "q_lag_events": q_lag_events,
+    "q_hourly_user_activity": q_hourly_user_activity,
+    "q_event_type_stats": q_event_type_stats,
+    "q_distinct_sources": q_distinct_sources,
+    "q_filter_en_docs": q_filter_en_docs,
+    "q_explode_embeddings": q_explode_embeddings,
+    "q_exact_dedup_docs": q_exact_dedup_docs,
+    "q_anti_join_customers": q_anti_join_customers,
+    "q_semi_join_orders": q_semi_join_orders,
+    "q_token_stats": q_token_stats,
+    "q_fingerprint_docs": q_fingerprint_docs,
+    "q_ann_topk": q_ann_topk,
+    # rows-only (non-SQL-expressible)
+    "kg_flagship_triples": kg_flagship_triples,
+    "q_langid_docs": q_langid_docs,
+    "q_simhash_docs": q_simhash_docs,
+    "q_minhash_neardup_pairs": q_minhash_neardup_pairs,
+    "q_neardup_clusters": q_neardup_clusters,
+    "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "q_ann_lsh_topk": q_ann_lsh_topk,
+}
+
+
+ORACLE_SQL = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
+               SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS sum_disc_cents,
+               COUNT(*) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q_top_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "q_segment_revenue": """
+        SELECT c.c_mktsegment,
+               SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS sum_price_cents,
+               COUNT(*) AS n_orders
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+    "q_supplier_nation": """
+        SELECT n.n_name,
+               SUM(CAST(ROUND(s.s_acctbal*100) AS BIGINT)) AS sum_acctbal_cents,
+               COUNT(*) AS n_suppliers
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY n.n_name
+    """,
+    "q_lag_events": """
+        SELECT event_id, user_id,
+               LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_event_id
+        FROM events ORDER BY event_id
+    """,
+    "q_hourly_user_activity": """
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               COUNT(*) AS n_events,
+               SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_value_cents
+        FROM events GROUP BY user_id, date_trunc('hour', ts)
+        ORDER BY user_id, hour
+    """,
+    "q_event_type_stats": """
+        SELECT event_type, COUNT(*) AS n,
+               SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_value_cents
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "q_distinct_sources": """
+        SELECT DISTINCT source FROM documents ORDER BY source
+    """,
+    "q_filter_en_docs": """
+        SELECT doc_id, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id
+    """,
+    "q_explode_embeddings": """
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS idx,
+               unnest(embedding) AS val
+        FROM embeddings WHERE vec_id < 50 ORDER BY vec_id, idx
+    """,
+    "q_exact_dedup_docs": """
+        SELECT md5(COALESCE(text, '')) AS text_md5,
+               MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+        FROM documents GROUP BY md5(COALESCE(text, '')) ORDER BY text_md5
+    """,
+    "q_anti_join_customers": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 400000)
+        ORDER BY c_custkey
+    """,
+    "q_semi_join_orders": """
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+        ORDER BY o_orderkey
+    """,
+    "q_token_stats": r"""
+        SELECT doc_id,
+               CASE WHEN trim(COALESCE(text,'')) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS tok_cnt,
+               len(regexp_extract_all(COALESCE(text,''), '[.,;:!?]')) AS punct_cnt
+        FROM documents ORDER BY doc_id
+    """,
+    "q_fingerprint_docs": r"""
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(COALESCE(text,'')), '\s+', ' ', 'g')))
+                   AS fp_md5
+        FROM documents ORDER BY doc_id
+    """,
+    "q_ann_topk": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                   FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+        sims AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   list_cosine_similarity(q.qe, e.embedding) AS sim
+            FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id) AS rank
+            FROM sims)
+        SELECT query_id, rank, neighbor_id FROM ranked
+        WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+}
