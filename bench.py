@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Plain run: executes the headline flagship KG pipeline + representative
+queries over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) under
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and
+prints ONE JSON line:
+  {"metric": "flagship_kg_sec", "value": N, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "triples": N,
+   "triples_per_sec": N}
+
+``--scaling``: runs the headline pipeline in TWO fresh subprocesses
+(num_cpus=8 then num_cpus=32) on the same input — the sandbox stand-in for
+N vs 4N cluster nodes — and prints both throughputs plus the scaling
+efficiency ((t8/t32)/4; 1.0 = linear).
+
+The page cache is warmed with one untimed read so timings measure
+compute + shuffle, not first-touch disk I/O.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "10"))
+
+
+def run_bench() -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from gitprov_ray.pipelines import flagship
+    from gitprov_ray import queries as Q
+
+    # warm page cache (untimed)
+    for t in ("documents", "lineitem", "events", "embeddings", "orders",
+              "customer", "supplier", "nation"):
+        with open(f"{SF_DIR}/{t}.parquet", "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+    out_dir = "/tmp/bench_triples"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    t0 = time.time()
+    tri = flagship.flagship(SF_DIR, num_buckets=max(32, NCPU * 2),
+                            repeat=REPEAT)
+    tri.write_parquet(out_dir)
+    flagship_sec = time.time() - t0
+
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+
+    n_triples = pads.dataset(out_dir).count_rows()
+
+    qtimes: dict[str, float] = {}
+    for name in ("q1_pricing_summary", "q_lag_events", "q_hourly_user_activity",
+                 "q_exact_dedup_docs", "q_minhash_neardup_pairs", "q_ann_topk",
+                 "q_token_stats", "q_top_orders"):
+        t0 = time.time()
+        res = Q.QUERIES[name](SF_DIR)
+        # consume: small results → to_pandas; larger → count
+        try:
+            res.to_pandas() if hasattr(res, "to_pandas") else None
+        except Exception:
+            res.count()
+        qtimes[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "flagship_kg_sec",
+        "value": round(flagship_sec, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+        "bench_repeat": REPEAT,
+        "triples": n_triples,
+        "triples_per_sec": round(n_triples / flagship_sec, 1),
+    }
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "triples_per_sec_8": lo["triples_per_sec"],
+        "triples_per_sec_32": hi["triples_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -119,23 +119,52 @@ def bucket_pairs(df: pd.DataFrame, id_col: str, threshold: float,
 
 
 def minhash_candidate_pairs(docs_ds, id_col="doc_id", text_col="text",
-                            threshold: float = 0.8):
+                            threshold: float = 0.8, num_buckets: int = 32):
     """documents Dataset → deduped candidate near-dup pairs Dataset.
 
     pipeline: map_batches(signatures) → map_batches(explode bands)
-            → groupby(band_key).map_groups(in-bucket pairs)
-            → dedup pairs (groupby a,b first).
+            → groupby(hash(band_key) % B).map_groups(per-band pairs,
+              vectorized pandas groupby inside the bucket — NOT one Ray
+              group per band, which would mean one Python call per band)
+            → groupby(hash(a,b) % B) dedup (drop_duplicates per bucket).
     """
+    import hashlib as _h
+
     sigs = docs_ds.map_batches(
         lambda df: signature_batch(df, id_col, text_col), batch_format="pandas")
     bands = sigs.map_batches(
         lambda df: explode_bands(df, id_col), batch_format="pandas")
-    pairs = bands.groupby("band_key").map_groups(
-        lambda df: bucket_pairs(df.drop(columns=["band_key"]), id_col, threshold),
-        batch_format="pandas")
-    # a pair found by several bands → keep one
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda df: df.head(1), batch_format="pandas")
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = [
+            int.from_bytes(_h.sha1(k.encode()).digest()[:8], "big") % num_buckets
+            for k in df["band_key"]]
+        return df
+
+    def bucket_group(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [bucket_pairs(g, id_col, threshold)
+                for _, g in df.groupby("band_key", sort=True)]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return bucket_pairs(df.head(0), id_col, threshold)
+        return pd.concat(outs, ignore_index=True).drop_duplicates(["a", "b"])
+
+    pairs = (bands.map_batches(add_bucket, batch_format="pandas")
+             .groupby("bucket")
+             .map_groups(lambda df: bucket_group(df.drop(columns=["bucket"])),
+                         batch_format="pandas"))
+
+    def add_pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["pbucket"] = (df["a"].to_numpy() * 1_000_003 + df["b"].to_numpy()) % num_buckets
+        return df
+
+    return (pairs.map_batches(add_pair_bucket, batch_format="pandas")
+            .groupby("pbucket")
+            .map_groups(lambda df: df.drop_duplicates(["a", "b"])
+                        .drop(columns=["pbucket"]),
+                        batch_format="pandas"))
 
 
 def neardup_clusters(docs_ds, id_col="doc_id", text_col="text",

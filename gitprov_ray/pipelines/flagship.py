@@ -30,10 +30,14 @@ def statements_from_revisions(revisions_ds: "rd.Dataset",
     # Broadcast: the tiny agents index is serialized ONCE into the object
     # store by Ray as a constructor arg and fetched once per actor in
     # __init__ — never re-shipped per batch.
+    import ray
+
     agents_idx = emit.agents_index(contributor_rows)
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     stateless = revisions_ds.map_batches(
         emit.EmitStateless, fn_constructor_args=(agents_idx,),
-        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8),
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=(2, max(4, ncpu)),
     )
     versioned = versions.version_statements(revisions_ds, num_buckets=num_buckets)
     agent_stmts = rd.from_arrow(emit.emit_agents_table(contributor_rows))
@@ -41,7 +45,20 @@ def statements_from_revisions(revisions_ds: "rd.Dataset",
 
 
 def triples_from_revisions(revisions_ds, contributor_rows,
-                           num_buckets: int = 64, sort: bool = True):
+                           num_buckets: int = 64, sort: bool = False,
+                           checkpoint: bool = True):
+    # The revisions dataset feeds BOTH the stateless-emit branch and the
+    # version-lag branch; Ray Data re-executes shared lineage per consumer,
+    # so materialize the (narrow) event table once. This is also the
+    # natural checkpoint boundary (§4.2): events are small relative to the
+    # html they were parsed from.
+    if checkpoint:
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        # materialize compacts to few large blocks; re-split so the two
+        # consumer branches fan out across all cores
+        revisions_ds = revisions_ds.materialize().repartition(max(16, 2 * ncpu))
     stmts = statements_from_revisions(revisions_ds, contributor_rows,
                                       num_buckets=num_buckets)
     return triples_stage.statements_to_triples(stmts, num_buckets=num_buckets,
@@ -49,19 +66,23 @@ def triples_from_revisions(revisions_ds, contributor_rows,
 
 
 def triples_from_pages(pages_ds, contributor_rows,
-                       num_buckets: int = 64, sort: bool = True):
+                       num_buckets: int = 64, sort: bool = False):
     return triples_from_revisions(revisions_from_pages(pages_ds),
                                   contributor_rows, num_buckets=num_buckets,
                                   sort=sort)
 
 
-def pages_from_documents(sf_dir: str) -> "rd.Dataset":
+def pages_from_documents(sf_dir: str, repeat: int = 1) -> "rd.Dataset":
     """documents.parquet → deterministic synthetic pages corpus (in-engine
     rendering; no external data). Column-pruned at the read."""
+    from ..util import tune_context
+
+    tune_context()
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text", "lang", "source"])
-    return docs.map_batches(pages_stage.render_pages_from_documents_batch,
-                            batch_format="pyarrow", batch_size=512)
+    return docs.map_batches(
+        lambda b: pages_stage.render_pages_from_documents_batch(b, repeat),
+        batch_format="pyarrow", batch_size=512)
 
 
 def contributors_for_sf(sf_dir: str) -> list[dict]:
@@ -73,9 +94,10 @@ def contributors_for_sf(sf_dir: str) -> list[dict]:
     return synth.contributors_for_sources(graphs).to_pylist()
 
 
-def flagship(sf_dir: str, num_buckets: int = 64, sort: bool = True):
+def flagship(sf_dir: str, num_buckets: int = 64, sort: bool = False,
+             repeat: int = 1):
     """documents-derived pages → final sorted deduped triples Dataset."""
-    pages_ds = pages_from_documents(sf_dir)
+    pages_ds = pages_from_documents(sf_dir, repeat=repeat)
     contributors = contributors_for_sf(sf_dir)
     return triples_from_pages(pages_ds, contributors,
                               num_buckets=num_buckets, sort=sort)

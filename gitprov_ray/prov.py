@@ -197,15 +197,22 @@ _NODE_CLASS = {"activity": "prov:Activity", "agent": "prov:Agent",
 _TIME_PRED = {"activity": "prov:startedAtTime"}
 
 
-def statement_to_triples(stmt: dict) -> list[dict]:
-    """Flatten one statement row into RDF triple rows (TRIPLES schema)."""
+def flatten_into(stmt: dict, cols: dict[str, list]) -> None:
+    """Flatten one statement into columnar triple lists (appends in place).
+
+    Single implementation shared by the engine's batch flatten and the
+    oracle's :func:`statement_to_triples` wrapper — guarantees both paths
+    produce byte-identical triples."""
     g = stmt["graph"]
     gp = idgen.graph_ns(g)
-    out: list[dict] = []
 
     def tri(s, p, o, lit=False, dtype=""):
-        out.append({"subj": s, "pred": expand(p, g), "obj": o,
-                    "obj_is_literal": lit, "obj_dtype": dtype, "graph": g})
+        cols["subj"].append(s)
+        cols["pred"].append(expand(p, g))
+        cols["obj"].append(o)
+        cols["obj_is_literal"].append(lit)
+        cols["obj_dtype"].append(dtype)
+        cols["graph"].append(g)
 
     attrs = json.loads(stmt["attrs"]) if stmt["attrs"] else {}
     st = stmt["stmt_type"]
@@ -244,4 +251,14 @@ def statement_to_triples(stmt: dict) -> list[dict]:
         emit_attrs(node)
     else:  # pragma: no cover
         raise ValueError(f"unknown stmt_type {st!r}")
-    return out
+
+
+TRIPLE_COL_NAMES = ("subj", "pred", "obj", "obj_is_literal", "obj_dtype", "graph")
+
+
+def statement_to_triples(stmt: dict) -> list[dict]:
+    """Flatten one statement row into RDF triple rows (row-dict adapter
+    over :func:`flatten_into`; used by the oracle and tests)."""
+    cols: dict[str, list] = {n: [] for n in TRIPLE_COL_NAMES}
+    flatten_into(stmt, cols)
+    return [dict(zip(TRIPLE_COL_NAMES, vals)) for vals in zip(*cols.values())]

@@ -27,6 +27,9 @@ from . import annsearch, linking, textops
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    from .util import tune_context
+
+    tune_context()
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
@@ -59,14 +62,14 @@ def q1_pricing_summary(sf_dir: str):
             sum_disc_cents=("disc", "sum"), count_order=("n", "sum"))
         return g.reset_index()
 
-    out = ds.map_batches(partial, batch_format="pandas").groupby(
-        ["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_base_cents", alias_name="sum_base_cents"),
-        Sum("sum_disc_cents", alias_name="sum_disc_cents"),
-        Sum("count_order", alias_name="count_order"),
-    )
-    return out.sort(["l_returnflag", "l_linestatus"])
+    # distributed partial combine per batch; the surviving partials are a
+    # handful of rows per (flag,status) per block, so the FINAL merge is a
+    # driver-side pandas groupby (two-phase aggregate; at high group
+    # cardinality the bucketed shuffle of stages/triples.py is the path)
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return (partials.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .sum().sort_values(["l_returnflag", "l_linestatus"])
+            .reset_index(drop=True))
 
 
 def q_top_orders(sf_dir: str):
@@ -91,11 +94,9 @@ def q_segment_revenue(sf_dir: str):
             sum_price_cents=("cents", "sum"), n_orders=("n", "sum"))
         return a.reset_index()
 
-    out = ds.map_batches(join_agg, batch_format="pandas").groupby(
-        "c_mktsegment").aggregate(
-        Sum("sum_price_cents", alias_name="sum_price_cents"),
-        Sum("n_orders", alias_name="n_orders"))
-    return out.sort("c_mktsegment")
+    partials = ds.map_batches(join_agg, batch_format="pandas").to_pandas()
+    return (partials.groupby("c_mktsegment", as_index=False).sum()
+            .sort_values("c_mktsegment").reset_index(drop=True))
 
 
 def q_supplier_nation(sf_dir: str):
@@ -111,10 +112,9 @@ def q_supplier_nation(sf_dir: str):
             sum_acctbal_cents=("bal", "sum"), n_suppliers=("n", "sum"))
         return a.reset_index()
 
-    out = ds.map_batches(f, batch_format="pandas").groupby("n_name").aggregate(
-        Sum("sum_acctbal_cents", alias_name="sum_acctbal_cents"),
-        Sum("n_suppliers", alias_name="n_suppliers"))
-    return out.sort("n_name")
+    partials = ds.map_batches(f, batch_format="pandas").to_pandas()
+    return (partials.groupby("n_name", as_index=False).sum()
+            .sort_values("n_name").reset_index(drop=True))
 
 
 def q_lag_events(sf_dir: str):
@@ -159,11 +159,9 @@ def q_hourly_user_activity(sf_dir: str):
             n_events=("n", "sum"), sum_value_cents=("cents", "sum"))
         return a.reset_index()
 
-    out = ds.map_batches(partial, batch_format="pandas").groupby(
-        ["user_id", "hour"]).aggregate(
-        Sum("n_events", alias_name="n_events"),
-        Sum("sum_value_cents", alias_name="sum_value_cents"))
-    return out.sort(["user_id", "hour"])
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return (partials.groupby(["user_id", "hour"], as_index=False).sum()
+            .sort_values(["user_id", "hour"]).reset_index(drop=True))
 
 
 def q_event_type_stats(sf_dir: str):

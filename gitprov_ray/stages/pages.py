@@ -75,10 +75,13 @@ def page_events_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pydict(out, schema=schemas.REVISIONS)
 
 
-def render_pages_from_documents_batch(batch: pa.Table) -> pa.Table:
+def render_pages_from_documents_batch(batch: pa.Table, repeat: int = 1) -> pa.Table:
     """documents-table batch → PAGES rows (deterministic per-row derivation,
     synth.pages_rows_from_doc_row). Lets the flagship run over the driver's
-    /root/testdata documents tables with no external data."""
+    /root/testdata documents tables with no external data.
+
+    ``repeat`` deterministically replicates each document under shifted
+    doc_ids (disjoint url/graph-key spaces) — the bench corpus multiplier."""
     from ..synth import pages_rows_from_doc_row
 
     rows: list[dict] = []
@@ -88,5 +91,7 @@ def render_pages_from_documents_batch(batch: pa.Table) -> pa.Table:
         batch.column("lang").to_pylist(),
         batch.column("source").to_pylist(),
     ):
-        rows.extend(pages_rows_from_doc_row(doc_id, text or "", lang, source))
+        for r in range(repeat):
+            rows.extend(pages_rows_from_doc_row(
+                doc_id + r * 10_000_000, text or "", lang, source))
     return pa.Table.from_pylist(rows, schema=schemas.PAGES)

@@ -24,15 +24,30 @@ _KEY_COLS = ["graph", "subj", "pred", "obj"]
 
 
 def flatten_batch(batch: pa.Table) -> pa.Table:
-    """STATEMENTS batch → TRIPLES batch with local pre-dedup."""
-    stmts = batch.to_pylist()
-    rows: list[dict] = []
-    for s in stmts:
-        rows.extend(prov.statement_to_triples(s))
-    if not rows:
+    """STATEMENTS batch → TRIPLES batch with local pre-dedup (combiner).
+
+    Columnar fast path: statements flatten straight into column lists via
+    the same ``prov.flatten_into`` the oracle uses; local dedup is a set of
+    key tuples (no pandas round-trip)."""
+    cols: dict[str, list] = {n: [] for n in prov.TRIPLE_COL_NAMES}
+    for s in batch.to_pylist():
+        prov.flatten_into(s, cols)
+    n = len(cols["subj"])
+    if n == 0:
         return pa.Table.from_pylist([], schema=schemas.TRIPLES)
-    df = pd.DataFrame.from_records(rows).drop_duplicates(_KEY_COLS)
-    return pa.Table.from_pandas(df, schema=schemas.TRIPLES, preserve_index=False)
+    seen: set = set()
+    keep = []
+    subj, pred, obj, graph = cols["subj"], cols["pred"], cols["obj"], cols["graph"]
+    for i in range(n):
+        k = (graph[i], subj[i], pred[i], obj[i])
+        if k not in seen:
+            seen.add(k)
+            keep.append(i)
+    if len(keep) != n:
+        cols = {name: [vals[i] for i in keep] for name, vals in cols.items()}
+    return pa.Table.from_pydict(
+        {name: cols[name] for name in prov.TRIPLE_COL_NAMES},
+        schema=schemas.TRIPLES)
 
 
 def _bucket_of(df: pd.DataFrame, num_buckets: int) -> np.ndarray:
@@ -50,15 +65,24 @@ def add_triple_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
                                                   type=pa.int64()))
 
 
+def _dedup_sort_group(df: pd.DataFrame) -> pd.DataFrame:
+    return (df.sort_values(_KEY_COLS, kind="mergesort")
+            .drop_duplicates(_KEY_COLS)
+            .drop(columns=["bucket"]))
+
+
 def dedup_triples(triples_ds, num_buckets: int = 64):
     """Exact distinct on (graph, subj, pred, obj) via stable hash buckets
-    (shuffle #4 of the physical plan)."""
+    (shuffle #4 of the physical plan). Each bucket is ALSO sorted by the
+    triple key, so the output is sorted deduplicated partitions (the north
+    rule's graph layout) in a single all-to-all — no separate global sort
+    shuffle. Bucket ids are content-stable, so reruns produce identical
+    partitions (resume-safe)."""
     keyed = triples_ds.map_batches(
         lambda b: add_triple_bucket(b, num_buckets), batch_format="pyarrow"
     )
     deduped = keyed.groupby("bucket").map_groups(
-        lambda df: df.drop_duplicates(_KEY_COLS).drop(columns=["bucket"]),
-        batch_format="pandas",
+        _dedup_sort_group, batch_format="pandas",
     )
     from ..util import pandas_to_arrow
 
@@ -69,11 +93,14 @@ def dedup_triples(triples_ds, num_buckets: int = 64):
 
 
 def sorted_triples(triples_ds):
-    """Deterministic final order (north rule: sorted deduped partitions)."""
+    """Optional global total order (small outputs / text serialization)."""
     return triples_ds.sort(["graph", "subj", "pred", "obj"])
 
 
-def statements_to_triples(statements_ds, num_buckets: int = 64, sort: bool = True):
+def statements_to_triples(statements_ds, num_buckets: int = 64, sort: bool = False):
+    """statements → deduplicated triples in sorted partitions; pass
+    ``sort=True`` to add a global total-order sort on top (extra shuffle —
+    only worth it for small outputs)."""
     ds = statements_ds.map_batches(flatten_batch, batch_format="pyarrow")
     ds = dedup_triples(ds, num_buckets=num_buckets)
     return sorted_triples(ds) if sort else ds

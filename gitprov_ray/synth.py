@@ -285,9 +285,10 @@ def script_from_doc_row(doc_id: int, text: str, lang: str, source: str) -> list[
             author, author_name = c["login"], c["name"]
         resources = []
         for j in range(1 + (doc_id + i) % 2):
-            name = f"res/{(doc_id + j) % 5}/part {(doc_id + i + j) % 3}.txt"
+            # names stable across snapshots so later snapshots modify/remove
+            name = f"res/{(doc_id + j) % 5}/part {j}.txt"
             if name in alive:
-                status = "modified" if (doc_id + i + j) % 4 else "removed"
+                status = "removed" if (doc_id + i + j) % 7 == 0 else "modified"
             else:
                 status = "added"
             if status == "added":

@@ -53,8 +53,16 @@ def test_order_insensitivity(tiny_corpus):
 
 @pytest.mark.usefixtures("ray_session")
 def test_sorted_deterministic_output(tiny_corpus):
+    """With sort=True the output is globally totally ordered; the default
+    (partition-sorted) output is covered by test_engine_matches_oracle."""
+    import ray.data as rd
+    from gitprov_ray.pipelines import flagship
+
     pages, _, contributors = tiny_corpus
-    df = _engine_triples(pages, contributors)
+    ds = flagship.triples_from_pages(rd.from_arrow(pages),
+                                     contributors.to_pylist(),
+                                     num_buckets=8, sort=True)
+    df = ds.to_pandas()
     key = df[["graph", "subj", "pred", "obj"]].apply(tuple, axis=1)
     assert list(key) == sorted(key)
 

@@ -40,7 +40,7 @@ def test_query_matches_oracle(name, con):
     from gitprov_ray.queries import ORACLE_SQL, QUERIES
 
     res = QUERIES[name](SF)
-    rdf = res.to_pandas() if hasattr(res, "to_pandas") else res.to_pandas()
+    rdf = res if isinstance(res, pd.DataFrame) else res.to_pandas()
     odf = con.sql(ORACLE_SQL[name]).df()
     a, b = _norm(rdf), _norm(odf)
     assert list(a.columns) == list(b.columns)
