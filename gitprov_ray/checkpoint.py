@@ -1,0 +1,143 @@
+"""Checkpoint-resumable flagship runs (SURVEY.md §4.2 / §7.6).
+
+A run writes each major stage boundary as Parquet under ``workdir`` with a
+``_MANIFEST.json`` capturing the input fingerprint and stage config. Resume
+= re-running the same function: stages whose manifest validates (same
+fingerprint + config, row count matches the files) are skipped and read
+back from Parquet; only missing/invalid stages recompute. Writes go through
+a staging dir + atomic rename, mirroring the reference's TDB transaction
+boundary (StoreService.java:40-43).
+
+Stages:
+  1. ``revisions`` — pages parsed to the event table (the expensive html
+     pass; small output, ideal checkpoint);
+  2. ``triples``  — the final graph, written via store.write_store (one
+     sorted deduplicated partition per graph, per-partition manifests).
+
+Determinism contract (tested): a resumed run's triple set is identical to a
+cold run's.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import uuid
+
+import pyarrow.dataset as pads
+
+from . import store as store_mod
+from .pipelines import flagship as fl
+
+
+def _fingerprint(sf_dir: str, repeat: int) -> str:
+    """Cheap input fingerprint: documents.parquet size+mtime is not stable
+    enough for provenance — hash the file bytes' size + first/last 64KiB."""
+    p = f"{sf_dir}/documents.parquet"
+    h = hashlib.sha1()
+    size = os.path.getsize(p)
+    h.update(str(size).encode())
+    with open(p, "rb") as f:
+        h.update(f.read(65536))
+        if size > 65536:
+            f.seek(-65536, 2)
+            h.update(f.read(65536))
+    h.update(f"repeat={repeat}".encode())
+    return h.hexdigest()
+
+
+def _stage_dir(workdir: str, stage: str) -> str:
+    return os.path.join(workdir, f"stage={stage}")
+
+
+def _manifest_path(workdir: str, stage: str) -> str:
+    return os.path.join(_stage_dir(workdir, stage), "_MANIFEST.json")
+
+
+def _stage_valid(workdir: str, stage: str, fingerprint: str) -> bool:
+    mp = _manifest_path(workdir, stage)
+    if not os.path.exists(mp):
+        return False
+    with open(mp) as f:
+        m = json.load(f)
+    if m.get("fingerprint") != fingerprint:
+        return False
+    try:
+        files = [os.path.join(_stage_dir(workdir, stage), fn)
+                 for fn in m["files"]]
+        return pads.dataset(files).count_rows() == m["rows"]
+    except Exception:
+        return False
+
+
+def _write_stage(ds, workdir: str, stage: str, fingerprint: str) -> None:
+    final = _stage_dir(workdir, stage)
+    staging = os.path.join(workdir, f".staging-{stage}-{uuid.uuid4().hex[:8]}")
+    try:
+        ds.write_parquet(staging)
+        files = sorted(f for f in os.listdir(staging) if f.endswith(".parquet"))
+        rows = pads.dataset(
+            [os.path.join(staging, f) for f in files]).count_rows()
+        with open(os.path.join(staging, "_MANIFEST.json"), "w") as f:
+            json.dump({"stage": stage, "rows": rows, "files": files,
+                       "fingerprint": fingerprint}, f, sort_keys=True)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(staging, final)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def _read_stage(workdir: str, stage: str):
+    import ray.data as rd
+
+    with open(_manifest_path(workdir, stage)) as f:
+        m = json.load(f)
+    return rd.read_parquet([os.path.join(_stage_dir(workdir, stage), fn)
+                            for fn in m["files"]])
+
+
+def run_flagship(sf_dir: str, workdir: str, num_buckets: int = 32,
+                 repeat: int = 1) -> dict:
+    """Checkpointed flagship run; returns stage metrics incl. which stages
+    were resumed from checkpoint."""
+    os.makedirs(workdir, exist_ok=True)
+    fp = _fingerprint(sf_dir, repeat) + f"|b={num_buckets}"
+    resumed = []
+
+    if _stage_valid(workdir, "revisions", fp):
+        revisions = _read_stage(workdir, "revisions")
+        resumed.append("revisions")
+    else:
+        pages = fl.pages_from_documents(sf_dir, repeat=repeat)
+        _write_stage(fl.revisions_from_pages(pages), workdir, "revisions", fp)
+        revisions = _read_stage(workdir, "revisions")
+
+    store_root = os.path.join(workdir, "triples_store")
+    contributors = fl.contributors_for_sf(sf_dir)
+    done = set(store_mod.list_graphs(store_root))
+    expected = {c["graph"] for c in contributors}
+    man_fp_ok = all(
+        (store_mod.read_manifest(store_root, g) or {}).get("fingerprint") == fp
+        for g in done)
+    if done == expected and man_fp_ok and done:
+        resumed.append("triples")
+        n = sum((store_mod.read_manifest(store_root, g) or {}).get("rows", 0)
+                for g in sorted(done))
+    else:
+        if done and not man_fp_ok:
+            shutil.rmtree(store_root, ignore_errors=True)
+            done = set()
+        triples = fl.triples_from_revisions(
+            revisions, contributors, num_buckets=num_buckets, checkpoint=False)
+        written = store_mod.write_store(triples, store_root,
+                                        skip_existing=bool(done),
+                                        fingerprint=fp)
+        n = sum(written.values()) + sum(
+            (store_mod.read_manifest(store_root, g) or {}).get("rows", 0)
+            for g in sorted(done))
+
+    return {"triples": n, "resumed": resumed, "store": store_root,
+            "fingerprint": fp}

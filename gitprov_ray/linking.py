@@ -258,3 +258,99 @@ def ngram_jaccard_pairs(docs_ds, id_col="doc_id", text_col="text",
     if len(cand) == 0:
         return rd.from_pandas(verify(cand))
     return rd.from_pandas(cand).map_batches(verify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# agent canonicalization (north-star stage 3: entity linking + rewrite)
+# ---------------------------------------------------------------------------
+
+def _char_ngram_hashes(s: str, n: int = 3) -> np.ndarray:
+    s = s.lower()
+    grams = {s[i : i + n] for i in range(max(1, len(s) - n + 1))} or {s}
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big") >> 3
+         for g in grams),
+        dtype=np.uint64)
+
+
+def _minhash_of(x: np.ndarray) -> np.ndarray:
+    if len(x) == 0:
+        return np.zeros(_K, dtype=np.uint64)
+    v = (_A[:, None] * x[None, :] + _B[:, None]) % np.uint64(_MERSENNE)
+    return v.min(axis=1)
+
+
+def canonical_agent_map(triples_ds, threshold: float = 0.7) -> dict[str, str]:
+    """Cluster near-duplicate agent NODES across graphs and pick a canonical
+    URI per cluster (lexicographically smallest).
+
+    Agent mentions are a tiny slice of the corpus (distinct contributors),
+    so after the distributed collection of agent rows the MinHash+LSH
+    clustering runs driver-side; the REWRITE (the heavy part) stays
+    distributed (see rewrite_canonical). Signature = MinHash over character
+    3-grams of the agent's local name."""
+    import pyarrow.compute as pc
+
+    from .prov import PREFIXES
+
+    agent_type = PREFIXES["prov"] + "Agent"
+    rdf_type = PREFIXES["rdf"] + "type"
+
+    agents = triples_ds.map_batches(
+        lambda t: t.filter(pc.and_(pc.equal(t["pred"], rdf_type),
+                                   pc.equal(t["obj"], agent_type)))
+                   .select(["subj"]),
+        batch_format="pyarrow").to_pandas()
+    uris = sorted(set(agents["subj"]))
+
+    buckets: dict[str, list[int]] = {}
+    sigs = []
+    for i, uri in enumerate(uris):
+        local = uri.rsplit("#", 1)[-1]
+        sig = _minhash_of(_char_ngram_hashes(local))
+        sigs.append(sig)
+        for key in band_keys(sig):
+            buckets.setdefault(key, []).append(i)
+
+    parent = list(range(len(uris)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                a, b = members[ai], members[bi]
+                if (sigs[a] == sigs[b]).mean() >= threshold:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+
+    out = {}
+    for i, uri in enumerate(uris):
+        canon = uris[find(i)]
+        if canon != uri:
+            out[uri] = canon
+    return out
+
+
+def rewrite_canonical(triples_ds, mapping: dict[str, str]):
+    """Distributed canonical-id rewrite: broadcast the (small) mapping into
+    a stateless batch fn; subj/obj URIs in the map are replaced. The
+    rewritten set may contain new duplicates → follow with dedup_triples."""
+    if not mapping:
+        return triples_ds
+
+    def rw(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["subj"] = df["subj"].map(lambda u: mapping.get(u, u))
+        mask = ~df["obj_is_literal"]
+        df.loc[mask, "obj"] = df.loc[mask, "obj"].map(lambda u: mapping.get(u, u))
+        return df
+
+    return triples_ds.map_batches(rw, batch_format="pandas")

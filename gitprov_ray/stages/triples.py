@@ -1,22 +1,25 @@
-"""Statements → RDF triples: flatten, bucketed exact dedup, global sort.
+"""Statements → RDF triples: flatten, bucketed exact dedup, in-partition sort.
 
 Dedup design (SURVEY.md §2.5 generalized row): distinct on
-(graph, subj, pred, obj) is an all-to-all exchange. Rather than one
-map_groups group per triple (per-group call overhead), rows are bucketed by
-a stable hash of the triple key and each bucket is deduped with ONE
-vectorized ``drop_duplicates`` — a two-phase exchange whose group count is
-``num_buckets``, independent of triple cardinality. A per-batch local
-pre-dedup runs inside the flatten stage (partial/combiner pattern) so the
-shuffle moves fewer rows.
+(graph, subj, pred, obj) is an all-to-all exchange. Rows are bucketed by a
+hash of the triple key and each bucket is deduplicated AND sorted in one
+vectorized Arrow pass — a single shuffle yields the north rule's sorted
+deduplicated partitions. A per-batch local pre-dedup runs inside the
+flatten stage (partial/combiner pattern) so the shuffle moves fewer rows.
+
+Hot-path discipline (measured, sf0.1×30 ≈ 9M triples):
+  * bucket ids via vectorized ``pd.util.hash_pandas_object`` (a per-row
+    Python sha1 loop cost ~25s of CPU here);
+  * dedup+sort via Arrow C++ ``sort_by`` + adjacent-key compare — the
+    pandas object-dtype equivalent cost 840 CPU-seconds.
 """
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .. import prov, schemas
 
@@ -50,25 +53,35 @@ def flatten_batch(batch: pa.Table) -> pa.Table:
         schema=schemas.TRIPLES)
 
 
-def _bucket_of(df: pd.DataFrame, num_buckets: int) -> np.ndarray:
-    joined = (df["graph"] + "\x1f" + df["subj"] + "\x1f" + df["pred"]
-              + "\x1f" + df["obj"]).to_numpy(dtype=object)
-    out = np.empty(len(joined), dtype=np.int64)
-    for i, s in enumerate(joined):
-        out[i] = int.from_bytes(hashlib.sha1(s.encode()).digest()[:8], "big") % num_buckets
-    return out
-
-
 def add_triple_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
-    df = batch.select(_KEY_COLS).to_pandas()
-    return batch.append_column("bucket", pa.array(_bucket_of(df, num_buckets),
+    """Vectorized stable bucket id per triple key (pandas siphash with the
+    fixed default key — deterministic across worker processes)."""
+    key = None
+    for c in _KEY_COLS:
+        s = batch.column(c).to_pandas().astype(str)
+        key = s if key is None else key + "\x1f" + s
+    h = pd.util.hash_pandas_object(key, index=False).to_numpy() % num_buckets
+    return batch.append_column("bucket", pa.array(h.astype(np.int64),
                                                   type=pa.int64()))
 
 
-def _dedup_sort_group(df: pd.DataFrame) -> pd.DataFrame:
-    return (df.sort_values(_KEY_COLS, kind="mergesort")
-            .drop_duplicates(_KEY_COLS)
-            .drop(columns=["bucket"]))
+def _dedup_sort_group(t: pa.Table) -> pa.Table:
+    """One bucket → sorted + adjacent-deduped (all Arrow C++ kernels)."""
+    if isinstance(t, pd.DataFrame):  # map_groups may hand pandas
+        t = pa.Table.from_pandas(t, preserve_index=False)
+    if "bucket" in t.column_names:
+        t = t.drop_columns(["bucket"])
+    t = t.sort_by([(c, "ascending") for c in _KEY_COLS])
+    n = t.num_rows
+    if n <= 1:
+        return t
+    keep = None
+    for c in _KEY_COLS:
+        col = t.column(c).combine_chunks()
+        neq = pc.not_equal(col.slice(1, n - 1), col.slice(0, n - 1))
+        keep = neq if keep is None else pc.or_(keep, neq)
+    mask = pa.chunked_array([pa.array([True]), keep]).combine_chunks()
+    return t.filter(mask)
 
 
 def dedup_triples(triples_ds, num_buckets: int = 64):
@@ -76,19 +89,12 @@ def dedup_triples(triples_ds, num_buckets: int = 64):
     (shuffle #4 of the physical plan). Each bucket is ALSO sorted by the
     triple key, so the output is sorted deduplicated partitions (the north
     rule's graph layout) in a single all-to-all — no separate global sort
-    shuffle. Bucket ids are content-stable, so reruns produce identical
-    partitions (resume-safe)."""
+    shuffle."""
     keyed = triples_ds.map_batches(
         lambda b: add_triple_bucket(b, num_buckets), batch_format="pyarrow"
     )
-    deduped = keyed.groupby("bucket").map_groups(
-        _dedup_sort_group, batch_format="pandas",
-    )
-    from ..util import pandas_to_arrow
-
-    return deduped.map_batches(
-        lambda df: pandas_to_arrow(df, schemas.TRIPLES),
-        batch_format="pandas",
+    return keyed.groupby("bucket").map_groups(
+        _dedup_sort_group, batch_format="pyarrow",
     )
 
 

@@ -32,17 +32,11 @@ from .. import prov, schemas
 
 
 def stable_bucket(graph: pd.Series, key: pd.Series, num_buckets: int) -> np.ndarray:
-    """Deterministic, process-stable bucket id per (graph, key)."""
-    joined = (graph + "\x1f" + key).to_numpy(dtype=object)
-    out = np.empty(len(joined), dtype=np.int64)
-    cache: dict[str, int] = {}
-    for i, s in enumerate(joined):
-        b = cache.get(s)
-        if b is None:
-            b = int.from_bytes(hashlib.sha1(s.encode()).digest()[:8], "big") % num_buckets
-            cache[s] = b
-        out[i] = b
-    return out
+    """Deterministic, process-stable bucket id per (graph, key) — vectorized
+    pandas siphash (fixed default hash key → identical across workers)."""
+    joined = graph.astype(str) + "\x1f" + key.astype(str)
+    h = pd.util.hash_pandas_object(joined, index=False).to_numpy()
+    return (h % num_buckets).astype(np.int64)
 
 
 def add_bucket_column(batch: pa.Table, num_buckets: int) -> pa.Table:

@@ -1,0 +1,122 @@
+"""Store roundtrip, serializer, N-Triples parse, SPARQL-lite tests."""
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_triples(tiny_corpus, ray_session):
+    import ray.data as rd
+    from gitprov_ray.pipelines import flagship
+
+    pages, _, contributors = tiny_corpus
+    ds = flagship.triples_from_pages(rd.from_arrow(pages),
+                                     contributors.to_pylist(), num_buckets=4)
+    return ds.to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_store_roundtrip(tiny_triples, tmp_path):
+    import ray.data as rd
+    from gitprov_ray import store
+
+    root = str(tmp_path / "store")
+    ds = rd.from_pandas(tiny_triples)
+    written = store.write_store(ds, root, fingerprint="test-fp")
+    assert sum(written.values()) == len(tiny_triples)
+    graphs = store.list_graphs(root)
+    assert sorted(written) == graphs
+    # partition-filtered read returns exactly that graph's triples
+    g0 = graphs[0]
+    back = store.read_store(root, g0).to_pandas()
+    exp = tiny_triples[tiny_triples.graph == g0]
+    assert set(zip(back.subj, back.pred, back.obj)) == set(
+        zip(exp.subj, exp.pred, exp.obj))
+    # replace-on-store: writing again replaces, not duplicates
+    store.write_store(rd.from_pandas(exp), root)
+    again = store.read_store(root, g0).to_pandas()
+    assert len(again) == len(exp)
+    # skip_existing leaves valid partitions alone
+    w2 = store.write_store(rd.from_pandas(exp), root, skip_existing=True)
+    assert w2 == {}
+    # catalog splits host names, drops malformed
+    cat = store.store_catalog(root)
+    assert all(len(t) == 2 for t in cat)
+
+
+def test_ntriples_roundtrip(tiny_triples):
+    from gitprov_ray import serializers
+
+    text = serializers.to_ntriples(tiny_triples)
+    rows = serializers.parse_ntriples(text)
+    orig = set(zip(tiny_triples.graph, tiny_triples.subj, tiny_triples.pred,
+                   tiny_triples.obj))
+    back = {(r["graph"], r["subj"], r["pred"], r["obj"]) for r in rows}
+    assert back == orig
+    # literals keep dtypes through the roundtrip
+    lit = [r for r in rows if r["obj_is_literal"]]
+    assert any(r["obj_dtype"] == "xsd:dateTime" for r in lit)
+    assert any(r["obj_dtype"] == "xsd:int" for r in lit)
+
+
+def test_turtle_and_nquads_render(tiny_triples):
+    from gitprov_ray import serializers
+
+    ttl = serializers.to_turtle(tiny_triples.head(200))
+    assert "@prefix prov:" in ttl
+    nq = serializers.to_nquads(tiny_triples.head(5))
+    assert nq.count("\n") == 5
+    # determinism
+    assert ttl == serializers.to_turtle(tiny_triples.head(200))
+
+
+def test_serialize_dispatch_validates():
+    from gitprov_ray import serializers
+
+    with pytest.raises(ValueError):
+        serializers.serialize(pd.DataFrame(), "application/pdf")
+
+
+def test_provn_category_major_order(tiny_corpus):
+    from gitprov_ray import oracle, serializers
+
+    _, revisions, contributors = tiny_corpus
+    stmts, _ = oracle.build_statements(revisions.to_pylist()[:40],
+                                       contributors.to_pylist()[:2])
+    text = serializers.to_provn(stmts)
+    assert text.startswith("document\n")
+    # activities come before agents before associations (O2)
+    first_act = text.index("activity(")
+    first_agent = text.index("agent(")
+    assert first_act < first_agent
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sparql_bgp_join(tiny_triples):
+    import ray.data as rd
+    from gitprov_ray import sparql_lite
+
+    ds = rd.from_pandas(tiny_triples)
+    # activities and the agents they were associated with
+    res = sparql_lite.select(
+        ds,
+        patterns=[("?act", "prov:wasAssociatedWith", "?agent"),
+                  ("?act", "rdf:type", "prov:Activity")],
+        variables=["?act", "?agent"], distinct=True)
+    assert len(res) > 0
+    assert set(res.columns) == {"act", "agent"}
+    # every bound act is an Activity subject associated with an agent
+    direct = tiny_triples[
+        tiny_triples.pred.str.endswith("wasAssociatedWith")]
+    assert set(res["act"]) <= set(direct.subj)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sparql_bound_subject_and_limit(tiny_triples):
+    import ray.data as rd
+    from gitprov_ray import sparql_lite
+
+    ds = rd.from_pandas(tiny_triples)
+    some_subj = tiny_triples.subj.iloc[0]
+    res = sparql_lite.select(ds, [(some_subj, "?p", "?o")], limit=3)
+    assert 0 < len(res) <= 3
