@@ -428,6 +428,17 @@ def kg_canonical_agents(sf_dir: str):
     })
 
 
+def q_source_counts_salted(sf_dir: str):
+    """Salted two-phase count per source (hot-key skew handling, SURVEY.md
+    §4.2): the partial phase keys on (source, salt) so a dominant source
+    spreads across reducers; the final combine drops the salt. Exact."""
+    from .ops import salted_value_counts
+
+    ds = _read(sf_dir, "documents", ["source"])
+    out = salted_value_counts(ds, "source", num_salts=16, final="shuffle")
+    return out.rename(columns={"source": "source", "n": "n_docs"})
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -457,6 +468,7 @@ QUERIES = {
     "q_sessionize": q_sessionize,
     "q_media_features": q_media_features,
     "kg_canonical_agents": kg_canonical_agents,
+    "q_source_counts_salted": q_source_counts_salted,
 }
 
 
@@ -553,6 +565,10 @@ ORACLE_SQL = {
         SELECT DISTINCT 'https://gitprov.example/graph/' || source || '.example#'
                AS ns_url
         FROM documents WHERE lang = 'en' AND source = 'src9' ORDER BY ns_url
+    """,
+    "q_source_counts_salted": """
+        SELECT source, COUNT(*) AS n_docs FROM documents
+        GROUP BY source ORDER BY source
     """,
     "q_sessionize": """
         WITH x AS (

@@ -105,9 +105,7 @@ def to_turtle(triples: pd.DataFrame) -> str:
 def parse_ntriples(text: str) -> list[dict]:
     """Line-oriented N-Triples parser → triple rows (S13 analog).
     Graph is recovered from the gitprov namespace when the subject is in
-    one; otherwise ''. Malformed lines are skipped with a count (M15
-    policy), returned via the '_malformed' key of the last element? No —
-    kept simple: raises on malformed when strict, else skips."""
+    one; otherwise ''. Malformed lines are skipped (M15 policy)."""
     import re
 
     rx = re.compile(
@@ -226,6 +224,7 @@ FORMATS = {
     "ntriples": to_ntriples,
     "nquads": to_nquads,
     "turtle": to_turtle,
+    "trig": lambda df: to_trig(df),
     "provn": None,      # statement-level: use to_provn
     "csv": result_csv,
     "tsv": result_tsv,
@@ -233,6 +232,7 @@ FORMATS = {
 }
 
 CONTENT_TYPES = {
+    "application/trig": "trig",
     "application/n-triples": "ntriples",
     "application/n-quads": "nquads",
     "application/x-turtle": "turtle",
@@ -253,3 +253,39 @@ def serialize(triples: pd.DataFrame, fmt: str) -> str:
     if fmt not in FORMATS or FORMATS[fmt] is None:
         raise ValueError(f"unknown or statement-level format: {fmt!r}")
     return FORMATS[fmt](triples)
+
+
+def to_trig(triples: pd.DataFrame) -> str:
+    """TriG: one named-graph block per graph, Turtle-style bodies
+    (S9's application/trig, ProvenanceService.java:247-249)."""
+    out = []
+    for g in sorted(triples["graph"].unique()):
+        sub = triples[triples["graph"] == g]
+        body = []
+        for r in sub.sort_values(["subj", "pred", "obj"]).to_dict("records"):
+            body.append(f"  <{r['subj']}> <{r['pred']}> {_term_obj(r)} .")
+        out.append(f"<{idgen.graph_ns(g)[:-1]}> {{\n" + "\n".join(body) + "\n}")
+    return "\n".join(out) + "\n"
+
+
+def to_prov_json(statements: list[dict]) -> str:
+    """PROV-JSON-flavored document (S9's application/json): statements
+    grouped by category in the reference's category-major order
+    (ProvenanceService.java:202-212), deterministic member order."""
+    cats: dict[str, dict] = {}
+    for s in sorted(statements, key=lambda s: (
+            s["stmt_rank"], s["id"] or "", s["subj"] or "", s["obj"] or "")):
+        entry: dict = {}
+        if s["subj"] is not None and s["stmt_type"] not in (
+                "activity", "agent", "entity", "base_entity"):
+            entry["subject"] = f"gitprov:{s['subj']}"
+            entry["object"] = f"gitprov:{s['obj']}"
+        if s.get("secondary"):
+            entry["activity"] = f"gitprov:{s['secondary']}"
+        if s.get("t") is not None:
+            entry["time"] = s["t"].isoformat()
+        if s["attrs"] and s["attrs"] != "{}":
+            entry["attrs"] = json.loads(s["attrs"])
+        key = s["id"] if s["id"] else f"_:{s['subj']}-{s['obj']}"
+        cats.setdefault(s["stmt_type"], {})[f"gitprov:{key}"] = entry
+    return json.dumps(cats, ensure_ascii=False, sort_keys=True)

@@ -1,0 +1,31 @@
+"""Salted two-phase aggregation: exactness under hot-key skew."""
+
+import pandas as pd
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_salted_counts_exact_with_hot_key():
+    import ray.data as rd
+    from gitprov_ray.ops import salted_value_counts
+
+    # hot key: 'hot' holds 80% of rows
+    vals = ["hot"] * 8000 + [f"k{i % 50}" for i in range(2000)]
+    ds = rd.from_pandas(pd.DataFrame({"v": vals}))
+    for final in ("driver", "shuffle"):
+        out = salted_value_counts(ds, "v", num_salts=8, final=final)
+        assert int(out[out["v"] == "hot"]["n"].iloc[0]) == 8000
+        assert int(out["n"].sum()) == 10000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_salted_sum_matches_pandas():
+    import numpy as np
+    import ray.data as rd
+    from gitprov_ray.ops import salted_sum
+
+    df = pd.DataFrame({"k": [f"g{i % 7}" for i in range(5000)],
+                       "x": np.arange(5000, dtype="int64")})
+    out = salted_sum(rd.from_pandas(df), "k", "x", num_salts=4)
+    exp = df.groupby("k", as_index=False)["x"].sum().sort_values("k")
+    assert list(out["sum_x"]) == list(exp["x"])

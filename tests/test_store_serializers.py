@@ -120,3 +120,25 @@ def test_sparql_bound_subject_and_limit(tiny_triples):
     some_subj = tiny_triples.subj.iloc[0]
     res = sparql_lite.select(ds, [(some_subj, "?p", "?o")], limit=3)
     assert 0 < len(res) <= 3
+
+
+def test_trig_render(tiny_triples):
+    from gitprov_ray import serializers
+
+    trig = serializers.to_trig(tiny_triples.head(50))
+    assert trig.count("{") == trig.count("}")
+    assert "https://gitprov.example/graph/" in trig
+    assert trig == serializers.to_trig(tiny_triples.head(50))
+
+
+def test_prov_json_render(tiny_corpus):
+    import json
+    from gitprov_ray import oracle, serializers
+
+    _, revisions, contributors = tiny_corpus
+    stmts, _ = oracle.build_statements(revisions.to_pylist()[:30],
+                                       contributors.to_pylist()[:2])
+    doc = json.loads(serializers.to_prov_json(stmts))
+    assert "activity" in doc and "agent" in doc
+    # deterministic
+    assert serializers.to_prov_json(stmts) == serializers.to_prov_json(stmts)
