@@ -26,8 +26,10 @@ once per actor in ``__init__`` — never re-shipped per batch.
 
 from __future__ import annotations
 
-import ray
+import numpy as np
+import pandas as pd
 import pyarrow as pa
+import ray
 
 from .. import prov, schemas
 
@@ -62,10 +64,8 @@ def make_emitter(agents_idx: dict):
     reference to tasks — the broadcast without actor-spawn latency. Use the
     actor-pool class when per-worker setup is genuinely expensive (models,
     indexes); use this when the state is a small lookup table."""
-    emitter = EmitStateless(agents_idx)
-
     def emit_batch(batch: pa.Table) -> pa.Table:
-        return emitter(batch)
+        return emit_stateless_vec(batch, agents_idx)
 
     return emit_batch
 
@@ -120,3 +120,155 @@ def emit_agents_table(contributor_rows: list[dict]) -> pa.Table:
         for c in contributor_rows
     ]
     return _stmts_to_table(stmts)
+
+
+# ---------------------------------------------------------------------------
+# vectorized emit (same output as EmitStateless, ~10x less CPU)
+# ---------------------------------------------------------------------------
+
+def _esc_map(values) -> dict:
+    """escape_ncname per UNIQUE value (filenames repeat heavily)."""
+    from .. import idgen
+
+    return {v: idgen.escape_ncname(v) for v in pd.unique(values)}
+
+
+def emit_stateless_vec(batch: pa.Table, agents: dict) -> pa.Table:
+    """Vectorized twin of EmitStateless.__call__.
+
+    Exploits two invariants (asserted by test_emit_vec_parity):
+      * snapshot ids are hex, so escape_ncname is the identity on them;
+      * escape_ncname distributes over concatenation when the left part
+        starts with a letter (every minted id starts with a literal
+        prefix), so ids are built by string concat over per-unique-filename
+        escaped bases.
+    Statement payloads (attrs JSON) are rendered from templates that match
+    json.dumps(..., ensure_ascii=False, sort_keys=True) byte for byte.
+    """
+    import json as _json
+
+    from .. import idgen
+    from ..schemas import STMT_RANK
+
+    df = pd.DataFrame({
+        "graph": batch.column("graph").to_pandas(),
+        "f": batch.column("page_key").to_pandas(),
+        "sha": batch.column("snapshot_id").to_pandas(),
+        "ts": batch.column("ts").to_pandas(),
+        "author": batch.column("author").to_pandas(),
+        "author_name": batch.column("author_name").to_pandas(),
+        "label": batch.column("label").to_pandas(),
+        "status": batch.column("change_status").to_pandas(),
+    })
+    parents_col = batch.column("parents").to_pylist()
+
+    # per-unique-filename derived strings
+    base_of = {}
+    jlabel_of = {}
+    from .. import idgen as _idg
+
+    for v in pd.unique(df["f"]):
+        base_of[v] = _idg.escape_ncname(_idg.base_entity_name(v))
+        jlabel_of[v] = _json.dumps(v, ensure_ascii=False)
+    base = df["f"].map(base_of)
+    spec = base + "_commit-" + df["sha"]
+    ent_attrs = '{"prov:label": [' + df["f"].map(jlabel_of) + ', "xsd:string"]}'
+
+    frames = []
+
+    def cat(stype, id_s, subj_s, obj_s, secondary=None, t=None, attrs="{}"):
+        n = len(id_s)
+        frames.append(pd.DataFrame({
+            "stmt_type": stype, "id": id_s.to_numpy() if hasattr(id_s, "to_numpy") else id_s,
+            "subj": subj_s.to_numpy() if hasattr(subj_s, "to_numpy") else subj_s,
+            "obj": obj_s.to_numpy() if hasattr(obj_s, "to_numpy") else obj_s,
+            "secondary": secondary if secondary is not None else None,
+            "t": t if t is not None else pd.NaT,
+            "attrs": attrs.to_numpy() if hasattr(attrs, "to_numpy") else attrs,
+            "graph": df["graph"].to_numpy() if n == len(df) else None,
+            "stmt_rank": STMT_RANK[stype],
+        }))
+
+    # --- per-event statements -------------------------------------------
+    cat("entity", spec, spec, pd.Series([None] * len(df)), attrs=ent_attrs)
+    cat("base_entity", base, base, pd.Series([None] * len(df)), attrs=ent_attrs)
+    frames[-1]["graph"] = df["graph"].to_numpy()
+    frames[-2]["graph"] = df["graph"].to_numpy()
+    spec_frame = pd.DataFrame({
+        "stmt_type": "specializationOf", "id": None,
+        "subj": spec.to_numpy(), "obj": base.to_numpy(), "secondary": None,
+        "t": pd.NaT, "attrs": "{}", "graph": df["graph"].to_numpy(),
+        "stmt_rank": STMT_RANK["specializationOf"]})
+    frames.append(spec_frame)
+
+    gen_mask = df["status"].isin(["added", "modified"]).to_numpy()
+    inv_mask = (df["status"] == "removed").to_numpy()
+    g = df[gen_mask]
+    frames.append(pd.DataFrame({
+        "stmt_type": "wasGeneratedBy",
+        "id": ("generation-" + base[gen_mask] + "-" + g["sha"]).to_numpy(),
+        "subj": spec[gen_mask].to_numpy(),
+        "obj": ("commit-" + g["sha"]).to_numpy(), "secondary": None,
+        "t": g["ts"].to_numpy(), "attrs": "{}", "graph": g["graph"].to_numpy(),
+        "stmt_rank": STMT_RANK["wasGeneratedBy"]}))
+    iv = df[inv_mask]
+    frames.append(pd.DataFrame({
+        "stmt_type": "wasInvalidatedBy",
+        "id": ("invalidation-" + base[inv_mask] + "-" + iv["sha"]).to_numpy(),
+        "subj": spec[inv_mask].to_numpy(),
+        "obj": ("commit-" + iv["sha"]).to_numpy(), "secondary": None,
+        "t": iv["ts"].to_numpy(), "attrs": "{}", "graph": iv["graph"].to_numpy(),
+        "stmt_rank": STMT_RANK["wasInvalidatedBy"]}))
+
+    # --- per-commit statements ------------------------------------------
+    first_idx = ~df["sha"].duplicated()
+    c = df[first_idx]
+    cparents = [parents_col[i] for i in np.flatnonzero(first_idx.to_numpy())]
+    url = "https://" + c["graph"] + "/snapshot/" + c["sha"]
+    act_attrs = ('{"foaf:homepage": [' + url.map(lambda u: _json.dumps(u)) +
+                 ', "xsd:anyURI"], "prov:label": [' +
+                 c["label"].map(lambda l: _json.dumps(l, ensure_ascii=False)) +
+                 ', "xsd:string"]}')
+    frames.append(pd.DataFrame({
+        "stmt_type": "activity", "id": ("commit-" + c["sha"]).to_numpy(),
+        "subj": ("commit-" + c["sha"]).to_numpy(), "obj": None,
+        "secondary": None, "t": c["ts"].to_numpy(),
+        "attrs": act_attrs.to_numpy(), "graph": c["graph"].to_numpy(),
+        "stmt_rank": STMT_RANK["activity"]}))
+
+    resolved = [
+        a if a is not None else resolve_author(agents.get(gr, []), a, an)
+        for a, an, gr in zip(c["author"], c["author_name"], c["graph"])
+    ]
+    agent_ids = [_idg.agent_id(r) for r in resolved]
+    frames.append(pd.DataFrame({
+        "stmt_type": "wasAssociatedWith",
+        "id": ("association-" + c["sha"]).to_numpy(),
+        "subj": ("commit-" + c["sha"]).to_numpy(), "obj": agent_ids,
+        "secondary": None, "t": pd.NaT,
+        "attrs": '{"prov:role": ["authorship", "xsd:string"]}',
+        "graph": c["graph"].to_numpy(),
+        "stmt_rank": STMT_RANK["wasAssociatedWith"]}))
+
+    inf_rows = {"id": [], "subj": [], "obj": [], "graph": []}
+    for sha, gr, ps in zip(c["sha"], c["graph"], cparents):
+        for p in ps or []:
+            inf_rows["id"].append("information-" + p + "-" + sha)
+            inf_rows["subj"].append("commit-" + sha)
+            inf_rows["obj"].append("commit-" + p)
+            inf_rows["graph"].append(gr)
+    if inf_rows["id"]:
+        frames.append(pd.DataFrame({
+            "stmt_type": "wasInformedBy", "id": inf_rows["id"],
+            "subj": inf_rows["subj"], "obj": inf_rows["obj"],
+            "secondary": None, "t": pd.NaT, "attrs": "{}",
+            "graph": inf_rows["graph"],
+            "stmt_rank": STMT_RANK["wasInformedBy"]}))
+
+    out = pd.concat(frames, ignore_index=True)
+    out["t"] = pd.to_datetime(out["t"])
+    out["stmt_rank"] = out["stmt_rank"].astype("int32")
+    from ..util import pandas_to_arrow
+    from .. import schemas
+
+    return pandas_to_arrow(out, schemas.STATEMENTS)
