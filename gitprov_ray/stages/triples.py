@@ -107,6 +107,121 @@ def statements_to_triples(statements_ds, num_buckets: int = 64, sort: bool = Fal
     """statements → deduplicated triples in sorted partitions; pass
     ``sort=True`` to add a global total-order sort on top (extra shuffle —
     only worth it for small outputs)."""
-    ds = statements_ds.map_batches(flatten_batch, batch_format="pyarrow")
+    ds = statements_ds.map_batches(flatten_batch_vec, batch_format="pyarrow")
     ds = dedup_triples(ds, num_buckets=num_buckets)
     return sorted_triples(ds) if sort else ds
+
+
+# ---------------------------------------------------------------------------
+# vectorized flatten (same output as flatten_batch; tested multiset-equal)
+# ---------------------------------------------------------------------------
+
+_GP_PREFIX = "https://gitprov.example/graph/"
+
+
+def _vec_frames(df: pd.DataFrame) -> list[pd.DataFrame]:
+    """Per-stmt_type vectorized flattening into triple frames."""
+    import json as _json
+    from datetime import datetime as _dt
+
+    from ..prov import PREFIXES, _ATTR_PRED, _INFLUENCE, _NODE_CLASS, _TIME_PRED, expand
+
+    out: list[pd.DataFrame] = []
+    gp = _GP_PREFIX + df["graph"] + "#"
+
+    def frame(subj, pred, obj, lit, dtype, graph):
+        out.append(pd.DataFrame({
+            "subj": subj, "pred": pred, "obj": obj,
+            "obj_is_literal": lit, "obj_dtype": dtype, "graph": graph}))
+
+    def emit_attr_rows(sub: pd.DataFrame, node: pd.Series, gseries: pd.Series):
+        """Row-wise attr expansion (only rows whose attrs != '{}')."""
+        mask = sub["attrs"].ne("{}") & sub["attrs"].notna()
+        if not mask.any():
+            return
+        s = sub[mask]
+        n = node[mask]
+        g = gseries[mask]
+        rows = {"subj": [], "pred": [], "obj": [], "obj_is_literal": [],
+                "obj_dtype": [], "graph": []}
+        cache: dict[str, dict] = {}
+        for nd, attrs_json, gr in zip(n, s["attrs"], g):
+            attrs = cache.get(attrs_json)
+            if attrs is None:
+                attrs = _json.loads(attrs_json)
+                cache[attrs_json] = attrs
+            gpre = _GP_PREFIX + gr + "#"
+            for pred, (val, dtype) in sorted(attrs.items()):
+                if dtype == "@uri":
+                    rows["subj"].append(nd)
+                    rows["pred"].append(expand(pred, gr))
+                    rows["obj"].append(gpre + str(val))
+                    rows["obj_is_literal"].append(False)
+                    rows["obj_dtype"].append("")
+                else:
+                    rows["subj"].append(nd)
+                    rows["pred"].append(expand(_ATTR_PRED.get(pred, pred), gr))
+                    rows["obj"].append(str(val))
+                    rows["obj_is_literal"].append(True)
+                    rows["obj_dtype"].append(dtype)
+                rows["graph"].append(gr)
+        out.append(pd.DataFrame(rows))
+
+    def iso_series(ts: pd.Series) -> pd.Series:
+        return ts.map(lambda d: d.isoformat() if isinstance(d, _dt)
+                      else pd.Timestamp(d).to_pydatetime().isoformat())
+
+    for st, sub in df.groupby("stmt_type", sort=False):
+        g = sub["graph"]
+        sgp = _GP_PREFIX + g + "#"
+        if st in _NODE_CLASS:
+            node = sgp + sub["subj"]
+            frame(node, expand("rdf:type", ""), expand(_NODE_CLASS[st], ""),
+                  False, "", g)
+            if st in _TIME_PRED:
+                tmask = sub["t"].notna()
+                if tmask.any():
+                    frame(node[tmask], expand(_TIME_PRED[st], ""),
+                          iso_series(sub["t"][tmask]), True, "xsd:dateTime",
+                          g[tmask])
+            emit_attr_rows(sub, node, g)
+        elif st == "specializationOf":
+            frame(sgp + sub["subj"], expand("prov:specializationOf", ""),
+                  sgp + sub["obj"], False, "", g)
+        elif st in _INFLUENCE:
+            direct, qpred, qcls, opred = _INFLUENCE[st]
+            subj = sgp + sub["subj"]
+            obj = sgp + sub["obj"]
+            node = sgp + sub["id"]
+            if direct:
+                frame(subj, expand(direct, ""), obj, False, "", g)
+            frame(subj, expand(qpred, ""), node, False, "", g)
+            frame(node, expand("rdf:type", ""), expand(qcls, ""), False, "", g)
+            frame(node, expand(opred, ""), obj, False, "", g)
+            smask = sub["secondary"].notna()
+            if smask.any():
+                frame(node[smask], expand("prov:hadActivity", ""),
+                      sgp[smask] + sub["secondary"][smask], False, "", g[smask])
+            tmask = sub["t"].notna()
+            if tmask.any():
+                frame(node[tmask], expand("prov:atTime", ""),
+                      iso_series(sub["t"][tmask]), True, "xsd:dateTime",
+                      g[tmask])
+            emit_attr_rows(sub, node, g)
+        else:  # pragma: no cover
+            raise ValueError(f"unknown stmt_type {st!r}")
+    return out
+
+
+def flatten_batch_vec(batch: pa.Table) -> pa.Table:
+    """Vectorized twin of flatten_batch (structural triples by column
+    concat; attrs row-wise with a per-distinct-attrs-JSON parse cache),
+    with the same local pre-dedup."""
+    if batch.num_rows == 0:
+        return pa.Table.from_pylist([], schema=schemas.TRIPLES)
+    df = batch.to_pandas()
+    frames = _vec_frames(df)
+    tri = pd.concat(frames, ignore_index=True)
+    tri = tri.drop_duplicates(["graph", "subj", "pred", "obj"])
+    return pa.Table.from_pandas(tri, schema=schemas.TRIPLES,
+                                preserve_index=False)
