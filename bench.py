@@ -112,10 +112,11 @@ def run_scaling() -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_REPEAT=str(SCALING_REPEAT),
                    GRAFT_SKIP_QUERIES="1",
-                   # fully streamed for the scaling measurement: no
-                   # materialize barrier (serial time), at the cost of the
-                   # parse running once per consumer branch (parallel work)
-                   GRAFT_BENCH_CHECKPOINT="0",
+                   # checkpointed legs: both parallelism levels stay in a
+                   # healthy memory regime (streamed doubles in-flight data
+                   # and degrades the low-CPU leg on one box)
+                   GRAFT_BENCH_CHECKPOINT=os.environ.get(
+                       "GRAFT_BENCH_CHECKPOINT", "1"),
                    # pin the object store so both legs get the same
                    # streaming memory budget (a real N-node vs 4N-node
                    # cluster scales memory with nodes; one box does not)

@@ -225,3 +225,275 @@ def flatten_batch_vec(batch: pa.Table) -> pa.Table:
     tri = tri.drop_duplicates(["graph", "subj", "pred", "obj"])
     return pa.Table.from_pandas(tri, schema=schemas.TRIPLES,
                                 preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# compact-id dedup exchange (shuffle-byte reduction, same final output)
+# ---------------------------------------------------------------------------
+#
+# The dedup all-to-all is the pipeline's dominant byte mover. Full triples
+# carry ~90-byte gp-namespace URIs in subj (always), obj (usually) and a
+# ~45-byte pred URI per row. The compact exchange ships:
+#   graph, s_local (subj minus the graph namespace), pred_code (int8 into a
+#   closed CURIE table), obj_kind (0=literal, 1=gp-local, 2=full URI),
+#   o_val, obj_dtype
+# and expands URIs inside the reduce-side bucket AFTER dedup — ≈60% fewer
+# shuffle bytes, identical final rows. Subjects are always gp-namespaced in
+# this engine (every minted node lives in its graph's namespace), which is
+# the invariant that makes s_local total.
+
+_PRED_CURIES = [
+    "rdf:type", "rdfs:label", "prov:type", "prov:role", "prov:label",
+    "prov:startedAtTime", "prov:atTime", "prov:specializationOf",
+    "prov:wasGeneratedBy", "prov:qualifiedGeneration",
+    "prov:wasInvalidatedBy", "prov:qualifiedInvalidation",
+    "prov:used", "prov:qualifiedUsage",
+    "prov:wasInformedBy", "prov:qualifiedCommunication",
+    "prov:wasAssociatedWith", "prov:qualifiedAssociation",
+    "prov:wasDerivedFrom", "prov:qualifiedDerivation",
+    "prov:activity", "prov:entity", "prov:agent", "prov:hadRole",
+    "prov:hadActivity", "prov:hadGeneration", "prov:hadUsage",
+    "foaf:homepage", "foaf:mbox", "foaf:img", "foaf:name",
+    "gitprov:contributions", "gitprov:additions", "gitprov:changes",
+    "gitprov:deletions",
+]
+_PRED_CODE = {c: i for i, c in enumerate(_PRED_CURIES)}
+# full-URI form for the non-graph-dependent preds (gitprov:* need the graph)
+_PRED_URI = {}
+for _c in _PRED_CURIES:
+    if not _c.startswith("gitprov:"):
+        _PRED_URI[_PRED_CODE[_c]] = prov.expand(_c, "")
+_PRED_LOCAL = {_PRED_CODE[c]: c.split(":", 1)[1]
+               for c in _PRED_CURIES if c.startswith("gitprov:")}
+
+_URI_TO_CODE = {u: c for c, u in _PRED_URI.items()}
+
+COMPACT_SCHEMA = pa.schema([
+    ("graph", pa.string()),
+    ("s_local", pa.string()),
+    ("pred_code", pa.int8()),
+    ("obj_kind", pa.int8()),
+    ("o_val", pa.string()),
+    ("obj_dtype", pa.string()),
+])
+
+
+def compact_from_triples(batch: pa.Table) -> pa.Table:
+    """full TRIPLES rows → compact exchange rows (vectorized)."""
+    df = batch.to_pandas()
+    gp = _GP_PREFIX + df["graph"] + "#"
+    # subjects are always gp-namespaced: strip the per-row prefix
+    s_local = pd.Series([s[len(p):] for s, p in zip(df["subj"], gp)],
+                        index=df.index)
+
+    pred_code = df["pred"].map(_URI_TO_CODE)
+    missing = pred_code.isna()
+    if missing.any():
+        # gitprov:* preds: URI = gp + local
+        loc = pd.Series([s[len(p):] for s, p in
+                         zip(df["pred"][missing], gp[missing])],
+                        index=df.index[missing])
+        pred_code.loc[missing] = loc.map(
+            lambda l: _PRED_CODE["gitprov:" + l])
+    pred_code = pred_code.astype("int8")
+
+    is_lit = df["obj_is_literal"].to_numpy()
+    obj = df["obj"]
+    gp_arr = gp.to_numpy()
+    o_val = obj.to_numpy(dtype=object).copy()
+    kind = np.zeros(len(df), dtype=np.int8)
+    for i, (lit, o, p) in enumerate(zip(is_lit, obj, gp_arr)):
+        if lit:
+            kind[i] = 0
+        elif o.startswith(p):
+            kind[i] = 1
+            o_val[i] = o[len(p):]
+        else:
+            kind[i] = 2
+    return pa.table({
+        "graph": pa.array(df["graph"]),
+        "s_local": pa.array(s_local),
+        "pred_code": pa.array(pred_code, type=pa.int8()),
+        "obj_kind": pa.array(kind, type=pa.int8()),
+        "o_val": pa.array(o_val, type=pa.string()),
+        "obj_dtype": pa.array(df["obj_dtype"]),
+    })
+
+
+_COMPACT_KEY = ["graph", "s_local", "pred_code", "obj_kind", "o_val"]
+
+
+def add_compact_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
+    key = None
+    for c in ["graph", "s_local", "o_val"]:
+        s = batch.column(c).to_pandas().astype(str)
+        key = s if key is None else key + "\x1f" + s
+    key = key + "\x1f" + batch.column("pred_code").to_pandas().astype(str)
+    h = pd.util.hash_pandas_object(key, index=False).to_numpy() % num_buckets
+    return batch.append_column("bucket", pa.array(h.astype(np.int64),
+                                                  type=pa.int64()))
+
+
+def expand_compact(t: pa.Table) -> pa.Table:
+    """compact rows → full TRIPLES rows (vectorized URI expansion)."""
+    df = t.to_pandas()
+    gp = _GP_PREFIX + df["graph"] + "#"
+    subj = gp + df["s_local"]
+    codes = df["pred_code"]
+    pred = codes.map(_PRED_URI)
+    miss = pred.isna()
+    if miss.any():
+        pred.loc[miss] = gp[miss] + codes[miss].map(_PRED_LOCAL)
+    kind = df["obj_kind"]
+    obj = df["o_val"].copy()
+    m1 = kind.eq(1)
+    obj.loc[m1] = gp[m1] + df["o_val"][m1]
+    out = pd.DataFrame({
+        "subj": subj, "pred": pred, "obj": obj,
+        "obj_is_literal": kind.eq(0),
+        "obj_dtype": df["obj_dtype"], "graph": df["graph"]})
+    return pa.Table.from_pandas(out, schema=schemas.TRIPLES,
+                                preserve_index=False)
+
+
+def _dedup_expand_sort_group(t: pa.Table) -> pa.Table:
+    """One compact bucket → dedup on the compact key → expand URIs →
+    in-partition sort on the full triple key (same partition content and
+    order as the full-width exchange)."""
+    if isinstance(t, pd.DataFrame):
+        t = pa.Table.from_pandas(t, preserve_index=False)
+    if "bucket" in t.column_names:
+        t = t.drop_columns(["bucket"])
+    t = t.sort_by([(c, "ascending") for c in _COMPACT_KEY])
+    n = t.num_rows
+    if n > 1:
+        keep = None
+        for c in _COMPACT_KEY:
+            col = t.column(c).combine_chunks()
+            if c in ("pred_code", "obj_kind"):
+                col = col.cast(pa.int32())
+            neq = pc.not_equal(col.slice(1, n - 1), col.slice(0, n - 1))
+            keep = neq if keep is None else pc.or_(keep, neq)
+        mask = pa.chunked_array([pa.array([True]), keep]).combine_chunks()
+        t = t.filter(mask)
+    full = expand_compact(t)
+    return full.sort_by([(c, "ascending") for c in _KEY_COLS])
+
+
+def dedup_triples_compact(triples_ds, num_buckets: int = 64):
+    """Compact-exchange variant of dedup_triples (same output rows)."""
+    compact = triples_ds.map_batches(compact_from_triples,
+                                     batch_format="pyarrow")
+    keyed = compact.map_batches(
+        lambda b: add_compact_bucket(b, num_buckets), batch_format="pyarrow")
+    return keyed.groupby("bucket").map_groups(
+        _dedup_expand_sort_group, batch_format="pyarrow")
+
+
+def flatten_batch_compact(batch: pa.Table) -> pa.Table:
+    """STATEMENTS batch → COMPACT triple rows directly (statements already
+    carry graph-local ids, so no URI is ever built pre-shuffle). Tested
+    equal to flatten_batch after expand_compact."""
+    import json as _json
+    from datetime import datetime as _dt
+
+    from ..prov import _ATTR_PRED, _INFLUENCE, _NODE_CLASS, _TIME_PRED
+
+    if batch.num_rows == 0:
+        return pa.Table.from_pylist([], schema=COMPACT_SCHEMA)
+    df = batch.to_pandas()
+    out: list[pd.DataFrame] = []
+
+    def frame(graph, s_local, code, kind, o_val, dtype=""):
+        out.append(pd.DataFrame({
+            "graph": graph, "s_local": s_local,
+            "pred_code": np.int8(code) if np.isscalar(code) else code,
+            "obj_kind": np.int8(kind), "o_val": o_val, "obj_dtype": dtype}))
+
+    def iso_series(ts: pd.Series) -> pd.Series:
+        return ts.map(lambda d: d.isoformat() if isinstance(d, _dt)
+                      else pd.Timestamp(d).to_pydatetime().isoformat())
+
+    def emit_attr_rows(sub: pd.DataFrame, node: pd.Series):
+        mask = sub["attrs"].ne("{}") & sub["attrs"].notna()
+        if not mask.any():
+            return
+        rows = {"graph": [], "s_local": [], "pred_code": [], "obj_kind": [],
+                "o_val": [], "obj_dtype": []}
+        cache: dict[str, dict] = {}
+        for nd, attrs_json, gr in zip(node[mask], sub["attrs"][mask],
+                                      sub["graph"][mask]):
+            attrs = cache.get(attrs_json)
+            if attrs is None:
+                attrs = _json.loads(attrs_json)
+                cache[attrs_json] = attrs
+            for pred, (val, dtype) in sorted(attrs.items()):
+                rows["graph"].append(gr)
+                rows["s_local"].append(nd)
+                if dtype == "@uri":
+                    rows["pred_code"].append(_PRED_CODE[pred])
+                    rows["obj_kind"].append(1)
+                    rows["o_val"].append(str(val))
+                    rows["obj_dtype"].append("")
+                else:
+                    rows["pred_code"].append(
+                        _PRED_CODE[_ATTR_PRED.get(pred, pred)])
+                    rows["obj_kind"].append(0)
+                    rows["o_val"].append(str(val))
+                    rows["obj_dtype"].append(dtype)
+        rows["pred_code"] = pd.Series(rows["pred_code"], dtype="int8")
+        rows["obj_kind"] = pd.Series(rows["obj_kind"], dtype="int8")
+        out.append(pd.DataFrame(rows))
+
+    TYPE = _PRED_CODE["rdf:type"]
+    for st, sub in df.groupby("stmt_type", sort=False):
+        g = sub["graph"]
+        if st in _NODE_CLASS:
+            node = sub["subj"]
+            frame(g, node, TYPE, 2, prov.expand(_NODE_CLASS[st], ""))
+            if st in _TIME_PRED:
+                tm = sub["t"].notna()
+                if tm.any():
+                    frame(g[tm], node[tm], _PRED_CODE[_TIME_PRED[st]], 0,
+                          iso_series(sub["t"][tm]), "xsd:dateTime")
+            emit_attr_rows(sub, node)
+        elif st == "specializationOf":
+            frame(g, sub["subj"], _PRED_CODE["prov:specializationOf"], 1,
+                  sub["obj"])
+        elif st in _INFLUENCE:
+            direct, qpred, qcls, opred = _INFLUENCE[st]
+            subj, obj, node = sub["subj"], sub["obj"], sub["id"]
+            if direct:
+                frame(g, subj, _PRED_CODE[direct], 1, obj)
+            frame(g, subj, _PRED_CODE[qpred], 1, node)
+            frame(g, node, TYPE, 2, prov.expand(qcls, ""))
+            frame(g, node, _PRED_CODE[opred], 1, obj)
+            sm = sub["secondary"].notna()
+            if sm.any():
+                frame(g[sm], node[sm], _PRED_CODE["prov:hadActivity"], 1,
+                      sub["secondary"][sm])
+            tm = sub["t"].notna()
+            if tm.any():
+                frame(g[tm], node[tm], _PRED_CODE["prov:atTime"], 0,
+                      iso_series(sub["t"][tm]), "xsd:dateTime")
+            emit_attr_rows(sub, node)
+        else:  # pragma: no cover
+            raise ValueError(f"unknown stmt_type {st!r}")
+
+    tri = pd.concat(out, ignore_index=True)
+    tri = tri.drop_duplicates(_COMPACT_KEY)
+    return pa.Table.from_pandas(tri, schema=COMPACT_SCHEMA,
+                                preserve_index=False)
+
+
+def statements_to_triples_compact(statements_ds, num_buckets: int = 64,
+                                  sort: bool = False):
+    """statements → compact exchange → dedup → expanded sorted partitions.
+    Same final rows as statements_to_triples with ~60% fewer shuffle bytes."""
+    compact = statements_ds.map_batches(flatten_batch_compact,
+                                        batch_format="pyarrow")
+    keyed = compact.map_batches(
+        lambda b: add_compact_bucket(b, num_buckets), batch_format="pyarrow")
+    ds = keyed.groupby("bucket").map_groups(
+        _dedup_expand_sort_group, batch_format="pyarrow")
+    return sorted_triples(ds) if sort else ds
