@@ -112,3 +112,59 @@ def lsh_topk(emb_ds, query_ids: list[int], k: int = 5,
         return pd.concat(merged, ignore_index=True)
 
     return bucketed.groupby("bucket").map_groups(in_bucket, batch_format="pandas")
+
+
+def ivf_topk(emb_ds, query_ids: list[int], k: int = 5, n_centroids: int = 16,
+             n_probe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding"):
+    """IVF-style ANN: coarse quantizer (seeded deterministic k-means on a
+    sample, trained driver-side, broadcast) → every vector assigned to its
+    nearest centroid inside map_batches → each query searches only its
+    ``n_probe`` nearest inverted lists. Same output shape as
+    brute_force_topk; recall < 1 by design (scale path: the per-list search
+    is a bucketed groupby, the corpus never concentrates on the driver)."""
+    sample = emb_ds.limit(max(256, n_centroids * 8)).to_pandas()
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(13)
+    cent = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+    for _ in range(3):  # Lloyd iterations on the sample
+        assign = (m @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            sel = m[assign == c]
+            if len(sel):
+                v = sel.mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+
+    qset = set(query_ids)
+    qdf = emb_ds.map_batches(
+        lambda df: df[df[id_col].isin(qset)], batch_format="pandas").to_pandas()
+    q_ids = qdf[id_col].to_numpy()
+    qm = np.stack([np.asarray(v, dtype=np.float64) for v in qdf[vec_col]])
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    probes = {int(qid): set(np.argsort(-(qv @ cent.T))[:n_probe].tolist())
+              for qid, qv in zip(q_ids, qm)}
+
+    def assign_list(df: pd.DataFrame) -> pd.DataFrame:
+        mm = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
+        mm = mm / np.maximum(np.linalg.norm(mm, axis=1, keepdims=True), 1e-12)
+        out = df[[id_col, vec_col]].copy()
+        out["ivf_list"] = (mm @ cent.T).argmax(axis=1).astype(np.int64)
+        return out
+
+    listed = emb_ds.map_batches(assign_list, batch_format="pandas")
+
+    def search_list(df: pd.DataFrame) -> pd.DataFrame:
+        lid = int(df["ivf_list"].iloc[0])
+        targets = [qid for qid, ps in probes.items() if lid in ps]
+        if not targets:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        sel = np.isin(q_ids, targets)
+        return _batch_topk(df, q_ids[sel], qm[sel], k, id_col, vec_col)
+
+    partials = listed.groupby("ivf_list").map_groups(search_list,
+                                                     batch_format="pandas")
+    return partials.groupby("query_id").map_groups(
+        lambda df: _merge_topk(df, k), batch_format="pandas")

@@ -26,6 +26,7 @@ import os
 import shutil
 import uuid
 
+import pyarrow as pa
 import pyarrow.dataset as pads
 
 from . import store as store_mod
@@ -139,5 +140,53 @@ def run_flagship(sf_dir: str, workdir: str, num_buckets: int = 32,
             (store_mod.read_manifest(store_root, g) or {}).get("rows", 0)
             for g in sorted(done))
 
-    return {"triples": n, "resumed": resumed, "store": store_root,
-            "fingerprint": fp}
+    metrics = _run_metrics(sf_dir, repeat, revisions, store_root, n)
+    result = {"triples": n, "resumed": resumed, "store": store_root,
+              "fingerprint": fp, "metrics": metrics}
+    with open(os.path.join(workdir, "_METRICS.json"), "w") as f:
+        json.dump(result, f, sort_keys=True, default=str)
+    return result
+
+
+def _run_metrics(sf_dir: str, repeat: int, revisions, store_root: str,
+                 n_triples: int) -> dict:
+    """Per-run pipeline counters (north rule: lineage + METRICS).
+
+    quarantine accounting (M15/M16 policy):
+      * pages_quarantined_or_dup = rendered pages that produced no events
+        (empty/boilerplate html) or were exact (url, warc_ts) duplicates;
+      * modified_without_prior  = 'modified' events with no prior version in
+        the corpus (reference would NPE, quirk 4) — each healthy modified
+        event yields exactly one prov:used triple, so the difference counts
+        the quarantined ones.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    agg = revisions.map_batches(
+        lambda t: pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "n_modified": pa.array(
+                [pc.sum(pc.equal(t.column("change_status"), "modified")
+                        .cast(pa.int64())).as_py() or 0], pa.int64()),
+        }), batch_format="pyarrow").to_pandas().sum()
+    n_events = int(agg["n"])
+    n_modified = int(agg["n_modified"])
+    n_snapshots = len(set(revisions.select_columns(["snapshot_id"])
+                          .to_pandas()["snapshot_id"]))
+    used_pred = "http://www.w3.org/ns/prov#used"
+    n_used = pads.dataset(store_root).count_rows(
+        filter=pads.field("pred") == used_pred)
+    return {
+        "input_documents": n_docs,
+        "corpus_repeat": repeat,
+        "events": n_events,
+        "snapshots": n_snapshots,
+        "modified_events": n_modified,
+        "used_triples": n_used,
+        "modified_without_prior_quarantined": n_modified - n_used,
+        "triples": n_triples,
+    }

@@ -439,6 +439,39 @@ def q_source_counts_salted(sf_dir: str):
     return out.rename(columns={"source": "source", "n": "n_docs"})
 
 
+def q_topk_per_group(sf_dir: str):
+    """Top-k per key (grouped ranking): 2 highest-value orders per market
+    segment. Broadcast segment join + per-group head inside a groupby."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_of = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["c_mktsegment"] = df["o_custkey"].map(seg_of)
+        # local pre-top-k per batch: at most k rows per segment move on
+        return (df.sort_values(["o_totalprice", "o_orderkey"],
+                               ascending=[False, True], kind="mergesort")
+                .groupby("c_mktsegment", sort=False).head(2))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.sort_values(["o_totalprice", "o_orderkey"],
+                             ascending=[False, True], kind="mergesort")
+              .groupby("c_mktsegment", sort=False).head(2).copy())
+        df["rk"] = df.groupby("c_mktsegment", sort=False).cumcount() + 1
+        return df[["c_mktsegment", "rk", "o_orderkey"]]
+
+    parts = ds.map_batches(tag, batch_format="pandas").to_pandas()
+    return final(parts).sort_values(["c_mktsegment", "rk"]).reset_index(drop=True)
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF-bucketed approximate nearest neighbours (scale-path ANN)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return annsearch.ivf_topk(ds, query_ids=[0, 1, 2, 3, 4], k=5) \
+        .sort(["query_id", "rank"])
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -469,6 +502,8 @@ QUERIES = {
     "q_media_features": q_media_features,
     "kg_canonical_agents": kg_canonical_agents,
     "q_source_counts_salted": q_source_counts_salted,
+    "q_topk_per_group": q_topk_per_group,
+    "q_ann_ivf_topk": q_ann_ivf_topk,
 }
 
 
@@ -586,6 +621,15 @@ ORACLE_SQL = {
             FROM x)
         SELECT user_id, session_id, COUNT(*) AS n_events
         FROM y GROUP BY user_id, session_id ORDER BY user_id, session_id
+    """,
+    "q_topk_per_group": """
+        SELECT c_mktsegment, rk, o_orderkey FROM (
+            SELECT c.c_mktsegment, o.o_orderkey,
+                   ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                      ORDER BY o.o_totalprice DESC,
+                                               o.o_orderkey) AS rk
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+        WHERE rk <= 2 ORDER BY c_mktsegment, rk
     """,
     "q_ann_topk": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe
