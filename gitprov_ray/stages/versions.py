@@ -74,6 +74,11 @@ def version_lag_group(df: pd.DataFrame) -> pd.DataFrame:
     if len(m) == 0:
         return _EMPTY.copy()
 
+    return _emit_version_stmts_vec(m)
+
+
+def _emit_version_stmts_rows(m: pd.DataFrame) -> pd.DataFrame:
+    """Row-at-a-time reference emit (kept for the parity test)."""
     ts_py = [x.to_pydatetime() for x in m["ts"]]
     stmts: list[dict] = []
     for graph, f, sha, parent, t, a, c, d in zip(
@@ -86,6 +91,47 @@ def version_lag_group(df: pd.DataFrame) -> pd.DataFrame:
         stmts.append(prov.stmt_derivation(graph, f, sha, parent, a, c, d))
 
     out = pd.DataFrame.from_records(stmts)
+    out["t"] = pd.to_datetime(out["t"])
+    out["stmt_rank"] = out["stmt_rank"].astype("int32")
+    return out
+
+
+def _emit_version_stmts_vec(m: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized twin of _emit_version_stmts_rows (same distributive-escape
+    invariants as emit_stateless_vec; byte-exact attrs JSON template)."""
+    from .. import idgen
+    from ..schemas import STMT_RANK
+
+    base_of = {v: idgen.escape_ncname(idgen.base_entity_name(v))
+               for v in pd.unique(m["page_key"])}
+    base = m["page_key"].map(base_of)
+    sha, parent = m["snapshot_id"], m["parent"]
+    spec = base + "_commit-" + sha
+    parent_spec = base + "_commit-" + parent
+    act = "commit-" + sha
+
+    used = pd.DataFrame({
+        "stmt_type": "used",
+        "id": ("usage-" + base + "-" + sha + "-" + parent).to_numpy(),
+        "subj": act.to_numpy(), "obj": parent_spec.to_numpy(),
+        "secondary": None, "t": m["ts"].to_numpy(), "attrs": "{}",
+        "graph": m["graph"].to_numpy(), "stmt_rank": STMT_RANK["used"]})
+
+    attrs = ('{"gitprov:additions": [' + m["additions"].astype(str)
+             + ', "xsd:int"], "gitprov:changes": [' + m["changes"].astype(str)
+             + ', "xsd:int"], "gitprov:deletions": [' + m["deletions"].astype(str)
+             + ', "xsd:int"], "prov:hadGeneration": ["generation-' + sha
+             + '", "@uri"], "prov:hadUsage": ["usage-' + sha + "-" + parent
+             + '", "@uri"]}')
+    deriv = pd.DataFrame({
+        "stmt_type": "wasDerivedFrom",
+        "id": ("derivation-" + spec + "-" + parent).to_numpy(),
+        "subj": spec.to_numpy(), "obj": parent_spec.to_numpy(),
+        "secondary": act.to_numpy(), "t": pd.NaT, "attrs": attrs.to_numpy(),
+        "graph": m["graph"].to_numpy(),
+        "stmt_rank": STMT_RANK["wasDerivedFrom"]})
+
+    out = pd.concat([used, deriv], ignore_index=True)
     out["t"] = pd.to_datetime(out["t"])
     out["stmt_rank"] = out["stmt_rank"].astype("int32")
     return out
