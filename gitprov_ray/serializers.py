@@ -29,10 +29,21 @@ from . import idgen
 # ---------------------------------------------------------------------------
 
 _NT_ESC = {"\\": "\\\\", '"': '\\"', "\n": "\\n", "\r": "\\r", "\t": "\\t"}
+# line-breaking controls beyond \n\r (str.splitlines splits on these too)
+_NT_CTRL = {0x0B, 0x0C, 0x1C, 0x1D, 0x1E, 0x85, 0x2028, 0x2029}
+
+
+def _esc_char(c: str) -> str:
+    if c in _NT_ESC:
+        return _NT_ESC[c]
+    o = ord(c)
+    if o < 0x20 or o in _NT_CTRL:
+        return "\\u%04x" % o
+    return c
 
 
 def _lit(value: str) -> str:
-    return '"' + "".join(_NT_ESC.get(c, c) for c in value) + '"'
+    return '"' + "".join(_esc_char(c) for c in value) + '"'
 
 
 def _dtype_uri(dtype: str) -> str:
@@ -111,7 +122,16 @@ def parse_ntriples(text: str) -> list[dict]:
     rx = re.compile(
         r'^<([^>]*)>\s+<([^>]*)>\s+(?:<([^>]*)>|"((?:[^"\\]|\\.)*)"'
         r"(?:\^\^<([^>]*)>)?)\s*\.$")
-    unesc = {"\\\\": "\\", '\\"': '"', "\\n": "\n", "\\r": "\r", "\\t": "\t"}
+    _unesc_rx = re.compile(r'\\(?:u([0-9a-fA-F]{4})|(.))')
+
+    def _unescape(s: str) -> str:
+        def f(m):
+            if m.group(1):
+                return chr(int(m.group(1), 16))
+            c = m.group(2)
+            return {"n": "\n", "r": "\r", "t": "\t"}.get(c, c)
+        return _unesc_rx.sub(f, s)
+
     out = []
     for line in text.splitlines():
         line = line.strip()
@@ -129,9 +149,7 @@ def parse_ntriples(text: str) -> list[dict]:
             out.append({"subj": subj, "pred": pred, "obj": obj_uri,
                         "obj_is_literal": False, "obj_dtype": "", "graph": graph})
         else:
-            lit = obj_lit
-            for k, v in unesc.items():
-                lit = lit.replace(k, v)
+            lit = _unescape(obj_lit)
             dt = ""
             if dtype:
                 from .prov import PREFIXES

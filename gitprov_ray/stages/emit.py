@@ -176,30 +176,21 @@ def emit_stateless_vec(batch: pa.Table, agents: dict) -> pa.Table:
 
     frames = []
 
-    def cat(stype, id_s, subj_s, obj_s, secondary=None, t=None, attrs="{}"):
-        n = len(id_s)
-        frames.append(pd.DataFrame({
-            "stmt_type": stype, "id": id_s.to_numpy() if hasattr(id_s, "to_numpy") else id_s,
-            "subj": subj_s.to_numpy() if hasattr(subj_s, "to_numpy") else subj_s,
-            "obj": obj_s.to_numpy() if hasattr(obj_s, "to_numpy") else obj_s,
-            "secondary": secondary if secondary is not None else None,
-            "t": t if t is not None else pd.NaT,
-            "attrs": attrs.to_numpy() if hasattr(attrs, "to_numpy") else attrs,
-            "graph": df["graph"].to_numpy() if n == len(df) else None,
-            "stmt_rank": STMT_RANK[stype],
-        }))
-
     # --- per-event statements -------------------------------------------
-    cat("entity", spec, spec, pd.Series([None] * len(df)), attrs=ent_attrs)
-    cat("base_entity", base, base, pd.Series([None] * len(df)), attrs=ent_attrs)
-    frames[-1]["graph"] = df["graph"].to_numpy()
-    frames[-2]["graph"] = df["graph"].to_numpy()
-    spec_frame = pd.DataFrame({
-        "stmt_type": "specializationOf", "id": None,
-        "subj": spec.to_numpy(), "obj": base.to_numpy(), "secondary": None,
-        "t": pd.NaT, "attrs": "{}", "graph": df["graph"].to_numpy(),
-        "stmt_rank": STMT_RANK["specializationOf"]})
-    frames.append(spec_frame)
+    for stype, id_s, subj_s, obj_s in (
+        ("entity", spec, spec, None),
+        ("base_entity", base, base, None),
+        ("specializationOf", None, spec, base),
+    ):
+        frames.append(pd.DataFrame({
+            "stmt_type": stype,
+            "id": id_s.to_numpy() if id_s is not None else None,
+            "subj": subj_s.to_numpy(),
+            "obj": obj_s.to_numpy() if obj_s is not None else None,
+            "secondary": None, "t": pd.NaT,
+            "attrs": ent_attrs.to_numpy() if stype != "specializationOf" else "{}",
+            "graph": df["graph"].to_numpy(),
+            "stmt_rank": STMT_RANK[stype]}))
 
     gen_mask = df["status"].isin(["added", "modified"]).to_numpy()
     inv_mask = (df["status"] == "removed").to_numpy()

@@ -1,0 +1,72 @@
+"""Property-based tests (SURVEY.md §5.2-4) via hypothesis."""
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from gitprov_ray import extract, idgen
+
+# XML NCName (approximation: letters/digits/_/-/. , not starting with
+# digit/-/.)
+_NCNAME = re.compile(r"^[A-Za-z_À-￿][\w\-.À-￿]*$")
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=300, deadline=None)
+def test_escape_ncname_always_valid_and_deterministic(s):
+    e = idgen.escape_ncname(s)
+    assert e == idgen.escape_ncname(s)
+    if e:
+        assert _NCNAME.match(e), e
+
+
+@given(st.text(alphabet=st.characters(codec="utf-8"), max_size=60),
+       st.text(alphabet="abcdef0123456789", min_size=4, max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_id_grammars_total(filename, sha):
+    # every id mint is total and deterministic for arbitrary filenames
+    for fn in (idgen.base_entity_name, ):
+        fn(filename)
+    assert idgen.generation_id(filename, sha) == idgen.generation_id(filename, sha)
+    assert idgen.usage_id(filename, sha, sha).startswith("usage-")
+    assert idgen.derivation_id(filename, sha, sha).startswith("derivation-")
+
+
+@given(st.binary(max_size=2000))
+@settings(max_examples=200, deadline=None)
+def test_extract_never_crashes_and_is_deterministic(data):
+    a = extract.parse_page(data)
+    b = extract.parse_page(data)
+    assert a == b
+    assert isinstance(a["text"], str)
+
+
+@given(st.text(max_size=500))
+@settings(max_examples=100, deadline=None)
+def test_extract_text_idempotent_on_own_output(s):
+    # pruned text contains no markup; re-extracting the escaped text of a
+    # rendered paragraph returns the same text
+    import html as _html
+
+    page = f"<body><p>{_html.escape(s)}</p></body>".encode()
+    t1 = extract.extract_text(page)
+    page2 = f"<body><p>{_html.escape(t1)}</p></body>".encode()
+    assert extract.extract_text(page2) == t1
+
+
+@given(st.lists(st.text(min_size=0, max_size=30), min_size=0, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_ntriples_roundtrip_arbitrary_literals(vals):
+    import pandas as pd
+
+    from gitprov_ray import serializers
+
+    rows = [{"subj": f"https://gitprov.example/graph/g#s{i}",
+             "pred": "http://www.w3.org/2000/01/rdf-schema#label",
+             "obj": v, "obj_is_literal": True, "obj_dtype": "xsd:string",
+             "graph": "g"} for i, v in enumerate(vals)]
+    df = pd.DataFrame(rows, columns=["subj", "pred", "obj", "obj_is_literal",
+                                     "obj_dtype", "graph"])
+    text = serializers.to_ntriples(df)
+    back = serializers.parse_ntriples(text)
+    assert sorted(r["obj"] for r in back) == sorted(vals)
