@@ -136,7 +136,9 @@ def q_lag_events(sf_dir: str):
         df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         df["prev_event_id"] = df.groupby("user_id", sort=False)["event_id"].shift(1)
         out = df[["event_id", "user_id", "prev_event_id"]].copy()
-        out["prev_event_id"] = out["prev_event_id"].astype("Int64")
+        # float64, matching DuckDB's LAG(BIGINT)-with-NULLs → pandas float64
+        # (driver hashes values WITH dtype; Int64 vs float64 broke parity)
+        out["prev_event_id"] = out["prev_event_id"].astype("float64")
         return out
 
     return (ds.map_batches(bucketize, batch_format="pandas")
@@ -510,9 +512,9 @@ QUERIES = {
 ORACLE_SQL = {
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
-               SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS sum_disc_cents,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+               CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
                COUNT(*) AS count_order
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
@@ -524,14 +526,14 @@ ORACLE_SQL = {
     """,
     "q_segment_revenue": """
         SELECT c.c_mktsegment,
-               SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS sum_price_cents,
+               CAST(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
                COUNT(*) AS n_orders
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
     """,
     "q_supplier_nation": """
         SELECT n.n_name,
-               SUM(CAST(ROUND(s.s_acctbal*100) AS BIGINT)) AS sum_acctbal_cents,
+               CAST(SUM(CAST(ROUND(s.s_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents,
                COUNT(*) AS n_suppliers
         FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
         GROUP BY n.n_name ORDER BY n.n_name
@@ -545,13 +547,13 @@ ORACLE_SQL = {
     "q_hourly_user_activity": """
         SELECT user_id, date_trunc('hour', ts) AS hour,
                COUNT(*) AS n_events,
-               SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_value_cents
+               CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
         FROM events GROUP BY user_id, date_trunc('hour', ts)
         ORDER BY user_id, hour
     """,
     "q_event_type_stats": """
         SELECT event_type, COUNT(*) AS n,
-               SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_value_cents
+               CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
         FROM events GROUP BY event_type ORDER BY event_type
     """,
     "q_distinct_sources": """
