@@ -33,19 +33,21 @@ from . import store as store_mod
 from .pipelines import flagship as fl
 
 
+_CODE_VERSION = "r2"  # bump when stage semantics change → old checkpoints invalid
+
+
 def _fingerprint(sf_dir: str, repeat: int) -> str:
-    """Cheap input fingerprint: documents.parquet size+mtime is not stable
-    enough for provenance — hash the file bytes' size + first/last 64KiB."""
+    """Full-content input fingerprint. The input is read in full anyway, so
+    a streaming sha1 over the whole file is cheap relative to the run — and
+    unlike a size+head/tail sample it cannot validate a stale checkpoint
+    after a same-size middle-of-file edit (the 'resumed run identical to
+    cold run' determinism contract)."""
     p = f"{sf_dir}/documents.parquet"
     h = hashlib.sha1()
-    size = os.path.getsize(p)
-    h.update(str(size).encode())
     with open(p, "rb") as f:
-        h.update(f.read(65536))
-        if size > 65536:
-            f.seek(-65536, 2)
-            h.update(f.read(65536))
-    h.update(f"repeat={repeat}".encode())
+        while chunk := f.read(1 << 22):
+            h.update(chunk)
+    h.update(f"repeat={repeat}|v={_CODE_VERSION}".encode())
     return h.hexdigest()
 
 

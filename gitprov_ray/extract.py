@@ -89,7 +89,7 @@ class _PageParser(HTMLParser):
             self._newline()
 
     def handle_endtag(self, tag):
-        if tag in _DROP_TAGS and tag != "br":
+        if tag in _DROP_TAGS:
             self.depth_dropped = max(0, self.depth_dropped - 1)
             return
         if tag == "title":
@@ -100,6 +100,10 @@ class _PageParser(HTMLParser):
 
     def handle_startendtag(self, tag, attrs):
         self.handle_starttag(tag, attrs)
+        if tag in _DROP_TAGS:
+            # a self-closing drop tag (<script src="x"/>) has no content:
+            # undo the start-tag increment or all following text is dropped
+            self.depth_dropped = max(0, self.depth_dropped - 1)
 
     # -- text --------------------------------------------------------------
     def handle_data(self, data):

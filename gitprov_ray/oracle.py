@@ -61,6 +61,10 @@ def build_statements(revision_rows: list[dict], contributor_rows: list[dict]):
         for r in revs:
             commits[r["snapshot_id"]].append(r)
         ordered = sorted(commits.values(), key=lambda rows: (rows[0]["ts"], rows[0]["snapshot_id"]))
+        # within a commit the reference walks files in page order; pin that
+        # with event_seq (stable → duplicate rows keep input order)
+        ordered = [sorted(rows, key=lambda r: r.get("event_seq") or 0)
+                   for rows in ordered]
 
         entity_versions: dict[str, list[str]] = {}
         base_seen: set[str] = set()

@@ -28,6 +28,10 @@ REVISIONS = pa.schema(
         ("author_name", pa.string()),     # display name used by the fallback
         ("label", pa.string()),           # commit message analog
         ("change_status", pa.string()),   # added | removed | modified
+        ("event_seq", pa.int32()),        # index of the resource within its
+                                          # page: the oracle's first-event-wins
+                                          # tie-break for duplicate
+                                          # (page_key, snapshot) rows
         ("additions", pa.int32()),
         ("changes", pa.int32()),
         ("deletions", pa.int32()),

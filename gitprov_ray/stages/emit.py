@@ -1,15 +1,21 @@
 """Stateless statement emitters (SURVEY.md §2.9 rows without cross-row state).
 
-``emit_stateless_batch`` turns REVISIONS rows into statement rows for:
-activity, wasAssociatedWith, entity (specialized), base-entity candidate,
-specializationOf, wasGeneratedBy, wasInvalidatedBy, wasInformedBy
-(parents-list explode, J4). The version-dependent statements (used /
-wasDerivedFrom) come from the `versions.py` shuffle stage.
+``emit_stateless_batch`` turns REVISIONS rows into statement rows for the
+STATUS-INDEPENDENT statements only: activity, wasAssociatedWith, entity
+(specialized), base-entity candidate, specializationOf, wasInformedBy
+(parents-list explode, J4). The status-dependent statements (wasGeneratedBy
+/ wasInvalidatedBy / used / wasDerivedFrom) come from the `versions.py`
+shuffle stage, which owns the reference's within-commit first-event-wins
+dedup (a duplicate (page_key, snapshot) row with a conflicting status must
+emit only the FIRST event's statements — impossible to decide inside a
+stateless batch when a page may straddle block boundaries).
 
 Commit-level statements (activity / association / informedBy) repeat across
-the file rows of one commit; they are deduped per batch here and globally by
-the final (graph,subj,pred,obj) triple dedup — identical rows flatten to
-identical triples, so no extra shuffle is needed for exactness.
+the file rows of one commit; they are deduped per batch here — keyed on
+(graph, snapshot_id), since the same snapshot id may legally appear in two
+graphs (forks sharing commit shas) — and globally by the final
+(graph,subj,pred,obj) triple dedup: identical rows flatten to identical
+triples, so no extra shuffle is needed for exactness.
 
 Base-entity dedup (reference ST3, first-touch by LABEL,
 ProvenanceService.java:378-394): the base-entity id and label are pure
@@ -81,21 +87,20 @@ class EmitStateless:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         stmts: list[dict] = []
-        seen_commit: set[str] = set()
+        seen_commit: set[tuple] = set()
         cols = {
             name: batch.column(name).to_pylist()
             for name in (
                 "graph", "page_key", "snapshot_id", "ts", "author",
-                "author_name", "label", "change_status", "parents",
+                "author_name", "label", "parents",
             )
         }
-        for graph, f, sha, ts, author, author_name, label, status, parents in zip(
+        for graph, f, sha, ts, author, author_name, label, parents in zip(
             cols["graph"], cols["page_key"], cols["snapshot_id"], cols["ts"],
-            cols["author"], cols["author_name"], cols["label"],
-            cols["change_status"], cols["parents"],
+            cols["author"], cols["author_name"], cols["label"], cols["parents"],
         ):
-            if sha not in seen_commit:
-                seen_commit.add(sha)
+            if (graph, sha) not in seen_commit:
+                seen_commit.add((graph, sha))
                 resolved = resolve_author(self.agents.get(graph, []), author, author_name)
                 stmts.append(prov.stmt_activity(graph, sha, ts, label))
                 stmts.append(prov.stmt_association(graph, sha, resolved))
@@ -104,10 +109,6 @@ class EmitStateless:
             stmts.append(prov.stmt_entity(graph, f, sha))
             stmts.append(prov.stmt_base_entity(graph, f))
             stmts.append(prov.stmt_specialization(graph, f, sha))
-            if status == "added" or status == "modified":
-                stmts.append(prov.stmt_generation(graph, f, sha, ts))
-            elif status == "removed":
-                stmts.append(prov.stmt_invalidation(graph, f, sha, ts))
         return _stmts_to_table(stmts)
 
 
@@ -158,7 +159,6 @@ def emit_stateless_vec(batch: pa.Table, agents: dict) -> pa.Table:
         "author": batch.column("author").to_pandas(),
         "author_name": batch.column("author_name").to_pandas(),
         "label": batch.column("label").to_pandas(),
-        "status": batch.column("change_status").to_pandas(),
     })
     parents_col = batch.column("parents").to_pylist()
 
@@ -192,31 +192,13 @@ def emit_stateless_vec(batch: pa.Table, agents: dict) -> pa.Table:
             "graph": df["graph"].to_numpy(),
             "stmt_rank": STMT_RANK[stype]}))
 
-    gen_mask = df["status"].isin(["added", "modified"]).to_numpy()
-    inv_mask = (df["status"] == "removed").to_numpy()
-    g = df[gen_mask]
-    frames.append(pd.DataFrame({
-        "stmt_type": "wasGeneratedBy",
-        "id": ("generation-" + base[gen_mask] + "-" + g["sha"]).to_numpy(),
-        "subj": spec[gen_mask].to_numpy(),
-        "obj": ("commit-" + g["sha"]).to_numpy(), "secondary": None,
-        "t": g["ts"].to_numpy(), "attrs": "{}", "graph": g["graph"].to_numpy(),
-        "stmt_rank": STMT_RANK["wasGeneratedBy"]}))
-    iv = df[inv_mask]
-    frames.append(pd.DataFrame({
-        "stmt_type": "wasInvalidatedBy",
-        "id": ("invalidation-" + base[inv_mask] + "-" + iv["sha"]).to_numpy(),
-        "subj": spec[inv_mask].to_numpy(),
-        "obj": ("commit-" + iv["sha"]).to_numpy(), "secondary": None,
-        "t": iv["ts"].to_numpy(), "attrs": "{}", "graph": iv["graph"].to_numpy(),
-        "stmt_rank": STMT_RANK["wasInvalidatedBy"]}))
-
     # --- per-commit statements ------------------------------------------
-    first_idx = ~df["sha"].duplicated()
+    first_idx = ~df[["graph", "sha"]].duplicated()
     c = df[first_idx]
     cparents = [parents_col[i] for i in np.flatnonzero(first_idx.to_numpy())]
     url = "https://" + c["graph"] + "/snapshot/" + c["sha"]
-    act_attrs = ('{"foaf:homepage": [' + url.map(lambda u: _json.dumps(u)) +
+    act_attrs = ('{"foaf:homepage": [' +
+                 url.map(lambda u: _json.dumps(u, ensure_ascii=False)) +
                  ', "xsd:anyURI"], "prov:label": [' +
                  c["label"].map(lambda l: _json.dumps(l, ensure_ascii=False)) +
                  ', "xsd:string"]}')

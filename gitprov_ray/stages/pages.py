@@ -58,7 +58,7 @@ def page_events_batch(batch: pa.Table) -> pa.Table:
             continue
         graph = graph_of_url(url)
         sha = snapshot_sha(url, ts)
-        for r in p["resources"]:
+        for seq, r in enumerate(p["resources"]):
             out["graph"].append(graph)
             out["page_key"].append(r["name"])
             out["snapshot_id"].append(sha)
@@ -67,6 +67,7 @@ def page_events_batch(batch: pa.Table) -> pa.Table:
             out["author_name"].append(p["author_name"])
             out["label"].append(p["label"])
             out["change_status"].append(r["status"])
+            out["event_seq"].append(seq)
             out["additions"].append(r["additions"])
             out["changes"].append(r["changes"])
             out["deletions"].append(r["deletions"])

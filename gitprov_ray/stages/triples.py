@@ -68,7 +68,7 @@ def add_triple_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
 def _dedup_sort_group(t: pa.Table) -> pa.Table:
     """One bucket → sorted + adjacent-deduped (all Arrow C++ kernels)."""
     if isinstance(t, pd.DataFrame):  # map_groups may hand pandas
-        t = pa.Table.from_pandas(t, preserve_index=False)
+        t = pa.Table.from_pandas(t, preserve_index=False).replace_schema_metadata(None)
     if "bucket" in t.column_names:
         t = t.drop_columns(["bucket"])
     t = t.sort_by([(c, "ascending") for c in _KEY_COLS])
@@ -224,7 +224,7 @@ def flatten_batch_vec(batch: pa.Table) -> pa.Table:
     tri = pd.concat(frames, ignore_index=True)
     tri = tri.drop_duplicates(["graph", "subj", "pred", "obj"])
     return pa.Table.from_pandas(tri, schema=schemas.TRIPLES,
-                                preserve_index=False)
+                                preserve_index=False).replace_schema_metadata(None)
 
 
 # ---------------------------------------------------------------------------
@@ -353,7 +353,7 @@ def expand_compact(t: pa.Table) -> pa.Table:
         "obj_is_literal": kind.eq(0),
         "obj_dtype": df["obj_dtype"], "graph": df["graph"]})
     return pa.Table.from_pandas(out, schema=schemas.TRIPLES,
-                                preserve_index=False)
+                                preserve_index=False).replace_schema_metadata(None)
 
 
 def _dedup_expand_sort_group(t: pa.Table) -> pa.Table:
@@ -361,7 +361,7 @@ def _dedup_expand_sort_group(t: pa.Table) -> pa.Table:
     in-partition sort on the full triple key (same partition content and
     order as the full-width exchange)."""
     if isinstance(t, pd.DataFrame):
-        t = pa.Table.from_pandas(t, preserve_index=False)
+        t = pa.Table.from_pandas(t, preserve_index=False).replace_schema_metadata(None)
     if "bucket" in t.column_names:
         t = t.drop_columns(["bucket"])
     t = t.sort_by([(c, "ascending") for c in _COMPACT_KEY])
@@ -483,7 +483,7 @@ def flatten_batch_compact(batch: pa.Table) -> pa.Table:
     tri = pd.concat(out, ignore_index=True)
     tri = tri.drop_duplicates(_COMPACT_KEY)
     return pa.Table.from_pandas(tri, schema=COMPACT_SCHEMA,
-                                preserve_index=False)
+                                preserve_index=False).replace_schema_metadata(None)
 
 
 def statements_to_triples_compact(statements_ds, num_buckets: int = 64,

@@ -229,12 +229,13 @@ def gen_corpus(n_urls: int = 12, seed: int = 42, n_domains: int | None = None):
             if k == 3 and i == 0:
                 # exact duplicate (url, warc_ts) snapshot → pre-lag dedup test
                 page_rows.append(dict(page_rows[-1]))
-            for r in resources:
+            for seq, r in enumerate(resources):
                 rev_rows.append(
                     {
                         "graph": dom, "page_key": r["name"], "snapshot_id": sha,
                         "ts": ts, "author": author, "author_name": author_name,
                         "label": label, "change_status": r["status"],
+                        "event_seq": seq,
                         "additions": r["additions"], "changes": r["changes"],
                         "deletions": r["deletions"], "parents": parents, "url": url,
                     }
@@ -332,13 +333,14 @@ def pages_rows_from_doc_row(doc_id: int, text: str, lang: str, source: str) -> l
 def revisions_rows_from_doc_row(doc_id: int, text: str, lang: str, source: str) -> list[dict]:
     rows = []
     for s in script_from_doc_row(doc_id, text, lang, source):
-        for r in s["resources"]:
+        for seq, r in enumerate(s["resources"]):
             rows.append(
                 {
                     "graph": s["graph"], "page_key": r["name"],
                     "snapshot_id": s["sha"], "ts": s["ts"],
                     "author": s["author"], "author_name": s["author_name"],
                     "label": s["label"], "change_status": r["status"],
+                    "event_seq": seq,
                     "additions": r["additions"], "changes": r["changes"],
                     "deletions": r["deletions"], "parents": s["parents"],
                     "url": s["url"],

@@ -33,7 +33,12 @@ def tune_context() -> None:
 def pandas_to_arrow(df: pd.DataFrame, schema: pa.Schema) -> pa.Table:
     """Normalize a (possibly empty/column-less) pandas block to an Arrow
     table with the canonical schema — keeps every operator's output schema
-    stable regardless of empty shuffle partitions."""
+    stable regardless of empty shuffle partitions.
+
+    The pandas metadata dict ``from_pandas`` attaches is stripped: it is
+    unhashable, which defeats Ray's reduce-side schema dedup and floods the
+    logs with "Failed to hash the schemas" warnings."""
     if df is None or len(df) == 0 or df.shape[1] == 0:
         return pa.Table.from_pylist([], schema=schema)
-    return pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+    return pa.Table.from_pandas(df, schema=schema,
+                                preserve_index=False).replace_schema_metadata(None)

@@ -14,9 +14,7 @@ def _stmts():
     stateless = emit.emit_stateless_vec(revisions.combine_chunks(), agents)
     agent_stmts = emit.emit_agents_table(contributors.to_pylist())
     ver = versions.version_lag_group(
-        revisions.select(["graph", "page_key", "snapshot_id", "ts",
-                          "change_status", "additions", "changes",
-                          "deletions"]).to_pandas())
+        revisions.select(versions.LAG_COLUMNS).to_pandas())
     from gitprov_ray.util import pandas_to_arrow
     from gitprov_ray import schemas
 

@@ -52,18 +52,12 @@ def test_version_stmts_vec_parity():
     from gitprov_ray.stages import versions
 
     _, revisions, _ = synth.gen_corpus(14, seed=3)
-    df = revisions.select(["graph", "page_key", "snapshot_id", "ts",
-                           "change_status", "additions", "changes",
-                           "deletions"]).to_pandas()
-    df = df.sort_values(["graph", "page_key", "ts", "snapshot_id"],
-                        kind="mergesort")
-    df = df.drop_duplicates(["graph", "page_key", "snapshot_id"])
-    df["parent"] = df.groupby(["graph", "page_key"], sort=False)[
-        "snapshot_id"].shift(1)
-    m = df[(df["change_status"] == "modified") & df["parent"].notna()]
-    assert len(m) > 0
-    a = versions._emit_version_stmts_rows(m).astype(str)
-    b = versions._emit_version_stmts_vec(m).astype(str)
+    d = versions.dedup_lag(revisions.select(versions.LAG_COLUMNS).to_pandas())
+    # the deduped bucket must exercise every status-dependent emitter
+    assert ((d["change_status"] == "modified") & d["parent"].notna()).any()
+    assert (d["change_status"] == "removed").any()
+    a = versions._emit_status_stmts_rows(d).astype(str)
+    b = versions._emit_status_stmts_vec(d).astype(str)
     cols = sorted(a.columns)
     na = sorted(map(tuple, a[cols].itertuples(index=False)))
     nb = sorted(map(tuple, b[cols].itertuples(index=False)))
