@@ -58,6 +58,62 @@ def salted_value_counts(ds, col: str, num_salts: int = 16,
     return merged.sort_values(col).reset_index(drop=True)
 
 
+def _default_partitions() -> int:
+    """Join/aggregate partition count sized to the cluster: Ray's hash join
+    spins up `num_partitions` aggregating actors — more partitions than
+    cores just queues actors (and can starve a small test session)."""
+    import ray
+
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        ncpu = 8
+    return max(2, ncpu)
+
+
+def distinct_keys(ds, key: str, num_partitions: int | None = None):
+    """Distributed distinct on one key column: per-batch local dedup
+    (combiner) then a hash-aggregate shuffle. Never materializes the key
+    set on the driver."""
+    from ray.data.aggregate import Count
+
+    local = ds.select_columns([key]).map_batches(
+        lambda df: df.drop_duplicates([key]), batch_format="pandas")
+    agg = local.groupby(key).aggregate(Count(on=key, alias_name="__cnt"))
+    return agg.map_batches(lambda df: df[[key]], batch_format="pandas")
+
+
+def semi_join(left_ds, right_ds, left_key: str, right_key: str,
+              num_partitions: int | None = None, anti: bool = False):
+    """Distributed (bucketed hash) semi/anti join — the scale path when the
+    right-side key set is too large to broadcast (a 40%-selective filter at
+    100 TB is a multi-GB value_set; see q_anti_join_customers for the
+    broadcast fast path when the set IS small).
+
+    right is reduced to distinct keys first (so the inner join cannot
+    duplicate left rows), tagged with a marker column, then hash-joined.
+    Semi = inner join; anti = left_outer join + null-marker filter.
+    """
+    if num_partitions is None:
+        num_partitions = _default_partitions()
+    keys = distinct_keys(right_ds, right_key, num_partitions)
+    marked = keys.map_batches(
+        lambda df: df.assign(__match=np.int8(1)), batch_format="pandas")
+    if right_key != left_key:
+        marked = marked.map_batches(
+            lambda df, rk=right_key, lk=left_key: df.rename(columns={rk: lk}),
+            batch_format="pandas")
+    if anti:
+        joined = left_ds.join(marked, "left_outer", num_partitions,
+                              on=(left_key,))
+        return joined.map_batches(
+            lambda df: df[df["__match"].isna()].drop(columns=["__match"]),
+            batch_format="pandas")
+    joined = left_ds.join(marked, "inner", num_partitions, on=(left_key,))
+    return joined.map_batches(
+        lambda df: df.drop(columns=["__match"]), batch_format="pandas")
+
+
 def salted_sum(ds, key_col: str, val_col: str, num_salts: int = 16):
     """Exact per-key integer sum with salted two-phase aggregation."""
 

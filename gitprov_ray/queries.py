@@ -150,7 +150,9 @@ def q_lag_events(sf_dir: str):
 
 def q_hourly_user_activity(sf_dir: str):
     """Tumbling-window aggregate (streaming-shaped op over the events log):
-    events per (user, hour) with partial pre-agg."""
+    events per (user, hour) with partial pre-agg. The final combine is a
+    distributed hash aggregate — (user, hour) cardinality grows with the
+    corpus, so it must never land on the driver."""
     ds = _read(sf_dir, "events", ["ts", "user_id", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -161,9 +163,11 @@ def q_hourly_user_activity(sf_dir: str):
             n_events=("n", "sum"), sum_value_cents=("cents", "sum"))
         return a.reset_index()
 
-    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    return (partials.groupby(["user_id", "hour"], as_index=False).sum()
-            .sort_values(["user_id", "hour"]).reset_index(drop=True))
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby(["user_id", "hour"])
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("sum_value_cents", alias_name="sum_value_cents"))
+            .sort(["user_id", "hour"]))
 
 
 def q_event_type_stats(sf_dir: str):
@@ -254,15 +258,17 @@ def q_semi_join_orders(sf_dir: str):
     """Semi join via broadcast key set (orders having a big lineitem)."""
     import pyarrow.compute as pc
 
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
-    keys = pa.array(li.map_batches(
+    from .ops import semi_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
         lambda t: t.filter(pc.greater_equal(t["l_quantity"], 48.0))
                    .select(["l_orderkey"]),
-        batch_format="pyarrow").unique("l_orderkey"), type=pa.int64())
+        batch_format="pyarrow")
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    return ds.map_batches(
-        lambda t: t.filter(pc.is_in(t["o_orderkey"], value_set=keys)),
-        batch_format="pyarrow").sort("o_orderkey")
+    # the qualifying key set is ~40% of orders — NOT small, so this goes
+    # through the bucketed hash semi-join, not a broadcast value_set
+    # (q_anti_join_customers keeps the broadcast fast path for small sets)
+    return semi_join(ds, li, "o_orderkey", "l_orderkey").sort("o_orderkey")
 
 
 def q_token_stats(sf_dir: str):
@@ -395,12 +401,13 @@ def q_sessionize(sf_dir: str):
             n_events=("event_id", "size"))
         return g.reset_index()
 
-    parts = (ds.map_batches(bucketize, batch_format="pandas")
-             .groupby("bucket")
-             .map_groups(lambda df: sessions(df.drop(columns=["bucket"])),
-                         batch_format="pandas")
-             .to_pandas())
-    return parts.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    # per-(user, session) output cardinality grows with the corpus: stay
+    # distributed end-to-end (Ray sort, no driver to_pandas)
+    return (ds.map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: sessions(df.drop(columns=["bucket"])),
+                        batch_format="pandas")
+            .sort(["user_id", "session_id"]))
 
 
 def q_media_features(sf_dir: str):
@@ -463,8 +470,13 @@ def q_topk_per_group(sf_dir: str):
         df["rk"] = df.groupby("c_mktsegment", sort=False).cumcount() + 1
         return df[["c_mktsegment", "rk", "o_orderkey"]]
 
-    parts = ds.map_batches(tag, batch_format="pandas").to_pandas()
-    return final(parts).sort_values(["c_mktsegment", "rk"]).reset_index(drop=True)
+    # final per-segment top-k runs inside a distributed groupby (k × blocks
+    # candidate rows per segment shuffle to that segment's reducer — never
+    # to the driver)
+    return (ds.map_batches(tag, batch_format="pandas")
+            .groupby("c_mktsegment")
+            .map_groups(final, batch_format="pandas")
+            .sort(["c_mktsegment", "rk"]))
 
 
 def q_ann_ivf_topk(sf_dir: str):
