@@ -6,14 +6,19 @@ Scale design notes (per SURVEY.md §7.4):
   * exact dedup: content-hash in a stateless map_batches, PARTIAL per-batch
     combine, then a small groupby aggregate — the shuffle moves one row per
     distinct hash per batch, not one per input row;
-  * MinHash LSH: signatures are stateless & vectorized; candidate
-    generation is a groupby on (band_id, band_hash) — the classic
-    hot-bucket skew point, so buckets larger than `max_bucket` are
-    truncated-with-logging (no silent caps) and the pairing is in-bucket
-    pairwise over signatures only (shingle sets never move through the
-    shuffle);
-  * clusters: iterative min-label propagation via groupby — no driver-side
-    union-find on big data.
+  * MinHash LSH: signatures are stateless & vectorized (one token-hash pass
+    per batch + rolling-window combine + segment-min, no per-gram Python
+    hashing); candidate generation is a groupby on (band_id, band_hash) —
+    the classic hot-bucket skew point, so buckets larger than `max_bucket`
+    are truncated-with-logging (no silent caps) and the pairing is
+    in-bucket pairwise over signatures only (shingle sets never move
+    through the shuffle);
+  * clusters: iterative min-label propagation over the pair graph
+    (`min_label_components`) — a distributed join+aggregate per round, no
+    driver union-find, converges in <= graph-diameter rounds;
+  * n-gram verify: candidate pairs are hash-joined to the documents table
+    on each endpoint (two shuffle joins), so only candidate docs' texts
+    move and nothing corpus-sized ever lands on the driver.
 
 Seeded MinHash permutations are module-level constants (seed pinned) so
 signatures are reproducible across workers and runs.
@@ -22,6 +27,7 @@ signatures are reproducible across workers and runs.
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
@@ -33,23 +39,58 @@ _rng = np.random.RandomState(42)
 _A = _rng.randint(1, _MERSENNE, size=_K, dtype=np.int64).astype(np.uint64)
 _B = _rng.randint(0, _MERSENNE, size=_K, dtype=np.int64).astype(np.uint64)
 
+# rolling-window combine constants (odd multipliers, uint64 wraparound)
+_P1_INT = 0x9E3779B97F4A7C15
+_P1 = np.uint64(_P1_INT)
+_P2 = np.uint64((_P1_INT * _P1_INT) & 0xFFFFFFFFFFFFFFFF)
+
+
+def _shingle_hashes_batch(texts, n: int = 3) -> list[np.ndarray]:
+    """Word-n-gram shingle hash sets for a BATCH of texts.
+
+    One vectorized `pd.util.hash_array` call hashes every token in the
+    batch (stable fixed-key siphash, identical across workers); n-gram
+    hashes are a vectorized rolling combine of the token-hash windows
+    (h0*P² + h1*P + h2 mod 2⁶⁴) — no per-gram string construction or
+    Python-level hashing. Clamped to 61 bits (< the Mersenne prime) for
+    the universal-hash MinHash step."""
+    tok_lists = [(t or "").lower().split() for t in texts]
+    flat = [tok for toks in tok_lists for tok in toks]
+    if flat:
+        th = pd.util.hash_array(np.asarray(flat, dtype=object))
+    else:
+        th = np.empty(0, dtype=np.uint64)
+    out: list[np.ndarray] = []
+    pos = 0
+    for toks in tok_lists:
+        h = th[pos: pos + len(toks)]
+        pos += len(toks)
+        if len(toks) < n:
+            # mirror the single-gram " ".join(toks) fallback: one combined
+            # hash over all tokens (constant for the empty text); python-int
+            # arithmetic avoids numpy's uint64 scalar-overflow warnings
+            g = 0x6A09E667F3BCC908
+            for x in h:
+                g = (g * _P1_INT + int(x)) & 0xFFFFFFFFFFFFFFFF
+            grams = np.array([g], dtype=np.uint64)
+        else:
+            grams = h[: len(h) - n + 1] * _P2 + h[1: len(h) - n + 2] * _P1 \
+                + h[2: len(h) - n + 3]
+        out.append(np.unique(grams >> np.uint64(3)))
+    return out
+
 
 def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    toks = text.lower().split()
-    if len(toks) < n:
-        grams = [" ".join(toks)] if toks else [""]
-    else:
-        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-    return np.fromiter(
-        (int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big") >> 3
-         for g in set(grams)),
-        dtype=np.uint64,
-    )
+    """Single-document adapter over the batch kernel."""
+    return _shingle_hashes_batch([text], n)[0]
 
 
 def minhash_signature(text: str) -> np.ndarray:
     """k=64 MinHash signature of the word-3-gram shingle set."""
-    x = _shingle_hashes(text)
+    return _minhash_of(_shingle_hashes(text))
+
+
+def _minhash_of(x: np.ndarray) -> np.ndarray:
     if len(x) == 0:
         return np.zeros(_K, dtype=np.uint64)
     # h_i(x) = (a_i * x + b_i) mod p, vectorized over (K, n)
@@ -66,8 +107,22 @@ def band_keys(sig: np.ndarray) -> list[str]:
 
 
 def signature_batch(df: pd.DataFrame, id_col: str, text_col: str) -> pd.DataFrame:
-    """documents batch → (doc_id, sig: list<uint64 as int64>) rows."""
-    sigs = [minhash_signature(t or "") for t in df[text_col]]
+    """documents batch → (doc_id, sig: list<uint64 as int64>) rows.
+
+    Batch-vectorized: one token-hash pass for the whole batch, then ONE
+    (K × total_shingles) universal-hash matrix with per-document
+    segment-min (`np.minimum.reduceat`) — no per-document Python loop in
+    the hash path."""
+    shingles = _shingle_hashes_batch(list(df[text_col]))
+    lens = np.array([len(s) for s in shingles], dtype=np.int64)
+    sigs = np.zeros((len(shingles), _K), dtype=np.uint64)
+    nz = lens > 0
+    if nz.any():
+        allsh = np.concatenate([s for s in shingles if len(s)])
+        v = (_A[:, None] * allsh[None, :] + _B[:, None]) % np.uint64(_MERSENNE)
+        offsets = np.concatenate([[0], np.cumsum(lens[nz])[:-1]])
+        mins = np.minimum.reduceat(v, offsets, axis=1)  # (K, n_nonzero_docs)
+        sigs[nz] = mins.T
     return pd.DataFrame({
         id_col: df[id_col].to_numpy(),
         "sig": [s.astype(np.int64) for s in sigs],
@@ -89,16 +144,17 @@ def explode_bands(df: pd.DataFrame, id_col: str) -> pd.DataFrame:
 def bucket_pairs(df: pd.DataFrame, id_col: str, threshold: float,
                  max_bucket: int = 200) -> pd.DataFrame:
     """One LSH bucket → candidate pairs with estimated Jaccard (fraction of
-    equal signature components). Deterministic: ids sorted, a < b."""
+    equal signature components). Deterministic: ids sorted, a < b. Works
+    for integer or string ids (dtype preserved)."""
     df = df.sort_values(id_col).drop_duplicates(id_col)
     n = len(df)
+    empty = pd.DataFrame({"a": df[id_col].head(0),
+                          "b": df[id_col].head(0),
+                          "est_jaccard": pd.Series(dtype="float64")})
     if n < 2:
-        return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                             "b": pd.Series(dtype="int64"),
-                             "est_jaccard": pd.Series(dtype="float64")})
+        return empty
     if n > max_bucket:
         # no silent caps: surface truncation in logs
-        import logging
         logging.getLogger(__name__).warning(
             "LSH bucket truncated from %d to %d docs", n, max_bucket)
         df = df.head(max_bucket)
@@ -113,9 +169,11 @@ def bucket_pairs(df: pd.DataFrame, id_col: str, threshold: float,
             rows_a.append(ids[i])
             rows_b.append(ids[i + 1 + j])
             est.append(float(eq[j]))
-    return pd.DataFrame({"a": np.array(rows_a, dtype="int64"),
-                         "b": np.array(rows_b, dtype="int64"),
-                         "est_jaccard": est})
+    if not rows_a:
+        return empty
+    return pd.DataFrame({"a": pd.Series(rows_a).astype(df[id_col].dtype),
+                         "b": pd.Series(rows_b).astype(df[id_col].dtype),
+                         "est_jaccard": pd.Series(est, dtype="float64")})
 
 
 def minhash_candidate_pairs(docs_ds, id_col="doc_id", text_col="text",
@@ -128,8 +186,6 @@ def minhash_candidate_pairs(docs_ds, id_col="doc_id", text_col="text",
               group per band, which would mean one Python call per band)
             → groupby(hash(a,b) % B) dedup (drop_duplicates per bucket).
     """
-    import hashlib as _h
-
     sigs = docs_ds.map_batches(
         lambda df: signature_batch(df, id_col, text_col), batch_format="pandas")
     bands = sigs.map_batches(
@@ -137,9 +193,8 @@ def minhash_candidate_pairs(docs_ds, id_col="doc_id", text_col="text",
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["bucket"] = [
-            int.from_bytes(_h.sha1(k.encode()).digest()[:8], "big") % num_buckets
-            for k in df["band_key"]]
+        h = pd.util.hash_array(df["band_key"].to_numpy(dtype=object))
+        df["bucket"] = (h % num_buckets).astype(np.int64)
         return df
 
     def bucket_group(df: pd.DataFrame) -> pd.DataFrame:
@@ -157,7 +212,9 @@ def minhash_candidate_pairs(docs_ds, id_col="doc_id", text_col="text",
 
     def add_pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["pbucket"] = (df["a"].to_numpy() * 1_000_003 + df["b"].to_numpy()) % num_buckets
+        h = (pd.util.hash_array(df["a"].to_numpy(dtype=object))
+             ^ pd.util.hash_array(df["b"].to_numpy(dtype=object)))
+        df["pbucket"] = (h % num_buckets).astype(np.int64)
         return df
 
     return (pairs.map_batches(add_pair_bucket, batch_format="pandas")
@@ -167,38 +224,116 @@ def minhash_candidate_pairs(docs_ds, id_col="doc_id", text_col="text",
                         batch_format="pandas"))
 
 
+# ---------------------------------------------------------------------------
+# distributed connected components (min-label propagation)
+# ---------------------------------------------------------------------------
+
+def min_label_components(pairs_ds, a_col="a", b_col="b", max_rounds: int = 10,
+                         num_partitions: int | None = None):
+    """Connected components over an (a, b) pair Dataset via iterative
+    min-label propagation: each round every node takes the min label among
+    itself and its neighbors (one hash join + one hash aggregate — fully
+    distributed, no driver union-find). Converges in <= component-diameter
+    rounds; labels only decrease, so an unchanged label-sum checksum IS
+    convergence. Returns a Dataset (node, label) covering the pair
+    endpoints only (isolated nodes are their own label by definition).
+
+    Works for integer or string node ids (min = numeric or lexicographic).
+    """
+    from ray.data.aggregate import Count, Min
+
+    from .ops import _default_partitions
+
+    P = num_partitions or _default_partitions()
+
+    edges = pairs_ds.map_batches(
+        lambda df: pd.DataFrame({
+            "node": np.concatenate([df[a_col].to_numpy(), df[b_col].to_numpy()]),
+            "nbr": np.concatenate([df[b_col].to_numpy(), df[a_col].to_numpy()]),
+        }),
+        batch_format="pandas").materialize()
+
+    if edges.count() == 0:
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame({"node": [], "label": []}))
+
+    import pyarrow as pa
+
+    from .ops import _pa_type_of, materialize_normalized
+
+    node_t = _pa_type_of(edges.take(1)[0]["node"])
+    label_schema = pa.schema([("node", node_t), ("label", node_t)])
+
+    nodes = (edges.map_batches(lambda df: df[["node"]].drop_duplicates(),
+                               batch_format="pandas")
+             .groupby("node").aggregate(Count(on="node", alias_name="__c")))
+    labels = materialize_normalized(
+        nodes.map_batches(
+            lambda df: pd.DataFrame({"node": df["node"], "label": df["node"]}),
+            batch_format="pandas"),
+        label_schema)
+
+    def checksum(ds) -> int:
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            h = 0 if len(df) == 0 else int(
+                pd.util.hash_array(df["label"].to_numpy(dtype=object)).sum())
+            return pd.DataFrame({"h": [np.int64(h & 0x7FFFFFFFFFFFFFFF)]})
+
+        parts = ds.map_batches(part, batch_format="pandas").to_pandas()
+        # int64 wraparound is fine — this is a change-detection checksum
+        return int(parts["h"].to_numpy(dtype=np.int64).sum()
+                   & 0x7FFFFFFFFFFFFFFF)
+
+    prev = checksum(labels)
+    for _ in range(max_rounds):
+        # keep msgs as Arrow blocks: the union feeds a sort-based aggregate
+        # whose boundary sampler asserts on mixed pandas/arrow block types
+        msgs = edges.join(labels, "inner", P, on=("node",)).map_batches(
+            lambda t: t.select(["nbr", "label"]).rename_columns(
+                ["node", "label"]),
+            batch_format="pyarrow")
+        labels = materialize_normalized(
+            labels.union(msgs).groupby("node")
+            .aggregate(Min("label", alias_name="label")),
+            label_schema)
+        cur = checksum(labels)
+        if cur == prev:
+            return labels
+        prev = cur
+    logging.getLogger(__name__).warning(
+        "min_label_components: not converged after %d rounds "
+        "(component diameter exceeds max_rounds)", max_rounds)
+    return labels
+
+
 def neardup_clusters(docs_ds, id_col="doc_id", text_col="text",
                      threshold: float = 0.8, max_rounds: int = 10):
-    """Connected components over the near-dup pair graph via iterative
-    min-label propagation (each round: label[x] = min(label of neighbors);
-    groupby-based, no driver union-find). Returns (doc_id, cluster_id)."""
-    import ray.data as rd
+    """Connected components over the near-dup pair graph via distributed
+    iterative min-label propagation (groupby/join-based — no driver
+    union-find, no whole-corpus driver materialization).
+    Returns (doc_id, cluster_id)."""
+    from .ops import _default_partitions
 
     pairs = minhash_candidate_pairs(docs_ds, id_col, text_col, threshold)
-    pdf = pairs.to_pandas()          # candidate pairs are small vs corpus
-    ids = docs_ds.select_columns([id_col]).to_pandas()[id_col].to_numpy()
-    label = {int(i): int(i) for i in ids}
-    for _ in range(max_rounds):
-        changed = False
-        for a, b in zip(pdf["a"], pdf["b"]):
-            ra, rb = _find(label, int(a)), _find(label, int(b))
-            if ra != rb:
-                label[max(ra, rb)] = min(ra, rb)
-                changed = True
-        if not changed:
-            break
-    out = pd.DataFrame({
-        id_col: sorted(label),
-        "cluster_id": [_find(label, i) for i in sorted(label)],
-    })
-    return rd.from_pandas(out)
+    labels = min_label_components(pairs, max_rounds=max_rounds)
+    ids = docs_ds.select_columns([id_col])
+    if labels.count() == 0:          # no near-dups: every doc is its own cluster
+        return ids.map_batches(
+            lambda df: pd.DataFrame({id_col: df[id_col].to_numpy(),
+                                     "cluster_id": df[id_col].to_numpy()}),
+            batch_format="pandas")
+    renamed = labels.map_batches(
+        lambda df: df.rename(columns={"node": id_col}), batch_format="pandas")
+    joined = ids.join(renamed, "left_outer", _default_partitions(),
+                      on=(id_col,))
 
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df["label"].fillna(df[id_col])
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             "cluster_id": lab.astype(df[id_col].dtype)})
 
-def _find(label: dict, x: int) -> int:
-    while label[x] != x:
-        label[x] = label[label[x]]
-        x = label[x]
-    return x
+    return joined.map_batches(finish, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -210,8 +345,9 @@ def exact_dedup_stats(docs_ds, id_col="doc_id", text_col="text"):
 
     Partial per-batch combine before the groupby so the shuffle moves at
     most one row per distinct hash per batch."""
-    from .textops import md5_series
     from ray.data.aggregate import Min, Sum
+
+    from .textops import md5_series
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         h = md5_series(df[text_col].fillna(""))
@@ -232,32 +368,40 @@ def ngram_jaccard_pairs(docs_ds, id_col="doc_id", text_col="text",
                         threshold: float = 0.5):
     """Exact n-gram Jaccard verification over MinHash candidates: the
     two-stage near-dup verify (candidates from LSH, exact set Jaccard on
-    the pair)."""
-    import ray.data as rd
+    the pair).
 
+    Scale path: candidate pairs are hash-joined to the documents table on
+    each endpoint (two shuffle joins) so only candidate docs' texts ever
+    move — the corpus is never collected to the driver."""
+    from .ops import _default_partitions
+
+    P = _default_partitions()
     cand = minhash_candidate_pairs(docs_ds, id_col, text_col,
-                                   threshold=0.5).to_pandas()
-    docs = docs_ds.select_columns([id_col, text_col]).to_pandas()
-    texts = dict(zip(docs[id_col], docs[text_col]))
+                                   threshold=0.5).select_columns(["a", "b"])
+    docs = docs_ds.select_columns([id_col, text_col])
+    da = docs.map_batches(
+        lambda df: df.rename(columns={id_col: "a", text_col: "text_a"}),
+        batch_format="pandas")
+    db = docs.map_batches(
+        lambda df: df.rename(columns={id_col: "b", text_col: "text_b"}),
+        batch_format="pandas")
+    j = cand.join(da, "inner", P, on=("a",)).join(db, "inner", P, on=("b",))
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
+        sa = _shingle_hashes_batch(list(df["text_a"]))
+        sb = _shingle_hashes_batch(list(df["text_b"]))
         out_a, out_b, jac = [], [], []
-        for a, b in zip(df["a"], df["b"]):
-            sa = set(_shingle_hashes(texts.get(int(a)) or "").tolist())
-            sb = set(_shingle_hashes(texts.get(int(b)) or "").tolist())
-            if not sa and not sb:
-                j = 1.0
-            else:
-                j = len(sa & sb) / max(1, len(sa | sb))
+        for a, b, ha, hb in zip(df["a"], df["b"], sa, sb):
+            inter = len(np.intersect1d(ha, hb, assume_unique=True))
+            union = len(ha) + len(hb) - inter
+            j = inter / union if union else 1.0
             if j >= threshold:
-                out_a.append(int(a)); out_b.append(int(b)); jac.append(j)
+                out_a.append(a); out_b.append(b); jac.append(j)
         return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
                              "b": pd.Series(out_b, dtype="int64"),
                              "jaccard": pd.Series(jac, dtype="float64")})
 
-    if len(cand) == 0:
-        return rd.from_pandas(verify(cand))
-    return rd.from_pandas(cand).map_batches(verify, batch_format="pandas")
+    return j.map_batches(verify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -273,23 +417,11 @@ def _char_ngram_hashes(s: str, n: int = 3) -> np.ndarray:
         dtype=np.uint64)
 
 
-def _minhash_of(x: np.ndarray) -> np.ndarray:
-    if len(x) == 0:
-        return np.zeros(_K, dtype=np.uint64)
-    v = (_A[:, None] * x[None, :] + _B[:, None]) % np.uint64(_MERSENNE)
-    return v.min(axis=1)
-
-
-def canonical_agent_map(triples_ds, threshold: float = 0.7) -> dict[str, str]:
-    """Cluster near-duplicate agent NODES across graphs and pick a canonical
-    URI per cluster (lexicographically smallest).
-
-    Agent mentions are a tiny slice of the corpus (distinct contributors),
-    so after the distributed collection of agent rows the MinHash+LSH
-    clustering runs driver-side; the REWRITE (the heavy part) stays
-    distributed (see rewrite_canonical). Signature = MinHash over character
-    3-grams of the agent's local name."""
+def _agent_uris_ds(triples_ds):
+    """Distinct prov:Agent subject URIs as a distributed Dataset."""
     import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count
 
     from .prov import PREFIXES
 
@@ -300,7 +432,75 @@ def canonical_agent_map(triples_ds, threshold: float = 0.7) -> dict[str, str]:
         lambda t: t.filter(pc.and_(pc.equal(t["pred"], rdf_type),
                                    pc.equal(t["obj"], agent_type)))
                    .select(["subj"]),
-        batch_format="pyarrow").to_pandas()
+        batch_format="pyarrow")
+    distinct = (agents.map_batches(
+        lambda df: df.drop_duplicates(["subj"]), batch_format="pandas")
+        .groupby("subj").aggregate(Count(on="subj", alias_name="__c")))
+    return distinct.map_batches(lambda df: df[["subj"]],
+                                batch_format="pandas")
+
+
+def _agent_sig_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """(subj) → (subj, sig) rows: MinHash over character 3-grams of the
+    agent's local name."""
+    sigs = []
+    for uri in df["subj"]:
+        local = uri.rsplit("#", 1)[-1]
+        sigs.append(_minhash_of(_char_ngram_hashes(local)).astype(np.int64))
+    return pd.DataFrame({"subj": df["subj"].to_numpy(), "sig": sigs})
+
+
+def canonical_agent_pairs(triples_ds, threshold: float = 0.7,
+                          num_buckets: int = 32):
+    """Near-duplicate agent URI pairs via the same bucketed MinHash+LSH
+    shuffle the document near-dup path uses — fully distributed (the agent
+    slice at web scale is millions of distinct URIs)."""
+    uris = _agent_uris_ds(triples_ds)
+    sigs = uris.map_batches(_agent_sig_batch, batch_format="pandas")
+    bands = sigs.map_batches(
+        lambda df: explode_bands(df, "subj"), batch_format="pandas")
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_array(df["band_key"].to_numpy(dtype=object))
+        df["bucket"] = (h % num_buckets).astype(np.int64)
+        return df
+
+    def bucket_group(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [bucket_pairs(g, "subj", threshold)
+                for _, g in df.groupby("band_key", sort=True)]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return bucket_pairs(df.head(0), "subj", threshold)
+        return pd.concat(outs, ignore_index=True).drop_duplicates(["a", "b"])
+
+    pairs = (bands.map_batches(add_bucket, batch_format="pandas")
+             .groupby("bucket")
+             .map_groups(lambda df: bucket_group(df.drop(columns=["bucket"])),
+                         batch_format="pandas"))
+    return pairs.map_batches(
+        lambda df: df[["a", "b"]].drop_duplicates(), batch_format="pandas")
+
+
+def canonical_agent_map_ds(triples_ds, threshold: float = 0.7,
+                           num_buckets: int = 32, max_rounds: int = 10):
+    """Distributed agent canonicalization: (agent_uri, canonical_uri) rows
+    for every non-canonical agent. canonical = lexicographically smallest
+    URI of the connected component (same contract as the driver-side
+    `canonical_agent_map`, proven equal by test_linking_canonical)."""
+    pairs = canonical_agent_pairs(triples_ds, threshold, num_buckets)
+    labels = min_label_components(pairs, max_rounds=max_rounds)
+    return labels.map_batches(
+        lambda df: df[df["node"] != df["label"]].rename(
+            columns={"node": "agent_uri", "label": "canonical_uri"}),
+        batch_format="pandas")
+
+
+def canonical_agent_map(triples_ds, threshold: float = 0.7) -> dict[str, str]:
+    """Driver-side reference twin of `canonical_agent_map_ds` (kept as the
+    readable implementation and for small corpora; the distributed path is
+    the scale surface). Returns {agent_uri: canonical_uri}."""
+    agents = _agent_uris_ds(triples_ds).to_pandas()
     uris = sorted(set(agents["subj"]))
 
     buckets: dict[str, list[int]] = {}

@@ -71,6 +71,41 @@ def _default_partitions() -> int:
     return max(2, ncpu)
 
 
+def materialize_normalized(ds, schema):
+    """Materialize `ds` with every block cast to an explicit Arrow `schema`
+    and column-less EMPTY blocks dropped.
+
+    Ray's hash aggregate emits column-less empty blocks for empty
+    partitions, and ``map_batches`` skips zero-row blocks (so a schema-fix
+    UDF never sees them); a downstream ``Dataset.join`` whose partition is
+    assembled only from such blocks fails with ArrowInvalid ("no match for
+    key field") because the built side lacks the key column. Dropping the
+    empties is a metadata-only operation over block refs — no data moves
+    through the driver."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    def norm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=schema)
+        return t.select(schema.names).cast(schema)
+
+    mat = ds.map_batches(norm, batch_format="pyarrow").materialize()
+    refs = [ref
+            for bundle in mat.iter_internal_ref_bundles()
+            for ref, meta in bundle.blocks
+            if meta.num_rows]
+    if not refs:
+        return rd.from_arrow(pa.Table.from_pylist([], schema=schema))
+    return rd.from_arrow_refs(refs)
+
+
+def _pa_type_of(value):
+    import pyarrow as pa
+
+    return pa.int64() if isinstance(value, (int, np.integer)) else pa.string()
+
+
 def distinct_keys(ds, key: str, num_partitions: int | None = None):
     """Distributed distinct on one key column: per-batch local dedup
     (combiner) then a hash-aggregate shuffle. Never materializes the key
@@ -94,15 +129,25 @@ def semi_join(left_ds, right_ds, left_key: str, right_key: str,
     duplicate left rows), tagged with a marker column, then hash-joined.
     Semi = inner join; anti = left_outer join + null-marker filter.
     """
+    import pyarrow as pa
+
     if num_partitions is None:
         num_partitions = _default_partitions()
     keys = distinct_keys(right_ds, right_key, num_partitions)
+    sample = keys.take(1)
+    if not sample:
+        # empty right side: semi keeps nothing, anti keeps everything
+        return left_ds.limit(0) if not anti else left_ds
     marked = keys.map_batches(
         lambda df: df.assign(__match=np.int8(1)), batch_format="pandas")
     if right_key != left_key:
         marked = marked.map_batches(
             lambda df, rk=right_key, lk=left_key: df.rename(columns={rk: lk}),
             batch_format="pandas")
+    # pin the schema: empty aggregate partitions are column-less and would
+    # break the join (see materialize_normalized)
+    marked = materialize_normalized(marked, pa.schema([
+        (left_key, _pa_type_of(sample[0][right_key])), ("__match", pa.int8())]))
     if anti:
         joined = left_ds.join(marked, "left_outer", num_partitions,
                               on=(left_key,))

@@ -423,18 +423,16 @@ def q_media_features(sf_dir: str):
 
 def kg_canonical_agents(sf_dir: str):
     """Agent canonicalization over the flagship triples: MinHash-linked
-    near-duplicate agent nodes -> (agent_uri, canonical_uri) map rows.
+    near-duplicate agent nodes -> (agent_uri, canonical_uri) map rows via
+    the fully distributed path (bucketed LSH shuffle + min-label-propagation
+    components — the web-scale agent slice never lands on the driver).
     Rows-only (linking is not SQL-expressible)."""
     from . import linking
     from .pipelines import flagship
 
     tri = flagship.flagship(sf_dir, num_buckets=32)
-    mapping = linking.canonical_agent_map(tri, threshold=0.7)
-    rows = sorted(mapping.items())
-    return pa.table({
-        "agent_uri": pa.array([a for a, _ in rows], pa.string()),
-        "canonical_uri": pa.array([c for _, c in rows], pa.string()),
-    })
+    return linking.canonical_agent_map_ds(tri, threshold=0.7) \
+        .sort(["agent_uri", "canonical_uri"])
 
 
 def q_source_counts_salted(sf_dir: str):

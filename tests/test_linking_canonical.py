@@ -26,6 +26,102 @@ def test_canonical_map_links_near_duplicates(ray_session):
     assert ns + "completely-different" not in m
 
 
+def test_canonical_map_ds_matches_driver_twin(ray_session):
+    """The distributed (bucketed LSH + label-propagation) canonicalization
+    must produce exactly the driver union-find's mapping."""
+    import ray.data as rd
+    from gitprov_ray import linking
+    from gitprov_ray.prov import PREFIXES
+
+    rdf_type = PREFIXES["rdf"] + "type"
+    agent = PREFIXES["prov"] + "Agent"
+    ns = "https://gitprov.example/graph/g#"
+    names = ["jonathan-smith", "jonathan-smith1", "jonathan-smith2",
+             "maria-garcia", "maria-garcia0", "completely-different",
+             "another-name-entirely"]
+    rows = [{"subj": ns + n, "pred": rdf_type, "obj": agent,
+             "obj_is_literal": False, "obj_dtype": "", "graph": "g"}
+            for n in names]
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(4)
+    driver = linking.canonical_agent_map(ds, threshold=0.5)
+    dist_df = linking.canonical_agent_map_ds(ds, threshold=0.5).to_pandas()
+    dist = dict(zip(dist_df["agent_uri"], dist_df["canonical_uri"]))
+    assert driver == dist
+    assert dist.get(ns + "jonathan-smith1") == ns + "jonathan-smith"
+
+
+def test_min_label_components(ray_session):
+    import ray.data as rd
+    from gitprov_ray import linking
+
+    # two components incl. a 6-node chain (needs multiple rounds)
+    pairs = rd.from_pandas(pd.DataFrame(
+        {"a": [6, 5, 4, 3, 2, 100], "b": [7, 6, 5, 4, 3, 101]}))
+    lab = linking.min_label_components(pairs).to_pandas()
+    got = dict(zip(lab["node"], lab["label"]))
+    assert got == {2: 2, 3: 2, 4: 2, 5: 2, 6: 2, 7: 2, 100: 100, 101: 100}
+
+
+def test_neardup_clusters_multiblock_matches_unionfind(ray_session):
+    """Distributed clusters over a multi-block corpus must equal a
+    reference union-find over the same candidate pairs."""
+    import ray.data as rd
+    from gitprov_ray import linking
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"]).repartition(8)
+    pairs = linking.minhash_candidate_pairs(docs, threshold=0.8).to_pandas()
+    assert len(pairs) > 0
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    cl = linking.neardup_clusters(docs, threshold=0.8).to_pandas()
+    got = dict(zip(cl["doc_id"], cl["cluster_id"]))
+    assert len(got) == 500
+    for doc_id, cluster in got.items():
+        assert cluster == find(int(doc_id)), doc_id
+
+
+def test_ngram_jaccard_multiblock(ray_session):
+    import ray.data as rd
+    from gitprov_ray import linking
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"]).repartition(8)
+    out = linking.ngram_jaccard_pairs(docs, threshold=0.5).to_pandas()
+    assert len(out) > 0
+    assert (out["jaccard"] >= 0.5).all()
+    # verified pairs must be a subset of the LSH candidates
+    cand = linking.minhash_candidate_pairs(
+        docs, threshold=0.5).to_pandas()
+    cset = set(zip(cand["a"], cand["b"]))
+    assert set(zip(out["a"], out["b"])) <= cset
+
+
+def test_shingle_batch_matches_single():
+    from gitprov_ray import linking
+
+    texts = ["the quick brown fox jumps", "", "one two", "the quick brown fox"]
+    batch = linking._shingle_hashes_batch(texts)
+    for t, h in zip(texts, batch):
+        assert (linking._shingle_hashes(t) == h).all()
+    # identical texts → identical signatures; different → different
+    s1 = linking.minhash_signature(texts[0])
+    s2 = linking.minhash_signature(texts[0])
+    s3 = linking.minhash_signature("entirely unrelated words here appear")
+    assert (s1 == s2).all() and not (s1 == s3).all()
+
+
 def test_rewrite_canonical_rewrites_subj_and_obj(ray_session):
     import ray.data as rd
     from gitprov_ray import linking
