@@ -477,6 +477,39 @@ def q_topk_per_group(sf_dir: str):
             .sort(["c_mktsegment", "rk"]))
 
 
+def q_sparql_select(sf_dir: str):
+    """SPARQL query-STRING front-end (the reference's ad-hoc query surface,
+    SparqlService.java:22-31): the documents table rendered as RDF triples,
+    queried with SPARQL text — parser → BGP compile → vectorized pattern
+    scans → binding join. The per-pattern selections are small (filters
+    push down into the Arrow scan), so the binding join is driver-side; the
+    scale path for large bindings is the bucketed Dataset.join."""
+    from . import sparql_lite
+
+    NS = "http://docs.example/"
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    def to_triples(df: pd.DataFrame) -> pd.DataFrame:
+        uri = NS + "doc/" + df["doc_id"].astype(str)
+        mk = lambda pred, obj: pd.DataFrame({
+            "subj": uri, "pred": NS + pred, "obj": obj.astype(str),
+            "obj_is_literal": True, "obj_dtype": "xsd:string",
+            "graph": "docs"})
+        return pd.concat([mk("lang", df["lang"]), mk("source", df["source"])],
+                         ignore_index=True)
+
+    tri = ds.map_batches(to_triples, batch_format="pandas")
+    q = """
+        PREFIX ex: <http://docs.example/>
+        SELECT ?d ?s WHERE {
+            ?d ex:lang "en" .
+            ?d ex:source ?s .
+            FILTER (?s != "src3")
+        } ORDER BY ?d ?s
+    """
+    return sparql_lite.select_text(tri, q)
+
+
 def q_ann_ivf_topk(sf_dir: str):
     """IVF-bucketed approximate nearest neighbours (scale-path ANN)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -516,6 +549,7 @@ QUERIES = {
     "q_source_counts_salted": q_source_counts_salted,
     "q_topk_per_group": q_topk_per_group,
     "q_ann_ivf_topk": q_ann_ivf_topk,
+    "q_sparql_select": q_sparql_select,
 }
 
 
@@ -642,6 +676,12 @@ ORACLE_SQL = {
                                                o.o_orderkey) AS rk
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
         WHERE rk <= 2 ORDER BY c_mktsegment, rk
+    """,
+    "q_sparql_select": """
+        SELECT 'http://docs.example/doc/' || CAST(doc_id AS VARCHAR) AS d,
+               source AS s
+        FROM documents WHERE lang = 'en' AND source <> 'src3'
+        ORDER BY d, s
     """,
     "q_ann_topk": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe

@@ -243,24 +243,38 @@ FORMATS = {
     "nquads": to_nquads,
     "turtle": to_turtle,
     "trig": lambda df: to_trig(df),
+    "rdfxml": lambda df: to_rdfxml(df),
+    "xml": lambda df: to_rdfxml(df),
+    "jsonld": lambda df: to_jsonld(df),
+    "rdfjson": lambda df: to_rdfjson(df),
+    "n3": lambda df: to_n3(df),
     "provn": None,      # statement-level: use to_provn
     "csv": result_csv,
     "tsv": result_tsv,
     "json": result_json,
 }
 
+# mirrors the reference's formatToLangs map (JenaUtils.java:18-41) plus the
+# document content types of ProvenanceService.java:197-254
 CONTENT_TYPES = {
     "application/trig": "trig",
     "application/n-triples": "ntriples",
     "application/n-quads": "nquads",
     "application/x-turtle": "turtle",
     "text/turtle": "turtle",
+    "application/rdf+xml": "rdfxml",
+    "application/xml": "xml",
+    "application/ld+json": "jsonld",
+    "application/rdf+json": "rdfjson",
+    "text/n3": "n3",
+    "text/rdf+n3": "n3",
     "text/provenance-notation": "provn",
     "text/csv": "csv",
     "text/tab-separated-values": "tsv",
     "application/json": "json",
     "application/sparql-results+json": "json",
 }
+
 
 
 def serialize(triples: pd.DataFrame, fmt: str) -> str:
@@ -286,6 +300,227 @@ def to_trig(triples: pd.DataFrame) -> str:
     return "\n".join(out) + "\n"
 
 
+def _ns_split(uri: str) -> tuple[str, str]:
+    """Split a URI into (namespace, local) at the last '#' or '/'."""
+    for sep in ("#", "/"):
+        idx = uri.rfind(sep)
+        if idx > 0:
+            return uri[: idx + 1], uri[idx + 1:]
+    return "", uri
+
+
+def _ns_prefix_map(triples: pd.DataFrame) -> dict[str, str]:
+    """Deterministic prefix per namespace: the known PROV/FOAF/… prefixes,
+    gN for graph namespaces, nsN for anything else."""
+    from .prov import PREFIXES
+
+    known = {ns: pfx for pfx, ns in PREFIXES.items()}
+    out: dict[str, str] = {}
+    graphs = sorted(triples["graph"].unique())
+    for i, g in enumerate(graphs):
+        out[idgen.graph_ns(g)] = f"g{i}"
+    counter = 0
+    namespaces = set()
+    for uri in triples["pred"]:
+        namespaces.add(_ns_split(uri)[0])
+    for ns in sorted(namespaces):
+        if not ns:
+            continue
+        if ns in known:
+            out[ns] = known[ns]
+        elif ns not in out:
+            out[ns] = f"ns{counter}"
+            counter += 1
+    return out
+
+
+def _xml_esc(s: str, attr: bool = False) -> str:
+    s = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    return s.replace('"', "&quot;") if attr else s
+
+
+def to_rdfxml(triples: pd.DataFrame) -> str:
+    """Deterministic RDF/XML (the reference serves RDF/XML and XML from both
+    documents and the store: ProvenanceService.java:222-228,
+    JenaUtils.java:24). One rdf:Description per subject, predicates as
+    QName elements, resources via rdf:resource, typed literals via
+    rdf:datatype."""
+    from .prov import PREFIXES
+
+    pfx_of = _ns_prefix_map(triples)
+    rdf_ns = PREFIXES["rdf"]
+    pfx_of.setdefault(rdf_ns, "rdf")
+    decls = "".join(
+        f'\n  xmlns:{p}="{_xml_esc(ns, attr=True)}"'
+        for ns, p in sorted(pfx_of.items(), key=lambda kv: kv[1]))
+    out = [f"<rdf:RDF{decls}>"]
+    df = triples.sort_values(["graph", "subj", "pred", "obj"])
+    for subj, g in df.groupby("subj", sort=True):
+        out.append(f'  <rdf:Description rdf:about="{_xml_esc(subj, attr=True)}">')
+        for r in g.to_dict("records"):
+            ns, local = _ns_split(r["pred"])
+            qn = f"{pfx_of[ns]}:{local}" if ns in pfx_of else local
+            if r["obj_is_literal"]:
+                dt = ""
+                if r["obj_dtype"] and r["obj_dtype"] != "xsd:string":
+                    dt = f' rdf:datatype="{_xml_esc(_dtype_uri(r["obj_dtype"]), attr=True)}"'
+                out.append(f"    <{qn}{dt}>{_xml_esc(r['obj'])}</{qn}>")
+            else:
+                out.append(
+                    f'    <{qn} rdf:resource="{_xml_esc(r["obj"], attr=True)}"/>')
+        out.append("  </rdf:Description>")
+    out.append("</rdf:RDF>")
+    return "\n".join(out) + "\n"
+
+
+def to_rdfjson(triples: pd.DataFrame) -> str:
+    """RDF/JSON (the Talis shape JenaUtils' RDF/JSON lang emits):
+    {subj: {pred: [{type, value, datatype?}]}}, deterministic order."""
+    doc: dict = {}
+    df = triples.sort_values(["subj", "pred", "obj"])
+    for r in df.to_dict("records"):
+        o: dict = {"value": r["obj"],
+                   "type": "literal" if r["obj_is_literal"] else "uri"}
+        if r["obj_is_literal"] and r["obj_dtype"] \
+                and r["obj_dtype"] != "xsd:string":
+            o["datatype"] = _dtype_uri(r["obj_dtype"])
+        doc.setdefault(r["subj"], {}).setdefault(r["pred"], []).append(o)
+    return json.dumps(doc, ensure_ascii=False, sort_keys=True)
+
+
+def to_jsonld(triples: pd.DataFrame) -> str:
+    """Flat JSON-LD: @graph of node objects keyed by @id, full-URI
+    predicate terms, typed literals as {"@value", "@type"} (JenaUtils.java's
+    JSON-LD lang). Deterministic member order."""
+    from .prov import PREFIXES
+
+    rdf_type = PREFIXES["rdf"] + "type"
+    nodes: dict[str, dict] = {}
+    df = triples.sort_values(["subj", "pred", "obj"])
+    for r in df.to_dict("records"):
+        node = nodes.setdefault(r["subj"], {"@id": r["subj"]})
+        if not r["obj_is_literal"] and r["pred"] == rdf_type:
+            node.setdefault("@type", []).append(r["obj"])
+            continue
+        if r["obj_is_literal"]:
+            if r["obj_dtype"] and r["obj_dtype"] != "xsd:string":
+                val: object = {"@value": r["obj"],
+                               "@type": _dtype_uri(r["obj_dtype"])}
+            else:
+                val = r["obj"]
+        else:
+            val = {"@id": r["obj"]}
+        node.setdefault(r["pred"], []).append(val)
+    graph = [nodes[k] for k in sorted(nodes)]
+    return json.dumps({"@graph": graph}, ensure_ascii=False, sort_keys=True)
+
+
+# N3 is a superset of Turtle; the engine's deterministic Turtle subset is
+# valid N3 (JenaUtils' N3 lang).
+to_n3 = to_turtle
+
+
+def parse_turtle(text: str) -> list[dict]:
+    """Turtle parser for the engine's own deterministic Turtle subset plus
+    simple standard variants (S13: the reference parses TURTLE into its
+    store, JenaUtils.java:43-54): @prefix decls, subject blocks with
+    ';'-separated predicate-object lines, literals with optional
+    ^^datatype (CURIE or <uri>), pname or <uri> terms. One statement per
+    line (the writer escapes newlines in literals), malformed lines are
+    skipped (M15 policy)."""
+    import re
+
+    from .prov import PREFIXES
+
+    prefix_rx = re.compile(r"^@prefix\s+([\w.-]*):\s+<([^>]*)>\s*\.\s*$")
+    term_rx = re.compile(
+        r"""^(?:
+              <(?P<uri>[^>]*)>
+            | "(?P<lit>(?:[^"\\]|\\.)*)"
+              (?:\^\^(?:<(?P<dturi>[^>]*)>|(?P<dtpn>[\w.-]+:[\w.-]+)))?
+            | (?P<pn>[\w.-]*:[^\s;,]*)
+            )\s*(?P<rest>.*)$""", re.X)
+    unesc_rx = re.compile(r'\\(?:u([0-9a-fA-F]{4})|(.))')
+
+    def unescape(s: str) -> str:
+        def f(m):
+            if m.group(1):
+                return chr(int(m.group(1), 16))
+            return {"n": "\n", "r": "\r", "t": "\t"}.get(m.group(2), m.group(2))
+        return unesc_rx.sub(f, s)
+
+    prefixes: dict[str, str] = {}
+
+    def expand_pname(pn: str) -> str | None:
+        pfx, local = pn.split(":", 1)
+        ns = prefixes.get(pfx)
+        return ns + local if ns is not None else None
+
+    def dtype_curie(uri: str) -> str:
+        for pfx, ns in PREFIXES.items():
+            if uri.startswith(ns):
+                return f"{pfx}:{uri[len(ns):]}"
+        return "xsd:string"
+
+    marker = "https://gitprov.example/graph/"
+    out: list[dict] = []
+    subject: str | None = None
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        m = prefix_rx.match(line)
+        if m:
+            prefixes[m.group(1)] = m.group(2)
+            continue
+        if not raw[:1].isspace():
+            # subject line (possibly with inline predicates on one line)
+            tm = term_rx.match(line)
+            if not tm or tm.group("lit") is not None:
+                continue
+            subject = tm.group("uri") if tm.group("uri") is not None \
+                else expand_pname(tm.group("pn"))
+            line = tm.group("rest").strip()
+            if not line:
+                continue
+        if subject is None:
+            continue
+        # predicate-object line, ends with ';' or '.'
+        body = line.rstrip()
+        if body.endswith(";") or body.endswith("."):
+            body = body[:-1].rstrip()
+        pm = term_rx.match(body)
+        if not pm or pm.group("lit") is not None:
+            continue
+        pred = pm.group("uri") if pm.group("uri") is not None \
+            else expand_pname(pm.group("pn"))
+        om = term_rx.match(pm.group("rest").strip())
+        if pred is None or not om:
+            continue
+        graph = ""
+        if subject.startswith(marker):
+            graph = subject[len(marker):].split("#", 1)[0]
+        if om.group("lit") is not None:
+            dt = "xsd:string"
+            if om.group("dturi"):
+                dt = dtype_curie(om.group("dturi"))
+            elif om.group("dtpn"):
+                dt = om.group("dtpn")
+            out.append({"subj": subject, "pred": pred,
+                        "obj": unescape(om.group("lit")),
+                        "obj_is_literal": True, "obj_dtype": dt,
+                        "graph": graph})
+        else:
+            obj = om.group("uri") if om.group("uri") is not None \
+                else expand_pname(om.group("pn"))
+            if obj is None:
+                continue
+            out.append({"subj": subject, "pred": pred, "obj": obj,
+                        "obj_is_literal": False, "obj_dtype": "",
+                        "graph": graph})
+    return out
+
+
 def to_prov_json(statements: list[dict]) -> str:
     """PROV-JSON-flavored document (S9's application/json): statements
     grouped by category in the reference's category-major order
@@ -307,3 +542,19 @@ def to_prov_json(statements: list[dict]) -> str:
         key = s["id"] if s["id"] else f"_:{s['subj']}-{s['obj']}"
         cats.setdefault(s["stmt_type"], {})[f"gitprov:{key}"] = entry
     return json.dumps(cats, ensure_ascii=False, sort_keys=True)
+
+
+PARSERS = {
+    "ntriples": parse_ntriples,
+    "turtle": parse_turtle,
+}
+
+
+def parse(text: str, fmt: str) -> list[dict]:
+    """Format-dispatched RDF parsing (S13: JenaUtils.java:43-54 reads
+    Turtle into the store; the engine reads its own N-Triples and Turtle)."""
+    if fmt in CONTENT_TYPES:
+        fmt = CONTENT_TYPES[fmt]
+    if fmt not in PARSERS:
+        raise ValueError(f"no parser for format {fmt!r}")
+    return PARSERS[fmt](text)

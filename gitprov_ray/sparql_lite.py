@@ -96,3 +96,235 @@ def select(triples_ds, patterns: list[tuple], variables: list[str] | None = None
 
 def ask(triples_ds, patterns, graph=None) -> bool:
     return len(select(triples_ds, patterns, graph=graph, limit=1)) > 0
+
+
+# ---------------------------------------------------------------------------
+# SPARQL query-string front-end
+# ---------------------------------------------------------------------------
+#
+# The reference accepts arbitrary SPARQL text (SparqlService.java:22-31,
+# QueryFactory.create + QueryExecutionFactory). This front-end parses the
+# SELECT subset the reference's users actually issue over a PROV store —
+#   PREFIX decls, SELECT [DISTINCT] ?v… | *, WHERE { BGP . FILTER … },
+#   FILTER comparisons (= != < <= > >=) between a var and a literal/number,
+#   FILTER regex(?v, "pat"[, "i"]), ORDER BY [ASC|DESC](?v), LIMIT, OFFSET
+# — into the existing pattern compiler. Term syntax: <uri>, curie:local,
+# "literal"(^^dtype)?, numbers, ?vars.
+
+import re as _re
+
+_TOKEN_RX = _re.compile(
+    r"""<[^>]*>                     # uri
+      | "(?:[^"\\]|\\.)*"(?:\^\^(?:<[^>]*>|[A-Za-z_][\w.-]*:[\w.-]+))?  # literal
+      | \?[A-Za-z_]\w*              # var
+      | [A-Za-z_][\w.-]*:[\w.%-]+   # curie
+      | [A-Za-z]+                   # keyword / bare name
+      | -?\d+(?:\.\d+)?             # number
+      | [=!<>]=? | [{}().;,*:]      # operators / punctuation
+    """, _re.X)
+
+
+class SparqlSyntaxError(ValueError):
+    pass
+
+
+def _tokenize(q: str) -> list[str]:
+    # whole-line comments only: URIs legitimately contain '#'
+    q = _re.sub(r"^\s*#.*$", "", q, flags=_re.M)
+    toks, pos = [], 0
+    for m in _TOKEN_RX.finditer(q):
+        between = q[pos:m.start()]
+        if between.strip():
+            raise SparqlSyntaxError(f"cannot tokenize: {between.strip()!r}")
+        toks.append(m.group(0))
+        pos = m.end()
+    if q[pos:].strip():
+        raise SparqlSyntaxError(f"cannot tokenize: {q[pos:].strip()!r}")
+    return toks
+
+
+def parse_select(query: str) -> dict:
+    """Parse a SPARQL SELECT string → plan dict for :func:`select_text`."""
+    toks = _tokenize(query)
+    i = 0
+
+    def peek():
+        return toks[i] if i < len(toks) else None
+
+    def take(expected: str | None = None):
+        nonlocal i
+        if i >= len(toks):
+            raise SparqlSyntaxError(f"unexpected end (wanted {expected})")
+        t = toks[i]
+        if expected is not None and t.upper() != expected.upper():
+            raise SparqlSyntaxError(f"expected {expected}, got {t!r}")
+        i += 1
+        return t
+
+    prefixes: dict[str, str] = {}
+    while peek() and peek().upper() == "PREFIX":
+        take()
+        name = take()          # curie-like "p:" — tokenized as curie? no: "p:" has empty local
+        if not name.endswith(":"):
+            # tokenizer yields bare name + ':'? our curie regex needs a local
+            # part, so "p :" arrives as two tokens
+            colon = take()
+            if colon != ":":
+                raise SparqlSyntaxError("bad PREFIX declaration")
+        else:
+            name = name[:-1]
+        uri = take()
+        if not uri.startswith("<"):
+            raise SparqlSyntaxError("PREFIX uri must be <...>")
+        prefixes[name] = uri[1:-1]
+
+    take("SELECT")
+    distinct = False
+    if peek() and peek().upper() == "DISTINCT":
+        take(); distinct = True
+    variables: list[str] = []
+    star = False
+    while peek() and peek() != "{" and peek().upper() != "WHERE":
+        t = take()
+        if t == "*":
+            star = True
+        elif t.startswith("?"):
+            variables.append(t)
+        else:
+            raise SparqlSyntaxError(f"bad projection term {t!r}")
+    if peek() and peek().upper() == "WHERE":
+        take()
+    take("{")
+
+    patterns: list[tuple] = []
+    filters: list[tuple] = []
+
+    def term(t: str):
+        if t.startswith("?"):
+            return t
+        if t.startswith("<"):
+            return t[1:-1]
+        if t.startswith('"'):
+            body = _re.match(r'^"((?:[^"\\]|\\.)*)"', t).group(1)
+            return _re.sub(
+                r"\\(.)",
+                lambda m: {"n": "\n", "t": "\t"}.get(m.group(1), m.group(1)),
+                body)
+        if _re.match(r"^-?\d+(?:\.\d+)?$", t):
+            return t
+        if ":" in t:
+            pfx, local = t.split(":", 1)
+            if pfx in prefixes:
+                return prefixes[pfx] + local
+            return t      # prov:/rdf:/… CURIEs expand downstream (prov.expand)
+        raise SparqlSyntaxError(f"bad term {t!r}")
+
+    while True:
+        t = peek()
+        if t is None:
+            raise SparqlSyntaxError("unterminated WHERE block")
+        if t == "}":
+            take(); break
+        if t.upper() == "FILTER":
+            take(); take("(")
+            first = take()
+            if first.upper() == "REGEX" or (first == "regex"):
+                # regex(?v, "pat"[, "flags"]) — note regex token then '('
+                take("(")
+                v = take()
+                take(",")
+                pat = term(take())
+                flags = ""
+                if peek() == ",":
+                    take(); flags = term(take())
+                take(")")
+                filters.append(("regex", v, pat, flags))
+            else:
+                op = take()
+                if op not in ("=", "!=", "<", "<=", ">", ">="):
+                    raise SparqlSyntaxError(f"unsupported FILTER op {op!r}")
+                rhs = take()
+                num = _re.match(r"^-?\d+(?:\.\d+)?$", rhs)
+                filters.append((op, first,
+                                float(rhs) if num else term(rhs), None))
+            take(")")
+            if peek() == ".":
+                take()
+            continue
+        s, p, o = take(), take(), take()
+        patterns.append((term(s) if not s.startswith("?") else s,
+                         term(p) if not p.startswith("?") else p,
+                         term(o) if not o.startswith("?") else o))
+        if peek() == ".":
+            take()
+
+    order_by: list[tuple] = []
+    limit = offset = None
+    while peek() is not None:
+        kw = take().upper()
+        if kw == "ORDER":
+            take("BY")
+            while peek() and peek().upper() not in ("LIMIT", "OFFSET"):
+                t = take()
+                if t.upper() in ("ASC", "DESC"):
+                    take("(")
+                    v = take()
+                    take(")")
+                    order_by.append((v, t.upper() == "ASC"))
+                elif t.startswith("?"):
+                    order_by.append((t, True))
+                else:
+                    raise SparqlSyntaxError(f"bad ORDER BY term {t!r}")
+        elif kw == "LIMIT":
+            limit = int(take())
+        elif kw == "OFFSET":
+            offset = int(take())
+        else:
+            raise SparqlSyntaxError(f"unexpected trailing token {kw!r}")
+
+    return {"prefixes": prefixes, "variables": variables, "star": star,
+            "distinct": distinct, "patterns": patterns, "filters": filters,
+            "order_by": order_by, "limit": limit, "offset": offset}
+
+
+def _apply_filters(df: pd.DataFrame, filters: list[tuple]) -> pd.DataFrame:
+    import re as _re2
+
+    for op, var, value, extra in filters:
+        col = var.lstrip("?")
+        if col not in df.columns:
+            raise SparqlSyntaxError(f"FILTER variable {var} not bound")
+        s = df[col]
+        if op == "regex":
+            flags = _re2.I if (extra and "i" in extra) else 0
+            rx = _re2.compile(value, flags)
+            mask = s.astype(str).str.contains(rx)
+        else:
+            if isinstance(value, float):
+                s = pd.to_numeric(s, errors="coerce")
+            mask = {"=": s == value, "!=": s != value, "<": s < value,
+                    "<=": s <= value, ">": s > value, ">=": s >= value}[op]
+        df = df[mask.fillna(False)]
+    return df
+
+
+def select_text(triples_ds, query: str, graph: str | None = None) -> pd.DataFrame:
+    """Run a SPARQL SELECT string over a triples Dataset → binding frame
+    (the reference's ad-hoc query surface, SparqlController.java:33-43)."""
+    plan = parse_select(query)
+    out = select(triples_ds, plan["patterns"],
+                 variables=None, graph=graph, distinct=False)
+    out = _apply_filters(out, plan["filters"])
+    if plan["variables"] and not plan["star"]:
+        out = out[[v.lstrip("?") for v in plan["variables"]]]
+    if plan["distinct"]:
+        out = out.drop_duplicates()
+    if plan["order_by"]:
+        cols = [v.lstrip("?") for v, _ in plan["order_by"]]
+        asc = [a for _, a in plan["order_by"]]
+        out = out.sort_values(cols, ascending=asc, kind="mergesort")
+    if plan["offset"]:
+        out = out.iloc[plan["offset"]:]
+    if plan["limit"] is not None:
+        out = out.head(plan["limit"])
+    return out.reset_index(drop=True)

@@ -131,6 +131,119 @@ def test_trig_render(tiny_triples):
     assert trig == serializers.to_trig(tiny_triples.head(50))
 
 
+def test_turtle_roundtrip(tiny_triples):
+    """engine triples → to_turtle → parse_turtle → identical triple set
+    (the store-ingest path the reference supports via Turtle,
+    JenaUtils.java:43-54)."""
+    from gitprov_ray import serializers
+
+    text = serializers.to_turtle(tiny_triples)
+    rows = serializers.parse_turtle(text)
+    key = ["graph", "subj", "pred", "obj", "obj_is_literal", "obj_dtype"]
+    orig = set(map(tuple, tiny_triples[key].itertuples(index=False)))
+    back = {(r["graph"], r["subj"], r["pred"], r["obj"], r["obj_is_literal"],
+             r["obj_dtype"]) for r in rows}
+    assert back == orig
+
+
+def test_rdfxml_render_wellformed(tiny_triples):
+    import xml.etree.ElementTree as ET
+
+    from gitprov_ray import serializers
+
+    sub = tiny_triples.head(300)
+    xml = serializers.to_rdfxml(sub)
+    root = ET.fromstring(xml)
+    assert root.tag.endswith("RDF")
+    n_desc = len(list(root))
+    assert n_desc == sub["subj"].nunique()
+    # every triple appears as one child element of its description
+    n_props = sum(len(list(d)) for d in root)
+    assert n_props == len(sub)
+    assert xml == serializers.to_rdfxml(sub)   # deterministic
+
+
+def test_jsonld_and_rdfjson_render(tiny_triples):
+    import json as _json
+
+    from gitprov_ray import serializers
+
+    sub = tiny_triples.head(200)
+    ld = _json.loads(serializers.to_jsonld(sub))
+    assert set(n["@id"] for n in ld["@graph"]) == set(sub["subj"].unique())
+    rj = _json.loads(serializers.to_rdfjson(sub))
+    n = sum(len(vals) for preds in rj.values() for vals in preds.values())
+    assert n == len(sub)
+
+
+def test_parse_dispatch(tiny_triples):
+    from gitprov_ray import serializers
+
+    sub = tiny_triples.head(50)
+    rows = serializers.parse(serializers.to_turtle(sub), "text/turtle")
+    assert len(rows) == len(sub)
+    with pytest.raises(ValueError):
+        serializers.parse("", "application/pdf")
+    # new formats route through serialize()
+    assert serializers.serialize(sub, "application/rdf+xml").startswith("<rdf:RDF")
+    assert serializers.serialize(sub, "text/n3").startswith("@prefix")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sparql_text_frontend(tiny_triples):
+    import ray.data as rd
+
+    from gitprov_ray import sparql_lite
+
+    ds = rd.from_pandas(tiny_triples)
+    q = """
+        PREFIX prov: <http://www.w3.org/ns/prov#>
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        SELECT DISTINCT ?act ?agent WHERE {
+            ?act prov:wasAssociatedWith ?agent .
+            ?act rdf:type prov:Activity .
+        } ORDER BY ?act ?agent
+    """
+    res = sparql_lite.select_text(ds, q)
+    # must equal the pre-parsed BGP API on the same patterns
+    ref = sparql_lite.select(
+        ds, patterns=[("?act", "prov:wasAssociatedWith", "?agent"),
+                      ("?act", "rdf:type", "prov:Activity")],
+        variables=["?act", "?agent"], distinct=True,
+        order_by=["?act", "?agent"])
+    assert res.reset_index(drop=True).equals(ref.sort_values(
+        ["act", "agent"]).reset_index(drop=True))
+    assert len(res) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sparql_text_filter_regex_limit(tiny_triples):
+    import ray.data as rd
+
+    from gitprov_ray import sparql_lite
+
+    ds = rd.from_pandas(tiny_triples)
+    q = """
+        SELECT ?s ?o WHERE {
+            ?s rdfs:label ?o .
+            FILTER (regex(?o, "^s"))
+            FILTER (?o != "snapshot")
+        } ORDER BY ?s LIMIT 5
+    """
+    res = sparql_lite.select_text(ds, q)
+    assert len(res) <= 5
+    assert all(str(o).startswith("s") for o in res["o"])
+
+
+def test_sparql_text_syntax_errors():
+    from gitprov_ray import sparql_lite
+
+    for bad in ("SELECT ?x { ?x ?p ?o", "FOO ?x WHERE { }",
+                "SELECT ?x WHERE { ?x ?p ?o . FILTER (?x ~ 3) }"):
+        with pytest.raises(sparql_lite.SparqlSyntaxError):
+            sparql_lite.parse_select(bad)
+
+
 def test_prov_json_render(tiny_corpus):
     import json
     from gitprov_ray import oracle, serializers
