@@ -10,9 +10,14 @@ prints ONE JSON line:
    "triples_per_sec": N}
 
 ``--scaling``: runs the headline pipeline in TWO fresh subprocesses
-(num_cpus=8 then num_cpus=32) on the same input — the sandbox stand-in for
-N vs 4N cluster nodes — and prints both throughputs plus the scaling
-efficiency ((t8/t32)/4; 1.0 = linear).
+(num_cpus=$GRAFT_SCALING_CPUS_LO=4 then $GRAFT_SCALING_CPUS_HI=16) on the
+same input — the sandbox stand-in for N vs 4N cluster nodes — and prints
+both throughputs plus the scaling efficiency ((t_lo/t_hi)/4; 1.0 = linear).
+4 vs 16 (not 8 vs 32) because the host has exactly 32 vCPUs: a 32-worker
+leg oversubscribes the box (driver + raylet + GCS share the same cores),
+so the high leg measures contention, not scaling. On a real N- vs 4N-node
+cluster every node brings its own cores/memory-bus/object store; 4-vs-16
+leaves that headroom while still measuring a true 4x worker ratio.
 
 The page cache is warmed with one untimed read so timings measure
 compute + shuffle, not first-touch disk I/O.
@@ -33,6 +38,8 @@ REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "10"))
 # --scaling uses a larger corpus so per-stage compute dominates the fixed
 # per-shuffle costs (the quantity the efficiency criterion is about)
 SCALING_REPEAT = int(os.environ.get("GRAFT_SCALING_REPEAT", "60"))
+SCALING_LO = int(os.environ.get("GRAFT_SCALING_CPUS_LO", "4"))
+SCALING_HI = int(os.environ.get("GRAFT_SCALING_CPUS_HI", "16"))
 
 
 def run_bench() -> dict:
@@ -126,15 +133,17 @@ def run_scaling() -> dict:
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = one(8), one(32)
+    lo, hi = one(SCALING_LO), one(SCALING_HI)
     t_lo, t_hi = lo["value"], hi["value"]
-    eff = (t_lo / t_hi) / (32 / 8)
+    eff = (t_lo / t_hi) / (SCALING_HI / SCALING_LO)
     return {
         "metric": "scaling_efficiency",
-        "sec_8": t_lo,
-        "sec_32": t_hi,
-        "triples_per_sec_8": lo["triples_per_sec"],
-        "triples_per_sec_32": hi["triples_per_sec"],
+        "cpus_lo": SCALING_LO,
+        "cpus_hi": SCALING_HI,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "triples_per_sec_lo": lo["triples_per_sec"],
+        "triples_per_sec_hi": hi["triples_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "sf": SF_DIR,
     }

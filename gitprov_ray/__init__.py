@@ -25,3 +25,14 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Parallelism is process-level in this engine: every Ray worker runs one
+# task at a time, so Arrow's INTERNAL thread pool (sized to all cores by
+# default) only oversubscribes the box — measured 13x CPU blowup in the
+# dedup-sort reduce at 32 concurrent tasks (1063 CPU-s vs 78 single-task).
+# Every worker imports this package to deserialize UDFs, so pinning here
+# reaches all of them; the driver process is pinned too (its kernels run
+# on tiny data).
+import pyarrow as _pa
+
+_pa.set_cpu_count(1)

@@ -323,59 +323,72 @@ def compact_from_triples(batch: pa.Table) -> pa.Table:
 _COMPACT_KEY = ["graph", "s_local", "pred_code", "obj_kind", "o_val"]
 
 
+def _concat(*parts):
+    """Element-wise string concat via the Arrow C++ kernel (the last
+    argument of binary_join_element_wise is the separator)."""
+    return pc.binary_join_element_wise(*parts, "")
+
+
 def add_compact_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
-    key = None
-    for c in ["graph", "s_local", "o_val"]:
-        s = batch.column(c).to_pandas().astype(str)
-        key = s if key is None else key + "\x1f" + s
-    key = key + "\x1f" + batch.column("pred_code").to_pandas().astype(str)
-    h = pd.util.hash_pandas_object(key, index=False).to_numpy() % num_buckets
+    """Stable bucket id per compact triple key. The join is an Arrow C++
+    kernel; only ONE materialized string column goes through the (stable,
+    fixed-key) pandas siphash — building per-column Python strings for the
+    key concat was a measured memory-churn hot spot at high concurrency."""
+    joined = pc.binary_join_element_wise(
+        batch.column("graph"), batch.column("s_local"),
+        batch.column("o_val"),
+        batch.column("pred_code").cast(pa.string()), "\x1f")
+    arr = joined.combine_chunks() if isinstance(joined, pa.ChunkedArray) else joined
+    h = pd.util.hash_array(arr.to_numpy(zero_copy_only=False)) % num_buckets
     return batch.append_column("bucket", pa.array(h.astype(np.int64),
                                                   type=pa.int64()))
 
 
+# pred lookup tables for the Arrow expansion: full URI per code ('' for the
+# graph-dependent gitprov codes) + local name per code ('' otherwise)
+_PRED_URI_LUT = pa.array(
+    [_PRED_URI.get(i, "") for i in range(len(_PRED_CURIES))], pa.string())
+_PRED_LOCAL_LUT = pa.array(
+    [_PRED_LOCAL.get(i, "") for i in range(len(_PRED_CURIES))], pa.string())
+_PRED_IS_LOCAL = pa.array(
+    [i in _PRED_LOCAL for i in range(len(_PRED_CURIES))], pa.bool_())
+
+
 def expand_compact(t: pa.Table) -> pa.Table:
-    """compact rows → full TRIPLES rows (vectorized URI expansion)."""
-    df = t.to_pandas()
-    gp = _GP_PREFIX + df["graph"] + "#"
-    subj = gp + df["s_local"]
-    codes = df["pred_code"]
-    pred = codes.map(_PRED_URI)
-    miss = pred.isna()
-    if miss.any():
-        pred.loc[miss] = gp[miss] + codes[miss].map(_PRED_LOCAL)
-    kind = df["obj_kind"]
-    obj = df["o_val"].copy()
-    m1 = kind.eq(1)
-    obj.loc[m1] = gp[m1] + df["o_val"][m1]
-    out = pd.DataFrame({
-        "subj": subj, "pred": pred, "obj": obj,
-        "obj_is_literal": kind.eq(0),
-        "obj_dtype": df["obj_dtype"], "graph": df["graph"]})
-    return pa.Table.from_pandas(out, schema=schemas.TRIPLES,
-                                preserve_index=False).replace_schema_metadata(None)
+    """compact rows → full TRIPLES rows. Pure Arrow C++ kernels (join /
+    take / if_else) — no pandas round trip, no Python string objects (the
+    reduce-side expansion runs once per output triple; object churn here
+    was the scaling bottleneck)."""
+    graph = t.column("graph")
+    gp = _concat(pa.scalar(_GP_PREFIX), graph, pa.scalar("#"))
+    subj = _concat(gp, t.column("s_local"))
+    codes = t.column("pred_code")
+    pred = pc.if_else(pc.take(_PRED_IS_LOCAL, codes),
+                      _concat(gp, pc.take(_PRED_LOCAL_LUT, codes)),
+                      pc.take(_PRED_URI_LUT, codes))
+    kind = t.column("obj_kind")
+    o_val = t.column("o_val")
+    obj = pc.if_else(pc.equal(kind, 1), _concat(gp, o_val), o_val)
+    return pa.table(
+        {"subj": subj, "pred": pred, "obj": obj,
+         "obj_is_literal": pc.equal(kind, 0),
+         "obj_dtype": t.column("obj_dtype"), "graph": graph},
+        schema=schemas.TRIPLES)
 
 
 def _dedup_expand_sort_group(t: pa.Table) -> pa.Table:
-    """One compact bucket → dedup on the compact key → expand URIs →
-    in-partition sort on the full triple key (same partition content and
-    order as the full-width exchange)."""
+    """One compact bucket → hash-distinct on the compact key (Arrow C++
+    group_by, no sort) → expand URIs (Arrow kernels) → ONE in-partition
+    sort on the full triple key (same partition content and order as the
+    full-width exchange). The earlier shape sorted twice (compact for
+    adjacency-dedup, then full) — half the sort work for the same rows."""
     if isinstance(t, pd.DataFrame):
         t = pa.Table.from_pandas(t, preserve_index=False).replace_schema_metadata(None)
     if "bucket" in t.column_names:
         t = t.drop_columns(["bucket"])
-    t = t.sort_by([(c, "ascending") for c in _COMPACT_KEY])
-    n = t.num_rows
-    if n > 1:
-        keep = None
-        for c in _COMPACT_KEY:
-            col = t.column(c).combine_chunks()
-            if c in ("pred_code", "obj_kind"):
-                col = col.cast(pa.int32())
-            neq = pc.not_equal(col.slice(1, n - 1), col.slice(0, n - 1))
-            keep = neq if keep is None else pc.or_(keep, neq)
-        mask = pa.chunked_array([pa.array([True]), keep]).combine_chunks()
-        t = t.filter(mask)
+    if t.num_rows > 1:
+        t = t.group_by(_COMPACT_KEY + ["obj_dtype"], use_threads=False) \
+             .aggregate([])
     full = expand_compact(t)
     return full.sort_by([(c, "ascending") for c in _KEY_COLS])
 
@@ -390,100 +403,139 @@ def dedup_triples_compact(triples_ds, num_buckets: int = 64):
         _dedup_expand_sort_group, batch_format="pyarrow")
 
 
+def _iso_arrow(ts) -> pa.Array:
+    """Vectorized Python-isoformat-compatible rendering of timestamp[us]:
+    no fractional part when microseconds are zero, 6 digits otherwise
+    (byte-identical to datetime.isoformat(), pinned by the twin tests)."""
+    if isinstance(ts, pa.ChunkedArray):
+        ts = ts.combine_chunks()
+    full = pc.strftime(ts, format="%Y-%m-%dT%H:%M:%S")  # %S carries .ffffff
+    us = pc.cast(ts, pa.int64())
+    frac = pc.not_equal(pc.subtract(us, pc.multiply(
+        pc.divide(us, 1_000_000), 1_000_000)), 0)
+    return pc.if_else(frac, full, pc.utf8_slice_codeunits(full, 0, 19))
+
+
 def flatten_batch_compact(batch: pa.Table) -> pa.Table:
     """STATEMENTS batch → COMPACT triple rows directly (statements already
     carry graph-local ids, so no URI is ever built pre-shuffle). Tested
-    equal to flatten_batch after expand_compact."""
+    equal to flatten_batch after expand_compact.
+
+    Structural rows are pure Arrow kernel work (filter / repeat / strftime
+    / hash-distinct) — the statements' id/subj/obj columns pass through
+    untouched; only the attrs JSON expansion iterates rows (with a
+    per-distinct-attrs parse cache)."""
     import json as _json
-    from datetime import datetime as _dt
 
     from ..prov import _ATTR_PRED, _INFLUENCE, _NODE_CLASS, _TIME_PRED
 
     if batch.num_rows == 0:
         return pa.Table.from_pylist([], schema=COMPACT_SCHEMA)
-    df = batch.to_pandas()
-    out: list[pd.DataFrame] = []
+    parts: list[pa.Table] = []
 
-    def frame(graph, s_local, code, kind, o_val, dtype=""):
-        out.append(pd.DataFrame({
-            "graph": graph, "s_local": s_local,
-            "pred_code": np.int8(code) if np.isscalar(code) else code,
-            "obj_kind": np.int8(kind), "o_val": o_val, "obj_dtype": dtype}))
-
-    def iso_series(ts: pd.Series) -> pd.Series:
-        return ts.map(lambda d: d.isoformat() if isinstance(d, _dt)
-                      else pd.Timestamp(d).to_pydatetime().isoformat())
-
-    def emit_attr_rows(sub: pd.DataFrame, node: pd.Series):
-        mask = sub["attrs"].ne("{}") & sub["attrs"].notna()
-        if not mask.any():
+    def tbl(graph, s_local, code, kind, o_val, dtype=""):
+        n = len(graph)
+        if n == 0:
             return
+        parts.append(pa.table({
+            "graph": graph,
+            "s_local": s_local,
+            "pred_code": pa.repeat(pa.scalar(code, pa.int8()), n),
+            "obj_kind": pa.repeat(pa.scalar(kind, pa.int8()), n),
+            "o_val": pa.repeat(pa.scalar(o_val), n)
+                     if isinstance(o_val, str) else o_val,
+            "obj_dtype": pa.repeat(pa.scalar(dtype), n),
+        }, schema=COMPACT_SCHEMA))
+
+    def emit_attr_rows(sub: pa.Table, node):
+        mask = pc.and_(pc.not_equal(sub.column("attrs"), "{}"),
+                       pc.is_valid(sub.column("attrs")))
+        if not pc.any(mask).as_py():
+            return
+        att = sub.filter(mask)
+        nd_arr = (node.filter(mask) if not isinstance(node, pa.Table)
+                  else node)
         rows = {"graph": [], "s_local": [], "pred_code": [], "obj_kind": [],
                 "o_val": [], "obj_dtype": []}
-        cache: dict[str, dict] = {}
-        for nd, attrs_json, gr in zip(node[mask], sub["attrs"][mask],
-                                      sub["graph"][mask]):
-            attrs = cache.get(attrs_json)
-            if attrs is None:
+        cache: dict[str, list] = {}
+        for nd, attrs_json, gr in zip(nd_arr.to_pylist(),
+                                      att.column("attrs").to_pylist(),
+                                      att.column("graph").to_pylist()):
+            items = cache.get(attrs_json)
+            if items is None:
                 attrs = _json.loads(attrs_json)
-                cache[attrs_json] = attrs
-            for pred, (val, dtype) in sorted(attrs.items()):
+                items = []
+                for pred, (val, dtype) in sorted(attrs.items()):
+                    if dtype == "@uri":
+                        items.append((_PRED_CODE[pred], 1, str(val), ""))
+                    else:
+                        items.append((_PRED_CODE[_ATTR_PRED.get(pred, pred)],
+                                      0, str(val), dtype))
+                cache[attrs_json] = items
+            for code, kind, val, dtype in items:
                 rows["graph"].append(gr)
                 rows["s_local"].append(nd)
-                if dtype == "@uri":
-                    rows["pred_code"].append(_PRED_CODE[pred])
-                    rows["obj_kind"].append(1)
-                    rows["o_val"].append(str(val))
-                    rows["obj_dtype"].append("")
-                else:
-                    rows["pred_code"].append(
-                        _PRED_CODE[_ATTR_PRED.get(pred, pred)])
-                    rows["obj_kind"].append(0)
-                    rows["o_val"].append(str(val))
-                    rows["obj_dtype"].append(dtype)
-        rows["pred_code"] = pd.Series(rows["pred_code"], dtype="int8")
-        rows["obj_kind"] = pd.Series(rows["obj_kind"], dtype="int8")
-        out.append(pd.DataFrame(rows))
+                rows["pred_code"].append(code)
+                rows["obj_kind"].append(kind)
+                rows["o_val"].append(val)
+                rows["obj_dtype"].append(dtype)
+        parts.append(pa.table({
+            "graph": pa.array(rows["graph"], pa.string()),
+            "s_local": pa.array(rows["s_local"], pa.string()),
+            "pred_code": pa.array(rows["pred_code"], pa.int8()),
+            "obj_kind": pa.array(rows["obj_kind"], pa.int8()),
+            "o_val": pa.array(rows["o_val"], pa.string()),
+            "obj_dtype": pa.array(rows["obj_dtype"], pa.string()),
+        }, schema=COMPACT_SCHEMA))
 
     TYPE = _PRED_CODE["rdf:type"]
-    for st, sub in df.groupby("stmt_type", sort=False):
-        g = sub["graph"]
+    stypes = pc.unique(batch.column("stmt_type")).to_pylist()
+    for st in stypes:
+        sub = batch.filter(pc.equal(batch.column("stmt_type"), st))
+        g = sub.column("graph")
         if st in _NODE_CLASS:
-            node = sub["subj"]
-            frame(g, node, TYPE, 2, prov.expand(_NODE_CLASS[st], ""))
+            node = sub.column("subj")
+            tbl(g, node, TYPE, 2, prov.expand(_NODE_CLASS[st], ""))
             if st in _TIME_PRED:
-                tm = sub["t"].notna()
-                if tm.any():
-                    frame(g[tm], node[tm], _PRED_CODE[_TIME_PRED[st]], 0,
-                          iso_series(sub["t"][tm]), "xsd:dateTime")
+                tsub = sub.filter(pc.is_valid(sub.column("t")))
+                if tsub.num_rows:
+                    tbl(tsub.column("graph"), tsub.column("subj"),
+                        _PRED_CODE[_TIME_PRED[st]], 0,
+                        _iso_arrow(tsub.column("t")), "xsd:dateTime")
             emit_attr_rows(sub, node)
         elif st == "specializationOf":
-            frame(g, sub["subj"], _PRED_CODE["prov:specializationOf"], 1,
-                  sub["obj"])
+            tbl(g, sub.column("subj"), _PRED_CODE["prov:specializationOf"],
+                1, sub.column("obj"))
         elif st in _INFLUENCE:
             direct, qpred, qcls, opred = _INFLUENCE[st]
-            subj, obj, node = sub["subj"], sub["obj"], sub["id"]
+            subj, obj, node = (sub.column("subj"), sub.column("obj"),
+                               sub.column("id"))
             if direct:
-                frame(g, subj, _PRED_CODE[direct], 1, obj)
-            frame(g, subj, _PRED_CODE[qpred], 1, node)
-            frame(g, node, TYPE, 2, prov.expand(qcls, ""))
-            frame(g, node, _PRED_CODE[opred], 1, obj)
-            sm = sub["secondary"].notna()
-            if sm.any():
-                frame(g[sm], node[sm], _PRED_CODE["prov:hadActivity"], 1,
-                      sub["secondary"][sm])
-            tm = sub["t"].notna()
-            if tm.any():
-                frame(g[tm], node[tm], _PRED_CODE["prov:atTime"], 0,
-                      iso_series(sub["t"][tm]), "xsd:dateTime")
+                tbl(g, subj, _PRED_CODE[direct], 1, obj)
+            tbl(g, subj, _PRED_CODE[qpred], 1, node)
+            tbl(g, node, TYPE, 2, prov.expand(qcls, ""))
+            tbl(g, node, _PRED_CODE[opred], 1, obj)
+            ssub = sub.filter(pc.is_valid(sub.column("secondary")))
+            if ssub.num_rows:
+                tbl(ssub.column("graph"), ssub.column("id"),
+                    _PRED_CODE["prov:hadActivity"], 1,
+                    ssub.column("secondary"))
+            tsub = sub.filter(pc.is_valid(sub.column("t")))
+            if tsub.num_rows:
+                tbl(tsub.column("graph"), tsub.column("id"),
+                    _PRED_CODE["prov:atTime"], 0,
+                    _iso_arrow(tsub.column("t")), "xsd:dateTime")
             emit_attr_rows(sub, node)
         else:  # pragma: no cover
             raise ValueError(f"unknown stmt_type {st!r}")
 
-    tri = pd.concat(out, ignore_index=True)
-    tri = tri.drop_duplicates(_COMPACT_KEY)
-    return pa.Table.from_pandas(tri, schema=COMPACT_SCHEMA,
-                                preserve_index=False).replace_schema_metadata(None)
+    tri = pa.concat_tables(parts)
+    # local pre-dedup (combiner): Arrow hash-distinct, no sort
+    if tri.num_rows > 1:
+        tri = tri.group_by(_COMPACT_KEY + ["obj_dtype"], use_threads=False) \
+                 .aggregate([])
+        tri = tri.select(COMPACT_SCHEMA.names).cast(COMPACT_SCHEMA)
+    return tri
 
 
 def statements_to_triples_compact(statements_ds, num_buckets: int = 64,
