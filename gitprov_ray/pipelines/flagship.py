@@ -99,15 +99,44 @@ def contributors_for_sf(sf_dir: str) -> list[dict]:
     return synth.contributors_for_sources(graphs).to_pylist()
 
 
+def canonicalize_triples(triples_ds, threshold: float = 0.7,
+                         num_buckets: int = 64):
+    """Opt-in entity-linking stage: cluster near-duplicate agent nodes
+    (distributed MinHash+LSH + label propagation,
+    linking.canonical_agent_map_ds), rewrite subj/obj to the canonical
+    URIs, and re-dedup (rewrites can collide rows).
+
+    The mapping (non-canonical agents only — a tiny slice of distinct
+    contributors) is collected and broadcast into the stateless rewrite;
+    the clustering itself never leaves the cluster."""
+    from .. import linking
+
+    mapping_df = linking.canonical_agent_map_ds(
+        triples_ds, threshold=threshold).to_pandas()
+    mapping = dict(zip(mapping_df["agent_uri"], mapping_df["canonical_uri"]))
+    if not mapping:
+        return triples_ds
+    rewritten = linking.rewrite_canonical(triples_ds, mapping)
+    return triples_stage.dedup_triples(rewritten, num_buckets=num_buckets)
+
+
 def flagship(sf_dir: str, num_buckets: int = 64, sort: bool = False,
-             repeat: int = 1, checkpoint: bool = True):
+             repeat: int = 1, checkpoint: bool = True,
+             canonicalize: bool = False):
     """documents-derived pages → final sorted deduped triples Dataset.
 
     ``checkpoint=False`` streams the whole DAG with no materialize barrier
     (the two revision consumers re-execute the parse; it parallelizes and
-    avoids a pipeline-wide stall — the right trade when not resuming)."""
+    avoids a pipeline-wide stall — the right trade when not resuming).
+    ``canonicalize=True`` adds the opt-in agent entity-linking stage
+    (cluster + rewrite + re-dedup)."""
     pages_ds = pages_from_documents(sf_dir, repeat=repeat)
     contributors = contributors_for_sf(sf_dir)
-    return triples_from_pages(pages_ds, contributors,
-                              num_buckets=num_buckets, sort=sort,
-                              checkpoint=checkpoint)
+    tri = triples_from_pages(pages_ds, contributors,
+                             num_buckets=num_buckets, sort=sort,
+                             checkpoint=checkpoint)
+    if canonicalize:
+        tri = canonicalize_triples(tri.materialize(), num_buckets=num_buckets)
+        if sort:
+            tri = triples_stage.sorted_triples(tri)
+    return tri

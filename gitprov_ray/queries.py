@@ -494,6 +494,176 @@ def q_topk_per_group(sf_dir: str):
             .sort(["c_mktsegment", "rk"]))
 
 
+def q_moving_sum_events(sf_dir: str):
+    """Sliding-window aggregate (O/ST-family): per-user 3-row moving sum
+    of value cents, ordered by (ts, event_id) — same bucketed per-key
+    shuffle as the version-lag stage, vectorized pandas rolling inside."""
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        k = df["user_id"].astype(str)
+        df["bucket"] = stable_bucket(k, k, 32)
+        return df
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cents = _cents(df["value"])
+        mv = (cents.groupby(df["user_id"], sort=False)
+              .rolling(3, min_periods=1).sum()
+              .reset_index(level=0, drop=True))
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "user_id": df["user_id"].to_numpy(),
+                             "mv_sum_cents": mv.astype("int64").to_numpy()})
+
+    return (ds.map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: roll(df.drop(columns=["bucket"])),
+                        batch_format="pandas")
+            .sort("event_id"))
+
+
+def q_nation_revenue_3way(sf_dir: str):
+    """Three-way join (J-family): orders ⋈ customer ⋈ nation → revenue per
+    nation. Both small sides broadcast once into the batch closure."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nat_of_cust = dict(zip(
+        cust["c_custkey"],
+        cust["c_nationkey"].map(dict(zip(nation["n_nationkey"],
+                                         nation["n_name"])))))
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"n_name": df["o_custkey"].map(nat_of_cust),
+                          "cents": _cents(df["o_totalprice"]), "n": 1})
+        return (g.groupby("n_name", sort=False)
+                .agg(sum_revenue_cents=("cents", "sum"), n_orders=("n", "sum"))
+                .reset_index())
+
+    return (ds.map_batches(f, batch_format="pandas")
+            .groupby("n_name")
+            .aggregate(Sum("sum_revenue_cents", alias_name="sum_revenue_cents"),
+                       Sum("n_orders", alias_name="n_orders"))
+            .sort("n_name"))
+
+
+def q_orders_by_month(sf_dir: str):
+    """Calendar-bucketed aggregate: orders and revenue per month."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        month = pd.to_datetime(df["o_orderdate"]).dt.to_period("M") \
+            .dt.to_timestamp()
+        g = pd.DataFrame({"month": month,
+                          "cents": _cents(df["o_totalprice"]), "n": 1})
+        return (g.groupby("month", sort=False)
+                .agg(n_orders=("n", "sum"), sum_cents=("cents", "sum"))
+                .reset_index())
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("month")
+            .aggregate(Sum("n_orders", alias_name="n_orders"),
+                       Sum("sum_cents", alias_name="sum_cents"))
+            .sort("month"))
+
+
+def q_distinct_users_per_type(sf_dir: str):
+    """COUNT(DISTINCT ...) per group, two-phase: per-batch distinct
+    (event_type, user_id) pairs (combiner), global pair distinct via a
+    hash aggregate, then a per-type count — the shuffle carries one row
+    per distinct pair per batch, never raw events."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    pairs = ds.map_batches(
+        lambda df: df.drop_duplicates(["event_type", "user_id"]),
+        batch_format="pandas")
+    distinct = pairs.groupby(["event_type", "user_id"]).aggregate(
+        Count(on="user_id", alias_name="__c"))
+    return (distinct.map_batches(lambda df: df[["event_type"]],
+                                 batch_format="pandas")
+            .groupby("event_type")
+            .aggregate(Count(on="event_type", alias_name="n_users"))
+            .sort("event_type"))
+
+
+def q_value_buckets(sf_dir: str):
+    """CASE-WHEN range bucketing (M-family): event counts per value band."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value")
+        band = pc.if_else(
+            pc.less(v, 10.0), "low",
+            pc.if_else(pc.less(v, 100.0), "mid", "high"))
+        return pa.table({"band": band})
+
+    out = ds.map_batches(partial, batch_format="pyarrow")
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("band", sort=False).size().reset_index(name="n")
+        return g
+
+    from ray.data.aggregate import Sum as _Sum
+
+    return (out.map_batches(count, batch_format="pandas")
+            .groupby("band").aggregate(_Sum("n", alias_name="n"))
+            .sort("band"))
+
+
+def q_part_brand_stats(sf_dir: str):
+    """Grouped min/max/sum over the part table (A-family over a table the
+    battery didn't touch yet)."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "part", ["p_brand", "p_size", "p_retailprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.assign(cents=_cents(df["p_retailprice"]), n=1)
+        return (g.groupby("p_brand", sort=False)
+                .agg(n_parts=("n", "sum"), min_size=("p_size", "min"),
+                     max_size=("p_size", "max"),
+                     sum_retail_cents=("cents", "sum"))
+                .reset_index())
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("p_brand")
+            .aggregate(Sum("n_parts", alias_name="n_parts"),
+                       Min("min_size", alias_name="min_size"),
+                       Max("max_size", alias_name="max_size"),
+                       Sum("sum_retail_cents", alias_name="sum_retail_cents"))
+            .sort("p_brand"))
+
+
+def q_union_tagged(sf_dir: str):
+    """UNION ALL (set-op family): high-value orders and negative-balance
+    customers as one tagged key stream."""
+    import pyarrow.compute as pc
+
+    hi = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table({
+            "kind": pa.repeat(pa.scalar("order"),
+                              len(t.filter(pc.greater(t["o_totalprice"],
+                                                      400000.0)))),
+            "key": t.filter(pc.greater(t["o_totalprice"], 400000.0))
+                    .column("o_orderkey"),
+        }),
+        batch_format="pyarrow")
+    neg = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        lambda t: pa.table({
+            "kind": pa.repeat(pa.scalar("customer"),
+                              len(t.filter(pc.less(t["c_acctbal"], 0.0)))),
+            "key": t.filter(pc.less(t["c_acctbal"], 0.0)).column("c_custkey"),
+        }),
+        batch_format="pyarrow")
+    return hi.union(neg).sort(["kind", "key"])
+
+
 def q_sparql_select(sf_dir: str):
     """SPARQL query-STRING front-end (the reference's ad-hoc query surface,
     SparqlService.java:22-31): the documents table rendered as RDF triples,
@@ -567,6 +737,13 @@ QUERIES = {
     "q_topk_per_group": q_topk_per_group,
     "q_ann_ivf_topk": q_ann_ivf_topk,
     "q_sparql_select": q_sparql_select,
+    "q_moving_sum_events": q_moving_sum_events,
+    "q_nation_revenue_3way": q_nation_revenue_3way,
+    "q_orders_by_month": q_orders_by_month,
+    "q_distinct_users_per_type": q_distinct_users_per_type,
+    "q_value_buckets": q_value_buckets,
+    "q_part_brand_stats": q_part_brand_stats,
+    "q_union_tagged": q_union_tagged,
 }
 
 
@@ -693,6 +870,56 @@ ORACLE_SQL = {
                                                o.o_orderkey) AS rk
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
         WHERE rk <= 2 ORDER BY c_mktsegment, rk
+    """,
+    "q_moving_sum_events": """
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(ROUND(value*100) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS mv_sum_cents
+        FROM events ORDER BY event_id
+    """,
+    "q_nation_revenue_3way": """
+        SELECT n.n_name,
+               CAST(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS BIGINT)
+                   AS sum_revenue_cents,
+               COUNT(*) AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY n.n_name
+    """,
+    "q_orders_by_month": """
+        SELECT date_trunc('month', o_orderdate) AS month,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM orders GROUP BY date_trunc('month', o_orderdate) ORDER BY month
+    """,
+    "q_distinct_users_per_type": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "q_value_buckets": """
+        SELECT CASE WHEN value < 10 THEN 'low'
+                    WHEN value < 100 THEN 'mid' ELSE 'high' END AS band,
+               COUNT(*) AS n
+        FROM events GROUP BY band ORDER BY band
+    """,
+    "q_part_brand_stats": """
+        SELECT p_brand, COUNT(*) AS n_parts,
+               MIN(p_size) AS min_size, MAX(p_size) AS max_size,
+               CAST(SUM(CAST(ROUND(p_retailprice*100) AS BIGINT)) AS BIGINT)
+                   AS sum_retail_cents
+        FROM part GROUP BY p_brand ORDER BY p_brand
+    """,
+    "q_union_tagged": """
+        SELECT 'order' AS kind, o_orderkey AS key FROM orders
+        WHERE o_totalprice > 400000
+        UNION ALL
+        SELECT 'customer' AS kind, c_custkey AS key FROM customer
+        WHERE c_acctbal < 0
+        ORDER BY kind, key
     """,
     "q_sparql_select": """
         SELECT 'http://docs.example/doc/' || CAST(doc_id AS VARCHAR) AS d,

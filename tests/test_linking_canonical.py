@@ -137,3 +137,35 @@ def test_rewrite_canonical_rewrites_subj_and_obj(ray_session):
     assert set(out.subj) == {"A"}
     assert list(out[out.obj_is_literal].obj) == ["lit"]  # literals untouched
     assert "A" in set(out[~out.obj_is_literal].obj)
+
+
+def test_flagship_canonicalize_stage(ray_session):
+    """Opt-in flagship canonicalization: rewritten graph has no triples
+    mentioning a non-canonical agent URI, stays deduplicated, and equals
+    rewrite_canonical+dedup applied manually."""
+    from gitprov_ray import linking
+    from gitprov_ray.pipelines import flagship
+
+    tri = flagship.flagship("/root/testdata/sf0.001", num_buckets=8).materialize()
+    mapping_df = linking.canonical_agent_map_ds(tri, threshold=0.7).to_pandas()
+    mapping = dict(zip(mapping_df["agent_uri"], mapping_df["canonical_uri"]))
+    assert mapping, "expected near-duplicate agents in the fixture corpus"
+
+    canon = flagship.canonicalize_triples(tri, threshold=0.7, num_buckets=8) \
+        .to_pandas()
+    # no non-canonical agent URI survives anywhere
+    gone = set(mapping)
+    assert not (canon["subj"].isin(gone)).any()
+    assert not (canon[~canon["obj_is_literal"]]["obj"].isin(gone)).any()
+    # still exactly deduplicated
+    assert not canon.duplicated(["graph", "subj", "pred", "obj"]).any()
+    # equals the manual rewrite + dedup
+    base = tri.to_pandas()
+    base["subj"] = base["subj"].map(lambda u: mapping.get(u, u))
+    m = ~base["obj_is_literal"]
+    base.loc[m, "obj"] = base.loc[m, "obj"].map(lambda u: mapping.get(u, u))
+    expect = set(map(tuple, base[["graph", "subj", "pred", "obj"]]
+                     .drop_duplicates().itertuples(index=False)))
+    got = set(map(tuple, canon[["graph", "subj", "pred", "obj"]]
+                  .itertuples(index=False)))
+    assert got == expect
