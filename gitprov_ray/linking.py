@@ -264,6 +264,10 @@ def min_label_components(pairs_ds, a_col="a", b_col="b", max_rounds: int = 10,
 
     node_t = _pa_type_of(edges.take(1)[0]["node"])
     label_schema = pa.schema([("node", node_t), ("label", node_t)])
+    # normalize the edge blocks too: zero-row blocks pass through map
+    # UDFs untouched (wrong/absent columns) and break join partitions
+    edges = materialize_normalized(
+        edges, pa.schema([("node", node_t), ("nbr", node_t)]))
 
     nodes = (edges.map_batches(lambda df: df[["node"]].drop_duplicates(),
                                batch_format="pandas")
@@ -373,11 +377,24 @@ def ngram_jaccard_pairs(docs_ds, id_col="doc_id", text_col="text",
     Scale path: candidate pairs are hash-joined to the documents table on
     each endpoint (two shuffle joins) so only candidate docs' texts ever
     move — the corpus is never collected to the driver."""
-    from .ops import _default_partitions
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from .ops import _default_partitions, _pa_type_of, materialize_normalized
 
     P = _default_partitions()
     cand = minhash_candidate_pairs(docs_ds, id_col, text_col,
-                                   threshold=0.5).select_columns(["a", "b"])
+                                   threshold=0.5).materialize()
+    sample = cand.take(1)
+    if not sample:
+        return rd.from_pandas(pd.DataFrame({
+            "a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+            "jaccard": pd.Series(dtype="float64")}))
+    idt = _pa_type_of(sample[0]["a"])
+    # pin block schemas before the joins (zero-row pass-through blocks
+    # carry the pre-projection schema and break join partitions)
+    cand = materialize_normalized(cand, pa.schema([("a", idt), ("b", idt)]))
     docs = docs_ds.select_columns([id_col, text_col])
     da = docs.map_batches(
         lambda df: df.rename(columns={id_col: "a", text_col: "text_a"}),

@@ -555,19 +555,24 @@ def q_orders_by_month(sf_dir: str):
     ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # us precision: DuckDB's date_trunc lands in pandas as datetime64[us]
         month = pd.to_datetime(df["o_orderdate"]).dt.to_period("M") \
-            .dt.to_timestamp()
+            .dt.to_timestamp().astype("datetime64[us]")
         g = pd.DataFrame({"month": month,
                           "cents": _cents(df["o_totalprice"]), "n": 1})
         return (g.groupby("month", sort=False)
                 .agg(n_orders=("n", "sum"), sum_cents=("cents", "sum"))
                 .reset_index())
 
-    return (ds.map_batches(partial, batch_format="pandas")
-            .groupby("month")
-            .aggregate(Sum("n_orders", alias_name="n_orders"),
-                       Sum("sum_cents", alias_name="sum_cents"))
-            .sort("month"))
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("month")
+           .aggregate(Sum("n_orders", alias_name="n_orders"),
+                      Sum("sum_cents", alias_name="sum_cents"))
+           .sort("month")
+           .to_pandas())           # bounded: one row per calendar month
+    # Ray's pandas conversion upcasts to ns; pin DuckDB's us convention
+    out["month"] = out["month"].astype("datetime64[us]")
+    return out
 
 
 def q_distinct_users_per_type(sf_dir: str):
@@ -625,11 +630,15 @@ def q_part_brand_stats(sf_dir: str):
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.assign(cents=_cents(df["p_retailprice"]), n=1)
-        return (g.groupby("p_brand", sort=False)
-                .agg(n_parts=("n", "sum"), min_size=("p_size", "min"),
-                     max_size=("p_size", "max"),
-                     sum_retail_cents=("cents", "sum"))
-                .reset_index())
+        out = (g.groupby("p_brand", sort=False)
+               .agg(n_parts=("n", "sum"), min_size=("p_size", "min"),
+                    max_size=("p_size", "max"),
+                    sum_retail_cents=("cents", "sum"))
+               .reset_index())
+        # pin int64: p_size is int32 in parquet; the oracle CASTs to BIGINT
+        for c in ("min_size", "max_size"):
+            out[c] = out[c].astype("int64")
+        return out
 
     return (ds.map_batches(partial, batch_format="pandas")
             .groupby("p_brand")
@@ -908,7 +917,8 @@ ORACLE_SQL = {
     """,
     "q_part_brand_stats": """
         SELECT p_brand, COUNT(*) AS n_parts,
-               MIN(p_size) AS min_size, MAX(p_size) AS max_size,
+               CAST(MIN(p_size) AS BIGINT) AS min_size,
+               CAST(MAX(p_size) AS BIGINT) AS max_size,
                CAST(SUM(CAST(ROUND(p_retailprice*100) AS BIGINT)) AS BIGINT)
                    AS sum_retail_cents
         FROM part GROUP BY p_brand ORDER BY p_brand

@@ -48,8 +48,8 @@ def test_query_matches_oracle(name, con):
     for c in a.columns:
         av, bv = a[c], b[c]
         # driver-strict: the value hash is dtype-sensitive (int64 5 vs
-        # float64 5.0 mismatch), so pin dtype KIND equality engine↔oracle
-        assert av.dtype.kind == bv.dtype.kind, \
+        # float64 5.0; datetime ns vs us), so pin EXACT dtype equality
+        assert str(av.dtype) == str(bv.dtype), \
             f"{c}: engine {av.dtype} vs oracle {bv.dtype}"
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             assert np.allclose(av.astype(float), bv.astype(float),
