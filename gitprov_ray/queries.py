@@ -673,6 +673,38 @@ def q_union_tagged(sf_dir: str):
     return hi.union(neg).sort(["kind", "key"])
 
 
+def q_json_extract_stats(sf_dir: str):
+    """Semi-structured field extraction (M-family; webtext pipelines carry
+    JSON sidecar columns): pull props.k out of the JSON string column,
+    vectorized, and aggregate per event_type."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = (df["props"].str.extract(r'"k":\s*(-?\d+)', expand=False)
+             .astype("float64").fillna(0).astype("int64"))
+        g = pd.DataFrame({"event_type": df["event_type"], "k": k})
+        return (g.groupby("event_type", sort=False)["k"].sum()
+                .reset_index(name="sum_k"))
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("event_type")
+            .aggregate(Sum("sum_k", alias_name="sum_k"))
+            .sort("event_type"))
+
+
+def q_regex_extract_docs(sf_dir: str):
+    """Vectorized regex extraction over document text (text-analysis op):
+    first >=6-letter lowercase word per document."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["text"].fillna("").str.extract(r"([a-z]{6,})", expand=False) \
+            .fillna("")
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "w": w})
+
+    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+
+
 def q_sparql_select(sf_dir: str):
     """SPARQL query-STRING front-end (the reference's ad-hoc query surface,
     SparqlService.java:22-31): the documents table rendered as RDF triples,
@@ -753,6 +785,8 @@ QUERIES = {
     "q_value_buckets": q_value_buckets,
     "q_part_brand_stats": q_part_brand_stats,
     "q_union_tagged": q_union_tagged,
+    "q_json_extract_stats": q_json_extract_stats,
+    "q_regex_extract_docs": q_regex_extract_docs,
 }
 
 
@@ -930,6 +964,16 @@ ORACLE_SQL = {
         SELECT 'customer' AS kind, c_custkey AS key FROM customer
         WHERE c_acctbal < 0
         ORDER BY kind, key
+    """,
+    "q_json_extract_stats": """
+        SELECT event_type,
+               CAST(SUM(COALESCE(CAST(json_extract_string(props, '$.k')
+                                      AS BIGINT), 0)) AS BIGINT) AS sum_k
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "q_regex_extract_docs": r"""
+        SELECT doc_id, regexp_extract(COALESCE(text, ''), '[a-z]{6,}') AS w
+        FROM documents ORDER BY doc_id
     """,
     "q_sparql_select": """
         SELECT 'http://docs.example/doc/' || CAST(doc_id AS VARCHAR) AS d,
