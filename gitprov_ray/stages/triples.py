@@ -403,6 +403,33 @@ def dedup_triples_compact(triples_ds, num_buckets: int = 64):
         _dedup_expand_sort_group, batch_format="pyarrow")
 
 
+_LABEL_PAT = r'^\{"prov:label": \["(?P<lab>.*)", "xsd:string"\]\}$'
+_ACT_PAT = (r'^\{"foaf:homepage": \["(?P<url>.*)", "xsd:anyURI"\], '
+            r'"prov:label": \["(?P<lab>.*)", "xsd:string"\]\}$')
+_DERIV_PAT = (r'^\{"gitprov:additions": \[(?P<a>-?\d+), "xsd:int"\], '
+              r'"gitprov:changes": \[(?P<c>-?\d+), "xsd:int"\], '
+              r'"gitprov:deletions": \[(?P<d>-?\d+), "xsd:int"\], '
+              r'"prov:hadGeneration": \["(?P<g>[^"\\\\]*)", "@uri"\], '
+              r'"prov:hadUsage": \["(?P<u>[^"\\\\]*)", "@uri"\]\}$')
+_ROLE_CONST = '{"prov:role": ["authorship", "xsd:string"]}'
+
+
+def _json_unescape(arr: pa.Array) -> pa.Array:
+    """Undo JSON string escaping on regex-captured values. Vector fast
+    path: rows without a backslash are already exact; only rows containing
+    one go through json.loads (rare — control chars / quotes in labels)."""
+    import json as _json
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    has = pc.not_equal(pc.find_substring(arr, pattern="\\"), -1)
+    if not pc.any(has).as_py():
+        return arr
+    vals = [(_json.loads('"%s"' % v) if "\\" in v else v)
+            for v in arr.to_pylist()]
+    return pa.array(vals, pa.string())
+
+
 def _iso_arrow(ts) -> pa.Array:
     """Vectorized Python-isoformat-compatible rendering of timestamp[us]:
     no fractional part when microseconds are zero, 6 digits otherwise
@@ -447,14 +474,9 @@ def flatten_batch_compact(batch: pa.Table) -> pa.Table:
             "obj_dtype": pa.repeat(pa.scalar(dtype), n),
         }, schema=COMPACT_SCHEMA))
 
-    def emit_attr_rows(sub: pa.Table, node):
-        mask = pc.and_(pc.not_equal(sub.column("attrs"), "{}"),
-                       pc.is_valid(sub.column("attrs")))
-        if not pc.any(mask).as_py():
-            return
-        att = sub.filter(mask)
-        nd_arr = (node.filter(mask) if not isinstance(node, pa.Table)
-                  else node)
+    def attr_rows_loop(att: pa.Table, nd_arr):
+        """Generic per-row attrs expansion (agents + any non-template rows)
+        with a per-distinct-attrs parse cache."""
         rows = {"graph": [], "s_local": [], "pred_code": [], "obj_kind": [],
                 "o_val": [], "obj_dtype": []}
         cache: dict[str, list] = {}
@@ -488,6 +510,61 @@ def flatten_batch_compact(batch: pa.Table) -> pa.Table:
             "obj_dtype": pa.array(rows["obj_dtype"], pa.string()),
         }, schema=COMPACT_SCHEMA))
 
+    def emit_attr_rows(sub: pa.Table, node, st: str = ""):
+        """Attrs expansion: vectorized fast paths for the fixed-template
+        statement kinds (regex field extraction via pc.extract_regex — the
+        per-row loop was 68% of flatten CPU), generic loop otherwise."""
+        mask = pc.and_(pc.not_equal(sub.column("attrs"), "{}"),
+                       pc.is_valid(sub.column("attrs")))
+        if not pc.any(mask).as_py():
+            return
+        att = sub.filter(mask)
+        nd_arr = node.filter(mask)
+        attrs_col = att.column("attrs").combine_chunks()
+
+        if st in ("entity", "base_entity"):
+            ex = pc.extract_regex(attrs_col, pattern=_LABEL_PAT)
+            hit = pc.is_valid(ex)
+            if pc.all(hit).as_py():
+                tbl(att.column("graph"), nd_arr,
+                    _PRED_CODE["rdfs:label"], 0,
+                    _json_unescape(pc.struct_field(ex, "lab")), "xsd:string")
+                return
+        elif st == "activity":
+            ex = pc.extract_regex(attrs_col, pattern=_ACT_PAT)
+            hit = pc.is_valid(ex)
+            if pc.all(hit).as_py():
+                g = att.column("graph")
+                tbl(g, nd_arr, _PRED_CODE["foaf:homepage"], 0,
+                    _json_unescape(pc.struct_field(ex, "url")), "xsd:anyURI")
+                tbl(g, nd_arr, _PRED_CODE["rdfs:label"], 0,
+                    _json_unescape(pc.struct_field(ex, "lab")), "xsd:string")
+                return
+        elif st == "wasAssociatedWith":
+            if pc.all(pc.equal(attrs_col, _ROLE_CONST)).as_py():
+                tbl(att.column("graph"), nd_arr, _PRED_CODE["prov:role"], 0,
+                    "authorship", "xsd:string")
+                return
+        elif st == "wasDerivedFrom":
+            ex = pc.extract_regex(attrs_col, pattern=_DERIV_PAT)
+            hit = pc.is_valid(ex)
+            if pc.all(hit).as_py():
+                g = att.column("graph")
+                # json-sorted key order: additions, changes, deletions,
+                # hadGeneration, hadUsage (ids are hex/ints: no escapes)
+                tbl(g, nd_arr, _PRED_CODE["gitprov:additions"], 0,
+                    pc.struct_field(ex, "a"), "xsd:int")
+                tbl(g, nd_arr, _PRED_CODE["gitprov:changes"], 0,
+                    pc.struct_field(ex, "c"), "xsd:int")
+                tbl(g, nd_arr, _PRED_CODE["gitprov:deletions"], 0,
+                    pc.struct_field(ex, "d"), "xsd:int")
+                tbl(g, nd_arr, _PRED_CODE["prov:hadGeneration"], 1,
+                    pc.struct_field(ex, "g"), "")
+                tbl(g, nd_arr, _PRED_CODE["prov:hadUsage"], 1,
+                    pc.struct_field(ex, "u"), "")
+                return
+        attr_rows_loop(att, nd_arr)
+
     TYPE = _PRED_CODE["rdf:type"]
     stypes = pc.unique(batch.column("stmt_type")).to_pylist()
     for st in stypes:
@@ -502,7 +579,7 @@ def flatten_batch_compact(batch: pa.Table) -> pa.Table:
                     tbl(tsub.column("graph"), tsub.column("subj"),
                         _PRED_CODE[_TIME_PRED[st]], 0,
                         _iso_arrow(tsub.column("t")), "xsd:dateTime")
-            emit_attr_rows(sub, node)
+            emit_attr_rows(sub, node, st)
         elif st == "specializationOf":
             tbl(g, sub.column("subj"), _PRED_CODE["prov:specializationOf"],
                 1, sub.column("obj"))
@@ -525,7 +602,7 @@ def flatten_batch_compact(batch: pa.Table) -> pa.Table:
                 tbl(tsub.column("graph"), tsub.column("id"),
                     _PRED_CODE["prov:atTime"], 0,
                     _iso_arrow(tsub.column("t")), "xsd:dateTime")
-            emit_attr_rows(sub, node)
+            emit_attr_rows(sub, node, st)
         else:  # pragma: no cover
             raise ValueError(f"unknown stmt_type {st!r}")
 
