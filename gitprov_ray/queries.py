@@ -673,6 +673,22 @@ def q_union_tagged(sf_dir: str):
     return hi.union(neg).sort(["kind", "key"])
 
 
+def q_hash_sample_docs(sf_dir: str):
+    """Deterministic systematic sample (O-family sampling, SURVEY.md §2.6):
+    keep every doc whose id ≡ 3 (mod 10). Seeded-random sampling exists
+    via ds.random_sample(f, seed=...); the modulus form is the
+    oracle-checkable deterministic variant (same rows on every run and
+    every worker layout)."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(
+            pc.subtract(t["doc_id"],
+                        pc.multiply(pc.divide(t["doc_id"], 10), 10)), 3)),
+        batch_format="pyarrow").sort("doc_id")
+
+
 def q_json_extract_stats(sf_dir: str):
     """Semi-structured field extraction (M-family; webtext pipelines carry
     JSON sidecar columns): pull props.k out of the JSON string column,
@@ -787,6 +803,7 @@ QUERIES = {
     "q_union_tagged": q_union_tagged,
     "q_json_extract_stats": q_json_extract_stats,
     "q_regex_extract_docs": q_regex_extract_docs,
+    "q_hash_sample_docs": q_hash_sample_docs,
 }
 
 
@@ -964,6 +981,10 @@ ORACLE_SQL = {
         SELECT 'customer' AS kind, c_custkey AS key FROM customer
         WHERE c_acctbal < 0
         ORDER BY kind, key
+    """,
+    "q_hash_sample_docs": """
+        SELECT doc_id, n_chars FROM documents
+        WHERE doc_id % 10 = 3 ORDER BY doc_id
     """,
     "q_json_extract_stats": """
         SELECT event_type,

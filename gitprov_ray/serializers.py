@@ -336,7 +336,12 @@ def _ns_prefix_map(triples: pd.DataFrame) -> dict[str, str]:
 
 def _xml_esc(s: str, attr: bool = False) -> str:
     s = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-    return s.replace('"', "&quot;") if attr else s
+    # \r is normalized to \n by conforming XML parsers unless char-escaped;
+    # in attributes \n and \t are normalized to spaces too
+    s = s.replace("\r", "&#13;")
+    if attr:
+        s = s.replace('"', "&quot;").replace("\n", "&#10;").replace("\t", "&#9;")
+    return s
 
 
 def to_rdfxml(triples: pd.DataFrame) -> str:

@@ -70,3 +70,55 @@ def test_ntriples_roundtrip_arbitrary_literals(vals):
     text = serializers.to_ntriples(df)
     back = serializers.parse_ntriples(text)
     assert sorted(r["obj"] for r in back) == sorted(vals)
+
+
+@given(st.lists(st.text(min_size=0, max_size=30), min_size=0, max_size=15))
+@settings(max_examples=100, deadline=None)
+def test_turtle_roundtrip_arbitrary_literals(vals):
+    import pandas as pd
+
+    from gitprov_ray import serializers
+
+    rows = [{"subj": f"https://gitprov.example/graph/g#s{i}",
+             "pred": "http://www.w3.org/2000/01/rdf-schema#label",
+             "obj": v, "obj_is_literal": True, "obj_dtype": "xsd:string",
+             "graph": "g"} for i, v in enumerate(vals)]
+    df = pd.DataFrame(rows, columns=["subj", "pred", "obj", "obj_is_literal",
+                                     "obj_dtype", "graph"])
+    text = serializers.to_turtle(df)
+    back = serializers.parse_turtle(text)
+    assert sorted(r["obj"] for r in back if r["obj_is_literal"]) == sorted(vals)
+
+
+@given(st.lists(st.text(min_size=0, max_size=30), min_size=1, max_size=10))
+@settings(max_examples=100, deadline=None)
+def test_rdfxml_wellformed_arbitrary_literals(vals):
+    import xml.etree.ElementTree as ET
+
+    import pandas as pd
+
+    from gitprov_ray import serializers
+
+    # XML 1.0 cannot carry most control chars at all — skip those values
+    vals = ["".join(c for c in v if ord(c) >= 0x20 or c in "\t\n\r")
+            for v in vals]
+    rows = [{"subj": f"https://gitprov.example/graph/g#s{i}",
+             "pred": "http://www.w3.org/2000/01/rdf-schema#label",
+             "obj": v, "obj_is_literal": True, "obj_dtype": "xsd:string",
+             "graph": "g"} for i, v in enumerate(vals)]
+    df = pd.DataFrame(rows, columns=["subj", "pred", "obj", "obj_is_literal",
+                                     "obj_dtype", "graph"])
+    root = ET.fromstring(serializers.to_rdfxml(df))
+    labels = [el.text or "" for d in root for el in d]
+    assert sorted(labels) == sorted(vals)
+
+
+@given(st.text(max_size=120))
+@settings(max_examples=200, deadline=None)
+def test_sparql_parser_never_crashes_unexpectedly(q):
+    from gitprov_ray import sparql_lite
+
+    try:
+        sparql_lite.parse_select(q)
+    except sparql_lite.SparqlSyntaxError:
+        pass            # the one sanctioned failure mode for garbage input
