@@ -2,12 +2,22 @@
 
 Binary payloads are opaque ``binary`` columns with typed metadata; every
 stage is an actor-pool ``map_batches`` callable class (codec/model loaded
-once per actor in ``__init__``). The image/audio codec libraries are NOT in
-this container, so the decode kernels are STUBS: by default they raise
-``NotImplementedError`` naming the missing dependency; with
-``deterministic_fake=True`` they produce seeded deterministic fakes so the
-Ray-side plumbing (schemas, batch sizing, actor signatures, output layout)
-is real and tested end-to-end.
+once per actor in ``__init__``).
+
+REAL kernels (pure numpy / stdlib — no external codec needed):
+  * PPM/PGM (binary netpbm P6/P5) decode, nearest-neighbor resize and
+    pooled-grid feature extraction — the uncompressed image family;
+  * WAV (PCM) decode via the stdlib ``wave`` module → duration, RMS,
+    zero-crossing rate and a windowed-RMS-envelope embedding;
+  * frame sampling over concatenated-PPM streams (the
+    ``ffmpeg -f image2pipe -vcodec ppm`` pipe format).
+
+Compressed codecs (JPEG/PNG/MP4/...) are NOT in this container, so those
+paths are STUBS: by default they raise ``NotImplementedError`` naming the
+missing dependency; with ``deterministic_fake=True`` they produce seeded
+deterministic fakes so the Ray-side plumbing (schemas, batch sizing, actor
+signatures, output layout) is exercised end-to-end regardless of payload
+format.
 
 Batch-size guidance: payload columns dominate memory — size ``batch_size``
 so batch_bytes × concurrency fits the worker heap (a 1 MiB-mean image
@@ -17,6 +27,7 @@ column wants batch_size ≲ 64 with 8 actors on a 4 GiB heap).
 from __future__ import annotations
 
 import hashlib
+import io
 
 import numpy as np
 import pyarrow as pa
@@ -34,39 +45,157 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+# ---------------------------------------------------------------------------
+# real codecs (uncompressed formats, numpy/stdlib only)
+# ---------------------------------------------------------------------------
+
+def parse_ppm(b: bytes):
+    """Binary netpbm → (array HxWxC uint8, header_len). P6 (RGB) and P5
+    (gray, C=1). Returns None if not a binary netpbm payload."""
+    if len(b) < 2 or b[:1] != b"P" or b[1:2] not in (b"5", b"6"):
+        return None
+    channels = 3 if b[1:2] == b"6" else 1
+    # header: magic, width, height, maxval — whitespace separated, with
+    # optional '#' comments
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3 and i < len(b):
+        while i < len(b) and b[i] in b" \t\r\n":
+            i += 1
+        if i < len(b) and b[i:i + 1] == b"#":
+            while i < len(b) and b[i] not in b"\r\n":
+                i += 1
+            continue
+        j = i
+        while j < len(b) and b[j] not in b" \t\r\n":
+            j += 1
+        try:
+            fields.append(int(b[i:j]))
+        except ValueError:
+            return None
+        i = j
+    if len(fields) < 3 or fields[2] > 255:
+        return None
+    i += 1                                # single whitespace after maxval
+    w, h = fields[0], fields[1]
+    n = w * h * channels
+    if i + n > len(b):
+        return None
+    arr = np.frombuffer(b, dtype=np.uint8, count=n, offset=i)
+    return arr.reshape(h, w, channels), i + n
+
+
+def render_ppm(arr: np.ndarray) -> bytes:
+    """HxWxC uint8 → binary netpbm bytes (P6 for C=3, P5 for C=1)."""
+    h, w, c = arr.shape
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def resize_nearest(arr: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Nearest-neighbor resize via numpy fancy indexing (vectorized)."""
+    sh, sw = arr.shape[0], arr.shape[1]
+    rows = np.minimum((np.arange(h) * sh) // h, sh - 1)
+    cols = np.minimum((np.arange(w) * sw) // w, sw - 1)
+    return arr[rows][:, cols]
+
+
+def image_grid_features(arr: np.ndarray, grid: int = 8) -> np.ndarray:
+    """Pooled-grid intensity embedding: grayscale → grid×grid mean-pooled
+    cells, flattened and scaled to [0,1] (float32, grid² dims)."""
+    gray = arr.mean(axis=2, dtype=np.float64)
+    pooled = resize_nearest(gray[..., None], grid, grid)[..., 0]
+    return (pooled / 255.0).astype(np.float32).reshape(-1)
+
+
+def parse_wav(b: bytes):
+    """WAV bytes → (samples float32 in [-1,1] first channel, sample_rate)
+    via the stdlib wave module; None if not parseable PCM."""
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(b)) as w:
+            rate = w.getframerate()
+            nch = w.getnchannels()
+            width = w.getsampwidth()
+            frames = w.readframes(w.getnframes())
+    except Exception:
+        return None
+    if width == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        return None
+    if nch > 1:
+        x = x[::nch]
+    return x, rate
+
+
+def audio_envelope_features(x: np.ndarray, dim: int = 16) -> np.ndarray:
+    """Windowed RMS envelope over `dim` equal windows (float32)."""
+    if len(x) == 0:
+        return np.zeros(dim, dtype=np.float32)
+    n = len(x)
+    edges = (np.arange(dim + 1) * n) // dim
+    out = np.empty(dim, dtype=np.float32)
+    for i in range(dim):
+        seg = x[edges[i]: max(edges[i + 1], edges[i] + 1)]
+        out[i] = np.sqrt(np.mean(seg * seg))
+    return out
+
+
+def iter_ppm_stream(b: bytes):
+    """Yield (array, offset) for each frame of a concatenated-PPM stream
+    (the ffmpeg image2pipe/ppm pipe format)."""
+    pos = 0
+    while pos < len(b):
+        parsed = parse_ppm(b[pos:])
+        if parsed is None:
+            return
+        arr, consumed = parsed
+        yield arr, pos
+        pos += consumed
+
+
 def _fake_floats(seed_bytes: bytes, n: int) -> np.ndarray:
     h = hashlib.sha256(seed_bytes).digest()
     rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
     return rng.rand(n).astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# actor-pool stages
+# ---------------------------------------------------------------------------
+
 class ImageDecode:
-    """payload → decoded dims + channel stats. Real decode needs Pillow —
-    stubbed; fake mode derives deterministic dims/stats from payload bytes."""
+    """payload → dims + channel stats. REAL for binary netpbm (P5/P6);
+    compressed formats need Pillow (stubbed) or ``deterministic_fake``."""
 
     def __init__(self, deterministic_fake: bool = False):
         self.fake = deterministic_fake
-        if not self.fake:
-            try:
-                import PIL.Image  # noqa: F401
-                self.pil = True
-            except ImportError:
-                self.pil = False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake and not getattr(self, "pil", False):
-            raise NotImplementedError(
-                "image decode requires Pillow (not installed); "
-                "pass deterministic_fake=True for the plumbing path")
         ids, widths, heights, means = [], [], [], []
         for mid, payload in zip(batch.column("media_id").to_pylist(),
                                 batch.column("payload").to_pylist()):
             b = payload or b""
-            f = _fake_floats(b, 3)
+            parsed = parse_ppm(b)
+            if parsed is not None:
+                arr, _ = parsed
+                widths.append(arr.shape[1])
+                heights.append(arr.shape[0])
+                means.append(float(arr.mean()) / 255.0)
+            elif self.fake:
+                f = _fake_floats(b, 3)
+                widths.append(int(16 + (len(b) % 1024)))
+                heights.append(int(16 + (len(b) % 768)))
+                means.append(float(f.mean()))
+            else:
+                raise NotImplementedError(
+                    "compressed image decode requires Pillow (not "
+                    "installed); use netpbm payloads or deterministic_fake")
             ids.append(mid)
-            widths.append(int(16 + (len(b) % 1024)))
-            heights.append(int(16 + (len(b) % 768)))
-            means.append(float(f.mean()))
         return pa.table({
             "media_id": pa.array(ids, pa.string()),
             "width": pa.array(widths, pa.int32()),
@@ -76,7 +205,8 @@ class ImageDecode:
 
 
 class ImageResize:
-    """payload → resized payload (stub: deterministic truncation fake)."""
+    """payload → resized payload. REAL nearest-neighbor resize for netpbm;
+    compressed formats stubbed (fake = sha256 placeholder)."""
 
     def __init__(self, target: tuple[int, int] = (224, 224),
                  deterministic_fake: bool = False):
@@ -84,15 +214,19 @@ class ImageResize:
         self.fake = deterministic_fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "image resize requires Pillow (not installed); "
-                "pass deterministic_fake=True for the plumbing path")
         w, h = self.target
         out = []
         for payload in batch.column("payload").to_pylist():
             b = payload or b""
-            out.append(hashlib.sha256(b + f"{w}x{h}".encode()).digest())
+            parsed = parse_ppm(b)
+            if parsed is not None:
+                out.append(render_ppm(resize_nearest(parsed[0], w, h)))
+            elif self.fake:
+                out.append(hashlib.sha256(b + f"{w}x{h}".encode()).digest())
+            else:
+                raise NotImplementedError(
+                    "compressed image resize requires Pillow (not "
+                    "installed); use netpbm payloads or deterministic_fake")
         return pa.table({
             "media_id": batch.column("media_id"),
             "payload": pa.array(out, pa.binary()),
@@ -102,46 +236,112 @@ class ImageResize:
 
 
 class FeatureExtract:
-    """payload → embedding list<float32> (model stub; fake = seeded)."""
+    """payload → embedding list<float32>. REAL pooled-grid features for
+    netpbm images (grid² dims); otherwise a model stub (fake = seeded)."""
 
     def __init__(self, dim: int = 64, deterministic_fake: bool = False):
         self.dim = dim
+        self.grid = max(1, int(np.sqrt(dim)))
         self.fake = deterministic_fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "feature extraction requires a vision model (none installed); "
-                "pass deterministic_fake=True for the plumbing path")
-        embs = [_fake_floats(p or b"", self.dim).tolist()
-                for p in batch.column("payload").to_pylist()]
+        embs = []
+        for p in batch.column("payload").to_pylist():
+            b = p or b""
+            parsed = parse_ppm(b)
+            if parsed is not None:
+                e = image_grid_features(parsed[0], self.grid)
+                if len(e) < self.dim:
+                    e = np.pad(e, (0, self.dim - len(e)))
+                embs.append(e[: self.dim].tolist())
+            elif self.fake:
+                embs.append(_fake_floats(b, self.dim).tolist())
+            else:
+                raise NotImplementedError(
+                    "feature extraction for compressed formats requires a "
+                    "vision model (none installed); use netpbm payloads or "
+                    "deterministic_fake")
         return pa.table({
             "media_id": batch.column("media_id"),
             "embedding": pa.array(embs, pa.list_(pa.float32())),
         })
 
 
+class AudioFeatures:
+    """WAV payload → duration_ms, rms, zero-crossing rate and a windowed
+    RMS-envelope embedding. REAL via the stdlib wave module; non-WAV
+    payloads stubbed (fake = seeded)."""
+
+    def __init__(self, env_dim: int = 16, deterministic_fake: bool = False):
+        self.env_dim = env_dim
+        self.fake = deterministic_fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, durs, rmss, zcrs, envs = [], [], [], [], []
+        for mid, p in zip(batch.column("media_id").to_pylist(),
+                          batch.column("payload").to_pylist()):
+            b = p or b""
+            parsed = parse_wav(b)
+            if parsed is not None:
+                x, rate = parsed
+                durs.append(int(len(x) * 1000 / max(rate, 1)))
+                rmss.append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+                zcrs.append(float(np.mean(np.abs(np.diff(np.signbit(x)))))
+                            if len(x) > 1 else 0.0)
+                envs.append(audio_envelope_features(x, self.env_dim).tolist())
+            elif self.fake:
+                f = _fake_floats(b, self.env_dim + 3)
+                durs.append(int(f[0] * 60_000))
+                rmss.append(float(f[1]))
+                zcrs.append(float(f[2]))
+                envs.append(f[3:].tolist())
+            else:
+                raise NotImplementedError(
+                    "compressed audio decode requires an audio codec (none "
+                    "installed); use WAV payloads or deterministic_fake")
+            ids.append(mid)
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "duration_ms": pa.array(durs, pa.int32()),
+            "rms": pa.array(rmss, pa.float32()),
+            "zcr": pa.array(zcrs, pa.float32()),
+            "envelope": pa.array(envs, pa.list_(pa.float32())),
+        })
+
+
 class FrameSample:
-    """video payload → k evenly-spaced frame payloads (stub fake: sliced
-    digests). Output is exploded (one row per sampled frame)."""
+    """video payload → k evenly-spaced frames. REAL for concatenated-PPM
+    streams (ffmpeg image2pipe/ppm); container formats stubbed (fake =
+    sliced digests). Output is exploded (one row per sampled frame)."""
 
     def __init__(self, k: int = 4, deterministic_fake: bool = False):
         self.k = k
         self.fake = deterministic_fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "video frame sampling requires an av codec (none installed); "
-                "pass deterministic_fake=True for the plumbing path")
         ids, idxs, frames = [], [], []
         for mid, payload in zip(batch.column("media_id").to_pylist(),
                                 batch.column("payload").to_pylist()):
             b = payload or b""
-            for i in range(self.k):
-                ids.append(mid)
-                idxs.append(i)
-                frames.append(hashlib.sha256(b + bytes([i])).digest())
+            parsed = list(iter_ppm_stream(b))
+            if parsed:
+                n = len(parsed)
+                picks = sorted({(i * n) // self.k for i in range(self.k)}) \
+                    if n >= 1 else []
+                for fi, pick in enumerate(picks):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    frames.append(render_ppm(parsed[pick][0]))
+            elif self.fake:
+                for i in range(self.k):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(hashlib.sha256(b + bytes([i])).digest())
+            else:
+                raise NotImplementedError(
+                    "video container demux requires an av codec (none "
+                    "installed); use concatenated-PPM streams or "
+                    "deterministic_fake")
         return pa.table({
             "media_id": pa.array(ids, pa.string()),
             "frame_idx": pa.array(idxs, pa.int32()),
@@ -149,25 +349,63 @@ class FrameSample:
         })
 
 
+# ---------------------------------------------------------------------------
+# synthetic corpora + pipelines
+# ---------------------------------------------------------------------------
+
+def _synth_ppm(seed: int, w: int = 24, h: int = 18) -> bytes:
+    rng = np.random.RandomState(seed)
+    return render_ppm(rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+                      .astype(np.uint8))
+
+
+def _synth_wav(seed: int, ms: int = 250, rate: int = 8000) -> bytes:
+    import wave
+
+    rng = np.random.RandomState(seed)
+    n = rate * ms // 1000
+    t = np.arange(n) / rate
+    freq = 200 + (seed % 10) * 60
+    x = (0.5 * np.sin(2 * np.pi * freq * t)
+         + 0.1 * rng.randn(n)).clip(-1, 1)
+    pcm = (x * 32767).astype("<i2").tobytes()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(rate)
+        wv.writeframes(pcm)
+    return buf.getvalue()
+
+
+def _synth_ppm_stream(seed: int, frames: int = 6) -> bytes:
+    return b"".join(_synth_ppm(seed * 100 + i, w=16, h=12)
+                    for i in range(frames))
+
+
 def synth_media_table(n: int = 32, seed: int = 42) -> pa.Table:
-    """Deterministic fake media corpus for plumbing tests."""
+    """Deterministic media corpus with REAL payloads: netpbm images, PCM
+    WAV audio, concatenated-PPM video streams."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
-        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (1 + i % 7)
+        if kind == "image":
+            payload, mime = _synth_ppm(seed + i), "image/x-portable-pixmap"
+        elif kind == "audio":
+            payload, mime = _synth_wav(seed + i), "audio/wav"
+        else:
+            payload, mime = _synth_ppm_stream(seed + i), "video/x-ppm-stream"
         rows.append({
             "media_id": f"m{i}", "kind": kind, "payload": payload,
-            "mime": {"image": "image/png", "audio": "audio/wav",
-                     "video": "video/mp4"}[kind],
-            "width": -1, "height": -1, "duration_ms": -1,
+            "mime": mime, "width": -1, "height": -1, "duration_ms": -1,
         })
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
 
 def image_pipeline(media_ds, concurrency=(1, 4), batch_size=16,
-                   deterministic_fake=True):
-    """Actor-pool pipeline: filter images → decode → features. The small
-    batch_size is deliberate: binary payload columns dominate memory."""
+                   deterministic_fake=False):
+    """Actor-pool pipeline: filter images → features. The small batch_size
+    is deliberate: binary payload columns dominate memory."""
     import pyarrow.compute as pc
 
     imgs = media_ds.map_batches(
@@ -177,3 +415,30 @@ def image_pipeline(media_ds, concurrency=(1, 4), batch_size=16,
         FeatureExtract, fn_constructor_kwargs={"deterministic_fake": deterministic_fake},
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
     return feats
+
+
+def audio_pipeline(media_ds, concurrency=(1, 4), batch_size=16,
+                   deterministic_fake=False):
+    """Actor-pool pipeline: filter audio → WAV features."""
+    import pyarrow.compute as pc
+
+    auds = media_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "audio")),
+        batch_format="pyarrow")
+    return auds.map_batches(
+        AudioFeatures, fn_constructor_kwargs={"deterministic_fake": deterministic_fake},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+
+
+def video_pipeline(media_ds, k: int = 4, concurrency=(1, 4), batch_size=8,
+                   deterministic_fake=False):
+    """Actor-pool pipeline: filter video → frame sample (exploded)."""
+    import pyarrow.compute as pc
+
+    vids = media_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "video")),
+        batch_format="pyarrow")
+    return vids.map_batches(
+        FrameSample, fn_constructor_kwargs={"k": k,
+                                            "deterministic_fake": deterministic_fake},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)

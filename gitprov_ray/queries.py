@@ -428,14 +428,39 @@ def q_sessionize(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    """Multimodal plumbing: synthetic media corpus -> actor-pool feature
-    extraction (stubbed codec, deterministic fake). Rows-only check."""
+    """Multimodal: synthetic netpbm image corpus -> actor-pool REAL decode
+    + pooled-grid feature extraction (pure-numpy codec; compressed formats
+    are the documented stub). Rows-only check."""
     import ray.data as rd
     from . import multimodal
 
     media = rd.from_arrow(multimodal.synth_media_table(48))
-    feats = multimodal.image_pipeline(media, deterministic_fake=True)
+    feats = multimodal.image_pipeline(media)
     return feats.select_columns(["media_id"]).sort("media_id")
+
+
+def q_media_audio_stats(sf_dir: str):
+    """Multimodal audio: REAL WAV decode (stdlib) -> duration/RMS/ZCR per
+    clip via an actor pool. Rows-only (integer duration is the stable
+    column)."""
+    import ray.data as rd
+    from . import multimodal
+
+    media = rd.from_arrow(multimodal.synth_media_table(48))
+    out = multimodal.audio_pipeline(media)
+    return out.select_columns(["media_id", "duration_ms"]).sort("media_id")
+
+
+def q_media_video_frames(sf_dir: str):
+    """Multimodal video: REAL frame sampling over concatenated-PPM streams
+    (exploded rows). Rows-only."""
+    import ray.data as rd
+    from . import multimodal
+
+    media = rd.from_arrow(multimodal.synth_media_table(24))
+    out = multimodal.video_pipeline(media, k=2)
+    return out.select_columns(["media_id", "frame_idx"]) \
+        .sort(["media_id", "frame_idx"])
 
 
 def kg_canonical_agents(sf_dir: str):
@@ -789,6 +814,8 @@ QUERIES = {
     "q_catalog_search": q_catalog_search,
     "q_sessionize": q_sessionize,
     "q_media_features": q_media_features,
+    "q_media_audio_stats": q_media_audio_stats,
+    "q_media_video_frames": q_media_video_frames,
     "kg_canonical_agents": kg_canonical_agents,
     "q_source_counts_salted": q_source_counts_salted,
     "q_topk_per_group": q_topk_per_group,
