@@ -168,42 +168,62 @@ def parse_ntriples(text: str) -> list[dict]:
 # PROV-N-lite document serializer (statement-level, category-major order O2)
 # ---------------------------------------------------------------------------
 
+def _provn_attrs(s: dict) -> str:
+    """PROV-N optional-attributes block: ``, [pred="val" %% dtype, ...]``
+    (sorted by pred; @uri values as qualified names). Empty attrs → ''."""
+    if not s.get("attrs") or s["attrs"] == "{}":
+        return ""
+    attrs = json.loads(s["attrs"])
+    parts = []
+    for pred, (val, dtype) in sorted(attrs.items()):
+        if dtype == "@uri":
+            parts.append(f"{pred}='gitprov:{val}'")
+        elif dtype == "xsd:string":
+            parts.append(f'{pred}={json.dumps(str(val), ensure_ascii=False)}')
+        else:
+            parts.append(f'{pred}={json.dumps(str(val), ensure_ascii=False)}'
+                         f" %% {dtype}")
+    return ", [" + ", ".join(parts) + "]"
+
+
 def to_provn(statements: list[dict]) -> str:
-    """PROV-N-flavored text document. Statements are emitted in the
-    reference's category-major order (ProvenanceService.java:202-212) with a
-    deterministic (id, subj, obj) order within category — divergence from
-    the reference's insertion order within category, documented (triple
-    P/R unaffected; this is a text rendering)."""
+    """PROV-N text document with full attribute rendering. Statements are
+    emitted in the reference's category-major order
+    (ProvenanceService.java:202-212) with a deterministic (id, subj, obj)
+    order within category — divergence from the reference's insertion
+    order within category, documented (triple P/R unaffected; this is a
+    text rendering)."""
     rows = sorted(statements, key=lambda s: (
         s["stmt_rank"], s["id"] or "", s["subj"] or "", s["obj"] or ""))
     out = ["document"]
     for s in rows:
         t = s["stmt_type"]
+        a = _provn_attrs(s)
         args = {
-            "activity": lambda: f"activity(gitprov:{s['id']}, {_t(s)}, -)",
-            "agent": lambda: f"agent(gitprov:{s['id']})",
-            "entity": lambda: f"entity(gitprov:{s['id']})",
-            "base_entity": lambda: f"entity(gitprov:{s['id']})",
+            "activity": lambda: f"activity(gitprov:{s['id']}, {_t(s)}, -{a})",
+            "agent": lambda: f"agent(gitprov:{s['id']}{a})",
+            "entity": lambda: f"entity(gitprov:{s['id']}{a})",
+            "base_entity": lambda: f"entity(gitprov:{s['id']}{a})",
             "specializationOf": lambda: (
                 f"specializationOf(gitprov:{s['subj']}, gitprov:{s['obj']})"),
             "wasAssociatedWith": lambda: (
                 f"wasAssociatedWith(gitprov:{s['id']}; gitprov:{s['subj']}, "
-                f"gitprov:{s['obj']}, -)"),
+                f"gitprov:{s['obj']}, -{a})"),
             "wasGeneratedBy": lambda: (
                 f"wasGeneratedBy(gitprov:{s['id']}; gitprov:{s['subj']}, "
-                f"gitprov:{s['obj']}, {_t(s)})"),
+                f"gitprov:{s['obj']}, {_t(s)}{a})"),
             "wasInvalidatedBy": lambda: (
                 f"wasInvalidatedBy(gitprov:{s['id']}; gitprov:{s['subj']}, "
-                f"gitprov:{s['obj']}, {_t(s)})"),
+                f"gitprov:{s['obj']}, {_t(s)}{a})"),
             "used": lambda: (
                 f"used(gitprov:{s['id']}; gitprov:{s['subj']}, "
-                f"gitprov:{s['obj']}, {_t(s)})"),
+                f"gitprov:{s['obj']}, {_t(s)}{a})"),
             "wasInformedBy": lambda: (
                 f"wasInformedBy(gitprov:{s['id']}; gitprov:{s['subj']}, "
-                f"gitprov:{s['obj']})"),
+                f"gitprov:{s['obj']}{a})"),
             "wasDerivedFrom": lambda: (
                 f"wasDerivedFrom(gitprov:{s['id']}; gitprov:{s['subj']}, "
-                f"gitprov:{s['obj']}, gitprov:{s['secondary']}, -, -)"),
+                f"gitprov:{s['obj']}, gitprov:{s['secondary']}, -, -{a})"),
         }[t]()
         out.append("  " + args)
     out.append("endDocument")

@@ -94,6 +94,96 @@ def select(triples_ds, patterns: list[tuple], variables: list[str] | None = None
     return result.reset_index(drop=True)
 
 
+def _match_pattern_ds(triples_ds, s, p, o, graph):
+    """Pattern → Dataset of variable bindings (distributed; no driver
+    materialization)."""
+    var_cols = [(term[1:], col) for term, col in
+                ((s, "subj"), (p, "pred"), (o, "obj")) if _is_var(term)]
+
+    def f(t):
+        m = None
+
+        def conj(cond):
+            nonlocal m
+            m = cond if m is None else pc.and_(m, cond)
+
+        if graph is not None:
+            conj(pc.equal(t["graph"], graph))
+        if not _is_var(s):
+            conj(pc.equal(t["subj"], _expand_term(s, graph)))
+        if not _is_var(p):
+            conj(pc.equal(t["pred"], _expand_term(p, graph)))
+        if not _is_var(o):
+            conj(pc.equal(t["obj"], _expand_term(o, graph)))
+        sel = t if m is None else t.filter(m)
+        import pyarrow as pa
+
+        return pa.table({v: sel.column(col) for v, col in var_cols}) \
+            if var_cols else sel.select([])
+
+    return triples_ds.map_batches(f, batch_format="pyarrow"), \
+        [v for v, _ in var_cols]
+
+
+def select_distributed(triples_ds, patterns: list[tuple],
+                       variables: list[str] | None = None,
+                       graph: str | None = None, distinct: bool = False,
+                       order_by: list[str] | None = None,
+                       limit: int | None = None):
+    """Distributed BGP execution: per-pattern vectorized scans stay
+    Datasets, shared variables join via the bucketed hash join
+    (`Dataset.join`) — the J5 scale path when bindings are too large for a
+    driver-side merge (the reference delegates the same job to Jena's
+    iterator joins, SparqlService.java:22-31). Returns a Dataset of
+    bindings; cross joins (no shared variable) are rejected — stage the
+    query so each new pattern shares a variable with the accumulated ones.
+    """
+    from .ops import _default_partitions
+
+    P = _default_partitions()
+    result = None
+    bound: list[str] = []
+    for s, p, o in patterns:
+        part, vars_ = _match_pattern_ds(triples_ds, s, p, o, graph)
+        if result is None:
+            result, bound = part, vars_
+            continue
+        shared = [v for v in bound if v in vars_]
+        if not shared:
+            raise ValueError(
+                "select_distributed requires every pattern to share a "
+                "variable with the previous ones (no distributed cross "
+                "join); reorder the BGP or use the driver-side select()")
+        result = result.join(part, "inner", P, on=tuple(shared))
+        bound = bound + [v for v in vars_ if v not in bound]
+    if result is None:
+        import pandas as _pd
+
+        import ray.data as rd
+
+        return rd.from_pandas(_pd.DataFrame())
+    if distinct:
+        keys = [v.lstrip("?") for v in (variables or bound)]
+        result = result.map_batches(
+            lambda df, k=tuple(keys): df[list(k)].drop_duplicates(),
+            batch_format="pandas")
+        from ray.data.aggregate import Count
+
+        result = (result.groupby(keys)
+                  .aggregate(Count(on=keys[0], alias_name="__c"))
+                  .map_batches(lambda df, k=tuple(keys): df[list(k)],
+                               batch_format="pandas"))
+    elif variables:
+        result = result.map_batches(
+            lambda df, k=tuple(v.lstrip("?") for v in variables): df[list(k)],
+            batch_format="pandas")
+    if order_by:
+        result = result.sort([v.lstrip("?") for v in order_by])
+    if limit is not None:
+        result = result.limit(limit)
+    return result
+
+
 def ask(triples_ds, patterns, graph=None) -> bool:
     return len(select(triples_ds, patterns, graph=graph, limit=1)) > 0
 

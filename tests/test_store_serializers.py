@@ -255,3 +255,36 @@ def test_prov_json_render(tiny_corpus):
     assert "activity" in doc and "agent" in doc
     # deterministic
     assert serializers.to_prov_json(stmts) == serializers.to_prov_json(stmts)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sparql_distributed_matches_driver(tiny_triples):
+    """The distributed BGP join path must produce the same bindings as the
+    driver-side merge."""
+    import ray.data as rd
+
+    from gitprov_ray import sparql_lite
+
+    ds = rd.from_pandas(tiny_triples)
+    patterns = [("?act", "prov:wasAssociatedWith", "?agent"),
+                ("?act", "rdf:type", "prov:Activity")]
+    drv = sparql_lite.select(ds, patterns, variables=["?act", "?agent"],
+                             distinct=True)
+    dist = sparql_lite.select_distributed(
+        ds, patterns, variables=["?act", "?agent"], distinct=True).to_pandas()
+    a = set(map(tuple, drv[["act", "agent"]].itertuples(index=False)))
+    b = set(map(tuple, dist[["act", "agent"]].itertuples(index=False)))
+    assert a == b and len(a) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sparql_distributed_rejects_cross_join(tiny_triples):
+    import ray.data as rd
+
+    from gitprov_ray import sparql_lite
+
+    ds = rd.from_pandas(tiny_triples)
+    with pytest.raises(ValueError):
+        sparql_lite.select_distributed(
+            ds, [("?a", "rdf:type", "prov:Activity"),
+                 ("?b", "rdf:type", "prov:Agent")]).to_pandas()
