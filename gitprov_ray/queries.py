@@ -698,6 +698,68 @@ def q_union_tagged(sf_dir: str):
     return hi.union(neg).sort(["kind", "key"])
 
 
+def q_string_ops(sf_dir: str):
+    """Vectorized scalar string functions (§2.8 battery): upper, substr,
+    length, concat over customer names — Arrow C++ kernels end to end."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+
+    def f(t: pa.Table) -> pa.Table:
+        name = t.column("c_name")
+        return pa.table({
+            "c_custkey": t.column("c_custkey"),
+            "name_upper": pc.utf8_upper(name),
+            "name_prefix": pc.utf8_slice_codeunits(name, 0, 8),
+            "name_len": pc.utf8_length(name).cast(pa.int64()),
+            "tag": pc.binary_join_element_wise(
+                t.column("c_mktsegment"), name, ":"),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow").sort("c_custkey")
+
+
+def q_rollup_revenue(sf_dir: str):
+    """Two-level rollup (GROUPING SETS composition): revenue per
+    (c_mktsegment, o_orderstatus) plus per-segment subtotals and a grand
+    total, as a union of three grouped aggregates — the distributed
+    re-expression of ROLLUP."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_of = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderstatus", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"seg": df["o_custkey"].map(seg_of),
+                          "status": df["o_orderstatus"],
+                          "cents": _cents(df["o_totalprice"])})
+        return (g.groupby(["seg", "status"], sort=False)["cents"].sum()
+                .reset_index(name="sum_cents"))
+
+    detail = (ds.map_batches(partial, batch_format="pandas")
+              .groupby(["seg", "status"])
+              .aggregate(Sum("sum_cents", alias_name="sum_cents")))
+
+    def to_subtotal(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("seg", sort=False)["sum_cents"].sum()
+                .reset_index().assign(status="ALL")
+                [["seg", "status", "sum_cents"]])
+
+    def to_total(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"seg": ["ALL"], "status": ["ALL"],
+                             "sum_cents": [df["sum_cents"].sum()]})
+
+    sub = (detail.map_batches(to_subtotal, batch_format="pandas")
+           .groupby("seg").aggregate(Sum("sum_cents", alias_name="sum_cents"))
+           .map_batches(lambda df: df.assign(status="ALL")
+                        [["seg", "status", "sum_cents"]],
+                        batch_format="pandas"))
+    total = (detail.map_batches(to_total, batch_format="pandas")
+             .groupby(["seg", "status"])
+             .aggregate(Sum("sum_cents", alias_name="sum_cents")))
+    return detail.union(sub).union(total).sort(["seg", "status"])
+
+
 def q_hash_sample_docs(sf_dir: str):
     """Deterministic systematic sample (O-family sampling, SURVEY.md §2.6):
     keep every doc whose id ≡ 3 (mod 10). Seeded-random sampling exists
@@ -831,6 +893,8 @@ QUERIES = {
     "q_json_extract_stats": q_json_extract_stats,
     "q_regex_extract_docs": q_regex_extract_docs,
     "q_hash_sample_docs": q_hash_sample_docs,
+    "q_string_ops": q_string_ops,
+    "q_rollup_revenue": q_rollup_revenue,
 }
 
 
@@ -1008,6 +1072,22 @@ ORACLE_SQL = {
         SELECT 'customer' AS kind, c_custkey AS key FROM customer
         WHERE c_acctbal < 0
         ORDER BY kind, key
+    """,
+    "q_string_ops": """
+        SELECT c_custkey, upper(c_name) AS name_upper,
+               substr(c_name, 1, 8) AS name_prefix,
+               CAST(length(c_name) AS BIGINT) AS name_len,
+               c_mktsegment || ':' || c_name AS tag
+        FROM customer ORDER BY c_custkey
+    """,
+    "q_rollup_revenue": """
+        SELECT COALESCE(c.c_mktsegment, 'ALL') AS seg,
+               COALESCE(o.o_orderstatus, 'ALL') AS status,
+               CAST(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY ROLLUP (c.c_mktsegment, o.o_orderstatus)
+        ORDER BY seg, status
     """,
     "q_hash_sample_docs": """
         SELECT doc_id, n_chars FROM documents

@@ -124,7 +124,7 @@ def _vec_frames(df: pd.DataFrame) -> list[pd.DataFrame]:
     import json as _json
     from datetime import datetime as _dt
 
-    from ..prov import PREFIXES, _ATTR_PRED, _INFLUENCE, _NODE_CLASS, _TIME_PRED, expand
+    from ..prov import _ATTR_PRED, _INFLUENCE, _NODE_CLASS, _TIME_PRED, expand
 
     out: list[pd.DataFrame] = []
     gp = _GP_PREFIX + df["graph"] + "#"

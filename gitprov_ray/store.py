@@ -23,7 +23,6 @@ import shutil
 import uuid
 
 import pyarrow.dataset as pads
-import pyarrow.parquet as pq
 
 logger = logging.getLogger(__name__)
 
