@@ -142,10 +142,18 @@ def explode_bands(df: pd.DataFrame, id_col: str) -> pd.DataFrame:
 
 
 def bucket_pairs(df: pd.DataFrame, id_col: str, threshold: float,
-                 max_bucket: int = 200) -> pd.DataFrame:
+                 max_bucket: int = 200, band_idx: int | None = None
+                 ) -> pd.DataFrame:
     """One LSH bucket → candidate pairs with estimated Jaccard (fraction of
     equal signature components). Deterministic: ids sorted, a < b. Works
-    for integer or string ids (dtype preserved)."""
+    for integer or string ids (dtype preserved).
+
+    ``band_idx``: emit-once dedup — a pair is emitted only by the FIRST
+    band in which its two signatures fully match, so the global pair set
+    needs no second dedup shuffle (both docs' full signatures are in every
+    matching bucket, making the lower-band check local). Under max_bucket
+    truncation an earlier band may have truncated the pair away — the
+    documented corner of the truncation cap (logged, not silent)."""
     df = df.sort_values(id_col).drop_duplicates(id_col)
     n = len(df)
     empty = pd.DataFrame({"a": df[id_col].head(0),
@@ -161,11 +169,18 @@ def bucket_pairs(df: pd.DataFrame, id_col: str, threshold: float,
         n = max_bucket
     ids = df[id_col].to_numpy()
     sigs = np.stack([np.asarray(s) for s in df["sig"]])
+    r = _K // _BANDS
     rows_a, rows_b, est = [], [], []
     for i in range(n):
-        eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+        eqc = sigs[i + 1:] == sigs[i]            # (n-i-1, K) component equality
+        eq = eqc.mean(axis=1)
         hit = np.nonzero(eq >= threshold)[0]
         for j in hit:
+            if band_idx is not None and band_idx > 0:
+                # first fully-matching band decides the emitting bucket
+                bands_eq = eqc[j].reshape(_BANDS, r).all(axis=1)
+                if bands_eq[:band_idx].any():
+                    continue
             rows_a.append(ids[i])
             rows_b.append(ids[i + 1 + j])
             est.append(float(eq[j]))
@@ -183,8 +198,10 @@ def minhash_candidate_pairs(docs_ds, id_col="doc_id", text_col="text",
     pipeline: map_batches(signatures) → map_batches(explode bands)
             → groupby(hash(band_key) % B).map_groups(per-band pairs,
               vectorized pandas groupby inside the bucket — NOT one Ray
-              group per band, which would mean one Python call per band)
-            → groupby(hash(a,b) % B) dedup (drop_duplicates per bucket).
+              group per band, which would mean one Python call per band).
+    ONE shuffle total: a pair is emitted only by its FIRST fully-matching
+    band (the lower-band check is local because full signatures travel
+    with every band row), so no second pair-dedup exchange is needed.
     """
     sigs = docs_ds.map_batches(
         lambda df: signature_batch(df, id_col, text_col), batch_format="pandas")
@@ -198,29 +215,17 @@ def minhash_candidate_pairs(docs_ds, id_col="doc_id", text_col="text",
         return df
 
     def bucket_group(df: pd.DataFrame) -> pd.DataFrame:
-        outs = [bucket_pairs(g, id_col, threshold)
-                for _, g in df.groupby("band_key", sort=True)]
+        outs = [bucket_pairs(g, id_col, threshold,
+                             band_idx=int(key.split(":", 1)[0]))
+                for key, g in df.groupby("band_key", sort=True)]
         outs = [o for o in outs if len(o)]
         if not outs:
             return bucket_pairs(df.head(0), id_col, threshold)
         return pd.concat(outs, ignore_index=True).drop_duplicates(["a", "b"])
 
-    pairs = (bands.map_batches(add_bucket, batch_format="pandas")
-             .groupby("bucket")
-             .map_groups(lambda df: bucket_group(df.drop(columns=["bucket"])),
-                         batch_format="pandas"))
-
-    def add_pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        h = (pd.util.hash_array(df["a"].to_numpy(dtype=object))
-             ^ pd.util.hash_array(df["b"].to_numpy(dtype=object)))
-        df["pbucket"] = (h % num_buckets).astype(np.int64)
-        return df
-
-    return (pairs.map_batches(add_pair_bucket, batch_format="pandas")
-            .groupby("pbucket")
-            .map_groups(lambda df: df.drop_duplicates(["a", "b"])
-                        .drop(columns=["pbucket"]),
+    return (bands.map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: bucket_group(df.drop(columns=["bucket"])),
                         batch_format="pandas"))
 
 
@@ -484,8 +489,9 @@ def canonical_agent_pairs(triples_ds, threshold: float = 0.7,
         return df
 
     def bucket_group(df: pd.DataFrame) -> pd.DataFrame:
-        outs = [bucket_pairs(g, "subj", threshold)
-                for _, g in df.groupby("band_key", sort=True)]
+        outs = [bucket_pairs(g, "subj", threshold,
+                             band_idx=int(key.split(":", 1)[0]))
+                for key, g in df.groupby("band_key", sort=True)]
         outs = [o for o in outs if len(o)]
         if not outs:
             return bucket_pairs(df.head(0), "subj", threshold)
