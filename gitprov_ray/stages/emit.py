@@ -134,6 +134,22 @@ def _esc_map(values) -> dict:
     return {v: idgen.escape_ncname(v) for v in pd.unique(values)}
 
 
+def _json_quote_series(s: pd.Series) -> pd.Series:
+    """Vectorized twin of ``s.map(lambda v: json.dumps(v,
+    ensure_ascii=False))`` for strings: values without a JSON-escapable
+    character (backslash, quote, C0 control) are just quoted; the rare
+    flagged rows fall back to json.dumps. Byte-identical (json.dumps with
+    ensure_ascii=False escapes exactly that character class)."""
+    import json as _json
+
+    spec = s.str.contains(r'[\\"\x00-\x1f]', regex=True)
+    out = '"' + s + '"'
+    if spec.any():
+        out = out.copy()
+        out[spec] = s[spec].map(lambda v: _json.dumps(v, ensure_ascii=False))
+    return out
+
+
 def emit_stateless_vec(batch: pa.Table, agents: dict) -> pa.Table:
     """Vectorized twin of EmitStateless.__call__.
 
@@ -197,10 +213,9 @@ def emit_stateless_vec(batch: pa.Table, agents: dict) -> pa.Table:
     c = df[first_idx]
     cparents = [parents_col[i] for i in np.flatnonzero(first_idx.to_numpy())]
     url = "https://" + c["graph"] + "/snapshot/" + c["sha"]
-    act_attrs = ('{"foaf:homepage": [' +
-                 url.map(lambda u: _json.dumps(u, ensure_ascii=False)) +
+    act_attrs = ('{"foaf:homepage": [' + _json_quote_series(url) +
                  ', "xsd:anyURI"], "prov:label": [' +
-                 c["label"].map(lambda l: _json.dumps(l, ensure_ascii=False)) +
+                 _json_quote_series(c["label"]) +
                  ', "xsd:string"]}')
     frames.append(pd.DataFrame({
         "stmt_type": "activity", "id": ("commit-" + c["sha"]).to_numpy(),

@@ -122,3 +122,18 @@ def test_sparql_parser_never_crashes_unexpectedly(q):
         sparql_lite.parse_select(q)
     except sparql_lite.SparqlSyntaxError:
         pass            # the one sanctioned failure mode for garbage input
+
+
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=30))
+@settings(max_examples=150, deadline=None)
+def test_json_quote_series_matches_json_dumps(vals):
+    import json
+
+    import pandas as pd
+
+    from gitprov_ray.stages.emit import _json_quote_series
+
+    s = pd.Series(vals, dtype=object)
+    got = _json_quote_series(s)
+    exp = s.map(lambda v: json.dumps(v, ensure_ascii=False))
+    assert (got == exp).all()
