@@ -77,6 +77,29 @@ def triples_from_pages(pages_ds, contributor_rows,
                                   sort=sort, checkpoint=checkpoint)
 
 
+def flagship_from_pages_parquet(pages_path: str, contributor_rows: list[dict],
+                                num_buckets: int = 64, sort: bool = False,
+                                checkpoint: bool = True,
+                                canonicalize: bool = False):
+    """Run the flagship over a REAL pages table — a parquet of the
+    BASELINE.json input_hint shape (url, warc_ts, html, text, lang), e.g.
+    an actual crawl dump. Columns are pruned at the read (text is never
+    needed; the extractor re-derives it from html in the same pass that
+    parses the revision markers)."""
+    from ..util import tune_context
+
+    tune_context()
+    pages_ds = rd.read_parquet(pages_path, columns=["url", "warc_ts", "html"])
+    tri = triples_from_pages(pages_ds, contributor_rows,
+                             num_buckets=num_buckets, sort=sort,
+                             checkpoint=checkpoint)
+    if canonicalize:
+        tri = canonicalize_triples(tri.materialize(), num_buckets=num_buckets)
+        if sort:
+            tri = triples_stage.sorted_triples(tri)
+    return tri
+
+
 def pages_from_documents(sf_dir: str, repeat: int = 1) -> "rd.Dataset":
     """documents.parquet → deterministic synthetic pages corpus (in-engine
     rendering; no external data). Column-pruned at the read."""

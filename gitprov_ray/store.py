@@ -126,8 +126,13 @@ def list_graphs(root: str) -> list[str]:
     return out
 
 
-def read_store(root: str, graph: str | None = None):
-    """Partition-filtered Ray read of stored triples."""
+def read_store(root: str, graph: str | None = None, columns=None,
+               predicate: str | None = None):
+    """Partition-filtered Ray read of stored triples.
+
+    ``columns`` prunes at the parquet read (a 2-column scan must not ship
+    6 columns off storage); ``predicate`` pushes an equality filter on the
+    triple's ``pred`` URI into the row-group scan."""
     import ray.data as rd
 
     if graph is None:
@@ -142,7 +147,12 @@ def read_store(root: str, graph: str | None = None):
             files.extend(os.path.join(d, f) for f in m["files"])
     if not files:
         raise FileNotFoundError(f"no stored graphs under {root!r} for {graph!r}")
-    return rd.read_parquet(files)
+    kwargs = {}
+    if columns is not None:
+        kwargs["columns"] = list(columns)
+    if predicate is not None:
+        kwargs["filter"] = pads.field("pred") == predicate
+    return rd.read_parquet(files, **kwargs)
 
 
 def store_catalog(root: str) -> list[tuple[str, str]]:

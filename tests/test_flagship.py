@@ -83,3 +83,48 @@ def test_text_extraction_through_pipeline_matches_direct(tiny_corpus):
               for r in pages.to_pylist()}
     for _, row in out.iterrows():
         assert row["text"] == direct[(row["url"], row["warc_ts"].to_pydatetime())]
+
+
+def test_flagship_from_pages_parquet(tiny_corpus, ray_session, tmp_path):
+    """The real-crawl entry point (pages parquet of the input_hint shape)
+    must equal the in-memory pages path."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from gitprov_ray.pipelines import flagship
+
+    pages, _, contributors = tiny_corpus
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, p)
+    a = flagship.flagship_from_pages_parquet(
+        p, contributors.to_pylist(), num_buckets=4).to_pandas()
+    b = flagship.triples_from_pages(
+        rd.from_arrow(pages), contributors.to_pylist(),
+        num_buckets=4).to_pandas()
+    ka = set(zip(a.graph, a.subj, a.pred, a.obj))
+    kb = set(zip(b.graph, b.subj, b.pred, b.obj))
+    assert ka == kb and len(a) == len(b)
+
+
+def test_triples_order_insensitive_to_input_permutation(ray_session):
+    """SURVEY §5.2 property 4: shuffled input rows ⇒ identical triple set
+    (the engine's shuffles must not leak input order into the output)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gitprov_ray import schemas, synth
+    from gitprov_ray.pipelines import flagship
+
+    _, revisions, contributors = synth.gen_corpus(10, seed=99)
+    rows = revisions.to_pylist()
+    rng = np.random.RandomState(5)
+    perm = [rows[i] for i in rng.permutation(len(rows))]
+    mk = lambda rs: flagship.triples_from_revisions(
+        rd.from_arrow(pa.Table.from_pylist(rs, schema=schemas.REVISIONS)),
+        contributors.to_pylist(), num_buckets=4, checkpoint=False).to_pandas()
+    a, b = mk(rows), mk(perm)
+    key = ["graph", "subj", "pred", "obj"]
+    assert set(map(tuple, a[key].itertuples(index=False))) == \
+        set(map(tuple, b[key].itertuples(index=False)))
+    assert len(a) == len(b)
