@@ -77,7 +77,7 @@ def run_bench() -> dict:
     t0 = time.time()
     tri = flagship.flagship(SF_DIR, num_buckets=max(32, NCPU * 2),
                             repeat=REPEAT, checkpoint=use_ckpt)
-    tri.write_parquet(out_dir)
+    tri.write_parquet(out_dir, compression="zstd")
     flagship_sec = time.time() - t0
 
     import pyarrow.parquet as pq

@@ -79,7 +79,7 @@ def _write_stage(ds, workdir: str, stage: str, fingerprint: str) -> None:
     final = _stage_dir(workdir, stage)
     staging = os.path.join(workdir, f".staging-{stage}-{uuid.uuid4().hex[:8]}")
     try:
-        ds.write_parquet(staging)
+        ds.write_parquet(staging, compression="zstd")
         files = sorted(f for f in os.listdir(staging) if f.endswith(".parquet"))
         rows = pads.dataset(
             [os.path.join(staging, f) for f in files]).count_rows()

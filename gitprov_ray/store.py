@@ -57,7 +57,8 @@ def write_store(triples_ds, root: str, skip_existing: bool = False,
         withpart = triples_ds.map_batches(
             lambda t: t.append_column("gpart", t["graph"]),
             batch_format="pyarrow")
-        withpart.write_parquet(staging, partition_cols=["gpart"])
+        withpart.write_parquet(staging, partition_cols=["gpart"],
+                               compression="zstd")
         written: dict[str, int] = {}
         for entry in sorted(os.listdir(staging)):
             if not entry.startswith(_PART_PREFIX):
