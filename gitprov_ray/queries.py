@@ -841,6 +841,32 @@ def q_sparql_select(sf_dir: str):
     return sparql_lite.select_text(tri, q)
 
 
+def q_sparql_distributed(sf_dir: str):
+    """SPARQL BGP over the distributed join path (sparql_lite.
+    select_distributed): bindings stay Datasets and shared variables join
+    via the bucketed hash join — the scale surface for large binding
+    sets."""
+    from . import sparql_lite
+
+    NS = "http://docs.example/"
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    def to_triples(df: pd.DataFrame) -> pd.DataFrame:
+        uri = NS + "doc/" + df["doc_id"].astype(str)
+        mk = lambda pred, obj: pd.DataFrame({
+            "subj": uri, "pred": NS + pred, "obj": obj.astype(str),
+            "obj_is_literal": True, "obj_dtype": "xsd:string",
+            "graph": "docs"})
+        return pd.concat([mk("lang", df["lang"]), mk("source", df["source"])],
+                         ignore_index=True)
+
+    tri = ds.map_batches(to_triples, batch_format="pandas")
+    out = sparql_lite.select_distributed(
+        tri, [("?d", NS + "lang", "en"), ("?d", NS + "source", "?s")],
+        variables=["?d", "?s"], order_by=["?d", "?s"])
+    return out
+
+
 def q_ann_ivf_topk(sf_dir: str):
     """IVF-bucketed approximate nearest neighbours (scale-path ANN)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -883,6 +909,7 @@ QUERIES = {
     "q_topk_per_group": q_topk_per_group,
     "q_ann_ivf_topk": q_ann_ivf_topk,
     "q_sparql_select": q_sparql_select,
+    "q_sparql_distributed": q_sparql_distributed,
     "q_moving_sum_events": q_moving_sum_events,
     "q_nation_revenue_3way": q_nation_revenue_3way,
     "q_orders_by_month": q_orders_by_month,
@@ -1108,6 +1135,11 @@ ORACLE_SQL = {
                source AS s
         FROM documents WHERE lang = 'en' AND source <> 'src3'
         ORDER BY d, s
+    """,
+    "q_sparql_distributed": """
+        SELECT 'http://docs.example/doc/' || CAST(doc_id AS VARCHAR) AS d,
+               source AS s
+        FROM documents WHERE lang = 'en' ORDER BY d, s
     """,
     "q_ann_topk": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe
