@@ -205,7 +205,15 @@ def minhash_candidate_pairs(docs_ds, id_col="doc_id", text_col="text",
     """
     sigs = docs_ds.map_batches(
         lambda df: signature_batch(df, id_col, text_col), batch_format="pandas")
-    bands = sigs.map_batches(
+    return _lsh_candidate_pairs(sigs, id_col, threshold, num_buckets)
+
+
+def _lsh_candidate_pairs(sigs_ds, id_col: str, threshold: float,
+                         num_buckets: int):
+    """(id, sig) Dataset → deduped candidate pairs via the single bucketed
+    band shuffle with first-matching-band emit-once (shared by document
+    near-dup and agent canonicalization)."""
+    bands = sigs_ds.map_batches(
         lambda df: explode_bands(df, id_col), batch_format="pandas")
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -337,12 +345,17 @@ def neardup_clusters(docs_ds, id_col="doc_id", text_col="text",
     joined = ids.join(renamed, "left_outer", _default_partitions(),
                       on=(id_col,))
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        lab = df["label"].fillna(df[id_col])
-        return pd.DataFrame({id_col: df[id_col].to_numpy(),
-                             "cluster_id": lab.astype(df[id_col].dtype)})
+    def finish(t):
+        # Arrow coalesce, NOT a pandas fillna: int64-with-nulls converts to
+        # float64 in pandas and silently corrupts ids above 2^53 (64-bit
+        # hash doc ids are the stated web-scale key space)
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    return joined.map_batches(finish, batch_format="pandas")
+        lab = pc.coalesce(t.column("label"), t.column(id_col))
+        return pa.table({id_col: t.column(id_col), "cluster_id": lab})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -479,28 +492,7 @@ def canonical_agent_pairs(triples_ds, threshold: float = 0.7,
     slice at web scale is millions of distinct URIs)."""
     uris = _agent_uris_ds(triples_ds)
     sigs = uris.map_batches(_agent_sig_batch, batch_format="pandas")
-    bands = sigs.map_batches(
-        lambda df: explode_bands(df, "subj"), batch_format="pandas")
-
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        h = pd.util.hash_array(df["band_key"].to_numpy(dtype=object))
-        df["bucket"] = (h % num_buckets).astype(np.int64)
-        return df
-
-    def bucket_group(df: pd.DataFrame) -> pd.DataFrame:
-        outs = [bucket_pairs(g, "subj", threshold,
-                             band_idx=int(key.split(":", 1)[0]))
-                for key, g in df.groupby("band_key", sort=True)]
-        outs = [o for o in outs if len(o)]
-        if not outs:
-            return bucket_pairs(df.head(0), "subj", threshold)
-        return pd.concat(outs, ignore_index=True).drop_duplicates(["a", "b"])
-
-    pairs = (bands.map_batches(add_bucket, batch_format="pandas")
-             .groupby("bucket")
-             .map_groups(lambda df: bucket_group(df.drop(columns=["bucket"])),
-                         batch_format="pandas"))
+    pairs = _lsh_candidate_pairs(sigs, "subj", threshold, num_buckets)
     return pairs.map_batches(
         lambda df: df[["a", "b"]].drop_duplicates(), batch_format="pandas")
 

@@ -432,7 +432,13 @@ def audio_pipeline(media_ds, concurrency=(1, 4), batch_size=16,
 
 def video_pipeline(media_ds, k: int = 4, concurrency=(1, 4), batch_size=8,
                    deterministic_fake=False):
-    """Actor-pool pipeline: filter video → frame sample (exploded)."""
+    """Actor-pool pipeline: filter video → frame sample (exploded).
+
+    Deliberate carve-out from the 'no batch_size on expanding fused
+    chains' rule: here batch_size bounds PAYLOAD memory (k frame payloads
+    per video row in flight per actor), the expansion is a small constant
+    k, and the stage is an actor pool — the recorded incident was
+    input-row bundling starving a task fan-out."""
     import pyarrow.compute as pc
 
     vids = media_ds.map_batches(

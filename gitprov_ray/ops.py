@@ -101,9 +101,22 @@ def materialize_normalized(ds, schema):
 
 
 def _pa_type_of(value):
+    """Arrow type for a sampled key value (ints widened to int64, floats to
+    float64, plus dates/timestamps/binary via scalar inference)."""
     import pyarrow as pa
 
-    return pa.int64() if isinstance(value, (int, np.integer)) else pa.string()
+    if isinstance(value, (bool, np.bool_)):
+        return pa.bool_()
+    if isinstance(value, (int, np.integer)):
+        return pa.int64()
+    if isinstance(value, (float, np.floating)):
+        return pa.float64()
+    if isinstance(value, str):
+        return pa.string()
+    try:
+        return pa.scalar(value).type
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        return pa.string()
 
 
 def distinct_keys(ds, key: str, num_partitions: int | None = None):

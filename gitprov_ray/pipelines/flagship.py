@@ -93,11 +93,14 @@ def flagship_from_pages_parquet(pages_path: str, contributor_rows: list[dict],
     tri = triples_from_pages(pages_ds, contributor_rows,
                              num_buckets=num_buckets, sort=sort,
                              checkpoint=checkpoint)
-    if canonicalize:
-        tri = canonicalize_triples(tri.materialize(), num_buckets=num_buckets)
-        if sort:
-            tri = triples_stage.sorted_triples(tri)
-    return tri
+    return _maybe_canonicalize(tri, canonicalize, sort, num_buckets)
+
+
+def _maybe_canonicalize(tri, canonicalize: bool, sort: bool, num_buckets: int):
+    if not canonicalize:
+        return tri
+    tri = canonicalize_triples(tri.materialize(), num_buckets=num_buckets)
+    return triples_stage.sorted_triples(tri) if sort else tri
 
 
 def pages_from_documents(sf_dir: str, repeat: int = 1) -> "rd.Dataset":
@@ -156,10 +159,6 @@ def flagship(sf_dir: str, num_buckets: int = 64, sort: bool = False,
     pages_ds = pages_from_documents(sf_dir, repeat=repeat)
     contributors = contributors_for_sf(sf_dir)
     tri = triples_from_pages(pages_ds, contributors,
-                             num_buckets=num_buckets, sort=sort,
-                             checkpoint=checkpoint)
-    if canonicalize:
-        tri = canonicalize_triples(tri.materialize(), num_buckets=num_buckets)
-        if sort:
-            tri = triples_stage.sorted_triples(tri)
-    return tri
+                              num_buckets=num_buckets, sort=sort,
+                              checkpoint=checkpoint)
+    return _maybe_canonicalize(tri, canonicalize, sort, num_buckets)

@@ -602,21 +602,36 @@ def q_orders_by_month(sf_dir: str):
 
 def q_distinct_users_per_type(sf_dir: str):
     """COUNT(DISTINCT ...) per group, two-phase: per-batch distinct
-    (event_type, user_id) pairs (combiner), global pair distinct via a
-    hash aggregate, then a per-type count — the shuffle carries one row
-    per distinct pair per batch, never raw events."""
-    from ray.data.aggregate import Count
+    (event_type, user_id) pairs (combiner), then the bucketed-shuffle
+    pattern — global pair dedup + local counts inside each hash bucket
+    (each distinct pair lands in exactly one bucket), then a tiny
+    per-type Sum. The shuffle carries one row per distinct pair per
+    batch, never raw events; the pair-cardinality groupby never goes
+    through Ray's multi-key aggregate (CLAUDE.md invariant 6)."""
+    from .stages.versions import stable_bucket
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
     pairs = ds.map_batches(
         lambda df: df.drop_duplicates(["event_type", "user_id"]),
         batch_format="pandas")
-    distinct = pairs.groupby(["event_type", "user_id"]).aggregate(
-        Count(on="user_id", alias_name="__c"))
-    return (distinct.map_batches(lambda df: df[["event_type"]],
-                                 batch_format="pandas")
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = stable_bucket(df["event_type"].astype(str),
+                                     df["user_id"].astype(str), 64)
+        return df
+
+    def count_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["event_type", "user_id"])
+        return (d.groupby("event_type", sort=False).size()
+                .reset_index(name="n_users"))
+
+    return (pairs.map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: count_in_bucket(df.drop(columns=["bucket"])),
+                        batch_format="pandas")
             .groupby("event_type")
-            .aggregate(Count(on="event_type", alias_name="n_users"))
+            .aggregate(Sum("n_users", alias_name="n_users"))
             .sort("event_type"))
 
 
@@ -679,21 +694,22 @@ def q_union_tagged(sf_dir: str):
     customers as one tagged key stream."""
     import pyarrow.compute as pc
 
+    def tag(kind, key_col, mask_fn):
+        def f(t: pa.Table) -> pa.Table:
+            sel = t.filter(mask_fn(t))
+            return pa.table({
+                "kind": pa.repeat(pa.scalar(kind), sel.num_rows),
+                "key": sel.column(key_col),
+            })
+        return f
+
     hi = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
-        lambda t: pa.table({
-            "kind": pa.repeat(pa.scalar("order"),
-                              len(t.filter(pc.greater(t["o_totalprice"],
-                                                      400000.0)))),
-            "key": t.filter(pc.greater(t["o_totalprice"], 400000.0))
-                    .column("o_orderkey"),
-        }),
+        tag("order", "o_orderkey",
+            lambda t: pc.greater(t["o_totalprice"], 400000.0)),
         batch_format="pyarrow")
     neg = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
-        lambda t: pa.table({
-            "kind": pa.repeat(pa.scalar("customer"),
-                              len(t.filter(pc.less(t["c_acctbal"], 0.0)))),
-            "key": t.filter(pc.less(t["c_acctbal"], 0.0)).column("c_custkey"),
-        }),
+        tag("customer", "c_custkey",
+            lambda t: pc.less(t["c_acctbal"], 0.0)),
         batch_format="pyarrow")
     return hi.union(neg).sort(["kind", "key"])
 

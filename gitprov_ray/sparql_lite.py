@@ -208,7 +208,8 @@ _TOKEN_RX = _re.compile(
       | "(?:[^"\\]|\\.)*"(?:\^\^(?:<[^>]*>|[A-Za-z_][\w.-]*:[\w.-]+))?  # literal
       | \?[A-Za-z_]\w*              # var
       | [A-Za-z_][\w.-]*:[\w.%-]+   # curie
-      | [A-Za-z]+                   # keyword / bare name
+      | [A-Za-z_][\w.-]*:           # prefix-declaration name ("ns1:")
+      | [A-Za-z_][\w-]*             # keyword / bare name
       | -?\d+(?:\.\d+)?             # number
       | [=!<>]=? | [{}().;,*:]      # operators / punctuation
     """, _re.X)

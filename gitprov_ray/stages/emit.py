@@ -142,11 +142,13 @@ def _json_quote_series(s: pd.Series) -> pd.Series:
     ensure_ascii=False escapes exactly that character class)."""
     import json as _json
 
-    spec = s.str.contains(r'[\\"\x00-\x1f]', regex=True)
-    out = '"' + s + '"'
+    isna = s.isna()
+    spec = s.str.contains(r'[\\"\x00-\x1f]', regex=True).fillna(False)
+    out = ('"' + s + '"').copy()
     if spec.any():
-        out = out.copy()
         out[spec] = s[spec].map(lambda v: _json.dumps(v, ensure_ascii=False))
+    if isna.any():
+        out[isna] = "null"       # json.dumps(None) — matches the row twin
     return out
 
 

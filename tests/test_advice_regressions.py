@@ -141,3 +141,50 @@ def test_fingerprint_detects_middle_edit(tmp_path):
     p.write_bytes(blob)
     fp2 = checkpoint._fingerprint(str(tmp_path), repeat=1)
     assert fp1 != fp2
+
+
+def test_json_quote_series_null_matches_row_twin():
+    """Round-2 review finding: null labels must render as json.dumps(None)
+    ('null'), and mixed null/special batches must not crash the mask."""
+    import json
+
+    from gitprov_ray.stages.emit import _json_quote_series
+
+    s = pd.Series(["plain", None, 'has "quote"', None], dtype=object)
+    got = _json_quote_series(s)
+    exp = s.map(lambda v: json.dumps(v, ensure_ascii=False))
+    assert list(got) == list(exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_neardup_clusters_preserves_large_int_ids():
+    """Round-2 review finding: ids above 2^53 must survive the left-outer
+    label join without a float64 round trip."""
+    import ray.data as rd
+
+    from gitprov_ray import linking
+
+    big = 2**53 + 1
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series([big, big + 2, 7], dtype="int64"),
+        "text": ["the quick brown fox jumps over the lazy dog again",
+                 "the quick brown fox jumps over the lazy dog again",
+                 "completely different text with other words entirely here"],
+    }))
+    cl = linking.neardup_clusters(docs, threshold=0.5).to_pandas()
+    got = dict(zip(cl["doc_id"], cl["cluster_id"]))
+    assert set(got) == {big, big + 2, 7}          # ids intact bit-for-bit
+    assert got[big] == big and got[big + 2] == big
+    assert got[7] == 7
+    assert cl["cluster_id"].dtype == "int64"
+
+
+def test_sparql_prefix_names_with_digits():
+    """Round-2 review finding: legal SPARQL prefixes like ns1: must parse
+    (the engine's own serializers emit g0/ns0 prefixes)."""
+    from gitprov_ray import sparql_lite
+
+    plan = sparql_lite.parse_select(
+        "PREFIX ns1: <http://x.example/> "
+        "SELECT ?a WHERE { ?a ns1:p ?b . }")
+    assert plan["patterns"] == [("?a", "http://x.example/p", "?b")]
