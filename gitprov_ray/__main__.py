@@ -1,0 +1,180 @@
+"""Command-line surface mapping the reference's REST endpoints to the
+engine (a user of git-prov's controllers runs the same operations here):
+
+  provenance  ProvController    (ProvenanceService.java:116-254): pages
+              parquet → PROV graph, any registered output format
+  store-put   StoreController POST (StoreService.java:28-44)
+  store-get   StoreController GET  (StoreService.java:47-59)
+  catalog     StoreController list (StoreService.java:61-80)
+  sparql      SparqlController     (SparqlService.java:16-31): SPARQL
+              SELECT text over a store, CSV/TSV/JSON results
+  serialize   format re-serializer (JenaUtils.java:18-41)
+
+The CLI owns the Ray session (library code never calls ray.init — the
+driver contract); every command works on parquet paths, so pipelines
+compose through the filesystem exactly like the reference's store.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _emit(text: str, out: str | None) -> None:
+    if out:
+        with open(out, "w") as f:
+            f.write(text)
+    else:
+        sys.stdout.write(text)
+
+
+def cmd_provenance(args) -> int:
+    from .pipelines import flagship
+    from . import serializers
+
+    _ray_session(args.num_cpus)
+    if args.contributors_parquet:
+        import pyarrow.parquet as pq
+
+        contributors = pq.read_table(args.contributors_parquet).to_pylist()
+    elif args.contributors_sf:
+        contributors = flagship.contributors_for_sf(args.contributors_sf)
+    else:
+        contributors = []
+    tri = flagship.flagship_from_pages_parquet(
+        args.pages, contributors, num_buckets=args.buckets,
+        canonicalize=args.canonicalize)
+    if args.store:
+        from . import store as store_mod
+
+        written = store_mod.write_store(tri, args.store)
+        print(json.dumps({"graphs": written}, sort_keys=True))
+        return 0
+    df = tri.to_pandas()
+    _emit(serializers.serialize(df, args.format), args.out)
+    return 0
+
+
+def cmd_store_put(args) -> int:
+    import ray.data as rd
+
+    from . import store as store_mod
+
+    _ray_session(args.num_cpus)
+    ds = rd.read_parquet(args.triples)
+    written = store_mod.write_store(ds, args.root)
+    print(json.dumps({"graphs": written}, sort_keys=True))
+    return 0
+
+
+def cmd_store_get(args) -> int:
+    from . import serializers, store as store_mod
+
+    _ray_session(args.num_cpus)
+    df = store_mod.read_store(args.root, args.graph).to_pandas()
+    _emit(serializers.serialize(df, args.format), args.out)
+    return 0
+
+
+def cmd_catalog(args) -> int:
+    from . import store as store_mod
+
+    print(json.dumps({"repositories": [
+        {"owner": o, "name": n} for o, n in store_mod.store_catalog(args.root)
+    ]}, sort_keys=True))
+    return 0
+
+
+def cmd_sparql(args) -> int:
+    from . import serializers, sparql_lite, store as store_mod
+
+    _ray_session(args.num_cpus)
+    ds = store_mod.read_store(args.root, args.graph)
+    res = sparql_lite.select_text(ds, args.query)
+    fmt = {"csv": serializers.result_csv, "tsv": serializers.result_tsv,
+           "json": serializers.result_json}[args.results]
+    _emit(fmt(res), args.out)
+    return 0
+
+
+def cmd_serialize(args) -> int:
+    import pyarrow.parquet as pq
+
+    from . import serializers
+
+    df = pq.read_table(args.triples).to_pandas()
+    _emit(serializers.serialize(df, args.format), args.out)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="gitprov_ray", description=__doc__)
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pp = sub.add_parser("provenance", help="pages parquet → PROV graph")
+    pp.add_argument("pages", help="pages parquet (url, warc_ts, html, ...)")
+    pp.add_argument("--contributors-sf",
+                    help="sf dir for the deterministic contributors table")
+    pp.add_argument("--contributors-parquet",
+                    help="contributors side table (CONTRIBUTORS schema)")
+    pp.add_argument("--format", default="turtle")
+    pp.add_argument("--buckets", type=int, default=64)
+    pp.add_argument("--canonicalize", action="store_true")
+    pp.add_argument("--store", help="write into this store root instead")
+    pp.add_argument("--out")
+    pp.set_defaults(fn=cmd_provenance)
+
+    sp = sub.add_parser("store-put", help="triples parquet → store")
+    sp.add_argument("root")
+    sp.add_argument("triples")
+    sp.set_defaults(fn=cmd_store_put)
+
+    sg = sub.add_parser("store-get", help="store → serialized graph")
+    sg.add_argument("root")
+    sg.add_argument("--graph")
+    sg.add_argument("--format", default="turtle")
+    sg.add_argument("--out")
+    sg.set_defaults(fn=cmd_store_get)
+
+    sc = sub.add_parser("catalog", help="list stored repositories")
+    sc.add_argument("root")
+    sc.set_defaults(fn=cmd_catalog)
+
+    sq = sub.add_parser("sparql", help="SPARQL SELECT over a store")
+    sq.add_argument("root")
+    sq.add_argument("query")
+    sq.add_argument("--graph")
+    sq.add_argument("--results", default="json",
+                    choices=["csv", "tsv", "json"])
+    sq.add_argument("--out")
+    sq.set_defaults(fn=cmd_sparql)
+
+    sz = sub.add_parser("serialize", help="re-serialize a triples parquet")
+    sz.add_argument("triples")
+    sz.add_argument("--format", default="ntriples")
+    sz.add_argument("--out")
+    sz.set_defaults(fn=cmd_serialize)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,64 @@
+"""CLI surface: the reference's controller endpoints as commands."""
+
+import json
+
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def cli_store(tiny_corpus, ray_session, tmp_path_factory):
+    """pages parquet → provenance → store, via the CLI entry points."""
+    from gitprov_ray.__main__ import main
+
+    tmp = tmp_path_factory.mktemp("cli")
+    pages, _, contributors = tiny_corpus
+    pages_path = str(tmp / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    contrib_path = str(tmp / "contributors.parquet")
+    pq.write_table(contributors, contrib_path)
+    root = str(tmp / "store")
+    rc = main(["provenance", pages_path, "--store", root,
+               "--contributors-parquet", contrib_path])
+    assert rc == 0
+    return root
+
+
+def test_cli_catalog_and_get(cli_store, capsys):
+    from gitprov_ray.__main__ import main
+
+    assert main(["catalog", cli_store]) == 0
+    cat = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(cat["repositories"]) > 0
+    assert all(set(r) == {"owner", "name"} for r in cat["repositories"])
+
+    g = cat["repositories"][0]
+    graph = f"{g['owner']}.{g['name']}"
+    assert main(["store-get", cli_store, "--graph", graph,
+                 "--format", "ntriples"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("\n") > 10 and "<https://" in out
+
+
+def test_cli_sparql(cli_store, capsys):
+    from gitprov_ray.__main__ import main
+
+    q = """PREFIX prov: <http://www.w3.org/ns/prov#>
+           SELECT DISTINCT ?a WHERE { ?a rdf:type prov:Activity . } LIMIT 5"""
+    assert main(["sparql", cli_store, q, "--results", "json"]) == 0
+    doc = json.loads(capsys.readouterr().out)
+    assert doc["head"]["vars"] == ["a"]
+    assert 0 < len(doc["results"]["bindings"]) <= 5
+
+
+def test_cli_serialize_roundtrip(cli_store, tmp_path, capsys):
+    from gitprov_ray import store as store_mod
+    from gitprov_ray.__main__ import main
+
+    graphs = store_mod.list_graphs(cli_store)
+    part = f"{cli_store}/gpart={graphs[0]}"
+    files = store_mod.read_manifest(cli_store, graphs[0])["files"]
+    assert main(["serialize", f"{part}/{files[0]}",
+                 "--format", "application/rdf+xml"]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("<rdf:RDF")
