@@ -255,6 +255,11 @@ def emit_stateless_vec(batch: pa.Table, agents: dict) -> pa.Table:
             "graph": inf_rows["graph"],
             "stmt_rank": STMT_RANK["wasInformedBy"]}))
 
+    for f in frames:
+        # all-NaT scalar columns come out datetime64[ns]; align to the us
+        # event timestamps or pd.concat's all-NA dtype deprecation fires
+        if str(f["t"].dtype) != "datetime64[us]":
+            f["t"] = f["t"].astype("datetime64[us]")
     out = pd.concat(frames, ignore_index=True)
     out["t"] = pd.to_datetime(out["t"])
     out["stmt_rank"] = out["stmt_rank"].astype("int32")

@@ -192,6 +192,10 @@ def _emit_status_stmts_vec(d: pd.DataFrame) -> pd.DataFrame:
     if not frames:
         return _EMPTY.copy()
     frames = [f for f in frames if len(f)]
+    for f in frames:
+        # align all-NaT ns columns to the us event timestamps (see emit.py)
+        if str(f["t"].dtype) != "datetime64[us]":
+            f["t"] = f["t"].astype("datetime64[us]")
     out = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0].copy()
     out["t"] = pd.to_datetime(out["t"])
     out["stmt_rank"] = out["stmt_rank"].astype("int32")
