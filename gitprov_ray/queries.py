@@ -776,6 +776,28 @@ def q_rollup_revenue(sf_dir: str):
     return detail.union(sub).union(total).sort(["seg", "status"])
 
 
+def q_curation_pipeline(sf_dir: str):
+    """End-to-end training-data curation (pipelines/curation.py): language
+    + token-length gate composed with exact dedup via the bucketed hash
+    semi-join — the full multi-stage composition oracle-checked in one
+    query."""
+    from .pipelines.curation import curate_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return curate_documents(ds, lang="en", min_tokens=10).sort("doc_id")
+
+
+def q_curation_langid(sf_dir: str):
+    """The same curation pipeline with the engine's heuristic language-ID
+    instead of the table's lang column (rows-only: the n-gram heuristic
+    has no SQL twin)."""
+    from .pipelines.curation import curate_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return curate_documents(ds, lang="en", min_tokens=10,
+                            predict_lang=True).sort("doc_id")
+
+
 def q_hash_sample_docs(sf_dir: str):
     """Deterministic systematic sample (O-family sampling, SURVEY.md §2.6):
     keep every doc whose id ≡ 3 (mod 10). Seeded-random sampling exists
@@ -938,6 +960,8 @@ QUERIES = {
     "q_hash_sample_docs": q_hash_sample_docs,
     "q_string_ops": q_string_ops,
     "q_rollup_revenue": q_rollup_revenue,
+    "q_curation_pipeline": q_curation_pipeline,
+    "q_curation_langid": q_curation_langid,
 }
 
 
@@ -1135,6 +1159,25 @@ ORACLE_SQL = {
     "q_hash_sample_docs": """
         SELECT doc_id, n_chars FROM documents
         WHERE doc_id % 10 = 3 ORDER BY doc_id
+    """,
+    "q_curation_pipeline": r"""
+        WITH keep AS (
+            SELECT MIN(doc_id) AS keep_id
+            FROM documents GROUP BY md5(COALESCE(text, ''))
+        ),
+        ann AS (
+            SELECT doc_id, lang,
+                   CASE WHEN trim(COALESCE(text,'')) = '' THEN 0
+                        ELSE CAST(len(string_split_regex(trim(text), '\s+'))
+                                  AS BIGINT) END AS tok_cnt,
+                   CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars,
+                   md5(COALESCE(text, '')) AS text_md5
+            FROM documents
+        )
+        SELECT a.doc_id, a.lang, a.tok_cnt, a.n_chars, a.text_md5
+        FROM ann a JOIN keep k ON a.doc_id = k.keep_id
+        WHERE a.lang = 'en' AND a.tok_cnt BETWEEN 10 AND 1000000
+        ORDER BY a.doc_id
     """,
     "q_json_extract_stats": """
         SELECT event_type,
