@@ -57,3 +57,56 @@ def test_config_change_invalidates(tmp_path):
     checkpoint.run_flagship(SF, wd, num_buckets=8)
     r2 = checkpoint.run_flagship(SF, wd, num_buckets=16)
     assert r2["resumed"] == []  # fingerprint embeds config
+
+
+def test_incremental_update_matches_full_run(ray_session, tiny_corpus, tmp_path):
+    """update_flagship: first-snapshot batch, then the rest — the merged
+    store must equal a full run over all pages (version chains span the
+    batches), and re-sending the update batch must be a no-op."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gitprov_ray import checkpoint, schemas, store, synth
+    from gitprov_ray.pipelines import flagship as fl
+
+    pages, _, _ = tiny_corpus
+    pdf = pages.to_pandas().sort_values(["url", "warc_ts"], kind="mergesort")
+    first = pdf.drop_duplicates("url", keep="first")
+    rest = pdf[~pdf.index.isin(first.index)]
+    assert len(rest) > 0
+    to_tbl = lambda d: pa.Table.from_pandas(d.reset_index(drop=True),
+                                            schema=schemas.PAGES,
+                                            preserve_index=False)
+
+    graphs = sorted({u.split("/")[2] for u in pdf["url"]})
+    contributors = synth.contributors_for_sources(graphs).to_pylist()
+
+    workdir = str(tmp_path / "wd")
+    import os
+    os.makedirs(workdir, exist_ok=True)
+    revsA = fl.revisions_from_pages(rd.from_arrow(to_tbl(first)))
+    checkpoint._write_stage(revsA, workdir, "revisions", "init")
+    triA = fl.triples_from_revisions(checkpoint._read_stage(workdir, "revisions"),
+                                     contributors, num_buckets=4)
+    store.write_store(triA, f"{workdir}/triples_store", fingerprint="init")
+
+    res = checkpoint.update_flagship(workdir, rd.from_arrow(to_tbl(rest)),
+                                     num_buckets=4)
+    assert res["new_events"] > 0 and res["triples_written"] > 0
+
+    got = store.read_store(f"{workdir}/triples_store").to_pandas()
+    full = fl.triples_from_pages(rd.from_arrow(pages), contributors,
+                                 num_buckets=4).to_pandas()
+    key = ["graph", "subj", "pred", "obj"]
+    assert set(map(tuple, got[key].itertuples(index=False))) == \
+        set(map(tuple, full[key].itertuples(index=False)))
+    assert len(got) == len(full)
+
+    # idempotence: re-sending the same batch leaves the store identical
+    checkpoint.update_flagship(workdir, rd.from_arrow(to_tbl(rest)),
+                               num_buckets=4)
+    again = store.read_store(f"{workdir}/triples_store").to_pandas()
+    assert set(map(tuple, again[key].itertuples(index=False))) == \
+        set(map(tuple, full[key].itertuples(index=False)))
+    assert len(again) == len(full)
