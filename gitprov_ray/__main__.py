@@ -120,6 +120,30 @@ def cmd_serialize(args) -> int:
     return 0
 
 
+def cmd_run(args) -> int:
+    from . import checkpoint
+
+    _ray_session(args.num_cpus)
+    res = checkpoint.run_flagship(args.sf_dir, args.workdir,
+                                  num_buckets=args.buckets,
+                                  repeat=args.repeat)
+    print(json.dumps(res, sort_keys=True, default=str))
+    return 0
+
+
+def cmd_update(args) -> int:
+    import ray.data as rd
+
+    from . import checkpoint
+
+    _ray_session(args.num_cpus)
+    pages = rd.read_parquet(args.pages)
+    res = checkpoint.update_flagship(args.workdir, pages,
+                                     num_buckets=args.buckets)
+    print(json.dumps(res, sort_keys=True))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="gitprov_ray", description=__doc__)
     p.add_argument("--num-cpus", type=int, default=None)
@@ -162,6 +186,20 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["csv", "tsv", "json"])
     sq.add_argument("--out")
     sq.set_defaults(fn=cmd_sparql)
+
+    rn = sub.add_parser("run", help="checkpointed flagship run over an sf dir")
+    rn.add_argument("sf_dir")
+    rn.add_argument("workdir")
+    rn.add_argument("--buckets", type=int, default=32)
+    rn.add_argument("--repeat", type=int, default=1)
+    rn.set_defaults(fn=cmd_run)
+
+    up = sub.add_parser("update",
+                        help="incremental update: merge a new pages batch")
+    up.add_argument("workdir")
+    up.add_argument("pages")
+    up.add_argument("--buckets", type=int, default=32)
+    up.set_defaults(fn=cmd_update)
 
     sz = sub.add_parser("serialize", help="re-serialize a triples parquet")
     sz.add_argument("triples")

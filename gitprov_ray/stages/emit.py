@@ -127,13 +127,6 @@ def emit_agents_table(contributor_rows: list[dict]) -> pa.Table:
 # vectorized emit (same output as EmitStateless, ~10x less CPU)
 # ---------------------------------------------------------------------------
 
-def _esc_map(values) -> dict:
-    """escape_ncname per UNIQUE value (filenames repeat heavily)."""
-    from .. import idgen
-
-    return {v: idgen.escape_ncname(v) for v in pd.unique(values)}
-
-
 def _json_quote_series(s: pd.Series) -> pd.Series:
     """Vectorized twin of ``s.map(lambda v: json.dumps(v,
     ensure_ascii=False))`` for strings: values without a JSON-escapable
