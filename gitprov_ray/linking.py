@@ -406,9 +406,12 @@ def ngram_jaccard_pairs(docs_ds, id_col="doc_id", text_col="text",
                                    threshold=0.5).materialize()
     sample = cand.take(1)
     if not sample:
-        return rd.from_pandas(pd.DataFrame({
-            "a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
-            "jaccard": pd.Series(dtype="float64")}))
+        # empty-result schema mirrors the documents id dtype (int OR string)
+        dsample = docs_ds.take(1)       # ray Schema types may be python types
+        idt = _pa_type_of(dsample[0][id_col]) if dsample else pa.string()
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], idt), "b": pa.array([], idt),
+            "jaccard": pa.array([], pa.float64())}))
     idt = _pa_type_of(sample[0]["a"])
     # pin block schemas before the joins (zero-row pass-through blocks
     # carry the pre-projection schema and break join partitions)
@@ -425,16 +428,18 @@ def ngram_jaccard_pairs(docs_ds, id_col="doc_id", text_col="text",
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         sa = _shingle_hashes_batch(list(df["text_a"]))
         sb = _shingle_hashes_batch(list(df["text_b"]))
-        out_a, out_b, jac = [], [], []
-        for a, b, ha, hb in zip(df["a"], df["b"], sa, sb):
+        keep, jac = [], []
+        for k, (ha, hb) in enumerate(zip(sa, sb)):
             inter = len(np.intersect1d(ha, hb, assume_unique=True))
             union = len(ha) + len(hb) - inter
             j = inter / union if union else 1.0
             if j >= threshold:
-                out_a.append(a); out_b.append(b); jac.append(j)
-        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
-                             "b": pd.Series(out_b, dtype="int64"),
-                             "jaccard": pd.Series(jac, dtype="float64")})
+                keep.append(k); jac.append(j)
+        out = df.iloc[keep]  # id dtype preserved (int or string), like bucket_pairs
+        return pd.DataFrame({"a": out["a"].to_numpy(),
+                             "b": out["b"].to_numpy(),
+                             "jaccard": pd.Series(jac, dtype="float64")}
+                            ).astype({"a": df["a"].dtype, "b": df["b"].dtype})
 
     return j.map_batches(verify, batch_format="pandas")
 

@@ -9,8 +9,12 @@ compute the lag with a vectorized pandas groupby/shift — never a global
 state object (the reference's own concurrency bug, SURVEY.md §3.4, is the
 cautionary tale).
 
-This stage also owns the reference's within-commit first-event-wins dedup
-(``seen_files``, ProvenanceService.java:167 loop): a page that lists the
+This stage also owns the within-commit first-event-wins dedup — a
+DELIBERATE engine policy pinned by oracle.py, NOT a reference behavior:
+the reference's commitFiles.forEach (ProvenanceService.java:167) has no
+per-commit filename dedup (a duplicate filename would emit twice and
+registerVersion appends each occurrence); the engine instead quarantines
+the duplicate so version chains stay well-formed. A page that lists the
 same resource twice keeps only the first event (by in-page ``event_seq``),
 so the status-dependent statements — wasGeneratedBy / wasInvalidatedBy /
 used / wasDerivedFrom — are ALL emitted here, after the global
