@@ -102,11 +102,36 @@ def _read_stage(workdir: str, stage: str):
                             for fn in m["files"]])
 
 
+def _has_incremental_state(workdir: str) -> bool:
+    mp = _manifest_path(workdir, "revisions")
+    if not os.path.exists(mp):
+        return False
+    with open(mp) as f:
+        return json.load(f).get("fingerprint", "").startswith("incremental-")
+
+
 def run_flagship(sf_dir: str, workdir: str, num_buckets: int = 32,
-                 repeat: int = 1) -> dict:
+                 repeat: int = 1, fresh: bool = False) -> dict:
     """Checkpointed flagship run; returns stage metrics incl. which stages
-    were resumed from checkpoint."""
+    were resumed from checkpoint.
+
+    A workdir that ``update_flagship`` has merged incremental batches into
+    is REFUSED (the base-corpus fingerprint can never match, so resuming
+    would silently rmtree the merged store and recompute from the base
+    corpus only — discarding every merged batch). Pass ``fresh=True`` to
+    explicitly discard the incremental state and rebuild from ``sf_dir``.
+    """
     os.makedirs(workdir, exist_ok=True)
+    if _has_incremental_state(workdir):
+        if not fresh:
+            raise ValueError(
+                f"workdir {workdir!r} carries incremental state (merged "
+                "update_flagship batches); run_flagship would discard it. "
+                "Continue with update_flagship, or pass fresh=True to "
+                "rebuild from the base corpus.")
+        shutil.rmtree(_stage_dir(workdir, "revisions"), ignore_errors=True)
+        shutil.rmtree(os.path.join(workdir, "triples_store"),
+                      ignore_errors=True)
     fp = _fingerprint(sf_dir, repeat) + f"|b={num_buckets}"
     resumed = []
 
@@ -150,6 +175,60 @@ def run_flagship(sf_dir: str, workdir: str, num_buckets: int = 32,
     return result
 
 
+def _event_key_array(t: "pa.Table"):
+    """Composite event identity (graph, page_key, snapshot_id, event_seq)
+    as one string array — the dedup/digest key for revision rows."""
+    import pyarrow.compute as pc
+
+    return pc.binary_join_element_wise(
+        t.column("graph"), t.column("page_key"), t.column("snapshot_id"),
+        pc.cast(t.column("event_seq"), pa.string()), "\x1f")
+
+
+def _events_digest(revs_ds) -> str:
+    """Order- and partitioning-independent content digest of an event set:
+    per-batch uint64 hash-sum of the composite keys (tiny partials merged
+    on the driver). Deterministic → the incremental fingerprint chain is
+    reproducible, unlike the old random uuid stamp (ADVICE r2)."""
+    import pandas as pd
+
+    def part(t: pa.Table) -> pa.Table:
+        k = _event_key_array(t).to_numpy(zero_copy_only=False)
+        h = 0 if t.num_rows == 0 else int(
+            pd.util.hash_array(k.astype(object)).sum())
+        return pa.table({"h": pa.array([h & 0x7FFFFFFFFFFFFFFF], pa.int64())})
+
+    import numpy as np
+
+    parts = revs_ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    total = int(parts["h"].to_numpy(dtype=np.int64).sum()
+                & 0x7FFFFFFFFFFFFFFF)
+    return f"{total:016x}"
+
+
+def _dedup_events(revs_ds, num_buckets: int):
+    """Distributed event dedup on the composite key (bucketed shuffle +
+    in-bucket first-occurrence keep). Arrow end-to-end — a pandas round
+    trip would mangle the ``parents`` list column."""
+    import numpy as np
+    import pandas as pd
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = _event_key_array(t).to_numpy(zero_copy_only=False)
+        b = (pd.util.hash_array(k.astype(object)) % num_buckets
+             ).astype(np.int64)
+        return t.append_column("ebucket", pa.array(b))
+
+    def dedup(t: pa.Table) -> pa.Table:
+        k = _event_key_array(t).to_numpy(zero_copy_only=False)
+        _, idx = np.unique(k.astype(object), return_index=True)
+        return t.take(np.sort(idx)).drop_columns(["ebucket"])
+
+    return (revs_ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("ebucket")
+            .map_groups(dedup, batch_format="pyarrow"))
+
+
 def update_flagship(workdir: str, new_pages_ds, num_buckets: int = 32) -> dict:
     """Incremental update: merge a NEW batch of pages into an existing
     flagship run without recomputing the world.
@@ -163,12 +242,14 @@ def update_flagship(workdir: str, new_pages_ds, num_buckets: int = 32) -> dict:
     affected graphs, not the corpus — the 100-TB shape where a daily crawl
     batch touches a sliver of hosts.
 
-    Re-sending already-processed pages is harmless: duplicate
-    (url, warc_ts) events dedup in the lag stage and duplicate triples in
-    the exchange. Returns {graphs, new_events, triples_written}.
+    Re-sending already-processed pages is a no-op: the affected slice is
+    deduplicated on (graph, page_key, snapshot_id, event_seq) before the
+    pipeline and before the checkpoint write-back, so the revisions
+    checkpoint never grows from re-sends. The new fingerprint is derived
+    deterministically (sha1 of the prior fingerprint + an order-independent
+    batch content digest) — two runs merging the same batches produce the
+    same fingerprint chain. Returns {graphs, new_events, triples_written}.
     """
-    import ray.data as rd
-
     from . import synth
 
     new_revs = fl.revisions_from_pages(new_pages_ds).materialize()
@@ -176,9 +257,7 @@ def update_flagship(workdir: str, new_pages_ds, num_buckets: int = 32) -> dict:
                           .to_pandas()["graph"]))
     if not affected:
         return {"graphs": [], "new_events": 0, "triples_written": 0}
-    aff_set = set(affected)
 
-    import pyarrow as pa
     import pyarrow.compute as pc
 
     aff_arr = pa.array(affected, pa.string())
@@ -187,18 +266,28 @@ def update_flagship(workdir: str, new_pages_ds, num_buckets: int = 32) -> dict:
     old_aff = old_revs.map_batches(
         lambda t: t.filter(pc.is_in(t["graph"], value_set=aff_arr)),
         batch_format="pyarrow")
-    combined = old_aff.union(new_revs)
+    # dedup ONLY the affected slice (duplicates can't span into untouched
+    # graphs) — keeps update cost proportional to the batch, not the corpus
+    combined = _dedup_events(old_aff.union(new_revs),
+                             num_buckets).materialize()
+
+    with open(_manifest_path(workdir, "revisions")) as f:
+        prior_fp = json.load(f).get("fingerprint", "none")
+    digest = _events_digest(new_revs)
+    fp = "incremental-" + hashlib.sha1(
+        f"{prior_fp}|{digest}".encode()).hexdigest()[:16]
 
     contributors = synth.contributors_for_sources(affected).to_pylist()
     triples = fl.triples_from_revisions(
         combined, contributors, num_buckets=num_buckets, checkpoint=True)
     store_root = os.path.join(workdir, "triples_store")
-    fp = f"incremental-{uuid.uuid4().hex[:8]}"
     written = store_mod.write_store(triples, store_root, fingerprint=fp)
 
     # extend the revisions checkpoint so the NEXT update sees this history
-    all_revs = old_revs.union(new_revs)
-    _write_stage(all_revs, workdir, "revisions", fp)
+    old_rest = old_revs.map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(t["graph"], value_set=aff_arr))),
+        batch_format="pyarrow")
+    _write_stage(old_rest.union(combined), workdir, "revisions", fp)
 
     return {"graphs": affected, "new_events": new_revs.count(),
             "triples_written": sum(written.values())}

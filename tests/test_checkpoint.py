@@ -59,6 +59,94 @@ def test_config_change_invalidates(tmp_path):
     assert r2["resumed"] == []  # fingerprint embeds config
 
 
+def test_run_flagship_refuses_incremental_workdir(ray_session, tiny_corpus,
+                                                  tmp_path):
+    """ADVICE r2 (medium): run_flagship on a workdir that update_flagship
+    merged batches into must refuse (not silently wipe the merged store);
+    fresh=True explicitly rebuilds. Incremental fingerprints are
+    deterministic: same batch chain → same fingerprint."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gitprov_ray import checkpoint, schemas, store, synth
+    from gitprov_ray.pipelines import flagship as fl
+
+    pages, _, _ = tiny_corpus
+    pdf = pages.to_pandas().sort_values(["url", "warc_ts"], kind="mergesort")
+    first = pdf.drop_duplicates("url", keep="first")
+    rest = pdf[~pdf.index.isin(first.index)]
+    to_tbl = lambda d: pa.Table.from_pandas(d.reset_index(drop=True),
+                                            schema=schemas.PAGES,
+                                            preserve_index=False)
+    graphs = sorted({u.split("/")[2] for u in pdf["url"]})
+    contributors = synth.contributors_for_sources(graphs).to_pylist()
+
+    import json
+    import os
+
+    fps = []
+    for name in ("wd1", "wd2"):
+        wd = str(tmp_path / name)
+        os.makedirs(wd)
+        revs = fl.revisions_from_pages(rd.from_arrow(to_tbl(first)))
+        checkpoint._write_stage(revs, wd, "revisions", "init")
+        tri = fl.triples_from_revisions(
+            checkpoint._read_stage(wd, "revisions"), contributors,
+            num_buckets=4)
+        store.write_store(tri, f"{wd}/triples_store", fingerprint="init")
+        checkpoint.update_flagship(wd, rd.from_arrow(to_tbl(rest)),
+                                   num_buckets=4)
+        with open(checkpoint._manifest_path(wd, "revisions")) as f:
+            fps.append(json.load(f)["fingerprint"])
+    assert fps[0] == fps[1] and fps[0].startswith("incremental-")
+
+    wd = str(tmp_path / "wd1")
+    with pytest.raises(ValueError, match="incremental state"):
+        checkpoint.run_flagship("/root/testdata/sf0.001", wd, num_buckets=4)
+    # merged store untouched by the refused call
+    assert store.list_graphs(f"{wd}/triples_store")
+    # fresh=True rebuilds from the base corpus without error
+    r = checkpoint.run_flagship("/root/testdata/sf0.001", wd, num_buckets=4,
+                                fresh=True)
+    assert r["triples"] > 0 and r["resumed"] == []
+
+
+def test_incremental_resend_does_not_grow_checkpoint(ray_session, tiny_corpus,
+                                                     tmp_path):
+    """ADVICE r2 (low): re-sending a batch must not duplicate rows in the
+    revisions checkpoint."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gitprov_ray import checkpoint, schemas, store, synth
+    from gitprov_ray.pipelines import flagship as fl
+
+    pages, _, _ = tiny_corpus
+    pdf = pages.to_pandas().sort_values(["url", "warc_ts"], kind="mergesort")
+    first = pdf.drop_duplicates("url", keep="first")
+    rest = pdf[~pdf.index.isin(first.index)]
+    to_tbl = lambda d: pa.Table.from_pandas(d.reset_index(drop=True),
+                                            schema=schemas.PAGES,
+                                            preserve_index=False)
+    graphs = sorted({u.split("/")[2] for u in pdf["url"]})
+    contributors = synth.contributors_for_sources(graphs).to_pylist()
+
+    import os
+    wd = str(tmp_path / "wd")
+    os.makedirs(wd)
+    revs = fl.revisions_from_pages(rd.from_arrow(to_tbl(first)))
+    checkpoint._write_stage(revs, wd, "revisions", "init")
+    tri = fl.triples_from_revisions(
+        checkpoint._read_stage(wd, "revisions"), contributors, num_buckets=4)
+    store.write_store(tri, f"{wd}/triples_store", fingerprint="init")
+
+    checkpoint.update_flagship(wd, rd.from_arrow(to_tbl(rest)), num_buckets=4)
+    n1 = checkpoint._read_stage(wd, "revisions").count()
+    checkpoint.update_flagship(wd, rd.from_arrow(to_tbl(rest)), num_buckets=4)
+    n2 = checkpoint._read_stage(wd, "revisions").count()
+    assert n1 == n2  # re-send deduped, checkpoint stable
+
+
 def test_incremental_update_matches_full_run(ray_session, tiny_corpus, tmp_path):
     """update_flagship: first-snapshot batch, then the rest — the merged
     store must equal a full run over all pages (version chains span the
