@@ -74,7 +74,9 @@ def cmd_store_put(args) -> int:
     from . import store as store_mod
 
     _ray_session(args.num_cpus)
-    ds = rd.read_parquet(args.triples)
+    from .util import read_parquet_clean
+
+    ds = read_parquet_clean(args.triples)
     written = store_mod.write_store(ds, args.root)
     print(json.dumps({"graphs": written}, sort_keys=True))
     return 0
@@ -137,7 +139,9 @@ def cmd_update(args) -> int:
     from . import checkpoint
 
     _ray_session(args.num_cpus)
-    pages = rd.read_parquet(args.pages)
+    from .util import read_parquet_clean
+
+    pages = read_parquet_clean(args.pages)
     res = checkpoint.update_flagship(args.workdir, pages,
                                      num_buckets=args.buckets)
     print(json.dumps(res, sort_keys=True))

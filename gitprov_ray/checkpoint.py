@@ -94,12 +94,12 @@ def _write_stage(ds, workdir: str, stage: str, fingerprint: str) -> None:
 
 
 def _read_stage(workdir: str, stage: str):
-    import ray.data as rd
+    from .util import read_parquet_clean
 
     with open(_manifest_path(workdir, stage)) as f:
         m = json.load(f)
-    return rd.read_parquet([os.path.join(_stage_dir(workdir, stage), fn)
-                            for fn in m["files"]])
+    return read_parquet_clean([os.path.join(_stage_dir(workdir, stage), fn)
+                               for fn in m["files"]])
 
 
 def _has_incremental_state(workdir: str) -> bool:

@@ -89,7 +89,9 @@ def flagship_from_pages_parquet(pages_path: str, contributor_rows: list[dict],
     from ..util import tune_context
 
     tune_context()
-    pages_ds = rd.read_parquet(pages_path, columns=["url", "warc_ts", "html"])
+    from ..util import read_parquet_clean
+
+    pages_ds = read_parquet_clean(pages_path, columns=["url", "warc_ts", "html"])
     tri = triples_from_pages(pages_ds, contributor_rows,
                              num_buckets=num_buckets, sort=sort,
                              checkpoint=checkpoint)
@@ -109,8 +111,10 @@ def pages_from_documents(sf_dir: str, repeat: int = 1) -> "rd.Dataset":
     from ..util import tune_context
 
     tune_context()
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text", "lang", "source"])
+    from ..util import read_parquet_clean
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text", "lang", "source"])
     return docs.map_batches(
         lambda b: pages_stage.render_pages_from_documents_batch(b, repeat),
         batch_format="pyarrow")
@@ -130,8 +134,10 @@ def contributors_for_sf(sf_dir: str) -> list[dict]:
         from ..util import tune_context
 
         tune_context()
-        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["source"])
+        from ..util import read_parquet_clean
+
+        docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                                  columns=["source"])
         srcs = distinct_keys(docs, "source").to_pandas()["source"]
     else:
         import pyarrow.dataset as pads

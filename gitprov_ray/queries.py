@@ -29,8 +29,10 @@ from . import annsearch, linking, textops
 def _read(sf_dir: str, table: str, columns=None):
     from .util import tune_context
 
+    from .util import read_parquet_clean
+
     tune_context()
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _cents(x: pd.Series) -> pd.Series:

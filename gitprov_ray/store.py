@@ -153,7 +153,9 @@ def read_store(root: str, graph: str | None = None, columns=None,
         kwargs["columns"] = list(columns)
     if predicate is not None:
         kwargs["filter"] = pads.field("pred") == predicate
-    return rd.read_parquet(files, **kwargs)
+    from .util import read_parquet_clean
+
+    return read_parquet_clean(files, **kwargs)
 
 
 def store_catalog(root: str) -> list[tuple[str, str]]:
