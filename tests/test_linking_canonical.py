@@ -108,6 +108,49 @@ def test_ngram_jaccard_multiblock(ray_session):
     assert set(zip(out["a"], out["b"])) <= cset
 
 
+def test_hot_bucket_full_pair_recovery(ray_session):
+    """VERDICT r2 #1b: a duplicate cluster larger than the old max_bucket
+    cap (200) must recover EVERY pair — the truncation recall hole is
+    gone. 260 identical docs → C(260,2) = 33,670 pairs, all est=1.0."""
+    import ray.data as rd
+    from gitprov_ray import linking
+
+    n = 260
+    text = ("the same boilerplate paragraph repeated across mirror hosts "
+            "word for word with no variation at all ") * 3
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": range(n), "text": [text] * n})).repartition(4)
+    pairs = linking.minhash_candidate_pairs(docs, threshold=0.8).to_pandas()
+    assert len(pairs) == n * (n - 1) // 2
+    assert (pairs["est_jaccard"] == 1.0).all()
+    got = set(zip(pairs["a"], pairs["b"]))
+    assert got == {(a, b) for a in range(n) for b in range(a + 1, n)}
+
+
+def test_fused_bands_match_pandas_twin():
+    """signature_bands_batch (fused Arrow stage) must equal
+    signature_batch + explode_bands (the readable pandas twin)."""
+    import pyarrow as pa
+    from gitprov_ray import linking
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "an entirely different document body goes here",
+             "the quick brown fox jumps over the lazy dog",  # exact dup
+             ""]
+    df = pd.DataFrame({"doc_id": [7, 8, 9, 10], "text": texts})
+    fused = linking.signature_bands_batch(
+        pa.Table.from_pandas(df), "doc_id", "text", 32)
+    twin = linking.explode_bands(
+        linking.signature_batch(df, "doc_id", "text"), "doc_id", 32)
+    for col in ("bucket", "bkey", "doc_id"):
+        assert fused.column(col).to_pylist() == twin.column(col).to_pylist()
+    assert fused.column("sigb").cast(pa.binary()).to_pylist() == \
+        twin.column("sigb").cast(pa.binary()).to_pylist()
+    # dictionary values stay unique despite the exact-dup signature
+    assert len(set(fused.column("sigb").chunk(0).dictionary.to_pylist())) == \
+        len(fused.column("sigb").chunk(0).dictionary)
+
+
 def test_ngram_jaccard_string_ids(ray_session):
     """ngram_jaccard_pairs must preserve string doc-id dtypes end-to-end
     (VERDICT r2 #7 / ADVICE: the verify stage hard-coded int64)."""
