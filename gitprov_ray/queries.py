@@ -848,6 +848,34 @@ def q_regex_extract_docs(sf_dir: str):
     return ds.map_batches(f, batch_format="pandas").sort("doc_id")
 
 
+_DOCS_NS = "http://docs.example/"
+
+
+def _docs_triples(sf_dir: str, en_lang_only: bool = False):
+    """documents table rendered as RDF triples (subj = doc URI; one
+    `lang` and one `source` triple per doc) — the shared fixture for the
+    SPARQL-surface queries. ``en_lang_only``: emit the lang triple only
+    for English docs, making `lang` a PARTIAL predicate (exercises
+    OPTIONAL's unmatched rows)."""
+    NS = _DOCS_NS
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    def to_triples(df: pd.DataFrame) -> pd.DataFrame:
+        def mk(sub: pd.DataFrame, pred: str, obj: pd.Series) -> pd.DataFrame:
+            return pd.DataFrame({
+                "subj": NS + "doc/" + sub["doc_id"].astype(str),
+                "pred": NS + pred, "obj": obj.astype(str),
+                "obj_is_literal": True, "obj_dtype": "xsd:string",
+                "graph": "docs"})
+
+        lang_rows = df[df["lang"] == "en"] if en_lang_only else df
+        return pd.concat([mk(lang_rows, "lang", lang_rows["lang"]),
+                          mk(df, "source", df["source"])],
+                         ignore_index=True)
+
+    return ds.map_batches(to_triples, batch_format="pandas")
+
+
 def q_sparql_select(sf_dir: str):
     """SPARQL query-STRING front-end (the reference's ad-hoc query surface,
     SparqlService.java:22-31): the documents table rendered as RDF triples,
@@ -857,19 +885,7 @@ def q_sparql_select(sf_dir: str):
     scale path for large bindings is the bucketed Dataset.join."""
     from . import sparql_lite
 
-    NS = "http://docs.example/"
-    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
-
-    def to_triples(df: pd.DataFrame) -> pd.DataFrame:
-        uri = NS + "doc/" + df["doc_id"].astype(str)
-        mk = lambda pred, obj: pd.DataFrame({
-            "subj": uri, "pred": NS + pred, "obj": obj.astype(str),
-            "obj_is_literal": True, "obj_dtype": "xsd:string",
-            "graph": "docs"})
-        return pd.concat([mk("lang", df["lang"]), mk("source", df["source"])],
-                         ignore_index=True)
-
-    tri = ds.map_batches(to_triples, batch_format="pandas")
+    tri = _docs_triples(sf_dir)
     q = """
         PREFIX ex: <http://docs.example/>
         SELECT ?d ?s WHERE {
@@ -888,23 +904,61 @@ def q_sparql_distributed(sf_dir: str):
     sets."""
     from . import sparql_lite
 
-    NS = "http://docs.example/"
-    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
-
-    def to_triples(df: pd.DataFrame) -> pd.DataFrame:
-        uri = NS + "doc/" + df["doc_id"].astype(str)
-        mk = lambda pred, obj: pd.DataFrame({
-            "subj": uri, "pred": NS + pred, "obj": obj.astype(str),
-            "obj_is_literal": True, "obj_dtype": "xsd:string",
-            "graph": "docs"})
-        return pd.concat([mk("lang", df["lang"]), mk("source", df["source"])],
-                         ignore_index=True)
-
-    tri = ds.map_batches(to_triples, batch_format="pandas")
+    NS = _DOCS_NS
+    tri = _docs_triples(sf_dir)
     out = sparql_lite.select_distributed(
         tri, [("?d", NS + "lang", "en"), ("?d", NS + "source", "?s")],
         variables=["?d", "?s"], order_by=["?d", "?s"])
     return out
+
+
+def q_sparql_optional(sf_dir: str):
+    """SPARQL OPTIONAL — left-outer binding join (SPARQL 1.1 §5.3; the
+    reference's query surface is full Jena SPARQL, SparqlService.java:22-31).
+    Fixture makes `lang` a PARTIAL predicate (only English docs carry it),
+    so ?l stays unbound (NULL) for every non-English doc while the required
+    ?s binding is preserved."""
+    from . import sparql_lite
+
+    tri = _docs_triples(sf_dir, en_lang_only=True)
+    q = """
+        PREFIX ex: <http://docs.example/>
+        SELECT ?d ?s ?l WHERE {
+            ?d ex:source ?s .
+            OPTIONAL { ?d ex:lang ?l }
+        } ORDER BY ?d
+    """
+    return sparql_lite.select_text(tri, q)
+
+
+def q_sparql_union(sf_dir: str):
+    """SPARQL UNION — bag-semantics concat of BGP branches (SPARQL 1.1
+    §5.4), via the query-string front-end."""
+    from . import sparql_lite
+
+    tri = _docs_triples(sf_dir)
+    q = """
+        PREFIX ex: <http://docs.example/>
+        SELECT ?d ?s WHERE {
+            { ?d ex:lang "en" } UNION { ?d ex:lang "de" } .
+            ?d ex:source ?s .
+        } ORDER BY ?d
+    """
+    return sparql_lite.select_text(tri, q)
+
+
+def q_sparql_optional_distributed(sf_dir: str):
+    """Distributed OPTIONAL: required BGP and each OPTIONAL group stay
+    Datasets end-to-end; the left-outer merge is a bucketed
+    `Dataset.join` (sparql_lite.select_optional_distributed) — bindings
+    never materialize on the driver."""
+    from . import sparql_lite
+
+    NS = _DOCS_NS
+    tri = _docs_triples(sf_dir, en_lang_only=True)
+    out = sparql_lite.select_optional_distributed(
+        tri, [("?d", NS + "source", "?s")], [[("?d", NS + "lang", "?l")]])
+    return out.sort("d")
 
 
 def q_ann_ivf_topk(sf_dir: str):
@@ -950,6 +1004,9 @@ QUERIES = {
     "q_ann_ivf_topk": q_ann_ivf_topk,
     "q_sparql_select": q_sparql_select,
     "q_sparql_distributed": q_sparql_distributed,
+    "q_sparql_optional": q_sparql_optional,
+    "q_sparql_union": q_sparql_union,
+    "q_sparql_optional_distributed": q_sparql_optional_distributed,
     "q_moving_sum_events": q_moving_sum_events,
     "q_nation_revenue_3way": q_nation_revenue_3way,
     "q_orders_by_month": q_orders_by_month,
@@ -1201,6 +1258,28 @@ ORACLE_SQL = {
         SELECT 'http://docs.example/doc/' || CAST(doc_id AS VARCHAR) AS d,
                source AS s
         FROM documents WHERE lang = 'en' ORDER BY d, s
+    """,
+    "q_sparql_optional": """
+        SELECT 'http://docs.example/doc/' || CAST(doc_id AS VARCHAR) AS d,
+               source AS s,
+               CASE WHEN lang = 'en' THEN lang END AS l
+        FROM documents ORDER BY d
+    """,
+    "q_sparql_union": """
+        SELECT 'http://docs.example/doc/' || CAST(doc_id AS VARCHAR) AS d,
+               source AS s
+        FROM documents WHERE lang = 'en'
+        UNION ALL
+        SELECT 'http://docs.example/doc/' || CAST(doc_id AS VARCHAR) AS d,
+               source AS s
+        FROM documents WHERE lang = 'de'
+        ORDER BY d
+    """,
+    "q_sparql_optional_distributed": """
+        SELECT 'http://docs.example/doc/' || CAST(doc_id AS VARCHAR) AS d,
+               source AS s,
+               CASE WHEN lang = 'en' THEN lang END AS l
+        FROM documents ORDER BY d
     """,
     "q_ann_topk": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe

@@ -188,6 +188,105 @@ def ask(triples_ds, patterns, graph=None) -> bool:
     return len(select(triples_ds, patterns, graph=graph, limit=1)) > 0
 
 
+def select_optional(triples_ds, patterns: list[tuple],
+                    optional_groups: list[list[tuple]],
+                    graph: str | None = None) -> pd.DataFrame:
+    """Required BGP + OPTIONAL groups → binding table (SPARQL 1.1 §5.3,
+    the reference's surface via Jena, SparqlService.java:22-31). Each
+    OPTIONAL group is evaluated as its own BGP and LEFT-joined to the
+    accumulated bindings on the shared variables; rows with no match keep
+    the required bindings with the optional variables unbound (None)."""
+    result = select(triples_ds, patterns, graph=graph)
+    for group in optional_groups:
+        part = select(triples_ds, group, graph=graph)
+        shared = [c for c in result.columns if c in part.columns]
+        if not shared:
+            raise SparqlSyntaxError(
+                "OPTIONAL group shares no variable with the required "
+                "patterns (cross-product OPTIONAL unsupported)")
+        result = result.merge(part, on=shared, how="left")
+    # unbound optionals are None (not float NaN): keeps object dtype and a
+    # stable string rendering in result serializers
+    for c in result.columns:
+        if result[c].isna().any():
+            result[c] = result[c].astype(object).where(result[c].notna(), None)
+    return result.reset_index(drop=True)
+
+
+def select_union(triples_ds, branches: list[list[tuple]],
+                 graph: str | None = None) -> pd.DataFrame:
+    """UNION of BGP branches (SPARQL 1.1 §5.4): each branch evaluates
+    independently; results concatenate with bag semantics (UNION ALL —
+    SPARQL UNION does not deduplicate), columns aligned by variable name
+    and absent variables unbound."""
+    outs = [select(triples_ds, b, graph=graph) for b in branches]
+    cols: list[str] = []
+    for o in outs:
+        cols += [c for c in o.columns if c not in cols]
+    aligned = [o.reindex(columns=cols) for o in outs]
+    result = pd.concat(aligned, ignore_index=True) if aligned else pd.DataFrame()
+    for c in result.columns:
+        if result[c].isna().any():
+            result[c] = result[c].astype(object).where(result[c].notna(), None)
+    return result
+
+
+def select_optional_distributed(triples_ds, patterns: list[tuple],
+                                optional_groups: list[list[tuple]],
+                                graph: str | None = None):
+    """Distributed OPTIONAL: required BGP via the bucketed-join path, each
+    OPTIONAL group LEFT-OUTER `Dataset.join`ed on shared variables — the
+    J5 scale surface (bindings never materialize on the driver)."""
+    import pyarrow as pa
+
+    from .ops import _default_partitions, materialize_normalized
+
+    P = _default_partitions()
+    result = select_distributed(triples_ds, patterns, graph=graph)
+    bound = list(result.schema().names)
+    for group in optional_groups:
+        part = select_distributed(triples_ds, group, graph=graph)
+        vars_ = list(part.schema().names)
+        shared = [v for v in bound if v in vars_]
+        if not shared:
+            raise SparqlSyntaxError(
+                "OPTIONAL group shares no variable with the required "
+                "patterns (cross-product OPTIONAL unsupported)")
+        # normalize both sides: column-less empty blocks break join
+        # partitioning (materialize_normalized contract); bindings are
+        # always strings
+        result = materialize_normalized(
+            result, pa.schema([(v, pa.string()) for v in bound])).join(
+            materialize_normalized(
+                part, pa.schema([(v, pa.string()) for v in vars_])),
+            "left_outer", P, on=tuple(shared))
+        bound += [v for v in vars_ if v not in bound]
+    return result
+
+
+def select_union_distributed(triples_ds, branches: list[list[tuple]],
+                             graph: str | None = None):
+    """Distributed UNION: each branch runs the distributed BGP path, then
+    `Dataset.union` (bag semantics). Branches must bind the same variable
+    set — Ray's union requires aligned schemas; heterogeneous branches
+    belong on the driver path (select_union)."""
+    outs = [select_distributed(triples_ds, b, graph=graph) for b in branches]
+    if not outs:
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame())
+    names = set(outs[0].schema().names)
+    for o in outs[1:]:
+        if set(o.schema().names) != names:
+            raise SparqlSyntaxError(
+                "distributed UNION branches must bind identical variables; "
+                "use select_union for heterogeneous branches")
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.union(o)
+    return result
+
+
 # ---------------------------------------------------------------------------
 # SPARQL query-string front-end
 # ---------------------------------------------------------------------------
@@ -310,12 +409,57 @@ def parse_select(query: str) -> dict:
             return t      # prov:/rdf:/… CURIEs expand downstream (prov.expand)
         raise SparqlSyntaxError(f"bad term {t!r}")
 
+    optional_groups: list[list[tuple]] = []
+    union_branches: list[list[tuple]] = []
+
+    def take_group() -> list[tuple]:
+        """Parse a brace-delimited group of triple patterns (no nested
+        groups / FILTER inside a group — driver raises, not mis-parses)."""
+        take("{")
+        group: list[tuple] = []
+        while True:
+            t = peek()
+            if t is None:
+                raise SparqlSyntaxError("unterminated group")
+            if t == "}":
+                take()
+                return group
+            if t in ("{",) or t.upper() in ("OPTIONAL", "FILTER", "UNION"):
+                raise SparqlSyntaxError(
+                    f"{t!r} not supported inside a group pattern")
+            s, p, o = take(), take(), take()
+            group.append((term(s) if not s.startswith("?") else s,
+                          term(p) if not p.startswith("?") else p,
+                          term(o) if not o.startswith("?") else o))
+            if peek() == ".":
+                take()
+
     while True:
         t = peek()
         if t is None:
             raise SparqlSyntaxError("unterminated WHERE block")
         if t == "}":
             take(); break
+        if t.upper() == "OPTIONAL":
+            take()
+            optional_groups.append(take_group())
+            if peek() == ".":
+                take()
+            continue
+        if t == "{":
+            # { BGP } UNION { BGP } [UNION { BGP }]...
+            branches = [take_group()]
+            while peek() and peek().upper() == "UNION":
+                take()
+                branches.append(take_group())
+            if len(branches) < 2:
+                raise SparqlSyntaxError("group pattern without UNION")
+            if union_branches:
+                raise SparqlSyntaxError("multiple UNION blocks unsupported")
+            union_branches = branches
+            if peek() == ".":
+                take()
+            continue
         if t.upper() == "FILTER":
             take(); take("(")
             first = take()
@@ -375,6 +519,8 @@ def parse_select(query: str) -> dict:
 
     return {"prefixes": prefixes, "variables": variables, "star": star,
             "distinct": distinct, "patterns": patterns, "filters": filters,
+            "optional_groups": optional_groups,
+            "union_branches": union_branches,
             "order_by": order_by, "limit": limit, "offset": offset}
 
 
@@ -403,8 +549,36 @@ def select_text(triples_ds, query: str, graph: str | None = None) -> pd.DataFram
     """Run a SPARQL SELECT string over a triples Dataset → binding frame
     (the reference's ad-hoc query surface, SparqlController.java:33-43)."""
     plan = parse_select(query)
-    out = select(triples_ds, plan["patterns"],
-                 variables=None, graph=graph, distinct=False)
+    if plan["union_branches"]:
+        u = select_union(triples_ds, plan["union_branches"], graph=graph)
+        if plan["patterns"]:
+            base = select(triples_ds, plan["patterns"], graph=graph)
+            shared = [c for c in base.columns if c in u.columns]
+            if not shared:
+                raise SparqlSyntaxError(
+                    "UNION block shares no variable with the surrounding "
+                    "patterns (cross-product join unsupported)")
+            out = base.merge(u, on=shared, how="inner")
+        else:
+            out = u
+        if plan["optional_groups"]:
+            for group in plan["optional_groups"]:
+                part = select(triples_ds, group, graph=graph)
+                shared = [c for c in out.columns if c in part.columns]
+                if not shared:
+                    raise SparqlSyntaxError(
+                        "OPTIONAL group shares no variable with prior "
+                        "patterns")
+                out = out.merge(part, on=shared, how="left")
+            for c in out.columns:
+                if out[c].isna().any():
+                    out[c] = out[c].astype(object).where(out[c].notna(), None)
+    elif plan["optional_groups"]:
+        out = select_optional(triples_ds, plan["patterns"],
+                              plan["optional_groups"], graph=graph)
+    else:
+        out = select(triples_ds, plan["patterns"],
+                     variables=None, graph=graph, distinct=False)
     out = _apply_filters(out, plan["filters"])
     if plan["variables"] and not plan["star"]:
         out = out[[v.lstrip("?") for v in plan["variables"]]]
