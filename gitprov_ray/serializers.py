@@ -264,18 +264,26 @@ FORMATS = {
     "turtle": to_turtle,
     "trig": lambda df: to_trig(df),
     "rdfxml": lambda df: to_rdfxml(df),
-    "xml": lambda df: to_rdfxml(df),
     "jsonld": lambda df: to_jsonld(df),
     "rdfjson": lambda df: to_rdfjson(df),
     "n3": lambda df: to_n3(df),
     "provn": None,      # statement-level: use to_provn
+    "provxml": None,    # statement-level: use to_provxml
+    # Jena Lang.RDFNULL (JenaUtils.java:31): text/plain serializes to an
+    # EMPTY body — the reference returns "" for that content type.
+    "rdfnull": lambda df: "",
     "csv": result_csv,
     "tsv": result_tsv,
     "json": result_json,
 }
 
 # mirrors the reference's formatToLangs map (JenaUtils.java:18-41) plus the
-# document content types of ProvenanceService.java:197-254
+# document content types of ProvenanceService.java:197-254.
+# `application/xml` is PROV-XML (InteropFramework.ProvFormat.XML,
+# ProvenanceService.java:223-224) — DISTINCT from application/rdf+xml.
+# `application/sparql-results+thrift` (Lang.RDFTHRIFT, JenaUtils.java:25)
+# is served as an N-Triples payload: RDF-Thrift's binary Thrift framing is
+# out of scope (documented fallback), the triple CONTENT is identical.
 CONTENT_TYPES = {
     "application/trig": "trig",
     "application/n-triples": "ntriples",
@@ -283,11 +291,13 @@ CONTENT_TYPES = {
     "application/x-turtle": "turtle",
     "text/turtle": "turtle",
     "application/rdf+xml": "rdfxml",
-    "application/xml": "xml",
+    "application/xml": "provxml",
     "application/ld+json": "jsonld",
     "application/rdf+json": "rdfjson",
+    "application/sparql-results+thrift": "ntriples",
     "text/n3": "n3",
     "text/rdf+n3": "n3",
+    "text/plain": "rdfnull",
     "text/provenance-notation": "provn",
     "text/csv": "csv",
     "text/tab-separated-values": "tsv",
@@ -567,6 +577,95 @@ def to_prov_json(statements: list[dict]) -> str:
         key = s["id"] if s["id"] else f"_:{s['subj']}-{s['obj']}"
         cats.setdefault(s["stmt_type"], {})[f"gitprov:{key}"] = entry
     return json.dumps(cats, ensure_ascii=False, sort_keys=True)
+
+
+# ---------------------------------------------------------------------------
+# PROV-XML document writer (W3C PROV-XML; the reference's application/xml,
+# InteropFramework.ProvFormat.XML at ProvenanceService.java:223-224 —
+# DISTINCT from RDF/XML, which serves application/rdf+xml)
+# ---------------------------------------------------------------------------
+
+# (subject-element, object-element, emits-time) per relation statement type;
+# element names follow the PROV-XML schema (prov.xsd)
+_PROVXML_REL = {
+    "specializationOf": ("prov:specificEntity", "prov:generalEntity", False),
+    "wasAssociatedWith": ("prov:activity", "prov:agent", False),
+    "wasGeneratedBy": ("prov:entity", "prov:activity", True),
+    "wasInvalidatedBy": ("prov:entity", "prov:activity", True),
+    "used": ("prov:activity", "prov:entity", True),
+    "wasInformedBy": ("prov:informed", "prov:informant", False),
+    "wasDerivedFrom": ("prov:generatedEntity", "prov:usedEntity", False),
+}
+_PROVXML_NODE = {"activity": "prov:activity", "agent": "prov:agent",
+                 "entity": "prov:entity", "base_entity": "prov:entity"}
+
+
+def to_provxml(statements: list[dict]) -> str:
+    """PROV-XML document: statements in the reference's category-major
+    order O2 (ProvenanceService.java:202-212) with the same deterministic
+    within-category order as `to_provn`. Attributes render as typed child
+    elements (`<pfx:local xsi:type="...">`); `@uri`-typed citation attrs
+    render as `xsd:QName` values, matching PROV-XML's qualified-name
+    convention. One `gitprov` XML namespace per distinct graph (`gitprov`,
+    `gitprov2`, … in sorted-graph order)."""
+    from .prov import PREFIXES
+
+    graphs = sorted({s["graph"] for s in statements})
+    gpfx = {g: "gitprov" if i == 0 else f"gitprov{i + 1}"
+            for i, g in enumerate(graphs)}
+
+    def q(s: dict, name: str) -> str:
+        return f"{gpfx[s['graph']]}:{name}"
+
+    def attr_elems(s: dict, pad: str) -> list[str]:
+        if not s.get("attrs") or s["attrs"] == "{}":
+            return []
+        out = []
+        for pred, (val, dtype) in sorted(json.loads(s["attrs"]).items()):
+            tag = q(s, pred.split(":", 1)[1]) if pred.startswith("gitprov:") \
+                else pred
+            if dtype == "@uri":
+                out.append(f'{pad}<{tag} xsi:type="xsd:QName">'
+                           f"{_xml_esc(q(s, val))}</{tag}>")
+            else:
+                out.append(f'{pad}<{tag} xsi:type="{dtype}">'
+                           f"{_xml_esc(str(val))}</{tag}>")
+        return out
+
+    ns = [f'xmlns:{p}="{u}"' for p, u in sorted(PREFIXES.items())]
+    ns.append('xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance"')
+    ns += [f'xmlns:{gpfx[g]}="{_xml_esc(idgen.graph_ns(g), attr=True)}"' for g in graphs]
+    lines = ['<?xml version="1.0" encoding="UTF-8"?>',
+             "<prov:document " + " ".join(ns) + ">"]
+    for s in sorted(statements, key=lambda s: (
+            s["stmt_rank"], s["id"] or "", s["subj"] or "", s["obj"] or "")):
+        t = s["stmt_type"]
+        body: list[str] = []
+        if t in _PROVXML_NODE:
+            tag = _PROVXML_NODE[t]
+            head = f'  <{tag} prov:id="{_xml_esc(q(s, s["id"]), attr=True)}">'
+            if t == "activity" and s.get("t") is not None:
+                body.append(f"    <prov:startTime>{s['t'].isoformat()}"
+                            "</prov:startTime>")
+        else:
+            subj_el, obj_el, has_time = _PROVXML_REL[t]
+            tag = f"prov:{t}"
+            idattr = f' prov:id="{_xml_esc(q(s, s["id"]), attr=True)}"' if s["id"] else ""
+            head = f"  <{tag}{idattr}>"
+            body.append(f'    <{subj_el} prov:ref="'
+                        f'{_xml_esc(q(s, s["subj"]), attr=True)}"/>')
+            body.append(f'    <{obj_el} prov:ref="'
+                        f'{_xml_esc(q(s, s["obj"]), attr=True)}"/>')
+            if t == "wasDerivedFrom" and s.get("secondary"):
+                body.append(f'    <prov:activity prov:ref="'
+                            f'{_xml_esc(q(s, s["secondary"]), attr=True)}"/>')
+            if has_time and s.get("t") is not None:
+                body.append(f"    <prov:time>{s['t'].isoformat()}"
+                            "</prov:time>")
+        body += attr_elems(s, "    ")
+        lines += [head] + body + [f"  </{tag}>"]
+    lines.append("</prov:document>")
+    return "\n".join(lines) + "\n"
 
 
 PARSERS = {
