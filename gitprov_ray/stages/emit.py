@@ -71,7 +71,7 @@ def make_emitter(agents_idx: dict):
     actor-pool class when per-worker setup is genuinely expensive (models,
     indexes); use this when the state is a small lookup table."""
     def emit_batch(batch: pa.Table) -> pa.Table:
-        return emit_stateless_vec(batch, agents_idx)
+        return emit_stateless_arrow(batch, agents_idx)
 
     return emit_batch
 
@@ -260,3 +260,145 @@ def emit_stateless_vec(batch: pa.Table, agents: dict) -> pa.Table:
     from .. import schemas
 
     return pandas_to_arrow(out, schemas.STATEMENTS)
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native emit (same output as EmitStateless / emit_stateless_vec,
+# all-C++ kernels — no pandas string churn in the hot flagship path)
+# ---------------------------------------------------------------------------
+
+import pyarrow.compute as pc  # noqa: E402  (kept near its sole consumers)
+
+
+def _json_quote_arrow(arr: pa.Array) -> pa.Array:
+    """Arrow twin of :func:`_json_quote_series`: values without a
+    JSON-escapable character (backslash, quote, C0 control) are quoted with
+    one C++ concat; the rare flagged rows fall back to json.dumps; nulls
+    render as the JSON literal ``null`` (matching json.dumps(None))."""
+    import json as _json
+
+    simple = pc.binary_join_element_wise('"', arr, '"', "")
+    flagged = pc.fill_null(pc.match_substring_regex(arr, r'[\\"\x00-\x1f]'), False)
+    if pc.any(flagged).as_py():
+        idx = np.flatnonzero(flagged.to_numpy(zero_copy_only=False))
+        vals = [_json.dumps(v, ensure_ascii=False)
+                for v in arr.take(pa.array(idx)).to_pylist()]
+        out = np.asarray(simple.to_pandas(), dtype=object)
+        out[idx] = vals
+        simple = pa.array(out, type=pa.string())
+    return pc.fill_null(simple, "null")
+
+
+def _dict_map(arr: pa.Array, fn) -> pa.Array:
+    """Apply a Python string function over the UNIQUE values of ``arr`` only
+    (dictionary-encode → map dictionary → take), so per-row Python cost is
+    amortized across repeats — filenames/logins repeat heavily per batch."""
+    d = pc.dictionary_encode(arr)
+    mapped = pa.array([fn(v) for v in d.dictionary.to_pylist()], pa.string())
+    return mapped.take(d.indices)
+
+
+def emit_stateless_arrow(batch: pa.Table, agents: dict) -> pa.Table:
+    """Arrow-native twin of EmitStateless.__call__ / emit_stateless_vec.
+
+    Pinned by test_emit_vec.py multiset parity against BOTH the row
+    reference and the pandas twin. Same invariants as the pandas twin
+    (snapshot ids are hex → escape_ncname is identity; ids distribute over
+    concat) plus: per-unique-value Python escapes via dictionary encode,
+    first-per-(graph,sha) via np.unique on dictionary codes, parents
+    explode via list_flatten/list_parent_indices — zero per-row Python in
+    the common path."""
+    from .. import idgen, schemas
+    from ..schemas import STMT_RANK
+
+    batch = batch.combine_chunks()
+    n = batch.num_rows
+    if n == 0:
+        return schemas.STATEMENTS.empty_table()
+    col = {name: batch.column(name).combine_chunks()
+           for name in ("graph", "page_key", "snapshot_id", "ts", "author",
+                        "author_name", "label", "parents")}
+
+    base = _dict_map(col["page_key"],
+                     lambda v: idgen.escape_ncname(idgen.base_entity_name(v)))
+    spec = pc.binary_join_element_wise(base, col["snapshot_id"], "_commit-")
+    jlabel = _dict_map(col["page_key"], _json_dumps_str)
+    ent_attrs = pc.binary_join_element_wise(
+        '{"prov:label": [', jlabel, ', "xsd:string"]}', "")
+
+    nulls_s = pa.nulls(n, pa.string())
+    nulls_t = pa.nulls(n, pa.timestamp("us"))
+
+    def block(stmt_type, id_a, subj_a, obj_a, secondary_a, t_a, attrs_a,
+              graph_a, m):
+        return pa.Table.from_arrays(
+            [pa.repeat(pa.scalar(stmt_type), m), id_a, subj_a, obj_a,
+             secondary_a, t_a, attrs_a, graph_a,
+             pa.repeat(pa.scalar(STMT_RANK[stmt_type], pa.int32()), m)],
+            schema=schemas.STATEMENTS)
+
+    parts = [
+        block("entity", spec, spec, nulls_s, nulls_s, nulls_t, ent_attrs,
+              col["graph"], n),
+        block("base_entity", base, base, nulls_s, nulls_s, nulls_t, ent_attrs,
+              col["graph"], n),
+        block("specializationOf", nulls_s, spec, base, nulls_s, nulls_t,
+              pa.repeat(pa.scalar("{}"), n), col["graph"], n),
+    ]
+
+    # --- per-commit statements (first (graph, sha) occurrence wins) -------
+    key = pc.binary_join_element_wise(col["graph"], col["snapshot_id"], "\x00")
+    codes = pc.dictionary_encode(key).indices.to_numpy()
+    first = np.unique(codes, return_index=True)[1]
+    first.sort()
+    c = {k: v.take(pa.array(first)) for k, v in col.items()}
+    m = len(first)
+
+    url = pc.binary_join_element_wise(
+        pc.binary_join_element_wise("https://", c["graph"], ""),
+        c["snapshot_id"], "/snapshot/")
+    act_attrs = pc.binary_join_element_wise(
+        '{"foaf:homepage": [', _json_quote_arrow(url),
+        ', "xsd:anyURI"], "prov:label": [', _json_quote_arrow(c["label"]),
+        ', "xsd:string"]}', "")
+    act_id = pc.binary_join_element_wise("commit-", c["snapshot_id"], "")
+    nulls_sm = pa.nulls(m, pa.string())
+    nulls_tm = pa.nulls(m, pa.timestamp("us"))
+    parts.append(block("activity", act_id, act_id, nulls_sm, nulls_sm,
+                       c["ts"], act_attrs, c["graph"], m))
+
+    resolved = c["author"]
+    if resolved.null_count:
+        resolved = pa.array(
+            [a if a is not None else resolve_author(agents.get(g, []), a, an)
+             for a, an, g in zip(resolved.to_pylist(),
+                                 c["author_name"].to_pylist(),
+                                 c["graph"].to_pylist())], pa.string())
+    agent_ids = _dict_map(resolved, idgen.agent_id)
+    parts.append(block(
+        "wasAssociatedWith",
+        pc.binary_join_element_wise("association-", c["snapshot_id"], ""),
+        act_id, agent_ids, nulls_sm, nulls_tm,
+        pa.repeat(pa.scalar('{"prov:role": ["authorship", "xsd:string"]}'), m),
+        c["graph"], m))
+
+    flat = pc.list_flatten(c["parents"])
+    k = len(flat)
+    if k:
+        par_idx = pc.list_parent_indices(c["parents"])
+        sha_x = c["snapshot_id"].take(par_idx)
+        parts.append(block(
+            "wasInformedBy",
+            pc.binary_join_element_wise("information-", flat, "-", sha_x, ""),
+            pc.binary_join_element_wise("commit-", sha_x, ""),
+            pc.binary_join_element_wise("commit-", flat, ""),
+            pa.nulls(k, pa.string()), pa.nulls(k, pa.timestamp("us")),
+            pa.repeat(pa.scalar("{}"), k), c["graph"].take(par_idx), k))
+
+    return pa.concat_tables(parts).combine_chunks()
+
+
+def _json_dumps_str(v: str) -> str:
+    import json as _json
+
+    return _json.dumps(v, ensure_ascii=False)

@@ -27,7 +27,41 @@ def test_emit_vec_parity(n_urls, tiny_corpus):
     batch = revisions.combine_chunks()
     ref = emit.EmitStateless(agents)(batch)
     vec = emit.emit_stateless_vec(batch, agents)
+    arrow = emit.emit_stateless_arrow(batch, agents)
     assert _norm(ref) == _norm(vec)
+    assert _norm(ref) == _norm(arrow)
+    assert arrow.schema.equals(ref.schema)
+
+
+def test_emit_arrow_edge_cases():
+    """Arrow emitter vs row reference on hostile inputs: JSON-escapable
+    labels/filenames, null author (ST2 fallback), null label, multi-parent
+    and empty/null parents lists, duplicate (graph, sha) across files."""
+    import datetime as dt
+
+    rows = []
+    ts = dt.datetime(2024, 1, 2, 3, 4, 5)
+    for i, (f, label, author, parents) in enumerate([
+        ('dir/a "quoted".txt', 'msg with "quotes" and \\slash', "alice", ["p1"]),
+        ("dir/a b.txt", "tab\there\nnewline", None, ["p1", "p2"]),
+        ("unicode-café.md", "café ünïcode", "bob", []),
+        ("dir/a b.txt", None, None, None),
+        ("ctrl\x01char", "c\x02d", "alice", ["p1"]),
+    ]):
+        rows.append({
+            "graph": "g%d.example" % (i % 2), "page_key": f,
+            "snapshot_id": "sha%04d" % (i % 3), "ts": ts,
+            "author": author, "author_name": "Alice Smith", "label": label,
+            "change_status": "modified", "event_seq": i,
+            "additions": 1, "changes": 1, "deletions": 0,
+            "parents": parents, "url": "https://x/%d" % i})
+    batch = pa.Table.from_pylist(rows, schema=schemas.REVISIONS)
+    agents = {"g0.example": [("alice", "Alice Smith")],
+              "g1.example": [("bob", None), ("alice", "Alice Smith")]}
+    ref = emit.EmitStateless(agents)(batch)
+    arrow = emit.emit_stateless_arrow(batch, agents)
+    assert _norm(ref) == _norm(arrow)
+    assert emit.emit_stateless_arrow(batch.slice(0, 0), agents).num_rows == 0
 
 
 def test_emit_vec_parity_docs_derived():
