@@ -241,6 +241,18 @@ def flatten_batch_vec(batch: pa.Table) -> pa.Table:
 # shuffle bytes, identical final rows. Subjects are always gp-namespaced in
 # this engine (every minted node lives in its graph's namespace), which is
 # the invariant that makes s_local total.
+#
+# Two further byte reductions on top (round 3, same final rows):
+#   * obj_kind=3 — rdf:type objects come from a CLOSED class table
+#     (prov:Entity/Activity/Agent + the six qualified-influence classes);
+#     instead of a ~40-byte URI per type row, o_val carries a 1-byte code.
+#   * every string column ships DICTIONARY-encoded (int32 codes + one
+#     dictionary per block): graph/obj_dtype are near-constant, and each
+#     subject repeats across its node/type/attr/edge rows (~4x), so the
+#     exchange moves 4 bytes/row + uniques instead of the full string per
+#     row (measured 0.42x of the round-2 compact bytes). Ray's shuffle
+#     concat keeps per-chunk dictionaries; the reduce side decodes once
+#     per bucket.
 
 _PRED_CURIES = [
     "rdf:type", "rdfs:label", "prov:type", "prov:role", "prov:label",
@@ -268,14 +280,53 @@ _PRED_LOCAL = {_PRED_CODE[c]: c.split(":", 1)[1]
 
 _URI_TO_CODE = {u: c for c, u in _PRED_URI.items()}
 
+# closed rdf:type object-class table (obj_kind=3 rows ship the code)
+_CLASS_CURIES = [
+    "prov:Entity", "prov:Activity", "prov:Agent", "prov:Generation",
+    "prov:Invalidation", "prov:Usage", "prov:Communication",
+    "prov:Association", "prov:Derivation",
+]
+_CLASS_URIS = [prov.expand(c, "") for c in _CLASS_CURIES]
+_CLASS_URI_TO_CODE = {u: str(i) for i, u in enumerate(_CLASS_URIS)}
+_CLASS_LUT = pa.array(_CLASS_URIS, pa.string())
+
 COMPACT_SCHEMA = pa.schema([
-    ("graph", pa.string()),
-    ("s_local", pa.string()),
+    ("graph", pa.dictionary(pa.int32(), pa.string())),
+    ("s_local", pa.dictionary(pa.int32(), pa.string())),
     ("pred_code", pa.int8()),
     ("obj_kind", pa.int8()),
-    ("o_val", pa.string()),
-    ("obj_dtype", pa.string()),
+    ("o_val", pa.dictionary(pa.int32(), pa.string())),
+    ("obj_dtype", pa.dictionary(pa.int32(), pa.string())),
 ])
+
+_DICT_COLS = ("graph", "s_local", "o_val", "obj_dtype")
+
+# string-typed twin used while building/deduping inside one task (Arrow
+# group_by and join kernels want plain strings; encode only at the block
+# boundary where bytes enter the shuffle)
+_COMPACT_BUILD_SCHEMA = pa.schema([
+    (f.name, pa.string() if pa.types.is_dictionary(f.type) else f.type)
+    for f in COMPACT_SCHEMA
+])
+
+
+def _encode_compact(t: pa.Table) -> pa.Table:
+    """string build columns → dictionary-encoded exchange columns."""
+    for name in _DICT_COLS:
+        i = t.schema.get_field_index(name)
+        t = t.set_column(i, name,
+                         pc.dictionary_encode(t.column(name).combine_chunks()))
+    return t
+
+
+def _decode_compact(t: pa.Table) -> pa.Table:
+    """reduce-side: dictionary columns → plain strings (once per bucket)."""
+    for name in _DICT_COLS:
+        i = t.schema.get_field_index(name)
+        col = t.column(name)
+        if pa.types.is_dictionary(col.type):
+            t = t.set_column(i, name, pc.cast(col, pa.string()))
+    return t
 
 
 def compact_from_triples(batch: pa.Table) -> pa.Table:
@@ -309,15 +360,20 @@ def compact_from_triples(batch: pa.Table) -> pa.Table:
             kind[i] = 1
             o_val[i] = o[len(p):]
         else:
-            kind[i] = 2
-    return pa.table({
+            code = _CLASS_URI_TO_CODE.get(o)
+            if code is not None:
+                kind[i] = 3
+                o_val[i] = code
+            else:
+                kind[i] = 2
+    return _encode_compact(pa.table({
         "graph": pa.array(df["graph"]),
         "s_local": pa.array(s_local),
         "pred_code": pa.array(pred_code, type=pa.int8()),
         "obj_kind": pa.array(kind, type=pa.int8()),
         "o_val": pa.array(o_val, type=pa.string()),
         "obj_dtype": pa.array(df["obj_dtype"]),
-    })
+    }))
 
 
 _COMPACT_KEY = ["graph", "s_local", "pred_code", "obj_kind", "o_val"]
@@ -334,9 +390,11 @@ def add_compact_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
     kernel; only ONE materialized string column goes through the (stable,
     fixed-key) pandas siphash — building per-column Python strings for the
     key concat was a measured memory-churn hot spot at high concurrency."""
+    def _s(name):
+        c = batch.column(name)
+        return pc.cast(c, pa.string()) if pa.types.is_dictionary(c.type) else c
     joined = pc.binary_join_element_wise(
-        batch.column("graph"), batch.column("s_local"),
-        batch.column("o_val"),
+        _s("graph"), _s("s_local"), _s("o_val"),
         batch.column("pred_code").cast(pa.string()), "\x1f")
     arr = joined.combine_chunks() if isinstance(joined, pa.ChunkedArray) else joined
     h = pd.util.hash_array(arr.to_numpy(zero_copy_only=False)) % num_buckets
@@ -359,6 +417,7 @@ def expand_compact(t: pa.Table) -> pa.Table:
     take / if_else) — no pandas round trip, no Python string objects (the
     reduce-side expansion runs once per output triple; object churn here
     was the scaling bottleneck)."""
+    t = _decode_compact(t)
     graph = t.column("graph")
     gp = _concat(pa.scalar(_GP_PREFIX), graph, pa.scalar("#"))
     subj = _concat(gp, t.column("s_local"))
@@ -368,6 +427,10 @@ def expand_compact(t: pa.Table) -> pa.Table:
                       pc.take(_PRED_URI_LUT, codes))
     kind = t.column("obj_kind")
     o_val = t.column("o_val")
+    is3 = pc.equal(kind, 3)
+    if pc.any(is3).as_py():
+        cls_idx = pc.cast(pc.if_else(is3, o_val, "0"), pa.int8())
+        o_val = pc.if_else(is3, pc.take(_CLASS_LUT, cls_idx), o_val)
     obj = pc.if_else(pc.equal(kind, 1), _concat(gp, o_val), o_val)
     return pa.table(
         {"subj": subj, "pred": pred, "obj": obj,
@@ -386,6 +449,7 @@ def _dedup_expand_sort_group(t: pa.Table) -> pa.Table:
         t = pa.Table.from_pandas(t, preserve_index=False).replace_schema_metadata(None)
     if "bucket" in t.column_names:
         t = t.drop_columns(["bucket"])
+    t = _decode_compact(t)
     if t.num_rows > 1:
         t = t.group_by(_COMPACT_KEY + ["obj_dtype"], use_threads=False) \
              .aggregate([])
@@ -472,7 +536,7 @@ def flatten_batch_compact(batch: pa.Table) -> pa.Table:
             "o_val": pa.repeat(pa.scalar(o_val), n)
                      if isinstance(o_val, str) else o_val,
             "obj_dtype": pa.repeat(pa.scalar(dtype), n),
-        }, schema=COMPACT_SCHEMA))
+        }, schema=_COMPACT_BUILD_SCHEMA))
 
     def attr_rows_loop(att: pa.Table, nd_arr):
         """Generic per-row attrs expansion (agents + any non-template rows)
@@ -508,7 +572,7 @@ def flatten_batch_compact(batch: pa.Table) -> pa.Table:
             "obj_kind": pa.array(rows["obj_kind"], pa.int8()),
             "o_val": pa.array(rows["o_val"], pa.string()),
             "obj_dtype": pa.array(rows["obj_dtype"], pa.string()),
-        }, schema=COMPACT_SCHEMA))
+        }, schema=_COMPACT_BUILD_SCHEMA))
 
     def emit_attr_rows(sub: pa.Table, node, st: str = ""):
         """Attrs expansion: vectorized fast paths for the fixed-template
@@ -572,7 +636,8 @@ def flatten_batch_compact(batch: pa.Table) -> pa.Table:
         g = sub.column("graph")
         if st in _NODE_CLASS:
             node = sub.column("subj")
-            tbl(g, node, TYPE, 2, prov.expand(_NODE_CLASS[st], ""))
+            tbl(g, node, TYPE, 3,
+                _CLASS_URI_TO_CODE[prov.expand(_NODE_CLASS[st], "")])
             if st in _TIME_PRED:
                 tsub = sub.filter(pc.is_valid(sub.column("t")))
                 if tsub.num_rows:
@@ -590,7 +655,8 @@ def flatten_batch_compact(batch: pa.Table) -> pa.Table:
             if direct:
                 tbl(g, subj, _PRED_CODE[direct], 1, obj)
             tbl(g, subj, _PRED_CODE[qpred], 1, node)
-            tbl(g, node, TYPE, 2, prov.expand(qcls, ""))
+            tbl(g, node, TYPE, 3,
+                _CLASS_URI_TO_CODE[prov.expand(qcls, "")])
             tbl(g, node, _PRED_CODE[opred], 1, obj)
             ssub = sub.filter(pc.is_valid(sub.column("secondary")))
             if ssub.num_rows:
@@ -611,8 +677,8 @@ def flatten_batch_compact(batch: pa.Table) -> pa.Table:
     if tri.num_rows > 1:
         tri = tri.group_by(_COMPACT_KEY + ["obj_dtype"], use_threads=False) \
                  .aggregate([])
-        tri = tri.select(COMPACT_SCHEMA.names).cast(COMPACT_SCHEMA)
-    return tri
+        tri = tri.select(_COMPACT_BUILD_SCHEMA.names).cast(_COMPACT_BUILD_SCHEMA)
+    return _encode_compact(tri)
 
 
 def statements_to_triples_compact(statements_ds, num_buckets: int = 64,
