@@ -12,12 +12,15 @@ REAL kernels (pure numpy / stdlib — no external codec needed):
   * frame sampling over concatenated-PPM streams (the
     ``ffmpeg -f image2pipe -vcodec ppm`` pipe format).
 
-Compressed codecs (JPEG/PNG/MP4/...) are NOT in this container, so those
-paths are STUBS: by default they raise ``NotImplementedError`` naming the
-missing dependency; with ``deterministic_fake=True`` they produce seeded
-deterministic fakes so the Ray-side plumbing (schemas, batch sizing, actor
-signatures, output layout) is exercised end-to-end regardless of payload
-format.
+Baseline JPEG is REAL too (pure-numpy codec, ``jpegcodec.py``): decode,
+resize (decode → nearest resize → re-encode) and grid features all accept
+``ffd8``-signature payloads. Remaining compressed codecs (progressive
+JPEG, PNG, MP4/...) are NOT implementable without external libraries in
+this container, so those paths are STUBS: by default they raise
+``NotImplementedError`` naming the missing dependency; with
+``deterministic_fake=True`` they produce seeded deterministic fakes so the
+Ray-side plumbing (schemas, batch sizing, actor signatures, output layout)
+is exercised end-to-end regardless of payload format.
 
 Batch-size guidance: payload columns dominate memory — size ``batch_size``
 so batch_bytes × concurrency fits the worker heap (a 1 MiB-mean image
@@ -158,6 +161,24 @@ def iter_ppm_stream(b: bytes):
         pos += consumed
 
 
+def decode_image(b: bytes):
+    """payload → HxWxC uint8 array for the REAL codecs (netpbm, baseline
+    JPEG); None when the payload is neither (progressive JPEG included —
+    the caller decides between stub and fake)."""
+    parsed = parse_ppm(b)
+    if parsed is not None:
+        return parsed[0]
+    from . import jpegcodec
+
+    if jpegcodec.is_jpeg(b):
+        try:
+            arr = jpegcodec.decode_jpeg(b)
+        except (NotImplementedError, ValueError):
+            return None
+        return arr[..., None] if arr.ndim == 2 else arr
+    return None
+
+
 def _fake_floats(seed_bytes: bytes, n: int) -> np.ndarray:
     h = hashlib.sha256(seed_bytes).digest()
     rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
@@ -169,8 +190,9 @@ def _fake_floats(seed_bytes: bytes, n: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 class ImageDecode:
-    """payload → dims + channel stats. REAL for binary netpbm (P5/P6);
-    compressed formats need Pillow (stubbed) or ``deterministic_fake``."""
+    """payload → dims + channel stats. REAL for binary netpbm (P5/P6) and
+    baseline JPEG (jpegcodec.py); other compressed formats need Pillow
+    (stubbed) or ``deterministic_fake``."""
 
     def __init__(self, deterministic_fake: bool = False):
         self.fake = deterministic_fake
@@ -180,9 +202,8 @@ class ImageDecode:
         for mid, payload in zip(batch.column("media_id").to_pylist(),
                                 batch.column("payload").to_pylist()):
             b = payload or b""
-            parsed = parse_ppm(b)
-            if parsed is not None:
-                arr, _ = parsed
+            arr = decode_image(b)
+            if arr is not None:
                 widths.append(arr.shape[1])
                 heights.append(arr.shape[0])
                 means.append(float(arr.mean()) / 255.0)
@@ -205,7 +226,8 @@ class ImageDecode:
 
 
 class ImageResize:
-    """payload → resized payload. REAL nearest-neighbor resize for netpbm;
+    """payload → resized payload. REAL nearest-neighbor resize for netpbm
+    (PPM out) and baseline JPEG (decode → resize → re-encode JPEG); other
     compressed formats stubbed (fake = sha256 placeholder)."""
 
     def __init__(self, target: tuple[int, int] = (224, 224),
@@ -214,6 +236,8 @@ class ImageResize:
         self.fake = deterministic_fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from . import jpegcodec
+
         w, h = self.target
         out = []
         for payload in batch.column("payload").to_pylist():
@@ -221,6 +245,12 @@ class ImageResize:
             parsed = parse_ppm(b)
             if parsed is not None:
                 out.append(render_ppm(resize_nearest(parsed[0], w, h)))
+                continue
+            arr = decode_image(b)
+            if arr is not None:                  # baseline JPEG in → out
+                small = resize_nearest(arr, w, h)
+                out.append(jpegcodec.encode_jpeg_baseline(
+                    small.squeeze(-1) if small.shape[-1] == 1 else small))
             elif self.fake:
                 out.append(hashlib.sha256(b + f"{w}x{h}".encode()).digest())
             else:
@@ -248,9 +278,9 @@ class FeatureExtract:
         embs = []
         for p in batch.column("payload").to_pylist():
             b = p or b""
-            parsed = parse_ppm(b)
-            if parsed is not None:
-                e = image_grid_features(parsed[0], self.grid)
+            arr = decode_image(b)
+            if arr is not None:
+                e = image_grid_features(arr, self.grid)
                 if len(e) < self.dim:
                     e = np.pad(e, (0, self.dim - len(e)))
                 embs.append(e[: self.dim].tolist())
@@ -383,13 +413,26 @@ def _synth_ppm_stream(seed: int, frames: int = 6) -> bytes:
                     for i in range(frames))
 
 
+def _synth_jpeg(seed: int, w: int = 24, h: int = 18) -> bytes:
+    from . import jpegcodec
+
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    arr = np.stack([(yy * 255 // max(h - 1, 1)),
+                    (xx * 255 // max(w - 1, 1)),
+                    rng.randint(0, 256, size=(h, w))], axis=-1)
+    return jpegcodec.encode_jpeg_baseline(arr.astype(np.uint8), quality=90)
+
+
 def synth_media_table(n: int = 32, seed: int = 42) -> pa.Table:
-    """Deterministic media corpus with REAL payloads: netpbm images, PCM
-    WAV audio, concatenated-PPM video streams."""
+    """Deterministic media corpus with REAL payloads: netpbm + baseline
+    JPEG images, PCM WAV audio, concatenated-PPM video streams."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
-        if kind == "image":
+        if kind == "image" and (i // 3) % 2 == 1:
+            payload, mime = _synth_jpeg(seed + i), "image/jpeg"
+        elif kind == "image":
             payload, mime = _synth_ppm(seed + i), "image/x-portable-pixmap"
         elif kind == "audio":
             payload, mime = _synth_wav(seed + i), "audio/wav"
