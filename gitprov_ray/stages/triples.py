@@ -246,13 +246,14 @@ def flatten_batch_vec(batch: pa.Table) -> pa.Table:
 #   * obj_kind=3 — rdf:type objects come from a CLOSED class table
 #     (prov:Entity/Activity/Agent + the six qualified-influence classes);
 #     instead of a ~40-byte URI per type row, o_val carries a 1-byte code.
-#   * every string column ships DICTIONARY-encoded (int32 codes + one
-#     dictionary per block): graph/obj_dtype are near-constant, and each
-#     subject repeats across its node/type/attr/edge rows (~4x), so the
-#     exchange moves 4 bytes/row + uniques instead of the full string per
-#     row (measured 0.42x of the round-2 compact bytes). Ray's shuffle
-#     concat keeps per-chunk dictionaries; the reduce side decodes once
-#     per bucket.
+#   * the near-constant string columns (graph, obj_dtype) ship
+#     DICTIONARY-encoded (int32 codes + a tiny dictionary per block), so
+#     the ~40-byte graph URI becomes 4 bytes/row. High-cardinality
+#     columns (s_local, o_val) deliberately stay plain: their per-block
+#     dictionaries are nearly row-unique (no byte savings) and Ray's
+#     sort-based shuffle re-unifies dictionaries per reduce chunk — a
+#     measured 7× wall blowup (see _DICT_MODE below). The reduce side
+#     decodes once per bucket.
 
 _PRED_CURIES = [
     "rdf:type", "rdfs:label", "prov:type", "prov:role", "prov:label",
@@ -290,16 +291,37 @@ _CLASS_URIS = [prov.expand(c, "") for c in _CLASS_CURIES]
 _CLASS_URI_TO_CODE = {u: str(i) for i, u in enumerate(_CLASS_URIS)}
 _CLASS_LUT = pa.array(_CLASS_URIS, pa.string())
 
-COMPACT_SCHEMA = pa.schema([
-    ("graph", pa.dictionary(pa.int32(), pa.string())),
-    ("s_local", pa.dictionary(pa.int32(), pa.string())),
-    ("pred_code", pa.int8()),
-    ("obj_kind", pa.int8()),
-    ("o_val", pa.dictionary(pa.int32(), pa.string())),
-    ("obj_dtype", pa.dictionary(pa.int32(), pa.string())),
-])
+# Which exchange columns ship dictionary-encoded: "low" (default — only
+# the near-constant graph/obj_dtype), "all", or "none". Measured at
+# sf0.1×10 / 3.0M triples / 32 CPUs (back-to-back, same session):
+# low 41 s, none 75 s, all 277 s. Encoding the high-cardinality
+# s_local/o_val is catastrophic: their per-block dictionaries are nearly
+# row-unique (indices + full dictionary ≥ the plain column, so no byte
+# savings) and Ray's sort-based groupby shuffle re-unifies dictionaries
+# across every reduce-side chunk — the bucket shuffle alone ballooned to
+# 102 s. graph/obj_dtype dictionaries are tiny (≤ #graphs / #dtypes), so
+# unification is O(1) and the per-row win (~40-byte graph URI → 4-byte
+# code) is real.
+import os as _os
 
-_DICT_COLS = ("graph", "s_local", "o_val", "obj_dtype")
+_DICT_MODE = _os.environ.get("GITPROV_COMPACT_DICT", "low")
+_DICT_COLS = {
+    "all": ("graph", "s_local", "o_val", "obj_dtype"),
+    "low": ("graph", "obj_dtype"),
+    "none": (),
+}[_DICT_MODE]
+
+COMPACT_SCHEMA = pa.schema([
+    (n, pa.dictionary(pa.int32(), pa.string()) if n in _DICT_COLS else t)
+    for n, t in [
+        ("graph", pa.string()),
+        ("s_local", pa.string()),
+        ("pred_code", pa.int8()),
+        ("obj_kind", pa.int8()),
+        ("o_val", pa.string()),
+        ("obj_dtype", pa.string()),
+    ]
+])
 
 # string-typed twin used while building/deduping inside one task (Arrow
 # group_by and join kernels want plain strings; encode only at the block
