@@ -14,8 +14,10 @@ REAL kernels (pure numpy / stdlib — no external codec needed):
 
 Baseline JPEG is REAL too (pure-numpy codec, ``jpegcodec.py``): decode,
 resize (decode → nearest resize → re-encode) and grid features all accept
-``ffd8``-signature payloads. Remaining compressed codecs (progressive
-JPEG, PNG, MP4/...) are NOT implementable without external libraries in
+``ffd8``-signature payloads. Non-interlaced 8-bit PNG is REAL as well
+(``pngcodec.py``: stdlib zlib + all five scanline filters; palette/alpha
+expand). Remaining compressed codecs (progressive JPEG, Adam7/16-bit
+PNG, MP4/...) are NOT implementable without external libraries in
 this container, so those paths are STUBS: by default they raise
 ``NotImplementedError`` naming the missing dependency; with
 ``deterministic_fake=True`` they produce seeded deterministic fakes so the
@@ -163,12 +165,13 @@ def iter_ppm_stream(b: bytes):
 
 def decode_image(b: bytes):
     """payload → HxWxC uint8 array for the REAL codecs (netpbm, baseline
-    JPEG); None when the payload is neither (progressive JPEG included —
-    the caller decides between stub and fake)."""
+    JPEG, non-interlaced 8-bit PNG); None when the payload is none of
+    these (progressive JPEG / Adam7 PNG included — the caller decides
+    between stub and fake)."""
     parsed = parse_ppm(b)
     if parsed is not None:
         return parsed[0]
-    from . import jpegcodec
+    from . import jpegcodec, pngcodec
 
     if jpegcodec.is_jpeg(b):
         try:
@@ -176,6 +179,11 @@ def decode_image(b: bytes):
         except (NotImplementedError, ValueError):
             return None
         return arr[..., None] if arr.ndim == 2 else arr
+    if pngcodec.is_png(b):
+        try:
+            return pngcodec.decode_png(b)
+        except (NotImplementedError, ValueError):
+            return None
     return None
 
 
@@ -236,7 +244,7 @@ class ImageResize:
         self.fake = deterministic_fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from . import jpegcodec
+        from . import jpegcodec, pngcodec
 
         w, h = self.target
         out = []
@@ -247,8 +255,11 @@ class ImageResize:
                 out.append(render_ppm(resize_nearest(parsed[0], w, h)))
                 continue
             arr = decode_image(b)
-            if arr is not None:                  # baseline JPEG in → out
+            if arr is not None:                  # same format in → out
                 small = resize_nearest(arr, w, h)
+                if pngcodec.is_png(b):
+                    out.append(pngcodec.encode_png(small))
+                    continue
                 out.append(jpegcodec.encode_jpeg_baseline(
                     small.squeeze(-1) if small.shape[-1] == 1 else small))
             elif self.fake:
@@ -424,14 +435,24 @@ def _synth_jpeg(seed: int, w: int = 24, h: int = 18) -> bytes:
     return jpegcodec.encode_jpeg_baseline(arr.astype(np.uint8), quality=90)
 
 
+def _synth_png(seed: int, w: int = 24, h: int = 18) -> bytes:
+    from . import pngcodec
+
+    rng = np.random.RandomState(seed)
+    return pngcodec.encode_png(
+        rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8).astype(np.uint8))
+
+
 def synth_media_table(n: int = 32, seed: int = 42) -> pa.Table:
     """Deterministic media corpus with REAL payloads: netpbm + baseline
-    JPEG images, PCM WAV audio, concatenated-PPM video streams."""
+    JPEG + PNG images, PCM WAV audio, concatenated-PPM video streams."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
-        if kind == "image" and (i // 3) % 2 == 1:
+        if kind == "image" and (i // 3) % 3 == 1:
             payload, mime = _synth_jpeg(seed + i), "image/jpeg"
+        elif kind == "image" and (i // 3) % 3 == 2:
+            payload, mime = _synth_png(seed + i), "image/png"
         elif kind == "image":
             payload, mime = _synth_ppm(seed + i), "image/x-portable-pixmap"
         elif kind == "audio":

@@ -104,6 +104,10 @@ def test_image_stages_accept_jpeg():
         if mime == "image/jpeg":
             arr = J.decode_jpeg(payload)       # resized output is JPEG again
             assert arr.shape[:2] == (32, 32)
+        elif mime == "image/png":
+            from gitprov_ray import pngcodec
+
+            assert pngcodec.decode_png(payload).shape[:2] == (32, 32)
         else:
             assert M.parse_ppm(payload)[0].shape[:2] == (32, 32)
 

@@ -1,0 +1,123 @@
+"""pngcodec: pure-stdlib PNG decode/encode (the second real compressed
+image codec after jpegcodec — converts the PNG branch of the multimodal
+stub into a real path)."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from gitprov_ray import pngcodec as P
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    body = tag + data
+    return (struct.pack(">I", len(data)) + body +
+            struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+
+def _png(w, h, depth, ctype, raw, extra=b"", interlace=0):
+    return (P._SIG +
+            _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype,
+                                        0, 0, interlace)) +
+            extra + _chunk(b"IDAT", zlib.compress(raw)) +
+            _chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_roundtrip_lossless(channels):
+    rng = np.random.RandomState(channels)
+    a = rng.randint(0, 256, size=(13, 17, channels), dtype=np.uint8)
+    b = P.encode_png(a)
+    assert P.is_png(b)
+    d = P.decode_png(b)
+    assert d.shape == a.shape
+    assert (d == a).all()
+
+
+def _forward_filter(img: np.ndarray, ftypes) -> bytes:
+    """Reference forward filterer (spec §6.2-6.6) for decoder tests."""
+    h, w, c = img.shape
+    stride = w * c
+    flat = img.reshape(h, stride).astype(np.int16)
+    out = bytearray()
+    for y, ft in enumerate(ftypes):
+        prior = flat[y - 1] if y else np.zeros(stride, np.int16)
+        row = flat[y]
+        left = np.concatenate([np.zeros(c, np.int16), row[:-c]])
+        ul = np.concatenate([np.zeros(c, np.int16), prior[:-c]])
+        if ft == 0:
+            f = row
+        elif ft == 1:
+            f = row - left
+        elif ft == 2:
+            f = row - prior
+        elif ft == 3:
+            f = row - ((left + prior) // 2)
+        else:
+            pred = np.empty(stride, np.int16)
+            for x in range(stride):
+                p = left[x] + prior[x] - ul[x]
+                pa_, pb, pc_ = abs(p - left[x]), abs(p - prior[x]), abs(p - ul[x])
+                pred[x] = (left[x] if pa_ <= pb and pa_ <= pc_
+                           else (prior[x] if pb <= pc_ else ul[x]))
+            f = row - pred
+        out.append(ft)
+        out += (f % 256).astype(np.uint8).tobytes()
+    return bytes(out)
+
+
+def test_all_five_filters_decode():
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    raw = _forward_filter(img, [0, 1, 2, 3, 4])
+    d = P.decode_png(_png(6, 5, 8, 2, raw))
+    assert (d == img).all()
+
+
+def test_palette_expands_to_rgb_and_rgba():
+    plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]],
+                    np.uint8)
+    idx = np.array([[0, 1], [2, 3]], np.uint8)
+    raw = b"".join(b"\x00" + r.tobytes() for r in idx)
+    d = P.decode_png(_png(2, 2, 8, 3, raw, extra=_chunk(b"PLTE", plte.tobytes())))
+    assert d.shape == (2, 2, 3) and (d == plte[idx]).all()
+    d = P.decode_png(_png(2, 2, 8, 3, raw,
+                          extra=_chunk(b"PLTE", plte.tobytes()) +
+                          _chunk(b"tRNS", bytes([10, 20]))))
+    assert d.shape == (2, 2, 4)
+    assert list(d[..., 3].ravel()) == [10, 20, 255, 255]
+
+
+def test_unsupported_variants_raise():
+    with pytest.raises(NotImplementedError):
+        P.decode_png(_png(2, 2, 8, 2, b"\x00" * 14, interlace=1))
+    with pytest.raises(NotImplementedError):
+        P.decode_png(_png(2, 2, 16, 2, b"\x00" * 26))
+    with pytest.raises(ValueError):
+        P.decode_png(b"not a png")
+
+
+def test_multimodal_decode_and_resize_png():
+    from gitprov_ray import multimodal as M
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(12, 9, 3), dtype=np.uint8)
+    b = P.encode_png(img)
+    assert (M.decode_image(b) == img).all()
+
+    batch = M.synth_media_table(32)
+    assert "image/png" in set(batch.column("mime").to_pylist())
+
+    import pyarrow.compute as pc
+    imgs = batch.filter(pc.equal(batch["kind"], "image"))
+    out = M.ImageResize(target=(8, 8))(imgs)
+    for payload, mime in zip(out.column("payload").to_pylist(),
+                             imgs.column("mime").to_pylist()):
+        if mime == "image/png":
+            arr = P.decode_png(payload)      # PNG in → PNG out
+            assert arr.shape == (8, 8, 3)
+    feats = M.FeatureExtract(dim=64)(imgs)
+    assert feats.num_rows == imgs.num_rows
+    assert all(len(e) == 64 for e in feats.column("embedding").to_pylist())
