@@ -7,7 +7,8 @@ engine (a user of git-prov's controllers runs the same operations here):
   store-get   StoreController GET  (StoreService.java:47-59)
   catalog     StoreController list (StoreService.java:61-80)
   sparql      SparqlController     (SparqlService.java:16-31): SPARQL
-              SELECT text over a store, CSV/TSV/JSON results
+              SELECT/ASK/CONSTRUCT/DESCRIBE text over a store,
+              CSV/TSV/JSON results (ASK returns the SPARQL JSON boolean)
   serialize   format re-serializer (JenaUtils.java:18-41)
 
 The CLI owns the Ray session (library code never calls ray.init — the
@@ -105,7 +106,10 @@ def cmd_sparql(args) -> int:
 
     _ray_session(args.num_cpus)
     ds = store_mod.read_store(args.root, args.graph)
-    res = sparql_lite.select_text(ds, args.query)
+    res = sparql_lite.query_text(ds, args.query)
+    if isinstance(res, bool):          # ASK → SPARQL JSON boolean result
+        _emit(json.dumps({"head": {}, "boolean": res}), args.out)
+        return 0
     fmt = {"csv": serializers.result_csv, "tsv": serializers.result_tsv,
            "json": serializers.result_json}[args.results]
     _emit(fmt(res), args.out)
@@ -182,7 +186,7 @@ def build_parser() -> argparse.ArgumentParser:
     sc.add_argument("root")
     sc.set_defaults(fn=cmd_catalog)
 
-    sq = sub.add_parser("sparql", help="SPARQL SELECT over a store")
+    sq = sub.add_parser("sparql", help="SPARQL SELECT/ASK/CONSTRUCT/DESCRIBE over a store")
     sq.add_argument("root")
     sq.add_argument("query")
     sq.add_argument("--graph")

@@ -961,6 +961,62 @@ def q_sparql_optional_distributed(sf_dir: str):
     return out.sort("d")
 
 
+def q_sparql_agg(sf_dir: str):
+    """SPARQL aggregates + GROUP BY (SPARQL 1.1 §11) via the string
+    front-end: docs-per-source counts over the docs-triples fixture. The
+    aggregation runs on the joined binding table like Jena's (driver-side,
+    cardinality bounded by the BGP); the distributed twin for huge binding
+    sets is select_distributed + ops.salted_count."""
+    from . import sparql_lite
+
+    tri = _docs_triples(sf_dir)
+    q = """
+        PREFIX ex: <http://docs.example/>
+        SELECT ?s (COUNT(?d) AS ?n) WHERE {
+            ?d ex:source ?s .
+        } GROUP BY ?s ORDER BY ?s
+    """
+    return sparql_lite.select_text(tri, q)
+
+
+def q_sparql_construct(sf_dir: str):
+    """SPARQL CONSTRUCT (SPARQL 1.1 §16.2): template instantiation over
+    WHERE solutions → deduplicated triples frame."""
+    from . import sparql_lite
+
+    tri = _docs_triples(sf_dir)
+    q = """
+        PREFIX ex: <http://docs.example/>
+        CONSTRUCT { ?d ex:tongue ?l } WHERE { ?d ex:lang ?l }
+    """
+    out = sparql_lite.construct_text(tri, q)
+    return out.sort_values(["subj", "obj"]).reset_index(drop=True)
+
+
+def q_sparql_ask(sf_dir: str):
+    """SPARQL ASK (SPARQL 1.1 §16.3) → one-row boolean frame (true here:
+    every sf has English docs)."""
+    from . import sparql_lite
+
+    tri = _docs_triples(sf_dir)
+    a = sparql_lite.ask_text(
+        tri, 'PREFIX ex: <http://docs.example/> ASK { ?d ex:lang "en" }')
+    b = sparql_lite.ask_text(
+        tri, 'PREFIX ex: <http://docs.example/> ASK { ?d ex:lang "xx" }')
+    return pd.DataFrame({"en_exists": [a], "xx_exists": [b]})
+
+
+def q_sparql_describe(sf_dir: str):
+    """SPARQL DESCRIBE (SPARQL 1.1 §16.4): subject-outgoing triples of the
+    described resource (= CBD here — engine triples carry no bnodes)."""
+    from . import sparql_lite
+
+    tri = _docs_triples(sf_dir)
+    out = sparql_lite.describe_text(
+        tri, "DESCRIBE <http://docs.example/doc/1>")
+    return out.sort_values(["pred", "obj"]).reset_index(drop=True)
+
+
 def q_ann_ivf_topk(sf_dir: str):
     """IVF-bucketed approximate nearest neighbours (scale-path ANN)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -1007,6 +1063,10 @@ QUERIES = {
     "q_sparql_optional": q_sparql_optional,
     "q_sparql_union": q_sparql_union,
     "q_sparql_optional_distributed": q_sparql_optional_distributed,
+    "q_sparql_agg": q_sparql_agg,
+    "q_sparql_construct": q_sparql_construct,
+    "q_sparql_ask": q_sparql_ask,
+    "q_sparql_describe": q_sparql_describe,
     "q_moving_sum_events": q_moving_sum_events,
     "q_nation_revenue_3way": q_nation_revenue_3way,
     "q_orders_by_month": q_orders_by_month,
@@ -1280,6 +1340,29 @@ ORACLE_SQL = {
                source AS s,
                CASE WHEN lang = 'en' THEN lang END AS l
         FROM documents ORDER BY d
+    """,
+    "q_sparql_agg": """
+        SELECT source AS s, COUNT(*) AS n
+        FROM documents GROUP BY source ORDER BY s
+    """,
+    "q_sparql_construct": """
+        SELECT 'http://docs.example/doc/' || CAST(doc_id AS VARCHAR) AS subj,
+               'http://docs.example/tongue' AS pred,
+               lang AS obj
+        FROM documents ORDER BY subj, obj
+    """,
+    "q_sparql_ask": """
+        SELECT EXISTS(SELECT 1 FROM documents WHERE lang = 'en') AS en_exists,
+               EXISTS(SELECT 1 FROM documents WHERE lang = 'xx') AS xx_exists
+    """,
+    "q_sparql_describe": """
+        SELECT 'docs' AS graph,
+               'http://docs.example/doc/1' AS subj,
+               'http://docs.example/' || p.pred AS pred,
+               CASE p.pred WHEN 'lang' THEN d.lang ELSE d.source END AS obj
+        FROM documents d CROSS JOIN (VALUES ('lang'), ('source')) p(pred)
+        WHERE d.doc_id = 1
+        ORDER BY pred, obj
     """,
     "q_ann_topk": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe

@@ -56,7 +56,10 @@ def _match_pattern(triples_ds, s, p, o, graph):
             conj(pc.equal(t["obj"], _expand_term(o, graph)))
         return t if m is None else t.filter(m)
 
-    return triples_ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    out = triples_ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    if len(out.columns) == 0:      # zero matches → Ray yields a columnless
+        out = pd.DataFrame(columns=["graph", "subj", "pred", "obj"])
+    return out
 
 
 def select(triples_ds, patterns: list[tuple], variables: list[str] | None = None,
@@ -333,6 +336,33 @@ def _tokenize(q: str) -> list[str]:
     return toks
 
 
+def _parse_term(t: str, prefixes: dict[str, str]):
+    """One token → bound term value (URIs unwrapped, literals unescaped,
+    declared prefixes expanded; engine CURIEs pass through for
+    prov.expand downstream). Variables are returned as-is by callers."""
+    if t.startswith("?"):
+        return t
+    if t.startswith("<"):
+        return t[1:-1]
+    if t.startswith('"'):
+        body = _re.match(r'^"((?:[^"\\]|\\.)*)"', t).group(1)
+        return _re.sub(
+            r"\\(.)",
+            lambda m: {"n": "\n", "t": "\t"}.get(m.group(1), m.group(1)),
+            body)
+    if _re.match(r"^-?\d+(?:\.\d+)?$", t):
+        return t
+    if ":" in t:
+        pfx, local = t.split(":", 1)
+        if pfx in prefixes:
+            return prefixes[pfx] + local
+        return t      # prov:/rdf:/… CURIEs expand downstream (prov.expand)
+    raise SparqlSyntaxError(f"bad term {t!r}")
+
+
+_AGG_FUNCS = ("COUNT", "SUM", "AVG", "MIN", "MAX")
+
+
 def parse_select(query: str) -> dict:
     """Parse a SPARQL SELECT string → plan dict for :func:`select_text`."""
     toks = _tokenize(query)
@@ -373,6 +403,8 @@ def parse_select(query: str) -> dict:
     if peek() and peek().upper() == "DISTINCT":
         take(); distinct = True
     variables: list[str] = []
+    aggregates: list[dict] = []
+    projection: list[str] = []          # output column order (var/alias names)
     star = False
     while peek() and peek() != "{" and peek().upper() != "WHERE":
         t = take()
@@ -380,6 +412,30 @@ def parse_select(query: str) -> dict:
             star = True
         elif t.startswith("?"):
             variables.append(t)
+            projection.append(t[1:])
+        elif t == "(":
+            # ( FUNC([DISTINCT] ?v|*) AS ?alias ) — SPARQL 1.1 §11
+            func = take().upper()
+            if func not in _AGG_FUNCS:
+                raise SparqlSyntaxError(f"unsupported aggregate {func!r}")
+            take("(")
+            adistinct = False
+            if peek() and peek().upper() == "DISTINCT":
+                take(); adistinct = True
+            arg = take()
+            if arg != "*" and not arg.startswith("?"):
+                raise SparqlSyntaxError(f"bad aggregate argument {arg!r}")
+            if arg == "*" and func != "COUNT":
+                raise SparqlSyntaxError(f"{func}(*) is not valid SPARQL")
+            take(")")
+            take("AS")
+            alias = take()
+            if not alias.startswith("?"):
+                raise SparqlSyntaxError("aggregate alias must be a ?var")
+            take(")")
+            aggregates.append({"func": func, "arg": arg,
+                               "distinct": adistinct, "alias": alias[1:]})
+            projection.append(alias[1:])
         else:
             raise SparqlSyntaxError(f"bad projection term {t!r}")
     if peek() and peek().upper() == "WHERE":
@@ -390,24 +446,7 @@ def parse_select(query: str) -> dict:
     filters: list[tuple] = []
 
     def term(t: str):
-        if t.startswith("?"):
-            return t
-        if t.startswith("<"):
-            return t[1:-1]
-        if t.startswith('"'):
-            body = _re.match(r'^"((?:[^"\\]|\\.)*)"', t).group(1)
-            return _re.sub(
-                r"\\(.)",
-                lambda m: {"n": "\n", "t": "\t"}.get(m.group(1), m.group(1)),
-                body)
-        if _re.match(r"^-?\d+(?:\.\d+)?$", t):
-            return t
-        if ":" in t:
-            pfx, local = t.split(":", 1)
-            if pfx in prefixes:
-                return prefixes[pfx] + local
-            return t      # prov:/rdf:/… CURIEs expand downstream (prov.expand)
-        raise SparqlSyntaxError(f"bad term {t!r}")
+        return _parse_term(t, prefixes)
 
     optional_groups: list[list[tuple]] = []
     union_branches: list[list[tuple]] = []
@@ -494,10 +533,17 @@ def parse_select(query: str) -> dict:
             take()
 
     order_by: list[tuple] = []
+    group_by: list[str] = []
     limit = offset = None
     while peek() is not None:
         kw = take().upper()
-        if kw == "ORDER":
+        if kw == "GROUP":
+            take("BY")
+            while peek() and peek().startswith("?"):
+                group_by.append(take()[1:])
+            if not group_by:
+                raise SparqlSyntaxError("GROUP BY needs at least one ?var")
+        elif kw == "ORDER":
             take("BY")
             while peek() and peek().upper() not in ("LIMIT", "OFFSET"):
                 t = take()
@@ -517,10 +563,18 @@ def parse_select(query: str) -> dict:
         else:
             raise SparqlSyntaxError(f"unexpected trailing token {kw!r}")
 
+    if aggregates:
+        bad = [c for c in projection
+               if c in [v[1:] for v in variables] and c not in group_by]
+        if bad:
+            raise SparqlSyntaxError(
+                f"non-aggregate projection {bad} must appear in GROUP BY")
     return {"prefixes": prefixes, "variables": variables, "star": star,
             "distinct": distinct, "patterns": patterns, "filters": filters,
             "optional_groups": optional_groups,
             "union_branches": union_branches,
+            "aggregates": aggregates, "projection": projection,
+            "group_by": group_by,
             "order_by": order_by, "limit": limit, "offset": offset}
 
 
@@ -543,6 +597,64 @@ def _apply_filters(df: pd.DataFrame, filters: list[tuple]) -> pd.DataFrame:
                     "<=": s <= value, ">": s > value, ">=": s >= value}[op]
         df = df[mask.fillna(False)]
     return df
+
+
+def _one_agg(sub: pd.DataFrame, spec: dict):
+    """Evaluate one aggregate over a (sub)frame of bindings. SPARQL
+    operates on typed literals; engine bindings are strings, so SUM/AVG
+    coerce numerically (non-numeric → excluded, per SPARQL's
+    error-then-drop semantics) and MIN/MAX use numeric order when every
+    value coerces, else codepoint string order (SPARQL fn:compare)."""
+    func, arg = spec["func"], spec["arg"]
+    if func == "COUNT":
+        if arg == "*":
+            return len(sub)
+        s = sub[arg[1:]].dropna()
+        return s.nunique() if spec["distinct"] else len(s)
+    s = sub[arg[1:]].dropna()
+    if spec["distinct"]:
+        s = s.drop_duplicates()
+    num = pd.to_numeric(s, errors="coerce")
+    if func in ("SUM", "AVG"):
+        num = num.dropna()
+        if func == "SUM":
+            tot = num.sum()
+            return int(tot) if float(tot).is_integer() else float(tot)
+        return float(num.mean()) if len(num) else None
+    use_num = len(s) > 0 and num.notna().all()
+    vals = num if use_num else s.astype(str)
+    if not len(vals):
+        return None
+    return (vals.min() if func == "MIN" else vals.max())
+
+
+def _apply_aggregates(df: pd.DataFrame, plan: dict) -> pd.DataFrame:
+    """GROUP BY + aggregate projection (SPARQL 1.1 §11) on the binding
+    frame. Driver-side by design: like the reference's Jena execution the
+    aggregation runs over the already-joined binding table, whose
+    cardinality the BGP filters bound; the distributed path for large
+    binding sets is select_distributed + the engine's salted counters."""
+    specs = plan["aggregates"]
+    group_by = plan["group_by"]
+    if group_by:
+        rows = []
+        for key, sub in df.groupby(group_by, sort=False, dropna=False):
+            key = key if isinstance(key, tuple) else (key,)
+            row = dict(zip(group_by, key))
+            for spec in specs:
+                row[spec["alias"]] = _one_agg(sub, spec)
+            rows.append(row)
+        out = pd.DataFrame(rows, columns=group_by +
+                           [s["alias"] for s in specs])
+    else:
+        out = pd.DataFrame([{s["alias"]: _one_agg(df, s) for s in specs}])
+    for spec in specs:     # COUNT and integral SUM columns are int64
+        a = spec["alias"]
+        if spec["func"] == "COUNT" or (
+                spec["func"] == "SUM"
+                and out[a].map(lambda v: isinstance(v, int)).all()):
+            out[a] = out[a].astype("int64")
+    return out[plan["projection"]] if plan["projection"] else out
 
 
 def select_text(triples_ds, query: str, graph: str | None = None) -> pd.DataFrame:
@@ -580,7 +692,9 @@ def select_text(triples_ds, query: str, graph: str | None = None) -> pd.DataFram
         out = select(triples_ds, plan["patterns"],
                      variables=None, graph=graph, distinct=False)
     out = _apply_filters(out, plan["filters"])
-    if plan["variables"] and not plan["star"]:
+    if plan["aggregates"]:
+        out = _apply_aggregates(out, plan)
+    elif plan["variables"] and not plan["star"]:
         out = out[[v.lstrip("?") for v in plan["variables"]]]
     if plan["distinct"]:
         out = out.drop_duplicates()
@@ -593,3 +707,179 @@ def select_text(triples_ds, query: str, graph: str | None = None) -> pd.DataFram
     if plan["limit"] is not None:
         out = out.head(plan["limit"])
     return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# query-form dispatch: SELECT / ASK / CONSTRUCT / DESCRIBE text front-ends
+# (the reference hands every form to Jena, SparqlService.java:22-31; the
+# engine implements each form over its own machinery)
+# ---------------------------------------------------------------------------
+
+def _past_prefixes(toks: list[str]) -> int:
+    """Index of the query-form keyword after the PREFIX declarations."""
+    i = 0
+    while i < len(toks) and toks[i].upper() == "PREFIX":
+        i += 1                        # PREFIX
+        if not toks[i].endswith(":"):
+            i += 1                    # bare name + separate ':'
+        i += 1                        # name
+        i += 1                        # <uri>
+    return i
+
+
+def _collect_prefixes(toks: list[str]) -> dict[str, str]:
+    out: dict[str, str] = {}
+    i = 0
+    while i < len(toks) and toks[i].upper() == "PREFIX":
+        i += 1
+        name = toks[i]
+        if name.endswith(":"):
+            name = name[:-1]
+            i += 1
+        else:
+            i += 2                    # name ':'
+        out[name] = toks[i][1:-1]
+        i += 1
+    return out
+
+
+def query_form(query: str) -> str:
+    toks = _tokenize(query)
+    i = _past_prefixes(toks)
+    if i >= len(toks):
+        raise SparqlSyntaxError("empty query")
+    kw = toks[i].upper()
+    if kw not in ("SELECT", "ASK", "CONSTRUCT", "DESCRIBE"):
+        raise SparqlSyntaxError(f"unsupported query form {toks[i]!r}")
+    return kw
+
+
+def ask_text(triples_ds, query: str, graph: str | None = None) -> bool:
+    """ASK query string → bool (SPARQL 1.1 §16.3): true iff the pattern
+    has at least one solution. Evaluated by rewriting to SELECT * — FILTER
+    and OPTIONAL/UNION support come for free."""
+    toks = _tokenize(query)
+    i = _past_prefixes(toks)
+    if toks[i].upper() != "ASK":
+        raise SparqlSyntaxError("not an ASK query")
+    rewritten = " ".join(toks[:i] + ["SELECT", "*"] + toks[i + 1:])
+    return len(select_text(triples_ds, rewritten, graph=graph)) > 0
+
+
+def construct_text(triples_ds, query: str,
+                   graph: str | None = None) -> pd.DataFrame:
+    """CONSTRUCT { template } WHERE { ... } → deduplicated triples frame
+    (subj, pred, obj), one instantiation per solution with any
+    unbound-variable triples dropped (SPARQL 1.1 §16.2)."""
+    toks = _tokenize(query)
+    i = _past_prefixes(toks)
+    if toks[i].upper() != "CONSTRUCT":
+        raise SparqlSyntaxError("not a CONSTRUCT query")
+    prefixes = _collect_prefixes(toks)
+    j = i + 1
+    if j >= len(toks) or toks[j] != "{":
+        raise SparqlSyntaxError("CONSTRUCT needs a { template }")
+    depth, j = 1, j + 1
+    tmpl_toks: list[str] = []
+    while j < len(toks) and depth:
+        if toks[j] == "{":
+            depth += 1
+        elif toks[j] == "}":
+            depth -= 1
+            if not depth:
+                break
+        tmpl_toks.append(toks[j])
+        j += 1
+    if depth:
+        raise SparqlSyntaxError("unterminated CONSTRUCT template")
+    template: list[tuple] = []
+    k = 0
+    while k < len(tmpl_toks):
+        if tmpl_toks[k] == ".":
+            k += 1
+            continue
+        if k + 2 >= len(tmpl_toks):
+            raise SparqlSyntaxError("dangling template terms")
+        s, p, o = (tmpl_toks[k], tmpl_toks[k + 1], tmpl_toks[k + 2])
+        template.append(tuple(
+            t if t.startswith("?") else _parse_term(t, prefixes)
+            for t in (s, p, o)))
+        k += 3
+    if not template:
+        raise SparqlSyntaxError("empty CONSTRUCT template")
+    rewritten = " ".join(toks[:i] + ["SELECT", "*"] + toks[j + 1:])
+    bindings = select_text(triples_ds, rewritten, graph=graph)
+    frames = []
+    for s, p, o in template:
+        cols = {}
+        for name, t in (("subj", s), ("pred", p), ("obj", o)):
+            if _is_var(t):
+                v = t[1:]
+                if v not in bindings.columns:
+                    raise SparqlSyntaxError(
+                        f"template variable ?{v} not bound in WHERE")
+                cols[name] = bindings[v]
+            else:
+                cols[name] = pd.Series(
+                    [_expand_term(t, graph)] * len(bindings), dtype=object)
+        frames.append(pd.DataFrame(cols).dropna())
+    out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        columns=["subj", "pred", "obj"])
+    return out.drop_duplicates().reset_index(drop=True)
+
+
+def describe_text(triples_ds, query: str,
+                  graph: str | None = None) -> pd.DataFrame:
+    """DESCRIBE <uri>... or DESCRIBE ?v WHERE { ... } → every triple whose
+    SUBJECT is a described resource, as a (graph, subj, pred, obj) frame.
+
+    Divergence note: Jena's default DESCRIBE emits a blank-node closure
+    (CBD); engine triples contain no blank nodes, so the subject-outgoing
+    set IS the concise bounded description here."""
+    toks = _tokenize(query)
+    i = _past_prefixes(toks)
+    if toks[i].upper() != "DESCRIBE":
+        raise SparqlSyntaxError("not a DESCRIBE query")
+    prefixes = _collect_prefixes(toks)
+    j = i + 1
+    uris: list[str] = []
+    vars_: list[str] = []
+    while j < len(toks) and toks[j] != "{" and toks[j].upper() != "WHERE":
+        t = toks[j]
+        if t.startswith("?"):
+            vars_.append(t[1:])
+        elif t == "*":
+            raise SparqlSyntaxError("DESCRIBE * unsupported")
+        else:
+            uris.append(_expand_term(_parse_term(t, prefixes), graph))
+        j += 1
+    if vars_:
+        rewritten = " ".join(toks[:i] + ["SELECT"] +
+                             ["?" + v for v in vars_] + toks[j:])
+        bindings = select_text(triples_ds, rewritten, graph=graph)
+        for v in vars_:
+            uris.extend(x for x in bindings[v].dropna().unique())
+    targets = set(uris)
+    if not targets:
+        return pd.DataFrame(columns=["graph", "subj", "pred", "obj"])
+
+    def f(t):
+        import pyarrow as pa
+
+        m = pc.is_in(t["subj"], value_set=pa.array(sorted(targets)))
+        if graph is not None:
+            m = pc.and_(m, pc.equal(t["graph"], graph))
+        return t.filter(m).select(["graph", "subj", "pred", "obj"])
+
+    out = triples_ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    return out.drop_duplicates().reset_index(drop=True)
+
+
+def query_text(triples_ds, query: str, graph: str | None = None):
+    """One entry point for all four SPARQL query forms (the reference's
+    SparqlController surface): SELECT → binding frame, ASK → bool,
+    CONSTRUCT/DESCRIBE → triples frame."""
+    form = query_form(query)
+    fn = {"SELECT": select_text, "ASK": ask_text,
+          "CONSTRUCT": construct_text, "DESCRIBE": describe_text}[form]
+    return fn(triples_ds, query, graph=graph)

@@ -1,0 +1,140 @@
+"""SPARQL aggregates/GROUP BY + ASK/CONSTRUCT/DESCRIBE query forms
+(sparql_lite §16 — the reference hands all four forms to Jena,
+SparqlService.java:22-31)."""
+
+import pandas as pd
+import pytest
+
+from gitprov_ray import sparql_lite as S
+
+
+@pytest.fixture(scope="module")
+def tri_ds(ray_session):
+    import ray.data as rd
+
+    tri = pd.DataFrame([
+        {"graph": "g", "subj": f"http://d/{i}", "pred": f"http://d/{p}",
+         "obj": o, "obj_is_literal": True, "obj_dtype": "xsd:string"}
+        for i, p, o in [
+            (1, "lang", "en"), (1, "source", "s1"),
+            (2, "lang", "de"), (2, "source", "s1"),
+            (3, "lang", "en"), (3, "source", "s2"),
+        ]
+    ])
+    return rd.from_pandas(tri)
+
+
+@pytest.fixture(scope="module")
+def score_ds(ray_session):
+    import ray.data as rd
+
+    tri = pd.DataFrame([
+        {"graph": "g", "subj": f"http://d/{i}", "pred": "http://d/score",
+         "obj": str(v), "obj_is_literal": True, "obj_dtype": "xsd:integer"}
+        for i, v in enumerate([3, 5, 10])
+    ])
+    return rd.from_pandas(tri)
+
+
+def test_group_by_count(tri_ds):
+    out = S.select_text(tri_ds, """
+        PREFIX ex: <http://d/>
+        SELECT ?s (COUNT(?d) AS ?n) WHERE { ?d ex:source ?s }
+        GROUP BY ?s ORDER BY ?s""")
+    assert list(out.columns) == ["s", "n"]
+    assert out.s.tolist() == ["s1", "s2"] and out.n.tolist() == [2, 1]
+    assert str(out.n.dtype) == "int64"
+
+
+def test_global_aggregates(tri_ds):
+    out = S.select_text(tri_ds, """
+        PREFIX ex: <http://d/>
+        SELECT (COUNT(*) AS ?total) (COUNT(DISTINCT ?s) AS ?ns)
+        WHERE { ?d ex:source ?s }""")
+    assert out.shape == (1, 2)
+    assert out.total.iloc[0] == 3 and out.ns.iloc[0] == 2
+
+
+def test_sum_avg_min_max(score_ds):
+    out = S.select_text(score_ds, """
+        PREFIX ex: <http://d/>
+        SELECT (SUM(?v) AS ?tot) (AVG(?v) AS ?mean)
+               (MIN(?v) AS ?lo) (MAX(?v) AS ?hi)
+        WHERE { ?d ex:score ?v }""")
+    row = out.iloc[0]
+    assert row.tot == 18 and row["mean"] == 6.0
+    assert row.lo == 3 and row.hi == 10
+    assert str(out.tot.dtype) == "int64"     # integral SUM stays integer
+
+
+def test_projection_outside_group_by_rejected(tri_ds):
+    with pytest.raises(S.SparqlSyntaxError):
+        S.parse_select("""
+            PREFIX ex: <http://d/>
+            SELECT ?d (COUNT(?s) AS ?n) WHERE { ?d ex:source ?s }
+            GROUP BY ?s""")
+
+
+def test_ask(tri_ds):
+    assert S.ask_text(
+        tri_ds, 'PREFIX ex: <http://d/> ASK { ?d ex:lang "en" }') is True
+    assert S.ask_text(
+        tri_ds, 'PREFIX ex: <http://d/> ASK { ?d ex:lang "fr" }') is False
+    # FILTER works inside ASK (rewrite shares the SELECT machinery)
+    assert S.ask_text(tri_ds, """
+        PREFIX ex: <http://d/>
+        ASK { ?d ex:lang ?l . FILTER (?l = "de") }""") is True
+
+
+def test_construct(tri_ds):
+    out = S.construct_text(tri_ds, """
+        PREFIX ex: <http://d/>
+        CONSTRUCT { ?d ex:tongue ?l . ?d ex:kind "doc" }
+        WHERE { ?d ex:lang ?l }""")
+    assert set(out.columns) == {"subj", "pred", "obj"}
+    assert (out.pred == "http://d/tongue").sum() == 3
+    assert (out.pred == "http://d/kind").sum() == 3
+    assert set(out[out.pred == "http://d/kind"].obj) == {"doc"}
+    # deduplicated graph semantics
+    assert not out.duplicated().any()
+
+
+def test_describe_uri_and_var(tri_ds):
+    out = S.describe_text(tri_ds, "DESCRIBE <http://d/1>")
+    assert len(out) == 2 and set(out.subj) == {"http://d/1"}
+    out = S.describe_text(tri_ds, """
+        PREFIX ex: <http://d/>
+        DESCRIBE ?d WHERE { ?d ex:lang "en" }""")
+    assert len(out) == 4 and set(out.subj) == {"http://d/1", "http://d/3"}
+
+
+def test_query_text_dispatch(tri_ds):
+    assert S.query_form("ASK { ?s ?p ?o }") == "ASK"
+    assert isinstance(S.query_text(tri_ds, "DESCRIBE <http://d/1>"),
+                      pd.DataFrame)
+    assert S.query_text(
+        tri_ds, 'PREFIX ex: <http://d/> ASK { ?d ex:lang "en" }') is True
+    with pytest.raises(S.SparqlSyntaxError):
+        S.query_form("DELETE WHERE { ?s ?p ?o }")
+
+
+def test_new_queries_match_oracle_sql(ray_session):
+    """q_sparql_{agg,construct,ask,describe} vs their DuckDB twins at
+    sf0.001 (the driver's comparison, exact dtypes)."""
+    import duckdb
+
+    from gitprov_ray import queries as Q
+
+    sf_dir_smallest = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir_smallest}/documents.parquet')")
+    for name in ("q_sparql_agg", "q_sparql_construct", "q_sparql_ask",
+                 "q_sparql_describe"):
+        mine = Q.QUERIES[name](sf_dir_smallest)
+        ora = con.execute(Q.ORACLE_SQL[name]).fetchdf()
+        a = mine[sorted(mine.columns)].sort_values(
+            sorted(mine.columns)).reset_index(drop=True)
+        b = ora[sorted(ora.columns)].sort_values(
+            sorted(ora.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_exact=True)
