@@ -313,7 +313,7 @@ _TOKEN_RX = _re.compile(
       | [A-Za-z_][\w.-]*:           # prefix-declaration name ("ns1:")
       | [A-Za-z_][\w-]*             # keyword / bare name
       | -?\d+(?:\.\d+)?             # number
-      | [=!<>]=? | [{}().;,*:]      # operators / punctuation
+      | [=!<>]=? | [{}().;,*:/^]    # operators / punctuation / path ops
     """, _re.X)
 
 
@@ -450,6 +450,48 @@ def parse_select(query: str) -> dict:
 
     optional_groups: list[list[tuple]] = []
     union_branches: list[list[tuple]] = []
+    fresh_n = 0
+
+    def read_triple(dest: list[tuple]) -> None:
+        """Parse one ``s path o`` statement. The predicate may be a
+        SPARQL 1.1 §9 property path limited to sequences and inverses
+        (``p1/p2``, ``^p``, ``^p1/p2/^p3``): each sequence step desugars
+        to a plain pattern through a fresh ``?__ppN`` variable, an
+        inverse step swaps its endpoints. Other path operators
+        (alternation, arbitrary length) raise."""
+        nonlocal fresh_n
+        s = take()
+        segs: list[tuple[str, bool]] = []       # (pred token, inverse?)
+        while True:
+            inv = False
+            if peek() == "^":
+                take(); inv = True
+            segs.append((take(), inv))
+            if peek() == "/":
+                take()
+                continue
+            break
+        o = take()
+
+        def t_(x):
+            return term(x) if not x.startswith("?") else x
+
+        left = s
+        for idx, (p, inv) in enumerate(segs):
+            last = idx == len(segs) - 1
+            if last:
+                right = o
+            else:
+                right = f"?__pp{fresh_n}"
+                fresh_n += 1
+            if p.startswith("?") and len(segs) > 1:
+                raise SparqlSyntaxError(
+                    "variable predicates not allowed inside a path")
+            a, b = (right, left) if inv else (left, right)
+            dest.append((t_(a), t_(p), t_(b)))
+            left = right
+        if peek() == ".":
+            take()
 
     def take_group() -> list[tuple]:
         """Parse a brace-delimited group of triple patterns (no nested
@@ -466,12 +508,7 @@ def parse_select(query: str) -> dict:
             if t in ("{",) or t.upper() in ("OPTIONAL", "FILTER", "UNION"):
                 raise SparqlSyntaxError(
                     f"{t!r} not supported inside a group pattern")
-            s, p, o = take(), take(), take()
-            group.append((term(s) if not s.startswith("?") else s,
-                          term(p) if not p.startswith("?") else p,
-                          term(o) if not o.startswith("?") else o))
-            if peek() == ".":
-                take()
+            read_triple(group)
 
     while True:
         t = peek()
@@ -525,12 +562,7 @@ def parse_select(query: str) -> dict:
             if peek() == ".":
                 take()
             continue
-        s, p, o = take(), take(), take()
-        patterns.append((term(s) if not s.startswith("?") else s,
-                         term(p) if not p.startswith("?") else p,
-                         term(o) if not o.startswith("?") else o))
-        if peek() == ".":
-            take()
+        read_triple(patterns)
 
     order_by: list[tuple] = []
     group_by: list[str] = []
@@ -692,6 +724,10 @@ def select_text(triples_ds, query: str, graph: str | None = None) -> pd.DataFram
         out = select(triples_ds, plan["patterns"],
                      variables=None, graph=graph, distinct=False)
     out = _apply_filters(out, plan["filters"])
+    hidden = [c for c in out.columns
+              if c.startswith("__pp") and "?" + c not in plan["variables"]]
+    if hidden:      # property-path desugaring internals never project
+        out = out.drop(columns=hidden)
     if plan["aggregates"]:
         out = _apply_aggregates(out, plan)
     elif plan["variables"] and not plan["star"]:

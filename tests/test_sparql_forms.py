@@ -138,3 +138,52 @@ def test_new_queries_match_oracle_sql(ray_session):
         b = ora[sorted(ora.columns)].sort_values(
             sorted(ora.columns)).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+@pytest.fixture(scope="module")
+def chain_ds(ray_session):
+    import ray.data as rd
+
+    tri = pd.DataFrame([
+        {"graph": "g", "subj": "http://d/doc1", "pred": "http://d/author",
+         "obj": "http://d/p1", "obj_is_literal": False, "obj_dtype": ""},
+        {"graph": "g", "subj": "http://d/doc2", "pred": "http://d/author",
+         "obj": "http://d/p2", "obj_is_literal": False, "obj_dtype": ""},
+        {"graph": "g", "subj": "http://d/p1", "pred": "http://d/name",
+         "obj": "alice", "obj_is_literal": True, "obj_dtype": "xsd:string"},
+        {"graph": "g", "subj": "http://d/p2", "pred": "http://d/name",
+         "obj": "bob", "obj_is_literal": True, "obj_dtype": "xsd:string"},
+    ])
+    return rd.from_pandas(tri)
+
+
+def test_sequence_path(chain_ds):
+    out = S.select_text(chain_ds, """PREFIX ex: <http://d/>
+        SELECT ?d ?n WHERE { ?d ex:author/ex:name ?n } ORDER BY ?n""")
+    assert out.n.tolist() == ["alice", "bob"]
+    assert list(out.columns) == ["d", "n"]
+
+
+def test_star_hides_path_internals(chain_ds):
+    out = S.select_text(chain_ds, """PREFIX ex: <http://d/>
+        SELECT * WHERE { ?d ex:author/ex:name ?n }""")
+    assert not any(c.startswith("__pp") for c in out.columns)
+    assert set(out.columns) == {"d", "n"}
+
+
+def test_inverse_path(chain_ds):
+    out = S.select_text(chain_ds, """PREFIX ex: <http://d/>
+        SELECT ?p WHERE { ?p ^ex:author <http://d/doc1> }""")
+    assert out.p.tolist() == ["http://d/p1"]
+
+
+def test_inverse_inside_sequence(chain_ds):
+    # name-of(author-of(?d)) via ^name reversal: ?n ^ex:name ?p ≡ ?p ex:name ?n
+    out = S.select_text(chain_ds, """PREFIX ex: <http://d/>
+        SELECT ?n WHERE { ?d ex:author ?p . ?n ^ex:name ?p }""")
+    assert sorted(out.n) == ["alice", "bob"]
+
+
+def test_variable_predicate_in_path_rejected():
+    with pytest.raises(S.SparqlSyntaxError):
+        S.parse_select("SELECT * WHERE { ?s ?p/?q ?o }")
