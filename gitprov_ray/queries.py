@@ -1017,6 +1017,36 @@ def q_sparql_describe(sf_dir: str):
     return out.sort_values(["pred", "obj"]).reset_index(drop=True)
 
 
+def q_sparql_having(sf_dir: str):
+    """SPARQL GROUP BY + HAVING over an aggregate expression (SPARQL 1.1
+    §11.5): sources with more than one document."""
+    from . import sparql_lite
+
+    tri = _docs_triples(sf_dir)
+    q = """
+        PREFIX ex: <http://docs.example/>
+        SELECT ?s (COUNT(?d) AS ?n) WHERE { ?d ex:source ?s }
+        GROUP BY ?s HAVING (COUNT(?d) > 1) ORDER BY ?s
+    """
+    return sparql_lite.select_text(tri, q)
+
+
+def q_sparql_not_exists(sf_dir: str):
+    """SPARQL FILTER NOT EXISTS (SPARQL 1.1 §8.1): docs with no lang
+    triple (the en-only fixture makes `lang` partial)."""
+    from . import sparql_lite
+
+    tri = _docs_triples(sf_dir, en_lang_only=True)
+    q = """
+        PREFIX ex: <http://docs.example/>
+        SELECT ?d ?s WHERE {
+            ?d ex:source ?s .
+            FILTER NOT EXISTS { ?d ex:lang ?l }
+        } ORDER BY ?d
+    """
+    return sparql_lite.select_text(tri, q)
+
+
 def q_ann_ivf_topk(sf_dir: str):
     """IVF-bucketed approximate nearest neighbours (scale-path ANN)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -1067,6 +1097,8 @@ QUERIES = {
     "q_sparql_construct": q_sparql_construct,
     "q_sparql_ask": q_sparql_ask,
     "q_sparql_describe": q_sparql_describe,
+    "q_sparql_having": q_sparql_having,
+    "q_sparql_not_exists": q_sparql_not_exists,
     "q_moving_sum_events": q_moving_sum_events,
     "q_nation_revenue_3way": q_nation_revenue_3way,
     "q_orders_by_month": q_orders_by_month,
@@ -1344,6 +1376,15 @@ ORACLE_SQL = {
     "q_sparql_agg": """
         SELECT source AS s, COUNT(*) AS n
         FROM documents GROUP BY source ORDER BY s
+    """,
+    "q_sparql_having": """
+        SELECT source AS s, COUNT(*) AS n
+        FROM documents GROUP BY source HAVING COUNT(*) > 1 ORDER BY s
+    """,
+    "q_sparql_not_exists": """
+        SELECT 'http://docs.example/doc/' || CAST(doc_id AS VARCHAR) AS d,
+               source AS s
+        FROM documents WHERE lang <> 'en' ORDER BY d
     """,
     "q_sparql_construct": """
         SELECT 'http://docs.example/doc/' || CAST(doc_id AS VARCHAR) AS subj,

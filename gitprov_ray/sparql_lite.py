@@ -450,6 +450,9 @@ def parse_select(query: str) -> dict:
 
     optional_groups: list[list[tuple]] = []
     union_branches: list[list[tuple]] = []
+    values_clauses: list[tuple[list[str], list[list]]] = []
+    exists_groups: list[tuple[bool, list[tuple]]] = []   # (negated?, BGP)
+    minus_groups: list[list[tuple]] = []
     fresh_n = 0
 
     def read_triple(dest: list[tuple]) -> None:
@@ -536,6 +539,61 @@ def parse_select(query: str) -> dict:
             if peek() == ".":
                 take()
             continue
+        if t.upper() == "MINUS":
+            take()
+            minus_groups.append(take_group())
+            if peek() == ".":
+                take()
+            continue
+        if t.upper() == "VALUES":
+            take()
+            if peek() == "(":                      # VALUES (?a ?b) { (..) }
+                take()
+                vnames: list[str] = []
+                while peek() != ")":
+                    v = take()
+                    if not v.startswith("?"):
+                        raise SparqlSyntaxError("VALUES wants ?vars")
+                    vnames.append(v[1:])
+                take(")")
+                take("{")
+                vrows: list[list] = []
+                while peek() == "(":
+                    take()
+                    row = []
+                    while peek() != ")":
+                        row.append(term(take()))
+                    take(")")
+                    if len(row) != len(vnames):
+                        raise SparqlSyntaxError("VALUES row arity mismatch")
+                    vrows.append(row)
+                take("}")
+            else:                                  # VALUES ?v { "a" "b" }
+                v = take()
+                if not v.startswith("?"):
+                    raise SparqlSyntaxError("VALUES wants a ?var")
+                vnames = [v[1:]]
+                take("{")
+                vrows = []
+                while peek() != "}":
+                    vrows.append([term(take())])
+                take("}")
+            values_clauses.append((vnames, vrows))
+            if peek() == ".":
+                take()
+            continue
+        if t.upper() == "FILTER" and i + 1 < len(toks) and \
+                toks[i + 1].upper() in ("NOT", "EXISTS"):
+            take()
+            negated = False
+            if peek().upper() == "NOT":
+                take(); take("EXISTS"); negated = True
+            else:
+                take("EXISTS")
+            exists_groups.append((negated, take_group()))
+            if peek() == ".":
+                take()
+            continue
         if t.upper() == "FILTER":
             take(); take("(")
             first = take()
@@ -566,6 +624,7 @@ def parse_select(query: str) -> dict:
 
     order_by: list[tuple] = []
     group_by: list[str] = []
+    havings: list[dict] = []
     limit = offset = None
     while peek() is not None:
         kw = take().upper()
@@ -575,6 +634,35 @@ def parse_select(query: str) -> dict:
                 group_by.append(take()[1:])
             if not group_by:
                 raise SparqlSyntaxError("GROUP BY needs at least one ?var")
+        elif kw == "HAVING":
+            # HAVING (COUNT(?v) > n) (?alias <= n) ... — each paren holds
+            # one comparison over an aggregate expression or SELECT alias
+            while peek() == "(":
+                take("(")
+                first = take()
+                h: dict = {}
+                if first.upper() in _AGG_FUNCS:
+                    take("(")
+                    if peek() and peek().upper() == "DISTINCT":
+                        take(); h["distinct"] = True
+                    h.update(func=first.upper(), arg=take(),
+                             distinct=h.get("distinct", False))
+                    take(")")
+                elif first.startswith("?"):
+                    h["alias"] = first[1:]
+                else:
+                    raise SparqlSyntaxError(f"bad HAVING term {first!r}")
+                op = take()
+                if op not in ("=", "!=", "<", "<=", ">", ">="):
+                    raise SparqlSyntaxError(f"bad HAVING op {op!r}")
+                rhs = take()
+                if not _re.match(r"^-?\d+(?:\.\d+)?$", rhs):
+                    raise SparqlSyntaxError("HAVING compares to a number")
+                h.update(op=op, rhs=float(rhs))
+                havings.append(h)
+                take(")")
+            if not havings:
+                raise SparqlSyntaxError("HAVING needs (condition)")
         elif kw == "ORDER":
             take("BY")
             while peek() and peek().upper() not in ("LIMIT", "OFFSET"):
@@ -601,12 +689,16 @@ def parse_select(query: str) -> dict:
         if bad:
             raise SparqlSyntaxError(
                 f"non-aggregate projection {bad} must appear in GROUP BY")
+    if havings and not aggregates and not group_by:
+        raise SparqlSyntaxError("HAVING requires GROUP BY or aggregates")
     return {"prefixes": prefixes, "variables": variables, "star": star,
             "distinct": distinct, "patterns": patterns, "filters": filters,
             "optional_groups": optional_groups,
             "union_branches": union_branches,
+            "values_clauses": values_clauses,
+            "exists_groups": exists_groups, "minus_groups": minus_groups,
             "aggregates": aggregates, "projection": projection,
-            "group_by": group_by,
+            "group_by": group_by, "havings": havings,
             "order_by": order_by, "limit": limit, "offset": offset}
 
 
@@ -666,7 +758,12 @@ def _apply_aggregates(df: pd.DataFrame, plan: dict) -> pd.DataFrame:
     aggregation runs over the already-joined binding table, whose
     cardinality the BGP filters bound; the distributed path for large
     binding sets is select_distributed + the engine's salted counters."""
-    specs = plan["aggregates"]
+    specs = list(plan["aggregates"])
+    havings = plan.get("havings", [])
+    for n, h in enumerate(hv for hv in havings if "func" in hv):
+        specs.append({"func": h["func"], "arg": h["arg"],
+                      "distinct": h.get("distinct", False),
+                      "alias": f"__h{n}", "_having": h})
     group_by = plan["group_by"]
     if group_by:
         rows = []
@@ -686,7 +783,57 @@ def _apply_aggregates(df: pd.DataFrame, plan: dict) -> pd.DataFrame:
                 spec["func"] == "SUM"
                 and out[a].map(lambda v: isinstance(v, int)).all()):
             out[a] = out[a].astype("int64")
+    for h in havings:      # HAVING filters the grouped rows (§11.5)
+        col = h["alias"] if "alias" in h else next(
+            s["alias"] for s in specs if s.get("_having") is h)
+        s = pd.to_numeric(out[col], errors="coerce")
+        mask = {"=": s == h["rhs"], "!=": s != h["rhs"],
+                "<": s < h["rhs"], "<=": s <= h["rhs"],
+                ">": s > h["rhs"], ">=": s >= h["rhs"]}[h["op"]]
+        out = out[mask.fillna(False)]
+    out = out.drop(columns=[s["alias"] for s in specs if "_having" in s])
+    out = out.reset_index(drop=True)
     return out[plan["projection"]] if plan["projection"] else out
+
+
+def _apply_values(df: pd.DataFrame, values_clauses) -> pd.DataFrame:
+    """Inline VALUES data joins the solution sequence (SPARQL 1.1 §10.2)."""
+    for vnames, vrows in values_clauses:
+        vf = pd.DataFrame(vrows, columns=vnames).drop_duplicates()
+        shared = [v for v in vnames if v in df.columns]
+        df = df.merge(vf, on=shared, how="inner") if shared \
+            else df.merge(vf, how="cross")
+    return df
+
+
+def _apply_exists_minus(df: pd.DataFrame, triples_ds, plan,
+                        graph) -> pd.DataFrame:
+    """FILTER [NOT] EXISTS (§8.1) and MINUS (§8.3). The two differ when
+    the inner group shares no variable: EXISTS tests plain satisfiability
+    (can wipe or keep everything) while MINUS is a no-op on disjoint
+    domains."""
+    for negated, group in plan["exists_groups"]:
+        part = select(triples_ds, group, graph=graph)
+        shared = [c for c in df.columns if c in part.columns]
+        if not shared:
+            keep = (len(part) == 0) if negated else (len(part) > 0)
+            df = df if keep else df.iloc[0:0]
+            continue
+        keys = part[shared].drop_duplicates()
+        m = df.merge(keys, on=shared, how="left", indicator="__ex")
+        mask = (m["__ex"] == "left_only") if negated \
+            else (m["__ex"] == "both")
+        df = m[mask].drop(columns="__ex").reset_index(drop=True)
+    for group in plan["minus_groups"]:
+        part = select(triples_ds, group, graph=graph)
+        shared = [c for c in df.columns if c in part.columns]
+        if not shared:          # disjoint domains: MINUS removes nothing
+            continue
+        keys = part[shared].drop_duplicates()
+        m = df.merge(keys, on=shared, how="left", indicator="__mn")
+        df = m[m["__mn"] == "left_only"].drop(columns="__mn") \
+            .reset_index(drop=True)
+    return df
 
 
 def select_text(triples_ds, query: str, graph: str | None = None) -> pd.DataFrame:
@@ -723,6 +870,10 @@ def select_text(triples_ds, query: str, graph: str | None = None) -> pd.DataFram
     else:
         out = select(triples_ds, plan["patterns"],
                      variables=None, graph=graph, distinct=False)
+    if plan["values_clauses"]:
+        out = _apply_values(out, plan["values_clauses"])
+    if plan["exists_groups"] or plan["minus_groups"]:
+        out = _apply_exists_minus(out, triples_ds, plan, graph)
     out = _apply_filters(out, plan["filters"])
     hidden = [c for c in out.columns
               if c.startswith("__pp") and "?" + c not in plan["variables"]]

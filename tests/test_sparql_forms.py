@@ -130,7 +130,8 @@ def test_new_queries_match_oracle_sql(ray_session):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{sf_dir_smallest}/documents.parquet')")
     for name in ("q_sparql_agg", "q_sparql_construct", "q_sparql_ask",
-                 "q_sparql_describe"):
+                 "q_sparql_describe", "q_sparql_having",
+                 "q_sparql_not_exists"):
         mine = Q.QUERIES[name](sf_dir_smallest)
         ora = con.execute(Q.ORACLE_SQL[name]).fetchdf()
         a = mine[sorted(mine.columns)].sort_values(
@@ -187,3 +188,71 @@ def test_inverse_inside_sequence(chain_ds):
 def test_variable_predicate_in_path_rejected():
     with pytest.raises(S.SparqlSyntaxError):
         S.parse_select("SELECT * WHERE { ?s ?p/?q ?o }")
+
+
+@pytest.fixture(scope="module")
+def src_ds(ray_session):
+    import ray.data as rd
+
+    tri = pd.DataFrame([
+        {"graph": "g", "subj": f"http://d/{i}", "pred": f"http://d/{p}",
+         "obj": o, "obj_is_literal": True, "obj_dtype": "xsd:string"}
+        for i, p, o in [(1, "lang", "en"), (1, "source", "s1"),
+                        (2, "lang", "de"), (2, "source", "s1"),
+                        (3, "lang", "en"), (3, "source", "s2"),
+                        (4, "source", "s3")]
+    ])
+    return rd.from_pandas(tri)
+
+
+def test_values_single_and_multi(src_ds):
+    out = S.select_text(src_ds, """PREFIX ex: <http://d/>
+        SELECT ?d ?s WHERE { ?d ex:source ?s . VALUES ?s { "s1" "s3" } }
+        ORDER BY ?d""")
+    assert sorted(out.s.unique()) == ["s1", "s3"] and len(out) == 3
+    out = S.select_text(src_ds, """PREFIX ex: <http://d/>
+        SELECT ?d ?s ?tag WHERE {
+            ?d ex:source ?s .
+            VALUES (?s ?tag) { ("s1" "A") ("s2" "B") }
+        } ORDER BY ?d""")
+    assert out.tag.tolist() == ["A", "A", "B"]
+
+
+def test_filter_exists_and_not_exists(src_ds):
+    out = S.select_text(src_ds, """PREFIX ex: <http://d/>
+        SELECT ?d WHERE { ?d ex:source ?s .
+                          FILTER NOT EXISTS { ?d ex:lang ?l } }""")
+    assert out.d.tolist() == ["http://d/4"]
+    out = S.select_text(src_ds, """PREFIX ex: <http://d/>
+        SELECT ?d WHERE { ?d ex:source ?s .
+                          FILTER EXISTS { ?d ex:lang "en" } } ORDER BY ?d""")
+    assert out.d.tolist() == ["http://d/1", "http://d/3"]
+
+
+def test_minus_vs_not_exists_disjoint(src_ds):
+    """MINUS on a disjoint domain removes nothing (§8.3); NOT EXISTS on a
+    satisfiable disjoint group removes everything (§8.1)."""
+    out = S.select_text(src_ds, """PREFIX ex: <http://d/>
+        SELECT ?d WHERE { ?d ex:source ?s . MINUS { ?d ex:lang "en" } }
+        ORDER BY ?d""")
+    assert out.d.tolist() == ["http://d/2", "http://d/4"]
+    keep = S.select_text(src_ds, """PREFIX ex: <http://d/>
+        SELECT ?d WHERE { ?d ex:source "s1" . MINUS { ?x ex:lang "en" } }""")
+    assert len(keep) == 2
+    wiped = S.select_text(src_ds, """PREFIX ex: <http://d/>
+        SELECT ?d WHERE { ?d ex:source "s1" .
+                          FILTER NOT EXISTS { ?x ex:lang "en" } }""")
+    assert len(wiped) == 0
+
+
+def test_having(src_ds):
+    out = S.select_text(src_ds, """PREFIX ex: <http://d/>
+        SELECT ?s (COUNT(?d) AS ?n) WHERE { ?d ex:source ?s }
+        GROUP BY ?s HAVING (COUNT(?d) >= 2) ORDER BY ?s""")
+    assert out.s.tolist() == ["s1"] and out.n.tolist() == [2]
+    out = S.select_text(src_ds, """PREFIX ex: <http://d/>
+        SELECT ?s (COUNT(?d) AS ?n) WHERE { ?d ex:source ?s }
+        GROUP BY ?s HAVING (?n = 1) ORDER BY ?s""")
+    assert out.s.tolist() == ["s2", "s3"]
+    with pytest.raises(S.SparqlSyntaxError):
+        S.parse_select("SELECT ?s WHERE { ?d ?p ?s } HAVING (?s > 1)")
