@@ -1017,6 +1017,20 @@ def q_sparql_describe(sf_dir: str):
     return out.sort_values(["pred", "obj"]).reset_index(drop=True)
 
 
+def q_sparql_agg_distributed(sf_dir: str):
+    """Distributed SPARQL GROUP BY aggregate (the §11 scale path):
+    bindings stay a Dataset via select_distributed and the count is a
+    per-batch partial combine + one bucketed shuffle — the same answer
+    as q_sparql_agg with no driver-side binding table."""
+    from . import sparql_lite
+
+    NS = _DOCS_NS
+    tri = _docs_triples(sf_dir)
+    out = sparql_lite.aggregate_distributed(
+        tri, [("?d", NS + "source", "?s")], ["?s"], agg="count", alias="n")
+    return out.sort("s")
+
+
 def q_sparql_having(sf_dir: str):
     """SPARQL GROUP BY + HAVING over an aggregate expression (SPARQL 1.1
     §11.5): sources with more than one document."""
@@ -1097,6 +1111,7 @@ QUERIES = {
     "q_sparql_construct": q_sparql_construct,
     "q_sparql_ask": q_sparql_ask,
     "q_sparql_describe": q_sparql_describe,
+    "q_sparql_agg_distributed": q_sparql_agg_distributed,
     "q_sparql_having": q_sparql_having,
     "q_sparql_not_exists": q_sparql_not_exists,
     "q_moving_sum_events": q_moving_sum_events,
@@ -1374,6 +1389,10 @@ ORACLE_SQL = {
         FROM documents ORDER BY d
     """,
     "q_sparql_agg": """
+        SELECT source AS s, COUNT(*) AS n
+        FROM documents GROUP BY source ORDER BY s
+    """,
+    "q_sparql_agg_distributed": """
         SELECT source AS s, COUNT(*) AS n
         FROM documents GROUP BY source ORDER BY s
     """,

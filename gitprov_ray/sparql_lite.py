@@ -1070,3 +1070,58 @@ def query_text(triples_ds, query: str, graph: str | None = None):
     fn = {"SELECT": select_text, "ASK": ask_text,
           "CONSTRUCT": construct_text, "DESCRIBE": describe_text}[form]
     return fn(triples_ds, query, graph=graph)
+
+
+def aggregate_distributed(triples_ds, patterns: list[tuple],
+                          group_vars: list[str], agg: str = "count",
+                          arg_var: str | None = None, alias: str = "n",
+                          graph: str | None = None):
+    """Distributed SPARQL GROUP BY aggregate (the §11 scale path): the BGP
+    runs through select_distributed (bindings never materialize on the
+    driver), then a two-phase aggregate — per-batch partial combine inside
+    ``map_batches`` followed by ONE bucketed shuffle on the group key (the
+    engine's stable_bucket map_groups pattern; Ray's multi-key
+    groupby().aggregate() is ~20× slower at high cardinality, see
+    CLAUDE.md invariant 6). ``agg``: "count" (COUNT(*)) or "sum"
+    (SUM(?arg_var), numeric coercion). Returns a Dataset of
+    group_vars + alias."""
+    if agg not in ("count", "sum"):
+        raise ValueError(f"unsupported distributed aggregate {agg!r}")
+    if agg == "sum" and arg_var is None:
+        raise ValueError("sum needs arg_var")
+    ds = select_distributed(triples_ds, patterns, graph=graph)
+    gv = [v.lstrip("?") for v in group_vars]
+    a = arg_var.lstrip("?") if arg_var else None
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(columns=gv + [alias])
+        if agg == "count":
+            out = df.groupby(gv, sort=False, as_index=False).size()
+            return out.rename(columns={"size": alias})
+        tmp = df[gv].copy()
+        tmp[alias] = pd.to_numeric(df[a], errors="coerce")
+        return tmp.groupby(gv, sort=False, as_index=False)[alias].sum()
+
+    from .stages.versions import stable_bucket
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df.assign(bucket=pd.Series([], dtype="int64"))
+        df = df.copy()
+        key = df[gv[0]].astype(str)
+        for g2 in gv[1:]:
+            key = key + "\x1f" + df[g2].astype(str)
+        df["bucket"] = stable_bucket(key, key, 32)
+        return df
+
+    def merge_group(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(gv, sort=False, as_index=False)[alias].sum()
+        if agg == "count":
+            out[alias] = out[alias].astype("int64")
+        return out
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(merge_group, batch_format="pandas"))

@@ -256,3 +256,16 @@ def test_having(src_ds):
     assert out.s.tolist() == ["s2", "s3"]
     with pytest.raises(S.SparqlSyntaxError):
         S.parse_select("SELECT ?s WHERE { ?d ?p ?s } HAVING (?s > 1)")
+
+
+def test_aggregate_distributed_matches_driver(ray_session):
+    """Distributed GROUP BY count (aggregate_distributed) == the
+    driver-side q_sparql_agg answer at sf0.001."""
+    from gitprov_ray import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    dist = Q.QUERIES["q_sparql_agg_distributed"](sf).to_pandas()
+    drv = Q.QUERIES["q_sparql_agg"](sf)
+    a = dist.sort_values("s").reset_index(drop=True)
+    b = drv.sort_values("s").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
