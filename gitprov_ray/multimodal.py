@@ -16,9 +16,12 @@ Baseline JPEG is REAL too (pure-numpy codec, ``jpegcodec.py``): decode,
 resize (decode → nearest resize → re-encode) and grid features all accept
 ``ffd8``-signature payloads. Non-interlaced 8-bit PNG is REAL as well
 (``pngcodec.py``: stdlib zlib + all five scanline filters; palette/alpha
-expand). Remaining compressed codecs (progressive JPEG, Adam7/16-bit
-PNG, MP4/...) are NOT implementable without external libraries in
-this container, so those paths are STUBS: by default they raise
+expand), and so is GIF87a/89a (``gifcodec.py``: LZW, interlace,
+transparency, frame composition — animated GIF is the real compressed
+path through the video FrameSample stage). Remaining compressed codecs
+(progressive JPEG, Adam7/16-bit PNG, MP4/...) are NOT implementable
+without external libraries in this container, so those paths are STUBS:
+by default they raise
 ``NotImplementedError`` naming the missing dependency; with
 ``deterministic_fake=True`` they produce seeded deterministic fakes so the
 Ray-side plumbing (schemas, batch sizing, actor signatures, output layout)
@@ -184,6 +187,13 @@ def decode_image(b: bytes):
             return pngcodec.decode_png(b)
         except (NotImplementedError, ValueError):
             return None
+    from . import gifcodec
+
+    if gifcodec.is_gif(b):              # static image use: first frame
+        try:
+            return gifcodec.decode_gif(b)[0]
+        except (NotImplementedError, ValueError):
+            return None
     return None
 
 
@@ -259,6 +269,11 @@ class ImageResize:
                 small = resize_nearest(arr, w, h)
                 if pngcodec.is_png(b):
                     out.append(pngcodec.encode_png(small))
+                    continue
+                from . import gifcodec
+
+                if gifcodec.is_gif(b):   # nearest keeps the palette ≤256
+                    out.append(gifcodec.encode_gif([small]))
                     continue
                 out.append(jpegcodec.encode_jpeg_baseline(
                     small.squeeze(-1) if small.shape[-1] == 1 else small))
@@ -352,27 +367,39 @@ class AudioFeatures:
 
 class FrameSample:
     """video payload → k evenly-spaced frames. REAL for concatenated-PPM
-    streams (ffmpeg image2pipe/ppm); container formats stubbed (fake =
-    sliced digests). Output is exploded (one row per sampled frame)."""
+    streams (ffmpeg image2pipe/ppm) and animated GIF (gifcodec.py —
+    LZW decode + frame composition); other container formats stubbed
+    (fake = sliced digests). Output is exploded (one row per sampled
+    frame, rendered as PPM)."""
 
     def __init__(self, k: int = 4, deterministic_fake: bool = False):
         self.k = k
         self.fake = deterministic_fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from . import gifcodec
+
         ids, idxs, frames = [], [], []
         for mid, payload in zip(batch.column("media_id").to_pylist(),
                                 batch.column("payload").to_pylist()):
             b = payload or b""
+            decoded = None
             parsed = list(iter_ppm_stream(b))
             if parsed:
-                n = len(parsed)
+                decoded = [p[0] for p in parsed]
+            elif gifcodec.is_gif(b):    # animated GIF: real compressed path
+                try:
+                    decoded = gifcodec.decode_gif(b)
+                except (NotImplementedError, ValueError):
+                    decoded = None
+            if decoded:
+                n = len(decoded)
                 picks = sorted({(i * n) // self.k for i in range(self.k)}) \
                     if n >= 1 else []
                 for fi, pick in enumerate(picks):
                     ids.append(mid)
                     idxs.append(fi)
-                    frames.append(render_ppm(parsed[pick][0]))
+                    frames.append(render_ppm(decoded[pick]))
             elif self.fake:
                 for i in range(self.k):
                     ids.append(mid)
@@ -381,8 +408,8 @@ class FrameSample:
             else:
                 raise NotImplementedError(
                     "video container demux requires an av codec (none "
-                    "installed); use concatenated-PPM streams or "
-                    "deterministic_fake")
+                    "installed); use concatenated-PPM streams, animated "
+                    "GIF, or deterministic_fake")
         return pa.table({
             "media_id": pa.array(ids, pa.string()),
             "frame_idx": pa.array(idxs, pa.int32()),
@@ -424,6 +451,15 @@ def _synth_ppm_stream(seed: int, frames: int = 6) -> bytes:
                     for i in range(frames))
 
 
+def _synth_gif(seed: int, frames: int = 6, w: int = 16, h: int = 12) -> bytes:
+    from . import gifcodec
+
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, size=(8, 3), dtype=np.uint8)
+    return gifcodec.encode_gif(
+        [pal[rng.randint(0, 8, size=(h, w))] for _ in range(frames)])
+
+
 def _synth_jpeg(seed: int, w: int = 24, h: int = 18) -> bytes:
     from . import jpegcodec
 
@@ -445,7 +481,8 @@ def _synth_png(seed: int, w: int = 24, h: int = 18) -> bytes:
 
 def synth_media_table(n: int = 32, seed: int = 42) -> pa.Table:
     """Deterministic media corpus with REAL payloads: netpbm + baseline
-    JPEG + PNG images, PCM WAV audio, concatenated-PPM video streams."""
+    JPEG + PNG images, PCM WAV audio, concatenated-PPM streams and
+    animated GIF video."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
@@ -457,6 +494,8 @@ def synth_media_table(n: int = 32, seed: int = 42) -> pa.Table:
             payload, mime = _synth_ppm(seed + i), "image/x-portable-pixmap"
         elif kind == "audio":
             payload, mime = _synth_wav(seed + i), "audio/wav"
+        elif (i // 3) % 2 == 1:
+            payload, mime = _synth_gif(seed + i), "image/gif"
         else:
             payload, mime = _synth_ppm_stream(seed + i), "video/x-ppm-stream"
         rows.append({
