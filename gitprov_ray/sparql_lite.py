@@ -1,18 +1,27 @@
-"""SPARQL-lite: basic-graph-pattern queries over the triples table.
+"""SPARQL-lite: SPARQL 1.1 queries over the triples table.
 
 Engine equivalent of the reference's SPARQL endpoint (SparqlService.java:
-16-31, J5): a BGP is a list of (s, p, o) patterns where each term is either
-a bound value or a ``?var``. Compilation:
+16-31, J5 — the reference hands query strings to Jena). Supported
+surface, all through the ``query_text`` / ``select_text`` string
+front-ends:
 
-  * each pattern → a vectorized Arrow filter over the triples Dataset
-    (bound terms push down; literals match on obj with obj_is_literal);
-  * shared variables across patterns → successive hash joins on the
-    variable columns (pandas merges over the per-pattern results — fine
-    while per-pattern selections are small; the scale path is a bucketed
-    Dataset join keyed on the shared variable, same machinery as the
-    engine's other shuffles);
-  * SELECT projection, DISTINCT, ORDER BY, LIMIT on the final frame;
-  * result formatting via serializers.result_{csv,tsv,json} (S14).
+  * query forms: SELECT, ASK, CONSTRUCT, DESCRIBE;
+  * graph patterns: BGPs, OPTIONAL (left-outer), UNION (bag semantics),
+    MINUS (§8.3 disjoint-domain no-op), FILTER [NOT] EXISTS, VALUES,
+    BIND with CONCAT/STR/UCASE/LCASE/STRLEN/SUBSTR/REPLACE, property
+    paths limited to sequences (``p1/p2``) and inverses (``^p``);
+  * solution modifiers: FILTER (=, !=, <, <=, >, >=, regex), DISTINCT,
+    ORDER BY, LIMIT, OFFSET;
+  * aggregates: COUNT/SUM/AVG/MIN/MAX (+DISTINCT), GROUP BY, HAVING.
+
+Execution model: each pattern is a vectorized Arrow filter over the
+triples Dataset (bound terms push down); shared variables join on the
+driver for small binding sets (pandas merges), with Dataset-native
+twins for the scale paths — ``select_distributed`` (bucketed
+``Dataset.join`` per shared variable), ``select_optional_distributed``,
+``select_union_distributed`` and ``aggregate_distributed`` (partial
+combine + one bucketed shuffle). Results format via
+serializers.result_{csv,tsv,json} (S14).
 
 Terms may use CURIEs (prov:used, rdf:type, gitprov:x with an explicit
 graph) — expanded via prov.expand.
@@ -362,6 +371,52 @@ def _parse_term(t: str, prefixes: dict[str, str]):
 
 _AGG_FUNCS = ("COUNT", "SUM", "AVG", "MIN", "MAX")
 
+# scalar functions usable in BIND expressions (SPARQL 1.1 §17.4)
+_BIND_FUNCS = ("CONCAT", "STR", "UCASE", "LCASE", "STRLEN", "SUBSTR",
+               "REPLACE")
+
+
+def _eval_expr(df: pd.DataFrame, node):
+    """Evaluate a BIND expression AST over the binding frame (vectorized
+    pandas string kernels)."""
+    kind = node[0]
+    if kind == "var":
+        if node[1] not in df.columns:
+            raise SparqlSyntaxError(f"BIND references unbound ?{node[1]}")
+        return df[node[1]]
+    if kind == "lit":
+        return node[1]
+
+    def as_series(x):
+        return x if isinstance(x, pd.Series) else \
+            pd.Series([x] * len(df), index=df.index)
+
+    f = node[1]
+    args = [_eval_expr(df, a) for a in node[2]]
+    if f == "CONCAT":
+        out = as_series(args[0]).astype(str)
+        for a in args[1:]:
+            out = out + as_series(a).astype(str)
+        return out
+    if f == "STR":
+        return as_series(args[0]).astype(str)
+    if f == "UCASE":
+        return as_series(args[0]).astype(str).str.upper()
+    if f == "LCASE":
+        return as_series(args[0]).astype(str).str.lower()
+    if f == "STRLEN":
+        return as_series(args[0]).astype(str).str.len().astype("int64")
+    if f == "SUBSTR":              # 1-based start per the spec
+        s = as_series(args[0]).astype(str)
+        start = int(args[1]) - 1
+        if len(args) > 2:
+            return s.str.slice(start, start + int(args[2]))
+        return s.str.slice(start)
+    if f == "REPLACE":
+        return as_series(args[0]).astype(str).str.replace(
+            str(args[1]), str(args[2]), regex=True)
+    raise SparqlSyntaxError(f"unsupported BIND function {f}")
+
 
 def parse_select(query: str) -> dict:
     """Parse a SPARQL SELECT string → plan dict for :func:`select_text`."""
@@ -453,6 +508,7 @@ def parse_select(query: str) -> dict:
     values_clauses: list[tuple[list[str], list[list]]] = []
     exists_groups: list[tuple[bool, list[tuple]]] = []   # (negated?, BGP)
     minus_groups: list[list[tuple]] = []
+    binds: list[tuple] = []                              # (expr AST, var)
     fresh_n = 0
 
     def read_triple(dest: list[tuple]) -> None:
@@ -536,6 +592,37 @@ def parse_select(query: str) -> dict:
             if union_branches:
                 raise SparqlSyntaxError("multiple UNION blocks unsupported")
             union_branches = branches
+            if peek() == ".":
+                take()
+            continue
+        if t.upper() == "BIND":
+            take(); take("(")
+
+            def parse_expr():
+                x = take()
+                if x.upper() in _BIND_FUNCS:
+                    take("(")
+                    fargs = [parse_expr()]
+                    while peek() == ",":
+                        take()
+                        fargs.append(parse_expr())
+                    take(")")
+                    return ("call", x.upper(), fargs)
+                if x.startswith("?"):
+                    return ("var", x[1:])
+                m = _re.match(r"^-?\d+(?:\.\d+)?$", x)
+                if m:
+                    v = float(x)
+                    return ("lit", int(v) if v.is_integer() else v)
+                return ("lit", term(x))
+
+            ast = parse_expr()
+            take("AS")
+            bv = take()
+            if not bv.startswith("?"):
+                raise SparqlSyntaxError("BIND target must be a ?var")
+            take(")")
+            binds.append((ast, bv[1:]))
             if peek() == ".":
                 take()
             continue
@@ -697,6 +784,7 @@ def parse_select(query: str) -> dict:
             "union_branches": union_branches,
             "values_clauses": values_clauses,
             "exists_groups": exists_groups, "minus_groups": minus_groups,
+            "binds": binds,
             "aggregates": aggregates, "projection": projection,
             "group_by": group_by, "havings": havings,
             "order_by": order_by, "limit": limit, "offset": offset}
@@ -870,6 +958,8 @@ def select_text(triples_ds, query: str, graph: str | None = None) -> pd.DataFram
     else:
         out = select(triples_ds, plan["patterns"],
                      variables=None, graph=graph, distinct=False)
+    for ast, bv in plan["binds"]:
+        out = out.assign(**{bv: _eval_expr(out, ast)})
     if plan["values_clauses"]:
         out = _apply_values(out, plan["values_clauses"])
     if plan["exists_groups"] or plan["minus_groups"]:

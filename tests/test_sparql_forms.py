@@ -269,3 +269,25 @@ def test_aggregate_distributed_matches_driver(ray_session):
     a = dist.sort_values("s").reset_index(drop=True)
     b = drv.sort_values("s").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_bind_expressions(src_ds):
+    out = S.select_text(src_ds, """PREFIX ex: <http://d/>
+        SELECT ?d ?tag ?L WHERE {
+            ?d ex:source ?s .
+            BIND (CONCAT(UCASE(?s), "-doc") AS ?tag)
+            BIND (STRLEN(?s) AS ?L)
+        } ORDER BY ?d""")
+    assert out.tag.tolist() == ["S1-doc", "S1-doc", "S2-doc", "S3-doc"]
+    assert set(out.L) == {2} and str(out.L.dtype) == "int64"
+    out = S.select_text(src_ds, """PREFIX ex: <http://d/>
+        SELECT ?d ?x WHERE {
+            ?d ex:source ?s .
+            BIND (REPLACE(SUBSTR(?s, 1, 1), "s", "src") AS ?x)
+            FILTER (?x = "src")
+        }""")
+    assert len(out) == 4 and set(out.x) == {"src"}
+    with pytest.raises(S.SparqlSyntaxError):
+        S.select_text(src_ds, """PREFIX ex: <http://d/>
+            SELECT ?d WHERE { ?d ex:source ?s .
+                              BIND (UCASE(?missing) AS ?x) }""")
