@@ -168,3 +168,72 @@ def ivf_topk(emb_ds, query_ids: list[int], k: int = 5, n_centroids: int = 16,
                                                      batch_format="pandas")
     return partials.groupby("query_id").map_groups(
         lambda df: _merge_topk(df, k), batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs (the dedup-family counterpart of
+# the top-k search above: all pairs with cosine >= threshold)
+# ---------------------------------------------------------------------------
+
+def cosine_neardup_pairs(emb_ds, threshold: float = 0.9,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding"):
+    """EXACT cosine near-dup pairs: → Dataset of (a, b) with a < b and
+    cos(a, b) >= threshold.
+
+    Baseline path: the L2-normalized corpus matrix is collected once and
+    broadcast (ray.put via Ray's closure capture), then every batch
+    computes its rows × matrixᵀ with one float64 matmul and emits only
+    its qualifying pairs — one streaming pass, no shuffle. The broadcast
+    bounds this path to corpora that fit a worker heap (~10M × 128 f32);
+    beyond that use :func:`cosine_neardup_pairs_lsh`, which partitions
+    the comparison by LSH bucket instead."""
+    corpus = emb_ds.map_batches(
+        lambda df: df[[id_col, vec_col]], batch_format="pandas").to_pandas()
+    ids = corpus[id_col].to_numpy()
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in corpus[vec_col]])
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        my_ids = df[id_col].to_numpy()
+        mm = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
+        mm = mm / np.maximum(np.linalg.norm(mm, axis=1, keepdims=True), 1e-12)
+        sims = mm @ m.T                       # (batch, corpus)
+        ri, ci = np.nonzero(sims >= threshold)
+        a, b = my_ids[ri], ids[ci]
+        keep = a < b                          # each pair once, no self
+        return pd.DataFrame({"a": pd.Series(a[keep], dtype="int64"),
+                             "b": pd.Series(b[keep], dtype="int64")})
+
+    return emb_ds.map_batches(pairs, batch_format="pandas", batch_size=4096)
+
+
+def cosine_neardup_pairs_lsh(emb_ds, threshold: float = 0.9,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding"):
+    """Scale-path cosine near-dup: random-hyperplane LSH buckets, then
+    within-bucket all-pairs via one bucketed shuffle — the corpus never
+    concentrates anywhere. Recall < 1 by design (a qualifying pair in
+    different buckets is missed); same (a, b) output shape as the exact
+    path so callers can swap them."""
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
+        planes = _hyperplanes(m.shape[1])
+        out = df[[id_col, vec_col]].copy()
+        out["bucket"] = _bucket_of(m, planes)
+        return out
+
+    def in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ m.T
+        ri, ci = np.nonzero(sims >= threshold)
+        a, b = ids[ri], ids[ci]
+        keep = a < b
+        return pd.DataFrame({"a": pd.Series(a[keep], dtype="int64"),
+                             "b": pd.Series(b[keep], dtype="int64")})
+
+    return (emb_ds.map_batches(with_bucket, batch_format="pandas")
+            .groupby("bucket").map_groups(in_bucket, batch_format="pandas"))

@@ -1068,6 +1068,40 @@ def q_ann_ivf_topk(sf_dir: str):
         .sort(["query_id", "rank"])
 
 
+def _planted_embeddings(sf_dir: str):
+    """embeddings + exact copies of vec_id<40 at vec_id+100000 — the
+    synthetic vectors are random (max off-diagonal cosine ≈0.51), so
+    planted duplicates give the near-dup ops a deterministic signal with
+    a wide numeric margin to any threshold ≥0.9."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        dup = df[df["vec_id"] < 40].copy()
+        dup["vec_id"] = dup["vec_id"] + 100000
+        return pd.concat([df, dup], ignore_index=True)
+
+    return ds.map_batches(plant, batch_format="pandas")
+
+
+def q_cosine_neardup_pairs(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs, EXACT baseline: broadcast
+    normalized matrix, per-batch float64 matmul, emit (a, b) with
+    cos >= 0.9 — the dedup-family counterpart of ANN top-k."""
+    out = annsearch.cosine_neardup_pairs(_planted_embeddings(sf_dir),
+                                         threshold=0.9)
+    return out.sort(["a", "b"])
+
+
+def q_cosine_neardup_lsh(sf_dir: str):
+    """Embedding-cosine near-dup, LSH scale path: hyperplane buckets +
+    within-bucket pairs via one bucketed shuffle (identical vectors
+    always share a bucket, so the planted pairs recover fully;
+    general recall < 1 by design)."""
+    out = annsearch.cosine_neardup_pairs_lsh(_planted_embeddings(sf_dir),
+                                             threshold=0.9)
+    return out.sort(["a", "b"])
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -1102,6 +1136,8 @@ QUERIES = {
     "q_source_counts_salted": q_source_counts_salted,
     "q_topk_per_group": q_topk_per_group,
     "q_ann_ivf_topk": q_ann_ivf_topk,
+    "q_cosine_neardup_pairs": q_cosine_neardup_pairs,
+    "q_cosine_neardup_lsh": q_cosine_neardup_lsh,
     "q_sparql_select": q_sparql_select,
     "q_sparql_distributed": q_sparql_distributed,
     "q_sparql_optional": q_sparql_optional,
@@ -1387,6 +1423,18 @@ ORACLE_SQL = {
                source AS s,
                CASE WHEN lang = 'en' THEN lang END AS l
         FROM documents ORDER BY d
+    """,
+    "q_cosine_neardup_pairs": """
+        WITH planted AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000, embedding FROM embeddings
+            WHERE vec_id < 40
+        )
+        SELECT x.vec_id AS a, y.vec_id AS b
+        FROM planted x JOIN planted y ON x.vec_id < y.vec_id
+        WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.9
+        ORDER BY a, b
     """,
     "q_sparql_agg": """
         SELECT source AS s, COUNT(*) AS n

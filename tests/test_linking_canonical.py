@@ -239,3 +239,22 @@ def test_flagship_canonicalize_stage(ray_session):
     got = set(map(tuple, canon[["graph", "subj", "pred", "obj"]]
                   .itertuples(index=False)))
     assert got == expect
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cosine_neardup_exact_and_lsh():
+    """Embedding-cosine near-dup: planted duplicate vectors recover as
+    (a, b) pairs in BOTH the exact broadcast path and the LSH-bucketed
+    scale path (identical vectors always share a bucket)."""
+    import pandas as pd
+
+    from gitprov_ray import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    exact = Q.QUERIES["q_cosine_neardup_pairs"](sf).to_pandas()
+    lsh = Q.QUERIES["q_cosine_neardup_lsh"](sf).to_pandas()
+    assert len(exact) == 40                      # one pair per planted copy
+    assert (exact.b - exact.a == 100000).all()
+    pd.testing.assert_frame_equal(exact.reset_index(drop=True),
+                                  lsh.reset_index(drop=True),
+                                  check_exact=True)
