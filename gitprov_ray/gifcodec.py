@@ -151,8 +151,13 @@ def decode_gif(b: bytes) -> list[np.ndarray]:
     canvas = np.zeros((h, w, 3), np.uint8)
     if gct is not None and bg_idx < len(gct):
         canvas[:] = gct[bg_idx]
-    transparent = None
-    disposal = 0
+    # A graphic-control extension applies to the SINGLE following image
+    # block (spec §23): `pending_*` hold that one-shot state, while
+    # `prev_disposal`/`prev_rect` remember how the frame ALREADY drawn
+    # asked to be disposed before the next one renders.
+    pending_transparent = None
+    pending_disposal = 0
+    prev_disposal = 0
     prev_rect = None
     while pos < len(b):
         block = b[pos]
@@ -167,9 +172,9 @@ def decode_gif(b: bytes) -> list[np.ndarray]:
                 gflags, _delay, tidx = struct.unpack(
                     "<BHB", b[pos + 1:pos + 5])
                 pos += size + 1
-                transparent = tidx if (gflags & 1) else None
-                disposal = (gflags >> 2) & 7
-                if disposal == 3:
+                pending_transparent = tidx if (gflags & 1) else None
+                pending_disposal = (gflags >> 2) & 7
+                if pending_disposal == 3:
                     raise NotImplementedError(
                         "GIF disposal 3 (restore previous) not supported")
             while True:                 # skip (remaining) sub-blocks
@@ -204,19 +209,23 @@ def decode_gif(b: bytes) -> list[np.ndarray]:
                        np.uint8)[: fw * fh].reshape(fh, fw)
         if iflags & 0x40:
             idx = _deinterlace(idx)
-        if prev_rect is not None and disposal == 2:
+        # dispose of the PREVIOUS frame per ITS OWN disposal method
+        if prev_rect is not None and prev_disposal == 2:
             (pl, pt, pw, ph) = prev_rect
             canvas[pt:pt + ph, pl:pl + pw] = (
                 gct[bg_idx] if gct is not None and bg_idx < len(gct) else 0)
         rgb = table[np.minimum(idx, len(table) - 1)]
         region = canvas[top:top + fh, left:left + fw]
-        if transparent is not None:
-            mask = (idx != transparent)[..., None]
+        if pending_transparent is not None:
+            mask = (idx != pending_transparent)[..., None]
             region[:] = np.where(mask, rgb, region)
         else:
             region[:] = rgb
         frames.append(canvas.copy())
         prev_rect = (left, top, fw, fh)
+        prev_disposal = pending_disposal
+        pending_transparent = None      # a GCE governs only one image
+        pending_disposal = 0
     if not frames:
         raise ValueError("GIF contains no image data")
     return frames

@@ -272,8 +272,14 @@ class ImageResize:
                     continue
                 from . import gifcodec
 
-                if gifcodec.is_gif(b):   # nearest keeps the palette ≤256
-                    out.append(gifcodec.encode_gif([small]))
+                if gifcodec.is_gif(b):
+                    # nearest-resize usually keeps the palette ≤256, but a
+                    # composited frame (background fill + local tables +
+                    # transparency) can exceed it — fall back to PPM then
+                    try:
+                        out.append(gifcodec.encode_gif([small]))
+                    except ValueError:
+                        out.append(render_ppm(small))
                     continue
                 out.append(jpegcodec.encode_jpeg_baseline(
                     small.squeeze(-1) if small.shape[-1] == 1 else small))

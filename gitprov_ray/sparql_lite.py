@@ -406,16 +406,48 @@ def _eval_expr(df: pd.DataFrame, node):
         return as_series(args[0]).astype(str).str.lower()
     if f == "STRLEN":
         return as_series(args[0]).astype(str).str.len().astype("int64")
+    def as_scalar(x, what):
+        if isinstance(x, pd.Series):
+            raise SparqlSyntaxError(
+                f"{f} {what} must be a literal, not a variable")
+        return x
+
     if f == "SUBSTR":              # 1-based start per the spec
         s = as_series(args[0]).astype(str)
-        start = int(args[1]) - 1
+        start = int(as_scalar(args[1], "start")) - 1
         if len(args) > 2:
-            return s.str.slice(start, start + int(args[2]))
+            return s.str.slice(start, start + int(as_scalar(args[2], "length")))
         return s.str.slice(start)
     if f == "REPLACE":
-        return as_series(args[0]).astype(str).str.replace(
-            str(args[1]), str(args[2]), regex=True)
+        pat = str(as_scalar(args[1], "pattern"))
+        # SPARQL replacement backreferences are $1..$9 (fn:replace);
+        # pandas/re want \1..\9
+        rep = _re.sub(r"\$(\d)", r"\\\1", str(as_scalar(args[2], "replacement")))
+        return as_series(args[0]).astype(str).str.replace(pat, rep, regex=True)
     raise SparqlSyntaxError(f"unsupported BIND function {f}")
+
+
+def _read_prefixes(toks: list[str]) -> tuple[dict[str, str], int]:
+    """Parse leading PREFIX declarations → (prefix map, index of the
+    query-form keyword). The single source of truth for the two token
+    forms a declaration takes ("ns:" as one token, or "ns" + ":")."""
+    out: dict[str, str] = {}
+    i = 0
+    while i < len(toks) and toks[i].upper() == "PREFIX":
+        i += 1
+        name = toks[i]
+        if name.endswith(":"):
+            name = name[:-1]
+            i += 1
+        else:
+            if i + 1 >= len(toks) or toks[i + 1] != ":":
+                raise SparqlSyntaxError("bad PREFIX declaration")
+            i += 2
+        if i >= len(toks) or not toks[i].startswith("<"):
+            raise SparqlSyntaxError("PREFIX uri must be <...>")
+        out[name] = toks[i][1:-1]
+        i += 1
+    return out, i
 
 
 def parse_select(query: str) -> dict:
@@ -436,22 +468,7 @@ def parse_select(query: str) -> dict:
         i += 1
         return t
 
-    prefixes: dict[str, str] = {}
-    while peek() and peek().upper() == "PREFIX":
-        take()
-        name = take()          # curie-like "p:" — tokenized as curie? no: "p:" has empty local
-        if not name.endswith(":"):
-            # tokenizer yields bare name + ':'? our curie regex needs a local
-            # part, so "p :" arrives as two tokens
-            colon = take()
-            if colon != ":":
-                raise SparqlSyntaxError("bad PREFIX declaration")
-        else:
-            name = name[:-1]
-        uri = take()
-        if not uri.startswith("<"):
-            raise SparqlSyntaxError("PREFIX uri must be <...>")
-        prefixes[name] = uri[1:-1]
+    prefixes, i = _read_prefixes(toks)
 
     take("SELECT")
     distinct = False
@@ -770,7 +787,7 @@ def parse_select(query: str) -> dict:
         else:
             raise SparqlSyntaxError(f"unexpected trailing token {kw!r}")
 
-    if aggregates:
+    if aggregates or group_by:
         bad = [c for c in projection
                if c in [v[1:] for v in variables] and c not in group_by]
         if bad:
@@ -885,12 +902,30 @@ def _apply_aggregates(df: pd.DataFrame, plan: dict) -> pd.DataFrame:
 
 
 def _apply_values(df: pd.DataFrame, values_clauses) -> pd.DataFrame:
-    """Inline VALUES data joins the solution sequence (SPARQL 1.1 §10.2)."""
+    """Inline VALUES data joins the solution sequence (SPARQL 1.1 §10.2).
+
+    Join compatibility: a solution whose shared variable is UNBOUND
+    (None, e.g. from OPTIONAL) is compatible with every VALUES row and
+    takes that row's binding — so rows are merged per null-pattern
+    group, joining only on the variables actually bound in that group."""
     for vnames, vrows in values_clauses:
         vf = pd.DataFrame(vrows, columns=vnames).drop_duplicates()
         shared = [v for v in vnames if v in df.columns]
-        df = df.merge(vf, on=shared, how="inner") if shared \
-            else df.merge(vf, how="cross")
+        if not shared:
+            df = df.merge(vf, how="cross")
+            continue
+        nulls = df[shared].isna()
+        parts = []
+        for pattern, sub in df.groupby(
+                [nulls[c] for c in shared], sort=False):
+            pattern = pattern if isinstance(pattern, tuple) else (pattern,)
+            bound = [c for c, is_null in zip(shared, pattern) if not is_null]
+            unbound = [c for c in shared if c not in bound]
+            sub = sub.drop(columns=unbound)   # take the VALUES binding
+            parts.append(sub.merge(vf, on=bound, how="inner") if bound
+                         else sub.merge(vf, how="cross"))
+        df = pd.concat(parts, ignore_index=True) if parts \
+            else df.iloc[0:0].merge(vf.iloc[0:0], on=shared, how="inner")
     return df
 
 
@@ -969,7 +1004,7 @@ def select_text(triples_ds, query: str, graph: str | None = None) -> pd.DataFram
               if c.startswith("__pp") and "?" + c not in plan["variables"]]
     if hidden:      # property-path desugaring internals never project
         out = out.drop(columns=hidden)
-    if plan["aggregates"]:
+    if plan["aggregates"] or plan["group_by"]:
         out = _apply_aggregates(out, plan)
     elif plan["variables"] and not plan["star"]:
         out = out[[v.lstrip("?") for v in plan["variables"]]]
@@ -994,30 +1029,11 @@ def select_text(triples_ds, query: str, graph: str | None = None) -> pd.DataFram
 
 def _past_prefixes(toks: list[str]) -> int:
     """Index of the query-form keyword after the PREFIX declarations."""
-    i = 0
-    while i < len(toks) and toks[i].upper() == "PREFIX":
-        i += 1                        # PREFIX
-        if not toks[i].endswith(":"):
-            i += 1                    # bare name + separate ':'
-        i += 1                        # name
-        i += 1                        # <uri>
-    return i
+    return _read_prefixes(toks)[1]
 
 
 def _collect_prefixes(toks: list[str]) -> dict[str, str]:
-    out: dict[str, str] = {}
-    i = 0
-    while i < len(toks) and toks[i].upper() == "PREFIX":
-        i += 1
-        name = toks[i]
-        if name.endswith(":"):
-            name = name[:-1]
-            i += 1
-        else:
-            i += 2                    # name ':'
-        out[name] = toks[i][1:-1]
-        i += 1
-    return out
+    return _read_prefixes(toks)[0]
 
 
 def query_form(query: str) -> str:
@@ -1149,6 +1165,8 @@ def describe_text(triples_ds, query: str,
         return t.filter(m).select(["graph", "subj", "pred", "obj"])
 
     out = triples_ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    if len(out.columns) == 0:      # zero matches → Ray yields a columnless
+        out = pd.DataFrame(columns=["graph", "subj", "pred", "obj"])
     return out.drop_duplicates().reset_index(drop=True)
 
 

@@ -141,3 +141,115 @@ def test_synth_media_has_gif_video():
     t = M.synth_media_table(32)
     mimes = set(t.column("mime").to_pylist())
     assert "image/gif" in mimes and "video/x-ppm-stream" in mimes
+
+
+def _gce(disposal=0, transparent=None):
+    gflags = (disposal << 2) | (1 if transparent is not None else 0)
+    return bytes([0x21, 0xF9, 4, gflags, 0, 0,
+                  transparent if transparent is not None else 0, 0])
+
+
+def _img_block(left, top, idx, min_code=2, local_table=None):
+    import struct as _st
+
+    h, w = idx.shape
+    iflags = 0
+    out = bytearray()
+    if local_table is not None:
+        bits = max(1, int(np.ceil(np.log2(max(len(local_table), 2)))))
+        n = 1 << bits
+        pad = np.zeros((n, 3), np.uint8)
+        pad[: len(local_table)] = local_table
+        iflags = 0x80 | (bits - 1)
+        out += bytes([0x2C]) + _st.pack("<HHHHB", left, top, w, h, iflags)
+        out += pad.tobytes()
+    else:
+        out += bytes([0x2C]) + _st.pack("<HHHHB", left, top, w, h, iflags)
+    out.append(min_code)
+    payload = G._lzw_encode([int(i) for i in idx.ravel()], min_code)
+    for i in range(0, len(payload), 255):
+        chunk = payload[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def _gif_header(w, h, gct):
+    import struct as _st
+
+    bits = max(1, int(np.ceil(np.log2(max(len(gct), 2)))))
+    n = 1 << bits
+    pad = np.zeros((n, 3), np.uint8)
+    pad[: len(gct)] = gct
+    return (b"GIF89a" + _st.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0) +
+            pad.tobytes())
+
+
+def test_disposal_applies_to_own_frame_not_next():
+    """Review fix: each frame is disposed by ITS OWN GCE disposal, not
+    the next frame's; a GCE's transparency governs only one image."""
+    gct = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [9, 9, 9]],
+                   np.uint8)
+    full = np.full((4, 4), 1, np.uint8)          # red everywhere
+    patch = np.full((2, 2), 2, np.uint8)         # green 2x2 at (1,1)
+    # frame0: GCE disposal=1 (leave). frame1: GCE disposal=2 — must NOT
+    # erase frame0 before frame1 draws (old bug used frame1's value).
+    gif = (_gif_header(4, 4, gct) +
+           _gce(disposal=1) + _img_block(0, 0, full) +
+           _gce(disposal=2) + _img_block(1, 1, patch) +
+           b"\x3b")
+    frames = G.decode_gif(gif)
+    assert (frames[0] == gct[1]).all()           # all red
+    # frame1 canvas: red with green patch — red ring must SURVIVE
+    # (frame0 said leave-in-place)
+    assert (frames[1][0, :] == gct[1]).all()
+    assert (frames[1][1:3, 1:3] == gct[2]).all()
+
+    # frame0 disposal=2: ITS rect clears to background before frame1
+    gif2 = (_gif_header(4, 4, gct) +
+            _gce(disposal=2) + _img_block(0, 0, full) +
+            _img_block(1, 1, patch) +            # no GCE on frame1
+            b"\x3b")
+    f2 = G.decode_gif(gif2)
+    assert (f2[1][0, :] == gct[0]).all()         # cleared to bg
+    assert (f2[1][1:3, 1:3] == gct[2]).all()
+
+
+def test_transparency_is_one_shot():
+    gct = np.array([[0, 0, 0], [255, 0, 0], [7, 7, 7]], np.uint8)
+    full1 = np.full((3, 3), 1, np.uint8)
+    full2 = np.full((3, 3), 2, np.uint8)
+    # frame0 marks index 2 transparent; frame1 (GCE-less) draws index 2
+    # everywhere — it must NOT inherit the stale transparent index
+    gif = (_gif_header(3, 3, gct) +
+           _gce(transparent=2) + _img_block(0, 0, full1) +
+           _img_block(0, 0, full2) +
+           b"\x3b")
+    frames = G.decode_gif(gif)
+    assert (frames[1] == gct[2]).all()
+
+
+def test_resize_falls_back_to_ppm_when_palette_overflows():
+    """Review fix: a composited first frame can exceed 256 colors (bg
+    from the GCT + a full 256-color local table); ImageResize must fall
+    back to PPM instead of crashing the batch."""
+    import pyarrow as pa
+
+    rng = np.random.RandomState(4)
+    local = np.unique(rng.randint(1, 255, size=(300, 3), dtype=np.uint8),
+                      axis=0)[:256]
+    assert len(local) == 256
+    gct = np.array([[255, 255, 255]], np.uint8)   # bg not in local table
+    idx = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    gif = (_gif_header(16, 17, gct) +
+           _img_block(0, 0, idx, min_code=8, local_table=local) +
+           b"\x3b")
+    canvas = G.decode_gif(gif)[0]
+    assert len(np.unique(canvas.reshape(-1, 3), axis=0)) == 257
+    out = M.ImageResize(target=(16, 17))(pa.table({
+        "media_id": pa.array(["x"]),
+        "payload": pa.array([gif], pa.binary())}))
+    payload = out.column("payload").to_pylist()[0]
+    arr, _ = M.parse_ppm(payload)                 # PPM fallback
+    assert arr.shape == (17, 16, 3)

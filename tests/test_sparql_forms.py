@@ -291,3 +291,53 @@ def test_bind_expressions(src_ds):
         S.select_text(src_ds, """PREFIX ex: <http://d/>
             SELECT ?d WHERE { ?d ex:source ?s .
                               BIND (UCASE(?missing) AS ?x) }""")
+
+
+def test_bare_group_by_groups_without_aggregates(src_ds):
+    """Review fix: GROUP BY with no aggregate in SELECT must still group
+    (one row per group), not silently return ungrouped rows."""
+    out = S.select_text(src_ds, """PREFIX ex: <http://d/>
+        SELECT ?s WHERE { ?d ex:source ?s } GROUP BY ?s ORDER BY ?s""")
+    assert out.s.tolist() == ["s1", "s2", "s3"]
+    # and HAVING still applies without any SELECT aggregate
+    out = S.select_text(src_ds, """PREFIX ex: <http://d/>
+        SELECT ?s WHERE { ?d ex:source ?s }
+        GROUP BY ?s HAVING (COUNT(?d) > 1)""")
+    assert out.s.tolist() == ["s1"]
+    # ungrouped projection var is rejected
+    with pytest.raises(S.SparqlSyntaxError):
+        S.parse_select("""SELECT ?d ?s WHERE { ?d ?p ?s } GROUP BY ?s""")
+
+
+def test_describe_absent_resource_empty_frame(src_ds):
+    out = S.describe_text(src_ds, "DESCRIBE <http://d/absent>")
+    assert len(out) == 0
+    assert list(out.columns) == ["graph", "subj", "pred", "obj"]
+
+
+def test_bind_rejects_variable_substr_args_and_replaces_backrefs(src_ds):
+    with pytest.raises(S.SparqlSyntaxError):
+        S.select_text(src_ds, """PREFIX ex: <http://d/>
+            SELECT ?x WHERE { ?d ex:source ?s .
+                              BIND (SUBSTR(?s, ?d) AS ?x) }""")
+    out = S.select_text(src_ds, """PREFIX ex: <http://d/>
+        SELECT ?d ?x WHERE {
+            ?d ex:source ?s .
+            BIND (REPLACE(?s, "s(\\\\d)", "src$1") AS ?x)
+        } ORDER BY ?d""")
+    assert out.x.tolist() == ["src1", "src1", "src2", "src3"]
+
+
+def test_values_compatible_with_unbound_optional_var(src_ds):
+    """Review fix (SPARQL §10.2): an OPTIONAL-unbound shared variable is
+    compatible with every VALUES row and takes its binding."""
+    out = S.select_text(src_ds, """PREFIX ex: <http://d/>
+        SELECT ?d ?l WHERE {
+            ?d ex:source ?s .
+            OPTIONAL { ?d ex:lang ?l }
+            VALUES ?l { "en" }
+        } ORDER BY ?d""")
+    # docs 1,3 bind l=en and match; doc 2 (l=de) drops; doc 4 (unbound)
+    # is compatible and takes l="en"
+    assert out.d.tolist() == ["http://d/1", "http://d/3", "http://d/4"]
+    assert set(out.l) == {"en"}
