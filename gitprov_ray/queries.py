@@ -993,6 +993,19 @@ def q_sparql_construct(sf_dir: str):
     return out.sort_values(["subj", "obj"]).reset_index(drop=True)
 
 
+def q_sparql_construct_distributed(sf_dir: str):
+    """Distributed CONSTRUCT: bindings and template instantiation stay
+    Datasets end-to-end; set semantics via one bucketed dedup shuffle —
+    same answer as q_sparql_construct with nothing on the driver."""
+    from . import sparql_lite
+
+    NS = _DOCS_NS
+    tri = _docs_triples(sf_dir)
+    out = sparql_lite.construct_distributed(
+        tri, [("?d", NS + "tongue", "?l")], [("?d", NS + "lang", "?l")])
+    return out.sort(["subj", "obj"])
+
+
 def q_sparql_ask(sf_dir: str):
     """SPARQL ASK (SPARQL 1.1 §16.3) → one-row boolean frame (true here:
     every sf has English docs)."""
@@ -1145,6 +1158,7 @@ QUERIES = {
     "q_sparql_optional_distributed": q_sparql_optional_distributed,
     "q_sparql_agg": q_sparql_agg,
     "q_sparql_construct": q_sparql_construct,
+    "q_sparql_construct_distributed": q_sparql_construct_distributed,
     "q_sparql_ask": q_sparql_ask,
     "q_sparql_describe": q_sparql_describe,
     "q_sparql_agg_distributed": q_sparql_agg_distributed,
@@ -1454,6 +1468,12 @@ ORACLE_SQL = {
         FROM documents WHERE lang <> 'en' ORDER BY d
     """,
     "q_sparql_construct": """
+        SELECT 'http://docs.example/doc/' || CAST(doc_id AS VARCHAR) AS subj,
+               'http://docs.example/tongue' AS pred,
+               lang AS obj
+        FROM documents ORDER BY subj, obj
+    """,
+    "q_sparql_construct_distributed": """
         SELECT 'http://docs.example/doc/' || CAST(doc_id AS VARCHAR) AS subj,
                'http://docs.example/tongue' AS pred,
                lang AS obj

@@ -1233,3 +1233,55 @@ def aggregate_distributed(triples_ds, patterns: list[tuple],
             .map_batches(bucketize, batch_format="pandas")
             .groupby("bucket")
             .map_groups(merge_group, batch_format="pandas"))
+
+
+def construct_distributed(triples_ds, template: list[tuple],
+                          patterns: list[tuple],
+                          graph: str | None = None):
+    """Distributed CONSTRUCT (§16.2 scale path): bindings come from
+    select_distributed (never on the driver), each batch instantiates
+    the template vectorized, and the graph's set semantics come from one
+    stable_bucket dedup shuffle. Returns a Dataset of (subj, pred, obj).
+
+    ``template`` entries are (s, p, o) with ``?var`` or bound terms —
+    the same shape select_distributed takes."""
+    ds = select_distributed(triples_ds, patterns, graph=graph)
+    tmpl = [tuple(t) for t in template]
+
+    def instantiate(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for s, p, o in tmpl:
+            cols = {}
+            for name, t in (("subj", s), ("pred", p), ("obj", o)):
+                if _is_var(t):
+                    v = t[1:]
+                    if v not in df.columns:
+                        raise SparqlSyntaxError(
+                            f"template variable ?{v} not bound in WHERE")
+                    cols[name] = df[v]
+                else:
+                    cols[name] = pd.Series(
+                        [_expand_term(t, graph)] * len(df), dtype=object,
+                        index=df.index)
+            frames.append(pd.DataFrame(cols).dropna())
+        if not frames:
+            return pd.DataFrame(columns=["subj", "pred", "obj"])
+        out = pd.concat(frames, ignore_index=True)
+        return out.drop_duplicates()          # per-batch combiner
+
+    from .stages.versions import stable_bucket
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df.assign(bucket=pd.Series([], dtype="int64"))
+        df = df.copy()
+        key = df["subj"].astype(str) + "\x1f" + df["pred"].astype(str) \
+            + "\x1f" + df["obj"].astype(str)
+        df["bucket"] = stable_bucket(key, key, 32)
+        return df
+
+    return (ds.map_batches(instantiate, batch_format="pandas")
+            .map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: df.drop(columns="bucket")
+                        .drop_duplicates(), batch_format="pandas"))

@@ -341,3 +341,14 @@ def test_values_compatible_with_unbound_optional_var(src_ds):
     # is compatible and takes l="en"
     assert out.d.tolist() == ["http://d/1", "http://d/3", "http://d/4"]
     assert set(out.l) == {"en"}
+
+
+def test_construct_distributed_matches_driver(ray_session):
+    from gitprov_ray import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    dist = Q.QUERIES["q_sparql_construct_distributed"](sf).to_pandas()
+    drv = Q.QUERIES["q_sparql_construct"](sf)
+    a = dist.sort_values(["subj", "obj"]).reset_index(drop=True)
+    b = drv.sort_values(["subj", "obj"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
