@@ -185,3 +185,59 @@ def salted_sum(ds, key_col: str, val_col: str, num_salts: int = 16):
               .to_pandas().groupby(key_col, as_index=False)["v"].sum())
     return merged.rename(columns={"v": f"sum_{val_col}"}) \
                  .sort_values(key_col).reset_index(drop=True)
+
+
+def _dedup_pairs(ds, a: str, b: str, num_buckets: int = 32):
+    """Distinct (a, b) pairs via per-batch combiner + ONE stable_bucket
+    shuffle (invariant 6: Ray's multi-key aggregate is ~20× slower)."""
+    from .stages.versions import stable_bucket
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates([a, b])
+        if len(df) == 0:
+            return df.assign(bucket=pd.Series([], dtype="int64"))
+        df = df.copy()
+        key = df[a].astype(str) + "\x1f" + df[b].astype(str)
+        df["bucket"] = stable_bucket(key, key, num_buckets)
+        return df
+
+    return (ds.map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: df.drop(columns="bucket")
+                        .drop_duplicates([a, b]), batch_format="pandas"))
+
+
+def transitive_closure(edges_ds, src: str = "s", dst: str = "o",
+                       max_rounds: int = 32,
+                       num_partitions: int | None = None):
+    """Distributed transitive closure of a binary relation by PATH
+    DOUBLING: after round k the pair set holds every pair connected by a
+    path of length ≤ 2^k, so ceil(log2(graph diameter)) bucketed
+    ``Dataset.join`` rounds close any graph — a 250-hop chain needs 8
+    rounds, not 250 (semi-naive iteration). Each round joins the set
+    with itself on dst==src, unions, and dedups through one
+    stable_bucket shuffle; fixpoint = pair count unchanged.
+
+    Scale note: the RESULT is inherently quadratic in chain length
+    (that is the semantics of closure, not an implementation cost);
+    the per-round exchanges are bucketed and the pair set never lands
+    on the driver — only its count does."""
+    if num_partitions is None:
+        num_partitions = _default_partitions()
+    total = _dedup_pairs(edges_ds, src, dst)
+    n = total.count()
+    for _ in range(max_rounds):
+        right = total.map_batches(
+            lambda df: df.rename(columns={src: dst, dst: "__far"}),
+            batch_format="pandas")
+        stepped = total.join(right, "inner", num_partitions, on=(dst,),
+                             left_suffix="", right_suffix="__r")
+        stepped = stepped.map_batches(
+            lambda df: df[[src, "__far"]].rename(columns={"__far": dst}),
+            batch_format="pandas")
+        total = _dedup_pairs(total.union(stepped), src, dst).materialize()
+        n2 = total.count()
+        if n2 == n:
+            break
+        n = n2
+    return total

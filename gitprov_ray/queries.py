@@ -1044,6 +1044,28 @@ def q_sparql_agg_distributed(sf_dir: str):
     return out.sort("s")
 
 
+def q_transitive_closure(sf_dir: str):
+    """Distributed transitive closure (the `pred+` property-path /
+    reachability op) by path doubling: 8 chains of 25 docs (doc i →
+    i+1) close in ceil(log2(25)) = 5 bucketed join rounds. Oracle is a
+    DuckDB recursive CTE."""
+    from .ops import transitive_closure
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"]
+        keep = (d < 200) & (d % 25 != 24)
+        return pd.DataFrame({"s": d[keep].astype("int64"),
+                             "o": (d[keep] + 1).astype("int64")})
+
+    # small fixed num_partitions: each doubling round spins up that many
+    # join-aggregator actors, pure overhead at this pair count (closure
+    # callers size it to their edge volume)
+    return transitive_closure(ds.map_batches(edges, batch_format="pandas"),
+                              num_partitions=4).sort(["s", "o"])
+
+
 def q_sparql_having(sf_dir: str):
     """SPARQL GROUP BY + HAVING over an aggregate expression (SPARQL 1.1
     §11.5): sources with more than one document."""
@@ -1163,6 +1185,7 @@ QUERIES = {
     "q_sparql_describe": q_sparql_describe,
     "q_sparql_agg_distributed": q_sparql_agg_distributed,
     "q_sparql_having": q_sparql_having,
+    "q_transitive_closure": q_transitive_closure,
     "q_sparql_not_exists": q_sparql_not_exists,
     "q_moving_sum_events": q_moving_sum_events,
     "q_nation_revenue_3way": q_nation_revenue_3way,
@@ -1457,6 +1480,17 @@ ORACLE_SQL = {
     "q_sparql_agg_distributed": """
         SELECT source AS s, COUNT(*) AS n
         FROM documents GROUP BY source ORDER BY s
+    """,
+    "q_transitive_closure": """
+        WITH RECURSIVE edges AS (
+            SELECT doc_id AS s, doc_id + 1 AS o FROM documents
+            WHERE doc_id < 200 AND doc_id % 25 <> 24
+        ), closure AS (
+            SELECT s, o FROM edges
+            UNION
+            SELECT c.s, e.o FROM closure c JOIN edges e ON c.o = e.s
+        )
+        SELECT s, o FROM closure ORDER BY s, o
     """,
     "q_sparql_having": """
         SELECT source AS s, COUNT(*) AS n

@@ -29,3 +29,37 @@ def test_salted_sum_matches_pandas():
     out = salted_sum(rd.from_pandas(df), "k", "x", num_salts=4)
     exp = df.groupby("k", as_index=False)["x"].sum().sort_values("k")
     assert list(out["sum_x"]) == list(exp["x"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_transitive_closure_path_doubling():
+    """ops.transitive_closure: chains close in log2 rounds; result equals
+    the brute-force reachability set."""
+    import itertools
+
+    import ray.data as rd
+
+    from gitprov_ray.ops import transitive_closure
+
+    # two chains (0..5), (10..13) and a diamond 20->21,20->22,21->23,22->23
+    edges = ([(i, i + 1) for i in range(5)] +
+             [(i, i + 1) for i in range(10, 13)] +
+             [(20, 21), (20, 22), (21, 23), (22, 23)])
+    df = pd.DataFrame(edges, columns=["s", "o"]).astype("int64")
+    out = transitive_closure(rd.from_pandas(df), num_partitions=2) \
+        .to_pandas().sort_values(["s", "o"]).reset_index(drop=True)
+
+    want = set()
+    adj = {}
+    for s, o in edges:
+        adj.setdefault(s, set()).add(o)
+    for start in {s for s, _ in edges}:
+        seen, stack = set(), [start]
+        while stack:
+            for nxt in adj.get(stack.pop(), ()):
+                if nxt not in seen:
+                    seen.add(nxt)
+                    stack.append(nxt)
+        want.update((start, x) for x in seen)
+    got = set(zip(out.s, out.o))
+    assert got == want
