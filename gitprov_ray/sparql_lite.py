@@ -1190,26 +1190,36 @@ def aggregate_distributed(triples_ds, patterns: list[tuple],
     ``map_batches`` followed by ONE bucketed shuffle on the group key (the
     engine's stable_bucket map_groups pattern; Ray's multi-key
     groupby().aggregate() is ~20× slower at high cardinality, see
-    CLAUDE.md invariant 6). ``agg``: "count" (COUNT(*)) or "sum"
-    (SUM(?arg_var), numeric coercion). Returns a Dataset of
+    CLAUDE.md invariant 6). ``agg``: "count" (COUNT(*)), or
+    "sum"/"avg"/"min"/"max" over ?arg_var (numeric coercion; AVG ships
+    mergeable (sum, count) partials). Returns a Dataset of
     group_vars + alias."""
-    if agg not in ("count", "sum"):
+    if agg not in ("count", "sum", "avg", "min", "max"):
         raise ValueError(f"unsupported distributed aggregate {agg!r}")
-    if agg == "sum" and arg_var is None:
-        raise ValueError("sum needs arg_var")
+    if agg != "count" and arg_var is None:
+        raise ValueError(f"{agg} needs arg_var")
     ds = select_distributed(triples_ds, patterns, graph=graph)
     gv = [v.lstrip("?") for v in group_vars]
     a = arg_var.lstrip("?") if arg_var else None
+    partial_cols = ["__s", "__c"] if agg == "avg" else [alias]
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
-            return pd.DataFrame(columns=gv + [alias])
+            return pd.DataFrame(columns=gv + partial_cols)
         if agg == "count":
             out = df.groupby(gv, sort=False, as_index=False).size()
             return out.rename(columns={"size": alias})
         tmp = df[gv].copy()
-        tmp[alias] = pd.to_numeric(df[a], errors="coerce")
-        return tmp.groupby(gv, sort=False, as_index=False)[alias].sum()
+        tmp["__v"] = pd.to_numeric(df[a], errors="coerce")
+        g = tmp.groupby(gv, sort=False, as_index=False)
+        if agg == "sum":
+            return g["__v"].sum().rename(columns={"__v": alias})
+        if agg == "min":
+            return g["__v"].min().rename(columns={"__v": alias})
+        if agg == "max":
+            return g["__v"].max().rename(columns={"__v": alias})
+        out = g["__v"].agg(["sum", "count"])
+        return out.rename(columns={"sum": "__s", "count": "__c"})
 
     from .stages.versions import stable_bucket
 
@@ -1224,10 +1234,19 @@ def aggregate_distributed(triples_ds, patterns: list[tuple],
         return df
 
     def merge_group(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby(gv, sort=False, as_index=False)[alias].sum()
-        if agg == "count":
-            out[alias] = out[alias].astype("int64")
-        return out
+        g = df.groupby(gv, sort=False, as_index=False)
+        if agg in ("count", "sum"):
+            out = g[alias].sum()
+            if agg == "count":
+                out[alias] = out[alias].astype("int64")
+            return out
+        if agg == "min":
+            return g[alias].min()
+        if agg == "max":
+            return g[alias].max()
+        out = g[["__s", "__c"]].sum()
+        out[alias] = out["__s"] / out["__c"]
+        return out.drop(columns=["__s", "__c"])
 
     return (ds.map_batches(partial, batch_format="pandas")
             .map_batches(bucketize, batch_format="pandas")

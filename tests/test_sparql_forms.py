@@ -352,3 +352,35 @@ def test_construct_distributed_matches_driver(ray_session):
     a = dist.sort_values(["subj", "obj"]).reset_index(drop=True)
     b = drv.sort_values(["subj", "obj"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_aggregate_distributed_avg_min_max(ray_session):
+    """Distributed avg/min/max match the driver-side aggregate answers
+    (AVG merges (sum, count) partials across buckets)."""
+    import ray.data as rd
+
+    tri = pd.DataFrame([
+        {"graph": "g", "subj": f"http://d/{i}", "pred": "http://d/val",
+         "obj": str(v), "obj_is_literal": True, "obj_dtype": "xsd:integer"}
+        for i, v in enumerate([3, 5, 10, 2, 8, 9])
+    ])
+    tri["grp"] = ""
+    tri = tri.drop(columns="grp")
+    # group key derived from a second predicate
+    extra = pd.DataFrame([
+        {"graph": "g", "subj": f"http://d/{i}", "pred": "http://d/band",
+         "obj": b, "obj_is_literal": True, "obj_dtype": "xsd:string"}
+        for i, b in enumerate(["x", "x", "x", "y", "y", "y"])
+    ])
+    ds = rd.from_pandas(pd.concat([tri, extra], ignore_index=True))
+    pats = [("?d", "http://d/band", "?b"), ("?d", "http://d/val", "?v")]
+    for agg, want in (("avg", {"x": 6.0, "y": 19 / 3}),
+                      ("min", {"x": 3.0, "y": 2.0}),
+                      ("max", {"x": 10.0, "y": 9.0}),
+                      ("sum", {"x": 18.0, "y": 19.0})):
+        out = S.aggregate_distributed(ds, pats, ["?b"], agg=agg,
+                                      arg_var="?v", alias="r") \
+            .to_pandas().sort_values("b").reset_index(drop=True)
+        got = dict(zip(out.b, out.r))
+        assert got.keys() == want.keys() and all(
+            abs(got[k] - want[k]) < 1e-12 for k in want), (agg, got)
