@@ -8,7 +8,8 @@ front-ends:
   * query forms: SELECT, ASK, CONSTRUCT, DESCRIBE;
   * graph patterns: BGPs, OPTIONAL (left-outer), UNION (bag semantics),
     MINUS (§8.3 disjoint-domain no-op), FILTER [NOT] EXISTS, VALUES,
-    BIND with CONCAT/STR/UCASE/LCASE/STRLEN/SUBSTR/REPLACE, property
+    BIND with CONCAT/STR/UCASE/LCASE/STRLEN/SUBSTR/REPLACE, sub-SELECTs
+    (evaluated recursively, outer PREFIXes inherited), property
     paths limited to sequences (``p1/p2``) and inverses (``^p``);
   * solution modifiers: FILTER (=, !=, <, <=, >, >=, regex), DISTINCT,
     ORDER BY, LIMIT, OFFSET;
@@ -526,6 +527,7 @@ def parse_select(query: str) -> dict:
     exists_groups: list[tuple[bool, list[tuple]]] = []   # (negated?, BGP)
     minus_groups: list[list[tuple]] = []
     binds: list[tuple] = []                              # (expr AST, var)
+    subqueries: list[str] = []                           # verbatim sub-SELECTs
     fresh_n = 0
 
     def read_triple(dest: list[tuple]) -> None:
@@ -595,6 +597,32 @@ def parse_select(query: str) -> dict:
         if t.upper() == "OPTIONAL":
             take()
             optional_groups.append(take_group())
+            if peek() == ".":
+                take()
+            continue
+        if t == "{" and i + 1 < len(toks) and \
+                toks[i + 1].upper() == "SELECT":
+            # sub-SELECT (§12): capture the balanced group verbatim and
+            # evaluate it recursively at execution time, joining its
+            # projected bindings to the outer solutions
+            take("{")
+            depth, sub = 1, []
+            while depth:
+                x = peek()
+                if x is None:
+                    raise SparqlSyntaxError("unterminated sub-SELECT")
+                if x == "{":
+                    depth += 1
+                elif x == "}":
+                    depth -= 1
+                    if not depth:
+                        take()
+                        break
+                sub.append(take())
+            # the inner query inherits the outer PREFIX declarations
+            decls = " ".join(f"PREFIX {k}: <{v}>"
+                             for k, v in prefixes.items())
+            subqueries.append((decls + " " + " ".join(sub)).strip())
             if peek() == ".":
                 take()
             continue
@@ -801,7 +829,7 @@ def parse_select(query: str) -> dict:
             "union_branches": union_branches,
             "values_clauses": values_clauses,
             "exists_groups": exists_groups, "minus_groups": minus_groups,
-            "binds": binds,
+            "binds": binds, "subqueries": subqueries,
             "aggregates": aggregates, "projection": projection,
             "group_by": group_by, "havings": havings,
             "order_by": order_by, "limit": limit, "offset": offset}
@@ -993,6 +1021,15 @@ def select_text(triples_ds, query: str, graph: str | None = None) -> pd.DataFram
     else:
         out = select(triples_ds, plan["patterns"],
                      variables=None, graph=graph, distinct=False)
+    for subq in plan["subqueries"]:
+        subframe = select_text(triples_ds, subq, graph=graph)
+        shared = [c for c in out.columns if c in subframe.columns]
+        if len(out.columns) == 0 and not plan["patterns"]:
+            out = subframe          # sub-SELECT as the only group member
+        elif shared:
+            out = out.merge(subframe, on=shared, how="inner")
+        else:
+            out = out.merge(subframe, how="cross")
     for ast, bv in plan["binds"]:
         out = out.assign(**{bv: _eval_expr(out, ast)})
     if plan["values_clauses"]:

@@ -384,3 +384,26 @@ def test_aggregate_distributed_avg_min_max(ray_session):
         got = dict(zip(out.b, out.r))
         assert got.keys() == want.keys() and all(
             abs(got[k] - want[k]) < 1e-12 for k in want), (agg, got)
+
+
+def test_sub_select(src_ds):
+    """Sub-SELECT (§12): inner query evaluates recursively (inheriting
+    outer PREFIXes) and its projection joins the outer solutions."""
+    q = """PREFIX ex: <http://d/>
+        SELECT ?d ?s WHERE {
+            ?d ex:source ?s .
+            { SELECT ?s (COUNT(?x) AS ?cnt) WHERE { ?x ex:source ?s }
+              GROUP BY ?s HAVING (?cnt >= 2) }
+        } ORDER BY ?d"""
+    out = S.select_text(src_ds, q)
+    assert out.d.tolist() == ["http://d/1", "http://d/2"]
+    assert set(out.s) == {"s1"}
+    # inner projected aggregate is visible to the outer query
+    out = S.select_text(src_ds, q.replace("SELECT ?d ?s", "SELECT ?d ?cnt"))
+    assert out.cnt.tolist() == [2, 2]
+    # sub-SELECT as the only group member
+    out = S.select_text(src_ds, """PREFIX ex: <http://d/>
+        SELECT ?s WHERE {
+            { SELECT DISTINCT ?s WHERE { ?x ex:source ?s } }
+        } ORDER BY ?s""")
+    assert out.s.tolist() == ["s1", "s2", "s3"]
