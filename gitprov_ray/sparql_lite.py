@@ -10,7 +10,8 @@ front-ends:
     MINUS (§8.3 disjoint-domain no-op), FILTER [NOT] EXISTS, VALUES,
     BIND with CONCAT/STR/UCASE/LCASE/STRLEN/SUBSTR/REPLACE, sub-SELECTs
     (evaluated recursively, outer PREFIXes inherited), property
-    paths limited to sequences (``p1/p2``) and inverses (``^p``);
+    paths: sequences (``p1/p2``), inverses (``^p``) and alternation
+    (``(p1|p2)``, one per query);
   * solution modifiers: FILTER (=, !=, <, <=, >, >=, regex), DISTINCT,
     ORDER BY, LIMIT, OFFSET;
   * aggregates: COUNT/SUM/AVG/MIN/MAX (+DISTINCT), GROUP BY, HAVING.
@@ -323,7 +324,7 @@ _TOKEN_RX = _re.compile(
       | [A-Za-z_][\w.-]*:           # prefix-declaration name ("ns1:")
       | [A-Za-z_][\w-]*             # keyword / bare name
       | -?\d+(?:\.\d+)?             # number
-      | [=!<>]=? | [{}().;,*:/^]    # operators / punctuation / path ops
+      | [=!<>]=? | [{}().;,*:/^|]   # operators / punctuation / path ops
     """, _re.X)
 
 
@@ -530,15 +531,44 @@ def parse_select(query: str) -> dict:
     subqueries: list[str] = []                           # verbatim sub-SELECTs
     fresh_n = 0
 
-    def read_triple(dest: list[tuple]) -> None:
+    def read_triple(dest: list[tuple], allow_alt: bool = True) -> None:
         """Parse one ``s path o`` statement. The predicate may be a
         SPARQL 1.1 §9 property path limited to sequences and inverses
-        (``p1/p2``, ``^p``, ``^p1/p2/^p3``): each sequence step desugars
-        to a plain pattern through a fresh ``?__ppN`` variable, an
-        inverse step swaps its endpoints. Other path operators
-        (alternation, arbitrary length) raise."""
-        nonlocal fresh_n
+        (``p1/p2``, ``^p``, ``^p1/p2/^p3``) or a parenthesized
+        alternation (``(p1|p2)`` — desugared into the UNION machinery,
+        so one per query and top-level only). Sequence steps desugar to
+        plain patterns through fresh ``?__ppN`` variables; an inverse
+        step swaps its endpoints. Arbitrary-length operators raise."""
+        nonlocal fresh_n, union_branches
         s = take()
+        if peek() == "(":                       # ( p1 | p2 | ... )
+            take("(")
+            alts = [take()]
+            while peek() == "|":
+                take()
+                alts.append(take())
+            take(")")
+            if len(alts) < 2:
+                raise SparqlSyntaxError(
+                    "parenthesized path needs | alternatives")
+            if peek() in ("/", "^"):
+                raise SparqlSyntaxError(
+                    "alternation cannot combine with sequence/inverse")
+            o_ = take()
+            if not allow_alt:
+                raise SparqlSyntaxError(
+                    "path alternation only allowed in the top-level pattern")
+            if union_branches:
+                raise SparqlSyntaxError(
+                    "only one alternation/UNION block per query")
+
+            def ta(x):
+                return term(x) if not x.startswith("?") else x
+
+            union_branches = [[(ta(s), ta(p), ta(o_))] for p in alts]
+            if peek() == ".":
+                take()
+            return
         segs: list[tuple[str, bool]] = []       # (pred token, inverse?)
         while True:
             inv = False
@@ -586,7 +616,7 @@ def parse_select(query: str) -> dict:
             if t in ("{",) or t.upper() in ("OPTIONAL", "FILTER", "UNION"):
                 raise SparqlSyntaxError(
                     f"{t!r} not supported inside a group pattern")
-            read_triple(group)
+            read_triple(group, allow_alt=False)
 
     while True:
         t = peek()

@@ -407,3 +407,28 @@ def test_sub_select(src_ds):
             { SELECT DISTINCT ?s WHERE { ?x ex:source ?s } }
         } ORDER BY ?s""")
     assert out.s.tolist() == ["s1", "s2", "s3"]
+
+
+def test_alternation_path(ray_session):
+    """(p1|p2) alternation desugars into the UNION machinery and joins
+    the remaining patterns; rejected inside group patterns."""
+    import ray.data as rd
+
+    tri = pd.DataFrame([
+        {"graph": "g", "subj": f"http://d/{i}", "pred": f"http://d/{p}",
+         "obj": o, "obj_is_literal": True, "obj_dtype": "xsd:string"}
+        for i, p, o in [(1, "lang", "en"), (1, "source", "s1"),
+                        (2, "tongue", "de"), (2, "source", "s1"),
+                        (3, "lang", "en"), (3, "source", "s2")]
+    ])
+    ds = rd.from_pandas(tri)
+    out = S.select_text(ds, """PREFIX ex: <http://d/>
+        SELECT ?d ?l ?s WHERE {
+            ?d (ex:lang|ex:tongue) ?l .
+            ?d ex:source ?s .
+        } ORDER BY ?d""")
+    assert out.l.tolist() == ["en", "de", "en"]
+    with pytest.raises(S.SparqlSyntaxError):
+        S.select_text(ds, """PREFIX ex: <http://d/>
+            SELECT ?d WHERE { ?d ex:source ?s .
+                              OPTIONAL { ?d (ex:a|ex:b) ?x } }""")
