@@ -10,8 +10,9 @@ front-ends:
     MINUS (§8.3 disjoint-domain no-op), FILTER [NOT] EXISTS, VALUES,
     BIND with CONCAT/STR/UCASE/LCASE/STRLEN/SUBSTR/REPLACE, sub-SELECTs
     (evaluated recursively, outer PREFIXes inherited), property
-    paths: sequences (``p1/p2``), inverses (``^p``) and alternation
-    (``(p1|p2)``, one per query);
+    paths: sequences (``p1/p2``), inverses (``^p``), alternation
+    (``(p1|p2)``, one per query) and one-or-more (``p+``, driver
+    closure; Dataset twin = ops.transitive_closure);
   * solution modifiers: FILTER (=, !=, <, <=, >, >=, regex), DISTINCT,
     ORDER BY, LIMIT, OFFSET;
   * aggregates: COUNT/SUM/AVG/MIN/MAX (+DISTINCT), GROUP BY, HAVING.
@@ -324,7 +325,7 @@ _TOKEN_RX = _re.compile(
       | [A-Za-z_][\w.-]*:           # prefix-declaration name ("ns1:")
       | [A-Za-z_][\w-]*             # keyword / bare name
       | -?\d+(?:\.\d+)?             # number
-      | [=!<>]=? | [{}().;,*:/^|]   # operators / punctuation / path ops
+      | [=!<>]=? | [{}().;,*:/^|+]  # operators / punctuation / path ops
     """, _re.X)
 
 
@@ -529,6 +530,7 @@ def parse_select(query: str) -> dict:
     minus_groups: list[list[tuple]] = []
     binds: list[tuple] = []                              # (expr AST, var)
     subqueries: list[str] = []                           # verbatim sub-SELECTs
+    closure_patterns: list[tuple] = []                   # ?s pred+ ?o
     fresh_n = 0
 
     def read_triple(dest: list[tuple], allow_alt: bool = True) -> None:
@@ -575,6 +577,27 @@ def parse_select(query: str) -> dict:
             if peek() == "^":
                 take(); inv = True
             segs.append((take(), inv))
+            if peek() == "+":                   # one-or-more path (§9)
+                take()
+                if inv or len(segs) > 1 or peek() == "/":
+                    raise SparqlSyntaxError(
+                        "p+ only supported on a single plain predicate")
+                o_ = take()
+                if not allow_alt:
+                    raise SparqlSyntaxError(
+                        "p+ only allowed in the top-level pattern")
+                pred = segs[0][0]
+                if pred.startswith("?"):
+                    raise SparqlSyntaxError("p+ needs a bound predicate")
+                closure_patterns.append((
+                    s if s.startswith("?") else term(s), term(pred),
+                    o_ if o_.startswith("?") else term(o_)))
+                if peek() == ".":
+                    take()
+                return
+            if peek() == "*":
+                raise SparqlSyntaxError(
+                    "p* (zero-or-more) not supported; use p+")
             if peek() == "/":
                 take()
                 continue
@@ -860,6 +883,7 @@ def parse_select(query: str) -> dict:
             "values_clauses": values_clauses,
             "exists_groups": exists_groups, "minus_groups": minus_groups,
             "binds": binds, "subqueries": subqueries,
+            "closure_patterns": closure_patterns,
             "aggregates": aggregates, "projection": projection,
             "group_by": group_by, "havings": havings,
             "order_by": order_by, "limit": limit, "offset": offset}
@@ -959,6 +983,35 @@ def _apply_aggregates(df: pd.DataFrame, plan: dict) -> pd.DataFrame:
     return out[plan["projection"]] if plan["projection"] else out
 
 
+def _closure_frame(triples_ds, s, p, o, graph) -> pd.DataFrame:
+    """Binding frame for a ``?s pred+ ?o`` one-or-more path pattern:
+    transitive closure of the predicate's edge relation, computed by
+    path-doubling pandas merges (driver path — binding frames are small
+    here by construction; the Dataset-native twin for big relations is
+    ops.transitive_closure)."""
+    edges = _match_pattern(triples_ds, "?__a", p, "?__b", graph)
+    pairs = edges[["subj", "obj"]].drop_duplicates()         .rename(columns={"subj": "__a", "obj": "__b"})
+    total = pairs
+    while True:
+        step = total.merge(pairs, left_on="__b", right_on="__a",
+                           suffixes=("", "__r"))
+        step = step[["__a", "__b__r"]].rename(columns={"__b__r": "__b"})
+        merged = pd.concat([total, step], ignore_index=True)             .drop_duplicates()
+        if len(merged) == len(total):
+            break
+        total = merged
+    if not _is_var(s):
+        total = total[total["__a"] == _expand_term(s, graph)]
+    if not _is_var(o):
+        total = total[total["__b"] == _expand_term(o, graph)]
+    cols = {}
+    if _is_var(s):
+        cols[s[1:]] = total["__a"].to_numpy()
+    if _is_var(o):
+        cols[o[1:]] = total["__b"].to_numpy()
+    return pd.DataFrame(cols) if cols else         pd.DataFrame(index=range(len(total)))
+
+
 def _apply_values(df: pd.DataFrame, values_clauses) -> pd.DataFrame:
     """Inline VALUES data joins the solution sequence (SPARQL 1.1 §10.2).
 
@@ -1051,6 +1104,15 @@ def select_text(triples_ds, query: str, graph: str | None = None) -> pd.DataFram
     else:
         out = select(triples_ds, plan["patterns"],
                      variables=None, graph=graph, distinct=False)
+    for cs, cp, co in plan["closure_patterns"]:
+        cf = _closure_frame(triples_ds, cs, cp, co, graph)
+        shared = [c for c in out.columns if c in cf.columns]
+        if len(out.columns) == 0 and not plan["patterns"]:
+            out = cf
+        elif shared:
+            out = out.merge(cf, on=shared, how="inner")
+        else:
+            out = out.merge(cf, how="cross")
     for subq in plan["subqueries"]:
         subframe = select_text(triples_ds, subq, graph=graph)
         shared = [c for c in out.columns if c in subframe.columns]

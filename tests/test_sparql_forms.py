@@ -432,3 +432,35 @@ def test_alternation_path(ray_session):
         S.select_text(ds, """PREFIX ex: <http://d/>
             SELECT ?d WHERE { ?d ex:source ?s .
                               OPTIONAL { ?d (ex:a|ex:b) ?x } }""")
+
+
+def test_one_or_more_path(ray_session):
+    """?s pred+ ?o: transitive closure of the predicate, joining the
+    remaining BGP; p* and grouped/inverse/variable forms raise."""
+    import ray.data as rd
+
+    rows = []
+    for i in range(1, 4):
+        rows.append({"graph": "g", "subj": f"http://d/{i}",
+                     "pred": "http://d/next", "obj": f"http://d/{i + 1}",
+                     "obj_is_literal": False, "obj_dtype": ""})
+    for i in range(1, 5):
+        rows.append({"graph": "g", "subj": f"http://d/{i}",
+                     "pred": "http://d/name", "obj": f"n{i}",
+                     "obj_is_literal": True, "obj_dtype": "xsd:string"})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = S.select_text(ds, """PREFIX ex: <http://d/>
+        SELECT ?o WHERE { <http://d/1> ex:next+ ?o } ORDER BY ?o""")
+    assert out.o.tolist() == ["http://d/2", "http://d/3", "http://d/4"]
+    out = S.select_text(ds, """PREFIX ex: <http://d/>
+        SELECT ?o ?n WHERE { <http://d/2> ex:next+ ?o . ?o ex:name ?n }
+        ORDER BY ?o""")
+    assert out.n.tolist() == ["n3", "n4"]
+    assert len(S.select_text(ds, """PREFIX ex: <http://d/>
+        SELECT ?a ?b WHERE { ?a ex:next+ ?b }""")) == 6
+    with pytest.raises(S.SparqlSyntaxError):
+        S.select_text(ds, """PREFIX ex: <http://d/>
+            SELECT ?o WHERE { <http://d/1> ex:next* ?o }""")
+    with pytest.raises(S.SparqlSyntaxError):
+        S.select_text(ds, """PREFIX ex: <http://d/>
+            SELECT ?o WHERE { ?a ?p+ ?o }""")
