@@ -11,8 +11,10 @@ front-ends:
     BIND with CONCAT/STR/UCASE/LCASE/STRLEN/SUBSTR/REPLACE, sub-SELECTs
     (evaluated recursively, outer PREFIXes inherited), property
     paths: sequences (``p1/p2``), inverses (``^p``), alternation
-    (``(p1|p2)``, one per query) and one-or-more (``p+``, driver
-    closure; Dataset twin = ops.transitive_closure);
+    (``(p1|p2)``, one per query) and arbitrary length — one-or-more
+    ``p+`` (driver closure; Dataset twin = ops.transitive_closure),
+    zero-or-more ``p*`` and zero-or-one ``p?`` (both add the §18.4
+    ZeroLengthPath reflexive rows);
   * solution modifiers: FILTER (=, !=, <, <=, >, >=, regex), DISTINCT,
     ORDER BY, LIMIT, OFFSET;
   * aggregates: COUNT/SUM/AVG/MIN/MAX (+DISTINCT), GROUP BY, HAVING.
@@ -325,7 +327,7 @@ _TOKEN_RX = _re.compile(
       | [A-Za-z_][\w.-]*:           # prefix-declaration name ("ns1:")
       | [A-Za-z_][\w-]*             # keyword / bare name
       | -?\d+(?:\.\d+)?             # number
-      | [=!<>]=? | [{}().;,*:/^|+]  # operators / punctuation / path ops
+      | [=!<>]=? | [{}().;,*:/^|+?] # operators / punctuation / path ops
     """, _re.X)
 
 
@@ -530,7 +532,7 @@ def parse_select(query: str) -> dict:
     minus_groups: list[list[tuple]] = []
     binds: list[tuple] = []                              # (expr AST, var)
     subqueries: list[str] = []                           # verbatim sub-SELECTs
-    closure_patterns: list[tuple] = []                   # ?s pred+ ?o
+    closure_patterns: list[tuple] = []               # (s, pred, o, +|*|?)
     fresh_n = 0
 
     def read_triple(dest: list[tuple], allow_alt: bool = True) -> None:
@@ -540,7 +542,9 @@ def parse_select(query: str) -> dict:
         alternation (``(p1|p2)`` — desugared into the UNION machinery,
         so one per query and top-level only). Sequence steps desugar to
         plain patterns through fresh ``?__ppN`` variables; an inverse
-        step swaps its endpoints. Arbitrary-length operators raise."""
+        step swaps its endpoints. Arbitrary-length operators (``p+`` /
+        ``p*`` / ``p?``) route to the closure evaluator — single plain
+        predicate only."""
         nonlocal fresh_n, union_branches
         s = take()
         if peek() == "(":                       # ( p1 | p2 | ... )
@@ -577,27 +581,24 @@ def parse_select(query: str) -> dict:
             if peek() == "^":
                 take(); inv = True
             segs.append((take(), inv))
-            if peek() == "+":                   # one-or-more path (§9)
-                take()
+            if peek() in ("+", "*", "?"):       # arbitrary-length path (§9)
+                mode = take()                   # p+ / p* / p?
                 if inv or len(segs) > 1 or peek() == "/":
                     raise SparqlSyntaxError(
-                        "p+ only supported on a single plain predicate")
+                        f"p{mode} only supported on a single plain predicate")
                 o_ = take()
                 if not allow_alt:
                     raise SparqlSyntaxError(
-                        "p+ only allowed in the top-level pattern")
+                        f"p{mode} only allowed in the top-level pattern")
                 pred = segs[0][0]
                 if pred.startswith("?"):
-                    raise SparqlSyntaxError("p+ needs a bound predicate")
+                    raise SparqlSyntaxError(f"p{mode} needs a bound predicate")
                 closure_patterns.append((
                     s if s.startswith("?") else term(s), term(pred),
-                    o_ if o_.startswith("?") else term(o_)))
+                    o_ if o_.startswith("?") else term(o_), mode))
                 if peek() == ".":
                     take()
                 return
-            if peek() == "*":
-                raise SparqlSyntaxError(
-                    "p* (zero-or-more) not supported; use p+")
             if peek() == "/":
                 take()
                 continue
@@ -983,27 +984,69 @@ def _apply_aggregates(df: pd.DataFrame, plan: dict) -> pd.DataFrame:
     return out[plan["projection"]] if plan["projection"] else out
 
 
-def _closure_frame(triples_ds, s, p, o, graph) -> pd.DataFrame:
-    """Binding frame for a ``?s pred+ ?o`` one-or-more path pattern:
-    transitive closure of the predicate's edge relation, computed by
-    path-doubling pandas merges (driver path — binding frames are small
-    here by construction; the Dataset-native twin for big relations is
-    ops.transitive_closure)."""
+def _graph_terms(triples_ds, graph) -> pd.Series:
+    """Distinct RDF terms of the (optionally named) graph — every subject
+    and object. This is the SPARQL 1.1 §18.4 ZeroLengthPath node universe.
+    Distinct-per-batch runs distributed; only unique terms reach the
+    driver."""
+    import pyarrow as pa
+
+    def f(t):
+        if graph is not None:
+            t = t.filter(pc.equal(t["graph"], graph))
+        both = pa.chunked_array([t["subj"].combine_chunks(),
+                                 t["obj"].combine_chunks()])
+        return pa.table({"__t": both.unique()})
+
+    out = triples_ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    if "__t" not in out.columns:
+        return pd.Series([], dtype=object)
+    return out["__t"].drop_duplicates()
+
+
+def _closure_frame(triples_ds, s, p, o, graph, mode: str = "+") \
+        -> pd.DataFrame:
+    """Binding frame for an arbitrary-length path pattern (§9):
+    ``?s pred+ ?o`` (one-or-more), ``pred*`` (zero-or-more) and ``pred?``
+    (zero-or-one). The one-or-more core is the transitive closure of the
+    predicate's edge relation, computed by path-doubling pandas merges
+    (driver path — binding frames are small here by construction; the
+    Dataset-native twin for big relations is ops.transitive_closure).
+    ``*`` / ``?`` add the §18.4 ZeroLengthPath rows: term→itself when an
+    endpoint is bound, else every graph term (subjects ∪ objects)."""
     edges = _match_pattern(triples_ds, "?__a", p, "?__b", graph)
     pairs = edges[["subj", "obj"]].drop_duplicates()         .rename(columns={"subj": "__a", "obj": "__b"})
-    total = pairs
-    while True:
-        step = total.merge(pairs, left_on="__b", right_on="__a",
-                           suffixes=("", "__r"))
-        step = step[["__a", "__b__r"]].rename(columns={"__b__r": "__b"})
-        merged = pd.concat([total, step], ignore_index=True)             .drop_duplicates()
-        if len(merged) == len(total):
-            break
-        total = merged
+    if mode == "?":
+        total = pairs                              # length exactly one
+    else:
+        total = pairs
+        while True:
+            step = total.merge(pairs, left_on="__b", right_on="__a",
+                               suffixes=("", "__r"))
+            step = step[["__a", "__b__r"]].rename(columns={"__b__r": "__b"})
+            merged = pd.concat([total, step], ignore_index=True)                 .drop_duplicates()
+            if len(merged) == len(total):
+                break
+            total = merged
+    if mode in ("*", "?"):                         # zero-length component
+        if not _is_var(s):
+            t = _expand_term(s, graph)
+            refl = pd.DataFrame({"__a": [t], "__b": [t]})
+        elif not _is_var(o):
+            t = _expand_term(o, graph)
+            refl = pd.DataFrame({"__a": [t], "__b": [t]})
+        else:
+            terms = _graph_terms(triples_ds, graph)
+            refl = pd.DataFrame({"__a": terms.to_numpy(),
+                                 "__b": terms.to_numpy()})
+        total = pd.concat([total, refl], ignore_index=True).drop_duplicates()
     if not _is_var(s):
         total = total[total["__a"] == _expand_term(s, graph)]
     if not _is_var(o):
         total = total[total["__b"] == _expand_term(o, graph)]
+    if _is_var(s) and _is_var(o) and s == o:       # ?x pred+ ?x cycles
+        total = total[total["__a"] == total["__b"]]
+        return pd.DataFrame({s[1:]: total["__a"].to_numpy()})
     cols = {}
     if _is_var(s):
         cols[s[1:]] = total["__a"].to_numpy()
@@ -1104,8 +1147,8 @@ def select_text(triples_ds, query: str, graph: str | None = None) -> pd.DataFram
     else:
         out = select(triples_ds, plan["patterns"],
                      variables=None, graph=graph, distinct=False)
-    for cs, cp, co in plan["closure_patterns"]:
-        cf = _closure_frame(triples_ds, cs, cp, co, graph)
+    for cs, cp, co, cmode in plan["closure_patterns"]:
+        cf = _closure_frame(triples_ds, cs, cp, co, graph, cmode)
         shared = [c for c in out.columns if c in cf.columns]
         if len(out.columns) == 0 and not plan["patterns"]:
             out = cf

@@ -436,7 +436,7 @@ def test_alternation_path(ray_session):
 
 def test_one_or_more_path(ray_session):
     """?s pred+ ?o: transitive closure of the predicate, joining the
-    remaining BGP; p* and grouped/inverse/variable forms raise."""
+    remaining BGP; grouped/inverse/variable forms raise."""
     import ray.data as rd
 
     rows = []
@@ -460,7 +460,49 @@ def test_one_or_more_path(ray_session):
         SELECT ?a ?b WHERE { ?a ex:next+ ?b }""")) == 6
     with pytest.raises(S.SparqlSyntaxError):
         S.select_text(ds, """PREFIX ex: <http://d/>
-            SELECT ?o WHERE { <http://d/1> ex:next* ?o }""")
-    with pytest.raises(S.SparqlSyntaxError):
-        S.select_text(ds, """PREFIX ex: <http://d/>
             SELECT ?o WHERE { ?a ?p+ ?o }""")
+
+
+def test_zero_or_more_and_zero_or_one_paths(ray_session):
+    """p* = reflexive (§18.4 ZeroLengthPath) ∪ transitive closure;
+    p? = reflexive ∪ direct edges. Bound endpoints reflect to
+    themselves; the unbound-unbound form reflects every graph term."""
+    import ray.data as rd
+
+    rows = []
+    for i in range(1, 4):
+        rows.append({"graph": "g", "subj": f"http://d/{i}",
+                     "pred": "http://d/next", "obj": f"http://d/{i + 1}",
+                     "obj_is_literal": False, "obj_dtype": ""})
+    for i in range(1, 5):
+        rows.append({"graph": "g", "subj": f"http://d/{i}",
+                     "pred": "http://d/name", "obj": f"n{i}",
+                     "obj_is_literal": True, "obj_dtype": "xsd:string"})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    # zero-or-more with a bound subject: itself + the closure
+    out = S.select_text(ds, """PREFIX ex: <http://d/>
+        SELECT ?o WHERE { <http://d/1> ex:next* ?o } ORDER BY ?o""")
+    assert out.o.tolist() == [f"http://d/{i}" for i in (1, 2, 3, 4)]
+    # zero-or-one with a bound subject: itself + direct successors only
+    out = S.select_text(ds, """PREFIX ex: <http://d/>
+        SELECT ?o WHERE { <http://d/1> ex:next? ?o } ORDER BY ?o""")
+    assert out.o.tolist() == ["http://d/1", "http://d/2"]
+    # unbound-unbound p*: every graph term reflects (8 terms: d/1-4 +
+    # the four name literals) + the 6 closure pairs
+    out = S.select_text(ds, """PREFIX ex: <http://d/>
+        SELECT ?a ?b WHERE { ?a ex:next* ?b }""")
+    assert len(out) == 8 + 6
+    # same-variable form keeps only the reflexive rows (no next-cycles)
+    out = S.select_text(ds, """PREFIX ex: <http://d/>
+        SELECT ?x WHERE { ?x ex:next* ?x }""")
+    assert len(out) == 8 and "x" in out.columns
+    # p* joins the remaining BGP like any other binding frame
+    out = S.select_text(ds, """PREFIX ex: <http://d/>
+        SELECT ?o ?n WHERE { <http://d/2> ex:next* ?o . ?o ex:name ?n }
+        ORDER BY ?o""")
+    assert out.n.tolist() == ["n2", "n3", "n4"]
+    # bound-bound: zero-length hit iff the terms are equal
+    assert len(S.select_text(ds, """PREFIX ex: <http://d/>
+        SELECT WHERE { <http://d/9> ex:next* <http://d/9> }""")) == 1
+    assert len(S.select_text(ds, """PREFIX ex: <http://d/>
+        SELECT WHERE { <http://d/9> ex:next? <http://d/1> }""")) == 0
