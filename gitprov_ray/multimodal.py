@@ -14,12 +14,13 @@ REAL kernels (pure numpy / stdlib — no external codec needed):
 
 Baseline JPEG is REAL too (pure-numpy codec, ``jpegcodec.py``): decode,
 resize (decode → nearest resize → re-encode) and grid features all accept
-``ffd8``-signature payloads. Non-interlaced 8-bit PNG is REAL as well
-(``pngcodec.py``: stdlib zlib + all five scanline filters; palette/alpha
-expand), and so is GIF87a/89a (``gifcodec.py``: LZW, interlace,
-transparency, frame composition — animated GIF is the real compressed
-path through the video FrameSample stage). Remaining compressed codecs
-(progressive JPEG, Adam7/16-bit PNG, MP4/...) are NOT implementable
+``ffd8``-signature payloads. PNG is REAL as well (``pngcodec.py``:
+stdlib zlib + all five scanline filters, every legal depth 1-16,
+Adam7 interlace; palette/alpha expand), and so is GIF87a/89a
+(``gifcodec.py``: LZW, interlace, transparency, frame composition —
+animated GIF is the real compressed path through the video FrameSample
+stage). Remaining compressed codecs
+(progressive JPEG, MP4/...) are NOT implementable
 without external libraries in this container, so those paths are STUBS:
 by default they raise
 ``NotImplementedError`` naming the missing dependency; with
@@ -168,9 +169,9 @@ def iter_ppm_stream(b: bytes):
 
 def decode_image(b: bytes):
     """payload → HxWxC uint8 array for the REAL codecs (netpbm, baseline
-    JPEG, non-interlaced 8-bit PNG); None when the payload is none of
-    these (progressive JPEG / Adam7 PNG included — the caller decides
-    between stub and fake)."""
+    JPEG, PNG, GIF); None when the payload is none of these
+    (progressive JPEG included — the caller decides between stub and
+    fake)."""
     parsed = parse_ppm(b)
     if parsed is not None:
         return parsed[0]

@@ -1,12 +1,14 @@
 """Pure-stdlib/numpy PNG codec (no external codec dependency).
 
-Implements the non-interlaced subset of the public PNG spec (RFC 2083 /
-ISO 15948): 8-bit samples, color types 0 (gray), 2 (RGB), 3 (palette),
-4 (gray+alpha) and 6 (RGBA), all five scanline filters (None/Sub/Up/
-Average/Paeth), zlib-compressed IDAT via the stdlib. Adam7 interlace and
-16-bit depth raise ``NotImplementedError`` — like ``jpegcodec``, this is
-the baseline path that turns the multimodal compressed-image stub into a
-real decode, not a general imaging library.
+Implements the static-image subset of the public PNG spec (RFC 2083 /
+ISO 15948): every legal bit depth (1/2/4/8/16), color types 0 (gray),
+2 (RGB), 3 (palette), 4 (gray+alpha) and 6 (RGBA), all five scanline
+filters (None/Sub/Up/Average/Paeth), Adam7 interlace, zlib-compressed
+IDAT via the stdlib. Output is always 8-bit (16-bit samples take their
+high byte, sub-8-bit gray rescales to full range) — like ``jpegcodec``,
+this is the decode path that feeds the multimodal stages, not a general
+imaging library. APNG animation is out of scope (the first frame — the
+static IDAT image — decodes normally).
 
 The encoder writes 8-bit gray/RGB/RGBA with filter 0 rows (zlib does the
 compression) so tests can round-trip real PNG bitstreams losslessly
@@ -94,9 +96,43 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass grid (spec §8.2): (x_start, y_start, x_step, y_step)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _decode_pass(raw: bytes, pos: int, w: int, h: int, depth: int,
+                 ch: int):
+    """Unfilter and unpack one (sub)image of w×h pixels starting at byte
+    ``pos`` of the decompressed IDAT stream → ((h, w, ch) uint8 samples,
+    next position). 16-bit samples keep their high byte; sub-8-bit
+    samples come out as raw index/gray values (caller rescales)."""
+    bits_pp = depth * ch
+    stride = (w * bits_pp + 7) // 8
+    bpp = max(1, bits_pp // 8)             # filter offset unit (spec §9.2)
+    need = h * (stride + 1)
+    chunk = raw[pos:pos + need]
+    if len(chunk) != need:
+        raise ValueError("PNG IDAT size mismatch")
+    rows = np.frombuffer(chunk, np.uint8).reshape(h, stride + 1)
+    flat = _unfilter(rows, h, stride, bpp)
+    if depth == 8:
+        img = flat.reshape(h, w, ch)
+    elif depth == 16:
+        img = flat.reshape(h, w, ch, 2)[..., 0]   # big-endian high byte
+    else:                                   # 1/2/4-bit gray or palette
+        per_byte = 8 // depth
+        shifts = np.arange(per_byte - 1, -1, -1, np.uint8) * depth
+        mask = (1 << depth) - 1
+        vals = (flat[:, :, None] >> shifts[None, None, :]) & mask
+        img = vals.reshape(h, stride * per_byte)[:, :w].reshape(h, w, 1)
+    return img, pos + need
+
+
 def decode_png(b: bytes) -> np.ndarray:
     """PNG bytes → HxWxC uint8 (C = 1 gray, 2 gray+alpha, 3 RGB, 4 RGBA;
-    palette images expand to RGB/RGBA)."""
+    palette images expand to RGB/RGBA). Handles every legal depth
+    (1/2/4/8/16) and Adam7 interlace."""
     if not is_png(b):
         raise ValueError("not a PNG payload")
     ihdr = None
@@ -117,19 +153,28 @@ def decode_png(b: bytes) -> np.ndarray:
     w, h, depth, ctype_, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("bad PNG compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlaced PNG not supported")
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if ctype_ not in _CHANNELS:
         raise ValueError(f"bad PNG color type {ctype_}")
+    if depth not in (1, 2, 4, 8, 16) or \
+            (depth < 8 and ctype_ not in (0, 3)) or \
+            (depth == 16 and ctype_ == 3):
+        raise ValueError(f"bad PNG depth {depth} for color type {ctype_}")
     ch = _CHANNELS[ctype_]
-    stride = w * ch
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG IDAT size mismatch")
-    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
-    img = _unfilter(rows, h, stride, ch).reshape(h, w, ch)
+    if interlace == 0:
+        img, _ = _decode_pass(raw, 0, w, h, depth, ch)
+    else:                                   # Adam7: 7 sequential passes
+        img = np.zeros((h, w, ch), np.uint8)
+        pos = 0
+        for xs, ys, xstep, ystep in _ADAM7:
+            pw = (w - xs + xstep - 1) // xstep
+            ph = (h - ys + ystep - 1) // ystep
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, pos = _decode_pass(raw, pos, pw, ph, depth, ch)
+            img[ys::ystep, xs::xstep] = sub
     if ctype_ == 3:                         # palette → RGB(A)
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
@@ -140,6 +185,9 @@ def decode_png(b: bytes) -> np.ndarray:
             alpha[: len(trns)] = trns
             return np.dstack([rgb, alpha[idx]])
         return rgb
+    if depth < 8:                           # gray: rescale to full range
+        img = (img.astype(np.uint16) * 255 // ((1 << depth) - 1)) \
+            .astype(np.uint8)
     return img
 
 

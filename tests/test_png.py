@@ -90,13 +90,77 @@ def test_palette_expands_to_rgb_and_rgba():
     assert list(d[..., 3].ravel()) == [10, 20, 255, 255]
 
 
-def test_unsupported_variants_raise():
-    with pytest.raises(NotImplementedError):
-        P.decode_png(_png(2, 2, 8, 2, b"\x00" * 14, interlace=1))
-    with pytest.raises(NotImplementedError):
-        P.decode_png(_png(2, 2, 16, 2, b"\x00" * 26))
+def test_invalid_variants_raise():
     with pytest.raises(ValueError):
         P.decode_png(b"not a png")
+    with pytest.raises(ValueError):        # depth 16 palette is illegal
+        P.decode_png(_png(2, 2, 16, 3, b"\x00" * 10))
+    with pytest.raises(ValueError):        # depth 2 RGB is illegal
+        P.decode_png(_png(2, 2, 2, 2, b"\x00" * 6))
+
+
+def _adam7_raw(img: np.ndarray, depth: int = 8) -> bytes:
+    """Serialize an image as the 7 sequential Adam7 pass sub-images,
+    every scanline filter 0."""
+    out = bytearray()
+    for xs, ys, xstep, ystep in P._ADAM7:
+        sub = img[ys::ystep, xs::xstep]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            out.append(0)
+            if depth == 16:
+                out += row.astype(">u2").tobytes()
+            else:
+                out += row.astype(np.uint8).tobytes()
+    return bytes(out)
+
+
+def test_adam7_interlaced_decode():
+    rng = np.random.RandomState(11)
+    # 13x10 exercises ragged pass dimensions; 3 channels
+    img = rng.randint(0, 256, size=(10, 13, 3), dtype=np.uint8)
+    d = P.decode_png(_png(13, 10, 8, 2, _adam7_raw(img), interlace=1))
+    assert (d == img).all()
+    # tiny image where some passes are empty
+    img = rng.randint(0, 256, size=(2, 2, 1), dtype=np.uint8)
+    d = P.decode_png(_png(2, 2, 8, 0, _adam7_raw(img), interlace=1))
+    assert (d == img[..., None].reshape(2, 2, 1)).all()
+
+
+def test_16bit_decodes_to_high_byte():
+    rng = np.random.RandomState(5)
+    img16 = rng.randint(0, 65536, size=(4, 5, 3), dtype=np.uint16)
+    raw = b"".join(b"\x00" + r.astype(">u2").tobytes() for r in img16)
+    d = P.decode_png(_png(5, 4, 16, 2, raw))
+    assert d.dtype == np.uint8 and (d == (img16 >> 8).astype(np.uint8)).all()
+    # 16-bit gray, Adam7
+    g16 = rng.randint(0, 65536, size=(5, 3, 1), dtype=np.uint16)
+    d = P.decode_png(_png(3, 5, 16, 0, _adam7_raw(g16, depth=16),
+                          interlace=1))
+    assert (d == (g16 >> 8).astype(np.uint8)).all()
+
+
+def test_sub8bit_gray_and_palette():
+    # 1-bit gray: a 10-px-wide checker row needs 2 bytes/row (bit packing)
+    bits = np.array([[1, 0, 1, 0, 1, 0, 1, 0, 1, 0],
+                     [0, 1, 0, 1, 0, 1, 0, 1, 0, 1]], np.uint8)
+    packed = np.packbits(bits, axis=1)
+    raw = b"".join(b"\x00" + r.tobytes() for r in packed)
+    d = P.decode_png(_png(10, 2, 1, 0, raw))
+    assert d.shape == (2, 10, 1) and set(d.ravel()) == {0, 255}
+    assert (d[..., 0] == bits * 255).all()
+    # 4-bit palette: two indexes per byte
+    plte = np.arange(16 * 3, dtype=np.uint8).reshape(16, 3)
+    idx = np.array([[0, 1, 2], [15, 14, 13]], np.uint8)
+    raw = bytes([0, 0x01, 0x20, 0, 0xFE, 0xD0])
+    d = P.decode_png(_png(3, 2, 4, 3, raw,
+                          extra=_chunk(b"PLTE", plte.tobytes())))
+    assert (d == plte[idx]).all()
+    # 2-bit gray rescales 0..3 -> 0,85,170,255
+    raw = bytes([0, 0b00011011])
+    d = P.decode_png(_png(4, 1, 2, 0, raw))
+    assert d[..., 0].ravel().tolist() == [0, 85, 170, 255]
 
 
 def test_multimodal_decode_and_resize_png():
