@@ -1,17 +1,23 @@
-"""Pure-numpy baseline JPEG codec (no external codec dependency).
+"""Pure-numpy JPEG codec (no external codec dependency).
 
-Implements the baseline sequential DCT process of ITU-T T.81 (the public
-JPEG spec): 8-bit samples, Huffman entropy coding, grayscale or YCbCr with
-arbitrary 1-2 h/v sampling factors (4:4:4, 4:2:2, 4:2:0), DRI/RSTn restart
-markers. Progressive (SOF2), arithmetic coding and 12-bit precision raise
-``NotImplementedError`` — this is the *baseline* path that converts the
-engine's compressed-image stub (multimodal.py ImageDecode/Resize/Feature
-stages) into a real decode, not a general-purpose imaging library.
+Implements the Huffman DCT processes of ITU-T T.81 (the public JPEG
+spec): baseline sequential (SOF0/1) and progressive (SOF2, spectral
+selection + successive approximation, DC and AC refinement scans,
+EOB runs), 8-bit samples, grayscale or YCbCr with arbitrary 1-2 h/v
+sampling factors (4:4:4, 4:2:2, 4:2:0), DRI/RSTn restart markers.
+Arithmetic coding and 12-bit precision raise ``NotImplementedError`` —
+this is the decode path that converts the engine's compressed-image
+stub (multimodal.py ImageDecode/Resize/Feature stages) into a real
+decode, not a general-purpose imaging library.
 
-The encoder is a minimal 4:4:4 baseline writer using the spec's Annex K
-quantization + Huffman tables (quality-scaled per the common IJG formula).
-It exists so tests can round-trip real JPEG bitstreams (decode∘encode ≈
-identity within quantization loss) without any vendored binary asset.
+The encoders are minimal 4:4:4 writers using the spec's Annex K
+quantization + Huffman tables (quality-scaled per the common IJG
+formula): a baseline writer and a progressive writer (DC first +
+refinement, per-component AC first + refinement — all four progressive
+scan types). They exist so tests can round-trip real JPEG bitstreams
+(decode∘encode ≈ identity within quantization loss; progressive decode
+== baseline decode of the same coefficients) without any vendored
+binary asset.
 
 Performance note: entropy (Huffman) decode is bit-serial by nature; the
 per-block pipeline after it (dequantize, zigzag, IDCT, level shift) is
@@ -195,16 +201,19 @@ def _extend(v: int, n: int) -> int:
 
 
 def decode_jpeg(data: bytes):
-    """Baseline JPEG bytes → uint8 array (H,W) gray or (H,W,3) RGB.
+    """Huffman JPEG bytes → uint8 array (H,W) gray or (H,W,3) RGB.
 
-    Raises ``NotImplementedError`` for progressive/arithmetic/12-bit
-    streams and ``ValueError`` for malformed baseline streams."""
+    Handles baseline sequential (SOF0/1) and progressive (SOF2) streams.
+    Raises ``NotImplementedError`` for arithmetic/lossless/12-bit
+    streams and ``ValueError`` for malformed streams."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    progressive = False
+    scanned = False
     restart_interval = 0
     pos = 2
     n = len(data)
@@ -214,7 +223,7 @@ def decode_jpeg(data: bytes):
             continue
         marker = data[pos + 1]
         pos += 2
-        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+        if marker in (0xD8, 0x01, 0x00) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:
             break
@@ -230,7 +239,8 @@ def decode_jpeg(data: bytes):
                 qt[tq] = np.frombuffer(seg[i:i + 64], np.uint8) \
                     .astype(np.int32)[UNZIGZAG].reshape(8, 8)
                 i += 64
-        elif marker in (0xC0, 0xC1):             # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):       # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             precision, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if precision != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -239,10 +249,11 @@ def decode_jpeg(data: bytes):
                 cid, hv, tq = seg[6 + ci * 3:9 + ci * 3]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            _prepare_frame(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "non-baseline JPEG (progressive/arithmetic) not supported")
+                "non-Huffman-DCT JPEG (arithmetic/lossless/hierarchical)")
         elif marker == 0xC4:                     # DHT
             i = 0
             while i < len(seg):
@@ -264,70 +275,214 @@ def decode_jpeg(data: bytes):
                 cs, tdta = seg[1 + si * 2:3 + si * 2]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tdta >> 4, tdta & 15))
-            out = _decode_scan(data, pos + seglen, frame, scan, qt,
-                               huff_dc, huff_ac, restart_interval)
-            return out
+            ss, se, ahal = seg[1 + ns * 2:4 + ns * 2]
+            if progressive:
+                reader = _decode_progressive_scan(
+                    data, pos + seglen, frame, scan, ss, se,
+                    ahal >> 4, ahal & 15, huff_dc, huff_ac,
+                    restart_interval)
+            else:
+                reader = _decode_baseline_scan(
+                    data, pos + seglen, frame, scan, huff_dc, huff_ac,
+                    restart_interval)
+            scanned = True
+            pos = reader.pos      # resume marker walk where entropy ended
+            continue
         pos += seglen
-    raise ValueError("no SOS marker found")
+    if frame is None or not scanned:
+        raise ValueError("no SOS marker found")
+    return _assemble(frame, qt)
 
 
-def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
-                 restart_interval):
-    h, w = frame["h"], frame["w"]
+def _prepare_frame(frame):
+    """Compute MCU geometry and allocate zigzag-order coefficient grids."""
     comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    # per-component coefficient block grids (mcu-padded)
-    for c, _, _ in scan:
-        c["bw"] = mcux * c["h"]
-        c["bh"] = mcuy * c["v"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 8, 8), np.int32)
-    reader = _BitReader(data, pos)
-    pred = {c["id"]: 0 for c, _, _ in scan}
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and \
-                    mcu_count % restart_interval == 0:
-                reader.align_restart()
-                for k in pred:
-                    pred[k] = 0
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["mcux"] = (w + 8 * hmax - 1) // (8 * hmax)
+    frame["mcuy"] = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c["bw"] = frame["mcux"] * c["h"]         # mcu-padded block grid
+        c["bh"] = frame["mcuy"] * c["v"]
+        cw = (w * c["h"] + hmax - 1) // hmax     # component sample dims
+        ch = (h * c["v"] + vmax - 1) // vmax
+        c["nbx"] = (cw + 7) // 8                 # non-interleaved block dims
+        c["nby"] = (ch + 7) // 8
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int32)
+
+
+def _scan_mcus(frame, scan):
+    """Yield MCUs as lists of (comp, td, ta, block_index) in decode order.
+
+    A single-component scan is non-interleaved (T.81 A.2.2): one block
+    per MCU over the component's own ceil(dim/8) grid, ignoring sampling
+    factors. Multi-component scans interleave h×v blocks per component
+    per MCU (A.2.3)."""
+    if len(scan) == 1:
+        c, td, ta = scan[0]
+        for by in range(c["nby"]):
+            for bx in range(c["nbx"]):
+                yield [(c, td, ta, by * c["bw"] + bx)]
+        return
+    for my in range(frame["mcuy"]):
+        for mx in range(frame["mcux"]):
+            mcu = []
             for c, td, ta in scan:
-                dct = huff_dc[td]
-                act = huff_ac[ta]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        blk = np.zeros(64, np.int32)
-                        t = reader.decode_symbol(dct)
-                        diff = _extend(reader.receive(t), t)
-                        pred[c["id"]] += diff
-                        blk[0] = pred[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode_symbol(act)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break            # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run overflow")
-                            blk[k] = _extend(reader.receive(s), s)
-                            k += 1
-                        row = my * c["v"] + by
-                        col = mx * c["h"] + bx
-                        c["coef"][row * c["bw"] + col] = blk[UNZIGZAG] \
-                            .reshape(8, 8)
-            mcu_count += 1
-    # dequantize + IDCT per component, vectorized over all blocks
+                        mcu.append((c, td, ta,
+                                    (my * c["v"] + by) * c["bw"]
+                                    + mx * c["h"] + bx))
+            yield mcu
+
+
+def _decode_baseline_scan(data, pos, frame, scan, huff_dc, huff_ac,
+                          restart_interval):
+    reader = _BitReader(data, pos)
+    pred = {c["id"]: 0 for c, _, _ in scan}
+    for i, mcu in enumerate(_scan_mcus(frame, scan)):
+        if restart_interval and i and i % restart_interval == 0:
+            reader.align_restart()
+            for key in pred:
+                pred[key] = 0
+        for c, td, ta, idx in mcu:
+            act = huff_ac[ta]
+            blk = c["coef"][idx]
+            t = reader.decode_symbol(huff_dc[td])
+            diff = _extend(reader.receive(t), t)
+            pred[c["id"]] += diff
+            blk[0] = pred[c["id"]]
+            k = 1
+            while k < 64:
+                rs = reader.decode_symbol(act)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    break                        # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC run overflow")
+                blk[k] = _extend(reader.receive(s), s)
+                k += 1
+    return reader
+
+
+def _decode_progressive_scan(data, pos, frame, scan, ss, se, ah, al,
+                             huff_dc, huff_ac, restart_interval):
+    """One progressive scan (T.81 G.2): DC/AC × first/refinement."""
+    reader = _BitReader(data, pos)
+    if ss == 0:                                  # DC scan (Se must be 0)
+        pred = {c["id"]: 0 for c, _, _ in scan}
+        for i, mcu in enumerate(_scan_mcus(frame, scan)):
+            if restart_interval and i and i % restart_interval == 0:
+                reader.align_restart()
+                for key in pred:
+                    pred[key] = 0
+            for c, td, _, idx in mcu:
+                if ah == 0:                      # first DC scan
+                    t = reader.decode_symbol(huff_dc[td])
+                    pred[c["id"]] += _extend(reader.receive(t), t)
+                    c["coef"][idx, 0] = pred[c["id"]] << al
+                elif reader.read_bit():          # DC refinement: 1 raw bit
+                    c["coef"][idx, 0] |= 1 << al
+        return reader
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    c, _, ta = scan[0]
+    act = huff_ac[ta]
+    eobrun = 0
+    for i, mcu in enumerate(_scan_mcus(frame, scan)):
+        if restart_interval and i and i % restart_interval == 0:
+            reader.align_restart()
+            eobrun = 0
+        idx = mcu[0][3]
+        row = c["coef"][idx]
+        if ah == 0:                              # first AC scan
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = reader.decode_symbol(act)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:                  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1        # EOBn (current block ends)
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC run overflow")
+                row[k] = _extend(reader.receive(s), s) << al
+                k += 1
+        else:                                    # AC refinement scan
+            eobrun = _refine_ac_block(reader, act, row, ss, se, al, eobrun)
+    return reader
+
+
+def _refine_ac_block(reader, act, row, ss, se, al, eobrun):
+    """AC successive-approximation refinement for one block (T.81 G.1.2.3).
+
+    Correction bits ride along for every already-nonzero coefficient the
+    scan passes; ``r`` counts only zero-history coefficients."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_symbol(act)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:                      # EOBn: rest of band refines
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                # r == 15 (ZRL): skip 16 zero-history coeffs below
+            else:
+                if s != 1:
+                    raise ValueError("invalid AC refinement magnitude")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                coef = int(row[k])
+                if coef:
+                    if reader.read_bit() and (coef & p1) == 0:
+                        row[k] = coef + (p1 if coef >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if k <= se and val:
+                row[k] = val
+            k += 1
+    if eobrun > 0:                               # tail of block inside an EOB run
+        while k <= se:
+            coef = int(row[k])
+            if coef and reader.read_bit() and (coef & p1) == 0:
+                row[k] = coef + (p1 if coef >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _assemble(frame, qt):
+    """Dequantize + IDCT + upsample + color-convert all components."""
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
-    for c, _, _ in scan:
+    for c in frame["comps"]:
         q = qt[c["tq"]]
-        spatial = _idct2((c["coef"] * q).astype(np.float64)) + 128.0
+        nat = c["coef"][:, UNZIGZAG].reshape(-1, 8, 8)
+        spatial = _idct2((nat * q).astype(np.float64)) + 128.0
         bh, bw = c["bh"], c["bw"]
         img = spatial.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3) \
             .reshape(bh * 8, bw * 8)
@@ -482,6 +637,195 @@ def encode_jpeg_baseline(arr: np.ndarray, quality: int = 90) -> bytes:
                 preds[ci] = _encode_block(bw, blk, q, dct, act, preds[ci])
     bw.flush()
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# minimal progressive encoder (4:4:4, Annex K tables) — exercises every
+# progressive scan type the decoder handles: interleaved DC first scan,
+# raw-bit DC refinement, per-component AC first scans with EOB, and AC
+# successive-approximation refinement with buffered correction bits.
+# ---------------------------------------------------------------------------
+
+def _plane_zigzag_coefs(plane: np.ndarray, q: np.ndarray):
+    """Float plane → (nby*nbx, 64) quantized zigzag coefficient rows."""
+    h, w = plane.shape
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    blocks = padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3) \
+        .reshape(-1, 8, 8)
+    coefs = np.round(_dct2(blocks - 128.0) / q).astype(np.int32)
+    return coefs.reshape(-1, 64)[:, ZIGZAG]
+
+
+def _emit_dc_diff(bw, dc_tab, diff: int):
+    mag, nb = abs(diff), 0
+    while mag:
+        mag >>= 1
+        nb += 1
+    ln, code = dc_tab[nb]
+    bw.write(code, ln)
+    if nb:
+        bw.write(diff if diff >= 0 else diff + (1 << nb) - 1, nb)
+
+
+def _emit_ac_first(bw, ac_tab, vals):
+    """One block of an AC first scan (values already point-transformed)."""
+    nz = np.nonzero(vals)[0]
+    end = nz[-1] + 1 if len(nz) else 0
+    run = 0
+    for k in range(end):
+        v = int(vals[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = ac_tab[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        mag, nb = abs(v), 0
+        while mag:
+            mag >>= 1
+            nb += 1
+        ln, code = ac_tab[(run << 4) | nb]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << nb) - 1, nb)
+        run = 0
+    if end < len(vals):
+        ln, code = ac_tab[0x00]                  # EOB (run of 1)
+        bw.write(code, ln)
+
+
+def _emit_ac_refine(bw, ac_tab, vals, al: int):
+    """One block of an AC refinement scan (Ah = al+1 → Al = al).
+
+    ``vals`` are the full-precision band coefficients; history is their
+    value at the previous precision (>> (al+1))."""
+    br: list[int] = []                           # buffered correction bits
+    run = 0
+    for k in range(len(vals)):
+        v = int(vals[k])
+        temp = abs(v) >> al                      # value at this precision
+        if temp == 0:
+            run += 1
+            continue
+        # Drain the zero run below 16 BEFORE buffering/emitting at any
+        # nonzero position: every buffered correction bit must lie within
+        # the next symbol's ≤16-zero skip window or the decoder reads the
+        # stream out of order (the IJG BR-buffer invariant).
+        while run > 15:
+            ln, code = ac_tab[0xF0]
+            bw.write(code, ln)
+            for bit in br:
+                bw.write(bit, 1)
+            br.clear()
+            run -= 16
+        if temp >> 1:                            # already nonzero in history
+            br.append(temp & 1)
+            continue
+        ln, code = ac_tab[(run << 4) | 1]        # newly nonzero (temp == 1)
+        bw.write(code, ln)
+        bw.write(1 if v > 0 else 0, 1)
+        for bit in br:
+            bw.write(bit, 1)
+        br.clear()
+        run = 0
+    if run or br:                                # EOB, then pending bits
+        ln, code = ac_tab[0x00]
+        bw.write(code, ln)
+        for bit in br:
+            bw.write(bit, 1)
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
+    """uint8 (H,W) gray or (H,W,3) RGB → progressive (SOF2) JFIF bytes.
+
+    Scan script: interleaved DC first (Al=1), DC refinement (raw bits),
+    per-component AC first 1..63 (Al=1), per-component AC refinement.
+    Decodes to exactly the same pixels as ``encode_jpeg_baseline`` at the
+    same quality (identical coefficients, identical IDCT)."""
+    arr = np.asarray(arr, np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    nc = 1 if gray else 3
+    qy = _scale_qt(QT_LUMA, quality)
+    qc = _scale_qt(QT_CHROMA, quality)
+    if gray:
+        planes = [arr.astype(np.float64)]
+    else:
+        r, g, b = (arr[..., i].astype(np.float64) for i in range(3))
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+                  0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
+    coefs = [_plane_zigzag_coefs(p, (qy if ci == 0 else qc).astype(np.float64))
+             for ci, p in enumerate(planes)]
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    for tq, q in ([(0, qy)] if gray else [(0, qy), (1, qc)]):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) \
+            + bytes(q.reshape(64)[ZIGZAG].astype(np.uint8))
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        out += struct.pack("BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+    tabs = [(0, HT_DC_LUMA), (16, HT_AC_LUMA)] if gray else \
+        [(0, HT_DC_LUMA), (16, HT_AC_LUMA), (1, HT_DC_CHROMA),
+         (17, HT_AC_CHROMA)]
+    for tcth, (bits, values) in tabs:
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(values), tcth) \
+            + bytes(bits) + bytes(values)
+    dc_tabs = [_build_encode_table(*(HT_DC_LUMA if ci == 0 else HT_DC_CHROMA))
+               for ci in range(nc)]
+    ac_tabs = [_build_encode_table(*(HT_AC_LUMA if ci == 0 else HT_AC_CHROMA))
+               for ci in range(nc)]
+
+    def sos(members, ss, se, ah, al, huff_ids=True):
+        hdr = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(members),
+                                        len(members))
+        for ci in members:
+            tdta = (0x00 if ci == 0 else 0x11) if huff_ids else 0x00
+            hdr += struct.pack("BB", ci + 1, tdta)
+        return hdr + struct.pack("BBB", ss, se, (ah << 4) | al)
+
+    nblocks = len(coefs[0])
+    # scan 1: DC first, all components interleaved, Al=1
+    out += sos(list(range(nc)), 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0] * nc
+    for idx in range(nblocks):
+        for ci in range(nc):
+            dc = int(coefs[ci][idx, 0]) >> 1     # arithmetic shift (T.81 G.1.1.2)
+            _emit_dc_diff(bw, dc_tabs[ci], dc - preds[ci])
+            preds[ci] = dc
+    bw.flush()
+    out += bw.out
+    # scan 2: DC refinement — one raw bit per block, no Huffman coding
+    out += sos(list(range(nc)), 0, 0, 1, 0)
+    bw = _BitWriter()
+    for idx in range(nblocks):
+        for ci in range(nc):
+            bw.write(int(coefs[ci][idx, 0]) & 1, 1)
+    bw.flush()
+    out += bw.out
+    # per-component AC first scans (Al=1): point transform |v|>>1 with sign
+    for ci in range(nc):
+        out += sos([ci], 1, 63, 0, 1)
+        bw = _BitWriter()
+        band = coefs[ci][:, 1:]
+        shifted = np.sign(band) * (np.abs(band) >> 1)
+        for idx in range(nblocks):
+            _emit_ac_first(bw, ac_tabs[ci], shifted[idx])
+        bw.flush()
+        out += bw.out
+    # per-component AC refinement scans (Ah=1, Al=0)
+    for ci in range(nc):
+        out += sos([ci], 1, 63, 1, 0)
+        bw = _BitWriter()
+        for idx in range(nblocks):
+            _emit_ac_refine(bw, ac_tabs[ci], coefs[ci][idx, 1:], 0)
+        bw.flush()
+        out += bw.out
     out += b"\xff\xd9"
     return bytes(out)
 

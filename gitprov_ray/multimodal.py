@@ -12,15 +12,16 @@ REAL kernels (pure numpy / stdlib — no external codec needed):
   * frame sampling over concatenated-PPM streams (the
     ``ffmpeg -f image2pipe -vcodec ppm`` pipe format).
 
-Baseline JPEG is REAL too (pure-numpy codec, ``jpegcodec.py``): decode,
-resize (decode → nearest resize → re-encode) and grid features all accept
+JPEG is REAL too (pure-numpy codec, ``jpegcodec.py`` — baseline SOF0/1
+AND progressive SOF2 with successive approximation): decode, resize
+(decode → nearest resize → re-encode) and grid features all accept
 ``ffd8``-signature payloads. PNG is REAL as well (``pngcodec.py``:
 stdlib zlib + all five scanline filters, every legal depth 1-16,
 Adam7 interlace; palette/alpha expand), and so is GIF87a/89a
 (``gifcodec.py``: LZW, interlace, transparency, frame composition —
 animated GIF is the real compressed path through the video FrameSample
 stage). Remaining compressed codecs
-(progressive JPEG, MP4/...) are NOT implementable
+(MP4/H.264, WebP/VP8, ...) are NOT implementable
 without external libraries in this container, so those paths are STUBS:
 by default they raise
 ``NotImplementedError`` naming the missing dependency; with

@@ -70,13 +70,38 @@ def test_decode_real_world(path):
     assert arr.shape[:2] == (h, w)
 
 
-def test_progressive_refused():
+def test_progressive_roundtrip_exact():
+    """Progressive decode must equal baseline decode bit-for-bit: both
+    scan scripts carry the same quantized coefficients to the same IDCT,
+    so any divergence is an entropy-coding bug, not quantization loss."""
+    rng = np.random.RandomState(11)
+    for shape in [(18, 24, 3), (33, 17, 3), (16, 16), (21, 13)]:
+        yy, xx = np.mgrid[: shape[0], : shape[1]]
+        base = (xx * 7 + yy * 3) % 256
+        img = base if len(shape) == 2 else np.stack([base] * 3, -1)
+        img = ((img + rng.randint(0, 60, shape)) % 256).astype(np.uint8)
+        for q in (90, 55, 25):
+            d_base = J.decode_jpeg(J.encode_jpeg_baseline(img, quality=q))
+            d_prog = J.decode_jpeg(J.encode_jpeg_progressive(img, quality=q))
+            assert np.array_equal(d_base, d_prog), (shape, q)
+
+
+def test_progressive_real_world():
+    """A real encoder's SOF2 stream (subsampled, multi-scan successive
+    approximation) decodes to SOF dims with image-like local structure."""
     path = ("/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/"
             "share/doc/rust/html/embedded-book/assets/f3.jpg")
     if not os.path.exists(path):
         pytest.skip("progressive fixture not present")
-    with pytest.raises(NotImplementedError):
-        J.decode_jpeg(open(path, "rb").read())
+    b = open(path, "rb").read()
+    import struct
+
+    i = b.find(b"\xff\xc2")
+    h, w = struct.unpack(">HH", b[i + 5:i + 9])
+    arr = J.decode_jpeg(b)
+    assert arr.shape == (h, w, 3) and arr.dtype == np.uint8
+    f = arr.astype(float)                   # photographs are locally smooth;
+    assert np.abs(f[1:] - f[:-1]).mean() < 30   # garbage decode would be ~85
 
 
 def test_not_a_jpeg():
