@@ -20,8 +20,10 @@ stdlib zlib + all five scanline filters, every legal depth 1-16,
 Adam7 interlace; palette/alpha expand), and so is GIF87a/89a
 (``gifcodec.py``: LZW, interlace, transparency, frame composition —
 animated GIF is the real compressed path through the video FrameSample
-stage). Remaining compressed codecs
-(MP4/H.264, WebP/VP8, ...) are NOT implementable
+stage). MP4 demux is REAL (``mp4codec.py``: ISO BMFF box walk + full
+sample-table resolution), and MJPEG-in-MP4 decodes end-to-end through
+the JPEG codec. Remaining compressed codecs
+(H.264/HEVC pixel decode, WebP/VP8, ...) are NOT implementable
 without external libraries in this container, so those paths are STUBS:
 by default they raise
 ``NotImplementedError`` naming the missing dependency; with
@@ -375,17 +377,18 @@ class AudioFeatures:
 
 class FrameSample:
     """video payload → k evenly-spaced frames. REAL for concatenated-PPM
-    streams (ffmpeg image2pipe/ppm) and animated GIF (gifcodec.py —
-    LZW decode + frame composition); other container formats stubbed
-    (fake = sliced digests). Output is exploded (one row per sampled
-    frame, rendered as PPM)."""
+    streams (ffmpeg image2pipe/ppm), animated GIF (gifcodec.py — LZW
+    decode + frame composition) and MJPEG-in-MP4 (mp4codec.py — ISO BMFF
+    demux + per-sample JPEG decode); inter-coded MP4 (avc1/hev1) raises
+    naming the codec (fake = sliced digests). Output is exploded (one
+    row per sampled frame, rendered as PPM)."""
 
     def __init__(self, k: int = 4, deterministic_fake: bool = False):
         self.k = k
         self.fake = deterministic_fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from . import gifcodec
+        from . import gifcodec, mp4codec
 
         ids, idxs, frames = [], [], []
         for mid, payload in zip(batch.column("media_id").to_pylist(),
@@ -399,6 +402,13 @@ class FrameSample:
                 try:
                     decoded = gifcodec.decode_gif(b)
                 except (NotImplementedError, ValueError):
+                    decoded = None
+            elif mp4codec.is_mp4(b):    # MJPEG MP4: real demux + decode
+                try:
+                    decoded = mp4codec.decode_mp4_frames(b)
+                except (NotImplementedError, ValueError):
+                    if not self.fake:
+                        raise            # name the codec, don't mask it
                     decoded = None
             if decoded:
                 n = len(decoded)
@@ -468,6 +478,17 @@ def _synth_gif(seed: int, frames: int = 6, w: int = 16, h: int = 12) -> bytes:
         [pal[rng.randint(0, 8, size=(h, w))] for _ in range(frames)])
 
 
+def _synth_mp4(seed: int, frames: int = 6, w: int = 16, h: int = 12) -> bytes:
+    from . import mp4codec
+
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frs = [np.stack([(yy * 9 + i * 20) % 256, (xx * 7) % 256,
+                     rng.randint(0, 256, size=(h, w))], axis=-1)
+           .astype(np.uint8) for i in range(frames)]
+    return mp4codec.encode_mp4_mjpeg(frs, fps=5)
+
+
 def _synth_jpeg(seed: int, w: int = 24, h: int = 18) -> bytes:
     from . import jpegcodec
 
@@ -489,8 +510,8 @@ def _synth_png(seed: int, w: int = 24, h: int = 18) -> bytes:
 
 def synth_media_table(n: int = 32, seed: int = 42) -> pa.Table:
     """Deterministic media corpus with REAL payloads: netpbm + baseline
-    JPEG + PNG images, PCM WAV audio, concatenated-PPM streams and
-    animated GIF video."""
+    JPEG + PNG images, PCM WAV audio, concatenated-PPM streams, animated
+    GIF and MJPEG-MP4 video."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
@@ -502,8 +523,10 @@ def synth_media_table(n: int = 32, seed: int = 42) -> pa.Table:
             payload, mime = _synth_ppm(seed + i), "image/x-portable-pixmap"
         elif kind == "audio":
             payload, mime = _synth_wav(seed + i), "audio/wav"
-        elif (i // 3) % 2 == 1:
+        elif (i // 3) % 3 == 1:
             payload, mime = _synth_gif(seed + i), "image/gif"
+        elif (i // 3) % 3 == 2:
+            payload, mime = _synth_mp4(seed + i), "video/mp4"
         else:
             payload, mime = _synth_ppm_stream(seed + i), "video/x-ppm-stream"
         rows.append({
