@@ -1096,6 +1096,26 @@ def q_sparql_not_exists(sf_dir: str):
     return sparql_lite.select_text(tri, q)
 
 
+def q_sparql_expr(sf_dir: str):
+    """SPARQL §17 expression surface end-to-end: boolean connectives
+    (&&, !), IN lists, string tests (STRSTARTS) and BIND IF over the
+    docs-triples fixture — the FILTER/BIND grammar the reference gets
+    from Jena's expression engine (SparqlService.java:22-31)."""
+    from . import sparql_lite
+
+    tri = _docs_triples(sf_dir)
+    q = """
+        PREFIX ex: <http://docs.example/>
+        SELECT ?d ?s ?band WHERE {
+            ?d ex:lang ?l .
+            ?d ex:source ?s .
+            FILTER (?l IN ("en", "de") && !(?s = "src3"))
+            BIND (IF(STRSTARTS(?s, "src1"), "one", "other") AS ?band)
+        } ORDER BY ?d ?s
+    """
+    return sparql_lite.select_text(tri, q)
+
+
 def q_ann_ivf_topk(sf_dir: str):
     """IVF-bucketed approximate nearest neighbours (scale-path ANN)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -1185,6 +1205,7 @@ QUERIES = {
     "q_sparql_describe": q_sparql_describe,
     "q_sparql_agg_distributed": q_sparql_agg_distributed,
     "q_sparql_having": q_sparql_having,
+    "q_sparql_expr": q_sparql_expr,
     "q_transitive_closure": q_transitive_closure,
     "q_sparql_not_exists": q_sparql_not_exists,
     "q_moving_sum_events": q_moving_sum_events,
@@ -1495,6 +1516,15 @@ ORACLE_SQL = {
     "q_sparql_having": """
         SELECT source AS s, COUNT(*) AS n
         FROM documents GROUP BY source HAVING COUNT(*) > 1 ORDER BY s
+    """,
+    "q_sparql_expr": """
+        SELECT 'http://docs.example/doc/' || CAST(doc_id AS VARCHAR) AS d,
+               source AS s,
+               CASE WHEN source LIKE 'src1%' THEN 'one' ELSE 'other' END
+                   AS band
+        FROM documents
+        WHERE lang IN ('en', 'de') AND source <> 'src3'
+        ORDER BY d, s
     """,
     "q_sparql_not_exists": """
         SELECT 'http://docs.example/doc/' || CAST(doc_id AS VARCHAR) AS d,

@@ -8,16 +8,21 @@ front-ends:
   * query forms: SELECT, ASK, CONSTRUCT, DESCRIBE;
   * graph patterns: BGPs, OPTIONAL (left-outer), UNION (bag semantics),
     MINUS (§8.3 disjoint-domain no-op), FILTER [NOT] EXISTS, VALUES,
-    BIND with CONCAT/STR/UCASE/LCASE/STRLEN/SUBSTR/REPLACE, sub-SELECTs
+    BIND (full expression grammar below), sub-SELECTs
     (evaluated recursively, outer PREFIXes inherited), property
     paths: sequences (``p1/p2``), inverses (``^p``), alternation
-    (``(p1|p2)``, one per query) and arbitrary length — one-or-more
+    (``(p1|p2)``, one per query), negated property sets (``!p`` /
+    ``!(p1|p2)``) and arbitrary length — one-or-more
     ``p+`` (driver closure; Dataset twin = ops.transitive_closure),
     zero-or-more ``p*`` and zero-or-one ``p?`` (both add the §18.4
     ZeroLengthPath reflexive rows);
-  * solution modifiers: FILTER (=, !=, <, <=, >, >=, regex), DISTINCT,
-    ORDER BY, LIMIT, OFFSET;
-  * aggregates: COUNT/SUM/AVG/MIN/MAX (+DISTINCT), GROUP BY, HAVING.
+  * expressions (shared by FILTER and BIND, §17): comparisons, ``&&``
+    ``||`` ``!``, [NOT] IN, arithmetic ``+ - * /``, CONCAT/STR/UCASE/
+    LCASE/STRLEN/SUBSTR/REPLACE/STRSTARTS/STRENDS/CONTAINS/STRBEFORE/
+    STRAFTER/REGEX/BOUND/COALESCE/IF/SAMETERM/ABS/ROUND/CEIL/FLOOR;
+  * solution modifiers: DISTINCT, ORDER BY, LIMIT, OFFSET;
+  * aggregates: COUNT/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT(;SEPARATOR=…)
+    (+DISTINCT), GROUP BY, HAVING.
 
 Execution model: each pattern is a vectorized Arrow filter over the
 triples Dataset (bound terms push down); shared variables join on the
@@ -34,6 +39,7 @@ graph) — expanded via prov.expand.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow.compute as pc
 
@@ -52,6 +58,17 @@ def _expand_term(t: str, graph: str | None) -> str:
     return t
 
 
+def _pred_cond(t, p, graph):
+    """Arrow predicate-column condition: equality for a bound IRI, NOT IN
+    for a negated property set (('!', p1, p2, …) from ``!p`` / ``!(p1|p2)``)."""
+    import pyarrow as pa
+
+    if isinstance(p, tuple):
+        vals = pa.array([_expand_term(x, graph) for x in p[1:]])
+        return pc.invert(pc.is_in(t["pred"], value_set=vals))
+    return pc.equal(t["pred"], _expand_term(p, graph))
+
+
 def _match_pattern(triples_ds, s, p, o, graph):
     def f(t):
         m = None
@@ -65,7 +82,7 @@ def _match_pattern(triples_ds, s, p, o, graph):
         if not _is_var(s):
             conj(pc.equal(t["subj"], _expand_term(s, graph)))
         if not _is_var(p):
-            conj(pc.equal(t["pred"], _expand_term(p, graph)))
+            conj(_pred_cond(t, p, graph))
         if not _is_var(o):
             conj(pc.equal(t["obj"], _expand_term(o, graph)))
         return t if m is None else t.filter(m)
@@ -129,7 +146,7 @@ def _match_pattern_ds(triples_ds, s, p, o, graph):
         if not _is_var(s):
             conj(pc.equal(t["subj"], _expand_term(s, graph)))
         if not _is_var(p):
-            conj(pc.equal(t["pred"], _expand_term(p, graph)))
+            conj(_pred_cond(t, p, graph))
         if not _is_var(o):
             conj(pc.equal(t["obj"], _expand_term(o, graph)))
         sel = t if m is None else t.filter(m)
@@ -327,7 +344,8 @@ _TOKEN_RX = _re.compile(
       | [A-Za-z_][\w.-]*:           # prefix-declaration name ("ns1:")
       | [A-Za-z_][\w-]*             # keyword / bare name
       | -?\d+(?:\.\d+)?             # number
-      | [=!<>]=? | [{}().;,*:/^|+?] # operators / punctuation / path ops
+      | &&  | \|\|                  # boolean connectives (before single |)
+      | [=!<>]=? | [{}().;,*:/^|+?-]  # operators / punctuation / path ops
     """, _re.X)
 
 
@@ -374,20 +392,32 @@ def _parse_term(t: str, prefixes: dict[str, str]):
     raise SparqlSyntaxError(f"bad term {t!r}")
 
 
-_AGG_FUNCS = ("COUNT", "SUM", "AVG", "MIN", "MAX")
+_AGG_FUNCS = ("COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE")
 
-# scalar functions usable in BIND expressions (SPARQL 1.1 §17.4)
+# scalar/boolean functions usable in FILTER and BIND expressions
+# (SPARQL 1.1 §17.4). LANG/DATATYPE/isIRI-family are deliberately absent:
+# the binding frame holds untyped strings, so those would silently lie.
 _BIND_FUNCS = ("CONCAT", "STR", "UCASE", "LCASE", "STRLEN", "SUBSTR",
-               "REPLACE")
+               "REPLACE", "STRSTARTS", "STRENDS", "CONTAINS", "STRBEFORE",
+               "STRAFTER", "REGEX", "BOUND", "COALESCE", "IF", "SAMETERM",
+               "ABS", "ROUND", "CEIL", "FLOOR")
+
+_CMP_OPS = ("=", "!=", "<", "<=", ">", ">=")
+
+
+def _as_num(x):
+    return pd.to_numeric(x, errors="coerce") if isinstance(x, pd.Series) \
+        else x
 
 
 def _eval_expr(df: pd.DataFrame, node):
-    """Evaluate a BIND expression AST over the binding frame (vectorized
-    pandas string kernels)."""
+    """Evaluate a FILTER/BIND expression AST over the binding frame
+    (vectorized pandas kernels). Boolean nodes yield bool Series with
+    NaN-comparisons false (SPARQL error → unsatisfied filter)."""
     kind = node[0]
     if kind == "var":
         if node[1] not in df.columns:
-            raise SparqlSyntaxError(f"BIND references unbound ?{node[1]}")
+            raise SparqlSyntaxError(f"expression references unbound ?{node[1]}")
         return df[node[1]]
     if kind == "lit":
         return node[1]
@@ -396,7 +426,56 @@ def _eval_expr(df: pd.DataFrame, node):
         return x if isinstance(x, pd.Series) else \
             pd.Series([x] * len(df), index=df.index)
 
+    def as_bool(x):
+        s = as_series(x)
+        return s.fillna(False).astype(bool) if s.dtype != bool else s
+
+    if kind == "not":
+        return ~as_bool(_eval_expr(df, node[1]))
+    if kind in ("and", "or"):
+        a, b = as_bool(_eval_expr(df, node[1])), \
+            as_bool(_eval_expr(df, node[2]))
+        return (a & b) if kind == "and" else (a | b)
+    if kind == "cmp":
+        op, left, right = node[1], _eval_expr(df, node[2]), \
+            _eval_expr(df, node[3])
+        # numeric comparison when either side is numeric (literal or a
+        # numeric-dtype series, e.g. an arithmetic result); codepoint
+        # string order otherwise — bindings are untyped strings
+        numeric = any(isinstance(x, (int, float)) or (
+            isinstance(x, pd.Series) and x.dtype.kind in "ifu")
+            for x in (left, right))
+        if numeric:
+            left, right = _as_num(left), _as_num(right)
+        mask = {"=": lambda a, b: a == b, "!=": lambda a, b: a != b,
+                "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+                ">": lambda a, b: a > b, ">=": lambda a, b: a >= b}[op](
+                    as_series(left), as_series(right))
+        return mask.fillna(False)
+    if kind == "in":
+        s = as_series(_eval_expr(df, node[1]))
+        vals = node[2]
+        if all(isinstance(v, (int, float)) for v in vals):
+            mask = _as_num(s).isin(vals)
+        else:
+            mask = s.isin(vals)
+        mask = mask.fillna(False)
+        return ~mask if node[3] else mask
+    if kind == "arith":
+        op, left, right = node[1], _as_num(_eval_expr(df, node[2])), \
+            _as_num(_eval_expr(df, node[3]))
+        return {"+": lambda a, b: a + b, "-": lambda a, b: a - b,
+                "*": lambda a, b: a * b, "/": lambda a, b: a / b}[op](
+                    left, right)
+
     f = node[1]
+    if f == "BOUND":               # needs the unevaluated arg: var may be
+        (arg,) = node[2]           # absent entirely (OPTIONAL never matched)
+        if arg[0] != "var":
+            raise SparqlSyntaxError("BOUND takes a ?var")
+        if arg[1] not in df.columns:
+            return pd.Series(False, index=df.index)
+        return df[arg[1]].notna()
     args = [_eval_expr(df, a) for a in node[2]]
     if f == "CONCAT":
         out = as_series(args[0]).astype(str)
@@ -411,6 +490,7 @@ def _eval_expr(df: pd.DataFrame, node):
         return as_series(args[0]).astype(str).str.lower()
     if f == "STRLEN":
         return as_series(args[0]).astype(str).str.len().astype("int64")
+
     def as_scalar(x, what):
         if isinstance(x, pd.Series):
             raise SparqlSyntaxError(
@@ -429,7 +509,142 @@ def _eval_expr(df: pd.DataFrame, node):
         # pandas/re want \1..\9
         rep = _re.sub(r"\$(\d)", r"\\\1", str(as_scalar(args[2], "replacement")))
         return as_series(args[0]).astype(str).str.replace(pat, rep, regex=True)
-    raise SparqlSyntaxError(f"unsupported BIND function {f}")
+    if f in ("STRSTARTS", "STRENDS", "CONTAINS"):
+        s = as_series(args[0]).astype(str)
+        pat = str(as_scalar(args[1], "pattern"))
+        if f == "STRSTARTS":
+            return s.str.startswith(pat)
+        if f == "STRENDS":
+            return s.str.endswith(pat)
+        return s.str.contains(pat, regex=False)
+    if f in ("STRBEFORE", "STRAFTER"):
+        s = as_series(args[0]).astype(str)
+        sep = str(as_scalar(args[1], "separator"))
+        part = s.str.partition(sep)
+        # fn:substring-before/-after return "" when the separator is absent
+        found = part[1] == sep
+        side = part[0] if f == "STRBEFORE" else part[2]
+        return side.where(found, "")
+    if f == "REGEX":
+        flags = 0
+        if len(args) > 2 and "i" in str(as_scalar(args[2], "flags")):
+            flags = _re.I
+        rx = _re.compile(str(as_scalar(args[1], "pattern")), flags)
+        return as_series(args[0]).astype(str).str.contains(rx)
+    if f == "COALESCE":
+        out = as_series(args[0])
+        for a in args[1:]:
+            out = out.fillna(as_series(a)) if out.isna().any() else out
+        return out
+    if f == "IF":
+        cond = as_bool(args[0])
+        then_, else_ = as_series(args[1]), as_series(args[2])
+        return then_.where(cond, else_)
+    if f == "SAMETERM":
+        return (as_series(args[0]) == as_series(args[1])).fillna(False)
+    if f in ("ABS", "ROUND", "CEIL", "FLOOR"):
+        num = _as_num(as_series(args[0]))
+        if f == "ABS":
+            return num.abs()
+        if f == "ROUND":           # fn:round: half toward +INF
+            return np.floor(num + 0.5)
+        return np.ceil(num) if f == "CEIL" else np.floor(num)
+    raise SparqlSyntaxError(f"unsupported function {f}")
+
+
+def _parse_expression(take, peek, term):
+    """Recursive-descent FILTER/BIND expression parser (SPARQL 1.1 §17):
+    ``||`` < ``&&`` < ``!`` < comparison/IN < ``+ -`` < ``* /`` < primary.
+    Shared by FILTER and BIND so both accept the same function library,
+    arithmetic and boolean connectives."""
+
+    def primary():
+        x = take()
+        if x == "(":
+            node = or_expr()
+            take(")")
+            return node
+        if x == "-":                             # unary minus on a number
+            n = take()
+            if not _re.match(r"^\d+(?:\.\d+)?$", n):
+                raise SparqlSyntaxError("unary - wants a number")
+            v = -float(n)
+            return ("lit", int(v) if v.is_integer() else v)
+        if x.upper() in _BIND_FUNCS:
+            take("(")
+            fargs = []
+            if peek() != ")":
+                fargs.append(or_expr())
+                while peek() == ",":
+                    take()
+                    fargs.append(or_expr())
+            take(")")
+            return ("call", x.upper(), fargs)
+        if x.startswith("?"):
+            return ("var", x[1:])
+        if _re.match(r"^-?\d+(?:\.\d+)?$", x):
+            v = float(x)
+            return ("lit", int(v) if v.is_integer() else v)
+        return ("lit", term(x))
+
+    def mul_expr():
+        node = primary()
+        while peek() in ("*", "/"):
+            node = ("arith", take(), node, primary())
+        return node
+
+    def add_expr():
+        node = mul_expr()
+        while peek() in ("+", "-"):
+            node = ("arith", take(), node, mul_expr())
+        return node
+
+    def rel_expr():
+        node = add_expr()
+        nxt = peek()
+        if nxt in _CMP_OPS:
+            return ("cmp", take(), node, add_expr())
+        if nxt and nxt.upper() in ("IN", "NOT"):
+            neg = take().upper() == "NOT"
+            if neg:
+                take("IN")
+            take("(")
+            vals = []
+            if peek() != ")":
+                while True:
+                    v = primary()
+                    if v[0] != "lit":
+                        raise SparqlSyntaxError("IN list wants literals")
+                    vals.append(v[1])
+                    if peek() == ",":
+                        take()
+                        continue
+                    break
+            take(")")
+            return ("in", node, vals, neg)
+        return node
+
+    def unary():
+        if peek() == "!":
+            take()
+            return ("not", unary())
+        return rel_expr()
+
+    def and_expr():
+        node = unary()
+        while peek() == "&&":
+            take()
+            node = ("and", node, unary())
+        return node
+
+    def or_expr():
+        node = and_expr()
+        while peek() == "||":
+            take()
+            node = ("or", node, and_expr())
+        return node
+
+    return or_expr()
 
 
 def _read_prefixes(toks: list[str]) -> tuple[dict[str, str], int]:
@@ -504,6 +719,14 @@ def parse_select(query: str) -> dict:
                 raise SparqlSyntaxError(f"bad aggregate argument {arg!r}")
             if arg == "*" and func != "COUNT":
                 raise SparqlSyntaxError(f"{func}(*) is not valid SPARQL")
+            separator = None
+            if peek() == ";":                  # GROUP_CONCAT(?v; SEPARATOR=…)
+                take()
+                if func != "GROUP_CONCAT" or take().upper() != "SEPARATOR":
+                    raise SparqlSyntaxError(
+                        "only GROUP_CONCAT takes ; SEPARATOR = \"…\"")
+                take("=")
+                separator = _parse_term(take(), prefixes)
             take(")")
             take("AS")
             alias = take()
@@ -511,7 +734,8 @@ def parse_select(query: str) -> dict:
                 raise SparqlSyntaxError("aggregate alias must be a ?var")
             take(")")
             aggregates.append({"func": func, "arg": arg,
-                               "distinct": adistinct, "alias": alias[1:]})
+                               "distinct": adistinct, "alias": alias[1:],
+                               "separator": separator})
             projection.append(alias[1:])
         else:
             raise SparqlSyntaxError(f"bad projection term {t!r}")
@@ -547,6 +771,27 @@ def parse_select(query: str) -> dict:
         predicate only."""
         nonlocal fresh_n, union_branches
         s = take()
+        if peek() == "!":                       # !p / !(p1|p2) — §9.1 negated
+            take()                              # property set (forward only)
+            preds = []
+            if peek() == "(":
+                take("(")
+                preds.append(term(take()))
+                while peek() == "|":
+                    take()
+                    preds.append(term(take()))
+                take(")")
+            else:
+                preds.append(term(take()))
+            if any(p.startswith("?") for p in preds):
+                raise SparqlSyntaxError("negated property set wants IRIs")
+            o_ = take()
+            dest.append((s if s.startswith("?") else term(s),
+                         ("!",) + tuple(preds),
+                         o_ if o_.startswith("?") else term(o_)))
+            if peek() == ".":
+                take()
+            return
         if peek() == "(":                       # ( p1 | p2 | ... )
             take("(")
             alts = [take()]
@@ -696,26 +941,7 @@ def parse_select(query: str) -> dict:
             continue
         if t.upper() == "BIND":
             take(); take("(")
-
-            def parse_expr():
-                x = take()
-                if x.upper() in _BIND_FUNCS:
-                    take("(")
-                    fargs = [parse_expr()]
-                    while peek() == ",":
-                        take()
-                        fargs.append(parse_expr())
-                    take(")")
-                    return ("call", x.upper(), fargs)
-                if x.startswith("?"):
-                    return ("var", x[1:])
-                m = _re.match(r"^-?\d+(?:\.\d+)?$", x)
-                if m:
-                    v = float(x)
-                    return ("lit", int(v) if v.is_integer() else v)
-                return ("lit", term(x))
-
-            ast = parse_expr()
+            ast = _parse_expression(take, peek, term)
             take("AS")
             bv = take()
             if not bv.startswith("?"):
@@ -781,28 +1007,9 @@ def parse_select(query: str) -> dict:
                 take()
             continue
         if t.upper() == "FILTER":
-            take(); take("(")
-            first = take()
-            if first.upper() == "REGEX" or (first == "regex"):
-                # regex(?v, "pat"[, "flags"]) — note regex token then '('
-                take("(")
-                v = take()
-                take(",")
-                pat = term(take())
-                flags = ""
-                if peek() == ",":
-                    take(); flags = term(take())
-                take(")")
-                filters.append(("regex", v, pat, flags))
-            else:
-                op = take()
-                if op not in ("=", "!=", "<", "<=", ">", ">="):
-                    raise SparqlSyntaxError(f"unsupported FILTER op {op!r}")
-                rhs = take()
-                num = _re.match(r"^-?\d+(?:\.\d+)?$", rhs)
-                filters.append((op, first,
-                                float(rhs) if num else term(rhs), None))
-            take(")")
+            take()
+            # FILTER (expr) or FILTER func(args): both are one expression
+            filters.append(_parse_expression(take, peek, term))
             if peek() == ".":
                 take()
             continue
@@ -890,24 +1097,18 @@ def parse_select(query: str) -> dict:
             "order_by": order_by, "limit": limit, "offset": offset}
 
 
-def _apply_filters(df: pd.DataFrame, filters: list[tuple]) -> pd.DataFrame:
-    import re as _re2
-
-    for op, var, value, extra in filters:
-        col = var.lstrip("?")
-        if col not in df.columns:
-            raise SparqlSyntaxError(f"FILTER variable {var} not bound")
-        s = df[col]
-        if op == "regex":
-            flags = _re2.I if (extra and "i" in extra) else 0
-            rx = _re2.compile(value, flags)
-            mask = s.astype(str).str.contains(rx)
-        else:
-            if isinstance(value, float):
-                s = pd.to_numeric(s, errors="coerce")
-            mask = {"=": s == value, "!=": s != value, "<": s < value,
-                    "<=": s <= value, ">": s > value, ">=": s >= value}[op]
-        df = df[mask.fillna(False)]
+def _apply_filters(df: pd.DataFrame, filters: list) -> pd.DataFrame:
+    """Each FILTER is an expression AST (see _parse_expression); a row
+    survives when the expression is true — NaN/error rows drop (§17.2)."""
+    for ast in filters:
+        if not len(df):
+            return df
+        mask = _eval_expr(df, ast)
+        if not isinstance(mask, pd.Series):
+            mask = pd.Series([bool(mask)] * len(df), index=df.index)
+        elif mask.dtype != bool:
+            mask = mask.fillna(False).astype(bool)
+        df = df[mask]
     return df
 
 
@@ -926,6 +1127,11 @@ def _one_agg(sub: pd.DataFrame, spec: dict):
     s = sub[arg[1:]].dropna()
     if spec["distinct"]:
         s = s.drop_duplicates()
+    if func == "SAMPLE":           # any one value from the group (§18.5.1.13)
+        return s.iloc[0] if len(s) else None
+    if func == "GROUP_CONCAT":
+        sep = spec.get("separator")
+        return (" " if sep is None else sep).join(s.astype(str))
     num = pd.to_numeric(s, errors="coerce")
     if func in ("SUM", "AVG"):
         num = num.dropna()
