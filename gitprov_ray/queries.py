@@ -1116,6 +1116,25 @@ def q_sparql_expr(sf_dir: str):
     return sparql_lite.select_text(tri, q)
 
 
+def q_sparql_text_distributed(sf_dir: str):
+    """The SPARQL STRING front-end on the Dataset scale path
+    (sparql_lite.select_text_distributed): parse → bucketed BGP join →
+    per-batch FILTER evaluation → two-phase distributed COUNT — the
+    query text surface with nothing materialized on the driver."""
+    from . import sparql_lite
+
+    tri = _docs_triples(sf_dir)
+    q = """
+        PREFIX ex: <http://docs.example/>
+        SELECT ?s (COUNT(?d) AS ?n) WHERE {
+            ?d ex:lang ?l .
+            ?d ex:source ?s .
+            FILTER (?l IN ("en", "de"))
+        } GROUP BY ?s ORDER BY ?s
+    """
+    return sparql_lite.select_text_distributed(tri, q)
+
+
 def q_ann_ivf_topk(sf_dir: str):
     """IVF-bucketed approximate nearest neighbours (scale-path ANN)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -1206,6 +1225,7 @@ QUERIES = {
     "q_sparql_agg_distributed": q_sparql_agg_distributed,
     "q_sparql_having": q_sparql_having,
     "q_sparql_expr": q_sparql_expr,
+    "q_sparql_text_distributed": q_sparql_text_distributed,
     "q_transitive_closure": q_transitive_closure,
     "q_sparql_not_exists": q_sparql_not_exists,
     "q_moving_sum_events": q_moving_sum_events,
@@ -1525,6 +1545,11 @@ ORACLE_SQL = {
         FROM documents
         WHERE lang IN ('en', 'de') AND source <> 'src3'
         ORDER BY d, s
+    """,
+    "q_sparql_text_distributed": """
+        SELECT source AS s, COUNT(*) AS n
+        FROM documents WHERE lang IN ('en', 'de')
+        GROUP BY source ORDER BY s
     """,
     "q_sparql_not_exists": """
         SELECT 'http://docs.example/doc/' || CAST(doc_id AS VARCHAR) AS d,

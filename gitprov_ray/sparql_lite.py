@@ -29,8 +29,9 @@ triples Dataset (bound terms push down); shared variables join on the
 driver for small binding sets (pandas merges), with Dataset-native
 twins for the scale paths — ``select_distributed`` (bucketed
 ``Dataset.join`` per shared variable), ``select_optional_distributed``,
-``select_union_distributed`` and ``aggregate_distributed`` (partial
-combine + one bucketed shuffle). Results format via
+``select_union_distributed``, ``aggregate_distributed`` (partial
+combine + one bucketed shuffle) and ``select_text_distributed`` (the
+string front-end routed through all of the above). Results format via
 serializers.result_{csv,tsv,json} (S14).
 
 Terms may use CURIEs (prov:used, rdf:type, gitprov:x with an explicit
@@ -1399,6 +1400,115 @@ def select_text(triples_ds, query: str, graph: str | None = None) -> pd.DataFram
     return out.reset_index(drop=True)
 
 
+def _expr_vars(node, out: set[str]) -> set[str]:
+    """All ?vars an expression AST references."""
+    if node[0] == "var":
+        out.add(node[1])
+    elif node[0] == "call":
+        for a in node[2]:
+            _expr_vars(a, out)
+    elif node[0] in ("cmp", "arith"):
+        _expr_vars(node[2], out)
+        _expr_vars(node[3], out)
+    elif node[0] in ("and", "or"):
+        _expr_vars(node[1], out)
+        _expr_vars(node[2], out)
+    elif node[0] in ("not", "in"):
+        _expr_vars(node[1], out)
+    return out
+
+
+def select_text_distributed(triples_ds, query: str,
+                            graph: str | None = None):
+    """The SPARQL string front-end on the Dataset scale path: parse →
+    select_distributed BGP join → per-batch FILTER/BIND evaluation
+    (embarrassingly parallel, the same _eval_expr kernels as the driver
+    path) → optional two-phase distributed aggregate / distinct. Returns
+    a Dataset of bindings; the answer equals ``select_text`` for every
+    supported query (pinned by tests).
+
+    Supported: BGP + FILTER + BIND + one COUNT/SUM/AVG/MIN/MAX aggregate
+    with GROUP BY + DISTINCT + ORDER BY + LIMIT. OPTIONAL/UNION have
+    their own distributed twins (select_optional_distributed,
+    select_union_distributed); everything else raises with a pointer to
+    select_text."""
+    plan = parse_select(query)
+    unsupported = [k for k in
+                   ("optional_groups", "union_branches", "values_clauses",
+                    "exists_groups", "minus_groups", "subqueries",
+                    "closure_patterns") if plan[k]]
+    if unsupported:
+        raise SparqlSyntaxError(
+            f"select_text_distributed does not evaluate {unsupported}; "
+            "use select_text (driver) or the dedicated *_distributed "
+            "twins")
+    if plan["offset"]:
+        raise SparqlSyntaxError("OFFSET unsupported on the Dataset path")
+    ds = select_distributed(triples_ds, plan["patterns"], graph=graph)
+    bound = {t[1:] for pat in plan["patterns"] for t in pat
+             if _is_var(t)} | {bv for _, bv in plan["binds"]}
+    for ast in [a for a, _ in plan["binds"]] + plan["filters"]:
+        missing = _expr_vars(ast, set()) - bound
+        if missing:
+            raise SparqlSyntaxError(
+                f"expression references unbound ?{missing.pop()}")
+    binds, filters = plan["binds"], plan["filters"]
+    if binds or filters:
+        def eval_batch(df: pd.DataFrame) -> pd.DataFrame:
+            for ast, bv in binds:
+                df = df.assign(**{bv: _eval_expr(df, ast)})
+            return _apply_filters(df, filters)
+
+        ds = ds.map_batches(eval_batch, batch_format="pandas")
+    if plan["aggregates"] or plan["group_by"]:
+        if plan["havings"] or len(plan["aggregates"]) != 1:
+            raise SparqlSyntaxError(
+                "the Dataset path takes exactly one aggregate and no "
+                "HAVING; use select_text")
+        spec = plan["aggregates"][0]
+        if spec["func"] not in ("COUNT", "SUM", "AVG", "MIN", "MAX") \
+                or spec["distinct"]:
+            raise SparqlSyntaxError(
+                f"distributed {spec['func']}"
+                f"{' DISTINCT' if spec['distinct'] else ''} unsupported; "
+                "use select_text")
+        if not plan["group_by"]:
+            raise SparqlSyntaxError(
+                "the Dataset aggregate path needs GROUP BY")
+        arg = None if spec["arg"] == "*" else spec["arg"]
+        ds = _aggregate_binding_ds(ds, plan["group_by"],
+                                   spec["func"].lower(), arg,
+                                   spec["alias"])
+    elif plan["variables"] and not plan["star"]:
+        cols = tuple(v.lstrip("?") for v in plan["variables"])
+        ds = ds.map_batches(lambda df, k=cols: df[list(k)],
+                            batch_format="pandas")
+    if plan["distinct"]:
+        from .stages.versions import stable_bucket
+
+        def dedup_local(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.drop_duplicates()
+            if len(df) == 0:
+                return df.assign(bucket=pd.Series([], dtype="int64"))
+            key = df[df.columns[0]].astype(str)
+            for c in df.columns[1:]:
+                key = key + "\x1f" + df[c].astype(str)
+            return df.assign(bucket=stable_bucket(key, key, 32))
+
+        ds = (ds.map_batches(dedup_local, batch_format="pandas")
+              .groupby("bucket")
+              .map_groups(lambda df: df.drop(columns="bucket")
+                          .drop_duplicates(), batch_format="pandas"))
+    if plan["order_by"]:
+        if not all(asc for _, asc in plan["order_by"]):
+            raise SparqlSyntaxError(
+                "DESC unsupported on the Dataset path")
+        ds = ds.sort([v.lstrip("?") for v, _ in plan["order_by"]])
+    if plan["limit"] is not None:
+        ds = ds.limit(plan["limit"])
+    return ds
+
+
 # ---------------------------------------------------------------------------
 # query-form dispatch: SELECT / ASK / CONSTRUCT / DESCRIBE text front-ends
 # (the reference hands every form to Jena, SparqlService.java:22-31; the
@@ -1577,6 +1687,13 @@ def aggregate_distributed(triples_ds, patterns: list[tuple],
     if agg != "count" and arg_var is None:
         raise ValueError(f"{agg} needs arg_var")
     ds = select_distributed(triples_ds, patterns, graph=graph)
+    return _aggregate_binding_ds(ds, group_vars, agg, arg_var, alias)
+
+
+def _aggregate_binding_ds(ds, group_vars: list[str], agg: str,
+                          arg_var: str | None, alias: str):
+    """Two-phase distributed aggregate over a binding Dataset: per-batch
+    partial combine, then ONE stable_bucket shuffle on the group key."""
     gv = [v.lstrip("?") for v in group_vars]
     a = arg_var.lstrip("?") if arg_var else None
     partial_cols = ["__s", "__c"] if agg == "avg" else [alias]

@@ -171,6 +171,46 @@ def test_negated_property_set_distributed(ds):
     assert sorted(out.o) == ["alpha", "alpha two", "beta", "gamma"]
 
 
+@pytest.mark.parametrize("q", [
+    Q + """SELECT ?d ?v WHERE { ?d ex:score ?v .
+           FILTER (?v > 3 && ?v < 10) } ORDER BY ?d""",
+    Q + """SELECT ?d ?s ?band WHERE { ?d ex:lang ?l . ?d ex:title ?s .
+           FILTER (?l IN ("en", "de"))
+           BIND (IF(STRSTARTS(?s, "alpha"), "a", "b") AS ?band) }
+           ORDER BY ?d""",
+    Q + """SELECT ?l (COUNT(?d) AS ?n) WHERE { ?d ex:lang ?l }
+           GROUP BY ?l ORDER BY ?l""",
+    Q + """SELECT ?l (AVG(?v) AS ?m) WHERE { ?d ex:lang ?l .
+           ?d ex:score ?v } GROUP BY ?l ORDER BY ?l""",
+    Q + """SELECT DISTINCT ?l WHERE { ?d ex:lang ?l } ORDER BY ?l""",
+    Q + """SELECT ?d ?l WHERE { ?d ex:lang ?l } ORDER BY ?d LIMIT 2""",
+])
+def test_text_distributed_matches_driver(ds, q):
+    """The string front-end's Dataset scale path returns exactly the
+    driver path's answer (same parser, same expression kernels)."""
+    drv = S.select_text(ds, q).reset_index(drop=True)
+    dst = S.select_text_distributed(ds, q).to_pandas()
+    # the distributed frame needs the same final sort applied driver-side
+    # only when the plan had no ORDER BY; all these do, so compare as-is
+    dst = dst[drv.columns.tolist()].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        drv.astype(str), dst.astype(str), check_dtype=False)
+
+
+def test_text_distributed_rejects_unsupported(ds):
+    with pytest.raises(S.SparqlSyntaxError):
+        S.select_text_distributed(ds, Q + """
+            SELECT ?d WHERE { ?d ex:lang ?l .
+                OPTIONAL { ?d ex:note ?n } }""")
+    with pytest.raises(S.SparqlSyntaxError):
+        S.select_text_distributed(ds, Q + """
+            SELECT ?l (GROUP_CONCAT(?t) AS ?ts)
+            WHERE { ?d ex:lang ?l . ?d ex:title ?t } GROUP BY ?l""")
+    with pytest.raises(S.SparqlSyntaxError):
+        S.select_text_distributed(ds, Q + """
+            SELECT ?d WHERE { ?d ex:lang ?l . FILTER BOUND(?zzz) }""")
+
+
 def test_filter_regex_still_works(ds):
     out = S.select_text(ds, Q + """
         SELECT ?t WHERE { ?d ex:title ?t . FILTER regex(?t, "^AL", "i") }
