@@ -851,12 +851,15 @@ def q_regex_extract_docs(sf_dir: str):
 _DOCS_NS = "http://docs.example/"
 
 
-def _docs_triples(sf_dir: str, en_lang_only: bool = False):
+def _docs_triples(sf_dir: str, en_lang_only: bool = False,
+                  graph_by_source: bool = False):
     """documents table rendered as RDF triples (subj = doc URI; one
     `lang` and one `source` triple per doc) — the shared fixture for the
     SPARQL-surface queries. ``en_lang_only``: emit the lang triple only
     for English docs, making `lang` a PARTIAL predicate (exercises
-    OPTIONAL's unmatched rows)."""
+    OPTIONAL's unmatched rows). ``graph_by_source``: name each doc's
+    graph after its source (quad-shaped corpus for GRAPH-clause
+    queries) instead of the single "docs" graph."""
     NS = _DOCS_NS
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
 
@@ -866,7 +869,8 @@ def _docs_triples(sf_dir: str, en_lang_only: bool = False):
                 "subj": NS + "doc/" + sub["doc_id"].astype(str),
                 "pred": NS + pred, "obj": obj.astype(str),
                 "obj_is_literal": True, "obj_dtype": "xsd:string",
-                "graph": "docs"})
+                "graph": sub["source"].astype(str) if graph_by_source
+                else "docs"})
 
         lang_rows = df[df["lang"] == "en"] if en_lang_only else df
         return pd.concat([mk(lang_rows, "lang", lang_rows["lang"]),
@@ -1135,6 +1139,22 @@ def q_sparql_text_distributed(sf_dir: str):
     return sparql_lite.select_text_distributed(tri, q)
 
 
+def q_sparql_graph(sf_dir: str):
+    """SPARQL GRAPH clause (SPARQL 1.1 §13.3) over a quad-shaped corpus
+    (docs triples named by their source graph): GRAPH ?g binds the graph
+    name per solution, counted per graph."""
+    from . import sparql_lite
+
+    tri = _docs_triples(sf_dir, graph_by_source=True)
+    q = """
+        PREFIX ex: <http://docs.example/>
+        SELECT ?g (COUNT(?d) AS ?n) WHERE {
+            GRAPH ?g { ?d ex:lang "en" }
+        } GROUP BY ?g ORDER BY ?g
+    """
+    return sparql_lite.select_text(tri, q)
+
+
 def q_ann_ivf_topk(sf_dir: str):
     """IVF-bucketed approximate nearest neighbours (scale-path ANN)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -1226,6 +1246,7 @@ QUERIES = {
     "q_sparql_having": q_sparql_having,
     "q_sparql_expr": q_sparql_expr,
     "q_sparql_text_distributed": q_sparql_text_distributed,
+    "q_sparql_graph": q_sparql_graph,
     "q_transitive_closure": q_transitive_closure,
     "q_sparql_not_exists": q_sparql_not_exists,
     "q_moving_sum_events": q_moving_sum_events,
@@ -1550,6 +1571,11 @@ ORACLE_SQL = {
         SELECT source AS s, COUNT(*) AS n
         FROM documents WHERE lang IN ('en', 'de')
         GROUP BY source ORDER BY s
+    """,
+    "q_sparql_graph": """
+        SELECT source AS g, COUNT(*) AS n
+        FROM documents WHERE lang = 'en'
+        GROUP BY source ORDER BY g
     """,
     "q_sparql_not_exists": """
         SELECT 'http://docs.example/doc/' || CAST(doc_id AS VARCHAR) AS d,

@@ -8,7 +8,8 @@ front-ends:
   * query forms: SELECT, ASK, CONSTRUCT, DESCRIBE;
   * graph patterns: BGPs, OPTIONAL (left-outer), UNION (bag semantics),
     MINUS (§8.3 disjoint-domain no-op), FILTER [NOT] EXISTS, VALUES,
-    BIND (full expression grammar below), sub-SELECTs
+    GRAPH (§13.3 — bound name or ?var over the quad-shaped triples
+    table), BIND (full expression grammar below), sub-SELECTs
     (evaluated recursively, outer PREFIXes inherited), property
     paths: sequences (``p1/p2``), inverses (``^p``), alternation
     (``(p1|p2)``, one per query), negated property sets (``!p`` /
@@ -127,6 +128,34 @@ def select(triples_ds, patterns: list[tuple], variables: list[str] | None = None
     if limit is not None:
         result = result.head(limit)
     return result.reset_index(drop=True)
+
+
+def select_graph(triples_ds, gterm, patterns: list[tuple],
+                 ) -> pd.DataFrame:
+    """GRAPH clause evaluation (SPARQL 1.1 §13.3) → binding frame.
+
+    ``gterm`` is ``?var`` (bind each solution's graph name, and require
+    every pattern in the group to match within the SAME graph — enforced
+    by carrying the graph column through the binding join) or a bound
+    graph name (restrict the group to that named graph)."""
+    if not _is_var(gterm):
+        return select(triples_ds, patterns, graph=gterm)
+    gv = gterm[1:]
+    result: pd.DataFrame | None = None
+    for s, p, o in patterns:
+        part = _match_pattern(triples_ds, s, p, o, None)
+        cols = {gv: part["graph"].to_numpy()}
+        for term, col in ((s, "subj"), (p, "pred"), (o, "obj")):
+            if _is_var(term):
+                cols[term[1:]] = part[col].to_numpy()
+        frame = pd.DataFrame(cols)
+        if result is None:
+            result = frame
+        else:
+            shared = [c for c in result.columns if c in frame.columns]
+            result = result.merge(frame, on=shared, how="inner")
+    return (result if result is not None else pd.DataFrame()) \
+        .reset_index(drop=True)
 
 
 def _match_pattern_ds(triples_ds, s, p, o, graph):
@@ -756,6 +785,7 @@ def parse_select(query: str) -> dict:
     exists_groups: list[tuple[bool, list[tuple]]] = []   # (negated?, BGP)
     minus_groups: list[list[tuple]] = []
     binds: list[tuple] = []                              # (expr AST, var)
+    graph_groups: list[tuple] = []                       # (?var|name, BGP)
     subqueries: list[str] = []                           # verbatim sub-SELECTs
     closure_patterns: list[tuple] = []               # (s, pred, o, +|*|?)
     fresh_n = 0
@@ -883,7 +913,8 @@ def parse_select(query: str) -> dict:
             if t == "}":
                 take()
                 return group
-            if t in ("{",) or t.upper() in ("OPTIONAL", "FILTER", "UNION"):
+            if t in ("{",) or t.upper() in ("OPTIONAL", "FILTER", "UNION",
+                                            "GRAPH"):
                 raise SparqlSyntaxError(
                     f"{t!r} not supported inside a group pattern")
             read_triple(group, allow_alt=False)
@@ -955,6 +986,14 @@ def parse_select(query: str) -> dict:
         if t.upper() == "MINUS":
             take()
             minus_groups.append(take_group())
+            if peek() == ".":
+                take()
+            continue
+        if t.upper() == "GRAPH":
+            take()
+            g = take()
+            gterm = g if g.startswith("?") else term(g)
+            graph_groups.append((gterm, take_group()))
             if peek() == ".":
                 take()
             continue
@@ -1091,7 +1130,8 @@ def parse_select(query: str) -> dict:
             "union_branches": union_branches,
             "values_clauses": values_clauses,
             "exists_groups": exists_groups, "minus_groups": minus_groups,
-            "binds": binds, "subqueries": subqueries,
+            "binds": binds, "graph_groups": graph_groups,
+            "subqueries": subqueries,
             "closure_patterns": closure_patterns,
             "aggregates": aggregates, "projection": projection,
             "group_by": group_by, "havings": havings,
@@ -1363,6 +1403,15 @@ def select_text(triples_ds, query: str, graph: str | None = None) -> pd.DataFram
             out = out.merge(cf, on=shared, how="inner")
         else:
             out = out.merge(cf, how="cross")
+    for gterm, group in plan["graph_groups"]:
+        gframe = select_graph(triples_ds, gterm, group)
+        shared = [c for c in out.columns if c in gframe.columns]
+        if len(out.columns) == 0 and not plan["patterns"]:
+            out = gframe            # GRAPH group as the only group member
+        elif shared:
+            out = out.merge(gframe, on=shared, how="inner")
+        else:
+            out = out.merge(gframe, how="cross")
     for subq in plan["subqueries"]:
         subframe = select_text(triples_ds, subq, graph=graph)
         shared = [c for c in out.columns if c in subframe.columns]
@@ -1436,7 +1485,7 @@ def select_text_distributed(triples_ds, query: str,
     unsupported = [k for k in
                    ("optional_groups", "union_branches", "values_clauses",
                     "exists_groups", "minus_groups", "subqueries",
-                    "closure_patterns") if plan[k]]
+                    "graph_groups", "closure_patterns") if plan[k]]
     if unsupported:
         raise SparqlSyntaxError(
             f"select_text_distributed does not evaluate {unsupported}; "

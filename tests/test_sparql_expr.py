@@ -211,6 +211,57 @@ def test_text_distributed_rejects_unsupported(ds):
             SELECT ?d WHERE { ?d ex:lang ?l . FILTER BOUND(?zzz) }""")
 
 
+@pytest.fixture(scope="module")
+def quad_ds(ray_session):
+    import ray.data as rd
+
+    rows = []
+    for g, docs in [("g1", [("a", "en"), ("b", "de")]),
+                    ("g2", [("a", "fr"), ("c", "en")])]:
+        for d, lang in docs:
+            rows.append({"graph": g, "subj": f"http://d/{d}",
+                         "pred": "http://d/lang", "obj": lang,
+                         "obj_is_literal": True, "obj_dtype": "xsd:string"})
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_graph_clause_bound_name(quad_ds):
+    out = S.select_text(quad_ds, Q + """
+        SELECT ?d ?l WHERE { GRAPH <g2> { ?d ex:lang ?l } } ORDER BY ?d""")
+    assert out.d.tolist() == ["http://d/a", "http://d/c"]
+    assert out.l.tolist() == ["fr", "en"]
+
+
+def test_graph_clause_variable_binds_graph(quad_ds):
+    out = S.select_text(quad_ds, Q + """
+        SELECT ?g ?d ?l WHERE { GRAPH ?g { ?d ex:lang ?l } }
+        ORDER BY ?g ?d""")
+    assert out.g.tolist() == ["g1", "g1", "g2", "g2"]
+    assert out.l.tolist() == ["en", "de", "fr", "en"]
+    # same-graph co-occurrence: both patterns must hold within ONE graph
+    out = S.select_text(quad_ds, Q + """
+        SELECT ?g WHERE { GRAPH ?g { <http://d/a> ex:lang ?l .
+                                     <http://d/b> ex:lang ?m } }""")
+    assert out.g.tolist() == ["g1"]
+
+
+def test_graph_clause_joins_outer_patterns(quad_ds):
+    out = S.select_text(quad_ds, Q + """
+        SELECT ?g ?d WHERE {
+            ?d ex:lang "en" .
+            GRAPH ?g { ?d ex:lang ?any } } ORDER BY ?g ?d""")
+    # docs that have an "en" triple anywhere, with every graph they
+    # appear in: a (en in g1; also in g2), c (en in g2)
+    assert list(zip(out.g, out.d)) == [
+        ("g1", "http://d/a"), ("g2", "http://d/a"), ("g2", "http://d/c")]
+
+
+def test_graph_inside_group_rejected():
+    with pytest.raises(S.SparqlSyntaxError):
+        S.parse_select(
+            "SELECT ?d WHERE { OPTIONAL { GRAPH ?g { ?d ?p ?o } } }")
+
+
 def test_filter_regex_still_works(ds):
     out = S.select_text(ds, Q + """
         SELECT ?t WHERE { ?d ex:title ?t . FILTER regex(?t, "^AL", "i") }
