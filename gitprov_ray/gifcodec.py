@@ -135,6 +135,52 @@ def _deinterlace(rows: np.ndarray) -> np.ndarray:
     return out
 
 
+def probe_gif(b: bytes) -> dict:
+    """Header-only probe (block walk, no LZW decode): logical-screen
+    width / height, frame count, summed GCE delay (ms) and animated."""
+    if not is_gif(b):
+        raise ValueError("not a GIF payload")
+    w, h, flags, _, _ = struct.unpack("<HHBBB", b[6:13])
+    pos = 13
+    if flags & 0x80:
+        pos += 3 * (2 << (flags & 7))
+    frames = 0
+    delay_ms = 0
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            size = b[p]
+            p += 1
+            if size == 0:
+                return p
+            p += size
+
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:               # extension
+            label = b[pos]
+            pos += 1
+            if label == 0xF9:
+                (_delay,) = struct.unpack("<H", b[pos + 2:pos + 4])
+                delay_ms += _delay * 10
+            pos = skip_subblocks(pos)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+        _, _, _, _, iflags = struct.unpack("<HHHHB", b[pos:pos + 9])
+        pos += 9
+        if iflags & 0x80:
+            pos += 3 * (2 << (iflags & 7))
+        pos += 1                        # LZW min code size
+        pos = skip_subblocks(pos)
+        frames += 1
+    return {"width": w, "height": h, "frames": frames,
+            "duration_ms": delay_ms, "animated": frames > 1}
+
+
 def decode_gif(b: bytes) -> list[np.ndarray]:
     """GIF bytes → list of composited HxWx3 uint8 frames (full logical
     screen per frame)."""

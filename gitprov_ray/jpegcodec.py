@@ -832,3 +832,29 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
 
 def is_jpeg(b: bytes) -> bool:
     return len(b) >= 3 and b[:3] == b"\xff\xd8\xff"
+
+
+def probe_jpeg(b: bytes) -> dict:
+    """Header-only probe (marker walk to SOF, no entropy decode):
+    width / height / components / progressive."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    n = len(b)
+    while pos + 4 <= n:
+        if b[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = b[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01, 0x00) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker in (0xD9, 0xDA):           # EOI / SOS before any SOF
+            break
+        seglen = struct.unpack(">H", b[pos:pos + 2])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack(">HH", b[pos + 3:pos + 7])
+            return {"width": w, "height": h, "components": b[pos + 7],
+                    "progressive": marker == 0xC2}
+        pos += seglen
+    raise ValueError("no SOF marker found")

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import hashlib
 import io
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -433,6 +434,105 @@ class FrameSample:
             "frame_idx": pa.array(idxs, pa.int32()),
             "frame": pa.array(frames, pa.binary()),
         })
+
+
+def probe_media(b: bytes) -> dict:
+    """Typed metadata from a payload WITHOUT full decode (header-only
+    probes: JPEG marker walk, PNG IHDR, GIF block walk, WAV header, MP4
+    moov, netpbm headers). Returns
+    ``{format, codec, width, height, frames, duration_ms}`` with -1 for
+    not-applicable fields and format="unknown" for unrecognized bytes —
+    unknown is a legitimate probe RESULT, not an error (this is the
+    metadata-extraction stage of a curation pipeline, where unprobeable
+    payloads get filtered downstream, not crash the job)."""
+    from . import gifcodec, jpegcodec, mp4codec, pngcodec
+
+    b = b or b""
+    out = {"format": "unknown", "codec": "", "width": -1, "height": -1,
+           "frames": -1, "duration_ms": -1}
+    try:
+        if jpegcodec.is_jpeg(b):
+            p = jpegcodec.probe_jpeg(b)
+            out.update(format="jpeg",
+                       codec="progressive" if p["progressive"]
+                       else "baseline",
+                       width=p["width"], height=p["height"], frames=1)
+        elif pngcodec.is_png(b):
+            p = pngcodec.probe_png(b)
+            out.update(format="png",
+                       codec=f"depth{p['bit_depth']}"
+                       + ("-adam7" if p["interlaced"] else ""),
+                       width=p["width"], height=p["height"], frames=1)
+        elif gifcodec.is_gif(b):
+            p = gifcodec.probe_gif(b)
+            out.update(format="gif",
+                       codec="animated" if p["animated"] else "static",
+                       width=p["width"], height=p["height"],
+                       frames=p["frames"], duration_ms=p["duration_ms"])
+        elif mp4codec.is_mp4(b):
+            p = mp4codec.probe_mp4(b)
+            video = [t for t in p["tracks"] if t["handler"] == "vide"]
+            t = video[0] if video else (p["tracks"][0] if p["tracks"]
+                                        else None)
+            out.update(format="mp4", duration_ms=p["duration_ms"])
+            if t:
+                out.update(codec=t["codec"] or "", width=t["width"] or -1,
+                           height=t["height"] or -1,
+                           frames=t["sample_count"])
+        elif b[:4] == b"RIFF":
+            import wave
+
+            with wave.open(io.BytesIO(b)) as w:
+                out.update(
+                    format="wav", codec=f"pcm{8 * w.getsampwidth()}",
+                    duration_ms=int(w.getnframes() * 1000
+                                    / max(w.getframerate(), 1)))
+        elif b[:1] == b"P" and b[1:2] in (b"5", b"6"):
+            n = 0
+            first = None
+            for arr, _ in iter_ppm_stream(b):
+                if first is None:
+                    first = arr
+                n += 1
+            if first is not None:
+                out.update(format="ppm-stream" if n > 1 else "ppm",
+                           codec="P6" if first.shape[2] == 3 else "P5",
+                           width=first.shape[1], height=first.shape[0],
+                           frames=n)
+    except (ValueError, EOFError, struct.error, NotImplementedError):
+        pass                              # malformed → stays "unknown"
+    return out
+
+
+class MediaProbe:
+    """payload → container/codec metadata row (no pixel/sample decode).
+    The cheap first stage of a media curation pipeline: runs at I/O
+    speed, so downstream decode stages can filter by format/dims/codec
+    before paying for decompression."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [probe_media(p)
+                for p in batch.column("payload").to_pylist()]
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "kind": batch.column("kind"),
+            "format": pa.array([r["format"] for r in rows], pa.string()),
+            "codec": pa.array([r["codec"] for r in rows], pa.string()),
+            "width": pa.array([r["width"] for r in rows], pa.int32()),
+            "height": pa.array([r["height"] for r in rows], pa.int32()),
+            "frames": pa.array([r["frames"] for r in rows], pa.int32()),
+            "duration_ms": pa.array([r["duration_ms"] for r in rows],
+                                    pa.int32()),
+        })
+
+
+def probe_pipeline(media_ds, batch_size: int = 64, concurrency=None):
+    """Metadata extraction over the whole corpus — stateless task pool
+    (no per-actor setup needed), larger batches than the decode stages
+    because only headers are touched."""
+    return media_ds.map_batches(
+        MediaProbe(), batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
 
 
 # ---------------------------------------------------------------------------

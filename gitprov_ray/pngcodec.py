@@ -39,6 +39,20 @@ def is_png(b: bytes) -> bool:
     return b[: len(_SIG)] == _SIG
 
 
+def probe_png(b: bytes) -> dict:
+    """Header-only probe (IHDR): width / height / bit depth / color type /
+    interlaced."""
+    if not is_png(b):
+        raise ValueError("not a PNG")
+    for ctype, data in _chunks(b):
+        if ctype == b"IHDR":
+            w, h = struct.unpack(">II", data[:8])
+            return {"width": w, "height": h, "bit_depth": data[8],
+                    "color_type": data[9], "interlaced": data[12] == 1}
+        break                       # IHDR must be the first chunk
+    raise ValueError("PNG missing IHDR")
+
+
 def _chunks(b: bytes):
     pos = len(_SIG)
     while pos + 8 <= len(b):

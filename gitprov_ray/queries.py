@@ -465,6 +465,22 @@ def q_media_video_frames(sf_dir: str):
         .sort(["media_id", "frame_idx"])
 
 
+def q_media_probe(sf_dir: str):
+    """Multimodal metadata extraction WITHOUT decode: header-only probes
+    (JPEG SOF walk, PNG IHDR, GIF block walk, WAV header, MP4 moov,
+    netpbm headers) over the full mixed corpus — the cheap first stage
+    of a media curation pipeline. Rows-only (deterministic columns:
+    format/codec/dims/frames)."""
+    import ray.data as rd
+    from . import multimodal
+
+    media = rd.from_arrow(multimodal.synth_media_table(48))
+    out = multimodal.probe_pipeline(media)
+    return out.select_columns(["media_id", "kind", "format", "codec",
+                               "width", "height", "frames"]) \
+        .sort("media_id")
+
+
 def kg_canonical_agents(sf_dir: str):
     """Agent canonicalization over the flagship triples: MinHash-linked
     near-duplicate agent nodes -> (agent_uri, canonical_uri) map rows via
@@ -1224,6 +1240,7 @@ QUERIES = {
     "q_catalog_search": q_catalog_search,
     "q_sessionize": q_sessionize,
     "q_media_features": q_media_features,
+    "q_media_probe": q_media_probe,
     "q_media_audio_stats": q_media_audio_stats,
     "q_media_video_frames": q_media_video_frames,
     "kg_canonical_agents": kg_canonical_agents,

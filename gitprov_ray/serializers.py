@@ -275,7 +275,20 @@ FORMATS = {
     "csv": result_csv,
     "tsv": result_tsv,
     "json": result_json,
+    # visualization formats (reference ProvenanceService.java:216-250
+    # DOT/SVG/PNG/JPEG rows): provviz.py — PNG/JPEG rasterize through
+    # this engine's own codecs and return BYTES, not str
+    "dot": lambda df: _provviz().to_dot(df),
+    "svg": lambda df: _provviz().to_svg(df),
+    "png": lambda df: _provviz().to_png(df),
+    "jpeg": lambda df: _provviz().to_jpeg(df),
 }
+
+
+def _provviz():
+    from . import provviz
+
+    return provviz
 
 # mirrors the reference's formatToLangs map (JenaUtils.java:18-41) plus the
 # document content types of ProvenanceService.java:197-254.
@@ -303,12 +316,17 @@ CONTENT_TYPES = {
     "text/tab-separated-values": "tsv",
     "application/json": "json",
     "application/sparql-results+json": "json",
+    "text/vnd.graphviz": "dot",
+    "image/svg+xml": "svg",
+    "image/png": "png",
+    "image/jpeg": "jpeg",
 }
 
 
 
-def serialize(triples: pd.DataFrame, fmt: str) -> str:
-    """Format-dispatched serialization; unknown format → ValueError
+def serialize(triples: pd.DataFrame, fmt: str) -> str | bytes:
+    """Format-dispatched serialization (str for text formats, bytes for
+    the png/jpeg diagram rasters); unknown format → ValueError
     (documented fix of the reference's null-format crash, quirk 6)."""
     if fmt in CONTENT_TYPES:
         fmt = CONTENT_TYPES[fmt]

@@ -101,6 +101,64 @@ def test_stub_raises_on_compressed_without_fake():
     assert M.ImageDecode(deterministic_fake=True)(junk).num_rows == 2
 
 
+def test_probe_media_every_format():
+    """Header-only probes return the right metadata for every real
+    payload format the corpus produces, without decoding pixels."""
+    from gitprov_ray import gifcodec, mp4codec
+
+    p = M.probe_media(M._synth_jpeg(1))
+    assert (p["format"], p["codec"]) == ("jpeg", "baseline")
+    assert (p["width"], p["height"], p["frames"]) == (24, 18, 1)
+
+    from gitprov_ray import jpegcodec
+    import numpy as np
+    prog = jpegcodec.encode_jpeg_progressive(
+        np.zeros((10, 12, 3), np.uint8))
+    p = M.probe_media(prog)
+    assert (p["format"], p["codec"]) == ("jpeg", "progressive")
+    assert (p["width"], p["height"]) == (12, 10)
+
+    p = M.probe_media(M._synth_png(1))
+    assert (p["format"], p["codec"]) == ("png", "depth8")
+    assert (p["width"], p["height"]) == (24, 18)
+
+    p = M.probe_media(M._synth_gif(1, frames=6))
+    assert (p["format"], p["codec"]) == ("gif", "animated")
+    assert (p["width"], p["height"], p["frames"]) == (16, 12, 6)
+    assert gifcodec.probe_gif(M._synth_gif(1, frames=6))["frames"] == 6
+
+    p = M.probe_media(M._synth_mp4(1, frames=5))
+    assert (p["format"], p["codec"], p["frames"]) == ("mp4", "jpeg", 5)
+    assert (p["width"], p["height"]) == (16, 12)
+    assert p["duration_ms"] == 1000                   # 5 frames at 5 fps
+    assert mp4codec.probe_mp4(M._synth_mp4(1))["brand"] == "isom"
+
+    p = M.probe_media(M._synth_wav(1, ms=250))
+    assert (p["format"], p["codec"]) == ("wav", "pcm16")
+    assert p["duration_ms"] == 250
+
+    p = M.probe_media(M._synth_ppm(1))
+    assert (p["format"], p["codec"], p["frames"]) == ("ppm", "P6", 1)
+
+    p = M.probe_media(M._synth_ppm_stream(1, frames=6))
+    assert (p["format"], p["frames"]) == ("ppm-stream", 6)
+
+    # unknown/malformed is a RESULT, not an error
+    assert M.probe_media(b"\x00gibberish")["format"] == "unknown"
+    assert M.probe_media(b"")["format"] == "unknown"
+    assert M.probe_media(b"GIF89a\x01")["format"] == "unknown"  # truncated
+
+
+def test_media_probe_stage():
+    t = M.synth_media_table(12)
+    out = M.MediaProbe()(t)
+    assert out.num_rows == 12
+    fmts = set(out.column("format").to_pylist())
+    assert "unknown" not in fmts            # every synth payload probes
+    assert out.column("media_id").to_pylist() == \
+        t.column("media_id").to_pylist()
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_actor_pool_pipelines():
     import ray.data as rd
