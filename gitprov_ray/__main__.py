@@ -34,10 +34,13 @@ def _ray_session(num_cpus: int | None):
     DataContext.get_current().enable_progress_bars = False
 
 
-def _emit(text: str, out: str | None) -> None:
+def _emit(text: str | bytes, out: str | None) -> None:
+    binary = isinstance(text, bytes)       # png/jpeg diagram rasters
     if out:
-        with open(out, "w") as f:
+        with open(out, "wb" if binary else "w") as f:
             f.write(text)
+    elif binary:
+        sys.stdout.buffer.write(text)
     else:
         sys.stdout.write(text)
 

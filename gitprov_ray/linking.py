@@ -553,7 +553,15 @@ def ngram_jaccard_pairs(docs_ds, id_col="doc_id", text_col="text",
     db = docs.map_batches(
         lambda df: df.rename(columns={id_col: "b", text_col: "text_b"}),
         batch_format="pandas")
-    j = cand.join(da, "inner", P, on=("a",)).join(db, "inner", P, on=("b",))
+    j1 = cand.join(da, "inner", P, on=("a",))
+    # invariant 7 applies BETWEEN the joins too: join #1's empty output
+    # partitions are column-less blocks, and join #2's left side then has
+    # no "b" key column in those partitions (ArrowInvalid at finalize —
+    # reproduced at sf0.01/32 cpus where candidate pairs are sparse
+    # across 64 hash partitions)
+    j1 = materialize_normalized(j1, pa.schema(
+        [("a", idt), ("b", idt), ("text_a", pa.string())]))
+    j = j1.join(db, "inner", P, on=("b",))
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         sa = _shingle_hashes_batch(list(df["text_a"]))
