@@ -4,8 +4,9 @@ Closes the S9 format matrix (reference ProvenanceService.java:216-250
 serializes a document to PROVN/TURTLE/XML/RDFXML/PDF/JSON/DOT/SVG/PNG/
 JPEG/TRIG via ProvToolbox): DOT and SVG are deterministic text written
 directly; PNG and JPEG rasterize the same layout onto a numpy canvas
-encoded by this engine's own codecs (pngcodec / jpegcodec) — no external
-imaging dependency. PDF remains out of scope.
+encoded by this engine's own codecs (pngcodec / jpegcodec); PDF is a
+hand-written single-page vector document (1.4 subset) — no external
+imaging dependency anywhere.
 
 Layout: PROV-typed layered columns (agents | activities | entities |
 other), rows sorted by node URI — deterministic for fixtures, like every
@@ -236,3 +237,105 @@ def to_jpeg(triples: pd.DataFrame, max_nodes: int = 500,
 
     return jpegcodec.encode_jpeg_baseline(_render(triples, max_nodes),
                                           quality=quality)
+
+
+# ---------------------------------------------------------------------------
+# PDF (vector): minimal single-page writer, PDF 1.4 subset — header,
+# catalog/pages/page objects, one uncompressed content stream of path +
+# text operators, Helvetica base font, hand-built xref. Completes the
+# reference's 11-format S9 matrix.
+# ---------------------------------------------------------------------------
+
+_KAPPA = 0.5523                       # Bézier circle-approximation constant
+
+
+def _pdf_escape(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def _pdf_content(triples: pd.DataFrame, max_nodes: int):
+    """(content stream str, page width, page height)."""
+    nodes, edges, truncated = _graph_model(triples, max_nodes)
+    maxrow = max((r for _, _, _, r in nodes), default=0)
+    w = _MARGIN * 2 + 4 * _COL_W
+    h = _MARGIN * 2 + (maxrow + 1) * _ROW_H
+    pos = {uri: _center(c, r) for uri, _, c, r in nodes}
+
+    def Y(y):                         # PDF origin is bottom-left
+        return h - y
+
+    ops = ["0.33 0.33 0.33 RG", "1 w"]
+    for s, o, label in edges:
+        (x1, y1), (x2, y2) = pos[s], pos[o]
+        ops.append(f"{x1} {Y(y1)} m {x2} {Y(y2)} l S")
+        ops.append("BT /F1 7 Tf 0.47 0.47 0.47 rg "
+                   f"{(x1 + x2) // 2} {Y((y1 + y2) // 2 - 3)} Td "
+                   f"({_pdf_escape(label)}) Tj ET")
+    for uri, kind, c, r in nodes:
+        cx, cy = _center(c, r)
+        _, shape, (cr, cg, cb) = _STYLE[kind]
+        ops.append(f"{cr / 255:.3f} {cg / 255:.3f} {cb / 255:.3f} rg "
+                   "0.2 0.2 0.2 RG")
+        x0, y0 = cx - _NODE_W // 2, cy - _NODE_H // 2
+        if shape == "ellipse":
+            rx, ry = _NODE_W / 2, _NODE_H / 2
+            kx, ky = rx * _KAPPA, ry * _KAPPA
+            yc = Y(cy)
+            ops.append(
+                f"{cx + rx} {yc} m "
+                f"{cx + rx} {yc + ky} {cx + kx} {yc + ry} {cx} {yc + ry} c "
+                f"{cx - kx} {yc + ry} {cx - rx} {yc + ky} {cx - rx} {yc} c "
+                f"{cx - rx} {yc - ky} {cx - kx} {yc - ry} {cx} {yc - ry} c "
+                f"{cx + kx} {yc - ry} {cx + rx} {yc - ky} {cx + rx} {yc} c "
+                "B")
+        elif shape == "house":
+            ops.append(
+                f"{x0} {Y(y0)} m {cx} {Y(y0 - 10)} l "
+                f"{x0 + _NODE_W} {Y(y0)} l "
+                f"{x0 + _NODE_W} {Y(y0 + _NODE_H)} l "
+                f"{x0} {Y(y0 + _NODE_H)} l h B")
+        else:
+            ops.append(f"{x0} {Y(y0 + _NODE_H)} {_NODE_W} {_NODE_H} re B")
+        label = _local(uri)
+        if len(label) > 26:
+            label = label[:23] + "..."
+        tw = int(len(label) * 5.0)    # ~Helvetica 9pt advance estimate
+        ops.append("BT /F1 9 Tf 0 0 0 rg "
+                   f"{cx - tw // 2} {Y(cy + 3)} Td "
+                   f"({_pdf_escape(label)}) Tj ET")
+    if truncated:
+        ops.append("BT /F1 9 Tf 0.6 0 0 rg "
+                   f"{_MARGIN} 12 Td (truncated to {max_nodes} nodes) "
+                   "Tj ET")
+    return "\n".join(ops), w, h
+
+
+def to_pdf(triples: pd.DataFrame, max_nodes: int = 500) -> bytes:
+    """Triples → single-page vector-PDF diagram bytes (PDF 1.4 subset
+    written by hand: xref + catalog/pages/page/content/font objects,
+    uncompressed content stream, base-14 Helvetica)."""
+    content, w, h = _pdf_content(triples, max_nodes)
+    stream = content.encode("latin1", "replace")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "
+         "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"
+         ).encode(),
+        b"<< /Length " + str(len(stream)).encode() + b" >>\nstream\n"
+        + stream + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(out)

@@ -282,6 +282,7 @@ FORMATS = {
     "svg": lambda df: _provviz().to_svg(df),
     "png": lambda df: _provviz().to_png(df),
     "jpeg": lambda df: _provviz().to_jpeg(df),
+    "pdf": lambda df: _provviz().to_pdf(df),
 }
 
 
@@ -320,6 +321,7 @@ CONTENT_TYPES = {
     "image/svg+xml": "svg",
     "image/png": "png",
     "image/jpeg": "jpeg",
+    "application/pdf": "pdf",
 }
 
 

@@ -79,6 +79,31 @@ def test_serialize_dispatch(tri):
     assert serializers.serialize(tri, "image/jpeg")[:2] == b"\xff\xd8"
 
 
+def test_pdf_structure(tri):
+    """No PDF parser is installed, so validate the invariants a reader
+    relies on: header, every xref offset pointing exactly at its object,
+    correct stream /Length, and trailer startxref."""
+    pdf = provviz.to_pdf(tri)
+    assert pdf.startswith(b"%PDF-1.4\n") and pdf.endswith(b"%%EOF\n")
+    xref_at = int(pdf.rsplit(b"startxref\n", 1)[1].split(b"\n")[0])
+    assert pdf[xref_at:xref_at + 4] == b"xref"
+    lines = pdf[xref_at:].split(b"\n")
+    n = int(lines[1].split()[1])
+    assert n == 6                     # free head + 5 objects
+    for i, entry in enumerate(lines[3:2 + n], start=1):
+        off = int(entry.split()[0])
+        assert pdf[off:].startswith(f"{i} 0 obj".encode()), i
+    # content stream length is exact
+    m = pdf.index(b"/Length ")
+    length = int(pdf[m + 8:pdf.index(b" ", m + 8)])
+    s = pdf.index(b"stream\n", m) + 7
+    assert pdf[s + length:s + length + 10] == b"\nendstream"
+    body = pdf[s:s + length].decode("latin1")
+    assert " re B" in body and " c " in body    # rect + ellipse curves
+    assert "(alice)" in body and "(wasDerivedFrom)" in body
+    assert serializers.serialize(tri, "application/pdf")[:5] == b"%PDF-"
+
+
 def test_truncation_annotated(tri):
     big = pd.concat([tri.assign(
         subj=tri.subj + f"/{i}", obj=np.where(
