@@ -70,10 +70,11 @@ def _parse_stsd(b: bytes, s: int, e: int) -> dict:
     _, _, p = _fullbox(b, s)
     count = struct.unpack(">I", b[p:p + 4])[0]
     p += 4
-    entry = {"codec": None, "width": 0, "height": 0}
+    entry = {"codec": None, "width": 0, "height": 0, "entry_body": b""}
     if count >= 1 and p + 8 <= e:
         size = struct.unpack(">I", b[p:p + 4])[0]
         entry["codec"] = b[p + 4:p + 8].decode("latin1").strip()
+        entry["entry_body"] = bytes(b[p + 8:min(p + size, e)])
         # VisualSampleEntry: 6 reserved + 2 dref_idx + 16 predefined/reserved
         if size >= 36 and p + 36 <= e:
             w, h = struct.unpack(">HH", b[p + 32:p + 36])
@@ -133,7 +134,7 @@ def _parse_trak(b: bytes, s: int, e: int) -> dict:
     track = {"handler": None, "codec": None, "width": 0, "height": 0,
              "timescale": 0, "duration": 0, "sizes": [], "stsc": [],
              "chunk_offsets": [], "stts": [], "sync_samples": None,
-             "track_id": 0}
+             "track_id": 0, "entry_body": b""}
     for btype, ps, pe in _iter_boxes(b, s, e):
         if btype == b"tkhd":
             ver, _, p = _fullbox(b, ps)
@@ -235,6 +236,50 @@ def decode_mp4_frames(b: bytes) -> list[np.ndarray]:
     return frames
 
 
+# PCM audio sample-entry fourccs this codec decodes: little/big-endian
+# 16-bit and unsigned 8-bit (QuickTime conventions)
+_PCM_FOURCC = {"sowt": "<i2", "twos": ">i2", "raw": "u1"}
+
+
+def decode_mp4_audio(b: bytes):
+    """PCM-in-MP4 → (float32 mono samples in [-1, 1], sample_rate).
+
+    Raises ``NotImplementedError`` naming the codec for compressed audio
+    (mp4a/AAC, …), ``ValueError`` if no audio track exists."""
+    movie = probe_mp4(b)
+    audio = [t for t in movie["tracks"] if t["handler"] == "soun"]
+    if not audio:
+        raise ValueError("no audio track in MP4")
+    track = audio[0]
+    codec = (track["codec"] or "?").lower().strip()
+    if codec not in _PCM_FOURCC:
+        raise NotImplementedError(
+            f"MP4 audio codec {codec!r} requires an external decoder "
+            "(only PCM sowt/twos/raw tracks decode in pure Python)")
+    body = track["entry_body"]
+    if len(body) < 28:
+        raise ValueError("truncated audio sample entry")
+    channels, sampsize = struct.unpack(">HH", body[16:20])
+    rate = struct.unpack(">I", body[24:28])[0] >> 16   # 16.16 fixed point
+    if codec != "raw" and sampsize not in (0, 16):
+        raise NotImplementedError(f"{sampsize}-bit PCM unsupported")
+    samples = track["samples"]
+    if not samples:
+        return np.zeros(0, np.float32), rate or track["timescale"]
+    # PCM chunks are contiguous runs; join slices (single slice when the
+    # writer used one chunk)
+    data = b"".join(bytes(b[o:o + s]) for o, s in samples)
+    if codec == "raw":
+        x = (np.frombuffer(data, np.uint8).astype(np.float32) - 128.0) \
+            / 128.0
+    else:
+        x = np.frombuffer(data, _PCM_FOURCC[codec]).astype(np.float32) \
+            / 32768.0
+    if channels > 1:
+        x = x[::channels]
+    return x, rate or track["timescale"]
+
+
 # ---------------------------------------------------------------------------
 # minimal MJPEG-MP4 writer (single video track, one chunk)
 # ---------------------------------------------------------------------------
@@ -249,6 +294,48 @@ def _box(btype: bytes, payload: bytes) -> bytes:
 
 def _full(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
     return _box(btype, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+def encode_mp4_pcm(x: np.ndarray, rate: int = 8000) -> bytes:
+    """float samples in [-1, 1] → single-track mono sowt (LE 16-bit PCM)
+    MP4 bytes. One chunk; stts/media timescale = sample rate."""
+    pcm = (np.clip(np.asarray(x, np.float64), -1, 1)
+           * 32767).astype("<i2").tobytes()
+    n = len(pcm) // 2
+    if n == 0:
+        raise ValueError("need at least one sample")
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    first_sample_off = len(ftyp) + 8
+
+    entry = (b"\0" * 6 + struct.pack(">H", 1)      # dref index
+             + struct.pack(">HHI", 0, 0, 0)        # version/revision/vendor
+             + struct.pack(">HHHH", 1, 16, 0, 0)   # ch, bits, cid, pkt
+             + struct.pack(">I", rate << 16))      # 16.16 sample rate
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + _box(b"sowt", entry))
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _full(b"stsz", 0, 0, struct.pack(">II", 2, n))
+    stco = _full(b"stco", 0, 0, struct.pack(">II", 1, first_sample_off))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    smhd = _full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1)
+                 + _full(b"url ", 0, 1, b""))
+    minf = _box(b"minf", smhd + _box(b"dinf", dref) + stbl)
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, rate, n,
+                                            0x55C4, 0))
+    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"soun"
+                 + b"\0" * 12 + b"SoundHandler\0")
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(b"tkhd", 0, 3, struct.pack(">IIII", 0, 0, 1, 0)
+                 + struct.pack(">I", n) + b"\0" * 8
+                 + struct.pack(">hhhh", 0, 0, 0x0100, 0) + _UNITY_MATRIX
+                 + struct.pack(">II", 0, 0))
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full(b"mvhd", 0, 0, struct.pack(">IIII", 0, 0, rate, n)
+                 + struct.pack(">IH", 0x00010000, 0x0100) + b"\0" * 10
+                 + _UNITY_MATRIX + b"\0" * 24 + struct.pack(">I", 2))
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + _box(b"mdat", pcm) + moov
 
 
 def encode_mp4_mjpeg(frames: list[np.ndarray], fps: int = 10,

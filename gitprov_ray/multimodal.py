@@ -335,20 +335,30 @@ class FeatureExtract:
 
 
 class AudioFeatures:
-    """WAV payload → duration_ms, rms, zero-crossing rate and a windowed
-    RMS-envelope embedding. REAL via the stdlib wave module; non-WAV
-    payloads stubbed (fake = seeded)."""
+    """audio payload → duration_ms, rms, zero-crossing rate and a
+    windowed RMS-envelope embedding. REAL for PCM WAV (stdlib wave) and
+    PCM-in-MP4 (mp4codec demux, sowt/twos/raw sample entries);
+    compressed audio (AAC, MP3, …) raises naming the codec (fake =
+    seeded)."""
 
     def __init__(self, env_dim: int = 16, deterministic_fake: bool = False):
         self.env_dim = env_dim
         self.fake = deterministic_fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from . import mp4codec
+
         ids, durs, rmss, zcrs, envs = [], [], [], [], []
         for mid, p in zip(batch.column("media_id").to_pylist(),
                           batch.column("payload").to_pylist()):
             b = p or b""
             parsed = parse_wav(b)
+            if parsed is None and mp4codec.is_mp4(b):
+                try:
+                    parsed = mp4codec.decode_mp4_audio(b)
+                except (NotImplementedError, ValueError):
+                    if not self.fake:
+                        raise            # name the codec, don't mask it
             if parsed is not None:
                 x, rate = parsed
                 durs.append(int(len(x) * 1000 / max(rate, 1)))
