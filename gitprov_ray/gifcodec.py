@@ -3,12 +3,10 @@
 Implements the GIF87a/89a subset that matters for frame extraction from
 real files: global + local color tables, variable-width LZW decode,
 interlaced images, graphic-control transparency, and frame composition
-with disposal methods 0/1 (leave) and 2 (restore to background).
-Disposal 3 (restore previous) raises ``NotImplementedError`` — like
-``jpegcodec``/``pngcodec`` this is the baseline path that turns the
-multimodal video stub into a real compressed-format decode (animated
-GIF is the one compressed video-adjacent container expressible without
-external libraries), not a general imaging library.
+with all four disposal methods — 0/1 (leave), 2 (restore to
+background) and 3 (restore previous). Like ``jpegcodec``/``pngcodec``
+this is the path that turns the multimodal video stub into a real
+compressed-format decode, not a general imaging library.
 
 The encoder writes GIF89a with one global color table (≤256 unique
 colors across frames required) so tests can round-trip real multi-frame
@@ -205,6 +203,7 @@ def decode_gif(b: bytes) -> list[np.ndarray]:
     pending_disposal = 0
     prev_disposal = 0
     prev_rect = None
+    prev_saved = None                   # canvas snapshot for disposal 3
     while pos < len(b):
         block = b[pos]
         pos += 1
@@ -220,9 +219,6 @@ def decode_gif(b: bytes) -> list[np.ndarray]:
                 pos += size + 1
                 pending_transparent = tidx if (gflags & 1) else None
                 pending_disposal = (gflags >> 2) & 7
-                if pending_disposal == 3:
-                    raise NotImplementedError(
-                        "GIF disposal 3 (restore previous) not supported")
             while True:                 # skip (remaining) sub-blocks
                 size = b[pos]
                 pos += 1
@@ -260,6 +256,10 @@ def decode_gif(b: bytes) -> list[np.ndarray]:
             (pl, pt, pw, ph) = prev_rect
             canvas[pt:pt + ph, pl:pl + pw] = (
                 gct[bg_idx] if gct is not None and bg_idx < len(gct) else 0)
+        elif prev_disposal == 3 and prev_saved is not None:
+            canvas = prev_saved         # restore-previous (spec §23)
+        # disposal 3 restores to the canvas as it was BEFORE this frame
+        prev_saved = canvas.copy() if pending_disposal == 3 else None
         rgb = table[np.minimum(idx, len(table) - 1)]
         region = canvas[top:top + fh, left:left + fw]
         if pending_transparent is not None:

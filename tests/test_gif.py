@@ -216,6 +216,27 @@ def test_disposal_applies_to_own_frame_not_next():
     assert (f2[1][1:3, 1:3] == gct[2]).all()
 
 
+def test_disposal_restore_previous():
+    """Disposal 3 (restore previous): the canvas under a frame comes
+    back before the NEXT frame draws — an overlay that must not stick."""
+    gct = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                   np.uint8)
+    base = np.full((4, 4), 1, np.uint8)          # red background frame
+    overlay = np.full((2, 2), 3, np.uint8)       # blue overlay at (1,1)
+    dot = np.full((1, 1), 2, np.uint8)           # green dot at (0,0)
+    gif = (_gif_header(4, 4, gct) +
+           _gce(disposal=1) + _img_block(0, 0, base) +
+           _gce(disposal=3) + _img_block(1, 1, overlay) +
+           _img_block(0, 0, dot) +
+           b"\x3b")
+    frames = G.decode_gif(gif)
+    assert (frames[1][1:3, 1:3] == gct[3]).all()  # overlay visible on f1
+    # frame2: overlay restored away (red again), only the dot differs
+    assert (frames[2][0, 0] == gct[2]).all()
+    assert (frames[2][1:3, 1:3] == gct[1]).all()
+    assert (frames[2][3, :] == gct[1]).all()
+
+
 def test_transparency_is_one_shot():
     gct = np.array([[0, 0, 0], [255, 0, 0], [7, 7, 7]], np.uint8)
     full1 = np.full((3, 3), 1, np.uint8)
