@@ -68,6 +68,8 @@ def _classify(triples: pd.DataFrame) -> dict[str, str]:
 def _graph_model(triples: pd.DataFrame, max_nodes: int):
     """(nodes, edges, truncated): nodes = [(uri, kind, col, row)] with
     deterministic layered positions; edges = [(src, dst, label)]."""
+    if len(triples) == 0 or "pred" not in triples.columns:
+        return [], [], False            # empty diagram, not a crash
     kinds = _classify(triples)
     rel = triples[(triples["pred"] != _RDF_TYPE)
                   & ~triples["obj_is_literal"].astype(bool)]

@@ -74,7 +74,10 @@ def test_serialize_dispatch_validates():
     from gitprov_ray import serializers
 
     with pytest.raises(ValueError):
-        serializers.serialize(pd.DataFrame(), "application/pdf")
+        serializers.serialize(pd.DataFrame(), "application/x-not-a-format")
+    # application/pdf IS a format now (provviz) — empty frame, valid doc
+    assert serializers.serialize(pd.DataFrame(), "application/pdf")[:5] \
+        == b"%PDF-"
 
 
 def test_provn_category_major_order(tiny_corpus):
