@@ -1155,6 +1155,29 @@ def q_sparql_text_distributed(sf_dir: str):
     return sparql_lite.select_text_distributed(tri, q)
 
 
+def q_sparql_agg_full_distributed(sf_dir: str):
+    """The generalized distributed aggregate surface
+    (sparql_lite._aggregate_binding_ds_full) in one query: multiple
+    aggregates (COUNT(*), COUNT DISTINCT, MIN, GROUP_CONCAT DISTINCT),
+    HAVING evaluated in the merge, and DESC ORDER BY — all on the
+    Dataset scale path (value-shipping shape: the DISTINCT/concat
+    aggregates co-locate each group whole through ONE bucketed
+    shuffle). GROUP_CONCAT order is pinned codepoint-sorted on this
+    path, matching the oracle's string_agg(... ORDER BY)."""
+    from . import sparql_lite
+
+    tri = _docs_triples(sf_dir)
+    q = """
+        PREFIX ex: <http://docs.example/>
+        SELECT ?s (COUNT(*) AS ?n) (COUNT(DISTINCT ?l) AS ?nl)
+               (MIN(?l) AS ?lo)
+               (GROUP_CONCAT(DISTINCT ?l; SEPARATOR=",") AS ?langs)
+        WHERE { ?d ex:source ?s . ?d ex:lang ?l }
+        GROUP BY ?s HAVING (COUNT(*) > 1) ORDER BY DESC(?s)
+    """
+    return sparql_lite.select_text_distributed(tri, q)
+
+
 def q_sparql_graph(sf_dir: str):
     """SPARQL GRAPH clause (SPARQL 1.1 §13.3) over a quad-shaped corpus
     (docs triples named by their source graph): GRAPH ?g binds the graph
@@ -1263,6 +1286,7 @@ QUERIES = {
     "q_sparql_having": q_sparql_having,
     "q_sparql_expr": q_sparql_expr,
     "q_sparql_text_distributed": q_sparql_text_distributed,
+    "q_sparql_agg_full_distributed": q_sparql_agg_full_distributed,
     "q_sparql_graph": q_sparql_graph,
     "q_transitive_closure": q_transitive_closure,
     "q_sparql_not_exists": q_sparql_not_exists,
@@ -1588,6 +1612,13 @@ ORACLE_SQL = {
         SELECT source AS s, COUNT(*) AS n
         FROM documents WHERE lang IN ('en', 'de')
         GROUP BY source ORDER BY s
+    """,
+    "q_sparql_agg_full_distributed": """
+        SELECT source AS s, COUNT(*) AS n, COUNT(DISTINCT lang) AS nl,
+               MIN(lang) AS lo,
+               string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
+        FROM documents GROUP BY source HAVING COUNT(*) > 1
+        ORDER BY s DESC
     """,
     "q_sparql_graph": """
         SELECT source AS g, COUNT(*) AS n

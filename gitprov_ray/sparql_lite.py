@@ -1476,11 +1476,14 @@ def select_text_distributed(triples_ds, query: str,
     a Dataset of bindings; the answer equals ``select_text`` for every
     supported query (pinned by tests).
 
-    Supported: BGP + FILTER + BIND + one COUNT/SUM/AVG/MIN/MAX aggregate
-    with GROUP BY + DISTINCT + ORDER BY + LIMIT. OPTIONAL/UNION have
-    their own distributed twins (select_optional_distributed,
-    select_union_distributed); everything else raises with a pointer to
-    select_text."""
+    Supported: BGP + FILTER + BIND + the full aggregate battery
+    (COUNT/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT, DISTINCT variants,
+    multiple aggregates, GROUP BY, HAVING — _aggregate_binding_ds_full)
+    + DISTINCT + ORDER BY (ASC and DESC) + LIMIT + OFFSET-with-LIMIT
+    (the bounded prefix materializes, size ≤ OFFSET+LIMIT by the
+    query's own modifiers). OPTIONAL/UNION have their own distributed
+    twins (select_optional_distributed, select_union_distributed);
+    everything else raises with a pointer to select_text."""
     plan = parse_select(query)
     unsupported = [k for k in
                    ("optional_groups", "union_branches", "values_clauses",
@@ -1491,8 +1494,10 @@ def select_text_distributed(triples_ds, query: str,
             f"select_text_distributed does not evaluate {unsupported}; "
             "use select_text (driver) or the dedicated *_distributed "
             "twins")
-    if plan["offset"]:
-        raise SparqlSyntaxError("OFFSET unsupported on the Dataset path")
+    if plan["offset"] and plan["limit"] is None:
+        raise SparqlSyntaxError(
+            "OFFSET without LIMIT is unbounded on the Dataset path; "
+            "add LIMIT or use select_text")
     ds = select_distributed(triples_ds, plan["patterns"], graph=graph)
     bound = {t[1:] for pat in plan["patterns"] for t in pat
              if _is_var(t)} | {bv for _, bv in plan["binds"]}
@@ -1510,24 +1515,7 @@ def select_text_distributed(triples_ds, query: str,
 
         ds = ds.map_batches(eval_batch, batch_format="pandas")
     if plan["aggregates"] or plan["group_by"]:
-        if plan["havings"] or len(plan["aggregates"]) != 1:
-            raise SparqlSyntaxError(
-                "the Dataset path takes exactly one aggregate and no "
-                "HAVING; use select_text")
-        spec = plan["aggregates"][0]
-        if spec["func"] not in ("COUNT", "SUM", "AVG", "MIN", "MAX") \
-                or spec["distinct"]:
-            raise SparqlSyntaxError(
-                f"distributed {spec['func']}"
-                f"{' DISTINCT' if spec['distinct'] else ''} unsupported; "
-                "use select_text")
-        if not plan["group_by"]:
-            raise SparqlSyntaxError(
-                "the Dataset aggregate path needs GROUP BY")
-        arg = None if spec["arg"] == "*" else spec["arg"]
-        ds = _aggregate_binding_ds(ds, plan["group_by"],
-                                   spec["func"].lower(), arg,
-                                   spec["alias"])
+        ds = _aggregate_binding_ds_full(ds, plan)
     elif plan["variables"] and not plan["star"]:
         cols = tuple(v.lstrip("?") for v in plan["variables"])
         ds = ds.map_batches(lambda df, k=cols: df[list(k)],
@@ -1549,10 +1537,16 @@ def select_text_distributed(triples_ds, query: str,
               .map_groups(lambda df: df.drop(columns="bucket")
                           .drop_duplicates(), batch_format="pandas"))
     if plan["order_by"]:
-        if not all(asc for _, asc in plan["order_by"]):
-            raise SparqlSyntaxError(
-                "DESC unsupported on the Dataset path")
-        ds = ds.sort([v.lstrip("?") for v, _ in plan["order_by"]])
+        ds = ds.sort([v.lstrip("?") for v, _ in plan["order_by"]],
+                     descending=[not asc for _, asc in plan["order_by"]])
+    if plan["offset"]:
+        # bounded by the query's own OFFSET+LIMIT (the no-LIMIT case was
+        # rejected above): materialize the prefix, slice, re-wrap
+        import ray
+
+        head = ds.limit(plan["offset"] + plan["limit"]).to_pandas()
+        return ray.data.from_pandas(
+            head.iloc[plan["offset"]:].reset_index(drop=True))
     if plan["limit"] is not None:
         ds = ds.limit(plan["limit"])
     return ds
@@ -1796,6 +1790,215 @@ def _aggregate_binding_ds(ds, group_vars: list[str], agg: str,
             .map_batches(bucketize, batch_format="pandas")
             .groupby("bucket")
             .map_groups(merge_group, batch_format="pandas"))
+
+
+def _one_agg_det(sub: pd.DataFrame, spec: dict):
+    """Deterministic distributed variant of :func:`_one_agg` for the
+    order-sensitive aggregates: after a shuffle the within-group row
+    order is arrival order, so GROUP_CONCAT joins values in codepoint
+    order and SAMPLE returns the codepoint-min value. SPARQL leaves both
+    orders unspecified (§18.5.1.7 / §18.5.1.13); the driver path keeps
+    binding-frame order, this path pins a sorted one so answers are
+    stable run to run."""
+    func, arg = spec["func"], spec["arg"]
+    if func == "GROUP_CONCAT":
+        s = sub[arg[1:]].dropna().astype(str)
+        if spec["distinct"]:
+            s = s.drop_duplicates()
+        sep = spec.get("separator")
+        return (" " if sep is None else sep).join(sorted(s))
+    if func == "SAMPLE":
+        s = sub[arg[1:]].dropna()
+        if not len(s):
+            return None
+        pick = s.astype(str).sort_values(kind="mergesort").index[0]
+        return s.loc[pick]
+    return _one_agg(sub, spec)
+
+
+def _aggregate_binding_ds_full(ds, plan: dict):
+    """General distributed GROUP BY + aggregates + HAVING over a binding
+    Dataset — the scale twin of :func:`_apply_aggregates` (§11).
+
+    Two execution shapes, both ONE stable_bucket shuffle on the group
+    key (CLAUDE.md invariant 6 — never Ray's multi-key aggregate at
+    high cardinality):
+
+      * every aggregate mergeable (COUNT/SUM/AVG non-DISTINCT, MIN/MAX
+        with or without DISTINCT — DISTINCT never changes a min/max) →
+        per-batch partial combine, shuffle carries one row per
+        (group, batch), merge folds the partials;
+      * any order/identity-sensitive aggregate (COUNT/SUM/AVG DISTINCT,
+        GROUP_CONCAT, SAMPLE) → the batch projects to the group + arg
+        columns only (narrow rows), the shuffle co-locates each group
+        whole, and the merge runs the driver kernels per group
+        (GROUP_CONCAT/SAMPLE pinned deterministic, _one_agg_det).
+
+    HAVING evaluates inside the merge (each group is complete there).
+    Dtype divergence from the driver path, documented: distributed SUM
+    and AVG are always float64 (the driver casts an all-integral SUM
+    column to int64, a whole-column decision a per-bucket merge cannot
+    make); COUNT is int64 on both."""
+    from .stages.versions import stable_bucket
+
+    gv = list(plan["group_by"])
+    specs = [dict(s) for s in plan["aggregates"]]
+    havings = plan.get("havings", [])
+    hidden: list[str] = []
+    for n, h in enumerate(hv for hv in havings if "func" in hv):
+        specs.append({"func": h["func"], "arg": h["arg"],
+                      "distinct": h.get("distinct", False),
+                      "alias": f"__h{n}", "separator": None, "_having": h})
+        hidden.append(f"__h{n}")
+    if not specs:                       # bare GROUP BY → distinct keys
+        specs.append({"func": "COUNT", "arg": "*", "distinct": False,
+                      "alias": "__n", "separator": None})
+        hidden.append("__n")
+
+    def mergeable(s: dict) -> bool:
+        if s["func"] in ("MIN", "MAX"):
+            return True
+        return s["func"] in ("COUNT", "SUM", "AVG") and not s["distinct"]
+
+    all_mergeable = all(mergeable(s) for s in specs)
+    arg_cols = sorted({s["arg"][1:] for s in specs if s["arg"] != "*"})
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df.assign(bucket=pd.Series([], dtype="int64"))
+        df = df.copy()
+        if not gv:                       # global aggregate: one group
+            df["bucket"] = np.zeros(len(df), dtype="int64")
+            return df
+        key = df[gv[0]].astype(str)
+        for g2 in gv[1:]:
+            key = key + "\x1f" + df[g2].astype(str)
+        df["bucket"] = stable_bucket(key, key, 32)
+        return df
+
+    aggmap: dict[str, str] = {}
+    if all_mergeable:
+        for s in specs:
+            a = s["alias"]
+            if s["func"] == "COUNT":
+                aggmap[f"__{a}_n"] = "sum"
+            elif s["func"] in ("SUM", "AVG"):
+                aggmap[f"__{a}_s"] = "sum"
+                if s["func"] == "AVG":
+                    aggmap[f"__{a}_c"] = "sum"
+            else:                        # MIN / MAX
+                mm = "min" if s["func"] == "MIN" else "max"
+                aggmap[f"__{a}_vn"] = mm
+                aggmap[f"__{a}_vs"] = mm
+                aggmap[f"__{a}_nn"] = "sum"
+                aggmap[f"__{a}_nm"] = "sum"
+
+    def _reduce(tmp: pd.DataFrame) -> pd.DataFrame:
+        if gv:
+            return tmp.groupby(gv, sort=False, as_index=False,
+                               dropna=False).agg(aggmap)
+        return pd.DataFrame([{c: (tmp[c].sum() if how == "sum"
+                                  else getattr(tmp[c].dropna(), how)()
+                                  if tmp[c].notna().any() else None)
+                              for c, how in aggmap.items()}])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(columns=gv + list(aggmap))
+        tmp = df[gv].copy() if gv else pd.DataFrame(index=df.index)
+        for s in specs:
+            a, arg = s["alias"], s["arg"]
+            if s["func"] == "COUNT":
+                tmp[f"__{a}_n"] = (np.ones(len(df), dtype="int64")
+                                   if arg == "*" else
+                                   df[arg[1:]].notna().astype("int64"))
+            elif s["func"] in ("SUM", "AVG"):
+                v = pd.to_numeric(df[arg[1:]], errors="coerce")
+                tmp[f"__{a}_s"] = v.fillna(0.0).astype("float64")
+                if s["func"] == "AVG":
+                    tmp[f"__{a}_c"] = v.notna().astype("int64")
+            else:                        # MIN / MAX (driver semantics:
+                col = df[arg[1:]]        # numeric order iff all coerce)
+                v = pd.to_numeric(col, errors="coerce")
+                tmp[f"__{a}_vn"] = v.astype("float64")
+                tmp[f"__{a}_vs"] = col.astype(str).where(col.notna())
+                tmp[f"__{a}_nn"] = col.notna().astype("int64")
+                tmp[f"__{a}_nm"] = v.notna().astype("int64")
+        return _reduce(tmp)
+
+    def _finalize(m: pd.DataFrame) -> pd.DataFrame:
+        out = m[gv].copy() if gv else pd.DataFrame(index=m.index)
+        for s in specs:
+            a = s["alias"]
+            if s["func"] == "COUNT":
+                out[a] = m[f"__{a}_n"].astype("int64")
+            elif s["func"] == "SUM":
+                out[a] = m[f"__{a}_s"].astype("float64")
+            elif s["func"] == "AVG":
+                c = m[f"__{a}_c"]
+                out[a] = np.where(c > 0, m[f"__{a}_s"] / c.replace(0, 1),
+                                  np.nan)
+            else:
+                nn, nm = m[f"__{a}_nn"], m[f"__{a}_nm"]
+                use_num = (nn > 0) & (nm == nn)
+                out[a] = m[f"__{a}_vs"].astype(object)
+                out.loc[use_num, a] = m.loc[use_num, f"__{a}_vn"]
+                out.loc[nn == 0, a] = None
+        return out
+
+    def merge_values(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="bucket")
+        groups = (df.groupby(gv, sort=False, dropna=False) if gv
+                  else [((), df)])
+        rows = []
+        for key, sub in groups:
+            key = key if isinstance(key, tuple) else (key,)
+            row = dict(zip(gv, key))
+            for s in specs:
+                row[s["alias"]] = _one_agg_det(sub, s)
+            rows.append(row)
+        out = pd.DataFrame(rows, columns=gv + [s["alias"] for s in specs])
+        for s in specs:
+            a = s["alias"]
+            if s["func"] == "COUNT":
+                out[a] = out[a].astype("int64")
+            elif s["func"] in ("SUM", "AVG"):
+                out[a] = pd.to_numeric(out[a], errors="coerce") \
+                    .astype("float64")
+        return out
+
+    def _post(out: pd.DataFrame) -> pd.DataFrame:
+        for h in havings:                # each group complete here (§11.5)
+            col = h["alias"] if "alias" in h else next(
+                s["alias"] for s in specs if s.get("_having") is h)
+            v = pd.to_numeric(out[col], errors="coerce")
+            mask = {"=": v == h["rhs"], "!=": v != h["rhs"],
+                    "<": v < h["rhs"], "<=": v <= h["rhs"],
+                    ">": v > h["rhs"], ">=": v >= h["rhs"]}[h["op"]]
+            out = out[mask.fillna(False)]
+        out = out.drop(columns=[c for c in hidden if c in out.columns])
+        proj = plan.get("projection")
+        return out[proj] if proj else out
+
+    if all_mergeable:
+        def merge_partials(df: pd.DataFrame) -> pd.DataFrame:
+            return _post(_finalize(_reduce(df.drop(columns="bucket"))))
+
+        return (ds.map_batches(partial, batch_format="pandas")
+                .map_batches(bucketize, batch_format="pandas")
+                .groupby("bucket")
+                .map_groups(merge_partials, batch_format="pandas"))
+
+    keep = gv + [c for c in arg_cols if c not in gv]
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return df[keep] if keep else df
+
+    return (ds.map_batches(project, batch_format="pandas")
+            .map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: _post(merge_values(df)),
+                        batch_format="pandas"))
 
 
 def construct_distributed(triples_ds, template: list[tuple],

@@ -204,8 +204,8 @@ def test_text_distributed_rejects_unsupported(ds):
                 OPTIONAL { ?d ex:note ?n } }""")
     with pytest.raises(S.SparqlSyntaxError):
         S.select_text_distributed(ds, Q + """
-            SELECT ?l (GROUP_CONCAT(?t) AS ?ts)
-            WHERE { ?d ex:lang ?l . ?d ex:title ?t } GROUP BY ?l""")
+            SELECT ?d WHERE { ?d ex:lang ?l .
+                VALUES ?l { "en" "de" } }""")
     with pytest.raises(S.SparqlSyntaxError):
         S.select_text_distributed(ds, Q + """
             SELECT ?d WHERE { ?d ex:lang ?l . FILTER BOUND(?zzz) }""")
