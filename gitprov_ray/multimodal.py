@@ -22,9 +22,11 @@ Adam7 interlace; palette/alpha expand), and so is GIF87a/89a
 animated GIF is the real compressed path through the video FrameSample
 stage). MP4 demux is REAL (``mp4codec.py``: ISO BMFF box walk + full
 sample-table resolution), and MJPEG-in-MP4 decodes end-to-end through
-the JPEG codec. Remaining compressed codecs
-(H.264/HEVC pixel decode, WebP/VP8, ...) are NOT implementable
-without external libraries in this container, so those paths are STUBS:
+the JPEG codec. WebP lossless is REAL (``webpcodec.py``: VP8L prefix
+codes, LZ77 + color cache, all four transforms). Remaining compressed
+codecs (H.264/HEVC pixel decode, lossy WebP/VP8, ...) are NOT
+implementable without external libraries in this container, so those
+paths are STUBS:
 by default they raise
 ``NotImplementedError`` naming the missing dependency; with
 ``deterministic_fake=True`` they produce seeded deterministic fakes so the
@@ -199,6 +201,13 @@ def decode_image(b: bytes):
             return gifcodec.decode_gif(b)[0]
         except (NotImplementedError, ValueError):
             return None
+    from . import webpcodec
+
+    if webpcodec.is_webp(b):            # lossless VP8L only; VP8 → None
+        try:
+            return webpcodec.decode_webp(b)
+        except (NotImplementedError, ValueError):
+            return None
     return None
 
 
@@ -285,6 +294,11 @@ class ImageResize:
                         out.append(gifcodec.encode_gif([small]))
                     except ValueError:
                         out.append(render_ppm(small))
+                    continue
+                from . import webpcodec
+
+                if webpcodec.is_webp(b):
+                    out.append(webpcodec.encode_webp_lossless(small))
                     continue
                 out.append(jpegcodec.encode_jpeg_baseline(
                     small.squeeze(-1) if small.shape[-1] == 1 else small))
@@ -455,12 +469,17 @@ def probe_media(b: bytes) -> dict:
     unknown is a legitimate probe RESULT, not an error (this is the
     metadata-extraction stage of a curation pipeline, where unprobeable
     payloads get filtered downstream, not crash the job)."""
-    from . import gifcodec, jpegcodec, mp4codec, pngcodec
+    from . import gifcodec, jpegcodec, mp4codec, pngcodec, webpcodec
 
     b = b or b""
     out = {"format": "unknown", "codec": "", "width": -1, "height": -1,
            "frames": -1, "duration_ms": -1}
     try:
+        if webpcodec.is_webp(b):
+            p = webpcodec.probe_webp(b)
+            out.update(format="webp", codec=p["codec"],
+                       width=p["width"], height=p["height"], frames=1)
+            return out
         if jpegcodec.is_jpeg(b):
             p = jpegcodec.probe_jpeg(b)
             out.update(format="jpeg",
@@ -618,17 +637,28 @@ def _synth_png(seed: int, w: int = 24, h: int = 18) -> bytes:
         rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8).astype(np.uint8))
 
 
+def _synth_webp(seed: int, w: int = 24, h: int = 18) -> bytes:
+    from . import webpcodec
+
+    rng = np.random.RandomState(seed)
+    return webpcodec.encode_webp_lossless(
+        rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8),
+        use_subtract_green=True, cache_bits=4)
+
+
 def synth_media_table(n: int = 32, seed: int = 42) -> pa.Table:
     """Deterministic media corpus with REAL payloads: netpbm + baseline
-    JPEG + PNG images, PCM WAV audio, concatenated-PPM streams, animated
-    GIF and MJPEG-MP4 video."""
+    JPEG + PNG + lossless WebP images, PCM WAV audio, concatenated-PPM
+    streams, animated GIF and MJPEG-MP4 video."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
-        if kind == "image" and (i // 3) % 3 == 1:
+        if kind == "image" and (i // 3) % 4 == 1:
             payload, mime = _synth_jpeg(seed + i), "image/jpeg"
-        elif kind == "image" and (i // 3) % 3 == 2:
+        elif kind == "image" and (i // 3) % 4 == 2:
             payload, mime = _synth_png(seed + i), "image/png"
+        elif kind == "image" and (i // 3) % 4 == 3:
+            payload, mime = _synth_webp(seed + i), "image/webp"
         elif kind == "image":
             payload, mime = _synth_ppm(seed + i), "image/x-portable-pixmap"
         elif kind == "audio":

@@ -133,6 +133,10 @@ def test_image_stages_accept_jpeg():
             from gitprov_ray import pngcodec
 
             assert pngcodec.decode_png(payload).shape[:2] == (32, 32)
+        elif mime == "image/webp":
+            from gitprov_ray import webpcodec
+
+            assert webpcodec.decode_webp(payload).shape[:2] == (32, 32)
         else:
             assert M.parse_ppm(payload)[0].shape[:2] == (32, 32)
 
