@@ -615,7 +615,19 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     br.read(1)                                # alpha hint (informational)
     if br.read(3) != 0:
         raise ValueError("VP8L: unknown version")
+    px = _decode_argb_stream(br, w, h)
+    a, r, g, b = px[..., 0], px[..., 1], px[..., 2], px[..., 3]
+    rgb = np.stack([r, g, b], axis=-1)
+    if (a != 255).any():
+        return np.concatenate([rgb, a[..., None]], axis=-1)
+    return rgb
 
+
+def _decode_argb_stream(br: _BitReader, w: int, h: int) -> np.ndarray:
+    """Headerless VP8L image stream (transform chain + spatially-coded
+    image) → (h, w, 4) uint8 in A,R,G,B order. Shared by the VP8L chunk
+    body and the ALPH alpha-plane stream (container spec §Alpha, which
+    stores the same stream without the signature/dimension header)."""
     # transforms: read order captured with the width active at read time
     transforms: list[tuple] = []
     xsize = w
@@ -687,11 +699,68 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
         elif kind == "predictor":
             _apply_inverse_predictor(px, tw, h, data, bits)
 
-    a, r, g, b = px[..., 0], px[..., 1], px[..., 2], px[..., 3]
-    rgb = np.stack([r, g, b], axis=-1)
-    if (a != 255).any():
-        return np.concatenate([rgb, a[..., None]], axis=-1)
-    return rgb
+    return px
+
+
+def decode_alpha(alph_payload: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk payload → (h, w) uint8 alpha plane (container spec:
+    1 header byte — 2 bits each reserved/preprocessing/filter/compression
+    — then either raw bytes or a headerless VP8L stream with alpha in
+    the green channel, plus an optional prediction filter)."""
+    if not alph_payload:
+        raise ValueError("ALPH: empty chunk")
+    head = alph_payload[0]
+    compression = head & 0x3
+    filter_ = (head >> 2) & 0x3
+    if compression == 0:
+        plane = np.frombuffer(alph_payload, np.uint8, count=w * h,
+                              offset=1).reshape(h, w).copy()
+    elif compression == 1:
+        br = _BitReader(alph_payload)
+        br.pos = 8
+        plane = _decode_argb_stream(br, w, h)[..., 2].copy()  # green
+    else:
+        raise ValueError(f"ALPH: unknown compression {compression}")
+    if filter_:
+        # inverse prediction filters (A=left, B=above, C=above-left);
+        # first pixel predicts from 0, top row from A, left column from B
+        p = plane.astype(np.int16)
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    pred = 0
+                elif y == 0:
+                    pred = p[0, x - 1]
+                elif x == 0:
+                    pred = p[y - 1, 0]
+                elif filter_ == 1:            # horizontal
+                    pred = p[y, x - 1]
+                elif filter_ == 2:            # vertical
+                    pred = p[y - 1, x]
+                else:                         # gradient
+                    pred = int(np.clip(p[y, x - 1] + p[y - 1, x]
+                                       - p[y - 1, x - 1], 0, 255))
+                p[y, x] = (p[y, x] + pred) & 0xFF
+        plane = p.astype(np.uint8)
+    return plane
+
+
+def decode_webp_alpha(b: bytes) -> np.ndarray | None:
+    """Decode the ALPH chunk of an extended WebP file → (h, w) uint8, or
+    None when the file has no separate alpha plane. Works even when the
+    color payload is the lossy-VP8 stub — the alpha plane is VP8L-coded
+    and fully decodable."""
+    alph = None
+    for tag, p in _riff_chunks(b):
+        if tag == b"ALPH":
+            alph = p
+            break
+    if alph is None:
+        return None
+    meta = probe_webp(b)
+    if meta["width"] < 0 or meta["height"] < 0:
+        raise ValueError("ALPH without canvas dimensions")
+    return decode_alpha(alph, meta["width"], meta["height"])
 
 
 def decode_webp(b: bytes) -> np.ndarray:

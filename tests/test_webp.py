@@ -145,6 +145,66 @@ def test_real_world_lossy_file_probe_and_stub():
         wc.decode_webp(b)
 
 
+def test_real_libwebp_alpha_stream_decodes():
+    """The ALPH chunk of the stdlib's python.webp is a headerless VP8L
+    stream written by REAL libwebp — decoding it exercises the prefix
+    code / LZ77 / cache machinery against a non-self-written bitstream.
+    The plane must look like the Python-logo mask, not noise."""
+    candidates = glob.glob(
+        "/root/.pyenv/versions/*/lib/python*/test/*/python.webp")
+    if not candidates:
+        pytest.skip("no real-world webp on this host")
+    b = open(candidates[0], "rb").read()
+    alpha = wc.decode_webp_alpha(b)
+    assert alpha.shape == (16, 16)
+    assert alpha.dtype == np.uint8
+    # a logo mask is bimodal: mostly fully-opaque or fully-transparent
+    frac_extreme = ((alpha == 0) | (alpha == 255)).mean()
+    assert frac_extreme > 0.5       # measured 0.594 (16×16 → soft edges)
+    assert 0.2 < (alpha == 255).mean() < 0.8
+
+
+def test_decode_webp_alpha_none_without_alph():
+    arr = np.zeros((3, 3, 3), dtype=np.uint8)
+    assert wc.decode_webp_alpha(wc.encode_webp_lossless(arr)) is None
+
+
+def test_alpha_filters_roundtrip():
+    """Raw-compression ALPH payloads with each prediction filter."""
+    rng = np.random.RandomState(30)
+    plane = rng.randint(0, 256, (6, 9), dtype=np.uint8)
+    for filt in (0, 1, 2, 3):
+        # forward-filter the plane the way an encoder would
+        p = plane.astype(np.int16)
+        res = np.zeros_like(p)
+        for y in range(6):
+            for x in range(9):
+                if x == 0 and y == 0:
+                    pred = 0
+                elif y == 0:
+                    pred = p[0, x - 1]
+                elif x == 0:
+                    pred = p[y - 1, 0]
+                elif filt == 0:
+                    pred = 0
+                elif filt == 1:
+                    pred = p[y, x - 1]
+                elif filt == 2:
+                    pred = p[y - 1, x]
+                else:
+                    pred = int(np.clip(p[y, x - 1] + p[y - 1, x]
+                                       - p[y - 1, x - 1], 0, 255))
+                if filt == 0 and not (x == 0 or y == 0):
+                    pred = 0
+                res[y, x] = (p[y, x] - pred) & 0xFF
+        if filt == 0:
+            payload = bytes([0]) + plane.tobytes()   # raw, no filter
+        else:
+            payload = bytes([filt << 2]) + res.astype(np.uint8).tobytes()
+        out = wc.decode_alpha(payload, 9, 6)
+        assert (out == plane).all(), filt
+
+
 def test_not_webp_rejected():
     with pytest.raises(ValueError):
         wc.decode_webp(b"GIF89a....")
