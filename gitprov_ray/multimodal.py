@@ -403,8 +403,9 @@ class AudioFeatures:
 class FrameSample:
     """video payload → k evenly-spaced frames. REAL for concatenated-PPM
     streams (ffmpeg image2pipe/ppm), animated GIF (gifcodec.py — LZW
-    decode + frame composition) and MJPEG-in-MP4 (mp4codec.py — ISO BMFF
-    demux + per-sample JPEG decode); inter-coded MP4 (avc1/hev1) raises
+    decode + frame composition), MJPEG-in-MP4 (mp4codec.py — ISO BMFF
+    demux + per-sample JPEG decode) and animated WebP (webpcodec.py —
+    VP8L frames + ANMF composition); inter-coded MP4 (avc1/hev1) raises
     naming the codec (fake = sliced digests). Output is exploded (one
     row per sampled frame, rendered as PPM)."""
 
@@ -435,6 +436,17 @@ class FrameSample:
                     if not self.fake:
                         raise            # name the codec, don't mask it
                     decoded = None
+            else:
+                from . import webpcodec
+
+                if webpcodec.is_webp(b):  # animated WebP: real VP8L path
+                    try:
+                        decoded = [f[..., :3]
+                                   for f in webpcodec.decode_webp_frames(b)]
+                    except (NotImplementedError, ValueError):
+                        if not self.fake:
+                            raise        # name the codec, don't mask it
+                        decoded = None
             if decoded:
                 n = len(decoded)
                 picks = sorted({(i * n) // self.k for i in range(self.k)}) \
@@ -478,7 +490,10 @@ def probe_media(b: bytes) -> dict:
         if webpcodec.is_webp(b):
             p = webpcodec.probe_webp(b)
             out.update(format="webp", codec=p["codec"],
-                       width=p["width"], height=p["height"], frames=1)
+                       width=p["width"], height=p["height"],
+                       frames=p["frames"] if p["animated"] else 1,
+                       duration_ms=p["duration_ms"] if p["animated"]
+                       else -1)
             return out
         if jpegcodec.is_jpeg(b):
             p = jpegcodec.probe_jpeg(b)
@@ -646,6 +661,16 @@ def _synth_webp(seed: int, w: int = 24, h: int = 18) -> bytes:
         use_subtract_green=True, cache_bits=4)
 
 
+def _synth_webp_anim(seed: int, frames: int = 6, w: int = 16,
+                     h: int = 12) -> bytes:
+    from . import webpcodec
+
+    rng = np.random.RandomState(seed)
+    return webpcodec.encode_webp_anim(
+        [rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+         for _ in range(frames)], duration_ms=50)
+
+
 def synth_media_table(n: int = 32, seed: int = 42) -> pa.Table:
     """Deterministic media corpus with REAL payloads: netpbm + baseline
     JPEG + PNG + lossless WebP images, PCM WAV audio, concatenated-PPM
@@ -663,10 +688,12 @@ def synth_media_table(n: int = 32, seed: int = 42) -> pa.Table:
             payload, mime = _synth_ppm(seed + i), "image/x-portable-pixmap"
         elif kind == "audio":
             payload, mime = _synth_wav(seed + i), "audio/wav"
-        elif (i // 3) % 3 == 1:
+        elif (i // 3) % 4 == 1:
             payload, mime = _synth_gif(seed + i), "image/gif"
-        elif (i // 3) % 3 == 2:
+        elif (i // 3) % 4 == 2:
             payload, mime = _synth_mp4(seed + i), "video/mp4"
+        elif (i // 3) % 4 == 3:
+            payload, mime = _synth_webp_anim(seed + i), "image/webp"
         else:
             payload, mime = _synth_ppm_stream(seed + i), "video/x-ppm-stream"
         rows.append({

@@ -64,15 +64,22 @@ def _find_vp8l(b: bytes) -> bytes | None:
 
 
 def probe_webp(b: bytes) -> dict:
-    """Header-only metadata: {codec, width, height, has_alpha}. codec is
-    'lossless' (VP8L), 'lossy' (VP8) or 'extended' dims from VP8X."""
-    out = {"codec": "", "width": -1, "height": -1, "has_alpha": False}
+    """Header-only metadata: {codec, width, height, has_alpha, animated,
+    frames, duration_ms}. codec is 'lossless' (VP8L), 'lossy' (VP8),
+    'animated' or 'extended' dims from VP8X."""
+    out = {"codec": "", "width": -1, "height": -1, "has_alpha": False,
+           "animated": False, "frames": 0, "duration_ms": 0}
     for tag, p in _riff_chunks(b):
         if tag == b"VP8X" and len(p) >= 10:
             out["codec"] = out["codec"] or "extended"
             out["has_alpha"] = bool(p[0] & 0x10)
+            out["animated"] = bool(p[0] & 0x02)
             out["width"] = 1 + (p[4] | p[5] << 8 | p[6] << 16)
             out["height"] = 1 + (p[7] | p[8] << 8 | p[9] << 16)
+        elif tag == b"ANMF" and len(p) >= 16:
+            out["codec"] = "animated"
+            out["frames"] += 1
+            out["duration_ms"] += p[12] | p[13] << 8 | p[14] << 16
         elif tag == b"VP8L" and len(p) >= 5 and p[0] == 0x2F:
             bits = struct.unpack_from("<I", p, 1)[0]
             out["codec"] = "lossless"
@@ -764,17 +771,138 @@ def decode_webp_alpha(b: bytes) -> np.ndarray | None:
 
 
 def decode_webp(b: bytes) -> np.ndarray:
-    """WebP container → HxWxC uint8 (lossless/VP8L only; lossy VP8 and
-    animated WebP raise NotImplementedError naming the codec)."""
+    """WebP container → HxWxC uint8 (lossless/VP8L only; animated files
+    return their first composed frame; lossy VP8 raises
+    NotImplementedError naming the codec)."""
     if not is_webp(b):
         raise ValueError("not a WebP payload")
     vp8l = _find_vp8l(b)
     if vp8l is None:
+        if any(tag == b"ANMF" for tag, _ in _riff_chunks(b)):
+            return decode_webp_frames(b)[0]
         tags = [t.decode("ascii", "replace") for t, _ in _riff_chunks(b)]
         raise NotImplementedError(
             f"WebP payload has no VP8L chunk (found {tags}); lossy VP8 "
             "decode requires libwebp (not installed)")
     return decode_vp8l(vp8l)
+
+
+# ---------------------------------------------------------------------------
+# animated WebP (VP8X + ANIM/ANMF, container spec §Animation)
+# ---------------------------------------------------------------------------
+
+
+def _parse_anmf(p: bytes) -> tuple[dict, bytes]:
+    """ANMF payload → (frame header, frame-data bytes)."""
+    if len(p) < 16:
+        raise ValueError("ANMF: truncated header")
+    hdr = {
+        "x": 2 * (p[0] | p[1] << 8 | p[2] << 16),
+        "y": 2 * (p[3] | p[4] << 8 | p[5] << 16),
+        "w": 1 + (p[6] | p[7] << 8 | p[8] << 16),
+        "h": 1 + (p[9] | p[10] << 8 | p[11] << 16),
+        "duration_ms": p[12] | p[13] << 8 | p[14] << 16,
+        "no_blend": bool(p[15] & 0x02),
+        "dispose_background": bool(p[15] & 0x01),
+    }
+    return hdr, p[16:]
+
+
+def decode_webp_frames(b: bytes) -> list[np.ndarray]:
+    """Animated WebP → list of fully-composed HxWx4 RGBA canvas frames
+    (same contract as gifcodec.decode_gif: composition — subrect
+    placement, alpha-blend vs overwrite, dispose-to-background — is done
+    here so callers see complete frames). Lossy-coded frames raise
+    NotImplementedError naming VP8."""
+    meta = probe_webp(b)
+    if not meta["animated"] and meta["frames"] == 0:
+        arr = decode_webp(b)                  # static: one-frame list
+        if arr.shape[-1] == 3:
+            arr = np.concatenate(
+                [arr, np.full(arr.shape[:2] + (1,), 255, np.uint8)], -1)
+        return [arr]
+    cw, ch = meta["width"], meta["height"]
+    if cw < 0 or ch < 0:
+        raise ValueError("animated WebP without VP8X canvas size")
+    canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    for tag, p in _riff_chunks(b):
+        if tag != b"ANMF":
+            continue
+        hdr, data = _parse_anmf(p)
+        sub = None
+        for ftag, fp in _riff_chunks(b"\x00" * 12 + data):
+            if ftag == b"VP8L":
+                sub = decode_vp8l(fp)
+            elif ftag == b"VP8 ":
+                raise NotImplementedError(
+                    "animated WebP frame is lossy VP8; decode requires "
+                    "libwebp (not installed)")
+        if sub is None:
+            raise ValueError("ANMF frame without image data")
+        if sub.shape[-1] == 3:
+            sub = np.concatenate(
+                [sub, np.full(sub.shape[:2] + (1,), 255, np.uint8)], -1)
+        x, y, fw, fh = hdr["x"], hdr["y"], hdr["w"], hdr["h"]
+        if sub.shape[0] != fh or sub.shape[1] != fw:
+            raise ValueError("ANMF dims disagree with frame bitstream")
+        region = canvas[y: y + fh, x: x + fw]
+        if hdr["no_blend"]:
+            region[:] = sub
+        else:                                 # source-over alpha blend
+            sa = sub[..., 3:4].astype(np.uint16)
+            da = region[..., 3:4].astype(np.uint16)
+            out_a = sa + da * (255 - sa) // 255
+            safe = np.maximum(out_a, 1)
+            rgb = (sub[..., :3] * sa
+                   + region[..., :3] * da * (255 - sa) // 255) // safe
+            region[..., :3] = rgb.astype(np.uint8)
+            region[..., 3:4] = out_a.astype(np.uint8)
+        frames.append(canvas.copy())
+        if hdr["dispose_background"]:         # clear frame rect to
+            canvas[y: y + fh, x: x + fw] = 0  # transparent black
+    if not frames:
+        raise ValueError("animated WebP with no ANMF frames")
+    return frames
+
+
+def encode_webp_anim(frames: list[np.ndarray], duration_ms: int = 100,
+                     offsets: list[tuple[int, int]] | None = None,
+                     dispose_background: bool = False) -> bytes:
+    """Animated-WebP fixture writer: VP8X + ANIM + one lossless ANMF per
+    frame. Frames may be smaller than the canvas (canvas = frame 0 size)
+    when offsets are given; frames are written no-blend."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    ch, cw = frames[0].shape[:2]
+    offsets = offsets or [(0, 0)] * len(frames)
+    chunks = bytearray()
+    flags = 0x02 | (0x10 if any(f.ndim == 3 and f.shape[-1] == 4
+                                for f in frames) else 0)
+    vp8x = bytes([flags, 0, 0, 0]) \
+        + struct.pack("<I", cw - 1)[:3] + struct.pack("<I", ch - 1)[:3]
+    chunks += b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    anim = struct.pack("<IH", 0x00000000, 0)  # bg color, loop forever
+    chunks += b"ANIM" + struct.pack("<I", len(anim)) + anim
+    for frame, (x, y) in zip(frames, offsets):
+        fh, fw = frame.shape[:2]
+        if x % 2 or y % 2:
+            raise ValueError("ANMF offsets must be even")
+        if y + fh > ch or x + fw > cw:
+            raise ValueError("frame exceeds canvas")
+        sub = encode_webp_lossless(frame)
+        vp8l_chunk = sub[12:]                 # strip RIFF....WEBP header
+        flags_byte = 0x02 | (0x01 if dispose_background else 0)
+        hdr = (struct.pack("<I", x // 2)[:3] + struct.pack("<I", y // 2)[:3]
+               + struct.pack("<I", fw - 1)[:3]
+               + struct.pack("<I", fh - 1)[:3]
+               + struct.pack("<I", duration_ms)[:3] + bytes([flags_byte]))
+        payload = hdr + vp8l_chunk
+        chunks += b"ANMF" + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            chunks += b"\x00"
+    riff = b"WEBP" + bytes(chunks)
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
 # ---------------------------------------------------------------------------

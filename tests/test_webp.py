@@ -124,8 +124,59 @@ def test_palette_rejects_too_many_colors():
 def test_probe_lossless():
     arr = np.zeros((4, 6, 3), dtype=np.uint8)
     p = wc.probe_webp(wc.encode_webp_lossless(arr))
-    assert p == {"codec": "lossless", "width": 6, "height": 4,
-                 "has_alpha": False}
+    assert (p["codec"], p["width"], p["height"]) == ("lossless", 6, 4)
+    assert not p["has_alpha"] and not p["animated"]
+
+
+def test_animated_roundtrip_and_probe():
+    rng = np.random.RandomState(40)
+    frames = [rng.randint(0, 256, (10, 14, 3), dtype=np.uint8)
+              for _ in range(5)]
+    b = wc.encode_webp_anim(frames, duration_ms=40)
+    p = wc.probe_webp(b)
+    assert p["animated"] and p["frames"] == 5 and p["duration_ms"] == 200
+    assert (p["width"], p["height"]) == (14, 10)
+    dec = wc.decode_webp_frames(b)
+    assert len(dec) == 5
+    for f, d in zip(frames, dec):
+        assert (d[..., :3] == f).all() and (d[..., 3] == 255).all()
+    # decode_webp on an animated file = first composed frame
+    assert (wc.decode_webp(b)[..., :3] == frames[0]).all()
+
+
+def test_animated_subrect_dispose_composition():
+    rng = np.random.RandomState(41)
+    base = rng.randint(0, 256, (12, 16, 3), dtype=np.uint8)
+    patch = rng.randint(0, 256, (4, 6, 3), dtype=np.uint8)
+    b = wc.encode_webp_anim([base, patch], offsets=[(0, 0), (2, 4)],
+                            dispose_background=True)
+    f0, f1 = wc.decode_webp_frames(b)
+    assert (f0[..., :3] == base).all()
+    assert (f1[4:8, 2:8, :3] == patch).all()      # patch at (x=2, y=4)
+    assert (f1[0, 0] == 0).all()                  # disposed to transparent
+
+
+def test_framesample_animated_webp(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gitprov_ray.multimodal import (MEDIA_SCHEMA, FrameSample,
+                                        parse_ppm)
+
+    rng = np.random.RandomState(42)
+    frames = [rng.randint(0, 256, (8, 10, 3), dtype=np.uint8)
+              for _ in range(6)]
+    rows = [{"media_id": "aw0", "kind": "video",
+             "payload": wc.encode_webp_anim(frames), "mime": "image/webp",
+             "width": -1, "height": -1, "duration_ms": -1}]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA))
+    out = ds.map_batches(FrameSample, fn_constructor_kwargs={"k": 3},
+                         batch_format="pyarrow", concurrency=1).to_pandas()
+    assert len(out) == 3
+    picks = sorted({(i * 6) // 3 for i in range(3)})
+    for (_, row), pick in zip(out.iterrows(), picks):
+        arr, _ = parse_ppm(bytes(row["frame"]))
+        assert (arr == frames[pick]).all()
 
 
 def test_real_world_lossy_file_probe_and_stub():
