@@ -1476,19 +1476,24 @@ def select_text_distributed(triples_ds, query: str,
     a Dataset of bindings; the answer equals ``select_text`` for every
     supported query (pinned by tests).
 
-    Supported: BGP + FILTER + BIND + the full aggregate battery
-    (COUNT/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT, DISTINCT variants,
-    multiple aggregates, GROUP BY, HAVING — _aggregate_binding_ds_full)
-    + DISTINCT + ORDER BY (ASC and DESC) + LIMIT + OFFSET-with-LIMIT
-    (the bounded prefix materializes, size ≤ OFFSET+LIMIT by the
-    query's own modifiers). OPTIONAL/UNION have their own distributed
-    twins (select_optional_distributed, select_union_distributed);
-    everything else raises with a pointer to select_text."""
+    Supported: BGP + OPTIONAL (left-outer Dataset.join via
+    select_optional_distributed) + UNION (homogeneous branches via
+    select_union_distributed) + FILTER + BIND + the full aggregate
+    battery (COUNT/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT, DISTINCT
+    variants, multiple aggregates, GROUP BY, HAVING —
+    _aggregate_binding_ds_full) + DISTINCT + ORDER BY (ASC and DESC)
+    + LIMIT + OFFSET-with-LIMIT (the bounded prefix materializes, size
+    ≤ OFFSET+LIMIT by the query's own modifiers). Everything else
+    raises with a pointer to select_text."""
     plan = parse_select(query)
     unsupported = [k for k in
-                   ("optional_groups", "union_branches", "values_clauses",
-                    "exists_groups", "minus_groups", "subqueries",
-                    "graph_groups", "closure_patterns") if plan[k]]
+                   ("values_clauses", "exists_groups", "minus_groups",
+                    "subqueries", "graph_groups", "closure_patterns")
+                   if plan[k]]
+    if plan["union_branches"] and plan["patterns"]:
+        unsupported.append("UNION mixed with surrounding patterns")
+    if plan["union_branches"] and plan["optional_groups"]:
+        unsupported.append("UNION mixed with OPTIONAL")
     if unsupported:
         raise SparqlSyntaxError(
             f"select_text_distributed does not evaluate {unsupported}; "
@@ -1498,9 +1503,24 @@ def select_text_distributed(triples_ds, query: str,
         raise SparqlSyntaxError(
             "OFFSET without LIMIT is unbounded on the Dataset path; "
             "add LIMIT or use select_text")
-    ds = select_distributed(triples_ds, plan["patterns"], graph=graph)
-    bound = {t[1:] for pat in plan["patterns"] for t in pat
-             if _is_var(t)} | {bv for _, bv in plan["binds"]}
+    if plan["union_branches"]:
+        ds = select_union_distributed(triples_ds, plan["union_branches"],
+                                      graph=graph)
+        pattern_vars = {t[1:] for b in plan["union_branches"]
+                        for pat in b for t in pat if _is_var(t)}
+    elif plan["optional_groups"]:
+        ds = select_optional_distributed(triples_ds, plan["patterns"],
+                                         plan["optional_groups"],
+                                         graph=graph)
+        pattern_vars = {t[1:] for pat in plan["patterns"] for t in pat
+                        if _is_var(t)}
+        pattern_vars |= {t[1:] for g in plan["optional_groups"]
+                         for pat in g for t in pat if _is_var(t)}
+    else:
+        ds = select_distributed(triples_ds, plan["patterns"], graph=graph)
+        pattern_vars = {t[1:] for pat in plan["patterns"] for t in pat
+                        if _is_var(t)}
+    bound = pattern_vars | {bv for _, bv in plan["binds"]}
     for ast in [a for a, _ in plan["binds"]] + plan["filters"]:
         missing = _expr_vars(ast, set()) - bound
         if missing:

@@ -168,3 +168,92 @@ def test_offset_without_limit_raises(rich_ds):
     with pytest.raises(S.SparqlSyntaxError):
         S.select_text_distributed(
             rich_ds, Q + "SELECT ?d WHERE { ?d ex:lang ?l } OFFSET 3")
+
+
+def test_optional_string_routes_distributed(rich_ds):
+    """OPTIONAL in the string front-end now runs on the Dataset path
+    (select_optional_distributed): docs keep their row when the optional
+    score is absent. Fixture: every doc has a score, so drop a pattern
+    that only some docs match via a filtered optional-side var."""
+    q = Q + """
+        SELECT ?d ?s ?l WHERE {
+            ?d ex:source ?s .
+            OPTIONAL { ?d ex:lang ?l }
+        } ORDER BY ?d LIMIT 10
+    """
+    drv, dst = _both(rich_ds, q)
+    assert list(dst.columns) == ["d", "s", "l"]
+    pd.testing.assert_frame_equal(
+        drv.reset_index(drop=True), dst.reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_optional_unmatched_rows_survive(ray_session):
+    """Rows without the optional triple come back with None, matching
+    the driver path exactly."""
+    import ray.data as rd
+
+    tri = pd.DataFrame(
+        [("g", "http://d/a", "http://d/source", "s0"),
+         ("g", "http://d/b", "http://d/source", "s1"),
+         ("g", "http://d/a", "http://d/lang", "en")],
+        columns=["graph", "subj", "pred", "obj"])
+    tri["obj_is_literal"] = True
+    tri["obj_dtype"] = "xsd:string"
+    ds = rd.from_pandas(tri).repartition(2)
+    q = Q + """
+        SELECT ?d ?l WHERE {
+            ?d ex:source ?s . OPTIONAL { ?d ex:lang ?l }
+        } ORDER BY ?d
+    """
+    drv = S.select_text(ds, q)
+    dst = S.select_text_distributed(ds, q).to_pandas()
+    assert dst.l.tolist() == ["en", None]
+    pd.testing.assert_frame_equal(
+        drv.reset_index(drop=True), dst.reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_union_string_routes_distributed(rich_ds):
+    q = Q + """
+        SELECT ?d WHERE {
+            { ?d ex:lang "en" } UNION { ?d ex:lang "de" }
+        } ORDER BY ?d
+    """
+    drv, dst = _both(rich_ds, q)
+    assert len(dst) == 40                # 20 en + 20 de
+    pd.testing.assert_frame_equal(
+        drv.reset_index(drop=True), dst.reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_union_with_aggregate_distributed(rich_ds):
+    """Bag semantics through the aggregate: both branches match the same
+    rows, so every doc counts twice."""
+    q = Q + """
+        SELECT ?l (COUNT(*) AS ?n) WHERE {
+            { ?d ex:lang ?l } UNION { ?d ex:lang ?l }
+        } GROUP BY ?l ORDER BY ?l
+    """
+    drv, dst = _both(rich_ds, q)
+    assert dst.n.tolist() == [40, 40, 40]
+    pd.testing.assert_frame_equal(
+        drv.reset_index(drop=True), dst.reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_union_heterogeneous_branches_raise_distributed(rich_ds):
+    with pytest.raises(S.SparqlSyntaxError, match="identical variables"):
+        S.select_text_distributed(rich_ds, Q + """
+            SELECT ?d WHERE {
+                { ?d ex:lang "en" } UNION { ?d ex:lang ?x }
+            }""")
+
+
+def test_union_mixed_with_patterns_still_raises(rich_ds):
+    with pytest.raises(S.SparqlSyntaxError, match="surrounding patterns"):
+        S.select_text_distributed(rich_ds, Q + """
+            SELECT ?d WHERE {
+                ?d ex:source ?s .
+                { ?d ex:lang "en" } UNION { ?d ex:lang "de" }
+            }""")

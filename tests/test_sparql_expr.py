@@ -198,10 +198,14 @@ def test_text_distributed_matches_driver(ds, q):
 
 
 def test_text_distributed_rejects_unsupported(ds):
-    with pytest.raises(S.SparqlSyntaxError):
-        S.select_text_distributed(ds, Q + """
-            SELECT ?d WHERE { ?d ex:lang ?l .
-                OPTIONAL { ?d ex:note ?n } }""")
+    # OPTIONAL routes to select_optional_distributed since round 3 —
+    # it must answer like the driver, not raise
+    q_opt = Q + """
+        SELECT ?d ?l WHERE { ?d ex:lang ?l .
+            OPTIONAL { ?d ex:lang ?l } } ORDER BY ?d LIMIT 3"""
+    drv = S.select_text(ds, q_opt)
+    dst = S.select_text_distributed(ds, q_opt).to_pandas()
+    assert drv.reset_index(drop=True).equals(dst.reset_index(drop=True))
     with pytest.raises(S.SparqlSyntaxError):
         S.select_text_distributed(ds, Q + """
             SELECT ?d WHERE { ?d ex:lang ?l .
