@@ -1467,6 +1467,47 @@ def _expr_vars(node, out: set[str]) -> set[str]:
     return out
 
 
+_NULL_SENTINEL = "\x00∅"      # unbound marker inside composite join keys
+
+
+def _exists_minus_ds(bindings_ds, triples_ds, group, graph,
+                     negated: bool, minus: bool):
+    """Distributed FILTER [NOT] EXISTS / MINUS over a bindings Dataset:
+    the inner BGP runs on the distributed path, then a bucketed
+    semi/anti join (ops.semi_join) on a composite key over the shared
+    variables. Unbound (None) bindings use a sentinel on BOTH sides,
+    matching pandas-merge NaN==NaN semantics on the driver path. The
+    §8.3 divergence is preserved: a no-shared-variable MINUS is a no-op
+    while EXISTS tests plain satisfiability."""
+    from .ops import semi_join
+
+    part = select_distributed(triples_ds, group, graph=graph)
+    part_vars = list(part.schema().names)
+    cur_cols = list(bindings_ds.schema().names)
+    shared = [c for c in cur_cols if c in part_vars]
+    if not shared:
+        if minus:                         # disjoint domains: no-op
+            return bindings_ds
+        nonempty = len(part.limit(1).take(1)) > 0
+        keep = (not nonempty) if negated else nonempty
+        return bindings_ds if keep else bindings_ds.limit(0)
+
+    def keyed(df: pd.DataFrame, cols=tuple(shared)) -> pd.DataFrame:
+        k = df[cols[0]].astype(object).where(
+            df[cols[0]].notna(), _NULL_SENTINEL).astype(str)
+        for c in cols[1:]:
+            k = k + "\x1f" + df[c].astype(object).where(
+                df[c].notna(), _NULL_SENTINEL).astype(str)
+        return df.assign(__k=k)
+
+    left = bindings_ds.map_batches(keyed, batch_format="pandas")
+    right = part.map_batches(lambda df: keyed(df)[["__k"]],
+                             batch_format="pandas")
+    out = semi_join(left, right, "__k", "__k", anti=(negated or minus))
+    return out.map_batches(lambda df: df.drop(columns="__k"),
+                           batch_format="pandas")
+
+
 def select_text_distributed(triples_ds, query: str,
                             graph: str | None = None):
     """The SPARQL string front-end on the Dataset scale path: parse →
@@ -1478,7 +1519,9 @@ def select_text_distributed(triples_ds, query: str,
 
     Supported: BGP + OPTIONAL (left-outer Dataset.join via
     select_optional_distributed) + UNION (homogeneous branches via
-    select_union_distributed) + FILTER + BIND + the full aggregate
+    select_union_distributed) + FILTER + BIND + VALUES (broadcast
+    inline data, per-batch §10.2 join) + FILTER [NOT] EXISTS / MINUS
+    (bucketed semi/anti joins, _exists_minus_ds) + the full aggregate
     battery (COUNT/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT, DISTINCT
     variants, multiple aggregates, GROUP BY, HAVING —
     _aggregate_binding_ds_full) + DISTINCT + ORDER BY (ASC and DESC)
@@ -1487,8 +1530,7 @@ def select_text_distributed(triples_ds, query: str,
     raises with a pointer to select_text."""
     plan = parse_select(query)
     unsupported = [k for k in
-                   ("values_clauses", "exists_groups", "minus_groups",
-                    "subqueries", "graph_groups", "closure_patterns")
+                   ("subqueries", "graph_groups", "closure_patterns")
                    if plan[k]]
     if plan["union_branches"] and plan["patterns"]:
         unsupported.append("UNION mixed with surrounding patterns")
@@ -1521,19 +1563,46 @@ def select_text_distributed(triples_ds, query: str,
         pattern_vars = {t[1:] for pat in plan["patterns"] for t in pat
                         if _is_var(t)}
     bound = pattern_vars | {bv for _, bv in plan["binds"]}
+    bound |= {v for vnames, _ in plan["values_clauses"] for v in vnames}
     for ast in [a for a, _ in plan["binds"]] + plan["filters"]:
         missing = _expr_vars(ast, set()) - bound
         if missing:
             raise SparqlSyntaxError(
                 f"expression references unbound ?{missing.pop()}")
     binds, filters = plan["binds"], plan["filters"]
-    if binds or filters:
+    joinish = (plan["values_clauses"] or plan["exists_groups"]
+               or plan["minus_groups"])
+    if (binds or filters) and not joinish:
+        # fused single pass when no solution-sequence joins intervene
         def eval_batch(df: pd.DataFrame) -> pd.DataFrame:
             for ast, bv in binds:
                 df = df.assign(**{bv: _eval_expr(df, ast)})
             return _apply_filters(df, filters)
 
         ds = ds.map_batches(eval_batch, batch_format="pandas")
+    elif joinish:
+        # driver order (select_text): BIND → VALUES → EXISTS/MINUS →
+        # FILTER. VALUES is inline data — broadcast, embarrassingly
+        # parallel per batch; EXISTS/MINUS are bucketed semi/anti joins.
+        if binds:
+            ds = ds.map_batches(
+                lambda df, bs=binds: df.assign(
+                    **{bv: _eval_expr(df, ast) for ast, bv in bs}),
+                batch_format="pandas")
+        if plan["values_clauses"]:
+            vc = plan["values_clauses"]
+            ds = ds.map_batches(lambda df, vc=vc: _apply_values(df, vc),
+                                batch_format="pandas")
+        for negated, group in plan["exists_groups"]:
+            ds = _exists_minus_ds(ds, triples_ds, group, graph,
+                                  negated=negated, minus=False)
+        for group in plan["minus_groups"]:
+            ds = _exists_minus_ds(ds, triples_ds, group, graph,
+                                  negated=False, minus=True)
+        if filters:
+            ds = ds.map_batches(
+                lambda df, fs=filters: _apply_filters(df, fs),
+                batch_format="pandas")
     if plan["aggregates"] or plan["group_by"]:
         ds = _aggregate_binding_ds_full(ds, plan)
     elif plan["variables"] and not plan["star"]:

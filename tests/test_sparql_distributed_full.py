@@ -257,3 +257,96 @@ def test_union_mixed_with_patterns_still_raises(rich_ds):
                 ?d ex:source ?s .
                 { ?d ex:lang "en" } UNION { ?d ex:lang "de" }
             }""")
+
+
+def test_values_distributed_parity(rich_ds):
+    q = Q + """
+        SELECT ?d ?l WHERE {
+            ?d ex:lang ?l . VALUES ?l { "en" "fr" }
+        } ORDER BY ?d
+    """
+    drv, dst = _both(rich_ds, q)
+    assert set(dst.l) == {"en", "fr"} and len(dst) == 40
+    pd.testing.assert_frame_equal(
+        drv.reset_index(drop=True), dst.reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_values_unbound_compatibility_distributed(ray_session):
+    """§10.2: a solution with the shared var UNBOUND (from OPTIONAL) is
+    compatible with every VALUES row — parity with the driver."""
+    import ray.data as rd
+
+    tri = pd.DataFrame(
+        [("g", "http://d/a", "http://d/source", "s0"),
+         ("g", "http://d/b", "http://d/source", "s1"),
+         ("g", "http://d/a", "http://d/lang", "en")],
+        columns=["graph", "subj", "pred", "obj"])
+    tri["obj_is_literal"] = True
+    tri["obj_dtype"] = "xsd:string"
+    ds = rd.from_pandas(tri).repartition(2)
+    q = Q + """
+        SELECT ?d ?l WHERE {
+            ?d ex:source ?s . OPTIONAL { ?d ex:lang ?l }
+            VALUES ?l { "en" "de" }
+        } ORDER BY ?d ?l
+    """
+    drv = S.select_text(ds, q)
+    dst = S.select_text_distributed(ds, q).to_pandas() \
+        .sort_values(["d", "l"]).reset_index(drop=True)
+    # doc b (unbound l) matched BOTH values rows; doc a only "en"
+    assert dst.l.tolist() == ["en", "de", "en"]
+    pd.testing.assert_frame_equal(
+        drv.reset_index(drop=True), dst, check_dtype=False)
+
+
+def test_exists_distributed_parity(rich_ds):
+    q = Q + """
+        SELECT ?d ?s WHERE {
+            ?d ex:source ?s . FILTER EXISTS { ?d ex:lang "en" }
+        } ORDER BY ?d
+    """
+    drv, dst = _both(rich_ds, q)
+    assert len(dst) == 20
+    pd.testing.assert_frame_equal(
+        drv.reset_index(drop=True), dst.reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_not_exists_distributed_parity(rich_ds):
+    q = Q + """
+        SELECT ?d WHERE {
+            ?d ex:source "s0" . FILTER NOT EXISTS { ?d ex:lang "en" }
+        } ORDER BY ?d
+    """
+    drv, dst = _both(rich_ds, q)
+    assert 0 < len(dst) < 15
+    pd.testing.assert_frame_equal(
+        drv.reset_index(drop=True), dst.reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_minus_distributed_parity_and_disjoint_noop(rich_ds):
+    q = Q + """
+        SELECT ?d WHERE {
+            ?d ex:source "s1" . MINUS { ?d ex:lang "de" }
+        } ORDER BY ?d
+    """
+    drv, dst = _both(rich_ds, q)
+    pd.testing.assert_frame_equal(
+        drv.reset_index(drop=True), dst.reset_index(drop=True),
+        check_dtype=False)
+    # §8.3 divergence: MINUS with no shared var removes nothing,
+    # NOT EXISTS with the same inner group removes everything
+    q_disjoint = Q + """
+        SELECT ?d WHERE { ?d ex:source "s1" . MINUS { ?x ex:lang "de" } }
+    """
+    drv2, dst2 = _both(rich_ds, q_disjoint)
+    assert len(dst2) == len(drv2) == 15
+    q_ne = Q + """
+        SELECT ?d WHERE {
+            ?d ex:source "s1" . FILTER NOT EXISTS { ?x ex:lang "de" }
+        }
+    """
+    drv3, dst3 = _both(rich_ds, q_ne)
+    assert len(dst3) == len(drv3) == 0

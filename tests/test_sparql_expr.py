@@ -206,10 +206,14 @@ def test_text_distributed_rejects_unsupported(ds):
     drv = S.select_text(ds, q_opt)
     dst = S.select_text_distributed(ds, q_opt).to_pandas()
     assert drv.reset_index(drop=True).equals(dst.reset_index(drop=True))
-    with pytest.raises(S.SparqlSyntaxError):
-        S.select_text_distributed(ds, Q + """
-            SELECT ?d WHERE { ?d ex:lang ?l .
-                VALUES ?l { "en" "de" } }""")
+    # VALUES routes distributed since round 3 — parity, not a raise
+    q_val = Q + """
+        SELECT ?d ?l WHERE { ?d ex:lang ?l .
+            VALUES ?l { "en" "de" } } ORDER BY ?d"""
+    drv_v = S.select_text(ds, q_val)
+    dst_v = S.select_text_distributed(ds, q_val).to_pandas()
+    assert drv_v.reset_index(drop=True).equals(
+        dst_v.reset_index(drop=True))
     with pytest.raises(S.SparqlSyntaxError):
         S.select_text_distributed(ds, Q + """
             SELECT ?d WHERE { ?d ex:lang ?l . FILTER BOUND(?zzz) }""")
