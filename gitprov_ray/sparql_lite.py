@@ -189,6 +189,66 @@ def _match_pattern_ds(triples_ds, s, p, o, graph):
         [v for v, _ in var_cols]
 
 
+def _match_pattern_graph_ds(triples_ds, s, p, o, gv: str):
+    """Pattern → Dataset of bindings WITH the graph name bound to ?gv
+    (the §13.3 GRAPH-variable scan; distributed twin of the frame path
+    inside select_graph)."""
+    var_cols = [(gv, "graph")] + [
+        (term[1:], col) for term, col in
+        ((s, "subj"), (p, "pred"), (o, "obj")) if _is_var(term)]
+
+    def f(t):
+        m = None
+
+        def conj(cond):
+            nonlocal m
+            m = cond if m is None else pc.and_(m, cond)
+
+        if not _is_var(s):
+            conj(pc.equal(t["subj"], _expand_term(s, None)))
+        if not _is_var(p):
+            conj(_pred_cond(t, p, None))
+        if not _is_var(o):
+            conj(pc.equal(t["obj"], _expand_term(o, None)))
+        sel = t if m is None else t.filter(m)
+        import pyarrow as pa
+
+        return pa.table({v: sel.column(col) for v, col in var_cols})
+
+    return triples_ds.map_batches(f, batch_format="pyarrow"), \
+        [v for v, _ in var_cols]
+
+
+def select_graph_distributed(triples_ds, gterm, patterns: list[tuple]):
+    """Distributed GRAPH clause (§13.3): bound name → plain distributed
+    BGP scoped to that graph; ?var → every pattern scan carries the
+    graph column as the variable, so the bucketed joins enforce
+    same-graph matching exactly like the driver's select_graph."""
+    if not _is_var(gterm):
+        return select_distributed(triples_ds, patterns, graph=gterm)
+    from .ops import _default_partitions
+
+    P = _default_partitions()
+    gv = gterm[1:]
+    result = None
+    bound: list[str] = []
+    for s, p, o in patterns:
+        part, vars_ = _match_pattern_graph_ds(triples_ds, s, p, o, gv)
+        if result is None:
+            result, bound = part, vars_
+            continue
+        shared = [v for v in bound if v in vars_]   # gv is always shared
+        result = result.join(part, "inner", P, on=tuple(shared))
+        bound = bound + [v for v in vars_ if v not in bound]
+    if result is None:
+        import pandas as _pd
+
+        import ray.data as rd
+
+        return rd.from_pandas(_pd.DataFrame())
+    return result
+
+
 def select_distributed(triples_ds, patterns: list[tuple],
                        variables: list[str] | None = None,
                        graph: str | None = None, distinct: bool = False,
@@ -1529,8 +1589,7 @@ def select_text_distributed(triples_ds, query: str,
     ≤ OFFSET+LIMIT by the query's own modifiers). Everything else
     raises with a pointer to select_text."""
     plan = parse_select(query)
-    unsupported = [k for k in
-                   ("subqueries", "graph_groups", "closure_patterns")
+    unsupported = [k for k in ("subqueries", "closure_patterns")
                    if plan[k]]
     if plan["union_branches"] and plan["patterns"]:
         unsupported.append("UNION mixed with surrounding patterns")
@@ -1558,10 +1617,35 @@ def select_text_distributed(triples_ds, query: str,
                         if _is_var(t)}
         pattern_vars |= {t[1:] for g in plan["optional_groups"]
                          for pat in g for t in pat if _is_var(t)}
-    else:
+    elif plan["patterns"] or not plan["graph_groups"]:
         ds = select_distributed(triples_ds, plan["patterns"], graph=graph)
         pattern_vars = {t[1:] for pat in plan["patterns"] for t in pat
                         if _is_var(t)}
+    else:
+        ds = None                             # GRAPH group(s) only
+        pattern_vars = set()
+    for gterm, group in plan["graph_groups"]:
+        import pyarrow as pa
+
+        from .ops import _default_partitions, materialize_normalized
+
+        gds = select_graph_distributed(triples_ds, gterm, group)
+        gvars = list(gds.schema().names)
+        if ds is None:
+            ds = gds
+        else:
+            cur = list(ds.schema().names)
+            shared = [v for v in cur if v in gvars]
+            if not shared:
+                raise SparqlSyntaxError(
+                    "GRAPH group shares no variable with prior patterns "
+                    "(distributed cross join unsupported); use select_text")
+            ds = materialize_normalized(
+                ds, pa.schema([(v, pa.string()) for v in cur])).join(
+                materialize_normalized(
+                    gds, pa.schema([(v, pa.string()) for v in gvars])),
+                "inner", _default_partitions(), on=tuple(shared))
+        pattern_vars |= set(gvars)
     bound = pattern_vars | {bv for _, bv in plan["binds"]}
     bound |= {v for vnames, _ in plan["values_clauses"] for v in vnames}
     for ast in [a for a, _ in plan["binds"]] + plan["filters"]:

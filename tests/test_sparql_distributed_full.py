@@ -350,3 +350,70 @@ def test_minus_distributed_parity_and_disjoint_noop(rich_ds):
     """
     drv3, dst3 = _both(rich_ds, q_ne)
     assert len(dst3) == len(drv3) == 0
+
+
+@pytest.fixture(scope="module")
+def quad_ds2(ray_session):
+    import ray.data as rd
+
+    rows = []
+    for g, docs in [("g1", [("a", "en"), ("b", "de")]),
+                    ("g2", [("a", "fr"), ("c", "en")])]:
+        for d, lang in docs:
+            rows.append({"graph": g, "subj": f"http://d/{d}",
+                         "pred": "http://d/lang", "obj": lang,
+                         "obj_is_literal": True, "obj_dtype": "xsd:string"})
+    return rd.from_pandas(pd.DataFrame(rows)).repartition(2)
+
+
+def test_graph_bound_name_distributed(quad_ds2):
+    q = Q + "SELECT ?d ?l WHERE { GRAPH <g2> { ?d ex:lang ?l } } ORDER BY ?d"
+    drv, dst = _both(quad_ds2, q)
+    assert dst.d.tolist() == ["http://d/a", "http://d/c"]
+    pd.testing.assert_frame_equal(
+        drv.reset_index(drop=True), dst.reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_graph_variable_distributed(quad_ds2):
+    q = Q + """
+        SELECT ?g ?d ?l WHERE { GRAPH ?g { ?d ex:lang ?l } }
+        ORDER BY ?g ?d"""
+    drv, dst = _both(quad_ds2, q)
+    assert dst.g.tolist() == ["g1", "g1", "g2", "g2"]
+    pd.testing.assert_frame_equal(
+        drv.reset_index(drop=True), dst.reset_index(drop=True),
+        check_dtype=False)
+    # same-graph co-occurrence enforced through the bucketed join
+    q2 = Q + """
+        SELECT ?g WHERE { GRAPH ?g { <http://d/a> ex:lang ?l .
+                                     <http://d/b> ex:lang ?m } }"""
+    drv2, dst2 = _both(quad_ds2, q2)
+    assert dst2.g.tolist() == ["g1"]
+    pd.testing.assert_frame_equal(
+        drv2.reset_index(drop=True), dst2.reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_graph_joins_outer_patterns_distributed(quad_ds2):
+    q = Q + """
+        SELECT ?g ?d WHERE {
+            ?d ex:lang "en" .
+            GRAPH ?g { ?d ex:lang ?any } } ORDER BY ?g ?d"""
+    drv, dst = _both(quad_ds2, q)
+    assert list(zip(dst.g, dst.d)) == [
+        ("g1", "http://d/a"), ("g2", "http://d/a"), ("g2", "http://d/c")]
+    pd.testing.assert_frame_equal(
+        drv.reset_index(drop=True), dst.reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_graph_with_aggregate_distributed(quad_ds2):
+    q = Q + """
+        SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?d ex:lang ?l } }
+        GROUP BY ?g ORDER BY ?g"""
+    drv, dst = _both(quad_ds2, q)
+    assert dst.n.tolist() == [2, 2]
+    pd.testing.assert_frame_equal(
+        drv.reset_index(drop=True), dst.reset_index(drop=True),
+        check_dtype=False)
