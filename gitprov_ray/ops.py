@@ -222,9 +222,20 @@ def transitive_closure(edges_ds, src: str = "s", dst: str = "o",
     (that is the semantics of closure, not an implementation cost);
     the per-round exchanges are bucketed and the pair set never lands
     on the driver — only its count does."""
+    import pyarrow as pa
+
     if num_partitions is None:
         num_partitions = _default_partitions()
     total = _dedup_pairs(edges_ds, src, dst)
+    sample = total.take(1)
+    if not sample:
+        return total.limit(0)                 # empty relation
+    # invariant 7: _dedup_pairs' map_groups emits column-less empty
+    # blocks for empty buckets; normalize before EVERY Dataset.join
+    # (small fixtures leave most of the 32 buckets empty)
+    tschema = pa.schema([(src, _pa_type_of(sample[0][src])),
+                         (dst, _pa_type_of(sample[0][dst]))])
+    total = materialize_normalized(total, tschema)
     n = total.count()
     for _ in range(max_rounds):
         right = total.map_batches(
@@ -235,7 +246,8 @@ def transitive_closure(edges_ds, src: str = "s", dst: str = "o",
         stepped = stepped.map_batches(
             lambda df: df[[src, "__far"]].rename(columns={"__far": dst}),
             batch_format="pandas")
-        total = _dedup_pairs(total.union(stepped), src, dst).materialize()
+        total = materialize_normalized(
+            _dedup_pairs(total.union(stepped), src, dst), tschema)
         n2 = total.count()
         if n2 == n:
             break

@@ -1527,6 +1527,63 @@ def _expr_vars(node, out: set[str]) -> set[str]:
     return out
 
 
+def _closure_ds(triples_ds, s, p, o, graph, mode: str = "+"):
+    """Distributed twin of _closure_frame: arbitrary-length path
+    bindings as a Dataset. ``+`` runs ops.transitive_closure (path
+    doubling, bucketed joins); ``?`` is the deduped single-hop relation;
+    ``*`` unions the §18.4 ZeroLengthPath rows (bound endpoint →
+    term→itself; both-var → the distributed distinct term universe).
+    Endpoint constants filter AFTER closure, same as the driver."""
+    import ray.data as rd
+
+    from .ops import _dedup_pairs, transitive_closure
+
+    edges, _ = _match_pattern_ds(triples_ds, "?__a", p, "?__b", graph)
+    if mode == "?":
+        total = _dedup_pairs(edges, "__a", "__b")
+    else:
+        total = transitive_closure(edges, "__a", "__b")
+    if mode in ("*", "?"):
+        if not _is_var(s) or not _is_var(o):
+            t = _expand_term(s if not _is_var(s) else o, graph)
+            refl = rd.from_pandas(pd.DataFrame({"__a": [t], "__b": [t]}))
+        else:
+            def terms_batch(t):
+                import pyarrow as pa
+
+                if graph is not None:
+                    t = t.filter(pc.equal(t["graph"], graph))
+                both = pa.chunked_array([t["subj"].combine_chunks(),
+                                         t["obj"].combine_chunks()]).unique()
+                return pa.table({"__a": both, "__b": both})
+
+            refl = triples_ds.map_batches(terms_batch,
+                                          batch_format="pyarrow")
+        total = _dedup_pairs(total.union(refl), "__a", "__b")
+
+    sc = _expand_term(s, graph) if not _is_var(s) else None
+    oc = _expand_term(o, graph) if not _is_var(o) else None
+    cycle = _is_var(s) and _is_var(o) and s == o
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if sc is not None:
+            df = df[df["__a"] == sc]
+        if oc is not None:
+            df = df[df["__b"] == oc]
+        if cycle:
+            df = df[df["__a"] == df["__b"]]
+            return pd.DataFrame({s[1:]: df["__a"].to_numpy()})
+        cols = {}
+        if _is_var(s):
+            cols[s[1:]] = df["__a"].to_numpy()
+        if _is_var(o):
+            cols[o[1:]] = df["__b"].to_numpy()
+        return pd.DataFrame(cols) if cols \
+            else pd.DataFrame(index=range(len(df)))
+
+    return total.map_batches(finish, batch_format="pandas")
+
+
 _NULL_SENTINEL = "\x00∅"      # unbound marker inside composite join keys
 
 
@@ -1589,8 +1646,7 @@ def select_text_distributed(triples_ds, query: str,
     ≤ OFFSET+LIMIT by the query's own modifiers). Everything else
     raises with a pointer to select_text."""
     plan = parse_select(query)
-    unsupported = [k for k in ("subqueries", "closure_patterns")
-                   if plan[k]]
+    unsupported = []
     if plan["union_branches"] and plan["patterns"]:
         unsupported.append("UNION mixed with surrounding patterns")
     if plan["union_branches"] and plan["optional_groups"]:
@@ -1617,35 +1673,50 @@ def select_text_distributed(triples_ds, query: str,
                         if _is_var(t)}
         pattern_vars |= {t[1:] for g in plan["optional_groups"]
                          for pat in g for t in pat if _is_var(t)}
-    elif plan["patterns"] or not plan["graph_groups"]:
+    elif plan["patterns"] or not (plan["graph_groups"]
+                                  or plan["closure_patterns"]
+                                  or plan["subqueries"]):
         ds = select_distributed(triples_ds, plan["patterns"], graph=graph)
         pattern_vars = {t[1:] for pat in plan["patterns"] for t in pat
                         if _is_var(t)}
     else:
-        ds = None                             # GRAPH group(s) only
+        ds = None             # GRAPH/closure/sub-SELECT group(s) only
         pattern_vars = set()
-    for gterm, group in plan["graph_groups"]:
+
+    def join_in(base, part_ds, label):
+        """Normalized inner Dataset.join on shared vars (invariant 7)."""
         import pyarrow as pa
 
         from .ops import _default_partitions, materialize_normalized
 
+        pvars = list(part_ds.schema().names)
+        if base is None:
+            return part_ds, set(pvars)
+        cur = list(base.schema().names)
+        shared = [v for v in cur if v in pvars]
+        if not shared:
+            raise SparqlSyntaxError(
+                f"{label} shares no variable with prior patterns "
+                "(distributed cross join unsupported); use select_text")
+        out = materialize_normalized(
+            base, pa.schema([(v, pa.string()) for v in cur])).join(
+            materialize_normalized(
+                part_ds, pa.schema([(v, pa.string()) for v in pvars])),
+            "inner", _default_partitions(), on=tuple(shared))
+        return out, set(pvars)
+
+    for cs, cp, co, cmode in plan["closure_patterns"]:
+        cds = _closure_ds(triples_ds, cs, cp, co, graph, cmode)
+        ds, newv = join_in(ds, cds, "path-closure pattern")
+        pattern_vars |= newv
+    for gterm, group in plan["graph_groups"]:
         gds = select_graph_distributed(triples_ds, gterm, group)
-        gvars = list(gds.schema().names)
-        if ds is None:
-            ds = gds
-        else:
-            cur = list(ds.schema().names)
-            shared = [v for v in cur if v in gvars]
-            if not shared:
-                raise SparqlSyntaxError(
-                    "GRAPH group shares no variable with prior patterns "
-                    "(distributed cross join unsupported); use select_text")
-            ds = materialize_normalized(
-                ds, pa.schema([(v, pa.string()) for v in cur])).join(
-                materialize_normalized(
-                    gds, pa.schema([(v, pa.string()) for v in gvars])),
-                "inner", _default_partitions(), on=tuple(shared))
-        pattern_vars |= set(gvars)
+        ds, newv = join_in(ds, gds, "GRAPH group")
+        pattern_vars |= newv
+    for subq in plan["subqueries"]:
+        sub_ds = select_text_distributed(triples_ds, subq, graph=graph)
+        ds, newv = join_in(ds, sub_ds, "sub-SELECT")
+        pattern_vars |= newv
     bound = pattern_vars | {bv for _, bv in plan["binds"]}
     bound |= {v for vnames, _ in plan["values_clauses"] for v in vnames}
     for ast in [a for a, _ in plan["binds"]] + plan["filters"]:
@@ -1687,6 +1758,13 @@ def select_text_distributed(triples_ds, query: str,
             ds = ds.map_batches(
                 lambda df, fs=filters: _apply_filters(df, fs),
                 batch_format="pandas")
+    hidden = sorted(v for v in pattern_vars if v.startswith("__pp")
+                    and "?" + v not in plan["variables"])
+    if hidden:      # property-path desugaring internals never project
+        ds = ds.map_batches(
+            lambda df, h=tuple(hidden): df.drop(
+                columns=[c for c in h if c in df.columns]),
+            batch_format="pandas")
     if plan["aggregates"] or plan["group_by"]:
         ds = _aggregate_binding_ds_full(ds, plan)
     elif plan["variables"] and not plan["star"]:

@@ -417,3 +417,71 @@ def test_graph_with_aggregate_distributed(quad_ds2):
     pd.testing.assert_frame_equal(
         drv.reset_index(drop=True), dst.reset_index(drop=True),
         check_dtype=False)
+
+
+@pytest.fixture(scope="module")
+def chain_ds(ray_session):
+    """A 6-node parent chain plus a side edge — closure fodder."""
+    import ray.data as rd
+
+    rows = [("g", f"http://d/n{i}", "http://d/parent", f"http://d/n{i+1}")
+            for i in range(5)]
+    rows.append(("g", "http://d/n0", "http://d/label", "root"))
+    tri = pd.DataFrame(rows, columns=["graph", "subj", "pred", "obj"])
+    tri["obj_is_literal"] = tri["pred"].eq("http://d/label")
+    tri["obj_dtype"] = "xsd:string"
+    return rd.from_pandas(tri).repartition(3)
+
+
+def test_closure_plus_distributed(chain_ds):
+    q = Q + """
+        SELECT ?a WHERE { ?x ex:label "root" . ?x ex:parent+ ?a }
+        ORDER BY ?a
+    """
+    drv, dst = _both(chain_ds, q)
+    assert dst.a.tolist() == [f"http://d/n{i}" for i in range(1, 6)]
+    pd.testing.assert_frame_equal(
+        drv.reset_index(drop=True), dst.reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_closure_star_and_opt_distributed(chain_ds):
+    for op, lo in (("*", 0), ("?", 0)):
+        q = Q + f"""
+            SELECT ?a WHERE {{ ?x ex:label "root" . ?x ex:parent{op} ?a }}
+            ORDER BY ?a
+        """
+        drv, dst = _both(chain_ds, q)
+        pd.testing.assert_frame_equal(
+            drv.reset_index(drop=True), dst.reset_index(drop=True),
+            check_dtype=False)
+    # ? gives self + one hop; * gives self + all reachable
+    q_opt = Q + 'SELECT ?a WHERE { <http://d/n0> ex:parent? ?a } ORDER BY ?a'
+    _, dst_opt = _both(chain_ds, q_opt)
+    assert dst_opt.a.tolist() == ["http://d/n0", "http://d/n1"]
+
+
+def test_sequence_path_distributed_drops_hidden(chain_ds):
+    q = Q + """
+        SELECT * WHERE { ?x ex:parent / ex:parent ?gp } ORDER BY ?x
+    """
+    drv, dst = _both(chain_ds, q)
+    assert sorted(dst.columns) == ["gp", "x"]      # no __pp leak
+    pd.testing.assert_frame_equal(
+        drv.reset_index(drop=True), dst.reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_subselect_distributed(rich_ds):
+    q = Q + """
+        SELECT ?d ?s WHERE {
+            ?d ex:source ?s .
+            { SELECT ?s WHERE { ?x ex:source ?s . ?x ex:lang "en" }
+              GROUP BY ?s HAVING (COUNT(*) > 4) }
+        } ORDER BY ?d LIMIT 8
+    """
+    drv, dst = _both(rich_ds, q)
+    assert len(dst) == 8
+    pd.testing.assert_frame_equal(
+        drv.reset_index(drop=True), dst.reset_index(drop=True),
+        check_dtype=False)
