@@ -1194,6 +1194,40 @@ def q_sparql_graph(sf_dir: str):
     return sparql_lite.select_text(tri, q)
 
 
+def q_sparql_graph_distributed(sf_dir: str):
+    """GRAPH ?g on the Dataset scale path (select_graph_distributed via
+    select_text_distributed): the graph column rides the bucketed
+    binding joins, the per-graph COUNT runs in the two-phase distributed
+    aggregate — nothing on the driver."""
+    from . import sparql_lite
+
+    tri = _docs_triples(sf_dir, graph_by_source=True)
+    q = """
+        PREFIX ex: <http://docs.example/>
+        SELECT ?g (COUNT(?d) AS ?n) WHERE {
+            GRAPH ?g { ?d ex:lang "en" }
+        } GROUP BY ?g ORDER BY ?g
+    """
+    return sparql_lite.select_text_distributed(tri, q)
+
+
+def q_sparql_not_exists_distributed(sf_dir: str):
+    """FILTER NOT EXISTS on the Dataset scale path: the inner BGP
+    anti-joins the bindings through ops.semi_join's bucketed exchange
+    (sparql_lite._exists_minus_ds)."""
+    from . import sparql_lite
+
+    tri = _docs_triples(sf_dir, en_lang_only=True)
+    q = """
+        PREFIX ex: <http://docs.example/>
+        SELECT ?d ?s WHERE {
+            ?d ex:source ?s .
+            FILTER NOT EXISTS { ?d ex:lang ?l }
+        } ORDER BY ?d
+    """
+    return sparql_lite.select_text_distributed(tri, q)
+
+
 def q_ann_ivf_topk(sf_dir: str):
     """IVF-bucketed approximate nearest neighbours (scale-path ANN)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -1288,6 +1322,8 @@ QUERIES = {
     "q_sparql_text_distributed": q_sparql_text_distributed,
     "q_sparql_agg_full_distributed": q_sparql_agg_full_distributed,
     "q_sparql_graph": q_sparql_graph,
+    "q_sparql_graph_distributed": q_sparql_graph_distributed,
+    "q_sparql_not_exists_distributed": q_sparql_not_exists_distributed,
     "q_transitive_closure": q_transitive_closure,
     "q_sparql_not_exists": q_sparql_not_exists,
     "q_moving_sum_events": q_moving_sum_events,
@@ -1626,6 +1662,16 @@ ORACLE_SQL = {
         GROUP BY source ORDER BY g
     """,
     "q_sparql_not_exists": """
+        SELECT 'http://docs.example/doc/' || CAST(doc_id AS VARCHAR) AS d,
+               source AS s
+        FROM documents WHERE lang <> 'en' ORDER BY d
+    """,
+    "q_sparql_graph_distributed": """
+        SELECT source AS g, COUNT(*) AS n
+        FROM documents WHERE lang = 'en'
+        GROUP BY source ORDER BY g
+    """,
+    "q_sparql_not_exists_distributed": """
         SELECT 'http://docs.example/doc/' || CAST(doc_id AS VARCHAR) AS d,
                source AS s
         FROM documents WHERE lang <> 'en' ORDER BY d
