@@ -760,3 +760,120 @@ def rewrite_canonical(triples_ds, mapping: dict[str, str]):
         return df
 
     return triples_ds.map_batches(rw, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap against an eval set)
+# ---------------------------------------------------------------------------
+#
+# Standard LLM-training-data hygiene: before training, drop (or flag)
+# corpus documents that share word n-grams with evaluation benchmarks so
+# reported scores are not memorization (the GPT-3/PaLM 8-to-13-gram
+# protocol). The reference has no analogue — this is a north-star
+# training-data op like minhash dedup above.
+
+_TOKEN_SPLIT = None         # compiled lazily (regex import kept top-light)
+
+
+def _word_ngrams(text: str, n: int = 8) -> set[str]:
+    """Distinct word n-grams of lower-cased alphanumeric tokens. The
+    tokenization (split on non-alphanumeric runs, drop empties) matches
+    the DuckDB oracle twin exactly:
+    string_split_regex(lower(text), '[^a-z0-9]+') + list_filter."""
+    global _TOKEN_SPLIT
+    if _TOKEN_SPLIT is None:
+        import re
+
+        _TOKEN_SPLIT = re.compile(r"[^a-z0-9]+")
+    toks = [t for t in _TOKEN_SPLIT.split((text or "").lower()) if t]
+    return {" ".join(toks[i: i + n]) for i in range(len(toks) - n + 1)}
+
+
+class _ContaminationScorer:
+    """Actor-pool stage: benchmark n-gram set deserialized ONCE per actor
+    in __init__ (not per batch), membership counting per batch."""
+
+    def __init__(self, bench_ref, n: int, id_col: str, text_col: str):
+        import ray
+
+        self.grams = ray.get(bench_ref)
+        self.n, self.id_col, self.text_col = n, id_col, text_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        hits = [len(_word_ngrams(t, self.n) & self.grams)
+                for t in df[self.text_col]]
+        out = pd.DataFrame({self.id_col: df[self.id_col].to_numpy(),
+                            "n_overlap": np.asarray(hits, dtype=np.int64)})
+        return out[out["n_overlap"] > 0]
+
+
+def decontaminate(docs_ds, bench_ds, n: int = 8, id_col: str = "doc_id",
+                  text_col: str = "text", concurrency=(1, 8)):
+    """Broadcast decontamination (fast path): the benchmark n-gram set —
+    small by definition, eval sets are thousands of docs, not billions —
+    is collected once, ray.put once, and read per ACTOR; the corpus
+    streams through in one pass. Returns (id_col, n_overlap) for every
+    contaminated doc (distinct shared n-grams > 0).
+
+    For benchmark sets too large to broadcast, use
+    decontaminate_bucketed (same answer, parity-tested)."""
+    import ray
+
+    def bench_batch(df: pd.DataFrame) -> pd.DataFrame:
+        out: set[str] = set()
+        for t in df[text_col]:
+            out |= _word_ngrams(t, n)
+        return pd.DataFrame({"g": sorted(out)})
+
+    grams = frozenset(
+        bench_ds.map_batches(bench_batch, batch_format="pandas")
+        .to_pandas()["g"])
+    ref = ray.put(grams)
+    return docs_ds.map_batches(
+        _ContaminationScorer,
+        fn_constructor_kwargs={"bench_ref": ref, "n": n, "id_col": id_col,
+                               "text_col": text_col},
+        batch_format="pandas", concurrency=concurrency)
+
+
+def decontaminate_bucketed(docs_ds, bench_ds, n: int = 8,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           num_buckets: int = 32):
+    """Scale-path decontamination: corpus docs explode to distinct
+    (id, gram) pairs, benchmark grams dedup distributed, the overlap is
+    ONE bucketed semi-join on the gram (ops.semi_join), and per-doc
+    counts come from an in-bucket groupby (invariant 6: no Ray multi-key
+    aggregate). Neither gram set ever lands on the driver."""
+    from .ops import semi_join
+    from .stages.versions import stable_bucket
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, gs = [], []
+        for i, t in zip(df[id_col], df[text_col]):
+            for g in _word_ngrams(t, n):
+                ids.append(i)
+                gs.append(g)
+        return pd.DataFrame({id_col: np.asarray(ids),
+                             "g": np.asarray(gs, dtype=object)})
+
+    corpus = docs_ds.map_batches(explode, batch_format="pandas")
+    bench = bench_ds.map_batches(
+        lambda df: explode(df)[["g"]].drop_duplicates(),
+        batch_format="pandas")
+    hits = semi_join(corpus, bench, left_key="g", right_key="g")
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[id_col]].copy()
+        s = df[id_col].astype(str)
+        df["bucket"] = stable_bucket(s, s, num_buckets)
+        return df
+
+    def count_group(df: pd.DataFrame) -> pd.DataFrame:
+        a = df.groupby(id_col, sort=False).size()
+        return pd.DataFrame({id_col: a.index.to_numpy(),
+                             "n_overlap": a.to_numpy().astype(np.int64)})
+
+    return (hits.map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: count_group(df.drop(columns="bucket")),
+                        batch_format="pandas"))

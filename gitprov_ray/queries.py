@@ -1194,6 +1194,26 @@ def q_sparql_graph(sf_dir: str):
     return sparql_lite.select_text(tri, q)
 
 
+def q_decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination (the GPT-3/PaLM n-gram protocol): flag
+    corpus docs sharing ≥1 distinct 8-gram with the eval set (docs with
+    doc_id % 29 == 0). Runs the SCALE path — exploded (doc, gram) pairs
+    through one bucketed semi-join + in-bucket counts
+    (linking.decontaminate_bucketed); the broadcast fast path is
+    parity-pinned in tests."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = ds.map_batches(lambda df: df[df.doc_id % 29 == 0],
+                           batch_format="pandas")
+    corpus = ds.map_batches(lambda df: df[df.doc_id % 29 != 0],
+                            batch_format="pandas")
+    from .ops import materialize_normalized
+
+    out = materialize_normalized(          # empty buckets → column-less
+        linking.decontaminate_bucketed(corpus, bench),
+        pa.schema([("doc_id", pa.int64()), ("n_overlap", pa.int64())]))
+    return out.sort("doc_id")
+
+
 def q_sparql_graph_distributed(sf_dir: str):
     """GRAPH ?g on the Dataset scale path (select_graph_distributed via
     select_text_distributed): the graph column rides the bucketed
@@ -1324,6 +1344,7 @@ QUERIES = {
     "q_sparql_graph": q_sparql_graph,
     "q_sparql_graph_distributed": q_sparql_graph_distributed,
     "q_sparql_not_exists_distributed": q_sparql_not_exists_distributed,
+    "q_decontaminate_docs": q_decontaminate_docs,
     "q_transitive_closure": q_transitive_closure,
     "q_sparql_not_exists": q_sparql_not_exists,
     "q_moving_sum_events": q_moving_sum_events,
@@ -1670,6 +1691,27 @@ ORACLE_SQL = {
         SELECT source AS g, COUNT(*) AS n
         FROM documents WHERE lang = 'en'
         GROUP BY source ORDER BY g
+    """,
+    "q_decontaminate_docs": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+          FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) s
+          WHERE len(t) >= 8
+        ),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 29 = 0),
+        hits AS (
+          SELECT DISTINCT c.doc_id, c.g
+          FROM grams c JOIN bench USING (g)
+          WHERE c.doc_id % 29 <> 0
+        )
+        SELECT doc_id, COUNT(*) AS n_overlap
+        FROM hits GROUP BY doc_id ORDER BY doc_id
     """,
     "q_sparql_not_exists_distributed": """
         SELECT 'http://docs.example/doc/' || CAST(doc_id AS VARCHAR) AS d,
