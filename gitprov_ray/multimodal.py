@@ -23,10 +23,13 @@ animated GIF is the real compressed path through the video FrameSample
 stage). MP4 demux is REAL (``mp4codec.py``: ISO BMFF box walk + full
 sample-table resolution), and MJPEG-in-MP4 decodes end-to-end through
 the JPEG codec. WebP lossless is REAL (``webpcodec.py``: VP8L prefix
-codes, LZ77 + color cache, all four transforms). Remaining compressed
-codecs (H.264/HEVC pixel decode, lossy WebP/VP8, ...) are NOT
-implementable without external libraries in this container, so those
-paths are STUBS:
+codes, LZ77 + color cache, all four transforms), and H.264 is real for
+I_PCM streams (``h264codec.py``: NAL/avcC/SPS/PPS/slice layers +
+I_PCM macroblock reconstruction — conforming avc1-in-MP4 fixtures
+decode end-to-end). Remaining compressed paths (H.264 PREDICTED
+macroblocks — CAVLC/CABAC + intra/inter prediction — HEVC, lossy
+WebP/VP8, ...) are NOT implementable without external libraries in
+this container, so those paths are STUBS:
 by default they raise
 ``NotImplementedError`` naming the missing dependency; with
 ``deterministic_fake=True`` they produce seeded deterministic fakes so the
@@ -531,6 +534,14 @@ def probe_media(b: bytes) -> dict:
                     format="wav", codec=f"pcm{8 * w.getsampwidth()}",
                     duration_ms=int(w.getnframes() * 1000
                                     / max(w.getframerate(), 1)))
+        elif b[:4] == b"\x00\x00\x00\x01" or b[:3] == b"\x00\x00\x01":
+            from . import h264codec
+
+            if h264codec.is_annexb_h264(b):
+                p = h264codec.probe_h264(b)
+                out.update(format="h264",
+                           codec=f"profile{p['profile']}",
+                           width=p["width"], height=p["height"])
         elif b[:1] == b"P" and b[1:2] in (b"5", b"6"):
             n = 0
             first = None
@@ -671,6 +682,18 @@ def _synth_webp_anim(seed: int, frames: int = 6, w: int = 16,
          for _ in range(frames)], duration_ms=50)
 
 
+def _synth_mp4_h264(seed: int, frames: int = 5, w: int = 32,
+                    h: int = 16) -> bytes:
+    from . import mp4codec
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    frs = [np.stack([np.clip(yy * 9 + i * 15, 0, 255),
+                     np.clip(xx * 5, 0, 255),
+                     np.clip(120 + yy * 2 - xx + seed % 40, 0, 255)],
+                    axis=-1).astype(np.uint8) for i in range(frames)]
+    return mp4codec.encode_mp4_h264_ipcm(frs, fps=5)
+
+
 def synth_media_table(n: int = 32, seed: int = 42) -> pa.Table:
     """Deterministic media corpus with REAL payloads: netpbm + baseline
     JPEG + PNG + lossless WebP images, PCM WAV audio, concatenated-PPM
@@ -688,12 +711,14 @@ def synth_media_table(n: int = 32, seed: int = 42) -> pa.Table:
             payload, mime = _synth_ppm(seed + i), "image/x-portable-pixmap"
         elif kind == "audio":
             payload, mime = _synth_wav(seed + i), "audio/wav"
-        elif (i // 3) % 4 == 1:
+        elif (i // 3) % 5 == 1:
             payload, mime = _synth_gif(seed + i), "image/gif"
-        elif (i // 3) % 4 == 2:
+        elif (i // 3) % 5 == 2:
             payload, mime = _synth_mp4(seed + i), "video/mp4"
-        elif (i // 3) % 4 == 3:
+        elif (i // 3) % 5 == 3:
             payload, mime = _synth_webp_anim(seed + i), "image/webp"
+        elif (i // 3) % 5 == 4:
+            payload, mime = _synth_mp4_h264(seed + i), "video/mp4"
         else:
             payload, mime = _synth_ppm_stream(seed + i), "video/x-ppm-stream"
         rows.append({

@@ -57,12 +57,13 @@ def _patch_codec(b: bytes, fourcc: bytes) -> bytes:
 
 
 def test_unsupported_codec_named():
-    b = _patch_codec(mp4codec.encode_mp4_mjpeg(_frames(2), fps=5), b"avc1")
-    with pytest.raises(NotImplementedError, match="avc1"):
+    # (avc1 decodes via h264codec since round 3 — hev1 is the stub now)
+    b = _patch_codec(mp4codec.encode_mp4_mjpeg(_frames(2), fps=5), b"hev1")
+    with pytest.raises(NotImplementedError, match="hev1"):
         mp4codec.decode_mp4_frames(b)
     # probe still reports full metadata for the undecodable track
     t = mp4codec.probe_mp4(b)["tracks"][0]
-    assert t["codec"] == "avc1" and t["sample_count"] == 2
+    assert t["codec"] == "hev1" and t["sample_count"] == 2
 
 
 def test_largesize_box():
@@ -143,12 +144,12 @@ def test_frame_sample_mp4_path():
 
 
 def test_frame_sample_inter_coded_raises_without_fake():
-    b = _patch_codec(mp4codec.encode_mp4_mjpeg(_frames(2), fps=5), b"avc1")
+    b = _patch_codec(mp4codec.encode_mp4_mjpeg(_frames(2), fps=5), b"hev1")
     t = pa.table({
         "media_id": pa.array(["v0"], pa.string()),
         "payload": pa.array([b], pa.binary()),
     })
-    with pytest.raises(NotImplementedError, match="avc1"):
+    with pytest.raises(NotImplementedError, match="hev1"):
         M.FrameSample(k=2)(t)
     fake = M.FrameSample(k=2, deterministic_fake=True)(t)
     assert fake.num_rows == 2                      # plumbing stays alive
