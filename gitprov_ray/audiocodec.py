@@ -1,0 +1,329 @@
+"""Pure-numpy WAV audio codec layer beyond stdlib ``wave``.
+
+The stdlib module only opens integer PCM; real-world WAV corpora carry
+G.711 (μ-law format 7 / A-law format 6 — the telephony codecs), IEEE
+float (format 3), and IMA/DVI ADPCM (format 0x11, 4-bit block-coded)
+payloads. All four decode here from the public specs (ITU-T G.711,
+IMA ADPCM reference algorithm) with numpy LUTs / vectorized unpacking;
+μ-law and A-law are validated bit-exact against the stdlib ``audioop``
+oracle in tests. Compressed formats that genuinely need external
+decoders (MP3 format 0x55, AAC 0xFF) raise NotImplementedError naming
+the codec.
+
+Fixture writers emit valid WAV files for each format so the multimodal
+stages exercise real compressed-audio payloads without vendored assets.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_FORMAT_NAMES = {1: "pcm", 3: "float", 6: "alaw", 7: "mulaw",
+                 0x11: "ima_adpcm", 0x55: "mp3", 0xFF: "aac",
+                 0x2000: "ac3", 0xFFFE: "extensible"}
+
+
+def _riff_wave_chunks(b: bytes):
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    while pos + 8 <= len(b):
+        tag = b[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", b, pos + 4)
+        yield tag, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+# ---------------------------------------------------------------------------
+# G.711 (ITU-T): 8-bit log companding
+# ---------------------------------------------------------------------------
+
+
+def _mulaw_table() -> np.ndarray:
+    u = np.arange(256, dtype=np.int32) ^ 0xFF       # stored complemented
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _alaw_table() -> np.ndarray:
+    a = np.arange(256, dtype=np.int32) ^ 0x55       # even-bit inversion
+    sign = (a & 0x80) != 0
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8,
+                   ((mant << 4) + 0x108) << (exp - 1))
+    # A-law sign bit SET means positive (opposite of μ-law's layout)
+    return np.where(sign, mag, -mag).astype(np.int16)
+
+
+_MULAW = _mulaw_table()
+_ALAW = _alaw_table()
+
+
+# ---------------------------------------------------------------------------
+# IMA / DVI ADPCM (4-bit, WAV block layout)
+# ---------------------------------------------------------------------------
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767],
+    dtype=np.int32)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_decode_nibbles(nibbles: np.ndarray, pred: int,
+                        index: int) -> np.ndarray:
+    """Sequential IMA step loop (inherently recursive; per-block only)."""
+    out = np.empty(len(nibbles), dtype=np.int16)
+    for i, nib in enumerate(nibbles):
+        step = int(_IMA_STEPS[index])
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + int(_IMA_INDEX_ADJ[nib & 7])))
+        out[i] = pred
+    return out
+
+
+def _ima_decode_block(block: bytes) -> np.ndarray:
+    """One mono IMA ADPCM WAV block → int16 samples (header sample +
+    two samples per payload byte, low nibble first)."""
+    if len(block) < 4:
+        raise ValueError("IMA ADPCM: truncated block")
+    pred, index = struct.unpack_from("<hB", block, 0)
+    payload = np.frombuffer(block, np.uint8, offset=4)
+    nibbles = np.empty(2 * len(payload), dtype=np.uint8)
+    nibbles[0::2] = payload & 0x0F            # low nibble first (WAV)
+    nibbles[1::2] = payload >> 4
+    return np.concatenate([[np.int16(pred)],
+                           _ima_decode_nibbles(nibbles, int(pred),
+                                               int(index))])
+
+
+def _ima_encode_block(samples: np.ndarray, index: int) -> tuple[bytes, int]:
+    """int16 samples (first is the block header sample) → block bytes
+    and the carried step index. The header stores the INITIAL
+    (pred, index) state; we re-seed the index from the block's median
+    step so adaptation tracks immediately instead of climbing from 7."""
+    pred = int(samples[0])
+    if len(samples) > 1:
+        med = float(np.median(np.abs(np.diff(samples.astype(np.int32)))))
+        index = int(np.clip(np.searchsorted(_IMA_STEPS, max(med, 1)),
+                            0, 88))
+    hdr = struct.pack("<hBB", pred, index, 0)
+    nibbles = []
+    for s in samples[1:]:
+        step = int(_IMA_STEPS[index])
+        delta = int(s) - pred
+        nib = 0
+        if delta < 0:
+            nib = 8
+            delta = -delta
+        if delta >= step:
+            nib |= 4
+            delta -= step
+        if delta >= step >> 1:
+            nib |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            nib |= 1
+        # decoder-mirrored reconstruction
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + int(_IMA_INDEX_ADJ[nib & 7])))
+        nibbles.append(nib)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    payload = bytes((nibbles[i] | (nibbles[i + 1] << 4))
+                    for i in range(0, len(nibbles), 2))
+    return hdr + payload, index
+
+
+# ---------------------------------------------------------------------------
+# WAV parse / write
+# ---------------------------------------------------------------------------
+
+
+def parse_wav_extended(b: bytes):
+    """WAV bytes (any of PCM 8/16/24/32, IEEE float, G.711 μ-law/A-law,
+    IMA ADPCM) → (float32 mono samples in [-1, 1], rate, codec_name).
+    Returns None for non-WAVE payloads; raises NotImplementedError
+    naming genuinely external codecs (MP3/AAC/...)."""
+    try:
+        chunks = list(_riff_wave_chunks(b))
+    except ValueError:
+        return None
+    fmt = data = None
+    fact_samples = None
+    for tag, off, size in chunks:
+        if tag == b"fmt ":
+            fmt = b[off: off + size]
+        elif tag == b"data":
+            data = b[off: off + size]
+        elif tag == b"fact" and size >= 4:
+            fact_samples = struct.unpack_from("<I", b, off)[0]
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    (wformat, nch, rate, _brate, balign,
+     bits) = struct.unpack_from("<HHIIHH", fmt, 0)
+    if wformat == 0xFFFE and len(fmt) >= 26:  # EXTENSIBLE: GUID prefix
+        wformat = struct.unpack_from("<H", fmt, 24)[0]
+    name = _FORMAT_NAMES.get(wformat, f"format{wformat}")
+    if wformat == 1:                          # integer PCM
+        if bits == 8:
+            x = (np.frombuffer(data, np.uint8).astype(np.float32)
+                 - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+        elif bits == 24:
+            raw = np.frombuffer(data, np.uint8)
+            raw = raw[: len(raw) - len(raw) % 3].reshape(-1, 3)
+            v = (raw[:, 0].astype(np.int32)
+                 | raw[:, 1].astype(np.int32) << 8
+                 | raw[:, 2].astype(np.int32) << 16)
+            v = np.where(v & 0x800000, v - 0x1000000, v)
+            x = v.astype(np.float32) / 8388608.0
+        elif bits == 32:
+            x = np.frombuffer(data, "<i4").astype(np.float32) / 2147483648.0
+        else:
+            raise NotImplementedError(f"WAV PCM bit depth {bits}")
+    elif wformat == 3:                        # IEEE float
+        x = np.frombuffer(data, "<f4" if bits == 32 else "<f8") \
+            .astype(np.float32)
+    elif wformat == 7:                        # G.711 μ-law
+        x = _MULAW[np.frombuffer(data, np.uint8)].astype(np.float32) \
+            / 32768.0
+    elif wformat == 6:                        # G.711 A-law
+        x = _ALAW[np.frombuffer(data, np.uint8)].astype(np.float32) \
+            / 32768.0
+    elif wformat == 0x11:                     # IMA ADPCM
+        if nch != 1:
+            raise NotImplementedError("IMA ADPCM: mono blocks only")
+        blocks = [data[i: i + balign] for i in range(0, len(data), balign)]
+        x = np.concatenate([_ima_decode_block(blk) for blk in blocks
+                            if len(blk) >= 4]).astype(np.float32) / 32768.0
+        if fact_samples is not None:
+            x = x[:fact_samples]
+        return x, rate, name
+    else:
+        raise NotImplementedError(
+            f"WAV codec {name!r} requires an external decoder")
+    if nch > 1:
+        x = x[::nch]
+    return x, rate, name
+
+
+def _wav_container(fmt_payload: bytes, data: bytes,
+                   fact_samples: int | None = None) -> bytes:
+    fact = (b"fact" + struct.pack("<II", 4, fact_samples)
+            if fact_samples is not None else b"")
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_payload))
+            + fmt_payload + fact
+            + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def write_wav_g711(x: np.ndarray, rate: int = 8000,
+                   law: str = "mulaw") -> bytes:
+    """float32 [-1,1] mono → G.711 WAV (μ-law or A-law), encoded by
+    nearest-level search against the decode table (exact companding)."""
+    table = _MULAW if law == "mulaw" else _ALAW
+    order = np.argsort(table.astype(np.int32))
+    sorted_vals = table.astype(np.int32)[order]
+    pcm = np.clip(x * 32768.0, -32768, 32767).astype(np.int32)
+    pos = np.searchsorted(sorted_vals, pcm)
+    pos = np.clip(pos, 1, 255)
+    left = np.abs(sorted_vals[pos - 1] - pcm)
+    right = np.abs(sorted_vals[np.minimum(pos, 255)] - pcm)
+    best = np.where(left <= right, pos - 1, np.minimum(pos, 255))
+    codes = order[best].astype(np.uint8)
+    fmt = struct.pack("<HHIIHH", 7 if law == "mulaw" else 6, 1, rate,
+                      rate, 1, 8)
+    return _wav_container(fmt, codes.tobytes())
+
+
+def write_wav_ima_adpcm(x: np.ndarray, rate: int = 8000,
+                        block_samples: int = 505) -> bytes:
+    """float32 [-1,1] mono → IMA ADPCM WAV (format 0x11)."""
+    pcm = np.clip(x * 32768.0, -32768, 32767).astype(np.int16)
+    balign = 4 + (block_samples - 1 + 1) // 2
+    blocks = []
+    index = 0
+    for i in range(0, len(pcm), block_samples):
+        chunk = pcm[i: i + block_samples]
+        blk, index = _ima_encode_block(chunk, index)
+        blocks.append(blk.ljust(balign, b"\x00"))
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, rate,
+                      max(rate * balign // block_samples, 1), balign,
+                      4, 2, block_samples)
+    # the fact chunk (required for non-PCM) carries the TRUE sample
+    # count so decoders drop the final block's nibble padding
+    return _wav_container(fmt, b"".join(blocks), fact_samples=len(pcm))
+
+
+def write_wav_float(x: np.ndarray, rate: int = 8000) -> bytes:
+    fmt = struct.pack("<HHIIHH", 3, 1, rate, rate * 4, 4, 32)
+    return _wav_container(fmt, x.astype("<f4").tobytes())
+
+
+def probe_wav(b: bytes) -> dict | None:
+    """Header-only WAV metadata: {codec, rate, duration_ms} — works for
+    every fmt tag including ones this module cannot decode (MP3-in-WAV
+    still probes; that is the curation-pipeline contract)."""
+    try:
+        chunks = list(_riff_wave_chunks(b))
+    except ValueError:
+        return None
+    fmt = None
+    data_size = 0
+    fact_samples = None
+    for tag, off, size in chunks:
+        if tag == b"fmt ":
+            fmt = b[off: off + size]
+        elif tag == b"data":
+            data_size = size
+        elif tag == b"fact" and size >= 4:
+            fact_samples = struct.unpack_from("<I", b, off)[0]
+    if fmt is None or len(fmt) < 16:
+        return None
+    (wformat, nch, rate, _brate, balign,
+     bits) = struct.unpack_from("<HHIIHH", fmt, 0)
+    if wformat == 0xFFFE and len(fmt) >= 26:
+        wformat = struct.unpack_from("<H", fmt, 24)[0]
+    name = _FORMAT_NAMES.get(wformat, f"format{wformat}")
+    if wformat in (1, 3):
+        frames = data_size // max(balign, 1)
+    elif wformat in (6, 7):
+        frames = data_size // max(nch, 1)
+    elif wformat == 0x11 and len(fmt) >= 20:
+        spb = struct.unpack_from("<H", fmt, 18)[0]
+        frames = fact_samples if fact_samples is not None \
+            else (data_size // max(balign, 1)) * spb
+    else:
+        frames = 0
+    return {"codec": name, "rate": rate,
+            "duration_ms": int(frames * 1000 / max(rate, 1))}

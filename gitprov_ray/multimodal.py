@@ -127,8 +127,12 @@ def image_grid_features(arr: np.ndarray, grid: int = 8) -> np.ndarray:
 
 
 def parse_wav(b: bytes):
-    """WAV bytes → (samples float32 in [-1,1] first channel, sample_rate)
-    via the stdlib wave module; None if not parseable PCM."""
+    """WAV bytes → (samples float32 in [-1,1] first channel, sample_rate).
+    stdlib ``wave`` handles plain 8/16-bit PCM; everything else WAV
+    (G.711 μ-law/A-law, IMA ADPCM, IEEE float, 24/32-bit PCM) decodes
+    through ``audiocodec.parse_wav_extended``. Returns None for non-WAV
+    payloads; raises NotImplementedError naming genuinely external
+    codecs (MP3/AAC-in-WAV)."""
     import wave
 
     try:
@@ -138,13 +142,25 @@ def parse_wav(b: bytes):
             width = w.getsampwidth()
             frames = w.readframes(w.getnframes())
     except Exception:
-        return None
+        from . import audiocodec
+
+        parsed = audiocodec.parse_wav_extended(b)
+        if parsed is None:
+            return None
+        x, rate, _codec = parsed
+        return x, rate
     if width == 2:
         x = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
     elif width == 1:
         x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
     else:
-        return None
+        from . import audiocodec
+
+        parsed = audiocodec.parse_wav_extended(b)
+        if parsed is None:
+            return None
+        x, rate, _codec = parsed
+        return x, rate
     if nch > 1:
         x = x[::nch]
     return x, rate
@@ -353,10 +369,11 @@ class FeatureExtract:
 
 class AudioFeatures:
     """audio payload → duration_ms, rms, zero-crossing rate and a
-    windowed RMS-envelope embedding. REAL for PCM WAV (stdlib wave) and
+    windowed RMS-envelope embedding. REAL for PCM WAV (stdlib wave),
+    G.711 μ-law/A-law + IMA ADPCM + IEEE-float WAV (audiocodec.py) and
     PCM-in-MP4 (mp4codec demux, sowt/twos/raw sample entries);
-    compressed audio (AAC, MP3, …) raises naming the codec (fake =
-    seeded)."""
+    compressed audio needing external decoders (AAC, MP3, …) raises
+    naming the codec (fake = seeded)."""
 
     def __init__(self, env_dim: int = 16, deterministic_fake: bool = False):
         self.env_dim = env_dim
@@ -369,7 +386,12 @@ class AudioFeatures:
         for mid, p in zip(batch.column("media_id").to_pylist(),
                           batch.column("payload").to_pylist()):
             b = p or b""
-            parsed = parse_wav(b)
+            try:
+                parsed = parse_wav(b)
+            except NotImplementedError:
+                if not self.fake:
+                    raise                # name the codec, don't mask it
+                parsed = None
             if parsed is None and mp4codec.is_mp4(b):
                 try:
                     parsed = mp4codec.decode_mp4_audio(b)
@@ -527,13 +549,21 @@ def probe_media(b: bytes) -> dict:
                            height=t["height"] or -1,
                            frames=t["sample_count"])
         elif b[:4] == b"RIFF":
-            import wave
+            from . import audiocodec
 
-            with wave.open(io.BytesIO(b)) as w:
-                out.update(
-                    format="wav", codec=f"pcm{8 * w.getsampwidth()}",
-                    duration_ms=int(w.getnframes() * 1000
-                                    / max(w.getframerate(), 1)))
+            p = audiocodec.probe_wav(b)
+            if p is not None:
+                codec = p["codec"]
+                if codec == "pcm":
+                    import wave
+
+                    try:
+                        with wave.open(io.BytesIO(b)) as w:
+                            codec = f"pcm{8 * w.getsampwidth()}"
+                    except Exception:
+                        pass
+                out.update(format="wav", codec=codec,
+                           duration_ms=p["duration_ms"])
         elif b[:4] == b"\x00\x00\x00\x01" or b[:3] == b"\x00\x00\x01":
             from . import h264codec
 
@@ -617,6 +647,27 @@ def _synth_wav(seed: int, ms: int = 250, rate: int = 8000) -> bytes:
         wv.setframerate(rate)
         wv.writeframes(pcm)
     return buf.getvalue()
+
+
+def _synth_audio_signal(seed: int, ms: int = 250, rate: int = 8000):
+    rng = np.random.RandomState(seed)
+    n = rate * ms // 1000
+    t = np.arange(n) / rate
+    freq = 200 + (seed % 10) * 60
+    return (0.5 * np.sin(2 * np.pi * freq * t)
+            + 0.1 * rng.randn(n)).clip(-1, 1).astype(np.float32)
+
+
+def _synth_wav_g711(seed: int, law: str) -> bytes:
+    from . import audiocodec
+
+    return audiocodec.write_wav_g711(_synth_audio_signal(seed), law=law)
+
+
+def _synth_wav_adpcm(seed: int) -> bytes:
+    from . import audiocodec
+
+    return audiocodec.write_wav_ima_adpcm(_synth_audio_signal(seed))
 
 
 def _synth_ppm_stream(seed: int, frames: int = 6) -> bytes:
@@ -709,6 +760,12 @@ def synth_media_table(n: int = 32, seed: int = 42) -> pa.Table:
             payload, mime = _synth_webp(seed + i), "image/webp"
         elif kind == "image":
             payload, mime = _synth_ppm(seed + i), "image/x-portable-pixmap"
+        elif kind == "audio" and (i // 3) % 4 == 1:
+            payload, mime = _synth_wav_g711(seed + i, "mulaw"), "audio/wav"
+        elif kind == "audio" and (i // 3) % 4 == 2:
+            payload, mime = _synth_wav_g711(seed + i, "alaw"), "audio/wav"
+        elif kind == "audio" and (i // 3) % 4 == 3:
+            payload, mime = _synth_wav_adpcm(seed + i), "audio/wav"
         elif kind == "audio":
             payload, mime = _synth_wav(seed + i), "audio/wav"
         elif (i // 3) % 5 == 1:

@@ -1,0 +1,116 @@
+"""WAV audio codecs beyond stdlib wave (audiocodec.py): G.711
+μ-law/A-law pinned bit-exact against the stdlib audioop oracle, IMA
+ADPCM roundtrip SNR, format probing, and the AudioFeatures stage on
+compressed-audio payloads."""
+
+import warnings
+
+import numpy as np
+import pytest
+
+from gitprov_ray import audiocodec as A
+
+
+def _sine(ms=250, rate=8000, amp=0.6, freq=440):
+    t = np.arange(rate * ms // 1000) / rate
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+def test_g711_tables_match_audioop():
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+    codes = bytes(range(256))
+    assert (A._MULAW == np.frombuffer(audioop.ulaw2lin(codes, 2),
+                                      "<i2")).all()
+    assert (A._ALAW == np.frombuffer(audioop.alaw2lin(codes, 2),
+                                     "<i2")).all()
+
+
+@pytest.mark.parametrize("law", ["mulaw", "alaw"])
+def test_g711_roundtrip_snr(law):
+    x = _sine()
+    y, rate, name = A.parse_wav_extended(A.write_wav_g711(x, law=law))
+    assert name == law and rate == 8000 and len(y) == len(x)
+    snr = 10 * np.log10(np.mean(x ** 2) / np.mean((x - y) ** 2))
+    assert snr > 30                       # 8-bit companding ≈ 37 dB
+
+
+def test_ima_adpcm_roundtrip_snr():
+    x = _sine()
+    y, rate, name = A.parse_wav_extended(A.write_wav_ima_adpcm(x))
+    assert name == "ima_adpcm"
+    snr = 10 * np.log10(np.mean(x ** 2)
+                        / np.mean((x - y[: len(x)]) ** 2))
+    assert snr > 20                       # 4-bit ADPCM ≈ 30 dB
+
+
+def test_float_and_24bit_pcm():
+    x = _sine()
+    y, rate, name = A.parse_wav_extended(A.write_wav_float(x))
+    assert name == "float" and np.allclose(x, y)
+    # hand-built 24-bit PCM
+    import struct
+
+    v = np.clip(x * 8388608, -8388608, 8388607).astype(np.int32)
+    raw = b"".join(struct.pack("<i", s)[:3] for s in v)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    y24, _, name24 = A.parse_wav_extended(A._wav_container(fmt, raw))
+    assert name24 == "pcm" and np.abs(y24 - x).max() < 1e-3
+
+
+def test_mp3_in_wav_raises_named_but_probes():
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 0x55, 1, 44100, 16000, 1, 0)
+    b = A._wav_container(fmt, b"\x00" * 64)
+    with pytest.raises(NotImplementedError, match="mp3"):
+        A.parse_wav_extended(b)
+    p = A.probe_wav(b)
+    assert p["codec"] == "mp3" and p["rate"] == 44100
+
+
+def test_probe_wav_durations():
+    x = _sine(ms=500)
+    for payload, codec in [(A.write_wav_g711(x), "mulaw"),
+                           (A.write_wav_ima_adpcm(x), "ima_adpcm"),
+                           (A.write_wav_float(x), "float")]:
+        p = A.probe_wav(payload)
+        assert p["codec"] == codec
+        assert abs(p["duration_ms"] - 500) < 70, (codec, p)
+
+
+def test_audio_features_stage_compressed(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gitprov_ray.multimodal import MEDIA_SCHEMA, AudioFeatures, probe_media
+
+    x = _sine()
+    rows = []
+    for i, payload in enumerate([A.write_wav_g711(x, law="mulaw"),
+                                 A.write_wav_g711(x, law="alaw"),
+                                 A.write_wav_ima_adpcm(x)]):
+        rows.append({"media_id": f"a{i}", "kind": "audio",
+                     "payload": payload, "mime": "audio/wav",
+                     "width": -1, "height": -1, "duration_ms": -1})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA))
+    out = ds.map_batches(AudioFeatures, batch_format="pyarrow",
+                         concurrency=1).to_pandas()
+    assert len(out) == 3
+    # same sine through three codecs → nearly identical features
+    assert out.duration_ms.between(240, 270).all()
+    assert (np.abs(out.rms - out.rms.iloc[0]) < 0.02).all()
+    meta = probe_media(A.write_wav_ima_adpcm(x))
+    assert (meta["format"], meta["codec"]) == ("wav", "ima_adpcm")
+
+
+def test_synth_corpus_carries_compressed_audio():
+    from gitprov_ray.multimodal import probe_media, synth_media_table
+
+    t = synth_media_table(n=48)
+    codecs = set()
+    for row in t.to_pylist():
+        if row["kind"] == "audio":
+            codecs.add(probe_media(row["payload"])["codec"])
+    assert {"pcm16", "mulaw", "alaw", "ima_adpcm"} <= codecs
