@@ -1194,6 +1194,36 @@ def q_sparql_graph(sf_dir: str):
     return sparql_lite.select_text(tri, q)
 
 
+def q_stratified_sample_docs(sf_dir: str):
+    """Stratified (per-stratum) deterministic sampling — the balanced-
+    subset op of a training-data pipeline: 3 docs per source, chosen by
+    md5-of-id rank so the pick is uniform-ish, reproducible, and
+    oracle-checkable. Per-batch pre-top-k combiner (≤k rows per stratum
+    leave each batch) then the per-stratum head inside a distributed
+    groupby — the q_topk_per_group pattern with a hash ranking."""
+    import hashlib
+
+    k = 3
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["hkey"] = [hashlib.md5(str(i).encode()).hexdigest()
+                      for i in df["doc_id"]]
+        return (df.sort_values(["hkey", "doc_id"], kind="mergesort")
+                .groupby("source", sort=False).head(k))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.sort_values(["hkey", "doc_id"], kind="mergesort")
+              .groupby("source", sort=False).head(k))
+        return df[["source", "doc_id"]]
+
+    return (ds.map_batches(rank, batch_format="pandas")
+            .groupby("source")
+            .map_groups(final, batch_format="pandas")
+            .sort(["source", "doc_id"]))
+
+
 def q_decontaminate_docs(sf_dir: str):
     """Benchmark decontamination (the GPT-3/PaLM n-gram protocol): flag
     corpus docs sharing ≥1 distinct 8-gram with the eval set (docs with
@@ -1345,6 +1375,7 @@ QUERIES = {
     "q_sparql_graph_distributed": q_sparql_graph_distributed,
     "q_sparql_not_exists_distributed": q_sparql_not_exists_distributed,
     "q_decontaminate_docs": q_decontaminate_docs,
+    "q_stratified_sample_docs": q_stratified_sample_docs,
     "q_transitive_closure": q_transitive_closure,
     "q_sparql_not_exists": q_sparql_not_exists,
     "q_moving_sum_events": q_moving_sum_events,
@@ -1691,6 +1722,15 @@ ORACLE_SQL = {
         SELECT source AS g, COUNT(*) AS n
         FROM documents WHERE lang = 'en'
         GROUP BY source ORDER BY g
+    """,
+    "q_stratified_sample_docs": """
+        SELECT source, doc_id FROM (
+          SELECT source, doc_id,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents) t
+        WHERE rn <= 3 ORDER BY source, doc_id
     """,
     "q_decontaminate_docs": """
         WITH toks AS (
