@@ -2,6 +2,9 @@
 
 import re
 
+from struct import error as struct_error
+from zlib import error as ZlibError
+
 from hypothesis import given, settings, strategies as st
 
 from gitprov_ray import extract, idgen
@@ -137,3 +140,51 @@ def test_json_quote_series_matches_json_dumps(vals):
     got = _json_quote_series(s)
     exp = s.map(lambda v: json.dumps(v, ensure_ascii=False))
     assert (got == exp).all()
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=150, deadline=None)
+def test_media_codecs_never_crash_on_garbage(data):
+    """Decoders over arbitrary bytes: a clean ValueError /
+    NotImplementedError (or a parse refusal), never a hang, index
+    crash, or wrong exception type — the quarantine contract of
+    probe_media (malformed payloads filter, not kill the job)."""
+    from gitprov_ray import (audiocodec, gifcodec, h264codec, jpegcodec,
+                             mp4codec, pngcodec, webpcodec)
+    from gitprov_ray.multimodal import probe_media
+
+    meta = probe_media(data)                 # must never raise
+    assert isinstance(meta["format"], str)
+    for dec in (jpegcodec.decode_jpeg, pngcodec.decode_png,
+                gifcodec.decode_gif, webpcodec.decode_webp,
+                mp4codec.decode_mp4_frames, h264codec.decode_annexb):
+        try:
+            dec(data)
+        except (ValueError, NotImplementedError, EOFError, KeyError,
+                IndexError, struct_error, ZlibError):
+            pass
+    try:
+        audiocodec.parse_wav_extended(data)
+    except (ValueError, NotImplementedError):
+        pass
+
+
+@given(st.binary(min_size=8, max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_webp_vp8l_decoder_rejects_garbage_payloads(data):
+    """A syntactically-plausible container around garbage VP8L bits must
+    fail with ValueError, not loop or index out of bounds."""
+    import struct as _s
+
+    from gitprov_ray import webpcodec
+
+    payload = b"\x2f" + data
+    chunk = b"VP8L" + _s.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    b = b"RIFF" + _s.pack("<I", len(riff)) + riff
+    try:
+        webpcodec.decode_webp(b)
+    except (ValueError, NotImplementedError):
+        pass
