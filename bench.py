@@ -75,7 +75,10 @@ def run_bench() -> dict:
 
     use_ckpt = os.environ.get("GRAFT_BENCH_CHECKPOINT", "1") == "1"
     t0 = time.time()
-    tri = flagship.flagship(SF_DIR, num_buckets=max(32, NCPU * 2),
+    # bucket floor 64: at 32 buckets the dedup reduce ran as 2 straggler-
+    # bound waves on 16 CPUs (hash-size skew ~3×); 64 buckets smoothed
+    # BOTH legs (4cpu 111→107 s, 16cpu 35→29 s, measured round 3)
+    tri = flagship.flagship(SF_DIR, num_buckets=max(64, NCPU * 2),
                             repeat=REPEAT, checkpoint=use_ckpt)
     tri.write_parquet(out_dir, compression="zstd")
     flagship_sec = time.time() - t0

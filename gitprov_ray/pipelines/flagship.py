@@ -115,6 +115,16 @@ def pages_from_documents(sf_dir: str, repeat: int = 1) -> "rd.Dataset":
 
     docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                               columns=["doc_id", "text", "lang", "source"])
+    # the documents file is ONE row group → Ray reads it as 1-2 blocks,
+    # and the (repeat×) html render + event parse downstream would run
+    # near-serial regardless of cluster size. Re-split the (tiny) doc
+    # rows BEFORE the expanding render so the heavy stages fan out —
+    # measured: the 16-CPU scaling leg spent ~10 s in a 2-task render.
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    docs = docs.repartition(max(16, 2 * ncpu))
     return docs.map_batches(
         lambda b: pages_stage.render_pages_from_documents_batch(b, repeat),
         batch_format="pyarrow")
