@@ -538,7 +538,10 @@ def encode_annexb(frames: list[np.ndarray]) -> bytes:
     for i, f in enumerate(frames):
         if f.shape[:2] != (h, w):
             raise ValueError("all frames must share dimensions")
-        out.append(sc + _nal(5, _slice_rbsp(f, i, idr=True, idr_pic_id=i)))
+        # frame_num MUST be 0 on IDR pictures (§7.4.3); idr_pic_id
+        # alternates so consecutive IDRs are distinguishable
+        out.append(sc + _nal(5, _slice_rbsp(f, 0, idr=True,
+                                            idr_pic_id=i & 1)))
     return b"".join(out)
 
 
@@ -552,9 +555,10 @@ def avcc_config(w: int, h: int) -> bytes:
 
 
 def encode_samples(frames: list[np.ndarray]) -> list[bytes]:
-    """Per-frame length-prefixed IDR samples for the MP4 route."""
+    """Per-frame length-prefixed IDR samples for the MP4 route
+    (frame_num pinned 0 on IDR per §7.4.3)."""
     out = []
     for i, f in enumerate(frames):
-        nal = _nal(5, _slice_rbsp(f, i, idr=True, idr_pic_id=i))
+        nal = _nal(5, _slice_rbsp(f, 0, idr=True, idr_pic_id=i & 1))
         out.append(struct.pack(">I", len(nal)) + nal)
     return out

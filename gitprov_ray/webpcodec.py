@@ -850,12 +850,15 @@ def decode_webp_frames(b: bytes) -> list[np.ndarray]:
         if hdr["no_blend"]:
             region[:] = sub
         else:                                 # source-over alpha blend
-            sa = sub[..., 3:4].astype(np.uint16)
-            da = region[..., 3:4].astype(np.uint16)
+            # uint32 intermediates: rgb*da*(255-sa) peaks at ~16.5M,
+            # far past uint16
+            sa = sub[..., 3:4].astype(np.uint32)
+            da = region[..., 3:4].astype(np.uint32)
             out_a = sa + da * (255 - sa) // 255
             safe = np.maximum(out_a, 1)
-            rgb = (sub[..., :3] * sa
-                   + region[..., :3] * da * (255 - sa) // 255) // safe
+            rgb = (sub[..., :3].astype(np.uint32) * sa
+                   + region[..., :3].astype(np.uint32) * da
+                   * (255 - sa) // 255) // safe
             region[..., :3] = rgb.astype(np.uint8)
             region[..., 3:4] = out_a.astype(np.uint8)
         frames.append(canvas.copy())

@@ -156,6 +156,37 @@ def test_animated_subrect_dispose_composition():
     assert (f1[0, 0] == 0).all()                  # disposed to transparent
 
 
+def test_animated_alpha_blend_semitransparent():
+    """Source-over compositing with a genuinely semi-transparent frame:
+    out = (src*sa + dst*da*(1-sa)) / out_a — checked against the float
+    formula (the integer path overflowed uint16 before round 3)."""
+    base = np.full((4, 4, 4), 200, dtype=np.uint8)
+    base[..., 3] = 255                                    # opaque grey
+    overlay = np.zeros((4, 4, 4), dtype=np.uint8)
+    overlay[..., 0] = 100                                 # dark red
+    overlay[..., 3] = 128                                 # half alpha
+    b = wc.encode_webp_anim([base, overlay])
+    # second ANMF must alpha-blend: rewrite its no-blend flag to 0
+    raw = bytearray(b)
+    anmf_positions = []
+    pos = 12
+    while pos + 8 <= len(raw):
+        tag = bytes(raw[pos:pos + 4])
+        size = int.from_bytes(raw[pos + 4:pos + 8], "little")
+        if tag == b"ANMF":
+            anmf_positions.append(pos)
+        pos += 8 + size + (size & 1)
+    flags_off = anmf_positions[1] + 8 + 15
+    raw[flags_off] &= ~0x02                               # clear no-blend
+    f0, f1 = wc.decode_webp_frames(bytes(raw))
+    sa, da = 128, 255
+    out_a = sa + da * (255 - sa) // 255
+    exp_r = (100 * sa + 200 * da * (255 - sa) // 255) // out_a
+    assert abs(int(f1[0, 0, 0]) - exp_r) <= 1
+    assert f1[0, 0, 3] == out_a
+    assert (f0[..., 0] == 200).all()
+
+
 def test_framesample_animated_webp(ray_session):
     import pyarrow as pa
     import ray.data as rd
