@@ -1194,6 +1194,18 @@ def q_sparql_graph(sf_dir: str):
     return sparql_lite.select_text(tri, q)
 
 
+def q_lm_quality_docs(sf_dir: str):
+    """CCNet-style LM quality scoring (rows-only: an iterative model fit
+    is not SQL-expressible): char-trigram LM fitted on the en-language
+    slice, broadcast once, corpus scored in one streaming actor-pool
+    pass. Deterministic (fixed sample, integer millibits)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    ref = ds.map_batches(lambda df: df[df.lang == "en"][["doc_id", "text"]],
+                         batch_format="pandas").sort("doc_id")
+    return (textops.lm_quality_scores(ds, ref)
+            .sort("doc_id"))
+
+
 def q_stratified_sample_docs(sf_dir: str):
     """Stratified (per-stratum) deterministic sampling — the balanced-
     subset op of a training-data pipeline: 3 docs per source, chosen by
@@ -1376,6 +1388,7 @@ QUERIES = {
     "q_sparql_not_exists_distributed": q_sparql_not_exists_distributed,
     "q_decontaminate_docs": q_decontaminate_docs,
     "q_stratified_sample_docs": q_stratified_sample_docs,
+    "q_lm_quality_docs": q_lm_quality_docs,
     "q_transitive_closure": q_transitive_closure,
     "q_sparql_not_exists": q_sparql_not_exists,
     "q_moving_sum_events": q_moving_sum_events,

@@ -108,3 +108,92 @@ def quality_stats(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
         }
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# LM-based quality scoring (the CCNet recipe: score documents by a small
+# language model trained on reference text; low cross-entropy ≈ fluent)
+# ---------------------------------------------------------------------------
+
+
+class CharTrigramLM:
+    """Tiny add-one-smoothed character-trigram LM.
+
+    `fit` on a reference corpus sample (driver-side — the model is a few
+    hundred KB), then the fitted model broadcasts once (ray.put /
+    actor-constructor arg) and `perplexity_bits` scores batches
+    vectorized. The CCNet pipeline does exactly this shape with a 5-gram
+    KenLM; the trigram keeps the engine dependency-free while preserving
+    the distributed pattern (train small → broadcast → score wide)."""
+
+    def __init__(self):
+        self.counts: dict[bytes, int] = {}
+        self.context: dict[bytes, int] = {}
+        self.vocab = 256
+
+    @staticmethod
+    def _norm(text: str) -> bytes:
+        return (" " + " ".join((text or "").lower().split()) + " ") \
+            .encode("utf-8", "replace")
+
+    def fit(self, texts) -> "CharTrigramLM":
+        for t in texts:
+            b = self._norm(t)
+            for i in range(len(b) - 2):
+                g = b[i:i + 3]
+                self.counts[g] = self.counts.get(g, 0) + 1
+                self.context[g[:2]] = self.context.get(g[:2], 0) + 1
+        return self
+
+    def perplexity_bits(self, text: str) -> float:
+        """Cross-entropy in bits per character (add-one smoothed)."""
+        b = self._norm(text)
+        if len(b) < 3:
+            return float(np.log2(self.vocab))
+        total = 0.0
+        n = len(b) - 2
+        for i in range(n):
+            g = b[i:i + 3]
+            num = self.counts.get(g, 0) + 1
+            den = self.context.get(g[:2], 0) + self.vocab
+            total -= np.log2(num / den)
+        return float(total / n)
+
+
+class LMQualityScorer:
+    """Actor-pool stage: the fitted LM deserializes once per actor."""
+
+    def __init__(self, lm_ref, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        import ray
+
+        self.lm = ray.get(lm_ref)
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        bits = [self.lm.perplexity_bits(t) for t in df[self.text_col]]
+        return pd.DataFrame({
+            self.id_col: df[self.id_col].to_numpy(),
+            # integer millibits: FP-safe for the driver's value hash
+            "lm_millibits": (np.asarray(bits) * 1000).astype(np.int64),
+        })
+
+
+def lm_quality_scores(docs_ds, ref_ds, id_col: str = "doc_id",
+                      text_col: str = "text", sample_rows: int = 512,
+                      concurrency=(1, 8)):
+    """CCNet-style LM filtering, Ray-Data-shaped: fit the small reference
+    LM from a BOUNDED driver-side sample (deterministic limit — the model
+    is the only thing that ever leaves the reference set), broadcast it
+    once, and score the whole corpus in a streaming actor-pool pass.
+    Returns (id, lm_millibits); callers threshold/bucket downstream."""
+    import ray
+
+    ref = ref_ds.limit(sample_rows).to_pandas()
+    lm = CharTrigramLM().fit(ref[text_col])
+    lm_ref = ray.put(lm)
+    return docs_ds.map_batches(
+        LMQualityScorer,
+        fn_constructor_kwargs={"lm_ref": lm_ref, "id_col": id_col,
+                               "text_col": text_col},
+        batch_format="pandas", concurrency=concurrency)

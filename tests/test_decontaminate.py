@@ -70,3 +70,37 @@ def test_ngram_threshold_param(ray_session):
     assert 1 in out.doc_id.tolist() and 3 in out.doc_id.tolist()
     assert 2 not in out.doc_id.tolist()
     assert out.set_index("doc_id").n_overlap[1] == 5   # 8-token window
+
+
+# --- LM quality scoring (textops.CharTrigramLM / lm_quality_scores) ---
+
+
+def test_lm_fluent_scores_below_gibberish(ray_session):
+    import ray.data as rd
+
+    from gitprov_ray import textops
+
+    fluent = ["the quick brown fox jumps over the lazy dog again and again",
+              "a data pipeline reads rows and writes tables every day",
+              "the table scan merges sorted runs of row groups"]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(
+        fluent + ["zq xv jj qq kk zz wv xx qzk vjw ppq mzx"])]
+    docs = rd.from_pandas(pd.DataFrame(rows)).repartition(2)
+    ref = rd.from_pandas(pd.DataFrame(
+        [{"doc_id": 100 + i, "text": t} for i, t in enumerate(fluent)]))
+    out = textops.lm_quality_scores(docs, ref).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(out) == 4
+    assert out.lm_millibits.dtype == np.int64
+    # in-domain docs score clearly lower cross-entropy than gibberish
+    assert out.lm_millibits[:3].max() < out.lm_millibits.iloc[3]
+
+
+def test_lm_deterministic_and_bounded():
+    from gitprov_ray.textops import CharTrigramLM
+
+    lm = CharTrigramLM().fit(["abc abc abd"])
+    a = lm.perplexity_bits("abc")
+    assert a == lm.perplexity_bits("abc")      # deterministic
+    assert 0.0 < a <= 8.0                      # ≤ log2(256)
+    assert lm.perplexity_bits("") == 8.0       # degenerate → uniform
