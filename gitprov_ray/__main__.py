@@ -109,7 +109,17 @@ def cmd_sparql(args) -> int:
 
     _ray_session(args.num_cpus)
     ds = store_mod.read_store(args.root, args.graph)
-    res = sparql_lite.query_text(ds, args.query)
+    if getattr(args, "distributed", False):
+        # scale path: bucketed-join SELECT evaluation; materializes only
+        # the (already LIMIT/aggregate-bounded) result for serialization
+        if sparql_lite.query_form(args.query) != "SELECT":
+            raise SystemExit("--distributed supports SELECT queries; "
+                             "ASK/CONSTRUCT/DESCRIBE run on the default "
+                             "path")
+        res = sparql_lite.select_text_distributed(ds, args.query) \
+            .to_pandas()
+    else:
+        res = sparql_lite.query_text(ds, args.query)
     if isinstance(res, bool):          # ASK → SPARQL JSON boolean result
         _emit(json.dumps({"head": {}, "boolean": res}), args.out)
         return 0
@@ -195,6 +205,9 @@ def build_parser() -> argparse.ArgumentParser:
     sq.add_argument("--graph")
     sq.add_argument("--results", default="json",
                     choices=["csv", "tsv", "json"])
+    sq.add_argument("--distributed", action="store_true",
+                    help="evaluate SELECT on the Dataset scale path "
+                         "(select_text_distributed)")
     sq.add_argument("--out")
     sq.set_defaults(fn=cmd_sparql)
 

@@ -49,6 +49,16 @@ def test_cli_sparql(cli_store, capsys):
     doc = json.loads(capsys.readouterr().out)
     assert doc["head"]["vars"] == ["a"]
     assert 0 < len(doc["results"]["bindings"]) <= 5
+    # the scale path answers the same query through the CLI flag
+    assert main(["sparql", cli_store, q, "--results", "json",
+                 "--distributed"]) == 0
+    doc2 = json.loads(capsys.readouterr().out)
+    # DISTINCT+LIMIT picks an arbitrary-but-valid subset on each path —
+    # check shape and that every binding is a real Activity URI
+    assert doc2["head"]["vars"] == ["a"]
+    vals = [b["a"] for b in doc2["results"]["bindings"]]
+    assert 0 < len(vals) <= 5
+    assert all(v.startswith("https://") and "#commit-" in v for v in vals)
 
 
 def test_cli_serialize_roundtrip(cli_store, tmp_path, capsys):
