@@ -1841,11 +1841,9 @@ def ask_text(triples_ds, query: str, graph: str | None = None) -> bool:
     return len(select_text(triples_ds, rewritten, graph=graph)) > 0
 
 
-def construct_text(triples_ds, query: str,
-                   graph: str | None = None) -> pd.DataFrame:
-    """CONSTRUCT { template } WHERE { ... } → deduplicated triples frame
-    (subj, pred, obj), one instantiation per solution with any
-    unbound-variable triples dropped (SPARQL 1.1 §16.2)."""
+def _parse_construct(query: str) -> tuple[list[tuple], str]:
+    """CONSTRUCT query text → (template triples, rewritten SELECT * text)
+    — shared by the driver and distributed front-ends."""
     toks = _tokenize(query)
     i = _past_prefixes(toks)
     if toks[i].upper() != "CONSTRUCT":
@@ -1883,6 +1881,15 @@ def construct_text(triples_ds, query: str,
     if not template:
         raise SparqlSyntaxError("empty CONSTRUCT template")
     rewritten = " ".join(toks[:i] + ["SELECT", "*"] + toks[j + 1:])
+    return template, rewritten
+
+
+def construct_text(triples_ds, query: str,
+                   graph: str | None = None) -> pd.DataFrame:
+    """CONSTRUCT { template } WHERE { ... } → deduplicated triples frame
+    (subj, pred, obj), one instantiation per solution with any
+    unbound-variable triples dropped (SPARQL 1.1 §16.2)."""
+    template, rewritten = _parse_construct(query)
     bindings = select_text(triples_ds, rewritten, graph=graph)
     frames = []
     for s, p, o in template:
@@ -2263,6 +2270,36 @@ def construct_distributed(triples_ds, template: list[tuple],
     ``template`` entries are (s, p, o) with ``?var`` or bound terms —
     the same shape select_distributed takes."""
     ds = select_distributed(triples_ds, patterns, graph=graph)
+    return _construct_from_bindings_ds(ds, template, graph)
+
+
+def construct_text_distributed(triples_ds, query: str,
+                               graph: str | None = None):
+    """CONSTRUCT query string on the Dataset scale path: the WHERE block
+    evaluates through select_text_distributed (so OPTIONAL/UNION/VALUES/
+    EXISTS/GRAPH/paths all work), template instantiation is per-batch
+    vectorized, set semantics via one bucketed dedup shuffle."""
+    template, rewritten = _parse_construct(query)
+    ds = select_text_distributed(triples_ds, rewritten, graph=graph)
+    return _construct_from_bindings_ds(ds, template, graph)
+
+
+def ask_text_distributed(triples_ds, query: str,
+                         graph: str | None = None) -> bool:
+    """ASK on the scale path: rewrite to SELECT * LIMIT 1 and test for a
+    row — only the (bounded) single-row prefix ever materializes."""
+    toks = _tokenize(query)
+    i = _past_prefixes(toks)
+    if toks[i].upper() != "ASK":
+        raise SparqlSyntaxError("not an ASK query")
+    rewritten = " ".join(toks[:i] + ["SELECT", "*"] + toks[i + 1:]
+                         + ["LIMIT", "1"])
+    return len(select_text_distributed(triples_ds, rewritten,
+                                       graph=graph).take(1)) > 0
+
+
+def _construct_from_bindings_ds(ds, template: list[tuple],
+                                graph: str | None):
     tmpl = [tuple(t) for t in template]
 
     def instantiate(df: pd.DataFrame) -> pd.DataFrame:

@@ -485,3 +485,41 @@ def test_subselect_distributed(rich_ds):
     pd.testing.assert_frame_equal(
         drv.reset_index(drop=True), dst.reset_index(drop=True),
         check_dtype=False)
+
+
+def test_construct_text_distributed_parity(rich_ds):
+    q = Q + """
+        CONSTRUCT { ?d ex:tongue ?l . ?d ex:from ?s }
+        WHERE { ?d ex:lang ?l . ?d ex:source ?s . FILTER (?l != "fr") }
+    """
+    drv = S.construct_text(rich_ds, q)
+    dst = S.construct_text_distributed(rich_ds, q).to_pandas()
+    key = ["subj", "pred", "obj"]
+    pd.testing.assert_frame_equal(
+        drv.sort_values(key).reset_index(drop=True),
+        dst.sort_values(key).reset_index(drop=True), check_dtype=False)
+
+
+def test_construct_text_distributed_with_optional(rich_ds):
+    """The distributed string CONSTRUCT rides the full distributed WHERE
+    machinery — OPTIONAL included (unbound template rows drop, §16.2)."""
+    q = Q + """
+        CONSTRUCT { ?d ex:tongue ?l }
+        WHERE { ?d ex:source "s0" . OPTIONAL { ?d ex:lang ?l } }
+    """
+    drv = S.construct_text(rich_ds, q)
+    dst = S.construct_text_distributed(rich_ds, q).to_pandas()
+    key = ["subj", "pred", "obj"]
+    pd.testing.assert_frame_equal(
+        drv.sort_values(key).reset_index(drop=True),
+        dst.sort_values(key).reset_index(drop=True), check_dtype=False)
+
+
+def test_ask_text_distributed(rich_ds):
+    assert S.ask_text_distributed(
+        rich_ds, Q + 'ASK { ?d ex:lang "en" }') is True
+    assert S.ask_text_distributed(
+        rich_ds, Q + 'ASK { ?d ex:lang "zz" }') is False
+    # parity with the driver form on a FILTERed pattern
+    q = Q + 'ASK { ?d ex:score ?v . FILTER (?v > "90") }'
+    assert S.ask_text_distributed(rich_ds, q) == S.ask_text(rich_ds, q)
