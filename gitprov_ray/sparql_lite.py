@@ -314,15 +314,22 @@ def ask(triples_ds, patterns, graph=None) -> bool:
 
 def select_optional(triples_ds, patterns: list[tuple],
                     optional_groups: list[list[tuple]],
-                    graph: str | None = None) -> pd.DataFrame:
+                    graph: str | None = None,
+                    optional_filters: list[list] | None = None
+                    ) -> pd.DataFrame:
     """Required BGP + OPTIONAL groups → binding table (SPARQL 1.1 §5.3,
     the reference's surface via Jena, SparqlService.java:22-31). Each
     OPTIONAL group is evaluated as its own BGP and LEFT-joined to the
     accumulated bindings on the shared variables; rows with no match keep
-    the required bindings with the optional variables unbound (None)."""
+    the required bindings with the optional variables unbound (None).
+    In-group FILTERs (§6.1) apply to the optional part BEFORE the left
+    join — a filtered-out optional match leaves the row unbound, it does
+    not remove it."""
     result = select(triples_ds, patterns, graph=graph)
-    for group in optional_groups:
+    for gi, group in enumerate(optional_groups):
         part = select(triples_ds, group, graph=graph)
+        if optional_filters and optional_filters[gi]:
+            part = _apply_filters(part, optional_filters[gi])
         shared = [c for c in result.columns if c in part.columns]
         if not shared:
             raise SparqlSyntaxError(
@@ -357,10 +364,13 @@ def select_union(triples_ds, branches: list[list[tuple]],
 
 def select_optional_distributed(triples_ds, patterns: list[tuple],
                                 optional_groups: list[list[tuple]],
-                                graph: str | None = None):
+                                graph: str | None = None,
+                                optional_filters: list[list] | None = None):
     """Distributed OPTIONAL: required BGP via the bucketed-join path, each
     OPTIONAL group LEFT-OUTER `Dataset.join`ed on shared variables — the
-    J5 scale surface (bindings never materialize on the driver)."""
+    J5 scale surface (bindings never materialize on the driver).
+    In-group FILTERs apply per batch to the optional side BEFORE the
+    join (§6.1), same as the driver twin."""
     import pyarrow as pa
 
     from .ops import _default_partitions, materialize_normalized
@@ -368,8 +378,13 @@ def select_optional_distributed(triples_ds, patterns: list[tuple],
     P = _default_partitions()
     result = select_distributed(triples_ds, patterns, graph=graph)
     bound = list(result.schema().names)
-    for group in optional_groups:
+    for gi, group in enumerate(optional_groups):
         part = select_distributed(triples_ds, group, graph=graph)
+        if optional_filters and optional_filters[gi]:
+            fs = optional_filters[gi]
+            part = part.map_batches(
+                lambda df, fs=fs: _apply_filters(df, fs),
+                batch_format="pandas")
         vars_ = list(part.schema().names)
         shared = [v for v in bound if v in vars_]
         if not shared:
@@ -840,6 +855,7 @@ def parse_select(query: str) -> dict:
         return _parse_term(t, prefixes)
 
     optional_groups: list[list[tuple]] = []
+    optional_filters: list[list] = []        # §6.1 in-group FILTERs
     union_branches: list[list[tuple]] = []
     values_clauses: list[tuple[list[str], list[list]]] = []
     exists_groups: list[tuple[bool, list[tuple]]] = []   # (negated?, BGP)
@@ -979,6 +995,31 @@ def parse_select(query: str) -> dict:
                     f"{t!r} not supported inside a group pattern")
             read_triple(group, allow_alt=False)
 
+    def take_group_with_filters() -> tuple[list[tuple], list]:
+        """OPTIONAL bodies may carry FILTERs (§6.1: the filter applies
+        WITHIN the optional match, before the left join — different from
+        filtering the joined solutions)."""
+        take("{")
+        group: list[tuple] = []
+        gfilters: list = []
+        while True:
+            t = peek()
+            if t is None:
+                raise SparqlSyntaxError("unterminated group")
+            if t == "}":
+                take()
+                return group, gfilters
+            if t.upper() == "FILTER":
+                take()
+                gfilters.append(_parse_expression(take, peek, term))
+                if peek() == ".":
+                    take()
+                continue
+            if t in ("{",) or t.upper() in ("OPTIONAL", "UNION", "GRAPH"):
+                raise SparqlSyntaxError(
+                    f"{t!r} not supported inside a group pattern")
+            read_triple(group, allow_alt=False)
+
     while True:
         t = peek()
         if t is None:
@@ -987,7 +1028,9 @@ def parse_select(query: str) -> dict:
             take(); break
         if t.upper() == "OPTIONAL":
             take()
-            optional_groups.append(take_group())
+            g, gf = take_group_with_filters()
+            optional_groups.append(g)
+            optional_filters.append(gf)
             if peek() == ".":
                 take()
             continue
@@ -1187,6 +1230,7 @@ def parse_select(query: str) -> dict:
     return {"prefixes": prefixes, "variables": variables, "star": star,
             "distinct": distinct, "patterns": patterns, "filters": filters,
             "optional_groups": optional_groups,
+            "optional_filters": optional_filters,
             "union_branches": union_branches,
             "values_clauses": values_clauses,
             "exists_groups": exists_groups, "minus_groups": minus_groups,
@@ -1437,8 +1481,10 @@ def select_text(triples_ds, query: str, graph: str | None = None) -> pd.DataFram
         else:
             out = u
         if plan["optional_groups"]:
-            for group in plan["optional_groups"]:
+            for gi, group in enumerate(plan["optional_groups"]):
                 part = select(triples_ds, group, graph=graph)
+                if plan["optional_filters"][gi]:
+                    part = _apply_filters(part, plan["optional_filters"][gi])
                 shared = [c for c in out.columns if c in part.columns]
                 if not shared:
                     raise SparqlSyntaxError(
@@ -1450,7 +1496,8 @@ def select_text(triples_ds, query: str, graph: str | None = None) -> pd.DataFram
                     out[c] = out[c].astype(object).where(out[c].notna(), None)
     elif plan["optional_groups"]:
         out = select_optional(triples_ds, plan["patterns"],
-                              plan["optional_groups"], graph=graph)
+                              plan["optional_groups"], graph=graph,
+                              optional_filters=plan["optional_filters"])
     else:
         out = select(triples_ds, plan["patterns"],
                      variables=None, graph=graph, distinct=False)
@@ -1666,9 +1713,9 @@ def select_text_distributed(triples_ds, query: str,
         pattern_vars = {t[1:] for b in plan["union_branches"]
                         for pat in b for t in pat if _is_var(t)}
     elif plan["optional_groups"]:
-        ds = select_optional_distributed(triples_ds, plan["patterns"],
-                                         plan["optional_groups"],
-                                         graph=graph)
+        ds = select_optional_distributed(
+            triples_ds, plan["patterns"], plan["optional_groups"],
+            graph=graph, optional_filters=plan["optional_filters"])
         pattern_vars = {t[1:] for pat in plan["patterns"] for t in pat
                         if _is_var(t)}
         pattern_vars |= {t[1:] for g in plan["optional_groups"]

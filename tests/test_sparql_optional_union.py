@@ -164,3 +164,43 @@ def test_select_text_optional_union_combined(tds):
     assert list(out["d"]) == [NS + "d1", NS + "d2"]
     assert list(out["s"]) == ["a", "b"]
     assert list(out["t"]) == ["hello", None]
+
+
+def test_filter_inside_optional_keeps_rows(ray_session):
+    """§6.1: a FILTER inside OPTIONAL restricts the optional MATCH, not
+    the solution — rows whose optional part fails the filter stay with
+    the variable unbound. (An outer FILTER would drop them.)"""
+    import pandas as pd
+    import ray.data as rd
+
+    from gitprov_ray import sparql_lite as S
+
+    tri = pd.DataFrame(
+        [("g", "http://d/a", "http://d/source", "s0"),
+         ("g", "http://d/b", "http://d/source", "s1"),
+         ("g", "http://d/a", "http://d/lang", "en"),
+         ("g", "http://d/b", "http://d/lang", "fr")],
+        columns=["graph", "subj", "pred", "obj"])
+    tri["obj_is_literal"] = True
+    tri["obj_dtype"] = "xsd:string"
+    ds = rd.from_pandas(tri).repartition(2)
+    q = """PREFIX ex: <http://d/>
+        SELECT ?d ?l WHERE {
+            ?d ex:source ?s .
+            OPTIONAL { ?d ex:lang ?l . FILTER (?l != "fr") }
+        } ORDER BY ?d"""
+    drv = S.select_text(ds, q)
+    # doc b's lang fails the filter → row SURVIVES with ?l unbound
+    assert drv.l.tolist() == ["en", None]
+    dst = S.select_text_distributed(ds, q).to_pandas()
+    pd.testing.assert_frame_equal(
+        drv.reset_index(drop=True), dst.reset_index(drop=True),
+        check_dtype=False)
+    # contrast: the same filter OUTSIDE the optional drops doc b
+    q_outer = """PREFIX ex: <http://d/>
+        SELECT ?d ?l WHERE {
+            ?d ex:source ?s . OPTIONAL { ?d ex:lang ?l }
+            FILTER (?l != "fr")
+        } ORDER BY ?d"""
+    drv2 = S.select_text(ds, q_outer)
+    assert drv2.d.tolist() == ["http://d/a"]
