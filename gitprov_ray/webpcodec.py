@@ -969,7 +969,7 @@ def _encode_pixels(bw: _BitWriter, flat: np.ndarray, w: int,
     total = len(flat)
     cache = [None] * (1 << cache_bits) if cache_bits else None
     tokens: list[tuple] = []                  # ('lit',a,r,g,b)|('cache',i)
-    #                                         | ('copy', length)
+    #                                         | ('copy', length, dist_val)
     pos = 0
     while pos < total:
         pix = int(flat[pos])
@@ -978,9 +978,27 @@ def _encode_pixels(bw: _BitWriter, flat: np.ndarray, w: int,
             while (pos + run < total and run < 4096
                    and int(flat[pos + run]) == pix):
                 run += 1
-            tokens.append(("copy", run))
+            # dist 1 as a literal distance → prefix value 121
+            tokens.append(("copy", run, 121))
             if cache is not None:
                 cache[_cache_hash(pix, cache_bits)] = pix
+            pos += run
+            continue
+        if (use_lz77 and pos >= w
+                and pix == int(flat[pos - w])
+                and pos + 3 < total
+                and all(int(flat[pos + k]) == int(flat[pos + k - w])
+                        for k in range(1, 4))):
+            # vertical copy-from-above: 2-D plane code 1 = (dx 0, dy 1)
+            run = 4
+            while (pos + run < total and run < 4096
+                   and int(flat[pos + run]) == int(flat[pos + run - w])):
+                run += 1
+            tokens.append(("copy", run, 1))
+            if cache is not None:
+                for k in range(run):
+                    v = int(flat[pos + k])
+                    cache[_cache_hash(v, cache_bits)] = v
             pos += run
             continue
         if cache is not None:
@@ -1010,8 +1028,7 @@ def _encode_pixels(bw: _BitWriter, flat: np.ndarray, w: int,
         elif t[0] == "copy":
             code, _, _ = _prefix_encode_value(t[1])
             g_freq[256 + code] += 1
-            # distance 1 written as literal distance: code 121 → prefix
-            dcode, _, _ = _prefix_encode_value(121)
+            dcode, _, _ = _prefix_encode_value(t[2])
             d_freq[dcode] += 1
         else:
             g_freq[280 + t[1]] += 1
@@ -1040,7 +1057,7 @@ def _encode_pixels(bw: _BitWriter, flat: np.ndarray, w: int,
             bw.write_code(*g_codes[256 + code])
             if ebits:
                 bw.write(extra, ebits)
-            dcode, dextra, debits = _prefix_encode_value(121)
+            dcode, dextra, debits = _prefix_encode_value(t[2])
             bw.write_code(*d_codes[dcode])
             if debits:
                 bw.write(dextra, debits)
@@ -1048,13 +1065,72 @@ def _encode_pixels(bw: _BitWriter, flat: np.ndarray, w: int,
             bw.write_code(*g_codes[280 + t[1]])
 
 
+def _encode_pixels_meta(bw: _BitWriter, flat: np.ndarray, w: int, h: int,
+                        meta_bits: int = 2) -> None:
+    """Main-image encoder with a META-PREFIX image: tiles in the left
+    half of the picture use code group 0, the right half group 1 —
+    exercising the decoder's per-tile group dispatch with genuinely
+    different histograms per group. Literals only (the group split is
+    the point here)."""
+    tile = 1 << meta_bits
+    mx = (w + tile - 1) >> meta_bits
+    my = (h + tile - 1) >> meta_bits
+    tiles = np.zeros((my, mx), dtype=np.uint32)
+    tiles[:, mx // 2:] = 1                    # right half → group 1
+    bw.write(0, 1)                            # no color cache
+    bw.write(1, 1)                            # meta-prefix present
+    bw.write(meta_bits - 2, 3)
+    # meta index lives in (red<<8)|green; indexes 0/1 fit in green
+    _encode_pixels(bw, (0xFF000000 | (tiles << 8)).reshape(-1), mx)
+
+    cols = np.arange(w) >> meta_bits
+    rows = np.arange(h) >> meta_bits
+    gidx = tiles[rows][:, cols].reshape(-1)   # per-pixel group
+
+    chans = [((flat >> 24) & 0xFF), ((flat >> 16) & 0xFF),
+             ((flat >> 8) & 0xFF), (flat & 0xFF)]   # a, r, g, b
+    group_codes = []
+    for grp in (0, 1):
+        mask = gidx == grp
+        g_freq = [0] * (256 + 24)
+        r_freq = [0] * 256
+        b_freq = [0] * 256
+        a_freq = [0] * 256
+        for v in chans[2][mask]:
+            g_freq[int(v)] += 1
+        for v in chans[1][mask]:
+            r_freq[int(v)] += 1
+        for v in chans[3][mask]:
+            b_freq[int(v)] += 1
+        for v in chans[0][mask]:
+            a_freq[int(v)] += 1
+        if not mask.any():
+            g_freq[0] = 1                     # degenerate single-symbol
+        group_codes.append((
+            _write_prefix_code(bw, g_freq),
+            _write_prefix_code(bw, r_freq),
+            _write_prefix_code(bw, b_freq),
+            _write_prefix_code(bw, a_freq),
+            _write_prefix_code(bw, [1] + [0] * 39),   # distance unused
+        ))
+    for i in range(len(flat)):
+        g_codes, r_codes, b_codes, a_codes, _ = group_codes[int(gidx[i])]
+        bw.write_code(*g_codes[int(chans[2][i])])
+        bw.write_code(*r_codes[int(chans[1][i])])
+        bw.write_code(*b_codes[int(chans[3][i])])
+        bw.write_code(*a_codes[int(chans[0][i])])
+
+
 def encode_webp_lossless(arr: np.ndarray, *, use_subtract_green=False,
                          predictor_mode: int | None = None,
                          color_transform: tuple[int, int, int] | None = None,
                          use_palette=False, cache_bits: int = 0,
-                         use_lz77: bool = False) -> bytes:
+                         use_lz77: bool = False,
+                         meta_split: bool = False) -> bytes:
     """HxWx{1,3,4} uint8 → lossless WebP bytes. Options choose which
-    decoder paths the stream exercises; all outputs are spec-valid."""
+    decoder paths the stream exercises; all outputs are spec-valid.
+    ``meta_split`` writes a meta-prefix image with two code groups
+    (left/right halves) — exclusive with palette/cache/lz77."""
     if arr.ndim == 2:
         arr = arr[..., None]
     h, w, c = arr.shape
@@ -1141,8 +1217,14 @@ def encode_webp_lossless(arr: np.ndarray, *, use_subtract_green=False,
                                dtype=np.uint32)
             _encode_pixels(bw, mode_img, tx)
         bw.write(0, 1)                        # end of transforms
-        _encode_pixels(bw, _pack_pixels(px), w, cache_bits=cache_bits,
-                       use_lz77=use_lz77, is_main=True)
+        if meta_split:
+            if use_palette or cache_bits or use_lz77:
+                raise ValueError("meta_split is exclusive with "
+                                 "palette/cache/lz77")
+            _encode_pixels_meta(bw, _pack_pixels(px), w, h)
+        else:
+            _encode_pixels(bw, _pack_pixels(px), w, cache_bits=cache_bits,
+                           use_lz77=use_lz77, is_main=True)
 
     payload = bytes([0x2F]) + bw.finish()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload

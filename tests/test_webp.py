@@ -328,3 +328,38 @@ def test_image_stages_accept_webp(ray_session):
     for payload in res["payload"]:
         out = wc.decode_webp(bytes(payload))
         assert out.shape == (5, 6, 3)
+
+
+def test_meta_prefix_groups_roundtrip():
+    """Meta-prefix image path: two code groups (left constant / right
+    noise) — the per-tile group dispatch in the decoder, and the split
+    must actually pay (smaller than the single-group stream)."""
+    rng = np.random.RandomState(50)
+    arr = np.zeros((20, 32, 3), dtype=np.uint8)
+    arr[:, :16] = [30, 60, 90]
+    arr[:, 16:] = rng.randint(0, 256, (20, 16, 3))
+    b_meta = wc.encode_webp_lossless(arr, meta_split=True)
+    assert (wc.decode_webp(b_meta) == arr).all()
+    assert len(b_meta) < len(wc.encode_webp_lossless(arr))
+
+
+def test_lz77_2d_distance_codes():
+    """Vertical copy-from-above backrefs use 2-D plane code 1 (dx 0,
+    dy 1) — the 120-entry distance-map branch of the decoder."""
+    rng = np.random.RandomState(51)
+    stripes = np.tile(rng.randint(0, 256, (1, 24, 3), dtype=np.uint8),
+                      (16, 1, 1))
+    b = wc.encode_webp_lossless(stripes, use_lz77=True)
+    assert (wc.decode_webp(b) == stripes).all()
+    assert len(b) < 400          # 16 rows collapse into above-copies
+    # horizontal+vertical runs + cache together
+    mix = np.repeat(rng.randint(0, 256, (4, 24, 3), dtype=np.uint8),
+                    4, axis=0)
+    b2 = wc.encode_webp_lossless(mix, use_lz77=True, cache_bits=4)
+    assert (wc.decode_webp(b2) == mix).all()
+
+
+def test_meta_split_exclusive_options():
+    arr = np.zeros((8, 8, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="exclusive"):
+        wc.encode_webp_lossless(arr, meta_split=True, use_lz77=True)
