@@ -218,6 +218,8 @@ def parse_sps(rbsp: bytes) -> dict:
     r.u(1)                                    # gaps allowed
     mb_w = r.ue() + 1
     map_h = r.ue() + 1
+    if mb_w > 1 << 13 or map_h > 1 << 13:     # beyond any H.264 level —
+        raise ValueError("H.264: implausible SPS dimensions")  # garbage
     frame_mbs_only = r.u(1)
     if not frame_mbs_only:
         r.u(1)                                # mb_adaptive
