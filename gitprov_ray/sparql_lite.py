@@ -2006,6 +2006,89 @@ def describe_text(triples_ds, query: str,
     return out.drop_duplicates().reset_index(drop=True)
 
 
+def describe_text_distributed(triples_ds, query: str,
+                              graph: str | None = None):
+    """DESCRIBE on the Dataset scale path: described-variable bindings
+    come from select_text_distributed, their distinct values semi-join
+    the triples on subject (ops.semi_join's bucketed exchange — the
+    target set never lands on the driver); explicit URIs use the
+    broadcast is_in fast path. Returns a Dataset of
+    (graph, subj, pred, obj) with the driver twin's set semantics."""
+    toks = _tokenize(query)
+    i = _past_prefixes(toks)
+    if toks[i].upper() != "DESCRIBE":
+        raise SparqlSyntaxError("not a DESCRIBE query")
+    prefixes = _collect_prefixes(toks)
+    j = i + 1
+    uris: list[str] = []
+    vars_: list[str] = []
+    while j < len(toks) and toks[j] != "{" and toks[j].upper() != "WHERE":
+        t = toks[j]
+        if t.startswith("?"):
+            vars_.append(t[1:])
+        elif t == "*":
+            raise SparqlSyntaxError("DESCRIBE * unsupported")
+        else:
+            uris.append(_expand_term(_parse_term(t, prefixes), graph))
+        j += 1
+
+    def scan(t, targets=None):
+        import pyarrow as pa
+
+        cols = t.select(["graph", "subj", "pred", "obj"])
+        m = None
+        if targets is not None:
+            m = pc.is_in(cols["subj"], value_set=pa.array(sorted(targets)))
+        if graph is not None:
+            g = pc.equal(cols["graph"], graph)
+            m = g if m is None else pc.and_(m, g)
+        return cols if m is None else cols.filter(m)
+
+    if vars_:
+        from .ops import semi_join
+
+        rewritten = " ".join(toks[:i] + ["SELECT"] +
+                             ["?" + v for v in vars_] + toks[j:])
+        bindings = select_text_distributed(triples_ds, rewritten,
+                                           graph=graph)
+        targets_ds = None
+        for v in vars_:
+            part = bindings.map_batches(
+                lambda df, v=v: df[[v]].dropna().rename(
+                    columns={v: "subj"}).drop_duplicates(),
+                batch_format="pandas")
+            targets_ds = part if targets_ds is None \
+                else targets_ds.union(part)
+        base = triples_ds.map_batches(scan, batch_format="pyarrow")
+        out = semi_join(base, targets_ds, left_key="subj",
+                        right_key="subj")
+    else:
+        if not uris:
+            import ray.data as rd
+
+            return rd.from_pandas(pd.DataFrame(
+                columns=["graph", "subj", "pred", "obj"]))
+        tset = set(uris)
+        out = triples_ds.map_batches(
+            lambda t, ts=tset: scan(t, targets=ts), batch_format="pyarrow")
+
+    from .stages.versions import stable_bucket
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        if len(df) == 0:
+            return df.assign(bucket=pd.Series([], dtype="int64"))
+        key = df["graph"].astype(str)
+        for c in ("subj", "pred", "obj"):
+            key = key + "\x1f" + df[c].astype(str)
+        return df.assign(bucket=stable_bucket(key, key, 32))
+
+    return (out.map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: df.drop(columns="bucket")
+                        .drop_duplicates(), batch_format="pandas"))
+
+
 def query_text(triples_ds, query: str, graph: str | None = None):
     """One entry point for all four SPARQL query forms (the reference's
     SparqlController surface): SELECT → binding frame, ASK → bool,

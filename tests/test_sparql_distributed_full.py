@@ -523,3 +523,24 @@ def test_ask_text_distributed(rich_ds):
     # parity with the driver form on a FILTERed pattern
     q = Q + 'ASK { ?d ex:score ?v . FILTER (?v > "90") }'
     assert S.ask_text_distributed(rich_ds, q) == S.ask_text(rich_ds, q)
+
+
+def test_describe_text_distributed_parity(rich_ds):
+    """Both DESCRIBE forms answer identically to the driver twin."""
+    q_var = Q + 'DESCRIBE ?d WHERE { ?d ex:lang "fr" . ?d ex:source "s1" }'
+    drv = S.describe_text(rich_ds, q_var)
+    dst = S.describe_text_distributed(rich_ds, q_var).to_pandas()
+    key = ["graph", "subj", "pred", "obj"]
+    assert len(drv) > 0
+    pd.testing.assert_frame_equal(
+        drv.sort_values(key).reset_index(drop=True),
+        dst[key].sort_values(key).reset_index(drop=True),
+        check_dtype=False)
+    q_uri = Q + "DESCRIBE <http://d/doc03>"
+    drv2 = S.describe_text(rich_ds, q_uri)
+    dst2 = S.describe_text_distributed(rich_ds, q_uri).to_pandas()
+    assert len(dst2) == 3                 # source + lang + score triples
+    pd.testing.assert_frame_equal(
+        drv2.sort_values(key).reset_index(drop=True),
+        dst2[key].sort_values(key).reset_index(drop=True),
+        check_dtype=False)
