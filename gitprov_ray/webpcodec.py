@@ -499,74 +499,81 @@ def _avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return (a.astype(np.uint16) + b.astype(np.uint16)) // 2
 
 
+_BLACK = None                                 # lazy np.array singleton
+
+
+def _predict_px(px: np.ndarray, y: int, x: int, w: int,
+                mode: int) -> np.ndarray:
+    """The 14-mode spatial prediction for one pixel, reading neighbors
+    from ``px`` (which holds FINAL values up to scan position (y, x)).
+    Shared by the decoder's inverse pass and the encoder's forward pass
+    — the two stay mirror-exact by construction."""
+    global _BLACK
+    if _BLACK is None:
+        _BLACK = np.array([0xFF, 0, 0, 0], dtype=np.uint8)
+    if x == 0 and y == 0:
+        return _BLACK
+    if y == 0:
+        return px[0, x - 1]
+    if x == 0:
+        return px[y - 1, 0]
+    left = px[y, x - 1]
+    top = px[y - 1, x]
+    tl = px[y - 1, x - 1]
+    # top-right wraps to the first pixel of the current row
+    tr = px[y - 1, x + 1] if x + 1 < w else px[y, 0]
+    if mode == 0:
+        return _BLACK
+    if mode == 1:
+        return left
+    if mode == 2:
+        return top
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _avg2(_avg2(left, tr), top).astype(np.uint8)
+    if mode == 6:
+        return _avg2(left, tl).astype(np.uint8)
+    if mode == 7:
+        return _avg2(left, top).astype(np.uint8)
+    if mode == 8:
+        return _avg2(tl, top).astype(np.uint8)
+    if mode == 9:
+        return _avg2(top, tr).astype(np.uint8)
+    if mode == 10:
+        return _avg2(_avg2(left, tl), _avg2(top, tr)).astype(np.uint8)
+    if mode == 11:
+        est = (left.astype(np.int16) + top.astype(np.int16)
+               - tl.astype(np.int16))
+        p_l = int(np.abs(est - left).sum())
+        p_t = int(np.abs(est - top).sum())
+        return left if p_l < p_t else top
+    if mode == 12:
+        v = (left.astype(np.int16) + top.astype(np.int16)
+             - tl.astype(np.int16))
+        return np.clip(v, 0, 255).astype(np.uint8)
+    if mode == 13:
+        ave = _avg2(left, top).astype(np.int16)
+        d = ave - tl.astype(np.int16)
+        # C-style truncation toward zero for the /2
+        v = ave + np.trunc(d / 2).astype(np.int16)
+        return np.clip(v, 0, 255).astype(np.uint8)
+    raise ValueError(f"VP8L: bad predictor mode {mode}")
+
+
 def _apply_inverse_predictor(argb: np.ndarray, w: int, h: int,
                              pred_img: np.ndarray, bits: int) -> None:
     """In-place inverse predictor transform over channel-split uint8
     view (h, w, 4 = A,R,G,B)."""
     px = argb                                  # (h, w, 4) uint8
     tiles_x = (w + (1 << bits) - 1) >> bits
-
-    def clamp_add_sub_full(l_, t_, tl_):
-        v = l_.astype(np.int16) + t_.astype(np.int16) - tl_.astype(np.int16)
-        return np.clip(v, 0, 255).astype(np.uint8)
-
-    def clamp_add_sub_half(ave, tl_):
-        d = ave.astype(np.int16) - tl_.astype(np.int16)
-        # C-style truncation toward zero for the /2
-        v = ave.astype(np.int16) + np.trunc(d / 2).astype(np.int16)
-        return np.clip(v, 0, 255).astype(np.uint8)
-
     for y in range(h):
         for x in range(w):
-            if x == 0 and y == 0:
-                pred = np.array([0xFF, 0, 0, 0], dtype=np.uint8)
-            elif y == 0:
-                pred = px[0, x - 1]
-            elif x == 0:
-                pred = px[y - 1, 0]
-            else:
-                mode = int((pred_img[(y >> bits) * tiles_x + (x >> bits)]
-                            >> 8) & 0xFF)
-                left = px[y, x - 1]
-                top = px[y - 1, x]
-                tl = px[y - 1, x - 1]
-                # top-right wraps to the first pixel of the current row
-                tr = px[y - 1, x + 1] if x + 1 < w else px[y, 0]
-                if mode == 0:
-                    pred = np.array([0xFF, 0, 0, 0], dtype=np.uint8)
-                elif mode == 1:
-                    pred = left
-                elif mode == 2:
-                    pred = top
-                elif mode == 3:
-                    pred = tr
-                elif mode == 4:
-                    pred = tl
-                elif mode == 5:
-                    pred = _avg2(_avg2(left, tr), top).astype(np.uint8)
-                elif mode == 6:
-                    pred = _avg2(left, tl).astype(np.uint8)
-                elif mode == 7:
-                    pred = _avg2(left, top).astype(np.uint8)
-                elif mode == 8:
-                    pred = _avg2(tl, top).astype(np.uint8)
-                elif mode == 9:
-                    pred = _avg2(top, tr).astype(np.uint8)
-                elif mode == 10:
-                    pred = _avg2(_avg2(left, tl),
-                                 _avg2(top, tr)).astype(np.uint8)
-                elif mode == 11:
-                    est = (left.astype(np.int16) + top.astype(np.int16)
-                           - tl.astype(np.int16))
-                    p_l = int(np.abs(est - left).sum())
-                    p_t = int(np.abs(est - top).sum())
-                    pred = left if p_l < p_t else top
-                elif mode == 12:
-                    pred = clamp_add_sub_full(left, top, tl)
-                elif mode == 13:
-                    pred = clamp_add_sub_half(_avg2(left, top), tl)
-                else:
-                    raise ValueError(f"VP8L: bad predictor mode {mode}")
+            mode = int((pred_img[(y >> bits) * tiles_x + (x >> bits)]
+                        >> 8) & 0xFF)
+            pred = _predict_px(px, y, x, w, mode)
             px[y, x] = px[y, x] + pred        # uint8 wraps mod 256
 
 
@@ -925,32 +932,45 @@ def _forward_color_transform(px: np.ndarray, g2r: int, g2b: int,
             px[y, x, 3] = new_b
 
 
-def _forward_predictor(px: np.ndarray, mode: int) -> np.ndarray:
-    """Apply the forward (residual) pass of a uniform predictor; the
-    decoder's inverse must reconstruct exactly, so residuals are computed
-    against already-final neighbor pixels (row-major order)."""
+def _forward_predictor(px: np.ndarray, mode: int,
+                       bits: int = 4) -> tuple[np.ndarray, np.ndarray]:
+    """Forward (residual) pass → (residuals, per-tile mode image).
+    ``mode`` is any of the 14 spec modes, or "auto" for per-tile
+    selection (argmin of centered-residual magnitude — all 14 candidate
+    predictions read ORIGINAL pixels, which are exactly the decoder's
+    already-reconstructed values, so the choice is free)."""
     h, w, _ = px.shape
+    tiles_x = (w + (1 << bits) - 1) >> bits
+    tiles_y = (h + (1 << bits) - 1) >> bits
+    modes = np.zeros(tiles_x * tiles_y, dtype=np.uint8)
+    if mode != "auto":
+        modes[:] = mode
+    else:
+        for ty in range(tiles_y):
+            for tx in range(tiles_x):
+                y0, x0 = ty << bits, tx << bits
+                y1, x1 = min(y0 + (1 << bits), h), min(x0 + (1 << bits), w)
+                best, best_cost = 0, None
+                for m in range(14):
+                    cost = 0
+                    for y in range(y0, y1):
+                        for x in range(x0, x1):
+                            p = _predict_px(px, y, x, w, m)
+                            r = (px[y, x].astype(np.int16)
+                                 - p.astype(np.int16)) % 256
+                            # centered magnitude: residual near 0 OR 255
+                            cost += int(np.minimum(r, 256 - r).sum())
+                    if best_cost is None or cost < best_cost:
+                        best, best_cost = m, cost
+                modes[ty * tiles_x + tx] = best
     out = px.copy()
-    # residual = pixel - predicted(previous FINAL pixels); compute in
-    # scan order using the ORIGINAL pixels as the final values
     for y in range(h):
         for x in range(w):
-            if x == 0 and y == 0:
-                pred = np.array([0xFF, 0, 0, 0], dtype=np.uint8)
-            elif y == 0:
-                pred = px[0, x - 1]
-            elif x == 0:
-                pred = px[y - 1, 0]
-            elif mode == 2:
-                pred = px[y - 1, x]
-            elif mode == 1:
-                pred = px[y, x - 1]
-            elif mode == 7:
-                pred = _avg2(px[y, x - 1], px[y - 1, x]).astype(np.uint8)
-            else:
-                raise ValueError("encoder supports predictor modes 1/2/7")
+            m = int(modes[(y >> bits) * tiles_x + (x >> bits)])
+            pred = _predict_px(px, y, x, w, m)
             out[y, x] = px[y, x] - pred       # uint8 wrap
-    return out
+    mode_img = (0xFF000000 | (modes.astype(np.uint32) << 8))
+    return out, mode_img
 
 
 def _pack_pixels(px: np.ndarray) -> np.ndarray:
@@ -1205,16 +1225,12 @@ def encode_webp_lossless(arr: np.ndarray, *, use_subtract_green=False,
                    | (g2r & 0xFF))
             _encode_pixels(bw, np.full(tx * ty, cte, dtype=np.uint32), tx)
         if predictor_mode is not None:
-            px = _forward_predictor(px, predictor_mode)
             bits = 4
+            px, mode_img = _forward_predictor(px, predictor_mode, bits)
             tx = (w + (1 << bits) - 1) >> bits
-            ty = (h + (1 << bits) - 1) >> bits
             bw.write(1, 1)
             bw.write(0, 2)                    # predictor transform
             bw.write(bits - 2, 3)
-            mode_img = np.full(tx * ty,
-                               0xFF000000 | (predictor_mode << 8),
-                               dtype=np.uint32)
             _encode_pixels(bw, mode_img, tx)
         bw.write(0, 1)                        # end of transforms
         if meta_split:

@@ -64,14 +64,36 @@ def test_roundtrip_subtract_green():
                use_subtract_green=True)
 
 
-@pytest.mark.parametrize("mode", [1, 2, 7])
-def test_roundtrip_predictor_modes(mode):
+@pytest.mark.parametrize("mode", list(range(14)))
+def test_roundtrip_all_predictor_modes(mode):
+    """Every one of the 14 spec predictors: forward and inverse share
+    _predict_px, and the roundtrip pins each inverse branch."""
     rng = np.random.RandomState(12 + mode)
     # a gradient makes predictor residuals meaningful, noise keeps it honest
     yy, xx = np.mgrid[0:20, 0:23]
     arr = np.stack([(yy * 11) % 256, (xx * 7) % 256,
                     rng.randint(0, 256, (20, 23))], axis=-1).astype(np.uint8)
     _roundtrip(arr, predictor_mode=mode)
+
+
+def test_predictor_auto_selection():
+    """Per-tile argmin predictor selection: mixed content (flat /
+    gradient / noise) roundtrips, picks several distinct modes, and
+    beats the no-predictor stream."""
+    rng = np.random.RandomState(60)
+    yy = np.mgrid[0:32, 0:48][0]
+    mix = np.zeros((32, 48, 3), dtype=np.uint8)
+    mix[:, :16] = 77
+    mix[:, 16:32] = np.stack([(yy[:, :16] * 8 % 256)] * 3,
+                             -1).astype(np.uint8)
+    mix[:, 32:] = rng.randint(0, 256, (32, 16, 3))
+    b = wc.encode_webp_lossless(mix, predictor_mode="auto")
+    assert (wc.decode_webp(b) == mix).all()
+    assert len(b) < len(wc.encode_webp_lossless(mix))
+    argb = np.concatenate([np.full(mix.shape[:2] + (1,), 255, np.uint8),
+                           mix], -1)          # (h, w, 4) A,R,G,B
+    _, mode_img = wc._forward_predictor(argb, "auto")
+    assert len({int((m >> 8) & 0xFF) for m in mode_img}) >= 3
 
 
 def test_roundtrip_color_transform():
