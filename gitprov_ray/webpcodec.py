@@ -921,10 +921,12 @@ def encode_webp_anim(frames: list[np.ndarray], duration_ms: int = 100,
 
 
 def _forward_color_transform(px: np.ndarray, g2r: int, g2b: int,
-                             r2b: int) -> None:
+                             r2b: int, x0: int = 0,
+                             x1: int | None = None) -> None:
     h, w, _ = px.shape
+    x1 = w if x1 is None else x1
     for y in range(h):
-        for x in range(w):
+        for x in range(x0, x1):
             r, g, b = int(px[y, x, 1]), int(px[y, x, 2]), int(px[y, x, 3])
             new_r = (r - _ct_delta(g2r, g)) & 0xFF
             new_b = (b - _ct_delta(g2b, g) - _ct_delta(r2b, r)) & 0xFF
@@ -1213,17 +1215,34 @@ def encode_webp_lossless(arr: np.ndarray, *, use_subtract_green=False,
             bw.write(1, 1)
             bw.write(2, 2)                    # subtract green
         if color_transform is not None:
-            _forward_color_transform(px, *color_transform)
-            g2r, g2b, r2b = color_transform
             bits = 4
             tx = (w + (1 << bits) - 1) >> bits
             ty = (h + (1 << bits) - 1) >> bits
+
+            def _cte(t):
+                g2r, g2b, r2b = t
+                return (0xFF000000 | ((r2b & 0xFF) << 16)
+                        | ((g2b & 0xFF) << 8) | (g2r & 0xFF))
+
+            if isinstance(color_transform[0], tuple):
+                # spatially-split: left tiles use element 0, right
+                # tiles element 1 — exercises per-tile decode lookup
+                left_t, right_t = color_transform
+                split_px = (tx // 2) << bits
+                _forward_color_transform(px, *left_t, 0, min(split_px, w))
+                if split_px < w:
+                    _forward_color_transform(px, *right_t, split_px, w)
+                ct_img = np.full((ty, tx), _cte(left_t), dtype=np.uint32)
+                ct_img[:, tx // 2:] = _cte(right_t)
+                ct_img = ct_img.reshape(-1)
+            else:
+                _forward_color_transform(px, *color_transform)
+                ct_img = np.full(tx * ty, _cte(color_transform),
+                                 dtype=np.uint32)
             bw.write(1, 1)
             bw.write(1, 2)                    # color transform
             bw.write(bits - 2, 3)
-            cte = (0xFF000000 | ((r2b & 0xFF) << 16) | ((g2b & 0xFF) << 8)
-                   | (g2r & 0xFF))
-            _encode_pixels(bw, np.full(tx * ty, cte, dtype=np.uint32), tx)
+            _encode_pixels(bw, ct_img, tx)
         if predictor_mode is not None:
             bits = 4
             px, mode_img = _forward_predictor(px, predictor_mode, bits)

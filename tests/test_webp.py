@@ -385,3 +385,14 @@ def test_meta_split_exclusive_options():
     arr = np.zeros((8, 8, 3), dtype=np.uint8)
     with pytest.raises(ValueError, match="exclusive"):
         wc.encode_webp_lossless(arr, meta_split=True, use_lz77=True)
+
+
+def test_color_transform_spatially_split():
+    """Per-tile color-transform elements: left tiles use one multiplier
+    set, right tiles another — the decoder's tile-indexed element
+    lookup with genuinely varying data."""
+    rng = np.random.RandomState(61)
+    arr = rng.randint(0, 256, (20, 40, 3), dtype=np.uint8)
+    b = wc.encode_webp_lossless(
+        arr, color_transform=((10, 253, 100), (200, 7, 33)))
+    assert (wc.decode_webp(b) == arr).all()
