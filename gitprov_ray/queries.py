@@ -495,6 +495,27 @@ def kg_canonical_agents(sf_dir: str):
         .sort(["agent_uri", "canonical_uri"])
 
 
+def kg_sparql_activity_stats(sf_dir: str):
+    """End-to-end KG-construction → SPARQL: the flagship triples stream
+    straight into the distributed string front-end — per-graph counts of
+    commit Activities that used at least one entity, with OPTIONAL label
+    pull-through. Rows-only (the KG derivation is not SQL-expressible);
+    every stage (render → parse → emit → dedup → BGP joins → aggregate)
+    stays a Dataset."""
+    from . import sparql_lite
+    from .pipelines import flagship
+
+    tri = flagship.flagship(sf_dir, num_buckets=32)
+    q = """
+        PREFIX prov: <http://www.w3.org/ns/prov#>
+        SELECT ?g (COUNT(?a) AS ?n_used) WHERE {
+            GRAPH ?g { ?a rdf:type prov:Activity .
+                       ?a prov:used ?e }
+        } GROUP BY ?g ORDER BY ?g
+    """
+    return sparql_lite.select_text_distributed(tri, q)
+
+
 def q_source_counts_salted(sf_dir: str):
     """Salted two-phase count per source (hot-key skew handling, SURVEY.md
     §4.2): the partial phase keys on (source, salt) so a dominant source
@@ -1389,6 +1410,7 @@ QUERIES = {
     "q_decontaminate_docs": q_decontaminate_docs,
     "q_stratified_sample_docs": q_stratified_sample_docs,
     "q_lm_quality_docs": q_lm_quality_docs,
+    "kg_sparql_activity_stats": kg_sparql_activity_stats,
     "q_transitive_closure": q_transitive_closure,
     "q_sparql_not_exists": q_sparql_not_exists,
     "q_moving_sum_events": q_moving_sum_events,
