@@ -498,10 +498,10 @@ def kg_canonical_agents(sf_dir: str):
 def kg_sparql_activity_stats(sf_dir: str):
     """End-to-end KG-construction → SPARQL: the flagship triples stream
     straight into the distributed string front-end — per-graph counts of
-    commit Activities that used at least one entity, with OPTIONAL label
-    pull-through. Rows-only (the KG derivation is not SQL-expressible);
-    every stage (render → parse → emit → dedup → BGP joins → aggregate)
-    stays a Dataset."""
+    commit Activities that used at least one entity. Rows-only (the KG
+    derivation is not SQL-expressible); every stage (render → parse →
+    emit → dedup → GRAPH-scan BGP joins → two-phase aggregate) stays a
+    Dataset."""
     from . import sparql_lite
     from .pipelines import flagship
 

