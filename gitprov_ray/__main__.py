@@ -109,22 +109,22 @@ def cmd_sparql(args) -> int:
 
     _ray_session(args.num_cpus)
     ds = store_mod.read_store(args.root, args.graph)
-    if getattr(args, "distributed", False):
-        # scale path: bucketed-join SELECT evaluation; materializes only
-        # the (already LIMIT/aggregate-bounded) result for serialization
-        if sparql_lite.query_form(args.query) != "SELECT":
-            raise SystemExit("--distributed supports SELECT queries; "
-                             "ASK/CONSTRUCT/DESCRIBE run on the default "
-                             "path")
-        res = sparql_lite.select_text_distributed(ds, args.query) \
-            .to_pandas()
-    else:
+    if getattr(args, "driver", False):
+        # readable oracle twin: driver-side evaluation (opt-in)
         res = sparql_lite.query_text(ds, args.query)
+    else:
+        # DEFAULT = the scale path for all four query forms: bindings
+        # never concentrate on the driver; only the (LIMIT/aggregate-
+        # bounded) result materializes for serialization
+        res = sparql_lite.query_text_distributed(ds, args.query)
+        if not isinstance(res, bool):
+            res = res.to_pandas()
     if isinstance(res, bool):          # ASK → SPARQL JSON boolean result
         _emit(json.dumps({"head": {}, "boolean": res}), args.out)
         return 0
     fmt = {"csv": serializers.result_csv, "tsv": serializers.result_tsv,
-           "json": serializers.result_json}[args.results]
+           "json": serializers.result_json, "text": serializers.result_text,
+           "xml": serializers.result_xml}[args.results]
     _emit(fmt(res), args.out)
     return 0
 
@@ -204,10 +204,12 @@ def build_parser() -> argparse.ArgumentParser:
     sq.add_argument("query")
     sq.add_argument("--graph")
     sq.add_argument("--results", default="json",
-                    choices=["csv", "tsv", "json"])
+                    choices=["csv", "tsv", "json", "text", "xml"])
     sq.add_argument("--distributed", action="store_true",
-                    help="evaluate SELECT on the Dataset scale path "
-                         "(select_text_distributed)")
+                    help="(default since round 4; kept for compatibility)")
+    sq.add_argument("--driver", action="store_true",
+                    help="evaluate on the driver-side readable twin "
+                         "instead of the Dataset scale path")
     sq.add_argument("--out")
     sq.set_defaults(fn=cmd_sparql)
 

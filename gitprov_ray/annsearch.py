@@ -175,19 +175,35 @@ def ivf_topk(emb_ds, query_ids: list[int], k: int = 5, n_centroids: int = 16,
 # the top-k search above: all pairs with cosine >= threshold)
 # ---------------------------------------------------------------------------
 
+#: Above this corpus row count the exact (whole-matrix-broadcast) path is
+#: refused by default and callers are auto-routed to the LSH twin — the
+#: broadcast matrix would not fit a worker heap at 100-TB corpora.
+EXACT_PAIRS_MAX_ROWS = 2_000_000
+
+
 def cosine_neardup_pairs(emb_ds, threshold: float = 0.9,
                          id_col: str = "vec_id",
-                         vec_col: str = "embedding"):
-    """EXACT cosine near-dup pairs: → Dataset of (a, b) with a < b and
+                         vec_col: str = "embedding",
+                         max_exact_rows: int | None = None):
+    """Cosine near-dup pairs: → Dataset of (a, b) with a < b and
     cos(a, b) >= threshold.
 
-    Baseline path: the L2-normalized corpus matrix is collected once and
-    broadcast (ray.put via Ray's closure capture), then every batch
-    computes its rows × matrixᵀ with one float64 matmul and emits only
-    its qualifying pairs — one streaming pass, no shuffle. The broadcast
-    bounds this path to corpora that fit a worker heap (~10M × 128 f32);
-    beyond that use :func:`cosine_neardup_pairs_lsh`, which partitions
-    the comparison by LSH bucket instead."""
+    EXACT baseline path (corpora up to ``max_exact_rows``, default
+    :data:`EXACT_PAIRS_MAX_ROWS`): the L2-normalized corpus matrix is
+    collected once and broadcast (ray.put via Ray's closure capture), then
+    every batch computes its rows × matrixᵀ with one float64 matmul and
+    emits only its qualifying pairs — one streaming pass, no shuffle.
+    Above the threshold the call AUTO-ROUTES to
+    :func:`cosine_neardup_pairs_lsh` (bucketed, recall < 1 by design) so
+    the default composes at 100-TB scale instead of OOMing the driver.
+    Pass ``max_exact_rows=None→default`` or an explicit larger bound to
+    opt in to the exact path on bigger corpora."""
+    if max_exact_rows is None:
+        max_exact_rows = EXACT_PAIRS_MAX_ROWS
+    # cheap distributed count (metadata-only for parquet reads)
+    if emb_ds.count() > max_exact_rows:
+        return cosine_neardup_pairs_lsh(emb_ds, threshold,
+                                        id_col=id_col, vec_col=vec_col)
     corpus = emb_ds.map_batches(
         lambda df: df[[id_col, vec_col]], batch_format="pandas").to_pandas()
     ids = corpus[id_col].to_numpy()

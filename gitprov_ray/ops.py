@@ -172,8 +172,14 @@ def semi_join(left_ds, right_ds, left_key: str, right_key: str,
         lambda df: df.drop(columns=["__match"]), batch_format="pandas")
 
 
-def salted_sum(ds, key_col: str, val_col: str, num_salts: int = 16):
-    """Exact per-key integer sum with salted two-phase aggregation."""
+def salted_sum(ds, key_col: str, val_col: str, num_salts: int = 16,
+               final: str = "driver"):
+    """Exact per-key integer sum with salted two-phase aggregation.
+
+    ``final='driver'`` merges the (tiny) salted partials on the driver —
+    right for low-cardinality keys; ``final='shuffle'`` runs a bucketed
+    groupby for high-cardinality key domains (mirrors
+    :func:`salted_value_counts`)."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         salt = np.arange(len(df), dtype=np.int64) % num_salts
@@ -181,9 +187,27 @@ def salted_sum(ds, key_col: str, val_col: str, num_salts: int = 16):
                           "v": df[val_col].to_numpy()})
         return g.groupby([key_col, "salt"], sort=False)["v"].sum().reset_index()
 
-    merged = (ds.map_batches(partial, batch_format="pandas")
-              .to_pandas().groupby(key_col, as_index=False)["v"].sum())
-    return merged.rename(columns={"v": f"sum_{val_col}"}) \
+    partials = ds.map_batches(partial, batch_format="pandas")
+    out_col = f"sum_{val_col}"
+
+    if final == "shuffle":
+        from .stages.versions import stable_bucket
+
+        def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            s = df[key_col].astype(str)
+            df["bucket"] = stable_bucket(s, s, max(8, num_salts))
+            return df
+
+        merged = (partials.map_batches(bucketize, batch_format="pandas")
+                  .groupby("bucket")
+                  .map_groups(lambda df: df.groupby(key_col, sort=False,
+                                                    as_index=False)["v"].sum(),
+                              batch_format="pandas")
+                  .to_pandas())
+    else:
+        merged = partials.to_pandas().groupby(key_col, as_index=False)["v"].sum()
+    return merged.rename(columns={"v": out_col}) \
                  .sort_values(key_col).reset_index(drop=True)
 
 

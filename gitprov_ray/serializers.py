@@ -254,6 +254,97 @@ def result_json(df: pd.DataFrame) -> str:
         ensure_ascii=False, sort_keys=True, default=str)
 
 
+def result_text(df: pd.DataFrame) -> str:
+    """``text/plain`` SELECT results: the ASCII table of Jena's
+    ``ResultSetFormatter.asText`` (SparqlService.java:60-61) — ``|``-framed
+    columns padded to max cell width, ``-`` border lines, ``=`` rule under
+    the header; unbound cells render empty."""
+    cols = [str(c) for c in df.columns]
+    cells = [["" if pd.isna(v) else str(v) for v in row]
+             for row in df.itertuples(index=False, name=None)]
+    widths = [max([len(c)] + [len(r[i]) for r in cells])
+              for i, c in enumerate(cols)]
+    if not widths:                         # zero-column frame
+        return "||\n"
+
+    def line(row: list[str]) -> str:
+        return "| " + " | ".join(v.ljust(w) for v, w in zip(row, widths)) \
+            + " |"
+    border = "-" * (sum(widths) + 3 * len(widths) + 1)
+    rule = "=" * len(border)
+    out = [border, line(cols), rule]
+    out.extend(line(r) for r in cells)
+    out.append(border)
+    return "\n".join(out) + "\n"
+
+
+def result_xml(df: pd.DataFrame) -> str:
+    """``application/xml`` SELECT results: the W3C SPARQL Query Results XML
+    Format (Jena's ``ResultSetFormatter.asXMLString``,
+    SparqlService.java:62-63). Unbound cells omit their <binding>. NOTE the
+    reference quirk: content type ``application/sparql-results+xml`` does
+    NOT reach this writer — it maps to FMT_RS_JSON
+    (SparqlService.java:35-37), mirrored in RESULT_CONTENT_TYPES."""
+    from xml.sax.saxutils import escape, quoteattr
+
+    cols = [str(c) for c in df.columns]
+    out = ['<?xml version="1.0"?>',
+           '<sparql xmlns="http://www.w3.org/2005/sparql-results#">',
+           "  <head>"]
+    out.extend(f"    <variable name={quoteattr(c)}/>" for c in cols)
+    out.append("  </head>")
+    out.append("  <results>")
+    for row in df.itertuples(index=False, name=None):
+        out.append("    <result>")
+        for c, v in zip(cols, row):
+            if pd.isna(v):
+                continue
+            sv = escape(str(v))
+            kind = "uri" if isinstance(v, str) and (
+                v.startswith("http://") or v.startswith("https://")
+                or v.startswith("urn:")) else "literal"
+            out.append(f"      <binding name={quoteattr(c)}>"
+                       f"<{kind}>{sv}</{kind}></binding>")
+        out.append("    </result>")
+    out.append("  </results>")
+    out.append("</sparql>")
+    return "\n".join(out) + "\n"
+
+
+# SELECT result-set writer registry + the reference's content-type switch
+# (SparqlService.java:58-82). Quirk pinned from SparqlService.java:35-37:
+# `application/sparql-results+xml` maps to ResultsFormat.FMT_RS_JSON — the
+# reference serves JSON for that content type, NOT the XML writer (which is
+# only reachable as `application/xml`).
+RESULT_FORMATS = {
+    "csv": result_csv,
+    "tsv": result_tsv,
+    "json": result_json,
+    "text": result_text,
+    "xml": result_xml,
+}
+
+RESULT_CONTENT_TYPES = {
+    "text/plain": "text",
+    "application/xml": "xml",
+    "text/csv": "csv",
+    "text/tab-separated-values": "tsv",
+    "application/json": "json",
+    "application/sparql-results+json": "json",
+    "application/sparql-results+xml": "json",   # FMT_RS_JSON quirk
+}
+
+
+def serialize_results(df: pd.DataFrame, fmt: str) -> str:
+    """SELECT result-set serialization dispatched by short name or the
+    reference's content types (incl. the FMT_RS_JSON quirk)."""
+    if fmt in RESULT_CONTENT_TYPES:
+        fmt = RESULT_CONTENT_TYPES[fmt]
+    if fmt not in RESULT_FORMATS:
+        raise ValueError(f"unknown result format {fmt!r}")
+    return RESULT_FORMATS[fmt](df)
+
+
 # ---------------------------------------------------------------------------
 # format registry + content-type dispatch (M11; quirk 6 fixed: validate)
 # ---------------------------------------------------------------------------

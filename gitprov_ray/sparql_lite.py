@@ -249,6 +249,32 @@ def select_graph_distributed(triples_ds, gterm, patterns: list[tuple]):
     return result
 
 
+#: Row cap on the broadcast side of a distributed cartesian product — a
+#: disconnected BGP is legal SPARQL, so the scale path evaluates it by
+#: broadcasting the SMALLER side; past this bound the blow-up is refused.
+CROSS_JOIN_BROADCAST_MAX = 200_000
+
+
+def _cross_join_ds(base, part_ds, label: str = "pattern"):
+    """Distributed cartesian product for disconnected patterns (legal
+    SPARQL, §5.1): the smaller side is counted, guarded against blow-up,
+    collected ONCE and broadcast via closure capture (Ray ships it to each
+    worker once); every batch of the larger side then emits its
+    ``how='cross'`` merge — one streaming pass, no shuffle. Disconnected
+    variable sets never overlap, so the merge cannot collide columns."""
+    nb, np_ = base.count(), part_ds.count()
+    small_ds, big = (part_ds, base) if np_ <= nb else (base, part_ds)
+    if min(nb, np_) > CROSS_JOIN_BROADCAST_MAX:
+        raise SparqlSyntaxError(
+            f"{label}: disconnected patterns with both sides above "
+            f"{CROSS_JOIN_BROADCAST_MAX} rows — the cartesian product is "
+            "too large to broadcast; reorder the query to share variables")
+    small = small_ds.to_pandas()
+    return big.map_batches(
+        lambda df, sm=small: df.merge(sm, how="cross"),
+        batch_format="pandas")
+
+
 def select_distributed(triples_ds, patterns: list[tuple],
                        variables: list[str] | None = None,
                        graph: str | None = None, distinct: bool = False,
@@ -259,9 +285,9 @@ def select_distributed(triples_ds, patterns: list[tuple],
     (`Dataset.join`) — the J5 scale path when bindings are too large for a
     driver-side merge (the reference delegates the same job to Jena's
     iterator joins, SparqlService.java:22-31). Returns a Dataset of
-    bindings; cross joins (no shared variable) are rejected — stage the
-    query so each new pattern shares a variable with the accumulated ones.
-    """
+    bindings; a pattern sharing NO variable with the accumulated ones is a
+    legal disconnected BGP and evaluates as a guarded small-side-broadcast
+    cartesian (:func:`_cross_join_ds`)."""
     from .ops import _default_partitions
 
     P = _default_partitions()
@@ -274,11 +300,9 @@ def select_distributed(triples_ds, patterns: list[tuple],
             continue
         shared = [v for v in bound if v in vars_]
         if not shared:
-            raise ValueError(
-                "select_distributed requires every pattern to share a "
-                "variable with the previous ones (no distributed cross "
-                "join); reorder the BGP or use the driver-side select()")
-        result = result.join(part, "inner", P, on=tuple(shared))
+            result = _cross_join_ds(result, part, "BGP pattern")
+        else:
+            result = result.join(part, "inner", P, on=tuple(shared))
         bound = bound + [v for v in vars_ if v not in bound]
     if result is None:
         import pandas as _pd
@@ -365,18 +389,22 @@ def select_union(triples_ds, branches: list[list[tuple]],
 def select_optional_distributed(triples_ds, patterns: list[tuple],
                                 optional_groups: list[list[tuple]],
                                 graph: str | None = None,
-                                optional_filters: list[list] | None = None):
+                                optional_filters: list[list] | None = None,
+                                base_ds=None):
     """Distributed OPTIONAL: required BGP via the bucketed-join path, each
     OPTIONAL group LEFT-OUTER `Dataset.join`ed on shared variables — the
     J5 scale surface (bindings never materialize on the driver).
     In-group FILTERs apply per batch to the optional side BEFORE the
-    join (§6.1), same as the driver twin."""
+    join (§6.1), same as the driver twin. ``base_ds`` (when given)
+    replaces the required-BGP evaluation — the UNION-then-OPTIONAL
+    composition path."""
     import pyarrow as pa
 
     from .ops import _default_partitions, materialize_normalized
 
     P = _default_partitions()
-    result = select_distributed(triples_ds, patterns, graph=graph)
+    result = base_ds if base_ds is not None \
+        else select_distributed(triples_ds, patterns, graph=graph)
     bound = list(result.schema().names)
     for gi, group in enumerate(optional_groups):
         part = select_distributed(triples_ds, group, graph=graph)
@@ -406,22 +434,38 @@ def select_optional_distributed(triples_ds, patterns: list[tuple],
 def select_union_distributed(triples_ds, branches: list[list[tuple]],
                              graph: str | None = None):
     """Distributed UNION: each branch runs the distributed BGP path, then
-    `Dataset.union` (bag semantics). Branches must bind the same variable
-    set — Ray's union requires aligned schemas; heterogeneous branches
-    belong on the driver path (select_union)."""
+    `Dataset.union` (bag semantics, §5.4 — absent variables unbound).
+    Ray's union requires aligned schemas, so heterogeneous branches are
+    aligned first: the union of all branch variables (first-appearance
+    order, matching the driver twin select_union), missing columns
+    null-filled per batch, every branch normalized to one explicit string
+    schema (single arrow block type — invariant 8)."""
+    import pyarrow as pa
+
+    from .ops import materialize_normalized
+
     outs = [select_distributed(triples_ds, b, graph=graph) for b in branches]
     if not outs:
         import ray.data as rd
 
         return rd.from_pandas(pd.DataFrame())
-    names = set(outs[0].schema().names)
-    for o in outs[1:]:
-        if set(o.schema().names) != names:
-            raise SparqlSyntaxError(
-                "distributed UNION branches must bind identical variables; "
-                "use select_union for heterogeneous branches")
-    result = outs[0]
-    for o in outs[1:]:
+    cols: list[str] = []
+    for o in outs:
+        cols += [c for c in o.schema().names if c not in cols]
+    schema = pa.schema([(c, pa.string()) for c in cols])
+    aligned = []
+    for o in outs:
+        missing = tuple(c for c in cols if c not in set(o.schema().names))
+        if missing:
+            def fill(t: pa.Table, missing=missing, order=tuple(cols)):
+                for c in missing:
+                    t = t.append_column(c, pa.nulls(t.num_rows, pa.string()))
+                return t.select(order)
+
+            o = o.map_batches(fill, batch_format="pyarrow")
+        aligned.append(materialize_normalized(o, schema))
+    result = aligned[0]
+    for o in aligned[1:]:
         result = result.union(o)
     return result
 
@@ -1693,25 +1737,42 @@ def select_text_distributed(triples_ds, query: str,
     ≤ OFFSET+LIMIT by the query's own modifiers). Everything else
     raises with a pointer to select_text."""
     plan = parse_select(query)
-    unsupported = []
-    if plan["union_branches"] and plan["patterns"]:
-        unsupported.append("UNION mixed with surrounding patterns")
-    if plan["union_branches"] and plan["optional_groups"]:
-        unsupported.append("UNION mixed with OPTIONAL")
-    if unsupported:
-        raise SparqlSyntaxError(
-            f"select_text_distributed does not evaluate {unsupported}; "
-            "use select_text (driver) or the dedicated *_distributed "
-            "twins")
     if plan["offset"] and plan["limit"] is None:
         raise SparqlSyntaxError(
             "OFFSET without LIMIT is unbounded on the Dataset path; "
             "add LIMIT or use select_text")
     if plan["union_branches"]:
+        # UNION block; surrounding patterns inner-join it (driver parity,
+        # select_text), OPTIONAL groups left-outer join it afterwards.
         ds = select_union_distributed(triples_ds, plan["union_branches"],
                                       graph=graph)
         pattern_vars = {t[1:] for b in plan["union_branches"]
                         for pat in b for t in pat if _is_var(t)}
+        if plan["patterns"]:
+            import pyarrow as pa
+
+            from .ops import _default_partitions, materialize_normalized
+
+            base = select_distributed(triples_ds, plan["patterns"],
+                                      graph=graph)
+            bvars = list(base.schema().names)
+            uvars = list(ds.schema().names)
+            shared = [v for v in uvars if v in bvars]
+            if shared:
+                ds = materialize_normalized(
+                    ds, pa.schema([(v, pa.string()) for v in uvars])).join(
+                    materialize_normalized(
+                        base, pa.schema([(v, pa.string()) for v in bvars])),
+                    "inner", _default_partitions(), on=tuple(shared))
+            else:
+                ds = _cross_join_ds(ds, base, "UNION block")
+            pattern_vars |= set(bvars)
+        if plan["optional_groups"]:
+            ds = select_optional_distributed(
+                triples_ds, [], plan["optional_groups"], graph=graph,
+                optional_filters=plan["optional_filters"], base_ds=ds)
+            pattern_vars |= {t[1:] for g in plan["optional_groups"]
+                             for pat in g for t in pat if _is_var(t)}
     elif plan["optional_groups"]:
         ds = select_optional_distributed(
             triples_ds, plan["patterns"], plan["optional_groups"],
@@ -1742,9 +1803,8 @@ def select_text_distributed(triples_ds, query: str,
         cur = list(base.schema().names)
         shared = [v for v in cur if v in pvars]
         if not shared:
-            raise SparqlSyntaxError(
-                f"{label} shares no variable with prior patterns "
-                "(distributed cross join unsupported); use select_text")
+            # legal disconnected group: guarded broadcast cartesian
+            return _cross_join_ds(base, part_ds, label), set(pvars)
         out = materialize_normalized(
             base, pa.schema([(v, pa.string()) for v in cur])).join(
             materialize_normalized(
@@ -2096,6 +2156,20 @@ def query_text(triples_ds, query: str, graph: str | None = None):
     form = query_form(query)
     fn = {"SELECT": select_text, "ASK": ask_text,
           "CONSTRUCT": construct_text, "DESCRIBE": describe_text}[form]
+    return fn(triples_ds, query, graph=graph)
+
+
+def query_text_distributed(triples_ds, query: str,
+                           graph: str | None = None):
+    """Scale-path twin of :func:`query_text`: all four query forms evaluate
+    on the Dataset path (bindings never concentrate on the driver).
+    SELECT/CONSTRUCT/DESCRIBE return a Dataset, ASK a bool. This is the
+    default entry for the CLI — the driver path (:func:`query_text`) is
+    the readable oracle twin."""
+    form = query_form(query)
+    fn = {"SELECT": select_text_distributed, "ASK": ask_text_distributed,
+          "CONSTRUCT": construct_text_distributed,
+          "DESCRIBE": describe_text_distributed}[form]
     return fn(triples_ds, query, graph=graph)
 
 

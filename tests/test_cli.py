@@ -45,13 +45,14 @@ def test_cli_sparql(cli_store, capsys):
 
     q = """PREFIX prov: <http://www.w3.org/ns/prov#>
            SELECT DISTINCT ?a WHERE { ?a rdf:type prov:Activity . } LIMIT 5"""
+    # default = the Dataset scale path (round-4 flip)
     assert main(["sparql", cli_store, q, "--results", "json"]) == 0
     doc = json.loads(capsys.readouterr().out)
     assert doc["head"]["vars"] == ["a"]
     assert 0 < len(doc["results"]["bindings"]) <= 5
-    # the scale path answers the same query through the CLI flag
+    # the driver readable twin answers the same query via --driver
     assert main(["sparql", cli_store, q, "--results", "json",
-                 "--distributed"]) == 0
+                 "--driver"]) == 0
     doc2 = json.loads(capsys.readouterr().out)
     # DISTINCT+LIMIT picks an arbitrary-but-valid subset on each path —
     # check shape and that every binding is a real Activity URI
@@ -59,6 +60,16 @@ def test_cli_sparql(cli_store, capsys):
     vals = [b["a"] for b in doc2["results"]["bindings"]]
     assert 0 < len(vals) <= 5
     assert all(v.startswith("https://") and "#commit-" in v for v in vals)
+    # text/plain ASCII table and SPARQL-results XML render through the CLI
+    assert main(["sparql", cli_store, q, "--results", "text",
+                 "--driver"]) == 0
+    txt = capsys.readouterr().out
+    assert txt.splitlines()[1].startswith("| a") and "=" in txt
+    assert main(["sparql", cli_store, q, "--results", "xml",
+                 "--driver"]) == 0
+    xml = capsys.readouterr().out
+    assert '<sparql xmlns="http://www.w3.org/2005/sparql-results#">' in xml
+    assert '<variable name="a"/>' in xml and "<uri>https://" in xml
 
 
 def test_cli_serialize_roundtrip(cli_store, tmp_path, capsys):

@@ -258,3 +258,22 @@ def test_cosine_neardup_exact_and_lsh():
     pd.testing.assert_frame_equal(exact.reset_index(drop=True),
                                   lsh.reset_index(drop=True),
                                   check_exact=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cosine_neardup_auto_routes_to_lsh():
+    """Round-4 scale guard: above ``max_exact_rows`` the exact broadcast
+    path auto-routes to the LSH twin (identical planted vectors still
+    recover — they always share a bucket), so the DEFAULT call composes
+    at 100-TB corpora instead of collecting the corpus on the driver."""
+    from gitprov_ray import annsearch
+    from gitprov_ray.queries import _planted_embeddings
+
+    emb = _planted_embeddings("/root/testdata/sf0.001")
+    routed = annsearch.cosine_neardup_pairs(
+        emb, threshold=0.9,
+        max_exact_rows=10).to_pandas()           # force the auto-route
+    lsh = annsearch.cosine_neardup_pairs_lsh(emb, threshold=0.9).to_pandas()
+    key = lambda f: f.sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(routed), key(lsh), check_dtype=False)
+    assert (routed.b - routed.a == 100000).all() and len(routed) > 0

@@ -26,9 +26,12 @@ def test_salted_sum_matches_pandas():
 
     df = pd.DataFrame({"k": [f"g{i % 7}" for i in range(5000)],
                        "x": np.arange(5000, dtype="int64")})
-    out = salted_sum(rd.from_pandas(df), "k", "x", num_salts=4)
     exp = df.groupby("k", as_index=False)["x"].sum().sort_values("k")
-    assert list(out["sum_x"]) == list(exp["x"])
+    for final in ("driver", "shuffle"):
+        out = salted_sum(rd.from_pandas(df), "k", "x", num_salts=4,
+                         final=final)
+        assert list(out["k"]) == list(exp["k"])
+        assert list(out["sum_x"]) == list(exp["x"])
 
 
 @pytest.mark.usefixtures("ray_session")

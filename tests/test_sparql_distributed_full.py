@@ -242,21 +242,61 @@ def test_union_with_aggregate_distributed(rich_ds):
         check_dtype=False)
 
 
-def test_union_heterogeneous_branches_raise_distributed(rich_ds):
-    with pytest.raises(S.SparqlSyntaxError, match="identical variables"):
-        S.select_text_distributed(rich_ds, Q + """
-            SELECT ?d WHERE {
-                { ?d ex:lang "en" } UNION { ?d ex:lang ?x }
-            }""")
+def test_union_heterogeneous_branches_distributed_parity(rich_ds):
+    # branches binding DIFFERENT variable sets: absent vars unbound (§5.4)
+    q = Q + """
+        SELECT ?d ?x WHERE {
+            { ?d ex:lang "en" } UNION { ?d ex:score ?x }
+        }
+    """
+    drv, dst = _both(rich_ds, q)
+    assert set(dst.columns) == {"d", "x"}
+    assert dst["x"].isna().sum() == 20          # 20 en docs, x unbound
+    key = lambda f: f.fillna("\0").sort_values(["d", "x"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(drv), key(dst), check_dtype=False)
 
 
-def test_union_mixed_with_patterns_still_raises(rich_ds):
-    with pytest.raises(S.SparqlSyntaxError, match="surrounding patterns"):
-        S.select_text_distributed(rich_ds, Q + """
-            SELECT ?d WHERE {
-                ?d ex:source ?s .
-                { ?d ex:lang "en" } UNION { ?d ex:lang "de" }
-            }""")
+def test_union_mixed_with_patterns_distributed_parity(rich_ds):
+    q = Q + """
+        SELECT ?d ?s WHERE {
+            ?d ex:source ?s .
+            { ?d ex:lang "en" } UNION { ?d ex:lang "de" }
+        } ORDER BY ?d
+    """
+    drv, dst = _both(rich_ds, q)
+    assert len(dst) == 40                       # 20 en + 20 de docs
+    pd.testing.assert_frame_equal(
+        drv.reset_index(drop=True), dst.reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_union_with_optional_distributed_parity(rich_ds):
+    q = Q + """
+        SELECT ?d ?v WHERE {
+            { ?d ex:lang "en" } UNION { ?d ex:lang "de" }
+            OPTIONAL { ?d ex:score ?v }
+        } ORDER BY ?d
+    """
+    drv, dst = _both(rich_ds, q)
+    assert len(dst) == 40
+    pd.testing.assert_frame_equal(
+        drv.reset_index(drop=True), dst.reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_cross_product_bgp_distributed_parity(rich_ds):
+    # disconnected BGP: legal SPARQL — guarded small-side broadcast
+    q = Q + """
+        SELECT ?a ?b WHERE {
+            ?a ex:lang "fr" .
+            ?b ex:source "s0" .
+        } ORDER BY ?a ?b
+    """
+    drv, dst = _both(rich_ds, q)
+    assert len(dst) == 20 * 15                  # 20 fr docs × 15 s0 docs
+    pd.testing.assert_frame_equal(
+        drv.reset_index(drop=True), dst.reset_index(drop=True),
+        check_dtype=False)
 
 
 def test_values_distributed_parity(rich_ds):

@@ -281,13 +281,84 @@ def test_sparql_distributed_matches_driver(tiny_triples):
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_sparql_distributed_rejects_cross_join(tiny_triples):
+def test_sparql_distributed_cross_join_matches_driver(tiny_triples):
+    """A disconnected BGP is legal SPARQL: the distributed path evaluates
+    it as a guarded small-side-broadcast cartesian (round-4 fix of the
+    former raise) and must agree with the driver-side cross merge."""
     import ray.data as rd
 
     from gitprov_ray import sparql_lite
 
     ds = rd.from_pandas(tiny_triples)
+    patterns = [("?a", "rdf:type", "prov:Activity"),
+                ("?b", "rdf:type", "prov:Agent")]
+    drv = sparql_lite.select(ds, patterns)
+    dist = sparql_lite.select_distributed(ds, patterns).to_pandas()
+    a = set(map(tuple, drv[["a", "b"]].itertuples(index=False)))
+    b = set(map(tuple, dist[["a", "b"]].itertuples(index=False)))
+    assert a == b and len(a) > 0 and len(dist) == len(drv)
+
+
+# ---------------------------------------------------------------------------
+# SELECT result-set writers: text/plain ASCII table + SPARQL-results XML
+# (SparqlService.java:58-82) and the FMT_RS_JSON content-type quirk (:35-37)
+# ---------------------------------------------------------------------------
+
+def _result_frame():
+    return pd.DataFrame({"a": ["https://h/x", "https://h/y"],
+                         "n": ["1", None]})
+
+
+def test_result_text_ascii_table():
+    from gitprov_ray import serializers
+
+    txt = serializers.result_text(_result_frame())
+    lines = txt.splitlines()
+    assert lines[0].startswith("---") and lines[-1].startswith("---")
+    assert lines[1] == "| a           | n |"
+    assert set(lines[2]) == {"="}          # rule under the header
+    assert lines[3] == "| https://h/x | 1 |"
+    assert lines[4] == "| https://h/y |   |"   # unbound renders empty
+    assert len({len(l) for l in lines}) == 1   # rectangular table
+
+
+def test_result_xml_wellformed():
+    import xml.etree.ElementTree as ET
+
+    from gitprov_ray import serializers
+
+    xml = serializers.result_xml(_result_frame())
+    root = ET.fromstring(xml)
+    ns = "{http://www.w3.org/2005/sparql-results#}"
+    assert root.tag == f"{ns}sparql"
+    vars_ = [v.get("name") for v in root.find(f"{ns}head")]
+    assert vars_ == ["a", "n"]
+    results = root.find(f"{ns}results").findall(f"{ns}result")
+    assert len(results) == 2
+    b0 = {b.get("name"): (b[0].tag, b[0].text) for b in results[0]}
+    assert b0["a"] == (f"{ns}uri", "https://h/x")
+    assert b0["n"] == (f"{ns}literal", "1")
+    # unbound cell omits its <binding>
+    assert [b.get("name") for b in results[1]] == ["a"]
+
+
+def test_result_xml_escapes():
+    from gitprov_ray import serializers
+
+    xml = serializers.result_xml(pd.DataFrame({"v": ['<&">']}))
+    assert "&lt;&amp;&quot;&gt;" in xml or "&lt;&amp;\"&gt;" in xml
+
+
+def test_serialize_results_dispatch_and_quirk():
+    from gitprov_ray import serializers
+
+    df = _result_frame()
+    assert serializers.serialize_results(df, "text") == \
+        serializers.result_text(df)
+    assert serializers.serialize_results(df, "application/xml") == \
+        serializers.result_xml(df)
+    # the reference quirk: sparql-results+xml serves JSON (FMT_RS_JSON)
+    assert serializers.serialize_results(
+        df, "application/sparql-results+xml") == serializers.result_json(df)
     with pytest.raises(ValueError):
-        sparql_lite.select_distributed(
-            ds, [("?a", "rdf:type", "prov:Activity"),
-                 ("?b", "rdf:type", "prov:Agent")]).to_pandas()
+        serializers.serialize_results(df, "application/unknown")
