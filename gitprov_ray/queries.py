@@ -1699,6 +1699,138 @@ ORACLE_SQL = {
         WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.9
         ORDER BY a, b
     """,
+    # identical result contract to q_cosine_neardup_pairs: the planted
+    # duplicate vectors are bit-identical, so they always share an LSH
+    # bucket and the bucketed path's recall on them is 1 (pinned by
+    # test_cosine_neardup_exact_and_lsh) — the exact-SQL oracle therefore
+    # checks the LSH path too.
+    "q_cosine_neardup_lsh": """
+        WITH planted AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000, embedding FROM embeddings
+            WHERE vec_id < 40
+        )
+        SELECT x.vec_id AS a, y.vec_id AS b
+        FROM planted x JOIN planted y ON x.vec_id < y.vec_id
+        WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.9
+        ORDER BY a, b
+    """,
+    # exact word-3-gram Jaccard over DISTINCT shingles (the engine hashes
+    # shingles — hash-set Jaccard equals string-set Jaccard absent 61-bit
+    # collisions); tokenization pinned to python str.split == '\\s+' regex
+    # split with empties dropped; docs under 3 tokens fall back to ONE
+    # whole-text shingle (linking._shingle_hashes_batch). The synthetic
+    # corpus has no pair within 0.3 Jaccard of either threshold, so the
+    # MinHash candidate stage's recall/precision on it is exactly 1 and the
+    # true-Jaccard SQL is a faithful oracle for both queries.
+    "q_ngram_jaccard_pairs": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+          FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) s
+          WHERE len(t) >= 3
+          UNION ALL
+          SELECT doc_id, array_to_string(t, ' ') AS g FROM toks
+          WHERE len(t) < 3
+        ),
+        dg AS (SELECT DISTINCT doc_id, g FROM grams),
+        sets AS (SELECT doc_id, COUNT(*) AS n FROM dg GROUP BY doc_id),
+        inter AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+          FROM dg x JOIN dg y USING (g)
+          WHERE x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id
+        )
+        SELECT a, b
+        FROM inter JOIN sets sa ON sa.doc_id = inter.a
+                   JOIN sets sb ON sb.doc_id = inter.b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+        ORDER BY a, b
+    """,
+    "q_minhash_neardup_pairs": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+          FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) s
+          WHERE len(t) >= 3
+          UNION ALL
+          SELECT doc_id, array_to_string(t, ' ') AS g FROM toks
+          WHERE len(t) < 3
+        ),
+        dg AS (SELECT DISTINCT doc_id, g FROM grams),
+        sets AS (SELECT doc_id, COUNT(*) AS n FROM dg GROUP BY doc_id),
+        inter AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+          FROM dg x JOIN dg y USING (g)
+          WHERE x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id
+        )
+        SELECT a, b
+        FROM inter JOIN sets sa ON sa.doc_id = inter.a
+                   JOIN sets sb ON sb.doc_id = inter.b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        ORDER BY a, b
+    """,
+    # connected components over the near-dup pair graph: recursive
+    # reachability + min label, singletons label themselves — the SQL twin
+    # of linking.min_label_components
+    "q_neardup_clusters": """
+        WITH RECURSIVE toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+          FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) s
+          WHERE len(t) >= 3
+          UNION ALL
+          SELECT doc_id, array_to_string(t, ' ') AS g FROM toks
+          WHERE len(t) < 3
+        ),
+        dg AS (SELECT DISTINCT doc_id, g FROM grams),
+        sets AS (SELECT doc_id, COUNT(*) AS n FROM dg GROUP BY doc_id),
+        inter AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+          FROM dg x JOIN dg y USING (g)
+          WHERE x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id
+        ),
+        pairs AS (
+          SELECT a, b
+          FROM inter JOIN sets sa ON sa.doc_id = inter.a
+                     JOIN sets sb ON sb.doc_id = inter.b
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        ),
+        edges AS (
+          SELECT a AS s, b AS o FROM pairs
+          UNION SELECT b, a FROM pairs
+        ),
+        reach AS (
+          SELECT s AS node, o AS r FROM edges
+          UNION
+          SELECT reach.node, e.o FROM reach JOIN edges e ON reach.r = e.s
+        ),
+        labels AS (
+          SELECT node AS doc_id, LEAST(node, MIN(r)) AS cluster_id
+          FROM reach GROUP BY node
+        )
+        SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN labels l USING (doc_id)
+        ORDER BY doc_id
+    """,
     "q_sparql_agg": """
         SELECT source AS s, COUNT(*) AS n
         FROM documents GROUP BY source ORDER BY s
