@@ -2,18 +2,32 @@
 
 REAL, spec-conformant layers — NAL framing in both Annex-B (start codes
 + emulation prevention) and MP4/avcC (length-prefixed) forms, Exp-Golomb
-bit parsing, full SPS / PPS / slice-header field walks, and macroblock
-reconstruction for **I_PCM** macroblocks (§7.3.5 mb_type 25: raw 4:2:0
-samples, part of every profile). The encoder writes conforming
-constrained-baseline streams whose every macroblock is I_PCM, so
-avc1-in-MP4 fixtures decode end-to-end through the engine's own stack
-(mp4codec demux → this decoder → FrameSample).
+bit parsing, full SPS / PPS / slice-header field walks, and I-slice
+macroblock reconstruction:
 
-Declared stub: predicted/transformed macroblocks — CAVLC/CABAC residual
-entropy decode + intra/inter prediction — raise NotImplementedError
-naming the tool. That is the honest line: a full H.264 decoder needs an
-external library; the container/bitstream/PCM layers above it do not,
-and header parsing (probe) works on any baseline/main/high stream.
+  * **I_PCM** (§7.3.5 mb_type 25: raw 4:2:0 samples);
+  * **Intra_4x4** — all nine §8.3.1 prediction modes, per-block mode
+    prediction, CAVLC residuals (h264intra);
+  * **Intra_16x16** — all four §8.3.3 modes incl. Plane, the luma-DC
+    Hadamard path, chroma DC/H/V/Plane (§8.3.4) and the 2x2 chroma-DC
+    transform (§8.5.11).
+
+The CAVLC entropy layer (h264intra, §9.2) is encode+decode: the fixture
+encoder writes conforming constrained-baseline intra streams (pinned
+pixel-exact against its own spec-path reconstruction), so CAVLC
+avc1-in-MP4 fixtures decode end-to-end through the engine's own stack
+(mp4codec demux → this decoder → FrameSample). Table caveat: coeff_token
+codewords for TotalCoeff ≥ 9 in the 4≤nC<8 context were completed by
+Kraft-saturation analysis of the published short codes (the remaining
+code space fits the missing entries exactly); encode/decode are exact
+inverses (property-pinned), so engine streams are always
+self-consistent.
+
+Declared stubs: P/B slices (inter prediction), CABAC, 8x8 transform and
+scaling lists raise NotImplementedError naming the tool; the in-loop
+deblocking filter is not applied (fixtures disable it; foreign streams
+that enable it decode without it). Header parsing (probe) works on any
+baseline/main/high stream.
 
 Reference parity note: the reference stores media blobs untouched; this
 codec backs the engine's multimodal stages (multimodal.py), extending
@@ -257,13 +271,34 @@ def parse_pps(rbsp: bytes) -> dict:
     r.u(2)                                    # weighted_bipred
     init_qp = r.se() + 26
     r.se()                                    # pic_init_qs
-    r.se()                                    # chroma_qp_offset
+    chroma_qp_offset = r.se()
     deblock_ctrl = r.u(1)
     r.u(1)                                    # constrained_intra
     r.u(1)                                    # redundant_pic_cnt
+    transform_8x8 = 0
+    if _more_rbsp_data(r):                    # high-profile PPS extension
+        transform_8x8 = r.u(1)
+        if r.u(1):                            # pic_scaling_matrix_present
+            raise NotImplementedError(
+                "H.264 PPS scaling lists not supported")
+        r.se()                                # second_chroma_qp_offset
     return {"pps_id": pps_id, "sps_id": sps_id, "cabac": cabac,
             "bottom_field_poc": bottom_field_poc, "init_qp": init_qp,
-            "deblock_ctrl": deblock_ctrl}
+            "chroma_qp_offset": chroma_qp_offset,
+            "deblock_ctrl": deblock_ctrl, "transform_8x8": transform_8x8}
+
+
+def _more_rbsp_data(r: _BitReader) -> bool:
+    """True iff bits beyond the current position hold more than the RBSP
+    trailing stop bit + alignment zeros (§7.2)."""
+    total = len(r.d) * 8
+    # find the last 1 bit (the rbsp_stop_one_bit)
+    last = -1
+    for i in range(total - 1, -1, -1):
+        if (r.d[i >> 3] >> (7 - (i & 7))) & 1:
+            last = i
+            break
+    return r.p < last
 
 
 def probe_h264(b: bytes) -> dict:
@@ -278,12 +313,80 @@ def probe_h264(b: bytes) -> dict:
 
 
 # ---------------------------------------------------------------------------
-# slice + I_PCM macroblock decode
+# I-slice decode: Intra_4x4 + Intra_16x16 (CAVLC) + I_PCM macroblocks
 # ---------------------------------------------------------------------------
 
 
-def _decode_slice_ipcm(rbsp: bytes, sps: dict, pps: dict, idr: bool):
-    """I-slice with all-I_PCM macroblocks → (Y, Cb, Cr) planes."""
+def _blk_before(nbx: int, nby: int, bx: int, by: int, k: int) -> bool:
+    """Is the 4x4 luma block at absolute grid (nbx, nby) decoded before the
+    current block (bx, by) with z-index k? (single-slice raster MB order)"""
+    mn = (nby // 4, nbx // 4)
+    mc = (by // 4, bx // 4)
+    if mn < mc:
+        return True
+    if mn == mc:
+        from .h264intra import BLK4_IDX
+
+        return BLK4_IDX[(nbx % 4, nby % 4)] < k
+    return False
+
+
+def _nc_of(grid: np.ndarray, bx: int, by: int) -> int:
+    """CAVLC nC context from the left/top neighbor blocks (§9.2.1)."""
+    a = int(grid[by, bx - 1]) if bx > 0 else None
+    b = int(grid[by - 1, bx]) if by > 0 else None
+    if a is not None and b is not None:
+        return (a + b + 1) >> 1
+    if a is not None:
+        return a
+    if b is not None:
+        return b
+    return 0
+
+
+def _luma4x4_neighbors(Y: np.ndarray, bx: int, by: int, k: int, W4: int):
+    """Reconstructed neighbor samples for the 4x4 block at grid (bx, by):
+    (left[4], top[8] incl. above-right extension, corner, avail flags)."""
+    px, py = bx * 4, by * 4
+    avail_l, avail_t = bx > 0, by > 0
+    avail_tl = avail_l and avail_t
+    left = Y[py:py + 4, px - 1].astype(np.int64) if avail_l else None
+    top = None
+    if avail_t:
+        t4 = Y[py - 1, px:px + 4].astype(np.int64)
+        if bx + 1 < W4 and _blk_before(bx + 1, by - 1, bx, by, k):
+            tr = Y[py - 1, px + 4:px + 8].astype(np.int64)
+        else:
+            tr = np.full(4, t4[3], np.int64)
+        top = np.concatenate([t4, tr])
+    corner = int(Y[py - 1, px - 1]) if avail_tl else None
+    return left, top, corner, avail_l, avail_t, avail_tl
+
+
+def _unzigzag16(levels: np.ndarray) -> np.ndarray:
+    from .h264intra import ZIGZAG
+
+    m = np.zeros(16, np.int64)
+    m[ZIGZAG] = levels
+    return m.reshape(4, 4)
+
+
+def _unzigzag15(levels: np.ndarray) -> np.ndarray:
+    from .h264intra import ZIGZAG
+
+    m = np.zeros(16, np.int64)
+    m[ZIGZAG[1:]] = levels
+    return m.reshape(4, 4)
+
+
+def _decode_slice_intra(rbsp: bytes, sps: dict, pps: dict, idr: bool):
+    """I-slice → (Y, Cb, Cr) planes. Macroblocks: I_PCM, Intra_4x4 and
+    Intra_16x16 with CAVLC residuals (§7.3.5/§8.3/§9.2). No deblocking
+    filter is applied (fixture streams disable it; foreign streams that
+    enable it reconstruct without the loop filter — documented
+    approximation)."""
+    from . import h264intra as hi
+
     r = _BitReader(rbsp)
     first_mb = r.ue()
     slice_type = r.ue()
@@ -305,7 +408,7 @@ def _decode_slice_ipcm(rbsp: bytes, sps: dict, pps: dict, idr: bool):
     if idr:
         r.u(1)                                # no_output_of_prior_pics
         r.u(1)                                # long_term_reference
-    r.se()                                    # slice_qp_delta
+    qp = pps["init_qp"] + r.se()              # slice_qp_delta
     if pps["deblock_ctrl"]:
         if r.ue() != 1:                       # disable_deblocking_idc
             r.se()
@@ -316,23 +419,186 @@ def _decode_slice_ipcm(rbsp: bytes, sps: dict, pps: dict, idr: bool):
     Y = np.zeros((mb_h * 16, mb_w * 16), np.uint8)
     Cb = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
     Cr = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
+    W4 = mb_w * 4
+    luma_nc = np.zeros((mb_h * 4, W4), np.int32)
+    cb_nc = np.zeros((mb_h * 2, mb_w * 2), np.int32)
+    cr_nc = np.zeros((mb_h * 2, mb_w * 2), np.int32)
+    ipm = np.full((mb_h * 4, W4), -1, np.int32)   # -1 = not Intra_4x4
+    qpc_off = pps.get("chroma_qp_offset", 0)
+
     for mb in range(mb_w * mb_h):
+        mby, mbx = mb // mb_w, mb % mb_w
+        my, mx = mby * 16, mbx * 16
         mb_type = r.ue()
-        if mb_type != 25:                     # I_PCM
-            raise NotImplementedError(
-                f"H.264 predicted macroblock (I mb_type {mb_type}) needs "
-                "CAVLC residual decoding + intra prediction — external "
-                "decoder needed; this engine decodes I_PCM streams")
-        r.byte_align()                        # pcm_alignment_zero_bit
-        my, mx = (mb // mb_w) * 16, (mb % mb_w) * 16
-        Y[my:my + 16, mx:mx + 16] = np.frombuffer(
-            r.bytes_(256), np.uint8).reshape(16, 16)
-        cy, cx = my // 2, mx // 2
-        Cb[cy:cy + 8, cx:cx + 8] = np.frombuffer(
-            r.bytes_(64), np.uint8).reshape(8, 8)
-        Cr[cy:cy + 8, cx:cx + 8] = np.frombuffer(
-            r.bytes_(64), np.uint8).reshape(8, 8)
+        if mb_type == 25:                     # I_PCM
+            r.byte_align()
+            Y[my:my + 16, mx:mx + 16] = np.frombuffer(
+                r.bytes_(256), np.uint8).reshape(16, 16)
+            cy, cx = my // 2, mx // 2
+            Cb[cy:cy + 8, cx:cx + 8] = np.frombuffer(
+                r.bytes_(64), np.uint8).reshape(8, 8)
+            Cr[cy:cy + 8, cx:cx + 8] = np.frombuffer(
+                r.bytes_(64), np.uint8).reshape(8, 8)
+            luma_nc[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 16
+            cb_nc[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 16
+            cr_nc[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 16
+            continue
+        if mb_type > 25:
+            raise ValueError(f"H.264: invalid I-slice mb_type {mb_type}")
+        avail_l, avail_t = mbx > 0, mby > 0
+
+        if mb_type == 0:                      # Intra_4x4
+            if pps.get("transform_8x8"):
+                if r.u(1):                    # transform_size_8x8_flag
+                    raise NotImplementedError(
+                        "H.264 8x8 transform not supported")
+            modes = []
+            for k in range(16):
+                x4, y4 = hi.BLK4_POS[k]
+                bx, by = mbx * 4 + x4, mby * 4 + y4
+                ma = int(ipm[by, bx - 1]) if bx > 0 else 2
+                mb_ = int(ipm[by - 1, bx]) if by > 0 else 2
+                pred_mode = min(ma if ma >= 0 else 2,
+                                mb_ if mb_ >= 0 else 2)
+                if r.u(1):                    # prev_intra4x4_pred_mode_flag
+                    mode = pred_mode
+                else:
+                    rem = r.u(3)
+                    mode = rem if rem < pred_mode else rem + 1
+                modes.append(mode)
+                ipm[by, bx] = mode
+            chroma_mode = r.ue()
+            cbp = hi.CBP_INTRA[r.ue()]
+            cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+            if cbp:
+                qp = (qp + r.se() + 52) % 52
+            luma_coeffs = [None] * 16
+            for i8 in range(4):
+                if not (cbp_luma & (1 << i8)):
+                    continue
+                for sub in range(4):
+                    k = 4 * i8 + sub
+                    x4, y4 = hi.BLK4_POS[k]
+                    bx, by = mbx * 4 + x4, mby * 4 + y4
+                    c = hi.decode_residual_block(
+                        r, _nc_of(luma_nc, bx, by), 16)
+                    luma_nc[by, bx] = int(np.count_nonzero(c))
+                    luma_coeffs[k] = c
+            dc_cb = dc_cr = None
+            ac_cb = [None] * 4
+            ac_cr = [None] * 4
+            if cbp_chroma:
+                dc_cb = hi.decode_residual_block(r, -1, 4)
+                dc_cr = hi.decode_residual_block(r, -1, 4)
+            if cbp_chroma == 2:
+                for comp, (grid, acc) in enumerate(
+                        ((cb_nc, ac_cb), (cr_nc, ac_cr))):
+                    for k in range(4):
+                        bx = mbx * 2 + (k & 1)
+                        by = mby * 2 + (k >> 1)
+                        c = hi.decode_residual_block(
+                            r, _nc_of(grid, bx, by), 15)
+                        grid[by, bx] = int(np.count_nonzero(c))
+                        acc[k] = c
+            # reconstruct luma block-by-block in z order
+            for k in range(16):
+                x4, y4 = hi.BLK4_POS[k]
+                bx, by = mbx * 4 + x4, mby * 4 + y4
+                nb = _luma4x4_neighbors(Y, bx, by, k, W4)
+                pred = hi.pred4x4(modes[k], *nb)
+                lv = luma_coeffs[k]
+                d = hi.dequant4x4(_unzigzag16(lv), qp) if lv is not None \
+                    else np.zeros((4, 4), np.int64)
+                Y[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
+                    hi.reconstruct4x4(pred, d)
+            _recon_chroma(Cb, Cr, mbx, mby, chroma_mode, dc_cb, dc_cr,
+                          ac_cb, ac_cr, hi.chroma_qp(qp, qpc_off),
+                          avail_l, avail_t)
+            continue
+
+        # Intra_16x16 (mb_type 1..24)
+        pm16 = (mb_type - 1) % 4
+        cbp_chroma = ((mb_type - 1) // 4) % 3
+        cbp_luma = 15 if mb_type >= 13 else 0
+        chroma_mode = r.ue()
+        qp = (qp + r.se() + 52) % 52          # mb_qp_delta always present
+        dc_lv = hi.decode_residual_block(
+            r, _nc_of(luma_nc, mbx * 4, mby * 4), 16)
+        ac = [None] * 16
+        if cbp_luma:
+            for i8 in range(4):
+                for sub in range(4):
+                    k = 4 * i8 + sub
+                    x4, y4 = hi.BLK4_POS[k]
+                    bx, by = mbx * 4 + x4, mby * 4 + y4
+                    c = hi.decode_residual_block(
+                        r, _nc_of(luma_nc, bx, by), 15)
+                    luma_nc[by, bx] = int(np.count_nonzero(c))
+                    ac[k] = c
+        dc_cb = dc_cr = None
+        ac_cb = [None] * 4
+        ac_cr = [None] * 4
+        if cbp_chroma:
+            dc_cb = hi.decode_residual_block(r, -1, 4)
+            dc_cr = hi.decode_residual_block(r, -1, 4)
+        if cbp_chroma == 2:
+            for grid, acc in ((cb_nc, ac_cb), (cr_nc, ac_cr)):
+                for k in range(4):
+                    bx = mbx * 2 + (k & 1)
+                    by = mby * 2 + (k >> 1)
+                    c = hi.decode_residual_block(
+                        r, _nc_of(grid, bx, by), 15)
+                    grid[by, bx] = int(np.count_nonzero(c))
+                    acc[k] = c
+        left = Y[my:my + 16, mx - 1] if avail_l else None
+        top = Y[my - 1, mx:mx + 16] if avail_t else None
+        corner = int(Y[my - 1, mx - 1]) if (avail_l and avail_t) else None
+        pred = hi.pred16x16(pm16, left, top, corner, avail_l, avail_t)
+        dcY = hi.luma_dc_dequant(_unzigzag16(dc_lv), qp)
+        for k in range(16):
+            x4, y4 = hi.BLK4_POS[k]
+            d = hi.dequant4x4(_unzigzag15(ac[k]), qp) if ac[k] is not None \
+                else np.zeros((4, 4), np.int64)
+            d[0, 0] = dcY[y4, x4]
+            py, px = my + y4 * 4, mx + x4 * 4
+            Y[py:py + 4, px:px + 4] = hi.reconstruct4x4(
+                pred[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4], d)
+        _recon_chroma(Cb, Cr, mbx, mby, chroma_mode, dc_cb, dc_cr,
+                      ac_cb, ac_cr, hi.chroma_qp(qp, qpc_off),
+                      avail_l, avail_t)
     return Y, Cb, Cr
+
+
+def _recon_chroma(Cb, Cr, mbx, mby, mode, dc_cb, dc_cr, ac_cb, ac_cr,
+                  qpc, avail_l, avail_t):
+    """Reconstruct one MB's chroma: 8x8 intra prediction + per-4x4 inverse
+    transform with the 2x2 DC path (§8.5.11)."""
+    from . import h264intra as hi
+
+    cy, cx = mby * 8, mbx * 8
+    for plane, dc_lv, acs in ((Cb, dc_cb, ac_cb), (Cr, dc_cr, ac_cr)):
+        left = plane[cy:cy + 8, cx - 1] if avail_l else None
+        top = plane[cy - 1, cx:cx + 8] if avail_t else None
+        corner = int(plane[cy - 1, cx - 1]) if (avail_l and avail_t) \
+            else None
+        pred = hi.pred_chroma8x8(mode, left, top, corner, avail_l, avail_t)
+        if dc_lv is not None:
+            dcC = hi.chroma_dc_dequant(
+                np.asarray(dc_lv, np.int64).reshape(2, 2), qpc)
+        else:
+            dcC = np.zeros((2, 2), np.int64)
+        for k in range(4):
+            bx, by = k & 1, k >> 1
+            d = hi.dequant4x4(_unzigzag15(acs[k]), qpc) \
+                if acs[k] is not None else np.zeros((4, 4), np.int64)
+            d[0, 0] = dcC[by, bx]
+            py, px = cy + by * 4, cx + bx * 4
+            plane[py:py + 4, px:px + 4] = hi.reconstruct4x4(
+                pred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4], d)
+
+
+# back-compat alias (earlier rounds exposed the I_PCM-only decoder)
+_decode_slice_ipcm = _decode_slice_intra
 
 
 def _yuv_to_rgb(Y: np.ndarray, Cb: np.ndarray, Cr: np.ndarray,
@@ -367,8 +633,9 @@ def _rgb_to_yuv(arr: np.ndarray):
 
 
 def decode_annexb(b: bytes) -> list[np.ndarray]:
-    """Annex-B H.264 stream → list of HxWx3 RGB frames (I_PCM streams;
-    predicted macroblocks raise naming the missing tool)."""
+    """Annex-B H.264 stream → list of HxWx3 RGB frames. Decodes I-slices
+    with Intra_4x4 / Intra_16x16 (CAVLC) and I_PCM macroblocks; P/B
+    slices and CABAC raise naming the missing tool."""
     sps_map: dict[int, dict] = {}
     pps_map: dict[int, dict] = {}
     frames: list[np.ndarray] = []
@@ -389,7 +656,8 @@ def decode_annexb(b: bytes) -> list[np.ndarray]:
             # single-SPS/PPS streams (ours) — take the active sets
             pps = next(iter(pps_map.values()))
             sps = sps_map[pps["sps_id"]]
-            Y, Cb, Cr = _decode_slice_ipcm(rbsp, sps, pps, idr=(ntype == 5))
+            Y, Cb, Cr = _decode_slice_intra(rbsp, sps, pps,
+                                            idr=(ntype == 5))
             frames.append(_yuv_to_rgb(Y, Cb, Cr,
                                       sps["width"], sps["height"]))
     if not frames:
@@ -431,7 +699,7 @@ def decode_avcc(avcc: bytes, samples: list[bytes]) -> list[np.ndarray]:
             if ntype in (1, 5):
                 pps = next(iter(pps_map.values()))
                 sps = sps_map[pps["sps_id"]]
-                Y, Cb, Cr = _decode_slice_ipcm(
+                Y, Cb, Cr = _decode_slice_intra(
                     _strip_emulation(nal[1:]), sps, pps, idr=(ntype == 5))
                 frames.append(_yuv_to_rgb(Y, Cb, Cr,
                                           sps["width"], sps["height"]))
@@ -525,6 +793,326 @@ def _slice_rbsp(arr: np.ndarray, frame_num: int, idr: bool,
 
 def _nal(ntype: int, rbsp: bytes, ref_idc: int = 3) -> bytes:
     return bytes([(ref_idc << 5) | ntype]) + _add_emulation(rbsp)
+
+
+# ---------------------------------------------------------------------------
+# CAVLC intra encoder (conforming Intra_4x4 / Intra_16x16 fixture writer)
+# ---------------------------------------------------------------------------
+
+
+def _sad(a, b) -> int:
+    return int(np.abs(a.astype(np.int64) - b.astype(np.int64)).sum())
+
+
+def _encode_mb_i16(hi, bw, Ys, Yr, mbx, mby, qp, luma_nc):
+    """Analyze + write one Intra_16x16 macroblock's luma; returns
+    (mb_type_base, write_luma) where write_luma(bw) emits the residual
+    bits. Chroma is shared with the I4x4 path (caller)."""
+    my, mx = mby * 16, mbx * 16
+    avail_l, avail_t = mbx > 0, mby > 0
+    left = Yr[my:my + 16, mx - 1] if avail_l else None
+    top = Yr[my - 1, mx:mx + 16] if avail_t else None
+    corner = int(Yr[my - 1, mx - 1]) if (avail_l and avail_t) else None
+    src = Ys[my:my + 16, mx:mx + 16]
+    cands = [2]
+    if avail_t:
+        cands.append(0)
+    if avail_l:
+        cands.append(1)
+    if avail_l and avail_t:
+        cands.append(3)
+    best, pred = None, None
+    for m in sorted(cands):
+        p = hi.pred16x16(m, left, top, corner, avail_l, avail_t)
+        s = _sad(src, p)
+        if best is None or s < best[0]:
+            best, pred = (s, m), p
+    pm16 = best[1]
+    resid = src.astype(np.int64) - pred
+    dc = np.zeros((4, 4), np.int64)
+    Z = [None] * 16
+    for k in range(16):
+        x4, y4 = hi.BLK4_POS[k]
+        W = hi.forward4x4(resid[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4])
+        dc[y4, x4] = W[0, 0]
+        z = hi.quant4x4(W, qp)
+        z[0, 0] = 0
+        Z[k] = z
+    dcq = hi.luma_dc_quant(dc, qp)
+    cbp_luma = 15 if any(np.any(z) for z in Z) else 0
+    # reconstruct exactly like the decoder
+    dcY = hi.luma_dc_dequant(dcq, qp)
+    for k in range(16):
+        x4, y4 = hi.BLK4_POS[k]
+        d = hi.dequant4x4(Z[k], qp) if cbp_luma else \
+            np.zeros((4, 4), np.int64)
+        d[0, 0] = dcY[y4, x4]
+        py, px = my + y4 * 4, mx + x4 * 4
+        Yr[py:py + 4, px:px + 4] = hi.reconstruct4x4(
+            pred[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4], d)
+    # context bookkeeping happens inside write_luma (encode order == the
+    # decoder's parse order, so neighbor nC values are identical)
+    dc_levels = dcq.reshape(-1)[hi.ZIGZAG]
+
+    def write_luma(bw):
+        hi.encode_residual_block(
+            bw, dc_levels, _nc_of(luma_nc, mbx * 4, mby * 4), 16)
+        if cbp_luma:
+            for k in range(16):
+                x4, y4 = hi.BLK4_POS[k]
+                bx, by = mbx * 4 + x4, mby * 4 + y4
+                ac = Z[k].reshape(-1)[hi.ZIGZAG[1:]]
+                tc = hi.encode_residual_block(
+                    bw, ac, _nc_of(luma_nc, bx, by), 15)
+                luma_nc[by, bx] = tc
+    return pm16, cbp_luma, write_luma
+
+
+def _encode_chroma(hi, plane_s, plane_r, mbx, mby, mode, qpc):
+    """Analyze one component: quantized DC levels + AC matrices + recon."""
+    cy, cx = mby * 8, mbx * 8
+    avail_l, avail_t = mbx > 0, mby > 0
+    left = plane_r[cy:cy + 8, cx - 1] if avail_l else None
+    top = plane_r[cy - 1, cx:cx + 8] if avail_t else None
+    corner = int(plane_r[cy - 1, cx - 1]) if (avail_l and avail_t) else None
+    pred = hi.pred_chroma8x8(mode, left, top, corner, avail_l, avail_t)
+    src = plane_s[cy:cy + 8, cx:cx + 8]
+    resid = src.astype(np.int64) - pred
+    dc = np.zeros((2, 2), np.int64)
+    Z = [None] * 4
+    for k in range(4):
+        bx, by = k & 1, k >> 1
+        W = hi.forward4x4(resid[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4])
+        dc[by, bx] = W[0, 0]
+        z = hi.quant4x4(W, qpc)
+        z[0, 0] = 0
+        Z[k] = z
+    dcq = hi.chroma_dc_quant(dc, qpc)
+    return pred, dcq, Z
+
+
+def _chroma_mode_select(hi, Cbs, Cbr, Crs, Crr, mbx, mby):
+    cy, cx = mby * 8, mbx * 8
+    avail_l, avail_t = mbx > 0, mby > 0
+    cands = [0]
+    if avail_l:
+        cands.append(1)
+    if avail_t:
+        cands.append(2)
+    if avail_l and avail_t:
+        cands.append(3)
+    best = None
+    for m in cands:
+        s = 0
+        for ps, pr in ((Cbs, Cbr), (Crs, Crr)):
+            left = pr[cy:cy + 8, cx - 1] if avail_l else None
+            top = pr[cy - 1, cx:cx + 8] if avail_t else None
+            corner = int(pr[cy - 1, cx - 1]) if (avail_l and avail_t) \
+                else None
+            p = hi.pred_chroma8x8(m, left, top, corner, avail_l, avail_t)
+            s += _sad(ps[cy:cy + 8, cx:cx + 8], p)
+        if best is None or s < best[0]:
+            best = (s, m)
+    return best[1]
+
+
+def _slice_rbsp_cavlc(arr: np.ndarray, qp: int, idr_pic_id: int = 0,
+                      mix_i4: bool = True):
+    """One CAVLC intra IDR slice → (rbsp bytes, reconstructed RGB frame).
+
+    Macroblocks alternate Intra_4x4 / Intra_16x16 on a checkerboard when
+    ``mix_i4`` (exercising both decode paths + every SAD-winning intra
+    mode); prediction always reads the RECONSTRUCTED planes, so the
+    returned reconstruction is exactly what a conforming decoder outputs
+    (deblocking disabled)."""
+    from . import h264intra as hi
+
+    h, w = arr.shape[:2]
+    mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+    pad = np.pad(arr, ((0, mb_h * 16 - h), (0, mb_w * 16 - w), (0, 0)),
+                 mode="edge")
+    Ys, Cbs, Crs = _rgb_to_yuv(pad)
+    Yr = np.zeros_like(Ys)
+    Cbr = np.zeros_like(Cbs)
+    Crr = np.zeros_like(Crs)
+    W4 = mb_w * 4
+    luma_nc = np.zeros((mb_h * 4, W4), np.int32)
+    cb_nc = np.zeros((mb_h * 2, mb_w * 2), np.int32)
+    cr_nc = np.zeros((mb_h * 2, mb_w * 2), np.int32)
+    ipm = np.full((mb_h * 4, W4), -1, np.int32)
+    qpc = hi.chroma_qp(qp, 0)
+
+    bw = _BitWriter()
+    bw.ue(0)                                  # first_mb_in_slice
+    bw.ue(7)                                  # slice_type I (all-I pic)
+    bw.ue(0)                                  # pps_id
+    bw.u(0, 4)                                # frame_num (0 on IDR, §7.4.3)
+    bw.ue(idr_pic_id)
+    bw.u(0, 1)                                # no_output_of_prior_pics
+    bw.u(0, 1)                                # long_term_reference
+    bw.se(qp - 26)                            # slice_qp_delta
+    bw.ue(1)                                  # deblocking disabled
+
+    for mb in range(mb_w * mb_h):
+        mby, mbx = mb // mb_w, mb % mb_w
+        use_i4 = mix_i4 and ((mbx + mby) % 2 == 0)
+        cmode = _chroma_mode_select(hi, Cbs, Cbr, Crs, Crr, mbx, mby)
+        pred_cb, dcq_cb, Zcb = _encode_chroma(hi, Cbs, Cbr, mbx, mby,
+                                              cmode, qpc)
+        pred_cr, dcq_cr, Zcr = _encode_chroma(hi, Crs, Crr, mbx, mby,
+                                              cmode, qpc)
+        any_ac = any(np.any(z) for z in Zcb + Zcr)
+        any_dc = np.any(dcq_cb) or np.any(dcq_cr)
+        cbp_chroma = 2 if any_ac else (1 if any_dc else 0)
+        if cbp_chroma < 2:
+            Zcb = [np.zeros((4, 4), np.int64)] * 4
+            Zcr = [np.zeros((4, 4), np.int64)] * 4
+        if cbp_chroma == 0:
+            dcq_cb = np.zeros((2, 2), np.int64)
+            dcq_cr = np.zeros((2, 2), np.int64)
+        # chroma reconstruction (identical to the decoder path)
+        cy, cx = mby * 8, mbx * 8
+        for pr, pred_c, dcq, Z in ((Cbr, pred_cb, dcq_cb, Zcb),
+                                   (Crr, pred_cr, dcq_cr, Zcr)):
+            dcC = hi.chroma_dc_dequant(dcq, qpc)
+            for k in range(4):
+                bx, by = k & 1, k >> 1
+                d = hi.dequant4x4(Z[k], qpc)
+                d[0, 0] = dcC[by, bx]
+                py, px = cy + by * 4, cx + bx * 4
+                pr[py:py + 4, px:px + 4] = hi.reconstruct4x4(
+                    pred_c[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4], d)
+
+        def write_chroma(bw):
+            if cbp_chroma:
+                for dcq, grid in ((dcq_cb, cb_nc), (dcq_cr, cr_nc)):
+                    hi.encode_residual_block(
+                        bw, dcq.reshape(-1), -1, 4)
+            if cbp_chroma == 2:
+                for Z, grid in ((Zcb, cb_nc), (Zcr, cr_nc)):
+                    for k in range(4):
+                        bx = mbx * 2 + (k & 1)
+                        by = mby * 2 + (k >> 1)
+                        ac = Z[k].reshape(-1)[hi.ZIGZAG[1:]]
+                        tc = hi.encode_residual_block(
+                            bw, ac, _nc_of(grid, bx, by), 15)
+                        grid[by, bx] = tc
+
+        if not use_i4:
+            pm16, cbp_luma, write_luma = _encode_mb_i16(
+                hi, bw, Ys, Yr, mbx, mby, qp, luma_nc)
+            mb_type = 1 + pm16 + 4 * cbp_chroma + 12 * (cbp_luma == 15)
+            bw.ue(mb_type)
+            bw.ue(cmode)                      # intra_chroma_pred_mode
+            bw.se(0)                          # mb_qp_delta
+            write_luma(bw)
+            write_chroma(bw)
+            continue
+
+        # Intra_4x4: analyze all 16 blocks (reconstructing as we go so
+        # later blocks predict from decoded neighbors), then write bits
+        modes, Zs = [], []
+        for k in range(16):
+            x4, y4 = hi.BLK4_POS[k]
+            bx, by = mbx * 4 + x4, mby * 4 + y4
+            nb = _luma4x4_neighbors(Yr, bx, by, k, W4)
+            left, top, corner, avail_l, avail_t, avail_tl = nb
+            best = None
+            for m in range(9):
+                nl, nt, ntl = hi.mode4x4_requires(m)
+                if (nl and not avail_l) or (nt and not avail_t) \
+                        or (ntl and not avail_tl):
+                    continue
+                p = hi.pred4x4(m, *nb)
+                src = Ys[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+                s = _sad(src, p)
+                if best is None or s < best[0]:
+                    best = (s, m, p)
+            _, m, p = best
+            modes.append(m)
+            ipm[by, bx] = m
+            src = Ys[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+            W = hi.forward4x4(src.astype(np.int64) - p)
+            z = hi.quant4x4(W, qp)
+            Zs.append(z)
+            d = hi.dequant4x4(z, qp)
+            Yr[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
+                hi.reconstruct4x4(p, d)
+        cbp_luma = 0
+        for i8 in range(4):
+            if any(np.any(Zs[4 * i8 + s]) for s in range(4)):
+                cbp_luma |= 1 << i8
+        cbp = cbp_luma | (cbp_chroma << 4)
+        bw.ue(0)                              # mb_type I_NxN
+        for k in range(16):
+            x4, y4 = hi.BLK4_POS[k]
+            bx, by = mbx * 4 + x4, mby * 4 + y4
+            ma = int(ipm[by, bx - 1]) if bx > 0 else 2
+            mb_ = int(ipm[by - 1, bx]) if by > 0 else 2
+            pred_mode = min(ma if ma >= 0 else 2, mb_ if mb_ >= 0 else 2)
+            if modes[k] == pred_mode:
+                bw.u(1, 1)
+            else:
+                bw.u(0, 1)
+                rem = modes[k] if modes[k] < pred_mode else modes[k] - 1
+                bw.u(rem, 3)
+        bw.ue(cmode)
+        bw.ue(hi.CBP_INTRA_INV[cbp])          # coded_block_pattern me(v)
+        if cbp:
+            bw.se(0)                          # mb_qp_delta
+        for i8 in range(4):
+            if not (cbp_luma & (1 << i8)):
+                continue
+            for sub in range(4):
+                k = 4 * i8 + sub
+                x4, y4 = hi.BLK4_POS[k]
+                bx, by = mbx * 4 + x4, mby * 4 + y4
+                lv = Zs[k].reshape(-1)[hi.ZIGZAG]
+                tc = hi.encode_residual_block(
+                    bw, lv, _nc_of(luma_nc, bx, by), 16)
+                luma_nc[by, bx] = tc
+        write_chroma(bw)
+
+    recon = _yuv_to_rgb(Yr, Cbr, Crr, w, h)
+    return bw.trailing(), recon
+
+
+def encode_annexb_cavlc(frames: list[np.ndarray], qp: int = 26,
+                        mix_i4: bool = True):
+    """RGB frames → (conforming CAVLC intra Annex-B stream, list of
+    reconstructed frames). The reconstruction is the decoder's exact
+    expected output (pinned pixel-exact by tests); PSNR vs the source is
+    set by ``qp``."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    if w % 2 or h % 2:
+        raise ValueError("H.264 4:2:0 needs even dimensions")
+    sc = b"\x00\x00\x00\x01"
+    out = [sc + _nal(7, _sps_rbsp(w, h)), sc + _nal(8, _pps_rbsp())]
+    recons = []
+    for i, f in enumerate(frames):
+        if f.shape[:2] != (h, w):
+            raise ValueError("all frames must share dimensions")
+        rbsp, recon = _slice_rbsp_cavlc(f, qp, idr_pic_id=i & 1,
+                                        mix_i4=mix_i4)
+        out.append(sc + _nal(5, rbsp))
+        recons.append(recon)
+    return b"".join(out), recons
+
+
+def encode_samples_cavlc(frames: list[np.ndarray], qp: int = 26,
+                         mix_i4: bool = True):
+    """Per-frame length-prefixed CAVLC intra IDR samples for the MP4
+    route → (samples, reconstructed frames)."""
+    out, recons = [], []
+    for i, f in enumerate(frames):
+        rbsp, recon = _slice_rbsp_cavlc(f, qp, idr_pic_id=i & 1,
+                                        mix_i4=mix_i4)
+        nal = _nal(5, rbsp)
+        out.append(struct.pack(">I", len(nal)) + nal)
+        recons.append(recon)
+    return out, recons
 
 
 def encode_annexb(frames: list[np.ndarray]) -> bytes:

@@ -429,10 +429,29 @@ def encode_mp4_h264_ipcm(frames: list[np.ndarray], fps: int = 10) -> bytes:
     a REAL avc1 path through the engine's own stack."""
     from . import h264codec
 
+    samples = h264codec.encode_samples(frames)
+    return _build_mp4_avc1(frames, samples, fps)
+
+
+def encode_mp4_h264_cavlc(frames: list[np.ndarray], fps: int = 10,
+                          qp: int = 26):
+    """uint8 RGB frames → (avc1 MP4 of CAVLC intra-coded IDR pictures,
+    expected reconstructed frames). The reconstruction is what a
+    conforming decoder outputs (h264codec.encode_samples_cavlc) — the
+    pixel-exact target for FrameSample tests."""
+    from . import h264codec
+
+    samples, recons = h264codec.encode_samples_cavlc(frames, qp=qp)
+    return _build_mp4_avc1(frames, samples, fps), recons
+
+
+def _build_mp4_avc1(frames: list[np.ndarray], samples: list[bytes],
+                    fps: int = 10) -> bytes:
+    from . import h264codec
+
     if not frames:
         raise ValueError("need at least one frame")
     h, w = frames[0].shape[:2]
-    samples = h264codec.encode_samples(frames)
     n = len(samples)
     timescale = fps * 1000
     delta = 1000

@@ -735,6 +735,9 @@ def _synth_webp_anim(seed: int, frames: int = 6, w: int = 16,
 
 def _synth_mp4_h264(seed: int, frames: int = 5, w: int = 32,
                     h: int = 16) -> bytes:
+    """avc1 MP4: odd seeds carry CAVLC intra-coded pictures (the round-4
+    real-compression path), even seeds I_PCM — the corpus exercises both
+    macroblock families through FrameSample."""
     from . import mp4codec
 
     yy, xx = np.mgrid[0:h, 0:w]
@@ -742,6 +745,8 @@ def _synth_mp4_h264(seed: int, frames: int = 5, w: int = 32,
                      np.clip(xx * 5, 0, 255),
                      np.clip(120 + yy * 2 - xx + seed % 40, 0, 255)],
                     axis=-1).astype(np.uint8) for i in range(frames)]
+    if seed % 2:
+        return mp4codec.encode_mp4_h264_cavlc(frs, fps=5, qp=22)[0]
     return mp4codec.encode_mp4_h264_ipcm(frs, fps=5)
 
 

@@ -1,7 +1,8 @@
-"""H.264 I_PCM subset codec (h264codec.py): conforming-stream
-roundtrips through both NAL framings, header parsing, the declared
-predicted-macroblock stub, and the avc1-in-MP4 route through
-mp4codec + FrameSample."""
+"""H.264 intra codec (h264codec.py + h264intra.py): conforming-stream
+roundtrips through both NAL framings, header parsing, the CAVLC intra
+layer (tables, residual round-trip, all prediction modes, pixel-exact
+decode), the P-slice/CABAC stub boundary, and the avc1-in-MP4 route
+through mp4codec + FrameSample."""
 
 import numpy as np
 import pytest
@@ -66,33 +67,20 @@ def test_avcc_route_matches_annexb():
     assert all((a == b).all() for a, b in zip(annexb, avcc))
 
 
-def test_predicted_macroblocks_are_declared_stub():
-    """A stream whose first mb_type is not I_PCM raises naming CAVLC —
-    the honest boundary of the subset."""
-    f = _smooth(16, 16)
-    b = bytearray(H.encode_annexb([f]))
-    # find the slice NAL (type 5) and corrupt its first mb_type bits
-    idx = b.rfind(b"\x00\x00\x00\x01")
-    with pytest.raises(NotImplementedError, match="CAVLC|I_PCM"):
-        # re-encode with a hand-built non-PCM mb_type: simplest is to
-        # decode a truncated/malformed slice body where ue() yields 0
-        sps = H._sps_rbsp(16, 16)
-        pps = H._pps_rbsp()
-        bw = H._BitWriter()
-        bw.ue(0)          # first_mb
-        bw.ue(7)          # slice_type I
-        bw.ue(0)          # pps_id
-        bw.u(0, 4)        # frame_num
-        bw.ue(0)          # idr_pic_id
-        bw.u(0, 2)        # dec_ref_pic_marking
-        bw.se(0)          # qp_delta
-        bw.ue(1)          # deblocking disabled
-        bw.ue(0)          # mb_type 0 = I_4x4 → stub
-        stream = (b"\x00\x00\x00\x01" + H._nal(7, sps)
-                  + b"\x00\x00\x00\x01" + H._nal(8, pps)
-                  + b"\x00\x00\x00\x01" + H._nal(5, bw.trailing()))
+def test_stub_boundary_p_slice_and_cabac():
+    """Intra macroblocks now DECODE (round 4); the honest stub boundary
+    moved to P/B slices (inter prediction) and CABAC."""
+    sps = H._sps_rbsp(16, 16)
+    pps = H._pps_rbsp()
+    bw = H._BitWriter()
+    bw.ue(0)          # first_mb
+    bw.ue(5)          # slice_type P (5 = P, all pictures)
+    bw.ue(0)          # pps_id
+    stream = (b"\x00\x00\x00\x01" + H._nal(7, sps)
+              + b"\x00\x00\x00\x01" + H._nal(8, pps)
+              + b"\x00\x00\x00\x01" + H._nal(1, bw.trailing()))
+    with pytest.raises(NotImplementedError, match="inter prediction"):
         H.decode_annexb(stream)
-    assert idx > 0        # the fixture stream itself was well-formed
 
 
 def test_mp4_avc1_end_to_end():
@@ -139,3 +127,191 @@ def test_annexb_probe_media():
     assert meta["format"] == "h264"
     assert meta["codec"] == "profile66"
     assert (meta["width"], meta["height"]) == (48, 32)
+
+
+# ---------------------------------------------------------------------------
+# round 4: CAVLC intra coding (h264intra) — tables, residual layer,
+# prediction modes, end-to-end pixel-exact decode
+# ---------------------------------------------------------------------------
+
+from gitprov_ray import h264intra as hi
+
+
+def test_cavlc_tables_prefix_free_and_complete():
+    """Every VLC table must be collision-free, prefix-free and (for
+    total_zeros) complete — a transposition error in any row breaks one
+    of these."""
+    def audit(pairs):
+        seen = set()
+        for ln, bt in pairs:
+            assert (ln, bt) not in seen
+            seen.add((ln, bt))
+        codes = sorted(seen)
+        for l1, b1 in codes:
+            s1 = format(b1, f"0{l1}b")
+            for l2, b2 in codes:
+                if (l1, b1) != (l2, b2):
+                    assert not format(b2, f"0{l2}b").startswith(s1), \
+                        (s1, format(b2, f"0{l2}b"))
+
+    for t in range(3):
+        audit([(hi._CT_LEN[t][tc][t1], hi._CT_BITS[t][tc][t1])
+               for tc in range(17) for t1 in range(4)
+               if hi._CT_LEN[t][tc][t1]])
+    audit([(hi._CT_CHROMA_LEN[tc][t1], hi._CT_CHROMA_BITS[tc][t1])
+           for tc in range(5) for t1 in range(4)
+           if hi._CT_CHROMA_LEN[tc][t1]])
+    for i, (L, B) in enumerate(zip(hi._TZ_LEN, hi._TZ_BITS)):
+        assert len(L) == 16 - i            # total_zeros 0..16-tc
+        audit(list(zip(L, B)))
+        assert abs(sum(2.0 ** -x for x in L) - 1.0) < 0.002  # ~Kraft-tight
+    for L, B in zip(hi._TZC_LEN, hi._TZC_BITS):
+        audit(list(zip(L, B)))
+    for L, B in zip(hi._RB_LEN, hi._RB_BITS):
+        audit(list(zip(L, B)))
+
+
+def test_cavlc_known_codewords():
+    """Spot-pin published Table 9-5/9-7/9-9/9-10 codewords."""
+    cases = [
+        # (nC, tc, t1) -> bit string
+        (0, 0, 0, "1"), (0, 1, 1, "01"), (0, 1, 0, "000101"),
+        (0, 2, 2, "001"), (0, 13, 1, "000000000000001"),
+        (2, 0, 0, "11"), (2, 1, 1, "10"), (2, 1, 0, "001011"),
+        (4, 0, 0, "1111"), (4, 1, 1, "1110"), (4, 7, 3, "1000"),
+        (-1, 0, 0, "01"), (-1, 1, 1, "1"), (-1, 4, 3, "0000000"),
+    ]
+    for nC, tc, t1, bits in cases:
+        w = H._BitWriter()
+        hi.encode_coeff_token(w, nC, tc, t1)
+        got = ""
+        for i in range(len(bits)):
+            got += str((w.buf[i // 8] >> (7 - i % 8)) & 1) if i // 8 < len(w.buf) \
+                else str((w.acc >> (w.n - 1 - (i - 8 * len(w.buf)))) & 1)
+        assert got == bits, (nC, tc, t1, got, bits)
+
+
+def test_cavlc_residual_roundtrip_property():
+    """encode_residual_block and decode_residual_block must be exact
+    inverses across block kinds, contexts and magnitudes."""
+    rng = np.random.default_rng(0)
+    for _ in range(4000):
+        max_c = int(rng.choice([16, 15, 4]))
+        nC = int(rng.choice([0, 1, 2, 3, 5, 8, 20])) if max_c != 4 else -1
+        n_nz = int(rng.integers(0, max_c + 1))
+        coeffs = np.zeros(max_c, np.int64)
+        pos = rng.permutation(max_c)[:n_nz]
+        mag = int(rng.choice([1, 1, 2, 5, 17, 200, 2000]))
+        coeffs[pos] = rng.integers(1, mag + 1, n_nz) * \
+            rng.choice([-1, 1], n_nz)
+        w = H._BitWriter()
+        try:
+            hi.encode_residual_block(w, coeffs, nC, max_c)
+        except ValueError:
+            continue                        # level beyond the escape range
+        data = bytes(w.buf) + (bytes([(w.acc << (8 - w.n)) & 0xFF])
+                               if w.n else b"") + b"\x00\x00\x00"
+        got = hi.decode_residual_block(H._BitReader(data), nC, max_c)
+        assert np.array_equal(got, coeffs)
+
+
+def test_transform_quant_roundtrip_error_bounds():
+    """Forward→quant→dequant→inverse: reconstruction error bounded by the
+    quantizer step (flat-matrix identity must hold at every qp)."""
+    rng = np.random.default_rng(1)
+    for qp, bound in ((0, 1), (10, 3), (20, 8), (30, 24)):
+        for _ in range(100):
+            resid = rng.integers(-60, 61, (4, 4)).astype(np.int64)
+            d = hi.dequant4x4(hi.quant4x4(hi.forward4x4(resid), qp), qp)
+            r = (hi.inverse4x4(d) + 32) >> 6
+            assert np.abs(r - resid).max() <= bound
+
+
+def _textured(h, w, seed=7):
+    rng = np.random.default_rng(seed)
+    ys, xs = np.mgrid[0:h, 0:w]
+    img = np.stack([(ys * 2 + xs) % 200 + 20, (xs * 3) % 180 + 40,
+                    (ys * 5) % 160 + 60], -1).astype(np.int64)
+    img[h // 4:h // 2, w // 4:w // 2] = [200, 40, 90]
+    img += rng.integers(-6, 7, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_cavlc_intra_annexb_pixel_exact():
+    """encode_annexb_cavlc's reconstruction IS the decoder's output —
+    pixel-exact at every tested qp, on mixed I4x4/I16 checkerboards."""
+    img = _textured(48, 64)
+    for qp in (8, 20, 26, 34, 44):
+        stream, recons = H.encode_annexb_cavlc([img], qp=qp)
+        out = H.decode_annexb(stream)
+        assert len(out) == 1
+        assert np.array_equal(out[0], recons[0]), f"qp={qp}"
+
+
+def test_cavlc_intra_quality_vs_source():
+    """At low qp the decode must be close to the source (the 4:2:0
+    subsample ceiling aside): smooth content ≥ 40 dB at qp=10."""
+    ys, xs = np.mgrid[0:48, 0:64]
+    img = np.stack([(ys * 2 + xs) % 200 + 20, xs % 180 + 40,
+                    ys % 160 + 60], -1).astype(np.uint8)
+    stream, _ = H.encode_annexb_cavlc([img], qp=10)
+    out = H.decode_annexb(stream)[0]
+    mse = np.mean((out.astype(float) - img.astype(float)) ** 2)
+    assert 10 * np.log10(255 ** 2 / mse) > 40
+
+
+def test_cavlc_intra_mode_coverage():
+    """The SAD-selected fixture must actually exercise both MB types and
+    several 4x4 prediction modes (guards against a degenerate encoder
+    that only ever picks DC)."""
+    img = _textured(64, 80, seed=3)
+    stream, recons = H.encode_annexb_cavlc([img], qp=24)
+    # decode while counting mb types via a parse shim: re-decode and
+    # compare is the behavioral check; mode variety is asserted on the
+    # encoder's own selections
+    from gitprov_ray.h264codec import _slice_rbsp_cavlc
+
+    # instrument: run the encoder again and collect chosen modes
+    modes_seen = set()
+    orig = hi.pred4x4
+
+    def spy(mode, *a, **k):
+        modes_seen.add(mode)
+        return orig(mode, *a, **k)
+
+    hi.pred4x4 = spy
+    try:
+        _slice_rbsp_cavlc(img, 24)
+    finally:
+        hi.pred4x4 = orig
+    assert len(modes_seen) >= 5            # many intra modes in play
+    assert np.array_equal(H.decode_annexb(stream)[0], recons[0])
+
+
+def test_cavlc_i16_only_and_multiframe():
+    img = _textured(32, 32, seed=5)
+    imgs = [img, 255 - img]
+    stream, recons = H.encode_annexb_cavlc(imgs, qp=18, mix_i4=False)
+    out = H.decode_annexb(stream)
+    assert len(out) == 2
+    for o, r in zip(out, recons):
+        assert np.array_equal(o, r)
+
+
+def test_mp4_avc1_cavlc_end_to_end():
+    """CAVLC intra avc1-in-MP4: container demux → CAVLC decode →
+    pixel-exact vs the conforming reconstruction (VERDICT r3 #2)."""
+    frames = [_textured(32, 48, seed=i) for i in range(3)]
+    mp4, recons = M.encode_mp4_h264_cavlc(frames, fps=5, qp=22)
+    p = M.probe_mp4(mp4)
+    t = p["tracks"][0]
+    assert (t["codec"], t["width"], t["height"], t["sample_count"]) == \
+        ("avc1", 48, 32, 3)
+    dec = M.decode_mp4_frames(mp4)
+    assert len(dec) == 3
+    for d, r in zip(dec, recons):
+        assert np.array_equal(d, r)
+    # and the result is a faithful (qp-bounded) image of the source
+    for d, f in zip(dec, frames):
+        mse = np.mean((d.astype(float) - f.astype(float)) ** 2)
+        assert 10 * np.log10(255 ** 2 / mse) > 28
