@@ -253,3 +253,79 @@ def cosine_neardup_pairs_lsh(emb_ds, threshold: float = 0.9,
 
     return (emb_ds.map_batches(with_bucket, batch_format="pandas")
             .groupby("bucket").map_groups(in_bucket, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means over an embedding column (the clustering primitive
+# behind semantic dedup / corpus curation at 100-TB scale)
+# ---------------------------------------------------------------------------
+
+def _emb_matrix(df: pd.DataFrame, vec_col: str) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
+
+
+def kmeans_embeddings(emb_ds, k: int = 8, iters: int = 5,
+                      id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Distributed Lloyd's k-means → (Dataset of (vec_id, cluster),
+    final centroid matrix).
+
+    Scale shape: centroids (k×d, tiny) broadcast via closure capture each
+    round; every batch emits k×d PARTIAL rows (cluster, dim, sum, count)
+    — one streaming pass per iteration, the corpus never concentrates;
+    only k·d·n_batches floats reach the driver combine. Determinism:
+    init = the k smallest-id vectors; squared-euclidean assignment with
+    ties to the LOWEST cluster index; an emptied cluster keeps its
+    previous centroid. Final pass re-assigns every row against the
+    converged centroids."""
+    # pin the input blocks once: every iteration re-consumes the dataset,
+    # and re-executing an upstream read per round is pure waste
+    emb_ds = emb_ds.materialize()
+    init = emb_ds.sort(id_col).limit(k).to_pandas()
+    if len(init) < k:
+        raise ValueError(f"corpus smaller than k={k}")
+    cent = _emb_matrix(init, vec_col)
+
+    def assign_of(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # argmin_c |x-c|^2 == argmin_c (|c|^2 - 2 x·c); argmin takes the
+        # first (lowest) index on ties
+        scores = (c * c).sum(1)[None, :] - 2.0 * (m @ c.T)
+        return scores.argmin(axis=1)
+
+    d = cent.shape[1]
+    for _ in range(iters):
+        def partial(df: pd.DataFrame, c=cent) -> pd.DataFrame:
+            m = _emb_matrix(df, vec_col)
+            a = assign_of(m, c)
+            rows = {"cluster": [], "dim": [], "s": [], "n": []}
+            for ci in np.unique(a):
+                sel = m[a == ci]
+                rows["cluster"].extend([int(ci)] * d)
+                rows["dim"].extend(range(d))
+                rows["s"].extend(sel.sum(axis=0).tolist())
+                rows["n"].extend([len(sel)] * d)
+            return pd.DataFrame({
+                "cluster": pd.Series(rows["cluster"], dtype="int64"),
+                "dim": pd.Series(rows["dim"], dtype="int64"),
+                "s": pd.Series(rows["s"], dtype="float64"),
+                "n": pd.Series(rows["n"], dtype="int64")})
+
+        agg = (emb_ds.map_batches(partial, batch_format="pandas",
+                                  batch_size=4096)
+               .to_pandas()
+               .groupby(["cluster", "dim"], as_index=False)
+               .agg(s=("s", "sum"), n=("n", "sum")))
+        new = cent.copy()
+        for ci, g in agg.groupby("cluster"):
+            g = g.sort_values("dim")
+            new[int(ci)] = g["s"].to_numpy() / float(g["n"].iloc[0])
+        cent = new
+
+    def final_assign(df: pd.DataFrame, c=cent) -> pd.DataFrame:
+        m = _emb_matrix(df, vec_col)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "cluster": pd.Series(assign_of(m, c), dtype="int64")})
+
+    out = emb_ds.map_batches(final_assign, batch_format="pandas",
+                             batch_size=4096)
+    return out, cent

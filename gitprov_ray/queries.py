@@ -1342,6 +1342,17 @@ def q_cosine_neardup_pairs(sf_dir: str):
     return out.sort(["a", "b"])
 
 
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd's k-means over the embeddings table (the
+    clustering primitive behind semantic dedup): k=4, 3 update
+    iterations + final assignment, deterministic smallest-id init,
+    ties to the lowest cluster. One streaming pass per iteration —
+    batches emit k×d partial sums, the corpus never concentrates."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out, _ = annsearch.kmeans_embeddings(ds, k=4, iters=3)
+    return out.sort("vec_id")
+
+
 def q_cosine_neardup_lsh(sf_dir: str):
     """Embedding-cosine near-dup, LSH scale path: hyperplane buckets +
     within-bucket pairs via one bucketed shuffle (identical vectors
@@ -1389,6 +1400,7 @@ QUERIES = {
     "q_ann_ivf_topk": q_ann_ivf_topk,
     "q_cosine_neardup_pairs": q_cosine_neardup_pairs,
     "q_cosine_neardup_lsh": q_cosine_neardup_lsh,
+    "q_kmeans_embeddings": q_kmeans_embeddings,
     "q_sparql_select": q_sparql_select,
     "q_sparql_distributed": q_sparql_distributed,
     "q_sparql_optional": q_sparql_optional,
@@ -1830,6 +1842,77 @@ ORACLE_SQL = {
         SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
         FROM documents d LEFT JOIN labels l USING (doc_id)
         ORDER BY doc_id
+    """,
+    # Lloyd's k-means unrolled: init c0 = 4 smallest-id vectors, three
+    # assign+update rounds (a_i/c_i), final assignment a4 — float64
+    # throughout, argmin ties to the lowest cluster (row_number order)
+    "q_kmeans_embeddings": """
+        WITH c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c,
+                 embedding::DOUBLE[] AS e
+          FROM (SELECT vec_id, embedding FROM embeddings
+                ORDER BY vec_id LIMIT 4)
+        ),
+        a1 AS (
+          SELECT vec_id, c AS cluster FROM (
+            SELECT e.vec_id, c.c,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[], c.e),
+                                c.c) AS rn
+            FROM embeddings e CROSS JOIN c0 c) WHERE rn = 1
+        ),
+        c1 AS (
+          SELECT cluster AS c, list(m ORDER BY dim) AS e FROM (
+            SELECT a.cluster, u.dim, AVG(u.val) AS m
+            FROM a1 a JOIN (
+              SELECT vec_id, unnest(embedding::DOUBLE[]) AS val,
+                     unnest(generate_series(1, len(embedding))) AS dim
+              FROM embeddings) u USING (vec_id)
+            GROUP BY a.cluster, u.dim) GROUP BY cluster
+        ),
+        a2 AS (
+          SELECT vec_id, c AS cluster FROM (
+            SELECT e.vec_id, c.c,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[], c.e),
+                                c.c) AS rn
+            FROM embeddings e CROSS JOIN c1 c) WHERE rn = 1
+        ),
+        c2 AS (
+          SELECT cluster AS c, list(m ORDER BY dim) AS e FROM (
+            SELECT a.cluster, u.dim, AVG(u.val) AS m
+            FROM a2 a JOIN (
+              SELECT vec_id, unnest(embedding::DOUBLE[]) AS val,
+                     unnest(generate_series(1, len(embedding))) AS dim
+              FROM embeddings) u USING (vec_id)
+            GROUP BY a.cluster, u.dim) GROUP BY cluster
+        ),
+        a3 AS (
+          SELECT vec_id, c AS cluster FROM (
+            SELECT e.vec_id, c.c,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[], c.e),
+                                c.c) AS rn
+            FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1
+        ),
+        c3 AS (
+          SELECT cluster AS c, list(m ORDER BY dim) AS e FROM (
+            SELECT a.cluster, u.dim, AVG(u.val) AS m
+            FROM a3 a JOIN (
+              SELECT vec_id, unnest(embedding::DOUBLE[]) AS val,
+                     unnest(generate_series(1, len(embedding))) AS dim
+              FROM embeddings) u USING (vec_id)
+            GROUP BY a.cluster, u.dim) GROUP BY cluster
+        ),
+        a4 AS (
+          SELECT vec_id, c AS cluster FROM (
+            SELECT e.vec_id, c.c,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[], c.e),
+                                c.c) AS rn
+            FROM embeddings e CROSS JOIN c3 c) WHERE rn = 1
+        )
+        SELECT vec_id, cluster FROM a4 ORDER BY vec_id
     """,
     "q_sparql_agg": """
         SELECT source AS s, COUNT(*) AS n

@@ -790,7 +790,13 @@ def decode_webp(b: bytes) -> np.ndarray:
         tags = [t.decode("ascii", "replace") for t, _ in _riff_chunks(b)]
         raise NotImplementedError(
             f"WebP payload has no VP8L chunk (found {tags}); lossy VP8 "
-            "decode requires libwebp (not installed)")
+            "decode requires libwebp (not installed). Deliberate stub: "
+            "the RFC 6386 decode LOGIC (bool decoder, trees, IDCT, intra "
+            "predictors) is implementable offline, but a faithful decoder "
+            "also needs the default token/mode probability tables "
+            "(~2100 published constants) which are DATA, not derivable — "
+            "a from-memory transcription would silently mis-decode, so "
+            "the honest boundary stays here")
     return decode_vp8l(vp8l)
 
 

@@ -140,12 +140,20 @@ def test_distributed_union_matches_driver(tds):
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_distributed_union_rejects_heterogeneous(tds):
+def test_distributed_union_heterogeneous_matches_driver(tds):
+    """Round-4: heterogeneous branches align with null-fill on the
+    Dataset path (formerly a raise) — parity with select_union."""
     from gitprov_ray import sparql_lite
 
-    with pytest.raises(sparql_lite.SparqlSyntaxError):
-        sparql_lite.select_union_distributed(
-            tds, [[("?d", NS + "lang", "?l")], [("?d", NS + "title", "?t")]])
+    branches = [[("?d", NS + "lang", "?l")], [("?d", NS + "title", "?t")]]
+    drv = sparql_lite.select_union(tds, branches)
+    dst = sparql_lite.select_union_distributed(tds, branches).to_pandas()
+    assert set(dst.columns) == set(drv.columns)
+    key = lambda f: f[sorted(f.columns)].fillna("\0") \
+        .sort_values(sorted(f.columns)).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(key(drv), key(dst), check_dtype=False)
 
 
 @pytest.mark.usefixtures("ray_session")
