@@ -277,3 +277,92 @@ def transitive_closure(edges_ds, src: str = "s", dst: str = "o",
             break
         n = n2
     return total
+
+
+def pagerank(edges_ds, iters: int = 3, damping: float = 0.85,
+             num_partitions: int | None = None, src: str = "src",
+             dst: str = "dst"):
+    """Distributed PageRank by power iteration → Dataset of
+    (node, score) with ``score`` rounded to 9 decimals (so the unrolled
+    SQL oracle twin hash-matches despite summation-order ulps).
+
+    Scale shape: the node set and per-edge weight (1/outdeg) are built
+    once with bucketed aggregates; each iteration is ONE hash join
+    (edges ⋈ scores on src) + ONE bucketed sum on dst — the score and
+    edge tables stay Datasets throughout, nothing node-shaped lands on
+    the driver. Dangling mass (nodes without out-edges) is redistributed
+    uniformly each round, per the standard formulation; n and the
+    dangling total are the only scalars collected."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count, Sum
+
+    P = num_partitions or _default_partitions()
+    e_schema = pa.schema([(src, pa.int64()), (dst, pa.int64())])
+    edges = materialize_normalized(
+        edges_ds.map_batches(
+            lambda df: df[[src, dst]].astype("int64"),
+            batch_format="pandas"), e_schema)
+    nodes = materialize_normalized(
+        distinct_keys(
+            edges.map_batches(lambda df: pd.DataFrame(
+                {"node": np.concatenate([df[src].to_numpy(),
+                                         df[dst].to_numpy()])}),
+                batch_format="pandas"), "node"),
+        pa.schema([("node", pa.int64())]))
+    n = nodes.count()
+    outdeg = materialize_normalized(
+        edges.groupby(src).aggregate(Count(on=src, alias_name="deg"))
+        .map_batches(lambda df: df.rename(columns={src: "node"}),
+                     batch_format="pandas"),
+        pa.schema([("node", pa.int64()), ("deg", pa.int64())]))
+    # per-edge weight 1/outdeg(src): one upfront join, reused every round
+    wedges = materialize_normalized(
+        edges.map_batches(lambda df: df.rename(columns={src: "node"}),
+                          batch_format="pandas")
+        .join(outdeg, "inner", P, on=("node",))
+        .map_batches(lambda df: pd.DataFrame(
+            {"node": df["node"].astype("int64"),
+             dst: df[dst].astype("int64"),
+             "w": 1.0 / df["deg"].to_numpy()}), batch_format="pandas"),
+        pa.schema([("node", pa.int64()), (dst, pa.int64()),
+                   ("w", pa.float64())]))
+    s_schema = pa.schema([("node", pa.int64()), ("score", pa.float64())])
+    scores = materialize_normalized(
+        nodes.map_batches(lambda df: df.assign(score=1.0 / n),
+                          batch_format="pandas"), s_schema)
+    # the DANGLING NODE SET is static — compute it once; when empty
+    # (every node has out-edges) the per-round mass join is skipped
+    dang = materialize_normalized(
+        nodes.join(outdeg, "left_outer", P, on=("node",))
+        .map_batches(lambda df: df.loc[df["deg"].isna(), ["node"]],
+                     batch_format="pandas"),
+        pa.schema([("node", pa.int64())]))
+    n_dang = dang.count()
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        if n_dang:
+            dangling = scores.join(dang, "inner", P, on=("node",)) \
+                .map_batches(lambda df: pd.DataFrame(
+                    {"s": [float(df["score"].sum())]}),
+                    batch_format="pandas").to_pandas()["s"].sum()
+        else:
+            dangling = 0.0
+        contrib = (wedges.join(scores, "inner", P, on=("node",))
+                   .map_batches(lambda df: pd.DataFrame(
+                       {"node": df[dst].astype("int64"),
+                        "c": df["w"].to_numpy() * df["score"].to_numpy()}),
+                       batch_format="pandas")
+                   .groupby("node").aggregate(Sum(on="c", alias_name="c")))
+        contrib = materialize_normalized(
+            contrib, pa.schema([("node", pa.int64()), ("c", pa.float64())]))
+        add = base + damping * dangling / n
+        scores = materialize_normalized(
+            nodes.join(contrib, "left_outer", P, on=("node",))
+            .map_batches(lambda df, a=add: pd.DataFrame(
+                {"node": df["node"].astype("int64"),
+                 "score": a + damping * df["c"].fillna(0.0).to_numpy()}),
+                batch_format="pandas"), s_schema)
+    return scores.map_batches(
+        lambda df: df.assign(score=df["score"].round(9)),
+        batch_format="pandas")

@@ -1342,6 +1342,73 @@ def q_cosine_neardup_pairs(sf_dir: str):
     return out.sort(["a", "b"])
 
 
+def q_gopher_quality_docs(sf_dir: str):
+    """Gopher-style quality gates (Rae et al. §A1.1): word-count bounds,
+    mean word length, symbol-to-word and bullet-line ratios — integer
+    millis so the SQL twin hash-matches. Stateless vectorized pass."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out = textops.gopher_quality(df)
+        out.insert(0, "doc_id", df["doc_id"].to_numpy())
+        return out
+
+    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+
+
+def q_repetition_docs(sf_dir: str):
+    """Duplicate-line fraction (repetition removal signal)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out = textops.repetition_stats(df["text"])
+        out.insert(0, "doc_id", df["doc_id"].to_numpy())
+        return out
+
+    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+
+
+def q_pii_scrub_docs(sf_dir: str):
+    """PII redaction (emails then IPv4, RE2-compatible patterns shared
+    verbatim with the DuckDB twin). Deterministic PII is injected per
+    doc so the redaction actually fires — the scrubbed text equality
+    pins both regex engines' match semantics."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"]
+        aug = (df["text"].fillna("") + " contact user" + ids.astype(str)
+               + "@example.com from 10.0." + (ids % 256).astype(str)
+               + ".7")
+        out = textops.pii_scrub(aug)
+        out.insert(0, "doc_id", ids.to_numpy())
+        return out[["doc_id", "scrubbed", "n_emails", "n_ips"]]
+
+    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+
+
+def q_pagerank_docs(sf_dir: str):
+    """Distributed PageRank (ops.pagerank power iteration) over a
+    deterministic synthetic citation graph on the documents table
+    (doc → (31·doc+7) mod n and (17·doc+3) mod n): per iteration ONE
+    hash join + ONE bucketed sum; scores rounded to 9 decimals to pin
+    the unrolled-CTE oracle."""
+    from . import ops
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    n = ds.count()
+
+    def edges(df: pd.DataFrame, n=n) -> pd.DataFrame:
+        s = df["doc_id"].to_numpy()
+        return pd.DataFrame({
+            "src": np.concatenate([s, s]).astype("int64"),
+            "dst": np.concatenate([(s * 31 + 7) % n,
+                                   (s * 17 + 3) % n]).astype("int64")})
+
+    e = ds.map_batches(edges, batch_format="pandas")
+    return ops.pagerank(e, iters=3).sort("node")
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Distributed Lloyd's k-means over the embeddings table (the
     clustering primitive behind semantic dedup): k=4, 3 update
@@ -1401,6 +1468,10 @@ QUERIES = {
     "q_cosine_neardup_pairs": q_cosine_neardup_pairs,
     "q_cosine_neardup_lsh": q_cosine_neardup_lsh,
     "q_kmeans_embeddings": q_kmeans_embeddings,
+    "q_gopher_quality_docs": q_gopher_quality_docs,
+    "q_repetition_docs": q_repetition_docs,
+    "q_pii_scrub_docs": q_pii_scrub_docs,
+    "q_pagerank_docs": q_pagerank_docs,
     "q_sparql_select": q_sparql_select,
     "q_sparql_distributed": q_sparql_distributed,
     "q_sparql_optional": q_sparql_optional,
@@ -1913,6 +1984,127 @@ ORACLE_SQL = {
             FROM embeddings e CROSS JOIN c3 c) WHERE rn = 1
         )
         SELECT vec_id, cluster FROM a4 ORDER BY vec_id
+    """,
+    "q_gopher_quality_docs": """
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS toks,
+                 string_split(text, chr(10)) AS lines
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 CAST(COALESCE(list_sum(list_transform(toks,
+                     x -> length(x))), 0) AS BIGINT) AS char_sum,
+                 CAST(length(text) - length(replace(text, '#', ''))
+                      AS BIGINT)
+                   + CAST(len(regexp_extract_all(text, '\\.\\.\\.'))
+                          AS BIGINT) AS n_sym,
+                 CAST(len(lines) AS BIGINT) AS n_lines,
+                 CAST(len(list_filter(lines, l ->
+                     starts_with(ltrim(l, ' ' || chr(9) || chr(13)), '-')
+                     OR starts_with(ltrim(l, ' ' || chr(9) || chr(13)),
+                                    '•'))) AS BIGINT) AS n_bullet
+          FROM t
+        )
+        SELECT doc_id, n_words,
+               (char_sum * 1000) // GREATEST(n_words, 1)
+                   AS mean_word_len_milli,
+               (n_sym * 1000) // GREATEST(n_words, 1) AS symbol_word_milli,
+               (n_bullet * 1000) // GREATEST(n_lines, 1) AS bullet_milli,
+               CAST(n_words >= 50 AND n_words <= 100000
+                AND (char_sum * 1000) // GREATEST(n_words, 1)
+                    BETWEEN 3000 AND 10000
+                AND (n_sym * 1000) // GREATEST(n_words, 1) <= 100
+                AND (n_bullet * 1000) // GREATEST(n_lines, 1) <= 900
+                AS BIGINT) AS gopher_pass
+        FROM m ORDER BY doc_id
+    """,
+    "q_repetition_docs": """
+        SELECT doc_id,
+               CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+               CAST(len(list_distinct(string_split(text, chr(10))))
+                    AS BIGINT) AS n_distinct_lines,
+               ((CAST(len(string_split(text, chr(10))) AS BIGINT)
+                 - CAST(len(list_distinct(string_split(text, chr(10))))
+                        AS BIGINT)) * 1000)
+                // GREATEST(CAST(len(string_split(text, chr(10)))
+                            AS BIGINT), 1) AS dup_line_milli
+        FROM documents ORDER BY doc_id
+    """,
+    "q_pii_scrub_docs": """
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com from 10.0.'
+                      || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+          FROM documents
+        ), s1 AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS n_emails,
+                 regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g') AS t1
+          FROM aug
+        )
+        SELECT doc_id,
+               regexp_replace(t1,
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                   '<IP>', 'g') AS scrubbed,
+               n_emails,
+               CAST(len(regexp_extract_all(t1,
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                   AS BIGINT) AS n_ips
+        FROM s1 ORDER BY doc_id
+    """,
+    # PageRank power iteration unrolled (damping 0.85, uniform init,
+    # synthetic citation graph; no dangling nodes in this graph — the
+    # engine computes the dangling term generically and it is 0 here)
+    "q_pagerank_docs": """
+        WITH cnt AS (SELECT COUNT(*) AS n FROM documents),
+        edges AS (
+          SELECT doc_id AS src,
+                 (doc_id * 31 + 7) % (SELECT n FROM cnt) AS dst
+          FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id * 17 + 3) % (SELECT n FROM cnt)
+          FROM documents
+        ),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges
+                GROUP BY src),
+        w AS (SELECT e.src AS node, e.dst, 1.0 / d.deg AS w
+              FROM edges e JOIN deg d ON d.node = e.src),
+        s0 AS (SELECT node, 1.0 / (SELECT n FROM cnt) AS score FROM nodes),
+        s1 AS (
+          SELECT nd.node, 0.15 / (SELECT n FROM cnt)
+                 + 0.85 * COALESCE(c.c, 0) AS score
+          FROM nodes nd LEFT JOIN (
+            SELECT w.dst AS node, SUM(w.w * s.score) AS c
+            FROM w JOIN s0 s ON s.node = w.node GROUP BY w.dst) c
+          USING (node)
+        ),
+        s2 AS (
+          SELECT nd.node, 0.15 / (SELECT n FROM cnt)
+                 + 0.85 * COALESCE(c.c, 0) AS score
+          FROM nodes nd LEFT JOIN (
+            SELECT w.dst AS node, SUM(w.w * s.score) AS c
+            FROM w JOIN s1 s ON s.node = w.node GROUP BY w.dst) c
+          USING (node)
+        ),
+        s3 AS (
+          SELECT nd.node, 0.15 / (SELECT n FROM cnt)
+                 + 0.85 * COALESCE(c.c, 0) AS score
+          FROM nodes nd LEFT JOIN (
+            SELECT w.dst AS node, SUM(w.w * s.score) AS c
+            FROM w JOIN s2 s ON s.node = w.node GROUP BY w.dst) c
+          USING (node)
+        )
+        SELECT node, ROUND(score, 9) AS score FROM s3 ORDER BY node
     """,
     "q_sparql_agg": """
         SELECT source AS s, COUNT(*) AS n

@@ -197,3 +197,69 @@ def lm_quality_scores(docs_ds, ref_ds, id_col: str = "doc_id",
         fn_constructor_kwargs={"lm_ref": lm_ref, "id_col": id_col,
                                "text_col": text_col},
         batch_format="pandas", concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality rules, repetition stats and PII scrubbing
+# (Rae et al. 2021 "Scaling Language Models" §A1.1 heuristics; the web-
+# curation ops a 100-TB text pipeline gates on). Ratios are INTEGER
+# millis so the DuckDB oracle twins hash-match exactly.
+# ---------------------------------------------------------------------------
+
+def gopher_quality(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Per-doc quality signals + the pass flag: word count in [50, 100k],
+    mean word length in [3, 10], '#'/'...' symbol-to-word ratio ≤ 0.1,
+    bullet-line ratio ≤ 0.9 (all vectorized; millis = floor(x*1000))."""
+    texts = df[text_col].fillna("")
+    toks = texts.str.split()
+    n_words = toks.str.len().fillna(0).astype("int64")
+    char_sum = toks.map(lambda ws: sum(len(w) for w in ws) if ws else 0) \
+        .astype("int64")
+    denom = n_words.clip(lower=1)
+    mean_word_len_milli = (char_sum * 1000) // denom
+    n_sym = (texts.str.count("#").astype("int64")
+             + texts.str.count(r"\.\.\.").astype("int64"))
+    symbol_word_milli = (n_sym * 1000) // denom
+    lines = texts.str.split("\n")
+    n_lines = lines.str.len().astype("int64")
+    n_bullet = lines.map(lambda ls: sum(
+        1 for l in ls if l.lstrip().startswith(("-", "•")))).astype("int64")
+    bullet_milli = (n_bullet * 1000) // n_lines.clip(lower=1)
+    ok = ((n_words >= 50) & (n_words <= 100_000)
+          & (mean_word_len_milli >= 3000) & (mean_word_len_milli <= 10_000)
+          & (symbol_word_milli <= 100) & (bullet_milli <= 900))
+    return pd.DataFrame({
+        "n_words": n_words, "mean_word_len_milli": mean_word_len_milli,
+        "symbol_word_milli": symbol_word_milli,
+        "bullet_milli": bullet_milli,
+        "gopher_pass": ok.astype("int64")})
+
+
+def repetition_stats(texts: pd.Series) -> pd.DataFrame:
+    """Duplicate-line fraction (milli): lines split on '\\n' as-is
+    (empties count); dup fraction = (n_lines - n_distinct) / n_lines."""
+    lines = texts.fillna("").str.split("\n")
+    n_lines = lines.str.len().astype("int64")
+    n_distinct = lines.map(lambda ls: len(set(ls))).astype("int64")
+    frac = ((n_lines - n_distinct) * 1000) // n_lines.clip(lower=1)
+    return pd.DataFrame({"n_lines": n_lines, "n_distinct_lines": n_distinct,
+                         "dup_line_milli": frac})
+
+
+# RE2-compatible (no backrefs/lookaround) so the DuckDB twin evaluates
+# the IDENTICAL patterns with regexp_replace/regexp_extract_all
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scrub(texts: pd.Series) -> pd.DataFrame:
+    """Redact emails then IPv4 literals (left-to-right non-overlapping,
+    the same semantics as RE2's global replace) → scrubbed text +
+    per-kind counts."""
+    t = texts.fillna("")
+    n_email = t.str.count(PII_EMAIL_RE).astype("int64")
+    scrubbed = t.str.replace(PII_EMAIL_RE, "<EMAIL>", regex=True)
+    n_ip = scrubbed.str.count(PII_IPV4_RE).astype("int64")
+    scrubbed = scrubbed.str.replace(PII_IPV4_RE, "<IP>", regex=True)
+    return pd.DataFrame({"scrubbed": scrubbed, "n_emails": n_email,
+                         "n_ips": n_ip})

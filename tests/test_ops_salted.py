@@ -66,3 +66,35 @@ def test_transitive_closure_path_doubling():
         want.update((start, x) for x in seen)
     got = set(zip(out.s, out.o))
     assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_known_graph_with_dangling():
+    """ops.pagerank on a 3-ring + feeder + a truly DANGLING node (4 has
+    no out-edges, so its mass redistributes uniformly each round):
+    converged ranks match a brute-force power-iteration reference and
+    total mass stays 1."""
+    import numpy as np
+    import ray.data as rd
+
+    from gitprov_ray.ops import pagerank
+
+    # 0->1, 1->2, 2->0 ring; 3 -> 0 feeder; 4 receives from nobody and
+    # has NO out-edges (dangling: its mass redistributes uniformly)
+    e = pd.DataFrame({"src": [0, 1, 2, 3, 0],
+                      "dst": [1, 2, 0, 0, 4]})
+    out = pagerank(rd.from_pandas(e), iters=40).to_pandas() \
+        .set_index("node")["score"]
+    assert abs(out.sum() - 1.0) < 1e-9          # mass conserved
+    # brute-force reference power iteration
+    nodes = [0, 1, 2, 3, 4]
+    outd = {0: 2, 1: 1, 2: 1, 3: 1}
+    s = {v: 1 / 5 for v in nodes}
+    for _ in range(40):
+        dang = sum(s[v] for v in nodes if v not in outd)
+        new = {v: 0.15 / 5 + 0.85 * dang / 5 for v in nodes}
+        for src, dst in zip(e["src"], e["dst"]):
+            new[dst] += 0.85 * s[src] / outd[src]
+        s = new
+    for v in nodes:
+        assert abs(out[v] - round(s[v], 9)) < 1e-9, v
