@@ -62,3 +62,48 @@ def curate_documents(docs_ds, lang: str = "en", min_tokens: int = 10,
             lambda df: df[df["doc_id"].isin(keep_ids)],
             batch_format="pandas")
     return semi_join(gated, keep, "doc_id", "keep_id")
+
+
+def curate_documents_full(docs_ds, lang: str = "en", min_tokens: int = 10,
+                          max_tokens: int = 1_000_000,
+                          max_dup_line_milli: int = 300):
+    """Round-4 full curation: one annotate pass computing token counts,
+    Gopher quality gates, repetition stats and PII-scrubbed text, then
+    the language/length/quality/repetition filter and exact dedup via
+    the bucketed hash semi-join — still one streaming pass over the
+    corpus plus the two dedup shuffles. Fully SQL-expressible
+    (q_curation_full), so the driver oracle checks the whole
+    composition including the redacted text bytes."""
+    from .. import textops
+    from ..linking import exact_dedup_stats
+    from ..ops import semi_join
+
+    def annotate(df: pd.DataFrame) -> pd.DataFrame:
+        g = textops.gopher_quality(df)
+        r = textops.repetition_stats(df["text"])
+        p = textops.pii_scrub(df["text"].fillna(""))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "lang": df["lang"].to_numpy(),
+            "tok_cnt": textops.token_count(df["text"]),
+            "text_md5": textops.md5_series(df["text"].fillna("")),
+            "n_words": g["n_words"].to_numpy(),
+            "gopher_pass": g["gopher_pass"].to_numpy(),
+            "dup_line_milli": r["dup_line_milli"].to_numpy(),
+            "n_emails": p["n_emails"].to_numpy(),
+            "n_ips": p["n_ips"].to_numpy(),
+            "scrubbed": p["scrubbed"].to_numpy(),
+        })
+
+    gated = docs_ds.map_batches(annotate, batch_format="pandas") \
+        .map_batches(
+            lambda df: df[(df["lang"] == lang)
+                          & (df["tok_cnt"] >= min_tokens)
+                          & (df["tok_cnt"] <= max_tokens)
+                          & (df["gopher_pass"] == 1)
+                          & (df["dup_line_milli"] <= max_dup_line_milli)],
+            batch_format="pandas")
+    keep = exact_dedup_stats(docs_ds).map_batches(
+        lambda df: pd.DataFrame({"keep_id": df["keep_id"]}),
+        batch_format="pandas")
+    return semi_join(gated, keep, "doc_id", "keep_id")

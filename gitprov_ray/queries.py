@@ -826,6 +826,18 @@ def q_curation_pipeline(sf_dir: str):
     return curate_documents(ds, lang="en", min_tokens=10).sort("doc_id")
 
 
+def q_curation_full(sf_dir: str):
+    """Round-4 full curation composition (pipelines/curation.py:
+    curate_documents_full): Gopher gates + repetition + PII scrub +
+    language/length gate + exact dedup, oracle-checked end-to-end
+    INCLUDING the redacted text bytes."""
+    from .pipelines.curation import curate_documents_full
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return curate_documents_full(ds, lang="en", min_tokens=10) \
+        .sort("doc_id")
+
+
 def q_curation_langid(sf_dir: str):
     """The same curation pipeline with the engine's heuristic language-ID
     instead of the table's lang column (rows-only: the n-gram heuristic
@@ -1509,6 +1521,7 @@ QUERIES = {
     "q_string_ops": q_string_ops,
     "q_rollup_revenue": q_rollup_revenue,
     "q_curation_pipeline": q_curation_pipeline,
+    "q_curation_full": q_curation_full,
     "q_curation_langid": q_curation_langid,
 }
 
@@ -1726,6 +1739,79 @@ ORACLE_SQL = {
         FROM ann a JOIN keep k ON a.doc_id = k.keep_id
         WHERE a.lang = 'en' AND a.tok_cnt BETWEEN 10 AND 1000000
         ORDER BY a.doc_id
+    """,
+    "q_curation_full": """
+        WITH keep AS (
+            SELECT MIN(doc_id) AS keep_id
+            FROM documents GROUP BY md5(COALESCE(text, ''))
+        ),
+        t AS (
+          SELECT doc_id, lang, COALESCE(text, '') AS text,
+                 list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
+                             x -> x <> '') AS toks,
+                 string_split(COALESCE(text, ''), chr(10)) AS lines
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id, lang, text,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE CAST(len(string_split_regex(trim(text), '\\s+'))
+                                AS BIGINT) END AS tok_cnt,
+                 md5(text) AS text_md5,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 CAST(COALESCE(list_sum(list_transform(toks,
+                     x -> length(x))), 0) AS BIGINT) AS char_sum,
+                 CAST(length(text) - length(replace(text, '#', ''))
+                      AS BIGINT)
+                   + CAST(len(regexp_extract_all(text, '\\.\\.\\.'))
+                          AS BIGINT) AS n_sym,
+                 CAST(len(lines) AS BIGINT) AS n_lines,
+                 CAST(len(list_filter(lines, l ->
+                     starts_with(ltrim(l, ' ' || chr(9) || chr(13)), '-')
+                     OR starts_with(ltrim(l, ' ' || chr(9) || chr(13)),
+                                    '•'))) AS BIGINT) AS n_bullet,
+                 CAST(len(list_distinct(lines)) AS BIGINT) AS n_distinct
+          FROM t
+        ),
+        g AS (
+          SELECT doc_id, lang, text, tok_cnt, text_md5, n_words,
+                 CAST(n_words >= 50 AND n_words <= 100000
+                  AND (char_sum * 1000) // GREATEST(n_words, 1)
+                      BETWEEN 3000 AND 10000
+                  AND (n_sym * 1000) // GREATEST(n_words, 1) <= 100
+                  AND (n_bullet * 1000) // GREATEST(n_lines, 1) <= 900
+                  AS BIGINT) AS gopher_pass,
+                 ((n_lines - n_distinct) * 1000)
+                   // GREATEST(n_lines, 1) AS dup_line_milli
+          FROM m
+        ),
+        p AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS n_emails,
+                 regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g') AS t1
+          FROM g
+        ),
+        p2 AS (
+          SELECT doc_id, n_emails,
+                 CAST(len(regexp_extract_all(t1,
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                     AS BIGINT) AS n_ips,
+                 regexp_replace(t1,
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                     '<IP>', 'g') AS scrubbed
+          FROM p
+        )
+        SELECT g.doc_id, g.lang, g.tok_cnt, g.text_md5, g.n_words,
+               g.gopher_pass, g.dup_line_milli, p2.n_emails, p2.n_ips,
+               p2.scrubbed
+        FROM g JOIN p2 USING (doc_id) JOIN keep k ON g.doc_id = k.keep_id
+        WHERE g.lang = 'en' AND g.tok_cnt BETWEEN 10 AND 1000000
+          AND g.gopher_pass = 1 AND g.dup_line_milli <= 300
+        ORDER BY g.doc_id
     """,
     "q_json_extract_stats": """
         SELECT event_type,
