@@ -366,3 +366,44 @@ def pagerank(edges_ds, iters: int = 3, damping: float = 0.85,
     return scores.map_batches(
         lambda df: df.assign(score=df["score"].round(9)),
         batch_format="pandas")
+
+
+def exact_quantiles(ds, col: str, ps=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)):
+    """EXACT distributed quantiles of a numeric column → pandas
+    (p, value), both float64.
+
+    One global Ray sort, then each target rank is located by walking the
+    sorted dataset's BLOCK METADATA (row counts) and fetching ONLY the
+    block that holds it — O(#quantiles) block reads, never a driver
+    collect of the column. Rank rule (pinned for the SQL twin): value at
+    0-based index floor(p · (n−1)) of the ascending sort, float64
+    multiply on both sides."""
+    import math
+
+    import ray
+
+    n = ds.count()
+    if n == 0:
+        raise ValueError("exact_quantiles on an empty dataset")
+    srt = ds.sort(col).materialize()
+    blocks = [(ref, meta.num_rows)
+              for bundle in srt.iter_internal_ref_bundles()
+              for ref, meta in bundle.blocks if meta.num_rows]
+    out_p, out_v = [], []
+    pos = bi = 0
+    cached = (None, None)
+    for p in sorted(ps):
+        r = int(math.floor(p * (n - 1)))
+        while pos + blocks[bi][1] <= r:
+            pos += blocks[bi][1]
+            bi += 1
+        if cached[0] != bi:
+            blk = ray.get(blocks[bi][0])
+            cached = (bi, blk)
+        blk = cached[1]
+        v = blk.column(col)[r - pos].as_py() if hasattr(blk, "column") \
+            else blk[col].iloc[r - pos]
+        out_p.append(float(p))
+        out_v.append(float(v))
+    return pd.DataFrame({"p": pd.Series(out_p, dtype="float64"),
+                         "value": pd.Series(out_v, dtype="float64")})

@@ -1421,6 +1421,17 @@ def q_pagerank_docs(sf_dir: str):
     return ops.pagerank(e, iters=3).sort("node")
 
 
+def q_quantiles_events(sf_dir: str):
+    """EXACT distributed quantiles of events.value (ops.exact_quantiles):
+    one global sort, then target ranks located via block metadata — only
+    the rank-holding blocks are fetched, never the column. Rank rule
+    floor(p·(n−1)), float64 on both engine and oracle."""
+    from . import ops
+
+    ds = _read(sf_dir, "events", ["value"])
+    return ops.exact_quantiles(ds, "value")
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Distributed Lloyd's k-means over the embeddings table (the
     clustering primitive behind semantic dedup): k=4, 3 update
@@ -1484,6 +1495,7 @@ QUERIES = {
     "q_repetition_docs": q_repetition_docs,
     "q_pii_scrub_docs": q_pii_scrub_docs,
     "q_pagerank_docs": q_pagerank_docs,
+    "q_quantiles_events": q_quantiles_events,
     "q_sparql_select": q_sparql_select,
     "q_sparql_distributed": q_sparql_distributed,
     "q_sparql_optional": q_sparql_optional,
@@ -2191,6 +2203,19 @@ ORACLE_SQL = {
           USING (node)
         )
         SELECT node, ROUND(score, 9) AS score FROM s3 ORDER BY node
+    """,
+    "q_quantiles_events": """
+        WITH ranked AS (
+          SELECT value, row_number() OVER (ORDER BY value) AS rn
+          FROM events
+        ), cnt AS (SELECT COUNT(*) AS n FROM events),
+        ps AS (SELECT * FROM (VALUES (0.1), (0.25), (0.5), (0.75),
+                                     (0.9), (0.99)) AS t(p))
+        SELECT CAST(p AS DOUBLE) AS p, value
+        FROM ps JOIN ranked
+          ON rn = CAST(FLOOR(CAST(p AS DOUBLE)
+                             * ((SELECT n FROM cnt) - 1)) AS BIGINT) + 1
+        ORDER BY p
     """,
     "q_sparql_agg": """
         SELECT source AS s, COUNT(*) AS n
