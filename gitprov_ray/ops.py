@@ -407,3 +407,45 @@ def exact_quantiles(ds, col: str, ps=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)):
         out_v.append(float(v))
     return pd.DataFrame({"p": pd.Series(out_p, dtype="float64"),
                          "value": pd.Series(out_v, dtype="float64")})
+
+
+def hll_distinct(ds, col: str, p: int = 12):
+    """HyperLogLog distinct-count sketch → (estimate, registers).
+
+    Per batch: one vectorized stable hash (`pd.util.hash_array`, fixed
+    key — identical across workers and runs, so the estimate is
+    DETERMINISTIC), registers = per-bucket max leading-zero rank; the
+    2^p-byte register arrays merge by elementwise max (one tiny row per
+    batch moves, never the column). Standard HLL bias correction for
+    the small-range regime (linear counting) and the 64-bit hash large
+    range. Relative error ≈ 1.04/√(2^p) (~1.6% at p=12)."""
+    m = 1 << p
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(df[col].to_numpy())     # uint64, stable
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
+        # vectorized leading-zero count: float64 log2 is only exact to 52
+        # mantissa bits, so compute it on the TOP 52 bits (rest>>12) —
+        # exact there. Ranks deeper than 52 (probability 2^-52 per item)
+        # clamp to 52; the bias is far below the sketch's own error.
+        top = (rest >> np.uint64(12)).astype(np.uint64)
+        fl = np.floor(np.log2(np.maximum(top, 1).astype(np.float64)))
+        lz = (51 - fl).astype(np.int64)
+        ranks = np.minimum(lz + 1, 64 - p + 1)
+        g = pd.DataFrame({"i": idx, "r": ranks}).groupby("i")["r"].max()
+        reg = np.zeros(m, np.int8)
+        reg[g.index.to_numpy()] = g.to_numpy().astype(np.int8)
+        return pd.DataFrame({"regs": [reg.tobytes()]})
+
+    merged = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    regs = np.zeros(m, np.int8)
+    for b in merged["regs"]:
+        regs = np.maximum(regs, np.frombuffer(b, np.int8))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    if est <= 2.5 * m:                       # small-range: linear counting
+        zeros = int((regs == 0).sum())
+        if zeros:
+            est = m * np.log(m / zeros)
+    return float(est), regs

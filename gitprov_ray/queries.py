@@ -1432,6 +1432,20 @@ def q_quantiles_events(sf_dir: str):
     return ops.exact_quantiles(ds, "value")
 
 
+def q_hll_users(sf_dir: str):
+    """HyperLogLog distinct-user sketch over events (ops.hll_distinct,
+    p=12): deterministic stable-hash registers, one tiny register row
+    per batch, elementwise-max merge — the mergeable-cardinality pattern
+    for 100-TB streams. Rows-only (a sketch has no SQL twin); the
+    <2% accuracy is pinned by pytest against the exact count."""
+    from . import ops
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    est, _ = ops.hll_distinct(ds, "user_id", p=12)
+    return pd.DataFrame({"distinct_users_est": pd.Series([round(est, 3)],
+                                                         dtype="float64")})
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Distributed Lloyd's k-means over the embeddings table (the
     clustering primitive behind semantic dedup): k=4, 3 update
@@ -1496,6 +1510,7 @@ QUERIES = {
     "q_pii_scrub_docs": q_pii_scrub_docs,
     "q_pagerank_docs": q_pagerank_docs,
     "q_quantiles_events": q_quantiles_events,
+    "q_hll_users": q_hll_users,
     "q_sparql_select": q_sparql_select,
     "q_sparql_distributed": q_sparql_distributed,
     "q_sparql_optional": q_sparql_optional,
