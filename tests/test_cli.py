@@ -83,3 +83,31 @@ def test_cli_serialize_roundtrip(cli_store, tmp_path, capsys):
                  "--format", "application/rdf+xml"]) == 0
     out = capsys.readouterr().out
     assert out.startswith("<rdf:RDF")
+
+
+def test_cli_sparql_all_forms_distributed_default(cli_store, capsys):
+    """Round-4: ASK/CONSTRUCT/DESCRIBE also evaluate on the Dataset scale
+    path by default through the CLI."""
+    import json
+
+    from gitprov_ray.__main__ import main
+
+    ask = """PREFIX prov: <http://www.w3.org/ns/prov#>
+             ASK WHERE { ?a rdf:type prov:Activity . }"""
+    assert main(["sparql", cli_store, ask]) == 0
+    doc = json.loads(capsys.readouterr().out)
+    assert doc == {"head": {}, "boolean": True}
+
+    con = """PREFIX prov: <http://www.w3.org/ns/prov#>
+             PREFIX ex: <http://ex.example/>
+             CONSTRUCT { ?a ex:isActivity "yes" }
+             WHERE { ?a rdf:type prov:Activity . }"""
+    assert main(["sparql", cli_store, con, "--results", "csv"]) == 0
+    out = capsys.readouterr().out
+    assert out.splitlines()[0] == "subj,pred,obj"
+    assert "isActivity" in out and out.count("\n") > 2
+
+    # driver twin answers the same ASK
+    assert main(["sparql", cli_store, ask, "--driver"]) == 0
+    doc2 = json.loads(capsys.readouterr().out)
+    assert doc2["boolean"] is True
