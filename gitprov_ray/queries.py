@@ -1446,6 +1446,20 @@ def q_hll_users(sf_dir: str):
                                                          dtype="float64")})
 
 
+def q_bpe_token_stats(sf_dir: str):
+    """BPE-ish pretokenizer counts (textops.BPE_PRETOKEN_RE, the RE2 ∩
+    Python-re subset of the GPT-2 pattern, shared verbatim with the
+    DuckDB twin) — the LLM token-budget estimator."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out = textops.bpe_token_stats(df["text"])
+        out.insert(0, "doc_id", df["doc_id"].to_numpy())
+        return out
+
+    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Distributed Lloyd's k-means over the embeddings table (the
     clustering primitive behind semantic dedup): k=4, 3 update
@@ -1511,6 +1525,7 @@ QUERIES = {
     "q_pagerank_docs": q_pagerank_docs,
     "q_quantiles_events": q_quantiles_events,
     "q_hll_users": q_hll_users,
+    "q_bpe_token_stats": q_bpe_token_stats,
     "q_sparql_select": q_sparql_select,
     "q_sparql_distributed": q_sparql_distributed,
     "q_sparql_optional": q_sparql_optional,
@@ -2231,6 +2246,23 @@ ORACLE_SQL = {
           ON rn = CAST(FLOOR(CAST(p AS DOUBLE)
                              * ((SELECT n FROM cnt) - 1)) AS BIGINT) + 1
         ORDER BY p
+    """,
+    "q_bpe_token_stats": """
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_extract_all(COALESCE(text, ''),
+                     '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+') AS toks
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_pretokens,
+               CAST(len(list_filter(toks, x ->
+                   regexp_matches(ltrim(x, ' '), '^[A-Za-z]')))
+                   AS BIGINT) AS n_word_toks,
+               CAST(len(list_filter(toks, x ->
+                   regexp_matches(ltrim(x, ' '), '^[0-9]')))
+                   AS BIGINT) AS n_num_toks
+        FROM t ORDER BY doc_id
     """,
     "q_sparql_agg": """
         SELECT source AS s, COUNT(*) AS n

@@ -263,3 +263,26 @@ def pii_scrub(texts: pd.Series) -> pd.DataFrame:
     scrubbed = scrubbed.str.replace(PII_IPV4_RE, "<IP>", regex=True)
     return pd.DataFrame({"scrubbed": scrubbed, "n_emails": n_email,
                          "n_ips": n_ip})
+
+
+# GPT-2-style pretokenizer, restricted to the RE2 ∩ Python-re feature set
+# (no lookahead, ASCII classes) so the DuckDB twin evaluates the IDENTICAL
+# pattern: contractions | space?+letters | space?+digits | space?+other |
+# whitespace runs.
+BPE_PRETOKEN_RE = (r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+                   r"| ?[^\sA-Za-z0-9]+|\s+")
+
+
+def bpe_token_stats(texts: pd.Series) -> pd.DataFrame:
+    """BPE-ish pretoken counts (the LLM-token budget estimator): total
+    pretokens, word pretokens, number pretokens — vectorized
+    str.findall."""
+    t = texts.fillna("")
+    toks = t.str.findall(BPE_PRETOKEN_RE)
+    n = toks.str.len().astype("int64")
+    n_word = toks.map(lambda ts: sum(
+        1 for x in ts if x.lstrip(" ")[:1].isalpha())).astype("int64")
+    n_num = toks.map(lambda ts: sum(
+        1 for x in ts if x.lstrip(" ")[:1].isdigit())).astype("int64")
+    return pd.DataFrame({"n_pretokens": n, "n_word_toks": n_word,
+                         "n_num_toks": n_num})
