@@ -409,6 +409,174 @@ def exact_quantiles(ds, col: str, ps=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)):
                          "value": pd.Series(out_v, dtype="float64")})
 
 
+def asof_join(left_ds, right_ds, key: str, ts: str, left_cols: list[str],
+              right_vals: list[str], num_buckets: int = 64):
+    """Distributed AS-OF join (the J3 lag-join generalized): every left row
+    gets ``right_vals`` from the LATEST right row with ``right.ts <=
+    left.ts`` for the same ``key`` — DuckDB ``ASOF LEFT JOIN`` semantics,
+    ``pd.merge_asof`` inside co-partitioned buckets.
+
+    Shape: ONE stable_bucket shuffle total — both sides are schema-aligned
+    (missing columns null-filled), tagged and unioned so each key's rows
+    land in the same reduce group; inside the group a vectorized
+    merge_asof runs. The right side is never broadcast, so the op composes
+    at 100 TB. Partitioning assumptions: (key, ts) unique on the right
+    (pre-aggregate otherwise), and a single key's rows fit one reducer
+    (salt hot keys upstream if not). Left id columns ride the union as
+    float64 (null-fill promotion) — cast them back downstream.
+    """
+    from .stages.versions import stable_bucket
+
+    cols = [key, ts] + list(left_cols) + list(right_vals)
+
+    def tag(side: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({key: df[key].to_numpy(),
+                                ts: df[ts].to_numpy()})
+            for c in left_cols:
+                out[c] = df[c].to_numpy() if side == 0 else np.nan
+            for c in right_vals:
+                out[c] = df[c].to_numpy() if side == 1 else np.nan
+            out["__side"] = np.int8(side)
+            k = out[key].astype(str)
+            out["bucket"] = stable_bucket(k, k, num_buckets)
+            return out[cols + ["__side", "bucket"]]
+        return f
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        lhs = df.loc[df["__side"] == 0, [key, ts] + list(left_cols)]
+        rhs = df.loc[df["__side"] == 1, [key, ts] + list(right_vals)]
+        if len(lhs) == 0:
+            return df.iloc[0:0][cols]       # dtype-preserving empty
+        lhs = lhs.sort_values(ts, kind="mergesort")
+        rhs = rhs.sort_values(ts, kind="mergesort")
+        out = pd.merge_asof(lhs, rhs, on=ts, by=key, direction="backward",
+                            allow_exact_matches=True)
+        return out[cols]
+
+    tagged_l = left_ds.map_batches(tag(0), batch_format="pandas")
+    tagged_r = right_ds.map_batches(tag(1), batch_format="pandas")
+    return (tagged_l.union(tagged_r)
+            .groupby("bucket")
+            .map_groups(merge, batch_format="pandas"))
+
+
+def band_join_count(left_ds, right_ds, ts: str, band_us: int,
+                    id_col: str, out_col: str = "n_follow",
+                    bucket_width_us: int = 3_600_000_000,
+                    num_buckets: int = 64):
+    """Distributed BAND (range) join, count form: for every left row, the
+    number of right rows with ``left.ts < right.ts <= left.ts + band`` —
+    a non-equi time-window join the Dataset API has no operator for.
+
+    Shape: each side is assigned a time bucket ``floor(ts / W)``; right
+    rows are REPLICATED into the preceding bucket too when the band can
+    reach back across the boundary, so every left row finds its full
+    window inside one reduce group (halo/ghost-cell partitioning).
+    Requires ``band_us <= bucket_width_us`` (asserted). Inside a group
+    the count is two vectorized searchsorted calls over the sorted right
+    timestamps — no pairwise materialization. ONE shuffle total; the
+    replication factor is ≤ 2 on the (small, filtered) right side.
+    """
+    assert band_us <= bucket_width_us, "halo only covers one bucket back"
+    from .stages.versions import stable_bucket
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[ts].astype("int64")          # epoch micros
+        out = pd.DataFrame({id_col: df[id_col].to_numpy(), "__t": t,
+                            "__tb": t // bucket_width_us,
+                            "__side": np.int8(0)})
+        k = out["__tb"].astype(str)
+        out["bucket"] = stable_bucket(k, k, num_buckets)
+        return out
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[ts].astype("int64").to_numpy()
+        home = t // bucket_width_us
+        halo = (t - band_us) // bucket_width_us
+        tb = np.concatenate([home, halo])
+        tt = np.concatenate([t, t])
+        keep = np.concatenate([np.ones(len(t), bool), halo != home])
+        out = pd.DataFrame({id_col: np.int64(-1), "__t": tt[keep],
+                            "__tb": tb[keep], "__side": np.int8(1)})
+        k = out["__tb"].astype(str)
+        out["bucket"] = stable_bucket(k, k, num_buckets)
+        return out
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("__tb", sort=False):
+            lhs = g[g["__side"] == 0]
+            if len(lhs) == 0:
+                continue
+            rts = np.sort(g.loc[g["__side"] == 1, "__t"].to_numpy())
+            lt = lhs["__t"].to_numpy()
+            n = (np.searchsorted(rts, lt + band_us, side="right")
+                 - np.searchsorted(rts, lt, side="right"))
+            outs.append(pd.DataFrame({id_col: lhs[id_col].to_numpy(),
+                                      out_col: n.astype("int64")}))
+        if not outs:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 out_col: pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    tl = left_ds.map_batches(tag_left, batch_format="pandas")
+    tr = right_ds.map_batches(tag_right, batch_format="pandas")
+    return tl.union(tr).groupby("bucket").map_groups(
+        count, batch_format="pandas")
+
+
+def bfs_distances(edges_ds, source: int, src: str = "s", dst: str = "o",
+                  max_rounds: int = 32, num_partitions: int | None = None):
+    """Distributed single-source BFS: Dataset of (node, dist) with the
+    MINIMUM hop count from ``source``, by frontier expansion — each round
+    is ONE bucketed hash join (frontier ⋈ edges) + ONE anti semi-join
+    against the settled set; rounds = graph eccentricity. The settled set
+    and frontier stay Datasets; only their counts reach the driver.
+
+    Complements :func:`transitive_closure` (which answers reachability
+    for ALL sources at once by path doubling): BFS keeps the per-round
+    state linear in the node count, so it is the right shape when a
+    single source's distance field is wanted."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    if num_partitions is None:
+        num_partitions = _default_partitions()
+    e_schema = pa.schema([(src, pa.int64()), (dst, pa.int64())])
+    edges = materialize_normalized(
+        edges_ds.map_batches(lambda df: df[[src, dst]].astype("int64"),
+                             batch_format="pandas"), e_schema)
+    d_schema = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
+    dist = rd.from_arrow(pa.table({"node": pa.array([source], pa.int64()),
+                                   "dist": pa.array([0], pa.int64())}))
+    frontier = dist
+    for depth in range(1, max_rounds + 1):
+        stepped = (frontier.map_batches(
+            lambda df: df[["node"]].rename(columns={"node": src}),
+            batch_format="pandas")
+            .join(edges, "inner", num_partitions, on=(src,))
+            .map_batches(lambda df, d=depth: pd.DataFrame(
+                {"node": df[dst].astype("int64"),
+                 "dist": np.int64(d)}), batch_format="pandas"))
+        stepped = materialize_normalized(
+            stepped.map_batches(lambda df: df.drop_duplicates(["node"]),
+                                batch_format="pandas"), d_schema)
+        if stepped.count() == 0:
+            break
+        # drop already-settled nodes (their dist is smaller by induction)
+        fresh = semi_join(stepped, dist, "node", "node",
+                          num_partitions, anti=True)
+        fresh = materialize_normalized(
+            fresh.map_batches(lambda df: df.drop_duplicates(["node"]),
+                              batch_format="pandas"), d_schema)
+        if fresh.count() == 0:
+            break
+        dist = materialize_normalized(dist.union(fresh), d_schema)
+        frontier = fresh
+    return dist
+
+
 def hll_distinct(ds, col: str, p: int = 12):
     """HyperLogLog distinct-count sketch → (estimate, registers).
 

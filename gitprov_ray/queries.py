@@ -1119,6 +1119,124 @@ def q_transitive_closure(sf_dir: str):
                               num_partitions=4).sort(["s", "o"])
 
 
+def q_asof_join_events(sf_dir: str):
+    """Distributed AS-OF join (ops.asof_join — the time-series enrichment
+    op Ray Data lacks): each click event gets the cents value of the
+    user's most recent purchase at-or-before its timestamp; one bucketed
+    shuffle, merge_asof inside co-partitioned groups. DuckDB ASOF LEFT
+    JOIN twin."""
+    from . import ops
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+    left = ds.map_batches(
+        lambda df: df.loc[df["event_type"] == "click",
+                          ["event_id", "ts", "user_id"]],
+        batch_format="pandas")
+
+    def purchases(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[df["event_type"] == "purchase"]
+        c = np.asarray(p["value"], dtype=np.float64) * 100
+        return pd.DataFrame({"user_id": p["user_id"].to_numpy(),
+                             "ts": p["ts"].to_numpy(),
+                             "last_purchase_cents":
+                                 np.sign(c) * np.floor(np.abs(c) + 0.5)})
+
+    right = ds.map_batches(purchases, batch_format="pandas")
+    out = ops.asof_join(left, right, "user_id", "ts",
+                        ["event_id"], ["last_purchase_cents"])
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"event_id": df["event_id"].astype("int64"),
+             "user_id": df["user_id"].astype("int64"),
+             "last_purchase_cents":
+                 df["last_purchase_cents"].astype("float64")}),
+        batch_format="pandas").sort("event_id")
+
+
+def q_band_join_events(sf_dir: str):
+    """Distributed BAND (range) join (ops.band_join_count): for each click
+    event, how many view events — across ALL users — follow within 10
+    minutes. Non-equi time-window join via halo time-bucketing + two
+    searchsorted calls per group; oracle is a DuckDB inequality join."""
+    from . import ops
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+    left = ds.map_batches(
+        lambda df: df.loc[df["event_type"] == "click", ["event_id", "ts"]],
+        batch_format="pandas")
+    right = ds.map_batches(
+        lambda df: df.loc[df["event_type"] == "view", ["event_id", "ts"]],
+        batch_format="pandas")
+    out = ops.band_join_count(left, right, "ts", 600_000_000, "event_id")
+    return out.map_batches(
+        lambda df: df.astype({"event_id": "int64", "n_follow": "int64"}),
+        batch_format="pandas").sort("event_id")
+
+
+def q_cube_revenue(sf_dir: str):
+    """CUBE grouping sets (A-family extension): revenue by
+    (status × priority) plus all three subtotal planes, from ONE
+    distributed partial-combine scan — the subtotal planes re-aggregate
+    the tiny base aggregate on the driver, so no second shuffle.
+    'ALL' marks the rolled-up level (COALESCE twin dodges NULL-vs-NaN
+    hash ambiguity)."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"o_orderstatus": df["o_orderstatus"],
+                          "o_orderpriority": df["o_orderpriority"],
+                          "cents": _cents(df["o_totalprice"]), "n": 1})
+        return (g.groupby(["o_orderstatus", "o_orderpriority"], sort=False)
+                .agg(sum_price_cents=("cents", "sum"), n_orders=("n", "sum"))
+                .reset_index())
+
+    base = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+            .groupby(["o_orderstatus", "o_orderpriority"], as_index=False)
+            .sum())
+    vals = ["sum_price_cents", "n_orders"]
+    by_s = (base.groupby("o_orderstatus", as_index=False)[vals].sum()
+            .assign(o_orderpriority="ALL"))
+    by_p = (base.groupby("o_orderpriority", as_index=False)[vals].sum()
+            .assign(o_orderstatus="ALL"))
+    tot = pd.DataFrame({"o_orderstatus": ["ALL"], "o_orderpriority": ["ALL"],
+                        "sum_price_cents": [base["sum_price_cents"].sum()],
+                        "n_orders": [base["n_orders"].sum()]})
+    out = pd.concat([base, by_s, by_p, tot], ignore_index=True)[
+        ["o_orderstatus", "o_orderpriority"] + vals]
+    out[vals] = out[vals].astype("int64")
+    return (out.sort_values(["o_orderstatus", "o_orderpriority"])
+            .reset_index(drop=True))
+
+
+def q_bfs_distances(sf_dir: str):
+    """Distributed single-source BFS (ops.bfs_distances): minimum hop
+    counts from doc 0 over a DAG on doc_id<64 — binary-tree edges
+    (s→2s+1, s→2s+2) plus skip edges (s→s+10), so the min-dist field
+    differs from plain tree depth. Oracle: DuckDB recursive CTE with
+    MIN(dist)."""
+    from . import ops
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].astype("int64")
+        t1 = d[(2 * d + 1) < 64]
+        t2 = d[(2 * d + 2) < 64]
+        t3 = d[(d + 10) < 64]
+        return pd.concat(
+            [pd.DataFrame({"s": t1, "o": 2 * t1 + 1}),
+             pd.DataFrame({"s": t2, "o": 2 * t2 + 2}),
+             pd.DataFrame({"s": t3, "o": t3 + 10})],
+            ignore_index=True).astype("int64")
+
+    # small fixed num_partitions: per-round join actors are pure overhead
+    # at this node count (callers size to their edge volume)
+    return ops.bfs_distances(ds.map_batches(edges, batch_format="pandas"),
+                             source=0, num_partitions=4).sort("node")
+
+
 def q_sparql_having(sf_dir: str):
     """SPARQL GROUP BY + HAVING over an aggregate expression (SPARQL 1.1
     §11.5): sources with more than one document."""
@@ -1526,6 +1644,10 @@ QUERIES = {
     "q_quantiles_events": q_quantiles_events,
     "q_hll_users": q_hll_users,
     "q_bpe_token_stats": q_bpe_token_stats,
+    "q_asof_join_events": q_asof_join_events,
+    "q_band_join_events": q_band_join_events,
+    "q_cube_revenue": q_cube_revenue,
+    "q_bfs_distances": q_bfs_distances,
     "q_sparql_select": q_sparql_select,
     "q_sparql_distributed": q_sparql_distributed,
     "q_sparql_optional": q_sparql_optional,
@@ -2247,7 +2369,7 @@ ORACLE_SQL = {
                              * ((SELECT n FROM cnt) - 1)) AS BIGINT) + 1
         ORDER BY p
     """,
-    "q_bpe_token_stats": """
+    "q_bpe_token_stats": r"""
         WITH t AS (
           SELECT doc_id,
                  regexp_extract_all(COALESCE(text, ''),
@@ -2263,6 +2385,52 @@ ORACLE_SQL = {
                    regexp_matches(ltrim(x, ' '), '^[0-9]')))
                    AS BIGINT) AS n_num_toks
         FROM t ORDER BY doc_id
+    """,
+    "q_asof_join_events": """
+        SELECT l.event_id, l.user_id,
+               CAST(ROUND(r.value*100) AS DOUBLE) AS last_purchase_cents
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click') l
+        ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                        WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+        ORDER BY l.event_id
+    """,
+    "q_band_join_events": """
+        SELECT l.event_id, CAST(COUNT(r.event_id) AS BIGINT) AS n_follow
+        FROM (SELECT event_id, ts FROM events WHERE event_type = 'click') l
+        LEFT JOIN (SELECT event_id, ts FROM events
+                   WHERE event_type = 'view') r
+          ON r.ts > l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+        GROUP BY l.event_id ORDER BY l.event_id
+    """,
+    "q_cube_revenue": """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+               COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+               CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                   AS sum_price_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY 1, 2
+    """,
+    "q_bfs_distances": """
+        WITH RECURSIVE e AS (
+          SELECT CAST(doc_id AS BIGINT) AS s,
+                 CAST(2*doc_id+1 AS BIGINT) AS o
+          FROM documents WHERE 2*doc_id+1 < 64
+          UNION ALL
+          SELECT doc_id, 2*doc_id+2 FROM documents WHERE 2*doc_id+2 < 64
+          UNION ALL
+          SELECT doc_id, doc_id+10 FROM documents WHERE doc_id+10 < 64
+        ),
+        b AS (
+          SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+          UNION
+          SELECT e.o, b.dist + 1 FROM b JOIN e ON e.s = b.node
+          WHERE b.dist < 16
+        )
+        SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+        FROM b GROUP BY node ORDER BY node
     """,
     "q_sparql_agg": """
         SELECT source AS s, COUNT(*) AS n
