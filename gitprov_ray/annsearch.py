@@ -329,3 +329,47 @@ def kmeans_embeddings(emb_ds, k: int = 8, iters: int = 5,
     out = emb_ds.map_batches(final_assign, batch_format="pandas",
                              batch_size=4096)
     return out, cent
+
+
+def semdedup(emb_ds, k: int = 4, iters: int = 3, threshold: float = 0.9,
+             id_col: str = "vec_id", vec_col: str = "embedding"):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication = k-means cluster the embeddings, then WITHIN each
+    cluster mark a row as a duplicate when another row with a SMALLER id
+    has cosine >= threshold — keep = no smaller near-neighbor (the
+    deterministic representative rule, so the SQL twin is exact).
+
+    Scale shape: the cluster pass is the distributed k-means (k x d
+    partial-sum rows per batch); the dedup pass shuffles each row ONCE to
+    its cluster's reduce group and runs one normalized matmul per group.
+    The within-cluster cost is quadratic in cluster size by design (the
+    paper's own cost model) — size k so clusters fit a reducer.
+    Returns a Dataset of (id, cluster, keep)."""
+    emb_ds = emb_ds.materialize()             # invariant 10: reused input
+    _, cent = kmeans_embeddings(emb_ds, k=k, iters=iters,
+                                id_col=id_col, vec_col=vec_col)
+
+    def assign_with_vec(df: pd.DataFrame, c=cent) -> pd.DataFrame:
+        m = _emb_matrix(df, vec_col)
+        scores = (c * c).sum(1)[None, :] - 2.0 * (m @ c.T)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "cluster": pd.Series(scores.argmin(axis=1), dtype="int64"),
+            vec_col: df[vec_col].to_numpy()})
+
+    def dedup_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, kind="mergesort")
+        m = _emb_matrix(df, vec_col)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = mn @ mn.T
+        near = sims >= threshold
+        # strictly-lower-triangle: does any SMALLER-id row sit >= threshold?
+        dup = np.tril(near, k=-1).any(axis=1)
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             "cluster": df["cluster"].to_numpy(),
+                             "keep": ~dup})
+
+    return (emb_ds.map_batches(assign_with_vec, batch_format="pandas",
+                               batch_size=4096)
+            .groupby("cluster")
+            .map_groups(dedup_group, batch_format="pandas"))

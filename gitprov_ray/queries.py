@@ -1589,6 +1589,18 @@ def q_kmeans_embeddings(sf_dir: str):
     return out.sort("vec_id")
 
 
+def q_semdedup_embeddings(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): distributed
+    k-means + within-cluster cosine dedup over the planted-duplicates
+    corpus; keep = no smaller-id neighbor with cos >= 0.9 (the planted
+    copies are bit-identical, so the decision margin to the threshold is
+    wide on both engines). Oracle reuses the unrolled k-means CTE over
+    the planted table + a NOT EXISTS pair probe."""
+    out = annsearch.semdedup(_planted_embeddings(sf_dir), k=4, iters=3,
+                             threshold=0.9)
+    return out.sort("vec_id")
+
+
 def q_cosine_neardup_lsh(sf_dir: str):
     """Embedding-cosine near-dup, LSH scale path: hyperplane buckets +
     within-bucket pairs via one bucketed shuffle (identical vectors
@@ -1637,6 +1649,7 @@ QUERIES = {
     "q_cosine_neardup_pairs": q_cosine_neardup_pairs,
     "q_cosine_neardup_lsh": q_cosine_neardup_lsh,
     "q_kmeans_embeddings": q_kmeans_embeddings,
+    "q_semdedup_embeddings": q_semdedup_embeddings,
     "q_gopher_quality_docs": q_gopher_quality_docs,
     "q_repetition_docs": q_repetition_docs,
     "q_pii_scrub_docs": q_pii_scrub_docs,
@@ -2567,3 +2580,32 @@ ORACLE_SQL = {
         WHERE rank <= 5 ORDER BY query_id, rank
     """,
 }
+
+# SemDeDup oracle = the unrolled k-means CTE run over the PLANTED table
+# (same iteration count / init / tie rules), with the final select replaced
+# by the keep rule: no smaller-id row in the same cluster with cosine >=
+# 0.9. Derived from the q_kmeans twin so the two stay in lockstep.
+_sem = ORACLE_SQL["q_kmeans_embeddings"].replace("FROM embeddings",
+                                                 "FROM planted")
+_sem = _sem.replace(
+    "WITH c0 AS (",
+    "WITH planted AS (\n"
+    "          SELECT vec_id, embedding FROM embeddings\n"
+    "          UNION ALL\n"
+    "          SELECT vec_id + 100000, embedding FROM embeddings\n"
+    "          WHERE vec_id < 40\n"
+    "        ),\n"
+    "        c0 AS (", 1)
+ORACLE_SQL["q_semdedup_embeddings"] = _sem.replace(
+    "SELECT vec_id, cluster FROM a4 ORDER BY vec_id",
+    """SELECT a.vec_id, a.cluster,
+               NOT EXISTS (
+                 SELECT 1 FROM a4 b
+                 JOIN planted pb ON pb.vec_id = b.vec_id
+                 WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+                   AND list_cosine_similarity(pa.embedding, pb.embedding)
+                       >= 0.9
+               ) AS keep
+        FROM a4 a JOIN planted pa ON pa.vec_id = a.vec_id
+        ORDER BY a.vec_id""")
+del _sem
