@@ -577,6 +577,79 @@ def bfs_distances(edges_ds, source: int, src: str = "s", dst: str = "o",
     return dist
 
 
+def exact_topk(ds, col: str, k: int = 20, capacity: int = 256):
+    """EXACT distributed top-k most-frequent values of ``col`` by the
+    two-pass heavy-hitter pattern (Misra–Gries candidates + exact
+    recount) — the scale shape for "top tokens over 100 TB" where a full
+    groupby(col) would shuffle the whole column.
+
+    Pass 1: each batch emits a Misra–Gries summary of ≤ ``capacity``
+    rows (trim rule: subtract the (capacity+1)-th largest count, drop
+    ≤0) plus the amount it subtracted. Summed summaries under-estimate
+    any value's true count by at most EPS = Σ per-batch subtractions, so
+    every value that could reach the k-th place satisfies
+    est + EPS >= k-th-largest est — that set is the candidate set (ties
+    included, so the final answer is exact even at the boundary).
+    Pass 2: candidates (tiny) broadcast into a second streaming pass for
+    exact counts. Only sketch rows ever move; no shuffle in either pass.
+
+    Returns pandas (col, n) sorted by n desc, value asc, length ≤ k.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[col].value_counts()
+        sub = 0
+        if len(vc) > capacity:
+            sub = int(vc.iloc[capacity])
+            vc = (vc - sub)[lambda s: s > 0]
+        out = pd.DataFrame({col: vc.index.to_numpy(),
+                            "est": vc.to_numpy().astype("int64"),
+                            "__sub": np.int64(0)})
+        meta = pd.DataFrame({col: [None], "est": np.int64(0),
+                             "__sub": np.int64(sub)})
+        return pd.concat([out, meta], ignore_index=True)
+
+    summ = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    eps = int(summ["__sub"].sum())
+    est = (summ[summ[col].notna()].groupby(col, as_index=False)["est"].sum()
+           .sort_values("est", ascending=False))
+    if len(est) == 0 and eps == 0:
+        return pd.DataFrame({col: pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64")})
+
+    exact = None
+    if len(est):
+        kth = int(est["est"].iloc[min(k, len(est)) - 1])
+        cand = set(est.loc[est["est"] + eps >= kth, col])
+
+        def recount(df: pd.DataFrame) -> pd.DataFrame:
+            vc = df.loc[df[col].isin(cand), col].value_counts()
+            return pd.DataFrame({col: vc.index.to_numpy(),
+                                 "n": vc.to_numpy().astype("int64")})
+
+        exact = (ds.map_batches(recount, batch_format="pandas").to_pandas()
+                 .groupby(col, as_index=False)["n"].sum()
+                 .sort_values(["n", col], ascending=[False, True],
+                              kind="mergesort").head(k)
+                 .reset_index(drop=True))
+    # certificate: a value absent from every summary has freq <= EPS, so
+    # the sketch answer is provably exact iff k results exist and the
+    # k-th exact count beats EPS (always true on skewed corpora with
+    # adequate capacity). On tiny/uniform inputs where it fails, fall
+    # back to an exact full aggregate — same streaming shape, just
+    # without the candidate pruning.
+    if exact is None or len(exact) < k or int(exact["n"].iloc[-1]) <= eps:
+        full = (ds.map_batches(
+            lambda df: df[col].value_counts().rename("n").rename_axis(col)
+            .reset_index(), batch_format="pandas").to_pandas()
+            .groupby(col, as_index=False)["n"].sum())
+        full["n"] = full["n"].astype("int64")
+        exact = (full.sort_values(["n", col], ascending=[False, True],
+                                  kind="mergesort").head(k)
+                 .reset_index(drop=True))
+    return exact
+
+
 def hll_distinct(ds, col: str, p: int = 12):
     """HyperLogLog distinct-count sketch → (estimate, registers).
 

@@ -1210,6 +1210,27 @@ def q_cube_revenue(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q_heavy_hitter_tokens(sf_dir: str):
+    """EXACT corpus-wide top-20 tokens via the Misra–Gries two-pass
+    heavy-hitter pattern (ops.exact_topk): sketch summaries + certified
+    exact recount — no token-level shuffle at any scale. Tokenization
+    pinned to the SQL twin: lowercase, maximal [a-z]+ runs."""
+    from . import ops
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def toks(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+        return pd.DataFrame({"tok": np.concatenate(
+            [np.array(x, dtype=object) for x in t] or
+            [np.array([], dtype=object)])})
+
+    out = ops.exact_topk(ds.map_batches(toks, batch_format="pandas"),
+                         "tok", k=20, capacity=256)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 def q_bfs_distances(sf_dir: str):
     """Distributed single-source BFS (ops.bfs_distances): minimum hop
     counts from doc 0 over a DAG on doc_id<64 — binary-tree edges
@@ -1661,6 +1682,7 @@ QUERIES = {
     "q_band_join_events": q_band_join_events,
     "q_cube_revenue": q_cube_revenue,
     "q_bfs_distances": q_bfs_distances,
+    "q_heavy_hitter_tokens": q_heavy_hitter_tokens,
     "q_sparql_select": q_sparql_select,
     "q_sparql_distributed": q_sparql_distributed,
     "q_sparql_optional": q_sparql_optional,
@@ -2444,6 +2466,18 @@ ORACLE_SQL = {
         )
         SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
         FROM b GROUP BY node ORDER BY node
+    """,
+    "q_heavy_hitter_tokens": """
+        WITH toks AS (
+          SELECT unnest(list_filter(
+                     string_split_regex(lower(COALESCE(text, '')),
+                                        '[^a-z]+'),
+                     x -> x <> '')) AS tok
+          FROM documents
+        )
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+        FROM toks GROUP BY tok
+        ORDER BY n DESC, tok LIMIT 20
     """,
     "q_sparql_agg": """
         SELECT source AS s, COUNT(*) AS n

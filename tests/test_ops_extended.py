@@ -1,0 +1,155 @@
+"""Unit parity for the round-4 distributed operators: as-of join, band
+join, BFS, Misra–Gries exact top-k, SemDeDup — each checked against a
+brute-force pandas/python ground truth on seeded random inputs (the
+DuckDB twins cover the corpus-scale contract; these pin edge cases:
+keyless rows, empty windows, trimmed sketches, tie-breaks)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from gitprov_ray import ops
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _rng(seed=7):
+    return np.random.default_rng(seed)
+
+
+def test_asof_join_matches_merge_asof():
+    rng = _rng()
+    n_l, n_r = 400, 150
+    left = pd.DataFrame({
+        "k": rng.integers(0, 12, n_l),
+        "ts": pd.to_datetime(rng.integers(0, 10**9, n_l), unit="s"),
+        "lid": np.arange(n_l, dtype="int64")})
+    right = pd.DataFrame({
+        "k": rng.integers(0, 12, n_r),
+        "ts": pd.to_datetime(rng.integers(0, 10**9, n_r), unit="s"),
+        "v": rng.normal(size=n_r)})
+    # (k, ts) unique on the right — the documented precondition
+    right = right.drop_duplicates(["k", "ts"]).reset_index(drop=True)
+
+    got = (ops.asof_join(rd.from_pandas(left, override_num_blocks=5),
+                         rd.from_pandas(right, override_num_blocks=4),
+                         "k", "ts", ["lid"], ["v"], num_buckets=8)
+           .to_pandas())
+    got = got.sort_values("lid").reset_index(drop=True)
+
+    want = pd.merge_asof(left.sort_values("ts"), right.sort_values("ts"),
+                         on="ts", by="k", direction="backward",
+                         allow_exact_matches=True)
+    want = want.sort_values("lid").reset_index(drop=True)
+    assert len(got) == n_l
+    assert (got["lid"].astype("int64") == want["lid"]).all()
+    pd.testing.assert_series_equal(got["v"].reset_index(drop=True),
+                                   want["v"].reset_index(drop=True),
+                                   check_names=False)
+
+
+def test_band_join_count_matches_bruteforce():
+    rng = _rng(11)
+    band = 500_000          # 0.5 s in micros; bucket width 2 s
+    lt = pd.to_datetime(np.sort(rng.integers(0, 60 * 10**6, 300)), unit="us")
+    rt = pd.to_datetime(np.sort(rng.integers(0, 60 * 10**6, 500)), unit="us")
+    left = pd.DataFrame({"event_id": np.arange(300, dtype="int64"),
+                         "ts": lt})
+    right = pd.DataFrame({"event_id": np.arange(500, dtype="int64") + 1000,
+                          "ts": rt})
+
+    got = (ops.band_join_count(
+        rd.from_pandas(left, override_num_blocks=4),
+        rd.from_pandas(right, override_num_blocks=3),
+        "ts", band, "event_id", bucket_width_us=2_000_000,
+        num_buckets=8).to_pandas()
+        .sort_values("event_id").reset_index(drop=True))
+
+    l_us = left["ts"].astype("int64").to_numpy()
+    r_us = right["ts"].astype("int64").to_numpy()
+    want = np.array([int(((r_us > t) & (r_us <= t + band)).sum())
+                     for t in l_us])
+    assert len(got) == 300
+    assert (got["n_follow"].to_numpy() == want).all()
+
+
+def test_bfs_distances_matches_python_bfs():
+    rng = _rng(3)
+    edges = pd.DataFrame({
+        "s": rng.integers(0, 40, 120).astype("int64"),
+        "o": rng.integers(0, 40, 120).astype("int64")})
+    got = (ops.bfs_distances(rd.from_pandas(edges, override_num_blocks=3),
+                             source=0, num_partitions=2)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+
+    adj = {}
+    for s, o in edges.itertuples(index=False):
+        adj.setdefault(int(s), set()).add(int(o))
+    want, frontier, d = {0: 0}, {0}, 0
+    while frontier:
+        d += 1
+        nxt = {o for s in frontier for o in adj.get(s, ())} - want.keys()
+        for o in nxt:
+            want[o] = d
+        frontier = nxt
+    wdf = (pd.DataFrame({"node": list(want), "dist": list(want.values())})
+           .sort_values("node").reset_index(drop=True))
+    assert (got["node"].to_numpy() == wdf["node"].to_numpy()).all()
+    assert (got["dist"].to_numpy() == wdf["dist"].to_numpy()).all()
+
+
+def test_exact_topk_certified_and_fallback():
+    rng = _rng(5)
+    # zipf-ish stream: sketch certifies with capacity 64
+    vals = np.array([f"w{i}" for i in
+                     rng.zipf(1.5, 5000).clip(max=400)], dtype=object)
+    df = pd.DataFrame({"tok": vals})
+    want = (df["tok"].value_counts().rename("n").rename_axis("tok")
+            .reset_index())
+    want = (want.sort_values(["n", "tok"], ascending=[False, True],
+                             kind="mergesort").head(10)
+            .reset_index(drop=True))
+
+    got = ops.exact_topk(rd.from_pandas(df, override_num_blocks=6),
+                         "tok", k=10, capacity=64)
+    assert (got["tok"].to_numpy() == want["tok"].to_numpy()).all()
+    assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+
+    # capacity 2 on a near-uniform stream forces the fallback — still exact
+    uni = pd.DataFrame({"tok": np.array(
+        [f"u{i % 37}" for i in range(1110)], dtype=object)})
+    wu = (uni["tok"].value_counts().rename("n").rename_axis("tok")
+          .reset_index().sort_values(["n", "tok"],
+                                     ascending=[False, True],
+                                     kind="mergesort").head(5)
+          .reset_index(drop=True))
+    gu = ops.exact_topk(rd.from_pandas(uni, override_num_blocks=5),
+                        "tok", k=5, capacity=2)
+    assert (gu["tok"].to_numpy() == wu["tok"].to_numpy()).all()
+    assert (gu["n"].to_numpy() == wu["n"].to_numpy()).all()
+
+
+def test_semdedup_plants_are_dropped():
+    from gitprov_ray import annsearch
+
+    rng = _rng(9)
+    base = rng.normal(size=(60, 16))
+    emb = pd.DataFrame({
+        "vec_id": np.arange(60, dtype="int64"),
+        "embedding": [v.astype(np.float32) for v in base]})
+    dup = emb.iloc[:10].copy()
+    dup["vec_id"] = dup["vec_id"] + 1000
+    planted = pd.concat([emb, dup], ignore_index=True)
+
+    out = (annsearch.semdedup(rd.from_pandas(planted, override_num_blocks=4),
+                              k=3, iters=2, threshold=0.9)
+           .to_pandas().set_index("vec_id").sort_index())
+    assert len(out) == 70
+    # every planted copy has its original (smaller id) nearby -> dropped
+    assert (~out.loc[1000:]["keep"]).all()
+    # originals keep (random normals: off-diagonal cosine << 0.9)
+    assert out.loc[:999]["keep"].all()
+    # copy lands in its original's cluster
+    for i in range(10):
+        assert out.loc[i, "cluster"] == out.loc[1000 + i, "cluster"]
