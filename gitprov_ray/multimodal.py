@@ -132,9 +132,14 @@ def parse_wav(b: bytes):
     (G.711 μ-law/A-law, IMA ADPCM, IEEE float, 24/32-bit PCM) decodes
     through ``audiocodec.parse_wav_extended``. Returns None for non-WAV
     payloads; raises NotImplementedError naming genuinely external
-    codecs (MP3/AAC-in-WAV)."""
+    codecs (MP3/AAC-in-WAV). FLAC payloads decode through
+    ``flaccodec`` (full pure-Python decoder)."""
     import wave
 
+    if b[:4] == b"fLaC":
+        from . import flaccodec
+
+        return flaccodec.decode_flac(b)
     try:
         with wave.open(io.BytesIO(b)) as w:
             rate = w.getframerate()
@@ -548,6 +553,13 @@ def probe_media(b: bytes) -> dict:
                 out.update(codec=t["codec"] or "", width=t["width"] or -1,
                            height=t["height"] or -1,
                            frames=t["sample_count"])
+        elif b[:4] == b"fLaC":
+            from . import flaccodec
+
+            p = flaccodec.probe_flac(b)
+            if p is not None:
+                out.update(format="flac", codec="flac",
+                           duration_ms=p["duration_ms"])
         elif b[:4] == b"RIFF":
             from . import audiocodec
 
@@ -670,6 +682,13 @@ def _synth_wav_adpcm(seed: int) -> bytes:
     return audiocodec.write_wav_ima_adpcm(_synth_audio_signal(seed))
 
 
+def _synth_flac(seed: int) -> bytes:
+    from . import flaccodec
+
+    return flaccodec.encode_flac(_synth_audio_signal(seed), rate=8000,
+                                 block_size=512)
+
+
 def _synth_ppm_stream(seed: int, frames: int = 6) -> bytes:
     return b"".join(_synth_ppm(seed * 100 + i, w=16, h=12)
                     for i in range(frames))
@@ -765,12 +784,14 @@ def synth_media_table(n: int = 32, seed: int = 42) -> pa.Table:
             payload, mime = _synth_webp(seed + i), "image/webp"
         elif kind == "image":
             payload, mime = _synth_ppm(seed + i), "image/x-portable-pixmap"
-        elif kind == "audio" and (i // 3) % 4 == 1:
+        elif kind == "audio" and (i // 3) % 5 == 1:
             payload, mime = _synth_wav_g711(seed + i, "mulaw"), "audio/wav"
-        elif kind == "audio" and (i // 3) % 4 == 2:
+        elif kind == "audio" and (i // 3) % 5 == 2:
             payload, mime = _synth_wav_g711(seed + i, "alaw"), "audio/wav"
-        elif kind == "audio" and (i // 3) % 4 == 3:
+        elif kind == "audio" and (i // 3) % 5 == 3:
             payload, mime = _synth_wav_adpcm(seed + i), "audio/wav"
+        elif kind == "audio" and (i // 3) % 5 == 4:
+            payload, mime = _synth_flac(seed + i), "audio/flac"
         elif kind == "audio":
             payload, mime = _synth_wav(seed + i), "audio/wav"
         elif (i // 3) % 5 == 1:
