@@ -650,6 +650,56 @@ def exact_topk(ds, col: str, k: int = 20, capacity: int = 256):
     return exact
 
 
+def histogram_quantiles(ds, col: str, ps=(0.1, 0.5, 0.9, 0.99),
+                        bins: int = 4096):
+    """Approximate distributed quantiles WITHOUT a global sort (the
+    100-TB path next to :func:`exact_quantiles`, which sorts): a
+    two-pass mergeable equal-width histogram.
+
+    Pass 1 streams (min, max, count) per batch; pass 2 streams per-batch
+    bin-count vectors (one ``bins``-long int64 row per batch — the
+    column itself never moves). The quantile is the LEFT EDGE of the
+    bin holding rank floor(p·(n−1)); value error ≤ (max−min)/bins.
+    Every arithmetic step ((v−mn)/w, floor, clip, mn + bin·w) is plain
+    float64 in both this code and the SQL twin, so the result is
+    bit-deterministic and oracle-checkable despite being a sketch."""
+
+    def mm(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(dtype=np.float64)
+        return pd.DataFrame({"mn": [v.min()], "mx": [v.max()],
+                             "n": [np.int64(len(v))]})
+
+    stats = ds.map_batches(mm, batch_format="pandas").to_pandas()
+    mn, mx = float(stats["mn"].min()), float(stats["mx"].max())
+    n = int(stats["n"].sum())
+    if n == 0:
+        raise ValueError("histogram_quantiles on an empty dataset")
+    if mx == mn:
+        return pd.DataFrame({"p": pd.Series(sorted(ps), dtype="float64"),
+                             "value": np.float64(mn)})
+    w = (mx - mn) / float(bins)
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(dtype=np.float64)
+        b = np.minimum(np.floor((v - mn) / w).astype(np.int64), bins - 1)
+        counts = np.bincount(b, minlength=bins).astype(np.int64)
+        return pd.DataFrame({"counts": [counts.tobytes()]})
+
+    merged = ds.map_batches(hist, batch_format="pandas").to_pandas()
+    total = np.zeros(bins, np.int64)
+    for b in merged["counts"]:
+        total += np.frombuffer(b, np.int64)
+    cum = np.cumsum(total)
+    out_p, out_v = [], []
+    for p in sorted(ps):
+        rank = int(np.floor(p * (n - 1)))
+        bi = int(np.searchsorted(cum, rank + 1, side="left"))
+        out_p.append(float(p))
+        out_v.append(mn + bi * w)
+    return pd.DataFrame({"p": pd.Series(out_p, dtype="float64"),
+                         "value": pd.Series(out_v, dtype="float64")})
+
+
 def hll_distinct(ds, col: str, p: int = 12):
     """HyperLogLog distinct-count sketch → (estimate, registers).
 

@@ -1210,6 +1210,120 @@ def q_cube_revenue(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q_quantile_hist_events(sf_dir: str):
+    """Sort-free distributed quantiles (ops.histogram_quantiles): a
+    two-pass mergeable equal-width histogram — the 100-TB alternative to
+    the exact sort-based q_quantiles_events. The sketch arithmetic is
+    plain float64 on both engines, so even the approximation is
+    oracle-exact."""
+    from . import ops
+
+    ds = _read(sf_dir, "events", ["value"])
+    return ops.histogram_quantiles(ds, "value",
+                                   ps=(0.1, 0.5, 0.9, 0.99), bins=4096)
+
+
+def q_cumsum_events(sf_dir: str):
+    """Per-key running total (window-function family): cumulative value
+    cents per user ordered by (ts, event_id) — same bucketed per-key
+    shuffle as the lag/moving-sum stages, vectorized groupby cumsum
+    inside. SQL twin: SUM() OVER (PARTITION BY … ROWS UNBOUNDED
+    PRECEDING)."""
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        k = df["user_id"].astype(str)
+        df["bucket"] = stable_bucket(k, k, 32)
+        return df
+
+    def cum(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cents = _cents(df["value"])
+        cs = cents.groupby(df["user_id"], sort=False).cumsum()
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "user_id": df["user_id"].to_numpy(),
+                             "cum_cents": cs.astype("int64").to_numpy()})
+
+    return (ds.map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: cum(df.drop(columns=["bucket"])),
+                        batch_format="pandas")
+            .sort("event_id"))
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Corpus TF-IDF, top-3 terms per source (the feature-weighting op
+    of text curation): ONE token-bucketed shuffle computes both the
+    (source, tok) term frequencies AND each token's document frequency
+    (the bucket key is the token, so a token's whole posting list
+    colocates); scores are integer millis so the SQL twin hash-matches;
+    a second (tiny, pre-combined) shuffle ranks per source."""
+    from . import ops
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    ns = float(ops.distinct_keys(ds, "source").count())
+
+    def partial_tf(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+        reps = toks.str.len().to_numpy()
+        flat = pd.DataFrame({
+            "source": np.repeat(df["source"].to_numpy(), reps),
+            "tok": np.concatenate(
+                [np.array(t, dtype=object) for t in toks] or
+                [np.array([], dtype=object)])})
+        g = (flat.groupby(["source", "tok"], sort=False).size()
+             .rename("tf").reset_index())
+        key = g["tok"].astype(str)
+        g["bucket"] = stable_bucket(key, key, 64)
+        return g
+
+    def tok_group(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.drop(columns="bucket")
+             .groupby(["source", "tok"], sort=False, as_index=False)["tf"]
+             .sum())
+        dfreq = g.groupby("tok", sort=False)["tok"].transform("size")
+        score = np.floor(g["tf"].to_numpy()
+                         * np.log(ns / dfreq.to_numpy()) * 1000
+                         + 0.5).astype("int64")
+        g["tf"] = g["tf"].astype("int64")
+        g["score_millis"] = score
+        # pre-combine: only each source's LOCAL top-3 rides the second
+        # shuffle (top-3 of a union ⊆ union of per-group top-3s)
+        g = g.sort_values(["source", "score_millis", "tok"],
+                          ascending=[True, False, True], kind="mergesort")
+        return g[g.groupby("source", sort=False).cumcount() < 3]
+
+    def top3(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "score_millis", "tok"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        df = df.assign(
+            rank=(df.groupby("source", sort=False).cumcount() + 1)
+            .astype("int64"))
+        return df.loc[df["rank"] <= 3,
+                      ["source", "rank", "tok", "tf", "score_millis"]]
+
+    tf_scored = (ds.map_batches(partial_tf, batch_format="pandas")
+                 .groupby("bucket")
+                 .map_groups(tok_group, batch_format="pandas"))
+
+    def rebucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        k = df["source"].astype(str)
+        df["bucket"] = stable_bucket(k, k, 32)
+        return df
+
+    return (tf_scored.map_batches(rebucket, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: top3(df.drop(columns=["bucket"])),
+                        batch_format="pandas")
+            .sort(["source", "rank"]))
+
+
 def q_heavy_hitter_tokens(sf_dir: str):
     """EXACT corpus-wide top-20 tokens via the Misra–Gries two-pass
     heavy-hitter pattern (ops.exact_topk): sketch summaries + certified
@@ -1683,6 +1797,9 @@ QUERIES = {
     "q_cube_revenue": q_cube_revenue,
     "q_bfs_distances": q_bfs_distances,
     "q_heavy_hitter_tokens": q_heavy_hitter_tokens,
+    "q_quantile_hist_events": q_quantile_hist_events,
+    "q_cumsum_events": q_cumsum_events,
+    "q_tfidf_top_terms": q_tfidf_top_terms,
     "q_sparql_select": q_sparql_select,
     "q_sparql_distributed": q_sparql_distributed,
     "q_sparql_optional": q_sparql_optional,
@@ -2466,6 +2583,61 @@ ORACLE_SQL = {
         )
         SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
         FROM b GROUP BY node ORDER BY node
+    """,
+    "q_quantile_hist_events": """
+        WITH s AS (SELECT MIN(value) AS mn, MAX(value) AS mx,
+                          COUNT(*) AS n FROM events),
+        b AS (SELECT LEAST(CAST(FLOOR((value - s.mn)
+                                      / ((s.mx - s.mn) / 4096.0))
+                               AS BIGINT), 4095) AS bin
+              FROM events, s),
+        h AS (SELECT bin, COUNT(*) AS c FROM b GROUP BY bin),
+        cum AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cumc FROM h),
+        ps(p) AS (VALUES (0.1), (0.5), (0.9), (0.99)),
+        pick AS (
+          SELECT ps.p, MIN(cum.bin) AS bin
+          FROM ps, cum, s
+          WHERE cum.cumc >= CAST(FLOOR(ps.p * (s.n - 1)) AS BIGINT) + 1
+          GROUP BY ps.p)
+        SELECT CAST(pick.p AS DOUBLE) AS p,
+               CAST(s.mn + pick.bin * ((s.mx - s.mn) / 4096.0)
+                    AS DOUBLE) AS value
+        FROM pick, s ORDER BY p
+    """,
+    "q_cumsum_events": """
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        FROM events ORDER BY event_id
+    """,
+    "q_tfidf_top_terms": """
+        WITH toks AS (
+          SELECT source, unnest(list_filter(
+                     string_split_regex(lower(COALESCE(text, '')),
+                                        '[^a-z]+'),
+                     x -> x <> '')) AS tok
+          FROM documents
+        ),
+        tf AS (
+          SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM toks GROUP BY source, tok
+        ),
+        dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        ns AS (SELECT COUNT(DISTINCT source) AS n FROM documents),
+        scored AS (
+          SELECT tf.source, tf.tok, tf.tf,
+                 CAST(ROUND(tf.tf * ln(CAST(ns.n AS DOUBLE) / dfreq.df)
+                            * 1000) AS BIGINT) AS score_millis
+          FROM tf JOIN dfreq USING (tok) CROSS JOIN ns
+        ),
+        ranked AS (
+          SELECT source, tok, tf, score_millis,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                     ORDER BY score_millis DESC, tok) AS rnk
+          FROM scored)
+        SELECT source, CAST(rnk AS BIGINT) AS rank, tok, tf, score_millis
+        FROM ranked WHERE rnk <= 3 ORDER BY source, rank
     """,
     "q_heavy_hitter_tokens": """
         WITH toks AS (

@@ -153,3 +153,21 @@ def test_semdedup_plants_are_dropped():
     # copy lands in its original's cluster
     for i in range(10):
         assert out.loc[i, "cluster"] == out.loc[1000 + i, "cluster"]
+
+
+def test_histogram_quantiles_bound_and_constant():
+    rng = _rng(13)
+    v = rng.normal(10, 3, 20000)
+    df = pd.DataFrame({"v": v})
+    sk = ops.histogram_quantiles(rd.from_pandas(df, override_num_blocks=6),
+                                 "v", ps=(0.25, 0.5, 0.9), bins=512)
+    srt = np.sort(v)
+    binw = (v.max() - v.min()) / 512
+    for p, val in zip(sk["p"], sk["value"]):
+        exact = srt[int(np.floor(p * (len(v) - 1)))]
+        assert abs(val - exact) <= binw + 1e-12
+    # degenerate: constant column
+    cs = ops.histogram_quantiles(
+        rd.from_pandas(pd.DataFrame({"v": np.full(100, 7.0)})), "v",
+        ps=(0.5,))
+    assert list(cs["value"]) == [7.0]

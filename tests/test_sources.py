@@ -1,0 +1,68 @@
+"""Multi-format ingestion: the same rows land on the same canonical
+schema from Parquet, CSV and NDJSON, and a query produces identical
+results regardless of the source format."""
+
+import json
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from gitprov_ray import sources
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+SCHEMA = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                    ("n", pa.int64())])
+
+
+@pytest.fixture(scope="module")
+def triple_format_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("fmts")
+    df = pd.DataFrame({"doc_id": range(50),
+                       "text": [f"doc {i} body words" for i in range(50)],
+                       "n": [i * 3 for i in range(50)]})
+    df.to_parquet(d / "t.parquet", index=False)
+    df.to_csv(d / "t.csv", index=False)
+    with open(d / "t.jsonl", "w") as f:
+        for r in df.to_dict("records"):
+            f.write(json.dumps(r) + "\n")
+    return d, df
+
+
+def test_all_formats_equal(triple_format_dir):
+    d, df = triple_format_dir
+    outs = {}
+    for name in ("t.parquet", "t.csv", "t.jsonl"):
+        ds = sources.read_table(str(d / name), schema=SCHEMA)
+        got = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert list(got.columns) == ["doc_id", "text", "n"]
+        assert str(got["doc_id"].dtype) == "int64"
+        assert str(got["n"].dtype) == "int64"
+        outs[name] = got
+    pd.testing.assert_frame_equal(outs["t.csv"], outs["t.parquet"])
+    pd.testing.assert_frame_equal(outs["t.jsonl"], outs["t.parquet"])
+
+
+def test_column_pruning_and_fmt_override(triple_format_dir):
+    d, _ = triple_format_dir
+    ds = sources.read_table(str(d / "t.csv"), columns=["doc_id", "n"],
+                            schema=SCHEMA)
+    got = ds.to_pandas()
+    assert list(got.columns) == ["doc_id", "n"]
+    with pytest.raises(ValueError, match="cannot infer"):
+        sources.read_table(str(d / "t.unknown"))
+    ds2 = sources.read_table(str(d / "t.jsonl"), fmt="ndjson")
+    assert ds2.count() == 50
+
+
+def test_write_roundtrip(triple_format_dir, tmp_path):
+    d, df = triple_format_dir
+    ds = sources.read_table(str(d / "t.parquet"))
+    for fmt, sub in (("parquet", "out_pq"), ("csv", "out_csv"),
+                     ("ndjson", "out_js")):
+        sources.write_table(ds, str(tmp_path / sub), fmt=fmt)
+        back = sources.read_table(
+            str(tmp_path / sub), fmt=fmt, schema=SCHEMA).to_pandas()
+        back = back.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(back, df)
