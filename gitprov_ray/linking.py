@@ -877,3 +877,127 @@ def decontaminate_bucketed(docs_ds, bench_ds, n: int = 8,
             .groupby("bucket")
             .map_groups(lambda df: count_group(df.drop(columns="bucket")),
                         batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS local
+# fingerprinting scheme) -> duplicated-span candidate pairs, the
+# ExactSubstr-dedup building block (Lee et al. 2022 dedups training data by
+# shared long substrings; winnowing finds them with bounded state).
+# ---------------------------------------------------------------------------
+
+_WINNOW_B = 257          # polynomial base
+_WINNOW_M = 2**31 - 1    # modulus; every term < M*B fits int64
+
+
+def _winnow_doc(text: str, k: int, w: int) -> np.ndarray:
+    """Distinct winnowed k-gram hashes of one document, vectorized.
+
+    Hash of gram at 0-based char position p (code points, so the SQL twin's
+    ascii(substr(..)) matches):  sum_j code[p+j] * B^(k-1-j)  mod M.
+    Selection rule: for EVERY position e, take the rightmost minimum of the
+    trailing window of the last min(w, e+1) hashes (the trailing-window
+    winnowing variant: same coverage guarantee as the paper's scheme, plus
+    prefix windows, and expressible as a plain SQL window frame
+    `ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW`)."""
+    codes = np.frombuffer(text.encode("utf-32-le"), np.uint32).astype(np.int64)
+    n = codes.size - k + 1
+    if n <= 0:
+        return np.empty(0, np.int64)
+    pows = np.array([pow(_WINNOW_B, k - 1 - j, _WINNOW_M) for j in range(k)],
+                    dtype=np.int64)
+    h = np.zeros(n, np.int64)
+    for j in range(k):
+        h = (h + codes[j:j + n] * pows[j]) % _WINNOW_M
+    pad = np.full(w - 1, _WINNOW_M, np.int64)     # > any hash, never selected
+    win = np.lib.stride_tricks.sliding_window_view(
+        np.concatenate([pad, h]), w)              # one window per end pos e
+    # the DISTINCT selected hashes == distinct window minima (which
+    # occurrence of a tied value wins never changes the value set)
+    return np.unique(win.min(axis=1))
+
+
+def winnow_fingerprints(docs_ds, k: int = 16, w: int = 8,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """Dataset of distinct (id, fp) winnowed fingerprints per document."""
+
+    def fp_batch(df: pd.DataFrame) -> pd.DataFrame:
+        ids, fps = [], []
+        for i, t in zip(df[id_col], df[text_col].fillna("")):
+            f = _winnow_doc(t, k, w)
+            ids.append(np.full(f.size, i))
+            fps.append(f)
+        if not ids:
+            return pd.DataFrame({id_col: np.empty(0, np.int64),
+                                 "fp": np.empty(0, np.int64)})
+        return pd.DataFrame({id_col: np.concatenate(ids),
+                             "fp": np.concatenate(fps)})
+
+    return docs_ds.map_batches(fp_batch, batch_format="pandas")
+
+
+def winnow_duplicate_pairs(docs_ds, k: int = 16, w: int = 8,
+                           min_shared: int = 8, id_col: str = "doc_id",
+                           text_col: str = "text", num_buckets: int = 64,
+                           max_bucket_docs: int = 200):
+    """Pairs of documents sharing >= min_shared winnowed fingerprints —
+    duplicated-span candidates. ONE fp-bucketed shuffle colocates each
+    fingerprint's posting list; pairs are emitted per fingerprint group
+    and counted with a second (tiny, pre-combined) shuffle. A fingerprint
+    shared by more than max_bucket_docs documents is boilerplate (emitting
+    its O(g^2) pairs would blow up any engine) and is dropped — the same
+    giant-bucket policy as the MinHash exchange (bucket_pairs)."""
+    from .stages.versions import stable_bucket
+
+    fps = winnow_fingerprints(docs_ds, k, w, id_col, text_col)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        s = df["fp"].astype(str)
+        df["bucket"] = stable_bucket(s, s, num_buckets)
+        return df
+
+    def pairs_group(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in df.groupby("fp", sort=False):
+            ids = np.sort(g[id_col].to_numpy())
+            if len(ids) < 2 or len(ids) > max_bucket_docs:
+                continue
+            ia, ib = np.triu_indices(len(ids), 1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64),
+                                 "shared": np.empty(0, np.int64)})
+        pairs = pd.DataFrame({"a": np.concatenate(out_a),
+                              "b": np.concatenate(out_b)})
+        # pre-combine: one (a, b, count) row per pair per bucket moves on
+        c = pairs.groupby(["a", "b"], sort=False).size()
+        idx = c.index.to_frame(index=False)
+        return pd.DataFrame({"a": idx["a"].to_numpy(),
+                             "b": idx["b"].to_numpy(),
+                             "shared": c.to_numpy().astype(np.int64)})
+
+    per_bucket = (fps.map_batches(bucketize, batch_format="pandas")
+                  .groupby("bucket")
+                  .map_groups(lambda df: pairs_group(df.drop(columns="bucket")),
+                              batch_format="pandas"))
+
+    def rebucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        s = df["a"].astype(str) + ":" + df["b"].astype(str)
+        df["bucket"] = stable_bucket(s, s, num_buckets)
+        return df
+
+    def sum_group(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["a", "b"], sort=False, as_index=False)["shared"].sum()
+        g = g[g["shared"] >= min_shared]
+        return pd.DataFrame({"a": g["a"].to_numpy(),
+                             "b": g["b"].to_numpy(),
+                             "shared": g["shared"].astype("int64").to_numpy()})
+
+    return (per_bucket.map_batches(rebucket, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: sum_group(df.drop(columns="bucket")),
+                        batch_format="pandas"))

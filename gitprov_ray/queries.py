@@ -1324,6 +1324,143 @@ def q_tfidf_top_terms(sf_dir: str):
             .sort(["source", "rank"]))
 
 
+def q_rank_events(sf_dir: str):
+    """Ranking window functions — RANK / DENSE_RANK / NTILE(4) per user
+    over event values (the remaining O-family window shapes next to
+    cumsum / moving-sum / topk-per-group). ONE bucketed per-key shuffle;
+    ranks computed vectorized in-group. NTILE's row order is pinned to
+    (value DESC, event_id) in both engines; RANK/DENSE_RANK tie on equal
+    float values exactly like SQL (same parquet doubles, same compares)."""
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        k = df["user_id"].astype(str)
+        df["bucket"] = stable_bucket(k, k, 32)
+        return df
+
+    def rank_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "value", "event_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        g = df.groupby("user_id", sort=False)
+        rnk = g["value"].rank(method="min", ascending=False)
+        drnk = g["value"].rank(method="dense", ascending=False)
+        pos = g.cumcount().to_numpy()
+        n = g["value"].transform("size").to_numpy()
+        # DuckDB NTILE(4): q=n//4 r=n%4; first r buckets hold q+1 rows
+        q, r = n // 4, n % 4
+        big = r * (q + 1)
+        in_big = pos < big
+        tile = np.where(
+            in_big,
+            pos // np.maximum(q + 1, 1) + 1,
+            r + np.where(q > 0, (pos - big) // np.maximum(q, 1), 0) + 1)
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "user_id": df["user_id"].to_numpy(),
+                             "rnk": rnk.astype("int64").to_numpy(),
+                             "drnk": drnk.astype("int64").to_numpy(),
+                             "tile": tile.astype("int64")})
+
+    return (ds.map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: rank_group(df.drop(columns=["bucket"])),
+                        batch_format="pandas")
+            .sort("event_id"))
+
+
+def q_pivot_events(sf_dir: str):
+    """Pivot (long→wide conditional aggregation): value cents per
+    event_type × month-of-2024 matrix. Distributed partial combine on
+    (type, month) — only one pre-summed row per (type, month) per batch
+    moves — then the tiny wide reshape. SQL twin: SUM(CASE WHEN …)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"event_type": df["event_type"],
+                            "m": df["ts"].dt.month.astype("int64"),
+                            "cents": _cents(df["value"])})
+        return (out.groupby(["event_type", "m"], sort=False, as_index=False)
+                ["cents"].sum())
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby(["event_type", "m"])
+           .aggregate(Sum("cents", alias_name="cents"))
+           .to_pandas())
+    wide = (agg.pivot_table(index="event_type", columns="m",
+                            values="cents", aggfunc="sum", fill_value=0)
+            .reindex(columns=range(1, 13), fill_value=0))
+    wide.columns = [f"m{m:02d}" for m in wide.columns]
+    return (wide.astype("int64").reset_index()
+            .sort_values("event_type").reset_index(drop=True))
+
+
+def q_set_ops_docs(sf_dir: str):
+    """Distributed INTERSECT / EXCEPT (§2.7 set-op family, completing
+    union): doc ids with lang='en' vs doc ids with n_chars > 300, via the
+    bucketed semi/anti hash join (ops.semi_join) — no driver-side sets."""
+    from . import ops
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    a = docs.filter(lambda r: r["lang"] == "en").select_columns(["doc_id"])
+    b = (docs.filter(lambda r: r["n_chars"] > 300)
+         .select_columns(["doc_id"]))
+    inter = ops.semi_join(a, b, "doc_id", "doc_id").map_batches(
+        lambda df: df.assign(op="intersect"), batch_format="pandas")
+    exc = ops.semi_join(a, b, "doc_id", "doc_id", anti=True).map_batches(
+        lambda df: df.assign(op="except"), batch_format="pandas")
+    return (inter.union(exc)
+            .map_batches(lambda df: df[["op", "doc_id"]],
+                         batch_format="pandas")
+            .sort(["op", "doc_id"]))
+
+
+def q_weighted_sample_docs(sf_dir: str):
+    """Weighted reservoir sampling, Efraimidis–Spirakis for INTEGER
+    weights with NO floating point: a doc of weight w gets key
+    max(md5(id:0)…md5(id:w-1)) — the max of w iid uniforms, so
+    P(selected) is exactly proportional as in A-ES — and the top-10 keys
+    win. Deterministic, hash-exact in SQL. Weight = 1 + n_chars//100
+    capped at 8; per-batch local top-10 pre-combine, global top-10 via
+    sort+limit over ≤10·blocks candidate rows."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        w = np.minimum(df["n_chars"].to_numpy() // 100 + 1, 8)
+        ids = df["doc_id"].astype(str)
+        key = pd.Series([""] * len(df), index=df.index, dtype=object)
+        for i in range(8):
+            mask = w > i
+            if not mask.any():
+                break
+            hi = textops.md5_series(ids[mask] + f":{i}")
+            cur = key[mask]
+            key[mask] = np.where(hi.to_numpy() > cur.to_numpy(),
+                                 hi.to_numpy(), cur.to_numpy())
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                            "skey": key.to_numpy(dtype=object)})
+        return out.sort_values(["skey", "doc_id"],
+                               ascending=[False, True]).head(10)
+
+    return (ds.map_batches(keyed, batch_format="pandas")
+            .sort(["skey", "doc_id"], descending=[True, False])
+            .limit(10))
+
+
+def q_winnow_dup_pairs(sf_dir: str):
+    """Duplicated-span candidate pairs via winnowing fingerprints
+    (Schleimer et al. 2003 / the ExactSubstr-dedup building block of
+    Lee et al. 2022): char-16-gram polynomial rolling hashes, window-8
+    minima, pairs sharing >= 8 distinct fingerprints. ONE fp-bucketed
+    shuffle + one tiny pre-combined pair-count shuffle
+    (linking.winnow_duplicate_pairs); finds exactly the planted
+    duplicate pairs on the synthetic corpus."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (linking.winnow_duplicate_pairs(ds, k=16, w=8, min_shared=8)
+            .sort(["a", "b"]))
+
+
 def q_heavy_hitter_tokens(sf_dir: str):
     """EXACT corpus-wide top-20 tokens via the Misra–Gries two-pass
     heavy-hitter pattern (ops.exact_topk): sketch summaries + certified
@@ -1800,6 +1937,11 @@ QUERIES = {
     "q_quantile_hist_events": q_quantile_hist_events,
     "q_cumsum_events": q_cumsum_events,
     "q_tfidf_top_terms": q_tfidf_top_terms,
+    "q_rank_events": q_rank_events,
+    "q_pivot_events": q_pivot_events,
+    "q_set_ops_docs": q_set_ops_docs,
+    "q_weighted_sample_docs": q_weighted_sample_docs,
+    "q_winnow_dup_pairs": q_winnow_dup_pairs,
     "q_sparql_select": q_sparql_select,
     "q_sparql_distributed": q_sparql_distributed,
     "q_sparql_optional": q_sparql_optional,
@@ -1930,6 +2072,84 @@ ORACLE_SQL = {
                md5(trim(regexp_replace(lower(COALESCE(text,'')), '\s+', ' ', 'g')))
                    AS fp_md5
         FROM documents ORDER BY doc_id
+    """,
+    # stopword lists inlined verbatim from textops.STOPWORDS (sorted);
+    # ties break like Python's max((score, lang)) -> score DESC, lang DESC
+    "q_langid_docs": r"""
+        WITH d AS (SELECT doc_id, lower(COALESCE(text,'')) AS t FROM documents),
+        toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(t, '\s+'),
+                                    x -> x <> '')) AS tok
+          FROM d),
+        counts AS (
+          SELECT doc_id, COUNT(*) AS n,
+                 SUM(CASE WHEN tok IN ('auf','das','der','die','ein','für',
+                                       'ist','mit','nicht','und')
+                     THEN 1 ELSE 0 END) AS c_de,
+                 SUM(CASE WHEN tok IN ('a','and','for','in','is','it','of',
+                                       'that','the','to')
+                     THEN 1 ELSE 0 END) AS c_en,
+                 SUM(CASE WHEN tok IN ('con','de','el','es','la','los','por',
+                                       'que','un','una')
+                     THEN 1 ELSE 0 END) AS c_es,
+                 SUM(CASE WHEN tok IN ('dans','est','et','la','le','les',
+                                       'pour','que','un','une')
+                     THEN 1 ELSE 0 END) AS c_fr
+          FROM toks GROUP BY doc_id),
+        scores AS (
+          SELECT doc_id, 'de' AS lang, CAST(c_de AS DOUBLE)/n AS score FROM counts
+          UNION ALL
+          SELECT doc_id, 'en', CAST(c_en AS DOUBLE)/n FROM counts
+          UNION ALL
+          SELECT doc_id, 'es', CAST(c_es AS DOUBLE)/n FROM counts
+          UNION ALL
+          SELECT doc_id, 'fr', CAST(c_fr AS DOUBLE)/n FROM counts),
+        best AS (
+          SELECT doc_id, lang, score,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, lang DESC) AS rn
+          FROM scores)
+        SELECT d0.doc_id,
+               COALESCE(CASE WHEN b.score >= 0.08 THEN b.lang ELSE 'und' END,
+                        'und') AS lang_pred
+        FROM (SELECT doc_id FROM documents) d0
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+        ORDER BY doc_id
+    """,
+    # bit b of the md5-prefix uint64 extracted straight from the hex nibble
+    # (nibble 16 - b//4 from the left), so no hex->int cast is needed
+    "q_simhash_docs": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(COALESCE(text,''),
+                                                       '\s+'),
+                                    x -> x <> '')) AS tok
+          FROM documents),
+        hs AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h FROM toks),
+        bits AS (
+          SELECT doc_id, b.b,
+                 ((strpos('0123456789abcdef', substr(h, 16 - b.b // 4, 1)) - 1)
+                  >> (b.b % 4)) & 1 AS bit
+          FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b),
+        votes AS (
+          SELECT doc_id, b,
+                 CASE WHEN 2 * SUM(bit) > COUNT(*) THEN 1 ELSE 0 END AS sig
+          FROM bits GROUP BY doc_id, b),
+        nibs AS (
+          SELECT doc_id, b // 4 AS j, SUM(sig << (b % 4)) AS nib
+          FROM votes GROUP BY doc_id, b // 4),
+        hexes AS (
+          SELECT doc_id,
+                 string_agg(substr('0123456789abcdef',
+                                   CAST(nib AS INTEGER) + 1, 1),
+                            '' ORDER BY j DESC) AS simhash_hex
+          FROM nibs GROUP BY doc_id)
+        SELECT d0.doc_id,
+               COALESCE(h.simhash_hex, '0000000000000000') AS simhash_hex
+        FROM (SELECT doc_id FROM documents) d0
+        LEFT JOIN hexes h USING (doc_id)
+        ORDER BY doc_id
     """,
     "q_catalog_search": """
         SELECT DISTINCT 'https://gitprov.example/graph/' || source || '.example#'
@@ -2638,6 +2858,76 @@ ORACLE_SQL = {
           FROM scored)
         SELECT source, CAST(rnk AS BIGINT) AS rank, tok, tf, score_millis
         FROM ranked WHERE rnk <= 3 ORDER BY source, rank
+    """,
+    "q_rank_events": """
+        SELECT event_id, user_id,
+               CAST(RANK() OVER (PARTITION BY user_id
+                                 ORDER BY value DESC) AS BIGINT) AS rnk,
+               CAST(DENSE_RANK() OVER (PARTITION BY user_id
+                                       ORDER BY value DESC) AS BIGINT) AS drnk,
+               CAST(NTILE(4) OVER (PARTITION BY user_id
+                                   ORDER BY value DESC, event_id)
+                    AS BIGINT) AS tile
+        FROM events ORDER BY event_id
+    """,
+    "q_pivot_events": """
+        SELECT event_type, """ + ", ".join(
+        f"CAST(SUM(CASE WHEN month(ts) = {m} THEN "
+        f"CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS m{m:02d}"
+        for m in range(1, 13)) + """
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "q_set_ops_docs": """
+        WITH a AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+             b AS (SELECT doc_id FROM documents WHERE n_chars > 300)
+        SELECT 'intersect' AS op, doc_id
+        FROM (SELECT doc_id FROM a INTERSECT SELECT doc_id FROM b)
+        UNION ALL
+        SELECT 'except' AS op, doc_id
+        FROM (SELECT doc_id FROM a EXCEPT SELECT doc_id FROM b)
+        ORDER BY op, doc_id
+    """,
+    # pows inlined = 257^(k-1-j) mod 2147483647 for j = 0..15; the engine's
+    # utf-32 code points == DuckDB ascii(substr(t, i, 1)); the distinct
+    # fingerprint set per doc == distinct trailing-window minima, so no
+    # argmin tie rule is needed on either side
+    "q_winnow_dup_pairs": """
+        WITH pows(j, pw) AS (VALUES """ + ", ".join(
+        f"({j}, {pow(257, 15 - j, 2**31 - 1)})" for j in range(16)) + """),
+        d AS (SELECT doc_id, COALESCE(text,'') AS t FROM documents),
+        poss AS (
+          SELECT doc_id, t,
+                 unnest(generate_series(1, length(t) - 16 + 1)) AS p
+          FROM d WHERE length(t) >= 16),
+        grams AS (
+          SELECT doc_id, p,
+                 CAST(SUM(CAST(ascii(substr(t, p + pows.j, 1)) AS BIGINT)
+                          * pows.pw) % 2147483647 AS BIGINT) AS h
+          FROM poss CROSS JOIN pows GROUP BY doc_id, p),
+        mins AS (
+          SELECT doc_id,
+                 MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS fp
+          FROM grams),
+        fps AS (SELECT DISTINCT doc_id, fp FROM mins),
+        keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 200),
+        fk AS (SELECT fps.doc_id, fps.fp FROM fps JOIN keep USING (fp))
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               CAST(COUNT(*) AS BIGINT) AS shared
+        FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 8
+        ORDER BY a, b
+    """,
+    "q_weighted_sample_docs": """
+        WITH w AS (SELECT doc_id, LEAST(n_chars // 100 + 1, 8) AS w
+                   FROM documents),
+        k AS (
+          SELECT doc_id,
+                 MAX(md5(CAST(doc_id AS VARCHAR) || ':'
+                         || CAST(t.i AS VARCHAR))) AS skey
+          FROM w, unnest(generate_series(0, CAST(w.w - 1 AS BIGINT))) t(i)
+          GROUP BY doc_id)
+        SELECT doc_id, skey FROM k ORDER BY skey DESC, doc_id LIMIT 10
     """,
     "q_heavy_hitter_tokens": """
         WITH toks AS (

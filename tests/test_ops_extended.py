@@ -171,3 +171,41 @@ def test_histogram_quantiles_bound_and_constant():
         rd.from_pandas(pd.DataFrame({"v": np.full(100, 7.0)})), "v",
         ps=(0.5,))
     assert list(cs["value"]) == [7.0]
+
+
+def test_winnow_duplicate_pairs_planted_span():
+    from gitprov_ray import linking
+
+    rng = _rng(7)
+    words = [f"w{i:03d}" for i in range(200)]
+
+    def doc(n):
+        return " ".join(rng.choice(words, n))
+
+    span = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    for i in range(20):
+        rows.append({"doc_id": i, "text": doc(60)})
+    # plant the same long span inside docs 100 and 101 (different context)
+    rows.append({"doc_id": 100, "text": doc(30) + " " + span + " " + doc(30)})
+    rows.append({"doc_id": 101, "text": doc(25) + " " + span + " " + doc(35)})
+    ds = rd.from_pandas(pd.DataFrame(rows), override_num_blocks=4)
+    out = (linking.winnow_duplicate_pairs(ds, k=16, w=8, min_shared=3)
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    assert (100, 101) in set(zip(out["a"], out["b"]))
+    # the planted pair dominates: no random-word pair shares >= its count
+    planted = out[(out["a"] == 100) & (out["b"] == 101)]["shared"].iloc[0]
+    others = out[(out["a"] != 100) | (out["b"] != 101)]
+    assert others.empty or others["shared"].max() < planted
+
+
+def test_winnow_fingerprints_short_and_empty_docs():
+    from gitprov_ray import linking
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["", "short", "x" * 100]})
+    out = (linking.winnow_fingerprints(
+        rd.from_pandas(df), k=16, w=8).to_pandas())
+    assert set(out["doc_id"]) == {3}          # <16 chars -> no grams
+    # constant text: every gram hash identical -> exactly one fingerprint
+    assert len(out[out["doc_id"] == 3]) == 1
