@@ -1001,3 +1001,78 @@ def winnow_duplicate_pairs(docs_ds, k: int = 16, w: int = 8,
             .groupby("bucket")
             .map_groups(lambda df: sum_group(df.drop(columns="bucket")),
                         batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance verification (the string-similarity verify next to n-gram
+# Jaccard; DuckDB levenshtein() is the oracle)
+# ---------------------------------------------------------------------------
+
+def levenshtein(a: str, b: str) -> int:
+    """Unit-cost Levenshtein, one numpy vector op per row of the DP table.
+
+    The in-row dependency cur[j] = min(m[j-1], cur[j-1]+1) is resolved in
+    closed form: cur[j] = j + min(i, running_min_k<=j(m[k-1] - k)), so each
+    row is O(|b|) vectorized instead of a Python loop over columns."""
+    ca = np.frombuffer(a.encode("utf-32-le"), np.uint32)
+    cb = np.frombuffer(b.encode("utf-32-le"), np.uint32)
+    if not len(ca):
+        return len(cb)
+    if not len(cb):
+        return len(ca)
+    prev = np.arange(len(cb) + 1, dtype=np.int64)
+    ks = np.arange(1, len(cb) + 1, dtype=np.int64)
+    for i, c in enumerate(ca, 1):
+        # candidates ignoring in-row insertions: delete or substitute
+        m = np.minimum(prev[1:] + 1, prev[:-1] + (cb != c))
+        cur = np.empty(len(cb) + 1, dtype=np.int64)
+        cur[0] = i
+        cur[1:] = ks + np.minimum(np.minimum.accumulate(m - ks), i)
+        prev = cur
+    return int(prev[-1])
+
+
+def edit_distance_pairs(docs_ds, pairs_ds, id_col: str = "doc_id",
+                        text_col: str = "text"):
+    """(a, b) candidate pairs -> (a, b, edit_dist): hash-join each endpoint
+    to the documents table (texts of candidate docs only ever move; the
+    corpus never lands on the driver), then per-pair Levenshtein. The DP is
+    inherently O(|a|·|b|) per pair — the verify set is assumed small
+    relative to the corpus (it comes out of an LSH/Jaccard filter)."""
+    import pyarrow as pa
+
+    from .ops import _default_partitions, _pa_type_of, materialize_normalized
+
+    P = _default_partitions()
+    cand = pairs_ds.materialize()
+    sample = cand.take(1)
+    if not sample:
+        import ray.data as rd
+        dsample = docs_ds.take(1)
+        idt = _pa_type_of(dsample[0][id_col]) if dsample else pa.string()
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], idt), "b": pa.array([], idt),
+            "edit_dist": pa.array([], pa.int64())}))
+    idt = _pa_type_of(sample[0]["a"])
+    cand = materialize_normalized(cand, pa.schema([("a", idt), ("b", idt)]))
+    docs = docs_ds.select_columns([id_col, text_col])
+    da = docs.map_batches(
+        lambda df: df.rename(columns={id_col: "a", text_col: "text_a"}),
+        batch_format="pandas")
+    db = docs.map_batches(
+        lambda df: df.rename(columns={id_col: "b", text_col: "text_b"}),
+        batch_format="pandas")
+    j1 = cand.join(da, "inner", P, on=("a",))
+    # invariant 7: normalize BETWEEN chained joins
+    j1 = materialize_normalized(j1, pa.schema(
+        [("a", idt), ("b", idt), ("text_a", pa.string())]))
+    j = j1.join(db, "inner", P, on=("b",))
+
+    def dist(df: pd.DataFrame) -> pd.DataFrame:
+        d = [levenshtein(x or "", y or "")
+             for x, y in zip(df["text_a"], df["text_b"])]
+        return pd.DataFrame({"a": df["a"].to_numpy(),
+                             "b": df["b"].to_numpy(),
+                             "edit_dist": pd.Series(d, dtype="int64")})
+
+    return j.map_batches(dist, batch_format="pandas")

@@ -740,3 +740,83 @@ def hll_distinct(ds, col: str, p: int = 12):
         if zeros:
             est = m * np.log(m / zeros)
     return float(est), regs
+
+
+def triangle_count(edges_ds, s_col: str = "s", o_col: str = "o",
+                   num_buckets: int = 64, max_neighbors: int = 1000):
+    """Distributed triangle counting (compact-forward / node-iterator on
+    the id-oriented graph): edges orient u<v and dedup in ONE bucketed
+    shuffle; wedges (v, w) are emitted per source vertex u from its
+    (id-ordered) out-neighborhood; a bucketed semi-join of the wedge list
+    against the edge set closes the triangles. Orientation bounds each
+    out-neighborhood by the vertex's higher-id degree; a vertex exceeding
+    max_neighbors (a hub whose wedge fan-out would be O(d^2)) is dropped
+    with a log line — same giant-bucket policy as the LSH exchanges.
+
+    Returns the triangle count as an int.
+    """
+    import logging
+
+    from .stages.versions import stable_bucket
+
+    log = logging.getLogger(__name__)
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[s_col].to_numpy()
+        o = df[o_col].to_numpy()
+        u, v = np.minimum(s, o), np.maximum(s, o)
+        keep = u != v
+        out = pd.DataFrame({"u": u[keep], "v": v[keep]}).drop_duplicates()
+        k = out["u"].astype(str) + ":" + out["v"].astype(str)
+        out["bucket"] = stable_bucket(k, k, num_buckets)
+        return out
+
+    edges = (edges_ds.map_batches(orient, batch_format="pandas")
+             .groupby("bucket")
+             .map_groups(lambda df: df.drop(columns="bucket")
+                         .drop_duplicates(),
+                         batch_format="pandas")
+             .materialize())          # reused twice below (invariant 10)
+
+    def bucket_by_u(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        k = df["u"].astype(str)
+        df["bucket"] = stable_bucket(k, k, num_buckets)
+        return df
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        out_v, out_w = [], []
+        for _, g in df.groupby("u", sort=False):
+            nb = np.sort(g["v"].to_numpy())
+            if len(nb) < 2:
+                continue
+            if len(nb) > max_neighbors:
+                log.warning("triangle_count: dropping hub u with %d "
+                            "out-neighbors (max_neighbors=%d)",
+                            len(nb), max_neighbors)
+                continue
+            ia, ib = np.triu_indices(len(nb), 1)
+            out_v.append(nb[ia])
+            out_w.append(nb[ib])
+        if not out_v:
+            return pd.DataFrame({"u2": np.empty(0, np.int64),
+                                 "v2": np.empty(0, np.int64)})
+        return pd.DataFrame({"u2": np.concatenate(out_v),
+                             "v2": np.concatenate(out_w)})
+
+    wedge_ds = (edges.map_batches(bucket_by_u, batch_format="pandas")
+                .groupby("bucket")
+                .map_groups(lambda df: wedges(df.drop(columns="bucket")),
+                            batch_format="pandas"))
+
+    def key_pairs(df: pd.DataFrame, a: str, b: str) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"k": df[a].astype(str) + ":" + df[b].astype(str)})
+
+    closed = semi_join(
+        wedge_ds.map_batches(lambda df: key_pairs(df, "u2", "v2"),
+                             batch_format="pandas"),
+        edges.map_batches(lambda df: key_pairs(df, "u", "v"),
+                          batch_format="pandas"),
+        left_key="k", right_key="k")
+    return closed.count()

@@ -1461,6 +1461,60 @@ def q_winnow_dup_pairs(sf_dir: str):
             .sort(["a", "b"]))
 
 
+def q_edit_distance_pairs(sf_dir: str):
+    """Edit-distance verification of near-dup candidates (the
+    string-similarity verify stage next to n-gram Jaccard): candidate
+    pairs from the exact-Jaccard filter, endpoint texts hash-joined in,
+    unit-cost Levenshtein per pair (linking.levenshtein, pinned against
+    DuckDB's levenshtein() by a 400-case property test)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = (linking.ngram_jaccard_pairs(ds, threshold=0.5)
+             .select_columns(["a", "b"]))
+    return linking.edit_distance_pairs(ds, pairs).sort(["a", "b"])
+
+
+def q_triangle_count(sf_dir: str):
+    """Distributed triangle counting (graph-centrality family, next to
+    BFS/PageRank/closure): the co-occurrence graph joins users active in
+    the same (event_type, hour); ops.triangle_count orients edges u<v,
+    emits per-source wedges, and closes them with a bucketed semi-join
+    against the edge set."""
+    from . import ops
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "k": df["event_type"].astype(str) + ":"
+                 + df["ts"].dt.floor("h").astype(str)}).drop_duplicates()
+        out["bucket"] = stable_bucket(out["k"], out["k"], 64)
+        return out
+
+    def cooccur_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in df.groupby("k", sort=False):
+            us = np.unique(g["user_id"].to_numpy())
+            if len(us) < 2:
+                continue
+            ia, ib = np.triu_indices(len(us), 1)
+            out_a.append(us[ia])
+            out_b.append(us[ib])
+        if not out_a:
+            return pd.DataFrame({"s": np.empty(0, np.int64),
+                                 "o": np.empty(0, np.int64)})
+        return pd.DataFrame({"s": np.concatenate(out_a),
+                             "o": np.concatenate(out_b)})
+
+    edges = (ds.map_batches(keyed, batch_format="pandas")
+             .groupby("bucket")
+             .map_groups(lambda df: cooccur_pairs(df.drop(columns="bucket")),
+                         batch_format="pandas"))
+    n = ops.triangle_count(edges)
+    return pd.DataFrame({"n_triangles": pd.Series([n], dtype="int64")})
+
+
 def q_heavy_hitter_tokens(sf_dir: str):
     """EXACT corpus-wide top-20 tokens via the Misra–Gries two-pass
     heavy-hitter pattern (ops.exact_topk): sketch summaries + certified
@@ -1942,6 +1996,8 @@ QUERIES = {
     "q_set_ops_docs": q_set_ops_docs,
     "q_weighted_sample_docs": q_weighted_sample_docs,
     "q_winnow_dup_pairs": q_winnow_dup_pairs,
+    "q_edit_distance_pairs": q_edit_distance_pairs,
+    "q_triangle_count": q_triangle_count,
     "q_sparql_select": q_sparql_select,
     "q_sparql_distributed": q_sparql_distributed,
     "q_sparql_optional": q_sparql_optional,
@@ -2886,6 +2942,55 @@ ORACLE_SQL = {
         SELECT 'except' AS op, doc_id
         FROM (SELECT doc_id FROM a EXCEPT SELECT doc_id FROM b)
         ORDER BY op, doc_id
+    """,
+    "q_edit_distance_pairs": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+          FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) s
+          WHERE len(t) >= 3
+          UNION ALL
+          SELECT doc_id, array_to_string(t, ' ') AS g FROM toks
+          WHERE len(t) < 3
+        ),
+        dg AS (SELECT DISTINCT doc_id, g FROM grams),
+        sets AS (SELECT doc_id, COUNT(*) AS n FROM dg GROUP BY doc_id),
+        inter AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+          FROM dg x JOIN dg y USING (g)
+          WHERE x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id
+        ),
+        pairs AS (
+          SELECT a, b
+          FROM inter JOIN sets sa ON sa.doc_id = inter.a
+                     JOIN sets sb ON sb.doc_id = inter.b
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+        )
+        SELECT p.a, p.b,
+               CAST(levenshtein(COALESCE(da.text, ''),
+                                COALESCE(db.text, '')) AS BIGINT)
+                   AS edit_dist
+        FROM pairs p JOIN documents da ON da.doc_id = p.a
+                     JOIN documents db ON db.doc_id = p.b
+        ORDER BY a, b
+    """,
+    "q_triangle_count": """
+        WITH uh AS (
+          SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h
+          FROM events),
+        e AS (
+          SELECT DISTINCT x.user_id AS u, y.user_id AS v
+          FROM uh x JOIN uh y ON x.event_type = y.event_type
+                            AND x.h = y.h AND x.user_id < y.user_id)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM e e1 JOIN e e2 ON e2.u = e1.v
+                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
     """,
     # pows inlined = 257^(k-1-j) mod 2147483647 for j = 0..15; the engine's
     # utf-32 code points == DuckDB ascii(substr(t, i, 1)); the distinct

@@ -209,3 +209,38 @@ def test_winnow_fingerprints_short_and_empty_docs():
     assert set(out["doc_id"]) == {3}          # <16 chars -> no grams
     # constant text: every gram hash identical -> exactly one fingerprint
     assert len(out[out["doc_id"] == 3]) == 1
+
+
+def test_triangle_count_matches_bruteforce():
+    rng = _rng(11)
+    n = 40
+    # random undirected graph, ~15% density, plus guaranteed triangles
+    s, o = np.where(rng.random((n, n)) < 0.15)
+    edges = pd.DataFrame({"s": s, "o": o})
+    edges = pd.concat([edges, pd.DataFrame(
+        {"s": [0, 1, 2, 0], "o": [1, 2, 0, 2]})], ignore_index=True)
+    # brute force on the oriented simple graph
+    e = edges[edges.s != edges.o].copy()
+    u, v = np.minimum(e.s, e.o), np.maximum(e.s, e.o)
+    eset = set(zip(u, v))
+    ref = sum(1 for (a, b) in eset for c in range(n)
+              if b < c and (a, c) in eset and (b, c) in eset)
+    got = ops.triangle_count(rd.from_pandas(edges, override_num_blocks=4),
+                             num_buckets=8)
+    assert got == ref and ref > 0
+
+
+def test_edit_distance_pairs_joins_and_empty():
+    from gitprov_ray import linking
+
+    docs = pd.DataFrame({"doc_id": [1, 2, 3],
+                         "text": ["kitten", "sitting", "kitten"]})
+    pairs = pd.DataFrame({"a": [1, 1], "b": [2, 3]})
+    out = (linking.edit_distance_pairs(rd.from_pandas(docs),
+                                       rd.from_pandas(pairs))
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    assert list(out["edit_dist"]) == [3, 0]
+    empty = linking.edit_distance_pairs(
+        rd.from_pandas(docs), rd.from_pandas(pairs).limit(0))
+    assert empty.count() == 0
+    assert empty.schema().names == ["a", "b", "edit_dist"]
