@@ -20,9 +20,9 @@ import struct
 
 import numpy as np
 
-_FORMAT_NAMES = {1: "pcm", 3: "float", 6: "alaw", 7: "mulaw",
-                 0x11: "ima_adpcm", 0x55: "mp3", 0xFF: "aac",
-                 0x2000: "ac3", 0xFFFE: "extensible"}
+_FORMAT_NAMES = {1: "pcm", 2: "ms_adpcm", 3: "float", 6: "alaw",
+                 7: "mulaw", 0x11: "ima_adpcm", 0x55: "mp3",
+                 0xFF: "aac", 0x2000: "ac3", 0xFFFE: "extensible"}
 
 
 def _riff_wave_chunks(b: bytes):
@@ -162,6 +162,84 @@ def _ima_encode_block(samples: np.ndarray, index: int) -> tuple[bytes, int]:
     return hdr + payload, index
 
 
+# MS ADPCM (WAVE format 0x0002): 7-entry fixed coefficient set and the
+# 16-entry delta-adaptation table from the published Microsoft WAV spec
+# (Multimedia Programming Interface and Data Specifications / RIFF "New
+# Multimedia Data Types and Data Techniques", msadpcm reference code).
+_MS_COEFS = np.array([[256, 0], [512, -256], [0, 0], [192, 64],
+                      [240, 0], [460, -208], [392, -232]], dtype=np.int64)
+_MS_ADAPT = np.array([230, 230, 230, 230, 307, 409, 512, 614,
+                      768, 614, 512, 409, 307, 230, 230, 230],
+                     dtype=np.int64)
+
+
+def _ms_decode_block(block: bytes) -> np.ndarray:
+    """One mono MS ADPCM block → int16 samples. Header: predictor index
+    (1 byte), initial delta (int16), sample1, sample2 (the block's first
+    two PCM samples, NEWEST first); payload nibbles high-first."""
+    if len(block) < 7:
+        raise ValueError("MS ADPCM: truncated block")
+    predictor = block[0]
+    if predictor >= len(_MS_COEFS):
+        raise ValueError(f"MS ADPCM: predictor {predictor} out of range")
+    delta, s1, s2 = struct.unpack_from("<hhh", block, 1)
+    c1, c2 = int(_MS_COEFS[predictor, 0]), int(_MS_COEFS[predictor, 1])
+    payload = np.frombuffer(block, np.uint8, offset=7)
+    nibbles = np.empty(2 * len(payload), dtype=np.uint8)
+    nibbles[0::2] = payload >> 4              # high nibble first (MS)
+    nibbles[1::2] = payload & 0x0F
+    out = np.empty(len(nibbles) + 2, dtype=np.int16)
+    out[0], out[1] = s2, s1                   # oldest first in the output
+    for i, nib in enumerate(nibbles):
+        signed = nib - 16 if nib >= 8 else int(nib)
+        pred = (s1 * c1 + s2 * c2) >> 8
+        sample = max(-32768, min(32767, pred + signed * delta))
+        delta = max(16, (int(_MS_ADAPT[nib]) * delta) >> 8)
+        s2, s1 = s1, sample
+        out[i + 2] = sample
+    return out
+
+
+def _ms_encode_block(samples: np.ndarray) -> bytes:
+    """int16 samples → one mono MS ADPCM block, trying all 7 predictors
+    and keeping the least-squared-error reconstruction. The encoder's
+    reconstruction mirrors the decoder exactly, so decode(encode(x))
+    equals the encoder's tracked signal bit-for-bit."""
+    best = None
+    x = samples.astype(np.int64)
+    for predictor in range(7):
+        c1, c2 = int(_MS_COEFS[predictor, 0]), int(_MS_COEFS[predictor, 1])
+        s2, s1 = int(x[0]), int(x[1]) if len(x) > 1 else int(x[0])
+        delta = max(16, int(np.mean(np.abs(np.diff(x)))) // 4
+                    if len(x) > 1 else 16)
+        delta0 = delta
+        nibbles, err = [], 0
+        for s in x[2:]:
+            pred = (s1 * c1 + s2 * c2) >> 8
+            want = int(s) - pred
+            nib = int(np.clip(round(want / delta) if delta else 0, -8, 7))
+            sample = max(-32768, min(32767, pred + nib * delta))
+            err += (int(s) - sample) ** 2
+            u = nib & 0x0F
+            delta = max(16, (int(_MS_ADAPT[u]) * delta) >> 8)
+            s2, s1 = s1, sample
+            nibbles.append(u)
+            if best is not None and err >= best[0]:
+                break
+        else:
+            if best is None or err < best[0]:
+                best = (err, predictor, delta0, nibbles)
+    err, predictor, delta0, nibbles = best
+    s2 = int(x[0])
+    s1 = int(x[1]) if len(x) > 1 else int(x[0])
+    hdr = struct.pack("<Bhhh", predictor, delta0, s1, s2)
+    if len(nibbles) % 2:
+        nibbles = nibbles + [0]
+    payload = bytes(((nibbles[i] << 4) | nibbles[i + 1])
+                    for i in range(0, len(nibbles), 2))
+    return hdr + payload
+
+
 # ---------------------------------------------------------------------------
 # WAV parse / write
 # ---------------------------------------------------------------------------
@@ -219,6 +297,15 @@ def parse_wav_extended(b: bytes):
     elif wformat == 6:                        # G.711 A-law
         x = _ALAW[np.frombuffer(data, np.uint8)].astype(np.float32) \
             / 32768.0
+    elif wformat == 2:                        # MS ADPCM
+        if nch != 1:
+            raise NotImplementedError("MS ADPCM: mono blocks only")
+        blocks = [data[i: i + balign] for i in range(0, len(data), balign)]
+        x = np.concatenate([_ms_decode_block(blk) for blk in blocks
+                            if len(blk) >= 7]).astype(np.float32) / 32768.0
+        if fact_samples is not None:
+            x = x[:fact_samples]
+        return x, rate, name
     elif wformat == 0x11:                     # IMA ADPCM
         if nch != 1:
             raise NotImplementedError("IMA ADPCM: mono blocks only")
@@ -283,6 +370,30 @@ def write_wav_ima_adpcm(x: np.ndarray, rate: int = 8000,
     # the fact chunk (required for non-PCM) carries the TRUE sample
     # count so decoders drop the final block's nibble padding
     return _wav_container(fmt, b"".join(blocks), fact_samples=len(pcm))
+
+
+def write_wav_ms_adpcm(x: np.ndarray, rate: int = 8000,
+                       samples_per_block: int = 500) -> bytes:
+    """float [-1,1] mono → MS ADPCM (format 0x0002) WAV bytes, with the
+    full 32-byte fmt extension (samples/block + the 7 coefficient pairs)
+    and a fact chunk carrying the true sample count."""
+    pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype(np.int16)
+    balign = 7 + (samples_per_block - 2 + 1) // 2
+    chunks = []
+    for i in range(0, len(pcm), samples_per_block):
+        seg = pcm[i: i + samples_per_block]
+        if len(seg) < 2:
+            seg = np.concatenate([seg, np.zeros(2 - len(seg), np.int16)])
+        chunks.append(_ms_encode_block(seg).ljust(balign, b"\x00")
+                      if len(seg) == samples_per_block
+                      else _ms_encode_block(seg))
+    data = b"".join(chunks)
+    fmt = struct.pack("<HHIIHHHHH", 2, 1, rate,
+                      rate * balign // samples_per_block, balign, 4,
+                      32, samples_per_block, 7)
+    for c1, c2 in _MS_COEFS:
+        fmt += struct.pack("<hh", int(c1), int(c2))
+    return _wav_container(fmt, data, fact_samples=len(pcm))
 
 
 def write_wav_float(x: np.ndarray, rate: int = 8000) -> bytes:

@@ -682,6 +682,12 @@ def _synth_wav_adpcm(seed: int) -> bytes:
     return audiocodec.write_wav_ima_adpcm(_synth_audio_signal(seed))
 
 
+def _synth_wav_ms_adpcm(seed: int) -> bytes:
+    from . import audiocodec
+
+    return audiocodec.write_wav_ms_adpcm(_synth_audio_signal(seed))
+
+
 def _synth_flac(seed: int) -> bytes:
     from . import flaccodec
 
@@ -784,14 +790,16 @@ def synth_media_table(n: int = 32, seed: int = 42) -> pa.Table:
             payload, mime = _synth_webp(seed + i), "image/webp"
         elif kind == "image":
             payload, mime = _synth_ppm(seed + i), "image/x-portable-pixmap"
-        elif kind == "audio" and (i // 3) % 5 == 1:
+        elif kind == "audio" and (i // 3) % 6 == 1:
             payload, mime = _synth_wav_g711(seed + i, "mulaw"), "audio/wav"
-        elif kind == "audio" and (i // 3) % 5 == 2:
+        elif kind == "audio" and (i // 3) % 6 == 2:
             payload, mime = _synth_wav_g711(seed + i, "alaw"), "audio/wav"
-        elif kind == "audio" and (i // 3) % 5 == 3:
+        elif kind == "audio" and (i // 3) % 6 == 3:
             payload, mime = _synth_wav_adpcm(seed + i), "audio/wav"
-        elif kind == "audio" and (i // 3) % 5 == 4:
+        elif kind == "audio" and (i // 3) % 6 == 4:
             payload, mime = _synth_flac(seed + i), "audio/flac"
+        elif kind == "audio" and (i // 3) % 6 == 5:
+            payload, mime = _synth_wav_ms_adpcm(seed + i), "audio/wav"
         elif kind == "audio":
             payload, mime = _synth_wav(seed + i), "audio/wav"
         elif (i // 3) % 5 == 1:

@@ -45,6 +45,23 @@ def test_ima_adpcm_roundtrip_snr():
     assert snr > 20                       # 4-bit ADPCM ≈ 30 dB
 
 
+def test_ms_adpcm_roundtrip_snr_and_probe():
+    x = _sine()
+    wav = A.write_wav_ms_adpcm(x)
+    y, rate, name = A.parse_wav_extended(wav)
+    assert name == "ms_adpcm" and rate == 8000 and len(y) == len(x)
+    snr = 10 * np.log10(np.mean(x ** 2) / np.mean((x - y) ** 2))
+    assert snr > 20                       # 4-bit ADPCM
+    from gitprov_ray.multimodal import probe_media
+
+    meta = probe_media(wav)
+    assert (meta["format"], meta["codec"]) == ("wav", "ms_adpcm")
+    # decoder == encoder's tracked reconstruction: re-encode is a fixpoint
+    y2, _, _ = A.parse_wav_extended(A.write_wav_ms_adpcm(y))
+    assert 10 * np.log10(np.mean(y ** 2)
+                         / (np.mean((y - y2) ** 2) + 1e-12)) > 28
+
+
 def test_float_and_24bit_pcm():
     x = _sine()
     y, rate, name = A.parse_wav_extended(A.write_wav_float(x))
@@ -113,4 +130,5 @@ def test_synth_corpus_carries_compressed_audio():
     for row in t.to_pylist():
         if row["kind"] == "audio":
             codecs.add(probe_media(row["payload"])["codec"])
-    assert {"pcm16", "mulaw", "alaw", "ima_adpcm"} <= codecs
+    assert {"pcm16", "mulaw", "alaw", "ima_adpcm", "ms_adpcm",
+            "flac"} <= codecs
