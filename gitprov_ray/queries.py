@@ -1515,6 +1515,110 @@ def q_triangle_count(sf_dir: str):
     return pd.DataFrame({"n_triangles": pd.Series([n], dtype="int64")})
 
 
+def q_collect_events(sf_dir: str):
+    """Ordered list collection per key (the A2 version-list collect as a
+    generic query): each user's event ids joined in (ts, event_id) order.
+    One bucketed per-key shuffle, vectorized in-group string_agg; the
+    comma-joined string keeps the driver value-hash list-free."""
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        k = df["user_id"].astype(str)
+        df["bucket"] = stable_bucket(k, k, 32)
+        return df
+
+    def collect(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = (df.assign(e=df["event_id"].astype(str))
+             .groupby("user_id", sort=False)["e"]
+             .agg(",".join))
+        n = df.groupby("user_id", sort=False)["event_id"].size()
+        return pd.DataFrame({"user_id": g.index.to_numpy(),
+                             "events": g.to_numpy(dtype=object),
+                             "n_events": n.to_numpy().astype("int64")})
+
+    return (ds.map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: collect(df.drop(columns=["bucket"])),
+                        batch_format="pandas")
+            .sort("user_id"))
+
+
+_BM25_TERMS = ("data", "query", "sort")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_bm25_docs(sf_dir: str):
+    """BM25 relevance ranking (the search-engine scoring op next to
+    TF-IDF): top-5 docs per query term. Corpus stats (N, avgdl, df) come
+    from ONE partial-combined pass; scoring is a second streaming pass
+    with the tiny stats broadcast in the closure; integer-millis scores.
+    The float expression tree is written identically in the SQL twin so
+    IEEE doubles agree bit-for-bit."""
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok(df: pd.DataFrame):
+        return df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+
+    def partial_stats(df: pd.DataFrame) -> pd.DataFrame:
+        toks = tok(df)
+        dl = toks.str.len().astype("int64")
+        out = {"n": [np.int64(len(df))], "sumdl": [dl.sum()]}
+        for t in _BM25_TERMS:
+            out[f"df_{t}"] = [np.int64(sum(t in s for s in toks))]
+        return pd.DataFrame(out)
+
+    st = (ds.map_batches(partial_stats, batch_format="pandas").to_pandas()
+          .sum())
+    n_docs, avgdl = float(st["n"]), float(st["sumdl"]) / float(st["n"])
+    dfreq = {t: float(st[f"df_{t}"]) for t in _BM25_TERMS}
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        toks = tok(df)
+        dl = toks.str.len().to_numpy(dtype=np.float64)
+        rows = []
+        for t in _BM25_TERMS:
+            tf = toks.map(lambda s, t=t: s.count(t)).to_numpy(np.float64)
+            idf = np.log((n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+            s = idf * (tf * (_BM25_K1 + 1.0)) / (
+                tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl / avgdl))
+            keep = tf > 0
+            rows.append(pd.DataFrame({
+                "term": t,
+                "doc_id": df["doc_id"].to_numpy()[keep],
+                "score_millis": np.floor(s[keep] * 1000 + 0.5)
+                .astype("int64")}))
+        out = pd.concat(rows, ignore_index=True) if rows else pd.DataFrame(
+            {"term": [], "doc_id": [], "score_millis": []})
+        # local pre-top-5 per term, then the tiny global head per term
+        out = out.sort_values(["term", "score_millis", "doc_id"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        out = out[out.groupby("term", sort=False).cumcount() < 5]
+        k = out["term"].astype(str)
+        out["bucket"] = stable_bucket(k, k, 8)
+        return out
+
+    def head5(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["term", "score_millis", "doc_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        df = df[df.groupby("term", sort=False).cumcount() < 5].copy()
+        df["rank"] = (df.groupby("term", sort=False).cumcount() + 1) \
+            .astype("int64")
+        return df[["term", "rank", "doc_id", "score_millis"]]
+
+    return (ds.map_batches(score, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: head5(df.drop(columns=["bucket"])),
+                        batch_format="pandas")
+            .sort(["term", "rank"]))
+
+
 def q_heavy_hitter_tokens(sf_dir: str):
     """EXACT corpus-wide top-20 tokens via the Misra–Gries two-pass
     heavy-hitter pattern (ops.exact_topk): sketch summaries + certified
@@ -1998,6 +2102,8 @@ QUERIES = {
     "q_winnow_dup_pairs": q_winnow_dup_pairs,
     "q_edit_distance_pairs": q_edit_distance_pairs,
     "q_triangle_count": q_triangle_count,
+    "q_collect_events": q_collect_events,
+    "q_bm25_docs": q_bm25_docs,
     "q_sparql_select": q_sparql_select,
     "q_sparql_distributed": q_sparql_distributed,
     "q_sparql_optional": q_sparql_optional,
@@ -2942,6 +3048,55 @@ ORACLE_SQL = {
         SELECT 'except' AS op, doc_id
         FROM (SELECT doc_id FROM a EXCEPT SELECT doc_id FROM b)
         ORDER BY op, doc_id
+    """,
+    "q_collect_events": """
+        SELECT user_id,
+               string_agg(CAST(event_id AS VARCHAR), ','
+                          ORDER BY ts, event_id) AS events,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    # constants appear as the same unevaluated expressions as the engine
+    # ((1.2 + 1.0), 1.0 - 0.75 + 0.75*...) so the IEEE doubles agree
+    "q_bm25_docs": """
+        WITH terms(term) AS (VALUES ('data'), ('query'), ('sort')),
+        toks AS (
+          SELECT doc_id, unnest(list_filter(
+                     string_split_regex(lower(COALESCE(text, '')),
+                                        '[^a-z]+'),
+                     x -> x <> '')) AS tok
+          FROM documents),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+               FROM toks GROUP BY doc_id),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        sumdl AS (SELECT CAST(COUNT(*) AS DOUBLE) AS s FROM toks),
+        stats AS (SELECT n.n, sumdl.s / n.n AS avgdl FROM n, sumdl),
+        dfreq AS (
+          SELECT t.term,
+                 CAST(COUNT(DISTINCT toks.doc_id) AS DOUBLE) AS df
+          FROM terms t LEFT JOIN toks ON toks.tok = t.term
+          GROUP BY t.term),
+        tf AS (
+          SELECT t.term, toks.doc_id, CAST(COUNT(*) AS DOUBLE) AS tf
+          FROM terms t JOIN toks ON toks.tok = t.term
+          GROUP BY t.term, toks.doc_id),
+        scored AS (
+          SELECT tf.term, tf.doc_id,
+                 CAST(FLOOR(
+                   ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                   * (tf.tf * (1.2 + 1.0))
+                   / (tf.tf + 1.2 * (1.0 - 0.75
+                                     + 0.75 * dl.dl / stats.avgdl))
+                   * 1000 + 0.5) AS BIGINT) AS score_millis
+          FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+               CROSS JOIN stats),
+        ranked AS (
+          SELECT term, doc_id, score_millis,
+                 ROW_NUMBER() OVER (PARTITION BY term
+                     ORDER BY score_millis DESC, doc_id) AS rnk
+          FROM scored)
+        SELECT term, CAST(rnk AS BIGINT) AS rank, doc_id, score_millis
+        FROM ranked WHERE rnk <= 5 ORDER BY term, rank
     """,
     "q_edit_distance_pairs": """
         WITH toks AS (
