@@ -1619,6 +1619,53 @@ def q_bm25_docs(sf_dir: str):
             .sort(["term", "rank"]))
 
 
+def q_cust_order_dist(sf_dir: str):
+    """Customer-order-count distribution (TPC-H Q13 shape): LEFT OUTER
+    join so zero-order customers count — the join type the other
+    TPC-H-ish queries don't cover. Orders pre-aggregate to one row per
+    custkey (partial per-batch combine first), the left join is a
+    distributed hash join, and the final histogram is a tiny groupby.
+    Invariant 7: the aggregate side is schema-normalized before the
+    join."""
+    from . import ops
+    from .stages.versions import stable_bucket
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", sort=False).size()
+        out = pd.DataFrame({"c_custkey": g.index.to_numpy(),
+                            "n": g.to_numpy().astype("int64")})
+        k = out["c_custkey"].astype(str)
+        out["bucket"] = stable_bucket(k, k, 32)
+        return out
+
+    counts = (orders.map_batches(partial, batch_format="pandas")
+              .groupby("bucket")
+              .map_groups(lambda df: df.drop(columns="bucket")
+                          .groupby("c_custkey", sort=False, as_index=False)
+                          ["n"].sum(),
+                          batch_format="pandas"))
+    counts = ops.materialize_normalized(counts, pa.schema(
+        [("c_custkey", pa.int64()), ("n", pa.int64())]))
+    joined = cust.join(counts, "left_outer",
+                       ops._default_partitions(), on=("c_custkey",))
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["n"].fillna(0).astype("int64")
+        g = c.value_counts()
+        return pd.DataFrame({"c_count": g.index.to_numpy(dtype="int64"),
+                             "custdist": g.to_numpy().astype("int64")})
+
+    return (joined.map_batches(hist, batch_format="pandas")
+            .groupby("c_count").aggregate(Sum("custdist",
+                                              alias_name="custdist"))
+            .map_batches(lambda df: df.astype({"custdist": "int64"}),
+                         batch_format="pandas")
+            .sort(["custdist", "c_count"], descending=[True, True]))
+
+
 def q_heavy_hitter_tokens(sf_dir: str):
     """EXACT corpus-wide top-20 tokens via the Misra–Gries two-pass
     heavy-hitter pattern (ops.exact_topk): sketch summaries + certified
@@ -2104,6 +2151,7 @@ QUERIES = {
     "q_triangle_count": q_triangle_count,
     "q_collect_events": q_collect_events,
     "q_bm25_docs": q_bm25_docs,
+    "q_cust_order_dist": q_cust_order_dist,
     "q_sparql_select": q_sparql_select,
     "q_sparql_distributed": q_sparql_distributed,
     "q_sparql_optional": q_sparql_optional,
@@ -3048,6 +3096,17 @@ ORACLE_SQL = {
         SELECT 'except' AS op, doc_id
         FROM (SELECT doc_id FROM a EXCEPT SELECT doc_id FROM b)
         ORDER BY op, doc_id
+    """,
+    "q_cust_order_dist": """
+        WITH co AS (
+          SELECT c.c_custkey, COUNT(o.o_custkey) AS c_count
+          FROM customer c LEFT OUTER JOIN orders o
+            ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey)
+        SELECT CAST(c_count AS BIGINT) AS c_count,
+               CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM co GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
     """,
     "q_collect_events": """
         SELECT user_id,
