@@ -21,16 +21,22 @@ _EXT_FMT = {".parquet": "parquet", ".pq": "parquet", ".csv": "csv",
             ".json": "ndjson", ".jsonl": "ndjson", ".ndjson": "ndjson"}
 
 
-def _fmt_of(path: str, fmt: str | None) -> str:
-    if fmt:
-        return fmt
+def _fmt_of(path: str, fmt: str | None) -> tuple[str, bool]:
+    """(format, gzipped?) — a trailing .gz wraps any of the text formats
+    (crawl interchange files usually arrive as .jsonl.gz / .csv.gz)."""
     import os
 
-    ext = os.path.splitext(str(path))[1].lower()
+    p = str(path).lower()
+    gz = p.endswith(".gz")
+    if fmt:
+        return fmt, gz
+    if gz:
+        p = p[:-3]
+    ext = os.path.splitext(p)[1]
     if ext not in _EXT_FMT:
         raise ValueError(f"cannot infer table format from {path!r}; "
                          f"pass fmt= one of {sorted(set(_EXT_FMT.values()))}")
-    return _EXT_FMT[ext]
+    return _EXT_FMT[ext], gz
 
 
 def read_table(path, fmt: str | None = None, columns: list[str] | None = None,
@@ -47,13 +53,16 @@ def read_table(path, fmt: str | None = None, columns: list[str] | None = None,
     from .util import read_parquet_clean, tune_context
 
     tune_context()
-    f = _fmt_of(path, fmt)
+    f, gz = _fmt_of(path, fmt)
+    open_args = {"compression": "gzip"} if gz else {}
     if f == "parquet":
         ds = read_parquet_clean(path, columns=columns)
     elif f == "csv":
-        ds = rd.read_csv(path)
+        ds = rd.read_csv(path, arrow_open_stream_args=open_args,
+                         file_extensions=None)
     elif f == "ndjson":
-        ds = rd.read_json(path)
+        ds = rd.read_json(path, arrow_open_stream_args=open_args,
+                          file_extensions=None)
     else:
         raise ValueError(f"unknown table format {f!r}")
     if f != "parquet" and columns is not None:
@@ -80,3 +89,33 @@ def write_table(ds, path: str, fmt: str = "parquet"):
         ds.write_json(path)
     else:
         raise ValueError(f"unknown table format {fmt!r}")
+
+
+_NT_COLS = ["graph", "subj", "pred", "obj", "obj_is_literal", "obj_dtype"]
+
+
+def read_ntriples(path):
+    """N-Triples file(s) → Dataset of triple rows (graph, subj, pred,
+    obj, obj_is_literal, obj_dtype) — the distributed twin of
+    serializers.parse_ntriples, which parses one in-memory string on the
+    driver. N-Triples is line-oriented, so Ray's read_text splits files
+    into line blocks and the parse is block-parallel, never driver-side;
+    malformed lines drop per-row (quarantine policy M15)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from .serializers import parse_ntriples
+    from .util import tune_context
+
+    tune_context()
+    lines = rd.read_text(path)
+
+    def parse(df: pd.DataFrame) -> pd.DataFrame:
+        rows = parse_ntriples("\n".join(df["text"]))
+        out = pd.DataFrame(rows, columns=_NT_COLS)
+        return out.astype({"graph": "object", "subj": "object",
+                           "pred": "object", "obj": "object",
+                           "obj_is_literal": "bool",
+                           "obj_dtype": "object"})
+
+    return lines.map_batches(parse, batch_format="pandas")

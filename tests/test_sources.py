@@ -66,3 +66,38 @@ def test_write_roundtrip(triple_format_dir, tmp_path):
             str(tmp_path / sub), fmt=fmt, schema=SCHEMA).to_pandas()
         back = back.sort_values("doc_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(back, df)
+
+
+def test_gzip_ingestion(triple_format_dir, tmp_path):
+    import gzip
+
+    d, df = triple_format_dir
+    gz_csv = tmp_path / "t.csv.gz"
+    gz_csv.write_bytes(gzip.compress((d / "t.csv").read_bytes()))
+    gz_jsonl = tmp_path / "t.jsonl.gz"
+    gz_jsonl.write_bytes(gzip.compress((d / "t.jsonl").read_bytes()))
+    for p in (gz_csv, gz_jsonl):
+        back = (sources.read_table(str(p), schema=SCHEMA).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(back, df)
+
+
+def test_read_ntriples_distributed_matches_driver_parse(tmp_path):
+    from gitprov_ray import serializers
+
+    nt = "\n".join(
+        f'<https://gitprov.example/graph/g{i % 3}.example#e{i}> '
+        f'<http://www.w3.org/ns/prov#wasGeneratedBy> '
+        + (f'<https://gitprov.example/graph/g{i % 3}.example#a{i}> .'
+           if i % 2 else f'"v{i}" .')
+        for i in range(200)) + "\nnot a valid line\n# comment\n"
+    p = tmp_path / "t.nt"
+    p.write_text(nt)
+    got = (sources.read_ntriples(str(p)).to_pandas()
+           .sort_values(["subj", "pred", "obj"]).reset_index(drop=True))
+    want = (pd.DataFrame(serializers.parse_ntriples(nt),
+                         columns=sources._NT_COLS)
+            .sort_values(["subj", "pred", "obj"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) == 200
+    assert set(got["graph"]) == {"g0.example", "g1.example", "g2.example"}
