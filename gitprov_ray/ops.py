@@ -700,7 +700,7 @@ def histogram_quantiles(ds, col: str, ps=(0.1, 0.5, 0.9, 0.99),
                          "value": pd.Series(out_v, dtype="float64")})
 
 
-def hll_distinct(ds, col: str, p: int = 12):
+def hll_distinct(ds, col: str, p: int = 12, hash: str = "stable"):
     """HyperLogLog distinct-count sketch → (estimate, registers).
 
     Per batch: one vectorized stable hash (`pd.util.hash_array`, fixed
@@ -709,8 +709,41 @@ def hll_distinct(ds, col: str, p: int = 12):
     2^p-byte register arrays merge by elementwise max (one tiny row per
     batch moves, never the column). Standard HLL bias correction for
     the small-range regime (linear counting) and the 64-bit hash large
-    range. Relative error ≈ 1.04/√(2^p) (~1.6% at p=12)."""
+    range. Relative error ≈ 1.04/√(2^p) (~1.6% at p=12).
+
+    ``hash="md5"`` (p=12 only) makes the whole sketch ORACLE-CHECKABLE:
+    the 64-bit hash is the first 16 hex nibbles of md5(str(value)), the
+    bucket is the first 3 nibbles, and the leading-zero rank of the
+    remaining 13 nibbles is computed by EXACT nibble arithmetic (no
+    float log anywhere); the register sum Σ2^-reg is accumulated as the
+    exact integer Σ2^(63-reg) so the estimate is a single pinned float
+    expression a DuckDB twin reproduces bit-for-bit (q_hll_users)."""
     m = 1 << p
+    if hash == "md5" and p != 12:
+        raise ValueError("md5-hash HLL is pinned to p=12 (3 hex nibbles)")
+
+    def partial_md5(df: pd.DataFrame) -> pd.DataFrame:
+        from .textops import md5_series
+
+        hx = md5_series(df[col].astype(str))
+        if not len(hx):
+            return pd.DataFrame({"regs": [np.zeros(m, np.int8).tobytes()]})
+        b = (np.frombuffer("".join(hx).encode("ascii"), np.uint8)
+             .reshape(-1, 32)[:, :16])
+        nib = np.where(b <= 57, b - 48, b - 87).astype(np.int64)
+        idx = nib[:, 0] * 256 + nib[:, 1] * 16 + nib[:, 2]
+        rest = nib[:, 3:16]                       # 13 nibbles = 52 bits
+        nz = rest != 0
+        z = np.where(nz.any(axis=1), nz.argmax(axis=1), 13)
+        d = np.where(z < 13,
+                     rest[np.arange(len(z)), np.minimum(z, 12)], 0)
+        extra = np.where(d >= 8, 0,
+                         np.where(d >= 4, 1, np.where(d >= 2, 2, 3)))
+        ranks = np.minimum(4 * z + extra + 1, 64 - p + 1)
+        g = pd.DataFrame({"i": idx, "r": ranks}).groupby("i")["r"].max()
+        reg = np.zeros(m, np.int8)
+        reg[g.index.to_numpy()] = g.to_numpy().astype(np.int8)
+        return pd.DataFrame({"regs": [reg.tobytes()]})
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_array(df[col].to_numpy())     # uint64, stable
@@ -729,14 +762,24 @@ def hll_distinct(ds, col: str, p: int = 12):
         reg[g.index.to_numpy()] = g.to_numpy().astype(np.int8)
         return pd.DataFrame({"regs": [reg.tobytes()]})
 
-    merged = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    fn = partial_md5 if hash == "md5" else partial
+    merged = ds.map_batches(fn, batch_format="pandas").to_pandas()
     regs = np.zeros(m, np.int8)
     for b in merged["regs"]:
         regs = np.maximum(regs, np.frombuffer(b, np.int8))
     alpha = 0.7213 / (1 + 1.079 / m)
+    zeros = int((regs == 0).sum())
+    if hash == "md5":
+        # exact-integer register sum: Σ2^-reg = S / 2^63, S exact
+        import math
+
+        s = sum(1 << (63 - int(r)) for r in regs)
+        est = alpha * float(m * m) * (float(1 << 63) / float(s))
+        if est <= 2.5 * m and zeros:         # linear counting, pinned tree
+            est = float(m) * math.log(float(m) / float(zeros))
+        return float(est), regs
     est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
     if est <= 2.5 * m:                       # small-range: linear counting
-        zeros = int((regs == 0).sum())
         if zeros:
             est = m * np.log(m / zeros)
     return float(est), regs

@@ -2029,15 +2029,18 @@ def q_quantiles_events(sf_dir: str):
 
 def q_hll_users(sf_dir: str):
     """HyperLogLog distinct-user sketch over events (ops.hll_distinct,
-    p=12): deterministic stable-hash registers, one tiny register row
-    per batch, elementwise-max merge — the mergeable-cardinality pattern
-    for 100-TB streams. Rows-only (a sketch has no SQL twin); the
-    <2% accuracy is pinned by pytest against the exact count."""
+    p=12, md5 hash): deterministic md5-nibble registers, one tiny
+    register row per batch, elementwise-max merge — the mergeable
+    cardinality pattern for 100-TB streams. ORACLE-CHECKED: the md5
+    variant's registers, exact-integer 2^-reg sum and pinned float
+    estimate tree are reproduced in the DuckDB twin bit-for-bit (round
+    half-away to 3 decimals absorbs the ln() 1-ulp libm margin)."""
     from . import ops
 
     ds = _read(sf_dir, "events", ["user_id"])
-    est, _ = ops.hll_distinct(ds, "user_id", p=12)
-    return pd.DataFrame({"distinct_users_est": pd.Series([round(est, 3)],
+    est, _ = ops.hll_distinct(ds, "user_id", p=12, hash="md5")
+    est3 = np.floor(est * 1000 + 0.5) / 1000
+    return pd.DataFrame({"distinct_users_est": pd.Series([est3],
                                                          dtype="float64")})
 
 
@@ -2086,6 +2089,280 @@ def q_cosine_neardup_lsh(sf_dir: str):
     out = annsearch.cosine_neardup_pairs_lsh(_planted_embeddings(sf_dir),
                                              threshold=0.9)
     return out.sort(["a", "b"])
+
+
+def q_median_per_type(sf_dir: str):
+    """Grouped EXACT median (A-family order statistic per group): the
+    per-type median event value, discrete rule (element at index
+    floor((n-1)/2) of the sorted group — DuckDB's quantile_disc(0.5)),
+    so the answer is an actual data element and float-exact on both
+    engines. event_type is low-cardinality, so ONE bucketed per-key
+    shuffle colocates each group; the in-group selection is a vectorized
+    sort + index, never a driver-side pass."""
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        k = df["event_type"]
+        df["bucket"] = stable_bucket(k, k, 16)
+        return df
+
+    def med(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for t, g in df.groupby("event_type", sort=False):
+            v = np.sort(g["value"].to_numpy(dtype=np.float64))
+            out.append((t, v[(len(v) - 1) // 2], np.int64(len(v))))
+        return pd.DataFrame(out, columns=["event_type", "median_value",
+                                          "n"]).astype({"n": "int64"})
+
+    return (ds.map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: med(df.drop(columns=["bucket"])),
+                        batch_format="pandas")
+            .sort("event_type"))
+
+
+def q_lead_events(sf_dir: str):
+    """LEAD / FIRST_VALUE / LAST_VALUE per user ordered by (ts, event_id)
+    — the forward-looking window family next to q_lag_events' LAG. ONE
+    bucketed per-key shuffle; in-group shift/head/tail vectorized. The
+    SQL twin pins LAST_VALUE's frame to the whole partition (ROWS
+    UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING), matching the engine."""
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        k = df["user_id"].astype(str)
+        df["bucket"] = stable_bucket(k, k, 32)
+        return df
+
+    def win(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "user_id": df["user_id"].to_numpy(),
+            "next_value": g["value"].shift(-1).to_numpy(),
+            "first_value": g["value"].transform("first").to_numpy(),
+            "last_value": g["value"].transform("last").to_numpy()})
+
+    return (ds.map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: win(df.drop(columns=["bucket"])),
+                        batch_format="pandas")
+            .sort("event_id"))
+
+
+def q_daily_activity_full(sf_dir: str):
+    """Distributed FULL OUTER join (completing the §2.4 join-type family
+    next to inner/left/semi/anti): clicks-per-(day,user) ⟗
+    purchases-per-(day,user). Both sides partial-combine per batch before
+    the exchange; the join is Ray's hash full_outer with inputs
+    normalized per invariant 7 (hash-aggregate outputs feed a join)."""
+    from . import ops
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def daily(df: pd.DataFrame, typ: str, name: str) -> pd.DataFrame:
+        df = df[df["event_type"] == typ]
+        if not len(df):
+            return pd.DataFrame({"day": pd.Series([], dtype="int64"),
+                                 "user_id": pd.Series([], dtype="int64"),
+                                 name: pd.Series([], dtype="int64")})
+        day = (df["ts"].astype("int64") // (86_400_000_000)).astype("int64")
+        g = (pd.DataFrame({"day": day, "user_id": df["user_id"]})
+             .groupby(["day", "user_id"], sort=False).size())
+        out = g.reset_index(name=name)
+        return out.astype({"day": "int64", "user_id": "int64",
+                           name: "int64"})
+
+    schema_c = pa.schema([("day", pa.int64()), ("user_id", pa.int64()),
+                          ("n_clicks", pa.int64())])
+    schema_p = pa.schema([("day", pa.int64()), ("user_id", pa.int64()),
+                          ("n_purchases", pa.int64())])
+    clicks = (ds.map_batches(lambda df: daily(df, "click", "n_clicks"),
+                             batch_format="pandas")
+              .groupby(["day", "user_id"])
+              .aggregate(Sum("n_clicks", alias_name="n_clicks")))
+    purch = (ds.map_batches(lambda df: daily(df, "purchase", "n_purchases"),
+                            batch_format="pandas")
+             .groupby(["day", "user_id"])
+             .aggregate(Sum("n_purchases", alias_name="n_purchases")))
+    clicks = ops.materialize_normalized(clicks, schema_c)
+    purch = ops.materialize_normalized(purch, schema_p)
+    joined = clicks.join(purch, "full_outer", ops._default_partitions(),
+                         on=("day", "user_id"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": df["day"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "n_clicks": df["n_clicks"].fillna(0).astype("int64"),
+            "n_purchases": df["n_purchases"].fillna(0).astype("int64")})
+
+    return (joined.map_batches(finish, batch_format="pandas")
+            .sort(["day", "user_id"]))
+
+
+def q_corr_lineitem(sf_dir: str):
+    """Distributed Pearson correlation + least-squares slope (the
+    statistical A-family: CORR / REGR_SLOPE) of order quantity vs price
+    per returnflag. Moment sums (n, Σx, Σy, Σx², Σy², Σxy) accumulate as
+    EXACT int64 per batch (quantity is integral, price rounded to whole
+    dollars) — one 6-number row per group per batch moves — and the final
+    formula is a pinned float64 expression tree, identical in the SQL
+    twin, so the doubles match bit-exactly. Sums stay exact to sf≈1000
+    (Σy² < 2^63)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_quantity"].astype("int64")
+        v = df["l_extendedprice"].to_numpy(dtype=np.float64)
+        y = pd.Series(np.sign(v) * np.floor(np.abs(v) + 0.5),
+                      index=df.index).astype("int64")
+        g = pd.DataFrame({
+            "l_returnflag": df["l_returnflag"], "n": 1,
+            "sx": x, "sy": y, "sxx": x * x, "syy": y * y, "sxy": x * y})
+        return (g.groupby("l_returnflag", sort=False, as_index=False)
+                .sum())
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("l_returnflag")
+           .aggregate(*[Sum(c, alias_name=c)
+                        for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].astype("float64")
+        sx, sy = df["sx"].astype("float64"), df["sy"].astype("float64")
+        sxx, syy = df["sxx"].astype("float64"), df["syy"].astype("float64")
+        sxy = df["sxy"].astype("float64")
+        cov_n = n * sxy - sx * sy
+        var_x = n * sxx - sx * sx
+        var_y = n * syy - sy * sy
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "n": df["n"].astype("int64"),
+            "corr_r": cov_n / (np.sqrt(var_x) * np.sqrt(var_y)),
+            "slope": cov_n / var_x})
+
+    return (agg.map_batches(finish, batch_format="pandas")
+            .sort("l_returnflag"))
+
+
+def q_funnel_events(sf_dir: str):
+    """Funnel analysis (ordered event-sequence matching): per user, stage
+    reached in the strict view → click → purchase sequence (each later
+    stage strictly after the earlier stage's FIRST occurrence), then
+    users per stage. ONE bucketed per-user shuffle; the stage logic is
+    vectorized group mins. Stages with zero users still emit a row, so
+    the output shape is stable at every sf."""
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["view", "click", "purchase"])].copy()
+        k = df["user_id"].astype(str)
+        df["bucket"] = stable_bucket(k, k, 32)
+        return df
+
+    def stage_group(df: pd.DataFrame) -> pd.DataFrame:
+        users = pd.DataFrame({"user_id": df["user_id"].unique()})
+        t1 = (df[df["event_type"] == "view"]
+              .groupby("user_id", as_index=False)["ts"].min()
+              .rename(columns={"ts": "t1"}))
+        c = df[df["event_type"] == "click"].merge(t1, on="user_id")
+        t2 = (c[c["ts"] > c["t1"]]
+              .groupby("user_id", as_index=False)["ts"].min()
+              .rename(columns={"ts": "t2"}))
+        p = df[df["event_type"] == "purchase"].merge(t2, on="user_id")
+        t3 = (p[p["ts"] > p["t2"]]
+              .groupby("user_id", as_index=False)["ts"].min()
+              .rename(columns={"ts": "t3"}))
+        m = (users.merge(t1, on="user_id", how="left")
+             .merge(t2, on="user_id", how="left")
+             .merge(t3, on="user_id", how="left"))
+        stage = (m["t1"].notna().astype("int64")
+                 + m["t2"].notna().astype("int64")
+                 + m["t3"].notna().astype("int64"))
+        return pd.DataFrame({"user_id": m["user_id"].astype("int64"),
+                             "stage": stage})
+
+    stages = (ds.map_batches(bucketize, batch_format="pandas")
+              .groupby("bucket")
+              .map_groups(lambda df: stage_group(df.drop(columns="bucket")),
+                          batch_format="pandas"))
+    counts = (stages.groupby("stage")
+              .aggregate(Count(on="stage", alias_name="users"))
+              .to_pandas())
+    full = pd.DataFrame({"stage": np.arange(4, dtype="int64")})
+    out = full.merge(counts, on="stage", how="left")
+    out["users"] = out["users"].fillna(0).astype("int64")
+    return out
+
+
+def q_source_divergence(sf_dir: str):
+    """Corpus-drift measurement: EXACT total-variation distance between
+    the add-one-smoothed token distributions of two sources (the
+    distribution-shift monitor a 100-TB ingest pipeline runs between
+    crawl snapshots). |p−q| terms are summed as exact INTEGER numerators
+    over the common denominator (N_a+V)(N_b+V) — no float accumulation
+    order anywhere — and only the final scale is one pinned float
+    division. Token counts colocate in ONE token-bucketed shuffle."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    src_a, src_b = "src0", "src1"
+
+    def toks(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["source"].isin([src_a, src_b])]
+        if not len(df):
+            return pd.DataFrame({"tok": pd.Series([], dtype="object"),
+                                 "ca": pd.Series([], dtype="int64"),
+                                 "cb": pd.Series([], dtype="int64")})
+        rows = []
+        for src, sub in df.groupby("source", sort=False):
+            t = sub["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+            arr = np.concatenate([np.array(x, dtype=object) for x in t]
+                                 + [np.array([], dtype=object)])
+            u, c = np.unique(arr.astype(str), return_counts=True)
+            rows.append(pd.DataFrame({
+                "tok": u,
+                "ca": c.astype("int64") if src == src_a else 0,
+                "cb": c.astype("int64") if src == src_b else 0}))
+        out = pd.concat(rows, ignore_index=True)
+        return (out.groupby("tok", sort=False, as_index=False)
+                [["ca", "cb"]].sum())
+
+    counts = (ds.map_batches(toks, batch_format="pandas")
+              .groupby("tok")
+              .aggregate(Sum("ca", alias_name="ca"),
+                         Sum("cb", alias_name="cb"))
+              .materialize())
+    tot = counts.map_batches(
+        lambda df: pd.DataFrame({"na": [int(df["ca"].sum())],
+                                 "nb": [int(df["cb"].sum())],
+                                 "v": [np.int64(len(df))]}),
+        batch_format="pandas").to_pandas().sum()
+    na, nb, v = int(tot["na"]), int(tot["nb"]), int(tot["v"])
+
+    def numer(df: pd.DataFrame) -> pd.DataFrame:
+        num = np.abs((df["ca"].astype("int64") + 1) * (nb + v)
+                     - (df["cb"].astype("int64") + 1) * (na + v))
+        return pd.DataFrame({"s": [np.int64(num.sum())]})
+
+    s = int(counts.map_batches(numer, batch_format="pandas")
+            .to_pandas()["s"].sum())
+    tv = 0.5 * (float(s) / (float(na + v) * float(nb + v)))
+    return pd.DataFrame({
+        "source_a": [src_a], "source_b": [src_b],
+        "n_a": pd.Series([na], dtype="int64"),
+        "n_b": pd.Series([nb], dtype="int64"),
+        "vocab": pd.Series([v], dtype="int64"),
+        "tv_distance": pd.Series([tv], dtype="float64")})
 
 
 QUERIES = {
@@ -2191,6 +2468,12 @@ QUERIES = {
     "q_curation_pipeline": q_curation_pipeline,
     "q_curation_full": q_curation_full,
     "q_curation_langid": q_curation_langid,
+    "q_median_per_type": q_median_per_type,
+    "q_lead_events": q_lead_events,
+    "q_daily_activity_full": q_daily_activity_full,
+    "q_corr_lineitem": q_corr_lineitem,
+    "q_funnel_events": q_funnel_events,
+    "q_source_divergence": q_source_divergence,
 }
 
 
@@ -3393,6 +3676,240 @@ ORACLE_SQL = {
             FROM sims)
         SELECT query_id, rank, neighbor_id FROM ranked
         WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+    "q_median_per_type": """
+        SELECT event_type,
+               quantile_disc(value, 0.5) AS median_value,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "q_lead_events": """
+        SELECT event_id, user_id,
+               LEAD(value) OVER w AS next_value,
+               FIRST_VALUE(value) OVER w AS first_value,
+               LAST_VALUE(value) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS last_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id
+    """,
+    "q_daily_activity_full": """
+        WITH c AS (
+            SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS day, user_id,
+                   COUNT(*) AS n_clicks
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        p AS (
+            SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS day, user_id,
+                   COUNT(*) AS n_purchases
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        SELECT CAST(COALESCE(c.day, p.day) AS BIGINT) AS day,
+               COALESCE(c.user_id, p.user_id) AS user_id,
+               CAST(COALESCE(c.n_clicks, 0) AS BIGINT) AS n_clicks,
+               CAST(COALESCE(p.n_purchases, 0) AS BIGINT) AS n_purchases
+        FROM c FULL OUTER JOIN p
+          ON c.day = p.day AND c.user_id = p.user_id
+        ORDER BY day, user_id
+    """,
+    # q_curation_langid = the q_curation_pipeline twin with the table's
+    # lang column replaced by the q_langid_docs heuristic (stopword-ratio
+    # scores, Python-max tie-break as ORDER BY score DESC, lang DESC).
+    "q_curation_langid": r"""
+        WITH d AS (SELECT doc_id, lower(COALESCE(text,'')) AS t FROM documents),
+        toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(t, '\s+'),
+                                    x -> x <> '')) AS tok
+          FROM d),
+        counts AS (
+          SELECT doc_id, COUNT(*) AS n,
+                 SUM(CASE WHEN tok IN ('auf','das','der','die','ein','für',
+                                       'ist','mit','nicht','und')
+                     THEN 1 ELSE 0 END) AS c_de,
+                 SUM(CASE WHEN tok IN ('a','and','for','in','is','it','of',
+                                       'that','the','to')
+                     THEN 1 ELSE 0 END) AS c_en,
+                 SUM(CASE WHEN tok IN ('con','de','el','es','la','los','por',
+                                       'que','un','una')
+                     THEN 1 ELSE 0 END) AS c_es,
+                 SUM(CASE WHEN tok IN ('dans','est','et','la','le','les',
+                                       'pour','que','un','une')
+                     THEN 1 ELSE 0 END) AS c_fr
+          FROM toks GROUP BY doc_id),
+        scores AS (
+          SELECT doc_id, 'de' AS lang, CAST(c_de AS DOUBLE)/n AS score FROM counts
+          UNION ALL
+          SELECT doc_id, 'en', CAST(c_en AS DOUBLE)/n FROM counts
+          UNION ALL
+          SELECT doc_id, 'es', CAST(c_es AS DOUBLE)/n FROM counts
+          UNION ALL
+          SELECT doc_id, 'fr', CAST(c_fr AS DOUBLE)/n FROM counts),
+        best AS (
+          SELECT doc_id, lang, score,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, lang DESC) AS rn
+          FROM scores),
+        pred AS (
+          SELECT d0.doc_id,
+                 COALESCE(CASE WHEN b.score >= 0.08 THEN b.lang
+                          ELSE 'und' END, 'und') AS lang_pred
+          FROM (SELECT doc_id FROM documents) d0
+          LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)),
+        keep AS (
+            SELECT MIN(doc_id) AS keep_id
+            FROM documents GROUP BY md5(COALESCE(text, ''))
+        ),
+        ann AS (
+            SELECT doc_id, p.lang_pred AS lang,
+                   CASE WHEN trim(COALESCE(text,'')) = '' THEN 0
+                        ELSE CAST(len(string_split_regex(trim(text), '\s+'))
+                                  AS BIGINT) END AS tok_cnt,
+                   CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars,
+                   md5(COALESCE(text, '')) AS text_md5
+            FROM documents JOIN pred p USING (doc_id)
+        )
+        SELECT a.doc_id, a.lang, a.tok_cnt, a.n_chars, a.text_md5
+        FROM ann a JOIN keep k ON a.doc_id = k.keep_id
+        WHERE a.lang = 'en' AND a.tok_cnt BETWEEN 10 AND 1000000
+        ORDER BY a.doc_id
+    """,
+    # corr/slope: integer moment sums, then the engine's exact float64
+    # expression tree (CAST each sum to DOUBLE first).
+    "q_corr_lineitem": """
+        WITH s AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   SUM(CAST(l_quantity AS BIGINT)) AS sx,
+                   SUM(CAST(ROUND(l_extendedprice) AS BIGINT)) AS sy,
+                   SUM(CAST(l_quantity AS BIGINT)
+                       * CAST(l_quantity AS BIGINT)) AS sxx,
+                   SUM(CAST(ROUND(l_extendedprice) AS BIGINT)
+                       * CAST(ROUND(l_extendedprice) AS BIGINT)) AS syy,
+                   SUM(CAST(l_quantity AS BIGINT)
+                       * CAST(ROUND(l_extendedprice) AS BIGINT)) AS sxy
+            FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 AS corr_r,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+        FROM s ORDER BY l_returnflag
+    """,
+    "q_funnel_events": """
+        WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, MIN(e.ts) AS t2
+              FROM events e JOIN v USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > v.t1
+              GROUP BY e.user_id),
+        p AS (SELECT e.user_id, MIN(e.ts) AS t3
+              FROM events e JOIN c USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > c.t2
+              GROUP BY e.user_id),
+        u AS (SELECT DISTINCT user_id FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')),
+        st AS (
+            SELECT u.user_id,
+                   (CASE WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                     AS stage
+            FROM u LEFT JOIN v USING (user_id)
+                   LEFT JOIN c USING (user_id)
+                   LEFT JOIN p USING (user_id))
+        SELECT CAST(g.stage AS BIGINT) AS stage,
+               CAST(COALESCE(cnt, 0) AS BIGINT) AS users
+        FROM (VALUES (0), (1), (2), (3)) g(stage)
+        LEFT JOIN (SELECT stage, COUNT(*) AS cnt FROM st GROUP BY stage) s
+          ON g.stage = s.stage
+        ORDER BY g.stage
+    """,
+    "q_source_divergence": r"""
+        WITH t AS (
+            SELECT source,
+                   unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                             '[a-z]+')) AS tok
+            FROM documents WHERE source IN ('src0', 'src1')),
+        c AS (
+            SELECT tok,
+                   SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca,
+                   SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cb
+            FROM t GROUP BY tok),
+        tot AS (
+            SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                   CAST(SUM(cb) AS BIGINT) AS nb,
+                   CAST(COUNT(*) AS BIGINT) AS v
+            FROM c),
+        num AS (
+            SELECT CAST(SUM(ABS((c.ca + 1) * (t.nb + t.v)
+                                - (c.cb + 1) * (t.na + t.v)))
+                        AS BIGINT) AS s
+            FROM c, tot t)
+        SELECT 'src0' AS source_a, 'src1' AS source_b,
+               t.na AS n_a, t.nb AS n_b, t.v AS vocab,
+               0.5 * (CAST(num.s AS DOUBLE)
+                      / (CAST(t.na + t.v AS DOUBLE)
+                         * CAST(t.nb + t.v AS DOUBLE))) AS tv_distance
+        FROM tot t, num
+    """,
+    # HLL p=12, md5 hash: bucket = first 3 hex nibbles, rank = exact
+    # nibble leading-zero count of the next 13 nibbles; Σ2^-reg kept as
+    # the exact integer Σ2^(63-reg); estimate = the engine's pinned
+    # float64 tree (alpha * m² * (2^63 / S)), linear counting below
+    # 2.5m, half-away 3-decimal round.
+    "q_hll_users": r"""
+        WITH u AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS sv
+                   FROM events),
+        h AS (SELECT substr(md5(sv), 1, 16) AS hx FROM u),
+        n3 AS (
+            SELECT hx,
+                   (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 256
+                 + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) AS idx,
+                   substr(hx, 4, 13) AS rest
+            FROM h),
+        rk AS (
+            SELECT idx,
+                   CAST(length(regexp_extract(rest, '^0*')) AS BIGINT) AS z,
+                   CASE WHEN length(regexp_extract(rest, '^0*')) >= 13
+                        THEN 0
+                        ELSE strpos('0123456789abcdef',
+                                    substr(rest,
+                                           length(regexp_extract(rest, '^0*'))
+                                           + 1, 1)) - 1 END AS d
+            FROM n3),
+        ranks AS (
+            SELECT idx,
+                   LEAST(4 * z + (CASE WHEN d >= 8 THEN 0
+                                       WHEN d >= 4 THEN 1
+                                       WHEN d >= 2 THEN 2
+                                       ELSE 3 END) + 1, 53) AS rnk
+            FROM rk),
+        regs AS (SELECT idx, MAX(rnk) AS reg FROM ranks GROUP BY idx),
+        agg AS (
+            SELECT CAST(SUM(CAST(power(2, 63 - reg) AS HUGEINT)) AS HUGEINT)
+                   + CAST(4096 - COUNT(*) AS HUGEINT)
+                     * CAST(power(2, 63) AS HUGEINT) AS s,
+                   4096 - COUNT(*) AS zeros
+            FROM regs),
+        est AS (
+            SELECT (0.7213 / (1 + 1.079 / 4096.0)) * 16777216.0
+                   * (9223372036854775808.0 / CAST(s AS DOUBLE)) AS raw,
+                   zeros
+            FROM agg)
+        SELECT floor((CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+                           THEN 4096.0 * ln(4096.0 / CAST(zeros AS DOUBLE))
+                           ELSE raw END) * 1000 + 0.5) / 1000
+               AS distinct_users_est
+        FROM est
     """,
 }
 

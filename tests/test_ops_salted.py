@@ -118,3 +118,27 @@ def test_hll_distinct_accuracy_and_determinism():
             rd.from_pandas(pd.DataFrame({"u": vals})).repartition(11), "u")
         assert est1 == est2                     # partition-invariant
         assert abs(est1 - n_distinct) / n_distinct < 0.03
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_md5_partition_invariant_and_accurate():
+    """md5-hash HLL (the oracle-checkable variant): identical estimate
+    under different partitionings, <3% error in both regimes, and p!=12
+    rejected (the nibble math is pinned to 3-nibble buckets)."""
+    import numpy as np
+    import ray.data as rd
+
+    from gitprov_ray.ops import hll_distinct
+
+    for n_distinct in (150, 20000):
+        vals = np.arange(n_distinct).repeat(2)
+        est1, _ = hll_distinct(
+            rd.from_pandas(pd.DataFrame({"u": vals})).repartition(3),
+            "u", hash="md5")
+        est2, _ = hll_distinct(
+            rd.from_pandas(pd.DataFrame({"u": vals})).repartition(11),
+            "u", hash="md5")
+        assert est1 == est2
+        assert abs(est1 - n_distinct) / n_distinct < 0.03
+    with pytest.raises(ValueError):
+        hll_distinct(rd.range(10), "id", p=10, hash="md5")
