@@ -2365,6 +2365,134 @@ def q_source_divergence(sf_dir: str):
         "tv_distance": pd.Series([tv], dtype="float64")})
 
 
+def q_mode_per_group(sf_dir: str):
+    """Per-key MODE (most frequent value; tie -> lexicographically
+    smallest) — the categorical summary aggregate. Per-batch partial
+    (user, type) counts shrink the exchange to one row per distinct pair
+    per batch; ONE bucketed shuffle on user_id resolves the argmax
+    in-group (invariant 6: no multi-key groupby.aggregate)."""
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["user_id", "event_type"], sort=False)
+             .size().rename("n").reset_index())
+        k = g["user_id"].astype(str)
+        g["bucket"] = stable_bucket(k, k, 32)
+        return g
+
+    def mode(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["user_id", "event_type"], sort=False,
+                        as_index=False)["n"].sum())
+        g = g.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = g.drop_duplicates("user_id", keep="first")
+        return pd.DataFrame({
+            "user_id": top["user_id"].to_numpy(),
+            "mode_type": top["event_type"].to_numpy(),
+            "mode_n": top["n"].astype("int64").to_numpy()})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: mode(df.drop(columns=["bucket"])),
+                        batch_format="pandas")
+            .sort("user_id"))
+
+
+def q_group_variance(sf_dir: str):
+    """Distributed population variance via mergeable (n, sum, sumsq)
+    partials — the one-pass moment aggregate. All arithmetic on the
+    final tiny table is EXACT (Python big ints; round-half-up done as
+    (2*num + den) // (2*den)), so the result hash-matches the HUGEINT
+    SQL twin bit-for-bit with no float association-order noise."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = _cents(df["value"])
+        g = pd.DataFrame({"event_type": df["event_type"], "c": c,
+                          "c2": c * c, "n": np.int64(1)})
+        return (g.groupby("event_type", sort=False, as_index=False)
+                [["n", "c", "c2"]].sum())
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("c", alias_name="s"),
+                      Sum("c2", alias_name="ss"))
+           .to_pandas())
+
+    def var_millis(row) -> int:
+        n, s, ss = int(row["n"]), int(row["s"]), int(row["ss"])
+        num = (n * ss - s * s) * 1000
+        den = n * n
+        return (2 * num + den) // (2 * den)
+
+    out = pd.DataFrame({
+        "event_type": agg["event_type"],
+        "n": agg["n"].astype("int64"),
+        "sum_cents": agg["s"].astype("int64"),
+        "var_pop_millis": agg.apply(var_millis, axis=1).astype("int64")})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Cohort retention matrix (the classic product-analytics op):
+    cohort = month of each user's first event; cell = distinct users of
+    that cohort active in month cohort+k. ONE bucketed shuffle on
+    user_id carries BOTH the per-batch min-ts partials and the per-batch
+    distinct (user, month) pairs (tagged union), so the cohort lookup is
+    an in-bucket join — no broadcast of a potentially huge user map."""
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["ts"].dt.to_period("M").dt.to_timestamp()
+        pairs = pd.DataFrame({"user_id": df["user_id"], "m": m})
+        dis = pairs.drop_duplicates()
+        first = (pairs.assign(ts=df["ts"]).groupby("user_id", sort=False)
+                 ["ts"].min().reset_index())
+        nat_us = pd.Series(pd.NaT, dtype="datetime64[us]")
+        rows = pd.concat([
+            dis.assign(kind="a",
+                       ts=nat_us.reindex(range(len(dis))).to_numpy()),
+            pd.DataFrame({"user_id": first["user_id"],
+                          "m": nat_us.reindex(
+                              range(len(first))).to_numpy(),
+                          "kind": "f", "ts": first["ts"]})],
+            ignore_index=True)
+        k = rows["user_id"].astype(str)
+        rows["bucket"] = stable_bucket(k, k, 32)
+        return rows
+
+    def cell(df: pd.DataFrame) -> pd.DataFrame:
+        f = df[df["kind"] == "f"].groupby("user_id", sort=False)["ts"].min()
+        cohort = f.dt.to_period("M").dt.to_timestamp().rename("cohort")
+        a = (df[df["kind"] == "a"][["user_id", "m"]].drop_duplicates()
+             .merge(cohort.reset_index(), on="user_id"))
+        off = ((a["m"].dt.year - a["cohort"].dt.year) * 12
+               + (a["m"].dt.month - a["cohort"].dt.month))
+        g = (pd.DataFrame({"cohort_month": a["cohort"],
+                           "month_offset": off.astype("int64"),
+                           "n_users": np.int64(1)})
+             .groupby(["cohort_month", "month_offset"], sort=False,
+                      as_index=False)["n_users"].sum())
+        return g
+
+    part = (ds.map_batches(partial, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: cell(df.drop(columns=["bucket"])),
+                        batch_format="pandas")
+            .to_pandas())
+    out = (part.groupby(["cohort_month", "month_offset"], as_index=False)
+           ["n_users"].sum())
+    out["n_users"] = out["n_users"].astype("int64")
+    out["cohort_month"] = out["cohort_month"].astype("datetime64[us]")
+    return (out.sort_values(["cohort_month", "month_offset"])
+            .reset_index(drop=True))
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -2474,6 +2602,9 @@ QUERIES = {
     "q_corr_lineitem": q_corr_lineitem,
     "q_funnel_events": q_funnel_events,
     "q_source_divergence": q_source_divergence,
+    "q_mode_per_group": q_mode_per_group,
+    "q_group_variance": q_group_variance,
+    "q_retention_cohorts": q_retention_cohorts,
 }
 
 
@@ -3910,6 +4041,55 @@ ORACLE_SQL = {
                            ELSE raw END) * 1000 + 0.5) / 1000
                AS distinct_users_est
         FROM est
+    """,
+    "q_mode_per_group": """
+        WITH c AS (
+          SELECT user_id, event_type, COUNT(*) AS n
+          FROM events GROUP BY user_id, event_type),
+        r AS (
+          SELECT user_id, event_type, n,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                     ORDER BY n DESC, event_type) AS rk
+          FROM c)
+        SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS mode_n
+        FROM r WHERE rk = 1 ORDER BY user_id
+    """,
+    # exact integer variance: num/den kept in HUGEINT, round-half-up as
+    # (2*num + den) // (2*den) — identical big-int arithmetic on both sides
+    "q_group_variance": """
+        WITH p AS (
+          SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS c
+          FROM events),
+        a AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS HUGEINT) AS n,
+                 CAST(SUM(c) AS HUGEINT) AS s,
+                 CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ss
+          FROM p GROUP BY event_type)
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n,
+               CAST(s AS BIGINT) AS sum_cents,
+               CAST((2 * ((n*ss - s*s) * 1000) + n*n) // (2 * n*n)
+                    AS BIGINT) AS var_pop_millis
+        FROM a ORDER BY event_type
+    """,
+    "q_retention_cohorts": """
+        WITH f AS (
+          SELECT user_id, date_trunc('month', MIN(ts)) AS cohort
+          FROM events GROUP BY user_id),
+        a AS (
+          SELECT DISTINCT user_id, date_trunc('month', ts) AS m
+          FROM events),
+        j AS (
+          SELECT f.cohort,
+                 (year(a.m) - year(f.cohort)) * 12
+                 + (month(a.m) - month(f.cohort)) AS off,
+                 a.user_id
+          FROM a JOIN f USING (user_id))
+        SELECT cohort AS cohort_month,
+               CAST(off AS BIGINT) AS month_offset,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM j GROUP BY cohort, off ORDER BY cohort, off
     """,
 }
 
