@@ -2493,6 +2493,102 @@ def q_retention_cohorts(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q_chunk_docs(sf_dir: str, window: int = 64, stride: int = 48):
+    """Training-data chunking: split each document into overlapping
+    token windows (size ``window``, stride ``stride``) — the standard
+    LLM context-window prep step. Pure row-expansion flat-map: fully
+    vectorized per batch (one np.concatenate of token arrays + offset
+    arithmetic, no Python loop over rows), no shuffle at all; output
+    keeps (first, last) token per chunk so the hash pins window
+    placement without shipping the full chunk text."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunks(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+        n = toks.str.len().to_numpy(dtype=np.int64)
+        keep = n > 0
+        toks, n = toks[keep], n[keep]
+        doc_id = df["doc_id"].to_numpy()[keep]
+        if len(n) == 0:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "chunk_idx": pd.Series([], dtype="int64"),
+                "chunk_len": pd.Series([], dtype="int64"),
+                "first_tok": pd.Series([], dtype=object),
+                "last_tok": pd.Series([], dtype=object)})
+        k_per = (n - 1) // stride + 1
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        doc_off = np.concatenate([[0], np.cumsum(n)[:-1]])
+        idx = np.concatenate([np.arange(k) for k in k_per])
+        rep_doc = np.repeat(doc_id, k_per)
+        rep_off = np.repeat(doc_off, k_per)
+        rep_n = np.repeat(n, k_per)
+        start = idx * stride
+        clen = np.minimum(window, rep_n - start)
+        g0 = rep_off + start
+        return pd.DataFrame({
+            "doc_id": rep_doc,
+            "chunk_idx": idx.astype("int64"),
+            "chunk_len": clen.astype("int64"),
+            "first_tok": flat[g0],
+            "last_tok": flat[g0 + clen - 1]})
+
+    return ds.map_batches(chunks, batch_format="pandas").sort(
+        ["doc_id", "chunk_idx"])
+
+
+def q_pack_sequences(sf_dir: str, budget: int = 256):
+    """Greedy sequence packing (LLM batch prep): walk each source's
+    docs in doc_id order, open a new bin whenever adding the next doc's
+    (budget-capped) token count would overflow the budget. ONE bucketed
+    shuffle on source; in-group assignment loops over BINS, not rows
+    (searchsorted on the token cumsum), so the group pass is
+    O(bins log n). The SQL twin replays the identical walk as a
+    recursive CTE."""
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        t = (df["text"].fillna("").str.lower().str.count(r"[a-z]+")
+             .astype("int64").clip(upper=budget))
+        out = pd.DataFrame({"doc_id": df["doc_id"],
+                            "source": df["source"], "t": t})
+        k = out["source"].astype(str)
+        out["bucket"] = stable_bucket(k, k, 32)
+        return out
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for src, g in df.groupby("source", sort=False):
+            g = g.sort_values("doc_id", kind="mergesort")
+            t = g["t"].to_numpy(dtype=np.int64)
+            cum = np.concatenate([[0], np.cumsum(t)])
+            bins = np.empty(len(g), dtype=np.int64)
+            pos, b = 0, 0
+            while pos < len(g):
+                end = int(np.searchsorted(cum, cum[pos] + budget,
+                                          side="right")) - 1
+                end = max(end, pos + 1)
+                bins[pos:end] = b
+                b += 1
+                pos = end
+            frames.append(pd.DataFrame({
+                "doc_id": g["doc_id"].to_numpy(), "source": src,
+                "bin_id": bins, "tok_used": t}))
+        return (pd.concat(frames, ignore_index=True) if frames else
+                pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "source": pd.Series([], dtype=object),
+                              "bin_id": pd.Series([], dtype="int64"),
+                              "tok_used": pd.Series([], dtype="int64")}))
+
+    return (ds.map_batches(counts, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: pack(df.drop(columns=["bucket"])),
+                        batch_format="pandas")
+            .sort(["source", "doc_id"]))
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -2605,6 +2701,8 @@ QUERIES = {
     "q_mode_per_group": q_mode_per_group,
     "q_group_variance": q_group_variance,
     "q_retention_cohorts": q_retention_cohorts,
+    "q_chunk_docs": q_chunk_docs,
+    "q_pack_sequences": q_pack_sequences,
 }
 
 
@@ -4090,6 +4188,49 @@ ORACLE_SQL = {
                CAST(off AS BIGINT) AS month_offset,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         FROM j GROUP BY cohort, off ORDER BY cohort, off
+    """,
+    "q_chunk_docs": """
+        WITH t AS (
+          SELECT doc_id, list_filter(
+                   string_split_regex(lower(COALESCE(text, '')), '[^a-z]+'),
+                   x -> x <> '') AS toks
+          FROM documents),
+        n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        c AS (
+          SELECT doc_id, toks, n,
+                 unnest(generate_series(0, CAST((n-1) // 48 AS INT))) AS k
+          FROM n)
+        SELECT doc_id,
+               CAST(k AS BIGINT) AS chunk_idx,
+               CAST(LEAST(64, n - k*48) AS BIGINT) AS chunk_len,
+               toks[k*48 + 1] AS first_tok,
+               toks[k*48 + LEAST(64, n - k*48)] AS last_tok
+        FROM c ORDER BY doc_id, chunk_idx
+    """,
+    # the recursive CTE replays the engine's greedy walk row by row;
+    # per-source depth = docs per source, tiny because source partitions
+    "q_pack_sequences": """
+        WITH RECURSIVE o AS (
+          SELECT source, doc_id,
+                 LEAST(CAST(len(regexp_extract_all(
+                         lower(COALESCE(text, '')), '[a-z]+')) AS BIGINT),
+                       256) AS t,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY doc_id) AS rn
+          FROM documents),
+        walk(source, rn, bin, running) AS (
+          SELECT source, rn, CAST(0 AS BIGINT), t FROM o WHERE rn = 1
+          UNION ALL
+          SELECT o.source, o.rn,
+                 CASE WHEN w.running + o.t > 256 THEN w.bin + 1
+                      ELSE w.bin END,
+                 CASE WHEN w.running + o.t > 256 THEN o.t
+                      ELSE w.running + o.t END
+          FROM walk w JOIN o ON o.source = w.source AND o.rn = w.rn + 1)
+        SELECT o.doc_id, o.source, CAST(w.bin AS BIGINT) AS bin_id,
+               CAST(o.t AS BIGINT) AS tok_used
+        FROM walk w JOIN o USING (source, rn)
+        ORDER BY o.source, o.doc_id
     """,
 }
 
