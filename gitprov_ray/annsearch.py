@@ -69,6 +69,50 @@ def brute_force_topk(emb_ds, query_ids: list[int], k: int = 5,
         lambda df: _merge_topk(df, k), batch_format="pandas")
 
 
+def hard_negative_topk(emb_ds, query_ids: list[int], k: int = 5,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       label_col: str = "label"):
+    """Hard-negative mining for contrastive training: per query, the
+    top-k most-similar vectors with a DIFFERENT label (the negatives a
+    random sampler would miss). Same partial-top-k combine as
+    :func:`brute_force_topk` — query matrix + labels broadcast once,
+    each batch ships at most k rows per query."""
+    qset = set(query_ids)
+    qdf = emb_ds.map_batches(
+        lambda df: df[df[id_col].isin(qset)],
+        batch_format="pandas").to_pandas()
+    q_ids = qdf[id_col].to_numpy()
+    q_labels = qdf[label_col].to_numpy()
+    q = np.stack([np.asarray(v, dtype=np.float64) for v in qdf[vec_col]])
+    q_mat = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+
+    def batch_neg(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        labels = df[label_col].to_numpy()
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
+        m_n = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m_n @ q_mat.T                   # ONE matmul per batch
+        rows = {"query_id": [], "neighbor_id": [], "sim": []}
+        for qi, qid in enumerate(q_ids):
+            mask = labels != q_labels[qi]      # different-label negatives
+            cand_ids, cand_s = ids[mask], sims[mask, qi]
+            if len(cand_ids) > k:
+                part = np.argpartition(-cand_s, k)[:k]
+                cand_ids, cand_s = cand_ids[part], cand_s[part]
+            rows["query_id"].extend([qid] * len(cand_ids))
+            rows["neighbor_id"].extend(cand_ids.tolist())
+            rows["sim"].extend(cand_s.tolist())
+        return pd.DataFrame({
+            "query_id": pd.Series(rows["query_id"], dtype="int64"),
+            "neighbor_id": pd.Series(rows["neighbor_id"], dtype="int64"),
+            "sim": pd.Series(rows["sim"], dtype="float64")})
+
+    partials = emb_ds.map_batches(batch_neg, batch_format="pandas",
+                                  batch_size=4096)
+    return partials.groupby("query_id").map_groups(
+        lambda df: _merge_topk(df, k), batch_format="pandas")
+
+
 def _hyperplanes(dim: int) -> np.ndarray:
     rng = np.random.RandomState(_HP_SEED)
     return rng.normal(size=(_N_PLANES, dim))

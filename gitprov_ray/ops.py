@@ -172,6 +172,75 @@ def semi_join(left_ds, right_ds, left_key: str, right_key: str,
         lambda df: df.drop(columns=["__match"]), batch_format="pandas")
 
 
+def _bloom_positions(keys: pd.Series, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit positions via vectorized double hashing — two
+    independent 64-bit hashes (pd.util.hash_pandas_object with distinct
+    categories; invariant 4: never per-row hashing in a loop)."""
+    s = keys.astype(str)
+    h1 = pd.util.hash_pandas_object(s, index=False,
+                                    hash_key="b10om!filter0001").to_numpy()
+    h2 = pd.util.hash_pandas_object(s, index=False,
+                                    hash_key="b10om!filter0002").to_numpy()
+    h2 = h2 | 1                                   # odd → full-period stride
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None])
+            % np.uint64(m_bits)).astype(np.int64)
+
+
+def _bloom_member(keys: pd.Series, bitmap: np.ndarray,
+                  m_bits: int, k: int) -> np.ndarray:
+    pos = _bloom_positions(keys, m_bits, k)
+    bits = (bitmap[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return bits.all(axis=1)
+
+
+def bloom_semi_join(left_ds, right_ds, left_key: str, right_key: str,
+                    num_partitions: int | None = None,
+                    m_bits: int = 1 << 23, k: int = 4):
+    """Semi join with a Bloom prefilter — the classic shuffle-volume
+    saver for selective joins at scale: the right key set is summarized
+    into an m-bit filter (built distributively: per-batch local
+    bitmaps OR-combined in a tree, never the key set on the driver),
+    broadcast once via ray.put, and applied inside map_batches to drop
+    left rows that CANNOT match before the exact bucketed
+    :func:`semi_join` runs on the survivors. False positives only ever
+    add survivors, so the result is exactly the semi join."""
+    import ray
+
+    keys = distinct_keys(right_ds, right_key, num_partitions)
+
+    def local_bitmap(df: pd.DataFrame) -> pd.DataFrame:
+        bm = np.zeros(m_bits // 8, dtype=np.uint8)
+        if len(df):
+            pos = _bloom_positions(df[right_key], m_bits, k).ravel()
+            np.bitwise_or.at(bm, pos >> 3,
+                             np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pd.DataFrame({"bm": [bm.tobytes()]})
+
+    def or_batch(df: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(m_bits // 8, dtype=np.uint8)
+        for b in df["bm"]:
+            acc |= np.frombuffer(b, dtype=np.uint8)
+        return pd.DataFrame({"bm": [acc.tobytes()]})
+
+    partial = (keys.map_batches(local_bitmap, batch_format="pandas",
+                                batch_size=65536)
+               .repartition(4)
+               .map_batches(or_batch, batch_format="pandas"))
+    acc = np.zeros(m_bits // 8, dtype=np.uint8)
+    for row in partial.take_all():            # ≤4 fixed-size bitmaps
+        acc |= np.frombuffer(row["bm"], dtype=np.uint8)
+    bm_ref = ray.put(acc)
+
+    def prefilter(df: pd.DataFrame) -> pd.DataFrame:
+        bm = ray.get(bm_ref)
+        return df[_bloom_member(df[left_key], bm, m_bits, k)]
+
+    survivors = left_ds.map_batches(prefilter, batch_format="pandas")
+    return semi_join(survivors, right_ds, left_key, right_key,
+                     num_partitions)
+
+
 def salted_sum(ds, key_col: str, val_col: str, num_salts: int = 16,
                final: str = "driver"):
     """Exact per-key integer sum with salted two-phase aggregation.

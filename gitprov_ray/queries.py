@@ -2589,6 +2589,42 @@ def q_pack_sequences(sf_dir: str, budget: int = 256):
             .sort(["source", "doc_id"]))
 
 
+def q_hardneg_mining(sf_dir: str):
+    """Contrastive-training hard-negative mining: per query vector, the
+    top-5 most-cosine-similar embeddings carrying a DIFFERENT label —
+    the negatives random sampling never surfaces. Broadcast query
+    matrix, one matmul per batch, ≤k rows per query per batch shuffle
+    (annsearch.hard_negative_topk)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    return annsearch.hard_negative_topk(
+        ds, query_ids=[0, 1, 2, 3, 4], k=5).sort(["query_id", "rank"])
+
+
+def q_bloom_semi_join(sf_dir: str):
+    """Selective large-large semi join with a Bloom prefilter
+    (ops.bloom_semi_join): lineitem rows whose order is high-value. The
+    filter is built distributively over the right key set, broadcast
+    once via ray.put, and drops non-matching left rows BEFORE the
+    bucketed exact join — at 100 TB that converts a full lineitem
+    shuffle into a shuffle of just the ~selectivity fraction. False
+    positives are re-checked by the exact join, so the result is
+    oracle-exact."""
+    from . import ops
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity"])
+    hi = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
+        .filter(lambda r: r["o_totalprice"] > 450000.0)
+    out = ops.bloom_semi_join(li, hi, "l_orderkey", "o_orderkey")
+    return (out.map_batches(
+        lambda df: pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].astype("int64"),
+            "l_linenumber": df["l_linenumber"].astype("int64"),
+            "l_quantity": df["l_quantity"].astype("float64")}),
+        batch_format="pandas")
+        .sort(["l_orderkey", "l_linenumber"]))
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -2703,6 +2739,8 @@ QUERIES = {
     "q_retention_cohorts": q_retention_cohorts,
     "q_chunk_docs": q_chunk_docs,
     "q_pack_sequences": q_pack_sequences,
+    "q_hardneg_mining": q_hardneg_mining,
+    "q_bloom_semi_join": q_bloom_semi_join,
 }
 
 
@@ -4206,6 +4244,30 @@ ORACLE_SQL = {
                toks[k*48 + 1] AS first_tok,
                toks[k*48 + LEAST(64, n - k*48)] AS last_tok
         FROM c ORDER BY doc_id, chunk_idx
+    """,
+    "q_bloom_semi_join": """
+        SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+               l_quantity
+        FROM lineitem l
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey
+                        AND o.o_totalprice > 450000.0)
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    "q_hardneg_mining": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+                   FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+        sims AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   list_cosine_similarity(q.qe, e.embedding) AS sim
+            FROM q, embeddings e WHERE e.label <> q.ql),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id) AS rank
+            FROM sims)
+        SELECT query_id, rank, neighbor_id FROM ranked
+        WHERE rank <= 5 ORDER BY query_id, rank
     """,
     # the recursive CTE replays the engine's greedy walk row by row;
     # per-source depth = docs per source, tiny because source partitions

@@ -244,3 +244,36 @@ def test_edit_distance_pairs_joins_and_empty():
         rd.from_pandas(docs), rd.from_pandas(pairs).limit(0))
     assert empty.count() == 0
     assert empty.schema().names == ["a", "b", "edit_dist"]
+
+
+def test_bloom_semi_join_matches_plain_semi_join():
+    rng = _rng(11)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 5000, 3000).astype("int64"),
+        "lid": np.arange(3000, dtype="int64")})
+    right = pd.DataFrame({
+        "rk": rng.choice(5000, 120, replace=False).astype("int64")})
+
+    got = (ops.bloom_semi_join(
+        rd.from_pandas(left, override_num_blocks=6),
+        rd.from_pandas(right, override_num_blocks=3),
+        "k", "rk", m_bits=1 << 16)
+        .to_pandas().sort_values("lid").reset_index(drop=True))
+    want = (left[left["k"].isin(set(right["rk"]))]
+            .sort_values("lid").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["k", "lid"]], want)
+
+
+def test_bloom_prefilter_no_false_negatives_and_selective():
+    from gitprov_ray.ops import _bloom_member, _bloom_positions
+
+    m_bits, k = 1 << 16, 4
+    members = pd.Series(np.arange(500).astype(str))
+    bm = np.zeros(m_bits // 8, dtype=np.uint8)
+    pos = _bloom_positions(members, m_bits, k).ravel()
+    np.bitwise_or.at(bm, pos >> 3,
+                     np.uint8(1) << (pos & 7).astype(np.uint8))
+    assert _bloom_member(members, bm, m_bits, k).all()
+    probes = pd.Series((np.arange(20000) + 10**6).astype(str))
+    fp = _bloom_member(probes, bm, m_bits, k).mean()
+    assert fp < 0.05
