@@ -438,3 +438,132 @@ def probe_wav(b: bytes) -> dict | None:
         frames = 0
     return {"codec": name, "rate": rate,
             "duration_ms": int(frames * 1000 / max(rate, 1))}
+
+
+# ---------------------------------------------------------------------------
+# MP3 (MPEG-1/2/2.5 audio) header probe — metadata WITHOUT decode
+# ---------------------------------------------------------------------------
+# Real-crawl audio is overwhelmingly MP3; full decode is a declared
+# external-codec stub (the Layer III Huffman tables are spec DATA), but
+# the curation-pipeline contract is that probe_media still reports
+# format/bitrate/duration from the frame headers alone.
+# Header-field tables are the published ISO 11172-3 / 13818-3 constants.
+
+_MP3_BR_V1 = {                       # kbps by layer, index 1..14
+    1: (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    2: (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    3: (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)}
+_MP3_BR_V2 = {
+    1: (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    2: (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    3: (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)}
+_MP3_RATES = {3: (44100, 48000, 32000),      # version bits 3=MPEG1
+              2: (22050, 24000, 16000),      # 2=MPEG2
+              0: (11025, 12000, 8000)}       # 0=MPEG2.5
+
+
+def _mp3_frame_at(b: bytes, pos: int):
+    """Parse one MPEG audio frame header at ``pos`` →
+    (frame_len, samples, rate, bitrate_kbps, version, layer, channels)
+    or None if the 4 bytes are not a valid header."""
+    if pos + 4 > len(b) or b[pos] != 0xFF or (b[pos + 1] & 0xE0) != 0xE0:
+        return None
+    ver = (b[pos + 1] >> 3) & 3
+    layer_bits = (b[pos + 1] >> 1) & 3
+    if ver == 1 or layer_bits == 0:
+        return None
+    layer = 4 - layer_bits                    # bits 3/2/1 → layer I/II/III
+    br_idx = (b[pos + 2] >> 4) & 0xF
+    sr_idx = (b[pos + 2] >> 2) & 3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    padding = (b[pos + 2] >> 1) & 1
+    mode = (b[pos + 3] >> 6) & 3
+    table = _MP3_BR_V1 if ver == 3 else _MP3_BR_V2
+    kbps = table[layer][br_idx - 1]
+    rate = _MP3_RATES[ver][sr_idx]
+    if layer == 1:
+        samples = 384
+        flen = (12 * kbps * 1000 // rate + padding) * 4
+    else:
+        samples = 1152 if (layer == 2 or ver == 3) else 576
+        flen = samples // 8 * kbps * 1000 // rate + padding
+    channels = 1 if mode == 3 else 2
+    return flen, samples, rate, kbps, ver, layer, channels
+
+
+def _id3v2_size(b: bytes) -> int:
+    """Bytes occupied by a leading ID3v2 tag (0 if none)."""
+    if b[:3] != b"ID3" or len(b) < 10:
+        return 0
+    sz = ((b[6] & 0x7F) << 21 | (b[7] & 0x7F) << 14
+          | (b[8] & 0x7F) << 7 | (b[9] & 0x7F))
+    return 10 + sz
+
+
+def is_mp3(b: bytes) -> bool:
+    """True when the payload starts with an ID3v2 tag followed by a
+    valid MPEG audio frame, or with TWO consecutive valid frames (the
+    two-frame rule keeps 0xFFE sync bytes in random binaries from
+    probing as mp3)."""
+    start = _id3v2_size(b)
+    f = _mp3_frame_at(b, start)
+    if f is None:
+        return False
+    if start > 0:
+        return True
+    nxt = _mp3_frame_at(b, start + f[0])
+    return nxt is not None
+
+
+def probe_mp3(b: bytes) -> dict | None:
+    """Walk every frame header → {codec, version, layer, bitrate_kbps
+    (first frame), sample_rate, channels, frames, duration_ms, vbr}."""
+    pos = _id3v2_size(b)
+    first = _mp3_frame_at(b, pos)
+    if first is None:
+        return None
+    n = 0
+    dur_ms = 0.0
+    kbps_seen = set()
+    while True:
+        f = _mp3_frame_at(b, pos)
+        if f is None:
+            break
+        flen, samples, rate, kbps, ver, layer, channels = f
+        n += 1
+        dur_ms += samples * 1000.0 / rate
+        kbps_seen.add(kbps)
+        pos += flen
+        if pos >= len(b):
+            break
+    _, _, rate, kbps, ver, layer, channels = first
+    vname = {3: "1", 2: "2", 0: "2.5"}[ver]
+    return {"codec": f"mpeg{vname}-layer{layer}", "version": vname,
+            "layer": layer, "bitrate_kbps": kbps, "sample_rate": rate,
+            "channels": channels, "frames": n,
+            "duration_ms": int(dur_ms), "vbr": len(kbps_seen) > 1}
+
+
+def write_mp3_fixture(n_frames: int = 20, kbps: int = 128,
+                      rate: int = 44100, id3: bool = False) -> bytes:
+    """Spec-valid MPEG-1 Layer III frame headers with zeroed payloads —
+    a probe/metadata fixture (the payload is NOT decodable audio; decode
+    is the declared external-codec stub)."""
+    ver = next(v for v, rates in _MP3_RATES.items() if rate in rates)
+    table = _MP3_BR_V1 if ver == 3 else _MP3_BR_V2
+    br_idx = table[3].index(kbps) + 1
+    sr_idx = _MP3_RATES[ver].index(rate)
+    out = bytearray()
+    if id3:
+        body = b"\x00" * 20
+        out += b"ID3\x03\x00\x00" + bytes(
+            [(len(body) >> 21) & 0x7F, (len(body) >> 14) & 0x7F,
+             (len(body) >> 7) & 0x7F, len(body) & 0x7F]) + body
+    b1 = 0xE0 | (ver << 3) | (1 << 1) | 1    # layer III, no CRC
+    hdr = bytes([0xFF, b1, (br_idx << 4) | (sr_idx << 2), 0x44])
+    samples = 1152 if ver == 3 else 576
+    flen = samples // 8 * kbps * 1000 // rate
+    for _ in range(n_frames):
+        out += hdr + b"\x00" * (flen - 4)
+    return bytes(out)

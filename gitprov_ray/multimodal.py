@@ -126,6 +126,12 @@ def image_grid_features(arr: np.ndarray, grid: int = 8) -> np.ndarray:
     return (pooled / 255.0).astype(np.float32).reshape(-1)
 
 
+def _audiocodec_is_mp3(b: bytes) -> bool:
+    from . import audiocodec
+
+    return audiocodec.is_mp3(b)
+
+
 def parse_wav(b: bytes):
     """WAV bytes → (samples float32 in [-1,1] first channel, sample_rate).
     stdlib ``wave`` handles plain 8/16-bit PCM; everything else WAV
@@ -140,6 +146,10 @@ def parse_wav(b: bytes):
         from . import flaccodec
 
         return flaccodec.decode_flac(b)
+    if _audiocodec_is_mp3(b):
+        raise NotImplementedError(
+            "mp3: external MPEG audio codec (the Layer III Huffman "
+            "tables are spec data) — header metadata via probe_media")
     try:
         with wave.open(io.BytesIO(b)) as w:
             rate = w.getframerate()
@@ -575,6 +585,14 @@ def probe_media(b: bytes) -> dict:
                     except Exception:
                         pass
                 out.update(format="wav", codec=codec,
+                           duration_ms=p["duration_ms"])
+        elif _audiocodec_is_mp3(b):
+            from . import audiocodec
+
+            p = audiocodec.probe_mp3(b)
+            if p is not None:
+                out.update(format="mp3", codec=p["codec"],
+                           frames=p["frames"],
                            duration_ms=p["duration_ms"])
         elif b[:4] == b"\x00\x00\x00\x01" or b[:3] == b"\x00\x00\x01":
             from . import h264codec

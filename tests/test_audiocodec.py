@@ -132,3 +132,58 @@ def test_synth_corpus_carries_compressed_audio():
             codecs.add(probe_media(row["payload"])["codec"])
     assert {"pcm16", "mulaw", "alaw", "ima_adpcm", "ms_adpcm",
             "flac"} <= codecs
+
+
+# ---------------------------------------------------------------------------
+# MP3 header probe (metadata-only; decode is the declared external stub)
+# ---------------------------------------------------------------------------
+
+def test_mp3_probe_all_versions():
+    from gitprov_ray import audiocodec as a
+
+    for kw, ver, sr in [
+            (dict(n_frames=20), "1", 44100),
+            (dict(n_frames=7, kbps=64, rate=22050, id3=True), "2", 22050),
+            (dict(n_frames=5, kbps=40, rate=11025), "2.5", 11025)]:
+        b = a.write_mp3_fixture(**kw)
+        assert a.is_mp3(b)
+        p = a.probe_mp3(b)
+        assert p["version"] == ver and p["sample_rate"] == sr
+        assert p["frames"] == kw["n_frames"]
+        samples = 1152 if ver == "1" else 576
+        assert p["duration_ms"] == int(kw["n_frames"] * samples * 1000.0 / sr)
+
+
+def test_mp3_two_frame_rule_rejects_stray_sync():
+    from gitprov_ray import audiocodec as a
+
+    # one valid header followed by junk that is NOT a second frame
+    b = a.write_mp3_fixture(1) + b"this is not audio at all" * 3
+    one_frame = a.write_mp3_fixture(1)
+    assert a.is_mp3(one_frame + one_frame)       # two frames back-to-back
+    assert not a.is_mp3(b"\xff\xfb" + b"\x00" * 100)  # bad indices
+    assert not a.is_mp3(b"")
+    assert not a.is_mp3(b"RIFFxxxxWAVE")
+
+
+def test_mp3_probe_media_dispatch_and_decode_stub():
+    import pytest
+
+    from gitprov_ray import audiocodec as a
+    from gitprov_ray.multimodal import parse_wav, probe_media
+
+    b = a.write_mp3_fixture(12, kbps=96)
+    p = probe_media(b)
+    assert p["format"] == "mp3" and p["codec"] == "mpeg1-layer3"
+    assert p["frames"] == 12 and p["duration_ms"] > 0
+    with pytest.raises(NotImplementedError, match="mp3"):
+        parse_wav(b)
+
+
+def test_mp3_vbr_flag():
+    from gitprov_ray import audiocodec as a
+
+    cbr = a.write_mp3_fixture(6, kbps=128)
+    vbr = a.write_mp3_fixture(3, kbps=128) + a.write_mp3_fixture(3, kbps=192)
+    assert a.probe_mp3(cbr)["vbr"] is False
+    assert a.probe_mp3(vbr)["vbr"] is True
