@@ -567,3 +567,126 @@ def write_mp3_fixture(n_frames: int = 20, kbps: int = 128,
     for _ in range(n_frames):
         out += hdr + b"\x00" * (flen - 4)
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Ogg container probe (Vorbis / Opus / FLAC-in-Ogg) — metadata WITHOUT
+# decode, same contract as the MP3 probe: the transform decoders are
+# declared external stubs, but curation pipelines still get
+# codec/channels/rate/duration from the container + ident header.
+# ---------------------------------------------------------------------------
+
+def _ogg_crc_table():
+    tbl = []
+    for i in range(256):
+        r = i << 24
+        for _ in range(8):
+            r = ((r << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if r & 0x80000000 \
+                else (r << 1) & 0xFFFFFFFF
+        tbl.append(r)
+    return tbl
+
+
+_OGG_CRC = _ogg_crc_table()
+
+
+def _ogg_crc(b: bytes) -> int:
+    r = 0
+    for byte in b:
+        r = ((r << 8) & 0xFFFFFFFF) ^ _OGG_CRC[((r >> 24) & 0xFF) ^ byte]
+    return r
+
+
+def _ogg_pages(b: bytes):
+    """Yield (header_type, granule, serial, payload) per page."""
+    pos = 0
+    while pos + 27 <= len(b):
+        if b[pos:pos + 4] != b"OggS" or b[pos + 4] != 0:
+            break
+        htype = b[pos + 5]
+        granule, serial = struct.unpack_from("<qI", b, pos + 6)
+        nseg = b[pos + 26]
+        lace = b[pos + 27: pos + 27 + nseg]
+        if len(lace) < nseg:
+            break
+        body_len = sum(lace)
+        body = b[pos + 27 + nseg: pos + 27 + nseg + body_len]
+        if len(body) < body_len:
+            break
+        yield htype, granule, serial, body
+        pos += 27 + nseg + body_len
+
+
+def is_ogg(b: bytes) -> bool:
+    return b[:4] == b"OggS" and len(b) >= 27 and b[4] == 0
+
+
+def probe_ogg(b: bytes) -> dict | None:
+    """→ {codec, channels, sample_rate, duration_ms} from the ident
+    packet + the last page's granule position. Vorbis granules count
+    samples at the audio rate; Opus granules count 48 kHz samples and
+    subtract the ident header's pre-skip (RFC 7845 §4/§5.1)."""
+    if not is_ogg(b):
+        return None
+    codec, channels, rate, preskip = "unknown", -1, -1, 0
+    last_granule = -1
+    first = True
+    for htype, granule, _serial, body in _ogg_pages(b):
+        if first:
+            first = False
+            if body[:7] == b"\x01vorbis" and len(body) >= 16:
+                codec = "vorbis"
+                channels = body[11]
+                rate = struct.unpack_from("<I", body, 12)[0]
+            elif body[:8] == b"OpusHead" and len(body) >= 19:
+                codec = "opus"
+                channels = body[9]
+                preskip = struct.unpack_from("<H", body, 10)[0]
+                rate = 48000          # Opus always plays out at 48 kHz
+            elif body[:5] == b"\x7fFLAC":
+                codec = "flac-in-ogg"
+        if granule >= 0:
+            last_granule = max(last_granule, granule)
+    dur = -1
+    if last_granule > 0 and rate > 0:
+        dur = int(max(last_granule - preskip, 0) * 1000 / rate)
+    return {"codec": codec, "channels": channels, "sample_rate": rate,
+            "duration_ms": dur}
+
+
+def _ogg_page(body: bytes, granule: int, serial: int = 1,
+              seq: int = 0, htype: int = 0) -> bytes:
+    nseg = (len(body) + 254) // 255 if body else 1
+    lace = []
+    rem = len(body)
+    for _ in range(nseg):
+        lace.append(min(rem, 255))
+        rem -= min(rem, 255)
+    hdr = (b"OggS\x00" + bytes([htype])
+           + struct.pack("<qIII", granule, serial, seq, 0)
+           + bytes([nseg]) + bytes(lace))
+    crc = _ogg_crc(hdr + body)
+    hdr = hdr[:22] + struct.pack("<I", crc) + hdr[26:]
+    return hdr + body
+
+
+def write_ogg_fixture(codec: str = "vorbis", channels: int = 2,
+                      rate: int = 44100, n_samples: int = 44100,
+                      preskip: int = 312) -> bytes:
+    """Structurally valid Ogg pages (correct CRCs) carrying a real
+    Vorbis/Opus ident header and a granule-stamped data page — a
+    probe fixture; the audio payload itself is not decodable."""
+    if codec == "vorbis":
+        ident = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([channels])
+                 + struct.pack("<I", rate) + struct.pack("<iii", -1, 128000,
+                                                         -1) + b"\xb8\x01")
+        granule_last = n_samples
+    elif codec == "opus":
+        ident = (b"OpusHead\x01" + bytes([channels])
+                 + struct.pack("<H", preskip) + struct.pack("<I", rate)
+                 + struct.pack("<h", 0) + b"\x00")
+        granule_last = n_samples + preskip   # granules are 48 kHz + preskip
+    else:
+        raise ValueError(codec)
+    return (_ogg_page(ident, 0, seq=0, htype=2)     # BOS
+            + _ogg_page(b"\x00" * 64, granule_last, seq=1, htype=4))  # EOS

@@ -150,6 +150,10 @@ def parse_wav(b: bytes):
         raise NotImplementedError(
             "mp3: external MPEG audio codec (the Layer III Huffman "
             "tables are spec data) — header metadata via probe_media")
+    if b[:4] == b"OggS":
+        raise NotImplementedError(
+            "ogg: Vorbis/Opus transform decode is external — container "
+            "metadata via probe_media")
     try:
         with wave.open(io.BytesIO(b)) as w:
             rate = w.getframerate()
@@ -593,6 +597,13 @@ def probe_media(b: bytes) -> dict:
             if p is not None:
                 out.update(format="mp3", codec=p["codec"],
                            frames=p["frames"],
+                           duration_ms=p["duration_ms"])
+        elif b[:4] == b"OggS":
+            from . import audiocodec
+
+            p = audiocodec.probe_ogg(b)
+            if p is not None:
+                out.update(format="ogg", codec=p["codec"],
                            duration_ms=p["duration_ms"])
         elif b[:4] == b"\x00\x00\x00\x01" or b[:3] == b"\x00\x00\x01":
             from . import h264codec
