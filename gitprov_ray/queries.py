@@ -2625,6 +2625,89 @@ def q_bloom_semi_join(sf_dir: str):
         .sort(["l_orderkey", "l_linenumber"]))
 
 
+def q_event_transitions(sf_dir: str):
+    """Per-user event-type transition counts (the Markov-chain /
+    session-flow op): pairs (prev_type -> type) along each user's
+    (ts, event_id) timeline, aggregated corpus-wide. Same bucketed
+    per-key shuffle as the lag family; the pair counting is a
+    vectorized in-group shift, then a tiny (|types|^2) partial-combined
+    aggregate."""
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        k = df["user_id"].astype(str)
+        df["bucket"] = stable_bucket(k, k, 32)
+        return df
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        prev = df["event_type"].shift(1)
+        same = df["user_id"].eq(df["user_id"].shift(1))
+        sub = pd.DataFrame({"prev_type": prev[same],
+                            "next_type": df["event_type"][same]})
+        return (sub.groupby(["prev_type", "next_type"], sort=False)
+                .size().rename("n").reset_index())
+
+    part = (ds.map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: pairs(df.drop(columns=["bucket"])),
+                        batch_format="pandas")
+            .to_pandas())
+    out = (part.groupby(["prev_type", "next_type"], as_index=False)
+           ["n"].sum())
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["prev_type", "next_type"])
+            .reset_index(drop=True))
+
+
+def q_outlier_events(sf_dir: str):
+    """Per-type 3-sigma outliers with EXACT integer arithmetic: event is
+    an outlier iff (c*n - s)^2 > 9*(n*ss - s^2) — the z-score rule with
+    both sides scaled by n^2 so no floats appear (Python big ints here,
+    HUGEINT in the twin). Two passes: tiny per-type moment table
+    (broadcast via closure), then a streaming filter."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = _cents(df["value"])
+        g = pd.DataFrame({"event_type": df["event_type"], "c": c,
+                          "c2": c * c, "n": np.int64(1)})
+        return (g.groupby("event_type", sort=False, as_index=False)
+                [["n", "c", "c2"]].sum())
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("c", alias_name="s"),
+                      Sum("c2", alias_name="ss"))
+           .to_pandas())
+    moments = {r["event_type"]: (int(r["n"]), int(r["s"]), int(r["ss"]))
+               for _, r in agg.iterrows()}
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        c = _cents(df["value"])
+        keep = np.zeros(len(df), dtype=bool)
+        for t, (n, s, ss) in moments.items():
+            m = (df["event_type"] == t).to_numpy()
+            if not m.any():
+                continue
+            lhs = (c[m].astype(object) * n - s) ** 2   # exact big ints
+            rhs = 9 * (n * ss - s * s)
+            keep[m] = (lhs > rhs).to_numpy(dtype=bool)
+        out = df[keep]
+        return pd.DataFrame({
+            "event_id": out["event_id"].astype("int64"),
+            "event_type": out["event_type"],
+            "value_cents": _cents(out["value"]).to_numpy()})
+
+    return ds.map_batches(flag, batch_format="pandas").sort("event_id")
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -2741,6 +2824,8 @@ QUERIES = {
     "q_pack_sequences": q_pack_sequences,
     "q_hardneg_mining": q_hardneg_mining,
     "q_bloom_semi_join": q_bloom_semi_join,
+    "q_event_transitions": q_event_transitions,
+    "q_outlier_events": q_outlier_events,
 }
 
 
@@ -4244,6 +4329,37 @@ ORACLE_SQL = {
                toks[k*48 + 1] AS first_tok,
                toks[k*48 + LEAST(64, n - k*48)] AS last_tok
         FROM c ORDER BY doc_id, chunk_idx
+    """,
+    "q_event_transitions": """
+        WITH w AS (
+          SELECT user_id, event_type,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type
+          FROM events)
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM w WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type ORDER BY prev_type, next_type
+    """,
+    # z-score rule cleared of division: (c*n - s)^2 > 9*(n*ss - s^2),
+    # HUGEINT end-to-end — identical exact integers on both engines
+    "q_outlier_events": """
+        WITH p AS (
+          SELECT event_id, event_type,
+                 CAST(ROUND(value*100) AS BIGINT) AS c
+          FROM events),
+        m AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS HUGEINT) AS n,
+                 CAST(SUM(c) AS HUGEINT) AS s,
+                 CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ss
+          FROM p GROUP BY event_type)
+        SELECT p.event_id, p.event_type, p.c AS value_cents
+        FROM p JOIN m USING (event_type)
+        WHERE (CAST(p.c AS HUGEINT) * m.n - m.s)
+              * (CAST(p.c AS HUGEINT) * m.n - m.s)
+              > 9 * (m.n * m.ss - m.s * m.s)
+        ORDER BY p.event_id
     """,
     "q_bloom_semi_join": """
         SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
