@@ -241,6 +241,132 @@ def bloom_semi_join(left_ds, right_ds, left_key: str, right_key: str,
                      num_partitions)
 
 
+def _arrow_schema_of(ds):
+    """Dataset schema → pyarrow.Schema (pandas-block object dtypes map
+    to string; numpy dtypes convert)."""
+    import pyarrow as pa
+
+    s = ds.schema()
+    fields = []
+    for n, t in zip(s.names, s.types):
+        if isinstance(t, pa.DataType):
+            fields.append((n, t))
+        else:
+            try:
+                fields.append((n, pa.from_numpy_dtype(t)))
+            except (pa.ArrowNotImplementedError, TypeError):
+                fields.append((n, pa.string()))
+    return pa.schema(fields)
+
+
+def skew_join(left_ds, right_ds, left_key: str, right_key: str,
+              num_partitions: int | None = None,
+              hot_threshold: int = 100_000, num_salts: int = 16,
+              capacity: int = 256):
+    """Skew-aware inner equi-join: the fix for the one hash partition
+    that receives a hot key's entire row set and straggles the stage.
+
+    Pass 1 sketches left-side key frequencies with per-batch Misra–Gries
+    summaries (≤ capacity+1 rows per batch to the driver — never the key
+    column itself); any key whose estimate + EPS reaches
+    ``hot_threshold`` is treated as hot. Overestimation is SAFE — a cold
+    key classified hot merely gets replicated right rows — so the
+    sketch's one-sided error never affects correctness. Hot left rows
+    get a round-robin salt, hot right rows are replicated once per salt,
+    and the hot join runs on (key, salt) — spreading each hot key over
+    ``num_salts`` partitions. Cold rows take the plain bucketed join.
+    Result = exact inner join, any row order."""
+    if num_partitions is None:
+        num_partitions = _default_partitions()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[left_key].value_counts()
+        sub = 0
+        if len(vc) > capacity:
+            sub = int(vc.iloc[capacity])
+            vc = (vc - sub)[lambda s: s > 0]
+        out = pd.DataFrame({left_key: vc.index.to_numpy(),
+                            "est": vc.to_numpy().astype("int64"),
+                            "__sub": np.int64(0)})
+        meta = pd.DataFrame({left_key: [None], "est": np.int64(0),
+                             "__sub": np.int64(sub)})
+        return pd.concat([out, meta], ignore_index=True)
+
+    summ = left_ds.map_batches(partial, batch_format="pandas").to_pandas()
+    eps = int(summ["__sub"].sum())
+    est = (summ[summ[left_key].notna()]
+           .groupby(left_key, as_index=False)["est"].sum())
+    hot = set(est.loc[est["est"] + eps >= hot_threshold, left_key])
+
+    right = right_ds
+    if right_key != left_key:
+        right = right_ds.map_batches(
+            lambda df, rk=right_key, lk=left_key: df.rename(
+                columns={rk: lk}), batch_format="pandas")
+    if not hot:
+        return left_ds.join(right, "inner", num_partitions,
+                            on=(left_key,))
+
+    def l_cold(df):
+        return df[~df[left_key].isin(hot)]
+
+    def l_hot(df):
+        sub = df[df[left_key].isin(hot)].copy()
+        sub["__salt"] = (np.arange(len(sub)) % num_salts).astype("int64")
+        return sub
+
+    def r_cold(df):
+        return df[~df[left_key].isin(hot)]
+
+    def r_hot(df):
+        sub = df[df[left_key].isin(hot)]
+        rep = sub.loc[sub.index.repeat(num_salts)].reset_index(drop=True)
+        rep["__salt"] = np.tile(np.arange(num_salts, dtype="int64"),
+                                len(sub))
+        return rep
+
+    # invariant 7 (extended): a filter can leave a join side ALL-empty
+    # (e.g. every key hot) — normalize each side to a pinned schema so
+    # the hash join never builds from column-less blocks
+    import pyarrow as pa
+
+    l_schema = _arrow_schema_of(left_ds)
+    r_schema = _arrow_schema_of(right_ds)
+    if right_key != left_key:
+        r_schema = pa.schema([
+            (left_key if f.name == right_key else f.name, f.type)
+            for f in r_schema])
+    salt = pa.field("__salt", pa.int64())
+    cold_l = materialize_normalized(
+        left_ds.map_batches(l_cold, batch_format="pandas"), l_schema)
+    cold_r = materialize_normalized(
+        right.map_batches(r_cold, batch_format="pandas"), r_schema)
+    hot_l = materialize_normalized(
+        left_ds.map_batches(l_hot, batch_format="pandas"),
+        pa.schema(list(l_schema) + [salt]))
+    hot_r = materialize_normalized(
+        right.map_batches(r_hot, batch_format="pandas"),
+        pa.schema(list(r_schema) + [salt]))
+    # Ray's hash join cannot build from a fully-empty side (column-less
+    # shuffle partitions) — short-circuit like semi_join does
+    parts = []
+    if cold_l.take(1) and cold_r.take(1):
+        parts.append(cold_l.join(cold_r, "inner", num_partitions,
+                                 on=(left_key,)))
+    if hot_l.take(1) and hot_r.take(1):
+        hotj = hot_l.join(hot_r, "inner", num_partitions,
+                          on=(left_key, "__salt"))
+        parts.append(hotj.map_batches(
+            lambda t: t.drop_columns(["__salt"]), batch_format="pyarrow"))
+    if not parts:
+        import ray.data as rd
+
+        joined = pa.schema(list(l_schema)
+                           + [f for f in r_schema if f.name != left_key])
+        return rd.from_arrow(pa.Table.from_pylist([], schema=joined))
+    return parts[0] if len(parts) == 1 else parts[0].union(parts[1])
+
+
 def salted_sum(ds, key_col: str, val_col: str, num_salts: int = 16,
                final: str = "driver"):
     """Exact per-key integer sum with salted two-phase aggregation.

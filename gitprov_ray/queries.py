@@ -2708,6 +2708,27 @@ def q_outlier_events(sf_dir: str):
     return ds.map_batches(flag, batch_format="pandas").sort("event_id")
 
 
+def q_skew_join_enrich(sf_dir: str):
+    """Skew-aware dimension enrichment (ops.skew_join): every event
+    joined to its user's customer record. The synthetic corpus has ~70
+    events per user — far over the hot_threshold here — so this
+    exercises the salted hot path (hot keys spread over 8 salt
+    partitions) unioned with the plain bucketed cold join; the result is
+    the exact inner join either way."""
+    from . import ops
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    out = ops.skew_join(ev, cust, "user_id", "c_custkey",
+                        hot_threshold=40, num_salts=8)
+    return (out.map_batches(
+        lambda df: pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "c_name": df["c_name"]}), batch_format="pandas")
+        .sort("event_id"))
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -2826,6 +2847,7 @@ QUERIES = {
     "q_bloom_semi_join": q_bloom_semi_join,
     "q_event_transitions": q_event_transitions,
     "q_outlier_events": q_outlier_events,
+    "q_skew_join_enrich": q_skew_join_enrich,
 }
 
 
@@ -4329,6 +4351,11 @@ ORACLE_SQL = {
                toks[k*48 + 1] AS first_tok,
                toks[k*48 + LEAST(64, n - k*48)] AS last_tok
         FROM c ORDER BY doc_id, chunk_idx
+    """,
+    "q_skew_join_enrich": """
+        SELECT e.event_id, e.user_id, c.c_name
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        ORDER BY e.event_id
     """,
     "q_event_transitions": """
         WITH w AS (

@@ -277,3 +277,39 @@ def test_bloom_prefilter_no_false_negatives_and_selective():
     probes = pd.Series((np.arange(20000) + 10**6).astype(str))
     fp = _bloom_member(probes, bm, m_bits, k).mean()
     assert fp < 0.05
+
+
+def test_skew_join_matches_pandas_merge():
+    rng = _rng(23)
+    # one pathologically hot key + a cold tail
+    keys = np.concatenate([np.zeros(800, dtype="int64"),
+                           rng.integers(1, 50, 400)])
+    left = pd.DataFrame({"k": keys, "lid": np.arange(1200, dtype="int64")})
+    right = pd.DataFrame({"rk": np.arange(0, 60, dtype="int64")})
+    right["v"] = right["rk"] * 10
+
+    got = (ops.skew_join(rd.from_pandas(left, override_num_blocks=6),
+                         rd.from_pandas(right, override_num_blocks=3),
+                         "k", "rk", hot_threshold=100, num_salts=4)
+           .to_pandas().sort_values("lid").reset_index(drop=True))
+    want = (left.merge(right.rename(columns={"rk": "k"}), on="k")
+            .sort_values("lid").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["k", "lid", "v"]].astype({"k": "int64", "v": "int64"}),
+        want[["k", "lid", "v"]].astype({"k": "int64", "v": "int64"}))
+
+
+def test_skew_join_all_cold_path():
+    rng = _rng(29)
+    left = pd.DataFrame({"k": rng.integers(0, 500, 300).astype("int64"),
+                         "lid": np.arange(300, dtype="int64")})
+    right = pd.DataFrame({"rk": np.arange(500, dtype="int64"),
+                          "v": np.arange(500, dtype="int64") * 2})
+    got = (ops.skew_join(rd.from_pandas(left, override_num_blocks=4),
+                         rd.from_pandas(right, override_num_blocks=2),
+                         "k", "rk", hot_threshold=10**9)
+           .to_pandas().sort_values("lid").reset_index(drop=True))
+    want = (left.merge(right.rename(columns={"rk": "k"}), on="k")
+            .sort_values("lid").reset_index(drop=True))
+    assert (got["lid"].to_numpy() == want["lid"].to_numpy()).all()
+    assert (got["v"].to_numpy() == want["v"].to_numpy()).all()
