@@ -113,25 +113,45 @@ def hard_negative_topk(emb_ds, query_ids: list[int], k: int = 5,
         lambda df: _merge_topk(df, k), batch_format="pandas")
 
 
-def _hyperplanes(dim: int) -> np.ndarray:
-    rng = np.random.RandomState(_HP_SEED)
-    return rng.normal(size=(_N_PLANES, dim))
+def _hyperplanes(dim: int, n_planes: int = _N_PLANES) -> np.ndarray:
+    """Deterministic Rademacher (±1) hyperplanes derived from md5 — the
+    sign-random-projection family (Charikar's SimHash). ±1 entries keep
+    the projection EXACT in integer arithmetic over quantized
+    embeddings, so the LSH bucket ids are reproducible bit-for-bit by
+    the DuckDB oracle twin (md5 low bit of digest byte i of block
+    'plane{p}_{i//16}')."""
+    import hashlib
+
+    rows = []
+    for p in range(n_planes):
+        h = b"".join(hashlib.md5(f"plane{p}_{j}".encode()).digest()
+                     for j in range((dim + 15) // 16))
+        bits = np.frombuffer(h[:dim], dtype=np.uint8) & 1
+        rows.append(np.where(bits == 1, 1, -1))
+    return np.array(rows, dtype=np.int64)
 
 
 def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
-    signs = (m @ planes.T) > 0
-    return signs.dot(1 << np.arange(_N_PLANES)).astype(np.int64)
+    """Bucket = sign bits of the ±1 projection over round(v*1000)
+    integers (half-away-from-zero, the DuckDB ROUND rule) — all-integer
+    so engine and oracle agree exactly; bit stays 0 on a zero dot."""
+    v = np.asarray(m, dtype=np.float64) * 1000.0
+    q = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+    signs = (q @ planes.T) > 0
+    return signs.dot(1 << np.arange(planes.shape[0])).astype(np.int64)
 
 
 def lsh_topk(emb_ds, query_ids: list[int], k: int = 5,
-             id_col: str = "vec_id", vec_col: str = "embedding"):
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_planes: int = _N_PLANES):
     """Approximate top-k: search restricted to the query's LSH bucket.
-    Same output shape as brute_force_topk; recall < 1 by design."""
+    Same output shape as brute_force_topk; recall < 1 by design.
+    ``n_planes`` trades bucket selectivity for recall (2^n buckets)."""
     qset = set(query_ids)
 
     def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
         m = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
-        planes = _hyperplanes(m.shape[1])
+        planes = _hyperplanes(m.shape[1], n_planes)
         out = df[[id_col, vec_col]].copy()
         out["bucket"] = _bucket_of(m, planes)
         return out

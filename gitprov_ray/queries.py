@@ -363,8 +363,14 @@ def q_ngram_jaccard_pairs(sf_dir: str):
 
 
 def q_ann_lsh_topk(sf_dir: str):
+    """Approximate top-k via sign-random-projection LSH (round 4:
+    oracle-checked — the Rademacher hyperplanes derive from md5 and the
+    projections run over round(v*1000) integers, so the DuckDB twin
+    reproduces the bucket ids exactly and the approximation itself is
+    pinned, not just smoke-tested)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return annsearch.lsh_topk(ds, query_ids=[0, 1, 2, 3, 4], k=5) \
+    return annsearch.lsh_topk(ds, query_ids=[0, 1, 2, 3, 4], k=5,
+                              n_planes=4) \
         .sort(["query_id", "rank"])
 
 
@@ -4351,6 +4357,51 @@ ORACLE_SQL = {
                toks[k*48 + 1] AS first_tok,
                toks[k*48 + LEAST(64, n - k*48)] AS last_tok
         FROM c ORDER BY doc_id, chunk_idx
+    """,
+    # the ±1 planes and integer projections reproduce the ENGINE's LSH
+    # buckets exactly: plane weight = low bit of md5 digest byte
+    # (hex char 2k+2 odd <=> bit set), dot over ROUND(v*1000) BIGINTs
+    "q_ann_lsh_topk": """
+        WITH planes AS (
+          SELECT p.p, j.j * 16 + k.k AS i,
+                 CASE WHEN substring(md5('plane' || CAST(p.p AS VARCHAR)
+                                         || '_' || CAST(j.j AS VARCHAR)),
+                                     2 * k.k + 2, 1)
+                           IN ('1','3','5','7','9','b','d','f')
+                      THEN 1 ELSE -1 END AS w
+          FROM range(4) p(p), range(4) j(j), range(16) k(k)),
+        vals AS (
+          SELECT vec_id,
+                 generate_subscripts(embedding, 1) - 1 AS i,
+                 CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                      AS BIGINT) AS q
+          FROM embeddings),
+        dots AS (
+          SELECT v.vec_id, pl.p, SUM(v.q * pl.w) AS dot
+          FROM vals v JOIN planes pl USING (i)
+          GROUP BY v.vec_id, pl.p),
+        buckets AS (
+          SELECT vec_id,
+                 CAST(SUM(CASE WHEN dot > 0
+                               THEN CAST(power(2, p) AS BIGINT)
+                               ELSE 0 END) AS BIGINT) AS bucket
+          FROM dots GROUP BY vec_id),
+        q AS (SELECT e.vec_id AS query_id, e.embedding AS qe, b.bucket
+              FROM embeddings e JOIN buckets b USING (vec_id)
+              WHERE e.vec_id IN (0,1,2,3,4)),
+        sims AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.qe, e.embedding) AS sim
+          FROM q JOIN buckets b ON b.bucket = q.bucket
+               JOIN embeddings e ON e.vec_id = b.vec_id
+          WHERE e.vec_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id) AS rank
+          FROM sims)
+        SELECT query_id, rank, neighbor_id FROM ranked
+        WHERE rank <= 5 ORDER BY query_id, rank
     """,
     "q_skew_join_enrich": """
         SELECT e.event_id, e.user_id, c.c_name
