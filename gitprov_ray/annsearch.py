@@ -395,6 +395,59 @@ def kmeans_embeddings(emb_ds, k: int = 8, iters: int = 5,
     return out, cent
 
 
+def ivf_kmeans_topk(emb_ds, query_ids: list[int], k: int = 5,
+                    n_centroids: int = 4, iters: int = 3,
+                    id_col: str = "vec_id", vec_col: str = "embedding"):
+    """IVF ANN with the DISTRIBUTED k-means coarse quantizer and
+    n_probe=1 (round 4: the oracle-checkable IVF — the quantizer is
+    :func:`kmeans_embeddings`, whose unrolled-CTE twin is per-row exact,
+    so the inverted lists and therefore the approximate result are
+    pinned by SQL; :func:`ivf_topk` remains the float-sampled variant).
+    Each query searches only its own cluster's inverted list — one
+    bucketed shuffle, per-list matmul, recall < 1 by design."""
+    emb_ds = emb_ds.materialize()             # invariant 10: reused input
+    _, cent = kmeans_embeddings(emb_ds, k=n_centroids, iters=iters,
+                                id_col=id_col, vec_col=vec_col)
+    qset = set(query_ids)
+    qdf = emb_ds.map_batches(
+        lambda df: df[df[id_col].isin(qset)],
+        batch_format="pandas").to_pandas()
+    q_ids = qdf[id_col].to_numpy()
+    qm_raw = _emb_matrix(qdf, vec_col)
+    q_cluster = ((cent * cent).sum(1)[None, :]
+                 - 2.0 * (qm_raw @ cent.T)).argmin(axis=1)
+    qm = qm_raw / np.maximum(
+        np.linalg.norm(qm_raw, axis=1, keepdims=True), 1e-12)
+
+    def assign(df: pd.DataFrame, c=cent) -> pd.DataFrame:
+        m = _emb_matrix(df, vec_col)
+        scores = (c * c).sum(1)[None, :] - 2.0 * (m @ c.T)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "cluster": pd.Series(scores.argmin(axis=1), dtype="int64"),
+            vec_col: df[vec_col].to_numpy()})
+
+    def search_list(df: pd.DataFrame) -> pd.DataFrame:
+        cl = int(df["cluster"].iloc[0])
+        sel = q_cluster == cl
+        if not sel.any():
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "rank": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64")})
+        part = _batch_topk(df, q_ids[sel], qm[sel], k, id_col, vec_col)
+        merged = [_merge_topk(g, k)
+                  for _, g in part.groupby("query_id", sort=True)]
+        return (pd.concat(merged, ignore_index=True) if merged else
+                pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                              "rank": pd.Series(dtype="int64"),
+                              "neighbor_id": pd.Series(dtype="int64")}))
+
+    return (emb_ds.map_batches(assign, batch_format="pandas",
+                               batch_size=4096)
+            .groupby("cluster")
+            .map_groups(search_list, batch_format="pandas"))
+
+
 def semdedup(emb_ds, k: int = 4, iters: int = 3, threshold: float = 0.9,
              id_col: str = "vec_id", vec_col: str = "embedding"):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic

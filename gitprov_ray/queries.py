@@ -1925,9 +1925,14 @@ def q_sparql_not_exists_distributed(sf_dir: str):
 
 
 def q_ann_ivf_topk(sf_dir: str):
-    """IVF-bucketed approximate nearest neighbours (scale-path ANN)."""
+    """IVF-bucketed approximate nearest neighbours (scale-path ANN).
+    Round 4: oracle-checked — the coarse quantizer is the distributed
+    k-means whose unrolled CTE is per-row exact, so the inverted lists
+    (and the approximation itself) are pinned by SQL. The float-sampled
+    ivf_topk variant stays in the library."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return annsearch.ivf_topk(ds, query_ids=[0, 1, 2, 3, 4], k=5) \
+    return annsearch.ivf_kmeans_topk(ds, query_ids=[0, 1, 2, 3, 4],
+                                     k=5, n_centroids=4, iters=3) \
         .sort(["query_id", "rank"])
 
 
@@ -4518,3 +4523,29 @@ ORACLE_SQL["q_semdedup_embeddings"] = _sem.replace(
         FROM a4 a JOIN planted pa ON pa.vec_id = a.vec_id
         ORDER BY a.vec_id""")
 del _sem
+
+# IVF oracle = the SAME unrolled k-means CTE (the engine's coarse
+# quantizer IS kmeans_embeddings), final select replaced by the n_probe=1
+# search: each query ranks only its own cluster's inverted list by
+# cosine. Derived by string surgery so quantizer and twin stay in
+# lockstep (same trick as q_semdedup_embeddings).
+ORACLE_SQL["q_ann_ivf_topk"] = ORACLE_SQL["q_kmeans_embeddings"].replace(
+    "SELECT vec_id, cluster FROM a4 ORDER BY vec_id",
+    """, q AS (
+          SELECT a.vec_id AS query_id, a.cluster, e.embedding AS qe
+          FROM a4 a JOIN embeddings e USING (vec_id)
+          WHERE a.vec_id IN (0,1,2,3,4)),
+        sims AS (
+          SELECT q.query_id, b.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.qe, e2.embedding) AS sim
+          FROM q JOIN a4 b ON b.cluster = q.cluster
+               JOIN embeddings e2 ON e2.vec_id = b.vec_id
+          WHERE b.vec_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id)
+                     AS rank
+          FROM sims)
+        SELECT query_id, rank, neighbor_id FROM ranked
+        WHERE rank <= 5 ORDER BY query_id, rank""")

@@ -71,5 +71,3 @@ def test_rows_only_queries_execute():
         assert len(df) >= 0, name
         if name in ("q_langid_docs", "q_simhash_docs"):
             assert len(df) == 500, name
-        if name == "q_ann_ivf_topk":
-            assert set(df.columns) == {"query_id", "rank", "neighbor_id"}
