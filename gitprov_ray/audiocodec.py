@@ -501,6 +501,62 @@ def _id3v2_size(b: bytes) -> int:
     return 10 + sz
 
 
+def parse_id3v2(b: bytes) -> dict:
+    """Text frames from a leading ID3v2.3/2.4 tag → {frame_id: text}
+    (TIT2 title, TPE1 artist, TALB album, ...). Encodings 0 (latin-1),
+    1 (UTF-16 w/ BOM), 3 (UTF-8) decoded; unknown/binary frames
+    skipped. Returns {} when no tag — metadata extraction for curation,
+    never an error."""
+    total = _id3v2_size(b)
+    if total == 0 or len(b) < 10:
+        return {}
+    out: dict[str, str] = {}
+    pos, end = 10, min(total, len(b))
+    ver = b[3]
+    while pos + 10 <= end:
+        fid = b[pos:pos + 4]
+        if not fid.strip(b"\x00"):
+            break
+        if ver >= 4:                      # v2.4: syncsafe frame sizes
+            fsz = ((b[pos + 4] & 0x7F) << 21 | (b[pos + 5] & 0x7F) << 14
+                   | (b[pos + 6] & 0x7F) << 7 | (b[pos + 7] & 0x7F))
+        else:
+            fsz = int.from_bytes(b[pos + 4:pos + 8], "big")
+        body = b[pos + 10: pos + 10 + fsz]
+        pos += 10 + fsz
+        if not fid.startswith(b"T") or len(body) < 1:
+            continue
+        enc, payload = body[0], body[1:]
+        try:
+            if enc == 0:
+                txt = payload.decode("latin-1")
+            elif enc == 1:
+                txt = payload.decode("utf-16")
+            elif enc == 3:
+                txt = payload.decode("utf-8")
+            else:
+                continue
+        except UnicodeDecodeError:
+            continue
+        out[fid.decode("ascii")] = txt.rstrip("\x00")
+    return out
+
+
+def _xing_frames(b: bytes, pos: int, flen: int):
+    """(frame_count, is_vbr) from a Xing ('Xing' = VBR) or Info
+    ('Info' = CBR, same layout) header inside the first frame — the
+    LAME convention; flag bit 0 = frames field present. None when
+    absent."""
+    window = b[pos: pos + flen]
+    for tag, vbr in ((b"Xing", True), (b"Info", False)):
+        i = window.find(tag)
+        if i >= 0 and len(window) >= i + 12:
+            flags = int.from_bytes(window[i + 4:i + 8], "big")
+            if flags & 1:
+                return int.from_bytes(window[i + 8:i + 12], "big"), vbr
+    return None
+
+
 def is_mp3(b: bytes) -> bool:
     """True when the payload starts with an ID3v2 tag followed by a
     valid MPEG audio frame, or with TWO consecutive valid frames (the
@@ -520,43 +576,63 @@ def probe_mp3(b: bytes) -> dict | None:
     """Walk every frame header → {codec, version, layer, bitrate_kbps
     (first frame), sample_rate, channels, frames, duration_ms, vbr}."""
     pos = _id3v2_size(b)
+    tags = parse_id3v2(b)
     first = _mp3_frame_at(b, pos)
     if first is None:
         return None
+    flen0, samples0, rate0, _, _, _, _ = first
+    xing = _xing_frames(b, pos, flen0)
     n = 0
     dur_ms = 0.0
     kbps_seen = set()
-    while True:
-        f = _mp3_frame_at(b, pos)
-        if f is None:
-            break
-        flen, samples, rate, kbps, ver, layer, channels = f
-        n += 1
-        dur_ms += samples * 1000.0 / rate
-        kbps_seen.add(kbps)
-        pos += flen
-        if pos >= len(b):
-            break
+    if xing is not None:
+        n, xing_vbr = xing           # authoritative header frame count
+        dur_ms = n * samples0 * 1000.0 / rate0
+    else:
+        while True:
+            f = _mp3_frame_at(b, pos)
+            if f is None:
+                break
+            flen, samples, rate, kbps, ver, layer, channels = f
+            n += 1
+            dur_ms += samples * 1000.0 / rate
+            kbps_seen.add(kbps)
+            pos += flen
+            if pos >= len(b):
+                break
     _, _, rate, kbps, ver, layer, channels = first
     vname = {3: "1", 2: "2", 0: "2.5"}[ver]
     return {"codec": f"mpeg{vname}-layer{layer}", "version": vname,
             "layer": layer, "bitrate_kbps": kbps, "sample_rate": rate,
             "channels": channels, "frames": n,
-            "duration_ms": int(dur_ms), "vbr": len(kbps_seen) > 1}
+            "duration_ms": int(dur_ms),
+            "vbr": xing_vbr if xing is not None else len(kbps_seen) > 1,
+            "tags": tags}
 
 
 def write_mp3_fixture(n_frames: int = 20, kbps: int = 128,
-                      rate: int = 44100, id3: bool = False) -> bytes:
+                      rate: int = 44100, id3: bool = False,
+                      tags: dict | None = None,
+                      xing_frames: int | None = None,
+                      xing_vbr: bool = True) -> bytes:
     """Spec-valid MPEG-1 Layer III frame headers with zeroed payloads —
     a probe/metadata fixture (the payload is NOT decodable audio; decode
-    is the declared external-codec stub)."""
+    is the declared external-codec stub). ``tags`` adds an ID3v2.3 tag
+    with UTF-8 text frames; ``xing_frames`` embeds a Xing ('Info' when
+    ``xing_vbr=False``) header in the first frame."""
     ver = next(v for v, rates in _MP3_RATES.items() if rate in rates)
     table = _MP3_BR_V1 if ver == 3 else _MP3_BR_V2
     br_idx = table[3].index(kbps) + 1
     sr_idx = _MP3_RATES[ver].index(rate)
     out = bytearray()
-    if id3:
-        body = b"\x00" * 20
+    if id3 or tags:
+        body = b""
+        for fid, txt in (tags or {}).items():
+            payload = b"\x03" + txt.encode("utf-8")
+            body += (fid.encode("ascii")
+                     + len(payload).to_bytes(4, "big") + b"\x00\x00"
+                     + payload)
+        body = body or b"\x00" * 20
         out += b"ID3\x03\x00\x00" + bytes(
             [(len(body) >> 21) & 0x7F, (len(body) >> 14) & 0x7F,
              (len(body) >> 7) & 0x7F, len(body) & 0x7F]) + body
@@ -564,8 +640,14 @@ def write_mp3_fixture(n_frames: int = 20, kbps: int = 128,
     hdr = bytes([0xFF, b1, (br_idx << 4) | (sr_idx << 2), 0x44])
     samples = 1152 if ver == 3 else 576
     flen = samples // 8 * kbps * 1000 // rate
-    for _ in range(n_frames):
-        out += hdr + b"\x00" * (flen - 4)
+    for i in range(n_frames):
+        payload = bytearray(b"\x00" * (flen - 4))
+        if i == 0 and xing_frames is not None:
+            tag = b"Xing" if xing_vbr else b"Info"
+            blob = tag + (1).to_bytes(4, "big") \
+                + int(xing_frames).to_bytes(4, "big")
+            payload[32:32 + len(blob)] = blob
+        out += hdr + bytes(payload)
     return bytes(out)
 
 

@@ -221,3 +221,22 @@ def test_ogg_page_crc_is_spec_correct():
     zeroed = page[:22] + b"\x00\x00\x00\x00" + page[26:]
     stored = int.from_bytes(page[22:26], "little")
     assert a._ogg_crc(zeroed) == stored
+
+
+def test_mp3_id3_tags_and_xing_header():
+    from gitprov_ray import audiocodec as a
+
+    b = a.write_mp3_fixture(5, tags={"TIT2": "A Song", "TPE1": "Someone"},
+                            xing_frames=1234)
+    p = a.probe_mp3(b)
+    assert p["tags"] == {"TIT2": "A Song", "TPE1": "Someone"}
+    assert p["frames"] == 1234 and p["vbr"] is True
+    assert p["duration_ms"] == int(1234 * 1152 * 1000.0 / 44100)
+
+    cbr = a.write_mp3_fixture(5, xing_frames=5, xing_vbr=False)
+    pc = a.probe_mp3(cbr)
+    assert pc["frames"] == 5 and pc["vbr"] is False
+
+    plain = a.write_mp3_fixture(5)
+    assert a.probe_mp3(plain)["tags"] == {}
+    assert a.parse_id3v2(b"garbage") == {}
