@@ -2740,6 +2740,41 @@ def q_skew_join_enrich(sf_dir: str):
         .sort("event_id"))
 
 
+def q_normalize_docs(sf_dir: str):
+    """Text normalization (the first stage of any web-text curation
+    recipe): lowercase -> accent strip (NFD minus combining marks, the
+    exact strip_accents semantics — verified char-by-char against
+    DuckDB) -> whitespace collapse -> trim. The corpus is pure ASCII, so
+    accented characters are INJECTED deterministically (doc_id % 5 == 0:
+    a->á, e->ê) identically in engine and twin — the same make-the-op-
+    fire trick as q_pii_scrub_docs. Output ships md5 + length, not the
+    text."""
+    import unicodedata
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("")
+        inj = df["doc_id"] % 5 == 0
+        t = t.where(~inj, t.str.replace("a", "á", regex=False)
+                    .str.replace("e", "ê", regex=False))
+        low = t.str.lower()
+        # strip accents: NFD then drop combining marks (== strip_accents)
+        stripped = low.map(lambda s: "".join(
+            c for c in unicodedata.normalize("NFD", s)
+            if not unicodedata.combining(c)))
+        nt = (stripped.str.replace(r"\s+", " ", regex=True).str.strip())
+        import hashlib
+
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "norm_md5": nt.map(
+                lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()),
+            "n_chars_norm": nt.str.len().astype("int64")})
+
+    return ds.map_batches(norm, batch_format="pandas").sort("doc_id")
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -2859,6 +2894,7 @@ QUERIES = {
     "q_event_transitions": q_event_transitions,
     "q_outlier_events": q_outlier_events,
     "q_skew_join_enrich": q_skew_join_enrich,
+    "q_normalize_docs": q_normalize_docs,
 }
 
 
@@ -4362,6 +4398,23 @@ ORACLE_SQL = {
                toks[k*48 + 1] AS first_tok,
                toks[k*48 + LEAST(64, n - k*48)] AS last_tok
         FROM c ORDER BY doc_id, chunk_idx
+    """,
+    "q_normalize_docs": r"""
+        WITH inj AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0
+                      THEN replace(replace(COALESCE(text, ''),
+                                           'a', 'á'), 'e', 'ê')
+                      ELSE COALESCE(text, '') END AS t
+          FROM documents),
+        n AS (
+          SELECT doc_id,
+                 trim(regexp_replace(strip_accents(lower(t)),
+                                     '\s+', ' ', 'g')) AS nt
+          FROM inj)
+        SELECT doc_id, md5(nt) AS norm_md5,
+               CAST(length(nt) AS BIGINT) AS n_chars_norm
+        FROM n ORDER BY doc_id
     """,
     # the ±1 planes and integer projections reproduce the ENGINE's LSH
     # buckets exactly: plane weight = low bit of md5 digest byte
