@@ -165,6 +165,31 @@ def cmd_update(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    from .pipelines.curation import curate_documents_full
+    from .util import read_parquet_clean
+
+    _ray_session(args.num_cpus)
+    docs = read_parquet_clean(args.documents)
+    out = curate_documents_full(docs, lang=args.lang,
+                                min_tokens=args.min_tokens,
+                                max_dup_line_milli=args.max_dup_line_milli)
+    out.write_parquet(args.out, compression="zstd")
+    print(json.dumps({"out": args.out}))
+    return 0
+
+
+def cmd_probe(args) -> int:
+    from .multimodal import probe_pipeline
+    from .util import read_parquet_clean
+
+    _ray_session(args.num_cpus)
+    media = read_parquet_clean(args.media)
+    probe_pipeline(media).write_parquet(args.out, compression="zstd")
+    print(json.dumps({"out": args.out}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="gitprov_ray", description=__doc__)
     p.add_argument("--num-cpus", type=int, default=None)
@@ -232,6 +257,21 @@ def build_parser() -> argparse.ArgumentParser:
     sz.add_argument("--format", default="ntriples")
     sz.add_argument("--out")
     sz.set_defaults(fn=cmd_serialize)
+
+    cu = sub.add_parser("curate", help="documents parquet → curated "
+                        "parquet (tokens/Gopher/repetition/PII + dedup)")
+    cu.add_argument("documents")
+    cu.add_argument("out")
+    cu.add_argument("--lang", default="en")
+    cu.add_argument("--min-tokens", type=int, default=10)
+    cu.add_argument("--max-dup-line-milli", type=int, default=300)
+    cu.set_defaults(fn=cmd_curate)
+
+    pb = sub.add_parser("probe", help="media parquet (media_id, payload)"
+                        " → typed metadata parquet")
+    pb.add_argument("media")
+    pb.add_argument("out")
+    pb.set_defaults(fn=cmd_probe)
     return p
 
 

@@ -111,3 +111,29 @@ def test_cli_sparql_all_forms_distributed_default(cli_store, capsys):
     assert main(["sparql", cli_store, ask, "--driver"]) == 0
     doc2 = json.loads(capsys.readouterr().out)
     assert doc2["boolean"] is True
+
+
+def test_cli_curate_and_probe(ray_session, tmp_path, capsys):
+    import pandas as pd
+
+    from gitprov_ray.__main__ import main
+    from gitprov_ray.multimodal import synth_media_table
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    dp = str(tmp_path / "docs.parquet")
+    docs.to_parquet(dp)
+    outp = str(tmp_path / "curated")
+    assert main(["curate", dp, outp, "--lang", "en"]) == 0
+    cur = pd.read_parquet(outp)
+    assert len(cur) > 0 and "scrubbed" in cur.columns
+    assert (cur["lang"] == "en").all()
+    assert cur["gopher_pass"].all()
+
+    media = synth_media_table(n=12)
+    mp = str(tmp_path / "media.parquet")
+    pq.write_table(media, mp)
+    outm = str(tmp_path / "probed")
+    assert main(["probe", mp, outm]) == 0
+    probed = pd.read_parquet(outm)
+    assert len(probed) == 12
+    assert set(probed["format"]) - {"unknown"}   # real formats detected
