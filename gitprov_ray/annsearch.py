@@ -448,6 +448,45 @@ def ivf_kmeans_topk(emb_ds, query_ids: list[int], k: int = 5,
             .map_groups(search_list, batch_format="pandas"))
 
 
+def pq_codes(emb_ds, n_sub: int = 2, k: int = 4, iters: int = 3,
+             id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Product quantization (Jégou et al. 2011): split the embedding
+    into ``n_sub`` contiguous subspaces, k-means each subspace
+    (:func:`kmeans_embeddings` — the distributed quantizer with the
+    per-row-exact CTE twin), emit each vector's per-subspace codebook
+    indices. The (n_sub × k × d/n_sub) codebooks are tiny and broadcast;
+    the final coding pass is ONE streaming map_batches — at 100 TB the
+    corpus compresses to n_sub bytes/vector without concentrating
+    anywhere. Returns a Dataset of (id, code0..code{n_sub-1})."""
+    emb_ds = emb_ds.materialize()             # invariant 10: reused input
+    dim = len(np.asarray(emb_ds.take(1)[0][vec_col]))
+    bounds = [(s * dim // n_sub, (s + 1) * dim // n_sub)
+              for s in range(n_sub)]
+    cents = []
+    for lo, hi in bounds:
+        sub = emb_ds.map_batches(
+            lambda df, lo=lo, hi=hi: pd.DataFrame({
+                id_col: df[id_col].to_numpy(),
+                vec_col: list(_emb_matrix(df, vec_col)[:, lo:hi])}),
+            batch_format="pandas")
+        _, cent = kmeans_embeddings(sub, k=k, iters=iters,
+                                    id_col=id_col, vec_col=vec_col)
+        cents.append(cent)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        m = _emb_matrix(df, vec_col)
+        out = {id_col: df[id_col].to_numpy()}
+        for s, ((lo, hi), c) in enumerate(zip(bounds, cents)):
+            ms = m[:, lo:hi]
+            scores = (c * c).sum(1)[None, :] - 2.0 * (ms @ c.T)
+            out[f"code{s}"] = pd.Series(scores.argmin(axis=1),
+                                        dtype="int64")
+        return pd.DataFrame(out)
+
+    return emb_ds.map_batches(assign, batch_format="pandas",
+                              batch_size=4096)
+
+
 def semdedup(emb_ds, k: int = 4, iters: int = 3, threshold: float = 0.9,
              id_col: str = "vec_id", vec_col: str = "embedding"):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic

@@ -2775,6 +2775,16 @@ def q_normalize_docs(sf_dir: str):
     return ds.map_batches(norm, batch_format="pandas").sort("doc_id")
 
 
+def q_pq_codes(sf_dir: str):
+    """Product quantization over the embeddings table: 2 subspaces of
+    32 dims, 4-entry codebooks each (annsearch.pq_codes). The oracle is
+    TWO copies of the unrolled k-means CTE, each run over a list-sliced
+    subspace view — derived mechanically so quantizer and twin stay in
+    lockstep."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return annsearch.pq_codes(ds, n_sub=2, k=4, iters=3).sort("vec_id")
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -2895,6 +2905,7 @@ QUERIES = {
     "q_outlier_events": q_outlier_events,
     "q_skew_join_enrich": q_skew_join_enrich,
     "q_normalize_docs": q_normalize_docs,
+    "q_pq_codes": q_pq_codes,
 }
 
 
@@ -4602,3 +4613,30 @@ ORACLE_SQL["q_ann_ivf_topk"] = ORACLE_SQL["q_kmeans_embeddings"].replace(
           FROM sims)
         SELECT query_id, rank, neighbor_id FROM ranked
         WHERE rank <= 5 ORDER BY query_id, rank""")
+
+# PQ oracle = TWO renamed copies of the unrolled k-means CTE, each over a
+# list-sliced subspace view of the embeddings (sub 0 = dims 1..32, sub 1
+# = 33..64), joined on vec_id. Derived mechanically from the q_kmeans
+# twin so the quantizer and its oracle can never drift apart.
+import re as _re
+
+
+def _pq_kmeans_body(prefix: str) -> str:
+    sql = ORACLE_SQL["q_kmeans_embeddings"]
+    body = sql.split("WITH", 1)[1].rsplit(
+        "SELECT vec_id, cluster FROM a4 ORDER BY vec_id", 1)[0]
+    for name in ("c0", "a1", "c1", "a2", "c2", "a3", "c3", "a4"):
+        body = _re.sub(rf"\b{name}\b", f"{prefix}{name}", body)
+    return body.replace("FROM embeddings", f"FROM {prefix}src").rstrip()
+
+
+ORACLE_SQL["q_pq_codes"] = (
+    "WITH p0src AS (SELECT vec_id, embedding[1:32] AS embedding"
+    " FROM embeddings),\n"
+    "     p1src AS (SELECT vec_id, embedding[33:64] AS embedding"
+    " FROM embeddings),\n"
+    + _pq_kmeans_body("p0") + ",\n" + _pq_kmeans_body("p1") + "\n"
+    "SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS code0,\n"
+    "       CAST(b.cluster AS BIGINT) AS code1\n"
+    "FROM p0a4 a JOIN p1a4 b USING (vec_id) ORDER BY a.vec_id")
+del _pq_kmeans_body
