@@ -487,6 +487,90 @@ def pq_codes(emb_ds, n_sub: int = 2, k: int = 4, iters: int = 3,
                               batch_size=4096)
 
 
+def _quant_millis(m: np.ndarray) -> np.ndarray:
+    """round(x*1000) half-away-from-zero (the DuckDB ROUND rule) as
+    int64 — the shared quantization of the ADC distance tables."""
+    v = np.asarray(m, dtype=np.float64) * 1000.0
+    return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+
+
+def pq_adc_topk(emb_ds, query_ids: list[int], k: int = 5, n_sub: int = 2,
+                n_codes: int = 4, iters: int = 3,
+                id_col: str = "vec_id", vec_col: str = "embedding"):
+    """ADC top-k over product-quantized vectors (Jégou et al. 2011's
+    asymmetric distance): the corpus is reduced to PQ codes; each query
+    precomputes an (n_sub × n_codes) distance table to the codebook
+    entries and every candidate's distance is just n_sub table lookups.
+    Distances are INTEGER (squared millis of the quantized subvectors),
+    so the ranking — the approximation itself — is reproduced exactly by
+    the SQL twin; ties break by neighbor id. Scale shape: codebooks +
+    query tables broadcast, one streaming coding pass, ≤k rows per query
+    per batch to the final merge."""
+    emb_ds = emb_ds.materialize()
+    dim = len(np.asarray(emb_ds.take(1)[0][vec_col]))
+    bounds = [(s * dim // n_sub, (s + 1) * dim // n_sub)
+              for s in range(n_sub)]
+    cents = []
+    for lo, hi in bounds:
+        sub = emb_ds.map_batches(
+            lambda df, lo=lo, hi=hi: pd.DataFrame({
+                id_col: df[id_col].to_numpy(),
+                vec_col: list(_emb_matrix(df, vec_col)[:, lo:hi])}),
+            batch_format="pandas")
+        _, cent = kmeans_embeddings(sub, k=n_codes, iters=iters,
+                                    id_col=id_col, vec_col=vec_col)
+        cents.append(cent)
+    cq = [_quant_millis(c) for c in cents]     # integer codebooks
+
+    qset = set(query_ids)
+    qdf = emb_ds.map_batches(
+        lambda df: df[df[id_col].isin(qset)],
+        batch_format="pandas").to_pandas()
+    q_ids = qdf[id_col].to_numpy()
+    qm = _quant_millis(_emb_matrix(qdf, vec_col))
+    # dtab[s][qi, c] = sum((q_sub - codebook_c)^2), exact int64
+    dtab = [((qm[:, lo:hi][:, None, :] - cq[s][None, :, :]) ** 2)
+            .sum(axis=2)
+            for s, (lo, hi) in enumerate(bounds)]
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        m = _emb_matrix(df, vec_col)
+        ids = df[id_col].to_numpy()
+        codes = []
+        for s, ((lo, hi), c) in enumerate(zip(bounds, cents)):
+            ms = m[:, lo:hi]
+            scores = (c * c).sum(1)[None, :] - 2.0 * (ms @ c.T)
+            codes.append(scores.argmin(axis=1))
+        rows = {"query_id": [], "neighbor_id": [], "dist": []}
+        for qi, qid in enumerate(q_ids):
+            d = sum(dtab[s][qi][codes[s]] for s in range(n_sub))
+            mask = ids != qid
+            cand_ids, cand_d = ids[mask], d[mask]
+            if len(cand_ids) > k:
+                # integer distances tie constantly (same PQ cell ⇒ same
+                # dist) — the local cut must already break ties by id or
+                # it discards the globally-correct candidates
+                order = np.lexsort((cand_ids, cand_d))[:k]
+                cand_ids, cand_d = cand_ids[order], cand_d[order]
+            rows["query_id"].extend([qid] * len(cand_ids))
+            rows["neighbor_id"].extend(cand_ids.tolist())
+            rows["dist"].extend(cand_d.tolist())
+        return pd.DataFrame({
+            "query_id": pd.Series(rows["query_id"], dtype="int64"),
+            "neighbor_id": pd.Series(rows["neighbor_id"], dtype="int64"),
+            "dist": pd.Series(rows["dist"], dtype="int64")})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["dist", "neighbor_id"],
+                            kind="mergesort").head(k).reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype="int64")
+        return df[["query_id", "rank", "neighbor_id", "dist"]]
+
+    return (emb_ds.map_batches(scan, batch_format="pandas",
+                               batch_size=4096)
+            .groupby("query_id").map_groups(merge, batch_format="pandas"))
+
+
 def semdedup(emb_ds, k: int = 4, iters: int = 3, threshold: float = 0.9,
              id_col: str = "vec_id", vec_col: str = "embedding"):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic

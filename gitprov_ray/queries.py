@@ -2775,6 +2775,18 @@ def q_normalize_docs(sf_dir: str):
     return ds.map_batches(norm, batch_format="pandas").sort("doc_id")
 
 
+def q_pq_adc_topk(sf_dir: str):
+    """ADC top-5 over PQ codes (the Jégou-style compressed-domain ANN
+    scan): per-query integer distance tables to each subspace codebook,
+    candidates ranked by two table lookups. Integer millis distances
+    make the approximate ranking itself oracle-exact
+    (annsearch.pq_adc_topk)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return annsearch.pq_adc_topk(ds, query_ids=[0, 1, 2, 3, 4], k=5,
+                                 n_sub=2, n_codes=4, iters=3) \
+        .sort(["query_id", "rank"])
+
+
 def q_pq_codes(sf_dir: str):
     """Product quantization over the embeddings table: 2 subspaces of
     32 dims, 4-entry codebooks each (annsearch.pq_codes). The oracle is
@@ -2906,6 +2918,7 @@ QUERIES = {
     "q_skew_join_enrich": q_skew_join_enrich,
     "q_normalize_docs": q_normalize_docs,
     "q_pq_codes": q_pq_codes,
+    "q_pq_adc_topk": q_pq_adc_topk,
 }
 
 
@@ -4630,13 +4643,63 @@ def _pq_kmeans_body(prefix: str) -> str:
     return body.replace("FROM embeddings", f"FROM {prefix}src").rstrip()
 
 
-ORACLE_SQL["q_pq_codes"] = (
+_PQ_PREAMBLE = (
     "WITH p0src AS (SELECT vec_id, embedding[1:32] AS embedding"
     " FROM embeddings),\n"
     "     p1src AS (SELECT vec_id, embedding[33:64] AS embedding"
     " FROM embeddings),\n"
-    + _pq_kmeans_body("p0") + ",\n" + _pq_kmeans_body("p1") + "\n"
+    + _pq_kmeans_body("p0") + ",\n" + _pq_kmeans_body("p1"))
+
+ORACLE_SQL["q_pq_codes"] = (
+    _PQ_PREAMBLE + "\n"
     "SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS code0,\n"
     "       CAST(b.cluster AS BIGINT) AS code1\n"
     "FROM p0a4 a JOIN p1a4 b USING (vec_id) ORDER BY a.vec_id")
-del _pq_kmeans_body
+
+# ADC twin: integer codebooks/query tables (ROUND(x*1000) BIGINTs) make
+# the asymmetric distances — i.e. the approximation's RANKING — exact
+ORACLE_SQL["q_pq_adc_topk"] = _PQ_PREAMBLE + """,
+cb AS (
+  SELECT 0 AS sub, c,
+         list_transform(e, x -> CAST(ROUND(x*1000) AS BIGINT)) AS qe
+  FROM p0c3
+  UNION ALL
+  SELECT 1, c, list_transform(e, x -> CAST(ROUND(x*1000) AS BIGINT))
+  FROM p1c3),
+qv AS (
+  SELECT vec_id AS query_id, 0 AS sub,
+         list_transform(embedding[1:32],
+             x -> CAST(ROUND(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qe
+  FROM embeddings WHERE vec_id IN (0,1,2,3,4)
+  UNION ALL
+  SELECT vec_id, 1,
+         list_transform(embedding[33:64],
+             x -> CAST(ROUND(CAST(x AS DOUBLE)*1000) AS BIGINT))
+  FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+dq AS (SELECT query_id, sub, generate_subscripts(qe, 1) AS i,
+              unnest(qe) AS v FROM qv),
+dc AS (SELECT sub, c, generate_subscripts(qe, 1) AS i,
+              unnest(qe) AS v FROM cb),
+dt AS (SELECT dq.query_id, dq.sub, dc.c,
+              SUM((dq.v - dc.v) * (dq.v - dc.v)) AS dist
+       FROM dq JOIN dc USING (sub, i)
+       GROUP BY dq.query_id, dq.sub, dc.c),
+codes AS (SELECT a.vec_id, a.cluster AS code0, b.cluster AS code1
+          FROM p0a4 a JOIN p1a4 b USING (vec_id)),
+scored AS (
+  SELECT q.query_id, n.vec_id AS neighbor_id,
+         t0.dist + t1.dist AS dist
+  FROM (SELECT DISTINCT query_id FROM qv) q
+  JOIN codes n ON n.vec_id <> q.query_id
+  JOIN dt t0 ON t0.query_id = q.query_id AND t0.sub = 0
+            AND t0.c = n.code0
+  JOIN dt t1 ON t1.query_id = q.query_id AND t1.sub = 1
+            AND t1.c = n.code1),
+ranked AS (
+  SELECT query_id, neighbor_id, dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dist, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, rank, neighbor_id, CAST(dist AS BIGINT) AS dist
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+del _pq_kmeans_body, _PQ_PREAMBLE
