@@ -18,7 +18,9 @@ import pyarrow as pa
 
 
 _EXT_FMT = {".parquet": "parquet", ".pq": "parquet", ".csv": "csv",
-            ".json": "ndjson", ".jsonl": "ndjson", ".ndjson": "ndjson"}
+            ".json": "ndjson", ".jsonl": "ndjson", ".ndjson": "ndjson",
+            ".feather": "feather", ".arrow": "feather", ".ipc": "feather",
+            ".orc": "orc"}
 
 
 def _fmt_of(path: str, fmt: str | None) -> tuple[str, bool]:
@@ -63,9 +65,34 @@ def read_table(path, fmt: str | None = None, columns: list[str] | None = None,
     elif f == "ndjson":
         ds = rd.read_json(path, arrow_open_stream_args=open_args,
                           file_extensions=None)
+    elif f in ("feather", "orc"):
+        # Ray has no native IPC/ORC reader: read_binary_files is still
+        # block-parallel ACROSS files (one decode task per file), and
+        # the Arrow decode is zero-copy from the blob
+        import io
+
+        bin_ds = rd.read_binary_files(path, file_extensions=None)
+
+        def decode(t: pa.Table, f=f, columns=columns) -> pa.Table:
+            parts = []
+            for blob in t.column("bytes").to_pylist():
+                if f == "feather":
+                    import pyarrow.feather as feather
+
+                    parts.append(feather.read_table(
+                        io.BytesIO(blob), columns=columns))
+                else:
+                    import pyarrow.orc as orc
+
+                    parts.append(orc.ORCFile(io.BytesIO(blob))
+                                 .read(columns=columns))
+            return pa.concat_tables(parts)
+
+        ds = bin_ds.map_batches(decode, batch_format="pyarrow",
+                                batch_size=1)
     else:
         raise ValueError(f"unknown table format {f!r}")
-    if f != "parquet" and columns is not None:
+    if f not in ("parquet", "feather", "orc") and columns is not None:
         ds = ds.select_columns(columns)
     if schema is not None:
         want = schema if columns is None else pa.schema(
@@ -87,6 +114,14 @@ def write_table(ds, path: str, fmt: str = "parquet"):
         ds.write_csv(path)
     elif fmt == "ndjson":
         ds.write_json(path)
+    elif fmt == "feather":
+        import os
+        import pyarrow.feather as feather
+
+        os.makedirs(path, exist_ok=True)
+        for i, batch in enumerate(ds.iter_batches(batch_format="pyarrow",
+                                                  batch_size=None)):
+            feather.write_feather(batch, f"{path}/part-{i:05d}.feather")
     else:
         raise ValueError(f"unknown table format {fmt!r}")
 

@@ -101,3 +101,33 @@ def test_read_ntriples_distributed_matches_driver_parse(tmp_path):
     pd.testing.assert_frame_equal(got, want)
     assert len(got) == 200
     assert set(got["graph"]) == {"g0.example", "g1.example", "g2.example"}
+
+
+def test_feather_and_orc_roundtrip(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.feather as feather
+    import pyarrow.orc as orc
+
+    from gitprov_ray import sources
+
+    t = pa.table({"a": pa.array([1, 2, 3], pa.int64()),
+                  "b": pa.array(["x", "y", "z"])})
+    fp = str(tmp_path / "t.feather")
+    feather.write_feather(t, fp)
+    op = str(tmp_path / "t.orc")
+    orc.write_table(t, op)
+
+    for path in (fp, op):
+        got = sources.read_table(path).to_pandas().sort_values("a")
+        assert got["a"].tolist() == [1, 2, 3]
+        assert got["b"].tolist() == ["x", "y", "z"]
+    # column pruning at the decode
+    got = sources.read_table(fp, columns=["b"]).to_pandas()
+    assert list(got.columns) == ["b"]
+
+    # write_table feather → read back
+    ds = sources.read_table(fp)
+    out = str(tmp_path / "out_feather")
+    sources.write_table(ds, out, fmt="feather")
+    back = sources.read_table(out + "/part-00000.feather").to_pandas()
+    assert back["a"].tolist() == [1, 2, 3]
