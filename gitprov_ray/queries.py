@@ -2797,6 +2797,50 @@ def q_pq_codes(sf_dir: str):
     return annsearch.pq_codes(ds, n_sub=2, k=4, iters=3).sort("vec_id")
 
 
+def q_range_window_events(sf_dir: str, minutes: int = 10):
+    """TIME-based trailing window (RANGE, not ROWS — the streaming
+    windowed-aggregate shape): per user, the sum of value cents over the
+    trailing 10 minutes INCLUDING equal-timestamp peers after the
+    current row (the SQL RANGE ... CURRENT ROW peer rule). One bucketed
+    per-key shuffle; in-group the window bounds come from two
+    vectorized searchsorted calls over the sorted timestamps — no
+    per-row loop."""
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        k = df["user_id"].astype(str)
+        df["bucket"] = stable_bucket(k, k, 32)
+        return df
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for uid, g in df.groupby("user_id", sort=False):
+            g = g.sort_values(["ts", "event_id"], kind="mergesort")
+            ts = g["ts"].to_numpy()
+            cents = _cents(g["value"]).to_numpy()
+            cum = np.concatenate([[0], np.cumsum(cents)])
+            lo = np.searchsorted(ts, ts - np.timedelta64(minutes, "m"),
+                                 side="left")
+            hi = np.searchsorted(ts, ts, side="right")  # equal-ts peers
+            frames.append(pd.DataFrame({
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "win_cents": (cum[hi] - cum[lo]).astype("int64")}))
+        return (pd.concat(frames, ignore_index=True) if frames else
+                pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                              "user_id": pd.Series([], dtype="int64"),
+                              "win_cents": pd.Series([], dtype="int64")}))
+
+    return (ds.map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: window(df.drop(columns=["bucket"])),
+                        batch_format="pandas")
+            .sort("event_id"))
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -2919,6 +2963,7 @@ QUERIES = {
     "q_normalize_docs": q_normalize_docs,
     "q_pq_codes": q_pq_codes,
     "q_pq_adc_topk": q_pq_adc_topk,
+    "q_range_window_events": q_range_window_events,
 }
 
 
@@ -4422,6 +4467,14 @@ ORACLE_SQL = {
                toks[k*48 + 1] AS first_tok,
                toks[k*48 + LEAST(64, n - k*48)] AS last_tok
         FROM c ORDER BY doc_id, chunk_idx
+    """,
+    "q_range_window_events": """
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS win_cents
+        FROM events ORDER BY event_id
     """,
     "q_normalize_docs": r"""
         WITH inj AS (
