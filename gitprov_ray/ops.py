@@ -151,6 +151,11 @@ def semi_join(left_ds, right_ds, left_key: str, right_key: str,
     if not sample:
         # empty right side: semi keeps nothing, anti keeps everything
         return left_ds.limit(0) if not anti else left_ds
+    if not left_ds.take(1):
+        # invariant 11: Ray's hash join breaks on a fully-empty side
+        # (column-less shuffle partitions); answer without the join.
+        # take(1) streams until the first row only.
+        return left_ds.limit(0)
     marked = keys.map_batches(
         lambda df: df.assign(__match=np.int8(1)), batch_format="pandas")
     if right_key != left_key:
@@ -237,6 +242,11 @@ def bloom_semi_join(left_ds, right_ds, left_key: str, right_key: str,
         return df[_bloom_member(df[left_key], bm, m_bits, k)]
 
     survivors = left_ds.map_batches(prefilter, batch_format="pandas")
+    # invariant 11: Ray's hash join breaks on a fully-empty side — when
+    # the prefilter removes every left row (no-overlap join), answer
+    # without the join. take(1) streams until the first survivor only.
+    if not survivors.take(1):
+        return survivors.limit(0)
     return semi_join(survivors, right_ds, left_key, right_key,
                      num_partitions)
 

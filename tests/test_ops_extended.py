@@ -313,3 +313,19 @@ def test_skew_join_all_cold_path():
             .sort_values("lid").reset_index(drop=True))
     assert (got["lid"].to_numpy() == want["lid"].to_numpy()).all()
     assert (got["v"].to_numpy() == want["v"].to_numpy()).all()
+
+
+def test_bloom_semi_join_no_match_and_empty_right():
+    left = pd.DataFrame({"k": np.arange(100, dtype="int64"),
+                         "lid": np.arange(100, dtype="int64")})
+    right = pd.DataFrame({"rk": np.arange(1000, 1010, dtype="int64")})
+    out = ops.bloom_semi_join(
+        rd.from_pandas(left, override_num_blocks=3),
+        rd.from_pandas(right, override_num_blocks=2),
+        "k", "rk", m_bits=1 << 16).to_pandas()
+    assert len(out) == 0
+    out = ops.bloom_semi_join(
+        rd.from_pandas(left, override_num_blocks=3),
+        rd.from_pandas(right.iloc[:0], override_num_blocks=1),
+        "k", "rk", m_bits=1 << 16).to_pandas()
+    assert len(out) == 0
