@@ -91,7 +91,16 @@ def flagship_from_pages_parquet(pages_path: str, contributor_rows: list[dict],
     tune_context()
     from ..util import read_parquet_clean
 
-    pages_ds = read_parquet_clean(pages_path, columns=["url", "warc_ts", "html"])
+    low = str(pages_path).lower()
+    if low.endswith((".warc", ".warc.gz", ".wet", ".wet.gz")):
+        from ..sources import read_warc
+
+        pages_ds = read_warc(pages_path).map_batches(
+            lambda t: t.select(["url", "warc_ts", "html"]),
+            batch_format="pyarrow")
+    else:
+        pages_ds = read_parquet_clean(pages_path,
+                                      columns=["url", "warc_ts", "html"])
     tri = triples_from_pages(pages_ds, contributor_rows,
                              num_buckets=num_buckets, sort=sort,
                              checkpoint=checkpoint)

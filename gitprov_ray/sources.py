@@ -154,3 +154,123 @@ def read_ntriples(path):
                            "obj_dtype": "object"})
 
     return lines.map_batches(parse, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# WARC / WET ingestion (ISO 28500) — the web-crawl interchange format
+# ---------------------------------------------------------------------------
+
+def _warc_records(raw: bytes):
+    """Yield (warc_headers: dict, payload: bytes) per WARC/1.x record.
+    Content-Length framing per ISO 28500; header keys lowercased.
+    Malformed tails stop the walk (quarantine policy M15)."""
+    pos = 0
+    while True:
+        idx = raw.find(b"WARC/", pos)
+        if idx < 0:
+            break
+        hdr_end = raw.find(b"\r\n\r\n", idx)
+        if hdr_end < 0:
+            break
+        fields: dict[str, str] = {}
+        head = raw[idx:hdr_end].decode("utf-8", "replace").split("\r\n")
+        for line in head[1:]:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                fields[k.strip().lower()] = v.strip()
+        try:
+            clen = int(fields.get("content-length", "0"))
+        except ValueError:
+            break
+        payload = raw[hdr_end + 4: hdr_end + 4 + clen]
+        if len(payload) < clen:
+            break
+        yield fields, payload
+        pos = hdr_end + 4 + clen
+
+
+def _warc_to_pages(raw: bytes) -> "pa.Table":
+    """WARC bytes → PAGES rows: 'response' records contribute the HTML
+    body (HTTP headers stripped), 'conversion' records (WET) contribute
+    extracted text. Other record types (warcinfo, request, metadata)
+    are skipped."""
+    import pandas as pd
+
+    from . import schemas
+
+    rows = []
+    for fields, payload in _warc_records(raw):
+        rtype = fields.get("warc-type", "")
+        if rtype not in ("response", "conversion"):
+            continue
+        url = fields.get("warc-target-uri", "")
+        date = fields.get("warc-date", "")
+        try:
+            ts = pd.Timestamp(date).tz_localize(None) if date else None
+        except ValueError:
+            ts = None
+        html, text = b"", ""
+        if rtype == "response":
+            body = payload
+            if payload[:5] in (b"HTTP/",):
+                sep = payload.find(b"\r\n\r\n")
+                if sep >= 0:
+                    body = payload[sep + 4:]
+            html = body
+        else:
+            text = payload.decode("utf-8", "replace")
+        rows.append({"url": url, "warc_ts": ts, "html": html,
+                     "text": text, "lang": ""})
+    return pa.Table.from_pylist(rows, schema=schemas.PAGES)
+
+
+def read_warc(path):
+    """WARC/WET file(s) → Dataset of PAGES rows. Block-parallel across
+    files (one decode task per archive — the Common Crawl layout is
+    many ~1 GB segment files, so file-level parallelism IS the
+    partitioning); multi-member gzip handled by gzip.decompress."""
+    import gzip
+
+    import ray.data as rd
+
+    from .util import tune_context
+
+    tune_context()
+    bin_ds = rd.read_binary_files(path, file_extensions=None)
+
+    def decode(t: pa.Table) -> pa.Table:
+        parts = []
+        for blob in t.column("bytes").to_pylist():
+            raw = gzip.decompress(blob) if blob[:2] == b"\x1f\x8b" else blob
+            parts.append(_warc_to_pages(raw))
+        return pa.concat_tables(parts)
+
+    return bin_ds.map_batches(decode, batch_format="pyarrow", batch_size=1)
+
+
+def write_warc_fixture(pages_rows, wet: bool = False,
+                       gz: bool = False) -> bytes:
+    """PAGES-shaped dicts → spec-framed WARC bytes ('response' records
+    with an HTTP envelope, or WET 'conversion' records when ``wet``)."""
+    import gzip
+
+    out = bytearray()
+    for i, r in enumerate(pages_rows):
+        date = (r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+                if r.get("warc_ts") is not None else
+                "2026-01-01T00:00:00Z")
+        if wet:
+            payload = (r.get("text") or "").encode("utf-8")
+            rtype = "conversion"
+        else:
+            body = r.get("html") or b""
+            payload = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                       b"\r\n" + body)
+            rtype = "response"
+        head = (f"WARC/1.0\r\nWARC-Type: {rtype}\r\n"
+                f"WARC-Target-URI: {r['url']}\r\n"
+                f"WARC-Date: {date}\r\n"
+                f"WARC-Record-ID: <urn:uuid:fixture-{i}>\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n").encode()
+        out += head + payload + b"\r\n\r\n"
+    return gzip.compress(bytes(out)) if gz else bytes(out)
