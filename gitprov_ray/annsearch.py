@@ -178,6 +178,54 @@ def lsh_topk(emb_ds, query_ids: list[int], k: int = 5,
     return bucketed.groupby("bucket").map_groups(in_bucket, batch_format="pandas")
 
 
+def lsh_multiprobe_topk(emb_ds, query_ids: list[int], k: int = 5,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        n_planes: int = 4):
+    """Multi-probe LSH (Lv et al. 2007): each query searches its own
+    bucket AND every single-bit-flip neighbor bucket (n_planes + 1
+    probes) — the standard recall lever that avoids building more hash
+    tables. The tiny query→probe-bucket map broadcasts via closure;
+    every bucket group searches only the queries probing it and ships
+    ≤k rows per (query, bucket) to the per-query merge. Buckets are the
+    md5-Rademacher integer projections, so the probe sets — hence the
+    whole approximation — are reproduced exactly by the SQL twin."""
+    qset = set(query_ids)
+    qdf = emb_ds.map_batches(
+        lambda df: df[df[id_col].isin(qset)],
+        batch_format="pandas").to_pandas()
+    q_ids = qdf[id_col].to_numpy()
+    qm_raw = np.stack([np.asarray(v, dtype=np.float64)
+                       for v in qdf[vec_col]])
+    planes = _hyperplanes(qm_raw.shape[1], n_planes)
+    q_bucket = _bucket_of(qm_raw, planes)
+    probes = {int(qid): {int(b)} | {int(b) ^ (1 << p)
+                                    for p in range(n_planes)}
+              for qid, b in zip(q_ids, q_bucket)}
+    qm = qm_raw / np.maximum(
+        np.linalg.norm(qm_raw, axis=1, keepdims=True), 1e-12)
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
+        out = df[[id_col, vec_col]].copy()
+        out["bucket"] = _bucket_of(m, planes)
+        return out
+
+    def in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["bucket"].iloc[0])
+        sel = np.array([b in probes[int(qid)] for qid in q_ids])
+        if not sel.any():
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        return _batch_topk(df, q_ids[sel], qm[sel], k, id_col, vec_col)
+
+    partials = (emb_ds.map_batches(with_bucket, batch_format="pandas")
+                .groupby("bucket")
+                .map_groups(in_bucket, batch_format="pandas"))
+    return partials.groupby("query_id").map_groups(
+        lambda df: _merge_topk(df, k), batch_format="pandas")
+
+
 def ivf_topk(emb_ds, query_ids: list[int], k: int = 5, n_centroids: int = 16,
              n_probe: int = 4, id_col: str = "vec_id",
              vec_col: str = "embedding"):

@@ -374,6 +374,17 @@ def q_ann_lsh_topk(sf_dir: str):
         .sort(["query_id", "rank"])
 
 
+def q_ann_lsh_multiprobe(sf_dir: str):
+    """Multi-probe LSH top-k (Lv et al. 2007): own bucket + every
+    single-bit-flip bucket — the recall lever without more hash tables.
+    Oracle-checked end-to-end: integer buckets mean the twin reproduces
+    the probe sets exactly (annsearch.lsh_multiprobe_topk)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return annsearch.lsh_multiprobe_topk(
+        ds, query_ids=[0, 1, 2, 3, 4], k=5, n_planes=4) \
+        .sort(["query_id", "rank"])
+
+
 def q_catalog_search(sf_dir: str):
     """Catalog search (S6-S8 engine mapping) with the reference's
     query-param multimap flatten (M12, GithubService.java:61-66: last value
@@ -2964,6 +2975,7 @@ QUERIES = {
     "q_pq_codes": q_pq_codes,
     "q_pq_adc_topk": q_pq_adc_topk,
     "q_range_window_events": q_range_window_events,
+    "q_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
 }
 
 
@@ -4679,6 +4691,30 @@ ORACLE_SQL["q_ann_ivf_topk"] = ORACLE_SQL["q_kmeans_embeddings"].replace(
           FROM sims)
         SELECT query_id, rank, neighbor_id FROM ranked
         WHERE rank <= 5 ORDER BY query_id, rank""")
+
+# Multi-probe LSH oracle = the single-probe LSH twin with the sims CTE
+# widened to the probe set (own bucket + every single-bit flip) — the
+# integer buckets make the probe sets bit-identical on both engines.
+ORACLE_SQL["q_ann_lsh_multiprobe"] = ORACLE_SQL["q_ann_lsh_topk"].replace(
+    """        sims AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.qe, e.embedding) AS sim
+          FROM q JOIN buckets b ON b.bucket = q.bucket
+               JOIN embeddings e ON e.vec_id = b.vec_id
+          WHERE e.vec_id <> q.query_id),""",
+    """        pr AS (
+          SELECT query_id, bucket AS pb FROM q
+          UNION
+          SELECT q.query_id,
+                 xor(q.bucket, CAST(power(2, p.p) AS BIGINT))
+          FROM q, range(4) p(p)),
+        sims AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.qe, e.embedding) AS sim
+          FROM q JOIN pr USING (query_id)
+               JOIN buckets b ON b.bucket = pr.pb
+               JOIN embeddings e ON e.vec_id = b.vec_id
+          WHERE e.vec_id <> q.query_id),""")
 
 # PQ oracle = TWO renamed copies of the unrolled k-means CTE, each over a
 # list-sliced subspace view of the embeddings (sub 0 = dims 1..32, sub 1
