@@ -385,6 +385,61 @@ def q_ann_lsh_multiprobe(sf_dir: str):
         .sort(["query_id", "rank"])
 
 
+def q_url_canonicalize(sf_dir: str):
+    """URL canonicalization (the first dedup key of any web crawl):
+    scheme/host lowercased, default port stripped, fragment dropped,
+    query parameters sorted, trailing slash trimmed. The corpus has no
+    URL column, so messy URLs are DERIVED deterministically per doc —
+    identically in engine and twin (the injection trick) — with three
+    mess variants (upper host + :443, unsorted params + fragment,
+    trailing slash). Output = canonical url + dedup count per
+    canonical form."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].astype("int64")
+        src = df["source"].astype(str)
+        v = d % 3
+        raw = np.where(
+            v == 0,
+            "HTTPS://" + src.str.upper() + ".EXAMPLE:443/Doc/"
+            + d.astype(str) + "#frag",
+            np.where(
+                v == 1,
+                "https://" + src + ".example/Doc/" + d.astype(str)
+                + "?z=2&a=1",
+                "https://" + src + ".example/Doc/" + d.astype(str) + "/"))
+        raw = pd.Series(raw, index=df.index)
+        parts = raw.str.extract(
+            r"^(?P<scheme>[A-Za-z]+)://(?P<host>[^/?#]+)"
+            r"(?P<path>[^?#]*)(?:\?(?P<query>[^#]*))?(?:#.*)?$")
+        scheme = parts["scheme"].str.lower()
+        host = parts["host"].str.lower()
+        host = host.str.replace(r":443$", "", regex=True) \
+            .str.replace(r":80$", "", regex=True)
+        path = parts["path"].str.replace(r"/$", "", regex=True)
+        q = parts["query"].fillna("")
+        q = q.map(lambda s: "&".join(sorted(s.split("&"))) if s else "")
+        url = scheme + "://" + host + path + np.where(q != "", "?" + q, "")
+        return pd.DataFrame({"doc_id": d.to_numpy(),
+                             "canon_url": pd.Series(url).to_numpy()})
+
+    out = ds.map_batches(canon, batch_format="pandas")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("canon_url", sort=False).size()
+             .rename("n").reset_index())
+        return g
+
+    agg = (out.map_batches(partial, batch_format="pandas")
+           .groupby("canon_url")
+           .aggregate(Sum("n", alias_name="n")))
+    return agg.map_batches(
+        lambda df: pd.DataFrame({"canon_url": df["canon_url"],
+                                 "n": df["n"].astype("int64")}),
+        batch_format="pandas").sort("canon_url")
+
+
 def q_catalog_search(sf_dir: str):
     """Catalog search (S6-S8 engine mapping) with the reference's
     query-param multimap flatten (M12, GithubService.java:61-66: last value
@@ -2976,6 +3031,7 @@ QUERIES = {
     "q_pq_adc_topk": q_pq_adc_topk,
     "q_range_window_events": q_range_window_events,
     "q_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+    "q_url_canonicalize": q_url_canonicalize,
 }
 
 
@@ -4479,6 +4535,41 @@ ORACLE_SQL = {
                toks[k*48 + 1] AS first_tok,
                toks[k*48 + LEAST(64, n - k*48)] AS last_tok
         FROM c ORDER BY doc_id, chunk_idx
+    """,
+    "q_url_canonicalize": """
+        WITH raw AS (
+          SELECT doc_id,
+                 CASE doc_id % 3
+                   WHEN 0 THEN 'HTTPS://' || upper(source)
+                        || '.EXAMPLE:443/Doc/' || doc_id || '#frag'
+                   WHEN 1 THEN 'https://' || source || '.example/Doc/'
+                        || doc_id || '?z=2&a=1'
+                   ELSE 'https://' || source || '.example/Doc/'
+                        || doc_id || '/'
+                 END AS u
+          FROM documents),
+        parts AS (
+          SELECT doc_id,
+                 lower(regexp_extract(u,
+                     '^([A-Za-z]+)://([^/?#]+)([^?#]*)', 1)) AS scheme,
+                 regexp_replace(regexp_replace(
+                     lower(regexp_extract(u,
+                         '^([A-Za-z]+)://([^/?#]+)([^?#]*)', 2)),
+                     ':443$', ''), ':80$', '') AS host,
+                 regexp_replace(regexp_extract(u,
+                     '^([A-Za-z]+)://([^/?#]+)([^?#]*)', 3),
+                     '/$', '') AS path,
+                 COALESCE(regexp_extract(u, '\\?([^#]*)', 1), '') AS q
+          FROM raw),
+        canon AS (
+          SELECT scheme || '://' || host || path
+                 || CASE WHEN q <> ''
+                         THEN '?' || array_to_string(
+                                  list_sort(string_split(q, '&')), '&')
+                         ELSE '' END AS canon_url
+          FROM parts)
+        SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n
+        FROM canon GROUP BY canon_url ORDER BY canon_url
     """,
     "q_range_window_events": """
         SELECT event_id, user_id,

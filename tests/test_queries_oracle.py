@@ -71,3 +71,22 @@ def test_rows_only_queries_execute():
         assert len(df) >= 0, name
         if name in ("q_langid_docs", "q_simhash_docs"):
             assert len(df) == 500, name
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_multiprobe_recall_at_least_single_probe():
+    """Multi-probe LSH must recover at least the single-probe neighbor
+    set's brute-force recall (it searches a superset of buckets)."""
+    from gitprov_ray.queries import QUERIES
+
+    bf = QUERIES["q_ann_topk"](SF).to_pandas()
+    single = QUERIES["q_ann_lsh_topk"](SF).to_pandas()
+    multi = QUERIES["q_ann_lsh_multiprobe"](SF).to_pandas()
+    truth = set(map(tuple, bf[["query_id", "neighbor_id"]].to_numpy()))
+    r1 = len(set(map(tuple,
+                     single[["query_id", "neighbor_id"]].to_numpy()))
+             & truth) / len(truth)
+    rm = len(set(map(tuple,
+                     multi[["query_id", "neighbor_id"]].to_numpy()))
+             & truth) / len(truth)
+    assert rm >= r1
