@@ -1076,3 +1076,111 @@ def edit_distance_pairs(docs_ds, pairs_ds, id_col: str = "doc_id",
                              "edit_dist": pd.Series(d, dtype="int64")})
 
     return j.map_batches(dist, batch_format="pandas")
+
+
+def containment_pairs(docs_ds, id_col: str = "doc_id",
+                      text_col: str = "text", threshold: float = 0.8,
+                      max_df: int = 1000, num_buckets: int = 64):
+    """Containment near-dup pairs: |A∩B| / min(|A|,|B|) >= threshold over
+    word-3-gram shingle sets — the subset-duplicate detector Jaccard
+    misses (a short doc quoted inside a long one scores low Jaccard but
+    containment ~1; Lee et al. 2022 §4 motivates exactly this case).
+
+    Scale shape (no MinHash, no all-pairs): each doc's gram set is
+    computed where its row lives (one row = one doc, so per-doc set
+    sizes are exact locally); distinct (doc, gram) rows take ONE
+    gram-keyed bucketed shuffle; grams with document frequency >
+    ``max_df`` are dropped from intersection counting (the standard
+    posting-list cap — boilerplate grams pair everything with
+    everything; the cap is part of the CONTRACT and the SQL twin applies
+    the same HAVING). In-bucket self-merge emits per-gram pair partials,
+    a pair-keyed shuffle sums intersections, and two hash joins attach
+    the set sizes. Returns (a, b) with a < b."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from .ops import _default_partitions, _pa_type_of, materialize_normalized
+    from .stages.versions import stable_bucket
+
+    P = _default_partitions()
+
+    def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+        hs = _shingle_hashes_batch(list(df[text_col]))
+        uniq = [np.unique(h) for h in hs]
+        reps = [len(u) for u in uniq]
+        docs = np.repeat(df[id_col].to_numpy(), reps)
+        g = (np.concatenate(uniq) if uniq else
+             np.empty(0, dtype=np.uint64)).astype("uint64")
+        out = pd.DataFrame({"doc": docs, "g": g})
+        out["bucket"] = (g % np.uint64(num_buckets)).astype("int64")
+        return out
+
+    def sizes_rows(df: pd.DataFrame) -> pd.DataFrame:
+        hs = _shingle_hashes_batch(list(df[text_col]))
+        return pd.DataFrame({
+            "doc": df[id_col].to_numpy(),
+            "n": pd.Series([len(np.unique(h)) for h in hs],
+                           dtype="int64")})
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["doc", "g"])
+        vc = df["g"].value_counts()
+        keep = vc[(vc > 1) & (vc <= max_df)].index
+        df = df[df["g"].isin(keep)]
+        if not len(df):
+            return pd.DataFrame({"a": pd.Series(dtype=object),
+                                 "b": pd.Series(dtype=object),
+                                 "i": pd.Series(dtype="int64")})
+        m = df.merge(df, on="g")
+        m = m[m["doc_x"] < m["doc_y"]]
+        g = (m.groupby(["doc_x", "doc_y"], sort=False).size()
+             .rename("i").reset_index())
+        return g.rename(columns={"doc_x": "a", "doc_y": "b"}) \
+            .astype({"i": "int64"})
+
+    part = (docs_ds.map_batches(gram_rows, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: bucket_pairs(df.drop(columns=["bucket"])),
+                        batch_format="pandas"))
+
+    def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        k = df["a"].astype(str) + "|" + df["b"].astype(str)
+        df["pb"] = stable_bucket(k, k, num_buckets)
+        return df
+
+    inter = (part.map_batches(pair_bucket, batch_format="pandas")
+             .groupby("pb")
+             .map_groups(lambda df: df.groupby(["a", "b"], sort=False,
+                                               as_index=False)["i"].sum(),
+                         batch_format="pandas"))
+    sample = inter.take(1)
+    dsample = docs_ds.take(1)
+    idt = _pa_type_of(dsample[0][id_col]) if dsample else pa.string()
+    if not sample:
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], idt), "b": pa.array([], idt)}))
+    inter = materialize_normalized(inter, pa.schema(
+        [("a", idt), ("b", idt), ("i", pa.int64())]))
+    sizes = docs_ds.map_batches(sizes_rows, batch_format="pandas")
+    sa = sizes.map_batches(
+        lambda df: df.rename(columns={"doc": "a", "n": "na"}),
+        batch_format="pandas")
+    sb = sizes.map_batches(
+        lambda df: df.rename(columns={"doc": "b", "n": "nb"}),
+        batch_format="pandas")
+    j1 = inter.join(sa, "inner", P, on=("a",))
+    j1 = materialize_normalized(j1, pa.schema(
+        [("a", idt), ("b", idt), ("i", pa.int64()), ("na", pa.int64())]))
+    j = j1.join(sb, "inner", P, on=("b",))
+
+    def flt(df: pd.DataFrame) -> pd.DataFrame:
+        mn = np.minimum(df["na"].to_numpy(), df["nb"].to_numpy())
+        keep = df["i"].to_numpy() >= threshold * mn
+        out = df[keep]
+        return pd.DataFrame({"a": out["a"].to_numpy(),
+                             "b": out["b"].to_numpy()}).astype(
+            {"a": df["a"].dtype, "b": df["b"].dtype})
+
+    return j.map_batches(flt, batch_format="pandas")

@@ -362,6 +362,16 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return out.select_columns(["a", "b"]).sort(["a", "b"])
 
 
+def q_containment_pairs(sf_dir: str):
+    """Containment near-dup pairs (|A∩B|/min >= 0.8 over word-3-gram
+    sets) — the subset-duplicate detector: a short doc quoted inside a
+    long one scores low Jaccard but containment ~1
+    (linking.containment_pairs; gram-bucketed, df-capped, no MinHash,
+    no all-pairs)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return linking.containment_pairs(ds, threshold=0.8).sort(["a", "b"])
+
+
 def q_ann_lsh_topk(sf_dir: str):
     """Approximate top-k via sign-random-projection LSH (round 4:
     oracle-checked — the Rademacher hyperplanes derive from md5 and the
@@ -3032,6 +3042,7 @@ QUERIES = {
     "q_range_window_events": q_range_window_events,
     "q_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "q_url_canonicalize": q_url_canonicalize,
+    "q_containment_pairs": q_containment_pairs,
 }
 
 
@@ -4535,6 +4546,38 @@ ORACLE_SQL = {
                toks[k*48 + 1] AS first_tok,
                toks[k*48 + LEAST(64, n - k*48)] AS last_tok
         FROM c ORDER BY doc_id, chunk_idx
+    """,
+    # same gram construction as the Jaccard twin; df cap (HAVING <= 1000)
+    # is part of the containment CONTRACT, mirrored by the engine
+    "q_containment_pairs": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+          FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) s
+          WHERE len(t) >= 3
+          UNION ALL
+          SELECT doc_id, array_to_string(t, ' ') AS g FROM toks
+          WHERE len(t) < 3
+        ),
+        dg AS (SELECT DISTINCT doc_id, g FROM grams),
+        sets AS (SELECT doc_id, COUNT(*) AS n FROM dg GROUP BY doc_id),
+        kept AS (SELECT g FROM dg GROUP BY g HAVING COUNT(*) <= 1000),
+        inter AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+          FROM dg x JOIN dg y USING (g) JOIN kept USING (g)
+          WHERE x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id
+        )
+        SELECT a, b
+        FROM inter JOIN sets sa ON sa.doc_id = inter.a
+                   JOIN sets sb ON sb.doc_id = inter.b
+        WHERE CAST(i AS DOUBLE) >= 0.8 * LEAST(sa.n, sb.n)
+        ORDER BY a, b
     """,
     "q_url_canonicalize": """
         WITH raw AS (
