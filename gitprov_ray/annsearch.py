@@ -619,6 +619,51 @@ def pq_adc_topk(emb_ds, query_ids: list[int], k: int = 5, n_sub: int = 2,
             .groupby("query_id").map_groups(merge, batch_format="pandas"))
 
 
+def kcenter_coreset(emb_ds, k: int = 4, id_col: str = "vec_id",
+                    vec_col: str = "embedding"):
+    """k-center greedy (farthest-first) coreset selection — the classic
+    data-selection rule (2-approximation to the k-center cover; used for
+    coreset/active-learning subset picks). Start from the smallest id;
+    each round adds the point FARTHEST from the selected set (ties to
+    the smallest id). Distances are exact integers over round(v*1000)
+    quantized vectors, so the greedy trajectory is reproduced
+    bit-for-bit by the unrolled SQL twin. One streaming pass per round:
+    batches emit one (max-min-dist, id) partial row each; only the tiny
+    selected matrix broadcasts. Returns pandas (sel_order, vec_id)."""
+    emb_ds = emb_ds.materialize()             # invariant 10: reused input
+    first = emb_ds.sort(id_col).limit(1).to_pandas()
+    sel_ids = [int(first[id_col].iloc[0])]
+    sel_vecs = [_quant_millis(_emb_matrix(first, vec_col))[0]]
+
+    for _ in range(k - 1):
+        sel_mat = np.stack(sel_vecs)
+
+        def far(df: pd.DataFrame, sel_mat=sel_mat) -> pd.DataFrame:
+            q = _quant_millis(_emb_matrix(df, vec_col))
+            ids = df[id_col].to_numpy()
+            d = ((q[:, None, :] - sel_mat[None, :, :]) ** 2) \
+                .sum(axis=2).min(axis=1)
+            order = np.lexsort((ids, -d))[:1]   # max d, ties min id
+            return pd.DataFrame({
+                id_col: ids[order],
+                "d": d[order].astype("int64")})
+
+        part = emb_ds.map_batches(far, batch_format="pandas",
+                                  batch_size=4096).to_pandas()
+        part = part.sort_values(["d", id_col],
+                                ascending=[False, True],
+                                kind="mergesort")
+        nid = int(part[id_col].iloc[0])
+        sel_ids.append(nid)
+        row = emb_ds.filter(
+            lambda r, nid=nid: r[id_col] == nid).to_pandas()
+        sel_vecs.append(_quant_millis(_emb_matrix(row, vec_col))[0])
+
+    return pd.DataFrame({
+        "sel_order": pd.Series(range(len(sel_ids)), dtype="int64"),
+        "vec_id": pd.Series(sel_ids, dtype="int64")})
+
+
 def semdedup(emb_ds, k: int = 4, iters: int = 3, threshold: float = 0.9,
              id_col: str = "vec_id", vec_col: str = "embedding"):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic

@@ -362,6 +362,68 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return out.select_columns(["a", "b"]).sort(["a", "b"])
 
 
+def q_kcenter_coreset(sf_dir: str):
+    """k-center greedy coreset over the embeddings (farthest-first,
+    k=4): the deterministic data-selection op; integer quantized
+    distances make the greedy trajectory oracle-exact
+    (annsearch.kcenter_coreset)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return annsearch.kcenter_coreset(ds, k=4)
+
+
+def q_skipgram_pairs(sf_dir: str, window: int = 2, topn: int = 50):
+    """Skip-gram (center, context) pair counts within a ±2 token window
+    — the word2vec/embedding-training data-prep op. Pure vectorized
+    row expansion per batch (one shifted-array concat per offset, no
+    Python loop over tokens), per-batch partial counts, ONE bucketed
+    shuffle on the pair key; top-N by (count desc, pair asc)."""
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+        n = toks.str.len().to_numpy(dtype=np.int64)
+        if n.sum() == 0:
+            return pd.DataFrame({"center": pd.Series(dtype=object),
+                                 "context": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks if len(t)])
+        doc_of = np.repeat(np.arange(len(n)), n)
+        cs, xs = [], []
+        for off in range(1, window + 1):
+            same = doc_of[off:] == doc_of[:-off]
+            a, b = flat[:-off][same], flat[off:][same]
+            cs.append(np.concatenate([a, b]))   # symmetric window
+            xs.append(np.concatenate([b, a]))
+        g = (pd.DataFrame({"center": np.concatenate(cs),
+                           "context": np.concatenate(xs)})
+             .groupby(["center", "context"], sort=False).size()
+             .rename("n").reset_index())
+        return g
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        k = df["center"].astype(str) + "|" + df["context"].astype(str)
+        df["bucket"] = stable_bucket(k, k, 32)
+        return df
+
+    agg = (ds.map_batches(pairs, batch_format="pandas")
+           .map_batches(bucketize, batch_format="pandas")
+           .groupby("bucket")
+           .map_groups(lambda df: df.groupby(["center", "context"],
+                                             sort=False, as_index=False)
+                       ["n"].sum(), batch_format="pandas")
+           .to_pandas())
+    agg["n"] = agg["n"].astype("int64")
+    out = (agg.sort_values(["n", "center", "context"],
+                           ascending=[False, True, True],
+                           kind="mergesort").head(topn)
+           .reset_index(drop=True))
+    return out
+
+
 def q_containment_pairs(sf_dir: str):
     """Containment near-dup pairs (|A∩B|/min >= 0.8 over word-3-gram
     sets) — the subset-duplicate detector: a short doc quoted inside a
@@ -3043,6 +3105,8 @@ QUERIES = {
     "q_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "q_url_canonicalize": q_url_canonicalize,
     "q_containment_pairs": q_containment_pairs,
+    "q_skipgram_pairs": q_skipgram_pairs,
+    "q_kcenter_coreset": q_kcenter_coreset,
 }
 
 
@@ -4546,6 +4610,76 @@ ORACLE_SQL = {
                toks[k*48 + 1] AS first_tok,
                toks[k*48 + LEAST(64, n - k*48)] AS last_tok
         FROM c ORDER BY doc_id, chunk_idx
+    """,
+    # k-center greedy unrolled: integer quantized distances, argmax with
+    # ties to the smallest id — identical trajectory to the engine
+    "q_kcenter_coreset": """
+        WITH qv AS (
+          SELECT vec_id, list_transform(embedding,
+                     x -> CAST(ROUND(CAST(x AS DOUBLE)*1000) AS BIGINT))
+                 AS q
+          FROM embeddings),
+        u AS (SELECT vec_id, generate_subscripts(q, 1) AS i,
+                     unnest(q) AS v
+              FROM qv),
+        s0 AS (SELECT MIN(vec_id) AS id FROM embeddings),
+        d1 AS (
+          SELECT a.vec_id, SUM((a.v - b.v) * (a.v - b.v)) AS d
+          FROM u a JOIN u b ON b.i = a.i
+          WHERE b.vec_id = (SELECT id FROM s0)
+          GROUP BY a.vec_id),
+        s1 AS (SELECT vec_id AS id FROM d1
+               ORDER BY d DESC, vec_id LIMIT 1),
+        d2 AS (
+          SELECT d1.vec_id, LEAST(d1.d, x.d) AS d
+          FROM d1 JOIN (
+            SELECT a.vec_id, SUM((a.v - b.v) * (a.v - b.v)) AS d
+            FROM u a JOIN u b ON b.i = a.i
+            WHERE b.vec_id = (SELECT id FROM s1)
+            GROUP BY a.vec_id) x USING (vec_id)),
+        s2 AS (SELECT vec_id AS id FROM d2
+               ORDER BY d DESC, vec_id LIMIT 1),
+        d3 AS (
+          SELECT d2.vec_id, LEAST(d2.d, x.d) AS d
+          FROM d2 JOIN (
+            SELECT a.vec_id, SUM((a.v - b.v) * (a.v - b.v)) AS d
+            FROM u a JOIN u b ON b.i = a.i
+            WHERE b.vec_id = (SELECT id FROM s2)
+            GROUP BY a.vec_id) x USING (vec_id)),
+        s3 AS (SELECT vec_id AS id FROM d3
+               ORDER BY d DESC, vec_id LIMIT 1)
+        SELECT CAST(0 AS BIGINT) AS sel_order, id AS vec_id FROM s0
+        UNION ALL SELECT 1, id FROM s1
+        UNION ALL SELECT 2, id FROM s2
+        UNION ALL SELECT 3, id FROM s3
+        ORDER BY sel_order
+    """,
+    "q_skipgram_pairs": """
+        WITH toks AS (
+          SELECT row_number() OVER () AS doc,
+                 list_filter(string_split_regex(lower(COALESCE(text,'')),
+                                                '[^a-z]+'),
+                             x -> x <> '') AS t
+          FROM documents),
+        pos AS (
+          SELECT doc, unnest(t) AS w,
+                 generate_subscripts(t, 1) AS i
+          FROM toks),
+        prs AS (
+          SELECT a.w AS center, b.w AS context
+          FROM pos a JOIN pos b
+            ON a.doc = b.doc AND a.i <> b.i
+           AND abs(a.i - b.i) <= 2),
+        cnt AS (
+          SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n
+          FROM prs GROUP BY center, context),
+        ranked AS (
+          SELECT center, context, n,
+                 ROW_NUMBER() OVER (ORDER BY n DESC, center, context)
+                     AS rk
+          FROM cnt)
+        SELECT center, context, n FROM ranked WHERE rk <= 50
+        ORDER BY n DESC, center, context
     """,
     # same gram construction as the Jaccard twin; df cap (HAVING <= 1000)
     # is part of the containment CONTRACT, mirrored by the engine
