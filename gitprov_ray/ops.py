@@ -905,6 +905,85 @@ def histogram_quantiles(ds, col: str, ps=(0.1, 0.5, 0.9, 0.99),
                          "value": pd.Series(out_v, dtype="float64")})
 
 
+def _md5_registers(series: pd.Series, m: int, p: int) -> np.ndarray:
+    """md5-variant HLL register array for one value series — the
+    oracle-checkable register rule (bucket = first 3 hex nibbles, rank
+    by exact nibble arithmetic). Shared by the global and the grouped
+    sketches so their twins stay one rule."""
+    from .textops import md5_series
+
+    hx = md5_series(series.astype(str))
+    reg = np.zeros(m, np.int8)
+    if not len(hx):
+        return reg
+    b = (np.frombuffer("".join(hx).encode("ascii"), np.uint8)
+         .reshape(-1, 32)[:, :16])
+    nib = np.where(b <= 57, b - 48, b - 87).astype(np.int64)
+    idx = nib[:, 0] * 256 + nib[:, 1] * 16 + nib[:, 2]
+    rest = nib[:, 3:16]                       # 13 nibbles = 52 bits
+    nz = rest != 0
+    z = np.where(nz.any(axis=1), nz.argmax(axis=1), 13)
+    d = np.where(z < 13,
+                 rest[np.arange(len(z)), np.minimum(z, 12)], 0)
+    extra = np.where(d >= 8, 0,
+                     np.where(d >= 4, 1, np.where(d >= 2, 2, 3)))
+    ranks = np.minimum(4 * z + extra + 1, 64 - p + 1)
+    g = pd.DataFrame({"i": idx, "r": ranks}).groupby("i")["r"].max()
+    reg[g.index.to_numpy()] = g.to_numpy().astype(np.int8)
+    return reg
+
+
+def _hll_estimate_md5(regs: np.ndarray, m: int) -> float:
+    """The pinned md5-HLL estimate tree (exact-integer register sum +
+    linear counting), rounded half-up to 3 decimals — bit-identical to
+    the DuckDB twin expression."""
+    import math
+
+    alpha = 0.7213 / (1 + 1.079 / m)
+    zeros = int((regs == 0).sum())
+    s = sum(1 << (63 - int(r)) for r in regs)
+    est = alpha * float(m * m) * (float(1 << 63) / float(s))
+    if est <= 2.5 * m and zeros:
+        est = float(m) * math.log(float(m) / float(zeros))
+    return float(np.floor(est * 1000 + 0.5) / 1000)
+
+
+def hll_distinct_by(ds, key_col: str, col: str, p: int = 12):
+    """GROUPED HyperLogLog: one mergeable sketch per key — the per-key
+    cardinality pattern (distinct users per event type over a 100-TB
+    stream without a per-key distinct shuffle). Per batch: one register
+    row per key present (4 KB each); rows merge per key by elementwise
+    max; only sketch rows ever move. md5 registers + the pinned
+    estimate tree, so the whole grouped sketch is oracle-checkable.
+    Returns pandas (key, distinct_est) sorted by key."""
+    m = 1 << p
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, g in df.groupby(key_col, sort=False):
+            rows.append({key_col: k,
+                         "regs": _md5_registers(g[col], m, p).tobytes()})
+        return pd.DataFrame(rows, columns=[key_col, "regs"])
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(m, np.int8)
+        for b in df["regs"]:
+            acc = np.maximum(acc, np.frombuffer(b, np.int8))
+        return pd.DataFrame({key_col: [df[key_col].iloc[0]],
+                             "regs": [acc.tobytes()]})
+
+    merged = (ds.map_batches(partial, batch_format="pandas")
+              .groupby(key_col).map_groups(merge, batch_format="pandas")
+              .to_pandas())
+    out = pd.DataFrame({
+        key_col: merged[key_col],
+        "distinct_est": [
+            _hll_estimate_md5(np.frombuffer(b, np.int8), m)
+            for b in merged["regs"]]})
+    out["distinct_est"] = out["distinct_est"].astype("float64")
+    return out.sort_values(key_col).reset_index(drop=True)
+
+
 def hll_distinct(ds, col: str, p: int = 12, hash: str = "stable"):
     """HyperLogLog distinct-count sketch → (estimate, registers).
 
@@ -928,27 +1007,8 @@ def hll_distinct(ds, col: str, p: int = 12, hash: str = "stable"):
         raise ValueError("md5-hash HLL is pinned to p=12 (3 hex nibbles)")
 
     def partial_md5(df: pd.DataFrame) -> pd.DataFrame:
-        from .textops import md5_series
-
-        hx = md5_series(df[col].astype(str))
-        if not len(hx):
-            return pd.DataFrame({"regs": [np.zeros(m, np.int8).tobytes()]})
-        b = (np.frombuffer("".join(hx).encode("ascii"), np.uint8)
-             .reshape(-1, 32)[:, :16])
-        nib = np.where(b <= 57, b - 48, b - 87).astype(np.int64)
-        idx = nib[:, 0] * 256 + nib[:, 1] * 16 + nib[:, 2]
-        rest = nib[:, 3:16]                       # 13 nibbles = 52 bits
-        nz = rest != 0
-        z = np.where(nz.any(axis=1), nz.argmax(axis=1), 13)
-        d = np.where(z < 13,
-                     rest[np.arange(len(z)), np.minimum(z, 12)], 0)
-        extra = np.where(d >= 8, 0,
-                         np.where(d >= 4, 1, np.where(d >= 2, 2, 3)))
-        ranks = np.minimum(4 * z + extra + 1, 64 - p + 1)
-        g = pd.DataFrame({"i": idx, "r": ranks}).groupby("i")["r"].max()
-        reg = np.zeros(m, np.int8)
-        reg[g.index.to_numpy()] = g.to_numpy().astype(np.int8)
-        return pd.DataFrame({"regs": [reg.tobytes()]})
+        return pd.DataFrame({"regs": [_md5_registers(df[col], m, p)
+                                      .tobytes()]})
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_array(df[col].to_numpy())     # uint64, stable

@@ -362,6 +362,17 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return out.select_columns(["a", "b"]).sort(["a", "b"])
 
 
+def q_hll_by_type(sf_dir: str):
+    """GROUPED HyperLogLog: distinct-user sketch PER event type
+    (ops.hll_distinct_by) — one 4 KB register row per (batch, key)
+    moves, merged by elementwise max per key; md5 registers + the
+    pinned estimate tree make every per-key estimate oracle-exact."""
+    from . import ops
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return ops.hll_distinct_by(ds, "event_type", "user_id")
+
+
 def q_kcenter_coreset(sf_dir: str):
     """k-center greedy coreset over the embeddings (farthest-first,
     k=4): the deterministic data-selection op; integer quantized
@@ -3107,6 +3118,7 @@ QUERIES = {
     "q_containment_pairs": q_containment_pairs,
     "q_skipgram_pairs": q_skipgram_pairs,
     "q_kcenter_coreset": q_kcenter_coreset,
+    "q_hll_by_type": q_hll_by_type,
 }
 
 
@@ -4610,6 +4622,59 @@ ORACLE_SQL = {
                toks[k*48 + 1] AS first_tok,
                toks[k*48 + LEAST(64, n - k*48)] AS last_tok
         FROM c ORDER BY doc_id, chunk_idx
+    """,
+    # the q_hll_users register/estimate rule with event_type carried
+    # through every CTE — per-key sketches, same pinned arithmetic
+    "q_hll_by_type": r"""
+        WITH u AS (SELECT DISTINCT event_type,
+                          CAST(user_id AS VARCHAR) AS sv
+                   FROM events),
+        h AS (SELECT event_type, substr(md5(sv), 1, 16) AS hx FROM u),
+        n3 AS (
+            SELECT event_type, hx,
+                   (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 256
+                 + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) AS idx,
+                   substr(hx, 4, 13) AS rest
+            FROM h),
+        rk AS (
+            SELECT event_type, idx,
+                   CAST(length(regexp_extract(rest, '^0*')) AS BIGINT) AS z,
+                   CASE WHEN length(regexp_extract(rest, '^0*')) >= 13
+                        THEN 0
+                        ELSE strpos('0123456789abcdef',
+                                    substr(rest,
+                                           length(regexp_extract(rest, '^0*'))
+                                           + 1, 1)) - 1 END AS d
+            FROM n3),
+        ranks AS (
+            SELECT event_type, idx,
+                   LEAST(4 * z + (CASE WHEN d >= 8 THEN 0
+                                       WHEN d >= 4 THEN 1
+                                       WHEN d >= 2 THEN 2
+                                       ELSE 3 END) + 1, 53) AS rnk
+            FROM rk),
+        regs AS (SELECT event_type, idx, MAX(rnk) AS reg
+                 FROM ranks GROUP BY event_type, idx),
+        agg AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(power(2, 63 - reg) AS HUGEINT)) AS HUGEINT)
+                   + CAST(4096 - COUNT(*) AS HUGEINT)
+                     * CAST(power(2, 63) AS HUGEINT) AS s,
+                   4096 - COUNT(*) AS zeros
+            FROM regs GROUP BY event_type),
+        est AS (
+            SELECT event_type,
+                   (0.7213 / (1 + 1.079 / 4096.0)) * 16777216.0
+                   * (9223372036854775808.0 / CAST(s AS DOUBLE)) AS raw,
+                   zeros
+            FROM agg)
+        SELECT event_type,
+               floor((CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+                           THEN 4096.0 * ln(4096.0 / CAST(zeros AS DOUBLE))
+                           ELSE raw END) * 1000 + 0.5) / 1000
+               AS distinct_est
+        FROM est ORDER BY event_type
     """,
     # k-center greedy unrolled: integer quantized distances, argmax with
     # ties to the smallest id — identical trajectory to the engine
