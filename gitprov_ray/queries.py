@@ -362,6 +362,66 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return out.select_columns(["a", "b"]).sort(["a", "b"])
 
 
+def q_novelty_docs(sf_dir: str):
+    """N-gram novelty score per document: the fraction (integer millis)
+    of a doc's distinct word-3-grams that appear in NO other document —
+    the memorization/novelty diagnostic of corpus curation. One
+    gram-keyed bucketed shuffle computes document frequencies (each
+    gram's posting list colocates), a doc-keyed shuffle folds the
+    novel-gram counts back per doc; millis = round-half-up of
+    1000*novel/n in exact integers."""
+    from .linking import _shingle_hashes_batch
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+        hs = _shingle_hashes_batch(list(df["text"]))
+        uniq = [np.unique(h) for h in hs]
+        reps = [len(u) for u in uniq]
+        g = (np.concatenate(uniq) if uniq else
+             np.empty(0, dtype=np.uint64)).astype("uint64")
+        out = pd.DataFrame({
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), reps), "g": g})
+        out["bucket"] = (g % np.uint64(64)).astype("int64")
+        return out
+
+    def df_counts(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["doc_id", "g"])
+        dfreq = df.groupby("g", sort=False)["doc_id"].transform("size")
+        part = pd.DataFrame({"doc_id": df["doc_id"],
+                             "novel": (dfreq == 1).astype("int64"),
+                             "n": np.int64(1)})
+        return (part.groupby("doc_id", sort=False, as_index=False)
+                [["novel", "n"]].sum())
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("doc_id", sort=False, as_index=False)
+             [["novel", "n"]].sum())
+        millis = [(2 * 1000 * int(a) + int(b)) // (2 * int(b)) if b else 0
+                  for a, b in zip(g["novel"], g["n"])]
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "n_grams": g["n"].astype("int64"),
+            "novelty_millis": pd.Series(millis, dtype="int64")})
+
+    def doc_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        k = df["doc_id"].astype(str)
+        df["b2"] = stable_bucket(k, k, 32)
+        return df
+
+    return (ds.map_batches(gram_rows, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: df_counts(df.drop(columns=["bucket"])),
+                        batch_format="pandas")
+            .map_batches(doc_bucket, batch_format="pandas")
+            .groupby("b2")
+            .map_groups(lambda df: fold(df.drop(columns=["b2"])),
+                        batch_format="pandas")
+            .sort("doc_id"))
+
+
 def q_hll_by_type(sf_dir: str):
     """GROUPED HyperLogLog: distinct-user sketch PER event type
     (ops.hll_distinct_by) — one 4 KB register row per (batch, key)
@@ -3119,6 +3179,7 @@ QUERIES = {
     "q_skipgram_pairs": q_skipgram_pairs,
     "q_kcenter_coreset": q_kcenter_coreset,
     "q_hll_by_type": q_hll_by_type,
+    "q_novelty_docs": q_novelty_docs,
 }
 
 
@@ -4622,6 +4683,34 @@ ORACLE_SQL = {
                toks[k*48 + 1] AS first_tok,
                toks[k*48 + LEAST(64, n - k*48)] AS last_tok
         FROM c ORDER BY doc_id, chunk_idx
+    """,
+    "q_novelty_docs": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+          FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) s
+          WHERE len(t) >= 3
+          UNION ALL
+          SELECT doc_id, array_to_string(t, ' ') AS g FROM toks
+          WHERE len(t) < 3
+        ),
+        dg AS (SELECT DISTINCT doc_id, g FROM grams),
+        dfreq AS (SELECT g, COUNT(*) AS df FROM dg GROUP BY g),
+        per AS (
+          SELECT dg.doc_id,
+                 CAST(SUM(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END)
+                      AS HUGEINT) AS novel,
+                 CAST(COUNT(*) AS HUGEINT) AS n
+          FROM dg JOIN dfreq USING (g) GROUP BY dg.doc_id)
+        SELECT doc_id, CAST(n AS BIGINT) AS n_grams,
+               CAST((2 * 1000 * novel + n) // (2 * n) AS BIGINT)
+                   AS novelty_millis
+        FROM per ORDER BY doc_id
     """,
     # the q_hll_users register/estimate rule with event_type carried
     # through every CTE — per-key sketches, same pinned arithmetic
