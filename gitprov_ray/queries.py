@@ -362,6 +362,57 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return out.select_columns(["a", "b"]).sort(["a", "b"])
 
 
+def q_percent_rank_events(sf_dir: str):
+    """PERCENT_RANK / CUME_DIST per event type (the order-statistics
+    window family completing RANK/NTILE): per-type bucketed shuffle,
+    vectorized in-group ranks; both statistics emitted as exact integer
+    millis via big-int round-half-up, so the twin hash-matches without
+    float division noise."""
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        k = df["event_type"].astype(str)
+        df["bucket"] = stable_bucket(k, k, 32)
+        return df
+
+    def ranks(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, g in df.groupby("event_type", sort=False):
+            g = g.sort_values(["value", "event_id"], kind="mergesort")
+            n = len(g)
+            v = g["value"].to_numpy()
+            # RANK(): 1 + count of strictly-smaller values
+            rank = np.searchsorted(v, v, side="left") + 1
+            # CUME_DIST numerator: count of <= values
+            le = np.searchsorted(v, v, side="right")
+            rank = rank.astype(np.int64)
+            le = le.astype(np.int64)
+            if n > 1:
+                pr = (2000 * (rank - 1) + (n - 1)) // (2 * (n - 1))
+            else:
+                pr = np.zeros(n, dtype=np.int64)
+            cd = (2000 * le + n) // (2 * n)
+            frames.append(pd.DataFrame({
+                "event_id": g["event_id"].to_numpy(),
+                "event_type": g["event_type"].to_numpy(),
+                "pr_millis": pd.Series(pr, dtype="int64"),
+                "cd_millis": pd.Series(cd, dtype="int64")}))
+        return (pd.concat(frames, ignore_index=True) if frames else
+                pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                              "event_type": pd.Series([], dtype=object),
+                              "pr_millis": pd.Series([], dtype="int64"),
+                              "cd_millis": pd.Series([], dtype="int64")}))
+
+    return (ds.map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: ranks(df.drop(columns=["bucket"])),
+                        batch_format="pandas")
+            .sort("event_id"))
+
+
 def q_novelty_docs(sf_dir: str):
     """N-gram novelty score per document: the fraction (integer millis)
     of a doc's distinct word-3-grams that appear in NO other document —
@@ -3180,6 +3231,7 @@ QUERIES = {
     "q_kcenter_coreset": q_kcenter_coreset,
     "q_hll_by_type": q_hll_by_type,
     "q_novelty_docs": q_novelty_docs,
+    "q_percent_rank_events": q_percent_rank_events,
 }
 
 
@@ -4683,6 +4735,27 @@ ORACLE_SQL = {
                toks[k*48 + 1] AS first_tok,
                toks[k*48 + LEAST(64, n - k*48)] AS last_tok
         FROM c ORDER BY doc_id, chunk_idx
+    """,
+    # PERCENT_RANK = (rank-1)/(n-1), CUME_DIST = cume/n — both rebuilt
+    # in exact integer millis from RANK()/COUNT() so no float division
+    "q_percent_rank_events": """
+        WITH w AS (
+          SELECT event_id, event_type,
+                 RANK() OVER (PARTITION BY event_type
+                              ORDER BY value) AS r,
+                 CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY value
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS HUGEINT) AS c,
+                 CAST(COUNT(*) OVER (PARTITION BY event_type)
+                      AS HUGEINT) AS n
+          FROM events)
+        SELECT event_id, event_type,
+               CAST(CASE WHEN n > 1
+                    THEN (2 * 1000 * (CAST(r AS HUGEINT) - 1) + (n - 1))
+                         // (2 * (n - 1))
+                    ELSE 0 END AS BIGINT) AS pr_millis,
+               CAST((2 * 1000 * c + n) // (2 * n) AS BIGINT) AS cd_millis
+        FROM w ORDER BY event_id
     """,
     "q_novelty_docs": """
         WITH toks AS (
