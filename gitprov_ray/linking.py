@@ -1184,3 +1184,128 @@ def containment_pairs(docs_ds, id_col: str = "doc_id",
             {"a": df["a"].dtype, "b": df["b"].dtype})
 
     return j.map_batches(flt, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level exact dedup (FineWeb / CCNet line-dedup step)
+# ---------------------------------------------------------------------------
+
+_PARA_M = 1_000_000  # per-doc paragraph-index bound for the packed key
+
+
+def _explode_paras(df: pd.DataFrame, id_col: str, text_col: str,
+                   sep: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized doc -> (ids, idx, paras) explode; idx is the in-doc
+    paragraph position (0-based)."""
+    lst = df[text_col].fillna("").str.split(sep)
+    counts = lst.str.len().to_numpy(dtype=np.int64)
+    tot = int(counts.sum())
+    ids = np.repeat(df[id_col].to_numpy(), counts)
+    paras = np.fromiter((p for row in lst for p in row), dtype=object,
+                        count=tot)
+    starts = np.cumsum(counts) - counts
+    idx = np.arange(tot, dtype=np.int64) - np.repeat(starts, counts)
+    if tot and int(idx.max()) >= _PARA_M:
+        raise ValueError(f"document with >= {_PARA_M} paragraphs")
+    return ids, idx, paras
+
+
+def paragraph_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                    sep: str = "\n"):
+    """Corpus-wide paragraph-level exact dedup (the FineWeb / CCNet
+    line-dedup stage): split every document on `sep`, keep only the FIRST
+    corpus-wide occurrence of each distinct paragraph (first = smallest
+    (doc_id, idx)), and reassemble each document from its survivors.
+
+    Distributed shape — nothing corpus-sized touches the driver:
+      scan 1 (winners): per-batch md5(para) -> partial min packed key
+        (doc_id*M + idx), then ONE bucketed exchange keyed on the hash —
+        only (hash, key) pairs move, never paragraph text;
+      scan 2 (rebuild): re-explode, LEFT hash-join the winner key set on
+        the packed int64 key (paragraph text shuffles once, by key), then
+        a bucketed doc_id group pass reassembles text, total and kept
+        counts in one reduction.
+    Returns (doc_id, total_paras, kept_paras, dedup_text), matching the
+    DuckDB twin's group-by-paragraph min-key semantics exactly (md5 is
+    collision-free at any realistic corpus size).
+    """
+    import pyarrow as pa
+
+    from .ops import _default_partitions, materialize_normalized
+    from .stages.versions import stable_bucket
+
+    P = _default_partitions()
+
+    def winner_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids, idx, paras = _explode_paras(df, id_col, text_col, sep)
+        h = pd.Series(paras).map(
+            lambda s: hashlib.md5(s.encode("utf-8")).digest()[:12])
+        k = ids * _PARA_M + idx
+        g = pd.DataFrame({"h": h, "k": k}).groupby("h", sort=False)[
+            "k"].min().reset_index()
+        return g
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        key = df["h"].map(lambda b: b.hex())
+        df["bucket"] = stable_bucket(key, key, 64)
+        return df
+
+    def winner_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        k = df.groupby("h", sort=False)["k"].min()
+        return pd.DataFrame({"k": k.to_numpy(dtype=np.int64)})
+
+    winners = (ds.map_batches(winner_partial, batch_format="pandas")
+               .map_batches(bucketize, batch_format="pandas")
+               .groupby("bucket")
+               .map_groups(lambda df: winner_reduce(
+                   df.drop(columns=["bucket"])), batch_format="pandas"))
+    marked = winners.map_batches(
+        lambda df: df.assign(__keep=np.int8(1)), batch_format="pandas")
+    marked = materialize_normalized(marked, pa.schema(
+        [("k", pa.int64()), ("__keep", pa.int8())]))
+
+    def explode_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids, idx, paras = _explode_paras(df, id_col, text_col, sep)
+        counts = df[text_col].fillna("").str.split(sep).str.len() \
+            .to_numpy(dtype=np.int64)
+        total = np.repeat(counts, counts)
+        return pd.DataFrame({id_col: ids, "idx": idx, "para": paras,
+                             "total": total,
+                             "k": ids * _PARA_M + idx})
+
+    exploded = ds.map_batches(explode_rows, batch_format="pandas")
+    if not exploded.take(1):  # empty corpus: nothing to join (invariant 11)
+        return exploded.map_batches(
+            lambda df: pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                     "total_paras": pd.Series(dtype="int64"),
+                                     "kept_paras": pd.Series(dtype="int64"),
+                                     "dedup_text": pd.Series(dtype=object)}),
+            batch_format="pandas")
+    joined = exploded.join(marked, "left_outer", P, on=("k",))
+
+    def doc_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        key = df[id_col].astype(str)
+        df["bucket"] = stable_bucket(key, key, 64)
+        return df
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_col, "idx"], kind="mergesort")
+        keep = df["__keep"].notna().to_numpy()
+        g = df.groupby(id_col, sort=True)
+        total = g["total"].first()
+        kept_n = pd.Series(keep.astype(np.int64), index=df.index) \
+            .groupby(df[id_col], sort=True).sum()
+        texts = df[keep].groupby(id_col, sort=True)["para"].agg(sep.join)
+        return pd.DataFrame({
+            id_col: total.index.to_numpy(),
+            "total_paras": total.to_numpy(dtype=np.int64),
+            "kept_paras": kept_n.to_numpy(dtype=np.int64),
+            "dedup_text": texts.reindex(total.index, fill_value="")
+            .to_numpy()})
+
+    return (joined.map_batches(doc_bucket, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: reassemble(df.drop(columns=["bucket"])),
+                        batch_format="pandas"))

@@ -1128,3 +1128,77 @@ def triangle_count(edges_ds, s_col: str = "s", o_col: str = "o",
                           batch_format="pandas"),
         left_key="k", right_key="k")
     return closed.count()
+
+
+def profile_columns(ds, cols: list[str]):
+    """Dataset profiler — the distributed DESCRIBE a 100-TB ingest needs
+    before any pipeline runs: per numeric column -> row count, null count,
+    exact distinct count, min, max (extremes as float64 for a uniform
+    long-format schema).
+
+    Two streaming passes, nothing corpus-sized on the driver:
+      1. per-batch (rows, nulls, min, max) partials -> one tiny
+         len(cols)-group aggregate;
+      2. per-batch per-column distinct partial -> ONE bucketed exchange on
+         hash(col, value) -> per-bucket dedup + count -> tiny sum.
+    Returns a pandas DataFrame (len(cols) rows — a small result).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .stages.versions import stable_bucket
+
+    def stat_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            s = df[c]
+            nn = s.dropna()
+            rows.append({
+                "col_name": c, "n_rows": np.int64(len(s)),
+                "n_null": np.int64(s.isna().sum()),
+                "min_v": float(nn.min()) if len(nn) else np.inf,
+                "max_v": float(nn.max()) if len(nn) else -np.inf})
+        return pd.DataFrame(rows)
+
+    stats = (ds.map_batches(stat_partial, batch_format="pandas")
+             .groupby("col_name")
+             .aggregate(Sum("n_rows", alias_name="n_rows"),
+                        Sum("n_null", alias_name="n_null"),
+                        Min("min_v", alias_name="min_v"),
+                        Max("max_v", alias_name="max_v"))
+             .to_pandas())
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in cols:
+            u = pd.unique(df[c].dropna().astype("float64"))
+            frames.append(pd.DataFrame({"col_name": c, "val": u}))
+        return pd.concat(frames, ignore_index=True)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        key = df["col_name"] + ":" + df["val"].astype(str)
+        df["bucket"] = stable_bucket(key, key, 64)
+        return df
+
+    def count_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["col_name", "val"])
+        g = d.groupby("col_name", sort=False).size()
+        return pd.DataFrame({"col_name": g.index.to_numpy(),
+                             "n_distinct": g.to_numpy(dtype=np.int64)})
+
+    dist = (ds.map_batches(distinct_partial, batch_format="pandas")
+            .map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: count_part(df.drop(columns=["bucket"])),
+                        batch_format="pandas")
+            .groupby("col_name")
+            .aggregate(Sum("n_distinct", alias_name="n_distinct"))
+            .to_pandas())
+
+    out = stats.merge(dist, on="col_name", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["n_null"] = out["n_null"].astype("int64")
+    out = out[["col_name", "n_rows", "n_null", "n_distinct",
+               "min_v", "max_v"]]
+    return out.sort_values("col_name").reset_index(drop=True)

@@ -17,6 +17,8 @@ before groupbys, column pruning at the read.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -3101,6 +3103,93 @@ def q_range_window_events(sf_dir: str, minutes: int = 10):
             .sort("event_id"))
 
 
+def q_paragraph_dedup_docs(sf_dir: str):
+    """Corpus-wide paragraph-level exact dedup (the FineWeb/CCNet
+    line-dedup stage, linking.paragraph_dedup): first corpus-wide
+    occurrence of each distinct line survives, docs reassembled from
+    survivors. Winners move as (md5, packed-key) pairs through ONE
+    bucketed exchange; paragraph text shuffles exactly twice (k-join +
+    doc_id regroup). The testdata docs are single-line, so deterministic
+    shared/duplicate paragraphs are injected per doc (pii_scrub idiom) —
+    a cross-doc shared para (doc_id%7), a unique tail, and a within-doc
+    repeat — so the dedup demonstrably fires; the twin injects the same."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def aug(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype(str)
+        mod = (df["doc_id"] % 7).astype(str)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "text": (df["text"].fillna("")
+                     + "\ncommon paragraph " + mod
+                     + "\nunique tail " + ids
+                     + "\ncommon paragraph " + mod)})
+
+    return linking.paragraph_dedup(
+        ds.map_batches(aug, batch_format="pandas")).sort("doc_id")
+
+
+def q_c4_filter_docs(sf_dir: str):
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2 subset;
+    textops.c4_line_filter): terminal-punctuation + >=3-words + no '{' +
+    no 'lorem ipsum' line gates, doc passes with >=3 surviving lines.
+    Stateless vectorized pass, embarrassingly parallel. Deterministic
+    lines exercising every gate are appended per doc (the pii_scrub
+    injection idiom — the synthetic corpus has no punctuation at all),
+    including a doc_id%3-conditional terminal '?' so c4_pass varies."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"]
+        aug = (df["text"].fillna("")
+               + "\nThis is a clean sentence with id "
+               + ids.astype(str) + "."
+               + "\nshort line."
+               + "\nbad line with { brace yes."
+               + "\nAnother clean line for bucket "
+               + (ids % 5).astype(str) + " right here!"
+               + "\nLorem ipsum dolor sit amet."
+               + "\ntail line for doc " + ids.astype(str)
+               + (ids % 3 == 0).map({True: "?", False: ""}))
+        out = textops.c4_line_filter(aug)
+        out.insert(0, "doc_id", ids.to_numpy())
+        return out
+
+    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+
+
+def q_mixture_sample_docs(sf_dir: str):
+    """Data-mixture construction (The-Pile-style per-source sampling
+    weights): every source gets a deterministic keep-rate in [100, 900)
+    millis derived from md5(source), and a doc survives iff its own
+    md5('doc:'+id) 12-bit prefix mod 1000 clears the rate — stateless,
+    reproducible across runs and worker layouts, no shuffle at all.
+    Both hashes are reproduced nibble-for-nibble in the DuckDB twin."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "lang"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        rate = df["source"].map(lambda s: 100 + int(
+            hashlib.md5(s.encode()).hexdigest()[:3], 16) % 800)
+        draw = df["doc_id"].map(lambda i: int(
+            hashlib.md5(f"doc:{i}".encode()).hexdigest()[:3], 16) % 1000)
+        out = df[draw.to_numpy() < rate.to_numpy()].copy()
+        out["rate_milli"] = rate[draw < rate].astype("int64")
+        return out[["doc_id", "source", "lang", "rate_milli"]]
+
+    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+
+
+def q_profile_events(sf_dir: str):
+    """Distributed column profiler (ops.profile_columns) over events —
+    rows/nulls/exact-distinct/min/max per numeric column in two
+    streaming passes (tiny stat partials + one bucketed distinct
+    exchange)."""
+    from . import ops
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    return ops.profile_columns(ds, ["event_id", "user_id", "value"])
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -3232,6 +3321,10 @@ QUERIES = {
     "q_hll_by_type": q_hll_by_type,
     "q_novelty_docs": q_novelty_docs,
     "q_percent_rank_events": q_percent_rank_events,
+    "q_paragraph_dedup_docs": q_paragraph_dedup_docs,
+    "q_c4_filter_docs": q_c4_filter_docs,
+    "q_mixture_sample_docs": q_mixture_sample_docs,
+    "q_profile_events": q_profile_events,
 }
 
 
@@ -5287,3 +5380,117 @@ ranked AS (
 SELECT query_id, rank, neighbor_id, CAST(dist AS BIGINT) AS dist
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
 del _pq_kmeans_body, _PQ_PREAMBLE
+
+ORACLE_SQL["q_paragraph_dedup_docs"] = """
+WITH d AS (
+  SELECT doc_id,
+         COALESCE(text,'')
+         || chr(10) || 'common paragraph ' || CAST(doc_id % 7 AS VARCHAR)
+         || chr(10) || 'unique tail ' || CAST(doc_id AS VARCHAR)
+         || chr(10) || 'common paragraph ' || CAST(doc_id % 7 AS VARCHAR)
+             AS text
+  FROM documents
+), p AS (
+  SELECT doc_id,
+         unnest(string_split(COALESCE(text,''), chr(10))) AS para,
+         unnest(range(len(string_split(COALESCE(text,''), chr(10)))))
+             AS idx
+  FROM d
+), w AS (
+  SELECT para, MIN(doc_id * 1000000 + idx) AS k FROM p GROUP BY para
+), kept AS (
+  SELECT p.doc_id, p.idx, p.para FROM p JOIN w
+    ON w.para = p.para AND p.doc_id * 1000000 + p.idx = w.k
+), tot AS (
+  SELECT doc_id, COUNT(*) AS total_paras FROM p GROUP BY doc_id
+), agg AS (
+  SELECT doc_id, COUNT(*) AS kept_paras,
+         string_agg(para, chr(10) ORDER BY idx) AS dedup_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(t.total_paras AS BIGINT) AS total_paras,
+       CAST(COALESCE(a.kept_paras, 0) AS BIGINT) AS kept_paras,
+       COALESCE(a.dedup_text, '') AS dedup_text
+FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id"""
+
+ORACLE_SQL["q_c4_filter_docs"] = """
+WITH d AS (
+  SELECT doc_id,
+         COALESCE(text,'')
+         || chr(10) || 'This is a clean sentence with id '
+            || CAST(doc_id AS VARCHAR) || '.'
+         || chr(10) || 'short line.'
+         || chr(10) || 'bad line with { brace yes.'
+         || chr(10) || 'Another clean line for bucket '
+            || CAST(doc_id % 5 AS VARCHAR) || ' right here!'
+         || chr(10) || 'Lorem ipsum dolor sit amet.'
+         || chr(10) || 'tail line for doc ' || CAST(doc_id AS VARCHAR)
+            || CASE WHEN doc_id % 3 = 0 THEN '?' ELSE '' END AS text
+  FROM documents
+), t AS (
+  SELECT doc_id, string_split(COALESCE(text,''), chr(10)) AS lines
+  FROM d
+), k AS (
+  SELECT doc_id, lines,
+         list_filter(lines, l ->
+            regexp_matches(rtrim(l, ' '), '[.!?"]$')
+            AND len(list_filter(string_split_regex(l, '\\s+'),
+                                x -> x <> '')) >= 3
+            AND strpos(l, '{') = 0
+            AND strpos(lower(l), 'lorem ipsum') = 0) AS kept
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS kept_lines,
+       CAST(len(kept) >= 3 AS BIGINT) AS c4_pass,
+       COALESCE(array_to_string(kept, chr(10)), '') AS cleaned_text
+FROM k ORDER BY doc_id"""
+
+# both md5 draws decoded 3 hex nibbles at a time via strpos lookup (the
+# pinned hex->int idiom from the simhash/HLL twins)
+ORACLE_SQL["q_mixture_sample_docs"] = """
+WITH v AS (
+  SELECT doc_id, source, lang,
+         100 + (((strpos('0123456789abcdef',
+                         substr(md5(source), 1, 1)) - 1) * 256
+               + (strpos('0123456789abcdef',
+                         substr(md5(source), 2, 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                         substr(md5(source), 3, 1)) - 1)) % 800)
+             AS rate_milli,
+         ((strpos('0123456789abcdef',
+                  substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 1))
+               - 1) * 256
+          + (strpos('0123456789abcdef',
+                  substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 2, 1))
+               - 1) * 16
+          + (strpos('0123456789abcdef',
+                  substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 3, 1))
+               - 1)) % 1000 AS draw
+  FROM documents
+)
+SELECT doc_id, source, lang, CAST(rate_milli AS BIGINT) AS rate_milli
+FROM v WHERE draw < rate_milli ORDER BY doc_id"""
+
+ORACLE_SQL["q_profile_events"] = """
+SELECT 'event_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(MIN(event_id) AS DOUBLE) AS min_v,
+       CAST(MAX(event_id) AS DOUBLE) AS max_v
+FROM events
+UNION ALL
+SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT user_id) AS BIGINT),
+       CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE)
+FROM events
+UNION ALL
+SELECT 'value', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT value) AS BIGINT),
+       CAST(MIN(value) AS DOUBLE), CAST(MAX(value) AS DOUBLE)
+FROM events
+ORDER BY col_name"""

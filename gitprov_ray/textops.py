@@ -286,3 +286,31 @@ def bpe_token_stats(texts: pd.Series) -> pd.DataFrame:
         1 for x in ts if x.lstrip(" ")[:1].isdigit())).astype("int64")
     return pd.DataFrame({"n_pretokens": n, "n_word_toks": n_word,
                          "n_num_toks": n_num})
+
+
+C4_TERMINAL = (".", "!", "?", '"')
+
+
+def c4_line_filter(texts: pd.Series) -> pd.DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2 subset): a
+    line survives iff it ends in terminal punctuation (after trailing
+    spaces), has >= 3 whitespace words, and contains neither '{' nor
+    'lorem ipsum' (case-insensitive). A doc passes with >= 3 surviving
+    lines. Semantics shared verbatim with the DuckDB twin."""
+    t = texts.fillna("")
+    lines = t.str.split("\n")
+
+    def keep(ls):
+        return [l for l in ls
+                if l.rstrip(" ").endswith(C4_TERMINAL)
+                and len(l.split()) >= 3
+                and "{" not in l
+                and "lorem ipsum" not in l.lower()]
+
+    kept = lines.map(keep)
+    n_lines = lines.str.len().astype("int64")
+    kept_lines = kept.str.len().astype("int64")
+    return pd.DataFrame({
+        "n_lines": n_lines, "kept_lines": kept_lines,
+        "c4_pass": (kept_lines >= 3).astype("int64"),
+        "cleaned_text": kept.str.join("\n")})

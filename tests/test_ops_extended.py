@@ -329,3 +329,63 @@ def test_bloom_semi_join_no_match_and_empty_right():
         rd.from_pandas(right.iloc[:0], override_num_blocks=1),
         "k", "rk", m_bits=1 << 16).to_pandas()
     assert len(out) == 0
+
+
+def test_paragraph_dedup_first_occurrence_wins():
+    from gitprov_ray import linking
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a\nb\na",          # in-doc repeat of 'a'
+                 "b\nc",             # 'b' already seen in doc 0
+                 "c\nd\n",           # trailing sep -> empty last para
+                 ""]})               # empty doc -> one empty para
+    ds = rd.from_pandas(docs)
+    out = (linking.paragraph_dedup(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["total_paras"].tolist() == [3, 2, 3, 1]
+    assert out["kept_paras"].tolist() == [2, 1, 2, 0]
+    # doc 2's trailing '' wins the empty paragraph; doc 3 keeps nothing
+    assert out["dedup_text"].tolist() == ["a\nb", "c", "d\n", ""]
+
+
+def test_paragraph_dedup_multiblock_global():
+    from gitprov_ray import linking
+
+    # same paragraph across many blocks: only the smallest doc_id keeps it
+    docs = pd.DataFrame({"doc_id": np.arange(40, dtype="int64"),
+                         "text": ["shared\nuniq%d" % i for i in range(40)]})
+    ds = rd.from_pandas(docs).repartition(8)
+    out = (linking.paragraph_dedup(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "dedup_text"] == "shared\nuniq0"
+    assert (out.loc[1:, "kept_paras"] == 1).all()
+    assert (out.loc[1:, "dedup_text"] == [
+        "uniq%d" % i for i in range(1, 40)]).all()
+
+
+def test_profile_columns_exact():
+    df = pd.DataFrame({
+        "a": [1.0, 2.0, 2.0, np.nan, 5.0],
+        "b": np.array([10, 10, 20, 30, 30], dtype="int64")})
+    out = ops.profile_columns(rd.from_pandas(df).repartition(3), ["a", "b"])
+    a = out[out.col_name == "a"].iloc[0]
+    b = out[out.col_name == "b"].iloc[0]
+    assert (a.n_rows, a.n_null, a.n_distinct) == (5, 1, 3)
+    assert (a.min_v, a.max_v) == (1.0, 5.0)
+    assert (b.n_rows, b.n_null, b.n_distinct) == (5, 0, 3)
+    assert (b.min_v, b.max_v) == (10.0, 30.0)
+
+
+def test_c4_line_filter_gates():
+    from gitprov_ray import textops
+
+    t = pd.Series(["Good line with words.\nno punct\ntiny.\n"
+                   "Has a { brace here.\nLorem Ipsum dolor sit amet.\n"
+                   "Ends with a question mark?"])
+    out = textops.c4_line_filter(t)
+    assert out.loc[0, "n_lines"] == 6
+    assert out.loc[0, "kept_lines"] == 2
+    assert out.loc[0, "cleaned_text"] == (
+        "Good line with words.\nEnds with a question mark?")
+    assert out.loc[0, "c4_pass"] == 0
