@@ -132,6 +132,18 @@ def _audiocodec_is_mp3(b: bytes) -> bool:
     return audiocodec.is_mp3(b)
 
 
+def _tiffcodec_is_tiff(b: bytes) -> bool:
+    from . import tiffcodec
+
+    return tiffcodec.is_tiff(b)
+
+
+def _bmpcodec_is_bmp(b: bytes) -> bool:
+    from . import bmpcodec
+
+    return bmpcodec.is_bmp(b)
+
+
 def parse_wav(b: bytes):
     """WAV bytes → (samples float32 in [-1,1] first channel, sample_rate).
     stdlib ``wave`` handles plain 8/16-bit PCM; everything else WAV
@@ -246,6 +258,22 @@ def decode_image(b: bytes):
             return webpcodec.decode_webp(b)
         except (NotImplementedError, ValueError):
             return None
+    from . import bmpcodec, tiffcodec
+
+    if tiffcodec.is_tiff(b):            # 8-bit strip TIFF (none/LZW/PackBits)
+        try:
+            arr = tiffcodec.decode_tiff(b)
+        except (NotImplementedError, ValueError):
+            return None
+        return arr[..., None] if arr.ndim == 2 else arr
+    if bmpcodec.is_bmp(b):              # 24/32-bpp + 8-bpp palette/RLE8
+        try:
+            arr = bmpcodec.decode_bmp(b)
+        except (NotImplementedError, ValueError):
+            return None
+        if arr.ndim == 3 and arr.shape[2] == 4:
+            arr = arr[..., :3]          # drop alpha for the stats stages
+        return arr[..., None] if arr.ndim == 2 else arr
     return None
 
 
@@ -337,6 +365,18 @@ class ImageResize:
 
                 if webpcodec.is_webp(b):
                     out.append(webpcodec.encode_webp_lossless(small))
+                    continue
+                from . import bmpcodec, tiffcodec
+
+                if tiffcodec.is_tiff(b):
+                    out.append(tiffcodec.encode_tiff(
+                        small.squeeze(-1) if small.shape[-1] == 1
+                        else small))
+                    continue
+                if bmpcodec.is_bmp(b):
+                    sq = small.squeeze(-1) if small.shape[-1] == 1 \
+                        else small
+                    out.append(bmpcodec.encode_bmp(sq))
                     continue
                 out.append(jpegcodec.encode_jpeg_baseline(
                     small.squeeze(-1) if small.shape[-1] == 1 else small))
@@ -557,6 +597,18 @@ def probe_media(b: bytes) -> dict:
                        codec="animated" if p["animated"] else "static",
                        width=p["width"], height=p["height"],
                        frames=p["frames"], duration_ms=p["duration_ms"])
+        elif _tiffcodec_is_tiff(b):
+            from . import tiffcodec
+
+            p = tiffcodec.probe_tiff(b)
+            out.update(format="tiff", codec=p["compression"],
+                       width=p["width"], height=p["height"], frames=1)
+        elif _bmpcodec_is_bmp(b):
+            from . import bmpcodec
+
+            p = bmpcodec.probe_bmp(b)
+            out.update(format="bmp", codec=p["compression"],
+                       width=p["width"], height=p["height"], frames=1)
         elif mp4codec.is_mp4(b):
             p = mp4codec.probe_mp4(b)
             video = [t for t in p["tracks"] if t["handler"] == "vide"]
@@ -777,6 +829,31 @@ def _synth_webp(seed: int, w: int = 24, h: int = 18) -> bytes:
         use_subtract_green=True, cache_bits=4)
 
 
+def _synth_tiff(seed: int, w: int = 24, h: int = 18) -> bytes:
+    from . import tiffcodec
+
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    comp = ["lzw", "packbits", "none"][seed % 3]
+    return tiffcodec.encode_tiff(arr, compression=comp,
+                                 predictor=(comp == "lzw" and seed % 2 == 1),
+                                 byte_order="big" if seed % 5 == 0
+                                 else "little")
+
+
+def _synth_bmp(seed: int, w: int = 24, h: int = 18) -> bytes:
+    from . import bmpcodec
+
+    rng = np.random.RandomState(seed)
+    if seed % 3 == 0:                      # gray palette, RLE8 on odd seeds
+        g = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+        g[:, 4:12] = 50
+        return bmpcodec.encode_bmp(g, rle=bool(seed % 2))
+    return bmpcodec.encode_bmp(
+        rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8),
+        top_down=bool(seed % 2))
+
+
 def _synth_webp_anim(seed: int, frames: int = 6, w: int = 16,
                      h: int = 12) -> bytes:
     from . import webpcodec
@@ -811,12 +888,16 @@ def synth_media_table(n: int = 32, seed: int = 42) -> pa.Table:
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
-        if kind == "image" and (i // 3) % 4 == 1:
+        if kind == "image" and (i // 3) % 6 == 1:
             payload, mime = _synth_jpeg(seed + i), "image/jpeg"
-        elif kind == "image" and (i // 3) % 4 == 2:
+        elif kind == "image" and (i // 3) % 6 == 2:
             payload, mime = _synth_png(seed + i), "image/png"
-        elif kind == "image" and (i // 3) % 4 == 3:
+        elif kind == "image" and (i // 3) % 6 == 3:
             payload, mime = _synth_webp(seed + i), "image/webp"
+        elif kind == "image" and (i // 3) % 6 == 4:
+            payload, mime = _synth_tiff(seed + i), "image/tiff"
+        elif kind == "image" and (i // 3) % 6 == 5:
+            payload, mime = _synth_bmp(seed + i), "image/bmp"
         elif kind == "image":
             payload, mime = _synth_ppm(seed + i), "image/x-portable-pixmap"
         elif kind == "audio" and (i // 3) % 6 == 1:

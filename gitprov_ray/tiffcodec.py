@@ -1,0 +1,391 @@
+"""Baseline TIFF codec (TIFF 6.0, Adobe 1992 public spec): real decode of
+the dominant crawl-TIFF profile — 8-bit grayscale / RGB / palette, strip
+layout, Compression 1 (none) / 5 (LZW, incl. the early-change convention
+and Predictor 2 horizontal differencing) / 32773 (PackBits), MinIsWhite
+inversion, both byte orders — plus a spec-valid fixture encoder for the
+same profile.
+
+Out of scope (declared, not silently wrong): tiles, planar config 2,
+16-bit samples, CCITT G3/G4 fax and JPEG-in-TIFF compressions — these
+raise NotImplementedError naming the feature.
+
+Reference parity note: the reference engine (git-prov) delegates all
+media handling to external libraries; this module exists for the
+multimodal curation stages (SURVEY.md §2 extension surface), not for
+reference parity.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# IFD tag ids (TIFF 6.0 §8)
+_T_WIDTH = 256
+_T_HEIGHT = 257
+_T_BITS = 258
+_T_COMPRESSION = 259
+_T_PHOTOMETRIC = 262
+_T_STRIP_OFFSETS = 273
+_T_SAMPLES = 277
+_T_ROWS_PER_STRIP = 278
+_T_STRIP_COUNTS = 279
+_T_PLANAR = 284
+_T_COLORMAP = 320
+_T_PREDICTOR = 317
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+              10: 8, 11: 4, 12: 8}
+
+
+def is_tiff(b: bytes) -> bool:
+    return b[:4] in (b"II*\x00", b"MM\x00*")
+
+
+def _read_ifd(b: bytes, endian: str) -> dict[int, list[int]]:
+    (off,) = struct.unpack_from(endian + "I", b, 4)
+    (n,) = struct.unpack_from(endian + "H", b, off)
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        pos = off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(endian + "HHI", b, pos)
+        size = _TYPE_SIZE.get(typ, 1) * cnt
+        if size <= 4:
+            data_off = pos + 8
+        else:
+            (data_off,) = struct.unpack_from(endian + "I", b, pos + 8)
+        if typ == 3:
+            vals = list(struct.unpack_from(endian + f"{cnt}H", b, data_off))
+        elif typ == 4:
+            vals = list(struct.unpack_from(endian + f"{cnt}I", b, data_off))
+        elif typ == 1:
+            vals = list(b[data_off:data_off + cnt])
+        else:  # rationals etc. — unused by this profile
+            vals = []
+        tags[tag] = vals
+    return tags
+
+
+def probe_tiff(b: bytes) -> dict:
+    """Header-only metadata: dims, compression, photometric, samples."""
+    if not is_tiff(b):
+        raise ValueError("not a TIFF")
+    endian = "<" if b[:2] == b"II" else ">"
+    t = _read_ifd(b, endian)
+    comp = t.get(_T_COMPRESSION, [1])[0]
+    comp_name = {1: "none", 5: "lzw", 32773: "packbits", 2: "ccitt-rle",
+                 3: "ccitt-g3", 4: "ccitt-g4", 6: "jpeg-old",
+                 7: "jpeg"}.get(comp, f"comp{comp}")
+    return {"width": t.get(_T_WIDTH, [-1])[0],
+            "height": t.get(_T_HEIGHT, [-1])[0],
+            "bits": t.get(_T_BITS, [8])[0],
+            "samples": t.get(_T_SAMPLES, [1])[0],
+            "compression": comp_name,
+            "photometric": t.get(_T_PHOTOMETRIC, [1])[0],
+            "byte_order": "little" if endian == "<" else "big"}
+
+
+# ---------------------------------------------------------------------------
+# PackBits (TIFF 6.0 §9)
+# ---------------------------------------------------------------------------
+
+def packbits_decode(src: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(src) and len(out) < expected:
+        n = src[i]
+        i += 1
+        if n < 128:                       # literal run of n+1
+            out += src[i:i + n + 1]
+            i += n + 1
+        elif n > 128:                     # repeat next byte 257-n times
+            out += src[i:i + 1] * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out[:expected])
+
+
+def packbits_encode(src: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        # find a repeat run of >= 3
+        j = i
+        while j + 1 < n and src[j] == src[j + 1] and j - i < 127:
+            j += 1
+        run = j - i + 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(src[i])
+            i = j + 1
+            continue
+        # literal run until next >=3 repeat (max 128)
+        j = i
+        while j < n and j - i < 128:
+            if (j + 2 < n and src[j] == src[j + 1] == src[j + 2]):
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += src[i:j]
+        i = j
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# TIFF LZW (TIFF 6.0 §13): 9->12-bit variable codes, MSB-first packing,
+# Clear=256, EOI=257, EARLY-CHANGE width bump (one code before the table
+# actually fills — the TIFF quirk vs. GIF LZW).
+# ---------------------------------------------------------------------------
+
+_CLEAR = 256
+_EOI = 257
+
+
+def lzw_decode(src: bytes, expected: int) -> bytes:
+    out = bytearray()
+    data = int.from_bytes(src, "big")
+    total_bits = 8 * len(src)
+    pos = 0
+    width = 9
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+
+    def read_code() -> int:
+        nonlocal pos
+        if pos + width > total_bits:
+            return _EOI
+        shift = total_bits - pos - width
+        code = (data >> shift) & ((1 << width) - 1)
+        pos += width
+        return code
+
+    while True:
+        code = read_code()
+        if code == _EOI:
+            break
+        if code == _CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):          # KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        prev = entry
+        # early change: bump width when the NEXT add would hit the limit
+        if len(table) + 1 >= (1 << width) and width < 12:
+            width += 1
+        if len(out) >= expected:
+            break
+    return bytes(out[:expected])
+
+
+def lzw_encode(src: bytes) -> bytes:
+    out_bits: list[tuple[int, int]] = []   # (code, width)
+    width = 9
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    out_bits.append((_CLEAR, width))
+    w = b""
+    for byte in src:
+        c = bytes([byte])
+        if w + c in table:
+            w = w + c
+            continue
+        out_bits.append((table[w], width))
+        table[w + c] = next_code
+        next_code += 1
+        # early change: the ENCODER bumps when next_code+1 would overflow
+        if next_code + 1 > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4094:              # reset before the table is full
+            out_bits.append((_CLEAR, width))
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = c
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((_EOI, width))
+    acc = 0
+    nbits = 0
+    out = bytearray()
+    for code, wd in out_bits:
+        acc = (acc << wd) | code
+        nbits += wd
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decode / encode
+# ---------------------------------------------------------------------------
+
+def decode_tiff(b: bytes) -> np.ndarray:
+    """payload -> HxW (gray) or HxWx3 (RGB) uint8 array."""
+    if not is_tiff(b):
+        raise ValueError("not a TIFF")
+    endian = "<" if b[:2] == b"II" else ">"
+    t = _read_ifd(b, endian)
+    w = t[_T_WIDTH][0]
+    h = t[_T_HEIGHT][0]
+    samples = t.get(_T_SAMPLES, [1])[0]
+    bits = t.get(_T_BITS, [8])
+    comp = t.get(_T_COMPRESSION, [1])[0]
+    photo = t.get(_T_PHOTOMETRIC, [1])[0]
+    planar = t.get(_T_PLANAR, [1])[0]
+    pred = t.get(_T_PREDICTOR, [1])[0]
+    if any(x != 8 for x in bits):
+        raise NotImplementedError(f"TIFF bits-per-sample {bits} "
+                                  "(only 8-bit supported)")
+    if planar != 1:
+        raise NotImplementedError("TIFF planar configuration 2")
+    if comp not in (1, 5, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {probe_tiff(b)['compression']}")
+    offsets = t[_T_STRIP_OFFSETS]
+    counts = t.get(_T_STRIP_COUNTS,
+                   [len(b) - offsets[0]] if len(offsets) == 1 else None)
+    rows_per = t.get(_T_ROWS_PER_STRIP, [h])[0]
+    stride = w * samples
+    raw = bytearray()
+    row0 = 0
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        nrows = min(rows_per, h - row0)
+        expected = nrows * stride
+        chunk = b[off:off + cnt]
+        if comp == 1:
+            raw += chunk[:expected]
+        elif comp == 5:
+            raw += lzw_decode(chunk, expected)
+        else:
+            raw += packbits_decode(chunk, expected)
+        row0 += nrows
+    arr = np.frombuffer(bytes(raw), dtype=np.uint8)[:h * stride]
+    arr = arr.reshape(h, w, samples) if samples > 1 else arr.reshape(h, w)
+    if pred == 2:                          # horizontal differencing
+        arr = np.cumsum(arr.astype(np.uint32), axis=1).astype(np.uint8) \
+            if samples == 1 else \
+            np.cumsum(arr.astype(np.uint32), axis=1).astype(np.uint8)
+    if photo == 0:                         # MinIsWhite
+        arr = 255 - arr
+    elif photo == 3:                       # palette -> RGB
+        cmap = t.get(_T_COLORMAP)
+        if not cmap:
+            raise ValueError("palette TIFF without ColorMap")
+        n = len(cmap) // 3
+        lut = (np.array(cmap, dtype=np.uint32).reshape(3, n).T >> 8) \
+            .astype(np.uint8)
+        arr = lut[arr.reshape(h, w)]
+    return arr
+
+
+def encode_tiff(arr: np.ndarray, compression: str = "lzw",
+                rows_per_strip: int = 32, byte_order: str = "little",
+                predictor: bool = False,
+                min_is_white: bool = False) -> bytes:
+    """HxW / HxWx1 (gray) or HxWx3 (RGB) uint8 -> spec-valid TIFF."""
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[:, :, 0]
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    samples = 1 if gray else 3
+    endian = "<" if byte_order == "little" else ">"
+    data = arr.astype(np.uint8)
+    photo = 1 if gray else 2
+    if min_is_white and gray:
+        data = 255 - data
+        photo = 0
+    if predictor:
+        d = data.astype(np.int16)
+        d[:, 1:] = (d[:, 1:] - d[:, :-1])
+        data = (d % 256).astype(np.uint8)
+    raw = data.tobytes()
+    stride = w * samples
+    comp_id = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    strips = []
+    for r0 in range(0, h, rows_per_strip):
+        nrows = min(rows_per_strip, h - r0)
+        chunk = raw[r0 * stride:(r0 + nrows) * stride]
+        if compression == "lzw":
+            strips.append(lzw_encode(chunk))
+        elif compression == "packbits":
+            strips.append(packbits_encode(chunk))
+        else:
+            strips.append(chunk)
+
+    tags: list[tuple[int, int, int, list[int]]] = [
+        (_T_WIDTH, 3, 1, [w]), (_T_HEIGHT, 3, 1, [h]),
+        (_T_BITS, 3, samples, [8] * samples),
+        (_T_COMPRESSION, 3, 1, [comp_id]),
+        (_T_PHOTOMETRIC, 3, 1, [photo]),
+        (_T_STRIP_OFFSETS, 4, len(strips), [0] * len(strips)),  # patched
+        (_T_SAMPLES, 3, 1, [samples]),
+        (_T_ROWS_PER_STRIP, 3, 1, [rows_per_strip]),
+        (_T_STRIP_COUNTS, 4, len(strips), [len(s) for s in strips]),
+    ]
+    if predictor:
+        tags.append((_T_PREDICTOR, 3, 1, [2]))
+    tags.sort()
+
+    # layout: header(8) | IFD | overflow values | strip data
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(tags) + 4
+    overflow_off = ifd_off + ifd_size
+    overflow = bytearray()
+
+    def value_bytes(typ: int, vals: list[int]) -> bytes:
+        fmt = {3: "H", 4: "I"}[typ]
+        return struct.pack(endian + fmt * len(vals), *vals)
+
+    # first pass: compute overflow sizes to find strip data start
+    entries = []
+    for tag, typ, cnt, vals in tags:
+        vb = value_bytes(typ, vals)
+        entries.append((tag, typ, cnt, vals, len(vb) > 4))
+        if len(vb) > 4:
+            overflow += vb if len(vb) % 2 == 0 else vb + b"\x00"
+    data_off = overflow_off + len(overflow)
+    strip_offsets = []
+    pos = data_off
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s) + (len(s) % 2)
+
+    # second pass: emit with patched strip offsets
+    out = bytearray()
+    out += (b"II*\x00" if endian == "<" else b"MM\x00*")
+    out += struct.pack(endian + "I", ifd_off)
+    out += struct.pack(endian + "H", len(tags))
+    overflow = bytearray()
+    ov_pos = overflow_off
+    for tag, typ, cnt, vals, big in entries:
+        if tag == _T_STRIP_OFFSETS:
+            vals = strip_offsets
+        vb = value_bytes(typ, vals)
+        out += struct.pack(endian + "HHI", tag, typ, cnt)
+        if len(vb) <= 4:
+            out += vb + b"\x00" * (4 - len(vb))
+        else:
+            out += struct.pack(endian + "I", ov_pos)
+            pad = vb if len(vb) % 2 == 0 else vb + b"\x00"
+            overflow += pad
+            ov_pos += len(pad)
+    out += struct.pack(endian + "I", 0)    # next IFD = none
+    out += overflow
+    for s in strips:
+        out += s + (b"\x00" * (len(s) % 2))
+    return bytes(out)

@@ -1,0 +1,172 @@
+"""TIFF (strip profile: none/LZW/PackBits, predictor, MinIsWhite,
+palette, both byte orders) and BMP (24/32-bpp, 8/4-bpp palette, RLE8,
+both row orders) codec coverage + multimodal stage integration."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from gitprov_ray import bmpcodec as bc
+from gitprov_ray import multimodal as M
+from gitprov_ray import tiffcodec as tc
+
+
+def _rng(seed=0):
+    return np.random.RandomState(seed)
+
+
+@pytest.mark.parametrize("comp", ["none", "packbits", "lzw"])
+@pytest.mark.parametrize("shape", [(18, 24), (18, 24, 3), (1, 1), (33, 17, 3)])
+def test_tiff_roundtrip(comp, shape):
+    a = _rng(1).randint(0, 256, size=shape, dtype=np.uint8)
+    for bo in ("little", "big"):
+        b = tc.encode_tiff(a, compression=comp, rows_per_strip=8,
+                           byte_order=bo)
+        assert (tc.decode_tiff(b) == a).all()
+
+
+def test_tiff_lzw_predictor_and_ratio():
+    yy, xx = np.mgrid[0:64, 0:64]
+    g = (xx + yy).astype(np.uint8)
+    plain = tc.encode_tiff(g, compression="none")
+    lzw = tc.encode_tiff(g, compression="lzw", predictor=True)
+    assert (tc.decode_tiff(lzw) == g).all()
+    assert len(lzw) < len(plain) // 4       # real compression, not a wrap
+    p = tc.probe_tiff(lzw)
+    assert (p["compression"], p["width"], p["height"]) == ("lzw", 64, 64)
+
+
+def test_tiff_lzw_kwkwk_case():
+    # 'ababab...' forces the code==len(table) (KwKwK) branch
+    src = b"ab" * 300
+    assert tc.lzw_decode(tc.lzw_encode(src), len(src)) == src
+
+
+def test_tiff_min_is_white():
+    g = _rng(2).randint(0, 256, size=(9, 11), dtype=np.uint8)
+    b = tc.encode_tiff(g, compression="none", min_is_white=True)
+    assert tc.probe_tiff(b)["photometric"] == 0
+    assert (tc.decode_tiff(b) == g).all()
+
+
+def test_tiff_palette_decode():
+    # hand-build a palette TIFF: indices + 16-bit colormap
+    idx = _rng(3).randint(0, 4, size=(5, 7), dtype=np.uint8)
+    base = tc.encode_tiff(idx, compression="none")
+    t = tc._read_ifd(base, "<")
+    # rewrite photometric to palette and append a colormap IFD by
+    # re-encoding manually: simpler — decode path unit: build via struct
+    lut = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                   dtype=np.uint8)
+    cmap = [int(v) << 8 for v in lut.T.ravel()]
+    # construct minimal palette tiff
+    raw = idx.tobytes()
+    tags = [(256, 3, 1, [7]), (257, 3, 1, [5]), (258, 3, 1, [8]),
+            (259, 3, 1, [1]), (262, 3, 1, [3]),
+            (273, 4, 1, [0]), (277, 3, 1, [1]), (278, 3, 1, [5]),
+            (279, 4, 1, [len(raw)]), (320, 3, len(cmap), cmap)]
+    ifd_off = 8
+    n = len(tags)
+    overflow_off = ifd_off + 2 + 12 * n + 4
+    overflow = b""
+    entries = b""
+    ov = overflow_off
+    # colormap overflows; strip data after overflow
+    cmap_bytes = struct.pack(f"<{len(cmap)}H", *cmap)
+    data_off = overflow_off + len(cmap_bytes)
+    for tag, typ, cnt, vals in tags:
+        if tag == 273:
+            vals = [data_off]
+        vb = struct.pack("<" + {3: "H", 4: "I"}[typ] * len(vals), *vals)
+        entries += struct.pack("<HHI", tag, typ, cnt)
+        if len(vb) <= 4:
+            entries += vb + b"\x00" * (4 - len(vb))
+        else:
+            entries += struct.pack("<I", ov)
+            overflow += vb
+            ov += len(vb)
+    blob = (b"II*\x00" + struct.pack("<I", ifd_off)
+            + struct.pack("<H", n) + entries + struct.pack("<I", 0)
+            + overflow + raw)
+    out = tc.decode_tiff(blob)
+    assert (out == lut[idx]).all()
+
+
+def test_tiff_declared_stubs():
+    a = _rng(4).randint(0, 256, size=(4, 4), dtype=np.uint8)
+    b = bytearray(tc.encode_tiff(a, compression="none"))
+    # patch compression tag to CCITT G4 (4): find tag 259 entry
+    n = struct.unpack_from("<H", b, 8)[0]
+    for i in range(n):
+        pos = 10 + 12 * i
+        if struct.unpack_from("<H", b, pos)[0] == 259:
+            struct.pack_into("<H", b, pos + 8, 4)
+    with pytest.raises(NotImplementedError, match="ccitt"):
+        tc.decode_tiff(bytes(b))
+
+
+@pytest.mark.parametrize("top_down", [False, True])
+def test_bmp_24bpp_roundtrip(top_down):
+    a = _rng(5).randint(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    b = bc.encode_bmp(a, top_down=top_down)
+    assert (bc.decode_bmp(b) == a).all()
+    p = bc.probe_bmp(b)
+    assert (p["width"], p["height"], p["bpp"]) == (17, 13, 24)
+
+
+@pytest.mark.parametrize("rle", [False, True])
+def test_bmp_gray_palette(rle):
+    g = _rng(6).randint(0, 256, size=(9, 31), dtype=np.uint8)
+    g[:, 5:20] = 77
+    b = bc.encode_bmp(g, rle=rle)
+    d = bc.decode_bmp(b)
+    assert d.ndim == 2 and (d == g).all()
+    assert bc.probe_bmp(b)["compression"] == ("rle8" if rle else "rgb")
+
+
+def test_bmp_32bpp_decode():
+    h, w = 4, 5
+    px = _rng(7).randint(0, 256, size=(h, w, 4), dtype=np.uint8)
+    body = px[..., [2, 1, 0, 3]][::-1].tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 0, len(body),
+                       0, 0, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    d = bc.decode_bmp(hdr + info + body)
+    assert d.shape == (h, w, 4) and (d == px).all()
+
+
+def test_bmp_bitfields_declared_stub():
+    a = _rng(8).randint(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    b = bytearray(bc.encode_bmp(a))
+    struct.pack_into("<I", b, 30, 3)      # BI_BITFIELDS
+    with pytest.raises(NotImplementedError, match="bitfields"):
+        bc.decode_bmp(bytes(b))
+
+
+def test_probe_media_tiff_bmp():
+    p = M.probe_media(M._synth_tiff(1))
+    assert (p["format"], p["width"], p["height"]) == ("tiff", 24, 18)
+    assert p["codec"] in ("lzw", "packbits", "none")
+    p = M.probe_media(M._synth_bmp(1))
+    assert (p["format"], p["width"], p["height"]) == ("bmp", 24, 18)
+
+
+def test_decode_image_and_resize_stage_tiff_bmp():
+    for synth in (M._synth_tiff, M._synth_bmp):
+        for seed in range(4):
+            arr = M.decode_image(synth(seed))
+            assert arr is not None and arr.shape[:2] == (18, 24)
+    import pyarrow as pa
+
+    t = pa.table({"media_id": pa.array(["a", "b"], pa.string()),
+                  "payload": pa.array([M._synth_tiff(2), M._synth_bmp(2)],
+                                      pa.binary())})
+    out = M.ImageResize(target=(10, 8))(t)
+    rp = out.column("payload").to_pylist()
+    from gitprov_ray import tiffcodec, bmpcodec
+
+    assert tiffcodec.is_tiff(rp[0])       # same format in -> out
+    assert bmpcodec.is_bmp(rp[1])
+    assert tiffcodec.decode_tiff(rp[0]).shape[:2] == (8, 10)
+    assert bmpcodec.decode_bmp(rp[1]).shape[:2] == (8, 10)
