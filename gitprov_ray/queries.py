@@ -3190,6 +3190,41 @@ def q_profile_events(sf_dir: str):
     return ops.profile_columns(ds, ["event_id", "user_id", "value"])
 
 
+def q_bpe_train_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (textops.bpe_train, Sennrich
+    et al. 2016): whitespace word counts (bucketed high-cardinality
+    combine, invariant 6) -> 4 merge rounds, each ONE streaming
+    pair-count pass + a vocabulary-bounded aggregate + a broadcast
+    2-pass replace merge. Returns the learned merge table."""
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def wc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split().explode().dropna()
+        toks = toks[toks != ""]
+        g = toks.value_counts()
+        return pd.DataFrame({"word": g.index.to_numpy(),
+                             "cnt": g.to_numpy(dtype=np.int64)})
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = stable_bucket(df["word"], df["word"], 64)
+        return df
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("word", sort=False)["cnt"].sum()
+        return pd.DataFrame({"word": g.index.to_numpy(),
+                             "cnt": g.to_numpy(dtype=np.int64)})
+
+    words = (ds.map_batches(wc_partial, batch_format="pandas")
+             .map_batches(bucketize, batch_format="pandas")
+             .groupby("bucket")
+             .map_groups(lambda df: combine(df.drop(columns=["bucket"])),
+                         batch_format="pandas"))
+    return textops.bpe_train(words, n_merges=4)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -3325,6 +3360,7 @@ QUERIES = {
     "q_c4_filter_docs": q_c4_filter_docs,
     "q_mixture_sample_docs": q_mixture_sample_docs,
     "q_profile_events": q_profile_events,
+    "q_bpe_train_merges": q_bpe_train_merges,
 }
 
 
@@ -5494,3 +5530,53 @@ SELECT 'value', CAST(COUNT(*) AS BIGINT),
        CAST(MIN(value) AS DOUBLE), CAST(MAX(value) AS DOUBLE)
 FROM events
 ORDER BY col_name"""
+
+# BPE training twin: 4 unrolled merge rounds. Each round r explodes the
+# space-delimited symbol strings (sym is a unique per-word key — removing
+# spaces recovers the word), self-joins position i with i+1 for the
+# OVERLAPPING adjacent-pair counts (get_stats semantics), picks the best
+# pair by (count DESC, left, right), and applies the merge with replace()
+# NESTED TWICE (consecutive occurrences share the delimiter space; see
+# textops.bpe_train).
+def _bpe_sql(n_merges: int = 4) -> str:
+    parts = [r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(COALESCE(text,''), '\s+')) AS tok
+  FROM documents
+), words AS (
+  SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks
+  WHERE tok <> '' GROUP BY tok
+), w0 AS (
+  SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' '
+             AS sym, cnt
+  FROM words
+)"""]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        parts.append(f""", s{r} AS (
+  SELECT sym, cnt,
+         unnest(list_filter(string_split(sym, ' '), x -> x <> '')) AS t,
+         unnest(range(len(list_filter(string_split(sym, ' '),
+                                      x -> x <> '')))) AS i
+  FROM w{p}
+), p{r} AS (
+  SELECT a.t AS a, b.t AS b, CAST(SUM(a.cnt) AS BIGINT) AS w
+  FROM s{r} a JOIN s{r} b ON a.sym = b.sym AND b.i = a.i + 1
+  GROUP BY a.t, b.t
+), b{r} AS (
+  SELECT a, b, w FROM p{r} ORDER BY w DESC, a, b LIMIT 1
+), w{r} AS (
+  SELECT replace(replace(w{p}.sym,
+                 ' ' || b{r}.a || ' ' || b{r}.b || ' ',
+                 ' ' || b{r}.a || b{r}.b || ' '),
+                 ' ' || b{r}.a || ' ' || b{r}.b || ' ',
+                 ' ' || b{r}.a || b{r}.b || ' ') AS sym, cnt
+  FROM w{p} CROSS JOIN b{r}
+)""")
+    selects = [f"""SELECT CAST({r} AS BIGINT) AS step, a AS "left",
+  b AS "right", w AS pair_count FROM b{r}""" for r in range(1, n_merges + 1)]
+    parts.append("\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY step")
+    return "".join(parts)
+
+
+ORACLE_SQL["q_bpe_train_merges"] = _bpe_sql(4)

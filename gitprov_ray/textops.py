@@ -314,3 +314,71 @@ def c4_line_filter(texts: pd.Series) -> pd.DataFrame:
         "n_lines": n_lines, "kept_lines": kept_lines,
         "c4_pass": (kept_lines >= 3).astype("int64"),
         "cleaned_text": kept.str.join("\n")})
+
+
+def bpe_train(words_ds, n_merges: int = 4):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): learn
+    `n_merges` merges over a (word, cnt) vocabulary Dataset. Each round:
+    one streaming pair-count pass (per-batch partial sums; overlapping
+    adjacent pairs, the classic get_stats semantics), a tiny aggregate of
+    distinct symbol pairs (bounded by the vocabulary, NOT the corpus —
+    the only thing that ever reaches the driver), then a broadcast merge
+    applied vectorized (left-to-right non-overlapping str.replace — the
+    exact semantics DuckDB's replace() shares, which is what makes the
+    unrolled-CTE twin exact).
+
+    The vocabulary is materialized once and after each merge round
+    (invariant 10: an op that re-consumes its input per iteration must
+    not re-execute the upstream read).
+
+    Returns a pandas DataFrame (step, left, right, pair_count) — the
+    learned merge table, n_merges rows.
+    """
+    from ray.data.aggregate import Sum
+
+    def symbolize(df: pd.DataFrame) -> pd.DataFrame:
+        sym = df["word"].map(lambda w: " " + " ".join(w) + " ")
+        return pd.DataFrame({"sym": sym, "cnt": df["cnt"].to_numpy()})
+
+    words = words_ds.map_batches(symbolize,
+                                 batch_format="pandas").materialize()
+    merges = []
+    for step in range(1, n_merges + 1):
+        def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+            syms = df["sym"].str.split()
+            lens = syms.str.len().to_numpy(dtype=np.int64)
+            npairs = np.maximum(lens - 1, 0)
+            w = np.repeat(df["cnt"].to_numpy(), npairs)
+            lefts, rights = [], []
+            for s in syms:
+                lefts.extend(s[:-1])
+                rights.extend(s[1:])
+            g = (pd.DataFrame({"a": lefts, "b": rights, "w": w})
+                 .groupby(["a", "b"], sort=False)["w"].sum().reset_index())
+            return g
+
+        pairs = (words.map_batches(pair_partial, batch_format="pandas")
+                 .groupby(["a", "b"]).aggregate(Sum("w", alias_name="w"))
+                 .to_pandas())
+        if pairs.empty:
+            break
+        pairs = pairs.sort_values(["w", "a", "b"],
+                                  ascending=[False, True, True],
+                                  kind="mergesort")
+        best = pairs.iloc[0]
+        a, b, w = str(best["a"]), str(best["b"]), int(best["w"])
+        merges.append({"step": np.int64(step), "left": a, "right": b,
+                       "pair_count": np.int64(w)})
+        # TWO replace passes: consecutive occurrences (' a b a b ') share
+        # the delimiter space, so one left-to-right pass skips every
+        # second one; after pass 1 missed occurrences are never adjacent
+        # (each is flanked by a merged token), so pass 2 is exact. The
+        # DuckDB twin nests replace() twice for the same reason.
+        words = words.map_batches(
+            lambda df, a=a, b=b: df.assign(
+                sym=df["sym"]
+                .str.replace(f" {a} {b} ", f" {a}{b} ", regex=False)
+                .str.replace(f" {a} {b} ", f" {a}{b} ", regex=False)),
+            batch_format="pandas").materialize()
+    return pd.DataFrame(merges, columns=["step", "left", "right",
+                                         "pair_count"])

@@ -389,3 +389,19 @@ def test_c4_line_filter_gates():
     assert out.loc[0, "cleaned_text"] == (
         "Good line with words.\nEnds with a question mark?")
     assert out.loc[0, "c4_pass"] == 0
+
+
+def test_bpe_train_consecutive_pair_merge():
+    """' a b a b ' shares delimiter spaces: the 2-pass replace must merge
+    BOTH occurrences (classic BPE), not every second one."""
+    from gitprov_ray import textops
+
+    words = pd.DataFrame({"word": ["abab", "ab"],
+                          "cnt": np.array([5, 2], dtype="int64")})
+    m = textops.bpe_train(rd.from_pandas(words), n_merges=2)
+    # round 1: (a,b) appears 2x in 'abab' (w=10) + 1x in 'ab' (w=2) = 12
+    assert (m.loc[0, "left"], m.loc[0, "right"],
+            m.loc[0, "pair_count"]) == ("a", "b", 12)
+    # round 2 only exists if BOTH 'ab's merged in 'abab' -> pair (ab, ab)
+    assert (m.loc[1, "left"], m.loc[1, "right"],
+            m.loc[1, "pair_count"]) == ("ab", "ab", 5)
