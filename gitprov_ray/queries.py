@@ -3225,6 +3225,28 @@ def q_bpe_train_merges(sf_dir: str):
     return textops.bpe_train(words, n_merges=4)
 
 
+def q_embedding_covariance(sf_dir: str, d: int = 8):
+    """Distributed Gram/covariance accumulation (the front half of PCA /
+    embedding whitening): per-batch q^T·q partial over the first `d`
+    dims in ROUND(x*1000) integer millis (exact, association-order
+    free), one tiny d·(d+1)/2-row aggregate. The corpus streams; only
+    d² numbers ever move per batch."""
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy())[:, :d].astype(np.float64)
+        q = np.floor(np.abs(m) * 1000 + 0.5) * np.sign(m)
+        g = (q.T @ q).astype(np.int64)
+        iu = np.triu_indices(d)
+        return pd.DataFrame({"i": iu[0].astype("int64"),
+                             "j": iu[1].astype("int64"),
+                             "g": g[iu]})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby(["i", "j"]).aggregate(Sum("g", alias_name="gram"))
+            .sort(["i", "j"]))
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -3361,6 +3383,7 @@ QUERIES = {
     "q_mixture_sample_docs": q_mixture_sample_docs,
     "q_profile_events": q_profile_events,
     "q_bpe_train_merges": q_bpe_train_merges,
+    "q_embedding_covariance": q_embedding_covariance,
 }
 
 
@@ -5580,3 +5603,16 @@ WITH toks AS (
 
 
 ORACLE_SQL["q_bpe_train_merges"] = _bpe_sql(4)
+
+ORACLE_SQL["q_embedding_covariance"] = """
+WITH e AS (
+  SELECT vec_id, unnest(embedding) AS v,
+         unnest(range(len(embedding))) AS i
+  FROM embeddings
+), q AS (
+  SELECT vec_id, i, CAST(ROUND(CAST(v AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM e WHERE i < 8
+)
+SELECT a.i AS i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS gram
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
+GROUP BY a.i, b.i ORDER BY i, j"""
