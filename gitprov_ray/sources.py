@@ -20,7 +20,7 @@ import pyarrow as pa
 _EXT_FMT = {".parquet": "parquet", ".pq": "parquet", ".csv": "csv",
             ".json": "ndjson", ".jsonl": "ndjson", ".ndjson": "ndjson",
             ".feather": "feather", ".arrow": "feather", ".ipc": "feather",
-            ".orc": "orc"}
+            ".orc": "orc", ".avro": "avro"}
 
 
 def _fmt_of(path: str, fmt: str | None) -> tuple[str, bool]:
@@ -90,6 +90,22 @@ def read_table(path, fmt: str | None = None, columns: list[str] | None = None,
 
         ds = bin_ds.map_batches(decode, batch_format="pyarrow",
                                 batch_size=1)
+    elif f == "avro":
+        # same block-parallel-by-file shape as feather/orc; the engine's
+        # own container reader (avrocodec) handles null+deflate codecs
+        bin_ds = rd.read_binary_files(path, file_extensions=None)
+
+        def decode_avro(t: pa.Table) -> pa.Table:
+            from . import avrocodec
+
+            parts = []
+            for blob in t.column("bytes").to_pylist():
+                rows, _ = avrocodec.read_avro_blob(blob)
+                parts.append(pa.Table.from_pylist(rows))
+            return pa.concat_tables(parts, promote_options="default")
+
+        ds = bin_ds.map_batches(decode_avro, batch_format="pyarrow",
+                                batch_size=1)
     else:
         raise ValueError(f"unknown table format {f!r}")
     if f not in ("parquet", "feather", "orc") and columns is not None:
@@ -122,6 +138,16 @@ def write_table(ds, path: str, fmt: str = "parquet"):
         for i, batch in enumerate(ds.iter_batches(batch_format="pyarrow",
                                                   batch_size=None)):
             feather.write_feather(batch, f"{path}/part-{i:05d}.feather")
+    elif fmt == "avro":
+        import os
+
+        from . import avrocodec
+
+        os.makedirs(path, exist_ok=True)
+        for i, batch in enumerate(ds.iter_batches(batch_format="pyarrow",
+                                                  batch_size=None)):
+            with open(f"{path}/part-{i:05d}.avro", "wb") as fh:
+                fh.write(avrocodec.table_to_avro(batch))
     else:
         raise ValueError(f"unknown table format {fmt!r}")
 

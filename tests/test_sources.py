@@ -131,3 +131,85 @@ def test_feather_and_orc_roundtrip(ray_session, tmp_path):
     sources.write_table(ds, out, fmt="feather")
     back = sources.read_table(out + "/part-00000.feather").to_pandas()
     assert back["a"].tolist() == [1, 2, 3]
+
+
+def test_avro_codec_all_types():
+    from gitprov_ray import avrocodec as av
+
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "i", "type": "long"},
+        {"name": "f", "type": "double"},
+        {"name": "fl", "type": "float"},
+        {"name": "s", "type": "string"},
+        {"name": "b", "type": "bytes"},
+        {"name": "ok", "type": "boolean"},
+        {"name": "opt", "type": ["null", "string"]},
+        {"name": "arr", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": {"type": "map", "values": "long"}},
+        {"name": "e", "type": {"type": "enum", "name": "col",
+                               "symbols": ["RED", "BLUE"]}},
+        {"name": "fx", "type": {"type": "fixed", "name": "fx8",
+                                "size": 4}},
+    ]}
+    rows = [{"i": -(2**40) + k, "f": k * 0.5, "fl": 1.5, "s": f"s{k}",
+             "b": bytes([k]), "ok": k % 2 == 0,
+             "opt": None if k % 3 == 0 else f"o{k}",
+             "arr": list(range(k % 4)), "m": {"a": k, "b": -k},
+             "e": ["RED", "BLUE"][k % 2], "fx": bytes([k] * 4)}
+            for k in range(25)]
+    for codec in ("null", "deflate"):
+        blob = av.write_avro(rows, schema, codec=codec, rows_per_block=7)
+        out, sch = av.read_avro_blob(blob)
+        assert sch["name"] == "r" and out == rows
+
+
+def test_avro_zigzag_spec_vectors():
+    # the spec's zigzag examples: 0->0, -1->1, 1->2, -2->3, 2->4
+    from gitprov_ray import avrocodec as av
+
+    for n, enc in [(0, b"\x00"), (-1, b"\x01"), (1, b"\x02"),
+                   (-2, b"\x03"), (2, b"\x04"), (64, b"\x80\x01")]:
+        assert av._zz_enc(n) == enc
+        r = av._Reader(enc)
+        assert r.long() == n
+
+
+def test_avro_read_table_roundtrip(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from gitprov_ray import sources
+
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    ds = sources.read_table("/root/testdata/sf0.001/events.parquet")
+    sources.write_table(ds, str(tmp_path / "ev_avro"), fmt="avro")
+    back = sources.read_table(str(tmp_path / "ev_avro"), fmt="avro",
+                              schema=pa.schema(
+                                  [(f.name, pa.int64() if str(f.type)
+                                    .startswith("timestamp")
+                                    else f.type) for f in src.schema]))
+    got = back.to_pandas().sort_values("event_id").reset_index(drop=True)
+    want = src.to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["event_id"] == want["event_id"]).all()
+    assert (got["value"] == want["value"]).all()
+    assert (got["event_type"] == want["event_type"]).all()
+    # timestamps ride as micros since epoch
+    assert (got["ts"].to_numpy()
+            == want["ts"].astype("datetime64[us]").astype("int64")).all()
+
+
+def test_avro_snappy_declared_stub():
+    from gitprov_ray import avrocodec as av
+
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "i", "type": "long"}]}
+    blob = bytearray(av.write_avro([{"i": 1}], schema, codec="null"))
+    # splice the codec string: rebuild with codec name 'snappy'
+    blob2 = av.write_avro([{"i": 1}], schema, codec="null").replace(
+        b"null", b"snap", 1)
+    import pytest as _pytest
+
+    # write a real snappy-tagged file via the writer's meta path
+    b3 = av.write_avro([{"i": 1}], schema, codec="snappy")
+    with _pytest.raises(NotImplementedError, match="snappy"):
+        av.read_avro_blob(b3)
