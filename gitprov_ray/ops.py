@@ -1202,3 +1202,79 @@ def profile_columns(ds, cols: list[str]):
     out = out[["col_name", "n_rows", "n_null", "n_distinct",
                "min_v", "max_v"]]
     return out.sort_values("col_name").reset_index(drop=True)
+
+
+def late_data_window_counts(ds, ts_us_col: str, arrival_us_col: str,
+                            id_col: str, window_us: int, lateness_us: int,
+                            bucket_us: int = 3_600_000_000):
+    """Streaming tumbling-window aggregate with WATERMARK semantics,
+    replayed deterministically over a bounded table: events are processed
+    in arrival order (ties by id); the watermark before event i is
+    max(event-time of all j arriving strictly before i) − allowed
+    lateness; an event whose tumbling window has already closed
+    (window_end ≤ watermark) is counted late and dropped, everything
+    else lands in its window.
+
+    Distributed shape — the global prefix-max never requires a global
+    ordered scan: arrival time is range-bucketed (bucket_us), a tiny
+    per-bucket max-event-time table comes back to the driver (one row
+    per bucket — bounded by the stream's time span, not its row count),
+    an exclusive running max over ordered buckets is broadcast back, and
+    each bucket replays its own events exactly (in-bucket sort +
+    exclusive cummax + the carry). One shuffle for the replay, one tiny
+    aggregate for the windows.
+
+    Returns (window_start_us, n_kept, n_late) sorted by window.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    def bmax_partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = df[arrival_us_col].to_numpy() // bucket_us
+        g = pd.DataFrame({"b": b, "t": df[ts_us_col].to_numpy()}) \
+            .groupby("b", sort=False)["t"].max()
+        return pd.DataFrame({"b": g.index.to_numpy(dtype=np.int64),
+                             "t": g.to_numpy(dtype=np.int64)})
+
+    bmax = (ds.map_batches(bmax_partial, batch_format="pandas")
+            .groupby("b").aggregate(Max("t", alias_name="t")).to_pandas())
+    bmax = bmax.sort_values("b").reset_index(drop=True)
+    # exclusive prefix max over ordered buckets: carry[b] = max ts of all
+    # STRICTLY EARLIER buckets
+    carry = {}
+    # -inf sentinel at int64.min//4: far below any epoch-us value, but
+    # `sentinel - lateness_us` cannot wrap (int64.min - L overflows and
+    # flags the very first arrival as late)
+    run = np.iinfo(np.int64).min // 4
+    for _, row in bmax.iterrows():
+        carry[int(row["b"])] = run
+        run = max(run, int(row["t"]))
+
+    def tag_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = df[arrival_us_col].to_numpy() // bucket_us
+        return df
+
+    def replay(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([arrival_us_col, id_col], kind="mergesort")
+        ts = df[ts_us_col].to_numpy()
+        b = int(df["__b"].iloc[0])
+        prev = np.empty(len(ts), dtype=np.int64)
+        prev[0] = carry.get(b, np.iinfo(np.int64).min // 4)
+        if len(ts) > 1:
+            np.maximum.accumulate(ts[:-1], out=prev[1:])
+            np.maximum(prev[1:], prev[0], out=prev[1:])
+        win = ts // window_us * window_us
+        late = (win + window_us) <= (prev - lateness_us)
+        out = pd.DataFrame({"window_start_us": win,
+                            "n_kept": (~late).astype(np.int64),
+                            "n_late": late.astype(np.int64)})
+        return (out.groupby("window_start_us", sort=False, as_index=False)
+                [["n_kept", "n_late"]].sum())
+
+    return (ds.map_batches(tag_bucket, batch_format="pandas")
+            .groupby("__b")
+            .map_groups(lambda df: replay(df), batch_format="pandas")
+            .groupby("window_start_us")
+            .aggregate(Sum("n_kept", alias_name="n_kept"),
+                       Sum("n_late", alias_name="n_late"))
+            .sort("window_start_us"))

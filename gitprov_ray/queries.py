@@ -3247,6 +3247,31 @@ def q_embedding_covariance(sf_dir: str, d: int = 8):
             .sort(["i", "j"]))
 
 
+def q_watermark_window_events(sf_dir: str):
+    """Streaming tumbling-window aggregate with watermark/late-data
+    semantics (ops.late_data_window_counts), replayed deterministically:
+    arrival time is synthesized as event-time + a deterministic
+    per-event jitter (Knuth-hash millis, up to 2 h), watermark = running
+    max event-time over strictly-earlier arrivals − 10 min lateness,
+    1 h tumbling windows. SQL twin: MAX() OVER (ORDER BY arrival ROWS
+    … AND 1 PRECEDING) — exact integer microseconds throughout."""
+    from . import ops
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def arr(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64")
+        jit = (df["event_id"].to_numpy() * 2654435761) % 7_200_000_000
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "ts_us": ts_us.to_numpy(),
+                             "arr_us": ts_us.to_numpy() + jit})
+
+    return ops.late_data_window_counts(
+        ds.map_batches(arr, batch_format="pandas"),
+        "ts_us", "arr_us", "event_id",
+        window_us=3_600_000_000, lateness_us=600_000_000)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -3384,6 +3409,7 @@ QUERIES = {
     "q_profile_events": q_profile_events,
     "q_bpe_train_merges": q_bpe_train_merges,
     "q_embedding_covariance": q_embedding_covariance,
+    "q_watermark_window_events": q_watermark_window_events,
 }
 
 
@@ -5616,3 +5642,27 @@ WITH e AS (
 SELECT a.i AS i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS gram
 FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
 GROUP BY a.i, b.i ORDER BY i, j"""
+
+ORACLE_SQL["q_watermark_window_events"] = """
+WITH e AS (
+  SELECT event_id, epoch_us(ts) AS ts_us,
+         epoch_us(ts) + (event_id * 2654435761) % 7200000000 AS arr
+  FROM events
+), w AS (
+  SELECT ts_us,
+         MAX(ts_us) OVER (ORDER BY arr, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prevmax
+  FROM e
+), f AS (
+  SELECT (ts_us // 3600000000) * 3600000000 AS window_start_us,
+         CASE WHEN prevmax IS NOT NULL
+              AND (ts_us // 3600000000) * 3600000000 + 3600000000
+                  <= prevmax - 600000000
+              THEN 1 ELSE 0 END AS late
+  FROM w
+)
+SELECT window_start_us,
+       CAST(SUM(1 - late) AS BIGINT) AS n_kept,
+       CAST(SUM(late) AS BIGINT) AS n_late
+FROM f GROUP BY window_start_us ORDER BY window_start_us"""

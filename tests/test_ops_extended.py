@@ -405,3 +405,34 @@ def test_bpe_train_consecutive_pair_merge():
     # round 2 only exists if BOTH 'ab's merged in 'abab' -> pair (ab, ab)
     assert (m.loc[1, "left"], m.loc[1, "right"],
             m.loc[1, "pair_count"]) == ("ab", "ab", 5)
+
+
+def test_late_data_window_counts_matches_sequential_replay():
+    rng = _rng(11)
+    n = 3000
+    ts = rng.integers(0, 3_600_000_000 * 30, n)          # 30 hours
+    ids = np.arange(n, dtype="int64")
+    arr = ts + rng.integers(0, 7_200_000_000, n)         # up to 2 h jitter
+    W, L = 3_600_000_000, 600_000_000
+    # brute-force sequential replay
+    order = np.lexsort((ids, arr))
+    wm = np.iinfo(np.int64).min
+    kept, late = {}, {}
+    for i in order:
+        win = ts[i] // W * W
+        if win + W <= wm - L:
+            late[win] = late.get(win, 0) + 1
+        else:
+            kept[win] = kept.get(win, 0) + 1
+        wm = max(wm, ts[i])
+    df = pd.DataFrame({"event_id": ids, "ts_us": ts, "arr_us": arr})
+    out = (ops.late_data_window_counts(
+        rd.from_pandas(df).repartition(9), "ts_us", "arr_us", "event_id",
+        window_us=W, lateness_us=L).to_pandas()
+        .sort_values("window_start_us").reset_index(drop=True))
+    assert int(out["n_late"].sum()) > 0                  # semantics fire
+    for _, r in out.iterrows():
+        w = int(r["window_start_us"])
+        assert r["n_kept"] == kept.get(w, 0), w
+        assert r["n_late"] == late.get(w, 0), w
+    assert int(out["n_kept"].sum() + out["n_late"].sum()) == n
