@@ -1278,3 +1278,53 @@ def late_data_window_counts(ds, ts_us_col: str, arrival_us_col: str,
             .aggregate(Sum("n_kept", alias_name="n_kept"),
                        Sum("n_late", alias_name="n_late"))
             .sort("window_start_us"))
+
+
+def _cms_positions(vals: pd.Series, depth: int, width: int) -> np.ndarray:
+    """Deterministic md5-derived bucket per (value, row): row r uses the
+    first 2 hex nibbles of md5(f"{v}:{r}") (width <= 256). Returns an
+    (n, depth) int array. Shared nibble-for-nibble with the SQL twin."""
+    import hashlib
+
+    out = np.empty((len(vals), depth), dtype=np.int64)
+    for r in range(depth):
+        out[:, r] = [int(hashlib.md5(f"{v}:{r}".encode()).hexdigest()[:2],
+                         16) % width for v in vals]
+    return out
+
+
+def count_min_sketch(ds, col: str, probes: list, depth: int = 4,
+                     width: int = 256):
+    """Count-Min Sketch (Cormode & Muthukrishnan 2005) — the mergeable
+    point-frequency sketch for 100-TB streams: each batch contributes a
+    depth×width integer partial (one np.add.at pass over per-batch value
+    counts), partials merge by elementwise sum through ONE tiny
+    grouped aggregate (depth·width rows total), and point queries read
+    min over rows. Estimates are deterministic (md5-derived buckets) and
+    always >= the true count; the DuckDB twin reproduces the registers
+    bit-for-bit.
+
+    Returns a pandas DataFrame (probe key, est) — driver-small.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[col].value_counts()
+        pos = _cms_positions(pd.Series(vc.index), depth, width)
+        cnt = vc.to_numpy(dtype=np.int64)
+        sk = np.zeros((depth, width), dtype=np.int64)
+        for r in range(depth):
+            np.add.at(sk[r], pos[:, r], cnt)
+        rr, bb = np.nonzero(sk)
+        return pd.DataFrame({"r": rr.astype("int64"),
+                             "b": bb.astype("int64"),
+                             "c": sk[rr, bb]})
+
+    regs = (ds.map_batches(partial, batch_format="pandas")
+            .groupby(["r", "b"]).aggregate(Sum("c", alias_name="c"))
+            .to_pandas())
+    sk = np.zeros((depth, width), dtype=np.int64)
+    sk[regs["r"].to_numpy(), regs["b"].to_numpy()] = regs["c"].to_numpy()
+    ppos = _cms_positions(pd.Series(probes), depth, width)
+    est = sk[np.arange(depth)[None, :], ppos].min(axis=1)
+    return pd.DataFrame({col: probes, "est": est.astype("int64")})

@@ -3272,6 +3272,18 @@ def q_watermark_window_events(sf_dir: str):
         window_us=3_600_000_000, lateness_us=600_000_000)
 
 
+def q_cms_user_counts(sf_dir: str):
+    """Count-Min Sketch point-frequency estimates (ops.count_min_sketch,
+    d=4 w=256 md5 buckets) for users 0-9 over events — completes the
+    mergeable-sketch family (HLL, Misra-Gries, histogram, Bloom, CMS).
+    ORACLE-CHECKED: the twin rebuilds the registers bit-for-bit, so the
+    APPROXIMATION ITSELF is pinned, not just a tolerance."""
+    from . import ops
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    return ops.count_min_sketch(ds, "user_id", probes=list(range(10)))
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -3410,6 +3422,7 @@ QUERIES = {
     "q_bpe_train_merges": q_bpe_train_merges,
     "q_embedding_covariance": q_embedding_covariance,
     "q_watermark_window_events": q_watermark_window_events,
+    "q_cms_user_counts": q_cms_user_counts,
 }
 
 
@@ -5666,3 +5679,38 @@ SELECT window_start_us,
        CAST(SUM(1 - late) AS BIGINT) AS n_kept,
        CAST(SUM(late) AS BIGINT) AS n_late
 FROM f GROUP BY window_start_us ORDER BY window_start_us"""
+
+# CMS twin: registers rebuilt bit-for-bit — bucket = first 2 md5 nibbles of
+# '<value>:<row>' mod 256 (the 3-nibble hex->int idiom, 2 nibbles here)
+ORACLE_SQL["q_cms_user_counts"] = """
+WITH uc AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events
+  GROUP BY user_id
+), rs AS (SELECT unnest(generate_series(0, 3)) AS r),
+pos AS (
+  SELECT uc.user_id, uc.n, rs.r,
+         ((strpos('0123456789abcdef',
+                  substr(md5(CAST(uc.user_id AS VARCHAR) || ':'
+                             || CAST(rs.r AS VARCHAR)), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef',
+                  substr(md5(CAST(uc.user_id AS VARCHAR) || ':'
+                             || CAST(rs.r AS VARCHAR)), 2, 1)) - 1)) % 256
+             AS b
+  FROM uc CROSS JOIN rs
+), regs AS (
+  SELECT r, b, CAST(SUM(n) AS BIGINT) AS c FROM pos GROUP BY r, b
+), probes AS (SELECT unnest(generate_series(0, 9)) AS user_id),
+ppos AS (
+  SELECT p.user_id, rs.r,
+         ((strpos('0123456789abcdef',
+                  substr(md5(CAST(p.user_id AS VARCHAR) || ':'
+                             || CAST(rs.r AS VARCHAR)), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef',
+                  substr(md5(CAST(p.user_id AS VARCHAR) || ':'
+                             || CAST(rs.r AS VARCHAR)), 2, 1)) - 1)) % 256
+             AS b
+  FROM probes p CROSS JOIN rs
+)
+SELECT pp.user_id, CAST(MIN(COALESCE(rg.c, 0)) AS BIGINT) AS est
+FROM ppos pp LEFT JOIN regs rg ON rg.r = pp.r AND rg.b = pp.b
+GROUP BY pp.user_id ORDER BY pp.user_id"""
