@@ -3284,6 +3284,31 @@ def q_cms_user_counts(sf_dir: str):
     return ops.count_min_sketch(ds, "user_id", probes=list(range(10)))
 
 
+def q_html_extract_docs(sf_dir: str):
+    """HTML -> text extraction (textops.html_to_text — the crawl
+    boilerplate-strip stage): script/style subtrees, comments and tags
+    removed in that order, core entities decoded (&amp; last),
+    whitespace collapsed. Each doc is wrapped in a deterministic HTML
+    envelope (title/style/script-with-'<'/comment/entities) so every
+    rule demonstrably fires; the twin shares the RE2 patterns and the
+    wrapper verbatim."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"]
+        aug = ('<html><head><title>Doc ' + ids.astype(str)
+               + '</title><style>p{color:red}</style>'
+               + '<script>var x=1<2;</script></head><body><!-- nav -->'
+               + '<p>' + df["text"].fillna("") + '</p>'
+               + '<div class="foo">tail &amp; more &lt;b&gt;</div>'
+               + '</body></html>')
+        out = textops.html_to_text(aug)
+        out.insert(0, "doc_id", ids.to_numpy())
+        return out
+
+    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -3423,6 +3448,7 @@ QUERIES = {
     "q_embedding_covariance": q_embedding_covariance,
     "q_watermark_window_events": q_watermark_window_events,
     "q_cms_user_counts": q_cms_user_counts,
+    "q_html_extract_docs": q_html_extract_docs,
 }
 
 
@@ -5714,3 +5740,35 @@ ppos AS (
 SELECT pp.user_id, CAST(MIN(COALESCE(rg.c, 0)) AS BIGINT) AS est
 FROM ppos pp LEFT JOIN regs rg ON rg.r = pp.r AND rg.b = pp.b
 GROUP BY pp.user_id ORDER BY pp.user_id"""
+
+ORACLE_SQL["q_html_extract_docs"] = r"""
+WITH d AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || '</title><style>p{color:red}</style>'
+         || '<script>var x=1<2;</script></head><body><!-- nav -->'
+         || '<p>' || COALESCE(text, '') || '</p>'
+         || '<div class="foo">tail &amp; more &lt;b&gt;</div>'
+         || '</body></html>' AS h
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(h, '(?s)<[^>]*>')) AS BIGINT)
+             AS n_tags,
+         regexp_replace(regexp_replace(regexp_replace(h,
+             '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+             '(?s)<!--.*?-->', ' ', 'g'),
+             '(?s)<[^>]*>', ' ', 'g') AS t
+  FROM d
+), s2 AS (
+  SELECT doc_id, n_tags,
+         trim(regexp_replace(
+             replace(replace(replace(replace(replace(t,
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', chr(39)), '&amp;', '&'),
+             '\s+', ' ', 'g')) AS extracted
+  FROM s1
+)
+SELECT doc_id, extracted, n_tags,
+       CAST(length(extracted) AS BIGINT) AS text_len
+FROM s2 ORDER BY doc_id"""

@@ -382,3 +382,30 @@ def bpe_train(words_ds, n_merges: int = 4):
             batch_format="pandas").materialize()
     return pd.DataFrame(merges, columns=["step", "left", "right",
                                          "pair_count"])
+
+
+# RE2-compatible (shared verbatim with the DuckDB twin): script/style
+# blocks first, then comments, then any tag; entity decode is the fixed
+# 5-entity core (&amp; LAST so '&amp;lt;' decodes to '&lt;' not '<').
+HTML_SCRIPT_RE = r"(?s)<(script|style)[^>]*>.*?</(script|style)>"
+HTML_COMMENT_RE = r"(?s)<!--.*?-->"
+HTML_TAG_RE = r"(?s)<[^>]*>"
+
+
+def html_to_text(texts: pd.Series) -> pd.DataFrame:
+    """Deterministic HTML -> text extraction (the boilerplate-strip stage
+    of a crawl curation pipeline): drop script/style subtrees, comments,
+    then all tags; decode the core entities; collapse whitespace runs to
+    one space and trim. Regex semantics shared with the SQL twin."""
+    t = texts.fillna("")
+    n_tags = t.str.count(HTML_TAG_RE).astype("int64")
+    s = t.str.replace(HTML_SCRIPT_RE, " ", regex=True)
+    s = s.str.replace(HTML_COMMENT_RE, " ", regex=True)
+    s = s.str.replace(HTML_TAG_RE, " ", regex=True)
+    for ent, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&amp;", "&")]:
+        s = s.str.replace(ent, ch, regex=False)
+    s = s.str.replace(r"\s+", " ", regex=True).str.strip()
+    return pd.DataFrame({"extracted": s,
+                         "n_tags": n_tags,
+                         "text_len": s.str.len().astype("int64")})
