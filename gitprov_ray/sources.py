@@ -300,3 +300,72 @@ def write_warc_fixture(pages_rows, wet: bool = False,
                 f"Content-Length: {len(payload)}\r\n\r\n").encode()
         out += head + payload + b"\r\n\r\n"
     return gzip.compress(bytes(out)) if gz else bytes(out)
+
+
+def write_partitioned(ds, path: str, key: str, num_buckets: int = 64,
+                      skip_existing: bool = True):
+    """Resumable partitioned Parquet sink: hash-partition by ``key`` into
+    ``part=NNNNN/`` directories, each written atomically (tmp + rename,
+    then a ``_SUCCESS`` marker carrying the row count) from ITS OWN
+    worker task — so a failed 100-TB job re-run skips every finished
+    partition and rewrites only the missing ones. ``path`` must be
+    shared storage on a real cluster (object store/NFS); the same
+    protocol applies per node.
+
+    Returns a pandas DataFrame (partition, rows, skipped) — one row per
+    non-empty partition, driver-small.
+    """
+    import pandas as pd
+
+    from .stages.versions import stable_bucket
+
+    def tag(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.copy()
+        s = df[key].astype(str)
+        df["__part"] = stable_bucket(s, s, num_buckets)
+        return df
+
+    def write_group(df: "pd.DataFrame") -> "pd.DataFrame":
+        import os
+
+        import pyarrow.parquet as pq
+
+        b = int(df["__part"].iloc[0])
+        d = os.path.join(path, f"part={b:05d}")
+        marker = os.path.join(d, "_SUCCESS")
+        if skip_existing and os.path.exists(marker):
+            return pd.DataFrame({"partition": [b], "rows": [0],
+                                 "skipped": [True]})
+        os.makedirs(d, exist_ok=True)
+        t = pa.Table.from_pandas(df.drop(columns=["__part"]),
+                                 preserve_index=False)
+        tmp = os.path.join(d, ".tmp-data.parquet")
+        pq.write_table(t, tmp, compression="zstd")
+        os.replace(tmp, os.path.join(d, "data.parquet"))
+        with open(marker + ".tmp", "w") as fh:
+            fh.write(str(t.num_rows))
+        os.replace(marker + ".tmp", marker)
+        return pd.DataFrame({"partition": [b], "rows": [t.num_rows],
+                             "skipped": [False]})
+
+    stats = (ds.map_batches(tag, batch_format="pandas")
+             .groupby("__part")
+             .map_groups(write_group, batch_format="pandas")
+             .to_pandas())
+    return (stats.sort_values("partition").reset_index(drop=True)
+            .astype({"partition": "int64", "rows": "int64",
+                     "skipped": "bool"}))
+
+
+def read_partitioned(path: str, columns: list[str] | None = None):
+    """Read a write_partitioned() layout back as a Dataset (data files
+    only — markers and stray tmp files are never touched)."""
+    import glob
+
+    from .util import read_parquet_clean, tune_context
+
+    tune_context()
+    files = sorted(glob.glob(f"{path}/part=*/data.parquet"))
+    if not files:
+        raise FileNotFoundError(f"no complete partitions under {path!r}")
+    return read_parquet_clean(files, columns=columns)

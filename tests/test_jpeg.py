@@ -137,6 +137,14 @@ def test_image_stages_accept_jpeg():
             from gitprov_ray import webpcodec
 
             assert webpcodec.decode_webp(payload).shape[:2] == (32, 32)
+        elif mime == "image/tiff":
+            from gitprov_ray import tiffcodec
+
+            assert tiffcodec.decode_tiff(payload).shape[:2] == (32, 32)
+        elif mime == "image/bmp":
+            from gitprov_ray import bmpcodec
+
+            assert bmpcodec.decode_bmp(payload).shape[:2] == (32, 32)
         else:
             assert M.parse_ppm(payload)[0].shape[:2] == (32, 32)
 

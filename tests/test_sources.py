@@ -213,3 +213,41 @@ def test_avro_snappy_declared_stub():
     b3 = av.write_avro([{"i": 1}], schema, codec="snappy")
     with _pytest.raises(NotImplementedError, match="snappy"):
         av.read_avro_blob(b3)
+
+
+def test_write_partitioned_resumable(ray_session, tmp_path):
+    import os
+
+    from gitprov_ray import sources
+
+    out = str(tmp_path / "ev_part")
+    ds = sources.read_table("/root/testdata/sf0.001/events.parquet")
+    total = ds.count()
+    st1 = sources.write_partitioned(ds, out, key="user_id", num_buckets=16)
+    assert not st1["skipped"].any()
+    assert int(st1["rows"].sum()) == total
+    back = sources.read_partitioned(out)
+    assert back.count() == total
+    # re-run: every partition skipped, nothing rewritten
+    st2 = sources.write_partitioned(ds, out, key="user_id", num_buckets=16)
+    assert st2["skipped"].all() and int(st2["rows"].sum()) == 0
+    # simulate a failed job: nuke two partitions (one fully, one marker)
+    parts = sorted(p for p in os.listdir(out) if p.startswith("part="))
+    victim1, victim2 = parts[0], parts[3]
+    for f in os.listdir(os.path.join(out, victim1)):
+        os.unlink(os.path.join(out, victim1, f))
+    os.rmdir(os.path.join(out, victim1))
+    os.unlink(os.path.join(out, victim2, "_SUCCESS"))
+    st3 = sources.write_partitioned(ds, out, key="user_id", num_buckets=16)
+    redone = st3[~st3["skipped"]]
+    assert len(redone) == 2
+    assert set(f"part={p:05d}" for p in redone["partition"]) == \
+        {victim1, victim2}
+    back2 = sources.read_partitioned(out)
+    assert back2.count() == total
+    # same rows as the straight read (same multiset of event ids)
+    a = sorted(r["event_id"] for r in back2.select_columns(
+        ["event_id"]).take_all())
+    b = sorted(r["event_id"] for r in ds.select_columns(
+        ["event_id"]).take_all())
+    assert a == b
