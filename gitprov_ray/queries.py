@@ -3309,6 +3309,48 @@ def q_html_extract_docs(sf_dir: str):
     return ds.map_batches(f, batch_format="pandas").sort("doc_id")
 
 
+def q_sq8_embeddings(sf_dir: str, d: int = 16):
+    """SQ8 scalar quantization of embeddings (the vector-index
+    compression primitive): pass 1 streams per-dim min/max over
+    ROUND(x*1000) integer millis (tiny partials), pass 2 encodes
+    code = (x−min)·255 // (max−min) per dim — all integer arithmetic,
+    so the twin reproduces every code exactly. Long-format output over
+    the first `d` dims."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def mat(df: pd.DataFrame) -> np.ndarray:
+        m = np.stack(df["embedding"].to_numpy())[:, :d].astype(np.float64)
+        return (np.floor(np.abs(m) * 1000 + 0.5)
+                * np.sign(m)).astype(np.int64)
+
+    def stat_partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = mat(df)
+        return pd.DataFrame({"i": np.arange(d, dtype=np.int64),
+                             "mn": q.min(axis=0), "mx": q.max(axis=0)})
+
+    stats = (ds.map_batches(stat_partial, batch_format="pandas")
+             .groupby("i").aggregate(Min("mn", alias_name="mn"),
+                                     Max("mx", alias_name="mx"))
+             .to_pandas().sort_values("i"))
+    mn = stats["mn"].to_numpy()
+    mx = stats["mx"].to_numpy()
+    span = np.maximum(mx - mn, 1)
+
+    def encode(df: pd.DataFrame, mn=mn, span=span) -> pd.DataFrame:
+        q = mat(df)
+        codes = (q - mn[None, :]) * 255 // span[None, :]
+        n = len(df)
+        return pd.DataFrame({
+            "vec_id": np.repeat(df["vec_id"].to_numpy(), d),
+            "i": np.tile(np.arange(d, dtype=np.int64), n),
+            "code": codes.reshape(-1).astype(np.int64)})
+
+    return (ds.map_batches(encode, batch_format="pandas")
+            .sort(["vec_id", "i"]))
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -3449,6 +3491,7 @@ QUERIES = {
     "q_watermark_window_events": q_watermark_window_events,
     "q_cms_user_counts": q_cms_user_counts,
     "q_html_extract_docs": q_html_extract_docs,
+    "q_sq8_embeddings": q_sq8_embeddings,
 }
 
 
@@ -5772,3 +5815,19 @@ WITH d AS (
 SELECT doc_id, extracted, n_tags,
        CAST(length(extracted) AS BIGINT) AS text_len
 FROM s2 ORDER BY doc_id"""
+
+ORACLE_SQL["q_sq8_embeddings"] = """
+WITH e AS (
+  SELECT vec_id, unnest(embedding) AS v,
+         unnest(range(len(embedding))) AS i
+  FROM embeddings
+), q AS (
+  SELECT vec_id, i, CAST(ROUND(CAST(v AS DOUBLE) * 1000) AS BIGINT) AS xq
+  FROM e WHERE i < 16
+), s AS (
+  SELECT i, MIN(xq) AS mn, MAX(xq) AS mx FROM q GROUP BY i
+)
+SELECT q.vec_id, q.i,
+       CAST(((q.xq - s.mn) * 255) // GREATEST(s.mx - s.mn, 1) AS BIGINT)
+           AS code
+FROM q JOIN s USING (i) ORDER BY q.vec_id, q.i"""
