@@ -149,15 +149,17 @@ def test_media_codecs_never_crash_on_garbage(data):
     NotImplementedError (or a parse refusal), never a hang, index
     crash, or wrong exception type — the quarantine contract of
     probe_media (malformed payloads filter, not kill the job)."""
-    from gitprov_ray import (audiocodec, gifcodec, h264codec, jpegcodec,
-                             mp4codec, pngcodec, webpcodec)
+    from gitprov_ray import (audiocodec, bmpcodec, gifcodec, h264codec,
+                             jpegcodec, mp4codec, pngcodec, tiffcodec,
+                             webpcodec)
     from gitprov_ray.multimodal import probe_media
 
     meta = probe_media(data)                 # must never raise
     assert isinstance(meta["format"], str)
     for dec in (jpegcodec.decode_jpeg, pngcodec.decode_png,
                 gifcodec.decode_gif, webpcodec.decode_webp,
-                mp4codec.decode_mp4_frames, h264codec.decode_annexb):
+                mp4codec.decode_mp4_frames, h264codec.decode_annexb,
+                tiffcodec.decode_tiff, bmpcodec.decode_bmp):
         try:
             dec(data)
         except (ValueError, NotImplementedError, EOFError, KeyError,
@@ -187,4 +189,42 @@ def test_webp_vp8l_decoder_rejects_garbage_payloads(data):
     try:
         webpcodec.decode_webp(b)
     except (ValueError, NotImplementedError):
+        pass
+
+
+@given(st.integers(min_value=0, max_value=3000), st.integers(0, 2))
+@settings(max_examples=120, deadline=None)
+def test_new_codecs_truncation_is_clean(cut, which):
+    """VALID TIFF/BMP/Avro payloads truncated at arbitrary prefixes:
+    decode fails with the sanctioned exception types only (truncation is
+    how real crawl payloads arrive), and probe_media never raises."""
+    import numpy as np
+
+    from gitprov_ray import avrocodec, bmpcodec, tiffcodec
+    from gitprov_ray.multimodal import probe_media
+
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    if which == 0:
+        blob = tiffcodec.encode_tiff(arr, compression="lzw",
+                                     rows_per_strip=4)
+        dec = tiffcodec.decode_tiff
+    elif which == 1:
+        blob = bmpcodec.encode_bmp(arr)
+        dec = bmpcodec.decode_bmp
+    else:
+        schema = {"type": "record", "name": "r", "fields": [
+            {"name": "a", "type": "long"}, {"name": "s", "type": "string"}]}
+        blob = avrocodec.write_avro(
+            [{"a": i, "s": "x" * (i % 9)} for i in range(40)],
+            schema, rows_per_block=11)
+        dec = lambda b: avrocodec.read_avro_blob(b)  # noqa: E731
+    pre = blob[:min(cut, len(blob))]
+    probe_media(pre)                        # must never raise
+    try:
+        out = dec(pre)
+        # a successful decode of a strict prefix must be the full payload
+        assert len(pre) == len(blob) or out is not None
+    except (ValueError, NotImplementedError, EOFError, KeyError,
+            IndexError, struct_error, ZlibError):
         pass
