@@ -1309,3 +1309,141 @@ def paragraph_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
             .groupby("bucket")
             .map_groups(lambda df: reassemble(df.drop(columns=["bucket"])),
                         batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# duplicate-span detection (Lee et al. 2022 exact-substring dedup, window
+# formulation: every L-token window is hashed; a window whose hash occurs
+# more than once corpus-wide is a duplicated span member)
+# ---------------------------------------------------------------------------
+
+def dup_span_stats(ds, id_col: str = "doc_id", text_col: str = "text",
+                   L: int = 8):
+    """Per-document duplicated-span statistics: n_windows, dup_windows
+    (members of an L-token window whose text occurs >1 time corpus-wide,
+    self-repeats included), dup_spans (maximal runs of consecutive
+    duplicated windows — the spans Lee et al. would cut), and dup_milli.
+
+    Distributed shape (two text scans, window TEXT never shuffles):
+      scan 1: per-batch window-hash rows -> ONE bucketed count ->
+              the >1 hash set (12-byte md5 hex keys);
+      scan 2: (doc, widx, hash) rows LEFT-join the dup marker on the
+              hash, then a doc-bucketed pass computes counts + the
+              gaps-and-islands span count vectorized.
+    """
+    import pyarrow as pa
+
+    from .ops import _default_partitions, materialize_normalized
+    from .stages.versions import stable_bucket
+
+    P = _default_partitions()
+
+    def windows_of(df: pd.DataFrame):
+        toks = df[text_col].fillna("").str.split()
+        ids, widx, hs, nwin = [], [], [], []
+        for did, tl in zip(df[id_col].to_numpy(), toks):
+            n = max(len(tl) - L + 1, 0)
+            nwin.append(n)
+            for i in range(n):
+                ids.append(did)
+                widx.append(i)
+                hs.append(hashlib.md5(
+                    " ".join(tl[i:i + L]).encode("utf-8")).hexdigest()[:24])
+        return ids, widx, hs, np.asarray(nwin, dtype=np.int64)
+
+    def hash_rows(df: pd.DataFrame) -> pd.DataFrame:
+        _, _, hs, _ = windows_of(df)
+        g = pd.Series(hs).value_counts()
+        return pd.DataFrame({"h": g.index.to_numpy(),
+                             "n": g.to_numpy(dtype=np.int64)})
+
+    def bucketize_h(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = stable_bucket(df["h"], df["h"], 64)
+        return df
+
+    def dup_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("h", sort=False)["n"].sum()
+        keep = g[g > 1]
+        return pd.DataFrame({"h": keep.index.to_numpy()})
+
+    dups = (ds.map_batches(hash_rows, batch_format="pandas")
+            .map_batches(bucketize_h, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: dup_reduce(df.drop(columns=["bucket"])),
+                        batch_format="pandas"))
+    marked = dups.map_batches(
+        lambda df: df.assign(__dup=np.int8(1)), batch_format="pandas")
+    marked = materialize_normalized(marked, pa.schema(
+        [("h", pa.string()), ("__dup", pa.int8())]))
+
+    def win_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids, widx, hs, nwin = windows_of(df)
+        # docs with zero windows still need a row: emit a sentinel widx=-1
+        zmask = nwin == 0
+        zids = df[id_col].to_numpy()[zmask]
+        tot = np.repeat(nwin, np.maximum(nwin, 0))
+        return pd.DataFrame({
+            id_col: np.concatenate([np.asarray(ids, dtype=np.int64), zids]),
+            "widx": np.concatenate([np.asarray(widx, dtype=np.int64),
+                                    np.full(len(zids), -1,
+                                            dtype=np.int64)]),
+            "h": np.concatenate([np.asarray(hs, dtype=object),
+                                 np.full(len(zids), "", dtype=object)]),
+            "n_windows": np.concatenate([tot, np.zeros(len(zids),
+                                                       dtype=np.int64)])})
+
+    wins = ds.map_batches(win_rows, batch_format="pandas")
+    if not wins.take(1):
+        return wins.map_batches(
+            lambda df: pd.DataFrame({
+                id_col: pd.Series(dtype="int64"),
+                "n_windows": pd.Series(dtype="int64"),
+                "dup_windows": pd.Series(dtype="int64"),
+                "dup_spans": pd.Series(dtype="int64"),
+                "dup_milli": pd.Series(dtype="int64")}),
+            batch_format="pandas")
+    if not marked.take(1):
+        joined = wins.map_batches(
+            lambda df: df.assign(__dup=pd.Series(np.nan, index=df.index)),
+            batch_format="pandas")
+    else:
+        joined = wins.join(marked, "left_outer", P, on=("h",))
+
+    def doc_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        k = df[id_col].astype(str)
+        df["bucket"] = stable_bucket(k, k, 64)
+        return df
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_col, "widx"], kind="mergesort")
+        flag = df["__dup"].notna().to_numpy() & (df["widx"].to_numpy() >= 0)
+        g = df.groupby(id_col, sort=True)
+        nw = g["n_windows"].first()
+        dupn = pd.Series(flag.astype(np.int64), index=df.index) \
+            .groupby(df[id_col], sort=True).sum()
+        # islands: a flagged widx starts a span iff widx-1 is not flagged
+        d = df[flag]
+        if len(d):
+            same_doc = d[id_col].to_numpy()[1:] == d[id_col].to_numpy()[:-1]
+            consec = d["widx"].to_numpy()[1:] == d["widx"].to_numpy()[:-1] + 1
+            starts = np.concatenate([[True], ~(same_doc & consec)])
+            spans = pd.Series(starts.astype(np.int64),
+                              index=d.index).groupby(d[id_col],
+                                                     sort=True).sum()
+        else:
+            spans = pd.Series(dtype="int64")
+        return pd.DataFrame({
+            id_col: nw.index.to_numpy(),
+            "n_windows": nw.to_numpy(dtype=np.int64),
+            "dup_windows": dupn.to_numpy(dtype=np.int64),
+            "dup_spans": spans.reindex(nw.index, fill_value=0)
+            .to_numpy(dtype=np.int64),
+            "dup_milli": (dupn.to_numpy(dtype=np.int64) * 1000
+                          // np.maximum(nw.to_numpy(dtype=np.int64), 1))})
+
+    return (joined.map_batches(doc_bucket, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: per_doc(df.drop(columns=["bucket"])),
+                        batch_format="pandas"))

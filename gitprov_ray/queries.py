@@ -3351,6 +3351,27 @@ def q_sq8_embeddings(sf_dir: str, d: int = 16):
             .sort(["vec_id", "i"]))
 
 
+def q_dup_span_docs(sf_dir: str):
+    """Duplicate-span detection (linking.dup_span_stats — the window
+    formulation of Lee et al. 2022 exact-substring dedup): every 8-token
+    window is hashed; windows whose text recurs corpus-wide mark
+    duplicated spans, merged by the gaps-and-islands rule. A shared
+    trailing sentence (doc_id%5 variants) is injected so cross-doc spans
+    demonstrably fire; the twin injects the same."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def aug(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "text": (df["text"].fillna("")
+                     + " common trailing sentence variant "
+                     + (df["doc_id"] % 5).astype(str)
+                     + " for span duplication test end")})
+
+    return linking.dup_span_stats(
+        ds.map_batches(aug, batch_format="pandas")).sort("doc_id")
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -3492,6 +3513,7 @@ QUERIES = {
     "q_cms_user_counts": q_cms_user_counts,
     "q_html_extract_docs": q_html_extract_docs,
     "q_sq8_embeddings": q_sq8_embeddings,
+    "q_dup_span_docs": q_dup_span_docs,
 }
 
 
@@ -5831,3 +5853,39 @@ SELECT q.vec_id, q.i,
        CAST(((q.xq - s.mn) * 255) // GREATEST(s.mx - s.mn, 1) AS BIGINT)
            AS code
 FROM q JOIN s USING (i) ORDER BY q.vec_id, q.i"""
+
+ORACLE_SQL["q_dup_span_docs"] = r"""
+WITH d AS (
+  SELECT doc_id, COALESCE(text,'') || ' common trailing sentence variant '
+         || CAST(doc_id % 5 AS VARCHAR)
+         || ' for span duplication test end' AS text
+  FROM documents
+), t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> '') AS toks
+  FROM d
+), w AS (
+  SELECT doc_id, i AS widx,
+         array_to_string(list_slice(toks, i + 1, i + 8), ' ') AS win
+  FROM t, unnest(range(GREATEST(len(toks) - 7, 0))) AS u(i)
+), c AS (SELECT win, COUNT(*) AS n FROM w GROUP BY win),
+dupw AS (SELECT w.doc_id, w.widx FROM w JOIN c ON c.win = w.win
+         WHERE c.n > 1),
+isl AS (
+  SELECT doc_id, widx,
+         CASE WHEN lag(widx) OVER (PARTITION BY doc_id ORDER BY widx)
+                   = widx - 1
+              THEN 0 ELSE 1 END AS start
+  FROM dupw
+), per AS (
+  SELECT doc_id, COUNT(*) AS dup_windows, SUM(start) AS dup_spans
+  FROM isl GROUP BY doc_id
+), nw AS (
+  SELECT doc_id, GREATEST(len(toks) - 7, 0) AS n_windows FROM t
+)
+SELECT nw.doc_id, CAST(nw.n_windows AS BIGINT) AS n_windows,
+       CAST(COALESCE(p.dup_windows, 0) AS BIGINT) AS dup_windows,
+       CAST(COALESCE(p.dup_spans, 0) AS BIGINT) AS dup_spans,
+       CAST(COALESCE(p.dup_windows, 0) * 1000
+            // GREATEST(nw.n_windows, 1) AS BIGINT) AS dup_milli
+FROM nw LEFT JOIN per p USING (doc_id) ORDER BY nw.doc_id"""

@@ -436,3 +436,24 @@ def test_late_data_window_counts_matches_sequential_replay():
         assert r["n_kept"] == kept.get(w, 0), w
         assert r["n_late"] == late.get(w, 0), w
     assert int(out["n_kept"].sum() + out["n_late"].sum()) == n
+
+
+def test_dup_span_stats_islands_and_edge_docs():
+    from gitprov_ray import linking
+
+    shared = "one two three four five six seven eight"   # exactly 8 tokens
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype="int64"),
+        "text": [
+            f"{shared} filler0a filler0b",      # window 0 dup, rest unique
+            f"prefix0 prefix1 {shared}",        # dup windows at the tail
+            "tiny doc",                          # 2 tokens -> 0 windows
+            f"{shared} mid {shared}",           # two separated dup spans
+        ]})
+    out = (linking.dup_span_stats(rd.from_pandas(docs).repartition(3))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["n_windows"].tolist() == [3, 3, 0, 10]
+    # doc 0: only widx 0 duplicates; doc 1: only the last window; doc 2:
+    # nothing; doc 3: windows 0 and 9 (the two shared copies), separated
+    assert out["dup_windows"].tolist() == [1, 1, 0, 2]
+    assert out["dup_spans"].tolist() == [1, 1, 0, 2]
