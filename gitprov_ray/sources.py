@@ -352,6 +352,10 @@ def write_partitioned(ds, path: str, key: str, num_buckets: int = 64,
              .groupby("__part")
              .map_groups(write_group, batch_format="pandas")
              .to_pandas())
+    if stats.empty:                       # empty input: nothing written
+        return pd.DataFrame({"partition": pd.Series(dtype="int64"),
+                             "rows": pd.Series(dtype="int64"),
+                             "skipped": pd.Series(dtype="bool")})
     return (stats.sort_values("partition").reset_index(drop=True)
             .astype({"partition": "int64", "rows": "int64",
                      "skipped": "bool"}))

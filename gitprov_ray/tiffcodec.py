@@ -256,9 +256,14 @@ def decode_tiff(b: bytes) -> np.ndarray:
     if comp not in (1, 5, 32773):
         raise NotImplementedError(
             f"TIFF compression {probe_tiff(b)['compression']}")
-    offsets = t[_T_STRIP_OFFSETS]
-    counts = t.get(_T_STRIP_COUNTS,
-                   [len(b) - offsets[0]] if len(offsets) == 1 else None)
+    offsets = t.get(_T_STRIP_OFFSETS)
+    if not offsets:
+        raise ValueError("TIFF without strip offsets")
+    counts = t.get(_T_STRIP_COUNTS)
+    if not counts:
+        if len(offsets) != 1:
+            raise ValueError("multi-strip TIFF without StripByteCounts")
+        counts = [len(b) - offsets[0]]
     rows_per = t.get(_T_ROWS_PER_STRIP, [h])[0]
     stride = w * samples
     raw = bytearray()
@@ -276,10 +281,10 @@ def decode_tiff(b: bytes) -> np.ndarray:
         row0 += nrows
     arr = np.frombuffer(bytes(raw), dtype=np.uint8)[:h * stride]
     arr = arr.reshape(h, w, samples) if samples > 1 else arr.reshape(h, w)
-    if pred == 2:                          # horizontal differencing
-        arr = np.cumsum(arr.astype(np.uint32), axis=1).astype(np.uint8) \
-            if samples == 1 else \
-            np.cumsum(arr.astype(np.uint32), axis=1).astype(np.uint8)
+    if pred == 2:                          # horizontal differencing:
+        # cumsum along width (per channel via axis=1 on (h,w[,s])),
+        # modular uint8 arithmetic inverts the encoder's mod-256 diffs
+        arr = np.cumsum(arr.astype(np.uint32), axis=1).astype(np.uint8)
     if photo == 0:                         # MinIsWhite
         arr = 255 - arr
     elif photo == 3:                       # palette -> RGB
