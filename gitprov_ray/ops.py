@@ -732,18 +732,28 @@ def band_join_count(left_ds, right_ds, ts: str, band_us: int,
 
 
 def bfs_distances(edges_ds, source: int, src: str = "s", dst: str = "o",
-                  max_rounds: int = 32, num_partitions: int | None = None):
+                  max_rounds: int = 32, num_partitions: int | None = None,
+                  broadcast_max: int = 200_000):
     """Distributed single-source BFS: Dataset of (node, dist) with the
-    MINIMUM hop count from ``source``, by frontier expansion — each round
-    is ONE bucketed hash join (frontier ⋈ edges) + ONE anti semi-join
-    against the settled set; rounds = graph eccentricity. The settled set
-    and frontier stay Datasets; only their counts reach the driver.
+    MINIMUM hop count from ``source``.
 
-    Complements :func:`transitive_closure` (which answers reachability
-    for ALL sources at once by path doubling): BFS keeps the per-round
-    state linear in the node count, so it is the right shape when a
-    single source's distance field is wanted."""
+    Size-aware two-regime design (the frontier of a real graph is tiny
+    relative to the edge set, and join-actor spin-up dominated the
+    all-join variant — measured 22 s at sf0.01 for a ~10-round graph):
+
+    * broadcast regime (node state <= ``broadcast_max``): the frontier
+      ships via ``ray.put`` and each round is ONE streaming filter pass
+      over the (materialized-once) edges — per-batch ``isin`` + local
+      distinct, a node-bounded aggregate back; the settled map lives on
+      the driver, bounded by the threshold, NOT by the edge count.
+    * join regime (bigger node state): the original Dataset loop — per
+      round ONE bucketed hash join (frontier ⋈ edges) + ONE anti
+      semi-join against the settled set; only counts reach the driver.
+
+    Complements :func:`transitive_closure` (path doubling, all sources).
+    """
     import pyarrow as pa
+    import ray
     import ray.data as rd
 
     if num_partitions is None:
@@ -753,15 +763,46 @@ def bfs_distances(edges_ds, source: int, src: str = "s", dst: str = "o",
         edges_ds.map_batches(lambda df: df[[src, dst]].astype("int64"),
                              batch_format="pandas"), e_schema)
     d_schema = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
-    dist = rd.from_arrow(pa.table({"node": pa.array([source], pa.int64()),
-                                   "dist": pa.array([0], pa.int64())}))
-    frontier = dist
-    for depth in range(1, max_rounds + 1):
+
+    settled: dict[int, int] = {int(source): 0}
+    frontier_set = {int(source)}
+    depth = 0
+    while (frontier_set and depth < max_rounds
+           and len(settled) <= broadcast_max):
+        depth += 1
+        fr_ref = ray.put(np.fromiter(frontier_set, dtype=np.int64,
+                                     count=len(frontier_set)))
+
+        def step(df: pd.DataFrame, fr_ref=fr_ref) -> pd.DataFrame:
+            fr = ray.get(fr_ref)
+            m = df[df[src].isin(fr)]
+            return pd.DataFrame({"node": pd.unique(m[dst])})
+
+        nxt_df = edges.map_batches(step, batch_format="pandas").to_pandas()
+        nxt = set(int(n) for n in pd.unique(nxt_df["node"])) \
+            - settled.keys()
+        for n in nxt:
+            settled[n] = depth
+        frontier_set = nxt
+
+    dist = rd.from_arrow(pa.table({
+        "node": pa.array(list(settled.keys()), pa.int64()),
+        "dist": pa.array(list(settled.values()), pa.int64())}))
+    if not frontier_set or depth >= max_rounds:
+        return dist
+
+    # join regime: node state outgrew the broadcast budget
+    dist = materialize_normalized(dist, d_schema)
+    frontier = materialize_normalized(rd.from_arrow(pa.table({
+        "node": pa.array(sorted(frontier_set), pa.int64()),
+        "dist": pa.array([depth] * len(frontier_set), pa.int64())})),
+        d_schema)
+    for d in range(depth + 1, max_rounds + 1):
         stepped = (frontier.map_batches(
             lambda df: df[["node"]].rename(columns={"node": src}),
             batch_format="pandas")
             .join(edges, "inner", num_partitions, on=(src,))
-            .map_batches(lambda df, d=depth: pd.DataFrame(
+            .map_batches(lambda df, d=d: pd.DataFrame(
                 {"node": df[dst].astype("int64"),
                  "dist": np.int64(d)}), batch_format="pandas"))
         stepped = materialize_normalized(

@@ -457,3 +457,17 @@ def test_dup_span_stats_islands_and_edge_docs():
     # nothing; doc 3: windows 0 and 9 (the two shared copies), separated
     assert out["dup_windows"].tolist() == [1, 1, 0, 2]
     assert out["dup_spans"].tolist() == [1, 1, 0, 2]
+
+
+def test_bfs_join_regime_matches_broadcast_regime():
+    """broadcast_max=2 forces the Dataset-join continuation after the
+    first round — distances must equal the pure broadcast run."""
+    rng = _rng(13)
+    e = pd.DataFrame({"s": rng.integers(0, 60, 400),
+                      "o": rng.integers(0, 60, 400)}).astype("int64")
+    ds = rd.from_pandas(e).repartition(4)
+    a = (ops.bfs_distances(ds, source=0).to_pandas()
+         .sort_values("node").reset_index(drop=True))
+    b = (ops.bfs_distances(ds, source=0, broadcast_max=2).to_pandas()
+         .sort_values("node").reset_index(drop=True))
+    assert a.equals(b)
