@@ -486,7 +486,7 @@ def transitive_closure(edges_ds, src: str = "s", dst: str = "o",
 
 def pagerank(edges_ds, iters: int = 3, damping: float = 0.85,
              num_partitions: int | None = None, src: str = "src",
-             dst: str = "dst"):
+             dst: str = "dst", broadcast_max: int = 500_000):
     """Distributed PageRank by power iteration → Dataset of
     (node, score) with ``score`` rounded to 9 decimals (so the unrolled
     SQL oracle twin hash-matches despite summation-order ulps).
@@ -497,7 +497,14 @@ def pagerank(edges_ds, iters: int = 3, damping: float = 0.85,
     edge tables stay Datasets throughout, nothing node-shaped lands on
     the driver. Dangling mass (nodes without out-edges) is redistributed
     uniformly each round, per the standard formulation; n and the
-    dangling total are the only scalars collected."""
+    dangling total are the only scalars collected.
+
+    Size-aware two-regime design (same precedent as bfs_distances): when
+    the NODE count fits ``broadcast_max``, the score vector broadcasts
+    via ray.put and each round is ONE streaming pass over the edges
+    (per-batch partial dst sums, node-bounded combine on the driver) —
+    the classic vertex-state-in-memory / edges-streamed regime; the
+    join loop below is the arbitrarily-many-nodes continuation."""
     import pyarrow as pa
 
     from ray.data.aggregate import Count, Sum
@@ -516,6 +523,9 @@ def pagerank(edges_ds, iters: int = 3, damping: float = 0.85,
                 batch_format="pandas"), "node"),
         pa.schema([("node", pa.int64())]))
     n = nodes.count()
+    if n <= broadcast_max:
+        return _pagerank_broadcast(edges, nodes, n, iters, damping,
+                                   src, dst)
     outdeg = materialize_normalized(
         edges.groupby(src).aggregate(Count(on=src, alias_name="deg"))
         .map_batches(lambda df: df.rename(columns={src: "node"}),
@@ -1369,3 +1379,56 @@ def count_min_sketch(ds, col: str, probes: list, depth: int = 4,
     ppos = _cms_positions(pd.Series(probes), depth, width)
     est = sk[np.arange(depth)[None, :], ppos].min(axis=1)
     return pd.DataFrame({col: probes, "est": est.astype("int64")})
+
+
+def _pagerank_broadcast(edges, nodes, n: int, iters: int, damping: float,
+                        src: str, dst: str):
+    """Broadcast regime of :func:`pagerank`: node-indexed score/outdeg
+    vectors on the driver (bounded by broadcast_max), edges streamed
+    once per round via ray.put'd score vectors."""
+    import ray
+    import ray.data as rd
+
+    ids = np.sort(nodes.to_pandas()["node"].to_numpy(dtype=np.int64))
+    idx_ref = ray.put(ids)
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[src].value_counts()
+        return pd.DataFrame({"node": vc.index.to_numpy(dtype=np.int64),
+                             "deg": vc.to_numpy(dtype=np.int64)})
+
+    degp = edges.map_batches(deg_partial, batch_format="pandas") \
+        .to_pandas().groupby("node")["deg"].sum()
+    deg = np.zeros(n, dtype=np.int64)
+    deg[np.searchsorted(ids, degp.index.to_numpy())] = degp.to_numpy()
+    deg_ref = ray.put(deg)
+
+    scores = np.full(n, 1.0 / n, dtype=np.float64)
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        s_ref = ray.put(scores)
+
+        def contrib_partial(df: pd.DataFrame, s_ref=s_ref,
+                            idx_ref=idx_ref,
+                            deg_ref=deg_ref) -> pd.DataFrame:
+            ids_w = ray.get(idx_ref)
+            sc = ray.get(s_ref)
+            dg = ray.get(deg_ref)
+            sp = np.searchsorted(ids_w, df[src].to_numpy())
+            dp = np.searchsorted(ids_w, df[dst].to_numpy())
+            w = sc[sp] / dg[sp]            # deg>0 for every edge source
+            out = np.zeros(len(ids_w), dtype=np.float64)
+            np.add.at(out, dp, w)
+            nz = np.nonzero(out)[0]
+            return pd.DataFrame({"p": nz.astype(np.int64), "c": out[nz]})
+
+        part = edges.map_batches(contrib_partial,
+                                 batch_format="pandas").to_pandas()
+        contrib = np.zeros(n, dtype=np.float64)
+        if len(part):
+            np.add.at(contrib, part["p"].to_numpy(), part["c"].to_numpy())
+        dangling = float(scores[deg == 0].sum())
+        scores = base + damping * (contrib + dangling / n)
+    out = pd.DataFrame({"node": ids,
+                        "score": np.round(scores, 9)})
+    return rd.from_pandas(out)

@@ -142,3 +142,24 @@ def test_hll_md5_partition_invariant_and_accurate():
         assert abs(est1 - n_distinct) / n_distinct < 0.03
     with pytest.raises(ValueError):
         hll_distinct(rd.range(10), "id", p=10, hash="md5")
+
+
+def test_pagerank_regimes_agree():
+    """broadcast_max=2 forces the join regime — scores must equal the
+    broadcast regime at the round-9 contract."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gitprov_ray.ops import pagerank
+
+    rng = np.random.default_rng(5)
+    e = pd.DataFrame({"src": rng.integers(0, 40, 300),
+                      "dst": rng.integers(0, 40, 300)}).astype("int64")
+    ds = rd.from_pandas(e).repartition(4)
+    a = (pagerank(ds, iters=3).to_pandas()
+         .sort_values("node").reset_index(drop=True))
+    b = (pagerank(ds, iters=3, broadcast_max=2).to_pandas()
+         .sort_values("node").reset_index(drop=True))
+    assert (a["node"] == b["node"]).all()
+    assert np.abs(a["score"] - b["score"]).max() <= 2e-9
