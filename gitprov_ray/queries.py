@@ -1670,10 +1670,16 @@ def q_set_ops_docs(sf_dir: str):
     bucketed semi/anti hash join (ops.semi_join) — no driver-side sets."""
     from . import ops
 
+    import pyarrow.compute as pc
+
     docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
-    a = docs.filter(lambda r: r["lang"] == "en").select_columns(["doc_id"])
-    b = (docs.filter(lambda r: r["n_chars"] > 300)
-         .select_columns(["doc_id"]))
+    # Arrow-kernel filters, not per-row lambdas (scale anti-pattern)
+    a = docs.map_batches(
+        lambda t: t.filter(pc.equal(t["lang"], "en")).select(["doc_id"]),
+        batch_format="pyarrow")
+    b = docs.map_batches(
+        lambda t: t.filter(pc.greater(t["n_chars"], 300))
+        .select(["doc_id"]), batch_format="pyarrow")
     inter = ops.semi_join(a, b, "doc_id", "doc_id").map_batches(
         lambda df: df.assign(op="intersect"), batch_format="pandas")
     exc = ops.semi_join(a, b, "doc_id", "doc_id", anti=True).map_batches(
@@ -2886,8 +2892,12 @@ def q_bloom_semi_join(sf_dir: str):
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_linenumber", "l_quantity"])
+    import pyarrow.compute as pc
+
     hi = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
-        .filter(lambda r: r["o_totalprice"] > 450000.0)
+        .map_batches(lambda t: t.filter(
+            pc.greater(t["o_totalprice"], 450000.0)),
+            batch_format="pyarrow")
     out = ops.bloom_semi_join(li, hi, "l_orderkey", "o_orderkey")
     return (out.map_batches(
         lambda df: pd.DataFrame({
