@@ -132,17 +132,20 @@ def distinct_keys(ds, key: str, num_partitions: int | None = None):
 
 
 def semi_join(left_ds, right_ds, left_key: str, right_key: str,
-              num_partitions: int | None = None, anti: bool = False):
-    """Distributed (bucketed hash) semi/anti join — the scale path when the
-    right-side key set is too large to broadcast (a 40%-selective filter at
-    100 TB is a multi-GB value_set; see q_anti_join_customers for the
-    broadcast fast path when the set IS small).
-
-    right is reduced to distinct keys first (so the inner join cannot
-    duplicate left rows), tagged with a marker column, then hash-joined.
-    Semi = inner join; anti = left_outer join + null-marker filter.
+              num_partitions: int | None = None, anti: bool = False,
+              broadcast_max: int = 200_000):
+    """Distributed semi/anti join, size-aware: the right side is reduced
+    to distinct keys first (so no join can duplicate left rows); when
+    that key set fits ``broadcast_max`` it ships once via ``ray.put``
+    and the left side streams through a per-batch ``isin`` filter — NO
+    shuffle at all (the standard small-side broadcast). Above the
+    threshold, the bucketed hash-join path runs: keys tagged with a
+    marker column, semi = inner join, anti = left_outer + null-marker
+    filter — the shape that survives a 40%-selective filter at 100 TB
+    (a multi-GB key set must not land on the driver).
     """
     import pyarrow as pa
+    import ray
 
     if num_partitions is None:
         num_partitions = _default_partitions()
@@ -151,6 +154,16 @@ def semi_join(left_ds, right_ds, left_key: str, right_key: str,
     if not sample:
         # empty right side: semi keeps nothing, anti keeps everything
         return left_ds.limit(0) if not anti else left_ds
+    keys = keys.materialize()
+    if keys.count() <= broadcast_max:
+        vals = keys.to_pandas()[right_key].to_numpy()
+        ref = ray.put(vals)
+
+        def flt(df: pd.DataFrame, ref=ref) -> pd.DataFrame:
+            m = df[left_key].isin(ray.get(ref))
+            return df[~m] if anti else df[m]
+
+        return left_ds.map_batches(flt, batch_format="pandas")
     if not left_ds.take(1):
         # invariant 11: Ray's hash join breaks on a fully-empty side
         # (column-less shuffle partitions); answer without the join.
@@ -815,17 +828,23 @@ def bfs_distances(edges_ds, source: int, src: str = "s", dst: str = "o",
             .map_batches(lambda df, d=d: pd.DataFrame(
                 {"node": df[dst].astype("int64"),
                  "dist": np.int64(d)}), batch_format="pandas"))
+        # GLOBAL dedup via one grouped aggregate (a per-batch
+        # drop_duplicates is only batch-local — it silently relied on
+        # the anti-join's node partitioning before semi_join grew its
+        # shuffle-free broadcast branch)
+        from ray.data.aggregate import Min
+
         stepped = materialize_normalized(
             stepped.map_batches(lambda df: df.drop_duplicates(["node"]),
-                                batch_format="pandas"), d_schema)
+                                batch_format="pandas")
+            .groupby("node").aggregate(Min("dist", alias_name="dist")),
+            d_schema)
         if stepped.count() == 0:
             break
         # drop already-settled nodes (their dist is smaller by induction)
-        fresh = semi_join(stepped, dist, "node", "node",
-                          num_partitions, anti=True)
         fresh = materialize_normalized(
-            fresh.map_batches(lambda df: df.drop_duplicates(["node"]),
-                              batch_format="pandas"), d_schema)
+            semi_join(stepped, dist, "node", "node",
+                      num_partitions, anti=True), d_schema)
         if fresh.count() == 0:
             break
         dist = materialize_normalized(dist.union(fresh), d_schema)
