@@ -3206,33 +3206,8 @@ def q_bpe_train_merges(sf_dir: str):
     combine, invariant 6) -> 4 merge rounds, each ONE streaming
     pair-count pass + a vocabulary-bounded aggregate + a broadcast
     2-pass replace merge. Returns the learned merge table."""
-    from .stages.versions import stable_bucket
-
     ds = _read(sf_dir, "documents", ["text"])
-
-    def wc_partial(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].fillna("").str.split().explode().dropna()
-        toks = toks[toks != ""]
-        g = toks.value_counts()
-        return pd.DataFrame({"word": g.index.to_numpy(),
-                             "cnt": g.to_numpy(dtype=np.int64)})
-
-    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["bucket"] = stable_bucket(df["word"], df["word"], 64)
-        return df
-
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("word", sort=False)["cnt"].sum()
-        return pd.DataFrame({"word": g.index.to_numpy(),
-                             "cnt": g.to_numpy(dtype=np.int64)})
-
-    words = (ds.map_batches(wc_partial, batch_format="pandas")
-             .map_batches(bucketize, batch_format="pandas")
-             .groupby("bucket")
-             .map_groups(lambda df: combine(df.drop(columns=["bucket"])),
-                         batch_format="pandas"))
-    return textops.bpe_train(words, n_merges=4)
+    return textops.bpe_train(_word_counts_ds(ds), n_merges=4)
 
 
 def q_embedding_covariance(sf_dir: str, d: int = 8):
@@ -3382,6 +3357,95 @@ def q_dup_span_docs(sf_dir: str):
         ds.map_batches(aug, batch_format="pandas")).sort("doc_id")
 
 
+def _word_counts_ds(ds):
+    """documents text -> distributed (word, cnt) vocabulary (the bucketed
+    high-cardinality combine shared by the BPE train/apply queries)."""
+    from .stages.versions import stable_bucket
+
+    def wc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split().explode().dropna()
+        toks = toks[toks != ""]
+        g = toks.value_counts()
+        return pd.DataFrame({"word": g.index.to_numpy(),
+                             "cnt": g.to_numpy(dtype=np.int64)})
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = stable_bucket(df["word"], df["word"], 64)
+        return df
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("word", sort=False)["cnt"].sum()
+        return pd.DataFrame({"word": g.index.to_numpy(),
+                             "cnt": g.to_numpy(dtype=np.int64)})
+
+    return (ds.map_batches(wc_partial, batch_format="pandas")
+            .map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: combine(df.drop(columns=["bucket"])),
+                        batch_format="pandas"))
+
+
+def q_bpe_tokenize_docs(sf_dir: str):
+    """BPE tokenizer APPLICATION (closes the train->encode loop): the
+    4-merge vocabulary from textops.bpe_train maps each distinct word to
+    its post-merge token count; corpus words hash-join that vocabulary
+    and per-doc BPE token totals come out of one bucketed sum. Twin:
+    the unrolled training CTE extended with the word<-sym recovery
+    (strip + de-space) and a doc-level join."""
+    import pyarrow as pa
+
+    from . import ops
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    _, vocab = textops.bpe_train(_word_counts_ds(ds), n_merges=4,
+                                 return_vocab=True)
+    vocab_tok = vocab.map_batches(
+        lambda df: pd.DataFrame({
+            "tok": df["sym"].str.strip().str.replace(" ", "", regex=False),
+            "ntok": df["sym"].str.split().str.len().astype("int64")}),
+        batch_format="pandas")
+    vocab_tok = ops.materialize_normalized(vocab_tok, pa.schema(
+        [("tok", pa.string()), ("ntok", pa.int64())]))
+
+    def doc_tok_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split()
+        reps = toks.str.len().to_numpy(dtype=np.int64)
+        flat = pd.DataFrame({
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), reps),
+            "tok": np.concatenate(
+                [np.array(t, dtype=object) for t in toks] or
+                [np.array([], dtype=object)])})
+        flat = flat[flat["tok"] != ""]
+        g = (flat.groupby(["doc_id", "tok"], sort=False).size()
+             .rename("n").reset_index())
+        return g
+
+    joined = (ds.map_batches(doc_tok_partial, batch_format="pandas")
+              .join(vocab_tok, "inner", ops._default_partitions(),
+                    on=("tok",)))
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        k = df["doc_id"].astype(str)
+        df["bucket"] = stable_bucket(k, k, 64)
+        return df
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        tot = (df["n"].to_numpy() * df["ntok"].to_numpy())
+        g = pd.Series(tot, index=df.index).groupby(df["doc_id"],
+                                                   sort=True).sum()
+        return pd.DataFrame({"doc_id": g.index.to_numpy(),
+                             "n_bpe_tokens": g.to_numpy(dtype=np.int64)})
+
+    return (joined.map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: per_doc(df.drop(columns=["bucket"])),
+                        batch_format="pandas")
+            .sort("doc_id"))
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -3524,6 +3588,7 @@ QUERIES = {
     "q_html_extract_docs": q_html_extract_docs,
     "q_sq8_embeddings": q_sq8_embeddings,
     "q_dup_span_docs": q_dup_span_docs,
+    "q_bpe_tokenize_docs": q_bpe_tokenize_docs,
 }
 
 
@@ -5742,7 +5807,30 @@ WITH toks AS (
     return "".join(parts)
 
 
+def _bpe_tokenize_sql(n_merges: int = 4) -> str:
+    """Tokenizer-application twin: the training CTEs, then word<-sym
+    recovery (trim + de-space is exact — symbols never contain spaces)
+    and a doc-level vocabulary join."""
+    train = _bpe_sql(n_merges)
+    ctes = train[:train.rindex("\nSELECT CAST(1")]
+    return ctes + f"""
+, vocab AS (
+  SELECT replace(trim(sym), ' ', '') AS tok,
+         len(list_filter(string_split(sym, ' '), x -> x <> '')) AS ntok
+  FROM w{n_merges}
+), dtoks AS (
+  SELECT doc_id, unnest(string_split_regex(COALESCE(text,''), '\\s+'))
+      AS tok
+  FROM documents
+)
+SELECT d.doc_id, CAST(SUM(v.ntok) AS BIGINT) AS n_bpe_tokens
+FROM dtoks d JOIN vocab v USING (tok)
+WHERE d.tok <> ''
+GROUP BY d.doc_id ORDER BY d.doc_id"""
+
+
 ORACLE_SQL["q_bpe_train_merges"] = _bpe_sql(4)
+ORACLE_SQL["q_bpe_tokenize_docs"] = _bpe_tokenize_sql(4)
 
 ORACLE_SQL["q_embedding_covariance"] = """
 WITH e AS (

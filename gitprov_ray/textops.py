@@ -316,7 +316,7 @@ def c4_line_filter(texts: pd.Series) -> pd.DataFrame:
         "cleaned_text": kept.str.join("\n")})
 
 
-def bpe_train(words_ds, n_merges: int = 4):
+def bpe_train(words_ds, n_merges: int = 4, return_vocab: bool = False):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): learn
     `n_merges` merges over a (word, cnt) vocabulary Dataset. Each round:
     one streaming pair-count pass (per-batch partial sums; overlapping
@@ -332,7 +332,10 @@ def bpe_train(words_ds, n_merges: int = 4):
     not re-execute the upstream read).
 
     Returns a pandas DataFrame (step, left, right, pair_count) — the
-    learned merge table, n_merges rows.
+    learned merge table, n_merges rows. With ``return_vocab=True``,
+    returns (merges, vocab_ds) where vocab_ds is the post-merge
+    (sym, cnt) vocabulary Dataset — the input to tokenizer APPLICATION
+    (q_bpe_tokenize_docs joins corpus words against it).
     """
     from ray.data.aggregate import Sum
 
@@ -380,8 +383,9 @@ def bpe_train(words_ds, n_merges: int = 4):
                 .str.replace(f" {a} {b} ", f" {a}{b} ", regex=False)
                 .str.replace(f" {a} {b} ", f" {a}{b} ", regex=False)),
             batch_format="pandas").materialize()
-    return pd.DataFrame(merges, columns=["step", "left", "right",
-                                         "pair_count"])
+    out = pd.DataFrame(merges, columns=["step", "left", "right",
+                                        "pair_count"])
+    return (out, words) if return_vocab else out
 
 
 # RE2-compatible (shared verbatim with the DuckDB twin): script/style
