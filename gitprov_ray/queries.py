@@ -3446,6 +3446,146 @@ def q_bpe_tokenize_docs(sf_dir: str):
             .sort("doc_id"))
 
 
+LINK_ANCHOR_RE = r'href="https://site(\d+)\.example'
+
+KEYWORDS = ["batch", "data", "graph", "model", "node", "query",
+            "ray", "shuffle", "the", "token", "train", "vector"]
+
+
+def q_link_graph_docs(sf_dir: str):
+    """Hyperlink-graph extraction from HTML (the Common-Crawl web-graph
+    builder): each doc is wrapped in a deterministic anchor envelope
+    (three absolute links to site{(d*7+1)%997, (d*13+5)%997, d%31} plus
+    mailto/relative decoys that must NOT match), hrefs are regex-parsed
+    from the HTML, and the edge list is aggregated to per-target
+    in-degree + distinct-source counts. The d%31 hub targets give real
+    in-degree skew. Scale: extraction is a stateless vectorized
+    map_batches; per-batch partial (dst -> counts) combine means only
+    <=997+31 key rows leave each block (two-phase aggregate)."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        t1 = ((ids * 7 + 1) % 997).astype(str)
+        t2 = ((ids * 13 + 5) % 997).astype(str)
+        t3 = (ids % 31).astype(str)
+        s = ids.astype(str)
+        h = ('<p>intro</p><a href="https://site' + t1 + '.example/p/' + s
+             + '">a</a> <a href="mailto:nobody@example.org">m</a>'
+             + '<a href="https://site' + t2 + '.example/p/' + s + '">b</a>'
+             + '<a href="/local/path">rel</a>'
+             + '<a href="https://site' + t3 + '.example/p/' + s + '">c</a>')
+        hits = h.str.findall(LINK_ANCHOR_RE)
+        edges = pd.DataFrame({
+            "src": np.repeat(ids.to_numpy(), hits.str.len().to_numpy()),
+            "dst": pd.to_numeric(
+                hits.explode().dropna(), downcast=None).astype("int64"),
+        })
+        per = edges.groupby("dst", sort=False).agg(
+            in_deg=("src", "size"), n_srcs=("src", "nunique"))
+        return per.reset_index().astype(
+            {"dst": "int64", "in_deg": "int64", "n_srcs": "int64"})
+
+    # n_srcs partials sum correctly: each src doc lives in exactly one
+    # input block, so (src, dst) pairs never straddle partials.
+    partials = ds.map_batches(extract, batch_format="pandas").to_pandas()
+    out = (partials.groupby("dst", as_index=False)[["in_deg", "n_srcs"]]
+           .sum().sort_values("dst").reset_index(drop=True))
+    return out.astype({"in_deg": "int64", "n_srcs": "int64"})
+
+
+class _KeywordMatcher:
+    """Multi-keyword corpus scan: patterns compiled ONCE per actor in
+    __init__ (the stateful actor-pool contract), vectorized
+    ``Series.str.count`` per batch. Leftmost non-overlapping literal
+    counts — identical semantics to RE2 ``regexp_extract_all`` in the
+    DuckDB twin."""
+
+    def __init__(self):
+        import re
+        self.pats = [(k, re.compile(re.escape(k))) for k in KEYWORDS]
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        txt = df["text"].fillna("")
+        rows = []
+        for k, p in self.pats:
+            c = txt.str.count(p)
+            rows.append((k, int((c > 0).sum()), int(c.sum())))
+        return pd.DataFrame(rows, columns=["keyword", "n_docs", "n_matches"])
+
+
+def q_keyword_match_docs(sf_dir: str):
+    """Multi-keyword match statistics over the corpus (the blocklist /
+    taxonomy-tagging primitive): per keyword, how many docs contain it
+    and total occurrence count. Partials are 12 rows per batch; the
+    final merge is a driver-side sum (two-phase aggregate)."""
+    ds = _read(sf_dir, "documents", ["text"])
+    partials = ds.map_batches(
+        _KeywordMatcher, batch_format="pandas", concurrency=2).to_pandas()
+    out = (partials.groupby("keyword", as_index=False)[["n_docs", "n_matches"]]
+           .sum().sort_values("keyword").reset_index(drop=True))
+    return out.astype({"n_docs": "int64", "n_matches": "int64"})
+
+
+def q_hopping_window_events(sf_dir: str):
+    """Hopping (sliding) window counts — 2 h windows every 30 min, so
+    each event lands in exactly 4 windows (the overlapping-window
+    companion to the tumbling q_watermark_window_events). Expansion is
+    a vectorized repeat/tile inside map_batches; per-batch partial
+    counts combine before the tiny final merge (window x type
+    cardinality is bounded by time-span/30min, not input rows)."""
+    HOP = 1_800_000_000  # 30 min in us
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        base = ts // HOP * HOP
+        n = len(df)
+        g = pd.DataFrame({
+            "ws_us": (np.repeat(base, 4)
+                      - np.tile(np.arange(4, dtype=np.int64), n) * HOP),
+            "event_type": np.repeat(df["event_type"].to_numpy(), 4)})
+        p = (g.groupby(["ws_us", "event_type"], sort=False)
+             .size().reset_index(name="n"))
+        return p.astype({"ws_us": "int64", "n": "int64"})
+
+    partials = ds.map_batches(expand, batch_format="pandas").to_pandas()
+    out = (partials.groupby(["ws_us", "event_type"], as_index=False)["n"]
+           .sum().sort_values(["ws_us", "event_type"])
+           .reset_index(drop=True))
+    return out.astype({"ws_us": "int64", "n": "int64"})
+
+
+def q_gap_fill_events(sf_dir: str):
+    """Dense time-series resample with zero-fill (gap filling): hourly
+    counts per event_type over the FULL [min, max] hour range, missing
+    buckets emitted as 0. Counts come from per-batch partial combine;
+    the dense grid is bounded by (hours-in-span x n_types) — independent
+    of input row count — so the driver-side reindex is scale-safe."""
+    H = 3_600_000_000  # 1 h in us
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        hb = df["ts"].astype("datetime64[us]").astype("int64") // H
+        g = (pd.DataFrame({"event_type": df["event_type"], "hb": hb})
+             .groupby(["event_type", "hb"], sort=False)
+             .size().reset_index(name="n"))
+        return g.astype({"hb": "int64", "n": "int64"})
+
+    partials = ds.map_batches(part, batch_format="pandas").to_pandas()
+    counts = partials.groupby(["event_type", "hb"], as_index=False)["n"].sum()
+    types = sorted(counts["event_type"].unique())
+    mn, mx = int(counts["hb"].min()), int(counts["hb"].max())
+    idx = pd.MultiIndex.from_product(
+        [types, range(mn, mx + 1)], names=["event_type", "hb"])
+    dense = (counts.set_index(["event_type", "hb"])
+             .reindex(idx, fill_value=0).reset_index())
+    dense["hr_us"] = (dense["hb"] * H).astype("int64")
+    dense["n"] = dense["n"].astype("int64")
+    return (dense[["event_type", "hr_us", "n"]]
+            .sort_values(["event_type", "hr_us"]).reset_index(drop=True))
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -3589,6 +3729,10 @@ QUERIES = {
     "q_sq8_embeddings": q_sq8_embeddings,
     "q_dup_span_docs": q_dup_span_docs,
     "q_bpe_tokenize_docs": q_bpe_tokenize_docs,
+    "q_link_graph_docs": q_link_graph_docs,
+    "q_keyword_match_docs": q_keyword_match_docs,
+    "q_hopping_window_events": q_hopping_window_events,
+    "q_gap_fill_events": q_gap_fill_events,
 }
 
 
@@ -5987,3 +6131,65 @@ SELECT nw.doc_id, CAST(nw.n_windows AS BIGINT) AS n_windows,
        CAST(COALESCE(p.dup_windows, 0) * 1000
             // GREATEST(nw.n_windows, 1) AS BIGINT) AS dup_milli
 FROM nw LEFT JOIN per p USING (doc_id) ORDER BY nw.doc_id"""
+
+ORACLE_SQL["q_link_graph_docs"] = r"""
+WITH d AS (
+  SELECT doc_id,
+         '<p>intro</p><a href="https://site'
+         || CAST((doc_id * 7 + 1) % 997 AS VARCHAR) || '.example/p/'
+         || CAST(doc_id AS VARCHAR)
+         || '">a</a> <a href="mailto:nobody@example.org">m</a>'
+         || '<a href="https://site'
+         || CAST((doc_id * 13 + 5) % 997 AS VARCHAR) || '.example/p/'
+         || CAST(doc_id AS VARCHAR) || '">b</a>'
+         || '<a href="/local/path">rel</a>'
+         || '<a href="https://site' || CAST(doc_id % 31 AS VARCHAR)
+         || '.example/p/' || CAST(doc_id AS VARCHAR) || '">c</a>' AS h
+  FROM documents
+), x AS (
+  SELECT doc_id,
+         CAST(unnest(regexp_extract_all(
+             h, 'href="https://site(\d+)\.example', 1)) AS BIGINT) AS dst
+  FROM d
+)
+SELECT dst, CAST(COUNT(*) AS BIGINT) AS in_deg,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_srcs
+FROM x GROUP BY dst ORDER BY dst"""
+
+ORACLE_SQL["q_keyword_match_docs"] = """
+WITH k(kw) AS (VALUES ('batch'), ('data'), ('graph'), ('model'), ('node'),
+                      ('query'), ('ray'), ('shuffle'), ('the'), ('token'),
+                      ('train'), ('vector')),
+c AS (
+  SELECT k.kw,
+         CAST(len(regexp_extract_all(COALESCE(d.text, ''), k.kw))
+              AS BIGINT) AS c
+  FROM documents d CROSS JOIN k
+)
+SELECT kw AS keyword,
+       CAST(COUNT(*) FILTER (WHERE c > 0) AS BIGINT) AS n_docs,
+       CAST(SUM(c) AS BIGINT) AS n_matches
+FROM c GROUP BY kw ORDER BY kw"""
+
+ORACLE_SQL["q_hopping_window_events"] = """
+WITH k(i) AS (VALUES (0), (1), (2), (3)),
+x AS (
+  SELECT (epoch_us(ts) // 1800000000 - i) * 1800000000 AS ws_us, event_type
+  FROM events CROSS JOIN k
+)
+SELECT CAST(ws_us AS BIGINT) AS ws_us, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM x GROUP BY ws_us, event_type ORDER BY ws_us, event_type"""
+
+ORACLE_SQL["q_gap_fill_events"] = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hb, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), b AS (SELECT MIN(hb) AS mn, MAX(hb) AS mx FROM c),
+h AS (SELECT unnest(generate_series(mn, mx)) AS hb FROM b),
+t AS (SELECT DISTINCT event_type FROM events)
+SELECT t.event_type, CAST(h.hb * 3600000000 AS BIGINT) AS hr_us,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM t CROSS JOIN h
+LEFT JOIN c ON c.event_type = t.event_type AND c.hb = h.hb
+ORDER BY t.event_type, hr_us"""
