@@ -487,18 +487,19 @@ class AudioFeatures:
 class FrameSample:
     """video payload → k evenly-spaced frames. REAL for concatenated-PPM
     streams (ffmpeg image2pipe/ppm), animated GIF (gifcodec.py — LZW
-    decode + frame composition), MJPEG-in-MP4 (mp4codec.py — ISO BMFF
-    demux + per-sample JPEG decode) and animated WebP (webpcodec.py —
-    VP8L frames + ANMF composition); inter-coded MP4 (avc1/hev1) raises
-    naming the codec (fake = sliced digests). Output is exploded (one
-    row per sampled frame, rendered as PPM)."""
+    decode + frame composition), animated PNG (pngcodec.py —
+    acTL/fcTL/fdAT demux + dispose/blend composition), MJPEG-in-MP4
+    (mp4codec.py — ISO BMFF demux + per-sample JPEG decode) and animated
+    WebP (webpcodec.py — VP8L frames + ANMF composition); inter-coded
+    MP4 (avc1/hev1) raises naming the codec (fake = sliced digests).
+    Output is exploded (one row per sampled frame, rendered as PPM)."""
 
     def __init__(self, k: int = 4, deterministic_fake: bool = False):
         self.k = k
         self.fake = deterministic_fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from . import gifcodec, mp4codec
+        from . import gifcodec, mp4codec, pngcodec
 
         ids, idxs, frames = [], [], []
         for mid, payload in zip(batch.column("media_id").to_pylist(),
@@ -511,6 +512,13 @@ class FrameSample:
             elif gifcodec.is_gif(b):    # animated GIF: real compressed path
                 try:
                     decoded = gifcodec.decode_gif(b)
+                except (NotImplementedError, ValueError):
+                    decoded = None
+            elif pngcodec.is_png(b):    # animated PNG: acTL/fcTL/fdAT path
+                try:
+                    if pngcodec.probe_png(b)["animated"]:
+                        decoded = [f[..., :3]
+                                   for f in pngcodec.decode_apng_frames(b)]
                 except (NotImplementedError, ValueError):
                     decoded = None
             elif mp4codec.is_mp4(b):    # MJPEG MP4: real demux + decode
@@ -589,8 +597,11 @@ def probe_media(b: bytes) -> dict:
             p = pngcodec.probe_png(b)
             out.update(format="png",
                        codec=f"depth{p['bit_depth']}"
-                       + ("-adam7" if p["interlaced"] else ""),
-                       width=p["width"], height=p["height"], frames=1)
+                       + ("-adam7" if p["interlaced"] else "")
+                       + ("-apng" if p["animated"] else ""),
+                       width=p["width"], height=p["height"],
+                       frames=p["frames"],
+                       duration_ms=p["duration_ms"])
         elif gifcodec.is_gif(b):
             p = gifcodec.probe_gif(b)
             out.update(format="gif",
@@ -864,6 +875,16 @@ def _synth_webp_anim(seed: int, frames: int = 6, w: int = 16,
          for _ in range(frames)], duration_ms=50)
 
 
+def _synth_apng(seed: int, frames: int = 6, w: int = 16,
+                h: int = 12) -> bytes:
+    from . import pngcodec
+
+    rng = np.random.RandomState(seed)
+    frs = [rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+           for _ in range(frames)]
+    return pngcodec.encode_apng(frs, delays_ms=[40] * frames)
+
+
 def _synth_mp4_h264(seed: int, frames: int = 5, w: int = 32,
                     h: int = 16) -> bytes:
     """avc1 MP4: odd seeds carry CAVLC intra-coded pictures (the round-4
@@ -883,8 +904,9 @@ def _synth_mp4_h264(seed: int, frames: int = 5, w: int = 32,
 
 def synth_media_table(n: int = 32, seed: int = 42) -> pa.Table:
     """Deterministic media corpus with REAL payloads: netpbm + baseline
-    JPEG + PNG + lossless WebP images, PCM WAV audio, concatenated-PPM
-    streams, animated GIF and MJPEG-MP4 video."""
+    JPEG + PNG + lossless WebP + TIFF + BMP images, PCM/G.711/ADPCM/FLAC
+    audio, concatenated-PPM streams, animated GIF/WebP/PNG and
+    MJPEG/H.264 MP4 video."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
@@ -912,14 +934,16 @@ def synth_media_table(n: int = 32, seed: int = 42) -> pa.Table:
             payload, mime = _synth_wav_ms_adpcm(seed + i), "audio/wav"
         elif kind == "audio":
             payload, mime = _synth_wav(seed + i), "audio/wav"
-        elif (i // 3) % 5 == 1:
+        elif (i // 3) % 6 == 1:
             payload, mime = _synth_gif(seed + i), "image/gif"
-        elif (i // 3) % 5 == 2:
+        elif (i // 3) % 6 == 2:
             payload, mime = _synth_mp4(seed + i), "video/mp4"
-        elif (i // 3) % 5 == 3:
+        elif (i // 3) % 6 == 3:
             payload, mime = _synth_webp_anim(seed + i), "image/webp"
-        elif (i // 3) % 5 == 4:
+        elif (i // 3) % 6 == 4:
             payload, mime = _synth_mp4_h264(seed + i), "video/mp4"
+        elif (i // 3) % 6 == 5:
+            payload, mime = _synth_apng(seed + i), "image/apng"
         else:
             payload, mime = _synth_ppm_stream(seed + i), "video/x-ppm-stream"
         rows.append({

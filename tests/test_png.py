@@ -185,3 +185,70 @@ def test_multimodal_decode_and_resize_png():
     feats = M.FeatureExtract(dim=64)(imgs)
     assert feats.num_rows == imgs.num_rows
     assert all(len(e) == 64 for e in feats.column("embedding").to_pylist())
+
+
+def test_apng_roundtrip_and_probe():
+    rng = np.random.RandomState(11)
+    frames = [rng.randint(0, 256, size=(10, 14, 4), dtype=np.uint8)
+              for _ in range(5)]
+    for f in frames:
+        f[..., 3] = 255
+    b = P.encode_apng(frames, delays_ms=[30, 40, 50, 60, 70])
+    pr = P.probe_png(b)
+    assert pr["animated"] and pr["frames"] == 5 and pr["duration_ms"] == 250
+    dec = P.decode_apng_frames(b)
+    assert len(dec) == 5
+    for d, f in zip(dec, frames):
+        assert (d == f).all()
+    # a static PNG probes as non-animated and decodes as one frame
+    sp = P.encode_png(frames[0][..., :3])
+    assert not P.probe_png(sp)["animated"]
+    one = P.decode_apng_frames(sp)
+    assert len(one) == 1 and (one[0][..., :3] == frames[0][..., :3]).all()
+
+
+def test_apng_dispose_and_blend_composition():
+    """Sub-region frames with blend OVER and dispose PREVIOUS compose
+    exactly like a hand-rolled canvas replay."""
+    rng = np.random.RandomState(5)
+    f0 = rng.randint(0, 256, (8, 8, 4), dtype=np.uint8)
+    f0[..., 3] = 255
+    f1 = rng.randint(0, 256, (3, 4, 4), dtype=np.uint8)   # partial alpha
+    b = P.encode_apng([f0, f1], offsets=[(0, 0), (2, 3)],
+                      blend=1, dispose=2)
+    dec = P.decode_apng_frames(b)
+    canvas = P._blend_over(np.zeros((8, 8, 4), np.uint8), f0)
+    canvas[:, :] = 0                      # frame-0 dispose PREV -> BACKGROUND
+    exp1 = canvas.copy()
+    reg = (slice(3, 6), slice(2, 6))
+    exp1[reg] = P._blend_over(exp1[reg], f1)
+    assert (dec[1] == exp1).all()
+    # dispose BACKGROUND clears only the frame region
+    b2 = P.encode_apng([f0, f1], offsets=[(0, 0), (2, 3)], dispose=1)
+    d2 = P.decode_apng_frames(b2)
+    assert (d2[0] == f0).all()
+    exp = np.zeros((8, 8, 4), np.uint8)
+    exp[reg] = f1
+    assert (d2[1] == exp).all()
+
+
+def test_apng_through_framesample_and_probe_media():
+    from gitprov_ray import multimodal as M
+
+    b = M._synth_apng(9, frames=6)
+    pr = M.probe_media(b)
+    assert pr["format"] == "png" and pr["codec"].endswith("-apng")
+    assert pr["frames"] == 6 and pr["duration_ms"] == 240
+    batch = M.synth_media_table(36)
+    assert "image/apng" in set(batch.column("mime").to_pylist())
+    import pyarrow as pa
+    t = pa.table({"media_id": ["a"], "payload": [b]})
+    out = M.FrameSample(k=3)(t)
+    assert out.num_rows == 3
+    frames = P and [r for r in out.column("frame").to_pylist()]
+    dec = [f[..., :3] for f in P.decode_apng_frames(b)]
+    from gitprov_ray.multimodal import iter_ppm_stream
+    got = [next(iter_ppm_stream(fr))[0] for fr in frames]
+    picks = sorted({(i * 6) // 3 for i in range(3)})
+    for g, p_ in zip(got, picks):
+        assert (g == dec[p_]).all()
