@@ -3586,6 +3586,61 @@ def q_gap_fill_events(sf_dir: str):
             .sort_values(["event_type", "hr_us"]).reset_index(drop=True))
 
 
+def q_dsir_select_docs(sf_dir: str):
+    """DSIR-style hashed n-gram importance scoring (Xie et al. 2023,
+    'Data Selection for Language Models via Importance Resampling'):
+    tokens hash into 256 md5 buckets; a target distribution (lang='en'
+    docs) and the raw distribution are estimated as bucket counts in ONE
+    streaming pass; each doc then gets an importance score. The paper's
+    log-likelihood-ratio is replaced by the exact-integer linear score
+    sum_tok(ct[b]*Nr - cr[b]*Nt) (same sign/ordering signal for
+    bucket-level ratios) so the oracle twin reproduces every score
+    bit-for-bit — no float log in either side. Scale: pass 1 moves <=256
+    partial rows per batch; the 256-int tables broadcast in the pass-2
+    closure; docs never straddle batches so per-doc scores are complete
+    per block."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def _bucket(tokens: pd.Series) -> np.ndarray:
+        uniq = pd.unique(tokens)
+        bmap = {t: int(hashlib.md5(t.encode()).hexdigest()[:2], 16)
+                for t in uniq}
+        return tokens.map(bmap).to_numpy(np.int64)
+
+    def _tokens(df: pd.DataFrame) -> pd.Series:
+        toks = df["text"].fillna("").str.split().explode().dropna()
+        return toks[toks != ""]
+
+    def p1(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(df)
+        en = df["lang"].eq("en").loc[toks.index].to_numpy()
+        g = (pd.DataFrame({"b": _bucket(toks), "cr": 1,
+                           "ct": en.astype(np.int64)})
+             .groupby("b", as_index=False).sum())
+        return g.astype({"b": "int64", "cr": "int64", "ct": "int64"})
+
+    cnt = (ds.map_batches(p1, batch_format="pandas").to_pandas()
+           .groupby("b", as_index=False).sum())
+    ct = np.zeros(256, np.int64)
+    cr = np.zeros(256, np.int64)
+    ct[cnt["b"].to_numpy()] = cnt["ct"].to_numpy()
+    cr[cnt["b"].to_numpy()] = cnt["cr"].to_numpy()
+    nt, nr = int(ct.sum()), int(cr.sum())
+
+    def p2(df: pd.DataFrame, ct=ct, cr=cr, nt=nt, nr=nr) -> pd.DataFrame:
+        toks = _tokens(df)
+        b = _bucket(toks)
+        ids = df["doc_id"].loc[toks.index].to_numpy()
+        s = (pd.DataFrame({"doc_id": ids, "score": ct[b] * nr - cr[b] * nt})
+             .groupby("doc_id", as_index=False)["score"].sum())
+        return s.astype({"doc_id": "int64", "score": "int64"})
+
+    out = ds.map_batches(p2, batch_format="pandas").to_pandas()
+    return (out.groupby("doc_id", as_index=False)["score"].sum()
+            .sort_values("doc_id").reset_index(drop=True)
+            .astype({"doc_id": "int64", "score": "int64"}))
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -3733,6 +3788,7 @@ QUERIES = {
     "q_keyword_match_docs": q_keyword_match_docs,
     "q_hopping_window_events": q_hopping_window_events,
     "q_gap_fill_events": q_gap_fill_events,
+    "q_dsir_select_docs": q_dsir_select_docs,
 }
 
 
@@ -6193,3 +6249,24 @@ SELECT t.event_type, CAST(h.hb * 3600000000 AS BIGINT) AS hr_us,
 FROM t CROSS JOIN h
 LEFT JOIN c ON c.event_type = t.event_type AND c.hb = h.hb
 ORDER BY t.event_type, hr_us"""
+
+ORACLE_SQL["q_dsir_select_docs"] = r"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split_regex(COALESCE(text, ''), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), tb AS (
+  SELECT doc_id, lang,
+         (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS b
+  FROM tok
+), cnt AS (
+  SELECT b, COUNT(*) AS cr,
+         COUNT(*) FILTER (WHERE lang = 'en') AS ct
+  FROM tb GROUP BY b
+), tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM cnt)
+SELECT tb.doc_id,
+       CAST(SUM(c.ct * t.nr - c.cr * t.nt) AS BIGINT) AS score
+FROM tb JOIN cnt c USING (b) CROSS JOIN tot t
+GROUP BY tb.doc_id ORDER BY tb.doc_id"""
