@@ -144,6 +144,12 @@ def _bmpcodec_is_bmp(b: bytes) -> bool:
     return bmpcodec.is_bmp(b)
 
 
+def _icocodec_is_ico(b: bytes) -> bool:
+    from . import icocodec
+
+    return icocodec.is_ico(b)
+
+
 def parse_wav(b: bytes):
     """WAV bytes → (samples float32 in [-1,1] first channel, sample_rate).
     stdlib ``wave`` handles plain 8/16-bit PCM; everything else WAV
@@ -256,6 +262,13 @@ def decode_image(b: bytes):
     if webpcodec.is_webp(b):            # lossless VP8L only; VP8 → None
         try:
             return webpcodec.decode_webp(b)
+        except (NotImplementedError, ValueError):
+            return None
+    from . import icocodec
+
+    if icocodec.is_ico(b):              # favicon: largest PNG/DIB entry
+        try:
+            return icocodec.decode_ico(b)
         except (NotImplementedError, ValueError):
             return None
     from . import bmpcodec, tiffcodec
@@ -377,6 +390,14 @@ class ImageResize:
                     sq = small.squeeze(-1) if small.shape[-1] == 1 \
                         else small
                     out.append(bmpcodec.encode_bmp(sq))
+                    continue
+                from . import icocodec
+
+                if icocodec.is_ico(b):           # ICO in → ICO out
+                    if max(w, h) <= 256:
+                        out.append(icocodec.encode_ico([small]))
+                    else:                        # > ICO's 256px ceiling
+                        out.append(pngcodec.encode_png(small))
                     continue
                 out.append(jpegcodec.encode_jpeg_baseline(
                     small.squeeze(-1) if small.shape[-1] == 1 else small))
@@ -620,6 +641,15 @@ def probe_media(b: bytes) -> dict:
             p = bmpcodec.probe_bmp(b)
             out.update(format="bmp", codec=p["compression"],
                        width=p["width"], height=p["height"], frames=1)
+        elif _icocodec_is_ico(b):
+            from . import icocodec
+
+            p = icocodec.probe_ico(b)
+            big = max(p["entries"], key=lambda e: e["width"] * e["height"])
+            out.update(format="ico",
+                       codec=f"{big['format']}{big['bpp']}",
+                       width=p["width"], height=p["height"],
+                       frames=p["count"])
         elif mp4codec.is_mp4(b):
             p = mp4codec.probe_mp4(b)
             video = [t for t in p["tracks"] if t["handler"] == "vide"]
@@ -875,6 +905,18 @@ def _synth_webp_anim(seed: int, frames: int = 6, w: int = 16,
          for _ in range(frames)], duration_ms=50)
 
 
+def _synth_ico(seed: int) -> bytes:
+    from . import icocodec
+
+    rng = np.random.RandomState(seed)
+    entries = [rng.randint(0, 256, size=(s, s, 4), dtype=np.uint8)
+               for s in (8, 16)]
+    for e in entries:
+        e[..., 3] = 255
+    return icocodec.encode_ico(entries,
+                               fmt="bmp" if seed % 2 else "png")
+
+
 def _synth_apng(seed: int, frames: int = 6, w: int = 16,
                 h: int = 12) -> bytes:
     from . import pngcodec
@@ -910,16 +952,18 @@ def synth_media_table(n: int = 32, seed: int = 42) -> pa.Table:
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
-        if kind == "image" and (i // 3) % 6 == 1:
+        if kind == "image" and (i // 3) % 7 == 1:
             payload, mime = _synth_jpeg(seed + i), "image/jpeg"
-        elif kind == "image" and (i // 3) % 6 == 2:
+        elif kind == "image" and (i // 3) % 7 == 2:
             payload, mime = _synth_png(seed + i), "image/png"
-        elif kind == "image" and (i // 3) % 6 == 3:
+        elif kind == "image" and (i // 3) % 7 == 3:
             payload, mime = _synth_webp(seed + i), "image/webp"
-        elif kind == "image" and (i // 3) % 6 == 4:
+        elif kind == "image" and (i // 3) % 7 == 4:
             payload, mime = _synth_tiff(seed + i), "image/tiff"
-        elif kind == "image" and (i // 3) % 6 == 5:
+        elif kind == "image" and (i // 3) % 7 == 5:
             payload, mime = _synth_bmp(seed + i), "image/bmp"
+        elif kind == "image" and (i // 3) % 7 == 6:
+            payload, mime = _synth_ico(seed + i), "image/x-icon"
         elif kind == "image":
             payload, mime = _synth_ppm(seed + i), "image/x-portable-pixmap"
         elif kind == "audio" and (i // 3) % 6 == 1:

@@ -145,6 +145,10 @@ def test_image_stages_accept_jpeg():
             from gitprov_ray import bmpcodec
 
             assert bmpcodec.decode_bmp(payload).shape[:2] == (32, 32)
+        elif mime == "image/x-icon":
+            from gitprov_ray import icocodec
+
+            assert icocodec.decode_ico(payload).shape[:2] == (32, 32)
         else:
             assert M.parse_ppm(payload)[0].shape[:2] == (32, 32)
 
