@@ -650,6 +650,14 @@ def probe_media(b: bytes) -> dict:
                        codec=f"{big['format']}{big['bpp']}",
                        width=p["width"], height=p["height"],
                        frames=p["count"])
+        elif b[:5] == b"%PDF-":
+            from . import pdfextract
+
+            p = pdfextract.probe_pdf(b)
+            out.update(format="pdf",
+                       codec="encrypted" if p["encrypted"] else "text",
+                       width=int(p["width"]), height=int(p["height"]),
+                       frames=p["pages"])
         elif mp4codec.is_mp4(b):
             p = mp4codec.probe_mp4(b)
             video = [t for t in p["tracks"] if t["handler"] == "vide"]

@@ -3641,6 +3641,46 @@ def q_dsir_select_docs(sf_dir: str):
             .astype({"doc_id": "int64", "score": "int64"}))
 
 
+class _PdfRoundtrip:
+    """Doc text → multi-page FlateDecode PDF → extracted text (the
+    crawl PDF→text stage, pdfextract.py): newlines injected after
+    sentences, lines paginated 5 per page, pages joined back with
+    newlines by the extractor — so extracted == input exactly and the
+    whole codec path (writer, page-tree walk, zlib, string escapes) is
+    oracle-checked. Codec module resolved once per actor."""
+
+    def __init__(self):
+        from . import pdfextract
+        self.x = pdfextract
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        outs, npages, nchars = [], [], []
+        for t in df["text"].fillna(""):
+            t = t.replace(". ", ".\n")
+            lines = t.split("\n")
+            pages = ["\n".join(lines[k:k + 5])
+                     for k in range(0, len(lines), 5)]
+            b = self.x.encode_pdf_text(pages)
+            outs.append(self.x.extract_pdf_text(b))
+            npages.append(self.x.probe_pdf(b)["pages"])
+            nchars.append(len(outs[-1]))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "extracted": outs,
+            "n_pages": np.asarray(npages, np.int64),
+            "n_chars": np.asarray(nchars, np.int64)})
+
+
+def q_pdf_extract_docs(sf_dir: str):
+    """PDF text extraction over the corpus (actor-pool codec stage —
+    see _PdfRoundtrip). n_pages comes from probe_pdf on the real bytes,
+    so the twin's ceil(lines/5) arithmetic checks the writer's page
+    tree, not just the text."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(_PdfRoundtrip, batch_format="pandas",
+                          concurrency=2).sort("doc_id")
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -3789,6 +3829,7 @@ QUERIES = {
     "q_hopping_window_events": q_hopping_window_events,
     "q_gap_fill_events": q_gap_fill_events,
     "q_dsir_select_docs": q_dsir_select_docs,
+    "q_pdf_extract_docs": q_pdf_extract_docs,
 }
 
 
@@ -6270,3 +6311,14 @@ SELECT tb.doc_id,
        CAST(SUM(c.ct * t.nr - c.cr * t.nt) AS BIGINT) AS score
 FROM tb JOIN cnt c USING (b) CROSS JOIN tot t
 GROUP BY tb.doc_id ORDER BY tb.doc_id"""
+
+ORACLE_SQL["q_pdf_extract_docs"] = """
+WITH d AS (
+  SELECT doc_id,
+         replace(COALESCE(text, ''), '. ', '.' || chr(10)) AS t
+  FROM documents
+)
+SELECT doc_id, t AS extracted,
+       CAST((len(string_split(t, chr(10))) + 4) // 5 AS BIGINT) AS n_pages,
+       CAST(length(t) AS BIGINT) AS n_chars
+FROM d ORDER BY doc_id"""
