@@ -636,6 +636,57 @@ def q_url_canonicalize(sf_dir: str):
         batch_format="pandas").sort("canon_url")
 
 
+_ROBOTS_TXT = """\
+# crawl-politeness fixture (RFC 9309) — groups + wildcards + anchors
+User-agent: datasetbot
+User-agent: gitprovbot
+Disallow: /private
+Allow: /private/pub
+Disallow: /*.tmp$
+Disallow: /search
+Allow: /search/about$
+
+User-agent: *
+Disallow: /
+"""
+
+
+def q_robots_filter_docs(sf_dir: str):
+    """robots.txt URL filtering (RFC 9309), the crawl-politeness gate of
+    a web pipeline: parse the agent's rule group once on the driver,
+    ship the compiled rules in the batch closure (tiny — rules are few,
+    paths are many), and decide each derived doc path by the spec's
+    longest-match / allow-wins-ties precedence, one vectorized regex
+    sweep per RULE (robots.match_paths_vec). Paths are injected
+    deterministically from doc_id — identically in the DuckDB twin —
+    covering prefix disallow, longer-allow override, * and $ wildcards,
+    and the no-match default-allow. At 100 TB the same stage runs with
+    per-host matchers built in an actor's __init__ from a broadcast
+    host→robots dict; the precedence engine is what this query pins."""
+    from .robots import RobotsMatcher, match_paths_vec
+
+    rules = RobotsMatcher(_ROBOTS_TXT, "gitprovbot/1.0").rules
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].astype("int64")
+        v = (d % 6).to_numpy()
+        ids = d.astype(str)
+        path = pd.Series(np.select(
+            [v == 0, v == 1, v == 2, v == 3, v == 4],
+            ["/private/doc" + ids, "/private/pub/doc" + ids,
+             "/cache/doc" + ids + ".tmp", "/search/about",
+             "/search/q" + ids],
+            default="/docs/doc" + ids), index=df.index)
+        allowed, rule_len = match_paths_vec(path, rules)
+        return pd.DataFrame({"doc_id": d.to_numpy(),
+                             "path": path.to_numpy(),
+                             "allowed": allowed,
+                             "rule_len": rule_len})
+
+    return ds.map_batches(fn, batch_format="pandas").sort("doc_id")
+
+
 def q_catalog_search(sf_dir: str):
     """Catalog search (S6-S8 engine mapping) with the reference's
     query-param multimap flatten (M12, GithubService.java:61-66: last value
@@ -3806,6 +3857,7 @@ QUERIES = {
     "q_range_window_events": q_range_window_events,
     "q_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "q_url_canonicalize": q_url_canonicalize,
+    "q_robots_filter_docs": q_robots_filter_docs,
     "q_containment_pairs": q_containment_pairs,
     "q_skipgram_pairs": q_skipgram_pairs,
     "q_kcenter_coreset": q_kcenter_coreset,
@@ -5572,6 +5624,40 @@ ORACLE_SQL = {
           FROM parts)
         SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n
         FROM canon GROUP BY canon_url ORDER BY canon_url
+    """,
+    "q_robots_filter_docs": """
+        WITH paths AS (
+          SELECT doc_id,
+                 CASE doc_id % 6
+                   WHEN 0 THEN '/private/doc' || doc_id
+                   WHEN 1 THEN '/private/pub/doc' || doc_id
+                   WHEN 2 THEN '/cache/doc' || doc_id || '.tmp'
+                   WHEN 3 THEN '/search/about'
+                   WHEN 4 THEN '/search/q' || doc_id
+                   ELSE '/docs/doc' || doc_id
+                 END AS path
+          FROM documents),
+        -- the gitprovbot group of _ROBOTS_TXT, pattern → anchored regex,
+        -- plen = raw pattern length (RFC 9309 §2.2.2 specificity)
+        rules(allow, rx, plen) AS (VALUES
+          (FALSE, '^/private',        8),
+          (TRUE,  '^/private/pub',   12),
+          (FALSE, '^/.*\\.tmp$',      7),
+          (FALSE, '^/search',         7),
+          (TRUE,  '^/search/about$', 14)),
+        scored AS (
+          SELECT p.doc_id, p.path,
+                 MAX(CASE WHEN regexp_matches(p.path, r.rx)
+                          THEN CAST(r.plen AS BIGINT) * 2
+                               + CAST(r.allow AS BIGINT)
+                          ELSE -1 END) AS best
+          FROM paths p CROSS JOIN rules r
+          GROUP BY p.doc_id, p.path)
+        SELECT doc_id, path,
+               (best < 0 OR best % 2 = 1) AS allowed,
+               CAST(CASE WHEN best < 0 THEN -1 ELSE best // 2 END
+                    AS BIGINT) AS rule_len
+        FROM scored ORDER BY doc_id
     """,
     "q_range_window_events": """
         SELECT event_id, user_id,
