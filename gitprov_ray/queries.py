@@ -3219,6 +3219,47 @@ def q_c4_filter_docs(sf_dir: str):
     return ds.map_batches(f, batch_format="pandas").sort("doc_id")
 
 
+def q_gopher_filter_docs(sf_dir: str):
+    """Gopher/MassiveText quality + repetition filtering (Rae et al.
+    2021 App. A1.1 subset; textops.gopher_stats): 9 integer-arithmetic
+    gates (word count, mean word length, alpha-word fraction, stop
+    words, bullet/ellipsis line fractions, symbol ratio, duplicate-line
+    fraction, top word-2-gram char fraction). Stateless vectorized
+    pass, embarrassingly parallel — the 100-TB shape is map_batches
+    with zero shuffles. Deterministic lines exercising the line-based
+    gates are injected per doc_id mod class (the corpus is single-line
+    word soup; its natural 2-gram repetition exercises g_top2
+    unmodified); the twin injects byte-identically."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].astype("int64").reset_index(drop=True)
+        t = df["text"].fillna("").reset_index(drop=True)
+
+        def inj(cond, s):
+            return pd.Series(np.where(cond, s, ""), index=t.index)
+
+        reg = d % 16 != 0              # the bullet-heavy class stands alone
+        aug = (t
+               + inj(reg & (d % 5 != 0),
+                     "\nGood words of and to that with here.")
+               + inj(reg & (d % 4 == 0),
+                     "\n- item one\n- item two\n- item three")
+               + inj(reg & (d % 6 == 0),
+                     "\nwell then a trailing thought...")
+               + inj(reg & (d % 7 == 0), "\n# # # ## # ## ##")
+               + inj(reg & (d % 9 == 0), "\nrepeat line\nrepeat line")
+               + inj(d % 16 == 0,
+                     "".join("\n- bullet row %d here" % k
+                             for k in range(10)))
+               + inj(d % 16 == 8, "\n" + "a " * 79 + "a"))
+        out = textops.gopher_stats(aug)
+        out.insert(0, "doc_id", d.to_numpy())
+        return out
+
+    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+
+
 def q_mixture_sample_docs(sf_dir: str):
     """Data-mixture construction (The-Pile-style per-source sampling
     weights): every source gets a deterministic keep-rate in [100, 900)
@@ -3858,6 +3899,7 @@ QUERIES = {
     "q_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "q_url_canonicalize": q_url_canonicalize,
     "q_robots_filter_docs": q_robots_filter_docs,
+    "q_gopher_filter_docs": q_gopher_filter_docs,
     "q_containment_pairs": q_containment_pairs,
     "q_skipgram_pairs": q_skipgram_pairs,
     "q_kcenter_coreset": q_kcenter_coreset,
@@ -5624,6 +5666,106 @@ ORACLE_SQL = {
           FROM parts)
         SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n
         FROM canon GROUP BY canon_url ORDER BY canon_url
+    """,
+    "q_gopher_filter_docs": """
+        WITH aug AS (
+          SELECT doc_id, COALESCE(text,'')
+            || CASE WHEN doc_id % 16 <> 0 AND doc_id % 5 <> 0
+               THEN chr(10) ||
+                 'Good words of and to that with here.' ELSE '' END
+            || CASE WHEN doc_id % 16 <> 0 AND doc_id % 4 = 0
+               THEN chr(10) || '- item one'
+                 || chr(10) || '- item two' || chr(10) || '- item three'
+               ELSE '' END
+            || CASE WHEN doc_id % 16 <> 0 AND doc_id % 6 = 0
+               THEN chr(10) ||
+                 'well then a trailing thought...' ELSE '' END
+            || CASE WHEN doc_id % 16 <> 0 AND doc_id % 7 = 0
+               THEN chr(10) || '# # # ## # ## ##' ELSE '' END
+            || CASE WHEN doc_id % 16 <> 0 AND doc_id % 9 = 0
+               THEN chr(10) || 'repeat line'
+                 || chr(10) || 'repeat line' ELSE '' END
+            || CASE WHEN doc_id % 16 = 0 THEN (
+                 SELECT string_agg(chr(10) || '- bullet row ' || k
+                                   || ' here', '' ORDER BY k)
+                 FROM generate_series(0, 9) AS gs(k)) ELSE '' END
+            || CASE WHEN doc_id % 16 = 8
+               THEN chr(10) || repeat('a ', 79) || 'a' ELSE '' END AS t
+          FROM documents),
+        toks AS (
+          SELECT doc_id, t,
+                 list_filter(string_split_regex(t, '\\s+'),
+                             x -> x <> '') AS w,
+                 string_split(t, chr(10)) AS ls
+          FROM aug),
+        base AS (
+          SELECT doc_id,
+            CAST(len(w) AS BIGINT) AS n_words,
+            CAST(length(regexp_replace(t, '\\s+', '', 'g'))
+                 AS BIGINT) AS word_chars,
+            CAST(len(list_filter(w,
+                 x -> regexp_matches(x, '[A-Za-z]')))
+                 AS BIGINT) AS alpha_words,
+            CAST(len(list_distinct(list_filter(w,
+                 x -> list_contains(['the','be','to','of','and','that',
+                                     'have','with'], lower(x)))))
+                 AS BIGINT) AS stop_kinds,
+            CAST(len(ls) AS BIGINT) AS n_lines,
+            CAST(len(list_filter(ls,
+                 l -> l LIKE '- %' OR l LIKE '* %'))
+                 AS BIGINT) AS bullet_lines,
+            CAST(len(list_filter(ls, l -> l LIKE '%...'))
+                 AS BIGINT) AS ellipsis_lines,
+            CAST((length(t) - length(replace(t, '#', '')))
+                 + (length(t) - length(replace(t, '...', ''))) // 3
+                 AS BIGINT) AS symbols,
+            CAST(len(ls) - len(list_distinct(ls)) AS BIGINT)
+                 AS dup_lines
+          FROM toks),
+        pos AS (
+          SELECT doc_id, unnest(w) AS wd, generate_subscripts(w, 1) AS i
+          FROM toks),
+        grams AS (
+          SELECT a.doc_id, a.wd || ' ' || b.wd AS g
+          FROM pos a JOIN pos b
+            ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        gcnt AS (
+          SELECT doc_id, g, COUNT(*) AS cnt
+          FROM grams GROUP BY doc_id, g),
+        gtop AS (
+          SELECT doc_id, CAST(cnt * (length(g) - 1) AS BIGINT)
+                     AS top2_chars,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY cnt DESC, g DESC) AS rk
+          FROM gcnt),
+        m AS (
+          SELECT b.*, COALESCE(gt.top2_chars, 0) AS top2_chars
+          FROM base b LEFT JOIN (SELECT doc_id, top2_chars FROM gtop
+                                 WHERE rk = 1) gt USING (doc_id))
+        SELECT doc_id, n_words, word_chars, alpha_words, stop_kinds,
+               n_lines, bullet_lines, ellipsis_lines, symbols,
+               dup_lines, top2_chars,
+               (n_words >= 50 AND n_words <= 100000) AS g_count,
+               (3*n_words <= word_chars AND word_chars <= 10*n_words)
+                   AS g_meanlen,
+               (5*alpha_words >= 4*n_words) AS g_alpha,
+               (stop_kinds >= 2) AS g_stop,
+               (10*bullet_lines < 9*n_lines) AS g_bullet,
+               (10*ellipsis_lines < 3*n_lines) AS g_ellipsis,
+               (10*symbols < n_words) AS g_symbol,
+               (10*dup_lines <= 3*n_lines) AS g_dupline,
+               (5*top2_chars <= word_chars) AS g_top2,
+               ((n_words >= 50 AND n_words <= 100000)
+                AND (3*n_words <= word_chars
+                     AND word_chars <= 10*n_words)
+                AND (5*alpha_words >= 4*n_words)
+                AND (stop_kinds >= 2)
+                AND (10*bullet_lines < 9*n_lines)
+                AND (10*ellipsis_lines < 3*n_lines)
+                AND (10*symbols < n_words)
+                AND (10*dup_lines <= 3*n_lines)
+                AND (5*top2_chars <= word_chars)) AS gopher_pass
+        FROM m ORDER BY doc_id
     """,
     "q_robots_filter_docs": """
         WITH paths AS (

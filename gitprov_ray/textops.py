@@ -316,6 +316,106 @@ def c4_line_filter(texts: pd.Series) -> pd.DataFrame:
         "cleaned_text": kept.str.join("\n")})
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+
+def gopher_stats(texts: pd.Series) -> pd.DataFrame:
+    """Gopher/MassiveText quality + repetition gates (Rae et al. 2021,
+    Appendix A1.1 subset) in ALL-INTEGER arithmetic so the DuckDB twin
+    is exact — every ratio threshold is cross-multiplied:
+
+      * word count in [50, 100000]
+      * mean word length in [3, 10]        (3n <= chars <= 10n)
+      * >=80% of words contain an alpha    (5*alpha >= 4n)
+      * >=2 distinct canonical stop words  (GOPHER_STOPWORDS)
+      * <90% of lines bullet-started       (10*bullet < 9*lines)
+      * <30% of lines ellipsis-terminated  (10*ell < 3*lines)
+      * symbol-to-word ratio < 0.1         ('#' + '...' occurrences)
+      * duplicate-line fraction <= 0.30
+      * top word-2-gram char fraction <= 0.20 (pinned contract: chars =
+        occurrences * (len(w1)+len(w2)); ties broken count desc then
+        gram desc — the paper leaves ties unspecified)
+
+    Stateless and vectorized: word/line stats ride one explode +
+    groupby per batch; no Python loop over rows. Returns one row per
+    input row (index-aligned) with metric ints, per-gate bools and the
+    AND-of-gates `gopher_pass`."""
+    t = texts.fillna("").reset_index(drop=True)
+    idx = t.index
+    words = t.str.findall(r"\S+")
+    n_words = words.str.len().astype("int64")
+    word_chars = t.str.replace(r"\s+", "", regex=True).str.len() \
+        .astype("int64")
+
+    w = words.explode().dropna()
+    wdf = pd.DataFrame({"i": w.index.to_numpy(), "w": w.to_numpy()})
+    alpha_words = (wdf[wdf["w"].str.contains("[A-Za-z]", regex=True)]
+                   .groupby("i").size().reindex(idx, fill_value=0)
+                   .astype("int64"))
+    stop_kinds = (wdf[wdf["w"].str.lower().isin(GOPHER_STOPWORDS)]
+                  .drop_duplicates().groupby("i").size()
+                  .reindex(idx, fill_value=0).astype("int64"))
+
+    # word-2-grams: explode order is (row, position), so shift(-1)
+    # pairs each word with its successor; mask row boundaries
+    nxt = wdf["w"].shift(-1)
+    same = wdf["i"].shift(-1) == wdf["i"]
+    gdf = pd.DataFrame({"i": wdf["i"][same],
+                        "g": (wdf["w"] + " " + nxt)[same]})
+    if len(gdf):
+        cnt = gdf.groupby(["i", "g"], sort=False).size().rename("cnt") \
+            .reset_index()
+        top = (cnt.sort_values(["i", "cnt", "g"],
+                               ascending=[True, False, False])
+               .drop_duplicates("i"))
+        top2_chars = pd.Series(
+            (top["cnt"] * (top["g"].str.len() - 1)).to_numpy(),
+            index=top["i"].to_numpy()).reindex(idx, fill_value=0) \
+            .astype("int64")
+    else:
+        top2_chars = pd.Series(0, index=idx, dtype="int64")
+
+    lines = t.str.split("\n")
+    n_lines = lines.str.len().astype("int64")
+    le = lines.explode()
+    ldf = pd.DataFrame({"i": le.index.to_numpy(), "l": le.to_numpy()})
+    bullet_lines = (ldf[ldf["l"].str.startswith(("- ", "* "))]
+                    .groupby("i").size().reindex(idx, fill_value=0)
+                    .astype("int64"))
+    ellipsis_lines = (ldf[ldf["l"].str.endswith("...")]
+                      .groupby("i").size().reindex(idx, fill_value=0)
+                      .astype("int64"))
+    dup_lines = (n_lines
+                 - ldf.drop_duplicates().groupby("i").size()
+                 .reindex(idx, fill_value=0)).astype("int64")
+    symbols = (t.str.count("#")
+               + t.str.count(r"\.\.\.")).astype("int64")
+
+    g_count = (n_words >= 50) & (n_words <= 100000)
+    g_meanlen = (3 * n_words <= word_chars) & (word_chars <= 10 * n_words)
+    g_alpha = 5 * alpha_words >= 4 * n_words
+    g_stop = stop_kinds >= 2
+    g_bullet = 10 * bullet_lines < 9 * n_lines
+    g_ellipsis = 10 * ellipsis_lines < 3 * n_lines
+    g_symbol = 10 * symbols < n_words
+    g_dupline = 10 * dup_lines <= 3 * n_lines
+    g_top2 = 5 * top2_chars <= word_chars
+    return pd.DataFrame({
+        "n_words": n_words, "word_chars": word_chars,
+        "alpha_words": alpha_words, "stop_kinds": stop_kinds,
+        "n_lines": n_lines, "bullet_lines": bullet_lines,
+        "ellipsis_lines": ellipsis_lines, "symbols": symbols,
+        "dup_lines": dup_lines, "top2_chars": top2_chars,
+        "g_count": g_count, "g_meanlen": g_meanlen, "g_alpha": g_alpha,
+        "g_stop": g_stop, "g_bullet": g_bullet,
+        "g_ellipsis": g_ellipsis, "g_symbol": g_symbol,
+        "g_dupline": g_dupline, "g_top2": g_top2,
+        "gopher_pass": (g_count & g_meanlen & g_alpha & g_stop
+                        & g_bullet & g_ellipsis & g_symbol & g_dupline
+                        & g_top2)})
+
+
 def bpe_train(words_ds, n_merges: int = 4, return_vocab: bool = False):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): learn
     `n_merges` merges over a (word, cnt) vocabulary Dataset. Each round:

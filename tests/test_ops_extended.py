@@ -471,3 +471,42 @@ def test_bfs_join_regime_matches_broadcast_regime():
     b = (ops.bfs_distances(ds, source=0, broadcast_max=2).to_pandas()
          .sort_values("node").reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_gopher_stats_hand_computed():
+    from gitprov_ray import textops
+
+    # 60 alpha words incl. stop words, no symbols: every gate passes
+    good = " ".join(["the", "of", "and"] + [f"word{i}" for i in range(57)])
+    # word-soup repetition: 'x y' dominates → g_top2 fails
+    rep = "x y " * 40 + "the of " + " ".join(f"w{i}" for i in range(50))
+    # bullet-heavy: 10 of 11 lines bullets → g_bullet fails
+    bullets = "intro line\n" + "\n".join(f"- b {i}" for i in range(10))
+    out = textops.gopher_stats(pd.Series([good, rep, bullets, ""]))
+
+    g = out.iloc[0]
+    assert g.n_words == 60 and bool(g.gopher_pass)
+    assert g.stop_kinds == 3 and g.n_lines == 1 and g.dup_lines == 0
+
+    r = out.iloc[1]
+    assert r.top2_chars == 40 * 2 and not bool(r.g_top2)
+    assert bool(r.g_count) and not bool(r.gopher_pass)
+
+    b = out.iloc[2]
+    assert b.bullet_lines == 10 and b.n_lines == 11
+    assert not bool(b.g_bullet)
+
+    e = out.iloc[3]
+    assert e.n_words == 0 and not bool(e.g_count) and not bool(e.g_stop)
+
+
+def test_gopher_stats_symbol_and_dup_lines():
+    from gitprov_ray import textops
+
+    t = pd.Series(["# # #... same\nsame\nsame\nother",
+                   "plain text line\nplain text line"])
+    out = textops.gopher_stats(t)
+    assert out.iloc[0].symbols == 4          # three '#' + one '...'
+    assert out.iloc[0].n_lines == 4 and out.iloc[0].dup_lines == 1
+    assert out.iloc[1].dup_lines == 1
+    assert not bool(out.iloc[1].g_dupline)   # 10*1 > 3*2
