@@ -689,6 +689,58 @@ def asof_join(left_ds, right_ds, key: str, ts: str, left_cols: list[str],
             .map_groups(merge, batch_format="pandas"))
 
 
+def merge_upsert(base_ds, changes_ds, keys: list[str], order: list[str],
+                 delete_col: str | None = None, num_buckets: int = 64):
+    """Lakehouse MERGE / CDC upsert: apply a changelog Dataset to a base
+    Dataset; per key the row with the greatest ``order`` tuple wins
+    (changelog beats base only on a full order tie — supply a unique id
+    in ``order`` for a total order), and a winning changelog row with
+    ``delete_col`` true tombstones its key out of the result.
+
+    Shape: per-batch PARTIAL winner combine (vectorized mergesort +
+    drop_duplicates — at most one row per key per batch moves), ONE
+    stable_bucket exchange, per-bucket final argmax. Neither side is
+    broadcast or driver-collected, so the op composes at 100 TB; the
+    partitioning assumption is only that one key's candidate winners
+    (≤ one per upstream batch) fit a reducer.
+    """
+    from .stages.versions import stable_bucket
+
+    ordcols = list(order) + ["__src"]
+
+    def tag(src: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["__src"] = np.int8(src)
+            if delete_col is not None and delete_col not in out.columns:
+                out[delete_col] = False
+            return out[sorted(out.columns)]
+        return f
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(list(keys) + ordcols, kind="mergesort") \
+            .drop_duplicates(subset=list(keys), keep="last")
+        k = df[keys[0]].astype(str)
+        for c in keys[1:]:
+            k = k + "\x1f" + df[c].astype(str)
+        return df.assign(bucket=stable_bucket(k, k, num_buckets))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(list(keys) + ordcols, kind="mergesort") \
+            .drop_duplicates(subset=list(keys), keep="last")
+        if delete_col is not None:
+            df = df[~df[delete_col].astype(bool)]
+            df = df.drop(columns=[delete_col])
+        return df.drop(columns=["bucket", "__src"])
+
+    base_t = base_ds.map_batches(tag(0), batch_format="pandas")
+    chg_t = changes_ds.map_batches(tag(1), batch_format="pandas")
+    return (base_t.map_batches(partial, batch_format="pandas")
+            .union(chg_t.map_batches(partial, batch_format="pandas"))
+            .groupby("bucket")
+            .map_groups(final, batch_format="pandas"))
+
+
 def band_join_count(left_ds, right_ds, ts: str, band_us: int,
                     id_col: str, out_col: str = "n_follow",
                     bucket_width_us: int = 3_600_000_000,

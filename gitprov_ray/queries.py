@@ -1438,6 +1438,47 @@ def q_transitive_closure(sf_dir: str):
                               num_partitions=4).sort(["s", "o"])
 
 
+def q_upsert_events(sf_dir: str):
+    """Lakehouse MERGE / CDC upsert (ops.merge_upsert): the base
+    snapshot is every event strictly before the fixed cutoff
+    2024-01-08, the changelog everything at-or-after; per
+    (user_id, event_type) key the greatest (ts, event_id) record wins,
+    and a winning changelog row with value < 10 is a tombstone that
+    deletes its key. Per-batch partial winners + ONE stable-bucket
+    exchange, no broadcast, no window — the 100-TB MERGE shape. The
+    DuckDB twin ranks with ROW_NUMBER over (ts, event_id) DESC and
+    drops tombstoned keys."""
+    from . import ops
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+    cut = pd.Timestamp("2024-01-08")
+
+    def split(is_base: bool):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            m = (df["ts"] < cut) if is_base else (df["ts"] >= cut)
+            p = df[m]
+            out = pd.DataFrame({
+                "user_id": p["user_id"].astype("int64").to_numpy(),
+                "event_type": p["event_type"].to_numpy(),
+                "ts": p["ts"].to_numpy(),
+                "event_id": p["event_id"].astype("int64").to_numpy(),
+                "val_cents": _cents(p["value"]).to_numpy()})
+            if not is_base:
+                out["del"] = (p["value"] < 10.0).to_numpy()
+            return out
+        return f
+
+    base = ds.map_batches(split(True), batch_format="pandas")
+    chg = ds.map_batches(split(False), batch_format="pandas")
+    out = ops.merge_upsert(base, chg, keys=["user_id", "event_type"],
+                           order=["ts", "event_id"], delete_col="del")
+    return out.map_batches(
+        lambda df: df[["user_id", "event_type", "ts", "event_id",
+                       "val_cents"]],
+        batch_format="pandas").sort(["user_id", "event_type"])
+
+
 def q_asof_join_events(sf_dir: str):
     """Distributed AS-OF join (ops.asof_join — the time-series enrichment
     op Ray Data lacks): each click event gets the cents value of the
@@ -3900,6 +3941,7 @@ QUERIES = {
     "q_url_canonicalize": q_url_canonicalize,
     "q_robots_filter_docs": q_robots_filter_docs,
     "q_gopher_filter_docs": q_gopher_filter_docs,
+    "q_upsert_events": q_upsert_events,
     "q_containment_pairs": q_containment_pairs,
     "q_skipgram_pairs": q_skipgram_pairs,
     "q_kcenter_coreset": q_kcenter_coreset,
@@ -5666,6 +5708,20 @@ ORACLE_SQL = {
           FROM parts)
         SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n
         FROM canon GROUP BY canon_url ORDER BY canon_url
+    """,
+    "q_upsert_events": """
+        WITH tagged AS (
+          SELECT user_id, event_type, ts, event_id,
+                 CAST(ROUND(value*100) AS BIGINT) AS val_cents,
+                 (ts >= TIMESTAMP '2024-01-08' AND value < 10) AS del
+          FROM events),
+        win AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                        ORDER BY ts DESC, event_id DESC) AS rk
+          FROM tagged)
+        SELECT user_id, event_type, ts, event_id, val_cents
+        FROM win WHERE rk = 1 AND NOT del
+        ORDER BY user_id, event_type
     """,
     "q_gopher_filter_docs": """
         WITH aug AS (

@@ -510,3 +510,28 @@ def test_gopher_stats_symbol_and_dup_lines():
     assert out.iloc[0].n_lines == 4 and out.iloc[0].dup_lines == 1
     assert out.iloc[1].dup_lines == 1
     assert not bool(out.iloc[1].g_dupline)   # 10*1 > 3*2
+
+
+def test_merge_upsert_semantics():
+    import ray.data as rd
+    from gitprov_ray import ops
+
+    base = pd.DataFrame({
+        "k": [1, 2, 3, 4], "v": [10, 20, 30, 40],
+        "ver": [1, 1, 1, 5]})
+    chg = pd.DataFrame({
+        "k": [1, 2, 3, 4, 5],
+        "v": [11, 21, 31, 41, 51],
+        "ver": [2, 2, 1, 4, 1],
+        "del": [False, True, False, False, False]})
+    out = ops.merge_upsert(
+        rd.from_pandas(base).repartition(3),
+        rd.from_pandas(chg).repartition(4),
+        keys=["k"], order=["ver"], delete_col="del",
+        num_buckets=8).to_pandas().sort_values("k").reset_index(drop=True)
+    # k=1 change wins (ver 2); k=2 tombstoned; k=3 tie -> changelog
+    # beats base; k=4 base keeps (ver 5 > 4); k=5 insert
+    assert out["k"].tolist() == [1, 3, 4, 5]
+    assert out["v"].tolist() == [11, 31, 40, 51]
+    assert out["ver"].tolist() == [2, 1, 5, 1]
+    assert "del" not in out.columns and "__src" not in out.columns
