@@ -1438,6 +1438,60 @@ def q_transitive_closure(sf_dir: str):
                               num_partitions=4).sort(["s", "o"])
 
 
+def q_webdataset_roundtrip(sf_dir: str):
+    """WebDataset tar-shard roundtrip (sources.write_webdataset /
+    read_webdataset — the standard sharded multimodal training layout):
+    documents become samples ({key}.txt + {key}.json + {key}.cls),
+    hash-sharded into tars under /tmp, read BACK shard-parallel, and
+    aggregated per lang from the .cls/.txt members — so the counts
+    prove the tar framing, sample grouping and member decode, not just
+    the write. The twin aggregates documents directly. Shards rewrite
+    each run (skip_existing=False) so stale caches can't leak between
+    scale factors."""
+    import hashlib as _h
+    import json
+
+    from . import sources
+
+    ds = _read(sf_dir, "documents",
+               ["doc_id", "text", "lang", "source", "n_chars"])
+
+    def to_sample(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "__key__": df["doc_id"].astype("int64").map("{:010d}".format),
+            "txt": df["text"].fillna(""),
+            "json": [json.dumps({"lang": l, "source": s},
+                                sort_keys=True)
+                     for l, s in zip(df["lang"], df["source"])],
+            "cls": df["n_chars"].astype("int64")})
+
+    wds_dir = "/tmp/gitprov_wds_" + _h.md5(
+        str(sf_dir).encode()).hexdigest()[:12]
+    sources.write_webdataset(ds.map_batches(to_sample,
+                                            batch_format="pandas"),
+                             wds_dir, num_shards=8, skip_existing=False)
+    back = sources.read_webdataset(wds_dir)
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        lang = df["json"].map(lambda j: json.loads(j)["lang"])
+        g = pd.DataFrame({
+            "lang": lang,
+            "n_docs": np.int64(1),
+            "sum_chars": df["cls"].astype("int64"),
+            "sum_text_len": df["txt"].str.len().astype("int64")})
+        return g.groupby("lang", as_index=False).sum()
+
+    out = (back.map_batches(agg, batch_format="pandas")
+           .groupby("lang")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("sum_chars", alias_name="sum_chars"),
+                      Sum("sum_text_len", alias_name="sum_text_len")))
+    return out.map_batches(
+        lambda df: df.astype({"n_docs": "int64", "sum_chars": "int64",
+                              "sum_text_len": "int64"}),
+        batch_format="pandas").sort("lang")
+
+
 def q_upsert_events(sf_dir: str):
     """Lakehouse MERGE / CDC upsert (ops.merge_upsert): the base
     snapshot is every event strictly before the fixed cutoff
@@ -3942,6 +3996,7 @@ QUERIES = {
     "q_robots_filter_docs": q_robots_filter_docs,
     "q_gopher_filter_docs": q_gopher_filter_docs,
     "q_upsert_events": q_upsert_events,
+    "q_webdataset_roundtrip": q_webdataset_roundtrip,
     "q_containment_pairs": q_containment_pairs,
     "q_skipgram_pairs": q_skipgram_pairs,
     "q_kcenter_coreset": q_kcenter_coreset,
@@ -5708,6 +5763,14 @@ ORACLE_SQL = {
           FROM parts)
         SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n
         FROM canon GROUP BY canon_url ORDER BY canon_url
+    """,
+    "q_webdataset_roundtrip": """
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(length(COALESCE(text,''))) AS BIGINT)
+                   AS sum_text_len
+        FROM documents GROUP BY lang ORDER BY lang
     """,
     "q_upsert_events": """
         WITH tagged AS (

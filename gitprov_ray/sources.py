@@ -373,3 +373,148 @@ def read_partitioned(path: str, columns: list[str] | None = None):
     if not files:
         raise FileNotFoundError(f"no complete partitions under {path!r}")
     return read_parquet_clean(files, columns=columns)
+
+
+def write_webdataset(ds, path: str, key_col: str = "__key__",
+                     num_shards: int = 8, skip_existing: bool = True):
+    """WebDataset tar-shard sink — the standard sharded layout for
+    multimodal training corpora (one tar per shard; a sample's members
+    are consecutive files sharing a basename: ``{key}.{ext}``).
+
+    Contract: every non-key column NAME is the member extension
+    (``txt``, ``json``, ``cls``, ``jpg``, ``bin``, ...); str cells are
+    written utf-8, bytes raw, ints as ascii digits, null cells skipped.
+    Samples hash-shard by key (stable_bucket) and sort by key inside a
+    shard, so output bytes are run-layout-independent; each shard is
+    written atomically (tmp + rename, then a ``_SUCCESS.{shard}``
+    marker) from its OWN worker task — re-runs skip finished shards,
+    the write_partitioned resumability protocol. Tar metadata (mtime,
+    uid, uname) is zeroed for byte-determinism.
+
+    Returns a pandas DataFrame (shard, samples, skipped)."""
+    import pandas as pd
+
+    from .stages.versions import stable_bucket
+
+    def tag(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.copy()
+        s = df[key_col].astype(str)
+        df["__shard"] = stable_bucket(s, s, num_shards)
+        return df
+
+    def write_shard(df: "pd.DataFrame") -> "pd.DataFrame":
+        import io
+        import os
+        import tarfile
+
+        import numpy as np
+
+        b = int(df["__shard"].iloc[0])
+        os.makedirs(path, exist_ok=True)
+        marker = os.path.join(path, f"_SUCCESS.{b:05d}")
+        if skip_existing and os.path.exists(marker):
+            return pd.DataFrame({"shard": [b], "samples": [0],
+                                 "skipped": [True]})
+        df = df.drop(columns=["__shard"]).sort_values(key_col,
+                                                      kind="mergesort")
+        exts = [c for c in df.columns if c != key_col]
+        tmp = os.path.join(path, f".tmp-shard-{b:05d}.tar")
+        with tarfile.open(tmp, "w") as tf:
+            for row in df.itertuples(index=False):
+                r = dict(zip(df.columns, row))
+                for ext in exts:
+                    v = r[ext]
+                    if v is None or (isinstance(v, float)
+                                     and pd.isna(v)):
+                        continue
+                    if isinstance(v, (bytes, bytearray)):
+                        payload = bytes(v)
+                    elif isinstance(v, str):
+                        payload = v.encode("utf-8")
+                    else:
+                        payload = str(int(v)).encode("ascii") \
+                            if isinstance(v, (int, np.integer)) \
+                            else str(v).encode("utf-8")
+                    ti = tarfile.TarInfo(name=f"{r[key_col]}.{ext}")
+                    ti.size = len(payload)
+                    ti.mtime = 0
+                    ti.uid = ti.gid = 0
+                    ti.uname = ti.gname = ""
+                    tf.addfile(ti, io.BytesIO(payload))
+        os.replace(tmp, os.path.join(path, f"shard-{b:05d}.tar"))
+        n = len(df)
+        with open(marker + ".tmp", "w") as fh:
+            fh.write(str(n))
+        os.replace(marker + ".tmp", marker)
+        return pd.DataFrame({"shard": [b], "samples": [n],
+                             "skipped": [False]})
+
+    stats = (ds.map_batches(tag, batch_format="pandas")
+             .groupby("__shard")
+             .map_groups(write_shard, batch_format="pandas")
+             .to_pandas())
+    if stats.empty:
+        return pd.DataFrame({"shard": pd.Series(dtype="int64"),
+                             "samples": pd.Series(dtype="int64"),
+                             "skipped": pd.Series(dtype="bool")})
+    return (stats.sort_values("shard").reset_index(drop=True)
+            .astype({"shard": "int64", "samples": "int64",
+                     "skipped": "bool"}))
+
+
+def read_webdataset(path):
+    """WebDataset tar shard(s) → Dataset of samples, one decode task per
+    shard (shard-level parallelism IS the partitioning — the layout
+    exists so a 100-TB corpus streams as independent ~1 GB tars).
+
+    Grouping follows the WebDataset rule: a sample's key is the member
+    path up to the FIRST dot of its basename; consecutive same-key
+    members form one sample (streaming — the whole tar is never held as
+    rows). Decode by extension: ``txt`` → str, ``json`` → str (raw JSON
+    text), ``cls`` → int64, anything else stays bytes. Missing members
+    are null."""
+    import ray.data as rd
+
+    from .util import tune_context
+
+    tune_context()
+    bin_ds = rd.read_binary_files(path, file_extensions=["tar"])
+
+    def decode(t: pa.Table) -> pa.Table:
+        import io
+        import tarfile
+
+        rows = []
+        for blob in t.column("bytes").to_pylist():
+            tf = tarfile.open(fileobj=io.BytesIO(blob))
+            cur_key, cur = None, None
+            for m in tf:
+                if not m.isfile():
+                    continue
+                d, _, base = m.name.rpartition("/")
+                dot = base.find(".")
+                if dot < 0:
+                    key, ext = base, ""
+                else:
+                    key, ext = base[:dot], base[dot + 1:]
+                if d:
+                    key = d + "/" + key
+                if key != cur_key:
+                    if cur is not None:
+                        rows.append(cur)
+                    cur_key, cur = key, {"__key__": key}
+                raw = tf.extractfile(m).read()
+                if ext == "txt":
+                    cur[ext] = raw.decode("utf-8")
+                elif ext == "json":
+                    cur[ext] = raw.decode("utf-8")
+                elif ext == "cls":
+                    cur[ext] = int(raw.decode("ascii"))
+                else:
+                    cur[ext] = raw
+            if cur is not None:
+                rows.append(cur)
+        return pa.Table.from_pylist(rows)
+
+    return bin_ds.map_batches(decode, batch_format="pyarrow",
+                              batch_size=1)

@@ -4,6 +4,7 @@ results regardless of the source format."""
 
 import json
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pytest
@@ -251,3 +252,88 @@ def test_write_partitioned_resumable(ray_session, tmp_path):
     b = sorted(r["event_id"] for r in ds.select_columns(
         ["event_id"]).take_all())
     assert a == b
+
+
+def test_webdataset_roundtrip_and_resume(tmp_path):
+    import os
+    import tarfile
+
+    import ray.data as rd
+
+    rows = pd.DataFrame({
+        "__key__": [f"{i:06d}" for i in range(40)],
+        "txt": [f"text {i}" for i in range(40)],
+        "json": ['{"k":%d}' % i for i in range(40)],
+        "cls": np.arange(40, dtype="int64"),
+        "bin": [bytes([i, 255 - i]) for i in range(40)]})
+    out = str(tmp_path / "wds")
+    st = sources.write_webdataset(
+        rd.from_pandas(rows, override_num_blocks=3), out, num_shards=4)
+    assert st["samples"].sum() == 40 and not st["skipped"].any()
+    shards = sorted(f for f in os.listdir(out) if f.endswith(".tar"))
+    assert len(shards) == 4
+
+    back = (sources.read_webdataset(out).to_pandas()
+            .sort_values("__key__").reset_index(drop=True))
+    assert len(back) == 40
+    assert back["txt"].tolist() == rows["txt"].tolist()
+    assert back["cls"].tolist() == rows["cls"].tolist()
+    assert [bytes(b) for b in back["bin"]] == rows["bin"].tolist()
+
+    # members are consecutive per key inside each tar (the WDS contract)
+    with tarfile.open(os.path.join(out, shards[0])) as tf:
+        names = [m.name for m in tf if m.isfile()]
+    keys = [n.split(".", 1)[0] for n in names]
+    seen, prev = set(), None
+    for k in keys:
+        if k != prev:
+            assert k not in seen
+            seen.add(k)
+        prev = k
+
+    # resume: drop one shard + one marker; only those rewrite
+    os.unlink(os.path.join(out, shards[1]))
+    os.unlink(os.path.join(out, "_SUCCESS." + shards[1][6:11]))
+    os.unlink(os.path.join(out, "_SUCCESS." + shards[2][6:11]))
+    st2 = sources.write_webdataset(
+        rd.from_pandas(rows, override_num_blocks=3), out, num_shards=4)
+    assert int((~st2["skipped"]).sum()) == 2
+    back2 = sources.read_webdataset(out).to_pandas()
+    assert len(back2) == 40
+
+
+def test_webdataset_null_members_and_dir_keys(tmp_path):
+    import io
+    import tarfile
+
+    import ray.data as rd
+
+    rows = pd.DataFrame({
+        "__key__": ["a", "b"],
+        "txt": ["hello", None],
+        "cls": np.array([3, 4], dtype="int64")})
+    out = str(tmp_path / "wds2")
+    sources.write_webdataset(rd.from_pandas(rows), out, num_shards=1)
+    back = (sources.read_webdataset(out).to_pandas()
+            .sort_values("__key__").reset_index(drop=True))
+    assert back["txt"].tolist()[0] == "hello"
+    assert back["txt"].isna().tolist() == [False, True]
+
+    # hand-built tar with directory-prefixed keys and dotted extensions
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, payload in [("d1/s1.txt", b"one"),
+                              ("d1/s1.seg.json", b"{}"),
+                              ("d2/s1.txt", b"two")]:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(payload)
+            tf.addfile(ti, io.BytesIO(payload))
+    p = tmp_path / "wds3"
+    p.mkdir()
+    (p / "shard-00000.tar").write_bytes(buf.getvalue())
+    got = (sources.read_webdataset(str(p)).to_pandas()
+           .sort_values("__key__").reset_index(drop=True))
+    # same basename under different dirs = different samples
+    assert got["__key__"].tolist() == ["d1/s1", "d2/s1"]
+    assert got["txt"].tolist() == ["one", "two"]
+    assert got["seg.json"].tolist()[0] == b"{}"
