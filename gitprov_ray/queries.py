@@ -1438,6 +1438,34 @@ def q_transitive_closure(sf_dir: str):
                               num_partitions=4).sort(["s", "o"])
 
 
+def q_card_luhn_docs(sf_dir: str):
+    """Credit-card PII detection with REAL Luhn mod-10 validation
+    (textops.luhn_card_stats) — the checksum is dual-implemented: a
+    vectorized digit-matrix pass in the engine vs an unnest/group SUM
+    in the DuckDB twin, so the arithmetic itself is pinned, not just
+    the regex. Per doc a deterministic 16-digit candidate is injected
+    whose check digit is doc_id%10 (so ~10% validate), plus a 7-digit
+    decoy that must NOT match the 13-19 PAN-length rule, plus a NANP
+    phone for doc_id%3!=0. Stateless map_batches, zero shuffles."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].astype("int64").reset_index(drop=True)
+        t = df["text"].fillna("").reset_index(drop=True)
+        card = ("4" + (d * 37 % 10**14).astype(str).str.zfill(14)
+                + (d % 10).astype(str))
+        phone = pd.Series(np.where(
+            d % 3 != 0,
+            "+1-555-" + (100 + d % 900).astype(str) + "-"
+            + (1000 + d % 9000).astype(str), ""), index=t.index)
+        aug = t + " card " + card + " ref 1234567 " + phone
+        out = textops.luhn_card_stats(aug)
+        out.insert(0, "doc_id", d.to_numpy())
+        return out
+
+    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+
+
 def q_webdataset_roundtrip(sf_dir: str):
     """WebDataset tar-shard roundtrip (sources.write_webdataset /
     read_webdataset — the standard sharded multimodal training layout):
@@ -3997,6 +4025,7 @@ QUERIES = {
     "q_gopher_filter_docs": q_gopher_filter_docs,
     "q_upsert_events": q_upsert_events,
     "q_webdataset_roundtrip": q_webdataset_roundtrip,
+    "q_card_luhn_docs": q_card_luhn_docs,
     "q_containment_pairs": q_containment_pairs,
     "q_skipgram_pairs": q_skipgram_pairs,
     "q_kcenter_coreset": q_kcenter_coreset,
@@ -5763,6 +5792,52 @@ ORACLE_SQL = {
           FROM parts)
         SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n
         FROM canon GROUP BY canon_url ORDER BY canon_url
+    """,
+    "q_card_luhn_docs": """
+        WITH aug AS (
+          SELECT doc_id, COALESCE(text,'') || ' card ' || '4'
+              || lpad(CAST(doc_id*37 % 100000000000000 AS VARCHAR),
+                      14, '0')
+              || CAST(doc_id % 10 AS VARCHAR)
+              || ' ref 1234567 '
+              || CASE WHEN doc_id % 3 <> 0 THEN '+1-555-'
+                   || CAST(100 + doc_id % 900 AS VARCHAR) || '-'
+                   || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                 ELSE '' END AS t
+          FROM documents),
+        cands AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(t, '\\b\\d{13,19}\\b')) AS c
+          FROM aug),
+        digs AS (
+          SELECT doc_id, c,
+                 unnest(generate_series(1, length(c))) AS i
+          FROM cands),
+        sums AS (
+          SELECT doc_id, c,
+                 SUM(CASE WHEN i % 2 = 0 THEN
+                       CASE WHEN 2*CAST(substring(c, length(c)-i+1, 1)
+                                    AS BIGINT) > 9
+                            THEN 2*CAST(substring(c, length(c)-i+1, 1)
+                                    AS BIGINT) - 9
+                            ELSE 2*CAST(substring(c, length(c)-i+1, 1)
+                                    AS BIGINT) END
+                     ELSE CAST(substring(c, length(c)-i+1, 1) AS BIGINT)
+                     END) AS s
+          FROM digs GROUP BY doc_id, c),
+        per_doc AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cands,
+                 CAST(COUNT(*) FILTER (s % 10 = 0) AS BIGINT) AS n_valid
+          FROM sums GROUP BY doc_id)
+        SELECT a.doc_id,
+               COALESCE(p.n_cands, 0) AS n_cands,
+               COALESCE(p.n_valid, 0) AS n_valid,
+               CAST((length(a.t)
+                    - length(regexp_replace(a.t,
+                          '\\+1-\\d{3}-\\d{3}-\\d{4}', '', 'g')))
+                    // 15 AS BIGINT) AS n_phones
+        FROM aug a LEFT JOIN per_doc p USING (doc_id)
+        ORDER BY a.doc_id
     """,
     "q_webdataset_roundtrip": """
         SELECT lang,

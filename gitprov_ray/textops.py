@@ -265,6 +265,41 @@ def pii_scrub(texts: pd.Series) -> pd.DataFrame:
                          "n_ips": n_ip})
 
 
+CARD_CAND_RE = r"\b\d{13,19}\b"          # PAN length range (ISO/IEC 7812)
+PHONE_NANP_RE = r"\+1-\d{3}-\d{3}-\d{4}"
+
+
+def luhn_card_stats(texts: pd.Series) -> pd.DataFrame:
+    """Credit-card-number detection for PII filtering: 13-19-digit
+    word-bounded runs are candidates; each is validated with the REAL
+    Luhn mod-10 checksum, fully vectorized — candidates explode to a
+    flat Series, left-zero-pad to width 20 (Luhn is padding-invariant:
+    a doubled zero is still zero), then one uint8 digit-matrix
+    double/sum pass. NANP phone literals are counted alongside.
+    Returns (n_cands, n_valid, n_phones) per input row."""
+    t = texts.fillna("").reset_index(drop=True)
+    cands = t.str.findall(CARD_CAND_RE)
+    n_cands = cands.str.len().astype("int64")
+    ex = cands.explode().dropna()
+    if len(ex):
+        pad = ex.str.rjust(20, "0")
+        m = (np.frombuffer("".join(pad.tolist()).encode(),
+                           dtype=np.uint8)
+             .reshape(-1, 20).astype(np.int64) - 48)
+        dbl = m * 2
+        dbl -= 9 * (dbl > 9)
+        # position-from-right i = 20 - col; doubled at even i ⇔ even col
+        pick = np.where(np.arange(20) % 2 == 0, dbl, m)
+        ok = pd.Series(pick.sum(axis=1) % 10 == 0, index=ex.index)
+        n_valid = (ok.groupby(level=0).sum()
+                   .reindex(t.index, fill_value=0).astype("int64"))
+    else:
+        n_valid = pd.Series(0, index=t.index, dtype="int64")
+    n_phones = t.str.count(PHONE_NANP_RE).astype("int64")
+    return pd.DataFrame({"n_cands": n_cands, "n_valid": n_valid,
+                         "n_phones": n_phones})
+
+
 # GPT-2-style pretokenizer, restricted to the RE2 ∩ Python-re feature set
 # (no lookahead, ASCII classes) so the DuckDB twin evaluates the IDENTICAL
 # pattern: contractions | space?+letters | space?+digits | space?+other |

@@ -535,3 +535,19 @@ def test_merge_upsert_semantics():
     assert out["v"].tolist() == [11, 31, 40, 51]
     assert out["ver"].tolist() == [2, 1, 5, 1]
     assert "del" not in out.columns and "__src" not in out.columns
+
+
+def test_luhn_card_stats_known_vectors():
+    from gitprov_ray import textops
+
+    t = pd.Series([
+        "pay 4111111111111111 now",          # classic valid test PAN
+        "pay 4111111111111112 now",          # bad check digit
+        "id 79927398713 end",                # valid Luhn but 11 digits
+        "a 1234567812345670 b 4111111111111111 c",
+        "no digits at all",
+        "call +1-555-123-4567 or +1-555-000-1111"])
+    out = textops.luhn_card_stats(t)
+    assert out["n_cands"].tolist() == [1, 1, 0, 2, 0, 0]
+    assert out["n_valid"].tolist() == [1, 0, 0, 2, 0, 0]
+    assert out["n_phones"].tolist() == [0, 0, 0, 0, 0, 2]
