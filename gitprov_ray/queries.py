@@ -1438,6 +1438,39 @@ def q_transitive_closure(sf_dir: str):
                               num_partitions=4).sort(["s", "o"])
 
 
+def q_unicode_nfc_docs(sf_dir: str):
+    """Unicode NFC normalization (the first byte-level cleanup of any
+    multilingual web corpus — mojibake-adjacent combining sequences
+    collapse to precomposed forms): docs get a deterministic suffix
+    with combining marks (e+U+0301, A+U+030A) on even ids and the
+    already-precomposed forms on odd ids; the engine normalizes with
+    unicodedata.normalize('NFC') (CPython's UCD tables), the twin with
+    DuckDB nfc_normalize (its utf8proc tables) — agreement pins both
+    against the same published UAX #15 algorithm. Output = codepoint
+    lengths before/after + changed flag + the normalized tail."""
+    import unicodedata
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].astype("int64").reset_index(drop=True)
+        t = df["text"].fillna("").reset_index(drop=True)
+        suffix = pd.Series(np.where(d % 2 == 0,
+                                    " cafe\u0301 A\u030A \uFB01",
+                                    " caf\u00E9 \u00C5 \uFB01"),
+                           index=t.index)
+        aug = t + suffix
+        norm = aug.map(lambda s: unicodedata.normalize("NFC", s))
+        return pd.DataFrame({
+            "doc_id": d.to_numpy(),
+            "pre_len": aug.str.len().astype("int64"),
+            "post_len": norm.str.len().astype("int64"),
+            "changed": (aug != norm).to_numpy(),
+            "tail": norm.str[-8:]})
+
+    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+
+
 def q_card_luhn_docs(sf_dir: str):
     """Credit-card PII detection with REAL Luhn mod-10 validation
     (textops.luhn_card_stats) — the checksum is dual-implemented: a
@@ -4026,6 +4059,7 @@ QUERIES = {
     "q_upsert_events": q_upsert_events,
     "q_webdataset_roundtrip": q_webdataset_roundtrip,
     "q_card_luhn_docs": q_card_luhn_docs,
+    "q_unicode_nfc_docs": q_unicode_nfc_docs,
     "q_containment_pairs": q_containment_pairs,
     "q_skipgram_pairs": q_skipgram_pairs,
     "q_kcenter_coreset": q_kcenter_coreset,
@@ -5792,6 +5826,23 @@ ORACLE_SQL = {
           FROM parts)
         SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n
         FROM canon GROUP BY canon_url ORDER BY canon_url
+    """,
+    "q_unicode_nfc_docs": """
+        WITH aug AS (
+          SELECT doc_id, COALESCE(text,'')
+            || CASE WHEN doc_id % 2 = 0
+               THEN ' cafe' || chr(769) || ' A' || chr(778) || ' '
+                    || chr(64257)
+               ELSE ' caf' || chr(233) || ' ' || chr(197) || ' '
+                    || chr(64257) END AS t
+          FROM documents),
+        n AS (SELECT doc_id, t, nfc_normalize(t) AS nt FROM aug)
+        SELECT doc_id,
+               CAST(length(t) AS BIGINT) AS pre_len,
+               CAST(length(nt) AS BIGINT) AS post_len,
+               (t <> nt) AS changed,
+               substring(nt, length(nt) - 7, 8) AS tail
+        FROM n ORDER BY doc_id
     """,
     "q_card_luhn_docs": """
         WITH aug AS (
