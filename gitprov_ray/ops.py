@@ -689,6 +689,40 @@ def asof_join(left_ds, right_ds, key: str, ts: str, left_cols: list[str],
             .map_groups(merge, batch_format="pandas"))
 
 
+def kmv_distinct(ds, col: str, k: int = 64):
+    """K-Minimum-Values distinct-count sketch (Bar-Yossef et al. 2002):
+    keep the k smallest distinct hash values of a column; with hashes
+    uniform on [0, 2^48) the estimator is (k-1) * 2^48 // h_(k) —
+    EXACT integer arithmetic end-to-end (h = first 12 hex chars of
+    md5), so the DuckDB twin reproduces the sketch bit-for-bit.
+
+    Mergeable shape: each batch emits its k smallest distinct hashes
+    (≤ k rows per batch move); the union — k × nblocks rows, the same
+    driver-bounded sketch-merge state as HLL/CMS here — dedups and cuts
+    to k. Fewer than k distinct hashes means the sketch IS the exact
+    distinct set and the estimate is exact by construction. Returns a
+    1-row DataFrame (k_used, kth_hash, est_distinct)."""
+    import hashlib
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = df[col].astype(str).map(lambda s: int(
+            hashlib.md5(s.encode()).hexdigest()[:12], 16))
+        u = np.unique(h.to_numpy())
+        return pd.DataFrame({"h": u[:k].astype("int64")})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    u = np.unique(parts["h"].to_numpy())
+    if len(u) >= k:
+        kth = int(u[k - 1])
+        est, n_used = (k - 1) * (1 << 48) // kth, k
+    else:
+        kth = int(u[-1]) if len(u) else 0
+        est, n_used = len(u), len(u)
+    return pd.DataFrame({"k_used": [np.int64(n_used)],
+                         "kth_hash": [np.int64(kth)],
+                         "est_distinct": [np.int64(est)]})
+
+
 def merge_upsert(base_ds, changes_ds, keys: list[str], order: list[str],
                  delete_col: str | None = None, num_buckets: int = 64):
     """Lakehouse MERGE / CDC upsert: apply a changelog Dataset to a base

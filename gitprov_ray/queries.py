@@ -1438,6 +1438,19 @@ def q_transitive_closure(sf_dir: str):
                               num_partitions=4).sort(["s", "o"])
 
 
+def q_kmv_distinct_events(sf_dir: str):
+    """KMV distinct-count sketch over event props (ops.kmv_distinct,
+    k=64): the k-smallest-md5-prefix sketch in exact 48-bit integer
+    arithmetic — at sf0.001 props has ~100 distinct values so the
+    query exercises the true ESTIMATION regime, and the twin
+    reproduces k-th hash and estimate bit-for-bit (ROW_NUMBER over
+    the distinct hash order)."""
+    from . import ops
+
+    ds = _read(sf_dir, "events", ["props"])
+    return ops.kmv_distinct(ds, "props", k=64)
+
+
 def q_unicode_nfc_docs(sf_dir: str):
     """Unicode NFC normalization (the first byte-level cleanup of any
     multilingual web corpus — mojibake-adjacent combining sequences
@@ -4060,6 +4073,7 @@ QUERIES = {
     "q_webdataset_roundtrip": q_webdataset_roundtrip,
     "q_card_luhn_docs": q_card_luhn_docs,
     "q_unicode_nfc_docs": q_unicode_nfc_docs,
+    "q_kmv_distinct_events": q_kmv_distinct_events,
     "q_containment_pairs": q_containment_pairs,
     "q_skipgram_pairs": q_skipgram_pairs,
     "q_kcenter_coreset": q_kcenter_coreset,
@@ -5826,6 +5840,22 @@ ORACLE_SQL = {
           FROM parts)
         SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n
         FROM canon GROUP BY canon_url ORDER BY canon_url
+    """,
+    "q_kmv_distinct_events": """
+        WITH hs AS (
+          SELECT DISTINCT CAST(('0x' || substr(md5(props), 1, 12))
+                               AS BIGINT) AS h
+          FROM events),
+        ranked AS (
+          SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM hs)
+        SELECT CAST(LEAST(n, 64) AS BIGINT) AS k_used,
+               h AS kth_hash,
+               CAST(CASE WHEN n >= 64
+                         THEN 63 * 281474976710656 // h
+                         ELSE n END AS BIGINT) AS est_distinct
+        FROM ranked WHERE rn = LEAST(n, 64)
     """,
     "q_unicode_nfc_docs": """
         WITH aug AS (

@@ -551,3 +551,24 @@ def test_luhn_card_stats_known_vectors():
     assert out["n_cands"].tolist() == [1, 1, 0, 2, 0, 0]
     assert out["n_valid"].tolist() == [1, 0, 0, 2, 0, 0]
     assert out["n_phones"].tolist() == [0, 0, 0, 0, 0, 2]
+
+
+def test_kmv_distinct_estimate_and_exact_mode():
+    import hashlib
+
+    vals = pd.DataFrame({"v": [f"item-{i}" for i in range(2000)] * 3})
+    out = ops.kmv_distinct(rd.from_pandas(vals, override_num_blocks=5),
+                           "v", k=128)
+    assert out["k_used"].iloc[0] == 128
+    est = out["est_distinct"].iloc[0]
+    assert 1500 < est < 2600            # KMV rse ~ 1/sqrt(k) ≈ 9%
+
+    # fewer distinct than k: the sketch is exact
+    small = pd.DataFrame({"v": [f"s{i % 17}" for i in range(300)]})
+    o2 = ops.kmv_distinct(rd.from_pandas(small, override_num_blocks=3),
+                          "v", k=64)
+    assert o2["k_used"].iloc[0] == 17
+    assert o2["est_distinct"].iloc[0] == 17
+    want_kth = max(int(hashlib.md5(f"s{i}".encode()).hexdigest()[:12], 16)
+                   for i in range(17))
+    assert o2["kth_hash"].iloc[0] == want_kth
