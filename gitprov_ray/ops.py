@@ -689,6 +689,56 @@ def asof_join(left_ds, right_ds, key: str, ts: str, left_cols: list[str],
             .map_groups(merge, batch_format="pandas"))
 
 
+def morton2(x: np.ndarray, y: np.ndarray, bits: int = 16) -> np.ndarray:
+    """Vectorized 2-D Morton (Z-order) code: interleave the low `bits`
+    bits of x (even positions) and y (odd positions) — one numpy pass
+    per bit, no Python loop over rows."""
+    x = np.asarray(x, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
+    z = np.zeros(len(x), dtype=np.int64)
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def zorder_layout_stats(ds, x_col: str, y_col: str, num_files: int = 8,
+                        bits: int = 16):
+    """Z-order data-layout clustering (the Delta/Iceberg OPTIMIZE
+    ZORDER primitive): assign every row a Morton code over two integer
+    dimensions, split the z-space uniformly into ``num_files`` ranges,
+    and report each file's ZONE MAP (count + min/max of BOTH
+    dimensions). Because Morton ranges are axis-aligned-ish rectangles,
+    each file covers a narrow slice of both dims simultaneously — the
+    stats this op emits are exactly what a reader uses to SKIP files on
+    either predicate at 100 TB. One partial-combine pass + a tiny
+    groupby; the data itself never re-sorts here (write_partitioned is
+    the sink that would)."""
+    shift_den = 1 << (2 * bits)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[x_col].to_numpy(dtype=np.int64) % (1 << bits)
+        y = df[y_col].to_numpy(dtype=np.int64) % (1 << bits)
+        z = morton2(x, y, bits)
+        f = z * num_files // shift_den
+        g = pd.DataFrame({"file_id": f, "x": x, "y": y})
+        return g.groupby("file_id", as_index=False).agg(
+            n=("x", "size"), min_x=("x", "min"), max_x=("x", "max"),
+            min_y=("y", "min"), max_y=("y", "max"))
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    from ray.data.aggregate import Max, Min, Sum
+    out = (parts.groupby("file_id")
+           .aggregate(Sum("n", alias_name="n"),
+                      Min("min_x", alias_name="min_x"),
+                      Max("max_x", alias_name="max_x"),
+                      Min("min_y", alias_name="min_y"),
+                      Max("max_y", alias_name="max_y")))
+    return out.map_batches(
+        lambda df: df.astype({c: "int64" for c in df.columns}),
+        batch_format="pandas").sort("file_id")
+
+
 def kmv_distinct(ds, col: str, k: int = 64):
     """K-Minimum-Values distinct-count sketch (Bar-Yossef et al. 2002):
     keep the k smallest distinct hash values of a column; with hashes

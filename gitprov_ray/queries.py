@@ -1438,6 +1438,28 @@ def q_transitive_closure(sf_dir: str):
                               num_partitions=4).sort(["s", "o"])
 
 
+def q_zorder_events(sf_dir: str):
+    """Z-order layout clustering stats (ops.zorder_layout_stats — the
+    OPTIMIZE ZORDER primitive): Morton-interleave (user_id, ts-minute)
+    into 8 z-range files and emit each file's zone map (count + min/max
+    of both dims) — the metadata a 100-TB reader uses to skip files on
+    EITHER predicate. The twin interleaves the same 16 bits via an
+    unnest/SUM bit pass."""
+    from . import ops
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame({
+            "x": df["user_id"].astype("int64").to_numpy(),
+            "y": (us // 60_000_000).to_numpy()})
+
+    return ops.zorder_layout_stats(
+        ds.map_batches(prep, batch_format="pandas"), "x", "y",
+        num_files=8)
+
+
 def q_kmv_distinct_events(sf_dir: str):
     """KMV distinct-count sketch over event props (ops.kmv_distinct,
     k=64): the k-smallest-md5-prefix sketch in exact 48-bit integer
@@ -4074,6 +4096,7 @@ QUERIES = {
     "q_card_luhn_docs": q_card_luhn_docs,
     "q_unicode_nfc_docs": q_unicode_nfc_docs,
     "q_kmv_distinct_events": q_kmv_distinct_events,
+    "q_zorder_events": q_zorder_events,
     "q_containment_pairs": q_containment_pairs,
     "q_skipgram_pairs": q_skipgram_pairs,
     "q_kcenter_coreset": q_kcenter_coreset,
@@ -5840,6 +5863,29 @@ ORACLE_SQL = {
           FROM parts)
         SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n
         FROM canon GROUP BY canon_url ORDER BY canon_url
+    """,
+    "q_zorder_events": """
+        WITH d AS (
+          SELECT event_id,
+                 (user_id % 65536) AS x,
+                 ((epoch_us(ts) // 60000000) % 65536) AS y
+          FROM events),
+        bitrows AS (
+          SELECT event_id, x, y,
+                 unnest(generate_series(0, 15)) AS i
+          FROM d),
+        zs AS (
+          SELECT event_id, MIN(x) AS x, MIN(y) AS y,
+                 SUM((((x >> i) & 1) << (2*i))
+                     + (((y >> i) & 1) << (2*i + 1))) AS z
+          FROM bitrows GROUP BY event_id)
+        SELECT CAST(z * 8 // 4294967296 AS BIGINT) AS file_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(x) AS BIGINT) AS min_x,
+               CAST(MAX(x) AS BIGINT) AS max_x,
+               CAST(MIN(y) AS BIGINT) AS min_y,
+               CAST(MAX(y) AS BIGINT) AS max_y
+        FROM zs GROUP BY z * 8 // 4294967296 ORDER BY file_id
     """,
     "q_kmv_distinct_events": """
         WITH hs AS (

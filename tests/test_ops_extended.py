@@ -572,3 +572,23 @@ def test_kmv_distinct_estimate_and_exact_mode():
     want_kth = max(int(hashlib.md5(f"s{i}".encode()).hexdigest()[:12], 16)
                    for i in range(17))
     assert o2["kth_hash"].iloc[0] == want_kth
+
+
+def test_morton2_and_zorder_zone_maps():
+    # interleave correctness on known values
+    assert ops.morton2(np.array([0b101]), np.array([0b011]))[0] == 0b011011
+    assert ops.morton2(np.array([65535]), np.array([0]))[0] == 0x55555555
+    assert ops.morton2(np.array([0]), np.array([65535]))[0] == 0xAAAAAAAA
+    # zone maps: z-range files cover narrow slices of BOTH dims
+    rng = _rng(21)
+    df = pd.DataFrame({"x": rng.integers(0, 65536, 20000),
+                       "y": rng.integers(0, 65536, 20000)})
+    st = ops.zorder_layout_stats(rd.from_pandas(df, override_num_blocks=4),
+                                 "x", "y", num_files=4).to_pandas()
+    assert st["n"].sum() == 20000
+    # 4 z-files quarter the y-range exactly (top interleaved bit is y's)
+    for _, r in st.iterrows():
+        assert (r.max_y - r.min_y) <= 65536 // 2   # each file: half y-span
+        assert (r.max_x - r.min_x) <= 65536        # x spans within bound
+    spans_y = (st["max_y"] - st["min_y"]).sum()
+    assert spans_y < 4 * 65536 * 0.55              # clustered, not random
