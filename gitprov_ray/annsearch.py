@@ -113,6 +113,64 @@ def hard_negative_topk(emb_ds, query_ids: list[int], k: int = 5,
         lambda df: _merge_topk(df, k), batch_format="pandas")
 
 
+def hamming_topk(emb_ds, query_ids: list[int], k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+    """1-bit binary-code ANN (sign quantization → Hamming ranking, the
+    64×-compression retrieval path): each vector's code is the sign bit
+    of every dimension; distance is popcount(xor(codes)), computed here
+    as the integer identity (d - s·q)/2 with ±1 sign matrices — ONE
+    int64 matmul per batch, no Python loop, and EXACT integers so the
+    DuckDB twin (zipped-unnest sign compare + SUM) matches bit-for-bit.
+    Same partial-top-k combine as brute_force_topk: query codes are
+    closure-broadcast once, each batch ships ≤ k rows per query.
+    → (query_id, rank, neighbor_id, hamming), ties → smaller id."""
+    qset = set(query_ids)
+    qdf = emb_ds.map_batches(
+        lambda df: df[df[id_col].isin(qset)],
+        batch_format="pandas").to_pandas().sort_values(id_col)
+    q_ids = qdf[id_col].to_numpy()
+    q_mat = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in qdf[vec_col]])
+    q_sign = np.where(q_mat > 0, 1, -1).astype(np.int64)
+    d = q_sign.shape[1]
+
+    def batch_ham(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in df[vec_col]])
+        s = np.where(m > 0, 1, -1).astype(np.int64)
+        ham = (d - s @ q_sign.T) // 2          # (batch, nq) popcounts
+        rows = {"query_id": [], "neighbor_id": [], "hamming": []}
+        for qi, qid in enumerate(q_ids):
+            mask = ids != qid                   # exclude self
+            cand_ids, cand_h = ids[mask], ham[mask, qi]
+            if len(cand_ids) > k:
+                # integer distances tie constantly: the local cut must
+                # apply the GLOBAL (hamming, id) tie-break or a batch
+                # can drop a smaller-id candidate that outranks its kth
+                order = np.lexsort((cand_ids, cand_h))[:k]
+                cand_ids, cand_h = cand_ids[order], cand_h[order]
+            rows["query_id"].extend([qid] * len(cand_ids))
+            rows["neighbor_id"].extend(cand_ids.tolist())
+            rows["hamming"].extend(cand_h.tolist())
+        return pd.DataFrame({
+            "query_id": pd.Series(rows["query_id"], dtype="int64"),
+            "neighbor_id": pd.Series(rows["neighbor_id"], dtype="int64"),
+            "hamming": pd.Series(rows["hamming"], dtype="int64")})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["hamming", "neighbor_id"],
+                            ascending=[True, True],
+                            kind="mergesort").head(k).reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype="int64")
+        return df[["query_id", "rank", "neighbor_id", "hamming"]]
+
+    partials = emb_ds.map_batches(batch_ham, batch_format="pandas",
+                                  batch_size=4096)
+    return partials.groupby("query_id").map_groups(
+        merge, batch_format="pandas")
+
+
 def _hyperplanes(dim: int, n_planes: int = _N_PLANES) -> np.ndarray:
     """Deterministic Rademacher (±1) hyperplanes derived from md5 — the
     sign-random-projection family (Charikar's SimHash). ±1 entries keep

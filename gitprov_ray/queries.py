@@ -1438,6 +1438,16 @@ def q_transitive_closure(sf_dir: str):
                               num_partitions=4).sort(["s", "o"])
 
 
+def q_ann_hamming_topk(sf_dir: str):
+    """1-bit binary-code ANN (annsearch.hamming_topk): sign-quantized
+    embeddings ranked by exact Hamming distance via a ±1 int matmul —
+    the 64×-compressed retrieval baseline alongside SQ8/PQ. Integer
+    distances make the twin exact (zipped unnest + sign compare)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return annsearch.hamming_topk(ds, query_ids=[0, 1, 2, 3, 4], k=5) \
+        .sort(["query_id", "rank"])
+
+
 def q_zorder_events(sf_dir: str):
     """Z-order layout clustering stats (ops.zorder_layout_stats — the
     OPTIMIZE ZORDER primitive): Morton-interleave (user_id, ts-minute)
@@ -4097,6 +4107,7 @@ QUERIES = {
     "q_unicode_nfc_docs": q_unicode_nfc_docs,
     "q_kmv_distinct_events": q_kmv_distinct_events,
     "q_zorder_events": q_zorder_events,
+    "q_ann_hamming_topk": q_ann_hamming_topk,
     "q_containment_pairs": q_containment_pairs,
     "q_skipgram_pairs": q_skipgram_pairs,
     "q_kcenter_coreset": q_kcenter_coreset,
@@ -5863,6 +5874,29 @@ ORACLE_SQL = {
           FROM parts)
         SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n
         FROM canon GROUP BY canon_url ORDER BY canon_url
+    """,
+    "q_ann_hamming_topk": """
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qe
+          FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+        zipped AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 unnest(q.qe) AS qv, unnest(e.embedding) AS ev
+          FROM q CROSS JOIN embeddings e
+          WHERE e.vec_id <> q.query_id),
+        d AS (
+          SELECT query_id, neighbor_id,
+                 CAST(SUM(CASE WHEN (qv > 0) <> (ev > 0)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+          FROM zipped GROUP BY query_id, neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, hamming,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY hamming, neighbor_id) AS rk
+          FROM d)
+        SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
+               hamming
+        FROM ranked WHERE rk <= 5 ORDER BY query_id, rank
     """,
     "q_zorder_events": """
         WITH d AS (

@@ -592,3 +592,26 @@ def test_morton2_and_zorder_zone_maps():
         assert (r.max_x - r.min_x) <= 65536        # x spans within bound
     spans_y = (st["max_y"] - st["min_y"]).sum()
     assert spans_y < 4 * 65536 * 0.55              # clustered, not random
+
+
+def test_hamming_topk_matches_bruteforce():
+    from gitprov_ray import annsearch
+
+    rng = _rng(31)
+    m = rng.normal(size=(300, 32)).astype(np.float32)
+    emb = pd.DataFrame({"vec_id": np.arange(300, dtype="int64"),
+                        "embedding": [v for v in m]})
+    got = (annsearch.hamming_topk(
+        rd.from_pandas(emb, override_num_blocks=5), [0, 7], k=4)
+        .to_pandas().sort_values(["query_id", "rank"])
+        .reset_index(drop=True))
+
+    bits = m > 0
+    for qid in (0, 7):
+        ham = (bits != bits[qid]).sum(axis=1)
+        cand = pd.DataFrame({"id": np.arange(300), "h": ham})
+        cand = cand[cand["id"] != qid].sort_values(
+            ["h", "id"], kind="mergesort").head(4)
+        sub = got[got["query_id"] == qid]
+        assert sub["neighbor_id"].tolist() == cand["id"].tolist()
+        assert sub["hamming"].tolist() == cand["h"].tolist()
