@@ -651,6 +651,53 @@ Disallow: /
 """
 
 
+def _robots_paths(d: pd.Series) -> pd.Series:
+    """Deterministic per-doc URL paths (the robots-twin injection) —
+    shared by q_robots_filter_docs and the composed curation query."""
+    v = (d % 6).to_numpy()
+    ids = d.astype(str)
+    return pd.Series(np.select(
+        [v == 0, v == 1, v == 2, v == 3, v == 4],
+        ["/private/doc" + ids, "/private/pub/doc" + ids,
+         "/cache/doc" + ids + ".tmp", "/search/about",
+         "/search/q" + ids],
+        default="/docs/doc" + ids), index=d.index)
+
+
+def _gopher_aug(d: pd.Series, t: pd.Series) -> pd.Series:
+    """Deterministic Gopher-gate line injection (twin-mirrored) —
+    shared by q_gopher_filter_docs and the composed curation query."""
+    def inj(cond, s):
+        return pd.Series(np.where(cond, s, ""), index=t.index)
+
+    reg = d % 16 != 0              # the bullet-heavy class stands alone
+    return (t
+            + inj(reg & (d % 5 != 0),
+                  "\nGood words of and to that with here.")
+            + inj(reg & (d % 4 == 0),
+                  "\n- item one\n- item two\n- item three")
+            + inj(reg & (d % 6 == 0),
+                  "\nwell then a trailing thought...")
+            + inj(reg & (d % 7 == 0), "\n# # # ## # ## ##")
+            + inj(reg & (d % 9 == 0), "\nrepeat line\nrepeat line")
+            + inj(d % 16 == 0,
+                  "".join("\n- bullet row %d here" % k
+                          for k in range(10)))
+            + inj(d % 16 == 8, "\n" + "a " * 79 + "a"))
+
+
+def _card_aug(d: pd.Series, t: pd.Series) -> pd.Series:
+    """Deterministic PAN/phone injection (twin-mirrored) — shared by
+    q_card_luhn_docs and the composed curation query."""
+    card = ("4" + (d * 37 % 10**14).astype(str).str.zfill(14)
+            + (d % 10).astype(str))
+    phone = pd.Series(np.where(
+        d % 3 != 0,
+        "+1-555-" + (100 + d % 900).astype(str) + "-"
+        + (1000 + d % 9000).astype(str), ""), index=t.index)
+    return t + " card " + card + " ref 1234567 " + phone
+
+
 def q_robots_filter_docs(sf_dir: str):
     """robots.txt URL filtering (RFC 9309), the crawl-politeness gate of
     a web pipeline: parse the agent's rule group once on the driver,
@@ -670,14 +717,7 @@ def q_robots_filter_docs(sf_dir: str):
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         d = df["doc_id"].astype("int64")
-        v = (d % 6).to_numpy()
-        ids = d.astype(str)
-        path = pd.Series(np.select(
-            [v == 0, v == 1, v == 2, v == 3, v == 4],
-            ["/private/doc" + ids, "/private/pub/doc" + ids,
-             "/cache/doc" + ids + ".tmp", "/search/about",
-             "/search/q" + ids],
-            default="/docs/doc" + ids), index=df.index)
+        path = _robots_paths(d)
         allowed, rule_len = match_paths_vec(path, rules)
         return pd.DataFrame({"doc_id": d.to_numpy(),
                              "path": path.to_numpy(),
@@ -1438,6 +1478,36 @@ def q_transitive_closure(sf_dir: str):
                               num_partitions=4).sort(["s", "o"])
 
 
+def q_web_curation_docs(sf_dir: str):
+    """The composed web-curation gate — robots.txt politeness AND
+    Gopher quality AND PII-clean (no Luhn-valid card) — evaluated in
+    ONE stateless streaming pass per batch (all three stage functions
+    are maps sharing the same injection contracts as their standalone
+    twins), zero shuffles before the presentation sort. This is the
+    shape a 100-TB crawl filter actually runs: gates fuse into a
+    single map_batches, not a join of three passes. The twin composes
+    the three standalone oracle SQLs as CTE subqueries."""
+    from .robots import RobotsMatcher, match_paths_vec
+
+    rules = RobotsMatcher(_ROBOTS_TXT, "gitprovbot/1.0").rules
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].astype("int64").reset_index(drop=True)
+        t = df["text"].fillna("").reset_index(drop=True)
+        lang = df["lang"].reset_index(drop=True)
+        allowed, _ = match_paths_vec(_robots_paths(d), rules)
+        gopher = textops.gopher_stats(_gopher_aug(d, t))["gopher_pass"] \
+            .to_numpy()
+        clean = textops.luhn_card_stats(_card_aug(d, t))["n_valid"] \
+            .to_numpy() == 0
+        keep = allowed & gopher & clean
+        return pd.DataFrame({"doc_id": d[keep].to_numpy(),
+                             "lang": lang[keep].to_numpy()})
+
+    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+
+
 def q_ann_hamming_topk(sf_dir: str):
     """1-bit binary-code ANN (annsearch.hamming_topk): sign-quantized
     embeddings ranked by exact Hamming distance via a ±1 int matmul —
@@ -1530,14 +1600,7 @@ def q_card_luhn_docs(sf_dir: str):
     def f(df: pd.DataFrame) -> pd.DataFrame:
         d = df["doc_id"].astype("int64").reset_index(drop=True)
         t = df["text"].fillna("").reset_index(drop=True)
-        card = ("4" + (d * 37 % 10**14).astype(str).str.zfill(14)
-                + (d % 10).astype(str))
-        phone = pd.Series(np.where(
-            d % 3 != 0,
-            "+1-555-" + (100 + d % 900).astype(str) + "-"
-            + (1000 + d % 9000).astype(str), ""), index=t.index)
-        aug = t + " card " + card + " ref 1234567 " + phone
-        out = textops.luhn_card_stats(aug)
+        out = textops.luhn_card_stats(_card_aug(d, t))
         out.insert(0, "doc_id", d.to_numpy())
         return out
 
@@ -3436,25 +3499,7 @@ def q_gopher_filter_docs(sf_dir: str):
     def f(df: pd.DataFrame) -> pd.DataFrame:
         d = df["doc_id"].astype("int64").reset_index(drop=True)
         t = df["text"].fillna("").reset_index(drop=True)
-
-        def inj(cond, s):
-            return pd.Series(np.where(cond, s, ""), index=t.index)
-
-        reg = d % 16 != 0              # the bullet-heavy class stands alone
-        aug = (t
-               + inj(reg & (d % 5 != 0),
-                     "\nGood words of and to that with here.")
-               + inj(reg & (d % 4 == 0),
-                     "\n- item one\n- item two\n- item three")
-               + inj(reg & (d % 6 == 0),
-                     "\nwell then a trailing thought...")
-               + inj(reg & (d % 7 == 0), "\n# # # ## # ## ##")
-               + inj(reg & (d % 9 == 0), "\nrepeat line\nrepeat line")
-               + inj(d % 16 == 0,
-                     "".join("\n- bullet row %d here" % k
-                             for k in range(10)))
-               + inj(d % 16 == 8, "\n" + "a " * 79 + "a"))
-        out = textops.gopher_stats(aug)
+        out = textops.gopher_stats(_gopher_aug(d, t))
         out.insert(0, "doc_id", d.to_numpy())
         return out
 
@@ -4108,6 +4153,7 @@ QUERIES = {
     "q_kmv_distinct_events": q_kmv_distinct_events,
     "q_zorder_events": q_zorder_events,
     "q_ann_hamming_topk": q_ann_hamming_topk,
+    "q_web_curation_docs": q_web_curation_docs,
     "q_containment_pairs": q_containment_pairs,
     "q_skipgram_pairs": q_skipgram_pairs,
     "q_kcenter_coreset": q_kcenter_coreset,
@@ -6905,3 +6951,16 @@ SELECT doc_id, t AS extracted,
        CAST((len(string_split(t, chr(10))) + 4) // 5 AS BIGINT) AS n_pages,
        CAST(length(t) AS BIGINT) AS n_chars
 FROM d ORDER BY doc_id"""
+
+# The composed curation twin derives from the three standalone twins by
+# CTE composition, so engine and oracle stay in lockstep by construction
+ORACLE_SQL["q_web_curation_docs"] = f"""
+    WITH g AS ({ORACLE_SQL["q_gopher_filter_docs"]}),
+         r AS ({ORACLE_SQL["q_robots_filter_docs"]}),
+         c AS ({ORACLE_SQL["q_card_luhn_docs"]})
+    SELECT g.doc_id, d.lang
+    FROM g JOIN r USING (doc_id) JOIN c USING (doc_id)
+         JOIN documents d USING (doc_id)
+    WHERE g.gopher_pass AND r.allowed AND c.n_valid = 0
+    ORDER BY g.doc_id
+"""
