@@ -1478,6 +1478,72 @@ def q_transitive_closure(sf_dir: str):
                               num_partitions=4).sort(["s", "o"])
 
 
+def q_ip_range_lookup_events(sf_dir: str):
+    """CIDR-style IP-range lookup (the GeoIP enrichment op): derive a
+    deterministic uint32 ip per event, then point-in-interval lookup
+    against a 16-range network table — the table is tiny and ships in
+    the closure (ray.put-equivalent broadcast); each batch does ONE
+    numpy searchsorted over the sorted range starts, never a shuffle.
+    Half the address space is uncovered so NULL enrichment is
+    exercised. Twin: LEFT JOIN ON ip BETWEEN lo AND hi."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+    los = np.arange(16, dtype=np.int64) << 28
+    his = los + (1 << 27) - 1
+    labels = np.array([f"net-{i}" for i in range(16)], dtype=object)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        e = df["event_id"].astype("int64").to_numpy()
+        u = df["user_id"].astype("int64").to_numpy()
+        ip = (u * 2654435761 + e * 40503) % (1 << 32)
+        idx = np.clip(np.searchsorted(los, ip, side="right") - 1, 0, 15)
+        ok = ip <= his[idx]
+        lab = np.where(ok, labels[idx], None)
+        return pd.DataFrame({"event_id": e, "ip": ip.astype("int64"),
+                             "label": lab})
+
+    return ds.map_batches(f, batch_format="pandas").sort("event_id")
+
+
+def q_scd2_events(sf_dir: str):
+    """SCD Type-2 dimension history build (the warehouse
+    slowly-changing-dimension op): per user, collapse consecutive
+    equal event_type states and emit validity intervals
+    (valid_from, valid_to, is_current) — valid_to = the next CHANGE's
+    timestamp, NULL while current. ONE stable-bucket shuffle on
+    user_id, then a fully vectorized shift-compare inside each bucket
+    (no per-user Python loop); the twin is the LAG-change-filter +
+    LEAD-interval window pattern."""
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["user_id"].astype(str)
+        return df.assign(bucket=stable_bucket(k, k, 32))
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        change = ((df["user_id"] != df["user_id"].shift())
+                  | (df["event_type"] != df["event_type"].shift()))
+        g = df[change].copy()
+        same_next = g["user_id"].shift(-1) == g["user_id"]
+        g["valid_to"] = g["ts"].shift(-1).where(same_next)
+        return pd.DataFrame({
+            "user_id": g["user_id"].astype("int64").to_numpy(),
+            "event_id": g["event_id"].astype("int64").to_numpy(),
+            "state": g["event_type"].to_numpy(),
+            "valid_from": g["ts"].to_numpy(),
+            "valid_to": g["valid_to"].to_numpy(),
+            "is_current": (~same_next).to_numpy()})
+
+    return (ds.map_batches(tag, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(build, batch_format="pandas")
+            .sort(["user_id", "valid_from"]))
+
+
 def q_web_curation_docs(sf_dir: str):
     """The composed web-curation gate — robots.txt politeness AND
     Gopher quality AND PII-clean (no Luhn-valid card) — evaluated in
@@ -4154,6 +4220,8 @@ QUERIES = {
     "q_zorder_events": q_zorder_events,
     "q_ann_hamming_topk": q_ann_hamming_topk,
     "q_web_curation_docs": q_web_curation_docs,
+    "q_scd2_events": q_scd2_events,
+    "q_ip_range_lookup_events": q_ip_range_lookup_events,
     "q_containment_pairs": q_containment_pairs,
     "q_skipgram_pairs": q_skipgram_pairs,
     "q_kcenter_coreset": q_kcenter_coreset,
@@ -5920,6 +5988,40 @@ ORACLE_SQL = {
           FROM parts)
         SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n
         FROM canon GROUP BY canon_url ORDER BY canon_url
+    """,
+    "q_ip_range_lookup_events": """
+        WITH ips AS (
+          SELECT event_id,
+                 (user_id * 2654435761 + event_id * 40503)
+                     % 4294967296 AS ip
+          FROM events),
+        r AS (
+          SELECT CAST(i * 268435456 AS BIGINT) AS lo,
+                 CAST(i * 268435456 + 134217727 AS BIGINT) AS hi,
+                 'net-' || i AS label
+          FROM (SELECT unnest(generate_series(0, 15)) AS i))
+        SELECT i.event_id, i.ip, r.label
+        FROM ips i LEFT JOIN r ON i.ip BETWEEN r.lo AND r.hi
+        ORDER BY i.event_id
+    """,
+    "q_scd2_events": """
+        WITH o AS (
+          SELECT user_id, event_type, ts, event_id,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM events),
+        ch AS (
+          SELECT user_id, event_id, event_type AS state,
+                 ts AS valid_from
+          FROM o WHERE prev IS NULL OR prev <> event_type),
+        fin AS (
+          SELECT user_id, event_id, state, valid_from,
+                 LEAD(valid_from) OVER (PARTITION BY user_id
+                         ORDER BY valid_from, event_id) AS valid_to
+          FROM ch)
+        SELECT user_id, event_id, state, valid_from, valid_to,
+               (valid_to IS NULL) AS is_current
+        FROM fin ORDER BY user_id, valid_from
     """,
     "q_ann_hamming_topk": """
         WITH q AS (
