@@ -1478,6 +1478,60 @@ def q_transitive_closure(sf_dir: str):
                               num_partitions=4).sort(["s", "o"])
 
 
+def q_exif_roundtrip_docs(sf_dir: str):
+    """EXIF metadata roundtrip (exif.py): per doc a REAL JPEG gets a
+    REAL APP1/TIFF-IFD EXIF block (camera fields + GPS rationals
+    derived arithmetically from doc_id), which the engine's own parser
+    extracts back — so the oracle pins the whole byte path (marker
+    walk, IFD offsets, rational math, signed GPS collapse), not a
+    lookup table. GPS is omitted for doc_id%4==0 (sentinel -10^9,
+    keeping the column int64). One shared 8x8 baseline JPEG ships in
+    the closure; per-row work is EXIF build+parse only."""
+    from . import exif, jpegcodec
+
+    base_jpeg = jpegcodec.encode_jpeg_baseline(
+        np.arange(64, dtype=np.uint8).reshape(8, 8) * 3, quality=90)
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for i in df["doc_id"].astype("int64"):
+            i = int(i)
+            gps = {}
+            if i % 4 != 0:
+                gps = dict(
+                    lat=((i % 90, 1), (i % 60, 1), ((i * 7) % 6000, 100)),
+                    lat_ref="S" if i % 2 else "N",
+                    lon=((i % 180, 1), ((i * 3) % 60, 1),
+                         ((i * 11) % 6000, 100)),
+                    lon_ref="W" if i % 3 == 0 else "E")
+            app1 = exif.build_app1(
+                make=f"Cam{i % 5}", model=f"M{i % 3}",
+                orientation=1 + i % 8, iso=100 + (i % 32) * 25,
+                exposure=(1, 50 + i % 200),
+                fnumber=(28 + i % 50, 10), pixel_x=8, pixel_y=8, **gps)
+            meta = exif.parse_exif(exif.insert_app1(base_jpeg, app1))
+            rows.append({
+                "doc_id": i, "make": meta["make"],
+                "model": meta["model"],
+                "orientation": meta["orientation"], "iso": meta["iso"],
+                "exposure_den": meta["exposure_den"],
+                "fnumber_tenths": meta["fnumber_tenths"],
+                "lat_milli": (meta["lat_milli"]
+                              if meta["lat_milli"] is not None
+                              else -10**9),
+                "lon_milli": (meta["lon_milli"]
+                              if meta["lon_milli"] is not None
+                              else -10**9)})
+        out = pd.DataFrame(rows)
+        for c in ["doc_id", "orientation", "iso", "exposure_den",
+                  "fnumber_tenths", "lat_milli", "lon_milli"]:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+
+
 def q_ip_range_lookup_events(sf_dir: str):
     """CIDR-style IP-range lookup (the GeoIP enrichment op): derive a
     deterministic uint32 ip per event, then point-in-interval lookup
@@ -4222,6 +4276,7 @@ QUERIES = {
     "q_web_curation_docs": q_web_curation_docs,
     "q_scd2_events": q_scd2_events,
     "q_ip_range_lookup_events": q_ip_range_lookup_events,
+    "q_exif_roundtrip_docs": q_exif_roundtrip_docs,
     "q_containment_pairs": q_containment_pairs,
     "q_skipgram_pairs": q_skipgram_pairs,
     "q_kcenter_coreset": q_kcenter_coreset,
@@ -5988,6 +6043,28 @@ ORACLE_SQL = {
           FROM parts)
         SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n
         FROM canon GROUP BY canon_url ORDER BY canon_url
+    """,
+    "q_exif_roundtrip_docs": """
+        SELECT doc_id,
+               'Cam' || (doc_id % 5) AS make,
+               'M' || (doc_id % 3) AS model,
+               CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+               CAST(100 + (doc_id % 32) * 25 AS BIGINT) AS iso,
+               CAST(50 + doc_id % 200 AS BIGINT) AS exposure_den,
+               CAST(28 + doc_id % 50 AS BIGINT) AS fnumber_tenths,
+               CAST(CASE WHEN doc_id % 4 = 0 THEN -1000000000
+                    ELSE (CASE WHEN doc_id % 2 = 1 THEN -1 ELSE 1 END)
+                         * ((doc_id % 90) * 3600000
+                            + (doc_id % 60) * 60000
+                            + ((doc_id * 7) % 6000) * 10)
+                    END AS BIGINT) AS lat_milli,
+               CAST(CASE WHEN doc_id % 4 = 0 THEN -1000000000
+                    ELSE (CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END)
+                         * ((doc_id % 180) * 3600000
+                            + ((doc_id * 3) % 60) * 60000
+                            + ((doc_id * 11) % 6000) * 10)
+                    END AS BIGINT) AS lon_milli
+        FROM documents ORDER BY doc_id
     """,
     "q_ip_range_lookup_events": """
         WITH ips AS (
