@@ -1478,6 +1478,42 @@ def q_transitive_closure(sf_dir: str):
                               num_partitions=4).sort(["s", "o"])
 
 
+def q_subtitle_stats_docs(sf_dir: str):
+    """Subtitle/caption parsing roundtrip (subtitles.py): per doc a
+    3-cue caption file is WRITTEN in a real format (SRT for even ids,
+    WebVTT for odd — both parsers exercised) and parsed back; the
+    integer-ms cue stats the twin reproduces arithmetically pin the
+    timestamp grammar, cue framing and text carry of both formats.
+    Stateless map, zero shuffles."""
+    from . import subtitles as st
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for i in df["doc_id"].astype("int64"):
+            i = int(i)
+            dur = 1500 + i % 500
+            cues = [{"idx": j + 1,
+                     "start_ms": (i % 3600) * 1000 + j * 2000,
+                     "end_ms": (i % 3600) * 1000 + j * 2000 + dur,
+                     "text": f"cue {i}-{j}"} for j in range(3)]
+            if i % 2 == 0:
+                back = st.parse_srt(st.write_srt(cues))
+            else:
+                back = st.parse_vtt(st.write_vtt(cues))
+            rows.append({
+                "doc_id": i, "n_cues": len(back),
+                "first_start_ms": back[0]["start_ms"],
+                "last_end_ms": back[-1]["end_ms"],
+                "total_dur_ms": sum(c["end_ms"] - c["start_ms"]
+                                    for c in back),
+                "text_chars": sum(len(c["text"]) for c in back)})
+        return pd.DataFrame(rows).astype("int64")
+
+    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+
+
 def q_exif_roundtrip_docs(sf_dir: str):
     """EXIF metadata roundtrip (exif.py): per doc a REAL JPEG gets a
     REAL APP1/TIFF-IFD EXIF block (camera fields + GPS rationals
@@ -4277,6 +4313,7 @@ QUERIES = {
     "q_scd2_events": q_scd2_events,
     "q_ip_range_lookup_events": q_ip_range_lookup_events,
     "q_exif_roundtrip_docs": q_exif_roundtrip_docs,
+    "q_subtitle_stats_docs": q_subtitle_stats_docs,
     "q_containment_pairs": q_containment_pairs,
     "q_skipgram_pairs": q_skipgram_pairs,
     "q_kcenter_coreset": q_kcenter_coreset,
@@ -6043,6 +6080,18 @@ ORACLE_SQL = {
           FROM parts)
         SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n
         FROM canon GROUP BY canon_url ORDER BY canon_url
+    """,
+    "q_subtitle_stats_docs": """
+        SELECT doc_id,
+               CAST(3 AS BIGINT) AS n_cues,
+               CAST((doc_id % 3600) * 1000 AS BIGINT) AS first_start_ms,
+               CAST((doc_id % 3600) * 1000 + 4000
+                    + 1500 + doc_id % 500 AS BIGINT) AS last_end_ms,
+               CAST(3 * (1500 + doc_id % 500) AS BIGINT)
+                   AS total_dur_ms,
+               CAST(3 * (6 + length(CAST(doc_id AS VARCHAR)))
+                    AS BIGINT) AS text_chars
+        FROM documents ORDER BY doc_id
     """,
     "q_exif_roundtrip_docs": """
         SELECT doc_id,
