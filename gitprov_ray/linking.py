@@ -1447,3 +1447,75 @@ def dup_span_stats(ds, id_col: str = "doc_id", text_col: str = "text",
             .groupby("bucket")
             .map_groups(lambda df: per_doc(df.drop(columns=["bucket"])),
                         batch_format="pandas"))
+
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+def simhash_neardup_pairs(ds, max_hamming: int = 3,
+                          num_buckets: int = 64):
+    """SimHash near-duplicate pairs (Charikar 2002; the banded blocking
+    is Manku et al. 2007's pigeonhole: hamming <= 3 over 64 bits forces
+    at least one of the 4 16-bit bands to match exactly). Shape: one
+    signature map, band rows through ONE stable-bucket exchange, exact
+    Hamming verify inside each (band, sub) group via a uint8 XOR +
+    popcount-table pass; a pair is emitted ONCE — by its FIRST equal
+    band (the minhash emit-once trick), so no downstream dedup shuffle
+    is needed. Hamming <= max_hamming (default 3) IS the pair
+    predicate; the band prefilter is lossless for it.
+    → (a, b, hamming) with a < b."""
+    from . import textops
+    from .stages.versions import stable_bucket
+
+    def sig(df: pd.DataFrame) -> pd.DataFrame:
+        h = textops.simhash64(df["text"])
+        parts = []
+        for band in range(4):
+            parts.append(pd.DataFrame({
+                "doc_id": df["doc_id"].astype("int64").to_numpy(),
+                "hex": h.to_numpy(),
+                "band": np.int64(band),
+                "sub": h.str.slice(band * 4, band * 4 + 4).to_numpy()}))
+        r = pd.concat(parts, ignore_index=True)
+        key = r["band"].astype(str) + ":" + r["sub"].astype(str)
+        r["bucket"] = stable_bucket(key, key, num_buckets)
+        return r
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        res_a: list = []
+        res_b: list = []
+        res_h: list = []
+        for (band, _sub), g in df.groupby(["band", "sub"], sort=False):
+            if len(g) < 2:
+                continue
+            g = g.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = g["doc_id"].to_numpy()
+            hexes = g["hex"].to_numpy()
+            m = len(ids)
+            if m < 2:
+                continue
+            by = np.frombuffer(bytes.fromhex("".join(hexes)),
+                               dtype=np.uint8).reshape(m, 8)
+            ham = _POP8[by[:, None, :] ^ by[None, :, :]].sum(axis=2)
+            iu, ju = np.triu_indices(m, 1)
+            ok = ham[iu, ju] <= max_hamming
+            ai, bi, hv = iu[ok], ju[ok], ham[iu, ju][ok]
+            if not len(ai):
+                continue
+            # emit once: only if this band is the first equal band
+            keep = np.zeros(len(ai), dtype=bool)
+            for p in range(len(ai)):
+                x, y = hexes[ai[p]], hexes[bi[p]]
+                first = next(bb for bb in range(4)
+                             if x[bb*4:bb*4+4] == y[bb*4:bb*4+4])
+                keep[p] = first == band
+            res_a.extend(ids[ai[keep]].tolist())
+            res_b.extend(ids[bi[keep]].tolist())
+            res_h.extend(hv[keep].tolist())
+        return pd.DataFrame({"a": pd.Series(res_a, dtype="int64"),
+                             "b": pd.Series(res_b, dtype="int64"),
+                             "hamming": pd.Series(res_h, dtype="int64")})
+
+    return (ds.map_batches(sig, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(pairs, batch_format="pandas"))

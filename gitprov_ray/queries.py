@@ -1478,6 +1478,32 @@ def q_transitive_closure(sf_dir: str):
                               num_partitions=4).sort(["s", "o"])
 
 
+def q_simhash_neardup_pairs(sf_dir: str):
+    """SimHash near-duplicate pairs (linking.simhash_neardup_pairs —
+    Charikar bits + Manku-style 4x16 band blocking, lossless for
+    hamming<=3 by pigeonhole): planted near-dup pairs (doc_id%20 in
+    {0,1} share a 30-token anchor differing in ONE token; the group id
+    repeats 3x so cross-group hamming stays high) ride the same
+    signature both engine- and twin-side — the twin derives simhash
+    from the q_simhash_docs SQL by CTE surgery and verifies hamming
+    with a nibble-popcount table over ALL band-colliding pairs."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def aug(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].astype("int64").reset_index(drop=True)
+        t = df["text"].fillna("").reset_index(drop=True)
+        g = (d // 20).astype(str)
+        planted = ("anchor seq alpha beta gamma delta " * 5
+                   + "tail" + (d % 20).astype(str)
+                   + " grp" + g + " grp" + g + " grp" + g)
+        return pd.DataFrame({"doc_id": d.to_numpy(),
+                             "text": np.where((d % 20) < 2, planted, t)})
+
+    out = linking.simhash_neardup_pairs(
+        ds.map_batches(aug, batch_format="pandas"))
+    return out.sort(["a", "b"])
+
+
 def q_subtitle_stats_docs(sf_dir: str):
     """Subtitle/caption parsing roundtrip (subtitles.py): per doc a
     3-cue caption file is WRITTEN in a real format (SRT for even ids,
@@ -4314,6 +4340,7 @@ QUERIES = {
     "q_ip_range_lookup_events": q_ip_range_lookup_events,
     "q_exif_roundtrip_docs": q_exif_roundtrip_docs,
     "q_subtitle_stats_docs": q_subtitle_stats_docs,
+    "q_simhash_neardup_pairs": q_simhash_neardup_pairs,
     "q_containment_pairs": q_containment_pairs,
     "q_skipgram_pairs": q_skipgram_pairs,
     "q_kcenter_coreset": q_kcenter_coreset,
@@ -7191,4 +7218,48 @@ ORACLE_SQL["q_web_curation_docs"] = f"""
          JOIN documents d USING (doc_id)
     WHERE g.gopher_pass AND r.allowed AND c.n_valid = 0
     ORDER BY g.doc_id
+"""
+
+# SimHash pairs twin: the signature derives from the q_simhash_docs SQL
+# by CTE surgery (aug text replaces the raw column), the verify is an
+# exact nibble-popcount over band-colliding pairs — lossless for
+# hamming<=3 by the 4x16 pigeonhole.
+_SIM_OVER_AUG = ORACLE_SQL["q_simhash_docs"] \
+    .replace("COALESCE(text,'')", "t") \
+    .replace("FROM documents)", "FROM aug)") \
+    .replace("(SELECT doc_id FROM documents) d0",
+             "(SELECT doc_id FROM aug) d0")
+ORACLE_SQL["q_simhash_neardup_pairs"] = f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 20 < 2 THEN
+               repeat('anchor seq alpha beta gamma delta ', 5)
+               || 'tail' || (doc_id % 20)
+               || ' grp' || (doc_id // 20) || ' grp' || (doc_id // 20)
+               || ' grp' || (doc_id // 20)
+             ELSE COALESCE(text,'') END AS t
+      FROM documents),
+    sim AS ({_SIM_OVER_AUG}),
+    cand AS (
+      SELECT x.doc_id AS a, y.doc_id AS b,
+             x.simhash_hex AS ha, y.simhash_hex AS hb
+      FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+       AND (substr(x.simhash_hex, 1, 4) = substr(y.simhash_hex, 1, 4)
+         OR substr(x.simhash_hex, 5, 4) = substr(y.simhash_hex, 5, 4)
+         OR substr(x.simhash_hex, 9, 4) = substr(y.simhash_hex, 9, 4)
+         OR substr(x.simhash_hex, 13, 4)
+              = substr(y.simhash_hex, 13, 4))),
+    nib AS (
+      SELECT a, b, ha, hb, unnest(generate_series(1, 16)) AS i
+      FROM cand),
+    hh AS (
+      SELECT a, b,
+             CAST(SUM(CAST(substr('0112122312232334',
+                  CAST(xor(strpos('0123456789abcdef', substr(ha, i, 1))
+                             - 1,
+                           strpos('0123456789abcdef', substr(hb, i, 1))
+                             - 1) AS INT) + 1, 1) AS BIGINT))
+                  AS BIGINT) AS hamming
+      FROM nib GROUP BY a, b)
+    SELECT a, b, hamming FROM hh WHERE hamming <= 3 ORDER BY a, b
 """

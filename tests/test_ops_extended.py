@@ -615,3 +615,29 @@ def test_hamming_topk_matches_bruteforce():
         sub = got[got["query_id"] == qid]
         assert sub["neighbor_id"].tolist() == cand["id"].tolist()
         assert sub["hamming"].tolist() == cand["h"].tolist()
+
+
+def test_simhash_neardup_pairs_planted():
+    from gitprov_ray import linking, textops
+
+    anchor = "alpha beta gamma delta epsilon zeta " * 8
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype="int64"),
+        "text": [anchor + "tail0", anchor + "tail1",    # near-dup pair
+                 "totally different words here one",
+                 "and another unrelated doc two",
+                 anchor + "tail0",                       # exact dup of 0
+                 "more unrelated filler text three"]})
+    got = (linking.simhash_neardup_pairs(
+        rd.from_pandas(docs, override_num_blocks=3), max_hamming=3)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    pairs = set(zip(got["a"], got["b"]))
+    assert (0, 4) in pairs                    # exact dup: hamming 0
+    h = textops.simhash64(docs["text"])
+    ham01 = bin(int(h[0], 16) ^ int(h[1], 16)).count("1")
+    assert ((0, 1) in pairs) == (ham01 <= 3)
+    assert ((1, 4) in pairs) == (ham01 <= 3)  # same signature as 0
+    # no duplicates from multi-band collisions (emit-once)
+    assert len(got) == len(pairs)
+    hz = got.set_index(["a", "b"])["hamming"]
+    assert hz.loc[(0, 4)] == 0
