@@ -1478,6 +1478,35 @@ def q_transitive_closure(sf_dir: str):
                               num_partitions=4).sort(["s", "o"])
 
 
+def q_mojibake_fix_docs(sf_dir: str):
+    """Double-encoded-UTF-8 repair (textops.fix_mojibake, the ftfy core
+    move): even docs get a mojibake suffix (caf + U+00C3 U+00A9 — the
+    latin-1 misreading of UTF-8 e-acute) that the GENERIC
+    encode-latin1/decode-utf8 repair must fix; odd docs get the already
+    -clean suffix whose lone U+00E9 must survive untouched (the repair
+    self-guards: a bare 0xE9 byte is invalid UTF-8). The twin replays
+    the arithmetic outcome — identical post-lengths and tails only hold
+    if the repair fired exactly on the even class."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].astype("int64").reset_index(drop=True)
+        t = df["text"].fillna("").reset_index(drop=True)
+        suffix = pd.Series(np.where(d % 2 == 0,
+                                    " moji cafÃ© fin",
+                                    " moji café fin"),
+                           index=t.index)
+        out = textops.fix_mojibake(t + suffix)
+        fixed = out["fixed_text"]
+        return pd.DataFrame({
+            "doc_id": d.to_numpy(),
+            "was_fixed": out["was_fixed"].to_numpy(),
+            "post_len": fixed.str.len().astype("int64"),
+            "tail": fixed.str[-10:]})
+
+    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+
+
 def q_simhash_neardup_pairs(sf_dir: str):
     """SimHash near-duplicate pairs (linking.simhash_neardup_pairs —
     Charikar bits + Manku-style 4x16 band blocking, lossless for
@@ -4341,6 +4370,7 @@ QUERIES = {
     "q_exif_roundtrip_docs": q_exif_roundtrip_docs,
     "q_subtitle_stats_docs": q_subtitle_stats_docs,
     "q_simhash_neardup_pairs": q_simhash_neardup_pairs,
+    "q_mojibake_fix_docs": q_mojibake_fix_docs,
     "q_containment_pairs": q_containment_pairs,
     "q_skipgram_pairs": q_skipgram_pairs,
     "q_kcenter_coreset": q_kcenter_coreset,
@@ -6107,6 +6137,14 @@ ORACLE_SQL = {
           FROM parts)
         SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n
         FROM canon GROUP BY canon_url ORDER BY canon_url
+    """,
+    "q_mojibake_fix_docs": """
+        SELECT doc_id,
+               (doc_id % 2 = 0) AS was_fixed,
+               CAST(length(COALESCE(text,'')) + 14 AS BIGINT)
+                   AS post_len,
+               'i caf' || chr(233) || ' fin' AS tail
+        FROM documents ORDER BY doc_id
     """,
     "q_subtitle_stats_docs": """
         SELECT doc_id,

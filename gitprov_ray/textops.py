@@ -265,6 +265,39 @@ def pii_scrub(texts: pd.Series) -> pd.DataFrame:
                          "n_ips": n_ip})
 
 
+_HIGH_CHAR_RE = re.compile("[\x80-\uffff]")
+
+
+def fix_mojibake(texts: pd.Series) -> pd.DataFrame:
+    """Double-encoded-UTF-8 repair (the ftfy core move): text whose
+    UTF-8 bytes were once mis-decoded as latin-1/cp1252 reads like
+    'cafÃ©'; re-encoding through the 8-bit codec and decoding as UTF-8
+    recovers the original. The repair is SELF-GUARDING — legitimate
+    text with isolated accents fails the UTF-8 re-decode (a lone 0xE9
+    byte is not valid UTF-8) and passes through untouched, and pure
+    ASCII round-trips to itself. latin-1 is tried first, cp1252 second
+    (it maps 0x80-0x9F where latin-1 has controls). Per-row C-codec
+    work behind a compiled high-char regex fast path."""
+    t = texts.fillna("")
+
+    def fix(s: str):
+        if not _HIGH_CHAR_RE.search(s):
+            return s, False
+        for codec in ("latin-1", "cp1252"):
+            try:
+                rep = s.encode(codec).decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                continue
+            if rep != s:
+                return rep, True
+            return s, False
+        return s, False
+
+    pairs = t.map(fix)
+    return pd.DataFrame({"fixed_text": pairs.str[0],
+                         "was_fixed": pairs.str[1].astype(bool)})
+
+
 CARD_CAND_RE = r"\b\d{13,19}\b"          # PAN length range (ISO/IEC 7812)
 PHONE_NANP_RE = r"\+1-\d{3}-\d{3}-\d{4}"
 
