@@ -75,10 +75,12 @@ def run_bench() -> dict:
 
     use_ckpt = os.environ.get("GRAFT_BENCH_CHECKPOINT", "1") == "1"
     t0 = time.time()
-    # bucket floor 64: at 32 buckets the dedup reduce ran as 2 straggler-
-    # bound waves on 16 CPUs (hash-size skew ~3×); 64 buckets smoothed
-    # BOTH legs (4cpu 111→107 s, 16cpu 35→29 s, measured round 3)
-    tri = flagship.flagship(SF_DIR, num_buckets=max(64, NCPU * 2),
+    # bucket count 12×CPUs (floor 64): the dedup reduce+write tasks have
+    # ~3× hash-size skew, so many small tasks pipeline with the zstd write
+    # far better than a few big ones — measured round 4: 16cpu/repeat=60
+    # 27.0 s @64 → 24.1 s @192; 32cpu/repeat=10 8.6 s @64 → 7.3-8.1 s @384;
+    # 4cpu is bucket-insensitive (64 and 192 within noise, ~100-104 s)
+    tri = flagship.flagship(SF_DIR, num_buckets=max(64, NCPU * 12),
                             repeat=REPEAT, checkpoint=use_ckpt)
     tri.write_parquet(out_dir, compression="zstd")
     flagship_sec = time.time() - t0
