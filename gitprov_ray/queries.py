@@ -4230,6 +4230,156 @@ def q_pdf_extract_docs(sf_dir: str):
                           concurrency=2).sort("doc_id")
 
 
+def q_validate_events(sf_dir: str):
+    """Data-quality expectation audit (a Great-Expectations-style rule
+    suite as ONE distributed pass): per-rule violation counts over the
+    events stream. The four stateless rules combine per batch (four
+    ints per block move). The duplicate-key rule needs co-location:
+    (user_id, minute) pairs pre-count per batch, then ONE bucketed
+    shuffle where each bucket sums the group sizes >1 — one int per
+    bucket returns. At 100 TB nothing but rule partials crosses the
+    wire."""
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value",
+                "props"])
+    cutoff = np.datetime64("2024-01-25T00:00:00")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(r'"k":\s*(-?\d+)', expand=False)
+        return pd.DataFrame({
+            "value_over_250": [int((df["value"] > 250).sum())],
+            "type_is_error": [int((df["event_type"] == "error").sum())],
+            "ts_after_jan25":
+                [int((df["ts"].to_numpy() >= cutoff).sum())],
+            "props_k_zero":
+                [int((k.astype("float64") == 0).sum())]})
+
+    flat = (ds.map_batches(partial, batch_format="pandas")
+            .to_pandas().sum())
+
+    # duplicate (user, minute) keys: per-batch partial counts, bucketed
+    # final sum of sizes>1 (vectorized; high-cardinality-safe)
+    def dup_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["ts"].dt.floor("min")
+        g = (pd.DataFrame({"user_id": df["user_id"], "m": m, "c": 1})
+             .groupby(["user_id", "m"], sort=False, as_index=False)
+             .sum())
+        key = g["user_id"].astype(str) + "|" + g["m"].astype(str)
+        g["bucket"] = stable_bucket(key, key, 32)
+        return g
+
+    def dup_fold(df: pd.DataFrame) -> pd.DataFrame:
+        sz = df.groupby(["user_id", "m"], sort=False)["c"].sum()
+        return pd.DataFrame({"v": [int(sz[sz > 1].sum())]})
+
+    dup = (ds.map_batches(dup_partial, batch_format="pandas")
+           .groupby("bucket")
+           .map_groups(lambda df: dup_fold(df.drop(columns=["bucket"])),
+                       batch_format="pandas")
+           .to_pandas()["v"].sum())
+
+    rules = {"dup_user_minute": int(dup),
+             "props_k_zero": int(flat["props_k_zero"]),
+             "ts_after_jan25": int(flat["ts_after_jan25"]),
+             "type_is_error": int(flat["type_is_error"]),
+             "value_over_250": int(flat["value_over_250"])}
+    out = pd.DataFrame({"rule": list(rules), "n_violations":
+                        pd.Series(list(rules.values()), dtype="int64")})
+    return out.sort_values("rule").reset_index(drop=True)
+
+
+def q_kanon_events(sf_dir: str):
+    """k-anonymity audit (privacy gate before corpus release): rows
+    whose quasi-identifier tuple (event_type, day, value bucket of 50)
+    is shared by fewer than k=5 rows are re-identifiable. Per-batch
+    partial counts per QI tuple → one hash aggregate → per-type risk
+    rollup. Only (QI, count) partials shuffle."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "event_type": df["event_type"],
+            "day": df["ts"].dt.floor("D"),
+            "vb": (df["value"].to_numpy(dtype=np.float64) // 50)
+                  .astype("int64"),
+            "c": 1})
+        return g.groupby(["event_type", "day", "vb"], sort=False,
+                         as_index=False).sum()
+
+    groups = (ds.map_batches(partial, batch_format="pandas")
+              .groupby(["event_type", "day", "vb"])
+              .aggregate(Sum(on="c", alias_name="c")))
+
+    def risk(df: pd.DataFrame) -> pd.DataFrame:
+        small = df["c"] < 5
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "n_groups": np.ones(len(df), dtype="int64"),
+            "n_small_groups": small.astype("int64"),
+            "n_rows_at_risk": (df["c"] * small).astype("int64")})
+
+    out = (groups.map_batches(risk, batch_format="pandas").to_pandas()
+           .groupby("event_type", as_index=False).sum())
+    for c in ("n_groups", "n_small_groups", "n_rows_at_risk"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_table_diff_events(sf_dir: str):
+    """Snapshot reconciliation (table diff): OLD = events with
+    event_id%3!=0, NEW = events with event_id%5!=0 and value bumped by
+    1 where event_id%7==0 — the injected-envelope pattern. A REAL
+    distributed diff: both sides tag and co-locate in ONE bucketed
+    shuffle on event_id; each bucket classifies added / removed /
+    changed / unchanged vectorized and returns per-status partials
+    (count + id checksum), so the diff report is O(statuses), never the
+    table."""
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df["event_id"].astype("int64")
+        cents = _cents(df["value"])
+        old = pd.DataFrame({"event_id": eid, "cents": cents,
+                            "side": "old"})[(eid % 3 != 0).to_numpy()]
+        newc = cents + (eid % 7 == 0).astype("int64") * 100
+        new = pd.DataFrame({"event_id": eid, "cents": newc,
+                            "side": "new"})[(eid % 5 != 0).to_numpy()]
+        both = pd.concat([old, new], ignore_index=True)
+        k = both["event_id"].astype(str)
+        both["bucket"] = stable_bucket(k, k, 32)
+        return both
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        p = df.pivot_table(index="event_id", columns="side",
+                           values="cents", aggfunc="first")
+        for c in ("old", "new"):
+            if c not in p.columns:
+                p[c] = np.nan
+        status = np.where(
+            p["old"].isna(), "added",
+            np.where(p["new"].isna(), "removed",
+                     np.where(p["old"] != p["new"], "changed",
+                              "unchanged")))
+        g = pd.DataFrame({"status": status,
+                          "n": np.ones(len(p), dtype="int64"),
+                          "id_sum": p.index.to_numpy(dtype="int64")})
+        return g.groupby("status", sort=False, as_index=False).sum()
+
+    parts = (ds.map_batches(tag, batch_format="pandas")
+             .groupby("bucket")
+             .map_groups(lambda df: classify(df.drop(columns=["bucket"])),
+                         batch_format="pandas")
+             .to_pandas())
+    out = parts.groupby("status", as_index=False).sum()
+    out["n"] = out["n"].astype("int64")
+    out["id_sum"] = out["id_sum"].astype("int64")
+    return out.sort_values("status").reset_index(drop=True)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -4371,6 +4521,9 @@ QUERIES = {
     "q_subtitle_stats_docs": q_subtitle_stats_docs,
     "q_simhash_neardup_pairs": q_simhash_neardup_pairs,
     "q_mojibake_fix_docs": q_mojibake_fix_docs,
+    "q_validate_events": q_validate_events,
+    "q_kanon_events": q_kanon_events,
+    "q_table_diff_events": q_table_diff_events,
     "q_containment_pairs": q_containment_pairs,
     "q_skipgram_pairs": q_skipgram_pairs,
     "q_kcenter_coreset": q_kcenter_coreset,
@@ -6145,6 +6298,66 @@ ORACLE_SQL = {
                    AS post_len,
                'i caf' || chr(233) || ' fin' AS tail
         FROM documents ORDER BY doc_id
+    """,
+    "q_validate_events": """
+        WITH dup AS (
+            SELECT user_id, date_trunc('minute', ts) AS m, COUNT(*) AS c
+            FROM events GROUP BY 1, 2
+        )
+        SELECT rule, n_violations FROM (
+            SELECT 'dup_user_minute' AS rule,
+                   (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT)
+                    FROM dup WHERE c > 1) AS n_violations
+            UNION ALL SELECT 'props_k_zero',
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+                    WHERE CAST(json_extract_string(props, '$.k')
+                               AS BIGINT) = 0)
+            UNION ALL SELECT 'ts_after_jan25',
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+                    WHERE ts >= TIMESTAMP '2024-01-25 00:00:00')
+            UNION ALL SELECT 'type_is_error',
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+                    WHERE event_type = 'error')
+            UNION ALL SELECT 'value_over_250',
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+                    WHERE value > 250)
+        ) ORDER BY rule
+    """,
+    "q_kanon_events": """
+        WITH g AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   CAST(floor(value / 50) AS BIGINT) AS vb,
+                   COUNT(*) AS c
+            FROM events GROUP BY 1, 2, 3
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_small_groups,
+               CAST(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT)
+                   AS n_rows_at_risk
+        FROM g GROUP BY event_type ORDER BY event_type
+    """,
+    "q_table_diff_events": """
+        WITH base AS (
+            SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        o AS (SELECT event_id, cents FROM base WHERE event_id % 3 <> 0),
+        n AS (SELECT event_id, cents + CASE WHEN event_id % 7 = 0
+                                            THEN 100 ELSE 0 END AS cents
+              FROM base WHERE event_id % 5 <> 0),
+        j AS (
+            SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+                   CASE WHEN o.event_id IS NULL THEN 'added'
+                        WHEN n.event_id IS NULL THEN 'removed'
+                        WHEN o.cents <> n.cents THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM o FULL OUTER JOIN n ON o.event_id = n.event_id
+        )
+        SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(event_id) AS BIGINT) AS id_sum
+        FROM j GROUP BY status ORDER BY status
     """,
     "q_subtitle_stats_docs": """
         SELECT doc_id,
