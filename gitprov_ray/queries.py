@@ -4380,6 +4380,108 @@ def q_table_diff_events(sf_dir: str):
     return out.sort_values("status").reset_index(drop=True)
 
 
+def _inject_sentences(d: pd.Series, t: pd.Series) -> pd.Series:
+    """Deterministic sentence-punctuation envelope for the corpus (the
+    synth docs carry none): '.' after every k-th word, k = 5+doc_id%3.
+    Vectorized explode → mark → groupby-join; used by the sentence-split
+    and readability twins, whose SQL replays the arithmetic outcome."""
+    k = (5 + d % 3).to_numpy()
+    ex = t.str.split(" ").explode()
+    pos = ex.groupby(level=0).cumcount().to_numpy()
+    k_ex = k[ex.index.to_numpy()]
+    w2 = ex + np.where((pos + 1) % k_ex == 0, ".", "")
+    joined = w2.groupby(level=0).agg(" ".join)
+    return joined.reindex(t.index, fill_value="")
+
+
+def q_sentence_split_docs(sf_dir: str):
+    """Sentence segmentation (textops.sentence_split_stats — split on
+    terminal-punctuation runs, strip, drop empties) over the
+    punctuation-injected corpus. Stateless per batch; the twin replays
+    the injection arithmetic: n = ceil(nw/k), chars = len+1-n."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].astype("int64").reset_index(drop=True)
+        t = df["text"].fillna("").reset_index(drop=True)
+        st = textops.sentence_split_stats(_inject_sentences(d, t))
+        n = st["n_sentences"]
+        avg = np.where(n > 0, (1000 * st["sum_chars"]) // n.clip(lower=1),
+                       0)
+        return pd.DataFrame({"doc_id": d, "n_sentences": n,
+                             "sum_chars": st["sum_chars"],
+                             "avg_len_milli": avg.astype("int64")})
+
+    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+
+
+def q_readability_docs(sf_dir: str):
+    """Flesch reading-ease scoring (the classic readability gate) in
+    EXACT integer milli-units: words and vowel-group syllables count
+    vectorized (textops.syllable_counts), sentences come from the REAL
+    splitter over the injected punctuation, and the formula
+    206.835 − 1.015 W/S − 84.6 Syl/W evaluates with floor division —
+    no float anywhere, so the twin is bit-exact."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].astype("int64").reset_index(drop=True)
+        t = df["text"].fillna("").reset_index(drop=True)
+        ex = t.str.split(" ").explode()
+        ex = ex[ex.ne("")]
+        w = ex.groupby(level=0).size().reindex(t.index, fill_value=0)
+        syl = (textops.syllable_counts(ex).groupby(level=0).sum()
+               .reindex(t.index, fill_value=0))
+        s = textops.sentence_split_stats(
+            _inject_sentences(d, t))["n_sentences"]
+        ws, ss = w.clip(lower=1), s.clip(lower=1)
+        fre = (206835 - (1015 * w) // ss - (84600 * syl) // ws)
+        fre = np.where((w > 0) & (s > 0), fre, 0)
+        return pd.DataFrame({
+            "doc_id": d, "n_words": w.astype("int64"),
+            "n_sentences": s.astype("int64"),
+            "n_syllables": syl.astype("int64"),
+            "fre_milli": fre.astype("int64")})
+
+    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+
+
+def q_feature_hash_docs(sf_dir: str):
+    """Hashing-trick featurization (the 64-dim bag-of-words a linear
+    quality classifier trains on at 100 TB): bucket = md5(token) first
+    byte mod 64 — the registry's oracle-checkable hash idiom — counted
+    per doc. Emits the sparse-vector summary (nnz, l1, argmax bucket
+    with smallest-id tie-break) so the result is rankable, not raw
+    floats. Tokens hash once per unique word per batch."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    dim = 64
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].astype("int64").reset_index(drop=True)
+        t = df["text"].fillna("").reset_index(drop=True)
+        ex = t.str.split(" ").explode()
+        ex = ex[ex.ne("")]
+        bmap = {w: int(hashlib.md5(w.encode()).hexdigest()[:2], 16) % dim
+                for w in pd.unique(ex)}
+        cnt = (pd.DataFrame({"row": ex.index.to_numpy(),
+                             "b": ex.map(bmap).to_numpy(dtype="int64"),
+                             "c": 1})
+               .groupby(["row", "b"], as_index=False).sum()
+               .sort_values(["row", "c", "b"],
+                            ascending=[True, False, True]))
+        top = cnt.groupby("row", as_index=False).first()
+        agg = cnt.groupby("row").agg(nnz=("b", "size"), l1=("c", "sum"))
+        out = pd.DataFrame({"doc_id": d})
+        out["nnz"] = agg["nnz"].reindex(out.index, fill_value=0).astype("int64")
+        out["l1"] = agg["l1"].reindex(out.index, fill_value=0).astype("int64")
+        top = top.set_index("row")
+        out["top_bucket"] = top["b"].reindex(out.index, fill_value=-1).astype("int64")
+        out["top_count"] = top["c"].reindex(out.index, fill_value=0).astype("int64")
+        return out
+
+    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -4524,6 +4626,9 @@ QUERIES = {
     "q_validate_events": q_validate_events,
     "q_kanon_events": q_kanon_events,
     "q_table_diff_events": q_table_diff_events,
+    "q_sentence_split_docs": q_sentence_split_docs,
+    "q_readability_docs": q_readability_docs,
+    "q_feature_hash_docs": q_feature_hash_docs,
     "q_containment_pairs": q_containment_pairs,
     "q_skipgram_pairs": q_skipgram_pairs,
     "q_kcenter_coreset": q_kcenter_coreset,
@@ -6337,6 +6442,98 @@ ORACLE_SQL = {
                CAST(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT)
                    AS n_rows_at_risk
         FROM g GROUP BY event_type ORDER BY event_type
+    """,
+    "q_sentence_split_docs": """
+        WITH b AS (
+            SELECT doc_id, COALESCE(text, '') AS t,
+                   5 + doc_id % 3 AS k,
+                   CASE WHEN COALESCE(text, '') = '' THEN 0
+                        ELSE length(string_split(COALESCE(text, ''), ' '))
+                   END AS nw
+            FROM documents
+        ), s AS (
+            SELECT doc_id, t, nw,
+                   CASE WHEN nw = 0 THEN 0
+                        ELSE (nw + k - 1) // k END AS ns
+            FROM b
+        )
+        SELECT doc_id, CAST(ns AS BIGINT) AS n_sentences,
+               CAST(CASE WHEN nw = 0 THEN 0
+                         ELSE length(t) + 1 - ns END AS BIGINT)
+                   AS sum_chars,
+               CAST(CASE WHEN ns = 0 THEN 0
+                         ELSE (1000 * (length(t) + 1 - ns)) // ns
+                    END AS BIGINT) AS avg_len_milli
+        FROM s ORDER BY doc_id
+    """,
+    "q_readability_docs": """
+        WITH b AS (
+            SELECT doc_id, COALESCE(text, '') AS t, 5 + doc_id % 3 AS k
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, unnest(string_split(t, ' ')) AS w
+            FROM b WHERE t <> ''
+        ),
+        agg AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nw,
+                   CAST(SUM(GREATEST(length(regexp_extract_all(
+                       lower(w), '[aeiouy]+')), 1)) AS BIGINT) AS syl
+            FROM toks WHERE w <> '' GROUP BY doc_id
+        ),
+        j AS (
+            SELECT b.doc_id, COALESCE(agg.nw, 0) AS nw,
+                   COALESCE(agg.syl, 0) AS syl,
+                   CASE WHEN COALESCE(agg.nw, 0) = 0 THEN 0
+                        ELSE (agg.nw + b.k - 1) // b.k END AS ns
+            FROM b LEFT JOIN agg ON b.doc_id = agg.doc_id
+        )
+        SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+               CAST(ns AS BIGINT) AS n_sentences,
+               CAST(syl AS BIGINT) AS n_syllables,
+               CAST(CASE WHEN nw = 0 OR ns = 0 THEN 0
+                         ELSE 206835 - (1015 * nw) // ns
+                                     - (84600 * syl) // nw
+                    END AS BIGINT) AS fre_milli
+        FROM j ORDER BY doc_id
+    """,
+    "q_feature_hash_docs": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' '))
+                   AS w
+            FROM documents
+        ),
+        hb AS (
+            SELECT doc_id,
+                   ((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1)
+                    * 16
+                    + strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1)
+                   % 64 AS b
+            FROM toks WHERE w <> ''
+        ),
+        cnt AS (
+            SELECT doc_id, b, COUNT(*) AS c FROM hb GROUP BY doc_id, b
+        ),
+        r AS (
+            SELECT doc_id, b, c,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, b ASC) AS rn
+            FROM cnt
+        ),
+        agg AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nnz,
+                   CAST(SUM(c) AS BIGINT) AS l1
+            FROM cnt GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(agg.nnz, 0) AS nnz,
+               COALESCE(agg.l1, 0) AS l1,
+               CAST(COALESCE(r.b, -1) AS BIGINT) AS top_bucket,
+               CAST(COALESCE(r.c, 0) AS BIGINT) AS top_count
+        FROM documents d
+        LEFT JOIN agg ON d.doc_id = agg.doc_id
+        LEFT JOIN r ON d.doc_id = r.doc_id AND r.rn = 1
+        ORDER BY d.doc_id
     """,
     "q_table_diff_events": """
         WITH base AS (

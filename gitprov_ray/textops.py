@@ -265,6 +265,35 @@ def pii_scrub(texts: pd.Series) -> pd.DataFrame:
                          "n_ips": n_ip})
 
 
+SENTENCE_BREAK_RE = r"[.!?]+"
+
+
+def sentence_split_stats(texts: pd.Series) -> pd.DataFrame:
+    """Rule-based sentence segmentation (split on terminal-punctuation
+    runs, strip whitespace, drop empties) \u2192 per-row sentence count and
+    total stripped-sentence chars. Fully vectorized: split lists are
+    exploded once and folded back by row index (caller must pass a
+    unique-index Series)."""
+    t = texts.fillna("")
+    ex = t.str.split(SENTENCE_BREAK_RE, regex=True).explode().str.strip()
+    ex = ex[ex.notna() & ex.ne("")]
+    n = ex.groupby(level=0).size()
+    sc = ex.str.len().groupby(level=0).sum()
+    return pd.DataFrame({
+        "n_sentences": n.reindex(t.index, fill_value=0).astype("int64"),
+        "sum_chars": sc.reindex(t.index, fill_value=0).astype("int64")})
+
+
+VOWEL_GROUP_RE = r"[aeiouy]+"
+
+
+def syllable_counts(words: pd.Series) -> pd.Series:
+    """Heuristic syllables per word = vowel-group runs (floor 1) \u2014 the
+    standard readability-formula approximation. Vectorized str.count."""
+    return (words.str.lower().str.count(VOWEL_GROUP_RE)
+            .clip(lower=1).astype("int64"))
+
+
 _HIGH_CHAR_RE = re.compile("[\x80-\uffff]")
 
 
