@@ -4482,6 +4482,48 @@ def q_feature_hash_docs(sf_dir: str):
     return ds.map_batches(f, batch_format="pandas").sort("doc_id")
 
 
+def q_porter_stem_docs(sf_dir: str):
+    """Porter stemming (M.F. Porter 1980, the ORIGINAL published rule
+    set) over the document corpus: tokenize `[a-z]+` of the lowercased
+    text, stem every token (textops.porter_stem — per-batch
+    unique-vocabulary memoization, so cost is O(vocab) not O(tokens)),
+    then one tiny grouped aggregate (stem -> distinct surface forms,
+    token occurrences).
+
+    Oracle contract: the synthetic corpus vocabulary is CLOSED (31
+    words at every sf — verified in tests), so the SQL twin maps tokens
+    through a hand-derived CASE of the same published rules (the only
+    non-identity stems: customer->custom, key->kei, merge->merg,
+    query->queri, table->tabl, value->valu).  The algorithm itself is
+    pinned independently by ~60 published example pairs from the 1980
+    paper in tests/test_porter.py, so the twin checks the distributed
+    pipeline while the unit suite checks the rule set."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (df["text"].fillna("").str.lower()
+                .str.findall(r"[a-z]+").explode().dropna())
+        if toks.empty:
+            return pd.DataFrame({"stem": pd.Series([], dtype="object"),
+                                 "token": pd.Series([], dtype="object"),
+                                 "cnt": pd.Series([], dtype="int64")})
+        cnt = toks.value_counts()
+        out = pd.DataFrame({"token": cnt.index.to_numpy(dtype="object"),
+                            "cnt": cnt.to_numpy(dtype="int64")})
+        out.insert(0, "stem", textops.porter_stem(out["token"]).to_numpy())
+        return out
+
+    def per_stem(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "stem": [g["stem"].iloc[0]],
+            "n_forms": np.asarray([g["token"].nunique()], dtype="int64"),
+            "n_tokens": np.asarray([int(g["cnt"].sum())], dtype="int64")})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("stem").map_groups(per_stem, batch_format="pandas")
+            .sort("stem"))
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -4653,6 +4695,7 @@ QUERIES = {
     "q_gap_fill_events": q_gap_fill_events,
     "q_dsir_select_docs": q_dsir_select_docs,
     "q_pdf_extract_docs": q_pdf_extract_docs,
+    "q_porter_stem_docs": q_porter_stem_docs,
 }
 
 
@@ -7710,4 +7753,31 @@ ORACLE_SQL["q_simhash_neardup_pairs"] = f"""
                   AS BIGINT) AS hamming
       FROM nib GROUP BY a, b)
     SELECT a, b, hamming FROM hh WHERE hamming <= 3 ORDER BY a, b
+"""
+
+# Porter twin: the synthetic corpus vocabulary is closed, so the CASE maps
+# each surface form through a HAND-DERIVED application of the published
+# 1980 rules (NOT generated from the engine — a disagreement between this
+# table and textops.porter_stem is a real finding, caught by the hash
+# gate).  Identity stems fall through the ELSE.
+ORACLE_SQL["q_porter_stem_docs"] = r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(COALESCE(text,'')), '[a-z]+'))
+           AS token
+  FROM documents),
+m AS (
+  SELECT token,
+         CASE token
+           WHEN 'customer' THEN 'custom'
+           WHEN 'key'      THEN 'kei'
+           WHEN 'merge'    THEN 'merg'
+           WHEN 'query'    THEN 'queri'
+           WHEN 'table'    THEN 'tabl'
+           WHEN 'value'    THEN 'valu'
+           ELSE token END AS stem
+  FROM toks)
+SELECT stem,
+       CAST(COUNT(DISTINCT token) AS BIGINT) AS n_forms,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM m GROUP BY stem ORDER BY stem
 """

@@ -294,6 +294,135 @@ def syllable_counts(words: pd.Series) -> pd.Series:
             .clip(lower=1).astype("int64"))
 
 
+# ---------------------------------------------------------------------------
+# Porter stemming (M.F. Porter 1980, "An algorithm for suffix stripping" \u2014
+# the ORIGINAL published rule set; within each step the LONGEST matching
+# suffix is selected and its condition decides, no fallthrough)
+# ---------------------------------------------------------------------------
+
+def _p_cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in "aeiou":
+        return False
+    if c == "y":
+        return i == 0 or not _p_cons(w, i - 1)
+    return True
+
+
+def _p_measure(w: str) -> int:
+    m, i, n = 0, 0, len(w)
+    while i < n and _p_cons(w, i):
+        i += 1
+    while i < n:
+        while i < n and not _p_cons(w, i):
+            i += 1
+        if i >= n:
+            break
+        m += 1
+        while i < n and _p_cons(w, i):
+            i += 1
+    return m
+
+
+def _p_has_vowel(w: str) -> bool:
+    return any(not _p_cons(w, i) for i in range(len(w)))
+
+
+def _p_double_cons(w: str) -> bool:
+    return len(w) >= 2 and w[-1] == w[-2] and _p_cons(w, len(w) - 1)
+
+
+def _p_cvc(w: str) -> bool:
+    return (len(w) >= 3 and _p_cons(w, len(w) - 3)
+            and not _p_cons(w, len(w) - 2) and _p_cons(w, len(w) - 1)
+            and w[-1] not in "wxy")
+
+
+_P_STEP2 = (("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+            ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
+            ("alli", "al"), ("entli", "ent"), ("eli", "e"),
+            ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+            ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
+            ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
+            ("iviti", "ive"), ("biliti", "ble"))
+_P_STEP3 = (("icate", "ic"), ("ative", ""), ("alize", "al"),
+            ("iciti", "ic"), ("ical", "ic"), ("ful", ""), ("ness", ""))
+_P_STEP4 = ("al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+            "ement", "ment", "ent", "ion", "ou", "ism", "ate", "iti",
+            "ous", "ive", "ize")
+
+
+def _p_longest(w: str, sufs) -> str | None:
+    best = None
+    for s in sufs:
+        if w.endswith(s) and (best is None or len(s) > len(best)):
+            best = s
+    return best
+
+
+def porter_stem_word(w: str) -> str:
+    if len(w) <= 2:
+        return w
+    # step 1a
+    if w.endswith("sses") or w.endswith("ies"):
+        w = w[:-2]
+    elif not w.endswith("ss") and w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    if w.endswith("eed"):
+        if _p_measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        stripped = None
+        if w.endswith("ed") and _p_has_vowel(w[:-2]):
+            stripped = w = w[:-2]
+        elif w.endswith("ing") and _p_has_vowel(w[:-3]):
+            stripped = w = w[:-3]
+        if stripped is not None:
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif _p_double_cons(w) and w[-1] not in "lsz":
+                w = w[:-1]
+            elif _p_measure(w) == 1 and _p_cvc(w):
+                w += "e"
+    # step 1c
+    if w.endswith("y") and _p_has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2
+    s = _p_longest(w, [a for a, _ in _P_STEP2])
+    if s is not None and _p_measure(w[:-len(s)]) > 0:
+        w = w[:-len(s)] + dict(_P_STEP2)[s]
+    # step 3
+    s = _p_longest(w, [a for a, _ in _P_STEP3])
+    if s is not None and _p_measure(w[:-len(s)]) > 0:
+        w = w[:-len(s)] + dict(_P_STEP3)[s]
+    # step 4
+    s = _p_longest(w, _P_STEP4)
+    if s is not None:
+        stem = w[:-len(s)]
+        if _p_measure(stem) > 1 and (s != "ion" or stem[-1:] in ("s", "t")):
+            w = stem
+    # step 5a
+    if w.endswith("e"):
+        a = w[:-1]
+        m = _p_measure(a)
+        if m > 1 or (m == 1 and not _p_cvc(a)):
+            w = a
+    # step 5b
+    if _p_measure(w) > 1 and _p_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
+def porter_stem(words: pd.Series) -> pd.Series:
+    """Vectorized-by-vocabulary Porter stemming: each UNIQUE token stems
+    once per batch (natural-language vocabulary is sub-linear in corpus
+    size), rows map through the dict."""
+    w = words.fillna("")
+    table = {t: porter_stem_word(t) for t in pd.unique(w)}
+    return w.map(table)
+
+
 _HIGH_CHAR_RE = re.compile("[\x80-\uffff]")
 
 
