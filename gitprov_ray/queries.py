@@ -4524,6 +4524,295 @@ def q_porter_stem_docs(sf_dir: str):
             .sort("stem"))
 
 
+def q_copurchase_pairs(sf_dir: str, min_item_support: int = 2,
+                       min_pair_support: int = 2):
+    """Market-basket co-occurrence pairs (A-Priori / PCY, Park-Chen-Yu
+    SIGMOD'95): baskets = distinct parts per order, support(a,b) =
+    number of orders containing both, keep support >= 2.
+
+    Scale shape: ONE bucketed shuffle on orderkey builds globally
+    distinct baskets (an order's lines can span input blocks); the
+    A-Priori stage-1 frequent-item table is a tiny partial-combined
+    aggregate broadcast by closure (frequent items are small by
+    definition for any meaningful threshold — the monotonicity argument
+    of the paper); pair expansion is a vectorized per-bucket self-merge
+    emitting PRE-COMBINED partial counts; the final (a,b) combine is a
+    second bucketed exchange. The item prefilter cannot change the
+    result (pair support <= item support), so the SQL twin states the
+    pair rule directly."""
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"o": df["l_orderkey"].to_numpy(),
+                            "p": df["l_partkey"].to_numpy()})
+        k = out["o"].astype(str)
+        out["bucket"] = stable_bucket(k, k, 64)
+        return out
+
+    def baskets(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["o", "p"])
+
+    b = (ds.map_batches(bucketize, batch_format="pandas")
+         .groupby("bucket").map_groups(baskets, batch_format="pandas")
+         .materialize())  # consumed twice (invariant 10)
+
+    # A-Priori stage 1: frequent items (tiny; |parts| rows max)
+    isup = (b.map_batches(
+        lambda df: df.groupby("p", as_index=False).agg(n=("o", "size")),
+        batch_format="pandas").to_pandas())
+    isup = isup.groupby("p")["n"].sum()
+    freq = frozenset(isup.index[isup >= min_item_support].tolist())
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["p"].isin(freq)][["o", "p"]]
+        m = df.merge(df, on="o")
+        m = m[m["p_x"] < m["p_y"]]
+        out = (m.groupby(["p_x", "p_y"], sort=False).size()
+               .rename("n").reset_index()
+               .rename(columns={"p_x": "a", "p_y": "b"}))
+        return out
+
+    part = b.groupby("bucket").map_groups(
+        lambda df: pairs(df.drop(columns=["bucket"])),
+        batch_format="pandas")
+
+    def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        k = df["a"].astype(str) + "_" + df["b"].astype(str)
+        df["pb"] = stable_bucket(k, k, 64)
+        return df
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["a", "b"], as_index=False)["n"].sum()
+             .rename(columns={"n": "support"}))
+        g = g[g["support"] >= min_pair_support]
+        g["support"] = g["support"].astype("int64")
+        return g
+
+    return (part.map_batches(pair_bucket, batch_format="pandas")
+            .groupby("pb").map_groups(
+                lambda df: combine(df.drop(columns=["pb"])),
+                batch_format="pandas")
+            .sort(["a", "b"]))
+
+
+def q_pmi_bigrams(sf_dir: str):
+    """PMI collocation mining (pointwise mutual information over
+    adjacent-token bigrams, Church & Hanks 1990), float-free: the PMI
+    ordering statistic exp(PMI) = P(xy)/(P(x)P(y)) is emitted as the
+    exact integer micro-ratio  n_xy*N*N*10^6 // (B*n_x*n_y)  (Python
+    big ints in the engine, HUGEINT in the twin), so the hash gate sees
+    no log/division noise.
+
+    Scale shape: per-batch TAGGED partial counts (unigram rows + bigram
+    rows, pre-combined inside the batch so only O(vocab + vocab^2) rows
+    ever move), one tiny driver-side final combine — the aggregate is
+    bounded by vocabulary size, not corpus size."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (df["text"].fillna("").str.lower()
+                .str.findall(r"[a-z]+"))
+        ex = toks.explode().dropna()
+        uni = ex.value_counts()
+        nxt = ex.groupby(level=0).shift(-1)
+        both = pd.DataFrame({"w1": ex.to_numpy(dtype=object),
+                             "w2": nxt.to_numpy(dtype=object)}).dropna()
+        bi = both.groupby(["w1", "w2"], sort=False).size()
+        u = pd.DataFrame({"kind": "u", "w1": uni.index.to_numpy(dtype=object),
+                          "w2": "", "cnt": uni.to_numpy(dtype="int64")})
+        b = bi.rename("cnt").reset_index()
+        b.insert(0, "kind", "b")
+        b["cnt"] = b["cnt"].astype("int64")
+        out = pd.concat([u, b], ignore_index=True)
+        return out[["kind", "w1", "w2", "cnt"]]
+
+    part = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = part.groupby(["kind", "w1", "w2"], as_index=False)["cnt"].sum()
+    uni = agg[agg["kind"] == "u"].set_index("w1")["cnt"]
+    bi = agg[agg["kind"] == "b"]
+    n_total = int(uni.sum())
+    b_total = int(bi["cnt"].sum())
+    nx = bi["w1"].map(uni).to_numpy(dtype="int64")
+    ny = bi["w2"].map(uni).to_numpy(dtype="int64")
+    nxy = bi["cnt"].to_numpy(dtype="int64")
+    ratio = [int(x) * n_total * n_total * 10**6 // (b_total * int(a) * int(c))
+             for x, a, c in zip(nxy, nx, ny)]
+    out = pd.DataFrame({"w1": bi["w1"].to_numpy(dtype=object),
+                        "w2": bi["w2"].to_numpy(dtype=object),
+                        "n_xy": nxy,
+                        "pmi_ratio_micro": pd.array(ratio, dtype="int64")})
+    return (out.sort_values(["w1", "w2"]).reset_index(drop=True))
+
+
+def q_bleu_pairs(sf_dir: str):
+    """BLEU overlap statistics (Papineni et al. 2002) between paired
+    documents (candidate = even doc_id, reference = doc_id+1): per pair
+    the CLIPPED n-gram match counts m1..m4 (sum over distinct grams of
+    min(count_cand, count_ref) — the modified-precision numerators),
+    the candidate gram totals t1..t4 (denominators) and both lengths
+    (brevity-penalty inputs).  All outputs are raw integers, so the
+    composite BLEU score is reconstructible downstream without any
+    float leaving the engine.
+
+    Scale shape: one bucketed shuffle on pair_id co-locates each pair;
+    n-gram counting is per-pair local (the inherent O(tokens) work) and
+    emits 11 ints per pair — no second exchange."""
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["pid"] = df["doc_id"] // 2
+        k = df["pid"].astype(str)
+        df["bucket"] = stable_bucket(k, k, 64)
+        return df
+
+    def pair_stats(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+        df = pd.DataFrame({"pid": df["pid"].to_numpy(),
+                           "role": (df["doc_id"] % 2).to_numpy(),
+                           "toks": toks.to_numpy(dtype=object)})
+        rows = []
+        for pid, g in df.groupby("pid", sort=False):
+            if len(g) != 2 or set(g["role"]) != {0, 1}:
+                continue
+            c = g.loc[g["role"] == 0, "toks"].iloc[0]
+            r = g.loc[g["role"] == 1, "toks"].iloc[0]
+            rec = {"pair_id": int(pid),
+                   "len_c": len(c), "len_r": len(r)}
+            for n in range(1, 5):
+                cg = Counter(tuple(c[i:i + n])
+                             for i in range(len(c) - n + 1))
+                rg = Counter(tuple(r[i:i + n])
+                             for i in range(len(r) - n + 1))
+                rec[f"t{n}"] = max(len(c) - n + 1, 0)
+                rec[f"m{n}"] = sum(min(v, rg[k])
+                                   for k, v in cg.items() if k in rg)
+            rows.append(rec)
+        cols = ["pair_id", "len_c", "len_r",
+                "t1", "t2", "t3", "t4", "m1", "m2", "m3", "m4"]
+        if not rows:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        out = pd.DataFrame(rows, columns=cols)
+        return out.astype("int64")
+
+    return (ds.map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket").map_groups(
+                lambda df: pair_stats(df.drop(columns=["bucket"])),
+                batch_format="pandas")
+            .sort("pair_id"))
+
+
+def q_interval_coverage_events(sf_dir: str):
+    """Interval union length per user (the merge-overlapping-intervals /
+    gaps-and-islands op): each event spans [ts, ts + dur) with the
+    deterministic duration  dur_s = abs(cents(value)) % 300 + 1;
+    overlapping spans merge, and the query reports per user the number
+    of merged islands and the total covered microseconds — union
+    length, NOT the double-counted sum.
+
+    Scale shape: one bucketed shuffle on user_id, then a fully
+    vectorized in-bucket island pass (sort + per-user shifted running
+    max — no Python loop); 2 ints per user leave the bucket."""
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "events", ["ts", "user_id", "value"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["ts"].astype("datetime64[us]").astype("int64")
+        dur = (np.abs(_cents(df["value"]).to_numpy()) % 300 + 1) * 1_000_000
+        out = pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                            "s": s, "e": s + dur})
+        k = out["user_id"].astype(str)
+        out["bucket"] = stable_bucket(k, k, 64)
+        return out
+
+    def islands(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "s", "e"], kind="mergesort")
+        u = df["user_id"].to_numpy()
+        s = df["s"].to_numpy()
+        e = df["e"].to_numpy()
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        seg_id = np.cumsum(new_user) - 1
+        # per-user running max of interval ends, shifted one row
+        pmax = pd.Series(e).groupby(seg_id).cummax().to_numpy()
+        prev = np.r_[np.int64(0), pmax[:-1]]
+        new_island = new_user | (s > prev)
+        isl = np.cumsum(new_island) - 1
+        per = (pd.DataFrame({"user_id": u, "isl": isl, "s": s, "e": e})
+               .groupby(["user_id", "isl"], sort=False)
+               .agg(lo=("s", "min"), hi=("e", "max")).reset_index())
+        per["cov"] = per["hi"] - per["lo"]
+        out = per.groupby("user_id", as_index=False).agg(
+            n_islands=("isl", "size"), covered_us=("cov", "sum"))
+        return out.astype({"n_islands": "int64", "covered_us": "int64"})
+
+    return (ds.map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket").map_groups(
+                lambda df: islands(df.drop(columns=["bucket"])),
+                batch_format="pandas")
+            .sort("user_id"))
+
+
+def q_ewma_events(sf_dir: str):
+    """Integer EWMA (alpha = 1/2) per user over the event timeline:
+    e_1 = c_1,  e_t = (e_{t-1} + c_t) // 2  over c = abs(cents(value)),
+    ordered by (ts, event_id).  Nonnegative ints keep Python floor-div
+    and DuckDB's truncating `//` identical, so the recursive-CTE twin
+    is exact.
+
+    Scale shape: one bucketed shuffle on user_id; the inherently
+    sequential recurrence is STEP-vectorized — one numpy update over
+    ALL users per timeline position (O(max_seq_len) kernel launches,
+    no per-row Python), the same trick a GPU scan would use."""
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            "ts": df["ts"].to_numpy(),
+            "event_id": df["event_id"].to_numpy(),
+            "c": np.abs(_cents(df["value"]).to_numpy())})
+        k = out["user_id"].astype(str)
+        out["bucket"] = stable_bucket(k, k, 64)
+        return out
+
+    def ewma(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        codes, uniques = pd.factorize(df["user_id"], sort=False)
+        pos = df.groupby(codes).cumcount().to_numpy()
+        c = df["c"].to_numpy()
+        state = np.zeros(len(uniques), dtype=np.int64)
+        counts = np.bincount(codes, minlength=len(uniques))
+        for t in range(int(pos.max()) + 1 if len(pos) else 0):
+            sel = pos == t
+            uc = codes[sel]
+            if t == 0:
+                state[uc] = c[sel]
+            else:
+                state[uc] = (state[uc] + c[sel]) // 2
+        return pd.DataFrame({
+            "user_id": np.asarray(uniques, dtype="int64"),
+            "n": counts.astype("int64"),
+            "ewma_final": state})
+
+    return (ds.map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket").map_groups(
+                lambda df: ewma(df.drop(columns=["bucket"])),
+                batch_format="pandas")
+            .sort("user_id"))
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -4696,6 +4985,11 @@ QUERIES = {
     "q_dsir_select_docs": q_dsir_select_docs,
     "q_pdf_extract_docs": q_pdf_extract_docs,
     "q_porter_stem_docs": q_porter_stem_docs,
+    "q_copurchase_pairs": q_copurchase_pairs,
+    "q_pmi_bigrams": q_pmi_bigrams,
+    "q_bleu_pairs": q_bleu_pairs,
+    "q_interval_coverage_events": q_interval_coverage_events,
+    "q_ewma_events": q_ewma_events,
 }
 
 
@@ -7780,4 +8074,124 @@ SELECT stem,
        CAST(COUNT(DISTINCT token) AS BIGINT) AS n_forms,
        CAST(COUNT(*) AS BIGINT) AS n_tokens
 FROM m GROUP BY stem ORDER BY stem
+"""
+
+# Co-purchase twin: the A-Priori item prefilter is result-invariant
+# (support(a,b) <= support(a)), so the SQL states the pair rule directly.
+ORACLE_SQL["q_copurchase_pairs"] = r"""
+WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+pr AS (SELECT x.p AS a, y.p AS b, COUNT(*) AS support
+       FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+       GROUP BY x.p, y.p)
+SELECT a, b, CAST(support AS BIGINT) AS support
+FROM pr WHERE support >= 2 ORDER BY a, b
+"""
+
+ORACLE_SQL["q_pmi_bigrams"] = r"""
+WITH d AS (SELECT regexp_extract_all(lower(COALESCE(text,'')), '[a-z]+')
+             AS l FROM documents),
+uni AS (SELECT unnest(l) AS w FROM d),
+un AS (SELECT w, COUNT(*) AS n FROM uni GROUP BY w),
+tot AS (SELECT COUNT(*) AS n_total FROM uni),
+bi AS (SELECT unnest(list_zip(l, list_slice(l, 2, len(l)))) AS pr FROM d),
+bi2 AS (SELECT pr[1] AS w1, pr[2] AS w2 FROM bi WHERE pr[2] IS NOT NULL),
+bc AS (SELECT w1, w2, COUNT(*) AS n_xy FROM bi2 GROUP BY w1, w2),
+btot AS (SELECT COUNT(*) AS b_total FROM bi2)
+SELECT w1, w2, CAST(n_xy AS BIGINT) AS n_xy,
+       CAST((n_xy::HUGEINT * n_total * n_total * 1000000)
+            // (b_total::HUGEINT * x.n * y.n) AS BIGINT) AS pmi_ratio_micro
+FROM bc JOIN un x ON bc.w1 = x.w JOIN un y ON bc.w2 = y.w
+CROSS JOIN tot CROSS JOIN btot
+ORDER BY w1, w2
+"""
+
+ORACLE_SQL["q_bleu_pairs"] = r"""
+WITH d AS (SELECT doc_id // 2 AS pid, doc_id % 2 AS role,
+                  regexp_extract_all(lower(COALESCE(text,'')), '[a-z]+')
+                    AS l
+           FROM documents),
+p AS (SELECT pid FROM d GROUP BY pid HAVING COUNT(*) = 2),
+dd AS (SELECT d.* FROM d JOIN p USING (pid)),
+idx AS (SELECT unnest(generate_series(1,
+          (SELECT COALESCE(MAX(len(l)), 1) FROM dd))) AS i),
+ns AS (SELECT unnest(generate_series(1, 4)) AS n),
+g AS (SELECT pid, role, n,
+             array_to_string(list_slice(l, i, i + n - 1), ' ') AS gr
+      FROM dd CROSS JOIN ns CROSS JOIN idx
+      WHERE i + n - 1 <= len(l)),
+cnt AS (SELECT pid, role, n, gr, COUNT(*) AS c FROM g
+        GROUP BY pid, role, n, gr),
+m AS (SELECT c.pid, c.n, SUM(LEAST(c.c, r.c)) AS mt
+      FROM cnt c JOIN cnt r
+        ON c.pid = r.pid AND c.n = r.n AND c.gr = r.gr
+      WHERE c.role = 0 AND r.role = 1 GROUP BY c.pid, c.n),
+t AS (SELECT pid, n, SUM(c) AS tt FROM cnt WHERE role = 0
+      GROUP BY pid, n),
+lens AS (SELECT pid,
+                SUM(CASE WHEN role = 0 THEN len(l) ELSE 0 END) AS len_c,
+                SUM(CASE WHEN role = 1 THEN len(l) ELSE 0 END) AS len_r
+         FROM dd GROUP BY pid)
+SELECT lens.pid AS pair_id,
+       CAST(len_c AS BIGINT) AS len_c, CAST(len_r AS BIGINT) AS len_r,
+       CAST(COALESCE(MAX(CASE WHEN t.n = 1 THEN tt END), 0) AS BIGINT) AS t1,
+       CAST(COALESCE(MAX(CASE WHEN t.n = 2 THEN tt END), 0) AS BIGINT) AS t2,
+       CAST(COALESCE(MAX(CASE WHEN t.n = 3 THEN tt END), 0) AS BIGINT) AS t3,
+       CAST(COALESCE(MAX(CASE WHEN t.n = 4 THEN tt END), 0) AS BIGINT) AS t4,
+       CAST(COALESCE(MAX(CASE WHEN t.n = 1 THEN COALESCE(mt, 0) END), 0)
+            AS BIGINT) AS m1,
+       CAST(COALESCE(MAX(CASE WHEN t.n = 2 THEN COALESCE(mt, 0) END), 0)
+            AS BIGINT) AS m2,
+       CAST(COALESCE(MAX(CASE WHEN t.n = 3 THEN COALESCE(mt, 0) END), 0)
+            AS BIGINT) AS m3,
+       CAST(COALESCE(MAX(CASE WHEN t.n = 4 THEN COALESCE(mt, 0) END), 0)
+            AS BIGINT) AS m4
+FROM lens LEFT JOIN t ON lens.pid = t.pid
+          LEFT JOIN m ON t.pid = m.pid AND t.n = m.n
+GROUP BY lens.pid, len_c, len_r
+ORDER BY pair_id
+"""
+
+ORACLE_SQL["q_interval_coverage_events"] = r"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS s,
+                  epoch_us(ts)
+                    + (abs(CAST(ROUND(value*100) AS BIGINT)) % 300 + 1)
+                      * 1000000 AS e
+           FROM events),
+w AS (SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS pmax
+      FROM e),
+isl AS (SELECT user_id, s, e,
+               SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS gid
+        FROM w),
+per AS (SELECT user_id, gid, MAX(e) - MIN(s) AS cov
+        FROM isl GROUP BY user_id, gid)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(cov) AS BIGINT) AS covered_us
+FROM per GROUP BY user_id ORDER BY user_id
+"""
+
+# EWMA twin: abs() keeps every state nonnegative, where Python floor-div
+# and DuckDB's truncating // agree.
+ORACLE_SQL["q_ewma_events"] = r"""
+WITH RECURSIVE base AS (
+  SELECT user_id, abs(CAST(ROUND(value*100) AS BIGINT)) AS c,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+rec AS (
+  SELECT user_id, rn, c AS ewma FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.rn, (r.ewma + b.c) // 2
+  FROM rec r JOIN base b
+    ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+SELECT r.user_id, CAST(m.n AS BIGINT) AS n,
+       CAST(r.ewma AS BIGINT) AS ewma_final
+FROM rec r JOIN (SELECT user_id, MAX(rn) AS n FROM base
+                 GROUP BY user_id) m
+  ON r.user_id = m.user_id AND r.rn = m.n
+ORDER BY r.user_id
 """
