@@ -772,3 +772,182 @@ def write_ogg_fixture(codec: str = "vorbis", channels: int = 2,
         raise ValueError(codec)
     return (_ogg_page(ident, 0, seq=0, htype=2)     # BOS
             + _ogg_page(b"\x00" * 64, granule_last, seq=1, htype=4))  # EOS
+
+
+# ---------------------------------------------------------------------------
+# AIFF (Apple/EA IFF-85 "Audio Interchange File Format", public spec) and
+# Sun/NeXT AU (".snd") containers — big-endian PCM cousins of WAV.
+# ---------------------------------------------------------------------------
+
+def _f80_decode(b: bytes) -> int:
+    """IEEE 754 80-bit extended float -> int sample rate (AIFF COMM)."""
+    se = struct.unpack(">H", b[:2])[0]
+    mant = struct.unpack(">Q", b[2:10])[0]
+    if se == 0 and mant == 0:
+        return 0
+    exp = (se & 0x7FFF) - 16383 - 63
+    val = mant * (2.0 ** exp)
+    return int(round(-val if se & 0x8000 else val))
+
+
+def _f80_encode(rate: int) -> bytes:
+    """int -> 80-bit extended float bytes (explicit leading-1 mantissa)."""
+    if rate <= 0:
+        return b"\x00" * 10
+    k = rate.bit_length()
+    mant = rate << (64 - k)
+    return struct.pack(">HQ", 16383 + k - 1, mant)
+
+
+def is_aiff(b: bytes) -> bool:
+    return b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC")
+
+
+def probe_aiff(b: bytes) -> dict | None:
+    if not is_aiff(b):
+        return None
+    out = {"format": "aiff", "variant": b[8:12].decode()}
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        sz = struct.unpack(">I", b[pos + 4:pos + 8])[0]
+        if cid == b"COMM":
+            nch, nframes, bits = struct.unpack(">HIH", b[pos + 8:pos + 16])
+            out.update(channels=int(nch), n_samples=int(nframes),
+                       bits=int(bits),
+                       sample_rate=_f80_decode(b[pos + 16:pos + 26]))
+            if out["sample_rate"]:
+                out["duration_ms"] = nframes * 1000 // out["sample_rate"]
+        pos += 8 + sz + (sz & 1)             # chunks are word-aligned
+    return out
+
+
+def parse_aiff(b: bytes):
+    """AIFF bytes -> (float32 mono samples, rate, codec). 8/16-bit
+    big-endian PCM; AIFC compressed variants raise."""
+    p = probe_aiff(b)
+    if p is None:
+        return None
+    if p["variant"] == "AIFC":
+        raise NotImplementedError(
+            "AIFC: compressed AIFF variants are external codecs")
+    bits, nch = p.get("bits"), p.get("channels", 1)
+    pos = 12
+    data = None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        sz = struct.unpack(">I", b[pos + 4:pos + 8])[0]
+        if cid == b"SSND":
+            off = struct.unpack(">I", b[pos + 8:pos + 12])[0]
+            data = b[pos + 16 + off:pos + 8 + sz]
+        pos += 8 + sz + (sz & 1)
+    if data is None or bits is None:
+        raise ValueError("AIFF missing SSND/COMM")
+    if bits == 16:
+        x = np.frombuffer(data, dtype=">i2").astype(np.float32) / 32768.0
+    elif bits == 8:                          # AIFF 8-bit is SIGNED
+        x = np.frombuffer(data, dtype=np.int8).astype(np.float32) / 128.0
+    else:
+        raise NotImplementedError(f"AIFF PCM bit depth {bits}")
+    if nch > 1:
+        x = x[::nch]
+    return x, p["sample_rate"], f"pcm_be{bits}"
+
+
+def write_aiff(x: np.ndarray, rate: int = 8000, channels: int = 1) -> bytes:
+    """float32 [-1,1] -> 16-bit big-endian AIFF (mono data duplicated
+    across channels for fixture purposes)."""
+    s = np.clip(np.asarray(x, np.float64) * 32767.0,
+                -32768, 32767).astype(">i2")
+    if channels > 1:
+        s = np.repeat(s, channels)
+    data = s.tobytes()
+    comm = struct.pack(">HIH", channels, len(s) // channels, 16) \
+        + _f80_encode(rate)
+    ssnd = struct.pack(">II", 0, 0) + data
+    chunks = (b"COMM" + struct.pack(">I", len(comm)) + comm
+              + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    if len(ssnd) & 1:
+        chunks += b"\x00"
+    return b"FORM" + struct.pack(">I", 4 + len(chunks)) + b"AIFF" + chunks
+
+
+_AU_ENC = {1: "mulaw", 2: "pcm_s8", 3: "pcm_be16", 27: "alaw"}
+
+
+def is_au(b: bytes) -> bool:
+    return b[:4] == b".snd" and len(b) >= 24
+
+
+def probe_au(b: bytes) -> dict | None:
+    if not is_au(b):
+        return None
+    off, size, enc, rate, nch = struct.unpack(">IIIII", b[4:24])
+    out = {"format": "au", "codec": _AU_ENC.get(enc, f"enc{enc}"),
+           "sample_rate": int(rate), "channels": int(nch)}
+    nbytes = (len(b) - off) if size == 0xFFFFFFFF else size
+    per = 2 if enc == 3 else 1
+    if rate and nch:
+        out["n_samples"] = nbytes // (per * nch)
+        out["duration_ms"] = out["n_samples"] * 1000 // rate
+    return out
+
+
+def parse_au(b: bytes):
+    """Sun/NeXT AU -> (float32 mono samples, rate, codec): μ-law (the
+    format's default telephony encoding), A-law, signed 8-bit and
+    16-bit big-endian PCM."""
+    p = probe_au(b)
+    if p is None:
+        return None
+    off, size, enc, rate, nch = struct.unpack(">IIIII", b[4:24])
+    data = b[off:] if size == 0xFFFFFFFF else b[off:off + size]
+    if enc == 1:
+        x = _mulaw_table()[np.frombuffer(data, np.uint8)] \
+            .astype(np.float32) / 32768.0
+    elif enc == 27:
+        x = _alaw_table()[np.frombuffer(data, np.uint8)] \
+            .astype(np.float32) / 32768.0
+    elif enc == 2:
+        x = np.frombuffer(data, np.int8).astype(np.float32) / 128.0
+    elif enc == 3:
+        x = np.frombuffer(data, dtype=">i2").astype(np.float32) / 32768.0
+    else:
+        raise NotImplementedError(
+            f"AU encoding {p['codec']}: external codec")
+    if nch > 1:
+        x = x[::nch]
+    return x, int(rate), p["codec"]
+
+
+def _mulaw_encode(s16: np.ndarray) -> np.ndarray:
+    """int16 -> μ-law codes by nearest-level search against the decode
+    table (same exact-companding trick as write_wav_g711)."""
+    table = _MULAW.astype(np.int32)
+    order = np.argsort(table)
+    sorted_vals = table[order]
+    pcm = np.asarray(s16, np.int32)
+    pos = np.searchsorted(sorted_vals, pcm)
+    pos = np.clip(pos, 1, 255)
+    left = np.abs(sorted_vals[pos - 1] - pcm)
+    right = np.abs(sorted_vals[np.minimum(pos, 255)] - pcm)
+    best = np.where(left <= right, pos - 1, np.minimum(pos, 255))
+    return order[best].astype(np.uint8)
+
+
+def write_au(x: np.ndarray, rate: int = 8000, encoding: str = "mulaw",
+             channels: int = 1) -> bytes:
+    """float32 [-1,1] -> AU bytes (mulaw / pcm_be16)."""
+    s16 = np.clip(np.asarray(x, np.float64) * 32767.0,
+                  -32768, 32767).astype(np.int16)
+    if channels > 1:
+        s16 = np.repeat(s16, channels)
+    if encoding == "mulaw":
+        enc_id, data = 1, _mulaw_encode(s16).tobytes()
+    elif encoding == "pcm_be16":
+        enc_id, data = 3, s16.astype(">i2").tobytes()
+    else:
+        raise ValueError(encoding)
+    hdr = b".snd" + struct.pack(">IIIII", 24, len(data), enc_id,
+                                rate, channels)
+    return hdr + data

@@ -172,6 +172,22 @@ def parse_wav(b: bytes):
         raise NotImplementedError(
             "ogg: Vorbis/Opus transform decode is external — container "
             "metadata via probe_media")
+    if b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC"):
+        from . import audiocodec
+
+        parsed = audiocodec.parse_aiff(b)     # AIFC raises (external)
+        if parsed is not None:
+            x, rate, _codec = parsed
+            return x, rate
+        return None
+    if b[:4] == b".snd":
+        from . import audiocodec
+
+        parsed = audiocodec.parse_au(b)
+        if parsed is not None:
+            x, rate, _codec = parsed
+            return x, rate
+        return None
     try:
         with wave.open(io.BytesIO(b)) as w:
             rate = w.getframerate()
@@ -287,6 +303,24 @@ def decode_image(b: bytes):
         if arr.ndim == 3 and arr.shape[2] == 4:
             arr = arr[..., :3]          # drop alpha for the stats stages
         return arr[..., None] if arr.ndim == 2 else arr
+    from . import qoicodec
+
+    if qoicodec.is_qoi(b):              # QOI (lossless, 3/4-channel)
+        try:
+            arr = qoicodec.decode_qoi(b)
+        except (NotImplementedError, ValueError):
+            return None
+        return arr[..., :3] if arr.shape[2] == 4 else arr
+    from . import tgacodec
+
+    # TGA has no magic — its header heuristic goes LAST so every
+    # magic-bearing format above wins first.
+    if tgacodec.is_tga(b):
+        try:
+            arr = tgacodec.decode_tga(b)
+        except (NotImplementedError, ValueError):
+            return None
+        return arr[..., :3] if arr.shape[2] == 4 else arr
     return None
 
 
@@ -390,6 +424,14 @@ class ImageResize:
                     sq = small.squeeze(-1) if small.shape[-1] == 1 \
                         else small
                     out.append(bmpcodec.encode_bmp(sq))
+                    continue
+                from . import qoicodec, tgacodec
+
+                if qoicodec.is_qoi(b):           # QOI in → QOI out
+                    out.append(qoicodec.encode_qoi(small))
+                    continue
+                if tgacodec.is_tga(b):           # TGA in → TGA out
+                    out.append(tgacodec.encode_tga(small[..., :3]))
                     continue
                 from . import icocodec
 
@@ -706,6 +748,28 @@ def probe_media(b: bytes) -> dict:
             if p is not None:
                 out.update(format="ogg", codec=p["codec"],
                            duration_ms=p["duration_ms"])
+        elif b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC"):
+            from . import audiocodec
+
+            p = audiocodec.probe_aiff(b)
+            if p is not None:
+                out.update(format="aiff",
+                           codec=f"pcm_be{p.get('bits', -1)}"
+                           if p["variant"] == "AIFF" else "aifc",
+                           duration_ms=p.get("duration_ms", -1))
+        elif b[:4] == b".snd":
+            from . import audiocodec
+
+            p = audiocodec.probe_au(b)
+            if p is not None:
+                out.update(format="au", codec=p["codec"],
+                           duration_ms=p.get("duration_ms", -1))
+        elif b[:4] == b"qoif":
+            from . import qoicodec
+
+            p = qoicodec.probe_qoi(b)
+            out.update(format="qoi", codec=f"rgb{8 * p['channels']}",
+                       width=p["width"], height=p["height"], frames=1)
         elif b[:4] == b"\x00\x00\x00\x01" or b[:3] == b"\x00\x00\x01":
             from . import h264codec
 
@@ -726,6 +790,15 @@ def probe_media(b: bytes) -> dict:
                            codec="P6" if first.shape[2] == 3 else "P5",
                            width=first.shape[1], height=first.shape[0],
                            frames=n)
+        else:
+            from . import tgacodec
+
+            # no magic: TGA's header heuristic is the LAST resort probe
+            if tgacodec.is_tga(b):
+                p = tgacodec.probe_tga(b)
+                out.update(format="tga",
+                           codec=p["kind"] + ("-rle" if p["rle"] else ""),
+                           width=p["width"], height=p["height"], frames=1)
     except (ValueError, EOFError, struct.error, NotImplementedError):
         pass                              # malformed → stays "unknown"
     return out
@@ -935,6 +1008,45 @@ def _synth_apng(seed: int, frames: int = 6, w: int = 16,
     return pngcodec.encode_apng(frs, delays_ms=[40] * frames)
 
 
+def _synth_qoi(seed: int, w: int = 24, h: int = 18) -> bytes:
+    from . import qoicodec
+
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    arr[:, 6:14] = arr[0, 0]               # flat run exercises RUN/INDEX ops
+    return qoicodec.encode_qoi(arr)
+
+
+def _synth_tga(seed: int, w: int = 24, h: int = 18) -> bytes:
+    from . import tgacodec
+
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    arr[:, 2:10] = 77                      # runs exercise the RLE packer
+    return tgacodec.encode_tga(arr, rle=bool(seed % 2))
+
+
+def _synth_aiff(seed: int, n: int = 2000) -> bytes:
+    from . import audiocodec
+
+    rng = np.random.RandomState(seed)
+    t = np.arange(n, dtype=np.float64)
+    x = 0.5 * np.sin(2 * np.pi * (220 + seed % 200) * t / 8000) \
+        + 0.05 * rng.randn(n)
+    return audiocodec.write_aiff(np.clip(x, -1, 1), rate=8000)
+
+
+def _synth_au(seed: int, n: int = 2000) -> bytes:
+    from . import audiocodec
+
+    rng = np.random.RandomState(seed)
+    t = np.arange(n, dtype=np.float64)
+    x = 0.4 * np.sin(2 * np.pi * (330 + seed % 150) * t / 8000) \
+        + 0.05 * rng.randn(n)
+    return audiocodec.write_au(np.clip(x, -1, 1), rate=8000,
+                               encoding="mulaw" if seed % 2 else "pcm_be16")
+
+
 def _synth_mp4_h264(seed: int, frames: int = 5, w: int = 32,
                     h: int = 16) -> bytes:
     """avc1 MP4: odd seeds carry CAVLC intra-coded pictures (the round-4
@@ -960,30 +1072,38 @@ def synth_media_table(n: int = 32, seed: int = 42) -> pa.Table:
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
-        if kind == "image" and (i // 3) % 7 == 1:
+        if kind == "image" and (i // 3) % 9 == 1:
             payload, mime = _synth_jpeg(seed + i), "image/jpeg"
-        elif kind == "image" and (i // 3) % 7 == 2:
+        elif kind == "image" and (i // 3) % 9 == 2:
             payload, mime = _synth_png(seed + i), "image/png"
-        elif kind == "image" and (i // 3) % 7 == 3:
+        elif kind == "image" and (i // 3) % 9 == 3:
             payload, mime = _synth_webp(seed + i), "image/webp"
-        elif kind == "image" and (i // 3) % 7 == 4:
+        elif kind == "image" and (i // 3) % 9 == 4:
             payload, mime = _synth_tiff(seed + i), "image/tiff"
-        elif kind == "image" and (i // 3) % 7 == 5:
+        elif kind == "image" and (i // 3) % 9 == 5:
             payload, mime = _synth_bmp(seed + i), "image/bmp"
-        elif kind == "image" and (i // 3) % 7 == 6:
+        elif kind == "image" and (i // 3) % 9 == 6:
             payload, mime = _synth_ico(seed + i), "image/x-icon"
+        elif kind == "image" and (i // 3) % 9 == 7:
+            payload, mime = _synth_qoi(seed + i), "image/qoi"
+        elif kind == "image" and (i // 3) % 9 == 8:
+            payload, mime = _synth_tga(seed + i), "image/x-tga"
         elif kind == "image":
             payload, mime = _synth_ppm(seed + i), "image/x-portable-pixmap"
-        elif kind == "audio" and (i // 3) % 6 == 1:
+        elif kind == "audio" and (i // 3) % 8 == 1:
             payload, mime = _synth_wav_g711(seed + i, "mulaw"), "audio/wav"
-        elif kind == "audio" and (i // 3) % 6 == 2:
+        elif kind == "audio" and (i // 3) % 8 == 2:
             payload, mime = _synth_wav_g711(seed + i, "alaw"), "audio/wav"
-        elif kind == "audio" and (i // 3) % 6 == 3:
+        elif kind == "audio" and (i // 3) % 8 == 3:
             payload, mime = _synth_wav_adpcm(seed + i), "audio/wav"
-        elif kind == "audio" and (i // 3) % 6 == 4:
+        elif kind == "audio" and (i // 3) % 8 == 4:
             payload, mime = _synth_flac(seed + i), "audio/flac"
-        elif kind == "audio" and (i // 3) % 6 == 5:
+        elif kind == "audio" and (i // 3) % 8 == 5:
             payload, mime = _synth_wav_ms_adpcm(seed + i), "audio/wav"
+        elif kind == "audio" and (i // 3) % 8 == 6:
+            payload, mime = _synth_aiff(seed + i), "audio/aiff"
+        elif kind == "audio" and (i // 3) % 8 == 7:
+            payload, mime = _synth_au(seed + i), "audio/basic"
         elif kind == "audio":
             payload, mime = _synth_wav(seed + i), "audio/wav"
         elif (i // 3) % 6 == 1:

@@ -149,6 +149,14 @@ def test_image_stages_accept_jpeg():
             from gitprov_ray import icocodec
 
             assert icocodec.decode_ico(payload).shape[:2] == (32, 32)
+        elif mime == "image/qoi":
+            from gitprov_ray import qoicodec
+
+            assert qoicodec.decode_qoi(payload).shape[:2] == (32, 32)
+        elif mime == "image/x-tga":
+            from gitprov_ray import tgacodec
+
+            assert tgacodec.decode_tga(payload).shape[:2] == (32, 32)
         else:
             assert M.parse_ppm(payload)[0].shape[:2] == (32, 32)
 
