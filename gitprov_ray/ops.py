@@ -1587,3 +1587,132 @@ def _pagerank_broadcast(edges, nodes, n: int, iters: int, damping: float,
     out = pd.DataFrame({"node": ids,
                         "score": np.round(scores, 9)})
     return rd.from_pandas(out)
+
+
+def hits(edges_ds, iters: int = 3, num_partitions: int | None = None,
+         src: str = "src", dst: str = "dst",
+         broadcast_max: int = 500_000):
+    """Distributed HITS (Kleinberg 1999, hubs & authorities) by power
+    iteration → Dataset of (node, hub, auth), rounded to 9 decimals so
+    the unrolled SQL oracle twin hash-matches despite summation-order
+    ulps.
+
+    Update rule pinned for the oracle: hub_0(u)=1 for every node; per
+    round, auth'(v)=Σ_{u→v} hub(u) then L1-normalized
+    (auth = auth'/Σauth'), then hub'(u)=Σ_{u→v} auth(v), L1-normalized.
+    A graph with edges always has Σ>0; an edgeless input raises
+    upstream (no nodes).
+
+    Scale shape mirrors :func:`pagerank`: a node-bounded broadcast
+    regime (score vectors via ray.put, edges streamed once per
+    half-step with np.add.at partials) under ``broadcast_max`` nodes;
+    above it, each half-step is ONE hash join (edges ⋈ scores) + ONE
+    bucketed sum + a scalar L1 total — nothing node-shaped lands on the
+    driver."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    P = num_partitions or _default_partitions()
+    e_schema = pa.schema([(src, pa.int64()), (dst, pa.int64())])
+    edges = materialize_normalized(
+        edges_ds.map_batches(
+            lambda df: df[[src, dst]].astype("int64"),
+            batch_format="pandas"), e_schema)
+    nodes = materialize_normalized(
+        distinct_keys(
+            edges.map_batches(lambda df: pd.DataFrame(
+                {"node": np.concatenate([df[src].to_numpy(),
+                                         df[dst].to_numpy()])}),
+                batch_format="pandas"), "node"),
+        pa.schema([("node", pa.int64())]))
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("hits on an empty edge set")
+    if n <= broadcast_max:
+        return _hits_broadcast(edges, nodes, n, iters, src, dst)
+
+    s_schema = pa.schema([("node", pa.int64()), ("score", pa.float64())])
+    c_schema = pa.schema([("node", pa.int64()), ("c", pa.float64())])
+
+    def half_step(scores, key_in, key_out):
+        # contrib(v) = Σ_{edge} score(key_in endpoint); then L1-normalize
+        contrib = materialize_normalized(
+            edges.map_batches(
+                lambda df: df.rename(columns={key_in: "node"}),
+                batch_format="pandas")
+            .join(scores, "inner", P, on=("node",))
+            .map_batches(lambda df: pd.DataFrame(
+                {"node": df[key_out].astype("int64"),
+                 "c": df["score"].to_numpy()}), batch_format="pandas")
+            .groupby("node").aggregate(Sum(on="c", alias_name="c")),
+            c_schema)
+        total = float(contrib.map_batches(
+            lambda df: pd.DataFrame({"s": [float(df["c"].sum())]}),
+            batch_format="pandas").to_pandas()["s"].sum())
+        return materialize_normalized(
+            nodes.join(contrib, "left_outer", P, on=("node",))
+            .map_batches(lambda df, t=total: pd.DataFrame(
+                {"node": df["node"].astype("int64"),
+                 "score": df["c"].fillna(0.0).to_numpy() / t}),
+                batch_format="pandas"), s_schema)
+
+    hubs = materialize_normalized(
+        nodes.map_batches(lambda df: df.assign(score=1.0),
+                          batch_format="pandas"), s_schema)
+    auths = None
+    for _ in range(iters):
+        auths = half_step(hubs, src, dst)
+        hubs = half_step(auths, dst, src)
+    return materialize_normalized(
+        hubs.map_batches(lambda df: df.rename(columns={"score": "hub"}),
+                         batch_format="pandas")
+        .join(auths.map_batches(
+            lambda df: df.rename(columns={"score": "auth"}),
+            batch_format="pandas"), "inner", P, on=("node",)),
+        pa.schema([("node", pa.int64()), ("hub", pa.float64()),
+                   ("auth", pa.float64())])) \
+        .map_batches(lambda df: pd.DataFrame(
+            {"node": df["node"].astype("int64"),
+             "hub": df["hub"].round(9),
+             "auth": df["auth"].round(9)}), batch_format="pandas")
+
+
+def _hits_broadcast(edges, nodes, n: int, iters: int, src: str, dst: str):
+    """Broadcast regime of :func:`hits`: node-indexed hub/auth vectors
+    on the driver (bounded by broadcast_max), edges streamed once per
+    half-step via ray.put'd score vectors."""
+    import ray
+    import ray.data as rd
+
+    ids = np.sort(nodes.to_pandas()["node"].to_numpy(dtype=np.int64))
+    idx_ref = ray.put(ids)
+
+    def propagate(scores, key_in, key_out):
+        s_ref = ray.put(scores)
+
+        def partial(df: pd.DataFrame, s_ref=s_ref,
+                    idx_ref=idx_ref) -> pd.DataFrame:
+            ids_w = ray.get(idx_ref)
+            sc = ray.get(s_ref)
+            ip = np.searchsorted(ids_w, df[key_in].to_numpy())
+            op = np.searchsorted(ids_w, df[key_out].to_numpy())
+            out = np.zeros(len(ids_w), dtype=np.float64)
+            np.add.at(out, op, sc[ip])
+            nz = np.nonzero(out)[0]
+            return pd.DataFrame({"p": nz.astype(np.int64), "c": out[nz]})
+
+        part = edges.map_batches(partial, batch_format="pandas").to_pandas()
+        out = np.zeros(n, dtype=np.float64)
+        if len(part):
+            np.add.at(out, part["p"].to_numpy(), part["c"].to_numpy())
+        return out / out.sum()
+
+    hubs = np.ones(n, dtype=np.float64)
+    auths = np.zeros(n, dtype=np.float64)
+    for _ in range(iters):
+        auths = propagate(hubs, src, dst)
+        hubs = propagate(auths, dst, src)
+    return rd.from_pandas(pd.DataFrame(
+        {"node": ids, "hub": np.round(hubs, 9),
+         "auth": np.round(auths, 9)}))

@@ -4813,6 +4813,107 @@ def q_ewma_events(sf_dir: str):
             .sort("user_id"))
 
 
+ROUGE_CAP = 12
+
+
+def q_rouge_l_pairs(sf_dir: str, cap: int = ROUGE_CAP):
+    """ROUGE-L overlap statistics (Lin 2004) between paired documents
+    (candidate = even doc_id, reference = doc_id+1, the q_bleu_pairs
+    pairing): per pair the LCS length of the first ``cap`` tokens per
+    side plus both FULL token counts — raw integers only, so ROUGE-L
+    precision/recall/F are reconstructible downstream with no float
+    leaving the engine. The prefix cap is the documented contract (it
+    bounds the O(cap²) DP and keeps the SQL twin tractable).
+
+    Scale shape: one bucketed shuffle on pair_id co-locates each pair;
+    the LCS DP is vectorized ACROSS pairs (cap² scalar steps, each a
+    numpy op over the whole pair dimension — never a per-pair Python
+    DP). The twin unrolls the running-max row reformulation
+    dp[i][j] = max(dp[i-1][j], max_{j'≤j, a_i=b_j'} dp[i-1][j'-1]+1),
+    which makes each DP row ONE window function over the previous
+    row's CTE — cap chained CTEs, all integer."""
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["pid"] = df["doc_id"] // 2
+        k = df["pid"].astype(str)
+        df["bucket"] = stable_bucket(k, k, 64)
+        return df
+
+    def pair_lcs(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+        df = pd.DataFrame({"pid": df["pid"].to_numpy(),
+                           "role": (df["doc_id"] % 2).to_numpy(),
+                           "toks": toks.to_numpy(dtype=object)})
+        pids, cands, refs = [], [], []
+        for pid, g in df.groupby("pid", sort=False):
+            if len(g) != 2 or set(g["role"]) != {0, 1}:
+                continue
+            pids.append(int(pid))
+            cands.append(g.loc[g["role"] == 0, "toks"].iloc[0])
+            refs.append(g.loc[g["role"] == 1, "toks"].iloc[0])
+        cols = ["pair_id", "len_c", "len_r", "lcs"]
+        if not pids:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        P = len(pids)
+        # distinct pads so a padding cell never matches anything
+        A = np.full((P, cap), "\x00", dtype=object)
+        B = np.full((P, cap), "\x01", dtype=object)
+        for r, (c, rf) in enumerate(zip(cands, refs)):
+            for i, t in enumerate(c[:cap]):
+                A[r, i] = t
+            for j, t in enumerate(rf[:cap]):
+                B[r, j] = t
+        dp = np.zeros((P, cap + 1), dtype=np.int64)
+        for i in range(1, cap + 1):
+            ndp = np.zeros_like(dp)
+            ai = A[:, i - 1]
+            for j in range(1, cap + 1):
+                m = np.where(ai == B[:, j - 1], dp[:, j - 1] + 1, 0)
+                ndp[:, j] = np.maximum(np.maximum(dp[:, j],
+                                                  ndp[:, j - 1]), m)
+            dp = ndp
+        return pd.DataFrame({
+            "pair_id": np.asarray(pids, dtype="int64"),
+            "len_c": np.asarray([len(c) for c in cands], dtype="int64"),
+            "len_r": np.asarray([len(r) for r in refs], dtype="int64"),
+            "lcs": dp[:, cap]})
+
+    return (ds.map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket").map_groups(
+                lambda df: pair_lcs(df.drop(columns=["bucket"])),
+                batch_format="pandas")
+            .sort("pair_id"))
+
+
+def q_hits_docs(sf_dir: str):
+    """Distributed HITS hubs & authorities (ops.hits power iteration)
+    over a deterministic synthetic citation graph on the documents
+    table (doc → (13·doc+5) mod n and (29·doc+11) mod n): per
+    half-step ONE hash join + ONE bucketed sum + a scalar L1 total in
+    the join regime; node-bounded broadcast regime below the
+    threshold. Scores L1-normalized each half-step and rounded to 9
+    decimals to pin the unrolled-CTE oracle."""
+    from . import ops
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    n = ds.count()
+
+    def edges(df: pd.DataFrame, n=n) -> pd.DataFrame:
+        s = df["doc_id"].to_numpy()
+        return pd.DataFrame({
+            "src": np.concatenate([s, s]).astype("int64"),
+            "dst": np.concatenate([(s * 13 + 5) % n,
+                                   (s * 29 + 11) % n]).astype("int64")})
+
+    e = ds.map_batches(edges, batch_format="pandas")
+    return ops.hits(e, iters=3).sort("node")
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -4990,6 +5091,8 @@ QUERIES = {
     "q_bleu_pairs": q_bleu_pairs,
     "q_interval_coverage_events": q_interval_coverage_events,
     "q_ewma_events": q_ewma_events,
+    "q_rouge_l_pairs": q_rouge_l_pairs,
+    "q_hits_docs": q_hits_docs,
 }
 
 
@@ -8195,3 +8298,101 @@ FROM rec r JOIN (SELECT user_id, MAX(rn) AS n FROM base
   ON r.user_id = m.user_id AND r.rn = m.n
 ORDER BY r.user_id
 """
+
+
+def _rouge_l_sql(cap: int = ROUGE_CAP) -> str:
+    """Unrolled LCS DP twin for q_rouge_l_pairs: one CTE per DP row,
+    each row ONE running-max window over the previous row's CTE (the
+    dp[i][j] = max(dp[i-1][j], max_{j'≤j, a_i=b_j'} dp[i-1][j'-1]+1)
+    reformulation — valid because DP rows are non-decreasing in j)."""
+    rows = []
+    for i in range(1, cap + 1):
+        prev = f"r{i - 1}"
+        rows.append(f"""
+        r{i} AS MATERIALIZED (
+          SELECT tb.pid, tb.j,
+            MAX(GREATEST(
+              COALESCE(p1.v, 0),
+              CASE WHEN ai.tok IS NOT NULL AND ai.tok = tb.tok
+                   THEN COALESCE(p0.v, 0) + 1 ELSE 0 END))
+              OVER (PARTITION BY tb.pid ORDER BY tb.j) AS v
+          FROM tb
+          LEFT JOIN {prev} p1 ON p1.pid = tb.pid AND p1.j = tb.j
+          LEFT JOIN {prev} p0 ON p0.pid = tb.pid AND p0.j = tb.j - 1
+          LEFT JOIN ta ai ON ai.pid = tb.pid AND ai.i = {i}
+        )""")
+    return f"""
+        WITH d AS MATERIALIZED (SELECT doc_id // 2 AS pid, doc_id % 2 AS role,
+                      list_slice(regexp_extract_all(
+                        lower(COALESCE(text,'')), '[a-z]+'), 1, {cap}) AS l,
+                      len(regexp_extract_all(
+                        lower(COALESCE(text,'')), '[a-z]+')) AS full_len
+                   FROM documents),
+        p AS (SELECT pid FROM d GROUP BY pid HAVING COUNT(*) = 2),
+        dd AS MATERIALIZED (SELECT d.* FROM d JOIN p USING (pid)),
+        gs AS (SELECT unnest(generate_series(1, {cap})) AS i),
+        ta AS MATERIALIZED (SELECT pid, gs.i AS i, l[gs.i] AS tok
+               FROM dd CROSS JOIN gs WHERE role = 0 AND gs.i <= len(l)),
+        tb AS MATERIALIZED (SELECT pid, gs.i AS j, l[gs.i] AS tok
+               FROM dd CROSS JOIN gs WHERE role = 1 AND gs.i <= len(l)),
+        r0 AS MATERIALIZED (SELECT pid, j, 0 AS v FROM tb),{','.join(rows)},
+        lens AS (SELECT pid,
+                   SUM(CASE WHEN role = 0 THEN full_len ELSE 0 END) AS len_c,
+                   SUM(CASE WHEN role = 1 THEN full_len ELSE 0 END) AS len_r
+                 FROM dd GROUP BY pid),
+        mx AS (SELECT pid, MAX(v) AS v FROM r{cap} GROUP BY pid)
+        SELECT lens.pid AS pair_id,
+               CAST(len_c AS BIGINT) AS len_c,
+               CAST(len_r AS BIGINT) AS len_r,
+               CAST(COALESCE(mx.v, 0) AS BIGINT) AS lcs
+        FROM lens LEFT JOIN mx USING (pid)
+        ORDER BY pair_id"""
+
+
+ORACLE_SQL["q_rouge_l_pairs"] = _rouge_l_sql()
+
+
+def _hits_sql(iters: int = 3) -> str:
+    """Unrolled power-iteration twin for q_hits_docs: per half-step a
+    SUM join on the propagating endpoint, a scalar L1 total and a
+    zero-filled normalize — mirroring ops.hits' pinned update rule."""
+    steps = []
+    prev_h = "h0"
+    for k in range(1, iters + 1):
+        steps.append(f"""
+        ap{k} AS MATERIALIZED (SELECT e.dst AS node, SUM(h.v) AS s
+                  FROM edges e JOIN {prev_h} h ON h.node = e.src
+                  GROUP BY e.dst),
+        a{k} AS MATERIALIZED (SELECT nd.node,
+                        COALESCE(ap{k}.s, 0) / (SELECT SUM(s) FROM ap{k})
+                          AS v
+                 FROM nodes nd LEFT JOIN ap{k} USING (node)),
+        hp{k} AS MATERIALIZED (SELECT e.src AS node, SUM(a.v) AS s
+                  FROM edges e JOIN a{k} a ON a.node = e.dst
+                  GROUP BY e.src),
+        h{k} AS MATERIALIZED (SELECT nd.node,
+                        COALESCE(hp{k}.s, 0) / (SELECT SUM(s) FROM hp{k})
+                          AS v
+                 FROM nodes nd LEFT JOIN hp{k} USING (node))""")
+        prev_h = f"h{k}"
+    return f"""
+        WITH cnt AS (SELECT COUNT(*) AS n FROM documents),
+        edges AS MATERIALIZED (
+          SELECT doc_id AS src,
+                 (doc_id * 13 + 5) % (SELECT n FROM cnt) AS dst
+          FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id * 29 + 11) % (SELECT n FROM cnt)
+          FROM documents
+        ),
+        nodes AS MATERIALIZED (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        h0 AS MATERIALIZED (SELECT node, 1.0 AS v FROM nodes),{','.join(steps)}
+        SELECT nodes.node,
+               ROUND(h{iters}.v, 9) AS hub,
+               ROUND(a{iters}.v, 9) AS auth
+        FROM nodes JOIN h{iters} USING (node) JOIN a{iters} USING (node)
+        ORDER BY nodes.node"""
+
+
+ORACLE_SQL["q_hits_docs"] = _hits_sql()

@@ -163,3 +163,96 @@ def test_pagerank_regimes_agree():
          .sort_values("node").reset_index(drop=True))
     assert (a["node"] == b["node"]).all()
     assert np.abs(a["score"] - b["score"]).max() <= 2e-9
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hits_known_graph():
+    """ops.hits on a tiny directed graph matches a brute-force
+    numpy power iteration with the pinned L1-normalize-per-half-step
+    rule (incl. a pure-sink and a pure-source node)."""
+    import numpy as np
+    import ray.data as rd
+
+    from gitprov_ray.ops import hits
+
+    # 0->1, 0->2, 1->2, 3->2 (2 is a pure sink, 3 a pure source)
+    e = pd.DataFrame({"src": [0, 0, 1, 3], "dst": [1, 2, 2, 2]})
+    out = hits(rd.from_pandas(e), iters=5).to_pandas() \
+        .set_index("node").sort_index()
+    nodes = [0, 1, 2, 3]
+    h = np.ones(4)
+    a = np.zeros(4)
+    for _ in range(5):
+        a = np.zeros(4)
+        for s, d in zip(e["src"], e["dst"]):
+            a[d] += h[s]
+        a /= a.sum()
+        h = np.zeros(4)
+        for s, d in zip(e["src"], e["dst"]):
+            h[s] += a[d]
+        h /= h.sum()
+    assert np.abs(out["hub"].to_numpy() - np.round(h, 9)).max() <= 1e-9
+    assert np.abs(out["auth"].to_numpy() - np.round(a, 9)).max() <= 1e-9
+    # hubs/auths each sum to 1 (L1-normalized contract)
+    assert abs(out["hub"].sum() - 1.0) < 1e-7
+    assert abs(out["auth"].sum() - 1.0) < 1e-7
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hits_regimes_agree():
+    """broadcast_max=2 forces the join regime — hub/auth must equal
+    the broadcast regime at the round-9 contract."""
+    import numpy as np
+    import ray.data as rd
+
+    from gitprov_ray.ops import hits
+
+    rng = np.random.default_rng(11)
+    e = pd.DataFrame({"src": rng.integers(0, 30, 200),
+                      "dst": rng.integers(0, 30, 200)}).astype("int64")
+    ds = rd.from_pandas(e).repartition(4)
+    a = (hits(ds, iters=3).to_pandas()
+         .sort_values("node").reset_index(drop=True))
+    b = (hits(ds, iters=3, broadcast_max=2).to_pandas()
+         .sort_values("node").reset_index(drop=True))
+    assert (a["node"] == b["node"]).all()
+    assert np.abs(a["hub"] - b["hub"]).max() <= 2e-9
+    assert np.abs(a["auth"] - b["auth"]).max() <= 2e-9
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rouge_l_dp_matches_bruteforce(tmp_path):
+    """q_rouge_l_pairs' pair-vectorized DP equals a classic per-pair
+    O(nm) reference LCS on 60 random token-pair docs (cap boundary,
+    empty sides and all-match cases included)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gitprov_ray.queries import ROUGE_CAP, q_rouge_l_pairs
+
+    rng = np.random.default_rng(7)
+    vocab = ["a", "b", "c", "dd", "ee"]
+    texts, want = [], {}
+    for pid in range(60):
+        nc, nr = int(rng.integers(0, 16)), int(rng.integers(0, 16))
+        c = [vocab[i] for i in rng.integers(0, len(vocab), nc)]
+        r = [vocab[i] for i in rng.integers(0, len(vocab), nr)]
+        if pid == 0:
+            c = r = ["a"] * 15          # all-match, beyond the cap
+        texts += [" ".join(c), " ".join(r)]
+        a, b = c[:ROUGE_CAP], r[:ROUGE_CAP]
+        dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                dp[i][j] = (dp[i - 1][j - 1] + 1 if a[i - 1] == b[j - 1]
+                            else max(dp[i - 1][j], dp[i][j - 1]))
+        want[pid] = (len(c), len(r), dp[len(a)][len(b)])
+    pq.write_table(pa.table({"doc_id": list(range(120)),
+                             "text": texts}),
+                   str(tmp_path / "documents.parquet"))
+    out = q_rouge_l_pairs(str(tmp_path)).to_pandas().set_index("pair_id")
+    assert len(out) == 60
+    for pid, (lc, lr, lcs) in want.items():
+        row = out.loc[pid]
+        assert (row["len_c"], row["len_r"], row["lcs"]) == (lc, lr, lcs), pid
