@@ -132,6 +132,12 @@ def _audiocodec_is_mp3(b: bytes) -> bool:
     return audiocodec.is_mp3(b)
 
 
+def _avicodec_is_avi(b: bytes) -> bool:
+    from . import avicodec
+
+    return avicodec.is_avi(b)
+
+
 def _tiffcodec_is_tiff(b: bytes) -> bool:
     from . import tiffcodec
 
@@ -520,6 +526,14 @@ class AudioFeatures:
                 except (NotImplementedError, ValueError):
                     if not self.fake:
                         raise            # name the codec, don't mask it
+            if parsed is None and _avicodec_is_avi(b):
+                from . import avicodec
+
+                try:
+                    parsed = avicodec.decode_avi_audio(b)
+                except (NotImplementedError, ValueError):
+                    if not self.fake:
+                        raise            # name the codec, don't mask it
             if parsed is not None:
                 x, rate = parsed
                 durs.append(int(len(x) * 1000 / max(rate, 1)))
@@ -552,8 +566,9 @@ class FrameSample:
     streams (ffmpeg image2pipe/ppm), animated GIF (gifcodec.py — LZW
     decode + frame composition), animated PNG (pngcodec.py —
     acTL/fcTL/fdAT demux + dispose/blend composition), MJPEG-in-MP4
-    (mp4codec.py — ISO BMFF demux + per-sample JPEG decode) and animated
-    WebP (webpcodec.py — VP8L frames + ANMF composition); inter-coded
+    (mp4codec.py — ISO BMFF demux + per-sample JPEG decode), MJPG and
+    raw-DIB AVI (avicodec.py — RIFF demux) and animated WebP
+    (webpcodec.py — VP8L frames + ANMF composition); inter-coded
     MP4 (avc1/hev1) raises naming the codec (fake = sliced digests).
     Output is exploded (one row per sampled frame, rendered as PPM)."""
 
@@ -587,6 +602,15 @@ class FrameSample:
             elif mp4codec.is_mp4(b):    # MJPEG MP4: real demux + decode
                 try:
                     decoded = mp4codec.decode_mp4_frames(b)
+                except (NotImplementedError, ValueError):
+                    if not self.fake:
+                        raise            # name the codec, don't mask it
+                    decoded = None
+            elif _avicodec_is_avi(b):   # AVI: MJPG + raw-DIB demux
+                from . import avicodec
+
+                try:
+                    decoded = avicodec.decode_avi_frames(b)
                 except (NotImplementedError, ValueError):
                     if not self.fake:
                         raise            # name the codec, don't mask it
@@ -717,6 +741,15 @@ def probe_media(b: bytes) -> dict:
             if p is not None:
                 out.update(format="flac", codec="flac",
                            duration_ms=p["duration_ms"])
+        elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+            from . import avicodec
+
+            try:
+                p = avicodec.probe_avi(b)
+            except ValueError:
+                p = None
+            if p is not None:
+                out.update(p)
         elif b[:4] == b"RIFF":
             from . import audiocodec
 
@@ -923,6 +956,21 @@ def _synth_mp4(seed: int, frames: int = 6, w: int = 16, h: int = 12) -> bytes:
     return mp4codec.encode_mp4_mjpeg(frs, fps=5)
 
 
+def _synth_avi(seed: int, frames: int = 6, w: int = 16, h: int = 12) -> bytes:
+    """Alternates MJPG (even seeds, with a PCM track) and raw-DIB AVI."""
+    from . import avicodec
+
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frs = [np.stack([(yy * 11 + i * 17) % 256, (xx * 5) % 256,
+                     rng.randint(0, 256, size=(h, w))], axis=-1)
+           .astype(np.uint8) for i in range(frames)]
+    if seed % 2 == 0:
+        x = np.sin(np.arange(2000) * (0.03 + (seed % 7) * 0.01)) * 0.4
+        return avicodec.encode_avi_mjpeg(frs, fps=5, audio=(x, 8000))
+    return avicodec.encode_avi_dib(frs, fps=5)
+
+
 def _synth_jpeg(seed: int, w: int = 24, h: int = 18) -> bytes:
     from . import jpegcodec
 
@@ -1106,16 +1154,18 @@ def synth_media_table(n: int = 32, seed: int = 42) -> pa.Table:
             payload, mime = _synth_au(seed + i), "audio/basic"
         elif kind == "audio":
             payload, mime = _synth_wav(seed + i), "audio/wav"
-        elif (i // 3) % 6 == 1:
+        elif (i // 3) % 7 == 1:
             payload, mime = _synth_gif(seed + i), "image/gif"
-        elif (i // 3) % 6 == 2:
+        elif (i // 3) % 7 == 2:
             payload, mime = _synth_mp4(seed + i), "video/mp4"
-        elif (i // 3) % 6 == 3:
+        elif (i // 3) % 7 == 3:
             payload, mime = _synth_webp_anim(seed + i), "image/webp"
-        elif (i // 3) % 6 == 4:
+        elif (i // 3) % 7 == 4:
             payload, mime = _synth_mp4_h264(seed + i), "video/mp4"
-        elif (i // 3) % 6 == 5:
+        elif (i // 3) % 7 == 5:
             payload, mime = _synth_apng(seed + i), "image/apng"
+        elif (i // 3) % 7 == 6:
+            payload, mime = _synth_avi(seed + i), "video/x-msvideo"
         else:
             payload, mime = _synth_ppm_stream(seed + i), "video/x-ppm-stream"
         rows.append({
