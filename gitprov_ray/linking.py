@@ -1465,10 +1465,29 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3,
     predicate; the band prefilter is lossless for it.
     → (a, b, hamming) with a < b."""
     from . import textops
+
+    def with_hash(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64").to_numpy(),
+            "hex": textops.simhash64(df["text"]).to_numpy()})
+
+    return hamming_neardup_pairs(
+        ds.map_batches(with_hash, batch_format="pandas"),
+        max_hamming=max_hamming, num_buckets=num_buckets)
+
+
+def hamming_neardup_pairs(ds, max_hamming: int = 3,
+                          num_buckets: int = 64):
+    """Banded Hamming near-dup pairs over a precomputed 64-bit hash
+    column (``doc_id``, ``hex`` = 16 lowercase hex chars) — the shared
+    exchange behind SimHash text near-dup and dHash image near-dup.
+    Same lossless 4x16 pigeonhole blocking, one stable-bucket exchange,
+    in-group XOR+popcount verify, emit-once-per-first-equal-band.
+    → (a, b, hamming) with a < b."""
     from .stages.versions import stable_bucket
 
     def sig(df: pd.DataFrame) -> pd.DataFrame:
-        h = textops.simhash64(df["text"])
+        h = df["hex"].astype(str)
         parts = []
         for band in range(4):
             parts.append(pd.DataFrame({

@@ -4890,6 +4890,61 @@ def q_rouge_l_pairs(sf_dir: str, cap: int = ROUGE_CAP):
             .sort("pair_id"))
 
 
+def q_image_dhash_pairs(sf_dir: str):
+    """Perceptual-hash image near-dup pairs (dHash, the integer member
+    of the aHash/dHash/pHash family): per doc a deterministic 16x16 RGB
+    image (squared-key hash pixels — the square decorrelates gradient
+    orderings across docs; odd doc = its even twin with a 2-cell
+    perturbation) goes through the REAL image path — PNG encode
+    → engine PNG decode → integer luma → nearest resize to 8x9 → 64
+    horizontal-gradient bits — then linking.hamming_neardup_pairs finds
+    hamming<=3 pairs with the lossless 4x16 band exchange. Every
+    arithmetic step (pixel formula, 299/587/114//1000 luma, (i*16)//n
+    resize sampling, bit packing, band blocking, nibble popcount) is
+    integer, so the DuckDB twin reproduces the pairs EXACTLY without
+    decoding a single image — the PNG roundtrip is pinned by parity.
+
+    Scale shape: stateless per-doc signature map (tiny images), then
+    ONE stable-bucket band exchange — the image corpus never joins
+    all-pairs."""
+    from . import multimodal, pngcodec
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def dhash_hex(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64").to_numpy()
+        base = ids // 2
+        r = np.arange(16).reshape(1, 16, 1, 1)
+        c = np.arange(16).reshape(1, 1, 16, 1)
+        ch = np.arange(3).reshape(1, 1, 1, 3)
+        k = (base.reshape(-1, 1, 1, 1) * 12289 + r * 769 + c * 49
+             + ch * 7 + 1)
+        px = ((k * k) // 8192) % 256
+        odd = (ids % 2 == 1)
+        px[odd, 0, 0:2, :] = (px[odd, 0, 0:2, :] + 96) % 256
+        px = px.astype(np.uint8)
+        grays = np.empty((len(ids), 16, 16), np.int64)
+        for i in range(len(ids)):                  # real codec roundtrip
+            arr = multimodal.decode_image(pngcodec.encode_png(px[i]))
+            a = arr.astype(np.int64)
+            grays[i] = (299 * a[..., 0] + 587 * a[..., 1]
+                        + 114 * a[..., 2]) // 1000
+        rr = (np.arange(8) * 16) // 8
+        cc = (np.arange(9) * 16) // 9
+        g = grays[:, rr][:, :, cc]                 # (D, 8, 9)
+        bits = (g[:, :, :8] > g[:, :, 1:]).astype(np.uint64)  # (D, 8, 8)
+        p = (np.arange(8).reshape(8, 1) * 8
+             + np.arange(8).reshape(1, 8)).astype(np.uint64)
+        hv = (bits << p).reshape(len(ids), 64).sum(axis=1)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "hex": [format(int(x), "016x") for x in hv]})
+
+    return linking.hamming_neardup_pairs(
+        ds.map_batches(dhash_hex, batch_format="pandas"),
+        max_hamming=3).sort(["a", "b"])
+
+
 def q_hits_docs(sf_dir: str):
     """Distributed HITS hubs & authorities (ops.hits power iteration)
     over a deterministic synthetic citation graph on the documents
@@ -5093,6 +5148,7 @@ QUERIES = {
     "q_ewma_events": q_ewma_events,
     "q_rouge_l_pairs": q_rouge_l_pairs,
     "q_hits_docs": q_hits_docs,
+    "q_image_dhash_pairs": q_image_dhash_pairs,
 }
 
 
@@ -8396,3 +8452,63 @@ def _hits_sql(iters: int = 3) -> str:
 
 
 ORACLE_SQL["q_hits_docs"] = _hits_sql()
+
+
+ORACLE_SQL["q_image_dhash_pairs"] = """
+    WITH rs AS (SELECT unnest(generate_series(0, 7)) AS r),
+    cs AS (SELECT unnest(generate_series(0, 8)) AS c),
+    chs AS (SELECT unnest(generate_series(0, 2)) AS ch),
+    -- per-channel pixel value at the 8x9 nearest-resize sample grid,
+    -- computed directly at the sampled source coordinates
+    -- (src_r=(r*16)//8, src_c=(c*16)//9) with the odd-doc perturbation
+    px AS MATERIALIZED (
+      SELECT doc_id, r, c, ch,
+             (((((doc_id // 2) * 12289 + ((r*16)//8) * 769
+                    + ((c*16)//9) * 49 + ch * 7 + 1)
+                 * ((doc_id // 2) * 12289 + ((r*16)//8) * 769
+                    + ((c*16)//9) * 49 + ch * 7 + 1))
+               // 8192) % 256
+              + CASE WHEN doc_id % 2 = 1 AND (r*16)//8 = 0
+                          AND (c*16)//9 <= 1 THEN 96 ELSE 0 END) % 256
+               AS v
+      FROM documents CROSS JOIN rs CROSS JOIN cs CROSS JOIN chs),
+    g AS MATERIALIZED (
+      SELECT doc_id, r, c,
+             SUM(CASE ch WHEN 0 THEN 299 * v WHEN 1 THEN 587 * v
+                 ELSE 114 * v END) // 1000 AS gray
+      FROM px GROUP BY doc_id, r, c),
+    bits AS (
+      SELECT g1.doc_id, g1.r * 8 + g1.c AS p,
+             CASE WHEN g1.gray > g2.gray THEN 1 ELSE 0 END AS bit
+      FROM g g1 JOIN g g2 ON g2.doc_id = g1.doc_id AND g2.r = g1.r
+                         AND g2.c = g1.c + 1
+      WHERE g1.c <= 7),
+    nibs AS (SELECT doc_id, p // 4 AS j, SUM(bit << (p % 4)) AS nib
+             FROM bits GROUP BY doc_id, p // 4),
+    hexes AS MATERIALIZED (
+      SELECT doc_id,
+             string_agg(substr('0123456789abcdef',
+                               CAST(nib AS INTEGER) + 1, 1),
+                        '' ORDER BY j DESC) AS hex
+      FROM nibs GROUP BY doc_id),
+    cand AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, x.hex AS ha, y.hex AS hb
+      FROM hexes x JOIN hexes y ON x.doc_id < y.doc_id
+       AND (substr(x.hex, 1, 4) = substr(y.hex, 1, 4)
+         OR substr(x.hex, 5, 4) = substr(y.hex, 5, 4)
+         OR substr(x.hex, 9, 4) = substr(y.hex, 9, 4)
+         OR substr(x.hex, 13, 4) = substr(y.hex, 13, 4))),
+    nib AS (
+      SELECT a, b, ha, hb, unnest(generate_series(1, 16)) AS i
+      FROM cand),
+    hh AS (
+      SELECT a, b,
+             CAST(SUM(CAST(substr('0112122312232334',
+                  CAST(xor(strpos('0123456789abcdef', substr(ha, i, 1))
+                             - 1,
+                           strpos('0123456789abcdef', substr(hb, i, 1))
+                             - 1) AS INT) + 1, 1) AS BIGINT))
+                  AS BIGINT) AS hamming
+      FROM nib GROUP BY a, b)
+    SELECT a, b, hamming FROM hh WHERE hamming <= 3 ORDER BY a, b
+"""
