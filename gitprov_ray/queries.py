@@ -4945,6 +4945,27 @@ def q_image_dhash_pairs(sf_dir: str):
         max_hamming=3).sort(["a", "b"])
 
 
+def q_wordpiece_stats_docs(sf_dir: str):
+    """WordPiece tokenization stats (greedy longest-match-first,
+    Schuster & Nakajima / BERT, over textops.WORDPIECE_VOCAB — a fixed
+    closed vocab whose single-letter pieces guarantee no [UNK]): per
+    doc the word count, total piece count and continuation-piece count.
+    Stateless vectorized map (per-batch word memoization), zero
+    shuffles before the presentation sort. The twin precomputes the
+    longest vocab match per (word, pos) NON-recursively (a vocab join +
+    MAX), then replays the greedy walk as pure pointer-chasing in a
+    recursive CTE — the same split that makes the engine's loop
+    O(word_len) per distinct word."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out = textops.wordpiece_stats(df["text"])
+        out.insert(0, "doc_id", df["doc_id"].astype("int64").to_numpy())
+        return out
+
+    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+
+
 def q_hits_docs(sf_dir: str):
     """Distributed HITS hubs & authorities (ops.hits power iteration)
     over a deterministic synthetic citation graph on the documents
@@ -5149,6 +5170,7 @@ QUERIES = {
     "q_rouge_l_pairs": q_rouge_l_pairs,
     "q_hits_docs": q_hits_docs,
     "q_image_dhash_pairs": q_image_dhash_pairs,
+    "q_wordpiece_stats_docs": q_wordpiece_stats_docs,
 }
 
 
@@ -8512,3 +8534,52 @@ ORACLE_SQL["q_image_dhash_pairs"] = """
       FROM nib GROUP BY a, b)
     SELECT a, b, hamming FROM hh WHERE hamming <= 3 ORDER BY a, b
 """
+
+
+def _wordpiece_sql() -> str:
+    """Twin for q_wordpiece_stats_docs: vocab VALUES generated from
+    textops.WORDPIECE_VOCAB so engine and twin can never drift."""
+    rows = ",\n             ".join(
+        f"('{p}', {'true' if c else 'false'})"
+        for p, c in textops.WORDPIECE_VOCAB)
+    cap = textops.WORDPIECE_WORD_CAP
+    return f"""
+    WITH RECURSIVE
+    vocab(txt, is_cont) AS (VALUES
+             {rows}),
+    words AS MATERIALIZED (
+      SELECT doc_id, substr(w, 1, {cap}) AS word
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                             '[a-z]+')) AS w
+            FROM documents)),
+    uw AS MATERIALIZED (SELECT DISTINCT word FROM words),
+    pos AS (SELECT unnest(generate_series(1, {cap})) AS pos),
+    best AS MATERIALIZED (
+      SELECT u.word, p.pos, MAX(len(v.txt)) AS step
+      FROM uw u CROSS JOIN pos p
+      JOIN vocab v ON v.is_cont = (p.pos > 1)
+                  AND substr(u.word, p.pos, len(v.txt)) = v.txt
+      WHERE p.pos <= len(u.word)
+      GROUP BY u.word, p.pos),
+    walk(word, pos, n_pieces, n_cont) AS (
+      SELECT word, 1 + step, 1, 0 FROM best WHERE pos = 1
+      UNION ALL
+      SELECT w.word, w.pos + b.step, w.n_pieces + 1, w.n_cont + 1
+      FROM walk w JOIN best b ON b.word = w.word AND b.pos = w.pos
+      WHERE w.pos <= len(w.word)),
+    fin AS (SELECT word, n_pieces, n_cont FROM walk
+            WHERE pos = len(word) + 1),
+    per_doc AS (
+      SELECT w.doc_id, COUNT(*) AS n_words, SUM(f.n_pieces) AS n_pieces,
+             SUM(f.n_cont) AS n_cont
+      FROM words w JOIN fin f USING (word) GROUP BY w.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(p.n_pieces, 0) AS BIGINT) AS n_pieces,
+           CAST(COALESCE(p.n_cont, 0) AS BIGINT) AS n_cont
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY d.doc_id"""
+
+
+ORACLE_SQL["q_wordpiece_stats_docs"] = _wordpiece_sql()

@@ -739,3 +739,78 @@ def html_to_text(texts: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"extracted": s,
                          "n_tags": n_tags,
                          "text_len": s.str.len().astype("int64")})
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenization (greedy longest-match-first, Schuster & Nakajima /
+# BERT): fixed closed vocab so the SQL twin can replay the identical walk.
+# Single letters (and their ## continuations) are all present, so every
+# [a-z]+ word tokenizes without [UNK].
+# ---------------------------------------------------------------------------
+
+WORDPIECE_WORD_CAP = 16        # words truncate to 16 chars (the contract)
+
+_WP_START = tuple("abcdefghijklmnopqrstuvwxyz") + (
+    "the", "and", "ing", "ion", "ent", "ter", "tion", "ere", "ati",
+    "un", "pre", "con", "com", "dis", "over", "under", "inter",
+    "re", "de", "in", "st", "ch", "sh", "th", "wh", "qu", "pro",
+)
+_WP_CONT = tuple("abcdefghijklmnopqrstuvwxyz") + (
+    "ing", "ed", "ion", "er", "es", "ly", "ment", "tion", "al",
+    "ate", "ity", "ous", "ant", "ent", "ness", "able", "ful",
+    "est", "ers", "ations", "s", "ted", "ting",
+)
+# (piece_text, is_cont) — the display form prefixes continuations "##"
+WORDPIECE_VOCAB = tuple(sorted({(p, False) for p in _WP_START}
+                               | {(p, True) for p in _WP_CONT}))
+_WP_BY_LEN = {
+    False: sorted({p for p, c in WORDPIECE_VOCAB if not c},
+                  key=len, reverse=True),
+    True: sorted({p for p, c in WORDPIECE_VOCAB if c},
+                 key=len, reverse=True),
+}
+_WP_SET = {False: {p for p, c in WORDPIECE_VOCAB if not c},
+           True: {p for p, c in WORDPIECE_VOCAB if c}}
+
+
+def wordpiece_tokenize(word: str) -> list:
+    """One [a-z]+ word (pre-truncated to WORDPIECE_WORD_CAP) → greedy
+    longest-match-first pieces, continuations rendered '##piece'."""
+    word = word[:WORDPIECE_WORD_CAP]
+    out, pos, n = [], 0, len(word)
+    while pos < n:
+        cont = pos > 0
+        for p in _WP_BY_LEN[cont]:
+            if word.startswith(p, pos):
+                out.append("##" + p if cont else p)
+                pos += len(p)
+                break
+        else:                      # unreachable: single letters cover all
+            out.append("[UNK]")
+            break
+    return out
+
+
+def wordpiece_stats(texts: pd.Series) -> pd.DataFrame:
+    """Per text: word count, total pieces, continuation pieces —
+    vocabulary-memoized (each distinct truncated word tokenizes once
+    per batch, the porter_stem pattern)."""
+    toks = texts.fillna("").str.lower().str.findall(r"[a-z]+")
+    cache: dict = {}
+    n_words = np.zeros(len(toks), np.int64)
+    n_pieces = np.zeros(len(toks), np.int64)
+    n_cont = np.zeros(len(toks), np.int64)
+    for i, words in enumerate(toks.to_numpy(dtype=object)):
+        n_words[i] = len(words)
+        for w in words:
+            w = w[:WORDPIECE_WORD_CAP]
+            got = cache.get(w)
+            if got is None:
+                pieces = wordpiece_tokenize(w)
+                got = (len(pieces),
+                       sum(1 for p in pieces if p.startswith("##")))
+                cache[w] = got
+            n_pieces[i] += got[0]
+            n_cont[i] += got[1]
+    return pd.DataFrame({"n_words": n_words, "n_pieces": n_pieces,
+                         "n_cont": n_cont})
