@@ -20,7 +20,7 @@ import pyarrow as pa
 _EXT_FMT = {".parquet": "parquet", ".pq": "parquet", ".csv": "csv",
             ".json": "ndjson", ".jsonl": "ndjson", ".ndjson": "ndjson",
             ".feather": "feather", ".arrow": "feather", ".ipc": "feather",
-            ".orc": "orc", ".avro": "avro"}
+            ".orc": "orc", ".avro": "avro", ".xml": "xml"}
 
 
 def _fmt_of(path: str, fmt: str | None) -> tuple[str, bool]:
@@ -41,8 +41,47 @@ def _fmt_of(path: str, fmt: str | None) -> tuple[str, bool]:
     return _EXT_FMT[ext], gz
 
 
+def _xml_records(blob: bytes, record_tag: str) -> list:
+    """Streaming expat walk (ElementTree.iterparse — constant memory on
+    the wire, the Wikipedia-dump ingestion shape): every element whose
+    local name == record_tag becomes one row; its descendant LEAF
+    elements flatten to dotted-path columns ('revision.id'), first
+    occurrence wins; record attributes become '@attr' columns.
+    Namespaces ({uri}tag) strip to local names."""
+    import io
+    import xml.etree.ElementTree as ET
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1]
+
+    rows = []
+    stack: list = []            # path of local names inside current record
+    cur: dict | None = None
+    for ev, el in ET.iterparse(io.BytesIO(blob), events=("start", "end")):
+        name = local(el.tag)
+        if ev == "start":
+            if cur is None:
+                if name == record_tag:
+                    cur = {f"@{local(k)}": v for k, v in el.attrib.items()}
+                    stack = []
+            else:
+                stack.append(name)
+        else:                   # end
+            if cur is not None:
+                if stack:
+                    if len(el) == 0:        # leaf
+                        col = ".".join(stack)
+                        cur.setdefault(col, el.text or "")
+                    stack.pop()
+                elif name == record_tag:
+                    rows.append(cur)
+                    cur = None
+                    el.clear()              # free the subtree
+    return rows
+
+
 def read_table(path, fmt: str | None = None, columns: list[str] | None = None,
-               schema: pa.Schema | None = None):
+               schema: pa.Schema | None = None, record_tag: str | None = None):
     """path → ray.data.Dataset, dispatching parquet/CSV/NDJSON by
     extension. ``columns`` prunes at the read for Parquet (row groups
     never leave storage) and right after the parse for CSV/NDJSON (their
@@ -106,6 +145,28 @@ def read_table(path, fmt: str | None = None, columns: list[str] | None = None,
 
         ds = bin_ds.map_batches(decode_avro, batch_format="pyarrow",
                                 batch_size=1)
+    elif f == "xml":
+        # record-oriented XML (Wikipedia-dump shape): block-parallel by
+        # file, streaming expat parse per file, leaf elements flattened
+        # to dotted-path string columns
+        if not record_tag:
+            raise ValueError("fmt='xml' requires record_tag= (the "
+                             "element name that delimits one record)")
+        bin_ds = rd.read_binary_files(path, file_extensions=None)
+
+        def decode_xml(t: pa.Table, tag=record_tag, gz=gz) -> pa.Table:
+            import gzip
+
+            parts = []
+            for blob in t.column("bytes").to_pylist():
+                if gz:
+                    blob = gzip.decompress(blob)
+                parts.append(pa.Table.from_pylist(
+                    _xml_records(blob, tag)))
+            return pa.concat_tables(parts, promote_options="default")
+
+        ds = bin_ds.map_batches(decode_xml, batch_format="pyarrow",
+                                batch_size=1)
     else:
         raise ValueError(f"unknown table format {f!r}")
     if f not in ("parquet", "feather", "orc") and columns is not None:
@@ -148,6 +209,27 @@ def write_table(ds, path: str, fmt: str = "parquet"):
                                                   batch_size=None)):
             with open(f"{path}/part-{i:05d}.avro", "wb") as fh:
                 fh.write(avrocodec.table_to_avro(batch))
+    elif fmt == "xml":
+        import os
+        from xml.sax.saxutils import escape
+
+        os.makedirs(path, exist_ok=True)
+        for i, batch in enumerate(ds.iter_batches(batch_format="pyarrow",
+                                                  batch_size=None)):
+            lines = ["<records>"]
+            cols = batch.column_names
+            for row in batch.to_pylist():
+                lines.append("<record>")
+                for c in cols:
+                    v = row[c]
+                    if v is None:
+                        continue
+                    lines.append(f"<{c}>{escape(str(v))}</{c}>")
+                lines.append("</record>")
+            lines.append("</records>")
+            with open(f"{path}/part-{i:05d}.xml", "w",
+                      encoding="utf-8") as fh:
+                fh.write("\n".join(lines))
     else:
         raise ValueError(f"unknown table format {fmt!r}")
 

@@ -337,3 +337,64 @@ def test_webdataset_null_members_and_dir_keys(tmp_path):
     assert got["__key__"].tolist() == ["d1/s1", "d2/s1"]
     assert got["txt"].tolist() == ["one", "two"]
     assert got["seg.json"].tolist()[0] == b"{}"
+
+
+def test_xml_record_reader(ray_session, tmp_path):
+    """Wikipedia-dump-shaped XML: record delimiting, dotted-path
+    flattening of nested leaves, namespace stripping, @attributes,
+    first-occurrence-wins, gz wrapping, and the writer roundtrip."""
+    import gzip
+
+    import ray.data as rd
+
+    from gitprov_ray import sources
+
+    dump = """<mediawiki xmlns="http://www.mediawiki.org/xml/export-0.10/">
+      <siteinfo><sitename>Wiki</sitename></siteinfo>
+      <page kind="article">
+        <title>Alpha</title>
+        <id>1</id>
+        <revision><id>11</id><text>body one</text></revision>
+        <revision><id>12</id><text>ignored dup</text></revision>
+      </page>
+      <page>
+        <title>Beta &amp; Co</title>
+        <id>2</id>
+        <revision><id>21</id><text>body two</text></revision>
+      </page>
+    </mediawiki>"""
+    d = tmp_path / "xml"
+    d.mkdir()
+    (d / "a.xml").write_text(dump, encoding="utf-8")
+    got = (sources.read_table(str(d / "a.xml"), record_tag="page")
+           .to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    assert got["title"].tolist() == ["Alpha", "Beta & Co"]
+    assert got["revision.id"].tolist() == ["11", "21"]   # first wins
+    assert got["revision.text"].tolist() == ["body one", "body two"]
+    assert got["@kind"].tolist()[0] == "article"
+    assert got["@kind"].isna().tolist() == [False, True]
+
+    # gz wrapping
+    g = tmp_path / "xmlgz"
+    g.mkdir()
+    (g / "a.xml.gz").write_bytes(gzip.compress(dump.encode()))
+    got2 = sources.read_table(str(g), fmt="xml",
+                              record_tag="page").to_pandas()
+    assert len(got2) == 2
+
+    # writer → reader roundtrip (plain column names)
+    ds = rd.from_items([{"title": "x<y", "n": 3},
+                        {"title": "plain", "n": 4}])
+    out = tmp_path / "outxml"
+    sources.write_table(ds, str(out), fmt="xml")
+    back = (sources.read_table(str(out), fmt="xml", record_tag="record")
+            .to_pandas().sort_values("n").reset_index(drop=True))
+    assert back["title"].tolist() == ["x<y", "plain"]
+    assert back["n"].tolist() == ["3", "4"]      # XML carries strings
+
+    # record_tag is required for xml
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="record_tag"):
+        sources.read_table(str(d / "a.xml"))
