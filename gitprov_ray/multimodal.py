@@ -781,6 +781,18 @@ def probe_media(b: bytes) -> dict:
             if p is not None:
                 out.update(format="ogg", codec=p["codec"],
                            duration_ms=p["duration_ms"])
+        elif b[:4] == b"\x1aE\xdf\xa3":
+            from . import matroska
+
+            p = matroska.probe_matroska(b)
+            if p is not None:
+                out.update(p)
+        elif len(b) >= 376 and b[0] == 0x47 and b[188] == 0x47:
+            from . import mpegts
+
+            p = mpegts.probe_mpegts(b)
+            if p is not None:
+                out.update(p)
         elif b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC"):
             from . import audiocodec
 
