@@ -98,6 +98,30 @@ def flagship_from_pages_parquet(pages_path: str, contributor_rows: list[dict],
         pages_ds = read_warc(pages_path).map_batches(
             lambda t: t.select(["url", "warc_ts", "html"]),
             batch_format="pyarrow")
+    elif low.endswith((".xml", ".xml.gz")):
+        # dump-style XML pages (<page><url/><warc_ts/><html/></page>) —
+        # the Wikipedia-dump ingestion edge; XML carries strings, so the
+        # timestamp parses and html re-encodes to bytes here
+        import pyarrow as pa
+
+        from ..sources import read_table
+
+        def to_pages(t: "pa.Table") -> "pa.Table":
+            import pandas as pd
+
+            ts = pd.to_datetime(t.column("warc_ts").to_pylist(),
+                                utc=True).tz_localize(None)
+            return pa.table({
+                "url": t.column("url").cast(pa.string()),
+                "warc_ts": pa.array(ts.astype("datetime64[us]"),
+                                    pa.timestamp("us")),
+                "html": pa.array([(s or "").encode("utf-8")
+                                  for s in t.column("html").to_pylist()],
+                                 pa.binary())})
+
+        pages_ds = read_table(pages_path, fmt="xml",
+                              record_tag="page").map_batches(
+            to_pages, batch_format="pyarrow")
     else:
         pages_ds = read_parquet_clean(pages_path,
                                       columns=["url", "warc_ts", "html"])

@@ -87,3 +87,46 @@ def test_warc_to_kg_matches_parquet_path(tmp_path):
     b = via_pq[key].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_xml_dump_to_kg_matches_parquet_path(tmp_path):
+    """Wikipedia-dump-shaped XML pages → KG == parquet pages → KG (the
+    same parity contract as the WARC path)."""
+    from xml.sax.saxutils import escape
+
+    from gitprov_ray.pipelines import flagship
+
+    rows = _pages_rows()[:20]
+    for r in rows:
+        r["warc_ts"] = pd.Timestamp(r["warc_ts"]).floor("s")
+    lines = ["<dump>"]
+    for r in rows:
+        lines += ["<page>",
+                  f"<url>{escape(r['url'])}</url>",
+                  f"<warc_ts>{pd.Timestamp(r['warc_ts']).isoformat()}Z"
+                  "</warc_ts>",
+                  f"<html>{escape(r['html'].decode('utf-8'))}</html>",
+                  "</page>"]
+    lines.append("</dump>")
+    xml_path = str(tmp_path / "pages.xml")
+    with open(xml_path, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines))
+    pq_path = str(tmp_path / "pages.parquet")
+    t = pa.Table.from_pylist(rows, schema=__import__(
+        "gitprov_ray.schemas", fromlist=["PAGES"]).PAGES)
+    import pyarrow.parquet as pq
+
+    pq.write_table(t, pq_path)
+
+    contribs = flagship.contributors_for_sf("/root/testdata/sf0.001")
+    via_xml = (flagship.flagship_from_pages_parquet(xml_path, contribs,
+                                                    num_buckets=8)
+               .to_pandas())
+    via_pq = (flagship.flagship_from_pages_parquet(pq_path, contribs,
+                                                   num_buckets=8)
+              .to_pandas())
+    key = ["graph", "subj", "pred", "obj"]
+    a = via_xml[key].sort_values(key).reset_index(drop=True)
+    b = via_pq[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
