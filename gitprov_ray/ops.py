@@ -1716,3 +1716,104 @@ def _hits_broadcast(edges, nodes, n: int, iters: int, src: str, dst: str):
     return rd.from_pandas(pd.DataFrame(
         {"node": ids, "hub": np.round(hubs, 9),
          "auth": np.round(auths, 9)}))
+
+
+def ams_f2(ds, col: str, r: int = 17):
+    """Tug-of-war / AMS second-frequency-moment sketch (Alon, Matias &
+    Szegedy 1996): F2 = sum over distinct values of f_v^2 estimated from
+    ``r`` independent +/-1 counters. Counter j accumulates
+    ``sum_v f_v * sign_j(v)`` where ``sign_j(v) = +1`` when the first
+    hex nibble of ``md5(f"{v}:{j}")`` is even, else -1 — the same
+    md5-nibble idiom as the CMS buckets, so the DuckDB twin rebuilds the
+    counters bit-for-bit. The estimate is the LOWER MEDIAN of the r
+    squared counters (index (r-1)//2 of the sorted squares; r odd), an
+    exact integer with no averaging, so the APPROXIMATION ITSELF is
+    oracle-checkable.
+
+    Mergeable shape: each batch emits one r-vector of integer counter
+    partials (r rows move per batch); partials merge by elementwise sum
+    through one tiny grouped aggregate — the same driver-bounded
+    sketch-merge state as CMS/HLL/KMV here. Returns a 1-row DataFrame
+    (est_f2, median_counter_abs, n_counters)."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    def signs(vals: pd.Series) -> np.ndarray:
+        out = np.empty((len(vals), r), dtype=np.int64)
+        for j in range(r):
+            out[:, j] = [1 - 2 * (int(hashlib.md5(
+                f"{v}:{j}".encode()).hexdigest()[:1], 16) % 2)
+                for v in vals]
+        return out
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[col].value_counts()
+        sg = signs(pd.Series(vc.index))
+        c = sg.T @ vc.to_numpy(dtype=np.int64)
+        return pd.DataFrame({"j": np.arange(r, dtype=np.int64), "c": c})
+
+    regs = (ds.map_batches(partial, batch_format="pandas")
+            .groupby("j").aggregate(Sum("c", alias_name="c")).to_pandas())
+    counters = np.zeros(r, dtype=np.int64)
+    counters[regs["j"].to_numpy()] = regs["c"].to_numpy()
+    sq = np.sort(counters ** 2)
+    med = int(sq[(r - 1) // 2])
+    return pd.DataFrame({"est_f2": [np.int64(med)],
+                         "median_counter_abs": [np.int64(
+                             int(np.sqrt(med)))],
+                         "n_counters": [np.int64(r)]})
+
+
+def kmv_set_ops(ds_a, ds_b, col: str, k: int = 64):
+    """Theta-sketch-style SET OPERATIONS on two KMV sketches (the
+    union/intersection estimators of Beyer et al. 2007 / the
+    DataSketches theta family): build :func:`kmv_distinct`-shaped
+    sketches of A and B (48-bit md5-prefix hashes, exact integer
+    arithmetic), then
+
+      * union estimate = the plain KMV estimate over the k smallest
+        hashes of A ∪ B (distinct-union of the two sketch sets);
+      * intersection estimate = rho * est_union // k where rho counts
+        the union-sketch hashes present in BOTH sketches (the Jaccard
+        estimator over the combined sample, scaled by the union).
+
+    Everything stays 48-bit integers (estimates use // floor division),
+    so the DuckDB twin reproduces union AND intersection estimates
+    bit-for-bit — the approximation itself is the pinned contract.
+    Below k distinct values the sketch degenerates to the exact set and
+    both estimates are exact by construction.
+
+    Shape: two streaming k-smallest partial passes (≤ k rows per batch
+    move per side), driver-bounded merge — no shuffle. Returns a 1-row
+    DataFrame (est_union, est_intersect, rho, k_used)."""
+    import hashlib
+
+    def sketch(ds) -> np.ndarray:
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            h = df[col].astype(str).map(lambda s: int(
+                hashlib.md5(s.encode()).hexdigest()[:12], 16))
+            u = np.unique(h.to_numpy())
+            return pd.DataFrame({"h": u[:k].astype("int64")})
+
+        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        return np.unique(parts["h"].to_numpy())[:k]
+
+    ka, kb = sketch(ds_a), sketch(ds_b)
+    union = np.unique(np.concatenate([ka, kb]))
+    if len(union) >= k:
+        cut = union[:k]
+        est_union, k_used = (k - 1) * (1 << 48) // int(cut[k - 1]), k
+    else:
+        cut = union
+        est_union, k_used = len(union), len(union)
+    in_both = np.isin(cut, ka) & np.isin(cut, kb)
+    rho = int(in_both.sum())
+    if k_used and k_used < k:
+        est_intersect = rho          # exact regime: cut IS the union set
+    else:
+        est_intersect = rho * est_union // k if k_used else 0
+    return pd.DataFrame({"est_union": [np.int64(est_union)],
+                         "est_intersect": [np.int64(est_intersect)],
+                         "rho": [np.int64(rho)],
+                         "k_used": [np.int64(k_used)]})

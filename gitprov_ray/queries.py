@@ -4990,6 +4990,44 @@ def q_hits_docs(sf_dir: str):
     return ops.hits(e, iters=3).sort("node")
 
 
+def q_ams_f2_events(sf_dir: str):
+    """AMS / tug-of-war second-frequency-moment sketch (ops.ams_f2) over
+    event user_ids: F2 = Σ f_u² is the self-join size / repeat-rate
+    diagnostic a planner consults before shuffling a skewed key. 17
+    ±1-hash counters in exact integer arithmetic, lower-median-of-squares
+    estimate — the twin rebuilds every counter bit-for-bit, so the
+    APPROXIMATION itself is the oracle contract."""
+    from . import ops
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    return ops.ams_f2(ds, "user_id", r=17)
+
+
+def q_kmv_set_ops_events(sf_dir: str):
+    """Theta-sketch-style set operations (ops.kmv_set_ops): distinct-UNION
+    and distinct-INTERSECTION estimates between two overlapping event
+    slices (A = everything but errors, B = everything but clicks, keyed
+    by props|event_type → per-side distinct 400, true overlap 300 —
+    a genuine estimation regime at k=64). 48-bit md5-prefix KMV
+    sketches, floor-division estimators, all integers: the twin
+    reproduces union AND intersection estimates bit-for-bit."""
+    from . import ops
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def side(drop: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            m = df["event_type"].astype(str) != drop
+            k = (df["props"].astype(str) + "|"
+                 + df["event_type"].astype(str))[m]
+            return pd.DataFrame({"k": k.reset_index(drop=True)})
+        return f
+
+    a = ds.map_batches(side("error"), batch_format="pandas")
+    b = ds.map_batches(side("click"), batch_format="pandas")
+    return ops.kmv_set_ops(a, b, "k", k=64)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -5122,6 +5160,8 @@ QUERIES = {
     "q_card_luhn_docs": q_card_luhn_docs,
     "q_unicode_nfc_docs": q_unicode_nfc_docs,
     "q_kmv_distinct_events": q_kmv_distinct_events,
+    "q_ams_f2_events": q_ams_f2_events,
+    "q_kmv_set_ops_events": q_kmv_set_ops_events,
     "q_zorder_events": q_zorder_events,
     "q_ann_hamming_topk": q_ann_hamming_topk,
     "q_web_curation_docs": q_web_curation_docs,
@@ -8583,3 +8623,61 @@ def _wordpiece_sql() -> str:
 
 
 ORACLE_SQL["q_wordpiece_stats_docs"] = _wordpiece_sql()
+
+ORACLE_SQL["q_ams_f2_events"] = """
+WITH uc AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events
+  GROUP BY user_id
+), js AS (SELECT unnest(generate_series(0, 16)) AS j),
+c AS (
+  SELECT js.j,
+         CAST(SUM(n * (1 - 2 * ((strpos('0123456789abcdef',
+               substr(md5(CAST(user_id AS VARCHAR) || ':'
+                          || CAST(js.j AS VARCHAR)), 1, 1)) - 1) % 2)))
+              AS BIGINT) AS c
+  FROM uc CROSS JOIN js GROUP BY js.j
+), r AS (
+  SELECT c * c AS s, abs(c) AS a,
+         ROW_NUMBER() OVER (ORDER BY c * c) AS rn
+  FROM c)
+SELECT CAST(s AS BIGINT) AS est_f2,
+       CAST(a AS BIGINT) AS median_counter_abs,
+       CAST(17 AS BIGINT) AS n_counters
+FROM r WHERE rn = 9"""
+
+ORACLE_SQL["q_kmv_set_ops_events"] = """
+WITH ka AS (
+  SELECT h FROM (
+    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM (
+      SELECT DISTINCT CAST(('0x' || substr(md5(props || '|' || event_type),
+                                           1, 12)) AS BIGINT) AS h
+      FROM events WHERE event_type <> 'error'))
+  WHERE rn <= 64
+), kb AS (
+  SELECT h FROM (
+    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM (
+      SELECT DISTINCT CAST(('0x' || substr(md5(props || '|' || event_type),
+                                           1, 12)) AS BIGINT) AS h
+      FROM events WHERE event_type <> 'click'))
+  WHERE rn <= 64
+), cut AS (
+  SELECT h, rn, n FROM (
+    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn, COUNT(*) OVER () AS n
+    FROM (SELECT DISTINCT h FROM (SELECT h FROM ka
+                                  UNION ALL SELECT h FROM kb)))
+  WHERE rn <= LEAST(n, 64)
+), stats AS (
+  SELECT MAX(n) AS n,
+         MAX(CASE WHEN rn = LEAST(n, 64) THEN h END) AS kth,
+         CAST(SUM(CASE WHEN h IN (SELECT h FROM ka)
+                        AND h IN (SELECT h FROM kb)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS rho
+  FROM cut)
+SELECT CAST(CASE WHEN n >= 64 THEN 63 * 281474976710656 // kth
+            ELSE n END AS BIGINT) AS est_union,
+       CAST(CASE WHEN n >= 64
+            THEN rho * (63 * 281474976710656 // kth) // 64
+            ELSE rho END AS BIGINT) AS est_intersect,
+       rho,
+       CAST(LEAST(n, 64) AS BIGINT) AS k_used
+FROM stats"""
