@@ -1817,3 +1817,176 @@ def kmv_set_ops(ds_a, ds_b, col: str, k: int = 64):
                          "est_intersect": [np.int64(est_intersect)],
                          "rho": [np.int64(rho)],
                          "k_used": [np.int64(k_used)]})
+
+
+def _orient_dedup_edges(edges_ds, s_col: str, o_col: str,
+                        num_buckets: int):
+    """Shared edge normalizer for the undirected-graph ops: orient u<v,
+    drop self-loops, global dedup in ONE bucketed shuffle (the same
+    shape as :func:`triangle_count`'s front end)."""
+    from .stages.versions import stable_bucket
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[s_col].to_numpy()
+        o = df[o_col].to_numpy()
+        u, v = np.minimum(s, o), np.maximum(s, o)
+        keep = u != v
+        out = pd.DataFrame({"u": u[keep], "v": v[keep]}).drop_duplicates()
+        k = out["u"].astype(str) + ":" + out["v"].astype(str)
+        out["bucket"] = stable_bucket(k, k, num_buckets)
+        return out
+
+    return (edges_ds.map_batches(orient, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: df.drop(columns="bucket")
+                        .drop_duplicates(),
+                        batch_format="pandas"))
+
+
+def _edge_degrees(edges, num_buckets: int):
+    """(node, d) undirected degrees of an oriented (u, v) edge Dataset:
+    per-batch partial value_counts over both endpoints, ONE bucketed
+    combine (invariant 6: high-cardinality group-by goes through
+    stable_bucket map_groups, not Ray's hash aggregate)."""
+    from .stages.versions import stable_bucket
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = pd.concat([df["u"], df["v"]],
+                       ignore_index=True).value_counts()
+        out = pd.DataFrame({"node": vc.index.to_numpy(np.int64),
+                            "d": vc.to_numpy(np.int64)})
+        k = out["node"].astype(str)
+        out["bucket"] = stable_bucket(k, k, num_buckets)
+        return out
+
+    return (edges.map_batches(partial, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: df.drop(columns="bucket")
+                        .groupby("node", as_index=False)["d"].sum(),
+                        batch_format="pandas"))
+
+
+def kcore(edges_ds, k: int = 3, rounds: int = 4, s_col: str = "s",
+          o_col: str = "o", num_buckets: int = 64):
+    """k-core decomposition by iterative peeling (Seidman 1983 /
+    Batagelj-Zaversnik): repeatedly drop every vertex of degree < k and
+    every edge touching one, for a FIXED number of peel rounds — the
+    bounded-round contract (like the unrolled k-means) that the DuckDB
+    twin reproduces exactly; peeling is monotone, so stopping early at
+    the fixpoint (no vertex dropped in a round) returns the identical
+    result to running all rounds.
+
+    Per round: one bucketed degree combine + two size-aware semi-joins
+    (ops.semi_join broadcasts the surviving node set when small). The
+    edge Dataset is re-consumed across rounds, so each round's survivor
+    set materializes ONCE (invariant 10). Returns a Dataset of
+    (node, deg) — degree WITHIN the surviving core after ``rounds``
+    peels."""
+    edges = _orient_dedup_edges(edges_ds, s_col, o_col,
+                                num_buckets).materialize()
+    for _ in range(rounds):
+        deg = _edge_degrees(edges, num_buckets).materialize()
+
+        def survivors(df: pd.DataFrame) -> pd.DataFrame:
+            return df.loc[df["d"] >= k, ["node"]]
+
+        keep = deg.map_batches(survivors,
+                               batch_format="pandas").materialize()
+        if keep.count() == deg.count():
+            break                      # fixpoint: nothing peeled
+        if keep.count() == 0:
+            import ray.data as rd
+            return rd.from_pandas(pd.DataFrame({
+                "node": np.empty(0, np.int64),
+                "d": np.empty(0, np.int64)}))
+        edges = semi_join(edges, keep, "u", "node")
+        edges = semi_join(edges, keep, "v", "node").materialize()
+    return _edge_degrees(edges, num_buckets)
+
+
+def ra_link_scores(edges_ds, s_col: str = "s", o_col: str = "o",
+                   num_buckets: int = 64, max_degree: int = 1000):
+    """Common-neighbors + resource-allocation link prediction (the
+    Liben-Nowell & Kleinberg 2003 neighborhood scores; RA is Zhou, Lü &
+    Zhang 2009): for every NON-adjacent pair (p, q) sharing ≥1 neighbor,
+    cn = |N(p) ∩ N(q)| and ra_micro = Σ_z 10^6 // deg(z) over the shared
+    neighbors z — integer micro-units, so the score itself is
+    oracle-exact (no float 1/log noise; RA uses plain 1/deg).
+
+    Shape: adjacency rows bucket by the shared neighbor z; deg(z) is the
+    z-group's own size (no degree join needed); each z emits its
+    id-ordered neighbor pairs (the triangle_count wedge pattern, with
+    the same hub cap: z with deg > max_degree is dropped — the cap is
+    part of the contract and mirrored in the twin's HAVING). Pair
+    partials combine in ONE pair-bucketed shuffle; existing edges leave
+    via a size-aware anti semi-join. Returns a Dataset (p, q, cn,
+    ra_micro)."""
+    from .stages.versions import stable_bucket
+
+    edges = _orient_dedup_edges(edges_ds, s_col, o_col,
+                                num_buckets).materialize()
+
+    def adjacency(df: pd.DataFrame) -> pd.DataFrame:
+        z = pd.concat([df["u"], df["v"]], ignore_index=True)
+        nb = pd.concat([df["v"], df["u"]], ignore_index=True)
+        out = pd.DataFrame({"z": z.to_numpy(np.int64),
+                            "nb": nb.to_numpy(np.int64)})
+        k = out["z"].astype(str)
+        out["bucket"] = stable_bucket(k, k, num_buckets)
+        return out
+
+    def wedge_scores(df: pd.DataFrame) -> pd.DataFrame:
+        out_p, out_q, out_ra = [], [], []
+        for _, g in df.groupby("z", sort=False):
+            d = len(g)
+            if d < 2 or d > max_degree:
+                continue
+            nb = np.sort(g["nb"].to_numpy())
+            ia, ib = np.triu_indices(d, 1)
+            out_p.append(nb[ia])
+            out_q.append(nb[ib])
+            out_ra.append(np.full(len(ia), 1_000_000 // d,
+                                  dtype=np.int64))
+        if not out_p:
+            return pd.DataFrame({"p": np.empty(0, np.int64),
+                                 "q": np.empty(0, np.int64),
+                                 "cn": np.empty(0, np.int64),
+                                 "ra_micro": np.empty(0, np.int64)})
+        return pd.DataFrame({"p": np.concatenate(out_p),
+                             "q": np.concatenate(out_q),
+                             "cn": np.ones(sum(map(len, out_p)),
+                                           dtype=np.int64),
+                             "ra_micro": np.concatenate(out_ra)})
+
+    def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        k = df["p"].astype(str) + ":" + df["q"].astype(str)
+        df["bucket"] = stable_bucket(k, k, num_buckets)
+        return df
+
+    def pair_sum(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop(columns="bucket").groupby(
+            ["p", "q"], as_index=False)[["cn", "ra_micro"]].sum()
+
+    scores = (edges.map_batches(adjacency, batch_format="pandas")
+              .groupby("bucket")
+              .map_groups(lambda df: wedge_scores(
+                  df.drop(columns="bucket")), batch_format="pandas")
+              .map_batches(pair_bucket, batch_format="pandas")
+              .groupby("bucket")
+              .map_groups(pair_sum, batch_format="pandas"))
+
+    def with_pk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["pk"] = df["p"].astype(str) + ":" + df["q"].astype(str)
+        return df
+
+    def with_ek(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"ek": df["u"].astype(str) + ":"
+                             + df["v"].astype(str)})
+
+    keyed = scores.map_batches(with_pk, batch_format="pandas")
+    ekeys = edges.map_batches(with_ek, batch_format="pandas")
+    out = semi_join(keyed, ekeys, "pk", "ek", anti=True)
+    return out.map_batches(lambda df: df.drop(columns=["pk"]),
+                           batch_format="pandas")

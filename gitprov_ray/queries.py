@@ -4990,6 +4990,52 @@ def q_hits_docs(sf_dir: str):
     return ops.hits(e, iters=3).sort("node")
 
 
+def _doc_ring_edges(sf_dir: str):
+    """The deterministic doc link graph shared by the graph-family
+    queries (HITS/k-core/link-prediction): each doc points at
+    (13·id+5) mod n and (29·id+11) mod n — an expander-ish 2-out
+    digraph the SQL twins rebuild from the documents table."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    n = ds.count()
+
+    def edges(df: pd.DataFrame, n=n) -> pd.DataFrame:
+        s = df["doc_id"].to_numpy()
+        return pd.DataFrame({
+            "s": np.concatenate([s, s]).astype("int64"),
+            "o": np.concatenate([(s * 13 + 5) % n,
+                                 (s * 29 + 11) % n]).astype("int64")})
+
+    return ds.map_batches(edges, batch_format="pandas")
+
+
+def q_kcore_docs(sf_dir: str):
+    """k-core decomposition (ops.kcore, k=4, 4 peel rounds) of the doc
+    link graph: the degeneracy-ordering primitive of graph curation
+    (dense-subgraph mining, spam-farm detection). The bounded-round
+    peel is the pinned contract — the twin unrolls the same 4 rounds
+    as MATERIALIZED CTEs; at this k the graph is mid-peel after round
+    4 (996 → 500 edges), so the query exercises real peeling, not a
+    fixpoint."""
+    from . import ops
+
+    e = _doc_ring_edges(sf_dir)
+    return ops.kcore(e, k=4, rounds=4).sort("node")
+
+
+def q_ra_link_pred_docs(sf_dir: str):
+    """Common-neighbors + resource-allocation link prediction
+    (ops.ra_link_scores) over the doc link graph: for every
+    non-adjacent pair sharing neighbors, cn = shared-neighbor count
+    and ra_micro = Σ 10⁶//deg(z) — integer micro-units, so the
+    prediction scores themselves are oracle-exact. The shared-neighbor
+    bucketing gets deg(z) for free as the group size; the hub cap
+    (max_degree) is mirrored in the twin's HAVING."""
+    from . import ops
+
+    e = _doc_ring_edges(sf_dir)
+    return ops.ra_link_scores(e).sort(["p", "q"])
+
+
 def q_ams_f2_events(sf_dir: str):
     """AMS / tug-of-war second-frequency-moment sketch (ops.ams_f2) over
     event user_ids: F2 = Σ f_u² is the self-join size / repeat-rate
@@ -5162,6 +5208,8 @@ QUERIES = {
     "q_kmv_distinct_events": q_kmv_distinct_events,
     "q_ams_f2_events": q_ams_f2_events,
     "q_kmv_set_ops_events": q_kmv_set_ops_events,
+    "q_kcore_docs": q_kcore_docs,
+    "q_ra_link_pred_docs": q_ra_link_pred_docs,
     "q_zorder_events": q_zorder_events,
     "q_ann_hamming_topk": q_ann_hamming_topk,
     "q_web_curation_docs": q_web_curation_docs,
@@ -8681,3 +8729,55 @@ SELECT CAST(CASE WHEN n >= 64 THEN 63 * 281474976710656 // kth
        rho,
        CAST(LEAST(n, 64) AS BIGINT) AS k_used
 FROM stats"""
+
+_GRAPH_EDGES_SQL = """
+nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM documents),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM (
+    SELECT doc_id AS u,
+           (doc_id * 13 + 5) % (SELECT n FROM nn) AS v FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id * 29 + 11) % (SELECT n FROM nn)
+    FROM documents)
+  WHERE u <> v)"""
+
+
+def _kcore_sql(k: int = 4, rounds: int = 4) -> str:
+    parts, prev = [], "e0"
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+d{i} AS MATERIALIZED (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev})
+  GROUP BY node),
+k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE d >= {k}),
+e{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {prev} e
+  JOIN k{i} a ON e.u = a.node JOIN k{i} b ON e.v = b.node)""")
+        prev = f"e{i}"
+    return ("WITH " + _GRAPH_EDGES_SQL + "," + ",".join(parts) + f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+  SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev})
+GROUP BY node ORDER BY node""")
+
+
+ORACLE_SQL["q_kcore_docs"] = _kcore_sql()
+
+ORACLE_SQL["q_ra_link_pred_docs"] = "WITH " + _GRAPH_EDGES_SQL + """,
+adj AS MATERIALIZED (
+  SELECT u AS z, v AS nb FROM e0 UNION ALL SELECT v, u FROM e0),
+dz AS MATERIALIZED (
+  SELECT z, COUNT(*) AS d FROM adj GROUP BY z
+  HAVING COUNT(*) BETWEEN 2 AND 1000),
+pairs AS (
+  SELECT a.nb AS p, b.nb AS q, dz.d AS d
+  FROM adj a JOIN adj b ON a.z = b.z AND a.nb < b.nb
+  JOIN dz ON dz.z = a.z),
+sc AS (
+  SELECT p, q, CAST(COUNT(*) AS BIGINT) AS cn,
+         CAST(SUM(1000000 // d) AS BIGINT) AS ra_micro
+  FROM pairs GROUP BY p, q)
+SELECT p, q, cn, ra_micro
+FROM sc LEFT JOIN e0 ON e0.u = sc.p AND e0.v = sc.q
+WHERE e0.u IS NULL
+ORDER BY p, q"""

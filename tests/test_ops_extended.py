@@ -641,3 +641,55 @@ def test_simhash_neardup_pairs_planted():
     assert len(got) == len(pairs)
     hz = got.set_index(["a", "b"])["hamming"]
     assert hz.loc[(0, 4)] == 0
+
+
+def test_kcore_peel_matches_brute_force():
+    """4-round peel on a graph with a planted 4-clique-plus-tail: the
+    pendant chain peels away, the clique core survives with in-core
+    degrees; engine == sequential NetworkX-style peel."""
+    from gitprov_ray import ops
+
+    # 4-clique {0,1,2,3} + chain 3-10-11-12 (chain peels at k=2)
+    e = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+         (3, 10), (10, 11), (11, 12)]
+    df = pd.DataFrame({"s": [a for a, _ in e], "o": [b for _, b in e]})
+    got = (ops.kcore(rd.from_pandas(df, override_num_blocks=3),
+                     k=2, rounds=4, num_buckets=4)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+
+    # sequential reference peel, exactly 4 rounds
+    edges = {(min(a, b), max(a, b)) for a, b in e}
+    for _ in range(4):
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= 2}
+        edges = {(a, b) for a, b in edges if a in keep and b in keep}
+    ref_deg = {}
+    for a, b in edges:
+        ref_deg[a] = ref_deg.get(a, 0) + 1
+        ref_deg[b] = ref_deg.get(b, 0) + 1
+    assert dict(zip(got["node"], got["d"])) == ref_deg
+    assert set(got["node"]) == {0, 1, 2, 3}   # the clique survives
+
+
+def test_ra_link_scores_brute_force():
+    """Square with one diagonal: RA/CN scores for the missing diagonal
+    only (adjacent pairs are excluded), integer micro-units exact."""
+    from gitprov_ray import ops
+
+    # square 0-1-2-3-0 plus diagonal 0-2; missing link is (1,3)
+    e = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    df = pd.DataFrame({"s": [a for a, _ in e], "o": [b for _, b in e]})
+    got = (ops.ra_link_scores(rd.from_pandas(df, override_num_blocks=2),
+                              num_buckets=4)
+           .to_pandas().sort_values(["p", "q"]).reset_index(drop=True))
+    # (1,3) shares neighbors 0 (deg 3) and 2 (deg 3):
+    #   cn=2, ra = 2 * (10^6 // 3)
+    assert got.loc[(got["p"] == 1) & (got["q"] == 3),
+                   ["cn", "ra_micro"]].values.tolist() == \
+        [[2, 2 * (1_000_000 // 3)]]
+    # every adjacent pair is excluded
+    adj = {(min(a, b), max(a, b)) for a, b in e}
+    assert not (set(zip(got["p"], got["q"])) & adj)
