@@ -5036,6 +5036,54 @@ def q_ra_link_pred_docs(sf_dir: str):
     return ops.ra_link_scores(e).sort(["p", "q"])
 
 
+def q_sqlite_roundtrip_events(sf_dir: str):
+    """SQLite ingestion edge (sources.read_table/write_table
+    fmt='sqlite'): events stream into one .db through the single-writer
+    export path, then read BACK rowid-range-parallel (immutable
+    read-only connections, dtypes pinned from declared affinities,
+    pruning in the SELECT) and aggregated per event_type — counts, sum
+    of integer cents, distinct users — so the twin (straight over the
+    parquet) proves the full write→read→compute loop, not just the
+    file format."""
+    import hashlib as _h
+
+    from . import sources
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+    db = "/tmp/gitprov_sqlite_" + _h.md5(
+        str(sf_dir).encode()).hexdigest()[:12] + "/events.db"
+    sources.write_table(ds, db, fmt="sqlite", sqlite_table="events")
+    back = sources.read_table(
+        db, columns=["event_type", "user_id", "value"],
+        sqlite_rows_per_task=2000)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "n": np.int64(1),
+            "cents": _cents(df["value"]),
+            "user_id": df["user_id"].astype("int64")})
+
+    g = (back.map_batches(partial, batch_format="pandas")
+         .groupby("event_type")
+         .aggregate(Count(alias_name="n_events"),
+                    Sum("cents", alias_name="sum_value_cents")))
+    users = (back.map_batches(
+        lambda df: df[["event_type", "user_id"]].drop_duplicates(),
+        batch_format="pandas")
+        .groupby(["event_type", "user_id"]).count()
+        .groupby("event_type").count())
+    gp = g.to_pandas()
+    up = users.to_pandas().rename(columns={"count()": "n_users"})
+    out = gp.merge(up, on="event_type").sort_values("event_type")
+    return pd.DataFrame({
+        "event_type": out["event_type"],
+        "n_events": out["n_events"].astype("int64"),
+        "sum_value_cents": out["sum_value_cents"].astype("int64"),
+        "n_users": out["n_users"].astype("int64")}).reset_index(drop=True)
+
+
 def q_ams_f2_events(sf_dir: str):
     """AMS / tug-of-war second-frequency-moment sketch (ops.ams_f2) over
     event user_ids: F2 = Σ f_u² is the self-join size / repeat-rate
@@ -5210,6 +5258,7 @@ QUERIES = {
     "q_kmv_set_ops_events": q_kmv_set_ops_events,
     "q_kcore_docs": q_kcore_docs,
     "q_ra_link_pred_docs": q_ra_link_pred_docs,
+    "q_sqlite_roundtrip_events": q_sqlite_roundtrip_events,
     "q_zorder_events": q_zorder_events,
     "q_ann_hamming_topk": q_ann_hamming_topk,
     "q_web_curation_docs": q_web_curation_docs,
@@ -8781,3 +8830,11 @@ SELECT p, q, cn, ra_micro
 FROM sc LEFT JOIN e0 ON e0.u = sc.p AND e0.v = sc.q
 WHERE e0.u IS NULL
 ORDER BY p, q"""
+
+ORACLE_SQL["q_sqlite_roundtrip_events"] = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type"""

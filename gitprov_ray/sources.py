@@ -20,7 +20,58 @@ import pyarrow as pa
 _EXT_FMT = {".parquet": "parquet", ".pq": "parquet", ".csv": "csv",
             ".json": "ndjson", ".jsonl": "ndjson", ".ndjson": "ndjson",
             ".feather": "feather", ".arrow": "feather", ".ipc": "feather",
-            ".orc": "orc", ".avro": "avro", ".xml": "xml"}
+            ".orc": "orc", ".avro": "avro", ".xml": "xml",
+            ".db": "sqlite", ".sqlite": "sqlite", ".sqlite3": "sqlite"}
+
+
+def _sqlite_decl_type(decl: str) -> pa.DataType:
+    """Declared-type → Arrow, following sqlite's affinity rules
+    (sqlite.org/datatype3.html §3.1: INT → INTEGER, CHAR/CLOB/TEXT →
+    TEXT, BLOB → BLOB, REAL/FLOA/DOUB → REAL; BOOLEANs land INTEGER)."""
+    d = (decl or "").upper()
+    if "INT" in d or "BOOL" in d:
+        return pa.int64()
+    if "CHAR" in d or "CLOB" in d or "TEXT" in d:
+        return pa.string()
+    if "BLOB" in d:
+        return pa.binary()
+    if "REAL" in d or "FLOA" in d or "DOUB" in d:
+        return pa.float64()
+    return pa.string()
+
+
+def _sqlite_ro(path: str):
+    """Read-only, immutable-mode connection — safe for many parallel
+    readers of one file (no locking, no journal probes)."""
+    import sqlite3
+
+    return sqlite3.connect(f"file:{path}?mode=ro&immutable=1", uri=True)
+
+
+def _sqlite_probe(path: str, table: str | None):
+    """(table, [(name, arrow_type)], min_rowid, max_rowid) of a sqlite
+    file — the driver-side planning metadata (PRAGMA table_info gives
+    the declared affinities; the rowid span drives range splitting)."""
+    con = _sqlite_ro(path)
+    try:
+        names = [r[0] for r in con.execute(
+            "SELECT name FROM sqlite_master WHERE type='table' "
+            "AND name NOT LIKE 'sqlite_%' ORDER BY name")]
+        if table is None:
+            if len(names) != 1:
+                raise ValueError(
+                    f"{path}: pass sqlite_table= (tables: {names})")
+            table = names[0]
+        elif table not in names:
+            raise ValueError(f"{path}: no table {table!r} "
+                             f"(tables: {names})")
+        info = con.execute(f'PRAGMA table_info("{table}")').fetchall()
+        cols = [(row[1], _sqlite_decl_type(row[2])) for row in info]
+        lo, hi = con.execute(
+            f'SELECT MIN(rowid), MAX(rowid) FROM "{table}"').fetchone()
+        return table, cols, lo, hi
+    finally:
+        con.close()
 
 
 def _fmt_of(path: str, fmt: str | None) -> tuple[str, bool]:
@@ -81,7 +132,9 @@ def _xml_records(blob: bytes, record_tag: str) -> list:
 
 
 def read_table(path, fmt: str | None = None, columns: list[str] | None = None,
-               schema: pa.Schema | None = None, record_tag: str | None = None):
+               schema: pa.Schema | None = None, record_tag: str | None = None,
+               sqlite_table: str | None = None,
+               sqlite_rows_per_task: int = 100_000):
     """path → ray.data.Dataset, dispatching parquet/CSV/NDJSON by
     extension. ``columns`` prunes at the read for Parquet (row groups
     never leave storage) and right after the parse for CSV/NDJSON (their
@@ -167,9 +220,72 @@ def read_table(path, fmt: str | None = None, columns: list[str] | None = None,
 
         ds = bin_ds.map_batches(decode_xml, batch_format="pyarrow",
                                 batch_size=1)
+    elif f == "sqlite":
+        # sqlite is a random-access single file: parallelize WITHIN the
+        # file by rowid ranges (one SELECT ... WHERE rowid BETWEEN per
+        # task, immutable read-only connections — no lock contention),
+        # and block-parallel across files for a directory of .db shards.
+        # Column pruning happens in the SELECT list; dtypes are pinned
+        # from the declared column affinities so blocks can't fork.
+        import glob as _glob
+        import os
+
+        if os.path.isdir(path):
+            files = sorted(p for p in _glob.glob(f"{path}/*")
+                           if os.path.splitext(p)[1].lower()
+                           in (".db", ".sqlite", ".sqlite3"))
+        else:
+            files = sorted(_glob.glob(str(path))) or [str(path)]
+        tasks, cols_ref = [], None
+        for fp in files:
+            tbl, cols, lo, hi = _sqlite_probe(fp, sqlite_table)
+            if cols_ref is None:
+                cols_ref = cols
+            elif [c for c, _ in cols] != [c for c, _ in cols_ref]:
+                raise ValueError(f"{fp}: column mismatch across shards")
+            if lo is None:
+                continue
+            step = max(1, sqlite_rows_per_task)
+            for start in range(int(lo), int(hi) + 1, step):
+                tasks.append({"fp": fp, "tbl": tbl, "lo": start,
+                              "hi": min(start + step - 1, int(hi))})
+        names = [c for c, _ in (cols_ref or [])]
+        use = names if columns is None else [c for c in names
+                                             if c in columns]
+        types = dict(cols_ref or [])
+        sel = ", ".join(f'"{c}"' for c in use)
+        out_schema = pa.schema([(c, types[c]) for c in use])
+
+        def read_range(df, sel=sel, use=use,
+                       out_schema=out_schema) -> pa.Table:
+            parts = []
+            for r in df.to_dict("records"):
+                con = _sqlite_ro(r["fp"])
+                try:
+                    rows = con.execute(
+                        f'SELECT {sel} FROM "{r["tbl"]}" '
+                        f"WHERE rowid BETWEEN ? AND ?",
+                        (r["lo"], r["hi"])).fetchall()
+                finally:
+                    con.close()
+                cols_v = list(zip(*rows)) if rows else \
+                    [[] for _ in use]
+                parts.append(pa.Table.from_arrays(
+                    [pa.array(list(v), type=out_schema.field(i).type)
+                     for i, v in enumerate(cols_v)], schema=out_schema))
+            return pa.concat_tables(parts) if parts else \
+                out_schema.empty_table()
+
+        if not tasks:
+            ds = rd.from_arrow((out_schema if cols_ref else
+                                pa.schema([])).empty_table())
+        else:
+            ds = rd.from_items(tasks).map_batches(
+                read_range, batch_format="pandas", batch_size=1)
     else:
         raise ValueError(f"unknown table format {f!r}")
     if f not in ("parquet", "feather", "orc") and columns is not None:
+        # (sqlite already pruned in its SELECT; this just pins order)
         ds = ds.select_columns(columns)
     if schema is not None:
         want = schema if columns is None else pa.schema(
@@ -182,7 +298,8 @@ def read_table(path, fmt: str | None = None, columns: list[str] | None = None,
     return ds
 
 
-def write_table(ds, path: str, fmt: str = "parquet"):
+def write_table(ds, path: str, fmt: str = "parquet",
+                sqlite_table: str = "data"):
     """Dataset → partitioned files at ``path`` (one file per block — the
     resumable-output layout; parquet is zstd-compressed)."""
     if fmt == "parquet":
@@ -230,6 +347,60 @@ def write_table(ds, path: str, fmt: str = "parquet"):
             with open(f"{path}/part-{i:05d}.xml", "w",
                       encoding="utf-8") as fh:
                 fh.write("\n".join(lines))
+    elif fmt == "sqlite":
+        # single-WRITER edge format (sqlite holds one write lock): the
+        # Dataset streams batch-by-batch through one connection — the
+        # export path for handing results to sqlite-speaking tools, not
+        # a scale sink (use write_parquet/write_partitioned for that).
+        # Timestamps serialize as ISO-microsecond TEXT; bools as 0/1.
+        import os
+        import sqlite3
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        if os.path.exists(path):
+            os.remove(path)
+        con = sqlite3.connect(path)
+        con.execute("PRAGMA journal_mode=OFF")
+        con.execute("PRAGMA synchronous=OFF")
+        tbl = sqlite_table
+        try:
+            made = False
+            for batch in ds.iter_batches(batch_format="pyarrow",
+                                         batch_size=None):
+                cols, vals = [], []
+                for i, field in enumerate(batch.schema):
+                    t = field.type
+                    col = batch.column(i)
+                    if pa.types.is_timestamp(t):
+                        decl, v = "TEXT", [
+                            None if x is None else x.isoformat()
+                            for x in col.to_pylist()]
+                    elif pa.types.is_integer(t) or pa.types.is_boolean(t):
+                        decl = "INTEGER"
+                        v = [None if x is None else int(x)
+                             for x in col.to_pylist()]
+                    elif pa.types.is_floating(t):
+                        decl, v = "REAL", col.to_pylist()
+                    elif pa.types.is_binary(t) or \
+                            pa.types.is_large_binary(t):
+                        decl, v = "BLOB", col.to_pylist()
+                    else:
+                        decl = "TEXT"
+                        v = [None if x is None else str(x)
+                             for x in col.to_pylist()]
+                    cols.append((field.name, decl))
+                    vals.append(v)
+                if not made:
+                    con.execute(f'CREATE TABLE "{tbl}" (' + ", ".join(
+                        f'"{n}" {d}' for n, d in cols) + ")")
+                    made = True
+                ph = ", ".join("?" * len(cols))
+                con.executemany(
+                    f'INSERT INTO "{tbl}" VALUES ({ph})',
+                    list(zip(*vals)))
+            con.commit()
+        finally:
+            con.close()
     else:
         raise ValueError(f"unknown table format {fmt!r}")
 
