@@ -1990,3 +1990,77 @@ def ra_link_scores(edges_ds, s_col: str = "s", o_col: str = "o",
     out = semi_join(keyed, ekeys, "pk", "ek", anti=True)
     return out.map_batches(lambda df: df.drop(columns=["pk"]),
                            batch_format="pandas")
+
+
+def nb_classify(ds, feature_cols: list[str], class_col: str,
+                test_col: str, id_col: str, smoothing: int = 1):
+    """Multinomial Naive Bayes over PRESENCE features with an
+    EXACT-integer argmax (McCallum & Nigam 1998's multinomial model,
+    restricted to a closed feature set): train on rows where
+    ``test_col`` is false — per-class doc counts n_c and per-feature
+    presence counts c_jc — then classify the held-out rows by
+
+        score(d, c) = n_c · Π_{j present in d} (c_jc + s) / (tot_c + sF)
+
+    Instead of summing float logs (libm differs between numpy and any
+    SQL oracle), candidate classes compare by CROSS-MULTIPLICATION:
+    c beats c' iff num_c · den_c' > num_c' · den_c, all arbitrary-
+    precision Python ints (the oracle twin mirrors it in HUGEINT —
+    bounded because the feature set is closed). Ties break to the
+    smaller class id. The argmax is therefore bit-exact at any scale.
+
+    Shape: ONE streaming pass emits tiny per-batch count partials
+    (classes × (features+1) numbers); the learned table — bounded by
+    the closed feature set — broadcasts back inside a second streaming
+    pass that classifies per-batch via a pattern-indexed lookup (2^F
+    patterns precomputed exactly on the driver). Returns a Dataset of
+    (id_col, true_cls, pred_cls) for the test rows."""
+    import itertools
+
+    F = len(feature_cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tr = df[~df[test_col].astype(bool)]
+        g = tr.groupby(class_col)
+        out = g[feature_cols].sum().astype("int64")
+        out["n"] = g.size().astype("int64")
+        return out.reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    model = parts.groupby(class_col, as_index=False).sum()
+    classes = model[class_col].tolist()
+    n_c = {r[class_col]: int(r["n"]) for _, r in model.iterrows()}
+    cnt = {r[class_col]: [int(r[f]) for f in feature_cols]
+           for _, r in model.iterrows()}
+    tot = {c: sum(cnt[c]) for c in classes}
+
+    def pred_for(pattern: tuple) -> int:
+        k = sum(pattern)
+        best = None
+        for c in sorted(classes):
+            num = n_c[c]
+            for j, p in enumerate(pattern):
+                if p:
+                    num *= cnt[c][j] + smoothing
+            den = (tot[c] + smoothing * F) ** k
+            if best is None or num * best[2] > best[1] * den:
+                best = (c, num, den)
+        return best[0]
+
+    table = {pat: pred_for(pat)
+             for pat in itertools.product((0, 1), repeat=F)}
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        te = df[df[test_col].astype(bool)]
+        key = np.zeros(len(te), dtype=np.int64)
+        for j, f in enumerate(feature_cols):
+            key = key * 2 + te[f].astype("int64").to_numpy()
+        lut = np.array([table[pat] for pat in sorted(table)],
+                       dtype=np.int64)
+        # sorted(table) enumerates patterns in binary order: key works
+        return pd.DataFrame({
+            id_col: te[id_col].astype("int64").to_numpy(),
+            "true_cls": te[class_col].astype("int64").to_numpy(),
+            "pred_cls": lut[key]})
+
+    return ds.map_batches(classify, batch_format="pandas")

@@ -5084,6 +5084,40 @@ def q_sqlite_roundtrip_events(sf_dir: str):
         "n_users": out["n_users"].astype("int64")}).reset_index(drop=True)
 
 
+def q_naive_bayes_docs(sf_dir: str):
+    """Multinomial Naive Bayes text classification with an EXACT
+    integer argmax (ops.nb_classify): deterministic class markers
+    (zqm0/zqm1/zqm2, class = doc_id%3, every 7th doc missing its
+    confuser marker) are injected into the text, the model trains on
+    the doc_id%5≠0 split and classifies the holdout. No float logs
+    anywhere — classes compare by integer cross-multiplication, so the
+    twin reproduces every prediction bit-for-bit in HUGEINT. Output =
+    (doc_id, true_cls, pred_cls) over the test split."""
+    from . import ops
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def featurize(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].astype("int64").reset_index(drop=True)
+        c = d % 3
+        t = (df["text"].fillna("").reset_index(drop=True)
+             + " zqm" + c.astype(str) + " zqm" + c.astype(str)
+             + pd.Series(np.where(d % 7 != 0,
+                                  " zqm" + ((d + 1) % 3).astype(str),
+                                  ""), index=d.index))
+        return pd.DataFrame({
+            "doc_id": d, "cls": c.astype("int64"),
+            "is_test": (d % 5 == 0),
+            "f0": t.str.contains("zqm0", regex=False),
+            "f1": t.str.contains("zqm1", regex=False),
+            "f2": t.str.contains("zqm2", regex=False)})
+
+    feat = ds.map_batches(featurize, batch_format="pandas")
+    out = ops.nb_classify(feat, ["f0", "f1", "f2"], "cls", "is_test",
+                          "doc_id")
+    return out.sort("doc_id")
+
+
 def q_ams_f2_events(sf_dir: str):
     """AMS / tug-of-war second-frequency-moment sketch (ops.ams_f2) over
     event user_ids: F2 = Σ f_u² is the self-join size / repeat-rate
@@ -5259,6 +5293,7 @@ QUERIES = {
     "q_kcore_docs": q_kcore_docs,
     "q_ra_link_pred_docs": q_ra_link_pred_docs,
     "q_sqlite_roundtrip_events": q_sqlite_roundtrip_events,
+    "q_naive_bayes_docs": q_naive_bayes_docs,
     "q_zorder_events": q_zorder_events,
     "q_ann_hamming_topk": q_ann_hamming_topk,
     "q_web_curation_docs": q_web_curation_docs,
@@ -8838,3 +8873,49 @@ SELECT event_type,
            AS sum_value_cents,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type ORDER BY event_type"""
+
+ORACLE_SQL["q_naive_bayes_docs"] = """
+WITH aug AS MATERIALIZED (
+  SELECT doc_id, doc_id % 3 AS cls, (doc_id % 5 = 0) AS is_test,
+         COALESCE(text, '')
+         || ' zqm' || CAST(doc_id % 3 AS VARCHAR)
+         || ' zqm' || CAST(doc_id % 3 AS VARCHAR)
+         || CASE WHEN doc_id % 7 <> 0
+                 THEN ' zqm' || CAST((doc_id + 1) % 3 AS VARCHAR)
+                 ELSE '' END AS t
+  FROM documents),
+feat AS MATERIALIZED (
+  SELECT doc_id, cls, is_test,
+         CAST(contains(t, 'zqm0') AS BIGINT) AS f0,
+         CAST(contains(t, 'zqm1') AS BIGINT) AS f1,
+         CAST(contains(t, 'zqm2') AS BIGINT) AS f2
+  FROM aug),
+model AS MATERIALIZED (
+  SELECT cls, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(f0) AS BIGINT) AS c0,
+         CAST(SUM(f1) AS BIGINT) AS c1,
+         CAST(SUM(f2) AS BIGINT) AS c2
+  FROM feat WHERE NOT is_test GROUP BY cls),
+scored AS MATERIALIZED (
+  SELECT f.doc_id, f.cls AS true_cls, m.cls AS cand,
+         CAST(m.n AS HUGEINT)
+           * (CASE WHEN f.f0 = 1 THEN m.c0 + 1 ELSE 1 END)
+           * (CASE WHEN f.f1 = 1 THEN m.c1 + 1 ELSE 1 END)
+           * (CASE WHEN f.f2 = 1 THEN m.c2 + 1 ELSE 1 END) AS num,
+         CAST(CASE WHEN f.f0 + f.f1 + f.f2 >= 1
+                   THEN m.c0 + m.c1 + m.c2 + 3 ELSE 1 END AS HUGEINT)
+           * (CASE WHEN f.f0 + f.f1 + f.f2 >= 2
+                   THEN m.c0 + m.c1 + m.c2 + 3 ELSE 1 END)
+           * (CASE WHEN f.f0 + f.f1 + f.f2 >= 3
+                   THEN m.c0 + m.c1 + m.c2 + 3 ELSE 1 END) AS den
+  FROM feat f CROSS JOIN model m WHERE f.is_test)
+SELECT s1.doc_id, CAST(s1.true_cls AS BIGINT) AS true_cls,
+       CAST(s1.cand AS BIGINT) AS pred_cls
+FROM scored s1
+WHERE NOT EXISTS (
+  SELECT 1 FROM scored s2
+  WHERE s2.doc_id = s1.doc_id AND s2.cand <> s1.cand
+    AND (s2.num * s1.den > s1.num * s2.den
+         OR (s2.num * s1.den = s1.num * s2.den
+             AND s2.cand < s1.cand)))
+ORDER BY s1.doc_id"""
