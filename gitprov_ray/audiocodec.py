@@ -951,3 +951,94 @@ def write_au(x: np.ndarray, rate: int = 8000, encoding: str = "mulaw",
     hdr = b".snd" + struct.pack(">IIIII", 24, len(data), enc_id,
                                 rate, channels)
     return hdr + data
+
+
+# ---------------------------------------------------------------------------
+# AAC ADTS stream probe (ISO/IEC 14496-3 §1.A.2.2) — metadata WITHOUT
+# decode, same contract as the MP3/Ogg probes: AAC's spectral decode is
+# a declared external codec (the scalefactor/spectrum Huffman codebooks
+# are spec data), but crawl curation still gets codec/profile/rate/
+# channels/duration from the fixed headers.
+# ---------------------------------------------------------------------------
+
+_ADTS_RATES = [96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+               16000, 12000, 11025, 8000, 7350]
+_ADTS_PROFILES = {0: "main", 1: "lc", 2: "ssr", 3: "ltp"}
+
+
+def _adts_frame_at(b: bytes, pos: int):
+    """(frame_len, rate, channels, profile, mpeg_ver, blocks) of the
+    ADTS frame at ``pos``, or None if the 7-byte fixed header doesn't
+    validate (sync + layer==0 + valid rate index + nonzero length)."""
+    if pos + 7 > len(b):
+        return None
+    h = b[pos:pos + 7]
+    if h[0] != 0xFF or (h[1] & 0xF0) != 0xF0:
+        return None
+    if (h[1] >> 1) & 0x3 != 0:            # layer must be 00
+        return None
+    sf_idx = (h[2] >> 2) & 0xF
+    if sf_idx >= len(_ADTS_RATES):
+        return None
+    profile = (h[2] >> 6) & 0x3
+    chan = ((h[2] & 0x1) << 2) | (h[3] >> 6)
+    flen = ((h[3] & 0x3) << 11) | (h[4] << 3) | (h[5] >> 5)
+    if flen < 7:
+        return None
+    blocks = (h[6] & 0x3) + 1
+    ver = "2" if (h[1] >> 3) & 1 else "4"
+    return flen, _ADTS_RATES[sf_idx], chan, profile, ver, blocks
+
+
+def is_adts_aac(b: bytes) -> bool:
+    """TWO consecutive valid ADTS headers (the same two-frame rule as
+    :func:`is_mp3` — a lone 0xFFFx sync in random bytes won't probe)."""
+    f = _adts_frame_at(b, 0)
+    if f is None:
+        return False
+    return _adts_frame_at(b, f[0]) is not None
+
+
+def probe_adts(b: bytes) -> dict | None:
+    """Walk every ADTS frame → {codec, profile, mpeg_version,
+    sample_rate, channels, frames, duration_ms}. Each raw data block
+    carries 1024 samples; a frame holds 1-4 blocks."""
+    first = _adts_frame_at(b, 0)
+    if first is None:
+        return None
+    _, rate, chan, profile, ver, _ = first
+    pos = n = total_blocks = 0
+    while True:
+        f = _adts_frame_at(b, pos)
+        if f is None:
+            break
+        n += 1
+        total_blocks += f[5]
+        pos += f[0]
+        if pos >= len(b):
+            break
+    return {"codec": f"aac-{_ADTS_PROFILES[profile]}",
+            "profile": _ADTS_PROFILES[profile], "mpeg_version": ver,
+            "sample_rate": rate, "channels": chan, "frames": n,
+            "duration_ms": int(total_blocks * 1024 * 1000 / rate)}
+
+
+def write_adts_fixture(n_frames: int = 25, rate: int = 44100,
+                       channels: int = 2, profile: int = 1,
+                       payload_len: int = 200) -> bytes:
+    """Spec-valid ADTS fixed headers with zeroed payloads — a probe
+    fixture (decode is the declared external stub)."""
+    sf_idx = _ADTS_RATES.index(rate)
+    flen = 7 + payload_len
+    out = bytearray()
+    for _ in range(n_frames):
+        h = bytearray(7)
+        h[0] = 0xFF
+        h[1] = 0xF1                       # MPEG-4, layer 00, no CRC
+        h[2] = (profile << 6) | (sf_idx << 2) | ((channels >> 2) & 1)
+        h[3] = ((channels & 0x3) << 6) | ((flen >> 11) & 0x3)
+        h[4] = (flen >> 3) & 0xFF
+        h[5] = ((flen & 0x7) << 5) | 0x1F
+        h[6] = 0xFC                       # fullness low bits, 1 block
+        out += h + b"\x00" * payload_len
+    return bytes(out)

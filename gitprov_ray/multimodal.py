@@ -132,6 +132,12 @@ def _audiocodec_is_mp3(b: bytes) -> bool:
     return audiocodec.is_mp3(b)
 
 
+def _audiocodec_is_adts(b: bytes) -> bool:
+    from . import audiocodec
+
+    return audiocodec.is_adts_aac(b)
+
+
 def _avicodec_is_avi(b: bytes) -> bool:
     from . import avicodec
 
@@ -178,6 +184,11 @@ def parse_wav(b: bytes):
         raise NotImplementedError(
             "ogg: Vorbis/Opus transform decode is external — container "
             "metadata via probe_media")
+    if _audiocodec_is_adts(b):
+        raise NotImplementedError(
+            "aac: external MPEG-4 audio codec (the scalefactor/spectrum "
+            "Huffman codebooks are spec data) — header metadata via "
+            "probe_media")
     if b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC"):
         from . import audiocodec
 
@@ -561,6 +572,61 @@ class AudioFeatures:
         })
 
 
+def decode_video_frames(b: bytes, fake: bool = False):
+    """Payload → list of RGB frames through the engine's OWN codecs
+    (concatenated-PPM, animated GIF/PNG/WebP, MJPEG/H.264-I-in-MP4,
+    MJPG/raw-DIB AVI), or None for unrecognized bytes. Unsupported
+    codecs inside a recognized container raise NotImplementedError
+    naming the codec unless ``fake`` (GIF/PNG parse failures degrade to
+    None — malformed image, not a declared stub). Shared by FrameSample
+    and ShotBoundary so the container dispatch lives in ONE place."""
+    from . import gifcodec, mp4codec, pngcodec
+
+    parsed = list(iter_ppm_stream(b))
+    if parsed:
+        return [p[0] for p in parsed]
+    if gifcodec.is_gif(b):        # animated GIF: real compressed path
+        try:
+            return gifcodec.decode_gif(b)
+        except (NotImplementedError, ValueError):
+            return None
+    if pngcodec.is_png(b):        # animated PNG: acTL/fcTL/fdAT path
+        try:
+            if pngcodec.probe_png(b)["animated"]:
+                return [f[..., :3]
+                        for f in pngcodec.decode_apng_frames(b)]
+        except (NotImplementedError, ValueError):
+            return None
+        return None
+    if mp4codec.is_mp4(b):        # MJPEG MP4: real demux + decode
+        try:
+            return mp4codec.decode_mp4_frames(b)
+        except (NotImplementedError, ValueError):
+            if not fake:
+                raise              # name the codec, don't mask it
+            return None
+    if _avicodec_is_avi(b):       # AVI: MJPG + raw-DIB demux
+        from . import avicodec
+
+        try:
+            return avicodec.decode_avi_frames(b)
+        except (NotImplementedError, ValueError):
+            if not fake:
+                raise              # name the codec, don't mask it
+            return None
+    from . import webpcodec
+
+    if webpcodec.is_webp(b):      # animated WebP: real VP8L path
+        try:
+            return [f[..., :3]
+                    for f in webpcodec.decode_webp_frames(b)]
+        except (NotImplementedError, ValueError):
+            if not fake:
+                raise              # name the codec, don't mask it
+            return None
+    return None
+
+
 class FrameSample:
     """video payload → k evenly-spaced frames. REAL for concatenated-PPM
     streams (ffmpeg image2pipe/ppm), animated GIF (gifcodec.py — LZW
@@ -577,55 +643,11 @@ class FrameSample:
         self.fake = deterministic_fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from . import gifcodec, mp4codec, pngcodec
-
         ids, idxs, frames = [], [], []
         for mid, payload in zip(batch.column("media_id").to_pylist(),
                                 batch.column("payload").to_pylist()):
             b = payload or b""
-            decoded = None
-            parsed = list(iter_ppm_stream(b))
-            if parsed:
-                decoded = [p[0] for p in parsed]
-            elif gifcodec.is_gif(b):    # animated GIF: real compressed path
-                try:
-                    decoded = gifcodec.decode_gif(b)
-                except (NotImplementedError, ValueError):
-                    decoded = None
-            elif pngcodec.is_png(b):    # animated PNG: acTL/fcTL/fdAT path
-                try:
-                    if pngcodec.probe_png(b)["animated"]:
-                        decoded = [f[..., :3]
-                                   for f in pngcodec.decode_apng_frames(b)]
-                except (NotImplementedError, ValueError):
-                    decoded = None
-            elif mp4codec.is_mp4(b):    # MJPEG MP4: real demux + decode
-                try:
-                    decoded = mp4codec.decode_mp4_frames(b)
-                except (NotImplementedError, ValueError):
-                    if not self.fake:
-                        raise            # name the codec, don't mask it
-                    decoded = None
-            elif _avicodec_is_avi(b):   # AVI: MJPG + raw-DIB demux
-                from . import avicodec
-
-                try:
-                    decoded = avicodec.decode_avi_frames(b)
-                except (NotImplementedError, ValueError):
-                    if not self.fake:
-                        raise            # name the codec, don't mask it
-                    decoded = None
-            else:
-                from . import webpcodec
-
-                if webpcodec.is_webp(b):  # animated WebP: real VP8L path
-                    try:
-                        decoded = [f[..., :3]
-                                   for f in webpcodec.decode_webp_frames(b)]
-                    except (NotImplementedError, ValueError):
-                        if not self.fake:
-                            raise        # name the codec, don't mask it
-                        decoded = None
+            decoded = decode_video_frames(b, fake=self.fake)
             if decoded:
                 n = len(decoded)
                 picks = sorted({(i * n) // self.k for i in range(self.k)}) \
@@ -648,6 +670,60 @@ class FrameSample:
             "media_id": pa.array(ids, pa.string()),
             "frame_idx": pa.array(idxs, pa.int32()),
             "frame": pa.array(frames, pa.binary()),
+        })
+
+
+class ShotBoundary:
+    """Shot-boundary (scene-cut) detection by pairwise luma-histogram
+    comparison (Zhang, Kankanhalli & Smoliar 1993 — the classic
+    threshold method every video-curation pipeline starts from): every
+    payload decodes to frames through decode_video_frames (the engine's
+    own codecs), each frame reduces to a 16-bin INTEGER luma histogram
+    (299/587/114//1000 luma — the dHash formula), and consecutive
+    frames compare by L1 distance normalized to milli-units of the
+    maximum (2·npixels): diff_milli = ΣΔ·1000 // (2·npix). A pair at or
+    above ``threshold_milli`` is a cut. All-integer, so the emitted
+    rows are deterministic bit-for-bit on any worker layout.
+
+    Actor-pool stage: construct once per actor, stream batches through
+    __call__. Output is exploded — one row per consecutive frame pair:
+    (media_id, frame_idx of the SECOND frame, diff_milli, is_cut)."""
+
+    def __init__(self, bins: int = 16, threshold_milli: int = 400,
+                 deterministic_fake: bool = False):
+        self.bins = bins
+        self.threshold = threshold_milli
+        self.fake = deterministic_fake
+
+    def _hist(self, frame) -> "np.ndarray":
+        f = frame.astype(np.int64)
+        luma = (f[..., 0] * 299 + f[..., 1] * 587
+                + f[..., 2] * 114) // 1000
+        return np.bincount((luma * self.bins // 256).ravel(),
+                           minlength=self.bins)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, diffs, cuts = [], [], [], []
+        for mid, payload in zip(batch.column("media_id").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            b = payload or b""
+            decoded = decode_video_frames(b, fake=self.fake)
+            if not decoded or len(decoded) < 2:
+                continue                 # stills have no boundaries
+            hists = [self._hist(f) for f in decoded]
+            for i in range(1, len(hists)):
+                npix = int(hists[i].sum())
+                d = int(np.abs(hists[i] - hists[i - 1]).sum())
+                dm = d * 1000 // (2 * npix) if npix else 0
+                ids.append(mid)
+                idxs.append(i)
+                diffs.append(dm)
+                cuts.append(dm >= self.threshold)
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "frame_idx": pa.array(idxs, pa.int32()),
+            "diff_milli": pa.array(diffs, pa.int64()),
+            "is_cut": pa.array(cuts, pa.bool_()),
         })
 
 
@@ -781,6 +857,14 @@ def probe_media(b: bytes) -> dict:
             if p is not None:
                 out.update(format="ogg", codec=p["codec"],
                            duration_ms=p["duration_ms"])
+        elif _audiocodec_is_adts(b):
+            from . import audiocodec
+
+            p = audiocodec.probe_adts(b)
+            if p is not None:
+                out.update(format="adts", codec=p["codec"],
+                           frames=p["frames"],
+                           duration_ms=p["duration_ms"])
         elif b[:4] == b"\x1aE\xdf\xa3":
             from . import matroska
 
@@ -869,6 +953,25 @@ class MediaProbe:
             "duration_ms": pa.array([r["duration_ms"] for r in rows],
                                     pa.int32()),
         })
+
+
+def shot_boundary_pipeline(media_ds, threshold_milli: int = 400,
+                           concurrency=(1, 4), batch_size=8,
+                           deterministic_fake=False):
+    """Actor-pool pipeline: filter video → pairwise luma-histogram shot
+    boundaries (exploded rows, one per consecutive frame pair). Same
+    payload-bounded batch_size carve-out as video_pipeline."""
+    import pyarrow.compute as pc
+
+    vids = media_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "video")),
+        batch_format="pyarrow")
+    return vids.map_batches(
+        ShotBoundary,
+        fn_constructor_kwargs={"threshold_milli": threshold_milli,
+                               "deterministic_fake": deterministic_fake},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
 
 
 def probe_pipeline(media_ds, batch_size: int = 64, concurrency=None):

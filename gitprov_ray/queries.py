@@ -824,6 +824,21 @@ def q_media_video_frames(sf_dir: str):
         .sort(["media_id", "frame_idx"])
 
 
+def q_shot_boundary_media(sf_dir: str):
+    """Shot-boundary (scene-cut) detection over the video corpus
+    (multimodal.ShotBoundary): every container/codec the engine decodes
+    (animated GIF/PNG/WebP, MJPEG/H.264-I MP4, AVI) streams through the
+    pairwise integer luma-histogram comparison. Rows-only (the frames
+    come from the engine's own codecs — not SQL-expressible), but
+    deterministic bit-for-bit: all-integer histogram milli-diffs."""
+    import ray.data as rd
+    from . import multimodal
+
+    media = rd.from_arrow(multimodal.synth_media_table(24))
+    out = multimodal.shot_boundary_pipeline(media, threshold_milli=400)
+    return out.sort(["media_id", "frame_idx"])
+
+
 def q_media_probe(sf_dir: str):
     """Multimodal metadata extraction WITHOUT decode: header-only probes
     (JPEG SOF walk, PNG IHDR, GIF block walk, WAV header, MP4 moov,
@@ -5294,6 +5309,7 @@ QUERIES = {
     "q_ra_link_pred_docs": q_ra_link_pred_docs,
     "q_sqlite_roundtrip_events": q_sqlite_roundtrip_events,
     "q_naive_bayes_docs": q_naive_bayes_docs,
+    "q_shot_boundary_media": q_shot_boundary_media,
     "q_zorder_events": q_zorder_events,
     "q_ann_hamming_topk": q_ann_hamming_topk,
     "q_web_curation_docs": q_web_curation_docs,

@@ -240,3 +240,39 @@ def test_mp3_id3_tags_and_xing_header():
     plain = a.write_mp3_fixture(5)
     assert a.probe_mp3(plain)["tags"] == {}
     assert a.parse_id3v2(b"garbage") == {}
+
+
+def test_adts_probe_and_two_frame_rule():
+    from gitprov_ray import audiocodec
+
+    b = audiocodec.write_adts_fixture(n_frames=25, rate=44100,
+                                      channels=2, profile=1)
+    assert audiocodec.is_adts_aac(b)
+    p = audiocodec.probe_adts(b)
+    assert p["codec"] == "aac-lc" and p["mpeg_version"] == "4"
+    assert p["frames"] == 25 and p["channels"] == 2
+    assert p["duration_ms"] == int(25 * 1024 * 1000 / 44100)
+    # stray 0xFFFx sync with garbage after it is NOT adts
+    assert not audiocodec.is_adts_aac(b"\xff\xf1" + b"\x00" * 50)
+    # cross-probe isolation: adts is not mp3 and mp3 is not adts
+    assert not audiocodec.is_mp3(b)
+    m = audiocodec.write_mp3_fixture(n_frames=4)
+    assert not audiocodec.is_adts_aac(m)
+    # 8 kHz main-profile mono variant
+    b2 = audiocodec.write_adts_fixture(n_frames=10, rate=8000,
+                                       channels=1, profile=0)
+    p2 = audiocodec.probe_adts(b2)
+    assert p2["codec"] == "aac-main" and p2["sample_rate"] == 8000
+
+
+def test_adts_probe_media_dispatch_and_decode_stub():
+    import pytest as _pytest
+
+    from gitprov_ray import audiocodec, multimodal
+
+    b = audiocodec.write_adts_fixture(n_frames=12)
+    out = multimodal.probe_media(b)
+    assert out["format"] == "adts" and out["codec"] == "aac-lc"
+    assert out["frames"] == 12
+    with _pytest.raises(NotImplementedError, match="aac"):
+        multimodal.parse_wav(b)

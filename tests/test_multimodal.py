@@ -174,3 +174,51 @@ def test_actor_pool_pipelines():
 
     vids = M.video_pipeline(media, k=2, concurrency=(1, 2)).to_pandas()
     assert len(vids) == 20                # 10 videos × 2 frames
+
+
+def test_shot_boundary_detects_planted_cut(ray_session):
+    """Two flat-color scenes in a REAL animated GIF: the only cut is at
+    the scene change; within-scene frames (tiny gradient wiggle) stay
+    far below threshold. Integer milli-diffs are deterministic."""
+    import ray.data as rd
+
+    from gitprov_ray import gifcodec
+    from gitprov_ray.multimodal import ShotBoundary, shot_boundary_pipeline
+
+    h = w = 24
+    scene_a = np.full((h, w, 3), 40, np.uint8)
+    scene_b = np.full((h, w, 3), 200, np.uint8)
+    frames = []
+    for i in range(3):                       # scene A, mild wiggle
+        f = scene_a.copy()
+        f[0, :i + 1] = 44
+        frames.append(f)
+    for i in range(3):                       # scene B
+        f = scene_b.copy()
+        f[0, :i + 1] = 204
+        frames.append(f)
+    gif = gifcodec.encode_gif(frames)
+
+    sb = ShotBoundary(threshold_milli=400)
+    out = sb(pa.table({"media_id": pa.array(["v0"]),
+                       "payload": pa.array([gif], pa.binary())}))
+    df = out.to_pandas()
+    assert df["frame_idx"].tolist() == [1, 2, 3, 4, 5]
+    cuts = df[df["is_cut"]]["frame_idx"].tolist()
+    assert cuts == [3]                       # exactly the scene change
+    # the cut diff saturates (disjoint histograms -> 1000 milli)
+    assert int(df.loc[df["frame_idx"] == 3, "diff_milli"].iloc[0]) == 1000
+    assert (df.loc[df["frame_idx"] != 3, "diff_milli"] < 50).all()
+
+    # pipeline wrapper: same rows through the actor-pool stage
+    media = rd.from_arrow(pa.table({
+        "media_id": pa.array(["v0"]), "kind": pa.array(["video"]),
+        "payload": pa.array([gif], pa.binary()),
+        "mime": pa.array(["image/gif"]),
+        "width": pa.array([w], pa.int32()),
+        "height": pa.array([h], pa.int32()),
+        "duration_ms": pa.array([600], pa.int32())}))
+    got = shot_boundary_pipeline(media, concurrency=(1, 2),
+                                 batch_size=4).to_pandas()
+    assert got.sort_values("frame_idx")["is_cut"].tolist() == \
+        df.sort_values("frame_idx")["is_cut"].tolist()
