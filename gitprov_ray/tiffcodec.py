@@ -83,7 +83,9 @@ def probe_tiff(b: bytes) -> dict:
             "samples": t.get(_T_SAMPLES, [1])[0],
             "compression": comp_name,
             "photometric": t.get(_T_PHOTOMETRIC, [1])[0],
-            "byte_order": "little" if endian == "<" else "big"}
+            "byte_order": "little" if endian == "<" else "big",
+            "tiled": _T_TILE_OFFSETS in t,
+            "planar": t.get(_T_PLANAR, [1])[0]}
 
 
 # ---------------------------------------------------------------------------
@@ -234,8 +236,19 @@ def lzw_encode(src: bytes) -> bytes:
 # decode / encode
 # ---------------------------------------------------------------------------
 
+_T_TILE_W, _T_TILE_H = 322, 323
+_T_TILE_OFFSETS, _T_TILE_COUNTS = 324, 325
+
+
 def decode_tiff(b: bytes) -> np.ndarray:
-    """payload -> HxW (gray) or HxWx3 (RGB) uint8 array."""
+    """payload -> HxW (gray) or HxWx3 (RGB) uint8 array.
+
+    Profile: 8- and 16-bit samples (16-bit downscales to 8 via >>8 —
+    the engine's image lane is uint8), strip AND tile layouts (TIFF 6.0
+    §15), chunky and planar (PlanarConfiguration 2, plane-major chunk
+    order) storage, Compression none/LZW(+Predictor 2)/PackBits, both
+    byte orders, palette/MinIsWhite. CCITT/JPEG-in-TIFF stay declared
+    stubs (external codec data)."""
     if not is_tiff(b):
         raise ValueError("not a TIFF")
     endian = "<" if b[:2] == b"II" else ">"
@@ -248,46 +261,89 @@ def decode_tiff(b: bytes) -> np.ndarray:
     photo = t.get(_T_PHOTOMETRIC, [1])[0]
     planar = t.get(_T_PLANAR, [1])[0]
     pred = t.get(_T_PREDICTOR, [1])[0]
-    if any(x != 8 for x in bits):
+    if len(set(bits)) != 1 or bits[0] not in (8, 16):
         raise NotImplementedError(f"TIFF bits-per-sample {bits} "
-                                  "(only 8-bit supported)")
-    if planar != 1:
-        raise NotImplementedError("TIFF planar configuration 2")
+                                  "(8- and 16-bit supported)")
+    bps = bits[0]
+    itemsize = bps // 8
+    if planar not in (1, 2):
+        raise NotImplementedError(f"TIFF planar configuration {planar}")
     if comp not in (1, 5, 32773):
         raise NotImplementedError(
             f"TIFF compression {probe_tiff(b)['compression']}")
-    offsets = t.get(_T_STRIP_OFFSETS)
-    if not offsets:
-        raise ValueError("TIFF without strip offsets")
-    counts = t.get(_T_STRIP_COUNTS)
-    if not counts:
-        if len(offsets) != 1:
-            raise ValueError("multi-strip TIFF without StripByteCounts")
-        counts = [len(b) - offsets[0]]
-    rows_per = t.get(_T_ROWS_PER_STRIP, [h])[0]
-    stride = w * samples
-    raw = bytearray()
-    row0 = 0
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
-        nrows = min(rows_per, h - row0)
-        expected = nrows * stride
-        chunk = b[off:off + cnt]
+
+    def decompress(chunk: bytes, expected: int) -> bytes:
         if comp == 1:
-            raw += chunk[:expected]
-        elif comp == 5:
-            raw += lzw_decode(chunk, expected)
+            return chunk[:expected]
+        if comp == 5:
+            return lzw_decode(chunk, expected)
+        return packbits_decode(chunk, expected)
+
+    def as_pixels(raw: bytes, rows: int, cols: int, spp: int):
+        if bps == 8:
+            a = np.frombuffer(raw, dtype=np.uint8)
         else:
-            raw += packbits_decode(chunk, expected)
-        row0 += nrows
-    arr = np.frombuffer(bytes(raw), dtype=np.uint8)[:h * stride]
-    arr = arr.reshape(h, w, samples) if samples > 1 else arr.reshape(h, w)
-    if pred == 2:                          # horizontal differencing:
-        # cumsum along width (per channel via axis=1 on (h,w[,s])),
-        # modular uint8 arithmetic inverts the encoder's mod-256 diffs
-        arr = np.cumsum(arr.astype(np.uint32), axis=1).astype(np.uint8)
-    if photo == 0:                         # MinIsWhite
-        arr = 255 - arr
-    elif photo == 3:                       # palette -> RGB
+            a = np.frombuffer(raw, dtype=endian + "u2").astype(np.uint16)
+        a = a[:rows * cols * spp].reshape(rows, cols, spp)
+        if pred == 2:   # horizontal differencing restarts per chunk row
+            acc = np.cumsum(a.astype(np.uint32), axis=1)
+            a = acc.astype(np.uint8 if bps == 8 else np.uint16)
+        return a
+
+    spp_chunk = 1 if planar == 2 else samples
+    dtype = np.uint8 if bps == 8 else np.uint16
+    full = np.zeros((h, w, samples), dtype=dtype)
+    if _T_TILE_OFFSETS in t:               # tile layout (§15)
+        tw = t[_T_TILE_W][0]
+        th = t[_T_TILE_H][0]
+        offsets = t[_T_TILE_OFFSETS]
+        counts = t.get(_T_TILE_COUNTS,
+                       [len(b) - offsets[0]] if len(offsets) == 1 else None)
+        if counts is None:
+            raise ValueError("multi-tile TIFF without TileByteCounts")
+        across = -(-w // tw)
+        down = -(-h // th)
+        per_plane = across * down
+        for idx, (off, cnt) in enumerate(zip(offsets, counts)):
+            plane, ti = divmod(idx, per_plane) if planar == 2 else (0, idx)
+            ty, tx = divmod(ti, across)
+            raw = decompress(b[off:off + cnt], th * tw * spp_chunk
+                             * itemsize)
+            tile = as_pixels(raw, th, tw, spp_chunk)
+            y0, x0 = ty * th, tx * tw
+            ys, xs = min(th, h - y0), min(tw, w - x0)
+            if planar == 2:
+                full[y0:y0 + ys, x0:x0 + xs, plane] = tile[:ys, :xs, 0]
+            else:
+                full[y0:y0 + ys, x0:x0 + xs, :] = tile[:ys, :xs, :]
+    else:                                  # strip layout
+        offsets = t.get(_T_STRIP_OFFSETS)
+        if not offsets:
+            raise ValueError("TIFF without strip offsets")
+        counts = t.get(_T_STRIP_COUNTS)
+        if not counts:
+            if len(offsets) != 1:
+                raise ValueError("multi-strip TIFF without StripByteCounts")
+            counts = [len(b) - offsets[0]]
+        rows_per = t.get(_T_ROWS_PER_STRIP, [h])[0]
+        per_plane = -(-h // rows_per)
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            plane, pi = divmod(si, per_plane) if planar == 2 else (0, si)
+            row0 = pi * rows_per
+            nrows = min(rows_per, h - row0)
+            raw = decompress(b[off:off + cnt],
+                             nrows * w * spp_chunk * itemsize)
+            strip = as_pixels(raw, nrows, w, spp_chunk)
+            if planar == 2:
+                full[row0:row0 + nrows, :, plane] = strip[:, :, 0]
+            else:
+                full[row0:row0 + nrows, :, :] = strip
+    if photo == 0:                         # MinIsWhite (at native depth)
+        full = ((1 << bps) - 1) - full
+    if bps == 16:                          # engine image lane is uint8
+        full = (full >> 8).astype(np.uint8)
+    arr = full if samples > 1 else full[:, :, 0]
+    if photo == 3:                         # palette -> RGB
         cmap = t.get(_T_COLORMAP)
         if not cmap:
             raise ValueError("palette TIFF without ColorMap")
@@ -301,50 +357,94 @@ def decode_tiff(b: bytes) -> np.ndarray:
 def encode_tiff(arr: np.ndarray, compression: str = "lzw",
                 rows_per_strip: int = 32, byte_order: str = "little",
                 predictor: bool = False,
-                min_is_white: bool = False) -> bytes:
-    """HxW / HxWx1 (gray) or HxWx3 (RGB) uint8 -> spec-valid TIFF."""
+                min_is_white: bool = False,
+                tile: tuple[int, int] | None = None,
+                planar: int = 1) -> bytes:
+    """HxW / HxWx1 (gray) or HxWx3 (RGB) -> spec-valid TIFF.
+
+    uint8 input writes 8-bit samples; uint16 input writes 16-bit
+    samples in ``byte_order``. ``tile=(tw, th)`` switches to the §15
+    tile layout (tile dims must be multiples of 16 per spec);
+    ``planar=2`` stores separate planes (plane-major chunk order)."""
     if arr.ndim == 3 and arr.shape[2] == 1:
         arr = arr[:, :, 0]
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
     samples = 1 if gray else 3
+    bps = 16 if arr.dtype == np.uint16 else 8
     endian = "<" if byte_order == "little" else ">"
-    data = arr.astype(np.uint8)
+    item_dt = np.uint8 if bps == 8 else np.dtype(endian + "u2")
+    data = arr.astype(np.uint16 if bps == 16 else np.uint8)
     photo = 1 if gray else 2
     if min_is_white and gray:
-        data = 255 - data
+        data = ((1 << bps) - 1) - data
         photo = 0
-    if predictor:
-        d = data.astype(np.int16)
-        d[:, 1:] = (d[:, 1:] - d[:, :-1])
-        data = (d % 256).astype(np.uint8)
-    raw = data.tobytes()
-    stride = w * samples
-    comp_id = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
-    strips = []
-    for r0 in range(0, h, rows_per_strip):
-        nrows = min(rows_per_strip, h - r0)
-        chunk = raw[r0 * stride:(r0 + nrows) * stride]
-        if compression == "lzw":
-            strips.append(lzw_encode(chunk))
-        elif compression == "packbits":
-            strips.append(packbits_encode(chunk))
-        else:
-            strips.append(chunk)
+    if gray:
+        data = data[:, :, None]
+    if planar == 2:
+        chunks_src = [data[:, :, p:p + 1] for p in range(samples)]
+    else:
+        chunks_src = [data]
 
+    def chunk_bytes(block) -> bytes:
+        if predictor:
+            d = block.astype(np.int32)
+            d[:, 1:] = d[:, 1:] - d[:, :-1]
+            block = (d % (1 << bps)).astype(data.dtype)
+        return np.ascontiguousarray(block).astype(item_dt).tobytes()
+
+    comp_id = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+
+    def compress(raw: bytes) -> bytes:
+        if compression == "lzw":
+            return lzw_encode(raw)
+        if compression == "packbits":
+            return packbits_encode(raw)
+        return raw
+
+    strips = []
+    if tile is not None:
+        tw, th = tile
+        if tw % 16 or th % 16:
+            raise ValueError("TIFF tile dims must be multiples of 16")
+        across, down = -(-w // tw), -(-h // th)
+        for src_plane in chunks_src:
+            padded = np.zeros((down * th, across * tw,
+                               src_plane.shape[2]), dtype=data.dtype)
+            padded[:h, :w, :] = src_plane
+            for ty in range(down):
+                for tx in range(across):
+                    blk = padded[ty * th:(ty + 1) * th,
+                                 tx * tw:(tx + 1) * tw, :]
+                    strips.append(compress(chunk_bytes(blk)))
+    else:
+        for src_plane in chunks_src:
+            for r0 in range(0, h, rows_per_strip):
+                blk = src_plane[r0:r0 + min(rows_per_strip, h - r0), :, :]
+                strips.append(compress(chunk_bytes(blk)))
+
+    off_tag = _T_TILE_OFFSETS if tile is not None else _T_STRIP_OFFSETS
+    cnt_tag = _T_TILE_COUNTS if tile is not None else _T_STRIP_COUNTS
     tags: list[tuple[int, int, int, list[int]]] = [
         (_T_WIDTH, 3, 1, [w]), (_T_HEIGHT, 3, 1, [h]),
-        (_T_BITS, 3, samples, [8] * samples),
+        (_T_BITS, 3, samples, [bps] * samples),
         (_T_COMPRESSION, 3, 1, [comp_id]),
         (_T_PHOTOMETRIC, 3, 1, [photo]),
-        (_T_STRIP_OFFSETS, 4, len(strips), [0] * len(strips)),  # patched
+        (off_tag, 4, len(strips), [0] * len(strips)),  # patched below
         (_T_SAMPLES, 3, 1, [samples]),
-        (_T_ROWS_PER_STRIP, 3, 1, [rows_per_strip]),
-        (_T_STRIP_COUNTS, 4, len(strips), [len(s) for s in strips]),
+        (cnt_tag, 4, len(strips), [len(s) for s in strips]),
     ]
+    if tile is not None:
+        tags.append((_T_TILE_W, 3, 1, [tile[0]]))
+        tags.append((_T_TILE_H, 3, 1, [tile[1]]))
+    else:
+        tags.append((_T_ROWS_PER_STRIP, 3, 1, [rows_per_strip]))
+    if planar == 2:
+        tags.append((_T_PLANAR, 3, 1, [2]))
     if predictor:
         tags.append((_T_PREDICTOR, 3, 1, [2]))
     tags.sort()
+
 
     # layout: header(8) | IFD | overflow values | strip data
     ifd_off = 8
@@ -378,7 +478,7 @@ def encode_tiff(arr: np.ndarray, compression: str = "lzw",
     overflow = bytearray()
     ov_pos = overflow_off
     for tag, typ, cnt, vals, big in entries:
-        if tag == _T_STRIP_OFFSETS:
+        if tag in (_T_STRIP_OFFSETS, _T_TILE_OFFSETS):
             vals = strip_offsets
         vb = value_bytes(typ, vals)
         out += struct.pack(endian + "HHI", tag, typ, cnt)

@@ -170,3 +170,46 @@ def test_decode_image_and_resize_stage_tiff_bmp():
     assert bmpcodec.is_bmp(rp[1])
     assert tiffcodec.decode_tiff(rp[0]).shape[:2] == (8, 10)
     assert bmpcodec.decode_bmp(rp[1]).shape[:2] == (8, 10)
+
+
+def test_tiff_tiles_16bit_and_planar_roundtrips():
+    """The §15 tile layout, 16-bit samples (decode downscales >>8) and
+    PlanarConfiguration 2 — all against the engine's own encoder, both
+    byte orders, with LZW+Predictor on top."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (50, 70, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (45, 33), dtype=np.uint8)
+
+    b = tc.encode_tiff(img, compression="lzw", predictor=True,
+                              tile=(16, 32))
+    assert tc.probe_tiff(b)["tiled"]
+    assert np.array_equal(tc.decode_tiff(b), img)
+    b = tc.encode_tiff(gray, compression="packbits",
+                              byte_order="big", tile=(16, 16))
+    assert np.array_equal(tc.decode_tiff(b), gray)
+    b = tc.encode_tiff(img, compression="lzw", planar=2,
+                              rows_per_strip=13)
+    assert tc.probe_tiff(b)["planar"] == 2
+    assert np.array_equal(tc.decode_tiff(b), img)
+    b = tc.encode_tiff(img, compression="none", planar=2,
+                              tile=(32, 16))
+    assert np.array_equal(tc.decode_tiff(b), img)
+
+    img16 = rng.integers(0, 65536, (20, 24, 3), dtype=np.uint16)
+    for bo in ("little", "big"):
+        for comp in ("none", "lzw"):
+            b = tc.encode_tiff(img16, compression=comp,
+                                      byte_order=bo)
+            assert tc.probe_tiff(b)["bits"] == 16
+            assert np.array_equal(tc.decode_tiff(b),
+                                  (img16 >> 8).astype(np.uint8))
+    b = tc.encode_tiff(img16, compression="lzw", predictor=True,
+                              tile=(16, 16), byte_order="big")
+    assert np.array_equal(tc.decode_tiff(b),
+                          (img16 >> 8).astype(np.uint8))
+    g16 = rng.integers(0, 65536, (17, 19), dtype=np.uint16)
+    b = tc.encode_tiff(g16, compression="none", min_is_white=True)
+    assert np.array_equal(tc.decode_tiff(b),
+                          (g16 >> 8).astype(np.uint8))
+    with pytest.raises(ValueError, match="multiples of 16"):
+        tc.encode_tiff(img, tile=(20, 16))
