@@ -129,6 +129,16 @@ def cmd_sparql(args) -> int:
     return 0
 
 
+def cmd_sparql_update(args) -> int:
+    from . import sparql_lite
+
+    _ray_session(args.num_cpus)
+    counts = sparql_lite.update_store(args.root, args.update,
+                                      graph=args.graph)
+    _emit(json.dumps(counts, sort_keys=True), getattr(args, "out", None))
+    return 0
+
+
 def cmd_serialize(args) -> int:
     import pyarrow.parquet as pq
 
@@ -237,6 +247,17 @@ def build_parser() -> argparse.ArgumentParser:
                          "instead of the Dataset scale path")
     sq.add_argument("--out")
     sq.set_defaults(fn=cmd_sparql)
+
+    su = sub.add_parser("sparql-update",
+                        help="SPARQL 1.1 Update against a store "
+                             "(INSERT/DELETE DATA, DELETE/INSERT WHERE, "
+                             "CLEAR GRAPH)")
+    su.add_argument("root")
+    su.add_argument("update")
+    su.add_argument("--graph", default=None)
+    su.add_argument("--out", default=None)
+    su.add_argument("--num-cpus", type=int, default=None)
+    su.set_defaults(fn=cmd_sparql_update)
 
     rn = sub.add_parser("run", help="checkpointed flagship run over an sf dir")
     rn.add_argument("sf_dir")

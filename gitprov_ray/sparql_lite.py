@@ -2543,3 +2543,287 @@ def _construct_from_bindings_ds(ds, template: list[tuple],
             .groupby("bucket")
             .map_groups(lambda df: df.drop(columns="bucket")
                         .drop_duplicates(), batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# SPARQL 1.1 Update (§3.1) — INSERT/DELETE DATA, DELETE WHERE, the general
+# DELETE/INSERT ... WHERE modify form, CLEAR/DROP GRAPH, ';'-sequenced
+# operations. Mirrors the reference's Jena-TDB update surface against the
+# engine's OWN store (store.py): read → apply → atomic replace-on-store.
+# ---------------------------------------------------------------------------
+
+_XSD_URI = "http://www.w3.org/2001/XMLSchema#"
+
+
+def _obj_literal_info(raw: str) -> tuple[bool, str]:
+    """Raw object token → (obj_is_literal, obj_dtype) using the engine's
+    triple vocabulary ("xsd:..." CURIEs; "" for IRIs)."""
+    if raw.startswith('"'):
+        m = _re.search(r'\^\^(<[^>]*>|[A-Za-z_][\w.-]*:[\w.-]+)$', raw)
+        if m:
+            d = m.group(1)
+            d = d[1:-1] if d.startswith("<") else d
+            return True, d.replace(_XSD_URI, "xsd:")
+        return True, "xsd:string"
+    if _re.match(r"^-?\d+$", raw):
+        return True, "xsd:integer"
+    if _re.match(r"^-?\d+\.\d+$", raw):
+        return True, "xsd:decimal"
+    return False, ""
+
+
+def _parse_quad_block(toks: list[str], prefixes: dict, allow_vars: bool):
+    """Quad-block tokens → list of (g, s, p, o, o_raw); g is None for the
+    default graph or the parsed GRAPH term (a ?var stays a var)."""
+    quads = []
+    k = 0
+    while k < len(toks):
+        t = toks[k]
+        if t == ".":
+            k += 1
+            continue
+        if t.upper() == "GRAPH":
+            if k + 2 >= len(toks) or toks[k + 2] != "{":
+                raise SparqlSyntaxError("GRAPH needs <g> { ... }")
+            gterm = toks[k + 1] if toks[k + 1].startswith("?") \
+                else _parse_term(toks[k + 1], prefixes)
+            depth, j, inner = 1, k + 3, []
+            while j < len(toks) and depth:
+                if toks[j] == "{":
+                    depth += 1
+                elif toks[j] == "}":
+                    depth -= 1
+                    if not depth:
+                        break
+                inner.append(toks[j])
+                j += 1
+            if depth:
+                raise SparqlSyntaxError("unterminated GRAPH block")
+            for _, s, p, o, o_raw in _parse_quad_block(inner, prefixes,
+                                                       allow_vars):
+                quads.append((gterm, s, p, o, o_raw))
+            k = j + 1
+            continue
+        if k + 2 >= len(toks):
+            raise SparqlSyntaxError("dangling terms in quad block")
+        parsed = []
+        for tok in (toks[k], toks[k + 1], toks[k + 2]):
+            if tok.startswith("?"):
+                if not allow_vars:
+                    raise SparqlSyntaxError(
+                        "variables are not allowed in a DATA block")
+                parsed.append(tok)
+            else:
+                parsed.append(_parse_term(tok, prefixes))
+        quads.append((None, parsed[0], parsed[1], parsed[2], toks[k + 2]))
+        k += 3
+    return quads
+
+
+def _take_block(toks: list[str], i: int) -> tuple[list[str], int]:
+    """toks[i] must be '{'; returns (inner tokens, index past the '}')."""
+    if i >= len(toks) or toks[i] != "{":
+        raise SparqlSyntaxError("expected '{'")
+    depth, j, inner = 1, i + 1, []
+    while j < len(toks) and depth:
+        if toks[j] == "{":
+            depth += 1
+        elif toks[j] == "}":
+            depth -= 1
+            if not depth:
+                break
+        inner.append(toks[j])
+        j += 1
+    if depth:
+        raise SparqlSyntaxError("unterminated block")
+    return inner, j + 1
+
+
+def parse_update(update: str) -> list[dict]:
+    """Update string → list of operation dicts (sequential, ';'-split):
+    {op: insert_data|delete_data|modify|clear, ...}."""
+    toks = _tokenize(update)
+    prefixes = _collect_prefixes(toks)
+    i = _past_prefixes(toks)
+    prologue = toks[:i]
+    ops: list[dict] = []
+    while i < len(toks):
+        if toks[i] == ";":
+            i += 1
+            continue
+        kw = toks[i].upper()
+        if kw in ("INSERT", "DELETE") and i + 1 < len(toks) \
+                and toks[i + 1].upper() == "DATA":
+            inner, i = _take_block(toks, i + 2)
+            ops.append({"op": f"{kw.lower()}_data",
+                        "quads": _parse_quad_block(inner, prefixes,
+                                                   allow_vars=False)})
+        elif kw == "DELETE" and i + 1 < len(toks) \
+                and toks[i + 1].upper() == "WHERE":
+            inner, i = _take_block(toks, i + 2)
+            quads = _parse_quad_block(inner, prefixes, allow_vars=True)
+            ops.append({"op": "modify", "delete": quads, "insert": [],
+                        "where": inner, "prologue": prologue})
+        elif kw in ("DELETE", "INSERT"):
+            # general modify: DELETE { } [INSERT { }] WHERE { }
+            delete_q, insert_q = [], []
+            while i < len(toks) and toks[i].upper() in ("DELETE",
+                                                        "INSERT"):
+                which = toks[i].upper()
+                inner, i = _take_block(toks, i + 1)
+                quads = _parse_quad_block(inner, prefixes,
+                                          allow_vars=True)
+                if which == "DELETE":
+                    delete_q = quads
+                else:
+                    insert_q = quads
+            if i >= len(toks) or toks[i].upper() != "WHERE":
+                raise SparqlSyntaxError("modify needs WHERE { ... }")
+            inner, i = _take_block(toks, i + 1)
+            ops.append({"op": "modify", "delete": delete_q,
+                        "insert": insert_q, "where": inner,
+                        "prologue": prologue})
+        elif kw in ("CLEAR", "DROP"):
+            if i + 1 < len(toks) and toks[i + 1].upper() == "GRAPH":
+                g = _parse_term(toks[i + 2], prefixes)
+                i += 3
+            elif i + 1 < len(toks) and toks[i + 1].upper() in ("ALL",
+                                                               "DEFAULT"):
+                g = None
+                i += 2
+            else:
+                raise SparqlSyntaxError(f"{kw} needs GRAPH <g>/ALL")
+            ops.append({"op": "clear", "graph": g})
+        else:
+            raise SparqlSyntaxError(f"unknown update operation {toks[i]!r}")
+    if not ops:
+        raise SparqlSyntaxError("empty update")
+    return ops
+
+
+_TRIPLE_COLS = ["subj", "pred", "obj", "obj_is_literal", "obj_dtype",
+                "graph"]
+
+
+def _quad_rows(quads, bindings: pd.DataFrame | None,
+               graph: str | None) -> pd.DataFrame:
+    """Ground (or instantiate against ``bindings``) quads → triple rows
+    in the engine schema. Unbound-variable instantiations drop
+    (§16.2-style), NULL bindings too."""
+    frames = []
+    n = 1 if bindings is None else len(bindings)
+    for g, s, p, o, o_raw in quads:
+        cols = {}
+        for name, term in (("graph", g), ("subj", s), ("pred", p),
+                           ("obj", o)):
+            if isinstance(term, str) and term.startswith("?"):
+                if bindings is None or term[1:] not in bindings.columns:
+                    cols = None
+                    break
+                cols[name] = bindings[term[1:]].reset_index(drop=True)
+            elif name == "graph":
+                cols[name] = pd.Series([term if term is not None
+                                        else (graph or "")] * n)
+            else:
+                cols[name] = pd.Series([_expand_term(term, graph)] * n)
+        if cols is None:
+            continue
+        df = pd.DataFrame(cols).dropna()
+        if isinstance(o, str) and o.startswith("?"):
+            # instantiated object: engine bindings are plain strings —
+            # conservative typing (string literal) unless it's a URI
+            is_uri = df["obj"].astype(str).str.startswith(
+                ("http://", "https://"))
+            df["obj_is_literal"] = ~is_uri
+            df["obj_dtype"] = np.where(is_uri, "", "xsd:string")
+        else:
+            lit, dt = _obj_literal_info(o_raw)
+            df["obj_is_literal"] = lit
+            df["obj_dtype"] = dt
+        frames.append(df[_TRIPLE_COLS])
+    if not frames:
+        return pd.DataFrame(columns=_TRIPLE_COLS)
+    return pd.concat(frames, ignore_index=True).drop_duplicates()
+
+
+def apply_update(triples_df: pd.DataFrame, update: str,
+                 graph: str | None = None) -> pd.DataFrame:
+    """Apply a SPARQL update to a triples frame → new frame (pure
+    function; :func:`update_store` wraps it with the store's atomic
+    replace-on-store). ``graph`` names the default graph for quads
+    outside GRAPH blocks and for WHERE evaluation."""
+    import ray.data as rd
+
+    df = triples_df[_TRIPLE_COLS].copy()
+    for op in parse_update(update):
+        if op["op"] == "insert_data":
+            add = _quad_rows(op["quads"], None, graph)
+            df = pd.concat([df, add], ignore_index=True) \
+                .drop_duplicates(subset=["graph", "subj", "pred", "obj"]) \
+                .reset_index(drop=True)
+        elif op["op"] == "delete_data":
+            rm = _quad_rows(op["quads"], None, graph)
+            key = df["graph"].astype(str) + "\x1f" + df["subj"] \
+                + "\x1f" + df["pred"] + "\x1f" + df["obj"].astype(str)
+            rkey = rm["graph"].astype(str) + "\x1f" + rm["subj"] \
+                + "\x1f" + rm["pred"] + "\x1f" + rm["obj"].astype(str)
+            df = df[~key.isin(set(rkey))].reset_index(drop=True)
+        elif op["op"] == "clear":
+            if op["graph"] is None:
+                df = df.iloc[0:0]
+            else:
+                df = df[df["graph"] != op["graph"]].reset_index(drop=True)
+        else:                                  # modify
+            q = " ".join(op["prologue"] + ["SELECT", "*", "WHERE", "{"]
+                         + op["where"] + ["}"])
+            bindings = select_text(rd.from_pandas(df) if len(df)
+                                   else rd.from_pandas(
+                                       pd.DataFrame(columns=_TRIPLE_COLS)),
+                                   q, graph=graph)
+            if len(bindings):
+                rm = _quad_rows(op["delete"], bindings, graph)
+                if len(rm):
+                    key = df["graph"].astype(str) + "\x1f" + df["subj"] \
+                        + "\x1f" + df["pred"] + "\x1f" \
+                        + df["obj"].astype(str)
+                    rkey = rm["graph"].astype(str) + "\x1f" + rm["subj"] \
+                        + "\x1f" + rm["pred"] + "\x1f" \
+                        + rm["obj"].astype(str)
+                    df = df[~key.isin(set(rkey))].reset_index(drop=True)
+                add = _quad_rows(op["insert"], bindings, graph)
+                if len(add):
+                    df = pd.concat([df, add], ignore_index=True) \
+                        .drop_duplicates(
+                            subset=["graph", "subj", "pred", "obj"]) \
+                        .reset_index(drop=True)
+    return df
+
+
+def update_store(root: str, update: str, graph: str | None = None) -> dict:
+    """SPARQL update against the engine's store: read → apply → write
+    back through the store's atomic replace-on-store; graphs emptied by
+    the update get their partitions dropped. Returns {graph: rows}
+    after the update. Driver-bounded by the affected store size — the
+    per-graph partition rewrite is the same unit the reference's TDB
+    transaction covers."""
+    import os
+    import shutil as _shutil
+
+    import ray.data as rd
+
+    from . import store as _store
+
+    before = set(_store.list_graphs(root))
+    frames = [(_store.read_store(root, graph=g).to_pandas())
+              for g in sorted(before)]
+    df = pd.concat(frames, ignore_index=True) if frames else \
+        pd.DataFrame(columns=_TRIPLE_COLS)
+    new = apply_update(df, update, graph=graph)
+    after_graphs = set(new["graph"].unique())
+    if len(new):
+        _store.write_store(rd.from_pandas(new[_TRIPLE_COLS]), root)
+    for g in sorted(before - after_graphs):
+        part = os.path.join(root, _store._PART_PREFIX + _store._esc(g))
+        _shutil.rmtree(part, ignore_errors=True)
+    return {g: int(c) for g, c in
+            new.groupby("graph").size().items()}
