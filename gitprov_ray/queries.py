@@ -5133,6 +5133,19 @@ def q_naive_bayes_docs(sf_dir: str):
     return out.sort("doc_id")
 
 
+def q_phrase_search_docs(sf_dir: str):
+    """Positional phrase search (textops.phrase_search — the inverted-
+    index phrase query): exact-occurrence counts and first match
+    position of the two-word phrase "sort merge" per doc. Offset-
+    aligned vote counting, one doc-bucketed exchange; tokenization
+    (single-space split, 0-based positions) shared verbatim with the
+    twin's generate_subscripts."""
+    from . import textops
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return textops.phrase_search(ds, "sort merge").sort("doc_id")
+
+
 def q_ams_f2_events(sf_dir: str):
     """AMS / tug-of-war second-frequency-moment sketch (ops.ams_f2) over
     event user_ids: F2 = Σ f_u² is the self-join size / repeat-rate
@@ -5309,6 +5322,7 @@ QUERIES = {
     "q_ra_link_pred_docs": q_ra_link_pred_docs,
     "q_sqlite_roundtrip_events": q_sqlite_roundtrip_events,
     "q_naive_bayes_docs": q_naive_bayes_docs,
+    "q_phrase_search_docs": q_phrase_search_docs,
     "q_shot_boundary_media": q_shot_boundary_media,
     "q_zorder_events": q_zorder_events,
     "q_ann_hamming_topk": q_ann_hamming_topk,
@@ -8935,3 +8949,23 @@ WHERE NOT EXISTS (
          OR (s2.num * s1.den = s1.num * s2.den
              AND s2.cand < s1.cand)))
 ORDER BY s1.doc_id"""
+
+ORACLE_SQL["q_phrase_search_docs"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS t
+  FROM documents),
+pos AS (
+  SELECT doc_id, unnest(t) AS w,
+         generate_subscripts(t, 1) - 1 AS p
+  FROM toks),
+widx AS (SELECT * FROM (VALUES ('sort', 0), ('merge', 1)) AS w(w, i)),
+votes AS (
+  SELECT doc_id, p - i AS adj
+  FROM pos JOIN widx USING (w)
+  WHERE p - i >= 0),
+starts AS (
+  SELECT doc_id, adj FROM votes GROUP BY doc_id, adj
+  HAVING COUNT(*) = 2)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(MIN(adj) AS BIGINT) AS first_pos
+FROM starts GROUP BY doc_id ORDER BY doc_id"""

@@ -814,3 +814,58 @@ def wordpiece_stats(texts: pd.Series) -> pd.DataFrame:
             n_cont[i] += got[1]
     return pd.DataFrame({"n_words": n_words, "n_pieces": n_pieces,
                          "n_cont": n_cont})
+
+
+def phrase_search(ds, phrase: str, text_col: str = "text",
+                  id_col: str = "doc_id", num_buckets: int = 64):
+    """Positional phrase search — the inverted-index phrase-query
+    primitive (Manning/Raghavan/Schütze IR ch. 2 positional postings):
+    an occurrence of phrase word i at token position p VOTES for start
+    position p-i; a start collecting all k votes is an exact phrase
+    match (a word repeated in the phrase contributes one vote per role,
+    so "batch batch batch" works). Tokenization = split on single
+    spaces, positions 0-based — shared verbatim with the SQL twin
+    (generate_subscripts).
+
+    Shape: only PHRASE-TERM occurrences leave the tokenizing map (the
+    postings prune), then ONE doc-bucketed exchange reduces votes →
+    match starts → per-doc stats in a single group pass. Returns a
+    Dataset (id_col, n_matches, first_pos) for matching docs."""
+    from .stages.versions import stable_bucket
+
+    words = phrase.split(" ")
+    k = len(words)
+    widx = pd.DataFrame({"tok": words,
+                         "i": np.arange(k, dtype=np.int64)})
+
+    def votes(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].fillna("").str.split(" ")
+        ex = pd.DataFrame({id_col: df[id_col].astype("int64"),
+                           "tok": toks}).explode("tok",
+                                                 ignore_index=True)
+        ex["pos"] = ex.groupby(id_col).cumcount().astype("int64")
+        ex = ex[ex["tok"].isin(set(words))]
+        v = ex.merge(widx, on="tok")
+        v["adj"] = v["pos"] - v["i"]
+        v = v.loc[v["adj"] >= 0, [id_col, "adj"]]
+        key = v[id_col].astype(str)
+        v["bucket"] = stable_bucket(key, key, num_buckets)
+        return v
+
+    def reduce_doc(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([id_col, "adj"]).size()
+        starts = g[g == k].reset_index()
+        if not len(starts):
+            return pd.DataFrame({id_col: np.empty(0, np.int64),
+                                 "n_matches": np.empty(0, np.int64),
+                                 "first_pos": np.empty(0, np.int64)})
+        agg = starts.groupby(id_col)["adj"].agg(["count", "min"])
+        return pd.DataFrame({
+            id_col: agg.index.to_numpy(np.int64),
+            "n_matches": agg["count"].to_numpy(np.int64),
+            "first_pos": agg["min"].to_numpy(np.int64)})
+
+    return (ds.map_batches(votes, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: reduce_doc(df.drop(columns="bucket")),
+                        batch_format="pandas"))

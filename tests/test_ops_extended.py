@@ -693,3 +693,23 @@ def test_ra_link_scores_brute_force():
     # every adjacent pair is excluded
     adj = {(min(a, b), max(a, b)) for a, b in e}
     assert not (set(zip(got["p"], got["q"])) & adj)
+
+
+def test_phrase_search_repeated_word_and_overlaps():
+    """The offset-alignment vote trick on its hard cases: a phrase with
+    a REPEATED word, overlapping matches, and a doc with none."""
+    from gitprov_ray import textops
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype="int64"),
+        "text": ["x batch batch batch batch y",     # overlapping: 2 hits
+                 "batch batch",                      # too short: 0
+                 "a batch batch batch",              # exactly 1 at pos 1
+                 "nothing here"]})
+    got = (textops.phrase_search(
+        rd.from_pandas(docs, override_num_blocks=2),
+        "batch batch batch", num_buckets=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == [0, 2]
+    assert got["n_matches"].tolist() == [2, 1]
+    assert got["first_pos"].tolist() == [1, 1]
