@@ -5146,6 +5146,82 @@ def q_phrase_search_docs(sf_dir: str):
     return textops.phrase_search(ds, "sort merge").sort("doc_id")
 
 
+def q_gini_user_diversity(sf_dir: str):
+    """Per-user behavioral diversity as GINI IMPURITY of the event-type
+    distribution — the log-free diversity index (1 - Σp²) that stays
+    EXACT in integer micro-units: gini_micro = 10⁶ - Σn_i²·10⁶ // N².
+    Per-batch partial (user, type) counts, one bucketed combine, the
+    impurity fold in-group — entropy would need floats; Gini doesn't."""
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["user_id", "event_type"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        k = g["user_id"].astype(str)
+        g["bucket"] = stable_bucket(k, k, 64)
+        return g
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["user_id", "event_type"], as_index=False)["n"]
+             .sum())
+        out = []
+        for uid, grp in g.groupby("user_id", sort=False):
+            n = grp["n"].to_numpy(np.int64)
+            tot = int(n.sum())
+            gini = 1_000_000 - int((n.astype(object) ** 2).sum()) \
+                * 1_000_000 // (tot * tot)
+            out.append((uid, tot, len(n), gini))
+        return pd.DataFrame(out, columns=["user_id", "n_events",
+                                          "n_types", "gini_micro"]) \
+            .astype({"user_id": "int64", "n_events": "int64",
+                     "n_types": "int64", "gini_micro": "int64"})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: fold(df.drop(columns="bucket")),
+                        batch_format="pandas")
+            .sort("user_id"))
+
+
+def q_ab_test_events(sf_dir: str):
+    """Two-proportion A/B test in DIVISION-FREE exact integers (the
+    outlier-z-score trick applied to the z² statistic): arms = even/odd
+    user_id, conversion = a 'purchase' event. z² = (p̂₁-p̂₂)²/(p̂q̂(1/n₁+
+    1/n₂)) cross-multiplies to num = (c₁n₂-c₂n₁)²·N and den =
+    c(N-c)(n₁+n₂)² with N=n₁+n₂, c=c₁+c₂ — exact Python ints
+    (HUGEINT in the twin); the reported statistic is z2_micro =
+    num·10⁶//den, significant at α=0.05 iff z2_micro ≥ 3,841,600
+    (1.96²·10⁶) — NO float anywhere."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        arm = (df["user_id"].astype("int64") % 2)
+        conv = (df["event_type"].astype(str) == "purchase")
+        g = pd.DataFrame({"arm": arm, "n": np.int64(1),
+                          "c": conv.astype("int64")})
+        return g.groupby("arm", as_index=False).sum()
+
+    p = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+         .groupby("arm").sum())
+    n1, c1 = int(p.loc[0, "n"]), int(p.loc[0, "c"])
+    n2, c2 = int(p.loc[1, "n"]), int(p.loc[1, "c"])
+    N, c = n1 + n2, c1 + c2
+    num = (c1 * n2 - c2 * n1) ** 2 * N       # exact python ints (the
+    den = c * (N - c) * (n1 + n2) ** 2       # twin uses HUGEINT)
+    z2_micro = num * 1_000_000 // den if den else 0
+    return pd.DataFrame({
+        "n_a": pd.Series([n1], dtype="int64"),
+        "conv_a": pd.Series([c1], dtype="int64"),
+        "n_b": pd.Series([n2], dtype="int64"),
+        "conv_b": pd.Series([c2], dtype="int64"),
+        "z2_micro": pd.Series([z2_micro], dtype="int64"),
+        "significant_05": pd.Series([z2_micro >= 3_841_600],
+                                    dtype="bool")})
+
+
 def q_ams_f2_events(sf_dir: str):
     """AMS / tug-of-war second-frequency-moment sketch (ops.ams_f2) over
     event user_ids: F2 = Σ f_u² is the self-join size / repeat-rate
@@ -5323,6 +5399,8 @@ QUERIES = {
     "q_sqlite_roundtrip_events": q_sqlite_roundtrip_events,
     "q_naive_bayes_docs": q_naive_bayes_docs,
     "q_phrase_search_docs": q_phrase_search_docs,
+    "q_gini_user_diversity": q_gini_user_diversity,
+    "q_ab_test_events": q_ab_test_events,
     "q_shot_boundary_media": q_shot_boundary_media,
     "q_zorder_events": q_zorder_events,
     "q_ann_hamming_topk": q_ann_hamming_topk,
@@ -8969,3 +9047,40 @@ starts AS (
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
        CAST(MIN(adj) AS BIGINT) AS first_pos
 FROM starts GROUP BY doc_id ORDER BY doc_id"""
+
+ORACLE_SQL["q_gini_user_diversity"] = """
+WITH g AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type)
+SELECT user_id,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(1000000 - SUM(n * n) * 1000000
+            // (SUM(n) * SUM(n)) AS BIGINT) AS gini_micro
+FROM g GROUP BY user_id ORDER BY user_id"""
+
+ORACLE_SQL["q_ab_test_events"] = """
+WITH arms AS (
+  SELECT user_id % 2 AS arm,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS HUGEINT) AS c
+  FROM events GROUP BY user_id % 2),
+w AS (
+  SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n1,
+         MAX(CASE WHEN arm = 0 THEN c END) AS c1,
+         MAX(CASE WHEN arm = 1 THEN n END) AS n2,
+         MAX(CASE WHEN arm = 1 THEN c END) AS c2
+  FROM arms),
+z AS (
+  SELECT n1, c1, n2, c2,
+         (c1 * n2 - c2 * n1) * (c1 * n2 - c2 * n1) * (n1 + n2) AS num,
+         (c1 + c2) * (n1 + n2 - c1 - c2) * (n1 + n2) * (n1 + n2) AS den
+  FROM w)
+SELECT CAST(n1 AS BIGINT) AS n_a, CAST(c1 AS BIGINT) AS conv_a,
+       CAST(n2 AS BIGINT) AS n_b, CAST(c2 AS BIGINT) AS conv_b,
+       CAST(CASE WHEN den = 0 THEN 0
+                 ELSE num * 1000000 // den END AS BIGINT) AS z2_micro,
+       (CASE WHEN den = 0 THEN 0
+             ELSE num * 1000000 // den END) >= 3841600 AS significant_05
+FROM z"""
