@@ -2064,3 +2064,116 @@ def nb_classify(ds, feature_cols: list[str], class_col: str,
             "pred_cls": lut[key]})
 
     return ds.map_batches(classify, batch_format="pandas")
+
+
+def interval_join(left_ds, right_ds, start: str = "s", end: str = "e",
+                  id_col: str = "id",
+                  bucket_width_us: int = 3_600_000_000,
+                  num_buckets: int = 64):
+    """Distributed INTERVAL-OVERLAP join (the temporal/genomic range-
+    intersect the Dataset API has no operator for): for every left
+    interval, the right intervals with ``l.s <= r.e AND r.s <= l.e``
+    (closed-interval overlap), reduced to per-left stats.
+
+    Shape: each interval REPLICATES into every time bucket its span
+    touches (halo factor = span/W + 1 — bounded when spans are bounded,
+    the genomics/AsOf standard); a candidate pair is counted ONLY in
+    the canonical bucket containing max(l.s, r.s), so no dedup exchange
+    is needed. Inside a group: sort rights by start, searchsorted upper
+    bound (r.s <= l.e), vectorized expansion, overlap/canonical filter.
+    ONE shuffle total. Returns a Dataset (id_col, n_overlaps,
+    sum_overlap_us) for left intervals with >= 1 overlap."""
+    from .stages.versions import stable_bucket
+
+    def tag(side: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            s = df[start].astype("int64").to_numpy()
+            e = df[end].astype("int64").to_numpy()
+            ids = df[id_col].astype("int64").to_numpy()
+            b0 = s // bucket_width_us
+            b1 = e // bucket_width_us
+            reps = (b1 - b0 + 1).astype(np.int64)
+            rid = np.repeat(ids, reps)
+            rs = np.repeat(s, reps)
+            re_ = np.repeat(e, reps)
+            tb = np.repeat(b0, reps) + _ragged_arange(reps)
+            out = pd.DataFrame({id_col: rid, "__s": rs, "__e": re_,
+                                "__tb": tb, "__side": np.int8(side)})
+            k = out["__tb"].astype(str)
+            out["bucket"] = stable_bucket(k, k, num_buckets)
+            return out
+        return f
+
+    def overlap(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for tb, g in df.groupby("__tb", sort=False):
+            lhs = g[g["__side"] == 0]
+            rhs = g[g["__side"] == 1]
+            if not len(lhs) or not len(rhs):
+                continue
+            r = rhs.sort_values("__s")
+            rss = r["__s"].to_numpy()
+            res = r["__e"].to_numpy()
+            rid = r[id_col].to_numpy()
+            ls = lhs["__s"].to_numpy()
+            le = lhs["__e"].to_numpy()
+            lid = lhs[id_col].to_numpy()
+            hi = np.searchsorted(rss, le, side="right")  # r.s <= l.e
+            li = np.repeat(np.arange(len(lhs)), hi)
+            ri = _ragged_arange(hi)
+            keep = res[ri] >= ls[li]                     # r.e >= l.s
+            li, ri = li[keep], ri[keep]
+            canon = np.maximum(ls[li], rss[ri]) // bucket_width_us == tb
+            li, ri = li[canon], ri[canon]
+            if not len(li):
+                continue
+            ov = np.minimum(le[li], res[ri]) \
+                - np.maximum(ls[li], rss[ri])
+            outs.append(pd.DataFrame({
+                id_col: lid[li], "__rid": rid[ri],
+                "__ov": ov.astype("int64")}))
+        if not outs:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "n_overlaps": pd.Series([], dtype="int64"),
+                "sum_overlap_us": pd.Series([], dtype="int64")})
+        pairs = pd.concat(outs, ignore_index=True)
+        g = pairs.groupby(id_col)["__ov"].agg(["count", "sum"])
+        return pd.DataFrame({
+            id_col: g.index.to_numpy(np.int64),
+            "n_overlaps": g["count"].to_numpy(np.int64),
+            "sum_overlap_us": g["sum"].to_numpy(np.int64)})
+
+    tl = left_ds.map_batches(tag(0), batch_format="pandas")
+    tr = right_ds.map_batches(tag(1), batch_format="pandas")
+    partial = tl.union(tr).groupby("bucket").map_groups(
+        overlap, batch_format="pandas")
+    # a left interval spanning several buckets can collect overlaps in
+    # each — tiny per-left partials fold in one more small combine
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(id_col, as_index=False)[
+            ["n_overlaps", "sum_overlap_us"]].sum()
+        return g.astype({id_col: "int64", "n_overlaps": "int64",
+                         "sum_overlap_us": "int64"})
+
+    def rebucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        k = df[id_col].astype(str)
+        df["bucket"] = stable_bucket(k, k, num_buckets)
+        return df
+
+    return (partial.map_batches(rebucket, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: fold(df.drop(columns="bucket")),
+                        batch_format="pandas"))
+
+
+def _ragged_arange(counts: np.ndarray) -> np.ndarray:
+    """[3,1,2] → [0,1,2,0,0,1] — the vectorized per-group arange."""
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)

@@ -5222,6 +5222,34 @@ def q_ab_test_events(sf_dir: str):
                                     dtype="bool")})
 
 
+def q_interval_join_events(sf_dir: str):
+    """Interval-OVERLAP join (ops.interval_join — the temporal/genomic
+    range-intersect): even-id events become [ts, ts+(1+id%7)min)
+    intervals, odd-id events [ts, ts+(1+id%5)min); per left interval
+    the count and total micros of overlap with right intervals.
+    Span-replicated halo buckets, canonical-bucket pair emit (no dedup
+    exchange), ONE shuffle + a tiny per-left fold."""
+    from . import ops
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def mk(parity: int, mod: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            d = df[df["event_id"].astype("int64") % 2 == parity]
+            t = d["ts"].astype("int64")
+            eid = d["event_id"].astype("int64")
+            return pd.DataFrame({
+                "event_id": eid,
+                "s": t,
+                "e": t + (1 + eid % mod) * 60_000_000})
+        return f
+
+    left = ds.map_batches(mk(0, 7), batch_format="pandas")
+    right = ds.map_batches(mk(1, 5), batch_format="pandas")
+    return ops.interval_join(left, right,
+                             id_col="event_id").sort("event_id")
+
+
 def q_ams_f2_events(sf_dir: str):
     """AMS / tug-of-war second-frequency-moment sketch (ops.ams_f2) over
     event user_ids: F2 = Σ f_u² is the self-join size / repeat-rate
@@ -5401,6 +5429,7 @@ QUERIES = {
     "q_phrase_search_docs": q_phrase_search_docs,
     "q_gini_user_diversity": q_gini_user_diversity,
     "q_ab_test_events": q_ab_test_events,
+    "q_interval_join_events": q_interval_join_events,
     "q_shot_boundary_media": q_shot_boundary_media,
     "q_zorder_events": q_zorder_events,
     "q_ann_hamming_topk": q_ann_hamming_topk,
@@ -9084,3 +9113,20 @@ SELECT CAST(n1 AS BIGINT) AS n_a, CAST(c1 AS BIGINT) AS conv_a,
        (CASE WHEN den = 0 THEN 0
              ELSE num * 1000000 // den END) >= 3841600 AS significant_05
 FROM z"""
+
+ORACLE_SQL["q_interval_join_events"] = """
+WITH l AS (
+  SELECT event_id, epoch_us(ts) AS s,
+         epoch_us(ts) + (1 + event_id % 7) * 60000000 AS e
+  FROM events WHERE event_id % 2 = 0),
+r AS (
+  SELECT event_id, epoch_us(ts) AS s,
+         epoch_us(ts) + (1 + event_id % 5) * 60000000 AS e
+  FROM events WHERE event_id % 2 = 1),
+p AS (
+  SELECT l.event_id,
+         least(l.e, r.e) - greatest(l.s, r.s) AS ov
+  FROM l JOIN r ON l.s <= r.e AND r.s <= l.e)
+SELECT event_id, CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+       CAST(SUM(ov) AS BIGINT) AS sum_overlap_us
+FROM p GROUP BY event_id ORDER BY event_id"""

@@ -713,3 +713,38 @@ def test_phrase_search_repeated_word_and_overlaps():
     assert got["doc_id"].tolist() == [0, 2]
     assert got["n_matches"].tolist() == [2, 1]
     assert got["first_pos"].tolist() == [1, 1]
+
+
+def test_interval_join_cross_bucket_and_canonical_emit():
+    """Intervals spanning several halo buckets: every overlap is found
+    exactly once (the canonical-bucket rule), including pairs whose
+    overlap crosses a bucket boundary; brute force is the referee."""
+    from gitprov_ray import ops
+
+    W = 1000                       # tiny bucket width to force halos
+    rng = np.random.default_rng(11)
+    ls = rng.integers(0, 10_000, 60)
+    le = ls + rng.integers(1, 3_500, 60)       # spans up to 3.5 buckets
+    rs = rng.integers(0, 10_000, 80)
+    re_ = rs + rng.integers(1, 2_500, 80)
+    left = pd.DataFrame({"id": np.arange(60, dtype="int64"),
+                         "s": ls.astype("int64"),
+                         "e": le.astype("int64")})
+    right = pd.DataFrame({"id": np.arange(80, dtype="int64"),
+                          "s": rs.astype("int64"),
+                          "e": re_.astype("int64")})
+    got = (ops.interval_join(rd.from_pandas(left, override_num_blocks=3),
+                             rd.from_pandas(right, override_num_blocks=2),
+                             bucket_width_us=W, num_buckets=8)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    ref = {}
+    for i in range(60):
+        n = ov = 0
+        for j in range(80):
+            if ls[i] <= re_[j] and rs[j] <= le[i]:
+                n += 1
+                ov += min(le[i], re_[j]) - max(ls[i], rs[j])
+        if n:
+            ref[i] = (n, ov)
+    assert dict(zip(got["id"],
+                    zip(got["n_overlaps"], got["sum_overlap_us"]))) == ref
