@@ -5250,6 +5250,78 @@ def q_interval_join_events(sf_dir: str):
                              id_col="event_id").sort("event_id")
 
 
+def q_power_iteration_embeddings(sf_dir: str, d: int = 8,
+                                 iters: int = 3):
+    """Dominant eigenvector of the embedding Gram matrix by POWER
+    ITERATION in fixed-point integers — the core of PCA/spectral
+    methods, made oracle-exact: the Gram accumulates as integer-milli
+    partials (the q_embedding_covariance shape), and each iteration
+    renormalizes v ← (G·v)·1000 // max|G·v| with TRUNCATING division
+    (DuckDB's `//` semantics — the engine mirrors it as
+    sign·(abs·1000//mx)). Three unrolled iterations; the twin rebuilds
+    every intermediate bit-for-bit. Only d² numbers move per batch;
+    the iteration state is the tiny d-vector."""
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy())[:, :d].astype(np.float64)
+        q = np.floor(np.abs(m) * 1000 + 0.5) * np.sign(m)
+        g = (q.T @ q).astype(np.int64)
+        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        return pd.DataFrame({"i": ii.ravel().astype("int64"),
+                             "j": jj.ravel().astype("int64"),
+                             "g": g.ravel()})
+
+    gram = (ds.map_batches(partial, batch_format="pandas")
+            .groupby(["i", "j"]).aggregate(Sum("g", alias_name="g"))
+            .to_pandas())
+    G = np.zeros((d, d), dtype=object)
+    G[gram["i"].to_numpy(), gram["j"].to_numpy()] =         [int(x) for x in gram["g"]]
+    v = np.full(d, 1000, dtype=object)
+    for _ in range(iters):
+        w = G @ v
+        mx = max(int(abs(x)) for x in w)
+        if mx == 0:
+            break
+        v = np.array([(1 if x >= 0 else -1) * (abs(int(x)) * 1000 // mx)
+                      for x in w], dtype=object)
+    return pd.DataFrame({"dim": pd.Series(range(d), dtype="int64"),
+                         "eig_milli": pd.Series([int(x) for x in v],
+                                                dtype="int64")})
+
+
+def q_soundex_docs(sf_dir: str):
+    """Soundex phonetic blocking (textops.soundex_vec — the classic
+    entity-resolution blocking key, NARA simple variant): every corpus
+    token codes to first-letter + collapsed digit codes, grouped into
+    phonetic buckets with distinct-word and occurrence counts. The
+    twin rebuilds the algorithm in SQL (translate + 5 nested pairwise
+    run-collapse replaces per digit — exact for runs ≤ 32)."""
+    from . import textops
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split(" ").explode()
+        toks = toks[toks.str.len() > 0]
+        codes = textops.soundex_vec(toks)
+        g = pd.DataFrame({"code": codes.to_numpy(),
+                          "word": toks.to_numpy()})
+        out = g.groupby(["code", "word"], as_index=False).size()
+        out["size"] = out["size"].astype("int64")
+        return out
+
+    counts = (ds.map_batches(partial, batch_format="pandas")
+              .groupby(["code", "word"])
+              .aggregate(Sum("size", alias_name="n")).to_pandas())
+    g = counts.groupby("code").agg(
+        n_words=("word", "nunique"), n_occurrences=("n", "sum"))
+    return pd.DataFrame({
+        "code": g.index.to_numpy(),
+        "n_words": g["n_words"].to_numpy(np.int64),
+        "n_occurrences": g["n_occurrences"].to_numpy(np.int64)})         .sort_values("code").reset_index(drop=True)
+
+
 def q_ams_f2_events(sf_dir: str):
     """AMS / tug-of-war second-frequency-moment sketch (ops.ams_f2) over
     event user_ids: F2 = Σ f_u² is the self-join size / repeat-rate
@@ -5430,6 +5502,8 @@ QUERIES = {
     "q_gini_user_diversity": q_gini_user_diversity,
     "q_ab_test_events": q_ab_test_events,
     "q_interval_join_events": q_interval_join_events,
+    "q_power_iteration_embeddings": q_power_iteration_embeddings,
+    "q_soundex_docs": q_soundex_docs,
     "q_shot_boundary_media": q_shot_boundary_media,
     "q_zorder_events": q_zorder_events,
     "q_ann_hamming_topk": q_ann_hamming_topk,
@@ -9130,3 +9204,62 @@ p AS (
 SELECT event_id, CAST(COUNT(*) AS BIGINT) AS n_overlaps,
        CAST(SUM(ov) AS BIGINT) AS sum_overlap_us
 FROM p GROUP BY event_id ORDER BY event_id"""
+
+ORACLE_SQL["q_power_iteration_embeddings"] = """
+WITH e AS (
+  SELECT vec_id, unnest(embedding) AS v,
+         unnest(range(len(embedding))) AS i
+  FROM embeddings
+), q AS (
+  SELECT vec_id, i, CAST(ROUND(CAST(v AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM e WHERE i < 8
+), g AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS v
+  FROM q a JOIN q b ON a.vec_id = b.vec_id
+  GROUP BY a.i, b.i
+), v0 AS MATERIALIZED (
+  SELECT unnest(range(8)) AS j, CAST(1000 AS BIGINT) AS v),
+w1 AS MATERIALIZED (
+  SELECT g.i, SUM(g.v * v0.v) AS w
+  FROM g JOIN v0 ON g.j = v0.j GROUP BY g.i),
+m1 AS MATERIALIZED (SELECT MAX(ABS(w)) AS m FROM w1),
+v1 AS MATERIALIZED (
+  SELECT i AS j, CAST(w * 1000 // (SELECT m FROM m1) AS BIGINT) AS v
+  FROM w1),
+w2 AS MATERIALIZED (
+  SELECT g.i, SUM(g.v * v1.v) AS w
+  FROM g JOIN v1 ON g.j = v1.j GROUP BY g.i),
+m2 AS MATERIALIZED (SELECT MAX(ABS(w)) AS m FROM w2),
+v2 AS MATERIALIZED (
+  SELECT i AS j, CAST(w * 1000 // (SELECT m FROM m2) AS BIGINT) AS v
+  FROM w2),
+w3 AS MATERIALIZED (
+  SELECT g.i, SUM(g.v * v2.v) AS w
+  FROM g JOIN v2 ON g.j = v2.j GROUP BY g.i),
+m3 AS MATERIALIZED (SELECT MAX(ABS(w)) AS m FROM w3),
+v3 AS MATERIALIZED (
+  SELECT i AS j, CAST(w * 1000 // (SELECT m FROM m3) AS BIGINT) AS v
+  FROM w3)
+SELECT j AS dim, CAST(v AS BIGINT) AS eig_milli FROM v3 ORDER BY dim"""
+
+ORACLE_SQL["q_soundex_docs"] = """
+WITH toks AS (
+  SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS w
+  FROM documents),
+norm AS (
+  SELECT w, regexp_replace(lower(w), '[^a-z]', '', 'g') AS lw
+  FROM toks WHERE length(w) > 0),
+coded AS (
+  SELECT w, lw,
+         translate(lw, 'abcdefghijklmnopqrstuvwxyz',
+                   '01230120022455012623010202') AS c
+  FROM norm WHERE length(lw) > 0),
+coll AS (SELECT w, lw, replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(c, '00', '0'), '11', '1'), '22', '2'), '33', '3'), '44', '4'), '55', '5'), '66', '6'), '00', '0'), '11', '1'), '22', '2'), '33', '3'), '44', '4'), '55', '5'), '66', '6'), '00', '0'), '11', '1'), '22', '2'), '33', '3'), '44', '4'), '55', '5'), '66', '6'), '00', '0'), '11', '1'), '22', '2'), '33', '3'), '44', '4'), '55', '5'), '66', '6'), '00', '0'), '11', '1'), '22', '2'), '33', '3'), '44', '4'), '55', '5'), '66', '6') AS cc FROM coded),
+code AS (
+  SELECT w, rpad(substr(upper(substr(lw, 1, 1))
+                        || replace(substr(cc, 2), '0', ''),
+                        1, 4), 4, '0') AS code
+  FROM coll)
+SELECT code, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM code GROUP BY code ORDER BY code"""

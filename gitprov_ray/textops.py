@@ -869,3 +869,26 @@ def phrase_search(ds, phrase: str, text_col: str = "text",
             .groupby("bucket")
             .map_groups(lambda df: reduce_doc(df.drop(columns="bucket")),
                         batch_format="pandas"))
+
+
+_SOUNDEX_MAP = str.maketrans("abcdefghijklmnopqrstuvwxyz",
+                             "01230120022455012623010202")
+
+
+def soundex_vec(words: pd.Series) -> pd.Series:
+    """Simple Soundex (the NARA phonetic blocking code, vowel-separated
+    variant: a e i o u y h w code '0' and SEPARATE equal codes): first
+    letter + collapsed non-zero codes of the rest, padded/truncated to
+    4. The run collapse is '(\\d)\\1+ → \\1' — the SQL twin reproduces
+    it with 5 nested pairwise replaces per digit (exact for runs ≤ 32,
+    i.e. any real word). Non-alphabetic chars drop; empty → ''."""
+    import re
+
+    w = words.fillna("").str.lower().str.replace("[^a-z]", "",
+                                                 regex=True)
+    coded = w.str.translate(_SOUNDEX_MAP)
+    collapsed = coded.str.replace(r"(\d)\1+", r"\1", regex=True)
+    rest = collapsed.str[1:].str.replace("0", "", regex=False)
+    out = (w.str[:1].str.upper() + rest).str[:4].str.pad(
+        4, side="right", fillchar="0")
+    return out.where(w.str.len() > 0, "")

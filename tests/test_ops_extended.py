@@ -748,3 +748,18 @@ def test_interval_join_cross_bucket_and_canonical_emit():
             ref[i] = (n, ov)
     assert dict(zip(got["id"],
                     zip(got["n_overlaps"], got["sum_overlap_us"]))) == ref
+
+
+def test_soundex_published_examples():
+    """NARA's own coding examples (simple vowel-separated variant:
+    h/w code '0' like vowels): Robert/Rupert collide, Tymczak's
+    adjacent same-code letters code once, Pfister's first-letter
+    collapse gives P236 (the NARA-documented code), Jackson J250."""
+    from gitprov_ray.textops import soundex_vec
+
+    cases = {"Robert": "R163", "Rupert": "R163", "Tymczak": "T522",
+             "Pfister": "P236", "Honeyman": "H555", "Jackson": "J250",
+             "Soundex": "S532", "Example": "E251", "bob": "B100",
+             "x": "X000", "": "", "123": ""}
+    got = soundex_vec(pd.Series(list(cases))).tolist()
+    assert got == list(cases.values())
