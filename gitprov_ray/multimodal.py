@@ -328,6 +328,14 @@ def decode_image(b: bytes):
         except (NotImplementedError, ValueError):
             return None
         return arr[..., :3] if arr.shape[2] == 4 else arr
+    from . import pcxcodec
+
+    if pcxcodec.is_pcx(b):              # PCX (weak magic: before TGA only)
+        try:
+            arr = pcxcodec.decode_pcx(b)
+        except (NotImplementedError, ValueError):
+            return None
+        return arr[..., None] if arr.ndim == 2 else arr
     from . import tgacodec
 
     # TGA has no magic — its header heuristic goes LAST so every
@@ -442,8 +450,11 @@ class ImageResize:
                         else small
                     out.append(bmpcodec.encode_bmp(sq))
                     continue
-                from . import qoicodec, tgacodec
+                from . import pcxcodec, qoicodec, tgacodec
 
+                if pcxcodec.is_pcx(b):           # PCX in → PCX out
+                    out.append(pcxcodec.encode_pcx(small[..., :3]))
+                    continue
                 if qoicodec.is_qoi(b):           # QOI in → QOI out
                     out.append(qoicodec.encode_qoi(small))
                     continue
@@ -920,10 +931,17 @@ def probe_media(b: bytes) -> dict:
                            width=first.shape[1], height=first.shape[0],
                            frames=n)
         else:
-            from . import tgacodec
+            from . import pcxcodec, tgacodec
 
+            if pcxcodec.is_pcx(b):
+                p = pcxcodec.probe_pcx(b)
+                out.update(format="pcx",
+                           codec=f"p{p['planes']}b{p['bits']}"
+                                 + ("-rle" if p["rle"] else ""),
+                           width=p["width"], height=p["height"],
+                           frames=1)
             # no magic: TGA's header heuristic is the LAST resort probe
-            if tgacodec.is_tga(b):
+            elif tgacodec.is_tga(b):
                 p = tgacodec.probe_tga(b)
                 out.update(format="tga",
                            codec=p["kind"] + ("-rle" if p["rle"] else ""),
@@ -1227,30 +1245,43 @@ def _synth_mp4_h264(seed: int, frames: int = 5, w: int = 32,
     return mp4codec.encode_mp4_h264_ipcm(frs, fps=5)
 
 
+def _synth_pcx(seed: int, w: int = 24, h: int = 18) -> bytes:
+    from . import pcxcodec
+
+    y, x = np.mgrid[0:h, 0:w]
+    arr = np.stack([(x * 9 + seed) % 256, (y * 13 + seed * 3) % 256,
+                    (x * y + seed) % 256], -1).astype(np.uint8)
+    if seed % 2:
+        return pcxcodec.encode_pcx(arr)               # 3-plane RGB
+    return pcxcodec.encode_pcx(arr[..., 0])           # paletted gray
+
+
 def synth_media_table(n: int = 32, seed: int = 42) -> pa.Table:
     """Deterministic media corpus with REAL payloads: netpbm + baseline
-    JPEG + PNG + lossless WebP + TIFF + BMP images, PCM/G.711/ADPCM/FLAC
+    JPEG + PNG + lossless WebP + TIFF + BMP + PCX images, PCM/G.711/ADPCM/FLAC
     audio, concatenated-PPM streams, animated GIF/WebP/PNG and
     MJPEG/H.264 MP4 video."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
-        if kind == "image" and (i // 3) % 9 == 1:
+        if kind == "image" and (i // 3) % 10 == 1:
             payload, mime = _synth_jpeg(seed + i), "image/jpeg"
-        elif kind == "image" and (i // 3) % 9 == 2:
+        elif kind == "image" and (i // 3) % 10 == 2:
             payload, mime = _synth_png(seed + i), "image/png"
-        elif kind == "image" and (i // 3) % 9 == 3:
+        elif kind == "image" and (i // 3) % 10 == 3:
             payload, mime = _synth_webp(seed + i), "image/webp"
-        elif kind == "image" and (i // 3) % 9 == 4:
+        elif kind == "image" and (i // 3) % 10 == 4:
             payload, mime = _synth_tiff(seed + i), "image/tiff"
-        elif kind == "image" and (i // 3) % 9 == 5:
+        elif kind == "image" and (i // 3) % 10 == 5:
             payload, mime = _synth_bmp(seed + i), "image/bmp"
-        elif kind == "image" and (i // 3) % 9 == 6:
+        elif kind == "image" and (i // 3) % 10 == 6:
             payload, mime = _synth_ico(seed + i), "image/x-icon"
-        elif kind == "image" and (i // 3) % 9 == 7:
+        elif kind == "image" and (i // 3) % 10 == 7:
             payload, mime = _synth_qoi(seed + i), "image/qoi"
-        elif kind == "image" and (i // 3) % 9 == 8:
+        elif kind == "image" and (i // 3) % 10 == 8:
             payload, mime = _synth_tga(seed + i), "image/x-tga"
+        elif kind == "image" and (i // 3) % 10 == 9:
+            payload, mime = _synth_pcx(seed + i), "image/x-pcx"
         elif kind == "image":
             payload, mime = _synth_ppm(seed + i), "image/x-portable-pixmap"
         elif kind == "audio" and (i // 3) % 8 == 1:

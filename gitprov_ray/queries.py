@@ -5322,6 +5322,43 @@ def q_soundex_docs(sf_dir: str):
         "n_occurrences": g["n_occurrences"].to_numpy(np.int64)})         .sort_values("code").reset_index(drop=True)
 
 
+def q_chi2_events(sf_dir: str):
+    """Chi-square independence test (event_type × user-parity
+    contingency table) in EXACT integers: per cell, the χ² term
+    (O·N − R·C)²·10⁶ // (N·R·C) — cross-multiplied so no expected-count
+    division ever happens in floats; the statistic is the SUM of the
+    per-cell floored micro terms (the pinned contract). Tiny partial
+    contingency counts per batch, driver-bounded fold."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "event_type": df["event_type"].astype(str),
+            "parity": (df["user_id"].astype("int64") % 2),
+            "n": np.int64(1)})
+        return g.groupby(["event_type", "parity"], as_index=False).sum()
+
+    cells = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+             .groupby(["event_type", "parity"], as_index=False)["n"]
+             .sum())
+    N = int(cells["n"].sum())
+    rows = cells.groupby("event_type")["n"].sum()
+    colsum = cells.groupby("parity")["n"].sum()
+    out = []
+    for _, r in cells.sort_values(["event_type", "parity"]).iterrows():
+        O = int(r["n"])
+        R = int(rows[r["event_type"]])
+        C = int(colsum[r["parity"]])
+        term = (O * N - R * C) ** 2 * 1_000_000 // (N * R * C)
+        out.append((r["event_type"], int(r["parity"]), O, term))
+    df = pd.DataFrame(out, columns=["event_type", "parity", "observed",
+                                    "chi2_term_micro"])         .astype({"parity": "int64", "observed": "int64",
+                 "chi2_term_micro": "int64"})
+    total = int(df["chi2_term_micro"].sum())
+    df["chi2_total_micro"] = np.int64(total)
+    return df
+
+
 def q_ams_f2_events(sf_dir: str):
     """AMS / tug-of-war second-frequency-moment sketch (ops.ams_f2) over
     event user_ids: F2 = Σ f_u² is the self-join size / repeat-rate
@@ -5504,6 +5541,7 @@ QUERIES = {
     "q_interval_join_events": q_interval_join_events,
     "q_power_iteration_embeddings": q_power_iteration_embeddings,
     "q_soundex_docs": q_soundex_docs,
+    "q_chi2_events": q_chi2_events,
     "q_shot_boundary_media": q_shot_boundary_media,
     "q_zorder_events": q_zorder_events,
     "q_ann_hamming_topk": q_ann_hamming_topk,
@@ -9263,3 +9301,24 @@ code AS (
 SELECT code, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words,
        CAST(COUNT(*) AS BIGINT) AS n_occurrences
 FROM code GROUP BY code ORDER BY code"""
+
+ORACLE_SQL["q_chi2_events"] = """
+WITH cells AS (
+  SELECT event_type, user_id % 2 AS parity,
+         CAST(COUNT(*) AS HUGEINT) AS o
+  FROM events GROUP BY event_type, user_id % 2),
+tot AS (SELECT SUM(o) AS n FROM cells),
+rows_ AS (SELECT event_type, SUM(o) AS r FROM cells GROUP BY event_type),
+cols_ AS (SELECT parity, SUM(o) AS c FROM cells GROUP BY parity),
+terms AS (
+  SELECT cells.event_type, cells.parity, cells.o,
+         (cells.o * tot.n - rows_.r * cols_.c)
+           * (cells.o * tot.n - rows_.r * cols_.c) * 1000000
+           // (tot.n * rows_.r * cols_.c) AS t
+  FROM cells JOIN rows_ USING (event_type)
+  JOIN cols_ USING (parity) CROSS JOIN tot)
+SELECT event_type, CAST(parity AS BIGINT) AS parity,
+       CAST(o AS BIGINT) AS observed,
+       CAST(t AS BIGINT) AS chi2_term_micro,
+       CAST(SUM(t) OVER () AS BIGINT) AS chi2_total_micro
+FROM terms ORDER BY event_type, parity"""
