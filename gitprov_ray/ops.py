@@ -2177,3 +2177,118 @@ def _ragged_arange(counts: np.ndarray) -> np.ndarray:
     ends = np.cumsum(counts)
     starts = ends - counts
     return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+
+def random_walks(edges_ds, length: int = 4, s_col: str = "s",
+                 o_col: str = "o", num_buckets: int = 64):
+    """Deterministic random walks (the node2vec/DeepWalk training-data
+    prep, Perozzi et al. 2014 / Grover & Leskovec 2016) with md5-derived
+    steps so the walks are REPRODUCIBLE and oracle-exact: from every
+    node, ``length`` steps where step t from node u goes to the
+    id-ordered neighbor at index ``md5(f"{u}:{t}")[:8] % deg(u)`` —
+    the same hex-prefix idiom as the sketch family, reproduced verbatim
+    by the SQL twin's unrolled joins.
+
+    Shape: adjacency ranks build in ONE bucketed exchange (rank = sort
+    index inside the neighbor group, deg = group size); each step is
+    one state-to-adjacency bucketed merge (state moves, adjacency is
+    re-read pre-bucketed). Walk state is (start, cur) — never the
+    corpus. Returns a Dataset (start, step, node), step 0..length."""
+    import hashlib
+
+    from .stages.versions import stable_bucket
+
+    edges = _orient_dedup_edges(edges_ds, s_col, o_col,
+                                num_buckets).materialize()
+
+    def adjacency(df: pd.DataFrame) -> pd.DataFrame:
+        z = pd.concat([df["u"], df["v"]], ignore_index=True)
+        nb = pd.concat([df["v"], df["u"]], ignore_index=True)
+        out = pd.DataFrame({"z": z.to_numpy(np.int64),
+                            "nb": nb.to_numpy(np.int64)})
+        k = out["z"].astype(str)
+        out["bucket"] = stable_bucket(k, k, num_buckets)
+        return out
+
+    def rank_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["z", "nb"], kind="mergesort")
+        df["rank"] = df.groupby("z").cumcount().astype("int64")
+        df["deg"] = df.groupby("z")["nb"].transform("size") \
+            .astype("int64")
+        return df
+
+    adj = (edges.map_batches(adjacency, batch_format="pandas")
+           .groupby("bucket")
+           .map_groups(lambda df: rank_group(df.drop(columns="bucket")),
+                       batch_format="pandas")).materialize()
+
+    def start_state(df: pd.DataFrame) -> pd.DataFrame:
+        z = df["z"].drop_duplicates()
+        return pd.DataFrame({"start": z.to_numpy(np.int64),
+                             "cur": z.to_numpy(np.int64)})
+
+    state = adj.map_batches(start_state,
+                            batch_format="pandas").materialize()
+    outs = [state.map_batches(
+        lambda df: pd.DataFrame({"start": df["start"],
+                                 "step": np.int64(0),
+                                 "node": df["cur"]}),
+        batch_format="pandas")]
+    for t in range(1, length + 1):
+        # union sides share ONE schema (null-free -1 fills): Ray's
+        # union aligns blocks by schema, not by name subsets
+        _COLS = ["start", "cur", "z", "nb", "rank", "deg"]
+
+        def tag_state(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({c: df[c].astype("int64").to_numpy()
+                                if c in ("start", "cur")
+                                else np.full(len(df), -1, np.int64)
+                                for c in _COLS})
+            k = out["cur"].astype(str)
+            out["bucket"] = stable_bucket(k, k, num_buckets)
+            out["__side"] = np.int8(0)
+            return out
+
+        def tag_adj(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({c: df[c].astype("int64").to_numpy()
+                                if c in ("z", "nb", "rank", "deg")
+                                else np.full(len(df), -1, np.int64)
+                                for c in _COLS})
+            k = out["z"].astype(str)
+            out["bucket"] = stable_bucket(k, k, num_buckets)
+            out["__side"] = np.int8(1)
+            return out
+
+        def step(df: pd.DataFrame, t=t) -> pd.DataFrame:
+            st = df[df["__side"] == 0]
+            ad = df[df["__side"] == 1]
+            if not len(st) or not len(ad):
+                return pd.DataFrame({"start": np.empty(0, np.int64),
+                                     "cur": np.empty(0, np.int64)})
+            st = st[["start", "cur"]].copy()
+            st["pick"] = [
+                int(hashlib.md5(f"{int(c)}:{t}".encode())
+                    .hexdigest()[:8], 16)
+                for c in st["cur"]]
+            m = st.merge(ad[["z", "nb", "rank", "deg"]],
+                         left_on="cur", right_on="z")
+            m = m[m["rank"] == m["pick"] % m["deg"]]
+            return pd.DataFrame({
+                "start": m["start"].to_numpy(np.int64),
+                "cur": m["nb"].to_numpy(np.int64)})
+
+        state = (state.map_batches(tag_state, batch_format="pandas")
+                 .union(adj.map_batches(tag_adj, batch_format="pandas"))
+                 .groupby("bucket")
+                 .map_groups(lambda df, t=t: step(
+                     df.drop(columns="bucket"), t),
+                     batch_format="pandas")).materialize()
+        outs.append(state.map_batches(
+            lambda df, t=t: pd.DataFrame({"start": df["start"],
+                                          "step": np.int64(t),
+                                          "node": df["cur"]}),
+            batch_format="pandas"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out

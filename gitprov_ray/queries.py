@@ -5359,6 +5359,18 @@ def q_chi2_events(sf_dir: str):
     return df
 
 
+def q_random_walks_docs(sf_dir: str):
+    """Deterministic random walks on the doc link graph
+    (ops.random_walks — DeepWalk/node2vec training-data prep): 3 steps
+    from every node, step t at node u moving to id-ordered neighbor
+    md5(u:t)[:8] % deg(u). Walks are md5-reproducible, so the twin's
+    unrolled rank-joins land on the SAME neighbor every time."""
+    from . import ops
+
+    e = _doc_ring_edges(sf_dir)
+    return ops.random_walks(e, length=3).sort(["start", "step"])
+
+
 def q_ams_f2_events(sf_dir: str):
     """AMS / tug-of-war second-frequency-moment sketch (ops.ams_f2) over
     event user_ids: F2 = Σ f_u² is the self-join size / repeat-rate
@@ -5542,6 +5554,7 @@ QUERIES = {
     "q_power_iteration_embeddings": q_power_iteration_embeddings,
     "q_soundex_docs": q_soundex_docs,
     "q_chi2_events": q_chi2_events,
+    "q_random_walks_docs": q_random_walks_docs,
     "q_shot_boundary_media": q_shot_boundary_media,
     "q_zorder_events": q_zorder_events,
     "q_ann_hamming_topk": q_ann_hamming_topk,
@@ -9322,3 +9335,35 @@ SELECT event_type, CAST(parity AS BIGINT) AS parity,
        CAST(t AS BIGINT) AS chi2_term_micro,
        CAST(SUM(t) OVER () AS BIGINT) AS chi2_total_micro
 FROM terms ORDER BY event_type, parity"""
+
+ORACLE_SQL["q_random_walks_docs"] = "WITH " + _GRAPH_EDGES_SQL + """,
+adj AS MATERIALIZED (
+  SELECT z, nb,
+         ROW_NUMBER() OVER (PARTITION BY z ORDER BY nb) - 1 AS rnk,
+         COUNT(*) OVER (PARTITION BY z) AS deg
+  FROM (SELECT u AS z, v AS nb FROM e0
+        UNION ALL SELECT v, u FROM e0)),
+s0 AS MATERIALIZED (SELECT DISTINCT z AS start, z AS cur FROM adj),
+s1 AS MATERIALIZED (
+  SELECT s.start, a.nb AS cur
+  FROM s0 s JOIN adj a ON a.z = s.cur
+   AND a.rnk = CAST(('0x' || substr(md5(CAST(s.cur AS VARCHAR)
+                                        || ':1'), 1, 8)) AS BIGINT)
+               % a.deg),
+s2 AS MATERIALIZED (
+  SELECT s.start, a.nb AS cur
+  FROM s1 s JOIN adj a ON a.z = s.cur
+   AND a.rnk = CAST(('0x' || substr(md5(CAST(s.cur AS VARCHAR)
+                                        || ':2'), 1, 8)) AS BIGINT)
+               % a.deg),
+s3 AS MATERIALIZED (
+  SELECT s.start, a.nb AS cur
+  FROM s2 s JOIN adj a ON a.z = s.cur
+   AND a.rnk = CAST(('0x' || substr(md5(CAST(s.cur AS VARCHAR)
+                                        || ':3'), 1, 8)) AS BIGINT)
+               % a.deg)
+SELECT start, CAST(0 AS BIGINT) AS step, cur AS node FROM s0
+UNION ALL SELECT start, 1, cur FROM s1
+UNION ALL SELECT start, 2, cur FROM s2
+UNION ALL SELECT start, 3, cur FROM s3
+ORDER BY start, step"""

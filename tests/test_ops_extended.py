@@ -763,3 +763,34 @@ def test_soundex_published_examples():
              "x": "X000", "": "", "123": ""}
     got = soundex_vec(pd.Series(list(cases))).tolist()
     assert got == list(cases.values())
+
+
+def test_random_walks_match_sequential_replay():
+    """The distributed walk joins land on exactly the nodes a
+    sequential md5 replay picks (square-with-diagonal graph)."""
+    import hashlib
+
+    from gitprov_ray import ops
+
+    e = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    df = pd.DataFrame({"s": [a for a, _ in e], "o": [b for _, b in e]})
+    got = (ops.random_walks(rd.from_pandas(df, override_num_blocks=2),
+                            length=3, num_buckets=4)
+           .to_pandas())
+    adj = {}
+    for a, b in e:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    adj = {k: sorted(v) for k, v in adj.items()}
+    ref = []
+    for s0 in sorted(adj):
+        cur = s0
+        ref.append((s0, 0, cur))
+        for t in range(1, 4):
+            nb = adj[cur]
+            pick = int(hashlib.md5(f"{cur}:{t}".encode())
+                       .hexdigest()[:8], 16) % len(nb)
+            cur = nb[pick]
+            ref.append((s0, t, cur))
+    assert sorted(map(tuple, got[["start", "step", "node"]]
+                      .itertuples(index=False))) == sorted(ref)
