@@ -5371,6 +5371,29 @@ def q_random_walks_docs(sf_dir: str):
     return ops.random_walks(e, length=3).sort(["start", "step"])
 
 
+def q_ann_recall_eval(sf_dir: str):
+    """ANN quality harness: recall@5 of the LSH index against the
+    brute-force ground truth, per query, in integer micro-units — the
+    eval loop every ANN deployment runs before trusting an index. Both
+    sides are the already-pinned operators (annsearch.lsh_topk /
+    brute_force_topk); the twin composes their SQL twins by CTE
+    surgery, so even the RECALL NUMBERS are oracle-exact."""
+    exact = annsearch.brute_force_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        query_ids=[0, 1, 2, 3, 4], k=5).to_pandas()
+    appr = annsearch.lsh_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        query_ids=[0, 1, 2, 3, 4], k=5, n_planes=4).to_pandas()
+    m = exact.merge(appr[["query_id", "neighbor_id"]].assign(hit=1),
+                    on=["query_id", "neighbor_id"], how="left")
+    g = m.groupby("query_id")["hit"].agg(lambda x: int(x.notna().sum()))
+    return pd.DataFrame({
+        "query_id": g.index.to_numpy(np.int64),
+        "n_hit": g.to_numpy(np.int64),
+        "recall_micro": (g.to_numpy(np.int64) * 1_000_000 // 5)
+        .astype("int64")})
+
+
 def q_ams_f2_events(sf_dir: str):
     """AMS / tug-of-war second-frequency-moment sketch (ops.ams_f2) over
     event user_ids: F2 = Σ f_u² is the self-join size / repeat-rate
@@ -5555,6 +5578,7 @@ QUERIES = {
     "q_soundex_docs": q_soundex_docs,
     "q_chi2_events": q_chi2_events,
     "q_random_walks_docs": q_random_walks_docs,
+    "q_ann_recall_eval": q_ann_recall_eval,
     "q_shot_boundary_media": q_shot_boundary_media,
     "q_zorder_events": q_zorder_events,
     "q_ann_hamming_topk": q_ann_hamming_topk,
@@ -9367,3 +9391,16 @@ UNION ALL SELECT start, 1, cur FROM s1
 UNION ALL SELECT start, 2, cur FROM s2
 UNION ALL SELECT start, 3, cur FROM s3
 ORDER BY start, step"""
+
+ORACLE_SQL["q_ann_recall_eval"] = (
+    "WITH ex AS MATERIALIZED (SELECT * FROM ("
+    + ORACLE_SQL["q_ann_topk"]
+    + ")), ap AS MATERIALIZED (SELECT * FROM ("
+    + ORACLE_SQL["q_ann_lsh_topk"] + """))
+SELECT ex.query_id,
+       CAST(COUNT(ap.neighbor_id) AS BIGINT) AS n_hit,
+       CAST(COUNT(ap.neighbor_id) * 1000000 // 5 AS BIGINT)
+           AS recall_micro
+FROM ex LEFT JOIN ap ON ap.query_id = ex.query_id
+                    AND ap.neighbor_id = ex.neighbor_id
+GROUP BY ex.query_id ORDER BY ex.query_id""")
