@@ -2292,3 +2292,102 @@ def random_walks(edges_ds, length: int = 4, s_col: str = "s",
     for o in outs[1:]:
         out = out.union(o)
     return out
+
+
+def grid_distance_join(left_ds, right_ds, x: str = "x", y: str = "y",
+                       id_col: str = "id", radius: int = 1000,
+                       num_buckets: int = 64):
+    """Distributed SPATIAL distance join on integer planar coordinates
+    (milli-degrees / millimeters — exact arithmetic): for every left
+    point, the right points with squared euclidean distance ≤ radius²
+    — the geo-enrichment join, grid-partitioned the way every spatial
+    engine does it: cells of side ``radius``, each LEFT point probes
+    its own cell, each RIGHT point REPLICATES into the 3×3 cell
+    neighborhood (halo factor ≤ 9, constant), so every candidate pair
+    co-locates in exactly the left point's home cell — counted ONCE,
+    no dedup exchange. Inside a cell: vectorized candidate expansion
+    via sorted-x searchsorted pruning, then the exact integer distance
+    filter. Returns (id_col, n_within, nearest_id, nearest_d2) per
+    left point with ≥ 1 match (ties on d2 → smallest neighbor id)."""
+    from .stages.versions import stable_bucket
+
+    R2 = radius * radius
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        xs = df[x].astype("int64").to_numpy()
+        ys = df[y].astype("int64").to_numpy()
+        out = pd.DataFrame({id_col: df[id_col].astype("int64").to_numpy(),
+                            "__x": xs, "__y": ys,
+                            "__cx": xs // radius, "__cy": ys // radius,
+                            "__side": np.int8(0)})
+        k = out["__cx"].astype(str) + ":" + out["__cy"].astype(str)
+        out["bucket"] = stable_bucket(k, k, num_buckets)
+        return out
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        xs = df[x].astype("int64").to_numpy()
+        ys = df[y].astype("int64").to_numpy()
+        ids = df[id_col].astype("int64").to_numpy()
+        n = len(df)
+        reps = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                reps.append(pd.DataFrame({
+                    id_col: ids, "__x": xs, "__y": ys,
+                    "__cx": xs // radius + dx,
+                    "__cy": ys // radius + dy}))
+        out = pd.concat(reps, ignore_index=True)
+        out["__side"] = np.int8(1)
+        k = out["__cx"].astype(str) + ":" + out["__cy"].astype(str)
+        out["bucket"] = stable_bucket(k, k, num_buckets)
+        return out
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby(["__cx", "__cy"], sort=False):
+            lhs = g[g["__side"] == 0]
+            rhs = g[g["__side"] == 1]
+            if not len(lhs) or not len(rhs):
+                continue
+            r = rhs.sort_values(["__x", id_col], kind="mergesort")
+            rx = r["__x"].to_numpy()
+            ry = r["__y"].to_numpy()
+            rid = r[id_col].to_numpy()
+            lx = lhs["__x"].to_numpy()
+            ly = lhs["__y"].to_numpy()
+            lid = lhs[id_col].to_numpy()
+            lo = np.searchsorted(rx, lx - radius, side="left")
+            hi = np.searchsorted(rx, lx + radius, side="right")
+            cnt = hi - lo
+            li = np.repeat(np.arange(len(lhs)), cnt)
+            ri = np.repeat(lo, cnt) + _ragged_arange(cnt)
+            d2 = (rx[ri] - lx[li]) ** 2 + (ry[ri] - ly[li]) ** 2
+            keep = d2 <= R2
+            li, ri, d2 = li[keep], ri[keep], d2[keep]
+            if not len(li):
+                continue
+            cand = pd.DataFrame({id_col: lid[li], "__rid": rid[ri],
+                                 "__d2": d2.astype("int64")})
+            cand = cand.sort_values([id_col, "__d2", "__rid"],
+                                    kind="mergesort")
+            agg = cand.groupby(id_col).agg(
+                n_within=("__d2", "size"),
+                nearest_id=("__rid", "first"),
+                nearest_d2=("__d2", "first"))
+            outs.append(pd.DataFrame({
+                id_col: agg.index.to_numpy(np.int64),
+                "n_within": agg["n_within"].to_numpy(np.int64),
+                "nearest_id": agg["nearest_id"].to_numpy(np.int64),
+                "nearest_d2": agg["nearest_d2"].to_numpy(np.int64)}))
+        if not outs:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "n_within": pd.Series([], dtype="int64"),
+                "nearest_id": pd.Series([], dtype="int64"),
+                "nearest_d2": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    tl = left_ds.map_batches(tag_left, batch_format="pandas")
+    tr = right_ds.map_batches(tag_right, batch_format="pandas")
+    return tl.union(tr).groupby("bucket").map_groups(
+        probe, batch_format="pandas")

@@ -5394,6 +5394,42 @@ def q_ann_recall_eval(sf_dir: str):
         .astype("int64")})
 
 
+def q_geo_join_events(sf_dir: str):
+    """Spatial distance join (ops.grid_distance_join — the geo
+    enrichment every location pipeline needs): events become integer
+    planar points (md5-derived uniform scatter on a 100k×100k grid —
+    a multiplicative lattice scatter correlates the axes and yields
+    ZERO neighbors), even-id points probe odd-id points within radius
+    2000; per left point the within-radius count and the nearest
+    neighbor (exact integer d², ties to smallest id). 3×3 halo grid
+    cells, ONE shuffle."""
+    from . import ops
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def pts(parity: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            import hashlib
+
+            e = df["event_id"].astype("int64")
+            d = e[e % 2 == parity]
+
+            def h(tag: str, v: int) -> int:
+                return int(hashlib.md5(f"{tag}{v}".encode())
+                           .hexdigest()[:8], 16) % 100000
+
+            return pd.DataFrame({
+                "event_id": d.to_numpy(),
+                "x": np.array([h("x", v) for v in d], dtype=np.int64),
+                "y": np.array([h("y", v) for v in d], dtype=np.int64)})
+        return f
+
+    left = ds.map_batches(pts(0), batch_format="pandas")
+    right = ds.map_batches(pts(1), batch_format="pandas")
+    return ops.grid_distance_join(left, right, id_col="event_id",
+                                  radius=2000).sort("event_id")
+
+
 def q_ams_f2_events(sf_dir: str):
     """AMS / tug-of-war second-frequency-moment sketch (ops.ams_f2) over
     event user_ids: F2 = Σ f_u² is the self-join size / repeat-rate
@@ -5579,6 +5615,7 @@ QUERIES = {
     "q_chi2_events": q_chi2_events,
     "q_random_walks_docs": q_random_walks_docs,
     "q_ann_recall_eval": q_ann_recall_eval,
+    "q_geo_join_events": q_geo_join_events,
     "q_shot_boundary_media": q_shot_boundary_media,
     "q_zorder_events": q_zorder_events,
     "q_ann_hamming_topk": q_ann_hamming_topk,
@@ -9404,3 +9441,32 @@ SELECT ex.query_id,
 FROM ex LEFT JOIN ap ON ap.query_id = ex.query_id
                     AND ap.neighbor_id = ex.neighbor_id
 GROUP BY ex.query_id ORDER BY ex.query_id""")
+
+ORACLE_SQL["q_geo_join_events"] = """
+WITH pts AS (
+  SELECT event_id,
+         CAST(('0x' || substr(md5('x' || CAST(event_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) % 100000 AS x,
+         CAST(('0x' || substr(md5('y' || CAST(event_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) % 100000 AS y
+  FROM events),
+l AS (SELECT * FROM pts WHERE event_id % 2 = 0),
+r AS (SELECT * FROM pts WHERE event_id % 2 = 1),
+cand AS (
+  SELECT l.event_id, r.event_id AS rid,
+         (l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y) AS d2
+  FROM l JOIN r
+    ON r.x BETWEEN l.x - 2000 AND l.x + 2000
+   AND r.y BETWEEN l.y - 2000 AND l.y + 2000
+  WHERE (l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y)
+        <= 4000000),
+ranked AS (
+  SELECT event_id, rid, d2,
+         ROW_NUMBER() OVER (PARTITION BY event_id
+                            ORDER BY d2, rid) AS rn,
+         COUNT(*) OVER (PARTITION BY event_id) AS n
+  FROM cand)
+SELECT event_id, CAST(n AS BIGINT) AS n_within,
+       CAST(rid AS BIGINT) AS nearest_id,
+       CAST(d2 AS BIGINT) AS nearest_d2
+FROM ranked WHERE rn = 1 ORDER BY event_id"""

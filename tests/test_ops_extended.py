@@ -794,3 +794,40 @@ def test_random_walks_match_sequential_replay():
             ref.append((s0, t, cur))
     assert sorted(map(tuple, got[["start", "step", "node"]]
                       .itertuples(index=False))) == sorted(ref)
+
+
+def test_grid_distance_join_brute_force():
+    """Random integer points incl. cell-boundary pairs: the 3x3 halo
+    grid finds exactly the brute-force within-radius sets, and the
+    nearest tie-break is (d2, id)."""
+    from gitprov_ray import ops
+
+    rng = np.random.default_rng(3)
+    R = 500
+    lx = rng.integers(0, 5000, 50)
+    ly = rng.integers(0, 5000, 50)
+    rx = rng.integers(0, 5000, 70)
+    ry = rng.integers(0, 5000, 70)
+    left = pd.DataFrame({"id": np.arange(50, dtype="int64"),
+                         "x": lx.astype("int64"),
+                         "y": ly.astype("int64")})
+    right = pd.DataFrame({"id": np.arange(70, dtype="int64"),
+                          "x": rx.astype("int64"),
+                          "y": ry.astype("int64")})
+    got = (ops.grid_distance_join(
+        rd.from_pandas(left, override_num_blocks=3),
+        rd.from_pandas(right, override_num_blocks=2),
+        radius=R, num_buckets=8)
+        .to_pandas().sort_values("id").reset_index(drop=True))
+    ref = {}
+    for i in range(50):
+        cands = []
+        for j in range(70):
+            d2 = int((lx[i] - rx[j]) ** 2 + (ly[i] - ry[j]) ** 2)
+            if d2 <= R * R:
+                cands.append((d2, j))
+        if cands:
+            cands.sort()
+            ref[i] = (len(cands), cands[0][1], cands[0][0])
+    assert dict(zip(got["id"], zip(got["n_within"], got["nearest_id"],
+                                   got["nearest_d2"]))) == ref
