@@ -771,3 +771,80 @@ def read_webdataset(path):
 
     return bin_ds.map_batches(decode, batch_format="pyarrow",
                               batch_size=1)
+
+
+def compact_table(path: str, target_bytes: int = 128 * 1024 * 1024):
+    """Small-file compaction — the lakehouse OPTIMIZE primitive — for a
+    directory of parquet files (a ``Dataset.write_parquet`` output
+    accumulates one file per block; a long-lived table accumulates
+    thousands): greedily bin existing files to ~``target_bytes``,
+    rewrite each multi-file bin as ONE zstd file in its own Ray task,
+    then swap atomically on the driver — new files land under
+    temp names first, row counts are verified against the originals,
+    and only then do originals unlink (a crash before the swap leaves
+    the table untouched; stray temp names carry no .parquet suffix so
+    readers never see them).
+
+    Returns {files_before, files_after, rows, bytes} (driver-small).
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    import uuid
+
+    run = uuid.uuid4().hex[:8]
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    sizes = {f: os.path.getsize(f) for f in files}
+    bins: list[list[str]] = []
+    cur: list[str] = []
+    acc = 0
+    for f in files:
+        if cur and acc + sizes[f] > target_bytes:
+            bins.append(cur)
+            cur, acc = [], 0
+        cur.append(f)
+        acc += sizes[f]
+    if cur:
+        bins.append(cur)
+    todo = [(i, b) for i, b in enumerate(bins) if len(b) > 1]
+    total_rows = sum(pq.read_metadata(f).num_rows for f in files)
+    if not todo:
+        return {"files_before": len(files), "files_after": len(files),
+                "rows": total_rows,
+                "bytes": int(sum(sizes.values()))}
+
+    def rewrite(df) -> "pa.Table":
+        out = []
+        for r in df.to_dict("records"):
+            t = pa.concat_tables([pq.read_table(p)
+                                  for p in r["paths"]])
+            tmp = os.path.join(path,
+                               f".tmp-compact-{r['run']}-{r['idx']:05d}")
+            pq.write_table(t, tmp, compression="zstd")
+            out.append({"idx": r["idx"], "rows": t.num_rows})
+        return pa.Table.from_pylist(out)
+
+    stats = (rd.from_items([{"idx": i, "paths": b, "run": run}
+                            for i, b in todo])
+             .map_batches(rewrite, batch_format="pandas", batch_size=1)
+             .to_pandas())
+    # verify before any destructive step
+    for i, b in todo:
+        want = sum(pq.read_metadata(f).num_rows for f in b)
+        got = int(stats.loc[stats["idx"] == i, "rows"].iloc[0])
+        if want != got:
+            raise RuntimeError(f"compaction bin {i}: {got} rows "
+                               f"rewritten vs {want} original")
+    for i, b in todo:
+        tmp = os.path.join(path, f".tmp-compact-{run}-{i:05d}")
+        os.replace(tmp, os.path.join(
+            path, f"compact-{run}-{i:05d}.parquet"))
+        for f in b:
+            os.remove(f)    # new names carry the run id: never collide
+    after = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    return {"files_before": len(files), "files_after": len(after),
+            "rows": total_rows,
+            "bytes": int(sum(os.path.getsize(f) for f in after))}

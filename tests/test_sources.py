@@ -468,3 +468,34 @@ def test_sqlite_shard_directory_and_table_errors(tmp_path):
     # zero-block Dataset drops columns — Ray quirk, not the reader's)
     assert ds_a.schema().names == ["x"]
     assert ds_a.count() == 0
+
+
+def test_compact_table(tmp_path):
+    """Many small block files → few target-size files, atomically, with
+    row parity; a second pass is a no-op; stray tmp names are invisible
+    to readers."""
+    import glob
+
+    import ray.data as rd
+
+    d = str(tmp_path / "tbl")
+    df = pd.DataFrame({"k": np.arange(4000, dtype="int64"),
+                       "v": [f"row {i}" for i in range(4000)]})
+    rd.from_pandas(df, override_num_blocks=16).write_parquet(d)
+    assert len(glob.glob(f"{d}/*.parquet")) >= 8
+
+    stats = sources.compact_table(d, target_bytes=64 * 1024)
+    assert stats["rows"] == 4000
+    assert stats["files_after"] < stats["files_before"]
+    back = sources.read_table(d, fmt="parquet").to_pandas().sort_values("k")
+    assert back["k"].tolist() == df["k"].tolist()
+
+    # full compaction to one file, then a strict no-op pass
+    one = sources.compact_table(d, target_bytes=1 << 30)
+    assert one["files_after"] == 1 and one["rows"] == 4000
+    import glob as _g
+    names = _g.glob(f"{d}/*.parquet")
+    noop = sources.compact_table(d, target_bytes=1 << 30)
+    assert noop["files_after"] == 1
+    assert _g.glob(f"{d}/*.parquet") == names      # untouched
+    assert sources.read_table(d, fmt="parquet").count() == 4000
