@@ -5430,6 +5430,42 @@ def q_geo_join_events(sf_dir: str):
                                   radius=2000).sort("event_id")
 
 
+_BENFORD_MICRO = {1: 301030, 2: 176091, 3: 124939, 4: 96910,
+                  5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757}
+
+
+def q_benford_values(sf_dir: str):
+    """Benford's-law conformance audit (the classic fraud/data-quality
+    screen): leading-digit distribution of event values (integer cents)
+    vs the published log10(1+1/d) expectations in micro-units (they sum
+    to exactly 10⁶) — per digit the observed count and the absolute
+    proportion deviation dev_micro = |obs·10⁶ − exp·N| // N, all exact
+    integers; the constant table is shared verbatim with the twin's
+    VALUES list. Tiny per-batch digit counts, driver-bounded fold."""
+    ds = _read(sf_dir, "events", ["value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(df["value"])
+        cents = cents[cents > 0]
+        lead = cents.astype(str).str[0].astype(int)
+        vc = lead.value_counts()
+        return pd.DataFrame({"digit": vc.index.to_numpy(np.int64),
+                             "n": vc.to_numpy(np.int64)})
+
+    counts = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+              .groupby("digit")["n"].sum())
+    N = int(counts.sum())
+    out = []
+    for d in range(1, 10):
+        obs = int(counts.get(d, 0))
+        exp = _BENFORD_MICRO[d]
+        dev = abs(obs * 1_000_000 - exp * N) // N
+        out.append((d, obs, exp, dev))
+    return pd.DataFrame(out, columns=["digit", "observed",
+                                      "expected_micro", "dev_micro"])         .astype({"digit": "int64", "observed": "int64",
+                 "expected_micro": "int64", "dev_micro": "int64"})
+
+
 def q_ams_f2_events(sf_dir: str):
     """AMS / tug-of-war second-frequency-moment sketch (ops.ams_f2) over
     event user_ids: F2 = Σ f_u² is the self-join size / repeat-rate
@@ -5616,6 +5652,7 @@ QUERIES = {
     "q_random_walks_docs": q_random_walks_docs,
     "q_ann_recall_eval": q_ann_recall_eval,
     "q_geo_join_events": q_geo_join_events,
+    "q_benford_values": q_benford_values,
     "q_shot_boundary_media": q_shot_boundary_media,
     "q_zorder_events": q_zorder_events,
     "q_ann_hamming_topk": q_ann_hamming_topk,
@@ -9470,3 +9507,25 @@ SELECT event_id, CAST(n AS BIGINT) AS n_within,
        CAST(rid AS BIGINT) AS nearest_id,
        CAST(d2 AS BIGINT) AS nearest_d2
 FROM ranked WHERE rn = 1 ORDER BY event_id"""
+
+ORACLE_SQL["q_benford_values"] = """
+WITH cents AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
+  WHERE CAST(ROUND(value * 100) AS BIGINT) > 0),
+obs AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM cents GROUP BY 1),
+exp_ AS (
+  SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+                        (4, 96910), (5, 79181), (6, 66947),
+                        (7, 57992), (8, 51153), (9, 45757))
+       AS t(digit, micro)),
+tot AS (SELECT SUM(n) AS nn FROM obs)
+SELECT CAST(e.digit AS BIGINT) AS digit,
+       CAST(COALESCE(o.n, 0) AS BIGINT) AS observed,
+       CAST(e.micro AS BIGINT) AS expected_micro,
+       CAST(abs(COALESCE(o.n, 0) * 1000000 - e.micro * tot.nn)
+            // tot.nn AS BIGINT) AS dev_micro
+FROM exp_ e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN tot
+ORDER BY e.digit"""
