@@ -5466,6 +5466,36 @@ def q_benford_values(sf_dir: str):
                  "expected_micro": "int64", "dev_micro": "int64"})
 
 
+def q_decayed_heavy_hitters(sf_dir: str):
+    """Recency-weighted trending values (the exponentially-decayed
+    heavy-hitters of every streaming dashboard) in EXACT integers: a
+    props value's score is Σ over day-windows of count_w >> age_days —
+    halving per day of age via integer shift, so no float decay factor
+    ever appears. Per-batch (window, value) partials, one tiny combine,
+    driver-bounded fold; top 20 by (score desc, value)."""
+    ds = _read(sf_dir, "events", ["ts", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["ts"].astype("int64") // 86_400_000_000)
+        g = pd.DataFrame({"day": day, "props": df["props"].astype(str),
+                          "n": np.int64(1)})
+        return g.groupby(["day", "props"], as_index=False).sum()
+
+    counts = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+              .groupby(["day", "props"], as_index=False)["n"].sum())
+    max_day = int(counts["day"].max())
+    age = (max_day - counts["day"].astype("int64")) \
+        .clip(0, 62).to_numpy(np.int64)
+    counts["score"] = np.right_shift(
+        counts["n"].to_numpy(np.int64), age)
+    g = counts.groupby("props", as_index=False)["score"].sum()
+    g = g.sort_values(["score", "props"],
+                      ascending=[False, True]).head(20)
+    return pd.DataFrame({
+        "props": g["props"].to_numpy(),
+        "decayed_score": g["score"].to_numpy(np.int64)})         .reset_index(drop=True)
+
+
 def q_ams_f2_events(sf_dir: str):
     """AMS / tug-of-war second-frequency-moment sketch (ops.ams_f2) over
     event user_ids: F2 = Σ f_u² is the self-join size / repeat-rate
@@ -5653,6 +5683,7 @@ QUERIES = {
     "q_ann_recall_eval": q_ann_recall_eval,
     "q_geo_join_events": q_geo_join_events,
     "q_benford_values": q_benford_values,
+    "q_decayed_heavy_hitters": q_decayed_heavy_hitters,
     "q_shot_boundary_media": q_shot_boundary_media,
     "q_zorder_events": q_zorder_events,
     "q_ann_hamming_topk": q_ann_hamming_topk,
@@ -9529,3 +9560,17 @@ SELECT CAST(e.digit AS BIGINT) AS digit,
             // tot.nn AS BIGINT) AS dev_micro
 FROM exp_ e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN tot
 ORDER BY e.digit"""
+
+ORACLE_SQL["q_decayed_heavy_hitters"] = """
+WITH c AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, props,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+m AS (SELECT MAX(day) AS md FROM c),
+sc AS (
+  SELECT props,
+         CAST(SUM(n // CAST(power(2, LEAST(m.md - c.day, 62)) AS BIGINT))
+              AS BIGINT) AS decayed_score
+  FROM c CROSS JOIN m GROUP BY props)
+SELECT props, decayed_score FROM sc
+ORDER BY decayed_score DESC, props LIMIT 20"""

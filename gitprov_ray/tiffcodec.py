@@ -5,9 +5,12 @@ and Predictor 2 horizontal differencing) / 32773 (PackBits), MinIsWhite
 inversion, both byte orders — plus a spec-valid fixture encoder for the
 same profile.
 
-Out of scope (declared, not silently wrong): tiles, planar config 2,
-16-bit samples, CCITT G3/G4 fax and JPEG-in-TIFF compressions — these
-raise NotImplementedError naming the feature.
+Round-4 extensions: §15 tile layout, 16-bit samples (decode downscales
+>>8), PlanarConfiguration 2, and Compression 7 (new-style JPEG — full or
+TIFF-EP-abbreviated streams with the JPEGTables tag, decoded through the
+engine's own JPEG codec). Out of scope (declared, not silently wrong):
+CCITT G3/G4 fax and old-style JPEG (6) — these raise
+NotImplementedError naming the feature.
 
 Reference parity note: the reference engine (git-prov) delegates all
 media handling to external libraries; this module exists for the
@@ -59,7 +62,7 @@ def _read_ifd(b: bytes, endian: str) -> dict[int, list[int]]:
             vals = list(struct.unpack_from(endian + f"{cnt}H", b, data_off))
         elif typ == 4:
             vals = list(struct.unpack_from(endian + f"{cnt}I", b, data_off))
-        elif typ == 1:
+        elif typ in (1, 7):                  # BYTE / UNDEFINED
             vals = list(b[data_off:data_off + cnt])
         else:  # rationals etc. — unused by this profile
             vals = []
@@ -238,6 +241,20 @@ def lzw_encode(src: bytes) -> bytes:
 
 _T_TILE_W, _T_TILE_H = 322, 323
 _T_TILE_OFFSETS, _T_TILE_COUNTS = 324, 325
+_T_JPEG_TABLES = 347
+
+
+def _jpeg_chunk_decode(chunk: bytes, tables: bytes | None) -> np.ndarray:
+    """One new-style-JPEG (compression 7) strip/tile → pixels via the
+    engine's own JPEG codec. An abbreviated stream (TIFF-EP JPEGTables
+    tag) merges as SOI + tables-body + chunk-body — DQT/DHT before the
+    frame header is legal table-misc placement (ITU T.81 §B.2.4)."""
+    from . import jpegcodec
+
+    if tables is not None and len(tables) >= 4:
+        chunk = b"\xff\xd8" + tables[2:-2] + chunk[2:]
+    arr = jpegcodec.decode_jpeg(chunk)
+    return arr[:, :, None] if arr.ndim == 2 else arr
 
 
 def decode_tiff(b: bytes) -> np.ndarray:
@@ -268,9 +285,14 @@ def decode_tiff(b: bytes) -> np.ndarray:
     itemsize = bps // 8
     if planar not in (1, 2):
         raise NotImplementedError(f"TIFF planar configuration {planar}")
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 7, 32773):
         raise NotImplementedError(
             f"TIFF compression {probe_tiff(b)['compression']}")
+    jpeg_tables = None
+    if comp == 7:
+        jt = t.get(_T_JPEG_TABLES)
+        if jt:
+            jpeg_tables = bytes(jt)
 
     def decompress(chunk: bytes, expected: int) -> bytes:
         if comp == 1:
@@ -307,9 +329,12 @@ def decode_tiff(b: bytes) -> np.ndarray:
         for idx, (off, cnt) in enumerate(zip(offsets, counts)):
             plane, ti = divmod(idx, per_plane) if planar == 2 else (0, idx)
             ty, tx = divmod(ti, across)
-            raw = decompress(b[off:off + cnt], th * tw * spp_chunk
-                             * itemsize)
-            tile = as_pixels(raw, th, tw, spp_chunk)
+            if comp == 7:
+                tile = _jpeg_chunk_decode(b[off:off + cnt], jpeg_tables)
+            else:
+                raw = decompress(b[off:off + cnt], th * tw * spp_chunk
+                                 * itemsize)
+                tile = as_pixels(raw, th, tw, spp_chunk)
             y0, x0 = ty * th, tx * tw
             ys, xs = min(th, h - y0), min(tw, w - x0)
             if planar == 2:
@@ -331,9 +356,13 @@ def decode_tiff(b: bytes) -> np.ndarray:
             plane, pi = divmod(si, per_plane) if planar == 2 else (0, si)
             row0 = pi * rows_per
             nrows = min(rows_per, h - row0)
-            raw = decompress(b[off:off + cnt],
-                             nrows * w * spp_chunk * itemsize)
-            strip = as_pixels(raw, nrows, w, spp_chunk)
+            if comp == 7:
+                strip = _jpeg_chunk_decode(b[off:off + cnt],
+                                           jpeg_tables)[:nrows]
+            else:
+                raw = decompress(b[off:off + cnt],
+                                 nrows * w * spp_chunk * itemsize)
+                strip = as_pixels(raw, nrows, w, spp_chunk)
             if planar == 2:
                 full[row0:row0 + nrows, :, plane] = strip[:, :, 0]
             else:
@@ -493,4 +522,120 @@ def encode_tiff(arr: np.ndarray, compression: str = "lzw",
     out += overflow
     for s in strips:
         out += s + (b"\x00" * (len(s) % 2))
+    return bytes(out)
+
+
+def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Full interchange JPEG → (JPEGTables blob, abbreviated stream):
+    DQT/DHT segments move into a SOI+tables+EOI blob (the TIFF-EP
+    JPEGTables payload); everything else stays, giving an abbreviated
+    per-strip stream (ITU T.81 §B.2.4 table-misc segments are position-
+    independent before first use)."""
+    assert stream[:2] == b"\xff\xd8"
+    tables = bytearray(b"\xff\xd8")
+    rest = bytearray(b"\xff\xd8")
+    i = 2
+    while i < len(stream):
+        if stream[i] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = stream[i + 1]
+        if marker == 0xD9:                      # EOI
+            rest += stream[i:i + 2]
+            break
+        if marker == 0xDA:                      # SOS: rest is entropy
+            rest += stream[i:]
+            break
+        seglen = int.from_bytes(stream[i + 2:i + 4], "big")
+        seg = stream[i:i + 2 + seglen]
+        if marker in (0xDB, 0xC4):              # DQT / DHT
+            tables += seg
+        else:
+            rest += seg
+        i += 2 + seglen
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(rest)
+
+
+def encode_tiff_jpeg(arr: np.ndarray, rows_per_strip: int = 32,
+                     quality: int = 90,
+                     shared_tables: bool = False) -> bytes:
+    """HxWx3 uint8 → Compression-7 (new-style JPEG) TIFF: one baseline
+    JPEG per strip through the engine's own encoder; with
+    ``shared_tables`` the DQT/DHT segments factor into ONE JPEGTables
+    tag and the strips become abbreviated streams (TIFF-EP)."""
+    from . import jpegcodec
+
+    h, w = arr.shape[:2]
+    rows_per_strip = min(rows_per_strip, h)
+    strips, tables_blob = [], None
+    for r0 in range(0, h, rows_per_strip):
+        stream = jpegcodec.encode_jpeg_baseline(
+            arr[r0:r0 + rows_per_strip], quality=quality)
+        if shared_tables:
+            tb, stream = _split_jpeg_tables(stream)
+            if tables_blob is None:
+                tables_blob = tb       # same quality → same tables
+        strips.append(stream)
+
+    endian = "<"
+    tags: list[tuple[int, int, int, list[int]]] = [
+        (_T_WIDTH, 3, 1, [w]), (_T_HEIGHT, 3, 1, [h]),
+        (_T_BITS, 3, 3, [8, 8, 8]),
+        (_T_COMPRESSION, 3, 1, [7]),
+        (_T_PHOTOMETRIC, 3, 1, [6]),           # YCbCr (JPEG-coded)
+        (_T_STRIP_OFFSETS, 4, len(strips), [0] * len(strips)),
+        (_T_SAMPLES, 3, 1, [3]),
+        (_T_ROWS_PER_STRIP, 3, 1, [rows_per_strip]),
+        (_T_STRIP_COUNTS, 4, len(strips), [len(s) for s in strips]),
+    ]
+    if tables_blob is not None:
+        tags.append((_T_JPEG_TABLES, 7, len(tables_blob),
+                     list(tables_blob)))
+    tags.sort()
+
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(tags) + 4
+    overflow_off = ifd_off + ifd_size
+
+    def value_bytes(typ: int, vals: list[int]) -> bytes:
+        if typ in (1, 7):
+            return bytes(vals)
+        fmt = {3: "H", 4: "I"}[typ]
+        return struct.pack(endian + fmt * len(vals), *vals)
+
+    overflow = bytearray()
+    entries = []
+    for tag, typ, cnt, vals in tags:
+        vb = value_bytes(typ, vals)
+        entries.append((tag, typ, cnt, vals, len(vb) > 4))
+        if len(vb) > 4:
+            overflow += vb if len(vb) % 2 == 0 else vb + b"\x00"
+    data_off = overflow_off + len(overflow)
+    strip_offsets = []
+    pos = data_off
+    for st in strips:
+        strip_offsets.append(pos)
+        pos += len(st) + (len(st) % 2)
+
+    out = bytearray(b"II*\x00")
+    out += struct.pack(endian + "I", ifd_off)
+    out += struct.pack(endian + "H", len(tags))
+    overflow = bytearray()
+    ov_pos = overflow_off
+    for tag, typ, cnt, vals, big in entries:
+        if tag == _T_STRIP_OFFSETS:
+            vals = strip_offsets
+        vb = value_bytes(typ, vals)
+        out += struct.pack(endian + "HHI", tag, typ, cnt)
+        if len(vb) <= 4:
+            out += vb + b"\x00" * (4 - len(vb))
+        else:
+            out += struct.pack(endian + "I", ov_pos)
+            pad = vb if len(vb) % 2 == 0 else vb + b"\x00"
+            overflow += pad
+            ov_pos += len(pad)
+    out += struct.pack(endian + "I", 0)
+    out += overflow
+    for st in strips:
+        out += st + (b"\x00" * (len(st) % 2))
     return bytes(out)

@@ -213,3 +213,41 @@ def test_tiff_tiles_16bit_and_planar_roundtrips():
                           (g16 >> 8).astype(np.uint8))
     with pytest.raises(ValueError, match="multiples of 16"):
         tc.encode_tiff(img, tile=(20, 16))
+
+
+def test_tiff_jpeg_compression7():
+    """New-style JPEG-in-TIFF: full interchange streams per strip AND
+    TIFF-EP abbreviated streams with a shared JPEGTables tag decode to
+    EXACTLY the per-strip JPEG decodes (the lossy reference is the
+    engine's own JPEG codec); shared tables nearly halve the file."""
+    from gitprov_ray import jpegcodec as J
+    from gitprov_ray import multimodal as M
+
+    y, x = np.mgrid[0:40, 0:56]
+    img = np.stack([(x * 4) % 256, (y * 5) % 256,
+                    ((x + y) * 3) % 256], -1).astype(np.uint8)
+    ref = np.concatenate(
+        [J.decode_jpeg(J.encode_jpeg_baseline(img[r:r + 16], quality=85))
+         for r in range(0, 40, 16)], axis=0)
+    sizes = {}
+    for shared in (False, True):
+        b = tc.encode_tiff_jpeg(img, rows_per_strip=16, quality=85,
+                                shared_tables=shared)
+        p = tc.probe_tiff(b)
+        assert p["compression"] == "jpeg" and p["photometric"] == 6
+        assert np.array_equal(tc.decode_tiff(b), ref)
+        sizes[shared] = len(b)
+        # the image stage accepts it too
+        assert M.decode_image(b).shape == (40, 56, 3)
+    assert sizes[True] < sizes[False]
+    # old-style JPEG (6) stays a declared stub
+    bad = bytearray(tc.encode_tiff_jpeg(img))
+    # patch compression tag value 7 -> 6 (find the IFD entry)
+    import struct as _s
+    n = _s.unpack_from("<H", bad, 8)[0]
+    for i in range(n):
+        pos = 10 + 12 * i
+        if _s.unpack_from("<H", bad, pos)[0] == 259:
+            _s.pack_into("<H", bad, pos + 8, 6)
+    with pytest.raises(NotImplementedError, match="jpeg-old"):
+        tc.decode_tiff(bytes(bad))
