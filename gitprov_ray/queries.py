@@ -5496,6 +5496,49 @@ def q_decayed_heavy_hitters(sf_dir: str):
         "decayed_score": g["score"].to_numpy(np.int64)})         .reset_index(drop=True)
 
 
+def q_debounce_events(sf_dir: str):
+    """Burst debouncing (the bot-double-fire dedup every event pipeline
+    runs first): within each (user, event_type), an event starting ≤ 60 s
+    after the previous one belongs to the same burst and drops; burst
+    FIRSTs survive, with the burst length attached. One bucketed
+    shuffle, vectorized diff inside the group; twin = LAG gap → running
+    burst ids (SUM OVER of gap flags) → ROW_NUMBER."""
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type",
+                                  "ts"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "event_type": df["event_type"].astype(str),
+            "ts_us": df["ts"].astype("int64")})
+        k = out["user_id"].astype(str) + ":" + out["event_type"]
+        out["bucket"] = stable_bucket(k, k, 64)
+        return out
+
+    def debounce(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_type", "ts_us",
+                             "event_id"], kind="mergesort")
+        same = (df["user_id"].eq(df["user_id"].shift())
+                & df["event_type"].eq(df["event_type"].shift()))
+        gap = df["ts_us"] - df["ts_us"].shift()
+        new_burst = (~same) | (gap > 60_000_000)
+        burst = new_burst.cumsum()
+        size = burst.map(burst.value_counts())
+        keep = df[new_burst].copy()
+        keep["burst_len"] = size[new_burst].to_numpy(np.int64)
+        return keep[["event_id", "user_id", "event_type",
+                     "burst_len"]]
+
+    return (ds.map_batches(tag, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: debounce(df.drop(columns="bucket")),
+                        batch_format="pandas")
+            .sort("event_id"))
+
+
 def q_ams_f2_events(sf_dir: str):
     """AMS / tug-of-war second-frequency-moment sketch (ops.ams_f2) over
     event user_ids: F2 = Σ f_u² is the self-join size / repeat-rate
@@ -5684,6 +5727,7 @@ QUERIES = {
     "q_geo_join_events": q_geo_join_events,
     "q_benford_values": q_benford_values,
     "q_decayed_heavy_hitters": q_decayed_heavy_hitters,
+    "q_debounce_events": q_debounce_events,
     "q_shot_boundary_media": q_shot_boundary_media,
     "q_zorder_events": q_zorder_events,
     "q_ann_hamming_topk": q_ann_hamming_topk,
@@ -9574,3 +9618,29 @@ sc AS (
   FROM c CROSS JOIN m GROUP BY props)
 SELECT props, decayed_score FROM sc
 ORDER BY decayed_score DESC, props LIMIT 20"""
+
+ORACLE_SQL["q_debounce_events"] = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+  FROM events),
+g AS (
+  SELECT *,
+         CASE WHEN epoch_us_lag IS NULL
+                OR ts_us - epoch_us_lag > 60000000 THEN 1 ELSE 0 END
+             AS is_new
+  FROM (SELECT *, LAG(ts_us) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts_us, event_id)
+                      AS epoch_us_lag FROM e)),
+b AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts_us, event_id) AS burst
+  FROM g),
+sized AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY user_id, event_type, burst)
+                AS blen,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type, burst
+                            ORDER BY ts_us, event_id) AS rn
+  FROM b)
+SELECT event_id, user_id, event_type,
+       CAST(blen AS BIGINT) AS burst_len
+FROM sized WHERE rn = 1 ORDER BY event_id"""
