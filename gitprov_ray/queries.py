@@ -5577,6 +5577,152 @@ def q_kmv_set_ops_events(sf_dir: str):
     return ops.kmv_set_ops(a, b, "k", k=64)
 
 
+def q_cusum_events(sf_dir: str):
+    """CUSUM changepoint alarms per event_type over its hourly count
+    series, integer-exact end to end: with n = #hours observed and
+    T = total events for the type, the per-hour drift d_i = n*c_i - T
+    is the deviation from the mean scaled by n (no division), and the
+    one-sided CUSUM recurrence H_t = max(0, H_{t-1} + d_t) unrolls to
+    the closed form S_t - min(0, min_{j<=t} S_j) — prefix sum minus
+    running minimum — so BOTH engines evaluate it with window
+    primitives (cumsum + minimum.accumulate here, nested SUM/MIN OVER
+    in the twin) instead of a sequential loop. Alarm where H_t > 2*T.
+    Hourly counts come from per-batch partial pre-agg + ONE bucketed
+    shuffle; the per-type series scan is vectorized in-group."""
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({
+            "event_type": df["event_type"].astype(str),
+            "hour_id": (df["ts"].astype("int64")
+                        // 3_600_000_000).astype("int64"),
+            "c": np.int64(1)})
+            .groupby(["event_type", "hour_id"], sort=False,
+                     as_index=False)["c"].sum())
+        g["bucket"] = stable_bucket(g["event_type"], g["event_type"], 32)
+        return g
+
+    def cusum(df: pd.DataFrame) -> pd.DataFrame:
+        hc = df.groupby(["event_type", "hour_id"], sort=False,
+                        as_index=False)["c"].sum()
+        rows = []
+        for et, grp in hc.groupby("event_type", sort=False):
+            grp = grp.sort_values("hour_id")
+            c = grp["c"].to_numpy(np.int64)
+            n = np.int64(len(c))
+            total = np.int64(c.sum())
+            s = np.cumsum(n * c - total)
+            h = s - np.minimum(np.minimum.accumulate(s), 0)
+            alarm = h > 2 * total
+            hrs = grp["hour_id"].to_numpy(np.int64)[alarm]
+            rows.append((et, int(n), int(total), int(alarm.sum()),
+                         int(hrs.min()) if len(hrs) else -1))
+        return pd.DataFrame(rows, columns=[
+            "event_type", "n_hours", "total_events", "n_alarms",
+            "first_alarm_hour"])
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("bucket")
+           .map_groups(lambda df: cusum(df.drop(columns="bucket")),
+                       batch_format="pandas")).to_pandas()
+    out = out.sort_values("event_type").reset_index(drop=True)
+    return out.astype({"n_hours": "int64", "total_events": "int64",
+                       "n_alarms": "int64", "first_alarm_hour": "int64"})
+
+
+def q_fd_mine_events(sf_dir: str):
+    """Functional-dependency discovery (the constraint-mining side of
+    data profiling): for six candidate FDs over derived event columns
+    (hour_id/day_id/month_id time hierarchy + event_type/user_id),
+    count LHS groups and LHS groups with >1 distinct RHS (violations);
+    the FD holds iff violations = 0. ALL candidates share ONE exchange:
+    per-batch distinct (fd, x, y) triples, bucketed by (fd, x) so each
+    LHS group lands whole in one reducer, per-bucket nunique, then a
+    tiny (6 x 64 rows) driver combine. Epoch floor-division hour/day
+    ids make hour_id->day_id and day_id->month_id hold by construction
+    — the miner must PROVE it, not assume it."""
+    from .stages.versions import stable_bucket
+
+    FDS = [("hour_id", "day_id"), ("day_id", "month_id"),
+           ("day_id", "hour_id"), ("event_type", "day_id"),
+           ("user_id", "event_type"), ("hour_id", "event_type")]
+
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("int64")
+        cols = {
+            "hour_id": (us // 3_600_000_000).astype(str),
+            "day_id": (us // 86_400_000_000).astype(str),
+            "month_id": (df["ts"].dt.year * 12
+                         + df["ts"].dt.month).astype(str),
+            "event_type": df["event_type"].astype(str),
+            "user_id": df["user_id"].astype(str)}
+        parts = [pd.DataFrame({"fd": f"{lhs}->{rhs}", "x": cols[lhs],
+                               "y": cols[rhs]}).drop_duplicates()
+                 for lhs, rhs in FDS]
+        out = pd.concat(parts, ignore_index=True)
+        k = out["fd"] + "|" + out["x"]
+        out["bucket"] = stable_bucket(k, k, 64)
+        return out
+
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["fd", "x", "y"]].drop_duplicates()
+        per_x = (d.groupby(["fd", "x"], sort=False)["y"].nunique()
+                 .reset_index(name="ny"))
+        return (per_x.assign(viol=(per_x["ny"] > 1).astype("int64"),
+                             one=np.int64(1))
+                .groupby("fd", sort=False, as_index=False)
+                .agg(n_groups=("one", "sum"), n_violations=("viol", "sum")))
+
+    p = (ds.map_batches(derive, batch_format="pandas")
+         .groupby("bucket")
+         .map_groups(lambda df: reduce(df.drop(columns="bucket")),
+                     batch_format="pandas")).to_pandas()
+    g = (p.groupby("fd", as_index=False)[["n_groups", "n_violations"]]
+         .sum().sort_values("fd").reset_index(drop=True))
+    g["holds"] = (g["n_violations"] == 0).astype("int64")
+    return g.astype({"n_groups": "int64", "n_violations": "int64"})
+
+
+def q_autocorr_events(sf_dir: str):
+    """Lag-k autocorrelation of the global hourly event-count series
+    (the periodicity probe every event pipeline runs before capacity
+    modeling), exact integers: the series is densified over
+    [min_hour, max_hour] with zero fill, deviations are scaled by n
+    (d_t = n*c_t - T, no division), and the result per lag k in
+    {1, 2, 24} is the exact integer pair (num, den) with
+    r_k = num/den, num = sum d_t*d_{t+k}, den = sum d_t^2. The hourly
+    aggregate is distributed (partial value_counts per batch + hash
+    combine); the AGGREGATED series is bounded by wall-clock hours, so
+    the O(n) lag products run on the driver by design."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["ts"].astype("int64") // 3_600_000_000
+        return (h.value_counts().rename_axis("hour_id")
+                .reset_index(name="c"))
+
+    hc = (ds.map_batches(partial, batch_format="pandas")
+          .groupby("hour_id")
+          .aggregate(Sum("c", alias_name="c"))).to_pandas()
+    mn = int(hc["hour_id"].min())
+    mx = int(hc["hour_id"].max())
+    dense = np.zeros(mx - mn + 1, dtype=np.int64)
+    dense[hc["hour_id"].to_numpy(np.int64) - mn] = (
+        hc["c"].to_numpy(np.int64))
+    n = np.int64(len(dense))
+    total = np.int64(dense.sum())
+    d = n * dense - total
+    den = int((d * d).sum())
+    rows = [(k, int((d[:-k] * d[k:]).sum()) if k < len(d) else 0, den)
+            for k in (1, 2, 24)]
+    return pd.DataFrame(rows, columns=["lag_h", "num", "den"]).astype(
+        {"lag_h": "int64", "num": "int64", "den": "int64"})
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -5728,6 +5874,9 @@ QUERIES = {
     "q_benford_values": q_benford_values,
     "q_decayed_heavy_hitters": q_decayed_heavy_hitters,
     "q_debounce_events": q_debounce_events,
+    "q_cusum_events": q_cusum_events,
+    "q_fd_mine_events": q_fd_mine_events,
+    "q_autocorr_events": q_autocorr_events,
     "q_shot_boundary_media": q_shot_boundary_media,
     "q_zorder_events": q_zorder_events,
     "q_ann_hamming_topk": q_ann_hamming_topk,
@@ -9644,3 +9793,90 @@ sized AS (
 SELECT event_id, user_id, event_type,
        CAST(blen AS BIGINT) AS burst_len
 FROM sized WHERE rn = 1 ORDER BY event_id"""
+
+ORACLE_SQL["q_cusum_events"] = """
+WITH hc AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+t AS (
+  SELECT event_type, SUM(c) AS tot, COUNT(*) AS n
+  FROM hc GROUP BY 1),
+s AS (
+  SELECT hc.event_type, hour_id, n * c - tot AS d, tot
+  FROM hc JOIN t USING (event_type)),
+c1 AS (
+  SELECT event_type, hour_id, tot,
+         SUM(d) OVER (PARTITION BY event_type ORDER BY hour_id) AS s_t
+  FROM s),
+c2 AS (
+  SELECT *, LEAST(MIN(s_t) OVER (PARTITION BY event_type
+                                 ORDER BY hour_id), 0) AS mn
+  FROM c1),
+al AS (
+  SELECT event_type, COUNT(*) AS n_alarms, MIN(hour_id) AS first_hour
+  FROM c2 WHERE s_t - mn > 2 * tot GROUP BY event_type)
+SELECT t.event_type,
+       CAST(n AS BIGINT) AS n_hours,
+       CAST(tot AS BIGINT) AS total_events,
+       CAST(COALESCE(al.n_alarms, 0) AS BIGINT) AS n_alarms,
+       CAST(COALESCE(al.first_hour, -1) AS BIGINT) AS first_alarm_hour
+FROM t LEFT JOIN al USING (event_type)
+ORDER BY event_type"""
+
+ORACLE_SQL["q_fd_mine_events"] = """
+WITH base AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour_id,
+         epoch_us(ts) // 86400000000 AS day_id,
+         year(ts) * 12 + month(ts) AS month_id,
+         event_type, user_id
+  FROM events),
+u AS (
+  SELECT 'hour_id->day_id' AS fd, hour_id AS x,
+         COUNT(DISTINCT day_id) AS ny FROM base GROUP BY 1, 2
+  UNION ALL
+  SELECT 'day_id->month_id', day_id,
+         COUNT(DISTINCT month_id) FROM base GROUP BY 1, 2
+  UNION ALL
+  SELECT 'day_id->hour_id', day_id,
+         COUNT(DISTINCT hour_id) FROM base GROUP BY 1, 2
+  UNION ALL
+  SELECT 'event_type->day_id', hash(event_type),
+         COUNT(DISTINCT day_id) FROM base GROUP BY 1, 2
+  UNION ALL
+  SELECT 'user_id->event_type', user_id,
+         COUNT(DISTINCT event_type) FROM base GROUP BY 1, 2
+  UNION ALL
+  SELECT 'hour_id->event_type', hour_id,
+         COUNT(DISTINCT event_type) FROM base GROUP BY 1, 2)
+SELECT fd,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations,
+       CAST(CASE WHEN SUM(CASE WHEN ny > 1 THEN 1 ELSE 0 END) = 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS holds
+FROM u GROUP BY fd ORDER BY fd"""
+
+ORACLE_SQL["q_autocorr_events"] = """
+WITH hc AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour_id, COUNT(*) AS c
+  FROM events GROUP BY 1),
+b AS (SELECT MIN(hour_id) AS mn, MAX(hour_id) AS mx FROM hc),
+dense AS (
+  SELECT gs.h AS hour_id, COALESCE(hc.c, 0) AS c
+  FROM (SELECT unnest(generate_series(mn, mx)) AS h FROM b) gs
+  LEFT JOIN hc ON hc.hour_id = gs.h),
+st AS (SELECT COUNT(*) AS n, SUM(c) AS tot FROM dense),
+dv AS (SELECT hour_id, n * c - tot AS d FROM dense CROSS JOIN st),
+lags AS (SELECT unnest([1, 2, 24]) AS lag_h),
+prod AS (
+  SELECT l.lag_h, SUM(a.d * b2.d) AS num
+  FROM lags l
+  JOIN dv a ON TRUE
+  JOIN dv b2 ON b2.hour_id = a.hour_id + l.lag_h
+  GROUP BY l.lag_h)
+SELECT CAST(l.lag_h AS BIGINT) AS lag_h,
+       CAST(COALESCE(p.num, 0) AS BIGINT) AS num,
+       CAST((SELECT SUM(d * d) FROM dv) AS BIGINT) AS den
+FROM lags l LEFT JOIN prod p USING (lag_h)
+ORDER BY lag_h"""
