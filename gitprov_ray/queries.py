@@ -5723,6 +5723,67 @@ def q_autocorr_events(sf_dir: str):
         {"lag_h": "int64", "num": "int64", "den": "int64"})
 
 
+def q_delta_roundtrip_events(sf_dir: str):
+    """Delta Lake lakehouse lifecycle (deltalake.py — the open
+    transaction-log protocol, implemented from the spec): events stream
+    into a table PARTITIONED by event_type (commit 0: id%3!=0; commit 1:
+    append id%3==0), then a partition-level DELETE tombstones every
+    'error' file with remove actions only (no rewrite), a checkpoint
+    parquet + _last_checkpoint compacts the log, and commit 3 re-appends
+    the id%5==0 error rows ON TOP of the checkpoint — so the read path
+    proves checkpoint-seed + JSON-tail replay + partition-column
+    injection + column pruning in one pass. The twin states the final
+    LOGICAL table directly over the raw parquet."""
+    import hashlib as _h
+    import shutil
+
+    from . import deltalake as dl
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    tbl = ("/tmp/gitprov_delta_"
+           + _h.md5(str(sf_dir).encode()).hexdigest()[:12] + "/events")
+    shutil.rmtree(tbl, ignore_errors=True)
+
+    def split(keep_mod3):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            m = (df["event_id"] % 3 != 0) if keep_mod3 else \
+                (df["event_id"] % 3 == 0)
+            return df[m].reset_index(drop=True)
+        return f
+
+    dl.write_delta(ds.map_batches(split(True), batch_format="pandas"),
+                   tbl, partition_cols=["event_type"])
+    dl.write_delta(ds.map_batches(split(False), batch_format="pandas"),
+                   tbl, mode="append", partition_cols=["event_type"])
+    dl.delete_where(tbl, lambda pv: pv.get("event_type") == "error")
+    dl.checkpoint(tbl)
+    dl.write_delta(
+        ds.map_batches(
+            lambda df: df[(df["event_type"] == "error")
+                          & (df["event_id"] % 5 == 0)]
+            .reset_index(drop=True), batch_format="pandas"),
+        tbl, mode="append", partition_cols=["event_type"])
+
+    back = dl.read_delta(tbl, columns=["event_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"].astype(str),
+            "n": np.int64(1),
+            "cents": _cents(df["value"]),
+            "eid": df["event_id"].astype("int64")})
+
+    g = (back.map_batches(partial, batch_format="pandas")
+         .groupby("event_type")
+         .aggregate(Count(alias_name="n_events"),
+                    Sum("cents", alias_name="sum_value_cents"),
+                    Min("eid", alias_name="min_event_id"),
+                    Max("eid", alias_name="max_event_id"))).to_pandas()
+    g = g.sort_values("event_type").reset_index(drop=True)
+    return g.astype({"n_events": "int64", "sum_value_cents": "int64",
+                     "min_event_id": "int64", "max_event_id": "int64"})
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -5877,6 +5938,7 @@ QUERIES = {
     "q_cusum_events": q_cusum_events,
     "q_fd_mine_events": q_fd_mine_events,
     "q_autocorr_events": q_autocorr_events,
+    "q_delta_roundtrip_events": q_delta_roundtrip_events,
     "q_shot_boundary_media": q_shot_boundary_media,
     "q_zorder_events": q_zorder_events,
     "q_ann_hamming_topk": q_ann_hamming_topk,
@@ -9880,3 +9942,18 @@ SELECT CAST(l.lag_h AS BIGINT) AS lag_h,
        CAST((SELECT SUM(d * d) FROM dv) AS BIGINT) AS den
 FROM lags l LEFT JOIN prod p USING (lag_h)
 ORDER BY lag_h"""
+
+ORACLE_SQL["q_delta_roundtrip_events"] = """
+WITH logical AS (
+  SELECT event_id, event_type, value FROM events
+  WHERE event_type <> 'error'
+  UNION ALL
+  SELECT event_id, event_type, value FROM events
+  WHERE event_type = 'error' AND event_id % 5 = 0)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents,
+       CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_event_id
+FROM logical GROUP BY event_type ORDER BY event_type"""
