@@ -23,11 +23,17 @@ code space fits the missing entries exactly); encode/decode are exact
 inverses (property-pinned), so engine streams are always
 self-consistent.
 
-Declared stubs: P/B slices (inter prediction), CABAC, 8x8 transform and
-scaling lists raise NotImplementedError naming the tool; the in-loop
-deblocking filter is not applied (fixtures disable it; foreign streams
-that enable it decode without it). Header parsing (probe) works on any
-baseline/main/high stream.
+**P slices (inter prediction) decode too** — quarter-pel motion
+compensation, MVP, every partition/sub-partition shape, P_Skip runs and
+intra MBs in P slices live in h264inter (which reuses this module's
+entropy/transform layers and _decode_mb_intra); decode_annexb /
+decode_avcc maintain the reference list and dispatch by slice type.
+
+Declared stubs: B slices, CABAC, weighted prediction, MMCO/list
+reordering, 8x8 transform and scaling lists raise NotImplementedError
+naming the tool; the in-loop deblocking filter is not applied (fixtures
+disable it; foreign streams that enable it decode without it). Header
+parsing (probe) works on any baseline/main/high stream.
 
 Reference parity note: the reference stores media blobs untouched; this
 codec backs the engine's multimodal stages (multimodal.py), extending
@@ -228,7 +234,7 @@ def parse_sps(rbsp: bytes) -> dict:
         log2_max_poc_lsb = 0
     else:
         log2_max_poc_lsb = 0
-    r.ue()                                    # max_num_ref_frames
+    max_num_ref = r.ue()                      # max_num_ref_frames
     r.u(1)                                    # gaps allowed
     mb_w = r.ue() + 1
     map_h = r.ue() + 1
@@ -250,6 +256,7 @@ def parse_sps(rbsp: bytes) -> dict:
         "chroma_format_idc": chroma_format_idc,
         "log2_max_frame_num": log2_max_frame_num, "poc_type": poc_type,
         "log2_max_poc_lsb": log2_max_poc_lsb,
+        "max_num_ref": max_num_ref,
         "mb_w": mb_w, "mb_h": mb_h, "frame_mbs_only": frame_mbs_only,
         "width": mb_w * 16 - cx * (crop_l + crop_r),
         "height": mb_h * 16 - cy * (crop_t + crop_b),
@@ -265,15 +272,15 @@ def parse_pps(rbsp: bytes) -> dict:
     bottom_field_poc = r.u(1)
     if r.ue() != 0:                           # num_slice_groups_minus1
         raise NotImplementedError("H.264 slice groups (FMO) unsupported")
-    r.ue()
-    r.ue()                                    # num_ref_idx defaults
-    r.u(1)                                    # weighted_pred
+    num_ref_l0 = r.ue() + 1                   # num_ref_idx_l0_default
+    r.ue()                                    # num_ref_idx_l1_default
+    weighted_pred = r.u(1)
     r.u(2)                                    # weighted_bipred
     init_qp = r.se() + 26
     r.se()                                    # pic_init_qs
     chroma_qp_offset = r.se()
     deblock_ctrl = r.u(1)
-    r.u(1)                                    # constrained_intra
+    constrained_intra = r.u(1)
     r.u(1)                                    # redundant_pic_cnt
     transform_8x8 = 0
     if _more_rbsp_data(r):                    # high-profile PPS extension
@@ -285,7 +292,9 @@ def parse_pps(rbsp: bytes) -> dict:
     return {"pps_id": pps_id, "sps_id": sps_id, "cabac": cabac,
             "bottom_field_poc": bottom_field_poc, "init_qp": init_qp,
             "chroma_qp_offset": chroma_qp_offset,
-            "deblock_ctrl": deblock_ctrl, "transform_8x8": transform_8x8}
+            "deblock_ctrl": deblock_ctrl, "transform_8x8": transform_8x8,
+            "num_ref_l0": num_ref_l0, "weighted_pred": weighted_pred,
+            "constrained_intra": constrained_intra}
 
 
 def _more_rbsp_data(r: _BitReader) -> bool:
@@ -379,21 +388,49 @@ def _unzigzag15(levels: np.ndarray) -> np.ndarray:
     return m.reshape(4, 4)
 
 
+class _PicCtx:
+    """Per-picture decode state shared by the I- and P-slice decoders:
+    reconstruction planes, CAVLC nC grids, intra-mode grid, and (for
+    inter) the per-4x4 motion field (h264inter)."""
+
+    def __init__(self, sps: dict, pps: dict):
+        mb_w, mb_h = sps["mb_w"], sps["mb_h"]
+        self.mb_w, self.mb_h = mb_w, mb_h
+        self.Y = np.zeros((mb_h * 16, mb_w * 16), np.uint8)
+        self.Cb = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
+        self.Cr = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
+        self.W4 = mb_w * 4
+        self.luma_nc = np.zeros((mb_h * 4, self.W4), np.int32)
+        self.cb_nc = np.zeros((mb_h * 2, mb_w * 2), np.int32)
+        self.cr_nc = np.zeros((mb_h * 2, mb_w * 2), np.int32)
+        self.ipm = np.full((mb_h * 4, self.W4), -1, np.int32)
+        self.qp = pps["init_qp"]
+        self.qpc_off = pps.get("chroma_qp_offset", 0)
+        self.pps = pps
+        # per-4x4 motion field (refidx -1 = intra / unavailable)
+        self.mvx = np.zeros((mb_h * 4, self.W4), np.int32)
+        self.mvy = np.zeros((mb_h * 4, self.W4), np.int32)
+        self.refidx = np.full((mb_h * 4, self.W4), -1, np.int32)
+        self.mb_intra = np.zeros((mb_h, mb_w), bool)
+
+
 def _decode_slice_intra(rbsp: bytes, sps: dict, pps: dict, idr: bool):
     """I-slice → (Y, Cb, Cr) planes. Macroblocks: I_PCM, Intra_4x4 and
     Intra_16x16 with CAVLC residuals (§7.3.5/§8.3/§9.2). No deblocking
     filter is applied (fixture streams disable it; foreign streams that
     enable it reconstruct without the loop filter — documented
     approximation)."""
-    from . import h264intra as hi
-
     r = _BitReader(rbsp)
     first_mb = r.ue()
     slice_type = r.ue()
+    if slice_type % 5 == 0:                   # P slice (0 or 5)
+        raise NotImplementedError(
+            "H.264 P slice reached the intra decoder — route through "
+            "decode_annexb/decode_avcc, which keep the reference list")
     if slice_type % 5 != 2:                   # I slice (2 or 7)
         raise NotImplementedError(
-            f"H.264 slice_type {slice_type} (P/B/SP/SI) requires inter "
-            "prediction — external decoder needed")
+            f"H.264 slice_type {slice_type} (B/SP/SI) requires "
+            "bi/switching prediction — external decoder needed")
     if pps["cabac"]:
         raise NotImplementedError(
             "H.264 CABAC entropy decoding not implemented")
@@ -413,128 +450,85 @@ def _decode_slice_intra(rbsp: bytes, sps: dict, pps: dict, idr: bool):
         if r.ue() != 1:                       # disable_deblocking_idc
             r.se()
             r.se()
-    mb_w, mb_h = sps["mb_w"], sps["mb_h"]
     if first_mb != 0:
         raise NotImplementedError("H.264 multi-slice pictures unsupported")
-    Y = np.zeros((mb_h * 16, mb_w * 16), np.uint8)
-    Cb = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
-    Cr = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
-    W4 = mb_w * 4
-    luma_nc = np.zeros((mb_h * 4, W4), np.int32)
-    cb_nc = np.zeros((mb_h * 2, mb_w * 2), np.int32)
-    cr_nc = np.zeros((mb_h * 2, mb_w * 2), np.int32)
-    ipm = np.full((mb_h * 4, W4), -1, np.int32)   # -1 = not Intra_4x4
-    qpc_off = pps.get("chroma_qp_offset", 0)
+    ctx = _PicCtx(sps, pps)
+    ctx.qp = qp
 
-    for mb in range(mb_w * mb_h):
-        mby, mbx = mb // mb_w, mb % mb_w
-        my, mx = mby * 16, mbx * 16
+    for mb in range(ctx.mb_w * ctx.mb_h):
+        mby, mbx = mb // ctx.mb_w, mb % ctx.mb_w
         mb_type = r.ue()
-        if mb_type == 25:                     # I_PCM
-            r.byte_align()
-            Y[my:my + 16, mx:mx + 16] = np.frombuffer(
-                r.bytes_(256), np.uint8).reshape(16, 16)
-            cy, cx = my // 2, mx // 2
-            Cb[cy:cy + 8, cx:cx + 8] = np.frombuffer(
-                r.bytes_(64), np.uint8).reshape(8, 8)
-            Cr[cy:cy + 8, cx:cx + 8] = np.frombuffer(
-                r.bytes_(64), np.uint8).reshape(8, 8)
-            luma_nc[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 16
-            cb_nc[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 16
-            cr_nc[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 16
-            continue
         if mb_type > 25:
             raise ValueError(f"H.264: invalid I-slice mb_type {mb_type}")
-        avail_l, avail_t = mbx > 0, mby > 0
+        _decode_mb_intra(r, ctx, mb_type, mbx, mby,
+                         mbx > 0, mby > 0)
+    return ctx.Y, ctx.Cb, ctx.Cr
 
-        if mb_type == 0:                      # Intra_4x4
-            if pps.get("transform_8x8"):
-                if r.u(1):                    # transform_size_8x8_flag
-                    raise NotImplementedError(
-                        "H.264 8x8 transform not supported")
-            modes = []
-            for k in range(16):
-                x4, y4 = hi.BLK4_POS[k]
-                bx, by = mbx * 4 + x4, mby * 4 + y4
-                ma = int(ipm[by, bx - 1]) if bx > 0 else 2
-                mb_ = int(ipm[by - 1, bx]) if by > 0 else 2
-                pred_mode = min(ma if ma >= 0 else 2,
-                                mb_ if mb_ >= 0 else 2)
-                if r.u(1):                    # prev_intra4x4_pred_mode_flag
-                    mode = pred_mode
-                else:
-                    rem = r.u(3)
-                    mode = rem if rem < pred_mode else rem + 1
-                modes.append(mode)
-                ipm[by, bx] = mode
-            chroma_mode = r.ue()
-            cbp = hi.CBP_INTRA[r.ue()]
-            cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
-            if cbp:
-                qp = (qp + r.se() + 52) % 52
-            luma_coeffs = [None] * 16
-            for i8 in range(4):
-                if not (cbp_luma & (1 << i8)):
-                    continue
-                for sub in range(4):
-                    k = 4 * i8 + sub
-                    x4, y4 = hi.BLK4_POS[k]
-                    bx, by = mbx * 4 + x4, mby * 4 + y4
-                    c = hi.decode_residual_block(
-                        r, _nc_of(luma_nc, bx, by), 16)
-                    luma_nc[by, bx] = int(np.count_nonzero(c))
-                    luma_coeffs[k] = c
-            dc_cb = dc_cr = None
-            ac_cb = [None] * 4
-            ac_cr = [None] * 4
-            if cbp_chroma:
-                dc_cb = hi.decode_residual_block(r, -1, 4)
-                dc_cr = hi.decode_residual_block(r, -1, 4)
-            if cbp_chroma == 2:
-                for comp, (grid, acc) in enumerate(
-                        ((cb_nc, ac_cb), (cr_nc, ac_cr))):
-                    for k in range(4):
-                        bx = mbx * 2 + (k & 1)
-                        by = mby * 2 + (k >> 1)
-                        c = hi.decode_residual_block(
-                            r, _nc_of(grid, bx, by), 15)
-                        grid[by, bx] = int(np.count_nonzero(c))
-                        acc[k] = c
-            # reconstruct luma block-by-block in z order
-            for k in range(16):
-                x4, y4 = hi.BLK4_POS[k]
-                bx, by = mbx * 4 + x4, mby * 4 + y4
-                nb = _luma4x4_neighbors(Y, bx, by, k, W4)
-                pred = hi.pred4x4(modes[k], *nb)
-                lv = luma_coeffs[k]
-                d = hi.dequant4x4(_unzigzag16(lv), qp) if lv is not None \
-                    else np.zeros((4, 4), np.int64)
-                Y[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
-                    hi.reconstruct4x4(pred, d)
-            _recon_chroma(Cb, Cr, mbx, mby, chroma_mode, dc_cb, dc_cr,
-                          ac_cb, ac_cr, hi.chroma_qp(qp, qpc_off),
-                          avail_l, avail_t)
-            continue
 
-        # Intra_16x16 (mb_type 1..24)
-        pm16 = (mb_type - 1) % 4
-        cbp_chroma = ((mb_type - 1) // 4) % 3
-        cbp_luma = 15 if mb_type >= 13 else 0
+def _decode_mb_intra(r: "_BitReader", ctx: _PicCtx, mb_type: int,
+                     mbx: int, mby: int, avail_l: bool, avail_t: bool):
+    """One intra macroblock (I_PCM / Intra_4x4 / Intra_16x16, CAVLC)
+    into the picture context — shared by the I-slice decoder and intra
+    MBs inside P slices (where mb_type arrives offset by 5)."""
+    from . import h264intra as hi
+
+    Y, Cb, Cr = ctx.Y, ctx.Cb, ctx.Cr
+    luma_nc, cb_nc, cr_nc = ctx.luma_nc, ctx.cb_nc, ctx.cr_nc
+    ipm, W4, pps, qpc_off = ctx.ipm, ctx.W4, ctx.pps, ctx.qpc_off
+    qp = ctx.qp
+    my, mx = mby * 16, mbx * 16
+    ctx.mb_intra[mby, mbx] = True
+    if mb_type == 25:                         # I_PCM
+        r.byte_align()
+        Y[my:my + 16, mx:mx + 16] = np.frombuffer(
+            r.bytes_(256), np.uint8).reshape(16, 16)
+        cy, cx = my // 2, mx // 2
+        Cb[cy:cy + 8, cx:cx + 8] = np.frombuffer(
+            r.bytes_(64), np.uint8).reshape(8, 8)
+        Cr[cy:cy + 8, cx:cx + 8] = np.frombuffer(
+            r.bytes_(64), np.uint8).reshape(8, 8)
+        luma_nc[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 16
+        cb_nc[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 16
+        cr_nc[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 16
+        return
+
+    if mb_type == 0:                          # Intra_4x4
+        if pps.get("transform_8x8"):
+            if r.u(1):                    # transform_size_8x8_flag
+                raise NotImplementedError(
+                    "H.264 8x8 transform not supported")
+        modes = []
+        for k in range(16):
+            x4, y4 = hi.BLK4_POS[k]
+            bx, by = mbx * 4 + x4, mby * 4 + y4
+            ma = int(ipm[by, bx - 1]) if bx > 0 else 2
+            mb_ = int(ipm[by - 1, bx]) if by > 0 else 2
+            pred_mode = min(ma if ma >= 0 else 2,
+                            mb_ if mb_ >= 0 else 2)
+            if r.u(1):                    # prev_intra4x4_pred_mode_flag
+                mode = pred_mode
+            else:
+                rem = r.u(3)
+                mode = rem if rem < pred_mode else rem + 1
+            modes.append(mode)
+            ipm[by, bx] = mode
         chroma_mode = r.ue()
-        qp = (qp + r.se() + 52) % 52          # mb_qp_delta always present
-        dc_lv = hi.decode_residual_block(
-            r, _nc_of(luma_nc, mbx * 4, mby * 4), 16)
-        ac = [None] * 16
-        if cbp_luma:
-            for i8 in range(4):
-                for sub in range(4):
-                    k = 4 * i8 + sub
-                    x4, y4 = hi.BLK4_POS[k]
-                    bx, by = mbx * 4 + x4, mby * 4 + y4
-                    c = hi.decode_residual_block(
-                        r, _nc_of(luma_nc, bx, by), 15)
-                    luma_nc[by, bx] = int(np.count_nonzero(c))
-                    ac[k] = c
+        cbp = hi.CBP_INTRA[r.ue()]
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp:
+            qp = (qp + r.se() + 52) % 52
+        luma_coeffs = [None] * 16
+        for i8 in range(4):
+            if not (cbp_luma & (1 << i8)):
+                continue
+            for sub in range(4):
+                k = 4 * i8 + sub
+                x4, y4 = hi.BLK4_POS[k]
+                bx, by = mbx * 4 + x4, mby * 4 + y4
+                c = hi.decode_residual_block(
+                    r, _nc_of(luma_nc, bx, by), 16)
+                luma_nc[by, bx] = int(np.count_nonzero(c))
+                luma_coeffs[k] = c
         dc_cb = dc_cr = None
         ac_cb = [None] * 4
         ac_cr = [None] * 4
@@ -542,7 +536,8 @@ def _decode_slice_intra(rbsp: bytes, sps: dict, pps: dict, idr: bool):
             dc_cb = hi.decode_residual_block(r, -1, 4)
             dc_cr = hi.decode_residual_block(r, -1, 4)
         if cbp_chroma == 2:
-            for grid, acc in ((cb_nc, ac_cb), (cr_nc, ac_cr)):
+            for comp, (grid, acc) in enumerate(
+                    ((cb_nc, ac_cb), (cr_nc, ac_cr))):
                 for k in range(4):
                     bx = mbx * 2 + (k & 1)
                     by = mby * 2 + (k >> 1)
@@ -550,23 +545,74 @@ def _decode_slice_intra(rbsp: bytes, sps: dict, pps: dict, idr: bool):
                         r, _nc_of(grid, bx, by), 15)
                     grid[by, bx] = int(np.count_nonzero(c))
                     acc[k] = c
-        left = Y[my:my + 16, mx - 1] if avail_l else None
-        top = Y[my - 1, mx:mx + 16] if avail_t else None
-        corner = int(Y[my - 1, mx - 1]) if (avail_l and avail_t) else None
-        pred = hi.pred16x16(pm16, left, top, corner, avail_l, avail_t)
-        dcY = hi.luma_dc_dequant(_unzigzag16(dc_lv), qp)
+        # reconstruct luma block-by-block in z order
         for k in range(16):
             x4, y4 = hi.BLK4_POS[k]
-            d = hi.dequant4x4(_unzigzag15(ac[k]), qp) if ac[k] is not None \
+            bx, by = mbx * 4 + x4, mby * 4 + y4
+            nb = _luma4x4_neighbors(Y, bx, by, k, W4)
+            pred = hi.pred4x4(modes[k], *nb)
+            lv = luma_coeffs[k]
+            d = hi.dequant4x4(_unzigzag16(lv), qp) if lv is not None \
                 else np.zeros((4, 4), np.int64)
-            d[0, 0] = dcY[y4, x4]
-            py, px = my + y4 * 4, mx + x4 * 4
-            Y[py:py + 4, px:px + 4] = hi.reconstruct4x4(
-                pred[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4], d)
+            Y[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
+                hi.reconstruct4x4(pred, d)
         _recon_chroma(Cb, Cr, mbx, mby, chroma_mode, dc_cb, dc_cr,
                       ac_cb, ac_cr, hi.chroma_qp(qp, qpc_off),
                       avail_l, avail_t)
-    return Y, Cb, Cr
+        ctx.qp = qp
+        return
+
+    # Intra_16x16 (mb_type 1..24)
+    pm16 = (mb_type - 1) % 4
+    cbp_chroma = ((mb_type - 1) // 4) % 3
+    cbp_luma = 15 if mb_type >= 13 else 0
+    chroma_mode = r.ue()
+    qp = (qp + r.se() + 52) % 52          # mb_qp_delta always present
+    dc_lv = hi.decode_residual_block(
+        r, _nc_of(luma_nc, mbx * 4, mby * 4), 16)
+    ac = [None] * 16
+    if cbp_luma:
+        for i8 in range(4):
+            for sub in range(4):
+                k = 4 * i8 + sub
+                x4, y4 = hi.BLK4_POS[k]
+                bx, by = mbx * 4 + x4, mby * 4 + y4
+                c = hi.decode_residual_block(
+                    r, _nc_of(luma_nc, bx, by), 15)
+                luma_nc[by, bx] = int(np.count_nonzero(c))
+                ac[k] = c
+    dc_cb = dc_cr = None
+    ac_cb = [None] * 4
+    ac_cr = [None] * 4
+    if cbp_chroma:
+        dc_cb = hi.decode_residual_block(r, -1, 4)
+        dc_cr = hi.decode_residual_block(r, -1, 4)
+    if cbp_chroma == 2:
+        for grid, acc in ((cb_nc, ac_cb), (cr_nc, ac_cr)):
+            for k in range(4):
+                bx = mbx * 2 + (k & 1)
+                by = mby * 2 + (k >> 1)
+                c = hi.decode_residual_block(
+                    r, _nc_of(grid, bx, by), 15)
+                grid[by, bx] = int(np.count_nonzero(c))
+                acc[k] = c
+    left = Y[my:my + 16, mx - 1] if avail_l else None
+    top = Y[my - 1, mx:mx + 16] if avail_t else None
+    corner = int(Y[my - 1, mx - 1]) if (avail_l and avail_t) else None
+    pred = hi.pred16x16(pm16, left, top, corner, avail_l, avail_t)
+    dcY = hi.luma_dc_dequant(_unzigzag16(dc_lv), qp)
+    for k in range(16):
+        x4, y4 = hi.BLK4_POS[k]
+        d = hi.dequant4x4(_unzigzag15(ac[k]), qp) if ac[k] is not None \
+            else np.zeros((4, 4), np.int64)
+        d[0, 0] = dcY[y4, x4]
+        py, px = my + y4 * 4, mx + x4 * 4
+        Y[py:py + 4, px:px + 4] = hi.reconstruct4x4(
+            pred[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4], d)
+    _recon_chroma(Cb, Cr, mbx, mby, chroma_mode, dc_cb, dc_cr,
+                  ac_cb, ac_cr, hi.chroma_qp(qp, qpc_off),
+                  avail_l, avail_t)
+    ctx.qp = qp
 
 
 def _recon_chroma(Cb, Cr, mbx, mby, mode, dc_cb, dc_cr, ac_cb, ac_cr,
@@ -632,13 +678,39 @@ def _rgb_to_yuv(arr: np.ndarray):
     return to8(y), to8(sub(cb)), to8(sub(cr))
 
 
+def _peek_slice_type(rbsp: bytes) -> int:
+    r = _BitReader(rbsp)
+    r.ue()                                    # first_mb_in_slice
+    return r.ue()
+
+
+def _decode_slice_any(rbsp: bytes, sps: dict, pps: dict, ntype: int,
+                      ref_idc: int, refs: list):
+    """Dispatch one coded slice (I or P) and maintain the reference
+    list (sliding window, most recent first)."""
+    if _peek_slice_type(rbsp) % 5 == 0:       # P
+        from . import h264inter
+
+        planes = h264inter.decode_slice_p(rbsp, sps, pps, ref_idc, refs)
+    else:
+        planes = _decode_slice_intra(rbsp, sps, pps, idr=(ntype == 5))
+    if ntype == 5:
+        refs.clear()
+    if ref_idc:
+        refs.insert(0, planes)
+        del refs[max(1, sps.get("max_num_ref", 1)):]
+    return planes
+
+
 def decode_annexb(b: bytes) -> list[np.ndarray]:
-    """Annex-B H.264 stream → list of HxWx3 RGB frames. Decodes I-slices
-    with Intra_4x4 / Intra_16x16 (CAVLC) and I_PCM macroblocks; P/B
-    slices and CABAC raise naming the missing tool."""
+    """Annex-B H.264 stream → list of HxWx3 RGB frames. Decodes I slices
+    (Intra_4x4 / Intra_16x16 / I_PCM) and P slices (full inter partition
+    set incl. P_Skip, h264inter) with CAVLC; B slices and CABAC raise
+    naming the missing tool."""
     sps_map: dict[int, dict] = {}
     pps_map: dict[int, dict] = {}
     frames: list[np.ndarray] = []
+    refs: list = []
     for nal in iter_nals_annexb(b):
         if not nal:
             continue
@@ -656,8 +728,8 @@ def decode_annexb(b: bytes) -> list[np.ndarray]:
             # single-SPS/PPS streams (ours) — take the active sets
             pps = next(iter(pps_map.values()))
             sps = sps_map[pps["sps_id"]]
-            Y, Cb, Cr = _decode_slice_intra(rbsp, sps, pps,
-                                            idr=(ntype == 5))
+            Y, Cb, Cr = _decode_slice_any(rbsp, sps, pps, ntype,
+                                          (nal[0] >> 5) & 3, refs)
             frames.append(_yuv_to_rgb(Y, Cb, Cr,
                                       sps["width"], sps["height"]))
     if not frames:
@@ -691,6 +763,7 @@ def decode_avcc(avcc: bytes, samples: list[bytes]) -> list[np.ndarray]:
         pps_map[p["pps_id"]] = p
         pos += ln
     frames = []
+    refs: list = []
     for sample in samples:
         for nal in iter_nals_length_prefixed(sample, length_size):
             if not nal:
@@ -699,8 +772,9 @@ def decode_avcc(avcc: bytes, samples: list[bytes]) -> list[np.ndarray]:
             if ntype in (1, 5):
                 pps = next(iter(pps_map.values()))
                 sps = sps_map[pps["sps_id"]]
-                Y, Cb, Cr = _decode_slice_intra(
-                    _strip_emulation(nal[1:]), sps, pps, idr=(ntype == 5))
+                Y, Cb, Cr = _decode_slice_any(
+                    _strip_emulation(nal[1:]), sps, pps, ntype,
+                    (nal[0] >> 5) & 3, refs)
                 frames.append(_yuv_to_rgb(Y, Cb, Cr,
                                           sps["width"], sps["height"]))
     return frames
@@ -1074,7 +1148,7 @@ def _slice_rbsp_cavlc(arr: np.ndarray, qp: int, idr_pic_id: int = 0,
         write_chroma(bw)
 
     recon = _yuv_to_rgb(Yr, Cbr, Crr, w, h)
-    return bw.trailing(), recon
+    return bw.trailing(), recon, (Yr, Cbr, Crr)
 
 
 def encode_annexb_cavlc(frames: list[np.ndarray], qp: int = 26,
@@ -1094,8 +1168,8 @@ def encode_annexb_cavlc(frames: list[np.ndarray], qp: int = 26,
     for i, f in enumerate(frames):
         if f.shape[:2] != (h, w):
             raise ValueError("all frames must share dimensions")
-        rbsp, recon = _slice_rbsp_cavlc(f, qp, idr_pic_id=i & 1,
-                                        mix_i4=mix_i4)
+        rbsp, recon, _ = _slice_rbsp_cavlc(f, qp, idr_pic_id=i & 1,
+                                           mix_i4=mix_i4)
         out.append(sc + _nal(5, rbsp))
         recons.append(recon)
     return b"".join(out), recons
@@ -1107,8 +1181,8 @@ def encode_samples_cavlc(frames: list[np.ndarray], qp: int = 26,
     route → (samples, reconstructed frames)."""
     out, recons = [], []
     for i, f in enumerate(frames):
-        rbsp, recon = _slice_rbsp_cavlc(f, qp, idr_pic_id=i & 1,
-                                        mix_i4=mix_i4)
+        rbsp, recon, _ = _slice_rbsp_cavlc(f, qp, idr_pic_id=i & 1,
+                                           mix_i4=mix_i4)
         nal = _nal(5, rbsp)
         out.append(struct.pack(">I", len(nal)) + nal)
         recons.append(recon)

@@ -445,8 +445,24 @@ def encode_mp4_h264_cavlc(frames: list[np.ndarray], fps: int = 10,
     return _build_mp4_avc1(frames, samples, fps), recons
 
 
+def encode_mp4_h264_gop(frames: list[np.ndarray], fps: int = 10,
+                        qp: int = 26, gop: int = 8,
+                        partition_cycle: bool = False,
+                        intra_every: int = 0):
+    """uint8 RGB frames → (avc1 MP4 with IDR+P GOP structure —
+    predicted macroblocks, CAVLC, h264inter — plus the conforming
+    decoder's expected reconstructions). stss marks only the IDR
+    samples, so seek paths see a REAL sync-sample table."""
+    from . import h264inter
+
+    samples, recons, sync = h264inter.encode_gop_samples(
+        frames, qp=qp, gop=gop, partition_cycle=partition_cycle,
+        intra_every=intra_every)
+    return _build_mp4_avc1(frames, samples, fps, sync=sync), recons
+
+
 def _build_mp4_avc1(frames: list[np.ndarray], samples: list[bytes],
-                    fps: int = 10) -> bytes:
+                    fps: int = 10, sync: list | None = None) -> bytes:
     from . import h264codec
 
     if not frames:
@@ -475,8 +491,9 @@ def _build_mp4_avc1(frames: list[np.ndarray], samples: list[bytes],
     stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, n)
                  + b"".join(struct.pack(">I", len(s)) for s in samples))
     stco = _full(b"stco", 0, 0, struct.pack(">II", 1, first_sample_off))
-    stss = _full(b"stss", 0, 0, struct.pack(">I", n)
-                 + b"".join(struct.pack(">I", i + 1) for i in range(n)))
+    sync_idx = [i for i in range(n) if sync is None or sync[i]]
+    stss = _full(b"stss", 0, 0, struct.pack(">I", len(sync_idx))
+                 + b"".join(struct.pack(">I", i + 1) for i in sync_idx))
     stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
     vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
     dref = _full(b"dref", 0, 0, struct.pack(">I", 1)

@@ -1230,9 +1230,9 @@ def _synth_au(seed: int, n: int = 2000) -> bytes:
 
 def _synth_mp4_h264(seed: int, frames: int = 5, w: int = 32,
                     h: int = 16) -> bytes:
-    """avc1 MP4: odd seeds carry CAVLC intra-coded pictures (the round-4
-    real-compression path), even seeds I_PCM — the corpus exercises both
-    macroblock families through FrameSample."""
+    """avc1 MP4 rotating the three macroblock families through
+    FrameSample: seed%3==0 → I_PCM, 1 → CAVLC all-intra, 2 → IDR+P GOP
+    with predicted macroblocks (h264inter — the real-crawl shape)."""
     from . import mp4codec
 
     yy, xx = np.mgrid[0:h, 0:w]
@@ -1240,7 +1240,10 @@ def _synth_mp4_h264(seed: int, frames: int = 5, w: int = 32,
                      np.clip(xx * 5, 0, 255),
                      np.clip(120 + yy * 2 - xx + seed % 40, 0, 255)],
                     axis=-1).astype(np.uint8) for i in range(frames)]
-    if seed % 2:
+    if seed % 3 == 2:
+        return mp4codec.encode_mp4_h264_gop(
+            frs, fps=5, qp=22, gop=4, partition_cycle=bool(seed % 2))[0]
+    if seed % 3 == 1:
         return mp4codec.encode_mp4_h264_cavlc(frs, fps=5, qp=22)[0]
     return mp4codec.encode_mp4_h264_ipcm(frs, fps=5)
 

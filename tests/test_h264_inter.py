@@ -1,0 +1,269 @@
+"""H.264 P-slice (inter) layer: interpolators pinned against an
+independent scalar spec transcription, MVP rules, and IDR+P GOP
+round-trips pixel-exact through every partition decode path."""
+
+import numpy as np
+import pytest
+
+from gitprov_ray import h264codec as H
+from gitprov_ray import h264inter as HI
+from gitprov_ray import mp4codec as M
+
+rng = np.random.default_rng(1234)
+
+
+# ---------------------------------------------------------------------------
+# §8.4.2.2 interpolation vs a direct scalar transcription of the spec
+# ---------------------------------------------------------------------------
+
+def _luma_sample_spec(ref, x, y, fx, fy):
+    """One luma sample at full-pel (x,y) + frac (fx,fy), written straight
+    from §8.4.2.2.1 with per-sample loops (no sharing with mc_luma)."""
+    Hh, Ww = ref.shape
+
+    def P(xx, yy):
+        return int(ref[min(max(yy, 0), Hh - 1), min(max(xx, 0), Ww - 1)])
+
+    taps = (1, -5, 20, 20, -5, 1)
+
+    def b1(xx, yy):                      # unnorm half-horizontal
+        return sum(c * P(xx + i - 2, yy) for i, c in enumerate(taps))
+
+    def h1(xx, yy):                      # unnorm half-vertical
+        return sum(c * P(xx, yy + i - 2) for i, c in enumerate(taps))
+
+    def clip(v):
+        return min(max(v, 0), 255)
+
+    def b(xx, yy):
+        return clip((b1(xx, yy) + 16) >> 5)
+
+    def hs(xx, yy):
+        return clip((h1(xx, yy) + 16) >> 5)
+
+    def j(xx, yy):
+        j1 = sum(c * b1(xx, yy + i - 2) for i, c in enumerate(taps))
+        return clip((j1 + 512) >> 10)
+
+    G = P(x, y)
+    tab = {
+        (0, 0): lambda: G,
+        (1, 0): lambda: (G + b(x, y) + 1) >> 1,
+        (2, 0): lambda: b(x, y),
+        (3, 0): lambda: (b(x, y) + P(x + 1, y) + 1) >> 1,
+        (0, 1): lambda: (G + hs(x, y) + 1) >> 1,
+        (0, 2): lambda: hs(x, y),
+        (0, 3): lambda: (hs(x, y) + P(x, y + 1) + 1) >> 1,
+        (1, 1): lambda: (b(x, y) + hs(x, y) + 1) >> 1,
+        (3, 1): lambda: (b(x, y) + hs(x + 1, y) + 1) >> 1,
+        (1, 3): lambda: (hs(x, y) + b(x, y + 1) + 1) >> 1,
+        (3, 3): lambda: (hs(x + 1, y) + b(x, y + 1) + 1) >> 1,
+        (2, 1): lambda: (b(x, y) + j(x, y) + 1) >> 1,
+        (2, 3): lambda: (j(x, y) + b(x, y + 1) + 1) >> 1,
+        (1, 2): lambda: (hs(x, y) + j(x, y) + 1) >> 1,
+        (3, 2): lambda: (j(x, y) + hs(x + 1, y) + 1) >> 1,
+        (2, 2): lambda: j(x, y),
+    }
+    return tab[(fx, fy)]()
+
+
+def test_mc_luma_all_fracs_match_scalar_spec():
+    ref = rng.integers(0, 256, (24, 28), dtype=np.uint8)
+    for fy in range(4):
+        for fx in range(4):
+            for mvi_x, mvi_y in ((0, 0), (-3, 2), (5, -4)):
+                mvx, mvy = mvi_x * 4 + fx, mvi_y * 4 + fy
+                got = HI.mc_luma(ref, 6, 5, mvx, mvy, 8, 8)
+                exp = np.array(
+                    [[_luma_sample_spec(ref, 6 + mvi_x + xx,
+                                        5 + mvi_y + yy, fx, fy)
+                      for xx in range(8)] for yy in range(8)],
+                    np.uint8)
+                assert np.array_equal(got, exp), (fx, fy, mvi_x, mvi_y)
+
+
+def test_mc_luma_negative_mv_frac():
+    """Negative quarter-pel MVs floor-divide (arithmetic shift) per
+    spec: mv −1 means full-pel −1 + frac 3."""
+    ref = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    got = HI.mc_luma(ref, 4, 4, -1, -1, 4, 4)
+    exp = np.array([[_luma_sample_spec(ref, 4 - 1 + xx, 4 - 1 + yy, 3, 3)
+                     for xx in range(4)] for yy in range(4)], np.uint8)
+    assert np.array_equal(got, exp)
+
+
+def test_mc_chroma_matches_scalar_spec():
+    ref = rng.integers(0, 256, (12, 14), dtype=np.uint8)
+    Hh, Ww = ref.shape
+
+    def P(xx, yy):
+        return int(ref[min(max(yy, 0), Hh - 1), min(max(xx, 0), Ww - 1)])
+
+    for mvx, mvy in ((0, 0), (3, 5), (-9, 7), (13, -2)):
+        got = HI.mc_chroma(ref, 3, 2, mvx, mvy, 4, 4)
+        dx, dy = mvx & 7, mvy & 7
+        xb, yb = 3 + (mvx >> 3), 2 + (mvy >> 3)
+        exp = np.array(
+            [[((8 - dx) * (8 - dy) * P(xb + xx, yb + yy)
+               + dx * (8 - dy) * P(xb + xx + 1, yb + yy)
+               + (8 - dx) * dy * P(xb + xx, yb + yy + 1)
+               + dx * dy * P(xb + xx + 1, yb + yy + 1) + 32) >> 6
+              for xx in range(4)] for yy in range(4)], np.uint8)
+        assert np.array_equal(got, exp), (mvx, mvy)
+
+
+def test_cbp_inter_table_sane():
+    assert sorted(HI.CBP_INTER) == list(range(48))
+    # most common inter patterns take the shortest codes (Table 9-4)
+    assert HI.CBP_INTER[0] == 0        # no residual
+    assert HI.CBP_INTER[1] == 16       # chroma DC only
+    assert HI.CBP_INTER[2:6] == [1, 2, 4, 8]   # single luma 8x8
+
+
+# ---------------------------------------------------------------------------
+# MVP rules
+# ---------------------------------------------------------------------------
+
+def _ctx(mb_w=4, mb_h=4):
+    sps = H.parse_sps(H._sps_rbsp(mb_w * 16, mb_h * 16))
+    pps = H.parse_pps(H._pps_rbsp())
+    return H._PicCtx(sps, pps)
+
+
+def test_mvp_median_and_unique_ref():
+    ctx = _ctx()
+    # current MB (1,1): A=(3,4) grid block left, B above, C above-right
+    ctx.refidx[4, 3] = 0
+    ctx.mvx[4, 3], ctx.mvy[4, 3] = 8, 2      # A
+    ctx.refidx[3, 4] = 0
+    ctx.mvx[3, 4], ctx.mvy[3, 4] = 4, 6      # B
+    ctx.refidx[3, 8] = 0
+    ctx.mvx[3, 8], ctx.mvy[3, 8] = 12, 4     # C
+    assert HI.mvp_for(ctx, 4, 4, 4, 4, 0) == (8, 4)   # medians
+    # unique matching refIdx wins outright
+    ctx.refidx[3, 4] = 1
+    ctx.refidx[3, 8] = 1
+    assert HI.mvp_for(ctx, 4, 4, 4, 4, 0) == (8, 2)   # only A matches
+
+
+def test_mvp_top_row_uses_a_only():
+    ctx = _ctx()
+    ctx.refidx[0, 3] = 0
+    ctx.mvx[0, 3], ctx.mvy[0, 3] = -4, 8
+    # current MB (1,0): B/C outside the picture, A available
+    assert HI.mvp_for(ctx, 4, 0, 4, 4, 0) == (-4, 8)
+
+
+def test_skip_mv_zero_when_neighbors_stationary():
+    ctx = _ctx()
+    # left neighbor is a zero-mv ref0 block → P_Skip mv must be (0,0)
+    ctx.refidx[4, 3] = 0
+    assert HI.skip_mv(ctx, 4, 4) == (0, 0)
+    # MB at picture corner: A/B unavailable → (0,0)
+    assert HI.skip_mv(ctx, 0, 0) == (0, 0)
+    # moving neighbors: falls through to the 16x16 MVP
+    ctx.mvx[4, 3], ctx.mvy[4, 3] = 4, 4
+    ctx.refidx[3, 4] = 0
+    ctx.mvx[3, 4], ctx.mvy[3, 4] = 8, 8
+    ctx.refidx[3, 8] = 0
+    ctx.mvx[3, 8], ctx.mvy[3, 8] = 6, 2
+    assert HI.skip_mv(ctx, 4, 4) == (6, 4)
+
+
+# ---------------------------------------------------------------------------
+# GOP round-trips (encoder recon IS the conforming decoder output)
+# ---------------------------------------------------------------------------
+
+def _moving_frames(n, h, w, step=3):
+    """Translating texture + a moving block: P frames get real motion."""
+    base = rng.integers(0, 256, (h + n * step, w + n * step),
+                        dtype=np.uint8)
+    out = []
+    for i in range(n):
+        f = np.stack([base[i * step:i * step + h,
+                           i * step:i * step + w]] * 3, axis=-1).copy()
+        y = (i * 5) % (h - 8)
+        f[y:y + 8, 4:12] = (i * 37) % 255
+        out.append(f)
+    return out
+
+
+def test_gop_roundtrip_pixel_exact_16x16():
+    frames = _moving_frames(5, 32, 48)
+    stream, recons = HI.encode_gop_annexb(frames, qp=24, gop=5)
+    dec = H.decode_annexb(stream)
+    assert len(dec) == 5
+    for d, r in zip(dec, recons):
+        assert np.array_equal(d, r)
+    # the P frames must be a real approximation of the source too
+    err = np.abs(dec[3].astype(int) - frames[3].astype(int)).mean()
+    assert err < 12
+
+
+def test_gop_roundtrip_partition_cycle_and_intra_mbs():
+    """16x8 / 8x16 / P_8x8 partitions + intra MBs inside P slices."""
+    frames = _moving_frames(4, 48, 48, step=2)
+    stream, recons = HI.encode_gop_annexb(
+        frames, qp=20, gop=4, partition_cycle=True, intra_every=5)
+    dec = H.decode_annexb(stream)
+    for d, r in zip(dec, recons):
+        assert np.array_equal(d, r)
+
+
+def test_gop_roundtrip_multiple_qps_and_static_skip():
+    static = [np.full((32, 32, 3), 77, np.uint8)] * 4
+    for qp in (12, 30, 40):
+        stream, recons = HI.encode_gop_annexb(static, qp=qp, gop=4)
+        dec = H.decode_annexb(stream)
+        for d, r in zip(dec, recons):
+            assert np.array_equal(d, r)
+    # static P pictures collapse into skip runs: tiny P slices
+    nals = list(H.iter_nals_annexb(stream))
+    p_sizes = [len(n) for n in nals if (n[0] & 0x1F) == 1]
+    assert p_sizes and max(p_sizes) < 20
+
+
+def test_gop_second_idr_resets_references():
+    frames = _moving_frames(6, 32, 32)
+    stream, recons = HI.encode_gop_annexb(frames, qp=26, gop=3)
+    dec = H.decode_annexb(stream)
+    assert len(dec) == 6
+    for d, r in zip(dec, recons):
+        assert np.array_equal(d, r)
+
+
+def test_mp4_gop_end_to_end_with_sync_table():
+    frames = _moving_frames(6, 32, 32)
+    b, recons = M.encode_mp4_h264_gop(frames, fps=5, qp=24, gop=3,
+                                      partition_cycle=True)
+    p = M.probe_mp4(b)
+    t = p["tracks"][0]
+    assert t["codec"] == "avc1" and t["sample_count"] == 6
+    assert t["sync_samples"] == [1, 4]        # only the IDRs
+    dec = M.decode_mp4_frames(b)
+    assert len(dec) == 6
+    for d, r in zip(dec, recons):
+        assert np.array_equal(d, r)
+
+
+def test_p_slice_stub_boundaries():
+    frames = _moving_frames(2, 16, 16)
+    stream, _ = HI.encode_gop_annexb(frames, qp=26, gop=2)
+    # B slices still raise
+    sps = H._sps_rbsp(16, 16)
+    pps = H._pps_rbsp()
+    bw = H._BitWriter()
+    bw.ue(0)
+    bw.ue(6)          # slice_type B
+    bw.ue(0)
+    bad = (b"\x00\x00\x00\x01" + H._nal(7, sps)
+           + b"\x00\x00\x00\x01" + H._nal(8, pps)
+           + b"\x00\x00\x00\x01" + H._nal(1, bw.trailing()))
+    with pytest.raises(NotImplementedError, match="B/SP/SI"):
+        H.decode_annexb(bad)
+    # P slice with no prior reference picture is an error
+    nals = list(H.iter_nals_annexb(stream))
+    sc = b"\x00\x00\x00\x01"
+    no_idr = b"".join(sc + n for n in nals if (n[0] & 0x1F) != 5)
+    with pytest.raises(ValueError, match="no decoded reference"):
+        H.decode_annexb(no_idr)
