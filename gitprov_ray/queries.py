@@ -5784,6 +5784,51 @@ def q_delta_roundtrip_events(sf_dir: str):
                      "min_event_id": "int64", "max_event_id": "int64"})
 
 
+def q_iceberg_roundtrip_docs(sf_dir: str):
+    """Iceberg table lifecycle (iceberg.py — the open spec's two-level
+    Avro manifest tree through the engine's OWN avro codec): documents
+    stream into snapshot 1 (doc_id%3==0), snapshot 2 fast-appends
+    doc_id%3==1 (previous manifests carried forward in the new manifest
+    list), then the CURRENT snapshot is read back — version-hint →
+    metadata.json → manifest list avro → manifest avro → pruned parquet
+    — and aggregated per lang. The twin states the final snapshot
+    contents directly over the raw parquet."""
+    import hashlib as _h
+    import shutil
+
+    from . import iceberg as ice
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    tbl = ("/tmp/gitprov_iceberg_"
+           + _h.md5(str(sf_dir).encode()).hexdigest()[:12] + "/docs")
+    shutil.rmtree(tbl, ignore_errors=True)
+
+    def pick(mod):
+        return lambda df: df[df["doc_id"] % 3 == mod].reset_index(
+            drop=True)
+
+    ice.write_iceberg(ds.map_batches(pick(0), batch_format="pandas"),
+                      tbl)
+    ice.write_iceberg(ds.map_batches(pick(1), batch_format="pandas"),
+                      tbl, mode="append")
+    back = ice.read_iceberg(tbl, columns=["doc_id", "lang", "n_chars"])
+
+    g = (back.map_batches(
+        lambda df: pd.DataFrame({
+            "lang": df["lang"].astype(str),
+            "chars": df["n_chars"].astype("int64"),
+            "did": df["doc_id"].astype("int64")}),
+        batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("chars", alias_name="sum_chars"),
+                   Min("did", alias_name="min_doc_id"),
+                   Max("did", alias_name="max_doc_id"))).to_pandas()
+    g = g.sort_values("lang").reset_index(drop=True)
+    return g.astype({"n_docs": "int64", "sum_chars": "int64",
+                     "min_doc_id": "int64", "max_doc_id": "int64"})
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -5939,6 +5984,7 @@ QUERIES = {
     "q_fd_mine_events": q_fd_mine_events,
     "q_autocorr_events": q_autocorr_events,
     "q_delta_roundtrip_events": q_delta_roundtrip_events,
+    "q_iceberg_roundtrip_docs": q_iceberg_roundtrip_docs,
     "q_shot_boundary_media": q_shot_boundary_media,
     "q_zorder_events": q_zorder_events,
     "q_ann_hamming_topk": q_ann_hamming_topk,
@@ -9957,3 +10003,12 @@ SELECT event_type,
        CAST(MIN(event_id) AS BIGINT) AS min_event_id,
        CAST(MAX(event_id) AS BIGINT) AS max_event_id
 FROM logical GROUP BY event_type ORDER BY event_type"""
+
+ORACLE_SQL["q_iceberg_roundtrip_docs"] = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+FROM documents WHERE doc_id % 3 IN (0, 1)
+GROUP BY lang ORDER BY lang"""
