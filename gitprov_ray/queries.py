@@ -5829,6 +5829,99 @@ def q_iceberg_roundtrip_docs(sf_dir: str):
                      "min_doc_id": "int64", "max_doc_id": "int64"})
 
 
+def q_ranktests_events(sf_dir: str):
+    """Nonparametric two-sample tests ('click' vs 'error' value
+    distributions) in EXACT integers: Mann-Whitney U with midrank tie
+    handling (ranks doubled so midranks stay integral: doubled midrank
+    of a tie group = 2*cum_before + t + 1) and the Kolmogorov-Smirnov
+    distance as max|cum1*N2 − cum2*N1| (the CDF gap scaled by N1*N2 —
+    no division anywhere). The heavy step is ONE distributed per-value
+    aggregation (value cents → per-group counts); the rank/CDF walks run
+    on the aggregated value histogram, which is bounded by distinct
+    cents values, not row count."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["event_type"].isin(["click", "error"])]
+        g = pd.DataFrame({
+            "cents": _cents(sub["value"]),
+            "one": np.int64(1),
+            "is1": (sub["event_type"] == "click").astype("int64")})
+        a = (g.groupby("cents", sort=False)
+             .agg(n1=("is1", "sum"), n=("one", "sum")).reset_index())
+        a["n2"] = a["n"] - a["n1"]
+        return a[["cents", "n1", "n2"]]
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("cents")
+           .aggregate(Sum("n1", alias_name="n1"),
+                      Sum("n2", alias_name="n2"))).to_pandas()
+    agg = agg.sort_values("cents").reset_index(drop=True)
+    n1v = agg["n1"].to_numpy(np.int64)
+    n2v = agg["n2"].to_numpy(np.int64)
+    t = n1v + n2v
+    cum_before = np.concatenate([[np.int64(0)], np.cumsum(t)[:-1]])
+    dr = 2 * cum_before + t + 1               # doubled midranks
+    big_n1, big_n2 = int(n1v.sum()), int(n2v.sum())
+    u1_dbl = int((dr * n1v).sum()) - big_n1 * (big_n1 + 1)
+    u2_dbl = 2 * big_n1 * big_n2 - u1_dbl
+    cum1, cum2 = np.cumsum(n1v), np.cumsum(n2v)
+    ks_scaled = int(np.abs(cum1 * big_n2 - cum2 * big_n1).max())
+    return pd.DataFrame([{
+        "n1": big_n1, "n2": big_n2, "u1_dbl": u1_dbl, "u2_dbl": u2_dbl,
+        "ks_scaled": ks_scaled}]).astype("int64")
+
+
+def q_theil_sen_events(sf_dir: str):
+    """Theil-Sen robust trend per event_type over its hourly count
+    series, integer-exact: every pair slope is keyed by the TRUNCATING
+    integer division (dc*1e6)//dh (DuckDB's `//` truncates toward zero;
+    the engine mirrors it sign-safely — numpy's // floors), and the
+    estimator is the lower-median key. Hourly counts come from one
+    bucketed pre-agg shuffle; the O(n²) pair walk runs vectorized on
+    the per-type AGGREGATED series (bounded by wall-clock hours, ≤720
+    here), never on raw rows."""
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({
+            "event_type": df["event_type"].astype(str),
+            "h": (df["ts"].astype("int64")
+                  // 3_600_000_000).astype("int64"),
+            "c": np.int64(1)})
+            .groupby(["event_type", "h"], sort=False,
+                     as_index=False)["c"].sum())
+        g["bucket"] = stable_bucket(g["event_type"], g["event_type"], 32)
+        return g
+
+    def theil(df: pd.DataFrame) -> pd.DataFrame:
+        hc = df.groupby(["event_type", "h"], sort=False,
+                        as_index=False)["c"].sum()
+        rows = []
+        for et, grp in hc.groupby("event_type", sort=False):
+            grp = grp.sort_values("h")
+            h = grp["h"].to_numpy(np.int64)
+            c = grp["c"].to_numpy(np.int64)
+            i, j = np.triu_indices(len(h), k=1)
+            dh = h[j] - h[i]
+            dc = (c[j] - c[i]) * 1_000_000
+            key = np.where(dc >= 0, dc // dh, -((-dc) // dh))
+            key.sort()
+            m = len(key)
+            rows.append((et, m, int(key[(m - 1) // 2]) if m else 0))
+        return pd.DataFrame(rows, columns=["event_type", "n_pairs",
+                                           "median_slope_key"])
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("bucket")
+           .map_groups(lambda df: theil(df.drop(columns="bucket")),
+                       batch_format="pandas")).to_pandas()
+    out = out.sort_values("event_type").reset_index(drop=True)
+    return out.astype({"n_pairs": "int64", "median_slope_key": "int64"})
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -5985,6 +6078,8 @@ QUERIES = {
     "q_autocorr_events": q_autocorr_events,
     "q_delta_roundtrip_events": q_delta_roundtrip_events,
     "q_iceberg_roundtrip_docs": q_iceberg_roundtrip_docs,
+    "q_ranktests_events": q_ranktests_events,
+    "q_theil_sen_events": q_theil_sen_events,
     "q_shot_boundary_media": q_shot_boundary_media,
     "q_zorder_events": q_zorder_events,
     "q_ann_hamming_topk": q_ann_hamming_topk,
@@ -10012,3 +10107,48 @@ SELECT lang,
        CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
 FROM documents WHERE doc_id % 3 IN (0, 1)
 GROUP BY lang ORDER BY lang"""
+
+ORACLE_SQL["q_ranktests_events"] = """
+WITH s AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+  FROM events WHERE event_type IN ('click', 'error')),
+a AS (
+  SELECT cents, SUM(is1) AS n1, COUNT(*) - SUM(is1) AS n2
+  FROM s GROUP BY cents),
+w AS (
+  SELECT cents, n1, n2,
+         COALESCE(SUM(n1 + n2) OVER (ORDER BY cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cb,
+         SUM(n1) OVER (ORDER BY cents) AS c1,
+         SUM(n2) OVER (ORDER BY cents) AS c2
+  FROM a),
+t AS (SELECT SUM(n1) AS bn1, SUM(n2) AS bn2 FROM a),
+r1 AS (SELECT SUM((2 * cb + n1 + n2 + 1) * n1) AS rsum FROM w)
+SELECT CAST(bn1 AS BIGINT) AS n1,
+       CAST(bn2 AS BIGINT) AS n2,
+       CAST(rsum - bn1 * (bn1 + 1) AS BIGINT) AS u1_dbl,
+       CAST(2 * bn1 * bn2 - (rsum - bn1 * (bn1 + 1)) AS BIGINT)
+           AS u2_dbl,
+       CAST((SELECT MAX(ABS(c1 * bn2 - c2 * bn1)) FROM w) AS BIGINT)
+           AS ks_scaled
+FROM t CROSS JOIN r1"""
+
+ORACLE_SQL["q_theil_sen_events"] = """
+WITH hc AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h, COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+p AS (
+  SELECT a.event_type,
+         ((b.c - a.c) * 1000000) // (b.h - a.h) AS key
+  FROM hc a JOIN hc b
+    ON a.event_type = b.event_type AND b.h > a.h),
+r AS (
+  SELECT event_type, key,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY key) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS m
+  FROM p)
+SELECT event_type, CAST(m AS BIGINT) AS n_pairs,
+       CAST(key AS BIGINT) AS median_slope_key
+FROM r WHERE rn = (m - 1) // 2 + 1 ORDER BY event_type"""
