@@ -23,17 +23,20 @@ code space fits the missing entries exactly); encode/decode are exact
 inverses (property-pinned), so engine streams are always
 self-consistent.
 
-**P slices (inter prediction) decode too** — quarter-pel motion
-compensation, MVP, every partition/sub-partition shape, P_Skip runs and
-intra MBs in P slices live in h264inter (which reuses this module's
-entropy/transform layers and _decode_mb_intra); decode_annexb /
-decode_avcc maintain the reference list and dispatch by slice type.
+**P and B slices (inter prediction) decode too** — quarter-pel motion
+compensation, MVP, every partition/sub-partition shape, P_Skip/B_Skip
+runs, bi-prediction, spatial direct mode and intra MBs in inter slices
+live in h264inter (which reuses this module's entropy/transform layers
+and _decode_mb_intra); decode_annexb / decode_avcc maintain the
+reference list (with motion fields, _RefPic) and dispatch by slice
+type.
 
-Declared stubs: B slices, CABAC, weighted prediction, MMCO/list
-reordering, 8x8 transform and scaling lists raise NotImplementedError
-naming the tool; the in-loop deblocking filter is not applied (fixtures
-disable it; foreign streams that enable it decode without it). Header
-parsing (probe) works on any baseline/main/high stream.
+Declared stubs: CABAC, SP/SI slices, temporal direct, weighted
+prediction, MMCO/list reordering, 8x8 transform and scaling lists raise
+NotImplementedError naming the tool; the in-loop deblocking filter is
+not applied (fixtures disable it; foreign streams that enable it decode
+without it). Header parsing (probe) works on any baseline/main/high
+stream.
 
 Reference parity note: the reference stores media blobs untouched; this
 codec backs the engine's multimodal stages (multimodal.py), extending
@@ -273,9 +276,9 @@ def parse_pps(rbsp: bytes) -> dict:
     if r.ue() != 0:                           # num_slice_groups_minus1
         raise NotImplementedError("H.264 slice groups (FMO) unsupported")
     num_ref_l0 = r.ue() + 1                   # num_ref_idx_l0_default
-    r.ue()                                    # num_ref_idx_l1_default
+    num_ref_l1 = r.ue() + 1                   # num_ref_idx_l1_default
     weighted_pred = r.u(1)
-    r.u(2)                                    # weighted_bipred
+    weighted_bipred = r.u(2)
     init_qp = r.se() + 26
     r.se()                                    # pic_init_qs
     chroma_qp_offset = r.se()
@@ -293,7 +296,9 @@ def parse_pps(rbsp: bytes) -> dict:
             "bottom_field_poc": bottom_field_poc, "init_qp": init_qp,
             "chroma_qp_offset": chroma_qp_offset,
             "deblock_ctrl": deblock_ctrl, "transform_8x8": transform_8x8,
-            "num_ref_l0": num_ref_l0, "weighted_pred": weighted_pred,
+            "num_ref_l0": num_ref_l0, "num_ref_l1": num_ref_l1,
+            "weighted_pred": weighted_pred,
+            "weighted_bipred": weighted_bipred,
             "constrained_intra": constrained_intra}
 
 
@@ -407,11 +412,27 @@ class _PicCtx:
         self.qp = pps["init_qp"]
         self.qpc_off = pps.get("chroma_qp_offset", 0)
         self.pps = pps
-        # per-4x4 motion field (refidx -1 = intra / unavailable)
+        # per-4x4 list-0 motion field (refidx -1 = intra / unavailable)
         self.mvx = np.zeros((mb_h * 4, self.W4), np.int32)
         self.mvy = np.zeros((mb_h * 4, self.W4), np.int32)
         self.refidx = np.full((mb_h * 4, self.W4), -1, np.int32)
+        # list-1 motion field (B slices)
+        self.mvx1 = np.zeros((mb_h * 4, self.W4), np.int32)
+        self.mvy1 = np.zeros((mb_h * 4, self.W4), np.int32)
+        self.refidx1 = np.full((mb_h * 4, self.W4), -1, np.int32)
         self.mb_intra = np.zeros((mb_h, mb_w), bool)
+
+
+class _RefPic:
+    """Decoded reference picture: reconstruction planes plus its list-0
+    motion field — B spatial direct reads the CO-LOCATED motion of
+    RefPicList1[0] (§8.4.1.2.2), so references must carry it."""
+
+    __slots__ = ("Y", "Cb", "Cr", "mvx", "mvy", "refidx")
+
+    def __init__(self, ctx: "_PicCtx"):
+        self.Y, self.Cb, self.Cr = ctx.Y, ctx.Cb, ctx.Cr
+        self.mvx, self.mvy, self.refidx = ctx.mvx, ctx.mvy, ctx.refidx
 
 
 def _decode_slice_intra(rbsp: bytes, sps: dict, pps: dict, idr: bool):
@@ -427,10 +448,14 @@ def _decode_slice_intra(rbsp: bytes, sps: dict, pps: dict, idr: bool):
         raise NotImplementedError(
             "H.264 P slice reached the intra decoder — route through "
             "decode_annexb/decode_avcc, which keep the reference list")
+    if slice_type % 5 == 1:                   # B slice (1 or 6)
+        raise NotImplementedError(
+            "H.264 B slice reached the intra decoder — route through "
+            "decode_annexb/decode_avcc, which keep the reference list")
     if slice_type % 5 != 2:                   # I slice (2 or 7)
         raise NotImplementedError(
-            f"H.264 slice_type {slice_type} (B/SP/SI) requires "
-            "bi/switching prediction — external decoder needed")
+            f"H.264 slice_type {slice_type} (SP/SI) requires switching "
+            "prediction — external decoder needed")
     if pps["cabac"]:
         raise NotImplementedError(
             "H.264 CABAC entropy decoding not implemented")
@@ -462,7 +487,7 @@ def _decode_slice_intra(rbsp: bytes, sps: dict, pps: dict, idr: bool):
             raise ValueError(f"H.264: invalid I-slice mb_type {mb_type}")
         _decode_mb_intra(r, ctx, mb_type, mbx, mby,
                          mbx > 0, mby > 0)
-    return ctx.Y, ctx.Cb, ctx.Cr
+    return ctx
 
 
 def _decode_mb_intra(r: "_BitReader", ctx: _PicCtx, mb_type: int,
@@ -686,20 +711,25 @@ def _peek_slice_type(rbsp: bytes) -> int:
 
 def _decode_slice_any(rbsp: bytes, sps: dict, pps: dict, ntype: int,
                       ref_idc: int, refs: list):
-    """Dispatch one coded slice (I or P) and maintain the reference
-    list (sliding window, most recent first)."""
-    if _peek_slice_type(rbsp) % 5 == 0:       # P
+    """Dispatch one coded slice (I / P / B) and maintain the reference
+    list (sliding window of _RefPic, most recent first)."""
+    st = _peek_slice_type(rbsp) % 5
+    if st == 0:                               # P
         from . import h264inter
 
-        planes = h264inter.decode_slice_p(rbsp, sps, pps, ref_idc, refs)
+        ctx = h264inter.decode_slice_p(rbsp, sps, pps, ref_idc, refs)
+    elif st == 1:                             # B
+        from . import h264inter
+
+        ctx = h264inter.decode_slice_b(rbsp, sps, pps, ref_idc, refs)
     else:
-        planes = _decode_slice_intra(rbsp, sps, pps, idr=(ntype == 5))
+        ctx = _decode_slice_intra(rbsp, sps, pps, idr=(ntype == 5))
     if ntype == 5:
         refs.clear()
     if ref_idc:
-        refs.insert(0, planes)
+        refs.insert(0, _RefPic(ctx))
         del refs[max(1, sps.get("max_num_ref", 1)):]
-    return planes
+    return ctx.Y, ctx.Cb, ctx.Cr
 
 
 def decode_annexb(b: bytes) -> list[np.ndarray]:
@@ -785,7 +815,7 @@ def decode_avcc(avcc: bytes, samples: list[bytes]) -> list[np.ndarray]:
 # ---------------------------------------------------------------------------
 
 
-def _sps_rbsp(w: int, h: int) -> bytes:
+def _sps_rbsp(w: int, h: int, num_ref: int = 1) -> bytes:
     mb_w = (w + 15) // 16
     mb_h = (h + 15) // 16
     bw = _BitWriter()
@@ -795,7 +825,7 @@ def _sps_rbsp(w: int, h: int) -> bytes:
     bw.ue(0)                                  # sps_id
     bw.ue(0)                                  # log2_max_frame_num_minus4
     bw.ue(2)                                  # poc_type 2 (no extra fields)
-    bw.ue(1)                                  # max_num_ref_frames
+    bw.ue(num_ref)                            # max_num_ref_frames
     bw.u(0, 1)                                # gaps allowed
     bw.ue(mb_w - 1)
     bw.ue(mb_h - 1)
@@ -1209,9 +1239,9 @@ def encode_annexb(frames: list[np.ndarray]) -> bytes:
     return b"".join(out)
 
 
-def avcc_config(w: int, h: int) -> bytes:
+def avcc_config(w: int, h: int, num_ref: int = 1) -> bytes:
     """avcC decoder-configuration record for the fixture SPS/PPS."""
-    sps = _nal(7, _sps_rbsp(w, h))
+    sps = _nal(7, _sps_rbsp(w, h, num_ref))
     pps = _nal(8, _pps_rbsp())
     return (bytes([1, 66, 0xC0, 20, 0xFF, 0xE1])
             + struct.pack(">H", len(sps)) + sps

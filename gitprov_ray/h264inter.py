@@ -1,4 +1,5 @@
-"""H.264 P-slice (inter prediction) decode + fixture encoder, CAVLC.
+"""H.264 P- and B-slice (inter prediction) decode + fixture encoder,
+CAVLC.
 
 Extends the intra codec (h264codec/h264intra) with the published inter
 layers of ITU-T H.264 / ISO 14496-10:
@@ -22,16 +23,26 @@ layers of ITU-T H.264 / ISO 14496-10:
     the Table 9-4 coded_block_pattern mapping, and intra MBs inside P
     slices (mb_type − 5 → h264codec._decode_mb_intra).
 
-The fixture encoder writes conforming P slices (IDR + P GOPs) whose
-motion comes from a real diamond search over the engine's own
-interpolators, with per-MB partition selection, P_Skip emission, and
-optional forced partition cycling so every decode path is exercised;
-reconstruction is pinned pixel-exact against the decoder by tests.
+  * **B slices** (§7.3.5 Table 7-14/7-17, §8.4.1.2, §8.4.2.3): all 23
+    mb_types and 13 sub_mb_types over two reference lists (low-delay
+    default-list construction incl. the §8.2.4.2.3 must-differ swap),
+    per-list MVP, default (p0+p1+1)>>1 bi-prediction, **spatial direct
+    mode** with per-4x4 colZeroFlag from the co-located RefPicList1[0]
+    motion field (references carry their motion — _RefPic), B_Skip
+    runs, and intra MBs (mb_type − 23).
 
-Declared stubs kept honest: B slices, CABAC, weighted prediction,
-MMCO/list modification, constrained_intra_pred in P slices, multi-slice
-pictures — each raises NotImplementedError naming the tool. The in-loop
-deblocking filter is not applied (fixtures disable it).
+The fixture encoder writes conforming IDR + P (+ non-reference B)
+GOPs whose motion comes from a real search over the engine's own
+interpolators, with per-MB partition/list selection, P_Skip/B_Skip
+emission, and optional forced partition cycling so every decode path
+is exercised; reconstruction is pinned pixel-exact against the decoder
+by tests.
+
+Declared stubs kept honest: CABAC, SP/SI slices, temporal direct,
+weighted/implicit biprediction, MMCO/list modification,
+constrained_intra_pred in inter slices, multi-slice pictures — each
+raises NotImplementedError naming the tool. The in-loop deblocking
+filter is not applied (fixtures disable it).
 
 Reference parity note: the reference (git-prov) stores media blobs
 untouched; this module extends the engine's multimodal real-decode
@@ -66,19 +77,27 @@ _SUB_PARTS = {0: [(0, 0, 2, 2)],
 # motion vector prediction (§8.4.1.3)
 # ---------------------------------------------------------------------------
 
-def _mv_info(ctx, nbx: int, nby: int, bx: int, by: int, k: int):
-    """(available, refIdx, mvx, mvy) of the 4x4 block at (nbx, nby) as
-    seen from the partition whose top-left block is (bx, by) with
-    z-index k. Outside-picture / not-yet-decoded → unavailable; intra
-    blocks are available with refIdx −1 and mv (0,0) (§8.4.1.3.2)."""
+def _grids(ctx, lst: int):
+    return (ctx.mvx, ctx.mvy, ctx.refidx) if lst == 0 else \
+        (ctx.mvx1, ctx.mvy1, ctx.refidx1)
+
+
+def _mv_info(ctx, nbx: int, nby: int, bx: int, by: int, k: int,
+             lst: int = 0):
+    """(available, refIdx, mvx, mvy) of the 4x4 block at (nbx, nby) in
+    reference list ``lst``, as seen from the partition whose top-left
+    block is (bx, by) with z-index k. Outside-picture / not-yet-decoded
+    → unavailable; intra / list-unused blocks are available with refIdx
+    −1 and mv (0,0) (§8.4.1.3.2)."""
     from .h264codec import _blk_before
 
     if nbx < 0 or nby < 0 or nbx >= ctx.W4 or nby >= ctx.mb_h * 4:
         return (False, -1, 0, 0)
     if not _blk_before(nbx, nby, bx, by, k):
         return (False, -1, 0, 0)
-    return (True, int(ctx.refidx[nby, nbx]),
-            int(ctx.mvx[nby, nbx]), int(ctx.mvy[nby, nbx]))
+    gx, gy, gr = _grids(ctx, lst)
+    return (True, int(gr[nby, nbx]), int(gx[nby, nbx]),
+            int(gy[nby, nbx]))
 
 
 def _median3(a: int, b: int, c: int) -> int:
@@ -86,18 +105,19 @@ def _median3(a: int, b: int, c: int) -> int:
 
 
 def mvp_for(ctx, bx: int, by: int, w4: int, h4: int, refidx: int,
-            shape: str = "", part: int = 0):
+            shape: str = "", part: int = 0, lst: int = 0):
     """Motion vector predictor for the partition with top-left 4x4 block
-    (bx, by), size (w4, h4) blocks, predicting from refIdx. ``shape``/
-    ``part`` trigger the MB-level 16x8/8x16 directional shortcuts."""
+    (bx, by), size (w4, h4) blocks, predicting from refIdx in list
+    ``lst``. ``shape``/``part`` trigger the MB-level 16x8/8x16
+    directional shortcuts."""
     from .h264intra import BLK4_IDX
 
     k = BLK4_IDX[(bx % 4, by % 4)]
-    a = _mv_info(ctx, bx - 1, by, bx, by, k)
-    b = _mv_info(ctx, bx, by - 1, bx, by, k)
-    c = _mv_info(ctx, bx + w4, by - 1, bx, by, k)
+    a = _mv_info(ctx, bx - 1, by, bx, by, k, lst)
+    b = _mv_info(ctx, bx, by - 1, bx, by, k, lst)
+    c = _mv_info(ctx, bx + w4, by - 1, bx, by, k, lst)
     if not c[0]:
-        c = _mv_info(ctx, bx - 1, by - 1, bx, by, k)   # D substitution
+        c = _mv_info(ctx, bx - 1, by - 1, bx, by, k, lst)  # D subst.
     if shape == "16x8":
         if part == 0 and b[1] == refidx:
             return (b[2], b[3])
@@ -238,7 +258,7 @@ def _apply_parts(ctx, refs, mbx: int, mby: int, parts, pred_y, pred_cb,
             raise ValueError(
                 f"H.264: ref_idx {ri} but only {len(refs)} reference "
                 "frames decoded")
-        ry, rcb, rcr = refs[ri]
+        ry, rcb, rcr = refs[ri].Y, refs[ri].Cb, refs[ri].Cr
         px, py = mbx * 16 + x4 * 4, mby * 16 + y4 * 4
         pred_y[y4 * 4:(y4 + h4) * 4, x4 * 4:(x4 + w4) * 4] = \
             mc_luma(ry, px, py, mvx, mvy, w4 * 4, h4 * 4)
@@ -371,9 +391,9 @@ def _decode_residual_inter(ctx, r, mbx: int, mby: int, pred_y, pred_cb,
 
 def decode_slice_p(rbsp: bytes, sps: dict, pps: dict, nal_ref_idc: int,
                    refs: list):
-    """P slice → (Y, Cb, Cr). ``refs``: decoded reference pictures as
-    (Y, Cb, Cr) tuples, most recent first (reference list 0 for the
-    sliding-window, no-reordering streams this decoder accepts)."""
+    """P slice → decoded _PicCtx. ``refs``: h264codec._RefPic pictures,
+    most recent first (reference list 0 for the sliding-window,
+    no-reordering streams this decoder accepts)."""
     from . import h264codec as H
     from .h264codec import _BitReader, _more_rbsp_data, _PicCtx
 
@@ -457,7 +477,7 @@ def decode_slice_p(rbsp: bytes, sps: dict, pps: dict, nal_ref_idc: int,
         _decode_residual_inter(ctx, r, mbx, mby, pred_y, pred_cb,
                                pred_cr)
         mb += 1
-    return ctx.Y, ctx.Cb, ctx.Cr
+    return ctx
 
 
 # ---------------------------------------------------------------------------
@@ -574,7 +594,8 @@ def encode_p_slice(arr: np.ndarray, refs: list, qp: int, frame_num: int,
     ctx = H._PicCtx(sps, pps)
     ctx.qp = qp
     Yr, Cbr, Crr = ctx.Y, ctx.Cb, ctx.Cr
-    refY, refCb, refCr = refs[0]
+    ref0 = refs[0]
+    refY = ref0.Y
     qpc = hi.chroma_qp(qp, ctx.qpc_off)
 
     bw = H._BitWriter()
@@ -650,7 +671,7 @@ def encode_p_slice(arr: np.ndarray, refs: list, qp: int, frame_num: int,
                                0, shape_tag, pi)
             mvds.append((mv[0] - mpx, mv[1] - mpy))
             mvs.append(mv)
-            _apply_parts(ctx, [(refY, refCb, refCr)], mbx, mby,
+            _apply_parts(ctx, [ref0], mbx, mby,
                          [(x4, y4, w4, h4, 0, mv[0], mv[1])],
                          pred_y, pred_cb8, pred_cr8)
 
@@ -731,16 +752,18 @@ def encode_p_slice(arr: np.ndarray, refs: list, qp: int, frame_num: int,
     if skip_run:
         bw.ue(skip_run)
     recon = H._yuv_to_rgb(Yr, Cbr, Crr, sps["width"], sps["height"])
-    return bw.trailing(), (Yr, Cbr, Crr), recon
+    return bw.trailing(), _enc_ref((Yr, Cbr, Crr), ctx), recon
 
 
 def encode_gop_annexb(frames: list, qp: int = 26, gop: int = 8,
                       partition_cycle: bool = False, intra_every: int = 0,
-                      mix_i4: bool = True):
-    """RGB frames → (conforming Annex-B IDR+P stream, reconstructed
-    frames). Frame 0 and every ``gop``-th frame are CAVLC intra IDRs
-    (h264codec); the rest are P slices predicting from the previous
-    reconstruction."""
+                      mix_i4: bool = True, bframes: bool = False):
+    """RGB frames → (conforming Annex-B IDR+P(+B) stream, reconstructed
+    frames). Frame 0 and every ``gop``-th frame are CAVLC intra IDRs;
+    the rest are P slices predicting from the previous reconstruction —
+    with ``bframes``, every second inter frame is a NON-REFERENCE B
+    slice (spatial direct, low-delay: both references in the past, so
+    decode order == output order; SPS carries two reference frames)."""
     from . import h264codec as H
 
     if not frames:
@@ -748,7 +771,8 @@ def encode_gop_annexb(frames: list, qp: int = 26, gop: int = 8,
     h, w = frames[0].shape[:2]
     if w % 2 or h % 2:
         raise ValueError("H.264 4:2:0 needs even dimensions")
-    sps_r, pps_r = H._sps_rbsp(w, h), H._pps_rbsp()
+    num_ref = 2 if bframes else 1
+    sps_r, pps_r = H._sps_rbsp(w, h, num_ref), H._pps_rbsp()
     sps, pps = H.parse_sps(sps_r), H.parse_pps(pps_r)
     sc = b"\x00\x00\x00\x01"
     out = [sc + H._nal(7, sps_r), sc + H._nal(8, pps_r)]
@@ -758,18 +782,25 @@ def encode_gop_annexb(frames: list, qp: int = 26, gop: int = 8,
     for i, f in enumerate(frames):
         if f.shape[:2] != (h, w):
             raise ValueError("all frames must share dimensions")
-        if i % gop == 0:
+        pos = i % gop
+        if pos == 0:
             rbsp, recon, planes = H._slice_rbsp_cavlc(
                 f, qp, idr_pic_id=i & 1, mix_i4=mix_i4)
             out.append(sc + H._nal(5, rbsp))
-            refs = [planes]
+            refs = [_enc_ref(planes)]
             frame_num = 1
+        elif bframes and pos >= 2 and pos % 2 == 0 and len(refs) >= 2:
+            rbsp, recon = encode_b_slice(
+                f, refs, qp, frame_num, sps, pps,
+                partition_cycle=partition_cycle, intra_every=intra_every)
+            out.append(sc + H._nal(1, rbsp, ref_idc=0))
         else:
-            rbsp, planes, recon = encode_p_slice(
+            rbsp, ref, recon = encode_p_slice(
                 f, refs, qp, frame_num, sps, pps,
                 partition_cycle=partition_cycle, intra_every=intra_every)
             out.append(sc + H._nal(1, rbsp, ref_idc=2))
-            refs = [planes]
+            refs.insert(0, ref)
+            del refs[num_ref:]
             frame_num = (frame_num + 1) & 0xF
         recons.append(recon)
     return b"".join(out), recons
@@ -777,7 +808,8 @@ def encode_gop_annexb(frames: list, qp: int = 26, gop: int = 8,
 
 def encode_gop_samples(frames: list, qp: int = 26, gop: int = 8,
                        partition_cycle: bool = False,
-                       intra_every: int = 0, mix_i4: bool = True):
+                       intra_every: int = 0, mix_i4: bool = True,
+                       bframes: bool = False):
     """Length-prefixed avc1 samples for the MP4 route → (samples,
     recon frames, sync flags). sync[i] is True for IDR samples (feeds
     the stss box)."""
@@ -788,26 +820,745 @@ def encode_gop_samples(frames: list, qp: int = 26, gop: int = 8,
     if not frames:
         raise ValueError("need at least one frame")
     h, w = frames[0].shape[:2]
-    sps, pps = H.parse_sps(H._sps_rbsp(w, h)), H.parse_pps(H._pps_rbsp())
+    num_ref = 2 if bframes else 1
+    sps = H.parse_sps(H._sps_rbsp(w, h, num_ref))
+    pps = H.parse_pps(H._pps_rbsp())
     out, recons, sync = [], [], []
     refs: list = []
     frame_num = 0
     for i, f in enumerate(frames):
-        if i % gop == 0:
+        pos = i % gop
+        if pos == 0:
             rbsp, recon, planes = H._slice_rbsp_cavlc(
                 f, qp, idr_pic_id=i & 1, mix_i4=mix_i4)
             nal = H._nal(5, rbsp)
-            refs = [planes]
+            refs = [_enc_ref(planes)]
             frame_num = 1
             sync.append(True)
+        elif bframes and pos >= 2 and pos % 2 == 0 and len(refs) >= 2:
+            rbsp, recon = encode_b_slice(
+                f, refs, qp, frame_num, sps, pps,
+                partition_cycle=partition_cycle, intra_every=intra_every)
+            nal = H._nal(1, rbsp, ref_idc=0)
+            sync.append(False)
         else:
-            rbsp, planes, recon = encode_p_slice(
+            rbsp, ref, recon = encode_p_slice(
                 f, refs, qp, frame_num, sps, pps,
                 partition_cycle=partition_cycle, intra_every=intra_every)
             nal = H._nal(1, rbsp, ref_idc=2)
-            refs = [planes]
+            refs.insert(0, ref)
+            del refs[num_ref:]
             frame_num = (frame_num + 1) & 0xF
             sync.append(False)
         out.append(struct.pack(">I", len(nal)) + nal)
         recons.append(recon)
     return out, recons, sync
+
+
+# ---------------------------------------------------------------------------
+# B slices (§7.3.5 Tables 7-14/7-17, §8.4.1.2 spatial direct, §8.4.2.3)
+# ---------------------------------------------------------------------------
+
+# mb_type → (shape, per-partition prediction modes)
+_B_MODES = {
+    1: ("16x16", ("L0",)), 2: ("16x16", ("L1",)), 3: ("16x16", ("BI",)),
+    4: ("16x8", ("L0", "L0")), 5: ("8x16", ("L0", "L0")),
+    6: ("16x8", ("L1", "L1")), 7: ("8x16", ("L1", "L1")),
+    8: ("16x8", ("L0", "L1")), 9: ("8x16", ("L0", "L1")),
+    10: ("16x8", ("L1", "L0")), 11: ("8x16", ("L1", "L0")),
+    12: ("16x8", ("L0", "BI")), 13: ("8x16", ("L0", "BI")),
+    14: ("16x8", ("L1", "BI")), 15: ("8x16", ("L1", "BI")),
+    16: ("16x8", ("BI", "L0")), 17: ("8x16", ("BI", "L0")),
+    18: ("16x8", ("BI", "L1")), 19: ("8x16", ("BI", "L1")),
+    20: ("16x8", ("BI", "BI")), 21: ("8x16", ("BI", "BI"))}
+_B_GEO = {"16x16": [(0, 0, 4, 4)],
+          "16x8": [(0, 0, 4, 2), (0, 2, 4, 2)],
+          "8x16": [(0, 0, 2, 4), (2, 0, 2, 4)]}
+# B sub_mb_type → (sub-partition geometry within the 8x8, mode); 0=direct
+_B_SUB = {1: ("8x8", "L0"), 2: ("8x8", "L1"), 3: ("8x8", "BI"),
+          4: ("8x4", "L0"), 5: ("4x8", "L0"), 6: ("8x4", "L1"),
+          7: ("4x8", "L1"), 8: ("8x4", "BI"), 9: ("4x8", "BI"),
+          10: ("4x4", "L0"), 11: ("4x4", "L1"), 12: ("4x4", "BI")}
+_B_SUB_GEO = {"8x8": [(0, 0, 2, 2)],
+              "8x4": [(0, 0, 2, 1), (0, 1, 2, 1)],
+              "4x8": [(0, 0, 1, 2), (1, 0, 1, 2)],
+              "4x4": [(0, 0, 1, 1), (1, 0, 1, 1),
+                      (0, 1, 1, 1), (1, 1, 1, 1)]}
+
+
+def _enc_ref(planes, ctx=None):
+    """Wrap encoder reconstruction planes as a reference-picture object
+    (same attribute surface as h264codec._RefPic). Intra pictures carry
+    an all-unavailable motion field."""
+    import types
+
+    Y, Cb, Cr = planes
+    if ctx is not None:
+        return types.SimpleNamespace(Y=Y, Cb=Cb, Cr=Cr, mvx=ctx.mvx,
+                                     mvy=ctx.mvy, refidx=ctx.refidx)
+    h4, w4 = Y.shape[0] // 4, Y.shape[1] // 4
+    return types.SimpleNamespace(
+        Y=Y, Cb=Cb, Cr=Cr,
+        mvx=np.zeros((h4, w4), np.int32),
+        mvy=np.zeros((h4, w4), np.int32),
+        refidx=np.full((h4, w4), -1, np.int32))
+
+
+def _b_lists(refs):
+    """Default B reference lists for the low-delay (all-past-refs) case:
+    L0 = past by recency; L1 identical except the spec's must-differ
+    swap of the first two entries (§8.2.4.2.3)."""
+    L0 = list(refs)
+    L1 = list(refs)
+    if len(L1) > 1:
+        L1[0], L1[1] = L1[1], L1[0]
+    return L0, L1
+
+
+def _direct_spatial(ctx, mbx: int, mby: int, L1):
+    """Spatial direct motion (§8.4.1.2.2/.3, direct_8x8_inference 0):
+    per-list minimum neighbor refIdx, the 16x16 median MVP as the base
+    mv, and the per-4x4 colZeroFlag from the CO-LOCATED block of
+    RefPicList1[0] (refIdx 0, |mv| ≤ 1 quarter-pel). Returns
+    (ref0, ref1, mv0, mv1, colzero[4,4])."""
+    bx, by = mbx * 4, mby * 4
+    refmin = []
+    for lst in (0, 1):
+        a = _mv_info(ctx, bx - 1, by, bx, by, 0, lst)
+        b = _mv_info(ctx, bx, by - 1, bx, by, 0, lst)
+        c = _mv_info(ctx, bx + 4, by - 1, bx, by, 0, lst)
+        if not c[0]:
+            c = _mv_info(ctx, bx - 1, by - 1, bx, by, 0, lst)
+        cand = [n[1] for n in (a, b, c) if n[1] >= 0]
+        refmin.append(min(cand) if cand else -1)
+    ref0, ref1 = refmin
+    if ref0 < 0 and ref1 < 0:                 # direct zero prediction
+        return 0, 0, (0, 0), (0, 0), np.zeros((4, 4), bool)
+    mv0 = mvp_for(ctx, bx, by, 4, 4, ref0, lst=0) if ref0 >= 0 else (0, 0)
+    mv1 = mvp_for(ctx, bx, by, 4, 4, ref1, lst=1) if ref1 >= 0 else (0, 0)
+    col = L1[0]
+    cz = np.zeros((4, 4), bool)
+    for yy in range(4):
+        for xx in range(4):
+            gx, gy = bx + xx, by + yy
+            if (col.refidx[gy, gx] == 0
+                    and abs(int(col.mvx[gy, gx])) <= 1
+                    and abs(int(col.mvy[gy, gx])) <= 1):
+                cz[yy, xx] = True
+    return ref0, ref1, mv0, mv1, cz
+
+
+def _direct_parts(ctx, mbx: int, mby: int, L1, blocks):
+    """Per-4x4 direct-mode partition list for the given (x4, y4) blocks
+    of the MB. Each entry: (x4, y4, 1, 1, p0, p1) with pX = None or
+    (refidx, mvx, mvy)."""
+    ref0, ref1, mv0, mv1, cz = _direct_spatial(ctx, mbx, mby, L1)
+    parts = []
+    for x4, y4 in blocks:
+        czb = bool(cz[y4, x4])
+        p0 = p1 = None
+        if ref0 >= 0:
+            m = (0, 0) if (ref0 == 0 and czb) else mv0
+            p0 = (ref0, m[0], m[1])
+        if ref1 >= 0:
+            m = (0, 0) if (ref1 == 0 and czb) else mv1
+            p1 = (ref1, m[0], m[1])
+        parts.append((x4, y4, 1, 1, p0, p1))
+    return parts
+
+
+def _apply_parts_b(ctx, L0, L1, mbx: int, mby: int, parts, pred_y,
+                   pred_cb, pred_cr, commit: bool = True):
+    """Motion-compensate bi-predictive partitions into the MB-local
+    buffers: per list MC through the shared interpolators, default
+    (p0+p1+1)>>1 bi combination (§8.4.2.3, no weighting). With
+    ``commit``, the per-list motion grids are updated (unused lists
+    are marked refIdx −1)."""
+    for x4, y4, w4, h4, p0, p1 in parts:
+        preds = []
+        for lst, p, refs in ((0, p0, L0), (1, p1, L1)):
+            bx, by = mbx * 4 + x4, mby * 4 + y4
+            gx, gy, gr = _grids(ctx, lst)
+            if p is None:
+                if commit:
+                    gx[by:by + h4, bx:bx + w4] = 0
+                    gy[by:by + h4, bx:bx + w4] = 0
+                    gr[by:by + h4, bx:bx + w4] = -1
+                continue
+            ri, mvx, mvy = p
+            if ri >= len(refs):
+                raise ValueError(
+                    f"H.264: B ref_idx {ri} but only {len(refs)} "
+                    "reference frames")
+            ref = refs[ri]
+            preds.append((
+                mc_luma(ref.Y, mbx * 16 + x4 * 4, mby * 16 + y4 * 4,
+                        mvx, mvy, w4 * 4, h4 * 4),
+                mc_chroma(ref.Cb, mbx * 8 + x4 * 2, mby * 8 + y4 * 2,
+                          mvx, mvy, w4 * 2, h4 * 2),
+                mc_chroma(ref.Cr, mbx * 8 + x4 * 2, mby * 8 + y4 * 2,
+                          mvx, mvy, w4 * 2, h4 * 2)))
+            if commit:
+                gx[by:by + h4, bx:bx + w4] = mvx
+                gy[by:by + h4, bx:bx + w4] = mvy
+                gr[by:by + h4, bx:bx + w4] = ri
+        if len(preds) == 2:
+            py_, pcb, pcr = (
+                ((a.astype(np.int16) + b + 1) >> 1).astype(np.uint8)
+                for a, b in zip(preds[0], preds[1]))
+        else:
+            py_, pcb, pcr = preds[0]
+        pred_y[y4 * 4:(y4 + h4) * 4, x4 * 4:(x4 + w4) * 4] = py_
+        pred_cb[y4 * 2:(y4 + h4) * 2, x4 * 2:(x4 + w4) * 2] = pcb
+        pred_cr[y4 * 2:(y4 + h4) * 2, x4 * 2:(x4 + w4) * 2] = pcr
+
+
+def _parse_motion_b(ctx, r, mb_type: int, mbx: int, mby: int,
+                    nref0: int, nref1: int, L1):
+    """B mb_pred / sub_mb_pred syntax → partition list for
+    _apply_parts_b, committing per-list motion grids in parse order so
+    intra-MB MVP dependencies resolve exactly as the spec's."""
+    bx0, by0 = mbx * 4, mby * 4
+
+    def walk(geo, modes, shape_tag, refs0, refs1, direct_flags):
+        """Two-pass mvd walk (all L0 mvds, then all L1), committing
+        grids; direct entries commit their derived motion in pass 0."""
+        direct_cache = {}
+        out = [None] * len(geo)
+        for lst, refsv, nref in ((0, refs0, nref0), (1, refs1, nref1)):
+            for i, (x4, y4, w4, h4) in enumerate(geo):
+                if direct_flags[i]:
+                    if lst == 0:
+                        blocks = [(x4 + xx, y4 + yy)
+                                  for yy in range(h4) for xx in range(w4)]
+                        dparts = _direct_parts(ctx, mbx, mby, L1, blocks)
+                        direct_cache[i] = dparts
+                        for px4, py4, _, _, p0, p1 in dparts:
+                            for dl, p in ((0, p0), (1, p1)):
+                                gx, gy, gr = _grids(ctx, dl)
+                                gbx, gby = bx0 + px4, by0 + py4
+                                if p is None:
+                                    gr[gby, gbx] = -1
+                                else:
+                                    gr[gby, gbx] = p[0]
+                                    gx[gby, gbx] = p[1]
+                                    gy[gby, gbx] = p[2]
+                    continue
+                mode = modes[i]
+                if mode == "L1" and lst == 0:
+                    continue
+                if mode == "L0" and lst == 1:
+                    continue
+                mvdx, mvdy = r.se(), r.se()
+                ri = refsv[i]
+                px, py = bx0 + x4, by0 + y4
+                mpx, mpy = mvp_for(ctx, px, py, w4, h4, ri,
+                                   shape_tag, i, lst)
+                mvx, mvy = mpx + mvdx, mpy + mvdy
+                gx, gy, gr = _grids(ctx, lst)
+                gx[py:py + h4, px:px + w4] = mvx
+                gy[py:py + h4, px:px + w4] = mvy
+                gr[py:py + h4, px:px + w4] = ri
+                cur = out[i] or (x4, y4, w4, h4, None, None)
+                if lst == 0:
+                    out[i] = (x4, y4, w4, h4, (ri, mvx, mvy), cur[5])
+                else:
+                    out[i] = (x4, y4, w4, h4, cur[4], (ri, mvx, mvy))
+        parts = []
+        for i in range(len(geo)):
+            if direct_flags[i]:
+                parts.extend(direct_cache[i])
+            else:
+                parts.append(out[i])
+        return parts
+
+    if mb_type == 0:                           # B_Direct_16x16
+        return _direct_parts(ctx, mbx, mby, L1,
+                             [(xx, yy) for yy in range(4)
+                              for xx in range(4)])
+    if mb_type in _B_MODES:
+        shape, modes = _B_MODES[mb_type]
+        geo = _B_GEO[shape]
+        shape_tag = shape if shape in ("16x8", "8x16") else ""
+        refs0 = [(_te(r, nref0 - 1) if m in ("L0", "BI") else -1)
+                 for m in modes]
+        refs1 = [(_te(r, nref1 - 1) if m in ("L1", "BI") else -1)
+                 for m in modes]
+        return walk(geo, modes, shape_tag, refs0, refs1,
+                    [False] * len(geo))
+    # B_8x8 (22)
+    subs = [r.ue() for _ in range(4)]
+    for s in subs:
+        if s > 12:
+            raise ValueError(f"H.264: invalid B sub_mb_type {s}")
+    geo, modes, direct_flags = [], [], []
+    for i8, s in enumerate(subs):
+        ox, oy = (i8 & 1) * 2, (i8 >> 1) * 2
+        if s == 0:                             # B_Direct_8x8
+            geo.append((ox, oy, 2, 2))
+            modes.append("DIR")
+            direct_flags.append(True)
+        else:
+            gk, mode = _B_SUB[s]
+            for x4, y4, w4, h4 in _B_SUB_GEO[gk]:
+                geo.append((ox + x4, oy + y4, w4, h4))
+                modes.append(mode)
+                direct_flags.append(False)
+    # ref_idx loops run per 8x8 (not per sub-partition)
+    r8_0, r8_1 = [-1] * 4, [-1] * 4
+    for i8, s in enumerate(subs):
+        if s != 0 and _B_SUB[s][1] in ("L0", "BI"):
+            r8_0[i8] = _te(r, nref0 - 1)
+    for i8, s in enumerate(subs):
+        if s != 0 and _B_SUB[s][1] in ("L1", "BI"):
+            r8_1[i8] = _te(r, nref1 - 1)
+    refs0 = [r8_0[(y4 // 2) * 2 + (x4 // 2)] for x4, y4, _, _ in geo]
+    refs1 = [r8_1[(y4 // 2) * 2 + (x4 // 2)] for x4, y4, _, _ in geo]
+    return walk(geo, modes, "", refs0, refs1, direct_flags)
+
+
+def decode_slice_b(rbsp: bytes, sps: dict, pps: dict, nal_ref_idc: int,
+                   refs: list):
+    """B slice (spatial direct, CAVLC) → decoded _PicCtx. Supports the
+    low-delay shape this engine's references allow (no list
+    reordering); temporal direct, weighted/implicit bipred, MMCO and
+    CABAC raise naming the tool."""
+    from .h264codec import _BitReader, _more_rbsp_data, _PicCtx
+    from . import h264codec as H
+
+    r = _BitReader(rbsp)
+    first_mb = r.ue()
+    slice_type = r.ue()
+    assert slice_type % 5 == 1
+    if pps["cabac"]:
+        raise NotImplementedError(
+            "H.264 CABAC entropy decoding not implemented")
+    if first_mb != 0:
+        raise NotImplementedError("H.264 multi-slice pictures unsupported")
+    if not refs:
+        raise ValueError("H.264: B slice with no decoded reference frame")
+    r.ue()                                    # pps id
+    r.u(sps["log2_max_frame_num"])            # frame_num
+    if sps["poc_type"] == 0:
+        r.u(sps["log2_max_poc_lsb"])
+        if pps["bottom_field_poc"]:
+            r.se()
+    elif sps["poc_type"] == 1:
+        raise NotImplementedError(
+            "H.264 poc_type 1 slice fields not supported")
+    if not r.u(1):                            # direct_spatial_mv_pred
+        raise NotImplementedError(
+            "H.264 temporal direct mode not supported (POC scaling)")
+    nref0, nref1 = pps["num_ref_l0"], pps["num_ref_l1"]
+    if r.u(1):                                # num_ref_idx override
+        nref0 = r.ue() + 1
+        nref1 = r.ue() + 1
+    if r.u(1):                                # list0 modification
+        raise NotImplementedError(
+            "H.264 reference picture list modification not supported")
+    if r.u(1):                                # list1 modification
+        raise NotImplementedError(
+            "H.264 reference picture list modification not supported")
+    if pps["weighted_bipred"] == 1:
+        raise NotImplementedError(
+            "H.264 explicit weighted biprediction not supported")
+    if pps["weighted_bipred"] == 2:
+        raise NotImplementedError(
+            "H.264 implicit weighted biprediction not supported")
+    if nal_ref_idc:
+        if r.u(1):
+            raise NotImplementedError(
+                "H.264 adaptive reference marking (MMCO) not supported")
+    if pps["constrained_intra"]:
+        raise NotImplementedError(
+            "H.264 constrained_intra_pred in B slices not supported")
+    qp = pps["init_qp"] + r.se()
+    if pps["deblock_ctrl"]:
+        if r.ue() != 1:
+            r.se()
+            r.se()
+    L0, L1 = _b_lists(refs)
+    ctx = _PicCtx(sps, pps)
+    ctx.qp = qp
+    total = ctx.mb_w * ctx.mb_h
+    mb = 0
+    while mb < total:
+        run = r.ue()                          # mb_skip_run
+        if run > total - mb:
+            raise ValueError("H.264: mb_skip_run past end of picture")
+        for _ in range(run):                  # B_Skip = direct, no resid
+            mby, mbx = mb // ctx.mb_w, mb % ctx.mb_w
+            pred_y = np.empty((16, 16), np.uint8)
+            pred_cb = np.empty((8, 8), np.uint8)
+            pred_cr = np.empty((8, 8), np.uint8)
+            parts = _direct_parts(ctx, mbx, mby, L1,
+                                  [(xx, yy) for yy in range(4)
+                                   for xx in range(4)])
+            _apply_parts_b(ctx, L0, L1, mbx, mby, parts,
+                           pred_y, pred_cb, pred_cr)
+            _store_mb(ctx, mbx, mby, pred_y, pred_cb, pred_cr)
+            mb += 1
+        if mb >= total or not _more_rbsp_data(r):
+            break
+        mby, mbx = mb // ctx.mb_w, mb % ctx.mb_w
+        mb_type = r.ue()
+        if mb_type >= 23:                     # intra MB in B slice
+            it = mb_type - 23
+            if it > 25:
+                raise ValueError(f"H.264: invalid B mb_type {mb_type}")
+            H._decode_mb_intra(r, ctx, it, mbx, mby, mbx > 0, mby > 0)
+            mb += 1
+            continue
+        if mb_type > 22:
+            raise ValueError(f"H.264: invalid B mb_type {mb_type}")
+        pred_y = np.empty((16, 16), np.uint8)
+        pred_cb = np.empty((8, 8), np.uint8)
+        pred_cr = np.empty((8, 8), np.uint8)
+        parts = _parse_motion_b(ctx, r, mb_type, mbx, mby,
+                                nref0, nref1, L1)
+        _apply_parts_b(ctx, L0, L1, mbx, mby, parts,
+                       pred_y, pred_cb, pred_cr)
+        _decode_residual_inter(ctx, r, mbx, mby, pred_y, pred_cb,
+                               pred_cr)
+        mb += 1
+    return ctx
+
+
+# ---------------------------------------------------------------------------
+# B-slice fixture encoder
+# ---------------------------------------------------------------------------
+
+def _write_motion_b(ctx, bw, geo, modes, direct_flags, mvs0, mvs1, L1,
+                    mbx: int, mby: int, shape_tag: str = ""):
+    """Mirror of _parse_motion_b's two-pass walk on the WRITE side:
+    emits mvds (ref_idx absent — one ref per list in fixture streams),
+    commits grids in the identical order, returns the partition list."""
+    bx0, by0 = mbx * 4, mby * 4
+    direct_cache = {}
+    out = [None] * len(geo)
+    for lst, mvsv in ((0, mvs0), (1, mvs1)):
+        for i, (x4, y4, w4, h4) in enumerate(geo):
+            if direct_flags[i]:
+                if lst == 0:
+                    blocks = [(x4 + xx, y4 + yy)
+                              for yy in range(h4) for xx in range(w4)]
+                    dparts = _direct_parts(ctx, mbx, mby, L1, blocks)
+                    direct_cache[i] = dparts
+                    for px4, py4, _, _, p0, p1 in dparts:
+                        for dl, p in ((0, p0), (1, p1)):
+                            gx, gy, gr = _grids(ctx, dl)
+                            gbx, gby = bx0 + px4, by0 + py4
+                            if p is None:
+                                gr[gby, gbx] = -1
+                            else:
+                                gr[gby, gbx] = p[0]
+                                gx[gby, gbx] = p[1]
+                                gy[gby, gbx] = p[2]
+                continue
+            mode = modes[i]
+            if (mode == "L1" and lst == 0) or (mode == "L0" and lst == 1):
+                continue
+            mv = mvsv[i]
+            px, py = bx0 + x4, by0 + y4
+            mpx, mpy = mvp_for(ctx, px, py, w4, h4, 0, shape_tag, i, lst)
+            bw.se(mv[0] - mpx)
+            bw.se(mv[1] - mpy)
+            gx, gy, gr = _grids(ctx, lst)
+            gx[py:py + h4, px:px + w4] = mv[0]
+            gy[py:py + h4, px:px + w4] = mv[1]
+            gr[py:py + h4, px:px + w4] = 0
+            cur = out[i] or (x4, y4, w4, h4, None, None)
+            if lst == 0:
+                out[i] = (x4, y4, w4, h4, (0, mv[0], mv[1]), cur[5])
+            else:
+                out[i] = (x4, y4, w4, h4, cur[4], (0, mv[0], mv[1]))
+    parts = []
+    for i in range(len(geo)):
+        parts.extend(direct_cache[i] if direct_flags[i] else [out[i]])
+    return parts
+
+
+def _quant_inter_mb(hi, ctx, mbx, mby, qp, qpc, Ys, Cbs, Crs, pred_y,
+                    pred_cb8, pred_cr8):
+    """Quantized inter residual vs a prediction (luma 16 blocks +
+    chroma DC/AC with the intra-writer's zeroing conventions)."""
+    my, mx = mby * 16, mbx * 16
+    cy, cx = mby * 8, mbx * 8
+    srcY = Ys[my:my + 16, mx:mx + 16]
+    Z = [None] * 16
+    for k in range(16):
+        x4, y4 = hi.BLK4_POS[k]
+        d = (srcY[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4].astype(np.int64)
+             - pred_y[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4])
+        Z[k] = hi.quant4x4(hi.forward4x4(d), qp, intra=False)
+    cbp_luma = 0
+    for i8 in range(4):
+        if any(np.any(Z[4 * i8 + s]) for s in range(4)):
+            cbp_luma |= 1 << i8
+    dcq_cb, Zcb = _enc_chroma_inter(hi, Cbs[cy:cy + 8, cx:cx + 8],
+                                    pred_cb8, qpc)
+    dcq_cr, Zcr = _enc_chroma_inter(hi, Crs[cy:cy + 8, cx:cx + 8],
+                                    pred_cr8, qpc)
+    any_ac = any(np.any(z) for z in Zcb + Zcr)
+    any_dc = np.any(dcq_cb) or np.any(dcq_cr)
+    cbp_chroma = 2 if any_ac else (1 if any_dc else 0)
+    if cbp_chroma < 2:
+        Zcb = [np.zeros((4, 4), np.int64)] * 4
+        Zcr = [np.zeros((4, 4), np.int64)] * 4
+    if cbp_chroma == 0:
+        dcq_cb = np.zeros((2, 2), np.int64)
+        dcq_cr = np.zeros((2, 2), np.int64)
+    return Z, cbp_luma, dcq_cb, dcq_cr, Zcb, Zcr, cbp_chroma
+
+
+def _write_inter_residual(hi, H, ctx, bw, mbx, mby, qp, qpc, pred_y,
+                          pred_cb8, pred_cr8, Z, cbp_luma, dcq_cb,
+                          dcq_cr, Zcb, Zcr, cbp_chroma):
+    """CBP + CAVLC residual bits + decoder-exact reconstruction for an
+    inter MB whose motion syntax is already written."""
+    from .h264codec import _nc_of
+
+    Yr, Cbr, Crr = ctx.Y, ctx.Cb, ctx.Cr
+    my, mx = mby * 16, mbx * 16
+    cy, cx = mby * 8, mbx * 8
+    cbp = cbp_luma | (cbp_chroma << 4)
+    bw.ue(CBP_INTER_INV[cbp])
+    if cbp:
+        bw.se(0)                              # mb_qp_delta
+    for i8 in range(4):
+        if not (cbp_luma & (1 << i8)):
+            for s in range(4):
+                k = 4 * i8 + s
+                x4, y4 = hi.BLK4_POS[k]
+                Yr[my + y4 * 4:my + y4 * 4 + 4,
+                   mx + x4 * 4:mx + x4 * 4 + 4] = \
+                    pred_y[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4]
+            continue
+        for s in range(4):
+            k = 4 * i8 + s
+            x4, y4 = hi.BLK4_POS[k]
+            bx, by = mbx * 4 + x4, mby * 4 + y4
+            levels = Z[k].reshape(-1)[hi.ZIGZAG]
+            tc = hi.encode_residual_block(
+                bw, levels, _nc_of(ctx.luma_nc, bx, by), 16)
+            ctx.luma_nc[by, bx] = tc
+            d = hi.dequant4x4(Z[k], qp)
+            Yr[my + y4 * 4:my + y4 * 4 + 4,
+               mx + x4 * 4:mx + x4 * 4 + 4] = hi.reconstruct4x4(
+                pred_y[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4], d)
+    _write_chroma_bits(hi, bw, ctx, mbx, mby, cbp_chroma, dcq_cb,
+                       dcq_cr, Zcb, Zcr)
+    _recon_chroma_blocks(hi, Cbr, cx, cy, pred_cb8, dcq_cb, Zcb, qpc,
+                         cbp_chroma > 0)
+    _recon_chroma_blocks(hi, Crr, cx, cy, pred_cr8, dcq_cr, Zcr, qpc,
+                         cbp_chroma > 0)
+
+
+def encode_b_slice(arr: np.ndarray, refs: list, qp: int, frame_num: int,
+                   sps: dict, pps: dict, partition_cycle: bool = False,
+                   intra_every: int = 0):
+    """One conforming non-reference B slice (spatial direct) →
+    (rbsp, recon RGB). Per MB the encoder evaluates direct / L0 / L1 /
+    Bi 16x16 predictions through the shared decoder machinery and emits
+    B_Skip when direct quantizes residual-free; ``partition_cycle``
+    rotates composite two-list 16x8/8x16 types and B_8x8 (with a
+    direct-8x8 sub-block) for decode coverage."""
+    from . import h264codec as H
+    from . import h264intra as hi
+    from .h264codec import _sad
+
+    h, w = arr.shape[:2]
+    mb_w, mb_h = sps["mb_w"], sps["mb_h"]
+    pad = np.pad(arr, ((0, mb_h * 16 - h), (0, mb_w * 16 - w), (0, 0)),
+                 mode="edge")
+    Ys, Cbs, Crs = H._rgb_to_yuv(pad)
+    ctx = H._PicCtx(sps, pps)
+    ctx.qp = qp
+    Yr, Cbr, Crr = ctx.Y, ctx.Cb, ctx.Cr
+    L0, L1 = _b_lists(refs)
+    qpc = hi.chroma_qp(qp, ctx.qpc_off)
+
+    bw = H._BitWriter()
+    bw.ue(0)                                  # first_mb_in_slice
+    bw.ue(6)                                  # slice_type B (all pics)
+    bw.ue(0)                                  # pps_id
+    bw.u(frame_num & ((1 << sps["log2_max_frame_num"]) - 1),
+         sps["log2_max_frame_num"])
+    if sps["poc_type"] == 0:
+        bw.u(0, sps["log2_max_poc_lsb"])
+    bw.u(1, 1)                                # direct_spatial_mv_pred
+    bw.u(0, 1)                                # no num_ref_idx override
+    bw.u(0, 1)                                # no list0 modification
+    bw.u(0, 1)                                # no list1 modification
+    # nal_ref_idc == 0 → no dec_ref_pic_marking
+    bw.se(qp - pps["init_qp"])
+    if pps["deblock_ctrl"]:
+        bw.ue(1)                              # deblocking disabled
+
+    all_blocks = [(xx, yy) for yy in range(4) for xx in range(4)]
+    skip_run = 0
+    for mb in range(mb_w * mb_h):
+        mby, mbx = divmod(mb, mb_w)
+        my, mx = mby * 16, mbx * 16
+        cy, cx = mby * 8, mbx * 8
+
+        if intra_every and mb % intra_every == intra_every - 1:
+            bw.ue(skip_run)
+            skip_run = 0
+            ctx.mb_intra[mby, mbx] = True
+            cmode = H._chroma_mode_select(hi, Cbs, Cbr, Crs, Crr,
+                                          mbx, mby)
+            pred_cb, dcq_cb, Zcb = H._encode_chroma(
+                hi, Cbs, Cbr, mbx, mby, cmode, qpc)
+            pred_cr, dcq_cr, Zcr = H._encode_chroma(
+                hi, Crs, Crr, mbx, mby, cmode, qpc)
+            any_ac = any(np.any(z) for z in Zcb + Zcr)
+            any_dc = np.any(dcq_cb) or np.any(dcq_cr)
+            cbp_chroma = 2 if any_ac else (1 if any_dc else 0)
+            if cbp_chroma < 2:
+                Zcb = [np.zeros((4, 4), np.int64)] * 4
+                Zcr = [np.zeros((4, 4), np.int64)] * 4
+            if cbp_chroma == 0:
+                dcq_cb = np.zeros((2, 2), np.int64)
+                dcq_cr = np.zeros((2, 2), np.int64)
+            _recon_chroma_blocks(hi, Cbr, cx, cy, pred_cb, dcq_cb, Zcb,
+                                 qpc, True)
+            _recon_chroma_blocks(hi, Crr, cx, cy, pred_cr, dcq_cr, Zcr,
+                                 qpc, True)
+            pm16, cbp_luma, write_luma = H._encode_mb_i16(
+                hi, bw, Ys, Yr, mbx, mby, qp, ctx.luma_nc)
+            mb_type = 1 + pm16 + 4 * cbp_chroma + 12 * (cbp_luma == 15)
+            bw.ue(23 + mb_type)
+            bw.ue(cmode)
+            bw.se(0)
+            write_luma(bw)
+            _write_chroma_bits(hi, bw, ctx, mbx, mby, cbp_chroma,
+                               dcq_cb, dcq_cr, Zcb, Zcr)
+            continue
+
+        srcY = Ys[my:my + 16, mx:mx + 16]
+        pred_y = np.empty((16, 16), np.uint8)
+        pred_cb8 = np.empty((8, 8), np.uint8)
+        pred_cr8 = np.empty((8, 8), np.uint8)
+
+        # candidate evaluation (no grid commits yet)
+        dparts = _direct_parts(ctx, mbx, mby, L1, all_blocks)
+        _apply_parts_b(ctx, L0, L1, mbx, mby, dparts, pred_y, pred_cb8,
+                       pred_cr8, commit=False)
+        pred_d = pred_y.copy()
+        sad_d = _sad(srcY, pred_d)
+        mv_l0 = _search_mv(L0[0].Y, srcY, mx, my, 16, 16)
+        p_l0 = mc_luma(L0[0].Y, mx, my, mv_l0[0], mv_l0[1], 16, 16)
+        sad_l0 = _sad(srcY, p_l0)
+        mv_l1 = _search_mv(L1[0].Y, srcY, mx, my, 16, 16)
+        p_l1 = mc_luma(L1[0].Y, mx, my, mv_l1[0], mv_l1[1], 16, 16)
+        sad_l1 = _sad(srcY, p_l1)
+        p_bi = ((p_l0.astype(np.int16) + p_l1 + 1) >> 1).astype(np.uint8)
+        sad_bi = _sad(srcY, p_bi)
+
+        forced = None
+        if partition_cycle:
+            forced = (None, 8, 13, 22)[mb % 4]
+
+        if forced is None:
+            # direct wins ties (cheapest bits)
+            best = min((sad_d - 32, "direct"), (sad_l0, "L0"),
+                       (sad_l1, "L1"), (sad_bi, "BI"),
+                       key=lambda t: t[0])[1]
+            if best == "direct":
+                parts = _direct_parts(ctx, mbx, mby, L1, all_blocks)
+                _apply_parts_b(ctx, L0, L1, mbx, mby, parts, pred_y,
+                               pred_cb8, pred_cr8)
+                q = _quant_inter_mb(hi, ctx, mbx, mby, qp, qpc, Ys,
+                                    Cbs, Crs, pred_y, pred_cb8,
+                                    pred_cr8)
+                Z, cbp_luma = q[0], q[1]
+                cbp = cbp_luma | (q[6] << 4)
+                if cbp == 0:                  # B_Skip
+                    skip_run += 1
+                    Yr[my:my + 16, mx:mx + 16] = pred_y
+                    Cbr[cy:cy + 8, cx:cx + 8] = pred_cb8
+                    Crr[cy:cy + 8, cx:cx + 8] = pred_cr8
+                    continue
+                bw.ue(skip_run)
+                skip_run = 0
+                bw.ue(0)                      # B_Direct_16x16
+                _write_inter_residual(hi, H, ctx, bw, mbx, mby, qp,
+                                      qpc, pred_y, pred_cb8, pred_cr8,
+                                      *q)
+                continue
+            mb_type = {"L0": 1, "L1": 2, "BI": 3}[best]
+            geo = _B_GEO["16x16"]
+            modes = (best,)
+            mvs0 = [mv_l0]
+            mvs1 = [mv_l1]
+            bw.ue(skip_run)
+            skip_run = 0
+            bw.ue(mb_type)
+            parts = _write_motion_b(ctx, bw, geo, list(modes),
+                                    [False], mvs0, mvs1, L1, mbx, mby)
+        elif forced == 22:                    # B_8x8
+            subs = [1, 0, 3, 6]               # L0_8x8 direct Bi_8x8 L1_8x4
+            bw.ue(skip_run)
+            skip_run = 0
+            bw.ue(22)
+            geo, modes, dflags = [], [], []
+            for i8, s in enumerate(subs):
+                ox, oy = (i8 & 1) * 2, (i8 >> 1) * 2
+                if s == 0:
+                    geo.append((ox, oy, 2, 2))
+                    modes.append("DIR")
+                    dflags.append(True)
+                else:
+                    gk, mode = _B_SUB[s]
+                    for x4, y4, w4, h4 in _B_SUB_GEO[gk]:
+                        geo.append((ox + x4, oy + y4, w4, h4))
+                        modes.append(mode)
+                        dflags.append(False)
+            for s in subs:
+                bw.ue(s)
+            mvs0, mvs1 = [], []
+            for (x4, y4, w4, h4), mode, df in zip(geo, modes, dflags):
+                if df:
+                    mvs0.append(None)
+                    mvs1.append(None)
+                    continue
+                src = Ys[my + y4 * 4:my + (y4 + h4) * 4,
+                         mx + x4 * 4:mx + (x4 + w4) * 4]
+                mvs0.append(_search_mv(L0[0].Y, src, mx + x4 * 4,
+                                       my + y4 * 4, w4 * 4, h4 * 4)
+                            if mode in ("L0", "BI") else None)
+                mvs1.append(_search_mv(L1[0].Y, src, mx + x4 * 4,
+                                       my + y4 * 4, w4 * 4, h4 * 4)
+                            if mode in ("L1", "BI") else None)
+            parts = _write_motion_b(ctx, bw, geo, modes, dflags,
+                                    mvs0, mvs1, L1, mbx, mby)
+        else:                                 # composite 16x8 / 8x16
+            shape, modes = _B_MODES[forced]
+            geo = _B_GEO[shape]
+            bw.ue(skip_run)
+            skip_run = 0
+            bw.ue(forced)
+            mvs0, mvs1 = [], []
+            for (x4, y4, w4, h4), mode in zip(geo, modes):
+                src = Ys[my + y4 * 4:my + (y4 + h4) * 4,
+                         mx + x4 * 4:mx + (x4 + w4) * 4]
+                mvs0.append(_search_mv(L0[0].Y, src, mx + x4 * 4,
+                                       my + y4 * 4, w4 * 4, h4 * 4)
+                            if mode in ("L0", "BI") else None)
+                mvs1.append(_search_mv(L1[0].Y, src, mx + x4 * 4,
+                                       my + y4 * 4, w4 * 4, h4 * 4)
+                            if mode in ("L1", "BI") else None)
+            parts = _write_motion_b(ctx, bw, geo, list(modes),
+                                    [False] * len(geo), mvs0, mvs1,
+                                    L1, mbx, mby, shape)
+        _apply_parts_b(ctx, L0, L1, mbx, mby, parts, pred_y, pred_cb8,
+                       pred_cr8, commit=False)
+        q = _quant_inter_mb(hi, ctx, mbx, mby, qp, qpc, Ys, Cbs, Crs,
+                            pred_y, pred_cb8, pred_cr8)
+        _write_inter_residual(hi, H, ctx, bw, mbx, mby, qp, qpc,
+                              pred_y, pred_cb8, pred_cr8, *q)
+    if skip_run:
+        bw.ue(skip_run)
+    recon = H._yuv_to_rgb(Yr, Cbr, Crr, sps["width"], sps["height"])
+    return bw.trailing(), recon

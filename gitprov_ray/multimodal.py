@@ -1242,7 +1242,8 @@ def _synth_mp4_h264(seed: int, frames: int = 5, w: int = 32,
                     axis=-1).astype(np.uint8) for i in range(frames)]
     if seed % 3 == 2:
         return mp4codec.encode_mp4_h264_gop(
-            frs, fps=5, qp=22, gop=4, partition_cycle=bool(seed % 2))[0]
+            frs, fps=5, qp=22, gop=4, partition_cycle=bool(seed % 2),
+            bframes=bool(seed % 2))[0]
     if seed % 3 == 1:
         return mp4codec.encode_mp4_h264_cavlc(frs, fps=5, qp=22)[0]
     return mp4codec.encode_mp4_h264_ipcm(frs, fps=5)

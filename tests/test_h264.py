@@ -67,19 +67,19 @@ def test_avcc_route_matches_annexb():
     assert all((a == b).all() for a, b in zip(annexb, avcc))
 
 
-def test_stub_boundary_b_slice_and_cabac():
-    """P slices now DECODE (h264inter); the honest stub boundary moved
-    to B slices and CABAC."""
+def test_stub_boundary_sp_slice_and_cabac():
+    """P AND B slices now DECODE (h264inter); the honest stub boundary
+    moved to SP/SI switching slices and CABAC."""
     sps = H._sps_rbsp(16, 16)
     pps = H._pps_rbsp()
     bw = H._BitWriter()
     bw.ue(0)          # first_mb
-    bw.ue(6)          # slice_type B (6 = B, all pictures)
+    bw.ue(8)          # slice_type SP (8 = SP, all pictures)
     bw.ue(0)          # pps_id
     stream = (b"\x00\x00\x00\x01" + H._nal(7, sps)
               + b"\x00\x00\x00\x01" + H._nal(8, pps)
               + b"\x00\x00\x00\x01" + H._nal(1, bw.trailing()))
-    with pytest.raises(NotImplementedError, match="B/SP/SI"):
+    with pytest.raises(NotImplementedError, match="SP/SI"):
         H.decode_annexb(stream)
 
 

@@ -246,24 +246,103 @@ def test_mp4_gop_end_to_end_with_sync_table():
         assert np.array_equal(d, r)
 
 
-def test_p_slice_stub_boundaries():
+def test_inter_stub_boundaries():
     frames = _moving_frames(2, 16, 16)
     stream, _ = HI.encode_gop_annexb(frames, qp=26, gop=2)
-    # B slices still raise
+    # SP/SI switching slices still raise (B decodes now — h264inter)
     sps = H._sps_rbsp(16, 16)
     pps = H._pps_rbsp()
     bw = H._BitWriter()
     bw.ue(0)
-    bw.ue(6)          # slice_type B
+    bw.ue(3)          # slice_type SP
     bw.ue(0)
     bad = (b"\x00\x00\x00\x01" + H._nal(7, sps)
            + b"\x00\x00\x00\x01" + H._nal(8, pps)
            + b"\x00\x00\x00\x01" + H._nal(1, bw.trailing()))
-    with pytest.raises(NotImplementedError, match="B/SP/SI"):
+    with pytest.raises(NotImplementedError, match="SP/SI"):
         H.decode_annexb(bad)
-    # P slice with no prior reference picture is an error
+    # P/B slices with no prior reference picture are an error
     nals = list(H.iter_nals_annexb(stream))
     sc = b"\x00\x00\x00\x01"
     no_idr = b"".join(sc + n for n in nals if (n[0] & 0x1F) != 5)
     with pytest.raises(ValueError, match="no decoded reference"):
         H.decode_annexb(no_idr)
+    bw = H._BitWriter()
+    bw.ue(0)
+    bw.ue(6)          # slice_type B, no refs decoded
+    bw.ue(0)
+    bad_b = (b"\x00\x00\x00\x01" + H._nal(7, sps)
+             + b"\x00\x00\x00\x01" + H._nal(8, pps)
+             + b"\x00\x00\x00\x01" + H._nal(1, bw.trailing()))
+    with pytest.raises(ValueError, match="no decoded reference"):
+        H.decode_annexb(bad_b)
+
+
+# ---------------------------------------------------------------------------
+# B slices (spatial direct, bi-prediction) round-trips
+# ---------------------------------------------------------------------------
+
+def test_b_gop_roundtrip_pixel_exact():
+    """I P B P B P: non-reference B slices with direct/L0/L1/Bi 16x16
+    selection and B_Skip; pixel-exact against the decoder."""
+    frames = _moving_frames(6, 32, 48)
+    stream, recons = HI.encode_gop_annexb(frames, qp=24, gop=6,
+                                          bframes=True)
+    # stream really contains non-reference NALs (B pictures)
+    nals = list(H.iter_nals_annexb(stream))
+    ref_idcs = [(n[0] >> 5) & 3 for n in nals if (n[0] & 0x1F) == 1]
+    assert 0 in ref_idcs and 2 in ref_idcs
+    dec = H.decode_annexb(stream)
+    assert len(dec) == 6
+    for d, r in zip(dec, recons):
+        assert np.array_equal(d, r)
+    err = np.abs(dec[4].astype(int) - frames[4].astype(int)).mean()
+    assert err < 12
+
+
+def test_b_gop_partition_cycle_and_intra():
+    """Composite B types (B_L0_L1_16x8, B_L0_Bi_8x16), B_8x8 with a
+    direct 8x8 sub-block + Bi_8x8 + L1_8x4, intra MBs in B slices."""
+    frames = _moving_frames(5, 48, 48, step=2)
+    stream, recons = HI.encode_gop_annexb(
+        frames, qp=20, gop=5, bframes=True, partition_cycle=True,
+        intra_every=7)
+    dec = H.decode_annexb(stream)
+    for d, r in zip(dec, recons):
+        assert np.array_equal(d, r)
+
+
+def test_b_static_collapses_to_skip():
+    static = [np.full((32, 32, 3), 90, np.uint8)] * 5
+    stream, recons = HI.encode_gop_annexb(static, qp=28, gop=5,
+                                          bframes=True)
+    dec = H.decode_annexb(stream)
+    for d, r in zip(dec, recons):
+        assert np.array_equal(d, r)
+    nals = list(H.iter_nals_annexb(stream))
+    b_sizes = [len(n) for n in nals
+               if (n[0] & 0x1F) == 1 and (n[0] >> 5) == 0]
+    assert b_sizes and max(b_sizes) < 20      # all B_Skip runs
+
+
+def test_b_mp4_end_to_end():
+    frames = _moving_frames(6, 32, 32)
+    b, recons = M.encode_mp4_h264_gop(frames, fps=5, qp=24, gop=6,
+                                      bframes=True,
+                                      partition_cycle=True)
+    t = M.probe_mp4(b)["tracks"][0]
+    assert t["codec"] == "avc1" and t["sample_count"] == 6
+    assert t["sync_samples"] == [1]
+    dec = M.decode_mp4_frames(b)
+    for d, r in zip(dec, recons):
+        assert np.array_equal(d, r)
+
+
+def test_b_lists_swap_rule():
+    """§8.2.4.2.3: with identical past-only lists, L1's first two
+    entries swap so the lists differ."""
+    r1, r2 = object(), object()
+    L0, L1 = HI._b_lists([r1, r2])
+    assert L0 == [r1, r2] and L1 == [r2, r1]
+    L0, L1 = HI._b_lists([r1])
+    assert L0 == [r1] and L1 == [r1]
