@@ -5922,6 +5922,59 @@ def q_theil_sen_events(sf_dir: str):
     return out.astype({"n_pairs": "int64", "median_slope_key": "int64"})
 
 
+def q_rank_fusion_docs(sf_dir: str):
+    """Borda rank fusion (the integer-exact cousin of reciprocal-rank
+    fusion search engines run over retriever ensembles): two
+    deterministic per-lang rankings — length signal (n_chars DESC) and
+    a relevance stand-in (md5(text) ASC, matching DuckDB's md5 hex
+    lexicographically) — fused by rank SUM, top 3 per lang. Ranks are
+    computed vectorized inside each lang's bucket group (one shuffle);
+    every tie is broken by doc_id in BOTH engines, so the fusion is
+    bit-reproducible."""
+    import hashlib as _h
+
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text",
+                                     "n_chars"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "lang": df["lang"].astype(str),
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_chars": df["n_chars"].astype("int64"),
+            "h": [_h.md5(t.encode("utf-8")).hexdigest()
+                  for t in df["text"].astype(str)]})
+        out["bucket"] = stable_bucket(out["lang"], out["lang"], 16)
+        return out
+
+    def fuse(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, grp in df.groupby("lang", sort=False):
+            g = grp.reset_index(drop=True)
+            r1 = np.empty(len(g), np.int64)
+            order1 = np.lexsort((g["doc_id"].to_numpy(),
+                                 -g["n_chars"].to_numpy()))
+            r1[order1] = np.arange(1, len(g) + 1)
+            r2 = np.empty(len(g), np.int64)
+            order2 = np.lexsort((g["doc_id"].to_numpy(),
+                                 g["h"].to_numpy()))
+            r2[order2] = np.arange(1, len(g) + 1)
+            borda = r1 + r2
+            top = np.lexsort((g["doc_id"].to_numpy(), borda))[:3]
+            for i in top:
+                rows.append((lang, int(g["doc_id"][i]), int(borda[i])))
+        return pd.DataFrame(rows, columns=["lang", "doc_id", "borda"])
+
+    out = (ds.map_batches(prep, batch_format="pandas")
+           .groupby("bucket")
+           .map_groups(lambda df: fuse(df.drop(columns="bucket")),
+                       batch_format="pandas")).to_pandas()
+    out = (out.sort_values(["lang", "borda", "doc_id"])
+           .reset_index(drop=True))
+    return out.astype({"doc_id": "int64", "borda": "int64"})
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -6080,6 +6133,7 @@ QUERIES = {
     "q_iceberg_roundtrip_docs": q_iceberg_roundtrip_docs,
     "q_ranktests_events": q_ranktests_events,
     "q_theil_sen_events": q_theil_sen_events,
+    "q_rank_fusion_docs": q_rank_fusion_docs,
     "q_shot_boundary_media": q_shot_boundary_media,
     "q_zorder_events": q_zorder_events,
     "q_ann_hamming_topk": q_ann_hamming_topk,
@@ -10152,3 +10206,20 @@ r AS (
 SELECT event_type, CAST(m AS BIGINT) AS n_pairs,
        CAST(key AS BIGINT) AS median_slope_key
 FROM r WHERE rn = (m - 1) // 2 + 1 ORDER BY event_type"""
+
+ORACLE_SQL["q_rank_fusion_docs"] = """
+WITH r AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS r1,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(text), doc_id) AS r2
+  FROM documents),
+f AS (
+  SELECT lang, doc_id, r1 + r2 AS borda,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY r1 + r2, doc_id) AS rn
+  FROM r)
+SELECT lang, doc_id, CAST(borda AS BIGINT) AS borda
+FROM f WHERE rn <= 3
+ORDER BY lang, borda, doc_id"""
