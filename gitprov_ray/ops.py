@@ -2391,3 +2391,108 @@ def grid_distance_join(left_ds, right_ds, x: str = "x", y: str = "y",
     tr = right_ds.map_batches(tag_right, batch_format="pandas")
     return tl.union(tr).groupby("bucket").map_groups(
         probe, batch_format="pandas")
+
+
+def label_propagation(edges_ds, rounds: int = 3,
+                      num_partitions: int | None = None,
+                      src: str = "src", dst: str = "dst",
+                      broadcast_max: int = 500_000):
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, the deterministic variant): every node starts labeled
+    with its own id; each round it adopts the MODE of its neighbors'
+    previous-round labels over the DISTINCT undirected edge set, ties
+    broken by the smallest label. Returns a Dataset of (node, label).
+
+    Scale shape: the undirected edge set is deduplicated with ONE
+    distinct exchange (packed u<<32|v keys) and materialized once
+    (invariant 10 — it is re-consumed every round). Below
+    ``broadcast_max`` nodes the label vector broadcasts via ray.put and
+    each round is one streamed edge pass + ONE bucketed per-node argmax
+    exchange; above it, the lookup becomes a hash join (same argmax
+    exchange), nothing node-shaped on the driver."""
+    import pyarrow as pa
+    import ray
+
+    from .stages.versions import stable_bucket
+
+    P = num_partitions or _default_partitions()
+    packed = edges_ds.map_batches(
+        lambda df: pd.DataFrame({"k": np.concatenate([
+            (df[src].to_numpy(np.int64) << 32)
+            | df[dst].to_numpy(np.int64),
+            (df[dst].to_numpy(np.int64) << 32)
+            | df[src].to_numpy(np.int64)])}).drop_duplicates(),
+        batch_format="pandas")
+    und = materialize_normalized(
+        distinct_keys(packed, "k", P).map_batches(
+            lambda df: pd.DataFrame({
+                "u": (df["k"].to_numpy(np.int64) >> 32),
+                "v": (df["k"].to_numpy(np.int64)
+                      & 0xFFFFFFFF)}).astype("int64"),
+            batch_format="pandas"),
+        pa.schema([("u", pa.int64()), ("v", pa.int64())]))
+    nodes = materialize_normalized(
+        distinct_keys(und, "u", P).map_batches(
+            lambda df: df.rename(columns={"u": "node"}),
+            batch_format="pandas"),
+        pa.schema([("node", pa.int64())]))
+    n = nodes.count()
+    lbl_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+    labels = materialize_normalized(
+        nodes.map_batches(lambda df: pd.DataFrame(
+            {"node": df["node"].astype("int64"),
+             "label": df["node"].astype("int64")}),
+            batch_format="pandas"), lbl_schema)
+
+    def argmax_mode(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["u", "label"], sort=False, as_index=False)
+             ["c"].sum())
+        g = g.sort_values(["u", "c", "label"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        top = g.drop_duplicates("u", keep="first")
+        return pd.DataFrame({"node": top["u"].astype("int64"),
+                             "label": top["label"].astype("int64")})
+
+    for _ in range(rounds):
+        if n <= broadcast_max:
+            lp = labels.to_pandas().sort_values("node")
+            na = ray.put(np.ascontiguousarray(
+                lp["node"].to_numpy(np.int64)))
+            la = ray.put(np.ascontiguousarray(
+                lp["label"].to_numpy(np.int64)))
+
+            def tag(df: pd.DataFrame, na=na, la=la) -> pd.DataFrame:
+                nav, lav = ray.get(na), ray.get(la)  # zero-copy views
+                idx = np.searchsorted(nav, df["v"].to_numpy(np.int64))
+                out = pd.DataFrame({
+                    "u": df["u"].astype("int64"),
+                    "label": lav[idx],
+                    "c": np.int64(1)})
+                out = out.groupby(["u", "label"], sort=False,
+                                  as_index=False)["c"].sum()
+                out["bucket"] = stable_bucket(
+                    out["u"].astype(str), out["u"].astype(str), 64)
+                return out
+
+            tagged = und.map_batches(tag, batch_format="pandas")
+        else:
+            lv = labels.map_batches(
+                lambda df: df.rename(columns={"node": "v"}),
+                batch_format="pandas")
+            joined = und.join(lv, "inner", P, on=("v",))
+
+            def pre(df: pd.DataFrame) -> pd.DataFrame:
+                out = (df.assign(c=np.int64(1))
+                       .groupby(["u", "label"], sort=False,
+                                as_index=False)["c"].sum())
+                out["bucket"] = stable_bucket(
+                    out["u"].astype(str), out["u"].astype(str), 64)
+                return out
+
+            tagged = joined.map_batches(pre, batch_format="pandas")
+        labels = materialize_normalized(
+            tagged.groupby("bucket").map_groups(
+                lambda df: argmax_mode(df.drop(columns="bucket")),
+                batch_format="pandas"), lbl_schema)
+    return labels

@@ -5975,6 +5975,37 @@ def q_rank_fusion_docs(sf_dir: str):
     return out.astype({"doc_id": "int64", "borda": "int64"})
 
 
+def q_lpa_communities_docs(sf_dir: str):
+    """Community detection by synchronous label propagation
+    (ops.label_propagation, Raghavan et al. 2007) over the
+    deterministic citation graph (doc → 31d+7, 17d+3 mod n): 3 rounds
+    of adopt-the-neighbor-mode with (count DESC, label ASC) tie-break
+    on the DISTINCT undirected edge set — one dedup exchange up front,
+    one bucketed per-node argmax exchange per round, label vector
+    broadcast zero-copy below 500k nodes (hash-join regime above).
+    Output: top-20 communities by size."""
+    from . import ops
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    n = ds.count()
+
+    def edges(df: pd.DataFrame, n=n) -> pd.DataFrame:
+        s = df["doc_id"].to_numpy()
+        return pd.DataFrame({
+            "src": np.concatenate([s, s]).astype("int64"),
+            "dst": np.concatenate([(s * 31 + 7) % n,
+                                   (s * 17 + 3) % n]).astype("int64")})
+
+    labels = ops.label_propagation(
+        ds.map_batches(edges, batch_format="pandas"), rounds=3)
+    g = (labels.groupby("label")
+         .aggregate(Count(alias_name="size"))).to_pandas()
+    g = (g.sort_values(["size", "label"], ascending=[False, True])
+         .head(20).reset_index(drop=True))
+    return pd.DataFrame({"community": g["label"].astype("int64"),
+                         "size": g["size"].astype("int64")})
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -6134,6 +6165,7 @@ QUERIES = {
     "q_ranktests_events": q_ranktests_events,
     "q_theil_sen_events": q_theil_sen_events,
     "q_rank_fusion_docs": q_rank_fusion_docs,
+    "q_lpa_communities_docs": q_lpa_communities_docs,
     "q_shot_boundary_media": q_shot_boundary_media,
     "q_zorder_events": q_zorder_events,
     "q_ann_hamming_topk": q_ann_hamming_topk,
@@ -10223,3 +10255,39 @@ f AS (
 SELECT lang, doc_id, CAST(borda AS BIGINT) AS borda
 FROM f WHERE rn <= 3
 ORDER BY lang, borda, doc_id"""
+
+ORACLE_SQL["q_lpa_communities_docs"] = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS s, (doc_id * 31 + 7) % n AS d
+  FROM documents CROSS JOIN nn
+  UNION ALL
+  SELECT doc_id, (doc_id * 17 + 3) % n FROM documents CROSS JOIN nn),
+und AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT s AS u, d AS v FROM e0
+    UNION ALL
+    SELECT d AS u, s AS v FROM e0)),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM und),
+c1 AS (SELECT und.u, l.label, COUNT(*) AS c
+       FROM und JOIN l0 l ON l.node = und.v GROUP BY 1, 2),
+l1 AS (SELECT u AS node, label FROM (
+         SELECT u, label, ROW_NUMBER() OVER (
+             PARTITION BY u ORDER BY c DESC, label) AS rn FROM c1)
+       WHERE rn = 1),
+c2 AS (SELECT und.u, l.label, COUNT(*) AS c
+       FROM und JOIN l1 l ON l.node = und.v GROUP BY 1, 2),
+l2 AS (SELECT u AS node, label FROM (
+         SELECT u, label, ROW_NUMBER() OVER (
+             PARTITION BY u ORDER BY c DESC, label) AS rn FROM c2)
+       WHERE rn = 1),
+c3 AS (SELECT und.u, l.label, COUNT(*) AS c
+       FROM und JOIN l2 l ON l.node = und.v GROUP BY 1, 2),
+l3 AS (SELECT u AS node, label FROM (
+         SELECT u, label, ROW_NUMBER() OVER (
+             PARTITION BY u ORDER BY c DESC, label) AS rn FROM c3)
+       WHERE rn = 1)
+SELECT CAST(label AS BIGINT) AS community,
+       CAST(COUNT(*) AS BIGINT) AS size
+FROM l3 GROUP BY label
+ORDER BY size DESC, community LIMIT 20"""

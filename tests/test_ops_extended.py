@@ -831,3 +831,28 @@ def test_grid_distance_join_brute_force():
             ref[i] = (len(cands), cands[0][1], cands[0][0])
     assert dict(zip(got["id"], zip(got["n_within"], got["nearest_id"],
                                    got["nearest_d2"]))) == ref
+
+
+def test_label_propagation_barbell_and_regime_parity(ray_session):
+    """Two triangles joined by one bridge edge: after 2 synchronous
+    rounds with (count desc, min label) tie-break, each triangle
+    converges to its minimum id; broadcast and join regimes agree."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gitprov_ray import ops
+
+    edges = pd.DataFrame({
+        "src": [0, 1, 2, 10, 11, 12, 2],
+        "dst": [1, 2, 0, 11, 12, 10, 10]})
+    ds = rd.from_pandas(edges)
+    got = (ops.label_propagation(ds, rounds=4).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    lab = dict(zip(got["node"], got["label"]))
+    assert lab[0] == lab[1] == lab[2] == 0
+    assert lab[11] == lab[12]
+    # join regime (broadcast_max=0) must produce identical labels
+    got2 = (ops.label_propagation(rd.from_pandas(edges), rounds=4,
+                                  broadcast_max=0).to_pandas()
+            .sort_values("node").reset_index(drop=True))
+    assert got.equals(got2)
