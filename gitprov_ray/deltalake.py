@@ -287,9 +287,15 @@ def write_delta(ds, table: str, mode: str = "append",
     if versions and mode not in ("append", "overwrite"):
         raise ValueError(f"mode {mode!r}")
 
+    _manifest_schema = pa.schema([
+        ("path", pa.string()), ("pvals", pa.string()),
+        ("size", pa.int64()), ("nrows", pa.int64())])
+
     def write_file(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
         rows = {"path": [], "pvals": [], "size": [], "nrows": []}
+        if batch.num_rows == 0:
+            return pa.table(rows, schema=_manifest_schema)
         if part_cols:
             key = pa.table({c: batch[c] for c in part_cols}).to_pandas()
             grp = key.groupby(part_cols, sort=False).indices
@@ -312,7 +318,7 @@ def write_delta(ds, table: str, mode: str = "append",
             rows["pvals"].append(json.dumps(pvals, sort_keys=True))
             rows["size"].append(os.path.getsize(full))
             rows["nrows"].append(sub.num_rows)
-        return pa.table(rows)
+        return pa.table(rows, schema=_manifest_schema)
 
     manifest = ds.map_batches(write_file,
                               batch_format="pyarrow").to_pandas()

@@ -209,15 +209,23 @@ def write_iceberg(ds, table: str, mode: str = "append") -> int:
         schema = pa.schema([(n, _np(t))
                             for n, t in zip(sch.names, sch.types)])
 
+    _manifest_schema = pa.schema([("path", pa.string()),
+                                  ("size", pa.int64()),
+                                  ("nrows", pa.int64())])
+
     def write_file(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
+        if batch.num_rows == 0:
+            return pa.table({"path": [], "size": [], "nrows": []},
+                            schema=_manifest_schema)
         rel = f"data/part-{uuid.uuid4().hex}.parquet"
         full = os.path.join(table, rel)
         pq.write_table(batch.replace_schema_metadata(None), full,
                        compression="snappy")
         return pa.table({"path": [rel],
                          "size": [os.path.getsize(full)],
-                         "nrows": [batch.num_rows]})
+                         "nrows": [batch.num_rows]},
+                        schema=_manifest_schema)
 
     manifest_rows = ds.map_batches(
         write_file, batch_format="pyarrow").to_pandas()
