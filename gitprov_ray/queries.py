@@ -6006,6 +6006,107 @@ def q_lpa_communities_docs(sf_dir: str):
                          "size": g["size"].astype("int64")})
 
 
+def q_dbscan_embeddings(sf_dir: str):
+    """Density-based clustering (DBSCAN, Ester et al. 1996) over the
+    embeddings table in EXACT integers: coordinates quantized to milli
+    units (half-away rounding, the covariance/SQ8 convention), squared
+    L2 in int64, eps²=1,450,000 / minPts=5 (sized so the corpus splits
+    into cores, borders AND noise). Core points = eps-neighbor count
+    (self included) ≥ minPts; clusters = distributed min-label
+    connected components over core-core eps edges
+    (linking.min_label_components — no driver union-find); borders
+    adopt the MIN cluster among their core neighbors; noise = −1.
+    Exact-pair regime broadcasts the integer matrix (same documented
+    corpus ceiling as exact cosine; LSH blocking is the 100-TB path);
+    neighbor counts and edge emission stream per batch against it."""
+    import ray
+
+    from . import linking
+
+    EPS2, MINPTS = 1_450_000, 5
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pdf = ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    v = np.stack(pdf["embedding"].to_numpy()) * 1000.0
+    m = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+    ids_ref, m_ref = ray.put(ids), ray.put(m)
+
+    def nbmask(batch_m, full_m):
+        # exact integer d2 via |a|²+|b|²−2a·b (int64 matmul)
+        aa = (batch_m * batch_m).sum(1)[:, None]
+        bb = (full_m * full_m).sum(1)[None, :]
+        d2 = aa + bb - 2 * (batch_m @ full_m.T)
+        return d2 <= EPS2
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        full = ray.get(m_ref)
+        vv = np.stack(df["embedding"].to_numpy()) * 1000.0
+        bm = (np.sign(vv) * np.floor(np.abs(vv) + 0.5)).astype(np.int64)
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].astype("int64"),
+            "n": nbmask(bm, full).sum(1).astype("int64")})
+
+    nb = (ds.map_batches(counts, batch_format="pandas")).to_pandas()
+    core_ids = np.sort(nb.loc[nb["n"] >= MINPTS,
+                              "vec_id"].to_numpy(np.int64))
+    core_ref = ray.put(core_ids)
+
+    def core_edges(df: pd.DataFrame) -> pd.DataFrame:
+        full, fids = ray.get(m_ref), ray.get(ids_ref)
+        cores = ray.get(core_ref)
+        vv = np.stack(df["embedding"].to_numpy()) * 1000.0
+        bm = (np.sign(vv) * np.floor(np.abs(vv) + 0.5)).astype(np.int64)
+        bids = df["vec_id"].to_numpy(np.int64)
+        mask = nbmask(bm, full)
+        is_core_b = np.isin(bids, cores)
+        is_core_f = np.isin(fids, cores)
+        r, c = np.nonzero(mask & is_core_b[:, None]
+                          & is_core_f[None, :])
+        a, b = bids[r], fids[c]
+        keep = a < b                          # dedup + drop self
+        return pd.DataFrame({"a": a[keep], "b": b[keep]})
+
+    # core-core eps edges are sparse (mean degree ~8); 8 partitions keep
+    # the per-round join/aggregate task count proportionate
+    labels = linking.min_label_components(
+        ds.map_batches(core_edges, batch_format="pandas"),
+        num_partitions=8).to_pandas()
+    lut = dict(zip(labels["node"].astype("int64"),
+                   labels["label"].astype("int64")))
+    # isolated cores (no core neighbor) are their own cluster
+    for cid in core_ids:
+        lut.setdefault(int(cid), int(cid))
+    lut_ref = ray.put(lut)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        full, fids = ray.get(m_ref), ray.get(ids_ref)
+        cores = ray.get(core_ref)
+        lu = ray.get(lut_ref)
+        vv = np.stack(df["embedding"].to_numpy()) * 1000.0
+        bm = (np.sign(vv) * np.floor(np.abs(vv) + 0.5)).astype(np.int64)
+        bids = df["vec_id"].to_numpy(np.int64)
+        mask = nbmask(bm, full)
+        is_core_f = np.isin(fids, cores)
+        out = []
+        for i, vid in enumerate(bids):
+            if int(vid) in lu:
+                out.append((int(vid), lu[int(vid)], 1))
+                continue
+            nbr_cores = fids[mask[i] & is_core_f]
+            if len(nbr_cores):
+                out.append((int(vid),
+                            min(lu[int(x)] for x in nbr_cores), 0))
+            else:
+                out.append((int(vid), -1, 0))
+        return pd.DataFrame(out, columns=["vec_id", "cluster",
+                                          "is_core"])
+
+    res = (ds.map_batches(assign, batch_format="pandas")).to_pandas()
+    res = res.sort_values("vec_id").reset_index(drop=True)
+    return res.astype({"vec_id": "int64", "cluster": "int64",
+                       "is_core": "int64"})
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -6166,6 +6267,7 @@ QUERIES = {
     "q_theil_sen_events": q_theil_sen_events,
     "q_rank_fusion_docs": q_rank_fusion_docs,
     "q_lpa_communities_docs": q_lpa_communities_docs,
+    "q_dbscan_embeddings": q_dbscan_embeddings,
     "q_shot_boundary_media": q_shot_boundary_media,
     "q_zorder_events": q_zorder_events,
     "q_ann_hamming_topk": q_ann_hamming_topk,
@@ -10291,3 +10393,47 @@ SELECT CAST(label AS BIGINT) AS community,
        CAST(COUNT(*) AS BIGINT) AS size
 FROM l3 GROUP BY label
 ORDER BY size DESC, community LIMIT 20"""
+
+ORACLE_SQL["q_dbscan_embeddings"] = """
+WITH e AS (
+  SELECT vec_id, unnest(embedding) AS v,
+         unnest(range(len(embedding))) AS i
+  FROM embeddings),
+q AS (
+  SELECT vec_id, i,
+         CAST(ROUND(CAST(v AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM e),
+d2 AS (
+  SELECT a.vec_id AS i, b.vec_id AS j,
+         SUM((a.q - b.q) * (a.q - b.q)) AS d2
+  FROM q a JOIN q b ON a.i = b.i GROUP BY 1, 2),
+nb AS (
+  SELECT i AS vec_id, COUNT(*) AS n
+  FROM d2 WHERE d2 <= 1450000 GROUP BY i),
+core AS (SELECT vec_id FROM nb WHERE n >= 5),
+eu AS (
+  SELECT d2.i AS a, d2.j AS b FROM d2
+  WHERE d2.d2 <= 1450000 AND d2.i <> d2.j
+    AND d2.i IN (SELECT vec_id FROM core)
+    AND d2.j IN (SELECT vec_id FROM core)),
+rec AS (
+  WITH RECURSIVE walk(node, lab) AS (
+    SELECT vec_id, vec_id FROM core
+    UNION
+    SELECT eu.b, walk.lab FROM walk JOIN eu ON eu.a = walk.node
+  ) SELECT node, MIN(lab) AS cluster FROM walk GROUP BY node),
+border AS (
+  SELECT d2.i AS vec_id, MIN(rec.cluster) AS cluster
+  FROM d2 JOIN rec ON rec.node = d2.j
+  WHERE d2.d2 <= 1450000 AND d2.i <> d2.j
+    AND d2.i NOT IN (SELECT vec_id FROM core)
+  GROUP BY d2.i)
+SELECT em.vec_id,
+       CAST(COALESCE(r.cluster, border.cluster, -1) AS BIGINT)
+           AS cluster,
+       CAST(CASE WHEN r.node IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS is_core
+FROM embeddings em
+LEFT JOIN rec r ON r.node = em.vec_id
+LEFT JOIN border ON border.vec_id = em.vec_id
+ORDER BY em.vec_id"""
