@@ -6107,6 +6107,67 @@ def q_dbscan_embeddings(sf_dir: str):
                        "is_core": "int64"})
 
 
+def q_kaplan_meier_events(sf_dir: str):
+    """Kaplan-Meier survival curve of user lifetimes, integer-exact:
+    lifetime = hours between a user's first and last event, censored
+    when the last event falls in the final 24h of the log (the user may
+    still be active). The product-limit estimator runs as the
+    truncating integer recurrence s_i = s_{i−1}·(n_i−d_i) // n_i in
+    micro units — sequential by nature, so the twin is a recursive CTE
+    over ranked event times and the engine mirrors it on the
+    AGGREGATED per-duration table (≤ wall-clock hours). The heavy
+    steps — per-user first/last and the per-duration death/censor
+    counts — are distributed aggregates; nothing user-shaped lands on
+    the driver. First 20 event times reported."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    tmax = int(pd.Timestamp(ds.max("ts")).value // 1000)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("int64")
+        g = (pd.DataFrame({"user_id": df["user_id"].astype("int64"),
+                           "f": us, "l": us})
+             .groupby("user_id", as_index=False)
+             .agg(f=("f", "min"), l=("l", "max")))
+        return g
+
+    per_user = (ds.map_batches(partial, batch_format="pandas")
+                .groupby("user_id")
+                .aggregate(Min("f", alias_name="f"),
+                           Max("l", alias_name="l")))
+
+    def durs(df: pd.DataFrame, tmax=tmax) -> pd.DataFrame:
+        dur = ((df["l"].astype("int64") - df["f"].astype("int64"))
+               // 3_600_000_000)
+        obs = (df["l"].astype("int64")
+               <= tmax - 86_400_000_000).astype("int64")
+        g = (pd.DataFrame({"dur": dur, "deaths": obs,
+                           "ends": np.int64(1)})
+             .groupby("dur", as_index=False).sum())
+        return g
+
+    agg = (per_user.map_batches(durs, batch_format="pandas")
+           .groupby("dur")
+           .aggregate(Sum("deaths", alias_name="deaths"),
+                      Sum("ends", alias_name="ends"))).to_pandas()
+    agg = agg.sort_values("dur").reset_index(drop=True)
+    n = int(agg["ends"].sum())
+    ends_before = np.concatenate(
+        [[np.int64(0)], np.cumsum(agg["ends"].to_numpy(np.int64))[:-1]])
+    agg["n_risk"] = n - ends_before
+    ev = agg[agg["deaths"] > 0].reset_index(drop=True)
+    s = 1_000_000
+    rows = []
+    for i in range(min(20, len(ev))):
+        nr = int(ev["n_risk"][i])
+        d = int(ev["deaths"][i])
+        s = s * (nr - d) // nr
+        rows.append((int(ev["dur"][i]), nr, d, s))
+    return pd.DataFrame(rows, columns=[
+        "duration_h", "n_risk", "n_events", "surv_micro"]).astype(
+        {"duration_h": "int64", "n_risk": "int64", "n_events": "int64",
+         "surv_micro": "int64"})
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -6268,6 +6329,7 @@ QUERIES = {
     "q_rank_fusion_docs": q_rank_fusion_docs,
     "q_lpa_communities_docs": q_lpa_communities_docs,
     "q_dbscan_embeddings": q_dbscan_embeddings,
+    "q_kaplan_meier_events": q_kaplan_meier_events,
     "q_shot_boundary_media": q_shot_boundary_media,
     "q_zorder_events": q_zorder_events,
     "q_ann_hamming_topk": q_ann_hamming_topk,
@@ -10437,3 +10499,41 @@ FROM embeddings em
 LEFT JOIN rec r ON r.node = em.vec_id
 LEFT JOIN border ON border.vec_id = em.vec_id
 ORDER BY em.vec_id"""
+
+ORACLE_SQL["q_kaplan_meier_events"] = """
+WITH bounds AS (SELECT MAX(epoch_us(ts)) AS tmax FROM events),
+u AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS f, MAX(epoch_us(ts)) AS l
+  FROM events GROUP BY 1),
+d AS (
+  SELECT user_id, (l - f) // 3600000000 AS dur,
+         CASE WHEN l <= tmax - 86400000000 THEN 1 ELSE 0 END AS obs
+  FROM u CROSS JOIN bounds),
+tot AS (SELECT COUNT(*) AS n FROM d),
+ev AS (
+  SELECT dur, SUM(obs) AS deaths, COUNT(*) AS ends
+  FROM d GROUP BY dur),
+ord AS (
+  SELECT dur, deaths,
+         n - COALESCE(SUM(ends) OVER (ORDER BY dur
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS n_risk
+  FROM ev CROSS JOIN tot),
+evd AS (
+  SELECT dur, deaths, n_risk,
+         ROW_NUMBER() OVER (ORDER BY dur) AS ern
+  FROM ord WHERE deaths > 0),
+km AS (
+  WITH RECURSIVE k(ern, dur, n_risk, deaths, s) AS (
+    SELECT ern, dur, n_risk, deaths,
+           1000000 * (n_risk - deaths) // n_risk
+    FROM evd WHERE ern = 1
+    UNION ALL
+    SELECT e.ern, e.dur, e.n_risk, e.deaths,
+           k.s * (e.n_risk - e.deaths) // e.n_risk
+    FROM k JOIN evd e ON e.ern = k.ern + 1)
+  SELECT * FROM k)
+SELECT dur AS duration_h, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(deaths AS BIGINT) AS n_events,
+       CAST(s AS BIGINT) AS surv_micro
+FROM km WHERE ern <= 20 ORDER BY duration_h"""
