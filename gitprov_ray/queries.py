@@ -6168,6 +6168,52 @@ def q_kaplan_meier_events(sf_dir: str):
          "surv_micro": "int64"})
 
 
+def q_decision_stump_events(sf_dir: str):
+    """Supervised binning / depth-1 decision tree: the best value-cents
+    threshold separating 'click' from 'error' events by Gini, with an
+    EXACT integer goodness contract — maximizing
+    ((aL²+bL²)·1e6)//nL + ((aR²+bR²)·1e6)//nR (the impurity identity
+    n − Σ(a²+b²)/n_side with the division pinned to truncating micro
+    units, so both engines pick the identical split; ties → smallest
+    threshold). One distributed per-value class-histogram exchange
+    (same shape as the rank tests); the prefix-sum scan runs on the
+    aggregated value histogram. Split semantics: left = cents ≤ t."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["event_type"].isin(["click", "error"])]
+        g = pd.DataFrame({
+            "cents": _cents(sub["value"]),
+            "one": np.int64(1),
+            "a": (sub["event_type"] == "click").astype("int64")})
+        out = (g.groupby("cents", sort=False)
+               .agg(a=("a", "sum"), n=("one", "sum")).reset_index())
+        out["b"] = out["n"] - out["a"]
+        return out[["cents", "a", "b"]]
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("cents")
+           .aggregate(Sum("a", alias_name="a"),
+                      Sum("b", alias_name="b"))).to_pandas()
+    agg = agg.sort_values("cents").reset_index(drop=True)
+    av = agg["a"].to_numpy(np.int64)
+    bv = agg["b"].to_numpy(np.int64)
+    ta, tb = int(av.sum()), int(bv.sum())
+    al = np.cumsum(av)[:-1]                   # left = cents <= t
+    bl = np.cumsum(bv)[:-1]
+    nl = al + bl
+    ar, br = ta - al, tb - bl
+    nr = ar + br
+    score = ((al * al + bl * bl) * 1_000_000 // nl
+             + (ar * ar + br * br) * 1_000_000 // nr)
+    i = int(np.argmax(score))                 # first max = min threshold
+    return pd.DataFrame([{
+        "split_cents": int(agg["cents"][i]),
+        "score_micro": int(score[i]),
+        "n_left": int(nl[i]), "n_right": int(nr[i]),
+        "a_left": int(al[i]), "b_left": int(bl[i])}]).astype("int64")
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -6330,6 +6376,7 @@ QUERIES = {
     "q_lpa_communities_docs": q_lpa_communities_docs,
     "q_dbscan_embeddings": q_dbscan_embeddings,
     "q_kaplan_meier_events": q_kaplan_meier_events,
+    "q_decision_stump_events": q_decision_stump_events,
     "q_shot_boundary_media": q_shot_boundary_media,
     "q_zorder_events": q_zorder_events,
     "q_ann_hamming_topk": q_ann_hamming_topk,
@@ -10537,3 +10584,33 @@ SELECT dur AS duration_h, CAST(n_risk AS BIGINT) AS n_risk,
        CAST(deaths AS BIGINT) AS n_events,
        CAST(s AS BIGINT) AS surv_micro
 FROM km WHERE ern <= 20 ORDER BY duration_h"""
+
+ORACLE_SQL["q_decision_stump_events"] = """
+WITH s AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isa
+  FROM events WHERE event_type IN ('click', 'error')),
+h AS (
+  SELECT cents, SUM(isa) AS a, COUNT(*) - SUM(isa) AS b
+  FROM s GROUP BY cents),
+t AS (SELECT SUM(a) AS ta, SUM(b) AS tb FROM h),
+cum AS (
+  SELECT cents,
+         SUM(a) OVER (ORDER BY cents) AS al,
+         SUM(b) OVER (ORDER BY cents) AS bl
+  FROM h),
+cand AS (
+  SELECT cents, al, bl, ta - al AS ar, tb - bl AS br
+  FROM cum CROSS JOIN t
+  WHERE al + bl > 0 AND (ta - al) + (tb - bl) > 0),
+sc AS (
+  SELECT cents,
+         (al * al + bl * bl) * 1000000 // (al + bl)
+         + (ar * ar + br * br) * 1000000 // (ar + br) AS score,
+         al + bl AS nl, ar + br AS nr, al, bl
+  FROM cand)
+SELECT CAST(cents AS BIGINT) AS split_cents,
+       CAST(score AS BIGINT) AS score_micro,
+       CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+       CAST(al AS BIGINT) AS a_left, CAST(bl AS BIGINT) AS b_left
+FROM sc ORDER BY score DESC, cents LIMIT 1"""
