@@ -346,3 +346,49 @@ def test_b_lists_swap_rule():
     assert L0 == [r1, r2] and L1 == [r2, r1]
     L0, L1 = HI._b_lists([r1])
     assert L0 == [r1] and L1 == [r1]
+
+
+def test_direct_spatial_rules():
+    """§8.4.1.2.2/.3 pinned directly: min-positive neighbor refIdx per
+    list, 16x16 MVP as base motion, colZeroFlag zeroing only refIdx-0
+    lists, and direct-zero-prediction when no neighbor has a
+    reference."""
+    import types
+
+    ctx = _ctx()
+    col = types.SimpleNamespace(
+        refidx=np.full((16, 16), -1, np.int32),
+        mvx=np.zeros((16, 16), np.int32),
+        mvy=np.zeros((16, 16), np.int32))
+    # no neighbors referenced in either list → direct zero prediction
+    r0, r1, mv0, mv1, cz = HI._direct_spatial(ctx, 1, 1, [col])
+    assert (r0, r1, mv0, mv1) == (0, 0, (0, 0), (0, 0))
+    assert not cz.any()
+    # L0: A has ref 1, B has ref 0 → min positive = 0; L1 empty → -1
+    ctx.refidx[4, 3] = 1
+    ctx.mvx[4, 3], ctx.mvy[4, 3] = 40, 40
+    ctx.refidx[3, 4] = 0
+    ctx.mvx[3, 4], ctx.mvy[3, 4] = 8, 12
+    r0, r1, mv0, mv1, cz = HI._direct_spatial(ctx, 1, 1, [col])
+    assert r0 == 0 and r1 == -1
+    # only B matches refIdx 0 → mvp = mvB
+    assert mv0 == (8, 12)
+    # colocated stationary ref-0 block → colZeroFlag for that 4x4
+    col2 = types.SimpleNamespace(
+        refidx=np.full((16, 16), 0, np.int32),
+        mvx=np.ones((16, 16), np.int32),      # |mv| <= 1 → still zero
+        mvy=np.zeros((16, 16), np.int32))
+    r0b, r1b, mv0b, _, czb = HI._direct_spatial(ctx, 1, 1, [col2])
+    assert czb.all() and r0b == 0
+    # moving colocated (|mv| > 1) clears the flag
+    col3 = types.SimpleNamespace(
+        refidx=np.full((16, 16), 0, np.int32),
+        mvx=np.full((16, 16), 2, np.int32),
+        mvy=np.zeros((16, 16), np.int32))
+    _, _, _, _, cz3 = HI._direct_spatial(ctx, 1, 1, [col3])
+    assert not cz3.any()
+    # the per-block zeroing applies only where the flag is set
+    parts = HI._direct_parts(ctx, 1, 1, [col2], [(0, 0)])
+    assert parts[0][4] == (0, 0, 0)           # ref0, mv forced to zero
+    parts = HI._direct_parts(ctx, 1, 1, [col3], [(0, 0)])
+    assert parts[0][4] == (0, 8, 12)          # base mvp survives
