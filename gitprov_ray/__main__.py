@@ -293,7 +293,39 @@ def build_parser() -> argparse.ArgumentParser:
     pb.add_argument("media")
     pb.add_argument("out")
     pb.set_defaults(fn=cmd_probe)
+
+    sqc = sub.add_parser("sql", help="SELECT subset over parquet tables "
+                         "(compiled to Ray Dataset pipelines, sqlfront)")
+    sqc.add_argument("query")
+    sqc.add_argument("--table", action="append", default=[],
+                     metavar="NAME=PATH",
+                     help="table binding, repeatable; or use --dir")
+    sqc.add_argument("--dir", default=None,
+                     help="directory of NAME.parquet files to bind")
+    sqc.set_defaults(fn=cmd_sql)
     return p
+
+
+def cmd_sql(args) -> int:
+    import glob
+    import os
+
+    from . import sqlfront
+
+    tables = {}
+    if args.dir:
+        for path in glob.glob(os.path.join(args.dir, "*.parquet")):
+            tables[os.path.splitext(os.path.basename(path))[0]] = path
+    for spec in args.table:
+        name, _, path = spec.partition("=")
+        if not path:
+            print(f"--table needs NAME=PATH, got {spec!r}",
+                  file=sys.stderr)
+            return 2
+        tables[name] = path
+    out = sqlfront.sql_query(args.query, tables)
+    print(out.to_csv(index=False), end="")
+    return 0
 
 
 def main(argv=None) -> int:

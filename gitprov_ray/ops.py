@@ -2496,3 +2496,27 @@ def label_propagation(edges_ds, rounds: int = 3,
                 lambda df: argmax_mode(df.drop(columns="bucket")),
                 batch_format="pandas"), lbl_schema)
     return labels
+
+
+def schema_of_dataset(ds):
+    """Arrow schema of a Dataset whether its blocks are arrow- or
+    pandas-backed (Ray reports numpy dtypes for the latter); pairs with
+    materialize_normalized when no explicit schema is at hand."""
+    import pyarrow as pa
+
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base.remove_metadata()
+
+    def conv(t):
+        if isinstance(t, pa.DataType):
+            return t
+        dt = np.dtype(t)
+        if dt.kind in ("O", "U"):
+            return pa.string()
+        if dt.kind == "M":
+            return pa.timestamp("us")
+        return pa.from_numpy_dtype(dt)
+
+    return pa.schema([(n, conv(t)) for n, t in zip(sch.names, sch.types)])

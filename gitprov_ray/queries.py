@@ -6214,6 +6214,27 @@ def q_decision_stump_events(sf_dir: str):
         "a_left": int(al[i]), "b_left": int(bl[i])}]).astype("int64")
 
 
+SQLFRONT_DEMO = (
+    "SELECT event_type, COUNT(*) AS n_events, MIN(event_id) AS min_id, "
+    "MAX(event_id) AS max_id FROM events "
+    "WHERE value > 10 AND event_type <> 'error' "
+    "GROUP BY event_type ORDER BY event_type")
+
+
+def q_sql_front_events(sf_dir: str):
+    """The SQL front door end to end (sqlfront.py): the registered
+    oracle twin IS the identical SQL string — the engine parses it,
+    prunes the scan to the referenced columns, filters vectorized, runs
+    the grouped aggregate through the bucketed-exchange pattern, and
+    must reproduce DuckDB's answer for its own query language."""
+    from . import sqlfront
+
+    out = sqlfront.sql_query(
+        SQLFRONT_DEMO, {"events": f"{sf_dir}/events.parquet"})
+    return out.astype({"n_events": "int64", "min_id": "int64",
+                       "max_id": "int64"})
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -6377,6 +6398,7 @@ QUERIES = {
     "q_dbscan_embeddings": q_dbscan_embeddings,
     "q_kaplan_meier_events": q_kaplan_meier_events,
     "q_decision_stump_events": q_decision_stump_events,
+    "q_sql_front_events": q_sql_front_events,
     "q_shot_boundary_media": q_shot_boundary_media,
     "q_zorder_events": q_zorder_events,
     "q_ann_hamming_topk": q_ann_hamming_topk,
@@ -10614,3 +10636,5 @@ SELECT CAST(cents AS BIGINT) AS split_cents,
        CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
        CAST(al AS BIGINT) AS a_left, CAST(bl AS BIGINT) AS b_left
 FROM sc ORDER BY score DESC, cents LIMIT 1"""
+
+ORACLE_SQL["q_sql_front_events"] = SQLFRONT_DEMO

@@ -1,0 +1,676 @@
+"""SQL front door: a SELECT subset compiled to Ray Dataset pipelines.
+
+The reference exposes one query language (SPARQL — sparql_lite covers
+it end to end); this module adds the tabular twin so the engine's
+parquet tables are queryable without writing pipeline code:
+
+    sql_query("SELECT lang, COUNT(*) AS n FROM documents "
+              "WHERE n_chars > 100 GROUP BY lang ORDER BY n DESC",
+              tables={"documents": ds_or_path})
+
+Supported surface (documented subset, hard errors beyond it):
+  * SELECT projections and expressions with AS aliases; * ;
+  * aggregates COUNT(*) / COUNT(col) / SUM / MIN / MAX / AVG, plain or
+    per GROUP BY keys, with HAVING;
+  * WHERE with AND/OR/NOT, comparisons, arithmetic (+ - * / %),
+    IN (...), BETWEEN, LIKE ('%'/'_' wildcards), string and numeric
+    literals;
+  * INNER JOIN ... ON a.col = b.col (equality; composable);
+  * ORDER BY [ASC|DESC] multi-key, LIMIT.
+
+Compilation is Ray-Data-first: column pruning at the read (only
+referenced columns are scanned), WHERE as a vectorized pandas
+map_batches filter, GROUP BY as per-batch partial aggregation + ONE
+bucketed exchange (the engine's standard high-cardinality pattern —
+never Ray's slow multi-key aggregate), joins through Dataset.join with
+block normalization between chained joins (invariant 7/11), ORDER
+BY/LIMIT as sort + limit. Differential tests run generated query
+batteries against DuckDB on the same parquet.
+
+NULL semantics are NOT implemented (the engine's tables are dense);
+queries over nullable data belong to the oracle, not this front door.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+_KEYWORDS = {"select", "from", "where", "group", "by", "having",
+             "order", "limit", "as", "and", "or", "not", "in",
+             "between", "like", "join", "on", "inner", "asc", "desc",
+             "distinct"}
+_AGGS = {"count", "sum", "min", "max", "avg"}
+
+_TOKEN_RE = re.compile(r"""
+    \s*(?:
+      (?P<num>\d+\.\d+|\d+)
+    | (?P<str>'(?:[^']|'')*')
+    | (?P<op><=|>=|<>|!=|=|<|>|\(|\)|,|\*|\+|-|/|%|\.)
+    | (?P<ident>[A-Za-z_][A-Za-z_0-9]*)
+    )""", re.X)
+
+
+def _tokenize(sql: str):
+    out = []
+    pos = 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if not m:
+            if sql[pos:].strip() == "":
+                break
+            raise ValueError(f"SQL: cannot tokenize at {sql[pos:pos+20]!r}")
+        pos = m.end()
+        if m.group("num"):
+            out.append(("num", m.group("num")))
+        elif m.group("str"):
+            out.append(("str", m.group("str")[1:-1].replace("''", "'")))
+        elif m.group("op"):
+            out.append(("op", m.group("op")))
+        else:
+            w = m.group("ident")
+            out.append(("kw", w.lower()) if w.lower() in _KEYWORDS
+                       or w.lower() in _AGGS else ("ident", w))
+    return out
+
+
+class _P:
+    def __init__(self, toks):
+        self.t = toks
+        self.i = 0
+
+    def peek(self, k=0):
+        return self.t[self.i + k] if self.i + k < len(self.t) else None
+
+    def next(self):
+        t = self.peek()
+        if t is None:
+            raise ValueError("SQL: unexpected end of query")
+        self.i += 1
+        return t
+
+    def eat_kw(self, *kws):
+        t = self.peek()
+        if t and t[0] == "kw" and t[1] in kws:
+            self.i += 1
+            return t[1]
+        return None
+
+    def expect_kw(self, kw):
+        if not self.eat_kw(kw):
+            raise ValueError(f"SQL: expected {kw.upper()} at {self.peek()}")
+
+    def eat_op(self, op):
+        t = self.peek()
+        if t and t[0] == "op" and t[1] == op:
+            self.i += 1
+            return True
+        return False
+
+    def expect_op(self, op):
+        if not self.eat_op(op):
+            raise ValueError(f"SQL: expected {op!r} at {self.peek()}")
+
+
+# expression AST: ("col", name) ("lit", v) ("bin", op, l, r)
+# ("un", "not"/"neg", e) ("in", e, [lits]) ("between", e, lo, hi)
+# ("like", e, pat) ("agg", fn, arg_or_None)
+
+def _parse_expr(p: _P):
+    return _parse_or(p)
+
+
+def _parse_or(p):
+    e = _parse_and(p)
+    while p.eat_kw("or"):
+        e = ("bin", "or", e, _parse_and(p))
+    return e
+
+
+def _parse_and(p):
+    e = _parse_not(p)
+    while p.eat_kw("and"):
+        e = ("bin", "and", e, _parse_not(p))
+    return e
+
+
+def _parse_not(p):
+    if p.eat_kw("not"):
+        return ("un", "not", _parse_not(p))
+    return _parse_cmp(p)
+
+
+def _parse_cmp(p):
+    e = _parse_add(p)
+    t = p.peek()
+    if t and t[0] == "op" and t[1] in ("=", "<>", "!=", "<", "<=", ">",
+                                       ">="):
+        p.next()
+        return ("bin", "<>" if t[1] == "!=" else t[1], e, _parse_add(p))
+    neg = False
+    if p.peek() and p.peek() == ("kw", "not"):
+        nxt = p.peek(1)
+        if nxt and nxt[0] == "kw" and nxt[1] in ("in", "between",
+                                                 "like"):
+            p.next()
+            neg = True
+    if p.eat_kw("in"):
+        p.expect_op("(")
+        lits = [_parse_add(p)]
+        while p.eat_op(","):
+            lits.append(_parse_add(p))
+        p.expect_op(")")
+        e = ("in", e, lits)
+        return ("un", "not", e) if neg else e
+    if p.eat_kw("between"):
+        lo = _parse_add(p)
+        p.expect_kw("and")
+        hi = _parse_add(p)
+        e = ("between", e, lo, hi)
+        return ("un", "not", e) if neg else e
+    if p.eat_kw("like"):
+        pat = _parse_add(p)
+        if pat[0] != "lit" or not isinstance(pat[1], str):
+            raise ValueError("SQL: LIKE needs a string literal")
+        e = ("like", e, pat[1])
+        return ("un", "not", e) if neg else e
+    return e
+
+
+def _parse_add(p):
+    e = _parse_mul(p)
+    while True:
+        t = p.peek()
+        if t and t[0] == "op" and t[1] in ("+", "-"):
+            p.next()
+            e = ("bin", t[1], e, _parse_mul(p))
+        else:
+            return e
+
+
+def _parse_mul(p):
+    e = _parse_unary(p)
+    while True:
+        t = p.peek()
+        if t and t[0] == "op" and t[1] in ("*", "/", "%"):
+            p.next()
+            e = ("bin", t[1], e, _parse_unary(p))
+        else:
+            return e
+
+
+def _parse_unary(p):
+    if p.eat_op("-"):
+        return ("un", "neg", _parse_unary(p))
+    return _parse_atom(p)
+
+
+def _parse_atom(p):
+    t = p.next()
+    if t[0] == "num":
+        return ("lit", float(t[1]) if "." in t[1] else int(t[1]))
+    if t[0] == "str":
+        return ("lit", t[1])
+    if t[0] == "op" and t[1] == "(":
+        e = _parse_expr(p)
+        p.expect_op(")")
+        return e
+    if t[0] == "kw" and t[1] in _AGGS:
+        p.expect_op("(")
+        if t[1] == "count" and p.eat_op("*"):
+            p.expect_op(")")
+            return ("agg", "count", None)
+        arg = _parse_expr(p)
+        p.expect_op(")")
+        return ("agg", t[1], arg)
+    if t[0] == "ident":
+        name = t[1]
+        if p.eat_op("."):
+            col = p.next()
+            if col[0] != "ident":
+                raise ValueError("SQL: expected column after '.'")
+            return ("col", f"{name}.{col[1]}")
+        return ("col", name)
+    raise ValueError(f"SQL: unexpected token {t}")
+
+
+def parse_select(sql: str) -> dict:
+    p = _P(_tokenize(sql))
+    p.expect_kw("select")
+    distinct = bool(p.eat_kw("distinct"))
+    items = []
+    if p.eat_op("*"):
+        items.append(("star", None))
+    else:
+        while True:
+            e = _parse_expr(p)
+            alias = None
+            if p.eat_kw("as"):
+                a = p.next()
+                if a[0] != "ident":
+                    raise ValueError("SQL: expected alias after AS")
+                alias = a[1]
+            elif p.peek() and p.peek()[0] == "ident":
+                alias = p.next()[1]
+            items.append((e, alias))
+            if not p.eat_op(","):
+                break
+    p.expect_kw("from")
+    base = p.next()
+    if base[0] != "ident":
+        raise ValueError("SQL: expected table name after FROM")
+    joins = []
+    while True:
+        p.eat_kw("inner")
+        if not p.eat_kw("join"):
+            break
+        tbl = p.next()
+        if tbl[0] != "ident":
+            raise ValueError("SQL: expected table after JOIN")
+        p.expect_kw("on")
+        lhs = _parse_add(p)                   # key only — '=' is ours
+        t = p.next()
+        if t != ("op", "="):
+            raise ValueError("SQL: only equality joins supported")
+        rhs = _parse_add(p)
+        if lhs[0] != "col" or rhs[0] != "col":
+            raise ValueError("SQL: join keys must be plain columns")
+        joins.append((tbl[1], lhs[1], rhs[1]))
+    where = _parse_expr(p) if p.eat_kw("where") else None
+    group = []
+    if p.eat_kw("group"):
+        p.expect_kw("by")
+        while True:
+            g = _parse_expr(p)
+            if g[0] != "col":
+                raise ValueError("SQL: GROUP BY supports plain columns")
+            group.append(g[1])
+            if not p.eat_op(","):
+                break
+    having = _parse_expr(p) if p.eat_kw("having") else None
+    order = []
+    if p.eat_kw("order"):
+        p.expect_kw("by")
+        while True:
+            o = _parse_expr(p)
+            direction = p.eat_kw("asc", "desc") or "asc"
+            order.append((o, direction))
+            if not p.eat_op(","):
+                break
+    limit = None
+    if p.eat_kw("limit"):
+        t = p.next()
+        if t[0] != "num":
+            raise ValueError("SQL: LIMIT needs a number")
+        limit = int(t[1])
+    if p.peek() is not None:
+        raise ValueError(f"SQL: trailing tokens at {p.peek()}")
+    return {"items": items, "distinct": distinct, "table": base[1],
+            "joins": joins, "where": where, "group": group,
+            "having": having, "order": order, "limit": limit}
+
+
+# ---------------------------------------------------------------------------
+# evaluation
+# ---------------------------------------------------------------------------
+
+def _cols_of(e, out: set):
+    if e is None:
+        return
+    k = e[0]
+    if k == "col":
+        out.add(e[1])
+    elif k == "bin":
+        _cols_of(e[2], out)
+        _cols_of(e[3], out)
+    elif k == "un":
+        _cols_of(e[2], out)
+    elif k == "in":
+        _cols_of(e[1], out)
+        for lit in e[2]:
+            _cols_of(lit, out)
+    elif k == "between":
+        _cols_of(e[1], out)
+        _cols_of(e[2], out)
+        _cols_of(e[3], out)
+    elif k == "like":
+        _cols_of(e[1], out)
+    elif k == "agg" and e[2] is not None:
+        _cols_of(e[2], out)
+
+
+def _like_re(pat: str) -> re.Pattern:
+    parts = []
+    for c in pat:
+        if c == "%":
+            parts.append(".*")
+        elif c == "_":
+            parts.append(".")
+        else:
+            parts.append(re.escape(c))
+    return re.compile("^" + "".join(parts) + "$", re.S)
+
+
+def _ev(e, df: pd.DataFrame):
+    """Vectorized expression evaluation over a pandas frame."""
+    k = e[0]
+    if k == "lit":
+        return e[1]
+    if k == "col":
+        name = e[1]
+        if name in df.columns:
+            return df[name]
+        short = name.split(".")[-1]
+        if short in df.columns:
+            return df[short]
+        raise ValueError(f"SQL: unknown column {name!r}")
+    if k == "un":
+        v = _ev(e[2], df)
+        return ~v if e[1] == "not" else -v
+    if k == "bin":
+        op = e[1]
+        left = _ev(e[2], df)
+        right = _ev(e[3], df)
+        if op == "and":
+            return left & right
+        if op == "or":
+            return left | right
+        if op == "=":
+            return left == right
+        if op == "<>":
+            return left != right
+        if op == "<":
+            return left < right
+        if op == "<=":
+            return left <= right
+        if op == ">":
+            return left > right
+        if op == ">=":
+            return left >= right
+        if op == "+":
+            return left + right
+        if op == "-":
+            return left - right
+        if op == "*":
+            return left * right
+        if op == "/":
+            return left / right
+        if op == "%":
+            return left % right
+    if k == "in":
+        v = _ev(e[1], df)
+        lits = [_ev(x, df) for x in e[2]]
+        return v.isin(lits) if isinstance(v, pd.Series) else v in lits
+    if k == "between":
+        v = _ev(e[1], df)
+        return (v >= _ev(e[2], df)) & (v <= _ev(e[3], df))
+    if k == "like":
+        v = _ev(e[1], df)
+        rx = _like_re(e[2])
+        return v.astype(str).str.match(rx)
+    raise ValueError(f"SQL: cannot evaluate {e!r}")
+
+
+def _find_aggs(e, acc: list):
+    if e is None:
+        return
+    if e[0] == "agg":
+        acc.append(e)
+        return
+    if e[0] == "bin":
+        _find_aggs(e[2], acc)
+        _find_aggs(e[3], acc)
+    elif e[0] == "un":
+        _find_aggs(e[2], acc)
+
+
+def _agg_key(a):
+    return f"{a[1]}:{a[2]!r}"
+
+
+def _subst_aggs(e, vals: dict):
+    """Replace agg nodes with computed column refs for HAVING / SELECT
+    expressions over aggregates."""
+    if e[0] == "agg":
+        return ("col", vals[_agg_key(e)])
+    if e[0] == "bin":
+        return ("bin", e[1], _subst_aggs(e[2], vals),
+                _subst_aggs(e[3], vals))
+    if e[0] == "un":
+        return ("un", e[1], _subst_aggs(e[2], vals))
+    return e
+
+
+def sql_query(sql: str, tables: dict):
+    """Compile + run one SELECT; returns a pandas DataFrame (results
+    are presentation-sized: grouped/aggregated/limited — the engine's
+    Dataset paths do the heavy lifting upstream)."""
+    from ray.data import Dataset
+
+    from .stages.versions import stable_bucket
+    from .util import read_parquet_clean, tune_context
+
+    q = parse_select(sql)
+    tune_context()
+
+    need: set = set()
+    for e, _ in q["items"]:
+        if e != "star":
+            _cols_of(e, need)
+    _cols_of(q["where"], need)
+    _cols_of(q["having"], need)
+    for g in q["group"]:
+        need.add(g)
+    for o, _ in q["order"]:
+        _cols_of(o, need)
+    for _, lk, rk in q["joins"]:
+        need.add(lk)
+        need.add(rk)
+
+    def load(name: str, cols: set | None):
+        src = tables[name]
+        if isinstance(src, Dataset):
+            ds = src
+        else:
+            use = None
+            if cols is not None:
+                import pyarrow.parquet as pq
+                avail = set(pq.read_schema(src).names)
+                short = {c.split(".")[-1] for c in cols}
+                use = sorted(short & avail)
+            ds = read_parquet_clean(src, columns=use or None)
+        return ds
+
+    has_star = any(e == "star" for e, _ in q["items"])
+    ds = load(q["table"], None if has_star else need)
+    for tbl, lk, rk in q["joins"]:
+        right = load(tbl, None if has_star else need)
+        lcol, rcol = lk.split(".")[-1], rk.split(".")[-1]
+        # normalize both sides: join outputs carry column-less empty
+        # blocks that break chained joins (invariants 7/11)
+        from . import ops
+
+        P = ops._default_partitions()         # join aggregator actors
+        ds = ops.materialize_normalized(ds, ops.schema_of_dataset(ds))
+        right = ops.materialize_normalized(
+            right, ops.schema_of_dataset(right))
+        if rcol != lcol:
+            right = right.map_batches(
+                lambda df, rc=rcol, lc=lcol: df.rename(columns={rc: lc}),
+                batch_format="pandas")
+        ds = ds.join(right, "inner", P, on=(lcol,))
+
+    if q["where"] is not None:
+        w = q["where"]
+        ds = ds.map_batches(
+            lambda df, w=w: df[np.asarray(_ev(w, df), bool)],
+            batch_format="pandas")
+
+    aggs: list = []
+    for e, _ in q["items"]:
+        if e != "star":
+            _find_aggs(e, aggs)
+    _find_aggs(q["having"], aggs)
+    for o, _ in q["order"]:
+        _find_aggs(o, aggs)
+    agg_map = {}
+    for a in aggs:
+        agg_map.setdefault(_agg_key(a), a)
+
+    if agg_map:
+        group = [g.split(".")[-1] for g in q["group"]]
+        names = {k: f"__agg{i}" for i, k in enumerate(agg_map)}
+
+        def _empty_partial() -> pd.DataFrame:
+            cols = {}
+            for g in (group or ["__g"]):
+                cols[g] = pd.Series([], dtype="object") \
+                    if g != "__g" else pd.Series([], dtype="int64")
+            for k, a in agg_map.items():
+                col = names[k]
+                if a[1] == "count":
+                    cols[col + "__c"] = pd.Series([], dtype="int64")
+                else:
+                    cols[col + "__s"] = pd.Series([], dtype="float64")
+                    if a[1] == "avg":
+                        cols[col + "__c"] = pd.Series([], dtype="int64")
+            return pd.DataFrame(cols)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return _empty_partial()
+            out = pd.DataFrame(index=df.index)
+            for g in group:
+                out[g] = df[g]
+            for k, a in agg_map.items():
+                fn, arg = a[1], a[2]
+                col = names[k]
+                if fn == "count":
+                    out[col + "__c"] = np.int64(1)
+                else:
+                    v = _ev(arg, df)
+                    out[col + "__s"] = v
+                    if fn == "avg":
+                        out[col + "__c"] = np.int64(1)
+            if not group:
+                out["__g"] = np.int64(0)
+            gcols = group or ["__g"]
+            how = {}
+            for c in out.columns:
+                if c in gcols:
+                    continue
+                if c.endswith("__c"):
+                    how[c] = "sum"
+                elif c.endswith("__s"):
+                    k = c[:-3]
+                    a = agg_map[[kk for kk, nn in names.items()
+                                 if nn == k][0]]
+                    how[c] = {"sum": "sum", "avg": "sum", "min": "min",
+                              "max": "max"}[a[1]]
+            return (out.groupby(gcols, sort=False, as_index=False)
+                    .agg(how))
+
+        def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+            gcols = group or ["__g"]
+            if not len(df):
+                df = df.copy()
+                df["__bucket"] = pd.Series([], dtype="int64")
+                return df
+            key = df[gcols[0]].astype(str)
+            for g in gcols[1:]:
+                key = key + "|" + df[g].astype(str)
+            df = df.copy()
+            df["__bucket"] = stable_bucket(key, key, 64)
+            return df
+
+        def combine(df: pd.DataFrame) -> pd.DataFrame:
+            gcols = group or ["__g"]
+            if not len(df):
+                return df.drop(columns="__bucket")
+            how = {c: ("sum" if c.endswith(("__c",)) else None)
+                   for c in df.columns}
+            agg_how = {}
+            for c in df.columns:
+                if c in gcols or c == "__bucket":
+                    continue
+                if c.endswith("__c"):
+                    agg_how[c] = "sum"
+                else:
+                    k = c[:-3]
+                    a = agg_map[[kk for kk, nn in names.items()
+                                 if nn == k][0]]
+                    agg_how[c] = {"sum": "sum", "avg": "sum",
+                                  "min": "min", "max": "max"}[a[1]]
+            return (df.drop(columns="__bucket")
+                    .groupby(gcols, sort=False, as_index=False)
+                    .agg(agg_how))
+
+        res = (ds.map_batches(partial, batch_format="pandas")
+               .map_batches(bucketize, batch_format="pandas")
+               .groupby("__bucket")
+               .map_groups(combine, batch_format="pandas")).to_pandas()
+        if len(res) == 0:                     # nothing survived WHERE
+            res = _empty_partial()
+        # finalize agg values
+        for k, a in agg_map.items():
+            col = names[k]
+            if a[1] == "count":
+                res[col] = res[col + "__c"].astype("int64")
+            elif a[1] == "avg":
+                res[col] = res[col + "__s"] / res[col + "__c"]
+            else:
+                res[col] = res[col + "__s"]
+        vals = {k: names[k] for k in agg_map}
+        if q["having"] is not None:
+            hv = _subst_aggs(q["having"], vals)
+            res = res[np.asarray(_ev(hv, res), bool)]
+        frame = res.reset_index(drop=True)
+
+        def out_expr(e):
+            return _subst_aggs(e, vals)
+    else:
+        frame = ds.to_pandas()
+
+        def out_expr(e):
+            return e
+
+    # projection
+    out = pd.DataFrame(index=frame.index)
+    for i, (e, alias) in enumerate(q["items"]):
+        if e == "star":
+            for c in frame.columns:
+                if not c.startswith("__"):
+                    out[c] = frame[c]
+            continue
+        name = alias or (e[1].split(".")[-1] if e[0] == "col"
+                         else f"col{i}")
+        out[name] = _ev(out_expr(e), frame)
+    if q["distinct"]:
+        if any(o[0] != "col" or o[1].split(".")[-1] not in out.columns
+               for o, _ in q["order"]):
+            raise NotImplementedError(
+                "SQL: DISTINCT with ORDER BY on a non-projected "
+                "expression")
+        out = out.drop_duplicates()
+    sort_keys, ascs = [], []
+    aux = 0
+    for o, d in q["order"]:
+        short = o[1].split(".")[-1] if o[0] == "col" else None
+        if short is not None and short in out.columns:
+            sort_keys.append(short)
+        else:
+            k = f"__ord{aux}"
+            aux += 1
+            out[k] = _ev(out_expr(o), frame)
+            sort_keys.append(k)
+        ascs.append(d == "asc")
+    if sort_keys:
+        out = out.sort_values(sort_keys, ascending=ascs,
+                              kind="mergesort")
+    out = out.drop(columns=[c for c in out.columns
+                            if c.startswith("__ord")])
+    if q["limit"] is not None:
+        out = out.head(q["limit"])
+    return out.reset_index(drop=True)

@@ -1,0 +1,124 @@
+"""SQL front door: differential testing against DuckDB on the same
+parquet — every battery query must match row-for-row after canonical
+sort (floats to 9 decimals)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from gitprov_ray import sqlfront
+
+SF = "/root/testdata/sf0.001"
+TABLES = {t: f"{SF}/{t}.parquet"
+          for t in ("events", "documents", "orders", "customer",
+                    "nation", "region")}
+
+BATTERY = [
+    "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type "
+    "ORDER BY n DESC, event_type",
+
+    "SELECT user_id, COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi "
+    "FROM events WHERE event_type IN ('click', 'view') "
+    "GROUP BY user_id HAVING COUNT(*) > 3 ORDER BY n DESC, user_id "
+    "LIMIT 25",
+
+    "SELECT lang, SUM(n_chars) AS chars, AVG(n_chars) AS mean_chars "
+    "FROM documents WHERE n_chars BETWEEN 50 AND 5000 "
+    "GROUP BY lang ORDER BY lang",
+
+    "SELECT doc_id, n_chars FROM documents "
+    "WHERE lang = 'en' AND NOT n_chars < 100 "
+    "ORDER BY n_chars DESC, doc_id LIMIT 10",
+
+    "SELECT source, COUNT(*) AS n FROM documents "
+    "WHERE source LIKE 'sr%' GROUP BY source ORDER BY source",
+
+    # empty result set through the whole aggregate path
+    "SELECT source, COUNT(*) AS n FROM documents "
+    "WHERE source LIKE 'zz%' GROUP BY source ORDER BY source",
+
+    "SELECT COUNT(*) AS n, SUM(value) AS tot FROM events "
+    "WHERE value > 0 AND event_type <> 'error'",
+
+    "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+
+    "SELECT event_id, value * 2 + 1 AS v2 FROM events "
+    "WHERE event_id % 97 = 0 ORDER BY event_id",
+
+    "SELECT o_custkey, COUNT(*) AS n, SUM(o_totalprice) AS tot "
+    "FROM orders GROUP BY o_custkey "
+    "ORDER BY tot DESC, o_custkey LIMIT 15",
+
+    "SELECT n_name, COUNT(*) AS n FROM customer "
+    "JOIN nation ON customer.c_nationkey = nation.n_nationkey "
+    "GROUP BY n_name ORDER BY n DESC, n_name",
+
+    "SELECT r_name, COUNT(*) AS n FROM customer "
+    "JOIN nation ON customer.c_nationkey = nation.n_nationkey "
+    "JOIN region ON nation.n_regionkey = region.r_regionkey "
+    "GROUP BY r_name ORDER BY r_name",
+
+    "SELECT event_type, user_id FROM events "
+    "WHERE (value > 40 OR event_type = 'error') AND user_id < 50 "
+    "ORDER BY event_type, user_id, value LIMIT 30",
+]
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(9)
+    df = df[sorted(df.columns)]
+    return (df.sort_values(list(df.columns), kind="mergesort")
+            .reset_index(drop=True))
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t, path in TABLES.items():
+        c.sql(f"CREATE VIEW {t} AS FROM '{path}'")
+    return c
+
+
+@pytest.mark.parametrize("sql", BATTERY, ids=range(len(BATTERY)))
+def test_differential_vs_duckdb(ray_session, con, sql):
+    mine = sqlfront.sql_query(sql, TABLES)
+    ref = con.sql(sql).df()
+    a, b = _canon(mine), _canon(ref)
+    assert list(a.columns) == list(b.columns), (a.columns, b.columns)
+    assert len(a) == len(b), (len(a), len(b), sql)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                  check_exact=False, rtol=1e-9)
+
+
+def test_column_pruning_at_read(ray_session):
+    """Only referenced columns are scanned from parquet."""
+    q = sqlfront.parse_select(
+        "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang")
+    need = set()
+    for e, _ in q["items"]:
+        if e != "star":
+            sqlfront._cols_of(e, need)
+    for g in q["group"]:
+        need.add(g)
+    assert need == {"lang"}
+
+
+def test_parse_errors_are_named(ray_session):
+    with pytest.raises(ValueError, match="only equality joins"):
+        sqlfront.sql_query(
+            "SELECT * FROM events JOIN orders ON events.a < orders.b",
+            TABLES)
+    with pytest.raises(ValueError, match="expected"):
+        sqlfront.sql_query("SELECT FROM events", TABLES)
+    with pytest.raises(ValueError, match="unknown column"):
+        sqlfront.sql_query("SELECT nope FROM events LIMIT 1", TABLES)
+
+
+def test_like_wildcards(ray_session):
+    out = sqlfront.sql_query(
+        "SELECT DISTINCT event_type FROM events "
+        "WHERE event_type LIKE '_rror' ORDER BY event_type", TABLES)
+    assert out["event_type"].tolist() == ["error"]
