@@ -40,8 +40,9 @@ import pandas as pd
 
 _KEYWORDS = {"select", "from", "where", "group", "by", "having",
              "order", "limit", "as", "and", "or", "not", "in",
-             "between", "like", "join", "on", "inner", "asc", "desc",
-             "distinct"}
+             "between", "like", "join", "on", "inner", "left", "outer",
+             "asc", "desc", "distinct", "case", "when", "then", "else",
+             "end"}
 _AGGS = {"count", "sum", "min", "max", "avg"}
 
 _TOKEN_RE = re.compile(r"""
@@ -208,6 +209,17 @@ def _parse_unary(p):
 
 
 def _parse_atom(p):
+    if p.eat_kw("case"):
+        whens = []
+        while p.eat_kw("when"):
+            cond = _parse_expr(p)
+            p.expect_kw("then")
+            whens.append((cond, _parse_expr(p)))
+        els = _parse_expr(p) if p.eat_kw("else") else ("lit", None)
+        p.expect_kw("end")
+        if not whens:
+            raise ValueError("SQL: CASE needs at least one WHEN")
+        return ("case", whens, els)
     t = p.next()
     if t[0] == "num":
         return ("lit", float(t[1]) if "." in t[1] else int(t[1]))
@@ -263,8 +275,15 @@ def parse_select(sql: str) -> dict:
         raise ValueError("SQL: expected table name after FROM")
     joins = []
     while True:
-        p.eat_kw("inner")
+        jtype = "inner"
+        if p.eat_kw("left"):
+            p.eat_kw("outer")
+            jtype = "left_outer"
+        else:
+            p.eat_kw("inner")
         if not p.eat_kw("join"):
+            if jtype == "left_outer":
+                raise ValueError("SQL: expected JOIN after LEFT")
             break
         tbl = p.next()
         if tbl[0] != "ident":
@@ -277,7 +296,7 @@ def parse_select(sql: str) -> dict:
         rhs = _parse_add(p)
         if lhs[0] != "col" or rhs[0] != "col":
             raise ValueError("SQL: join keys must be plain columns")
-        joins.append((tbl[1], lhs[1], rhs[1]))
+        joins.append((tbl[1], lhs[1], rhs[1], jtype))
     where = _parse_expr(p) if p.eat_kw("where") else None
     group = []
     if p.eat_kw("group"):
@@ -337,6 +356,11 @@ def _cols_of(e, out: set):
         _cols_of(e[3], out)
     elif k == "like":
         _cols_of(e[1], out)
+    elif k == "case":
+        for cond, val in e[1]:
+            _cols_of(cond, out)
+            _cols_of(val, out)
+        _cols_of(e[2], out)
     elif k == "agg" and e[2] is not None:
         _cols_of(e[2], out)
 
@@ -410,6 +434,14 @@ def _ev(e, df: pd.DataFrame):
         v = _ev(e[1], df)
         rx = _like_re(e[2])
         return v.astype(str).str.match(rx)
+    if k == "case":
+        conds = [np.asarray(_ev(c, df), bool) for c, _ in e[1]]
+        vals = [_ev(v, df) for _, v in e[1]]
+        els = _ev(e[2], df)
+        out = np.select(conds, vals,
+                        default=els if not isinstance(els, pd.Series)
+                        else els.to_numpy())
+        return pd.Series(out, index=df.index)
     raise ValueError(f"SQL: cannot evaluate {e!r}")
 
 
@@ -423,6 +455,11 @@ def _find_aggs(e, acc: list):
         _find_aggs(e[2], acc)
         _find_aggs(e[3], acc)
     elif e[0] == "un":
+        _find_aggs(e[2], acc)
+    elif e[0] == "case":
+        for cond, val in e[1]:
+            _find_aggs(cond, acc)
+            _find_aggs(val, acc)
         _find_aggs(e[2], acc)
 
 
@@ -440,6 +477,9 @@ def _subst_aggs(e, vals: dict):
                 _subst_aggs(e[3], vals))
     if e[0] == "un":
         return ("un", e[1], _subst_aggs(e[2], vals))
+    if e[0] == "case":
+        return ("case", [(_subst_aggs(c, vals), _subst_aggs(v, vals))
+                         for c, v in e[1]], _subst_aggs(e[2], vals))
     return e
 
 
@@ -465,7 +505,7 @@ def sql_query(sql: str, tables: dict):
         need.add(g)
     for o, _ in q["order"]:
         _cols_of(o, need)
-    for _, lk, rk in q["joins"]:
+    for _, lk, rk, _jt in q["joins"]:
         need.add(lk)
         need.add(rk)
 
@@ -485,7 +525,7 @@ def sql_query(sql: str, tables: dict):
 
     has_star = any(e == "star" for e, _ in q["items"])
     ds = load(q["table"], None if has_star else need)
-    for tbl, lk, rk in q["joins"]:
+    for tbl, lk, rk, jtype in q["joins"]:
         right = load(tbl, None if has_star else need)
         lcol, rcol = lk.split(".")[-1], rk.split(".")[-1]
         # normalize both sides: join outputs carry column-less empty
@@ -500,7 +540,7 @@ def sql_query(sql: str, tables: dict):
             right = right.map_batches(
                 lambda df, rc=rcol, lc=lcol: df.rename(columns={rc: lc}),
                 batch_format="pandas")
-        ds = ds.join(right, "inner", P, on=(lcol,))
+        ds = ds.join(right, jtype, P, on=(lcol,))
 
     if q["where"] is not None:
         w = q["where"]
@@ -548,7 +588,12 @@ def sql_query(sql: str, tables: dict):
                 fn, arg = a[1], a[2]
                 col = names[k]
                 if fn == "count":
-                    out[col + "__c"] = np.int64(1)
+                    if arg is None:
+                        out[col + "__c"] = np.int64(1)
+                    else:
+                        v = _ev(arg, df)
+                        out[col + "__c"] = pd.Series(
+                            v, index=df.index).notna().astype("int64")
                 else:
                     v = _ev(arg, df)
                     out[col + "__s"] = v
@@ -569,8 +614,8 @@ def sql_query(sql: str, tables: dict):
                                  if nn == k][0]]
                     how[c] = {"sum": "sum", "avg": "sum", "min": "min",
                               "max": "max"}[a[1]]
-            return (out.groupby(gcols, sort=False, as_index=False)
-                    .agg(how))
+            return (out.groupby(gcols, sort=False, as_index=False,
+                                dropna=False).agg(how))
 
         def bucketize(df: pd.DataFrame) -> pd.DataFrame:
             gcols = group or ["__g"]
@@ -604,8 +649,8 @@ def sql_query(sql: str, tables: dict):
                     agg_how[c] = {"sum": "sum", "avg": "sum",
                                   "min": "min", "max": "max"}[a[1]]
             return (df.drop(columns="__bucket")
-                    .groupby(gcols, sort=False, as_index=False)
-                    .agg(agg_how))
+                    .groupby(gcols, sort=False, as_index=False,
+                             dropna=False).agg(agg_how))
 
         res = (ds.map_batches(partial, batch_format="pandas")
                .map_batches(bucketize, batch_format="pandas")

@@ -61,6 +61,20 @@ BATTERY = [
     "SELECT event_type, user_id FROM events "
     "WHERE (value > 40 OR event_type = 'error') AND user_id < 50 "
     "ORDER BY event_type, user_id, value LIMIT 30",
+
+    "SELECT event_type, SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) "
+    "AS hi, COUNT(*) AS n FROM events GROUP BY event_type "
+    "ORDER BY event_type",
+
+    "SELECT event_id, CASE WHEN value < 0 THEN 'neg' "
+    "WHEN value < 50 THEN 'mid' ELSE 'hi' END AS band FROM events "
+    "WHERE event_id < 50 ORDER BY event_id",
+
+    # LEFT JOIN: COUNT(col) counts matches only, COUNT(*) all rows
+    "SELECT c_mktsegment, COUNT(*) AS rows_out, "
+    "COUNT(o_orderkey) AS with_order FROM customer "
+    "LEFT JOIN orders ON customer.c_custkey = orders.o_custkey "
+    "GROUP BY c_mktsegment ORDER BY c_mktsegment",
 ]
 
 
