@@ -44,6 +44,8 @@ _KEYWORDS = {"select", "from", "where", "group", "by", "having",
              "asc", "desc", "distinct", "case", "when", "then", "else",
              "end"}
 _AGGS = {"count", "sum", "min", "max", "avg"}
+_FNS = {"length", "lower", "upper", "abs", "round", "substr",
+        "substring", "coalesce"}
 
 _TOKEN_RE = re.compile(r"""
     \s*(?:
@@ -239,6 +241,13 @@ def _parse_atom(p):
         return ("agg", t[1], arg)
     if t[0] == "ident":
         name = t[1]
+        if name.lower() in _FNS and p.peek() == ("op", "("):
+            p.next()
+            args = [_parse_expr(p)]
+            while p.eat_op(","):
+                args.append(_parse_expr(p))
+            p.expect_op(")")
+            return ("fn", name.lower(), args)
         if p.eat_op("."):
             col = p.next()
             if col[0] != "ident":
@@ -361,6 +370,9 @@ def _cols_of(e, out: set):
             _cols_of(cond, out)
             _cols_of(val, out)
         _cols_of(e[2], out)
+    elif k == "fn":
+        for a in e[2]:
+            _cols_of(a, out)
     elif k == "agg" and e[2] is not None:
         _cols_of(e[2], out)
 
@@ -434,6 +446,39 @@ def _ev(e, df: pd.DataFrame):
         v = _ev(e[1], df)
         rx = _like_re(e[2])
         return v.astype(str).str.match(rx)
+    if k == "fn":
+        args = [_ev(a, df) for a in e[2]]
+        fn = e[1]
+        if fn == "length":
+            return args[0].astype(str).str.len().astype("int64")
+        if fn == "lower":
+            return args[0].astype(str).str.lower()
+        if fn == "upper":
+            return args[0].astype(str).str.upper()
+        if fn == "abs":
+            return np.abs(args[0])
+        if fn == "round":
+            nd = int(args[1]) if len(args) > 1 else 0
+            v = np.asarray(args[0], np.float64) * (10.0 ** nd)
+            r = np.sign(v) * np.floor(np.abs(v) + 0.5)   # half-away
+            out = r / (10.0 ** nd)
+            return pd.Series(out, index=getattr(args[0], "index", None))
+        if fn in ("substr", "substring"):
+            s = args[0].astype(str)
+            start = int(args[1]) - 1                      # SQL 1-based
+            if len(args) > 2:
+                return s.str.slice(start, start + int(args[2]))
+            return s.str.slice(start)
+        if fn == "coalesce":
+            out = args[0]
+            if not isinstance(out, pd.Series):
+                return out
+            out = out.copy()
+            for a in args[1:]:
+                out = out.fillna(a if not isinstance(a, pd.Series)
+                                 else a)
+            return out
+        raise ValueError(f"SQL: unknown function {fn}")
     if k == "case":
         conds = [np.asarray(_ev(c, df), bool) for c, _ in e[1]]
         vals = [_ev(v, df) for _, v in e[1]]
@@ -461,6 +506,9 @@ def _find_aggs(e, acc: list):
             _find_aggs(cond, acc)
             _find_aggs(val, acc)
         _find_aggs(e[2], acc)
+    elif e[0] == "fn":
+        for a in e[2]:
+            _find_aggs(a, acc)
 
 
 def _agg_key(a):
@@ -480,6 +528,8 @@ def _subst_aggs(e, vals: dict):
     if e[0] == "case":
         return ("case", [(_subst_aggs(c, vals), _subst_aggs(v, vals))
                          for c, v in e[1]], _subst_aggs(e[2], vals))
+    if e[0] == "fn":
+        return ("fn", e[1], [_subst_aggs(a, vals) for a in e[2]])
     return e
 
 

@@ -75,6 +75,16 @@ BATTERY = [
     "COUNT(o_orderkey) AS with_order FROM customer "
     "LEFT JOIN orders ON customer.c_custkey = orders.o_custkey "
     "GROUP BY c_mktsegment ORDER BY c_mktsegment",
+
+    "SELECT UPPER(lang) AS l, SUM(LENGTH(text)) AS chars FROM documents "
+    "GROUP BY lang ORDER BY l",
+
+    "SELECT doc_id, SUBSTR(source, 1, 3) AS pre, "
+    "ROUND(n_chars / 100, 1) AS hundreds FROM documents "
+    "WHERE ABS(doc_id - 50) < 5 ORDER BY doc_id",
+
+    "SELECT event_type, COALESCE(MIN(value), 0) AS lo FROM events "
+    "WHERE value > 99990 GROUP BY event_type ORDER BY event_type",
 ]
 
 
