@@ -727,6 +727,10 @@ def sql_query(sql: str, tables: dict):
             return _subst_aggs(e, vals)
     else:
         frame = ds.to_pandas()
+        if len(frame) == 0:                   # typed empty projection
+            from . import ops
+
+            frame = ops.schema_of_dataset(ds).empty_table().to_pandas()
 
         def out_expr(e):
             return e

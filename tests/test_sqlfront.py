@@ -146,3 +146,50 @@ def test_like_wildcards(ray_session):
         "SELECT DISTINCT event_type FROM events "
         "WHERE event_type LIKE '_rror' ORDER BY event_type", TABLES)
     assert out["event_type"].tolist() == ["error"]
+
+
+def _gen_queries(seed=77, n=12):
+    """Seeded random SELECTs from a small grammar — deterministic, so
+    failures reproduce; every query runs differentially vs DuckDB."""
+    import random
+
+    rng = random.Random(seed)
+    numcols = ["event_id", "user_id", "value"]
+    out = []
+    for _ in range(n):
+        preds = []
+        for _ in range(rng.randint(1, 3)):
+            c = rng.choice(numcols)
+            op = rng.choice(["<", "<=", ">", ">=", "<>", "="])
+            v = rng.choice([0, 7, 50, 99, 1000])
+            preds.append(f"{c} {op} {v}")
+        if rng.random() < 0.5:
+            ets = rng.sample(["click", "view", "error", "purchase",
+                              "signup"], rng.randint(1, 3))
+            preds.append("event_type IN (" + ", ".join(
+                f"'{e}'" for e in ets) + ")")
+        glue = rng.choice([" AND ", " OR "])
+        where = glue.join(preds)
+        if rng.random() < 0.5:
+            aggs = rng.sample(["COUNT(*) AS n", "MIN(event_id) AS lo",
+                               "MAX(event_id) AS hi",
+                               "SUM(user_id) AS su"], rng.randint(1, 3))
+            q = (f"SELECT event_type, {', '.join(aggs)} FROM events "
+                 f"WHERE {where} GROUP BY event_type ORDER BY "
+                 f"event_type")
+        else:
+            q = (f"SELECT event_id, user_id, event_type FROM events "
+                 f"WHERE {where} ORDER BY event_id LIMIT 40")
+        out.append(q)
+    return out
+
+
+@pytest.mark.parametrize("sql", _gen_queries(),
+                         ids=[f"fuzz{i}" for i in range(12)])
+def test_differential_fuzz(ray_session, con, sql):
+    mine = sqlfront.sql_query(sql, TABLES)
+    ref = con.sql(sql).df()
+    a, b = _canon(mine), _canon(ref)
+    assert len(a) == len(b), sql
+    pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                  check_exact=False, rtol=1e-9)
