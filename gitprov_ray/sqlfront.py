@@ -9,14 +9,18 @@ parquet tables are queryable without writing pipeline code:
               tables={"documents": ds_or_path})
 
 Supported surface (documented subset, hard errors beyond it):
-  * SELECT projections and expressions with AS aliases; * ;
+  * SELECT projections/expressions with AS aliases, *, DISTINCT,
+    CASE WHEN, scalar functions (LENGTH/LOWER/UPPER/ABS/ROUND
+    half-away/SUBSTR/COALESCE);
   * aggregates COUNT(*) / COUNT(col) / SUM / MIN / MAX / AVG, plain or
-    per GROUP BY keys, with HAVING;
+    per GROUP BY keys, with HAVING (aggregates compose inside
+    expressions and functions);
   * WHERE with AND/OR/NOT, comparisons, arithmetic (+ - * / %),
-    IN (...), BETWEEN, LIKE ('%'/'_' wildcards), string and numeric
-    literals;
-  * INNER JOIN ... ON a.col = b.col (equality; composable);
-  * ORDER BY [ASC|DESC] multi-key, LIMIT.
+    IN (...) / IN (SELECT ...) / NOT IN, BETWEEN, LIKE;
+  * INNER and LEFT [OUTER] JOIN ... ON a.col = b.col (equality;
+    composable; SQL-consistent NULL behavior on the left-join side);
+  * UNION ALL chains with trailing ORDER BY/LIMIT;
+  * ORDER BY [ASC|DESC] multi-key (columns or expressions), LIMIT.
 
 Compilation is Ray-Data-first: column pruning at the read (only
 referenced columns are scanned), WHERE as a vectorized pandas
@@ -27,8 +31,10 @@ block normalization between chained joins (invariant 7/11), ORDER
 BY/LIMIT as sort + limit. Differential tests run generated query
 batteries against DuckDB on the same parquet.
 
-NULL semantics are NOT implemented (the engine's tables are dense);
-queries over nullable data belong to the oracle, not this front door.
+NULLs arise only from LEFT JOIN; aggregate/WHERE behavior over them
+follows SQL (pandas skipna + NaN-comparison semantics coincide).
+General nullable-input queries belong to the oracle, not this front
+door.
 """
 
 from __future__ import annotations
@@ -161,6 +167,11 @@ def _parse_cmp(p):
             neg = True
     if p.eat_kw("in"):
         p.expect_op("(")
+        if p.peek() == ("kw", "select"):
+            sub = _parse_select_body(p)
+            p.expect_op(")")
+            e = ("insub", e, sub)
+            return ("un", "not", e) if neg else e
         lits = [_parse_add(p)]
         while p.eat_op(","):
             lits.append(_parse_add(p))
@@ -259,6 +270,31 @@ def _parse_atom(p):
 
 def parse_select(sql: str) -> dict:
     p = _P(_tokenize(sql))
+    q = _parse_select_body(p)
+    unions = []
+    while True:
+        t = p.peek()
+        if t == ("ident", "UNION") or t == ("ident", "union"):
+            p.next()
+            nxt = p.next()
+            if nxt not in (("ident", "ALL"), ("ident", "all")):
+                raise ValueError("SQL: only UNION ALL is supported")
+            unions.append(_parse_select_body(p))
+        else:
+            break
+    if p.peek() is not None:
+        raise ValueError(f"SQL: trailing tokens at {p.peek()}")
+    if unions:
+        # trailing ORDER BY/LIMIT bind to the whole union (greedy body
+        # parsing attaches them to the LAST branch; hoist them here)
+        last = unions[-1]
+        q = {"union": [q] + unions, "order": last["order"],
+             "limit": last["limit"]}
+        last["order"], last["limit"] = [], None
+    return q
+
+
+def _parse_select_body(p: _P) -> dict:
     p.expect_kw("select")
     distinct = bool(p.eat_kw("distinct"))
     items = []
@@ -333,8 +369,6 @@ def parse_select(sql: str) -> dict:
         if t[0] != "num":
             raise ValueError("SQL: LIMIT needs a number")
         limit = int(t[1])
-    if p.peek() is not None:
-        raise ValueError(f"SQL: trailing tokens at {p.peek()}")
     return {"items": items, "distinct": distinct, "table": base[1],
             "joins": joins, "where": where, "group": group,
             "having": having, "order": order, "limit": limit}
@@ -373,6 +407,8 @@ def _cols_of(e, out: set):
     elif k == "fn":
         for a in e[2]:
             _cols_of(a, out)
+    elif k in ("insub", "inset"):
+        _cols_of(e[1], out)
     elif k == "agg" and e[2] is not None:
         _cols_of(e[2], out)
 
@@ -439,6 +475,8 @@ def _ev(e, df: pd.DataFrame):
         v = _ev(e[1], df)
         lits = [_ev(x, df) for x in e[2]]
         return v.isin(lits) if isinstance(v, pd.Series) else v in lits
+    if k == "inset":
+        return _ev(e[1], df).isin(e[2])
     if k == "between":
         v = _ev(e[1], df)
         return (v >= _ev(e[2], df)) & (v <= _ev(e[3], df))
@@ -534,16 +572,77 @@ def _subst_aggs(e, vals: dict):
 
 
 def sql_query(sql: str, tables: dict):
-    """Compile + run one SELECT; returns a pandas DataFrame (results
+    """Compile + run one query (SELECT, optionally UNION ALL chains and
+    IN (SELECT ...) subqueries); returns a pandas DataFrame (results
     are presentation-sized: grouped/aggregated/limited — the engine's
     Dataset paths do the heavy lifting upstream)."""
+    q = parse_select(sql)
+    if "union" in q:
+        parts = [_run_select(b, tables) for b in q["union"]]
+        base_cols = list(parts[0].columns)
+        for part in parts[1:]:
+            if len(part.columns) != len(base_cols):
+                raise ValueError("SQL: UNION ALL branch column-count "
+                                 "mismatch")
+        aligned = [parts[0]] + [p.set_axis(base_cols, axis=1)
+                                for p in parts[1:]]
+        out = pd.concat(aligned, ignore_index=True)
+        if q["order"]:
+            keys, ascs = [], []
+            for o, d in q["order"]:
+                if o[0] != "col" or o[1].split(".")[-1] not in \
+                        out.columns:
+                    raise ValueError("SQL: UNION ORDER BY must name an "
+                                     "output column")
+                keys.append(o[1].split(".")[-1])
+                ascs.append(d == "asc")
+            out = out.sort_values(keys, ascending=ascs,
+                                  kind="mergesort")
+        if q["limit"] is not None:
+            out = out.head(q["limit"])
+        return out.reset_index(drop=True)
+    return _run_select(q, tables)
+
+
+def _resolve_subqueries(e, tables):
+    """Replace IN (SELECT ...) nodes with materialized value sets (the
+    subquery runs through the same compiler; its result is the
+    broadcast small side of a semi-join)."""
+    if e is None:
+        return None
+    k = e[0]
+    if k == "insub":
+        sub = _run_select(e[2], tables)
+        if len(sub.columns) != 1:
+            raise ValueError("SQL: IN subquery must select one column")
+        return ("inset", _resolve_subqueries(e[1], tables),
+                frozenset(sub.iloc[:, 0].tolist()))
+    if k == "bin":
+        return ("bin", e[1], _resolve_subqueries(e[2], tables),
+                _resolve_subqueries(e[3], tables))
+    if k == "un":
+        return ("un", e[1], _resolve_subqueries(e[2], tables))
+    if k == "case":
+        return ("case",
+                [(_resolve_subqueries(c, tables),
+                  _resolve_subqueries(v, tables)) for c, v in e[1]],
+                _resolve_subqueries(e[2], tables))
+    if k == "fn":
+        return ("fn", e[1],
+                [_resolve_subqueries(a, tables) for a in e[2]])
+    return e
+
+
+def _run_select(q: dict, tables: dict):
     from ray.data import Dataset
 
     from .stages.versions import stable_bucket
     from .util import read_parquet_clean, tune_context
 
-    q = parse_select(sql)
     tune_context()
+    q = dict(q)
+    q["where"] = _resolve_subqueries(q["where"], tables)
+    q["having"] = _resolve_subqueries(q["having"], tables)
 
     need: set = set()
     for e, _ in q["items"]:

@@ -193,3 +193,31 @@ def test_differential_fuzz(ray_session, con, sql):
     assert len(a) == len(b), sql
     pd.testing.assert_frame_equal(a, b, check_dtype=False,
                                   check_exact=False, rtol=1e-9)
+
+
+UNION_SUB_BATTERY = [
+    "SELECT event_type AS k, COUNT(*) AS n FROM events "
+    "GROUP BY event_type UNION ALL "
+    "SELECT lang, COUNT(*) FROM documents GROUP BY lang "
+    "ORDER BY k, n",
+
+    "SELECT user_id, COUNT(*) AS n FROM events "
+    "WHERE user_id IN (SELECT user_id FROM events "
+    "WHERE event_type = 'error') "
+    "GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20",
+
+    "SELECT doc_id FROM documents WHERE doc_id NOT IN "
+    "(SELECT doc_id FROM documents WHERE lang = 'en') "
+    "AND doc_id < 40 ORDER BY doc_id",
+]
+
+
+@pytest.mark.parametrize("sql", UNION_SUB_BATTERY,
+                         ids=["union", "insub", "notinsub"])
+def test_union_and_subqueries(ray_session, con, sql):
+    mine = sqlfront.sql_query(sql, TABLES)
+    ref = con.sql(sql).df()
+    a, b = _canon(mine), _canon(ref)
+    assert len(a) == len(b), sql
+    pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                  check_exact=False, rtol=1e-9)
