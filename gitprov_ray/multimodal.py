@@ -162,6 +162,12 @@ def _icocodec_is_ico(b: bytes) -> bool:
     return icocodec.is_ico(b)
 
 
+def _fontcodec_is_font(b: bytes) -> bool:
+    from . import fontcodec
+
+    return fontcodec.is_font(b)
+
+
 def parse_wav(b: bytes):
     """WAV bytes → (samples float32 in [-1,1] first channel, sample_rate).
     stdlib ``wave`` handles plain 8/16-bit PCM; everything else WAV
@@ -910,6 +916,13 @@ def probe_media(b: bytes) -> dict:
             p = qoicodec.probe_qoi(b)
             out.update(format="qoi", codec=f"rgb{8 * p['channels']}",
                        width=p["width"], height=p["height"], frames=1)
+        elif _fontcodec_is_font(b):
+            from . import fontcodec
+
+            p = fontcodec.probe_font(b)
+            out.update(format="font",
+                       codec=f"{p['container']}-{p['flavor']}",
+                       frames=p["num_glyphs"])
         elif b[:4] == b"\x00\x00\x00\x01" or b[:3] == b"\x00\x00\x01":
             from . import h264codec
 
