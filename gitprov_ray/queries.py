@@ -6214,6 +6214,51 @@ def q_decision_stump_events(sf_dir: str):
         "a_left": int(al[i]), "b_left": int(bl[i])}]).astype("int64")
 
 
+def q_mad_outlier_events(sf_dir: str):
+    """Robust dispersion + outlier counts per event_type in EXACT
+    integers: lower-median of value cents (rank rule: first value whose
+    cumulative count reaches floor((n−1)/2)+1 — no interpolation, so
+    both engines agree on even counts), MAD as the lower-median of
+    |x − med| over the same histogram, outliers = values with deviation
+    > 5·MAD. ONE distributed per-(type, cents) histogram exchange; the
+    two median walks run on the aggregated histogram (bounded by
+    distinct cents), never on raw rows."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"event_type": df["event_type"].astype(str),
+                          "c": _cents(df["value"]),
+                          "n": np.int64(1)})
+        return g.groupby(["event_type", "c"], sort=False,
+                         as_index=False)["n"].sum()
+
+    h = (ds.map_batches(partial, batch_format="pandas")
+         .groupby(["event_type", "c"])
+         .aggregate(Sum("n", alias_name="n"))).to_pandas()
+
+    def lower_median(vals: np.ndarray, cnt: np.ndarray) -> int:
+        order = np.argsort(vals, kind="stable")
+        cum = np.cumsum(cnt[order])
+        tot = int(cum[-1])
+        k = (tot - 1) // 2 + 1
+        return int(vals[order][np.searchsorted(cum, k)])
+
+    rows = []
+    for et, grp in h.groupby("event_type", sort=True):
+        vals = grp["c"].to_numpy(np.int64)
+        cnt = grp["n"].to_numpy(np.int64)
+        med = lower_median(vals, cnt)
+        dev = np.abs(vals - med)
+        mad = lower_median(dev, cnt)
+        n_out = int(cnt[dev > 5 * mad].sum())
+        rows.append((et, med, mad, n_out))
+    return pd.DataFrame(rows, columns=[
+        "event_type", "median_cents", "mad_cents",
+        "n_outliers"]).astype({"median_cents": "int64",
+                               "mad_cents": "int64",
+                               "n_outliers": "int64"})
+
+
 SQLFRONT_DEMO = (
     "SELECT event_type, COUNT(*) AS n_events, MIN(event_id) AS min_id, "
     "MAX(event_id) AS max_id FROM events "
@@ -6399,6 +6444,7 @@ QUERIES = {
     "q_kaplan_meier_events": q_kaplan_meier_events,
     "q_decision_stump_events": q_decision_stump_events,
     "q_sql_front_events": q_sql_front_events,
+    "q_mad_outlier_events": q_mad_outlier_events,
     "q_shot_boundary_media": q_shot_boundary_media,
     "q_zorder_events": q_zorder_events,
     "q_ann_hamming_topk": q_ann_hamming_topk,
@@ -10638,3 +10684,40 @@ SELECT CAST(cents AS BIGINT) AS split_cents,
 FROM sc ORDER BY score DESC, cents LIMIT 1"""
 
 ORACLE_SQL["q_sql_front_events"] = SQLFRONT_DEMO
+
+ORACLE_SQL["q_mad_outlier_events"] = """
+WITH h AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+t AS (SELECT event_type, SUM(n) AS tot FROM h GROUP BY 1),
+w AS (
+  SELECT h.event_type, c, n, tot,
+         SUM(n) OVER (PARTITION BY h.event_type ORDER BY c) AS cum
+  FROM h JOIN t USING (event_type)),
+med AS (
+  SELECT event_type, MIN(c) AS m
+  FROM w WHERE cum >= (tot - 1) // 2 + 1 GROUP BY event_type),
+d AS (
+  SELECT w.event_type, ABS(c - m) AS dev, n
+  FROM w JOIN med USING (event_type)),
+dh AS (
+  SELECT event_type, dev, SUM(n) AS n FROM d GROUP BY 1, 2),
+w2 AS (
+  SELECT dh.event_type, dev, dh.n, t.tot,
+         SUM(dh.n) OVER (PARTITION BY dh.event_type ORDER BY dev)
+             AS cum
+  FROM dh JOIN t USING (event_type)),
+madt AS (
+  SELECT event_type, MIN(dev) AS mad
+  FROM w2 WHERE cum >= (tot - 1) // 2 + 1 GROUP BY event_type),
+outs AS (
+  SELECT d.event_type,
+         SUM(CASE WHEN dev > 5 * mad THEN n ELSE 0 END) AS n_out
+  FROM d JOIN madt USING (event_type) GROUP BY 1)
+SELECT med.event_type,
+       CAST(m AS BIGINT) AS median_cents,
+       CAST(mad AS BIGINT) AS mad_cents,
+       CAST(n_out AS BIGINT) AS n_outliers
+FROM med JOIN madt USING (event_type) JOIN outs USING (event_type)
+ORDER BY event_type"""
