@@ -6214,6 +6214,53 @@ def q_decision_stump_events(sf_dir: str):
         "a_left": int(al[i]), "b_left": int(bl[i])}]).astype("int64")
 
 
+def q_privacy_audit_events(sf_dir: str):
+    """Privacy audit beyond k-anonymity (which q_kanon_events covers):
+    for each quasi-identifier equivalence class (event_type,
+    hour-of-day), the l-DIVERSITY count (distinct sensitive values,
+    sensitive = user_id%10) and the t-CLOSENESS distance as the ordered
+    earth-mover's distance between the class and global sensitive
+    distributions — kept integer-exact by scaling both CDFs to the
+    common denominator N·n_class: EMD_scaled = Σ_s |cumGlobal_s·n_c −
+    cumClass_s·N|. ONE distributed (class, sensitive) count exchange;
+    the per-class EMD walk is vectorized over the dense 10-value
+    sensitive grid. Worst 10 classes by scaled EMD."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "event_type": df["event_type"].astype(str),
+            "hod": df["ts"].dt.hour.astype("int64"),
+            "s": (df["user_id"] % 10).astype("int64"),
+            "n": np.int64(1)})
+        return g.groupby(["event_type", "hod", "s"], sort=False,
+                         as_index=False)["n"].sum()
+
+    cls = (ds.map_batches(partial, batch_format="pandas")
+           .groupby(["event_type", "hod", "s"])
+           .aggregate(Sum("n", alias_name="n"))).to_pandas()
+    gtot = (cls.groupby("s")["n"].sum()
+            .reindex(range(10), fill_value=0).to_numpy(np.int64))
+    big_n = int(gtot.sum())
+    cum_g = np.cumsum(gtot)
+    rows = []
+    for (et, hod), grp in cls.groupby(["event_type", "hod"],
+                                      sort=True):
+        cnt = (grp.set_index("s")["n"]
+               .reindex(range(10), fill_value=0).to_numpy(np.int64))
+        nc = int(cnt.sum())
+        ell = int((cnt > 0).sum())
+        emd = int(np.abs(cum_g * nc - np.cumsum(cnt) * big_n).sum())
+        rows.append((et, int(hod), nc, ell, emd))
+    out = pd.DataFrame(rows, columns=["event_type", "hod", "size",
+                                      "l_div", "emd_scaled"])
+    out = (out.sort_values(["emd_scaled", "event_type", "hod"],
+                           ascending=[False, True, True])
+           .head(10).reset_index(drop=True))
+    return out.astype({"hod": "int64", "size": "int64",
+                       "l_div": "int64", "emd_scaled": "int64"})
+
+
 def q_mad_outlier_events(sf_dir: str):
     """Robust dispersion + outlier counts per event_type in EXACT
     integers: lower-median of value cents (rank rule: first value whose
@@ -6445,6 +6492,7 @@ QUERIES = {
     "q_decision_stump_events": q_decision_stump_events,
     "q_sql_front_events": q_sql_front_events,
     "q_mad_outlier_events": q_mad_outlier_events,
+    "q_privacy_audit_events": q_privacy_audit_events,
     "q_shot_boundary_media": q_shot_boundary_media,
     "q_zorder_events": q_zorder_events,
     "q_ann_hamming_topk": q_ann_hamming_topk,
@@ -10721,3 +10769,45 @@ SELECT med.event_type,
        CAST(n_out AS BIGINT) AS n_outliers
 FROM med JOIN madt USING (event_type) JOIN outs USING (event_type)
 ORDER BY event_type"""
+
+ORACLE_SQL["q_privacy_audit_events"] = """
+WITH base AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+         user_id % 10 AS s
+  FROM events),
+cls AS (
+  SELECT event_type, hod, s, COUNT(*) AS n
+  FROM base GROUP BY 1, 2, 3),
+ctot AS (
+  SELECT event_type, hod, SUM(n) AS nc, COUNT(DISTINCT s) AS l_div
+  FROM cls GROUP BY 1, 2),
+gtot AS (
+  SELECT g.s, COALESCE(SUM(cls.n), 0) AS gn
+  FROM (SELECT unnest(range(10)) AS s) g
+  LEFT JOIN cls ON cls.s = g.s GROUP BY g.s),
+nt AS (SELECT SUM(n) AS big_n FROM cls),
+grid AS (
+  SELECT c.event_type, c.hod, g.s, g.gn, COALESCE(x.n, 0) AS n
+  FROM ctot c CROSS JOIN gtot g
+  LEFT JOIN cls x ON x.event_type = c.event_type AND x.hod = c.hod
+                 AND x.s = g.s),
+cum AS (
+  SELECT event_type, hod, s,
+         SUM(n) OVER (PARTITION BY event_type, hod ORDER BY s) AS cc,
+         SUM(gn) OVER (PARTITION BY event_type, hod ORDER BY s) AS cg
+  FROM grid),
+emd AS (
+  SELECT cum.event_type, cum.hod,
+         SUM(ABS(cg * nc - cc * big_n)) AS emd_scaled
+  FROM cum
+  JOIN ctot ON ctot.event_type = cum.event_type
+           AND ctot.hod = cum.hod
+  CROSS JOIN nt
+  GROUP BY 1, 2)
+SELECT e.event_type, CAST(e.hod AS BIGINT) AS hod,
+       CAST(c.nc AS BIGINT) AS size,
+       CAST(c.l_div AS BIGINT) AS l_div,
+       CAST(e.emd_scaled AS BIGINT) AS emd_scaled
+FROM emd e JOIN ctot c ON c.event_type = e.event_type
+                      AND c.hod = e.hod
+ORDER BY e.emd_scaled DESC, e.event_type, e.hod LIMIT 10"""
