@@ -48,10 +48,11 @@ _KEYWORDS = {"select", "from", "where", "group", "by", "having",
              "order", "limit", "as", "and", "or", "not", "in",
              "between", "like", "join", "on", "inner", "left", "outer",
              "asc", "desc", "distinct", "case", "when", "then", "else",
-             "end"}
+             "end", "over", "partition"}
 _AGGS = {"count", "sum", "min", "max", "avg"}
 _FNS = {"length", "lower", "upper", "abs", "round", "substr",
         "substring", "coalesce"}
+_WINFNS = {"row_number", "rank", "dense_rank", "lag", "lead"}
 
 _TOKEN_RE = re.compile(r"""
     \s*(?:
@@ -246,12 +247,25 @@ def _parse_atom(p):
         p.expect_op("(")
         if t[1] == "count" and p.eat_op("*"):
             p.expect_op(")")
+            if p.peek() == ("kw", "over"):
+                return _parse_over(p, "count", [])
             return ("agg", "count", None)
         arg = _parse_expr(p)
         p.expect_op(")")
+        if p.peek() == ("kw", "over"):
+            return _parse_over(p, t[1], [arg])
         return ("agg", t[1], arg)
     if t[0] == "ident":
         name = t[1]
+        if name.lower() in _WINFNS and p.peek() == ("op", "("):
+            p.next()
+            args = []
+            if not p.eat_op(")"):
+                args.append(_parse_expr(p))
+                while p.eat_op(","):
+                    args.append(_parse_expr(p))
+                p.expect_op(")")
+            return _parse_over(p, name.lower(), args)
         if name.lower() in _FNS and p.peek() == ("op", "("):
             p.next()
             args = [_parse_expr(p)]
@@ -266,6 +280,35 @@ def _parse_atom(p):
             return ("col", f"{name}.{col[1]}")
         return ("col", name)
     raise ValueError(f"SQL: unexpected token {t}")
+
+
+def _parse_over(p: _P, fn: str, args: list):
+    """OVER (PARTITION BY cols ORDER BY col [ASC|DESC], ...) →
+    ("win", fn, args, part_cols, [(order_col, dir)])."""
+    p.expect_kw("over")
+    p.expect_op("(")
+    part = []
+    if p.eat_kw("partition"):
+        p.expect_kw("by")
+        while True:
+            e = _parse_expr(p)
+            if e[0] != "col":
+                raise ValueError("SQL: PARTITION BY supports columns")
+            part.append(e[1])
+            if not p.eat_op(","):
+                break
+    order = []
+    if p.eat_kw("order"):
+        p.expect_kw("by")
+        while True:
+            e = _parse_expr(p)
+            if e[0] != "col":
+                raise ValueError("SQL: window ORDER BY supports columns")
+            order.append((e[1], p.eat_kw("asc", "desc") or "asc"))
+            if not p.eat_op(","):
+                break
+    p.expect_op(")")
+    return ("win", fn, args, part, order)
 
 
 def parse_select(sql: str) -> dict:
@@ -409,6 +452,13 @@ def _cols_of(e, out: set):
             _cols_of(a, out)
     elif k in ("insub", "inset"):
         _cols_of(e[1], out)
+    elif k == "win":
+        for a in e[2]:
+            _cols_of(a, out)
+        for c in e[3]:
+            out.add(c)
+        for c, _ in e[4]:
+            out.add(c)
     elif k == "agg" and e[2] is not None:
         _cols_of(e[2], out)
 
@@ -571,6 +621,117 @@ def _subst_aggs(e, vals: dict):
     return e
 
 
+def _find_wins(e, acc: list):
+    if e is None:
+        return
+    if e[0] == "win":
+        acc.append(e)
+        return
+    if e[0] == "bin":
+        _find_wins(e[2], acc)
+        _find_wins(e[3], acc)
+    elif e[0] == "un":
+        _find_wins(e[2], acc)
+    elif e[0] == "case":
+        for c, v in e[1]:
+            _find_wins(c, acc)
+            _find_wins(v, acc)
+        _find_wins(e[2], acc)
+    elif e[0] == "fn":
+        for a in e[2]:
+            _find_wins(a, acc)
+
+
+def _subst_wins(e, vals: dict):
+    if e is None:
+        return None
+    if e[0] == "win":
+        return ("col", vals[repr(e)])
+    if e[0] == "bin":
+        return ("bin", e[1], _subst_wins(e[2], vals),
+                _subst_wins(e[3], vals))
+    if e[0] == "un":
+        return ("un", e[1], _subst_wins(e[2], vals))
+    if e[0] == "case":
+        return ("case", [(_subst_wins(c, vals), _subst_wins(v, vals))
+                         for c, v in e[1]], _subst_wins(e[2], vals))
+    if e[0] == "fn":
+        return ("fn", e[1], [_subst_wins(a, vals) for a in e[2]])
+    return e
+
+
+def _window_series(e, df: pd.DataFrame) -> pd.Series:
+    """Evaluate one window node over the presentation frame (window
+    results are row-per-input-row, so they belong to the
+    presentation-sized stage; the default SQL frame — RANGE UNBOUNDED
+    PRECEDING TO CURRENT ROW with peers — is honored for running
+    aggregates)."""
+    _, fn, args, part, order = e
+    pcols = [c.split(".")[-1] for c in part]
+    keys = [c.split(".")[-1] for c, _ in order]
+    ascs = [d == "asc" for _, d in order]
+    if pcols or keys:
+        srt = df.sort_values(pcols + keys,
+                             ascending=[True] * len(pcols) + ascs,
+                             kind="mergesort")
+    else:
+        srt = df
+    if len(srt) == 0:
+        return pd.Series([], dtype="float64")
+    if pcols:
+        pchange = (srt[pcols] != srt[pcols].shift()).any(axis=1)
+    else:
+        pchange = pd.Series(False, index=srt.index)
+    pchange.iloc[0] = True
+    gid = pchange.cumsum()
+    pos = srt.groupby(gid, sort=False).cumcount()
+    if keys:
+        kchange = ((srt[keys] != srt[keys].shift()).any(axis=1)
+                   | pchange)
+    else:
+        kchange = pchange
+    if fn == "row_number":
+        vals = (pos + 1).astype("int64")
+    elif fn == "rank":
+        r = (pos + 1).astype("float64").where(kchange)
+        vals = r.groupby(gid, sort=False).ffill().astype("int64")
+    elif fn == "dense_rank":
+        vals = (kchange.astype("int64")
+                .groupby(gid, sort=False).cumsum())
+    elif fn in ("lag", "lead"):
+        col = pd.Series(np.asarray(_ev(args[0], srt)), index=srt.index)
+        k = int(args[1][1]) if len(args) > 1 else 1
+        vals = col.groupby(gid, sort=False).shift(
+            k if fn == "lag" else -k)
+    elif fn in ("sum", "min", "max", "count", "avg"):
+        if fn == "count" and not args:
+            v = pd.Series(np.int64(1), index=srt.index)
+        else:
+            v = pd.Series(np.asarray(_ev(args[0], srt)),
+                          index=srt.index)
+        if not keys:                          # whole-partition frame
+            red = {"sum": "sum", "min": "min", "max": "max",
+                   "count": "count", "avg": "mean"}[fn]
+            vals = v.groupby(gid, sort=False).transform(red)
+        else:                                 # running incl. peers
+            g = v.groupby(gid, sort=False)
+            if fn in ("sum", "count", "avg"):
+                cum = (g.cumsum() if fn == "sum"
+                       else g.cumcount() + 1 if fn == "count"
+                       else None)
+                if fn == "avg":
+                    cum = g.cumsum() / (g.cumcount() + 1)
+            elif fn == "min":
+                cum = g.cummin()
+            else:
+                cum = g.cummax()
+            tie = kchange.cumsum()
+            vals = cum.groupby(tie, sort=False).transform("last")
+    else:
+        raise ValueError(f"SQL: unknown window function {fn}")
+    return vals.reindex(df.index)
+
+
 def sql_query(sql: str, tables: dict):
     """Compile + run one query (SELECT, optionally UNION ALL chains and
     IN (SELECT ...) subqueries); returns a pandas DataFrame (results
@@ -698,12 +859,18 @@ def _run_select(q: dict, tables: dict):
             batch_format="pandas")
 
     aggs: list = []
+    wins: list = []
     for e, _ in q["items"]:
         if e != "star":
             _find_aggs(e, aggs)
+            _find_wins(e, wins)
     _find_aggs(q["having"], aggs)
     for o, _ in q["order"]:
         _find_aggs(o, aggs)
+        _find_wins(o, wins)
+    if wins and aggs:
+        raise NotImplementedError(
+            "SQL: window functions over grouped output not supported")
     agg_map = {}
     for a in aggs:
         agg_map.setdefault(_agg_key(a), a)
@@ -825,14 +992,24 @@ def _run_select(q: dict, tables: dict):
         def out_expr(e):
             return _subst_aggs(e, vals)
     else:
+        if (q["limit"] is not None and not q["order"] and not wins
+                and not q["distinct"]):
+            # LIMIT without ORDER BY is any-N-rows: stop the stream
+            # after `limit` rows instead of materializing everything
+            ds = ds.limit(q["limit"])
         frame = ds.to_pandas()
         if len(frame) == 0:                   # typed empty projection
             from . import ops
 
             frame = ops.schema_of_dataset(ds).empty_table().to_pandas()
+        win_vals: dict = {}
+        for i, w in enumerate({repr(w): w for w in wins}.values()):
+            col = f"__win{i}"
+            frame[col] = _window_series(w, frame)
+            win_vals[repr(w)] = col
 
         def out_expr(e):
-            return e
+            return _subst_wins(e, win_vals) if win_vals else e
 
     # projection
     out = pd.DataFrame(index=frame.index)

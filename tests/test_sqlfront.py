@@ -221,3 +221,39 @@ def test_union_and_subqueries(ray_session, con, sql):
     assert len(a) == len(b), sql
     pd.testing.assert_frame_equal(a, b, check_dtype=False,
                                   check_exact=False, rtol=1e-9)
+
+
+WINDOW_BATTERY = [
+    "SELECT event_id, ROW_NUMBER() OVER (PARTITION BY event_type "
+    "ORDER BY value DESC, event_id) AS rn FROM events "
+    "WHERE user_id < 20 ORDER BY event_id",
+
+    "SELECT event_id, RANK() OVER (ORDER BY user_id) AS r, "
+    "DENSE_RANK() OVER (ORDER BY user_id) AS dr FROM events "
+    "WHERE event_id < 60 ORDER BY event_id",
+
+    "SELECT event_id, SUM(value) OVER (PARTITION BY event_type "
+    "ORDER BY event_id) AS running, "
+    "MAX(value) OVER (PARTITION BY event_type) AS peak FROM events "
+    "WHERE user_id < 10 ORDER BY event_id",
+
+    "SELECT event_id, LAG(value) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id) AS prev_v FROM events "
+    "WHERE user_id < 6 ORDER BY event_id",
+
+    "SELECT event_id, COUNT(*) OVER (PARTITION BY event_type "
+    "ORDER BY value, event_id) AS c FROM events "
+    "WHERE user_id < 8 ORDER BY event_id",
+]
+
+
+@pytest.mark.parametrize("sql", WINDOW_BATTERY,
+                         ids=["rownum", "ranks", "running", "lag",
+                              "count_running"])
+def test_window_functions(ray_session, con, sql):
+    mine = sqlfront.sql_query(sql, TABLES)
+    ref = con.sql(sql).df()
+    a, b = _canon(mine), _canon(ref)
+    assert len(a) == len(b), sql
+    pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                  check_exact=False, rtol=1e-9)
