@@ -20,7 +20,12 @@ Supported surface (documented subset, hard errors beyond it):
   * INNER and LEFT [OUTER] JOIN ... ON a.col = b.col (equality;
     composable; SQL-consistent NULL behavior on the left-join side);
   * UNION ALL chains with trailing ORDER BY/LIMIT;
-  * ORDER BY [ASC|DESC] multi-key (columns or expressions), LIMIT.
+  * window functions — ROW_NUMBER/RANK/DENSE_RANK, LAG/LEAD, running
+    SUM/MIN/MAX/COUNT/AVG with the default frame's peer inclusion —
+    over PARTITION BY + multi-key ORDER BY (presentation-sized stage:
+    window results are row-per-input-row);
+  * ORDER BY [ASC|DESC] multi-key (columns or expressions), LIMIT
+    (pushed into the stream when no ORDER BY requires a total order).
 
 Compilation is Ray-Data-first: column pruning at the read (only
 referenced columns are scanned), WHERE as a vectorized pandas
