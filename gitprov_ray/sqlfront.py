@@ -799,10 +799,12 @@ def _resolve_subqueries(e, tables):
     return e
 
 
-def _run_select(q: dict, tables: dict):
+def _build_dataset(q: dict, tables: dict):
+    """Front half shared by the eager runner and the streaming variant:
+    pruned reads, normalized equality joins, vectorized WHERE — all
+    lazy; returns (dataset, resolved query dict)."""
     from ray.data import Dataset
 
-    from .stages.versions import stable_bucket
     from .util import read_parquet_clean, tune_context
 
     tune_context()
@@ -862,6 +864,54 @@ def _run_select(q: dict, tables: dict):
         ds = ds.map_batches(
             lambda df, w=w: df[np.asarray(_ev(w, df), bool)],
             batch_format="pandas")
+    return ds, q
+
+
+def sql_dataset(sql: str, tables: dict):
+    """Streaming variant of the SQL front door: compiles a
+    NON-AGGREGATING, non-window, non-DISTINCT SELECT (no ORDER BY /
+    LIMIT — those imply a total order) to a LAZY Ray Dataset, so the
+    query composes as a pipeline stage (pipe into ``write_parquet`` /
+    further ``map_batches``) and never lands on the driver. Projection
+    expressions evaluate vectorized per batch."""
+    q = parse_select(sql)
+    if "union" in q:
+        raise NotImplementedError("sql_dataset: UNION — use sql_query")
+    aggs: list = []
+    wins: list = []
+    for e, _ in q["items"]:
+        if e != "star":
+            _find_aggs(e, aggs)
+            _find_wins(e, wins)
+    if aggs or wins or q["group"] or q["distinct"] or q["order"] \
+            or q["limit"] is not None:
+        raise NotImplementedError(
+            "sql_dataset compiles streaming row transforms only — "
+            "aggregates/windows/DISTINCT/ORDER/LIMIT need sql_query")
+    ds, q = _build_dataset(q, tables)
+    items = q["items"]
+    if all(e == "star" for e, _ in items):
+        return ds
+
+    def project(df: pd.DataFrame, items=items) -> pd.DataFrame:
+        out = pd.DataFrame(index=df.index)
+        for i, (e, alias) in enumerate(items):
+            if e == "star":
+                for c in df.columns:
+                    out[c] = df[c]
+                continue
+            name = alias or (e[1].split(".")[-1] if e[0] == "col"
+                             else f"col{i}")
+            out[name] = _ev(e, df)
+        return out
+
+    return ds.map_batches(project, batch_format="pandas")
+
+
+def _run_select(q: dict, tables: dict):
+    from .stages.versions import stable_bucket
+
+    ds, q = _build_dataset(q, tables)
 
     aggs: list = []
     wins: list = []

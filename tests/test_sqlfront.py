@@ -257,3 +257,30 @@ def test_window_functions(ray_session, con, sql):
     assert len(a) == len(b), sql
     pd.testing.assert_frame_equal(a, b, check_dtype=False,
                                   check_exact=False, rtol=1e-9)
+
+
+def test_sql_dataset_streams(ray_session, tmp_path):
+    """The streaming variant returns a LAZY Dataset that pipes into a
+    parquet sink without driver materialization."""
+    import ray.data
+
+    ds = sqlfront.sql_dataset(
+        "SELECT event_id, value * 2 AS v2, UPPER(event_type) AS t "
+        "FROM events WHERE value > 50", TABLES)
+    assert isinstance(ds, ray.data.Dataset)
+    out = str(tmp_path / "sqlout")
+    ds.write_parquet(out, compression="zstd")
+    import duckdb
+
+    back = duckdb.sql(f"SELECT COUNT(*) n, MIN(v2) lo FROM '{out}/*.parquet'").df()
+    ref = duckdb.sql(
+        "SELECT COUNT(*) n, MIN(value*2) lo FROM "
+        f"'{TABLES['events']}' WHERE value > 50").df()
+    assert back["n"][0] == ref["n"][0]
+    assert abs(back["lo"][0] - ref["lo"][0]) < 1e-9
+    # star passthrough stays the pruned scan
+    ds2 = sqlfront.sql_dataset("SELECT * FROM nation", TABLES)
+    assert ds2.count() == 25
+    with pytest.raises(NotImplementedError, match="sql_query"):
+        sqlfront.sql_dataset(
+            "SELECT COUNT(*) AS n FROM events", TABLES)
