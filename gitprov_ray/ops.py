@@ -2416,13 +2416,23 @@ def label_propagation(edges_ds, rounds: int = 3,
     from .stages.versions import stable_bucket
 
     P = num_partitions or _default_partitions()
-    packed = edges_ds.map_batches(
-        lambda df: pd.DataFrame({"k": np.concatenate([
-            (df[src].to_numpy(np.int64) << 32)
-            | df[dst].to_numpy(np.int64),
-            (df[dst].to_numpy(np.int64) << 32)
-            | df[src].to_numpy(np.int64)])}).drop_duplicates(),
-        batch_format="pandas")
+
+    def pack_undirected(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[src].to_numpy(np.int64)
+        d = df[dst].to_numpy(np.int64)
+        # the (u<<32)|v packing is only injective for ids in [0, 2^31):
+        # wider or negative ids would silently alias/merge edges
+        # (ADVICE r04) — reject them loudly instead
+        for a in (s, d):
+            if len(a) and (a.min() < 0 or a.max() >= (1 << 31)):
+                raise ValueError(
+                    "label_propagation: node ids must be in [0, 2^31) "
+                    "for the packed-int64 edge key; remap wider/string "
+                    "ids to dense ints first")
+        return pd.DataFrame({"k": np.concatenate([
+            (s << 32) | d, (d << 32) | s])}).drop_duplicates()
+
+    packed = edges_ds.map_batches(pack_undirected, batch_format="pandas")
     und = materialize_normalized(
         distinct_keys(packed, "k", P).map_batches(
             lambda df: pd.DataFrame({

@@ -6328,6 +6328,59 @@ def q_sql_front_events(sf_dir: str):
 
 
 QUERIES = {
+    # --- driver certification set (first 50): flagship + the round-3/4
+    # operators never yet certified by a CORRECTNESS_r*.json (VERDICT r04 #1).
+    "kg_flagship_triples": kg_flagship_triples,
+    "q_sql_front_events": q_sql_front_events,
+    "q_delta_roundtrip_events": q_delta_roundtrip_events,
+    "q_iceberg_roundtrip_docs": q_iceberg_roundtrip_docs,
+    "q_paragraph_dedup_docs": q_paragraph_dedup_docs,
+    "q_lpa_communities_docs": q_lpa_communities_docs,
+    "q_dbscan_embeddings": q_dbscan_embeddings,
+    "q_watermark_window_events": q_watermark_window_events,
+    "q_pq_adc_topk": q_pq_adc_topk,
+    "q_pq_codes": q_pq_codes,
+    "q_decontaminate_docs": q_decontaminate_docs,
+    "q_sparql_text_distributed": q_sparql_text_distributed,
+    "q_sparql_agg_full_distributed": q_sparql_agg_full_distributed,
+    "q_sparql_graph_distributed": q_sparql_graph_distributed,
+    "q_sparql_not_exists_distributed": q_sparql_not_exists_distributed,
+    "q_sparql_construct_distributed": q_sparql_construct_distributed,
+    "q_sparql_optional_distributed": q_sparql_optional_distributed,
+    "q_sparql_distributed": q_sparql_distributed,
+    "q_transitive_closure": q_transitive_closure,
+    "q_bpe_train_merges": q_bpe_train_merges,
+    "q_bpe_tokenize_docs": q_bpe_tokenize_docs,
+    "q_dup_span_docs": q_dup_span_docs,
+    "q_c4_filter_docs": q_c4_filter_docs,
+    "q_mixture_sample_docs": q_mixture_sample_docs,
+    "q_profile_events": q_profile_events,
+    "q_embedding_covariance": q_embedding_covariance,
+    "q_cms_user_counts": q_cms_user_counts,
+    "q_html_extract_docs": q_html_extract_docs,
+    "q_sq8_embeddings": q_sq8_embeddings,
+    "q_kaplan_meier_events": q_kaplan_meier_events,
+    "q_ranktests_events": q_ranktests_events,
+    "q_theil_sen_events": q_theil_sen_events,
+    "q_rank_fusion_docs": q_rank_fusion_docs,
+    "q_mad_outlier_events": q_mad_outlier_events,
+    "q_privacy_audit_events": q_privacy_audit_events,
+    "q_decision_stump_events": q_decision_stump_events,
+    "q_cusum_events": q_cusum_events,
+    "q_debounce_events": q_debounce_events,
+    "q_fd_mine_events": q_fd_mine_events,
+    "q_autocorr_events": q_autocorr_events,
+    "q_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+    "q_ann_hamming_topk": q_ann_hamming_topk,
+    "q_kcenter_coreset": q_kcenter_coreset,
+    "q_hll_by_type": q_hll_by_type,
+    "q_containment_pairs": q_containment_pairs,
+    "q_range_window_events": q_range_window_events,
+    "q_pack_sequences": q_pack_sequences,
+    "q_chunk_docs": q_chunk_docs,
+    "q_bloom_semi_join": q_bloom_semi_join,
+    "q_skew_join_enrich": q_skew_join_enrich,
+    # --- previously certified in rounds 1-4 (CORRECTNESS_r01..r04)
     "q1_pricing_summary": q1_pricing_summary,
     "q_top_orders": q_top_orders,
     "q_segment_revenue": q_segment_revenue,
@@ -6344,8 +6397,6 @@ QUERIES = {
     "q_token_stats": q_token_stats,
     "q_fingerprint_docs": q_fingerprint_docs,
     "q_ann_topk": q_ann_topk,
-    # rows-only (non-SQL-expressible)
-    "kg_flagship_triples": kg_flagship_triples,
     "q_langid_docs": q_langid_docs,
     "q_simhash_docs": q_simhash_docs,
     "q_minhash_neardup_pairs": q_minhash_neardup_pairs,
@@ -6379,6 +6430,7 @@ QUERIES = {
     "q_bfs_distances": q_bfs_distances,
     "q_heavy_hitter_tokens": q_heavy_hitter_tokens,
     "q_quantile_hist_events": q_quantile_hist_events,
+    # --- remainder (validated via tools/driver_sim.py at sf0.01)
     "q_cumsum_events": q_cumsum_events,
     "q_tfidf_top_terms": q_tfidf_top_terms,
     "q_rank_events": q_rank_events,
@@ -6392,28 +6444,19 @@ QUERIES = {
     "q_bm25_docs": q_bm25_docs,
     "q_cust_order_dist": q_cust_order_dist,
     "q_sparql_select": q_sparql_select,
-    "q_sparql_distributed": q_sparql_distributed,
     "q_sparql_optional": q_sparql_optional,
     "q_sparql_union": q_sparql_union,
-    "q_sparql_optional_distributed": q_sparql_optional_distributed,
     "q_sparql_agg": q_sparql_agg,
     "q_sparql_construct": q_sparql_construct,
-    "q_sparql_construct_distributed": q_sparql_construct_distributed,
     "q_sparql_ask": q_sparql_ask,
     "q_sparql_describe": q_sparql_describe,
     "q_sparql_agg_distributed": q_sparql_agg_distributed,
     "q_sparql_having": q_sparql_having,
     "q_sparql_expr": q_sparql_expr,
-    "q_sparql_text_distributed": q_sparql_text_distributed,
-    "q_sparql_agg_full_distributed": q_sparql_agg_full_distributed,
     "q_sparql_graph": q_sparql_graph,
-    "q_sparql_graph_distributed": q_sparql_graph_distributed,
-    "q_sparql_not_exists_distributed": q_sparql_not_exists_distributed,
-    "q_decontaminate_docs": q_decontaminate_docs,
     "q_stratified_sample_docs": q_stratified_sample_docs,
     "q_lm_quality_docs": q_lm_quality_docs,
     "kg_sparql_activity_stats": kg_sparql_activity_stats,
-    "q_transitive_closure": q_transitive_closure,
     "q_sparql_not_exists": q_sparql_not_exists,
     "q_moving_sum_events": q_moving_sum_events,
     "q_nation_revenue_3way": q_nation_revenue_3way,
@@ -6439,18 +6482,10 @@ QUERIES = {
     "q_mode_per_group": q_mode_per_group,
     "q_group_variance": q_group_variance,
     "q_retention_cohorts": q_retention_cohorts,
-    "q_chunk_docs": q_chunk_docs,
-    "q_pack_sequences": q_pack_sequences,
     "q_hardneg_mining": q_hardneg_mining,
-    "q_bloom_semi_join": q_bloom_semi_join,
     "q_event_transitions": q_event_transitions,
     "q_outlier_events": q_outlier_events,
-    "q_skew_join_enrich": q_skew_join_enrich,
     "q_normalize_docs": q_normalize_docs,
-    "q_pq_codes": q_pq_codes,
-    "q_pq_adc_topk": q_pq_adc_topk,
-    "q_range_window_events": q_range_window_events,
-    "q_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "q_url_canonicalize": q_url_canonicalize,
     "q_robots_filter_docs": q_robots_filter_docs,
     "q_gopher_filter_docs": q_gopher_filter_docs,
@@ -6477,25 +6512,8 @@ QUERIES = {
     "q_geo_join_events": q_geo_join_events,
     "q_benford_values": q_benford_values,
     "q_decayed_heavy_hitters": q_decayed_heavy_hitters,
-    "q_debounce_events": q_debounce_events,
-    "q_cusum_events": q_cusum_events,
-    "q_fd_mine_events": q_fd_mine_events,
-    "q_autocorr_events": q_autocorr_events,
-    "q_delta_roundtrip_events": q_delta_roundtrip_events,
-    "q_iceberg_roundtrip_docs": q_iceberg_roundtrip_docs,
-    "q_ranktests_events": q_ranktests_events,
-    "q_theil_sen_events": q_theil_sen_events,
-    "q_rank_fusion_docs": q_rank_fusion_docs,
-    "q_lpa_communities_docs": q_lpa_communities_docs,
-    "q_dbscan_embeddings": q_dbscan_embeddings,
-    "q_kaplan_meier_events": q_kaplan_meier_events,
-    "q_decision_stump_events": q_decision_stump_events,
-    "q_sql_front_events": q_sql_front_events,
-    "q_mad_outlier_events": q_mad_outlier_events,
-    "q_privacy_audit_events": q_privacy_audit_events,
     "q_shot_boundary_media": q_shot_boundary_media,
     "q_zorder_events": q_zorder_events,
-    "q_ann_hamming_topk": q_ann_hamming_topk,
     "q_web_curation_docs": q_web_curation_docs,
     "q_scd2_events": q_scd2_events,
     "q_ip_range_lookup_events": q_ip_range_lookup_events,
@@ -6509,24 +6527,9 @@ QUERIES = {
     "q_sentence_split_docs": q_sentence_split_docs,
     "q_readability_docs": q_readability_docs,
     "q_feature_hash_docs": q_feature_hash_docs,
-    "q_containment_pairs": q_containment_pairs,
     "q_skipgram_pairs": q_skipgram_pairs,
-    "q_kcenter_coreset": q_kcenter_coreset,
-    "q_hll_by_type": q_hll_by_type,
     "q_novelty_docs": q_novelty_docs,
     "q_percent_rank_events": q_percent_rank_events,
-    "q_paragraph_dedup_docs": q_paragraph_dedup_docs,
-    "q_c4_filter_docs": q_c4_filter_docs,
-    "q_mixture_sample_docs": q_mixture_sample_docs,
-    "q_profile_events": q_profile_events,
-    "q_bpe_train_merges": q_bpe_train_merges,
-    "q_embedding_covariance": q_embedding_covariance,
-    "q_watermark_window_events": q_watermark_window_events,
-    "q_cms_user_counts": q_cms_user_counts,
-    "q_html_extract_docs": q_html_extract_docs,
-    "q_sq8_embeddings": q_sq8_embeddings,
-    "q_dup_span_docs": q_dup_span_docs,
-    "q_bpe_tokenize_docs": q_bpe_tokenize_docs,
     "q_link_graph_docs": q_link_graph_docs,
     "q_keyword_match_docs": q_keyword_match_docs,
     "q_hopping_window_events": q_hopping_window_events,

@@ -819,11 +819,16 @@ def compact_table(path: str, target_bytes: int = 128 * 1024 * 1024):
     accumulates one file per block; a long-lived table accumulates
     thousands): greedily bin existing files to ~``target_bytes``,
     rewrite each multi-file bin as ONE zstd file in its own Ray task,
-    then swap atomically on the driver — new files land under
-    temp names first, row counts are verified against the originals,
-    and only then do originals unlink (a crash before the swap leaves
-    the table untouched; stray temp names carry no .parquet suffix so
-    readers never see them).
+    then swap on the driver. Swap order per bin: originals are first
+    RENAMED to non-``.parquet`` names (``<name>.removed-<run>``), only
+    then is the compacted file exposed, then the renamed originals
+    unlink — so a glob-based reader never observes a bin's rows twice.
+    Crash safety: before the first rename the table is untouched; a
+    crash mid-swap can temporarily HIDE one bin's rows (never
+    duplicate them) — recovery is mechanical: restore any
+    ``*.removed-<run>`` files by stripping the suffix, delete stray
+    ``.tmp-compact-*``. Row counts are verified against the originals
+    before any destructive step.
 
     Returns {files_before, files_after, rows, bytes} (driver-small).
     """
@@ -879,11 +884,16 @@ def compact_table(path: str, target_bytes: int = 128 * 1024 * 1024):
             raise RuntimeError(f"compaction bin {i}: {got} rows "
                                f"rewritten vs {want} original")
     for i, b in todo:
+        # hide the originals BEFORE exposing the compacted file: a
+        # reader globbing *.parquet mid-swap may miss a bin's rows
+        # momentarily but can never double-count them (ADVICE r04)
+        for f in b:
+            os.replace(f, f + f".removed-{run}")
         tmp = os.path.join(path, f".tmp-compact-{run}-{i:05d}")
         os.replace(tmp, os.path.join(
             path, f"compact-{run}-{i:05d}.parquet"))
         for f in b:
-            os.remove(f)    # new names carry the run id: never collide
+            os.remove(f + f".removed-{run}")
     after = sorted(glob.glob(os.path.join(path, "*.parquet")))
     return {"files_before": len(files), "files_after": len(after),
             "rows": total_rows,

@@ -2706,10 +2706,15 @@ _TRIPLE_COLS = ["subj", "pred", "obj", "obj_is_literal", "obj_dtype",
 
 
 def _quad_rows(quads, bindings: pd.DataFrame | None,
-               graph: str | None) -> pd.DataFrame:
+               graph: str | None,
+               mark_grounded: bool = False) -> pd.DataFrame:
     """Ground (or instantiate against ``bindings``) quads → triple rows
     in the engine schema. Unbound-variable instantiations drop
-    (§16.2-style), NULL bindings too."""
+    (§16.2-style), NULL bindings too. ``mark_grounded`` appends a
+    ``__obj_grounded`` bool column: True where the object term was
+    written literally in the template (typing is exact), False where it
+    was instantiated from a string binding (typing is heuristic — the
+    delete path must then match lexically, not term-exactly)."""
     frames = []
     n = 1 if bindings is None else len(bindings)
     for g, s, p, o, o_raw in quads:
@@ -2736,13 +2741,20 @@ def _quad_rows(quads, bindings: pd.DataFrame | None,
                 ("http://", "https://"))
             df["obj_is_literal"] = ~is_uri
             df["obj_dtype"] = np.where(is_uri, "", "xsd:string")
+            grounded = False
         else:
             lit, dt = _obj_literal_info(o_raw)
             df["obj_is_literal"] = lit
             df["obj_dtype"] = dt
-        frames.append(df[_TRIPLE_COLS])
+            grounded = True
+        cols_out = list(_TRIPLE_COLS)
+        if mark_grounded:
+            df["__obj_grounded"] = grounded
+            cols_out = cols_out + ["__obj_grounded"]
+        frames.append(df[cols_out])
     if not frames:
-        return pd.DataFrame(columns=_TRIPLE_COLS)
+        return pd.DataFrame(columns=_TRIPLE_COLS + (
+            ["__obj_grounded"] if mark_grounded else []))
     return pd.concat(frames, ignore_index=True).drop_duplicates()
 
 
@@ -2755,19 +2767,44 @@ def apply_update(triples_df: pd.DataFrame, update: str,
     import ray.data as rd
 
     df = triples_df[_TRIPLE_COLS].copy()
+
+    def _term_key(f: pd.DataFrame) -> pd.Series:
+        # term-exact key: a literal "x" and an IRI <x> share a lexical
+        # form but are DIFFERENT terms, as are typed literals with the
+        # same lexical form — obj_is_literal/obj_dtype must participate
+        # in every insert-dedup and delete match (ADVICE r04)
+        return (f["graph"].astype(str) + "\x1f" + f["subj"]
+                + "\x1f" + f["pred"] + "\x1f" + f["obj"].astype(str)
+                + "\x1f" + f["obj_is_literal"].astype(str)
+                + "\x1f" + f["obj_dtype"].astype(str))
+
+    _TERM_SUBSET = ["graph", "subj", "pred", "obj",
+                    "obj_is_literal", "obj_dtype"]
+
+    def _lex_key(f: pd.DataFrame) -> pd.Series:
+        return (f["graph"].astype(str) + "\x1f" + f["subj"]
+                + "\x1f" + f["pred"] + "\x1f" + f["obj"].astype(str))
+
+    def _delete_rows(d: pd.DataFrame, rm: pd.DataFrame) -> pd.DataFrame:
+        """Remove rm's triples term-exactly where the template object
+        was grounded; lexically where it was a variable instantiation
+        (string bindings carry no datatype to match on)."""
+        g_rm = rm[rm["__obj_grounded"]]
+        v_rm = rm[~rm["__obj_grounded"]]
+        mask = _term_key(d).isin(set(_term_key(g_rm))) if len(g_rm) \
+            else pd.Series(False, index=d.index)
+        if len(v_rm):
+            mask |= _lex_key(d).isin(set(_lex_key(v_rm)))
+        return d[~mask].reset_index(drop=True)
     for op in parse_update(update):
         if op["op"] == "insert_data":
             add = _quad_rows(op["quads"], None, graph)
             df = pd.concat([df, add], ignore_index=True) \
-                .drop_duplicates(subset=["graph", "subj", "pred", "obj"]) \
+                .drop_duplicates(subset=_TERM_SUBSET) \
                 .reset_index(drop=True)
         elif op["op"] == "delete_data":
-            rm = _quad_rows(op["quads"], None, graph)
-            key = df["graph"].astype(str) + "\x1f" + df["subj"] \
-                + "\x1f" + df["pred"] + "\x1f" + df["obj"].astype(str)
-            rkey = rm["graph"].astype(str) + "\x1f" + rm["subj"] \
-                + "\x1f" + rm["pred"] + "\x1f" + rm["obj"].astype(str)
-            df = df[~key.isin(set(rkey))].reset_index(drop=True)
+            rm = _quad_rows(op["quads"], None, graph, mark_grounded=True)
+            df = _delete_rows(df, rm)
         elif op["op"] == "clear":
             if op["graph"] is None:
                 df = df.iloc[0:0]
@@ -2781,20 +2818,14 @@ def apply_update(triples_df: pd.DataFrame, update: str,
                                        pd.DataFrame(columns=_TRIPLE_COLS)),
                                    q, graph=graph)
             if len(bindings):
-                rm = _quad_rows(op["delete"], bindings, graph)
+                rm = _quad_rows(op["delete"], bindings, graph,
+                                mark_grounded=True)
                 if len(rm):
-                    key = df["graph"].astype(str) + "\x1f" + df["subj"] \
-                        + "\x1f" + df["pred"] + "\x1f" \
-                        + df["obj"].astype(str)
-                    rkey = rm["graph"].astype(str) + "\x1f" + rm["subj"] \
-                        + "\x1f" + rm["pred"] + "\x1f" \
-                        + rm["obj"].astype(str)
-                    df = df[~key.isin(set(rkey))].reset_index(drop=True)
+                    df = _delete_rows(df, rm)
                 add = _quad_rows(op["insert"], bindings, graph)
                 if len(add):
                     df = pd.concat([df, add], ignore_index=True) \
-                        .drop_duplicates(
-                            subset=["graph", "subj", "pred", "obj"]) \
+                        .drop_duplicates(subset=_TERM_SUBSET) \
                         .reset_index(drop=True)
     return df
 

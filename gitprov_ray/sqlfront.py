@@ -525,7 +525,10 @@ def _ev(e, df: pd.DataFrame):
         if op == "/":
             return left / right
         if op == "%":
-            return left % right
+            # SQL modulo is TRUNCATED (sign of dividend); pandas `%` is
+            # floored (sign of divisor). np.fmod implements the SQL rule
+            # for both int and float operands (ADVICE r04).
+            return np.fmod(left, right)
     if k == "in":
         v = _ev(e[1], df)
         lits = [_ev(x, df) for x in e[2]]
@@ -934,6 +937,42 @@ def _run_select(q: dict, tables: dict):
         group = [g.split(".")[-1] for g in q["group"]]
         names = {k: f"__agg{i}" for i, k in enumerate(agg_map)}
 
+        _STR_FNS = {"upper", "lower", "concat", "substr", "substring",
+                    "trim", "ltrim", "rtrim", "replace"}
+
+        def _arg_is_string(a) -> bool:
+            """Best-effort: does this MIN/MAX argument produce strings?
+            Only consulted for the column-less empty-frame fallback, so
+            the synthesized partial's dtype matches the real one
+            (ADVICE r04: float64 pin forked VARCHAR aggregates)."""
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            e = a[2]
+            if e is None:
+                return False
+            if e[0] == "fn":
+                if e[1] in _STR_FNS:
+                    return True
+                if e[1] == "coalesce" and e[2]:
+                    return _arg_is_string((None, None, e[2][0]))
+                return False
+            if e[0] == "lit":
+                return isinstance(e[1], str)
+            if e[0] != "col":
+                return False
+            want = e[1].split(".")[-1]
+            for src in tables.values():
+                try:
+                    sch = (pq.read_schema(src) if isinstance(src, str)
+                           else None)
+                except Exception:
+                    sch = None
+                if sch is not None and want in sch.names:
+                    t = sch.field(want).type
+                    return pa.types.is_string(t) or \
+                        pa.types.is_large_string(t)
+            return False
+
         def _empty_partial() -> pd.DataFrame:
             cols = {}
             for g in (group or ["__g"]):
@@ -944,14 +983,26 @@ def _run_select(q: dict, tables: dict):
                 if a[1] == "count":
                     cols[col + "__c"] = pd.Series([], dtype="int64")
                 else:
-                    cols[col + "__s"] = pd.Series([], dtype="float64")
+                    dt = "object" if a[1] in ("min", "max") and \
+                        _arg_is_string(a) else "float64"
+                    cols[col + "__s"] = pd.Series([], dtype=dt)
                     if a[1] == "avg":
                         cols[col + "__c"] = pd.Series([], dtype="int64")
             return pd.DataFrame(cols)
 
         def partial(df: pd.DataFrame) -> pd.DataFrame:
             if not len(df):
-                return _empty_partial()
+                # A TYPED zero-row frame (invariant 14) flows through the
+                # normal vectorized path below, which preserves argument
+                # dtypes (string MIN/MAX stays object); only a truly
+                # column-less frame needs the synthesized fallback.
+                try:
+                    return _typed_partial(df)
+                except Exception:
+                    return _empty_partial()
+            return _typed_partial(df)
+
+        def _typed_partial(df: pd.DataFrame) -> pd.DataFrame:
             out = pd.DataFrame(index=df.index)
             for g in group:
                 out[g] = df[g]

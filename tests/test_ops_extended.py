@@ -856,3 +856,20 @@ def test_label_propagation_barbell_and_regime_parity(ray_session):
                                   broadcast_max=0).to_pandas()
             .sort_values("node").reset_index(drop=True))
     assert got.equals(got2)
+
+
+def test_label_propagation_rejects_wide_ids(ray_session):
+    """The (u<<32)|v packed edge key is only injective for ids in
+    [0, 2^31) — wider or negative ids must raise, not silently alias
+    (ADVICE r04)."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from gitprov_ray import ops
+
+    for bad in (pd.DataFrame({"src": [1, 2**31], "dst": [2, 3]}),
+                pd.DataFrame({"src": [1, -5], "dst": [2, 3]})):
+        with pytest.raises((ValueError, Exception)) as ei:
+            ops.label_propagation(rd.from_pandas(bad), rounds=1).to_pandas()
+        assert "2^31" in str(ei.value) or "2^31" in repr(ei.value)

@@ -135,3 +135,49 @@ def test_cli_sparql_update(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     counts = json.loads(out.stdout.strip().splitlines()[-1])
     assert counts["g1"] == 4
+
+
+def test_delete_data_is_term_exact():
+    """DELETE DATA of a literal must not remove an IRI-object triple
+    sharing the lexical form, nor a typed literal with a different
+    datatype (ADVICE r04: the delete key ignored obj_is_literal /
+    obj_dtype)."""
+    rows = [
+        # IRI object and string literal with the SAME lexical form
+        ("g1", "http://ex.org/a", "http://ex.org/p",
+         "http://ex.org/x", False, ""),
+        ("g1", "http://ex.org/a", "http://ex.org/p",
+         "http://ex.org/x", True, "xsd:string"),
+        # typed literals sharing a lexical form
+        ("g1", "http://ex.org/a", "http://ex.org/q", "7",
+         True, "xsd:integer"),
+        ("g1", "http://ex.org/a", "http://ex.org/q", "7",
+         True, "xsd:string"),
+    ]
+    df = pd.DataFrame(rows, columns=["graph", "subj", "pred", "obj",
+                                     "obj_is_literal", "obj_dtype"])
+    out = S.apply_update(
+        df, PFX + 'DELETE DATA { ex:a ex:p "http://ex.org/x" }',
+        graph="g1")
+    assert len(out) == 3
+    left = out[out.pred == "http://ex.org/p"]
+    assert len(left) == 1 and not left.iloc[0]["obj_is_literal"]
+
+    out2 = S.apply_update(df, PFX + "DELETE DATA { ex:a ex:q 7 }",
+                          graph="g1")
+    assert len(out2) == 3
+    left2 = out2[out2.pred == "http://ex.org/q"]
+    assert left2.iloc[0]["obj_dtype"] == "xsd:string"
+
+    # INSERT DATA set-semantics are term-exact too: a literal "x" is a
+    # NEW triple next to the IRI <x>
+    out3 = S.apply_update(
+        df.iloc[:1], PFX + 'INSERT DATA { ex:a ex:p "http://ex.org/x" }',
+        graph="g1")
+    assert len(out3) == 2
+
+    # variable-object deletes still match (bindings are untyped strings:
+    # lexical matching is the documented fallback)
+    out4 = S.apply_update(df, PFX + """
+        DELETE { ex:a ex:q ?v } WHERE { ex:a ex:q ?v }""", graph="g1")
+    assert len(out4[out4.pred == "http://ex.org/q"]) == 0

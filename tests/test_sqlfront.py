@@ -85,6 +85,20 @@ BATTERY = [
 
     "SELECT event_type, COALESCE(MIN(value), 0) AS lo FROM events "
     "WHERE value > 99990 GROUP BY event_type ORDER BY event_type",
+
+    # truncated modulo on NEGATIVE dividends (SQL sign-of-dividend rule;
+    # pandas floored % silently diverged — ADVICE r04)
+    "SELECT event_id, (event_id - 50) % 7 AS m, (0 - event_id) % 3 AS m2 "
+    "FROM events WHERE event_id < 100 ORDER BY event_id",
+
+    # empty-result string MIN/MAX through the GROUP BY path: the
+    # synthesized empty partial must keep VARCHAR dtype, not float64
+    "SELECT lang, MIN(source) AS lo_src, MAX(source) AS hi_src "
+    "FROM documents WHERE n_chars < 0 GROUP BY lang ORDER BY lang",
+
+    # same shape, non-empty (string aggregate baseline)
+    "SELECT lang, MIN(source) AS lo_src, MAX(source) AS hi_src "
+    "FROM documents GROUP BY lang ORDER BY lang",
 ]
 
 
@@ -178,7 +192,13 @@ def _gen_queries(seed=77, n=12):
                  f"WHERE {where} GROUP BY event_type ORDER BY "
                  f"event_type")
         else:
-            q = (f"SELECT event_id, user_id, event_type FROM events "
+            # arithmetic projections with negative operands exercise the
+            # truncated-modulo / sign rules the aggregate arm can't
+            off = rng.choice([13, 50, 97])
+            mod = rng.choice([3, 7, 11])
+            q = (f"SELECT event_id, user_id, event_type, "
+                 f"(event_id - {off}) % {mod} AS m, "
+                 f"(user_id - {off}) * -1 AS neg FROM events "
                  f"WHERE {where} ORDER BY event_id LIMIT 40")
         out.append(q)
     return out
