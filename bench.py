@@ -42,7 +42,25 @@ SCALING_LO = int(os.environ.get("GRAFT_SCALING_CPUS_LO", "4"))
 SCALING_HI = int(os.environ.get("GRAFT_SCALING_CPUS_HI", "16"))
 
 
+def _host_meta() -> dict:
+    """Load / cold-start metadata embedded in the bench JSON so
+    cross-round comparisons carry their own evidence (VERDICT r04 #9):
+    this host's timings are bimodal under external load, and a cold Ray
+    worker pool adds tens of seconds that are session overhead, not
+    pipeline throughput."""
+    try:
+        la1, la5, _ = os.getloadavg()
+    except OSError:
+        la1 = la5 = -1.0
+    # "cold" = no live Ray session directory was reusable when we
+    # started, i.e. this process spawned its own cluster from nothing
+    cold = not os.path.isdir("/tmp/ray/ray_current_cluster")
+    return {"load_avg_1m": round(la1, 2), "load_avg_5m": round(la5, 2),
+            "cold_start": cold}
+
+
 def run_bench() -> dict:
+    meta = _host_meta()
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import ray
 
@@ -116,6 +134,8 @@ def run_bench() -> dict:
         "bench_repeat": REPEAT,
         "triples": n_triples,
         "triples_per_sec": round(n_triples / flagship_sec, 1),
+        **meta,
+        "load_avg_1m_end": _host_meta()["load_avg_1m"],
     }
 
 
@@ -159,6 +179,10 @@ def run_scaling() -> dict:
         "triples_per_sec_hi": hi["triples_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "sf": SF_DIR,
+        "load_lo": {k: lo.get(k) for k in
+                    ("load_avg_1m", "load_avg_5m", "load_avg_1m_end")},
+        "load_hi": {k: hi.get(k) for k in
+                    ("load_avg_1m", "load_avg_5m", "load_avg_1m_end")},
     }
 
 

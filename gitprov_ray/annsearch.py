@@ -434,10 +434,28 @@ def _emb_matrix(df: pd.DataFrame, vec_col: str) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
 
 
-def kmeans_embeddings(emb_ds, k: int = 8, iters: int = 5,
-                      id_col: str = "vec_id", vec_col: str = "embedding"):
+#: Target EXPECTED rows per k-means cluster when ``k`` is auto-sized
+#: (k=None). Mirrors EXACT_PAIRS_MAX_ROWS: the within-cluster passes
+#: (semdedup's matmul is quadratic in cluster size) stay reducer-sized
+#: no matter how large the corpus grows (VERDICT r04 #3).
+TARGET_CLUSTER_ROWS = 100_000
+
+
+def _auto_k(n: int, target: int = TARGET_CLUSTER_ROWS,
+            lo: int = 4) -> int:
+    """k = ceil(n / target), floored at ``lo`` and capped at n."""
+    import math
+
+    return max(1, min(n, max(lo, math.ceil(n / max(1, target)))))
+
+
+def kmeans_embeddings(emb_ds, k: int | None = 8, iters: int = 5,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      target_cluster_rows: int = TARGET_CLUSTER_ROWS):
     """Distributed Lloyd's k-means → (Dataset of (vec_id, cluster),
-    final centroid matrix).
+    final centroid matrix). ``k=None`` auto-sizes from a cheap
+    ``count()`` so the expected cluster holds ~``target_cluster_rows``
+    rows — the scale-safe default for corpus-sized inputs.
 
     Scale shape: centroids (k×d, tiny) broadcast via closure capture each
     round; every batch emits k×d PARTIAL rows (cluster, dim, sum, count)
@@ -450,6 +468,8 @@ def kmeans_embeddings(emb_ds, k: int = 8, iters: int = 5,
     # pin the input blocks once: every iteration re-consumes the dataset,
     # and re-executing an upstream read per round is pure waste
     emb_ds = emb_ds.materialize()
+    if k is None:
+        k = _auto_k(emb_ds.count(), target_cluster_rows)
     init = emb_ds.sort(id_col).limit(k).to_pandas()
     if len(init) < k:
         raise ValueError(f"corpus smaller than k={k}")
@@ -722,8 +742,10 @@ def kcenter_coreset(emb_ds, k: int = 4, id_col: str = "vec_id",
         "vec_id": pd.Series(sel_ids, dtype="int64")})
 
 
-def semdedup(emb_ds, k: int = 4, iters: int = 3, threshold: float = 0.9,
-             id_col: str = "vec_id", vec_col: str = "embedding"):
+def semdedup(emb_ds, k: int | None = None, iters: int = 3,
+             threshold: float = 0.9,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             target_cluster_rows: int = TARGET_CLUSTER_ROWS):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication = k-means cluster the embeddings, then WITHIN each
     cluster mark a row as a duplicate when another row with a SMALLER id
@@ -734,9 +756,14 @@ def semdedup(emb_ds, k: int = 4, iters: int = 3, threshold: float = 0.9,
     partial-sum rows per batch); the dedup pass shuffles each row ONCE to
     its cluster's reduce group and runs one normalized matmul per group.
     The within-cluster cost is quadratic in cluster size by design (the
-    paper's own cost model) — size k so clusters fit a reducer.
-    Returns a Dataset of (id, cluster, keep)."""
+    paper's own cost model) — the default ``k=None`` auto-sizes k from
+    ``count()`` so the expected cluster holds ~``target_cluster_rows``
+    rows and the reducer matmul stays bounded at any corpus size
+    (VERDICT r04 #3); pass an explicit k to pin it (the oracle twins
+    do). Returns a Dataset of (id, cluster, keep)."""
     emb_ds = emb_ds.materialize()             # invariant 10: reused input
+    if k is None:
+        k = _auto_k(emb_ds.count(), target_cluster_rows)
     _, cent = kmeans_embeddings(emb_ds, k=k, iters=iters,
                                 id_col=id_col, vec_col=vec_col)
 

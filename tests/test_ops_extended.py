@@ -873,3 +873,37 @@ def test_label_propagation_rejects_wide_ids(ray_session):
         with pytest.raises((ValueError, Exception)) as ei:
             ops.label_propagation(rd.from_pandas(bad), rounds=1).to_pandas()
         assert "2^31" in str(ei.value) or "2^31" in repr(ei.value)
+
+
+def test_semdedup_auto_sizes_k(ray_session):
+    """k=None derives the cluster count from count() so the expected
+    cluster stays ~target_cluster_rows — the quadratic within-cluster
+    pass is bounded at any corpus size (VERDICT r04 #3). Explicit k is
+    honored unchanged (the oracle twins pin it)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gitprov_ray import annsearch
+
+    assert annsearch._auto_k(10_000_000) == 100
+    assert annsearch._auto_k(1_000_000_000) == 10_000
+    assert annsearch._auto_k(50) == 4          # floor
+    assert annsearch._auto_k(2) == 2           # capped at n
+    assert annsearch._auto_k(320, target=40) == 8
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "vec_id": np.arange(240, dtype=np.int64),
+        "embedding": [rng.normal(size=8).tolist() for _ in range(240)]})
+    ds = rd.from_pandas(df, override_num_blocks=4)
+    # target=40 rows/cluster over 240 rows -> k=6 clusters
+    out = annsearch.semdedup(ds, k=None, iters=2,
+                             target_cluster_rows=40).to_pandas()
+    assert len(out) == 240
+    assert out["cluster"].nunique() <= 6 and out["cluster"].max() <= 5
+    # kmeans auto-size path works standalone too
+    asn, cent = annsearch.kmeans_embeddings(ds, k=None, iters=2,
+                                            target_cluster_rows=40)
+    assert cent.shape == (6, 8)
+    assert asn.count() == 240
