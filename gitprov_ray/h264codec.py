@@ -31,12 +31,13 @@ and _decode_mb_intra); decode_annexb / decode_avcc maintain the
 reference list (with motion fields, _RefPic) and dispatch by slice
 type.
 
-Declared stubs: CABAC, SP/SI slices, temporal direct, weighted
-prediction, MMCO/list reordering, 8x8 transform and scaling lists raise
-NotImplementedError naming the tool; the in-loop deblocking filter is
-not applied (fixtures disable it; foreign streams that enable it decode
-without it). Header parsing (probe) works on any baseline/main/high
-stream.
+The §8.7 in-loop deblocking filter is applied (h264deblock) whenever
+the slice header enables it — fixtures can encode either way, and the
+filtered reconstruction feeds the reference list exactly as the spec
+requires. Declared stubs: CABAC, SP/SI slices, temporal direct,
+weighted prediction, MMCO/list reordering, 8x8 transform and scaling
+lists raise NotImplementedError naming the tool. Header parsing
+(probe) works on any baseline/main/high stream.
 
 Reference parity note: the reference stores media blobs untouched; this
 codec backs the engine's multimodal stages (multimodal.py), extending
@@ -421,6 +422,14 @@ class _PicCtx:
         self.mvy1 = np.zeros((mb_h * 4, self.W4), np.int32)
         self.refidx1 = np.full((mb_h * 4, self.W4), -1, np.int32)
         self.mb_intra = np.zeros((mb_h, mb_w), bool)
+        # deblocking inputs (§8.7): per-MB QPY (0 for I_PCM), the slice
+        # header's (disable_idc, FilterOffsetA, FilterOffsetB), and the
+        # reference-picture identity of each list entry (bS compares
+        # pictures, not indices)
+        self.mb_qp = np.full((mb_h, mb_w), pps["init_qp"], np.int32)
+        self.deblock = (1, 0, 0)
+        self.ref_pids0: list | None = None
+        self.ref_pids1: list | None = None
 
 
 class _RefPic:
@@ -437,10 +446,9 @@ class _RefPic:
 
 def _decode_slice_intra(rbsp: bytes, sps: dict, pps: dict, idr: bool):
     """I-slice → (Y, Cb, Cr) planes. Macroblocks: I_PCM, Intra_4x4 and
-    Intra_16x16 with CAVLC residuals (§7.3.5/§8.3/§9.2). No deblocking
-    filter is applied (fixture streams disable it; foreign streams that
-    enable it reconstruct without the loop filter — documented
-    approximation)."""
+    Intra_16x16 with CAVLC residuals (§7.3.5/§8.3/§9.2). The slice
+    header's deblocking parameters land on ``ctx.deblock``; the caller
+    (_decode_slice_any) applies the §8.7 loop filter."""
     r = _BitReader(rbsp)
     first_mb = r.ue()
     slice_type = r.ue()
@@ -471,14 +479,18 @@ def _decode_slice_intra(rbsp: bytes, sps: dict, pps: dict, idr: bool):
         r.u(1)                                # no_output_of_prior_pics
         r.u(1)                                # long_term_reference
     qp = pps["init_qp"] + r.se()              # slice_qp_delta
+    deblock = (0, 0, 0)                       # filter on, zero offsets
     if pps["deblock_ctrl"]:
-        if r.ue() != 1:                       # disable_deblocking_idc
-            r.se()
-            r.se()
+        idc = r.ue()                          # disable_deblocking_idc
+        if idc != 1:
+            deblock = (idc, 2 * r.se(), 2 * r.se())
+        else:
+            deblock = (1, 0, 0)
     if first_mb != 0:
         raise NotImplementedError("H.264 multi-slice pictures unsupported")
     ctx = _PicCtx(sps, pps)
     ctx.qp = qp
+    ctx.deblock = deblock
 
     for mb in range(ctx.mb_w * ctx.mb_h):
         mby, mbx = mb // ctx.mb_w, mb % ctx.mb_w
@@ -515,6 +527,7 @@ def _decode_mb_intra(r: "_BitReader", ctx: _PicCtx, mb_type: int,
         luma_nc[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 16
         cb_nc[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 16
         cr_nc[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 16
+        ctx.mb_qp[mby, mbx] = 0               # §8.7: I_PCM filters at QP 0
         return
 
     if mb_type == 0:                          # Intra_4x4
@@ -585,6 +598,7 @@ def _decode_mb_intra(r: "_BitReader", ctx: _PicCtx, mb_type: int,
                       ac_cb, ac_cr, hi.chroma_qp(qp, qpc_off),
                       avail_l, avail_t)
         ctx.qp = qp
+        ctx.mb_qp[mby, mbx] = qp
         return
 
     # Intra_16x16 (mb_type 1..24)
@@ -638,6 +652,7 @@ def _decode_mb_intra(r: "_BitReader", ctx: _PicCtx, mb_type: int,
                   ac_cb, ac_cr, hi.chroma_qp(qp, qpc_off),
                   avail_l, avail_t)
     ctx.qp = qp
+    ctx.mb_qp[mby, mbx] = qp
 
 
 def _recon_chroma(Cb, Cr, mbx, mby, mode, dc_cb, dc_cr, ac_cb, ac_cr,
@@ -724,6 +739,9 @@ def _decode_slice_any(rbsp: bytes, sps: dict, pps: dict, ntype: int,
         ctx = h264inter.decode_slice_b(rbsp, sps, pps, ref_idc, refs)
     else:
         ctx = _decode_slice_intra(rbsp, sps, pps, idr=(ntype == 5))
+    from . import h264deblock
+
+    h264deblock.filter_picture(ctx)           # no-op when idc == 1
     if ntype == 5:
         refs.clear()
     if ref_idc:
@@ -1021,14 +1039,17 @@ def _chroma_mode_select(hi, Cbs, Cbr, Crs, Crr, mbx, mby):
 
 
 def _slice_rbsp_cavlc(arr: np.ndarray, qp: int, idr_pic_id: int = 0,
-                      mix_i4: bool = True):
+                      mix_i4: bool = True, deblock: bool = False):
     """One CAVLC intra IDR slice → (rbsp bytes, reconstructed RGB frame).
 
     Macroblocks alternate Intra_4x4 / Intra_16x16 on a checkerboard when
     ``mix_i4`` (exercising both decode paths + every SAD-winning intra
     mode); prediction always reads the RECONSTRUCTED planes, so the
-    returned reconstruction is exactly what a conforming decoder outputs
-    (deblocking disabled)."""
+    returned reconstruction is exactly what a conforming decoder outputs.
+    ``deblock`` enables the §8.7 in-loop filter (slice header signals it
+    on; the returned reconstruction is the FILTERED picture — intra
+    prediction inside the frame still reads unfiltered samples, exactly
+    as a conforming decoder does)."""
     from . import h264intra as hi
 
     h, w = arr.shape[:2]
@@ -1055,7 +1076,12 @@ def _slice_rbsp_cavlc(arr: np.ndarray, qp: int, idr_pic_id: int = 0,
     bw.u(0, 1)                                # no_output_of_prior_pics
     bw.u(0, 1)                                # long_term_reference
     bw.se(qp - 26)                            # slice_qp_delta
-    bw.ue(1)                                  # deblocking disabled
+    if deblock:
+        bw.ue(0)                              # deblocking enabled
+        bw.se(0)                              # alpha_c0_offset_div2
+        bw.se(0)                              # beta_offset_div2
+    else:
+        bw.ue(1)                              # deblocking disabled
 
     for mb in range(mb_w * mb_h):
         mby, mbx = mb // mb_w, mb % mb_w
@@ -1177,6 +1203,25 @@ def _slice_rbsp_cavlc(arr: np.ndarray, qp: int, idr_pic_id: int = 0,
                 luma_nc[by, bx] = tc
         write_chroma(bw)
 
+    if deblock:
+        import types
+
+        from . import h264deblock
+
+        W4g = mb_w * 4
+        ns = types.SimpleNamespace(
+            Y=Yr, Cb=Cbr, Cr=Crr, mb_w=mb_w, mb_h=mb_h,
+            mb_intra=np.ones((mb_h, mb_w), bool),
+            mb_qp=np.full((mb_h, mb_w), qp, np.int32),
+            luma_nc=luma_nc, qpc_off=0,
+            mvx=np.zeros((mb_h * 4, W4g), np.int32),
+            mvy=np.zeros((mb_h * 4, W4g), np.int32),
+            refidx=np.full((mb_h * 4, W4g), -1, np.int32),
+            mvx1=np.zeros((mb_h * 4, W4g), np.int32),
+            mvy1=np.zeros((mb_h * 4, W4g), np.int32),
+            refidx1=np.full((mb_h * 4, W4g), -1, np.int32),
+            deblock=(0, 0, 0), ref_pids0=None, ref_pids1=None)
+        h264deblock.filter_picture(ns)
     recon = _yuv_to_rgb(Yr, Cbr, Crr, w, h)
     return bw.trailing(), recon, (Yr, Cbr, Crr)
 

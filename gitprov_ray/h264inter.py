@@ -339,6 +339,7 @@ def _decode_residual_inter(ctx, r, mbx: int, mby: int, pred_y, pred_cb,
     if cbp:
         ctx.qp = (ctx.qp + r.se() + 52) % 52
     qp = ctx.qp
+    ctx.mb_qp[mby, mbx] = qp
     my, mx = mby * 16, mbx * 16
     Yout = ctx.Y[my:my + 16, mx:mx + 16]
     Yout[:] = pred_y
@@ -434,12 +435,14 @@ def decode_slice_p(rbsp: bytes, sps: dict, pps: dict, nal_ref_idc: int,
         raise NotImplementedError(
             "H.264 constrained_intra_pred in P slices not supported")
     qp = pps["init_qp"] + r.se()
+    deblock = (0, 0, 0)
     if pps["deblock_ctrl"]:
-        if r.ue() != 1:
-            r.se()
-            r.se()
+        idc = r.ue()
+        deblock = (idc, 2 * r.se(), 2 * r.se()) if idc != 1 else (1, 0, 0)
     ctx = _PicCtx(sps, pps)
     ctx.qp = qp
+    ctx.deblock = deblock
+    ctx.ref_pids0 = [id(rp) for rp in refs]
     total = ctx.mb_w * ctx.mb_h
     mb = 0
     while mb < total:
@@ -448,6 +451,7 @@ def decode_slice_p(rbsp: bytes, sps: dict, pps: dict, nal_ref_idc: int,
             raise ValueError("H.264: mb_skip_run past end of picture")
         for _ in range(run):
             mby, mbx = mb // ctx.mb_w, mb % ctx.mb_w
+            ctx.mb_qp[mby, mbx] = ctx.qp      # skip MB keeps running QP
             pred_y = np.empty((16, 16), np.uint8)
             pred_cb = np.empty((8, 8), np.uint8)
             pred_cr = np.empty((8, 8), np.uint8)
@@ -573,7 +577,7 @@ def _write_chroma_bits(hi, bw, ctx, mbx, mby, cbp_chroma, dcq_cb, dcq_cr,
 
 def encode_p_slice(arr: np.ndarray, refs: list, qp: int, frame_num: int,
                    sps: dict, pps: dict, partition_cycle: bool = False,
-                   intra_every: int = 0):
+                   intra_every: int = 0, deblock: bool = False):
     """One conforming P slice predicting from ``refs[0]`` → (rbsp,
     recon planes, recon RGB). Per MB: real motion search (integer ±4 +
     sub-pel refinement through the decoder's own interpolators), P_Skip
@@ -611,7 +615,12 @@ def encode_p_slice(arr: np.ndarray, refs: list, qp: int, frame_num: int,
     bw.u(0, 1)                                # sliding-window marking
     bw.se(qp - pps["init_qp"])                # slice_qp_delta
     if pps["deblock_ctrl"]:
-        bw.ue(1)                              # deblocking disabled
+        if deblock:
+            bw.ue(0)                          # deblocking enabled
+            bw.se(0)                          # alpha_c0_offset_div2
+            bw.se(0)                          # beta_offset_div2
+        else:
+            bw.ue(1)                          # deblocking disabled
 
     skip_run = 0
     cycle = ("16x16", "16x8", "8x16", "8x8")
@@ -751,13 +760,21 @@ def encode_p_slice(arr: np.ndarray, refs: list, qp: int, frame_num: int,
                              qpc, cbp_chroma > 0)
     if skip_run:
         bw.ue(skip_run)
+    if deblock:
+        from . import h264deblock
+
+        ctx.deblock = (0, 0, 0)
+        ctx.mb_qp[:] = qp                     # all mb_qp_deltas are 0
+        ctx.ref_pids0 = [id(rp) for rp in refs]
+        h264deblock.filter_picture(ctx)       # ref + output = filtered
     recon = H._yuv_to_rgb(Yr, Cbr, Crr, sps["width"], sps["height"])
     return bw.trailing(), _enc_ref((Yr, Cbr, Crr), ctx), recon
 
 
 def encode_gop_annexb(frames: list, qp: int = 26, gop: int = 8,
                       partition_cycle: bool = False, intra_every: int = 0,
-                      mix_i4: bool = True, bframes: bool = False):
+                      mix_i4: bool = True, bframes: bool = False,
+                      deblock: bool = False):
     """RGB frames → (conforming Annex-B IDR+P(+B) stream, reconstructed
     frames). Frame 0 and every ``gop``-th frame are CAVLC intra IDRs;
     the rest are P slices predicting from the previous reconstruction —
@@ -785,19 +802,21 @@ def encode_gop_annexb(frames: list, qp: int = 26, gop: int = 8,
         pos = i % gop
         if pos == 0:
             rbsp, recon, planes = H._slice_rbsp_cavlc(
-                f, qp, idr_pic_id=i & 1, mix_i4=mix_i4)
+                f, qp, idr_pic_id=i & 1, mix_i4=mix_i4, deblock=deblock)
             out.append(sc + H._nal(5, rbsp))
             refs = [_enc_ref(planes)]
             frame_num = 1
         elif bframes and pos >= 2 and pos % 2 == 0 and len(refs) >= 2:
             rbsp, recon = encode_b_slice(
                 f, refs, qp, frame_num, sps, pps,
-                partition_cycle=partition_cycle, intra_every=intra_every)
+                partition_cycle=partition_cycle, intra_every=intra_every,
+                deblock=deblock)
             out.append(sc + H._nal(1, rbsp, ref_idc=0))
         else:
             rbsp, ref, recon = encode_p_slice(
                 f, refs, qp, frame_num, sps, pps,
-                partition_cycle=partition_cycle, intra_every=intra_every)
+                partition_cycle=partition_cycle, intra_every=intra_every,
+                deblock=deblock)
             out.append(sc + H._nal(1, rbsp, ref_idc=2))
             refs.insert(0, ref)
             del refs[num_ref:]
@@ -809,7 +828,7 @@ def encode_gop_annexb(frames: list, qp: int = 26, gop: int = 8,
 def encode_gop_samples(frames: list, qp: int = 26, gop: int = 8,
                        partition_cycle: bool = False,
                        intra_every: int = 0, mix_i4: bool = True,
-                       bframes: bool = False):
+                       bframes: bool = False, deblock: bool = False):
     """Length-prefixed avc1 samples for the MP4 route → (samples,
     recon frames, sync flags). sync[i] is True for IDR samples (feeds
     the stss box)."""
@@ -830,7 +849,7 @@ def encode_gop_samples(frames: list, qp: int = 26, gop: int = 8,
         pos = i % gop
         if pos == 0:
             rbsp, recon, planes = H._slice_rbsp_cavlc(
-                f, qp, idr_pic_id=i & 1, mix_i4=mix_i4)
+                f, qp, idr_pic_id=i & 1, mix_i4=mix_i4, deblock=deblock)
             nal = H._nal(5, rbsp)
             refs = [_enc_ref(planes)]
             frame_num = 1
@@ -838,13 +857,15 @@ def encode_gop_samples(frames: list, qp: int = 26, gop: int = 8,
         elif bframes and pos >= 2 and pos % 2 == 0 and len(refs) >= 2:
             rbsp, recon = encode_b_slice(
                 f, refs, qp, frame_num, sps, pps,
-                partition_cycle=partition_cycle, intra_every=intra_every)
+                partition_cycle=partition_cycle, intra_every=intra_every,
+                deblock=deblock)
             nal = H._nal(1, rbsp, ref_idc=0)
             sync.append(False)
         else:
             rbsp, ref, recon = encode_p_slice(
                 f, refs, qp, frame_num, sps, pps,
-                partition_cycle=partition_cycle, intra_every=intra_every)
+                partition_cycle=partition_cycle, intra_every=intra_every,
+                deblock=deblock)
             nal = H._nal(1, rbsp, ref_idc=2)
             refs.insert(0, ref)
             del refs[num_ref:]
@@ -1173,13 +1194,16 @@ def decode_slice_b(rbsp: bytes, sps: dict, pps: dict, nal_ref_idc: int,
         raise NotImplementedError(
             "H.264 constrained_intra_pred in B slices not supported")
     qp = pps["init_qp"] + r.se()
+    deblock = (0, 0, 0)
     if pps["deblock_ctrl"]:
-        if r.ue() != 1:
-            r.se()
-            r.se()
+        idc = r.ue()
+        deblock = (idc, 2 * r.se(), 2 * r.se()) if idc != 1 else (1, 0, 0)
     L0, L1 = _b_lists(refs)
     ctx = _PicCtx(sps, pps)
     ctx.qp = qp
+    ctx.deblock = deblock
+    ctx.ref_pids0 = [id(rp) for rp in L0]
+    ctx.ref_pids1 = [id(rp) for rp in L1]
     total = ctx.mb_w * ctx.mb_h
     mb = 0
     while mb < total:
@@ -1188,6 +1212,7 @@ def decode_slice_b(rbsp: bytes, sps: dict, pps: dict, nal_ref_idc: int,
             raise ValueError("H.264: mb_skip_run past end of picture")
         for _ in range(run):                  # B_Skip = direct, no resid
             mby, mbx = mb // ctx.mb_w, mb % ctx.mb_w
+            ctx.mb_qp[mby, mbx] = ctx.qp
             pred_y = np.empty((16, 16), np.uint8)
             pred_cb = np.empty((8, 8), np.uint8)
             pred_cr = np.empty((8, 8), np.uint8)
@@ -1356,7 +1381,7 @@ def _write_inter_residual(hi, H, ctx, bw, mbx, mby, qp, qpc, pred_y,
 
 def encode_b_slice(arr: np.ndarray, refs: list, qp: int, frame_num: int,
                    sps: dict, pps: dict, partition_cycle: bool = False,
-                   intra_every: int = 0):
+                   intra_every: int = 0, deblock: bool = False):
     """One conforming non-reference B slice (spatial direct) →
     (rbsp, recon RGB). Per MB the encoder evaluates direct / L0 / L1 /
     Bi 16x16 predictions through the shared decoder machinery and emits
@@ -1393,7 +1418,12 @@ def encode_b_slice(arr: np.ndarray, refs: list, qp: int, frame_num: int,
     # nal_ref_idc == 0 → no dec_ref_pic_marking
     bw.se(qp - pps["init_qp"])
     if pps["deblock_ctrl"]:
-        bw.ue(1)                              # deblocking disabled
+        if deblock:
+            bw.ue(0)                          # deblocking enabled
+            bw.se(0)                          # alpha_c0_offset_div2
+            bw.se(0)                          # beta_offset_div2
+        else:
+            bw.ue(1)                          # deblocking disabled
 
     all_blocks = [(xx, yy) for yy in range(4) for xx in range(4)]
     skip_run = 0
@@ -1560,5 +1590,13 @@ def encode_b_slice(arr: np.ndarray, refs: list, qp: int, frame_num: int,
                               pred_y, pred_cb8, pred_cr8, *q)
     if skip_run:
         bw.ue(skip_run)
+    if deblock:
+        from . import h264deblock
+
+        ctx.deblock = (0, 0, 0)
+        ctx.mb_qp[:] = qp
+        ctx.ref_pids0 = [id(rp) for rp in L0]
+        ctx.ref_pids1 = [id(rp) for rp in L1]
+        h264deblock.filter_picture(ctx)
     recon = H._yuv_to_rgb(Yr, Cbr, Crr, sps["width"], sps["height"])
     return bw.trailing(), recon

@@ -448,7 +448,8 @@ def encode_mp4_h264_cavlc(frames: list[np.ndarray], fps: int = 10,
 def encode_mp4_h264_gop(frames: list[np.ndarray], fps: int = 10,
                         qp: int = 26, gop: int = 8,
                         partition_cycle: bool = False,
-                        intra_every: int = 0, bframes: bool = False):
+                        intra_every: int = 0, bframes: bool = False,
+                        deblock: bool = False):
     """uint8 RGB frames → (avc1 MP4 with IDR+P(+B) GOP structure —
     predicted macroblocks, CAVLC, h264inter — plus the conforming
     decoder's expected reconstructions). stss marks only the IDR
@@ -457,7 +458,7 @@ def encode_mp4_h264_gop(frames: list[np.ndarray], fps: int = 10,
 
     samples, recons, sync = h264inter.encode_gop_samples(
         frames, qp=qp, gop=gop, partition_cycle=partition_cycle,
-        intra_every=intra_every, bframes=bframes)
+        intra_every=intra_every, bframes=bframes, deblock=deblock)
     return _build_mp4_avc1(frames, samples, fps, sync=sync,
                            num_ref=2 if bframes else 1), recons
 
