@@ -363,9 +363,7 @@ def _parse_select_body(p: _P) -> dict:
             if not p.eat_op(","):
                 break
     p.expect_kw("from")
-    base = p.next()
-    if base[0] != "ident":
-        raise ValueError("SQL: expected table name after FROM")
+    base = _parse_table_ref(p)
     joins = []
     while True:
         jtype = "inner"
@@ -378,9 +376,7 @@ def _parse_select_body(p: _P) -> dict:
             if jtype == "left_outer":
                 raise ValueError("SQL: expected JOIN after LEFT")
             break
-        tbl = p.next()
-        if tbl[0] != "ident":
-            raise ValueError("SQL: expected table after JOIN")
+        tbl = _parse_table_ref(p)
         p.expect_kw("on")
         lhs = _parse_add(p)                   # key only — '=' is ours
         t = p.next()
@@ -389,16 +385,17 @@ def _parse_select_body(p: _P) -> dict:
         rhs = _parse_add(p)
         if lhs[0] != "col" or rhs[0] != "col":
             raise ValueError("SQL: join keys must be plain columns")
-        joins.append((tbl[1], lhs[1], rhs[1], jtype))
+        joins.append((tbl, lhs[1], rhs[1], jtype))
     where = _parse_expr(p) if p.eat_kw("where") else None
     group = []
     if p.eat_kw("group"):
         p.expect_kw("by")
         while True:
             g = _parse_expr(p)
-            if g[0] != "col":
-                raise ValueError("SQL: GROUP BY supports plain columns")
-            group.append(g[1])
+            # plain columns stay strings (the historical shape); any
+            # other expression is kept as its parse tree and
+            # materialized as a hidden key column at run time
+            group.append(g[1] if g[0] == "col" else g)
             if not p.eat_op(","):
                 break
     having = _parse_expr(p) if p.eat_kw("having") else None
@@ -417,9 +414,33 @@ def _parse_select_body(p: _P) -> dict:
         if t[0] != "num":
             raise ValueError("SQL: LIMIT needs a number")
         limit = int(t[1])
-    return {"items": items, "distinct": distinct, "table": base[1],
+    return {"items": items, "distinct": distinct, "table": base,
             "joins": joins, "where": where, "group": group,
             "having": having, "order": order, "limit": limit}
+
+
+def _parse_table_ref(p: _P):
+    """A table reference: a bare name (returned as str) or a derived
+    table ``(SELECT ...) [AS] alias`` (returned as
+    ``("derived", subquery_dict, alias)``)."""
+    if p.eat_op("("):
+        sub = _parse_select_body(p)
+        if not p.eat_op(")"):
+            raise ValueError("SQL: expected ) closing derived table")
+        alias = None
+        if p.eat_kw("as"):
+            a = p.next()
+            if a is None or a[0] != "ident":
+                raise ValueError("SQL: expected alias after AS")
+            alias = a[1]
+        elif p.peek() and p.peek()[0] == "ident" \
+                and p.peek()[1].lower() not in ("union", "all"):
+            alias = p.next()[1]
+        return ("derived", sub, alias)
+    t = p.next()
+    if t is None or t[0] != "ident":
+        raise ValueError("SQL: expected table name after FROM/JOIN")
+    return t[1]
 
 
 # ---------------------------------------------------------------------------
@@ -822,14 +843,22 @@ def _build_dataset(q: dict, tables: dict):
     _cols_of(q["where"], need)
     _cols_of(q["having"], need)
     for g in q["group"]:
-        need.add(g)
+        if isinstance(g, str):
+            need.add(g)
+        else:
+            _cols_of(g, need)                 # GROUP BY expression
     for o, _ in q["order"]:
         _cols_of(o, need)
     for _, lk, rk, _jt in q["joins"]:
         need.add(lk)
         need.add(rk)
 
-    def load(name: str, cols: set | None):
+    def load(name, cols: set | None):
+        if isinstance(name, tuple) and name and name[0] == "derived":
+            # derived table: compile the subquery — lazily when it is a
+            # pure row transform, eagerly (presentation-sized result by
+            # construction: it aggregates/limits) otherwise
+            return _dataset_for_subquery(name[1], tables)
         src = tables[name]
         if isinstance(src, Dataset):
             ds = src
@@ -895,7 +924,12 @@ def sql_dataset(sql: str, tables: dict):
     items = q["items"]
     if all(e == "star" for e, _ in items):
         return ds
+    return ds.map_batches(_projector(items), batch_format="pandas")
 
+
+def _projector(items):
+    """Vectorized per-batch SELECT-list projection (shared by
+    sql_dataset and derived-table compilation)."""
     def project(df: pd.DataFrame, items=items) -> pd.DataFrame:
         out = pd.DataFrame(index=df.index)
         for i, (e, alias) in enumerate(items):
@@ -907,14 +941,90 @@ def sql_dataset(sql: str, tables: dict):
                              else f"col{i}")
             out[name] = _ev(e, df)
         return out
+    return project
 
-    return ds.map_batches(project, batch_format="pandas")
+
+def _dataset_for_subquery(subq: dict, tables: dict):
+    """Derived-table loader. A non-aggregating sub-SELECT compiles to a
+    LAZY Dataset (sql_dataset's rules) so the outer query streams over
+    it; a sub-SELECT with aggregates/DISTINCT/ORDER/LIMIT runs eagerly —
+    its result is presentation-sized by construction — and re-enters the
+    plan via from_pandas."""
+    import ray.data as rd
+
+    aggs: list = []
+    wins: list = []
+    for e, _ in subq["items"]:
+        if e != "star":
+            _find_aggs(e, aggs)
+            _find_wins(e, wins)
+    streamable = not (aggs or wins or subq["group"] or subq["distinct"]
+                      or subq["order"] or subq["limit"] is not None)
+    if streamable:
+        ds, q2 = _build_dataset(dict(subq), tables)
+        items = q2["items"]
+        if all(e == "star" for e, _ in items):
+            return ds
+        return ds.map_batches(_projector(items), batch_format="pandas")
+    return rd.from_pandas(_run_select(dict(subq), tables))
+
+
+def _subst_expr(e, mapping: dict):
+    """Replace any subtree whose repr is a key of ``mapping`` with
+    ``("col", mapping[repr])`` — rewrites SELECT/HAVING/ORDER references
+    to a GROUP BY expression onto its hidden key column."""
+    if isinstance(e, tuple):
+        hit = mapping.get(repr(e))
+        if hit is not None:
+            return ("col", hit)
+        return tuple(_subst_expr(x, mapping)
+                     if isinstance(x, (tuple, list)) else x for x in e)
+    if isinstance(e, list):
+        return [_subst_expr(x, mapping)
+                if isinstance(x, (tuple, list)) else x for x in e]
+    return e
 
 
 def _run_select(q: dict, tables: dict):
     from .stages.versions import stable_bucket
 
     ds, q = _build_dataset(q, tables)
+
+    # GROUP BY expressions: materialize each non-column key as a hidden
+    # __gN column in one vectorized pre-stage, group on the hidden
+    # names, and rewrite every syntactic reference to the expression
+    # (SELECT items, HAVING, ORDER BY) onto the hidden column
+    gexpr_cols: list[tuple] = []
+    group_names: list[str] = []
+    for gi, g in enumerate(q["group"]):
+        if isinstance(g, str):
+            group_names.append(g.split(".")[-1])
+        else:
+            hid = f"__g{gi}"
+            gexpr_cols.append((g, hid))
+            group_names.append(hid)
+    if gexpr_cols:
+        def add_group_keys(df: pd.DataFrame,
+                           exprs=tuple(gexpr_cols)) -> pd.DataFrame:
+            df = df.copy()
+            for g, hid in exprs:
+                try:
+                    df[hid] = _ev(g, df)
+                except Exception:
+                    if len(df):
+                        raise
+                    df[hid] = pd.Series([], dtype="object")
+            return df
+
+        ds = ds.map_batches(add_group_keys, batch_format="pandas")
+        sub = {repr(g): hid for g, hid in gexpr_cols}
+        q = dict(q)
+        q["items"] = [(e if e == "star" else _subst_expr(e, sub), a)
+                      for e, a in q["items"]]
+        if q["having"] is not None:
+            q["having"] = _subst_expr(q["having"], sub)
+        q["order"] = [(_subst_expr(o, sub), d) for o, d in q["order"]]
+        q["group"] = group_names
 
     aggs: list = []
     wins: list = []
@@ -929,12 +1039,18 @@ def _run_select(q: dict, tables: dict):
     if wins and aggs:
         raise NotImplementedError(
             "SQL: window functions over grouped output not supported")
+    if q["group"] and not aggs:
+        # GROUP BY without aggregates == DISTINCT over the group keys:
+        # ride the aggregate machinery with a hidden COUNT(*) nobody
+        # projects
+        aggs.append(("agg", "count", None))
     agg_map = {}
     for a in aggs:
         agg_map.setdefault(_agg_key(a), a)
 
     if agg_map:
-        group = [g.split(".")[-1] for g in q["group"]]
+        group = [g.split(".")[-1] if isinstance(g, str) else g
+                 for g in q["group"]]
         names = {k: f"__agg{i}" for i, k in enumerate(agg_map)}
 
         _STR_FNS = {"upper", "lower", "concat", "substr", "substring",

@@ -99,6 +99,49 @@ BATTERY = [
     # same shape, non-empty (string aggregate baseline)
     "SELECT lang, MIN(source) AS lo_src, MAX(source) AS hi_src "
     "FROM documents GROUP BY lang ORDER BY lang",
+
+    # --- GROUP BY expressions (round-5: hidden-key materialization)
+    "SELECT user_id % 10 AS cohort, COUNT(*) AS n, SUM(value) AS tot "
+    "FROM events GROUP BY user_id % 10 ORDER BY cohort",
+
+    "SELECT SUBSTR(source, 1, 3) AS pre, COUNT(*) AS n "
+    "FROM documents GROUP BY SUBSTR(source, 1, 3) ORDER BY pre",
+
+    "SELECT CASE WHEN value < 50 THEN 'lo' ELSE 'hi' END AS band, "
+    "COUNT(*) AS n, MIN(value) AS v0 FROM events "
+    "GROUP BY CASE WHEN value < 50 THEN 'lo' ELSE 'hi' END "
+    "ORDER BY band",
+
+    # expression key + HAVING over the aggregate
+    "SELECT event_id % 7 AS b, COUNT(*) AS n FROM events "
+    "GROUP BY event_id % 7 HAVING COUNT(*) > 1000 ORDER BY b",
+
+    # GROUP BY without aggregates == DISTINCT over the keys
+    "SELECT user_id % 5 AS g FROM events GROUP BY user_id % 5 "
+    "ORDER BY g",
+
+    # --- derived tables
+    "SELECT t, COUNT(*) AS n FROM "
+    "(SELECT UPPER(event_type) AS t, value FROM events "
+    "WHERE value > 10) d GROUP BY t ORDER BY t",
+
+    # aggregated derived table re-aggregated outside
+    "SELECT COUNT(*) AS groups, SUM(n) AS total FROM "
+    "(SELECT event_type, COUNT(*) AS n FROM events "
+    "GROUP BY event_type) s",
+
+    # derived table joined to a base table
+    "SELECT n_name, big.cnt AS cnt FROM "
+    "(SELECT c_nationkey AS k, COUNT(*) AS cnt FROM customer "
+    "GROUP BY c_nationkey) big "
+    "JOIN nation ON big.k = nation.n_nationkey "
+    "ORDER BY cnt DESC, n_name LIMIT 8",
+
+    # derived table with WHERE outside and inside
+    "SELECT d.doc_id, d.l2 FROM "
+    "(SELECT doc_id, n_chars * 2 AS l2, lang FROM documents "
+    "WHERE n_chars > 100) AS d "
+    "WHERE d.lang = 'en' ORDER BY d.l2 DESC, d.doc_id LIMIT 12",
 ]
 
 
@@ -184,13 +227,29 @@ def _gen_queries(seed=77, n=12):
                 f"'{e}'" for e in ets) + ")")
         glue = rng.choice([" AND ", " OR "])
         where = glue.join(preds)
-        if rng.random() < 0.5:
+        shape = rng.random()
+        if shape < 0.25:
             aggs = rng.sample(["COUNT(*) AS n", "MIN(event_id) AS lo",
                                "MAX(event_id) AS hi",
                                "SUM(user_id) AS su"], rng.randint(1, 3))
             q = (f"SELECT event_type, {', '.join(aggs)} FROM events "
                  f"WHERE {where} GROUP BY event_type ORDER BY "
                  f"event_type")
+        elif shape < 0.5:
+            # GROUP BY expression key
+            mod = rng.choice([3, 5, 9])
+            aggs = rng.sample(["COUNT(*) AS n", "SUM(value) AS sv",
+                               "MAX(user_id) AS hi"], rng.randint(1, 2))
+            q = (f"SELECT user_id % {mod} AS g, {', '.join(aggs)} "
+                 f"FROM events WHERE {where} GROUP BY user_id % {mod} "
+                 f"ORDER BY g")
+        elif shape < 0.7:
+            # derived table with an inner row transform
+            thr = rng.choice([5, 40, 90])
+            q = (f"SELECT t, COUNT(*) AS n, MIN(v2) AS lo FROM "
+                 f"(SELECT UPPER(event_type) AS t, value * 2 AS v2 "
+                 f"FROM events WHERE {where}) d "
+                 f"WHERE v2 > {thr} GROUP BY t ORDER BY t")
         else:
             # arithmetic projections with negative operands exercise the
             # truncated-modulo / sign rules the aggregate arm can't
