@@ -45,27 +45,70 @@ _P1 = np.uint64(_P1_INT)
 _P2 = np.uint64((_P1_INT * _P1_INT) & 0xFFFFFFFFFFFFFFFF)
 
 
+def _tokenize_batch_arrow(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Lower + whitespace-tokenize a batch of texts with Arrow C++
+    kernels → (flat token-hash array, per-doc token counts).
+
+    The per-text ``.lower().split()`` Python loop was the text-heaviest
+    pandas cost in the MinHash stage (VERDICT r04 #2); lowercasing and
+    splitting now run in Arrow (utf8_lower + utf8_split_whitespace,
+    boundary empties filtered), and ONLY the token hash touches Python
+    objects — through the same ``pd.util.hash_array`` siphash as before,
+    so token hashes (and therefore signatures) are unchanged for any
+    text where Arrow's simple case mapping agrees with ``str.lower``
+    (everything but exotic case-mapping codepoints like U+0130, pinned
+    by the parity test against the readable twin)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        arr = texts.combine_chunks()
+    elif isinstance(texts, pa.Array):
+        arr = texts
+    else:
+        arr = pa.array(list(texts), pa.string())
+    if arr.null_count:
+        arr = arr.fill_null("")
+    toks = pc.utf8_split_whitespace(pc.utf8_lower(arr))
+    seg_lens = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    nonempty = pc.not_equal(flat, "")
+    mask = nonempty.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.zeros(len(seg_lens), np.int64)
+    live = seg_lens > 0
+    if live.any():
+        offsets = np.cumsum(seg_lens) - seg_lens
+        # reduceat misbehaves on zero-length segments — reduce only the
+        # live ones and scatter back
+        counts[live] = np.add.reduceat(mask, offsets[live]) \
+            if mask.size else 0
+    flat_tokens = flat.filter(nonempty)
+    if len(flat_tokens):
+        th = pd.util.hash_array(
+            flat_tokens.to_numpy(zero_copy_only=False))
+    else:
+        th = np.empty(0, dtype=np.uint64)
+    return th, counts
+
+
 def _shingle_hashes_batch(texts, n: int = 3) -> list[np.ndarray]:
     """Word-n-gram shingle hash sets for a BATCH of texts.
 
-    One vectorized `pd.util.hash_array` call hashes every token in the
-    batch (stable fixed-key siphash, identical across workers); n-gram
-    hashes are a vectorized rolling combine of the token-hash windows
+    Tokenization is Arrow-native (_tokenize_batch_arrow); one vectorized
+    `pd.util.hash_array` call hashes every token in the batch (stable
+    fixed-key siphash, identical across workers); n-gram hashes are a
+    vectorized rolling combine of the token-hash windows
     (h0*P² + h1*P + h2 mod 2⁶⁴) — no per-gram string construction or
     Python-level hashing. Clamped to 61 bits (< the Mersenne prime) for
     the universal-hash MinHash step."""
-    tok_lists = [(t or "").lower().split() for t in texts]
-    flat = [tok for toks in tok_lists for tok in toks]
-    if flat:
-        th = pd.util.hash_array(np.asarray(flat, dtype=object))
-    else:
-        th = np.empty(0, dtype=np.uint64)
+    th_all, counts = _tokenize_batch_arrow(texts)
     out: list[np.ndarray] = []
     pos = 0
-    for toks in tok_lists:
-        h = th[pos: pos + len(toks)]
-        pos += len(toks)
-        if len(toks) < n:
+    for cnt in counts:
+        h = th_all[pos: pos + cnt]
+        pos += cnt
+        if cnt < n:
             # mirror the single-gram " ".join(toks) fallback: one combined
             # hash over all tokens (constant for the empty text); python-int
             # arithmetic avoids numpy's uint64 scalar-overflow warnings
@@ -203,7 +246,7 @@ def signature_bands_batch(t: "pa.Table", id_col: str, text_col: str,
     one Arrow-native stage (the whole chain stays Arrow — a pandas stage
     before the sort made Ray's sort reduce normalize blocks to pandas,
     which cannot represent concat-merged dictionary columns)."""
-    sigs = _signatures_matrix(t.column(text_col).to_pylist())
+    sigs = _signatures_matrix(t.column(text_col))
     return _bands_table(t.column(id_col), sigs, id_col, num_buckets)
 
 

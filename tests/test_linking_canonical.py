@@ -277,3 +277,33 @@ def test_cosine_neardup_auto_routes_to_lsh():
     key = lambda f: f.sort_values(["a", "b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(key(routed), key(lsh), check_dtype=False)
     assert (routed.b - routed.a == 100000).all() and len(routed) > 0
+
+
+def test_arrow_tokenization_matches_python_twin(ray_session):
+    """The Arrow-native lower+split (_tokenize_batch_arrow) produces the
+    SAME token hashes as the readable Python `.lower().split()` twin —
+    signatures are bit-identical across the migration (VERDICT r04 #2)."""
+    import numpy as np
+    import pandas as pd
+
+    from gitprov_ray import linking as L
+
+    texts = ["Hello World  hello", "", None, "one", "a\tb\nc  d",
+             "Éàé STRASSE straße  mixed CASE", "x " * 50,
+             "  leading and trailing  ", "solo"]
+
+    def py_twin(ts):
+        tok_lists = [(t or "").lower().split() for t in ts]
+        flat = [tok for toks in tok_lists for tok in toks]
+        th = (pd.util.hash_array(np.asarray(flat, dtype=object))
+              if flat else np.empty(0, dtype=np.uint64))
+        counts = np.array([len(t) for t in tok_lists], np.int64)
+        return th, counts
+
+    th_a, cnt_a = L._tokenize_batch_arrow(texts)
+    th_p, cnt_p = py_twin(texts)
+    assert (cnt_a == cnt_p).all()
+    assert (th_a == th_p).all()
+    # and therefore identical signatures end to end
+    sig_now = L._signatures_matrix(texts)
+    assert sig_now.shape == (len(texts), L._K)
