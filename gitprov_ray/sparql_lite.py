@@ -589,13 +589,31 @@ def _eval_expr(df: pd.DataFrame, node):
         op, left, right = node[1], _eval_expr(df, node[2]), \
             _eval_expr(df, node[3])
         # numeric comparison when either side is numeric (literal or a
-        # numeric-dtype series, e.g. an arithmetic result); codepoint
-        # string order otherwise — bindings are untyped strings
+        # numeric-dtype series, e.g. an arithmetic result); ALSO when
+        # BOTH sides are string series whose every bound value parses as
+        # a number — §17 operator dispatch compares numeric-typed
+        # literals numerically, and engine bindings carry the lexical
+        # form only; codepoint string order otherwise
         numeric = any(isinstance(x, (int, float)) or (
             isinstance(x, pd.Series) and x.dtype.kind in "ifu")
             for x in (left, right))
+        if not numeric:
+            def _all_num(x):
+                if not isinstance(x, pd.Series):
+                    return isinstance(x, str) and bool(
+                        _re.match(r"^-?\d+(?:\.\d+)?$", x))
+                nn = pd.to_numeric(x, errors="coerce")
+                return bool((nn.notna() == x.notna()).all()
+                            and x.notna().any())
+            numeric = _all_num(left) and _all_num(right)
+
+        def _coerce(x):
+            if isinstance(x, pd.Series):
+                return pd.to_numeric(x, errors="coerce")
+            return float(x) if isinstance(x, str) else x
+
         if numeric:
-            left, right = _as_num(left), _as_num(right)
+            left, right = _coerce(left), _coerce(right)
         mask = {"=": lambda a, b: a == b, "!=": lambda a, b: a != b,
                 "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
                 ">": lambda a, b: a > b, ">=": lambda a, b: a >= b}[op](
@@ -977,18 +995,39 @@ def parse_select(query: str) -> dict:
             if peek() == "^":
                 take(); inv = True
             segs.append((take(), inv))
-            if peek() in ("+", "*", "?"):       # arbitrary-length path (§9)
-                mode = take()                   # p+ / p* / p?
+            if peek() in ("+", "*", "?", "{"):  # arbitrary-length path (§9)
+                if peek() == "{":               # quantifier p{n}, p{n,m},
+                    take("{")                   # p{n,}, p{,m} (Jena ARQ
+                    t0 = take()                 # syntax — the reference
+                    if t0 == ",":               # delegates to Jena)
+                        lo, hi = 0, int(take())
+                    else:
+                        lo = int(t0)
+                        hi: int | None = lo
+                        if peek() == ",":
+                            take()
+                            hi = None if peek() == "}" else int(take())
+                    take("}")
+                    if hi is not None and hi < lo:
+                        raise SparqlSyntaxError(
+                            f"path quantifier {{{lo},{hi}}}: max < min")
+                    mode = ("rng", lo, hi)
+                    mdesc = f"{{{lo},{'' if hi is None else hi}}}"
+                else:
+                    mode = take()               # p+ / p* / p?
+                    mdesc = mode
                 if inv or len(segs) > 1 or peek() == "/":
                     raise SparqlSyntaxError(
-                        f"p{mode} only supported on a single plain predicate")
+                        f"p{mdesc} only supported on a single plain "
+                        "predicate")
                 o_ = take()
                 if not allow_alt:
                     raise SparqlSyntaxError(
-                        f"p{mode} only allowed in the top-level pattern")
+                        f"p{mdesc} only allowed in the top-level pattern")
                 pred = segs[0][0]
                 if pred.startswith("?"):
-                    raise SparqlSyntaxError(f"p{mode} needs a bound predicate")
+                    raise SparqlSyntaxError(
+                        f"p{mdesc} needs a bound predicate")
                 closure_patterns.append((
                     s if s.startswith("?") else term(s), term(pred),
                     o_ if o_.startswith("?") else term(o_), mode))
@@ -1246,16 +1285,25 @@ def parse_select(query: str) -> dict:
         elif kw == "ORDER":
             take("BY")
             while peek() and peek().upper() not in ("LIMIT", "OFFSET"):
-                t = take()
+                t = peek()
                 if t.upper() in ("ASC", "DESC"):
-                    take("(")
-                    v = take()
-                    take(")")
-                    order_by.append((v, t.upper() == "ASC"))
+                    take()
+                    # ASC/DESC(expr): the §17 expression parser consumes
+                    # the parenthesized expression (a bare ?var keeps
+                    # the historical string shape)
+                    node = _parse_expression(take, peek, term)
+                    if node[0] == "var":
+                        order_by.append(("?" + node[1],
+                                         t.upper() == "ASC"))
+                    else:
+                        order_by.append((node, t.upper() == "ASC"))
                 elif t.startswith("?"):
+                    take()
                     order_by.append((t, True))
                 else:
-                    raise SparqlSyntaxError(f"bad ORDER BY term {t!r}")
+                    # bare ORDER BY expression (function call or parens)
+                    node = _parse_expression(take, peek, term)
+                    order_by.append((node, True))
         elif kw == "LIMIT":
             limit = int(take())
         elif kw == "OFFSET":
@@ -1411,19 +1459,49 @@ def _closure_frame(triples_ds, s, p, o, graph, mode: str = "+") \
     endpoint is bound, else every graph term (subjects ∪ objects)."""
     edges = _match_pattern(triples_ds, "?__a", p, "?__b", graph)
     pairs = edges[["subj", "obj"]].drop_duplicates()         .rename(columns={"subj": "__a", "obj": "__b"})
+
+    def compose(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
+        st = a.merge(b, left_on="__b", right_on="__a",
+                     suffixes=("", "__r"))
+        return (st[["__a", "__b__r"]].rename(columns={"__b__r": "__b"})
+                .drop_duplicates())
+
+    def closure_of(rel: pd.DataFrame) -> pd.DataFrame:
+        total = rel
+        while True:
+            merged = pd.concat([total, compose(total, rel)],
+                               ignore_index=True).drop_duplicates()
+            if len(merged) == len(total):
+                return total
+            total = merged
+
     if mode == "?":
         total = pairs                              # length exactly one
+    elif isinstance(mode, tuple):                  # ("rng", lo, hi)
+        _, lo, hi = mode
+        if hi is not None:                         # exact levels lo..hi
+            level, acc = pairs, []
+            for k in range(1, hi + 1):
+                if k > 1:
+                    level = compose(level, pairs)
+                    if not len(level):
+                        break
+                if k >= lo:
+                    acc.append(level)
+            total = (pd.concat(acc, ignore_index=True).drop_duplicates()
+                     if acc else pairs.iloc[0:0])
+        elif lo <= 1:                              # {0,}/{1,} == * / +
+            total = closure_of(pairs)
+        else:                                      # length >= lo
+            lvl = pairs                            # build level lo-1,
+            for _ in range(lo - 2):                # then ∘ closure(>=1)
+                lvl = compose(lvl, pairs)
+            total = compose(lvl, closure_of(pairs))
     else:
-        total = pairs
-        while True:
-            step = total.merge(pairs, left_on="__b", right_on="__a",
-                               suffixes=("", "__r"))
-            step = step[["__a", "__b__r"]].rename(columns={"__b__r": "__b"})
-            merged = pd.concat([total, step], ignore_index=True)                 .drop_duplicates()
-            if len(merged) == len(total):
-                break
-            total = merged
-    if mode in ("*", "?"):                         # zero-length component
+        total = closure_of(pairs)
+    zero_len = mode in ("*", "?") or (isinstance(mode, tuple)
+                                      and mode[1] == 0)
+    if zero_len:                                   # zero-length component
         if not _is_var(s):
             t = _expand_term(s, graph)
             refl = pd.DataFrame({"__a": [t], "__b": [t]})
@@ -1590,9 +1668,19 @@ def select_text(triples_ds, query: str, graph: str | None = None) -> pd.DataFram
     if plan["distinct"]:
         out = out.drop_duplicates()
     if plan["order_by"]:
-        cols = [v.lstrip("?") for v, _ in plan["order_by"]]
-        asc = [a for _, a in plan["order_by"]]
+        cols, asc, aux = [], [], []
+        for i, (v, a) in enumerate(plan["order_by"]):
+            if isinstance(v, str):
+                cols.append(v.lstrip("?"))
+            else:                             # ORDER BY expression
+                c = f"__ord{i}"
+                out = out.assign(**{c: _eval_expr(out, v)})
+                cols.append(c)
+                aux.append(c)
+            asc.append(a)
         out = out.sort_values(cols, ascending=asc, kind="mergesort")
+        if aux:
+            out = out.drop(columns=aux)
     if plan["offset"]:
         out = out.iloc[plan["offset"]:]
     if plan["limit"] is not None:
@@ -1618,12 +1706,41 @@ def _expr_vars(node, out: set[str]) -> set[str]:
     return out
 
 
-def _closure_ds(triples_ds, s, p, o, graph, mode: str = "+"):
+def _compose_pairs_ds(a, b):
+    """Relation composition of two (__a, __b) pair Datasets via one
+    normalized hash join (invariants 7/11: normalize both sides,
+    short-circuit empties)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from . import ops
+
+    if len(a.limit(1).take(1)) == 0 or len(b.limit(1).take(1)) == 0:
+        return rd.from_pandas(pd.DataFrame(
+            {"__a": pd.Series([], dtype=object),
+             "__b": pd.Series([], dtype=object)}))
+    left = ops.materialize_normalized(
+        a.map_batches(lambda df: df.rename(columns={"__b": "__m"}),
+                      batch_format="pandas"),
+        pa.schema([("__a", pa.string()), ("__m", pa.string())]))
+    right = ops.materialize_normalized(
+        b.map_batches(lambda df: df.rename(columns={"__a": "__m"}),
+                      batch_format="pandas"),
+        pa.schema([("__m", pa.string()), ("__b", pa.string())]))
+    j = left.join(right, "inner", ops._default_partitions(), on=("__m",))
+    return ops._dedup_pairs(
+        j.map_batches(lambda df: df[["__a", "__b"]],
+                      batch_format="pandas"), "__a", "__b")
+
+
+def _closure_ds(triples_ds, s, p, o, graph, mode="+"):
     """Distributed twin of _closure_frame: arbitrary-length path
     bindings as a Dataset. ``+`` runs ops.transitive_closure (path
     doubling, bucketed joins); ``?`` is the deduped single-hop relation;
     ``*`` unions the §18.4 ZeroLengthPath rows (bound endpoint →
-    term→itself; both-var → the distributed distinct term universe).
+    term→itself; both-var → the distributed distinct term universe);
+    a quantifier ``("rng", lo, hi)`` composes exact levels with
+    normalized joins (hi bounded) or level_(lo-1) ∘ closure (open).
     Endpoint constants filter AFTER closure, same as the driver."""
     import ray.data as rd
 
@@ -1632,9 +1749,36 @@ def _closure_ds(triples_ds, s, p, o, graph, mode: str = "+"):
     edges, _ = _match_pattern_ds(triples_ds, "?__a", p, "?__b", graph)
     if mode == "?":
         total = _dedup_pairs(edges, "__a", "__b")
+    elif isinstance(mode, tuple):
+        _, lo, hi = mode
+        base = _dedup_pairs(edges, "__a", "__b").materialize()
+        if hi is not None:
+            level, acc = base, []
+            for k in range(1, hi + 1):
+                if k > 1:
+                    level = _compose_pairs_ds(level, base).materialize()
+                    if len(level.limit(1).take(1)) == 0:
+                        break
+                if k >= lo:
+                    acc.append(level)
+            if acc:
+                total = acc[0]
+                for more in acc[1:]:
+                    total = total.union(more)
+                total = _dedup_pairs(total, "__a", "__b")
+            else:
+                total = base.limit(0)
+        elif lo <= 1:
+            total = transitive_closure(base, "__a", "__b")
+        else:
+            lvl = base
+            for _ in range(lo - 2):
+                lvl = _compose_pairs_ds(lvl, base).materialize()
+            total = _compose_pairs_ds(
+                lvl, transitive_closure(base, "__a", "__b"))
     else:
         total = transitive_closure(edges, "__a", "__b")
-    if mode in ("*", "?"):
+    if mode in ("*", "?") or (isinstance(mode, tuple) and mode[1] == 0):
         if not _is_var(s) or not _is_var(o):
             t = _expand_term(s if not _is_var(s) else o, graph)
             refl = rd.from_pandas(pd.DataFrame({"__a": [t], "__b": [t]}))
@@ -1732,15 +1876,13 @@ def select_text_distributed(triples_ds, query: str,
     (bucketed semi/anti joins, _exists_minus_ds) + the full aggregate
     battery (COUNT/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT, DISTINCT
     variants, multiple aggregates, GROUP BY, HAVING —
-    _aggregate_binding_ds_full) + DISTINCT + ORDER BY (ASC and DESC)
-    + LIMIT + OFFSET-with-LIMIT (the bounded prefix materializes, size
-    ≤ OFFSET+LIMIT by the query's own modifiers). Everything else
-    raises with a pointer to select_text."""
+    _aggregate_binding_ds_full) + DISTINCT + ORDER BY (ASC/DESC over
+    vars AND §17 expressions, hidden-key sort columns) + LIMIT +
+    OFFSET-with-LIMIT (bounded prefix materializes, size ≤ OFFSET+LIMIT
+    by the query's own modifiers) + OFFSET-without-LIMIT (distributed
+    skip via split_at_indices — the unbounded tail never lands on the
+    driver). Everything else raises with a pointer to select_text."""
     plan = parse_select(query)
-    if plan["offset"] and plan["limit"] is None:
-        raise SparqlSyntaxError(
-            "OFFSET without LIMIT is unbounded on the Dataset path; "
-            "add LIMIT or use select_text")
     if plan["union_branches"]:
         # UNION block; surrounding patterns inner-join it (driver parity,
         # select_text), OPTIONAL groups left-outer join it afterwards.
@@ -1894,19 +2036,49 @@ def select_text_distributed(triples_ds, query: str,
               .groupby("bucket")
               .map_groups(lambda df: df.drop(columns="bucket")
                           .drop_duplicates(), batch_format="pandas"))
+    ord_aux: list[str] = []
     if plan["order_by"]:
-        ds = ds.sort([v.lstrip("?") for v, _ in plan["order_by"]],
+        expr_terms = [(i, v) for i, (v, _) in enumerate(plan["order_by"])
+                      if not isinstance(v, str)]
+        if expr_terms:                        # ORDER BY expressions:
+            def add_ord(df: pd.DataFrame,                 # hidden keys
+                        terms=tuple(expr_terms)) -> pd.DataFrame:
+                df = df.copy()
+                for i, node in terms:
+                    df[f"__ord{i}"] = _eval_expr(df, node)
+                return df
+
+            ds = ds.map_batches(add_ord, batch_format="pandas")
+            ord_aux = [f"__ord{i}" for i, _ in expr_terms]
+        keys = [v.lstrip("?") if isinstance(v, str) else f"__ord{i}"
+                for i, (v, _) in enumerate(plan["order_by"])]
+        ds = ds.sort(keys,
                      descending=[not asc for _, asc in plan["order_by"]])
     if plan["offset"]:
-        # bounded by the query's own OFFSET+LIMIT (the no-LIMIT case was
-        # rejected above): materialize the prefix, slice, re-wrap
         import ray
 
-        head = ds.limit(plan["offset"] + plan["limit"]).to_pandas()
-        return ray.data.from_pandas(
-            head.iloc[plan["offset"]:].reset_index(drop=True))
-    if plan["limit"] is not None:
+        if plan["limit"] is not None:
+            # bounded by the query's own OFFSET+LIMIT: materialize the
+            # prefix, slice, re-wrap
+            head = ds.limit(plan["offset"] + plan["limit"]).to_pandas()
+            if ord_aux:
+                head = head.drop(columns=ord_aux)
+            return ray.data.from_pandas(
+                head.iloc[plan["offset"]:].reset_index(drop=True))
+        # OFFSET without LIMIT: distributed skip via the block-index
+        # split — no driver materialization of the (unbounded) tail
+        ds = ds.split_at_indices([plan["offset"]])[1]
+    elif plan["limit"] is not None:
         ds = ds.limit(plan["limit"])
+    if ord_aux:
+        # dropping hidden sort keys must not reorder the sorted stream
+        from ray.data import DataContext
+
+        DataContext.get_current().execution_options.preserve_order = True
+        ds = ds.map_batches(
+            lambda df, h=tuple(ord_aux): df.drop(
+                columns=[c for c in h if c in df.columns]),
+            batch_format="pandas")
     return ds
 
 

@@ -164,10 +164,16 @@ def test_offset_with_limit(rich_ds):
         check_dtype=False)
 
 
-def test_offset_without_limit_raises(rich_ds):
-    with pytest.raises(S.SparqlSyntaxError):
-        S.select_text_distributed(
-            rich_ds, Q + "SELECT ?d WHERE { ?d ex:lang ?l } OFFSET 3")
+def test_offset_without_limit_distributed(rich_ds):
+    """OFFSET with no LIMIT now runs distributed (split_at_indices skip
+    — round 5): full parity with the driver path, no driver-side
+    materialization of the unbounded tail."""
+    q = (Q + "SELECT ?d WHERE { ?d ex:lang ?l } ORDER BY ?d OFFSET 53")
+    drv = S.select_text(rich_ds, q)
+    dst = S.select_text_distributed(rich_ds, q).to_pandas()
+    pd.testing.assert_frame_equal(drv.reset_index(drop=True),
+                                  dst.reset_index(drop=True))
+    assert len(dst) == 7
 
 
 def test_optional_string_routes_distributed(rich_ds):
@@ -597,3 +603,104 @@ def test_kg_sparql_activity_stats_end_to_end(ray_session):
     assert len(out) == 20
     assert (out.n_used > 0).all()
     assert out.g.is_monotonic_increasing
+
+
+def test_order_by_expression_both_paths(rich_ds):
+    """ORDER BY over a §17 expression (round 5): ASC/DESC(expr) and a
+    bare function term sort via hidden key columns; numeric arithmetic
+    keys order numerically even though bindings are strings."""
+    q = Q + """
+        SELECT ?d ?v WHERE { ?d ex:score ?v }
+        ORDER BY DESC(?v + 0) ?d LIMIT 10
+    """
+    drv = S.select_text(rich_ds, q)
+    dst = S.select_text_distributed(rich_ds, q).to_pandas()
+    assert list(drv.columns) == ["d", "v"]
+    # numeric ordering: the top value is the max score (22), not the
+    # lexically-largest string ("9...")
+    assert int(drv["v"].iloc[0]) == 22
+    pd.testing.assert_frame_equal(drv.reset_index(drop=True),
+                                  dst.reset_index(drop=True))
+    # bare expression term (STRLEN) with var tiebreak
+    q2 = Q + """
+        SELECT ?d ?s WHERE { ?d ex:source ?s }
+        ORDER BY STRLEN(?s) ?s ?d LIMIT 12
+    """
+    drv2 = S.select_text(rich_ds, q2)
+    dst2 = S.select_text_distributed(rich_ds, q2).to_pandas()
+    pd.testing.assert_frame_equal(drv2.reset_index(drop=True),
+                                  dst2.reset_index(drop=True))
+    assert "__ord0" not in dst2.columns
+
+
+def test_numeric_typed_literal_comparison(rich_ds):
+    """§17 operator dispatch: when both comparison sides are entirely
+    numeric lexical forms, compare numerically — ?v > "9" must match
+    scores 10..22, not strings lexically above "9"."""
+    q = Q + 'SELECT ?d ?v WHERE { ?d ex:score ?v . FILTER (?v > "9") }'
+    drv = S.select_text(rich_ds, q)
+    vals = sorted(int(v) for v in drv["v"].unique())
+    assert vals and min(vals) >= 10            # lexical compare would
+    assert 10 in vals and 17 in vals           # drop 10..19
+    dst = S.select_text_distributed(rich_ds, q).to_pandas()
+    assert sorted(dst["v"].astype(int).unique().tolist()) == vals
+
+
+@pytest.fixture(scope="module")
+def hop_chain_ds(ray_session):
+    """A 7-node directed chain a0 -> a1 -> ... -> a6 for quantified
+    paths."""
+    import ray.data as rd
+
+    rows = [("g", f"http://d/a{i}", "http://d/next",
+             f"http://d/a{i+1}") for i in range(6)]
+    tri = pd.DataFrame(rows, columns=["graph", "subj", "pred", "obj"])
+    tri["obj_is_literal"] = False
+    tri["obj_dtype"] = ""
+    return rd.from_pandas(tri).repartition(3)
+
+
+def test_path_quantifiers_both_paths(hop_chain_ds):
+    """p{n,m} / p{n} / p{n,} / p{,m} (Jena ARQ quantifiers — the
+    reference delegates SPARQL to Jena) on driver AND Dataset paths."""
+    def pairs(df):
+        return sorted(zip(df["s"], df["o"]))
+
+    def both(q):
+        drv = S.select_text(hop_chain_ds, q)
+        dst = S.select_text_distributed(hop_chain_ds, q).to_pandas()
+        assert pairs(drv) == pairs(dst)
+        return pairs(drv)
+
+    base = Q.replace("http://d/", "http://d/")
+    q = Q + "SELECT ?s ?o WHERE { ?s ex:next{2,3} ?o }"
+    got = both(q)
+    expect = sorted(
+        [(f"http://d/a{i}", f"http://d/a{i+k}")
+         for k in (2, 3) for i in range(0, 7 - k)])
+    assert got == expect
+
+    # exact count p{2}
+    got2 = both(Q + "SELECT ?s ?o WHERE { ?s ex:next{2} ?o }")
+    assert got2 == sorted([(f"http://d/a{i}", f"http://d/a{i+2}")
+                           for i in range(5)])
+
+    # open upper bound p{3,} == paths of length >= 3
+    got3 = both(Q + "SELECT ?s ?o WHERE { ?s ex:next{3,} ?o }")
+    assert got3 == sorted([(f"http://d/a{i}", f"http://d/a{j}")
+                           for i in range(7) for j in range(i + 3, 7)])
+
+    # p{,2} includes the zero-length component (every term -> itself)
+    q4 = Q + "SELECT ?o WHERE { <http://d/a2> ex:next{,2} ?o }"
+    drv4 = S.select_text(hop_chain_ds, q4)
+    dst4 = S.select_text_distributed(hop_chain_ds, q4).to_pandas()
+    want = {"http://d/a2", "http://d/a3", "http://d/a4"}
+    assert set(drv4["o"]) == want and set(dst4["o"]) == want
+
+    # degenerate and invalid quantifiers
+    got5 = both(Q + "SELECT ?s ?o WHERE { ?s ex:next{1,1} ?o }")
+    assert got5 == sorted([(f"http://d/a{i}", f"http://d/a{i+1}")
+                           for i in range(6)])
+    with pytest.raises(S.SparqlSyntaxError, match="max < min"):
+        S.select_text(hop_chain_ds,
+                      Q + "SELECT ?s ?o WHERE { ?s ex:next{3,2} ?o }")
