@@ -879,7 +879,11 @@ def kg_sparql_activity_stats(sf_dir: str):
     from . import sparql_lite
     from .pipelines import flagship
 
-    tri = flagship.flagship(sf_dir, num_buckets=32)
+    # invariant 10: the SPARQL front-end scans the triples ONCE PER BGP
+    # PATTERN (two scans here) — an unmaterialized flagship would re-run
+    # its whole render→emit→dedup DAG per scan, doubling every exchange
+    # (the round-4 audit's 11-exchange outlier, VERDICT r04 #8)
+    tri = flagship.flagship(sf_dir, num_buckets=32).materialize()
     q = """
         PREFIX prov: <http://www.w3.org/ns/prov#>
         SELECT ?g (COUNT(?a) AS ?n_used) WHERE {
