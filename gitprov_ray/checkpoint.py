@@ -111,9 +111,14 @@ def _has_incremental_state(workdir: str) -> bool:
 
 
 def run_flagship(sf_dir: str, workdir: str, num_buckets: int = 32,
-                 repeat: int = 1, fresh: bool = False) -> dict:
+                 repeat: int = 1, fresh: bool = False,
+                 canonicalize: bool = False) -> dict:
     """Checkpointed flagship run; returns stage metrics incl. which stages
-    were resumed from checkpoint.
+    were resumed from checkpoint. ``canonicalize=True`` runs the agent
+    entity-linking rewrite before the store write (the fingerprint
+    carries the flag, so canonical and plain stores never cross-resume);
+    the rewrite is deterministic, so per-graph store content is
+    identical whether a run completed cold or resumed mid-store.
 
     A workdir that ``update_flagship`` has merged incremental batches into
     is REFUSED (the base-corpus fingerprint can never match, so resuming
@@ -132,7 +137,8 @@ def run_flagship(sf_dir: str, workdir: str, num_buckets: int = 32,
         shutil.rmtree(_stage_dir(workdir, "revisions"), ignore_errors=True)
         shutil.rmtree(os.path.join(workdir, "triples_store"),
                       ignore_errors=True)
-    fp = _fingerprint(sf_dir, repeat) + f"|b={num_buckets}"
+    fp = _fingerprint(sf_dir, repeat) + f"|b={num_buckets}" \
+        + ("|canon=1" if canonicalize else "")
     resumed = []
 
     if _stage_valid(workdir, "revisions", fp):
@@ -160,6 +166,9 @@ def run_flagship(sf_dir: str, workdir: str, num_buckets: int = 32,
             done = set()
         triples = fl.triples_from_revisions(
             revisions, contributors, num_buckets=num_buckets, checkpoint=False)
+        if canonicalize:
+            triples = fl.canonicalize_triples(triples.materialize(),
+                                              num_buckets=num_buckets)
         written = store_mod.write_store(triples, store_root,
                                         skip_existing=bool(done),
                                         fingerprint=fp)

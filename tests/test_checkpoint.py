@@ -287,3 +287,43 @@ def test_incremental_soak_three_batches_resend_and_rebuild(
                                 fresh=True)
     assert r["triples"] > 0 and r["resumed"] == []
     assert store.list_graphs(f"{wd}/triples_store")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_canonicalize_cold_vs_crash_resume(tmp_path):
+    """VERDICT r04 #6 twin (sf0.001): the canonicalize=True flagship
+    through the checkpoint machinery — a crashed-and-resumed run's store
+    equals the cold run's EXACTLY, i.e. the entity-linking rewrite is
+    deterministic per graph even when half the store survived the crash
+    and the other half is rewritten by the resumed run."""
+    import os
+
+    from gitprov_ray import checkpoint, store
+
+    SF = "/root/testdata/sf0.001"
+    wd_cold = str(tmp_path / "cold")
+    r_cold = checkpoint.run_flagship(SF, wd_cold, num_buckets=8,
+                                     canonicalize=True)
+    cold = store.read_store(r_cold["store"]).to_pandas()
+    assert "|canon=1" in r_cold["fingerprint"]
+    # the rewrite actually ran: canonical stores differ from plain ones
+    r_plain = checkpoint.run_flagship(SF, str(tmp_path / "plain"),
+                                      num_buckets=8)
+    plain = store.read_store(r_plain["store"]).to_pandas()
+    assert set(cold.subj) != set(plain.subj) or \
+        set(cold.obj) != set(plain.obj)
+
+    # crash simulation: drop two graph partitions mid-store, resume
+    wd = str(tmp_path / "crash")
+    r1 = checkpoint.run_flagship(SF, wd, num_buckets=8, canonicalize=True)
+    graphs = store.list_graphs(r1["store"])
+    for g in graphs[:2]:
+        shutil.rmtree(os.path.join(r1["store"], "gpart=" + g))
+    r2 = checkpoint.run_flagship(SF, wd, num_buckets=8, canonicalize=True)
+    assert "revisions" in r2["resumed"]
+    back = store.read_store(r2["store"]).to_pandas()
+    assert set(zip(back.graph, back.subj, back.pred, back.obj)) == \
+           set(zip(cold.graph, cold.subj, cold.pred, cold.obj))
+    # canonical and plain fingerprints never cross-resume
+    r3 = checkpoint.run_flagship(SF, wd, num_buckets=8)
+    assert r3["resumed"] == [] or "triples" not in r3["resumed"]
