@@ -6331,6 +6331,169 @@ def q_sql_front_events(sf_dir: str):
                        "max_id": "int64"})
 
 
+def q_embedding_decontaminate(sf_dir: str):
+    """Embedding-space benchmark decontamination (the vector-similarity
+    analogue of the n-gram protocol, q_decontaminate_docs): the held-out
+    set is every ``vec_id % 17 == 0``; a TRAIN vector is contaminated
+    when its EXACT integer-milli squared-L2 distance to any held-out
+    vector is ≤ D2MAX. Scale shape: the held-out matrix is small by
+    construction (a benchmark, not the corpus) and broadcasts once via
+    ray.put; the corpus streams through one int64-matmul batch pass —
+    zero shuffles, per-row integer outputs, per-row-exact DuckDB twin.
+    nearest_test ties break to the smallest held-out id."""
+    import ray
+
+    D2MAX = 1_450_000
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    test = (ds.map_batches(lambda df: df[df["vec_id"] % 17 == 0],
+                           batch_format="pandas")
+            .to_pandas().sort_values("vec_id"))
+    tids = test["vec_id"].to_numpy(np.int64)
+    tv = np.stack(test["embedding"].to_numpy()) * 1000.0
+    tm = (np.sign(tv) * np.floor(np.abs(tv) + 0.5)).astype(np.int64)
+    tids_ref, tm_ref = ray.put(tids), ray.put(tm)
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["vec_id"] % 17 != 0]
+        if not len(df):
+            return pd.DataFrame({
+                "vec_id": pd.Series([], dtype="int64"),
+                "min_d2": pd.Series([], dtype="int64"),
+                "nearest_test": pd.Series([], dtype="int64"),
+                "contaminated": pd.Series([], dtype="int64")})
+        t_ids, t_m = ray.get(tids_ref), ray.get(tm_ref)
+        vv = np.stack(df["embedding"].to_numpy()) * 1000.0
+        bm = (np.sign(vv) * np.floor(np.abs(vv) + 0.5)).astype(np.int64)
+        d2 = ((bm * bm).sum(1)[:, None] + (t_m * t_m).sum(1)[None, :]
+              - 2 * (bm @ t_m.T))
+        mind2 = d2.min(1)
+        eq = d2 == mind2[:, None]
+        nearest = np.where(eq, t_ids[None, :],
+                           np.iinfo(np.int64).max).min(1)
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].astype("int64").to_numpy(),
+            "min_d2": mind2.astype("int64"),
+            "nearest_test": nearest.astype("int64"),
+            "contaminated": (mind2 <= D2MAX).astype("int64")})
+
+    return ds.map_batches(scan, batch_format="pandas").sort("vec_id")
+
+
+def q_perceptron_docs(sf_dir: str):
+    """Distributed BATCH perceptron (Rosenblatt rule, epoch-level
+    updates) training a quality gate: predict ``lang == 'en'`` from
+    INTEGER document features (n_chars, token count, digit count, upper
+    count, bias). All-integer weights, 3 epochs, so the run is exact:
+    each epoch streams one batch pass emitting the misclassified
+    gradient partial sums (k-means-style partial rows — only d+2 ints
+    per batch reach the driver), w += sum(y·x) over misclassified.
+    Returns the weight trajectory per epoch plus final error count; the
+    DuckDB twin unrolls the 3 epochs as chained CTEs."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("")
+        return pd.DataFrame({
+            "x0": np.int64(1),
+            "x1": t.str.len().astype("int64") // 100,
+            "x2": (t.str.count(" ").astype("int64") + 1) // 10,
+            "x3": t.str.count(r"\d").astype("int64"),
+            "x4": t.str.count(r"[A-Z]").astype("int64"),
+            "y": np.where(df["lang"] == "en", 1, -1).astype("int64")})
+
+    fds = ds.map_batches(feats, batch_format="pandas").materialize()
+    D = 5
+    w = np.zeros(D, np.int64)
+    rows = []
+    for epoch in range(1, 4):
+        def partial(df: pd.DataFrame, w=w.copy()) -> pd.DataFrame:
+            X = df[["x0", "x1", "x2", "x3", "x4"]].to_numpy(np.int64)
+            y = df["y"].to_numpy(np.int64)
+            mis = (X @ w) * y <= 0
+            g = (X[mis] * y[mis, None]).sum(0)
+            out = {f"g{i}": np.int64(g[i]) for i in range(D)}
+            out["n_mis"] = np.int64(int(mis.sum()))
+            return pd.DataFrame([out])
+
+        agg = fds.map_batches(partial, batch_format="pandas").to_pandas()
+        w = w + agg[[f"g{i}" for i in range(D)]].sum().to_numpy(np.int64)
+        rows.append({"epoch": np.int64(epoch),
+                     "n_mis": np.int64(agg["n_mis"].sum()),
+                     **{f"w{i}": np.int64(w[i]) for i in range(D)}})
+    return pd.DataFrame(rows).astype("int64")
+
+
+def q_bigram_coverage_docs(sf_dir: str):
+    """Bigram-coverage contamination/novelty stats: docs split
+    train/test on doc_id % 10 (test = 0); per TEST doc, how many of its
+    word bigrams appear anywhere in the train split. Tokenization is
+    the decontamination protocol's (lowercase, split on non-alnum runs,
+    pinned to DuckDB's string_split_regex). Distributed shape: exploded
+    (hash(bigram)) rows from both splits co-locate in ONE bucketed
+    exchange (semi-join idiom); per-doc counts aggregate on the test
+    side — bigram text itself never shuffles (md5 keys do)."""
+    import hashlib
+
+    from .ops import semi_join
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bigrams(df: pd.DataFrame, split: str) -> pd.DataFrame:
+        sel = (df["doc_id"] % 10 == 0) if split == "test" \
+            else (df["doc_id"] % 10 != 0)
+        df = df[sel]
+        out_doc, out_h, out_idx = [], [], []
+        for did, text in zip(df["doc_id"], df["text"].fillna("")):
+            toks = [t for t in _re.split(r"[^a-z0-9]+", text.lower())
+                    if t]
+            for i in range(len(toks) - 1):
+                out_doc.append(did)
+                out_idx.append(i)
+                out_h.append(hashlib.md5(
+                    (toks[i] + " " + toks[i + 1]).encode()).hexdigest()[:16])
+        return pd.DataFrame({"doc_id": pd.Series(out_doc, dtype="int64"),
+                             "idx": pd.Series(out_idx, dtype="int64"),
+                             "h": pd.Series(out_h, dtype=object)})
+
+    test = ds.map_batches(lambda df: bigrams(df, "test"),
+                          batch_format="pandas")
+    train = ds.map_batches(
+        lambda df: bigrams(df, "train")[["h"]].drop_duplicates(),
+        batch_format="pandas")
+    hit = semi_join(test, train, "h", "h")
+
+    def count_part(df: pd.DataFrame, col: str) -> pd.DataFrame:
+        g = df.groupby("doc_id", sort=False).size()
+        out = pd.DataFrame({"doc_id": g.index.to_numpy(np.int64),
+                            "n": np.int64(0), "c": np.int64(0)})
+        out[col] = g.to_numpy(np.int64)
+        return out
+
+    # per-doc totals and hits are partial rows; ONE bucketed exchange
+    # combines them — the per-test-doc result never lands on the driver
+    u = (test.map_batches(lambda df: count_part(df, "n"),
+                          batch_format="pandas")
+         .union(hit.map_batches(lambda df: count_part(df, "c"),
+                                batch_format="pandas")))
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["doc_id"].astype(str)
+        return df.assign(bucket=stable_bucket(key, key, 64))
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False)[["n", "c"]].sum()
+        g["covered_milli"] = (g["c"] * 2000 + g["n"]) // (2 * g["n"])
+        return (g.rename(columns={"n": "n_bigrams", "c": "n_covered"})
+                .astype("int64"))
+
+    return (u.map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: combine(df.drop(columns="bucket")),
+                        batch_format="pandas")
+            .sort("doc_id"))
+
+
 QUERIES = {
     # --- driver certification set (first 50): flagship + the round-3/4
     # operators never yet certified by a CORRECTNESS_r*.json (VERDICT r04 #1).
@@ -6435,6 +6598,9 @@ QUERIES = {
     "q_heavy_hitter_tokens": q_heavy_hitter_tokens,
     "q_quantile_hist_events": q_quantile_hist_events,
     # --- remainder (validated via tools/driver_sim.py at sf0.01)
+    "q_embedding_decontaminate": q_embedding_decontaminate,
+    "q_perceptron_docs": q_perceptron_docs,
+    "q_bigram_coverage_docs": q_bigram_coverage_docs,
     "q_cumsum_events": q_cumsum_events,
     "q_tfidf_top_terms": q_tfidf_top_terms,
     "q_rank_events": q_rank_events,
@@ -10818,3 +10984,127 @@ SELECT e.event_type, CAST(e.hod AS BIGINT) AS hod,
 FROM emd e JOIN ctot c ON c.event_type = e.event_type
                       AND c.hod = e.hod
 ORDER BY e.emd_scaled DESC, e.event_type, e.hod LIMIT 10"""
+
+ORACLE_SQL["q_embedding_decontaminate"] = """
+WITH e AS (
+  SELECT vec_id, unnest(embedding) AS v,
+         unnest(range(len(embedding))) AS i
+  FROM embeddings),
+q AS (
+  SELECT vec_id, i,
+         CAST(ROUND(CAST(v AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM e),
+t AS (SELECT * FROM q WHERE vec_id % 17 = 0),
+tr AS (SELECT * FROM q WHERE vec_id % 17 <> 0),
+d2 AS (
+  SELECT a.vec_id AS ti, b.vec_id AS tj,
+         SUM((a.q - b.q) * (a.q - b.q)) AS d2
+  FROM tr a JOIN t b ON a.i = b.i GROUP BY 1, 2),
+m AS (SELECT ti, MIN(d2) AS min_d2 FROM d2 GROUP BY ti),
+n AS (
+  SELECT d2.ti, MIN(d2.tj) AS nearest_test
+  FROM d2 JOIN m ON m.ti = d2.ti AND d2.d2 = m.min_d2 GROUP BY d2.ti)
+SELECT m.ti AS vec_id, CAST(m.min_d2 AS BIGINT) AS min_d2,
+       CAST(n.nearest_test AS BIGINT) AS nearest_test,
+       CAST(CASE WHEN m.min_d2 <= 1450000 THEN 1 ELSE 0 END AS BIGINT)
+           AS contaminated
+FROM m JOIN n ON n.ti = m.ti ORDER BY vec_id"""
+
+# batch perceptron: the 3 epochs unroll as chained CTEs; features and
+# label mirror q_perceptron_docs exactly (integer arithmetic only)
+ORACLE_SQL["q_perceptron_docs"] = """
+WITH f AS (
+  SELECT CAST(1 AS BIGINT) AS x0,
+         CAST(length(COALESCE(text, '')) // 100 AS BIGINT) AS x1,
+         CAST((length(COALESCE(text, ''))
+               - length(replace(COALESCE(text, ''), ' ', '')) + 1) // 10
+              AS BIGINT) AS x2,
+         CAST(length(regexp_replace(COALESCE(text, ''), '[^0-9]', '',
+                                    'g')) AS BIGINT) AS x3,
+         CAST(length(regexp_replace(COALESCE(text, ''), '[^A-Z]', '',
+                                    'g')) AS BIGINT) AS x4,
+         CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y
+  FROM documents),
+e1 AS (
+  SELECT CAST(SUM(CASE WHEN 0 * 1 <= 0 THEN y * x0 ELSE 0 END) AS BIGINT) AS w0,
+         CAST(SUM(CASE WHEN 0 * 1 <= 0 THEN y * x1 ELSE 0 END) AS BIGINT) AS w1,
+         CAST(SUM(CASE WHEN 0 * 1 <= 0 THEN y * x2 ELSE 0 END) AS BIGINT) AS w2,
+         CAST(SUM(CASE WHEN 0 * 1 <= 0 THEN y * x3 ELSE 0 END) AS BIGINT) AS w3,
+         CAST(SUM(CASE WHEN 0 * 1 <= 0 THEN y * x4 ELSE 0 END) AS BIGINT) AS w4,
+         CAST(COUNT(*) AS BIGINT) AS n_mis
+  FROM f),
+e2 AS (
+  SELECT CAST(e1.w0 + SUM(CASE WHEN (e1.w0*x0 + e1.w1*x1 + e1.w2*x2
+                 + e1.w3*x3 + e1.w4*x4) * y <= 0 THEN y * x0 ELSE 0 END)
+              AS BIGINT) AS w0,
+         CAST(e1.w1 + SUM(CASE WHEN (e1.w0*x0 + e1.w1*x1 + e1.w2*x2
+                 + e1.w3*x3 + e1.w4*x4) * y <= 0 THEN y * x1 ELSE 0 END)
+              AS BIGINT) AS w1,
+         CAST(e1.w2 + SUM(CASE WHEN (e1.w0*x0 + e1.w1*x1 + e1.w2*x2
+                 + e1.w3*x3 + e1.w4*x4) * y <= 0 THEN y * x2 ELSE 0 END)
+              AS BIGINT) AS w2,
+         CAST(e1.w3 + SUM(CASE WHEN (e1.w0*x0 + e1.w1*x1 + e1.w2*x2
+                 + e1.w3*x3 + e1.w4*x4) * y <= 0 THEN y * x3 ELSE 0 END)
+              AS BIGINT) AS w3,
+         CAST(e1.w4 + SUM(CASE WHEN (e1.w0*x0 + e1.w1*x1 + e1.w2*x2
+                 + e1.w3*x3 + e1.w4*x4) * y <= 0 THEN y * x4 ELSE 0 END)
+              AS BIGINT) AS w4,
+         CAST(SUM(CASE WHEN (e1.w0*x0 + e1.w1*x1 + e1.w2*x2 + e1.w3*x3
+                 + e1.w4*x4) * y <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mis
+  FROM f, e1 GROUP BY e1.w0, e1.w1, e1.w2, e1.w3, e1.w4),
+e3 AS (
+  SELECT CAST(e2.w0 + SUM(CASE WHEN (e2.w0*x0 + e2.w1*x1 + e2.w2*x2
+                 + e2.w3*x3 + e2.w4*x4) * y <= 0 THEN y * x0 ELSE 0 END)
+              AS BIGINT) AS w0,
+         CAST(e2.w1 + SUM(CASE WHEN (e2.w0*x0 + e2.w1*x1 + e2.w2*x2
+                 + e2.w3*x3 + e2.w4*x4) * y <= 0 THEN y * x1 ELSE 0 END)
+              AS BIGINT) AS w1,
+         CAST(e2.w2 + SUM(CASE WHEN (e2.w0*x0 + e2.w1*x1 + e2.w2*x2
+                 + e2.w3*x3 + e2.w4*x4) * y <= 0 THEN y * x2 ELSE 0 END)
+              AS BIGINT) AS w2,
+         CAST(e2.w3 + SUM(CASE WHEN (e2.w0*x0 + e2.w1*x1 + e2.w2*x2
+                 + e2.w3*x3 + e2.w4*x4) * y <= 0 THEN y * x3 ELSE 0 END)
+              AS BIGINT) AS w3,
+         CAST(e2.w4 + SUM(CASE WHEN (e2.w0*x0 + e2.w1*x1 + e2.w2*x2
+                 + e2.w3*x3 + e2.w4*x4) * y <= 0 THEN y * x4 ELSE 0 END)
+              AS BIGINT) AS w4,
+         CAST(SUM(CASE WHEN (e2.w0*x0 + e2.w1*x1 + e2.w2*x2 + e2.w3*x3
+                 + e2.w4*x4) * y <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mis
+  FROM f, e2 GROUP BY e2.w0, e2.w1, e2.w2, e2.w3, e2.w4)
+SELECT CAST(1 AS BIGINT) AS epoch, n_mis, w0, w1, w2, w3, w4 FROM e1
+UNION ALL
+SELECT CAST(2 AS BIGINT), n_mis, w0, w1, w2, w3, w4 FROM e2
+UNION ALL
+SELECT CAST(3 AS BIGINT), n_mis, w0, w1, w2, w3, w4 FROM e3
+ORDER BY epoch"""
+
+ORACLE_SQL["q_bigram_coverage_docs"] = """
+WITH toks AS (
+  SELECT doc_id, t.tok, t.i
+  FROM documents,
+       LATERAL (SELECT unnest(list_filter(
+                    string_split_regex(lower(COALESCE(text, '')),
+                                       '[^a-z0-9]+'),
+                    x -> x <> '')) AS tok,
+                unnest(range(len(list_filter(
+                    string_split_regex(lower(COALESCE(text, '')),
+                                       '[^a-z0-9]+'),
+                    x -> x <> '')))) AS i) t),
+bg AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS bigram
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+train AS (
+  SELECT DISTINCT bigram FROM bg WHERE doc_id % 10 <> 0),
+test AS (SELECT * FROM bg WHERE doc_id % 10 = 0)
+SELECT test.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CASE WHEN train.bigram IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_covered,
+       CAST((SUM(CASE WHEN train.bigram IS NOT NULL THEN 1 ELSE 0 END)
+             * 2000 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+           AS covered_milli
+FROM test LEFT JOIN train ON train.bigram = test.bigram
+GROUP BY test.doc_id ORDER BY test.doc_id"""
