@@ -6494,6 +6494,53 @@ def q_bigram_coverage_docs(sf_dir: str):
             .sort("doc_id"))
 
 
+def q_xlsx_roundtrip_events(sf_dir: str):
+    """XLSX ingestion edge (xlsxcodec — the engine's own ECMA-376
+    SpreadsheetML subset, stdlib zip+xml): events stream out as one
+    .xlsx per block (shared-strings text, numeric cells, ISO-text
+    timestamps), read BACK block-parallel by file, and aggregate per
+    event_type — the twin over the original parquet proves the full
+    write→read→compute loop including the timestamp text round-trip."""
+    import hashlib as _h
+
+    from . import sources
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+    out_dir = "/tmp/gitprov_xlsx_" + _h.md5(
+        str(sf_dir).encode()).hexdigest()[:12]
+    import shutil as _sh
+
+    _sh.rmtree(out_dir, ignore_errors=True)
+    sources.write_table(ds, out_dir, fmt="xlsx")
+    back = sources.read_table(out_dir, fmt="xlsx",
+                              columns=["ts", "event_type", "user_id",
+                                       "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = pd.to_datetime(df["ts"])
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "n": np.int64(1),
+            "cents": _cents(df["value"]),
+            "user_id": df["user_id"].astype("int64"),
+            "day": ts.dt.strftime("%Y-%m-%d")})
+
+    g = (back.map_batches(partial, batch_format="pandas")
+         .groupby("event_type")
+         .map_groups(lambda df: pd.DataFrame({
+             "event_type": [df["event_type"].iloc[0]],
+             "n_events": [np.int64(len(df))],
+             "sum_value_cents": [np.int64(df["cents"].sum())],
+             "n_users": [np.int64(df["user_id"].nunique())],
+             "n_days": [np.int64(df["day"].nunique())]}),
+             batch_format="pandas"))
+    return (g.to_pandas().sort_values("event_type")
+            .reset_index(drop=True)
+            .astype({"n_events": "int64", "sum_value_cents": "int64",
+                     "n_users": "int64", "n_days": "int64"}))
+
+
 QUERIES = {
     # --- driver certification set (first 50): flagship + the round-3/4
     # operators never yet certified by a CORRECTNESS_r*.json (VERDICT r04 #1).
@@ -6601,6 +6648,7 @@ QUERIES = {
     "q_embedding_decontaminate": q_embedding_decontaminate,
     "q_perceptron_docs": q_perceptron_docs,
     "q_bigram_coverage_docs": q_bigram_coverage_docs,
+    "q_xlsx_roundtrip_events": q_xlsx_roundtrip_events,
     "q_cumsum_events": q_cumsum_events,
     "q_tfidf_top_terms": q_tfidf_top_terms,
     "q_rank_events": q_rank_events,
@@ -11108,3 +11156,12 @@ SELECT test.doc_id,
            AS covered_milli
 FROM test LEFT JOIN train ON train.bigram = test.bigram
 GROUP BY test.doc_id ORDER BY test.doc_id"""
+
+ORACLE_SQL["q_xlsx_roundtrip_events"] = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT) AS n_days
+FROM events GROUP BY event_type ORDER BY event_type"""

@@ -21,7 +21,7 @@ _EXT_FMT = {".parquet": "parquet", ".pq": "parquet", ".csv": "csv",
             ".json": "ndjson", ".jsonl": "ndjson", ".ndjson": "ndjson",
             ".feather": "feather", ".arrow": "feather", ".ipc": "feather",
             ".orc": "orc", ".avro": "avro", ".xml": "xml",
-            ".pb": "pb", ".binpb": "pb",
+            ".pb": "pb", ".binpb": "pb", ".xlsx": "xlsx",
             ".db": "sqlite", ".sqlite": "sqlite", ".sqlite3": "sqlite"}
 
 
@@ -224,6 +224,26 @@ def read_table(path, fmt: str | None = None, columns: list[str] | None = None,
 
         ds = bin_ds.map_batches(decode_pb, batch_format="pyarrow",
                                 batch_size=1)
+    elif f == "xlsx":
+        # spreadsheet interchange (xlsxcodec — the engine's own ECMA-376
+        # reader): block-parallel by file like feather/orc/avro
+        bin_ds = rd.read_binary_files(path, file_extensions=None)
+
+        def decode_xlsx(t: pa.Table, columns=columns) -> pa.Table:
+            from . import xlsxcodec
+
+            parts = []
+            for blob in t.column("bytes").to_pylist():
+                rows = xlsxcodec.read_xlsx(blob)
+                tab = pa.Table.from_pylist(rows)
+                if columns:
+                    tab = tab.select([c for c in columns
+                                      if c in tab.column_names])
+                parts.append(tab)
+            return pa.concat_tables(parts, promote_options="default")
+
+        ds = bin_ds.map_batches(decode_xlsx, batch_format="pyarrow",
+                                batch_size=1)
     elif f == "xml":
         # record-oriented XML (Wikipedia-dump shape): block-parallel by
         # file, streaming expat parse per file, leaf elements flattened
@@ -366,6 +386,25 @@ def write_table(ds, path: str, fmt: str = "parquet",
             with open(f"{path}/part-{i:05d}.binpb", "wb") as fh:
                 fh.write(pbcodec.write_delimited(batch.to_pylist(),
                                                  pb_schema))
+    elif fmt == "xlsx":
+        import os
+
+        from . import xlsxcodec
+
+        os.makedirs(path, exist_ok=True)
+        for i, batch in enumerate(ds.iter_batches(batch_format="pyarrow",
+                                                  batch_size=None)):
+            rows = []
+            for row in batch.to_pylist():
+                out = {}
+                for k, v in row.items():
+                    if hasattr(v, "isoformat"):  # timestamps → ISO text
+                        v = v.isoformat()
+                    out[k] = v
+                rows.append(out)
+            with open(f"{path}/part-{i:05d}.xlsx", "wb") as fh:
+                fh.write(xlsxcodec.write_xlsx(
+                    rows, columns=batch.column_names))
     elif fmt == "xml":
         import os
         from xml.sax.saxutils import escape

@@ -499,3 +499,48 @@ def test_compact_table(tmp_path):
     assert noop["files_after"] == 1
     assert _g.glob(f"{d}/*.parquet") == names      # untouched
     assert sources.read_table(d, fmt="parquet").count() == 4000
+
+
+def test_xlsx_roundtrip_and_types(ray_session, tmp_path):
+    """xlsxcodec: write → read preserves values and types (ints stay
+    int, floats float, strings through sharedStrings, bools, None gaps,
+    XML-escaping, A1-reference column gaps)."""
+    import ray.data as rd
+
+    from gitprov_ray import sources, xlsxcodec
+
+    rows = [{"a": 1, "b": 2.5, "c": "hello <&> 'world'", "d": True,
+             "e": None},
+            {"a": -7, "b": 0.125, "c": "héllo ünïcode", "d": False,
+             "e": "x"},
+            {"a": 10**12, "b": 1e-9, "c": "", "d": True, "e": None}]
+    blob = xlsxcodec.write_xlsx(rows)
+    back = xlsxcodec.read_xlsx(blob)
+    assert len(back) == 3
+    assert back[0]["a"] == 1 and isinstance(back[0]["a"], int)
+    assert back[1]["b"] == 0.125 and isinstance(back[1]["b"], float)
+    assert back[0]["c"] == "hello <&> 'world'"
+    assert back[1]["c"] == "héllo ünïcode"
+    assert back[0]["d"] is True and back[1]["d"] is False
+    assert back[0]["e"] is None and back[1]["e"] == "x"
+    assert back[2]["a"] == 10**12
+
+    # through the Dataset source family
+    ds = rd.from_items([{"k": i, "txt": f"row{i}", "v": i * 0.5}
+                        for i in range(20)])
+    out = str(tmp_path / "xl")
+    sources.write_table(ds, out, fmt="xlsx")
+    got = (sources.read_table(out, fmt="xlsx").to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    assert got["k"].tolist() == list(range(20))
+    assert got["txt"].tolist() == [f"row{i}" for i in range(20)]
+    assert (got["v"] == [i * 0.5 for i in range(20)]).all()
+
+    # column-gap cells resolve by A1 reference (hand-built sheet)
+    import io
+    import zipfile
+
+    buf = io.BytesIO(blob)
+    with zipfile.ZipFile(buf) as zf:
+        sheet = zf.read("xl/worksheets/sheet1.xml").decode()
+    assert 'r="A1"' in sheet and 'r="E2"' not in sheet  # None omitted
