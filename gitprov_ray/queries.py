@@ -6541,6 +6541,93 @@ def q_xlsx_roundtrip_events(sf_dir: str):
                      "n_users": "int64", "n_days": "int64"}))
 
 
+def q_mmr_select_docs(sf_dir: str):
+    """Maximal-marginal-relevance diverse selection (Carbonell &
+    Goldstein 1998, the diversity-sampling curation primitive) over the
+    embeddings table, in EXACT integers: coordinates milli-quantized;
+    relevance = −d2 to the truncated integer centroid; diversity = min
+    squared distance to the already-selected set; each round picks
+    argmax(min_sel_d2 − d2c), ties to the smallest vec_id, k=4.
+
+    Scale shape: centroid = one partial-sum pass (d ints per batch);
+    each selection round is one streaming pass emitting ONE best-row
+    partial per batch against the broadcast selected matrix (k-center
+    idiom) — nothing corpus-sized on the driver, zero shuffles. The
+    DuckDB twin chains the four rounds as CTEs on the same integer
+    arithmetic."""
+    import ray
+
+    K = 4
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def to_int(df: pd.DataFrame) -> np.ndarray:
+        v = np.stack(df["embedding"].to_numpy()) * 1000.0
+        return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+
+    # pass 1: truncated integer centroid from partial sums
+    def cent_part(df: pd.DataFrame) -> pd.DataFrame:
+        m = to_int(df)
+        out = {f"s{i}": np.int64(m[:, i].sum()) for i in range(m.shape[1])}
+        out["n"] = np.int64(len(df))
+        return pd.DataFrame([out])
+
+    agg = ds.map_batches(cent_part, batch_format="pandas").to_pandas()
+    n = int(agg["n"].sum())
+    d = len(agg.columns) - 1
+    cent = np.array([int(agg[f"s{i}"].sum()) // n for i in range(d)],
+                    np.int64)
+    cent_ref = ray.put(cent)
+
+    sel_ids: list[int] = []
+    sel_m = np.zeros((0, d), np.int64)
+    rows = []
+    for rank in range(1, K + 1):
+        sel_ref = ray.put(sel_m)
+
+        def best_part(df: pd.DataFrame, sel_ids=tuple(sel_ids)) \
+                -> pd.DataFrame:
+            df = df[~df["vec_id"].isin(sel_ids)]
+            if not len(df):
+                return pd.DataFrame({
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "d2c": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="int64")})
+            m = to_int(df)
+            c = ray.get(cent_ref)
+            d2c = ((m - c[None, :]) ** 2).sum(1)
+            sm = ray.get(sel_ref)
+            if len(sm):
+                d2s = ((m * m).sum(1)[:, None]
+                       + (sm * sm).sum(1)[None, :]
+                       - 2 * (m @ sm.T)).min(1)
+                score = d2s - d2c
+            else:
+                score = -d2c
+            # batch-best: max score, tie smallest id
+            order = np.lexsort((df["vec_id"].to_numpy(np.int64),
+                                -score))
+            b = order[0]
+            return pd.DataFrame({
+                "vec_id": df["vec_id"].to_numpy(np.int64)[b:b + 1],
+                "d2c": d2c[b:b + 1].astype(np.int64),
+                "score": score[b:b + 1].astype(np.int64)})
+
+        cand = (ds.map_batches(best_part, batch_format="pandas")
+                .to_pandas()
+                .sort_values(["score", "vec_id"],
+                             ascending=[False, True]))
+        top = cand.iloc[0]
+        sel_ids.append(int(top["vec_id"]))
+        rows.append({"sel_rank": np.int64(rank),
+                     "vec_id": np.int64(top["vec_id"]),
+                     "d2c": np.int64(top["d2c"])})
+        pick = ds.map_batches(
+            lambda df, vid=int(top["vec_id"]): df[df["vec_id"] == vid],
+            batch_format="pandas").to_pandas()
+        sel_m = np.concatenate([sel_m, to_int(pick)], axis=0)
+    return pd.DataFrame(rows).astype("int64")
+
+
 QUERIES = {
     # --- driver certification set (first 50): flagship + the round-3/4
     # operators never yet certified by a CORRECTNESS_r*.json (VERDICT r04 #1).
@@ -6649,6 +6736,7 @@ QUERIES = {
     "q_perceptron_docs": q_perceptron_docs,
     "q_bigram_coverage_docs": q_bigram_coverage_docs,
     "q_xlsx_roundtrip_events": q_xlsx_roundtrip_events,
+    "q_mmr_select_docs": q_mmr_select_docs,
     "q_cumsum_events": q_cumsum_events,
     "q_tfidf_top_terms": q_tfidf_top_terms,
     "q_rank_events": q_rank_events,
@@ -11165,3 +11253,59 @@ SELECT event_type,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
        CAST(COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT) AS n_days
 FROM events GROUP BY event_type ORDER BY event_type"""
+
+ORACLE_SQL["q_mmr_select_docs"] = """
+WITH e AS (
+  SELECT vec_id, unnest(embedding) AS v,
+         unnest(range(len(embedding))) AS i
+  FROM embeddings),
+q AS (
+  SELECT vec_id, i,
+         CAST(ROUND(CAST(v AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM e),
+c AS (
+  SELECT i, CAST(floor(CAST(SUM(q) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM embeddings)) AS BIGINT) AS cq
+  FROM q GROUP BY i),
+dc AS (
+  SELECT q.vec_id,
+         CAST(SUM((q.q - c.cq) * (q.q - c.cq)) AS BIGINT) AS d2c
+  FROM q JOIN c ON c.i = q.i GROUP BY q.vec_id),
+d2p AS (
+  SELECT a.vec_id AS pi, b.vec_id AS pj,
+         CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2
+  FROM q a JOIN q b ON a.i = b.i GROUP BY 1, 2),
+s1 AS (SELECT vec_id, d2c FROM dc ORDER BY d2c ASC, vec_id LIMIT 1),
+s2 AS (
+  SELECT d.vec_id, d.d2c
+  FROM dc d JOIN d2p p ON p.pi = d.vec_id
+                      AND p.pj = (SELECT vec_id FROM s1)
+  WHERE d.vec_id <> (SELECT vec_id FROM s1)
+  ORDER BY (p.d2 - d.d2c) DESC, d.vec_id LIMIT 1),
+s3 AS (
+  SELECT d.vec_id, d.d2c
+  FROM dc d JOIN (
+      SELECT p.pi AS v, MIN(p.d2) AS md FROM d2p p
+      WHERE p.pj IN (SELECT vec_id FROM s1
+                     UNION ALL SELECT vec_id FROM s2)
+      GROUP BY p.pi) m ON m.v = d.vec_id
+  WHERE d.vec_id NOT IN (SELECT vec_id FROM s1
+                         UNION ALL SELECT vec_id FROM s2)
+  ORDER BY (m.md - d.d2c) DESC, d.vec_id LIMIT 1),
+s4 AS (
+  SELECT d.vec_id, d.d2c
+  FROM dc d JOIN (
+      SELECT p.pi AS v, MIN(p.d2) AS md FROM d2p p
+      WHERE p.pj IN (SELECT vec_id FROM s1
+                     UNION ALL SELECT vec_id FROM s2
+                     UNION ALL SELECT vec_id FROM s3)
+      GROUP BY p.pi) m ON m.v = d.vec_id
+  WHERE d.vec_id NOT IN (SELECT vec_id FROM s1
+                         UNION ALL SELECT vec_id FROM s2
+                         UNION ALL SELECT vec_id FROM s3)
+  ORDER BY (m.md - d.d2c) DESC, d.vec_id LIMIT 1)
+SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id, d2c FROM s1
+UNION ALL SELECT CAST(2 AS BIGINT), vec_id, d2c FROM s2
+UNION ALL SELECT CAST(3 AS BIGINT), vec_id, d2c FROM s3
+UNION ALL SELECT CAST(4 AS BIGINT), vec_id, d2c FROM s4
+ORDER BY sel_rank"""
