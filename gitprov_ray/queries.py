@@ -6628,6 +6628,122 @@ def q_mmr_select_docs(sf_dir: str):
     return pd.DataFrame(rows).astype("int64")
 
 
+def q_domain_centroid_dist(sf_dir: str):
+    """Domain-similarity matrix (dataset-mixing diagnostics): per-source
+    integer-milli embedding centroid (floor-divided), then exact int64
+    squared distances between every source pair. Scale shape: pruned
+    reads of both tables, ONE normalized hash join on the id, then each
+    batch emits n_sources×d partial-sum rows — only (sources × dims)
+    ints reach the driver; the 20×20 distance matrix is driver-trivial.
+    Twin mirrors the floor-divide centroid arithmetic."""
+    from . import ops
+
+    import pyarrow as pa
+
+    def to_bytes_tbl(df: pd.DataFrame) -> "pa.Table":
+        # Arrow's hash join rejects list<float> payload columns — ship
+        # the vector as fixed-width bytes across the exchange
+        return pa.table({
+            "vec_id": pa.array(df["vec_id"].astype("int64")),
+            "emb_b": pa.array([np.asarray(e, np.float32).tobytes()
+                               for e in df["embedding"]], pa.binary())})
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .map_batches(to_bytes_tbl, batch_format="pandas")
+    docs = _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        lambda df: df.rename(columns={"doc_id": "vec_id"}),
+        batch_format="pandas")
+    emb_n = ops.materialize_normalized(
+        emb, pa.schema([("vec_id", pa.int64()), ("emb_b", pa.binary())]))
+    docs_n = ops.materialize_normalized(
+        docs, pa.schema([("vec_id", pa.int64()),
+                         ("source", pa.string())]))
+    joined = emb_n.join(docs_n, "inner", ops._default_partitions(),
+                        on=("vec_id",))
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.stack([np.frombuffer(b, np.float32)
+                      for b in df["emb_b"]]).astype(np.float64) * 1000.0
+        m = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        out = []
+        for src, idx in df.groupby("source").indices.items():
+            s = m[idx].sum(0)
+            row = {"source": src, "n": np.int64(len(idx))}
+            row.update({f"s{i}": np.int64(s[i]) for i in range(m.shape[1])})
+            out.append(row)
+        return pd.DataFrame(out)
+
+    agg = joined.map_batches(part, batch_format="pandas").to_pandas()
+    d = len([c for c in agg.columns
+             if c[0] == "s" and c[1:].isdigit()])
+    g = agg.groupby("source", as_index=False).sum()
+    cents = {}
+    for _, r in g.iterrows():
+        n = int(r["n"])
+        cents[r["source"]] = np.array(
+            [int(r[f"s{i}"]) // n for i in range(d)], np.int64)
+    rows = []
+    srcs = sorted(cents)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            diff = cents[a] - cents[b]
+            rows.append({"src_a": a, "src_b": b,
+                         "d2": np.int64((diff * diff).sum())})
+    out = pd.DataFrame(rows).astype({"d2": "int64"})
+    return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
+
+
+def q_record_linkage_customers(sf_dir: str):
+    """Deterministic Fellegi–Sunter-style record linkage over the
+    customer table: candidate pairs BLOCK on c_nationkey (the classic
+    blocking key — only within-block pairs are ever scored), integer
+    agreement weights per field (+30 same market segment, +25 account
+    balance within 1000.00 as integer cents, +20 matching custkey%100
+    check digits), pairs scoring ≥ 45 reported, top 20 by (weight desc,
+    a, b). One bucketed exchange on the blocking key; within-block
+    scoring is vectorized; pair rows never leave their block."""
+    from .stages.versions import stable_bucket
+
+    ds = _read(sf_dir, "customer",
+               ["c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["c_nationkey"].astype(str)
+        return df.assign(bucket=stable_bucket(key, key, 32))
+
+    def score_block(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby("c_nationkey"):
+            g = g.sort_values("c_custkey")
+            k = g["c_custkey"].to_numpy(np.int64)
+            seg = g["c_mktsegment"].to_numpy()
+            cents = np.round(g["c_acctbal"].to_numpy() * 100) \
+                .astype(np.int64)
+            dig = k % 100
+            n = len(g)
+            for i in range(n - 1):
+                w = (30 * (seg[i + 1:] == seg[i]).astype(np.int64)
+                     + 25 * (np.abs(cents[i + 1:] - cents[i])
+                             < 100_000).astype(np.int64)
+                     + 20 * (dig[i + 1:] == dig[i]).astype(np.int64))
+                hit = np.nonzero(w >= 45)[0]
+                for j in hit:
+                    out.append((int(k[i]), int(k[i + 1 + j]), int(w[j])))
+        return pd.DataFrame(out, columns=["cust_a", "cust_b", "weight"]) \
+            .astype("int64") if out else pd.DataFrame({
+                "cust_a": pd.Series([], dtype="int64"),
+                "cust_b": pd.Series([], dtype="int64"),
+                "weight": pd.Series([], dtype="int64")})
+
+    pairs = (ds.map_batches(bucketize, batch_format="pandas")
+             .groupby("bucket")
+             .map_groups(lambda df: score_block(df.drop(columns="bucket")),
+                         batch_format="pandas")).to_pandas()
+    return (pairs.sort_values(["weight", "cust_a", "cust_b"],
+                              ascending=[False, True, True])
+            .head(20).reset_index(drop=True))
+
+
 QUERIES = {
     # --- driver certification set (first 50): flagship + the round-3/4
     # operators never yet certified by a CORRECTNESS_r*.json (VERDICT r04 #1).
@@ -6737,6 +6853,8 @@ QUERIES = {
     "q_bigram_coverage_docs": q_bigram_coverage_docs,
     "q_xlsx_roundtrip_events": q_xlsx_roundtrip_events,
     "q_mmr_select_docs": q_mmr_select_docs,
+    "q_domain_centroid_dist": q_domain_centroid_dist,
+    "q_record_linkage_customers": q_record_linkage_customers,
     "q_cumsum_events": q_cumsum_events,
     "q_tfidf_top_terms": q_tfidf_top_terms,
     "q_rank_events": q_rank_events,
@@ -11309,3 +11427,39 @@ UNION ALL SELECT CAST(2 AS BIGINT), vec_id, d2c FROM s2
 UNION ALL SELECT CAST(3 AS BIGINT), vec_id, d2c FROM s3
 UNION ALL SELECT CAST(4 AS BIGINT), vec_id, d2c FROM s4
 ORDER BY sel_rank"""
+
+ORACLE_SQL["q_domain_centroid_dist"] = """
+WITH e AS (
+  SELECT d.source, em.vec_id, unnest(em.embedding) AS v,
+         unnest(range(len(em.embedding))) AS i
+  FROM embeddings em JOIN documents d ON d.doc_id = em.vec_id),
+q AS (
+  SELECT source, i,
+         CAST(ROUND(CAST(v AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM e),
+c AS (
+  SELECT source, i,
+         CAST(floor(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+  FROM q GROUP BY source, i)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(SUM((a.cq - b.cq) * (a.cq - b.cq)) AS BIGINT) AS d2
+FROM c a JOIN c b ON a.i = b.i AND a.source < b.source
+GROUP BY 1, 2 ORDER BY src_a, src_b"""
+
+ORACLE_SQL["q_record_linkage_customers"] = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
+         c_custkey % 100 AS dig
+  FROM customer)
+SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       CAST(CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 30 ELSE 0 END
+          + CASE WHEN abs(a.cents - b.cents) < 100000 THEN 25 ELSE 0 END
+          + CASE WHEN a.dig = b.dig THEN 20 ELSE 0 END AS BIGINT)
+           AS weight
+FROM c a JOIN c b ON a.c_nationkey = b.c_nationkey
+                 AND b.c_custkey > a.c_custkey
+WHERE CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 30 ELSE 0 END
+    + CASE WHEN abs(a.cents - b.cents) < 100000 THEN 25 ELSE 0 END
+    + CASE WHEN a.dig = b.dig THEN 20 ELSE 0 END >= 45
+ORDER BY weight DESC, cust_a, cust_b LIMIT 20"""
