@@ -940,6 +940,11 @@ def parse_select(query: str) -> dict:
         predicate only."""
         nonlocal fresh_n, union_branches
         s = take()
+        if s.upper() == "SERVICE":              # §13 federation needs a
+            raise SparqlSyntaxError(            # remote HTTP endpoint
+                "SERVICE federation requires network access to a remote "
+                "SPARQL endpoint — out of scope for this engine "
+                "(evaluate the remote pattern there and join via VALUES)")
         if peek() == "!":                       # !p / !(p1|p2) — §9.1 negated
             take()                              # property set (forward only)
             preds = []
@@ -998,15 +1003,21 @@ def parse_select(query: str) -> dict:
             if peek() in ("+", "*", "?", "{"):  # arbitrary-length path (§9)
                 if peek() == "{":               # quantifier p{n}, p{n,m},
                     take("{")                   # p{n,}, p{,m} (Jena ARQ
-                    t0 = take()                 # syntax — the reference
-                    if t0 == ",":               # delegates to Jena)
-                        lo, hi = 0, int(take())
-                    else:
-                        lo = int(t0)
-                        hi: int | None = lo
-                        if peek() == ",":
-                            take()
-                            hi = None if peek() == "}" else int(take())
+                    try:                        # syntax — the reference
+                        t0 = take()             # delegates to Jena)
+                        if t0 == ",":
+                            lo, hi = 0, int(take())
+                        else:
+                            lo = int(t0)
+                            hi: int | None = lo
+                            if peek() == ",":
+                                take()
+                                hi = None if peek() == "}" \
+                                    else int(take())
+                    except ValueError:
+                        raise SparqlSyntaxError(
+                            "path quantifier wants {n}, {n,m}, {n,} or "
+                            "{,m} after the predicate")
                     take("}")
                     if hi is not None and hi < lo:
                         raise SparqlSyntaxError(
