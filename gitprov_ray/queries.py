@@ -6744,6 +6744,47 @@ def q_record_linkage_customers(sf_dir: str):
             .head(20).reset_index(drop=True))
 
 
+def q_group_sample_docs(sf_dir: str):
+    """Exact-k-per-group deterministic sampling (pick k=3 docs per
+    source by md5 priority — the 'k examples per domain' curation
+    primitive; hash order ≙ uniform-without-replacement but
+    reproducible). One bucketed exchange on the group key; the per-group
+    head runs inside the group — no global sort, no driver state."""
+    import hashlib
+
+    from .stages.versions import stable_bucket
+
+    K = 3
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def pri(df: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(f"gs|{d}".encode()).hexdigest()[:16]
+             for d in df["doc_id"]]
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "source": df["source"],
+                             "pri": pd.Series(h, dtype=object)})
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["source"].astype(str)
+        return df.assign(bucket=stable_bucket(key, key, 32))
+
+    def head_k(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "pri", "doc_id"],
+                            kind="mergesort")
+        out = df.groupby("source", sort=True).head(K)
+        out = out.assign(pick_rank=out.groupby("source").cumcount()
+                         .astype("int64") + 1)
+        return out[["source", "pick_rank", "doc_id"]].astype(
+            {"doc_id": "int64", "pick_rank": "int64"})
+
+    return (ds.map_batches(pri, batch_format="pandas")
+            .map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda df: head_k(df.drop(columns="bucket")),
+                        batch_format="pandas")
+            .sort(["source", "pick_rank"]))
+
+
 QUERIES = {
     # --- driver certification set (first 50): flagship + the round-3/4
     # operators never yet certified by a CORRECTNESS_r*.json (VERDICT r04 #1).
@@ -6855,6 +6896,7 @@ QUERIES = {
     "q_mmr_select_docs": q_mmr_select_docs,
     "q_domain_centroid_dist": q_domain_centroid_dist,
     "q_record_linkage_customers": q_record_linkage_customers,
+    "q_group_sample_docs": q_group_sample_docs,
     "q_cumsum_events": q_cumsum_events,
     "q_tfidf_top_terms": q_tfidf_top_terms,
     "q_rank_events": q_rank_events,
@@ -11463,3 +11505,17 @@ WHERE CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 30 ELSE 0 END
     + CASE WHEN abs(a.cents - b.cents) < 100000 THEN 25 ELSE 0 END
     + CASE WHEN a.dig = b.dig THEN 20 ELSE 0 END >= 45
 ORDER BY weight DESC, cust_a, cust_b LIMIT 20"""
+
+ORACLE_SQL["q_group_sample_docs"] = """
+WITH p AS (
+  SELECT doc_id, source,
+         substr(md5('gs|' || CAST(doc_id AS VARCHAR)), 1, 16) AS pri
+  FROM documents),
+r AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY pri, doc_id) AS pick_rank
+  FROM p)
+SELECT source, CAST(pick_rank AS BIGINT) AS pick_rank,
+       CAST(doc_id AS BIGINT) AS doc_id
+FROM r WHERE pick_rank <= 3 ORDER BY source, pick_rank"""
