@@ -73,6 +73,17 @@ def _tokenize_batch_arrow(texts) -> tuple[np.ndarray, np.ndarray]:
     seg_lens = pc.list_value_length(toks).to_numpy(
         zero_copy_only=False).astype(np.int64)
     flat = pc.list_flatten(toks)
+    # pyarrow 16.1 utf8_split_whitespace has a state-dependent bug on
+    # texts ENDING in whitespace: after certain prior kernel
+    # executions in the same process, the final token keeps its
+    # trailing separator ("all " instead of "all" + trailing "") —
+    # nondeterministically per process, which made identical documents
+    # hash to 63/64-matching MinHash signatures depending on which
+    # worker computed them. Trimming each flattened token is a no-op
+    # on correct kernel output and repairs the corrupt one (split
+    # tokens contain no interior whitespace by construction); the
+    # empty-filter below then drops separator residue either way.
+    flat = pc.utf8_trim_whitespace(flat)
     nonempty = pc.not_equal(flat, "")
     mask = nonempty.to_numpy(zero_copy_only=False).astype(np.int64)
     counts = np.zeros(len(seg_lens), np.int64)

@@ -1,5 +1,6 @@
 """Agent canonicalization: linking + distributed rewrite."""
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -307,3 +308,28 @@ def test_arrow_tokenization_matches_python_twin(ray_session):
     # and therefore identical signatures end to end
     sig_now = L._signatures_matrix(texts)
     assert sig_now.shape == (len(texts), L._K)
+
+
+def test_tokenize_stable_under_kernel_state_poisoning():
+    """pyarrow 16.1 utf8_split_whitespace regression: on texts ending in
+    whitespace, the kernel's final-token boundary handling is
+    state-dependent — after certain prior executions the last token
+    keeps its trailing separator, silently flipping MinHash signatures
+    per worker process. The trim-after-flatten guard must hold the
+    signature bit-stable through the exact poisoning sequence (a sliced
+    multi-hundred-row batch, which reproduced the flip 12/12 pre-fix)."""
+    import pyarrow as pa
+
+    from gitprov_ray import linking as L
+
+    text = ("the same boilerplate paragraph repeated across mirror "
+            "hosts word for word with no variation at all ") * 3
+    ref = L.minhash_signature(text)
+    tbl = pa.table({"text": pa.array([text] * 260)})
+    for _ in range(10):
+        sigs = L._signatures_matrix(tbl.slice(65, 65).column("text"))
+        assert all(np.array_equal(s, ref) for s in sigs)
+        assert np.array_equal(L.minhash_signature(text), ref)
+    # and no token may ever carry residual whitespace
+    th_direct, cnt = L._tokenize_batch_arrow([text, "a b ", " c  d "])
+    assert list(cnt) == [48, 2, 2]
