@@ -430,6 +430,11 @@ class _PicCtx:
         self.deblock = (1, 0, 0)
         self.ref_pids0: list | None = None
         self.ref_pids1: list | None = None
+        # explicit weighted prediction (§8.4.2.3.2): per-list
+        # pred_weight_table as parsed by h264inter._parse_pred_weight_table
+        # (None = default unweighted prediction)
+        self.wp0: dict | None = None
+        self.wp1: dict | None = None
 
 
 class _RefPic:
@@ -863,7 +868,8 @@ def _sps_rbsp(w: int, h: int, num_ref: int = 1) -> bytes:
     return bw.trailing()
 
 
-def _pps_rbsp() -> bytes:
+def _pps_rbsp(weighted_pred: bool = False,
+              weighted_bipred: int = 0) -> bytes:
     bw = _BitWriter()
     bw.ue(0)                                  # pps_id
     bw.ue(0)                                  # sps_id
@@ -872,8 +878,8 @@ def _pps_rbsp() -> bytes:
     bw.ue(0)                                  # one slice group
     bw.ue(0)
     bw.ue(0)                                  # ref idx defaults
-    bw.u(0, 1)                                # weighted_pred
-    bw.u(0, 2)                                # weighted_bipred
+    bw.u(1 if weighted_pred else 0, 1)        # weighted_pred
+    bw.u(weighted_bipred, 2)                  # weighted_bipred
     bw.se(0)                                  # pic_init_qp-26
     bw.se(0)                                  # pic_init_qs-26
     bw.se(0)                                  # chroma_qp_offset
@@ -1284,10 +1290,13 @@ def encode_annexb(frames: list[np.ndarray]) -> bytes:
     return b"".join(out)
 
 
-def avcc_config(w: int, h: int, num_ref: int = 1) -> bytes:
+def avcc_config(w: int, h: int, num_ref: int = 1,
+                weighted_pred: bool = False,
+                weighted_bipred: int = 0) -> bytes:
     """avcC decoder-configuration record for the fixture SPS/PPS."""
     sps = _nal(7, _sps_rbsp(w, h, num_ref))
-    pps = _nal(8, _pps_rbsp())
+    pps = _nal(8, _pps_rbsp(weighted_pred=weighted_pred,
+                            weighted_bipred=weighted_bipred))
     return (bytes([1, 66, 0xC0, 20, 0xFF, 0xE1])
             + struct.pack(">H", len(sps)) + sps
             + bytes([1]) + struct.pack(">H", len(pps)) + pps)

@@ -38,8 +38,13 @@ emission, and optional forced partition cycling so every decode path
 is exercised; reconstruction is pinned pixel-exact against the decoder
 by tests.
 
+Explicit weighted prediction is REAL (§7.3.3.2 pred_weight_table +
+§8.4.2.3.2 weighted sample prediction — P uni-weighting and
+weighted_bipred_idc 1 in B slices, including P_Skip/B_Skip/direct
+MBs, encoder and decoder, pixel-exact round-trips under fades).
+
 Declared stubs kept honest: CABAC, SP/SI slices, temporal direct,
-weighted/implicit biprediction, MMCO/list modification,
+IMPLICIT (POC-derived) biprediction, MMCO/list modification,
 constrained_intra_pred in inter slices, multi-slice pictures — each
 raises NotImplementedError naming the tool. The in-loop deblocking
 filter is not applied (fixtures disable it).
@@ -248,11 +253,74 @@ def _te(r, cmax: int) -> int:
 # P-slice decoder
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# explicit weighted prediction (§7.3.3.2 pred_weight_table, §8.4.2.3.2)
+# ---------------------------------------------------------------------------
+
+
+def _parse_pred_weight_table(r, nrefs: int, ld: int, cd: int):
+    """Per-list body of pred_weight_table (§7.3.3.2) AFTER the shared
+    denominators → {"ld", "cd", "e": [(wy,oy,wcb,ocb,wcr,ocr)]}."""
+    entries = []
+    for _ in range(nrefs):
+        wy, oy = 1 << ld, 0
+        if r.u(1):                            # luma_weight_l_flag
+            wy, oy = r.se(), r.se()
+        wcb, ocb, wcr, ocr = 1 << cd, 0, 1 << cd, 0
+        if r.u(1):                            # chroma_weight_l_flag
+            wcb, ocb = r.se(), r.se()
+            wcr, ocr = r.se(), r.se()
+        entries.append((wy, oy, wcb, ocb, wcr, ocr))
+    return {"ld": ld, "cd": cd, "e": entries}
+
+
+def _write_pred_weight_entries(bw, wp: dict):
+    """Encoder twin of _parse_pred_weight_table (per-list entries)."""
+    ld, cd = wp["ld"], wp["cd"]
+    for wy, oy, wcb, ocb, wcr, ocr in wp["e"]:
+        if (wy, oy) != (1 << ld, 0):
+            bw.u(1, 1)
+            bw.se(wy)
+            bw.se(oy)
+        else:
+            bw.u(0, 1)
+        if (wcb, ocb, wcr, ocr) != (1 << cd, 0, 1 << cd, 0):
+            bw.u(1, 1)
+            bw.se(wcb)
+            bw.se(ocb)
+            bw.se(wcr)
+            bw.se(ocr)
+        else:
+            bw.u(0, 1)
+
+
+def _wp_uni(p: np.ndarray, w: int, o: int, logwd: int) -> np.ndarray:
+    """§8.4.2.3.2 eq. 8-269/8-271 single-list explicit weighting.
+    numpy >> on int32 is arithmetic, matching the spec's >>."""
+    p32 = p.astype(np.int32)
+    if logwd >= 1:
+        v = ((p32 * w + (1 << (logwd - 1))) >> logwd) + o
+    else:
+        v = p32 * w + o
+    return np.clip(v, 0, 255).astype(np.uint8)
+
+
+def _wp_bi(p0: np.ndarray, p1: np.ndarray, w0: int, o0: int,
+           w1: int, o1: int, logwd: int) -> np.ndarray:
+    """§8.4.2.3.2 eq. 8-273 bi-predictive explicit weighting."""
+    v = ((p0.astype(np.int32) * w0 + p1.astype(np.int32) * w1
+          + (1 << logwd)) >> (logwd + 1)) + ((o0 + o1 + 1) >> 1)
+    return np.clip(v, 0, 255).astype(np.uint8)
+
+
 def _apply_parts(ctx, refs, mbx: int, mby: int, parts, pred_y, pred_cb,
                  pred_cr):
     """Motion-compensate each (x4, y4, w4, h4, refidx, mvx, mvy)
     partition into the MB-local prediction buffers and commit its
-    motion to the per-4x4 grids (later partitions predict from it)."""
+    motion to the per-4x4 grids (later partitions predict from it).
+    With ctx.wp0 set (P slice, weighted_pred_flag) each component is
+    explicitly weighted per §8.4.2.3.2 — P_Skip MBs route through here
+    too, so they weight exactly as the spec requires."""
     for x4, y4, w4, h4, ri, mvx, mvy in parts:
         if ri >= len(refs):
             raise ValueError(
@@ -260,13 +328,18 @@ def _apply_parts(ctx, refs, mbx: int, mby: int, parts, pred_y, pred_cb,
                 "frames decoded")
         ry, rcb, rcr = refs[ri].Y, refs[ri].Cb, refs[ri].Cr
         px, py = mbx * 16 + x4 * 4, mby * 16 + y4 * 4
-        pred_y[y4 * 4:(y4 + h4) * 4, x4 * 4:(x4 + w4) * 4] = \
-            mc_luma(ry, px, py, mvx, mvy, w4 * 4, h4 * 4)
+        py_ = mc_luma(ry, px, py, mvx, mvy, w4 * 4, h4 * 4)
         cx, cy = mbx * 8 + x4 * 2, mby * 8 + y4 * 2
-        pred_cb[y4 * 2:(y4 + h4) * 2, x4 * 2:(x4 + w4) * 2] = \
-            mc_chroma(rcb, cx, cy, mvx, mvy, w4 * 2, h4 * 2)
-        pred_cr[y4 * 2:(y4 + h4) * 2, x4 * 2:(x4 + w4) * 2] = \
-            mc_chroma(rcr, cx, cy, mvx, mvy, w4 * 2, h4 * 2)
+        pcb = mc_chroma(rcb, cx, cy, mvx, mvy, w4 * 2, h4 * 2)
+        pcr = mc_chroma(rcr, cx, cy, mvx, mvy, w4 * 2, h4 * 2)
+        if ctx.wp0 is not None:
+            wy, oy, wcb, ocb, wcr, ocr = ctx.wp0["e"][ri]
+            py_ = _wp_uni(py_, wy, oy, ctx.wp0["ld"])
+            pcb = _wp_uni(pcb, wcb, ocb, ctx.wp0["cd"])
+            pcr = _wp_uni(pcr, wcr, ocr, ctx.wp0["cd"])
+        pred_y[y4 * 4:(y4 + h4) * 4, x4 * 4:(x4 + w4) * 4] = py_
+        pred_cb[y4 * 2:(y4 + h4) * 2, x4 * 2:(x4 + w4) * 2] = pcb
+        pred_cr[y4 * 2:(y4 + h4) * 2, x4 * 2:(x4 + w4) * 2] = pcr
         bx, by = mbx * 4 + x4, mby * 4 + y4
         ctx.mvx[by:by + h4, bx:bx + w4] = mvx
         ctx.mvy[by:by + h4, bx:bx + w4] = mvy
@@ -424,9 +497,11 @@ def decode_slice_p(rbsp: bytes, sps: dict, pps: dict, nal_ref_idc: int,
     if r.u(1):                                # ref_pic_list_modification
         raise NotImplementedError(
             "H.264 reference picture list modification not supported")
-    if pps["weighted_pred"]:
-        raise NotImplementedError(
-            "H.264 weighted prediction (pred_weight_table) not supported")
+    wp0 = None
+    if pps["weighted_pred"]:                  # pred_weight_table (§7.3.3.2)
+        ld = r.ue()                           # luma_log2_weight_denom
+        cd = r.ue()                           # chroma_log2_weight_denom
+        wp0 = _parse_pred_weight_table(r, num_ref, ld, cd)
     if nal_ref_idc:
         if r.u(1):                            # adaptive marking (MMCO)
             raise NotImplementedError(
@@ -443,6 +518,7 @@ def decode_slice_p(rbsp: bytes, sps: dict, pps: dict, nal_ref_idc: int,
     ctx.qp = qp
     ctx.deblock = deblock
     ctx.ref_pids0 = [id(rp) for rp in refs]
+    ctx.wp0 = wp0
     total = ctx.mb_w * ctx.mb_h
     mb = 0
     while mb < total:
@@ -577,7 +653,8 @@ def _write_chroma_bits(hi, bw, ctx, mbx, mby, cbp_chroma, dcq_cb, dcq_cr,
 
 def encode_p_slice(arr: np.ndarray, refs: list, qp: int, frame_num: int,
                    sps: dict, pps: dict, partition_cycle: bool = False,
-                   intra_every: int = 0, deblock: bool = False):
+                   intra_every: int = 0, deblock: bool = False,
+                   wp: dict | None = None):
     """One conforming P slice predicting from ``refs[0]`` → (rbsp,
     recon planes, recon RGB). Per MB: real motion search (integer ±4 +
     sub-pel refinement through the decoder's own interpolators), P_Skip
@@ -597,6 +674,10 @@ def encode_p_slice(arr: np.ndarray, refs: list, qp: int, frame_num: int,
     Ys, Cbs, Crs = H._rgb_to_yuv(pad)
     ctx = H._PicCtx(sps, pps)
     ctx.qp = qp
+    if pps["weighted_pred"]:
+        if wp is None:                        # identity weights
+            wp = {"ld": 0, "cd": 0, "e": [(1, 0, 1, 0, 1, 0)]}
+        ctx.wp0 = wp                          # _apply_parts weights recon
     Yr, Cbr, Crr = ctx.Y, ctx.Cb, ctx.Cr
     ref0 = refs[0]
     refY = ref0.Y
@@ -612,6 +693,10 @@ def encode_p_slice(arr: np.ndarray, refs: list, qp: int, frame_num: int,
         bw.u(0, sps["log2_max_poc_lsb"])
     bw.u(0, 1)                                # no num_ref_idx override
     bw.u(0, 1)                                # no list modification
+    if pps["weighted_pred"]:                  # pred_weight_table
+        bw.ue(wp["ld"])
+        bw.ue(wp["cd"])
+        _write_pred_weight_entries(bw, wp)
     bw.u(0, 1)                                # sliding-window marking
     bw.se(qp - pps["init_qp"])                # slice_qp_delta
     if pps["deblock_ctrl"]:
@@ -771,16 +856,28 @@ def encode_p_slice(arr: np.ndarray, refs: list, qp: int, frame_num: int,
     return bw.trailing(), _enc_ref((Yr, Cbr, Crr), ctx), recon
 
 
+# deterministic non-trivial explicit weight tables for the weighted
+# GOP fixtures (denom 5 → luma 40/32 = 1.25× with −8 offset etc.);
+# the residual layer absorbs the prediction change, so ANY weights
+# round-trip — these just make sure every weighted term is non-default
+_WP_FIXTURE_P = {"ld": 5, "cd": 5, "e": [(40, -8, 28, 4, 36, -2)]}
+_WP_FIXTURE_B0 = {"ld": 4, "cd": 5, "e": [(20, 5, 30, -6, 34, 3)]}
+_WP_FIXTURE_B1 = {"ld": 4, "cd": 5, "e": [(12, -3, 36, 2, 28, -5)]}
+
+
 def encode_gop_annexb(frames: list, qp: int = 26, gop: int = 8,
                       partition_cycle: bool = False, intra_every: int = 0,
                       mix_i4: bool = True, bframes: bool = False,
-                      deblock: bool = False):
+                      deblock: bool = False, weighted: bool = False):
     """RGB frames → (conforming Annex-B IDR+P(+B) stream, reconstructed
     frames). Frame 0 and every ``gop``-th frame are CAVLC intra IDRs;
     the rest are P slices predicting from the previous reconstruction —
     with ``bframes``, every second inter frame is a NON-REFERENCE B
     slice (spatial direct, low-delay: both references in the past, so
-    decode order == output order; SPS carries two reference frames)."""
+    decode order == output order; SPS carries two reference frames).
+    ``weighted`` turns on explicit weighted prediction (PPS
+    weighted_pred_flag, and weighted_bipred_idc 1 when B slices are
+    on) with the non-default fixture tables above."""
     from . import h264codec as H
 
     if not frames:
@@ -789,7 +886,10 @@ def encode_gop_annexb(frames: list, qp: int = 26, gop: int = 8,
     if w % 2 or h % 2:
         raise ValueError("H.264 4:2:0 needs even dimensions")
     num_ref = 2 if bframes else 1
-    sps_r, pps_r = H._sps_rbsp(w, h, num_ref), H._pps_rbsp()
+    sps_r = H._sps_rbsp(w, h, num_ref)
+    pps_r = H._pps_rbsp(
+        weighted_pred=weighted,
+        weighted_bipred=1 if (weighted and bframes) else 0)
     sps, pps = H.parse_sps(sps_r), H.parse_pps(pps_r)
     sc = b"\x00\x00\x00\x01"
     out = [sc + H._nal(7, sps_r), sc + H._nal(8, pps_r)]
@@ -810,13 +910,16 @@ def encode_gop_annexb(frames: list, qp: int = 26, gop: int = 8,
             rbsp, recon = encode_b_slice(
                 f, refs, qp, frame_num, sps, pps,
                 partition_cycle=partition_cycle, intra_every=intra_every,
-                deblock=deblock)
+                deblock=deblock,
+                wp0=_WP_FIXTURE_B0 if weighted else None,
+                wp1=_WP_FIXTURE_B1 if weighted else None)
             out.append(sc + H._nal(1, rbsp, ref_idc=0))
         else:
             rbsp, ref, recon = encode_p_slice(
                 f, refs, qp, frame_num, sps, pps,
                 partition_cycle=partition_cycle, intra_every=intra_every,
-                deblock=deblock)
+                deblock=deblock,
+                wp=_WP_FIXTURE_P if weighted else None)
             out.append(sc + H._nal(1, rbsp, ref_idc=2))
             refs.insert(0, ref)
             del refs[num_ref:]
@@ -828,7 +931,8 @@ def encode_gop_annexb(frames: list, qp: int = 26, gop: int = 8,
 def encode_gop_samples(frames: list, qp: int = 26, gop: int = 8,
                        partition_cycle: bool = False,
                        intra_every: int = 0, mix_i4: bool = True,
-                       bframes: bool = False, deblock: bool = False):
+                       bframes: bool = False, deblock: bool = False,
+                       weighted: bool = False):
     """Length-prefixed avc1 samples for the MP4 route → (samples,
     recon frames, sync flags). sync[i] is True for IDR samples (feeds
     the stss box)."""
@@ -841,7 +945,9 @@ def encode_gop_samples(frames: list, qp: int = 26, gop: int = 8,
     h, w = frames[0].shape[:2]
     num_ref = 2 if bframes else 1
     sps = H.parse_sps(H._sps_rbsp(w, h, num_ref))
-    pps = H.parse_pps(H._pps_rbsp())
+    pps = H.parse_pps(H._pps_rbsp(
+        weighted_pred=weighted,
+        weighted_bipred=1 if (weighted and bframes) else 0))
     out, recons, sync = [], [], []
     refs: list = []
     frame_num = 0
@@ -992,11 +1098,16 @@ def _apply_parts_b(ctx, L0, L1, mbx: int, mby: int, parts, pred_y,
                    pred_cb, pred_cr, commit: bool = True):
     """Motion-compensate bi-predictive partitions into the MB-local
     buffers: per list MC through the shared interpolators, default
-    (p0+p1+1)>>1 bi combination (§8.4.2.3, no weighting). With
+    (p0+p1+1)>>1 bi combination (§8.4.2.3, no weighting) — or, when
+    ctx.wp0/wp1 carry explicit pred_weight_tables
+    (weighted_bipred_idc 1), the §8.4.2.3.2 weighted forms: uni-list
+    parts weight through their list's table, bi parts combine with
+    eq. 8-273. Direct/B_Skip partitions route through here too. With
     ``commit``, the per-list motion grids are updated (unused lists
     are marked refIdx −1)."""
     for x4, y4, w4, h4, p0, p1 in parts:
         preds = []
+        used = []
         for lst, p, refs in ((0, p0, L0), (1, p1, L1)):
             bx, by = mbx * 4 + x4, mby * 4 + y4
             gx, gy, gr = _grids(ctx, lst)
@@ -1019,16 +1130,36 @@ def _apply_parts_b(ctx, L0, L1, mbx: int, mby: int, parts, pred_y,
                           mvx, mvy, w4 * 2, h4 * 2),
                 mc_chroma(ref.Cr, mbx * 8 + x4 * 2, mby * 8 + y4 * 2,
                           mvx, mvy, w4 * 2, h4 * 2)))
+            used.append((lst, ri))
             if commit:
                 gx[by:by + h4, bx:bx + w4] = mvx
                 gy[by:by + h4, bx:bx + w4] = mvy
                 gr[by:by + h4, bx:bx + w4] = ri
+        wp_on = ctx.wp0 is not None and ctx.wp1 is not None
         if len(preds) == 2:
-            py_, pcb, pcr = (
-                ((a.astype(np.int16) + b + 1) >> 1).astype(np.uint8)
-                for a, b in zip(preds[0], preds[1]))
+            if wp_on:
+                e0 = ctx.wp0["e"][used[0][1]]
+                e1 = ctx.wp1["e"][used[1][1]]
+                ld, cd = ctx.wp0["ld"], ctx.wp0["cd"]
+                py_ = _wp_bi(preds[0][0], preds[1][0],
+                             e0[0], e0[1], e1[0], e1[1], ld)
+                pcb = _wp_bi(preds[0][1], preds[1][1],
+                             e0[2], e0[3], e1[2], e1[3], cd)
+                pcr = _wp_bi(preds[0][2], preds[1][2],
+                             e0[4], e0[5], e1[4], e1[5], cd)
+            else:
+                py_, pcb, pcr = (
+                    ((a.astype(np.int16) + b + 1) >> 1).astype(np.uint8)
+                    for a, b in zip(preds[0], preds[1]))
         else:
             py_, pcb, pcr = preds[0]
+            if wp_on:
+                lst, ri = used[0]
+                wp = ctx.wp0 if lst == 0 else ctx.wp1
+                wy, oy, wcb, ocb, wcr, ocr = wp["e"][ri]
+                py_ = _wp_uni(py_, wy, oy, wp["ld"])
+                pcb = _wp_uni(pcb, wcb, ocb, wp["cd"])
+                pcr = _wp_uni(pcr, wcr, ocr, wp["cd"])
         pred_y[y4 * 4:(y4 + h4) * 4, x4 * 4:(x4 + w4) * 4] = py_
         pred_cb[y4 * 2:(y4 + h4) * 2, x4 * 2:(x4 + w4) * 2] = pcb
         pred_cr[y4 * 2:(y4 + h4) * 2, x4 * 2:(x4 + w4) * 2] = pcr
@@ -1180,12 +1311,17 @@ def decode_slice_b(rbsp: bytes, sps: dict, pps: dict, nal_ref_idc: int,
     if r.u(1):                                # list1 modification
         raise NotImplementedError(
             "H.264 reference picture list modification not supported")
-    if pps["weighted_bipred"] == 1:
-        raise NotImplementedError(
-            "H.264 explicit weighted biprediction not supported")
+    wp0 = wp1 = None
+    if pps["weighted_bipred"] == 1:           # explicit (§7.3.3.2)
+        ld = r.ue()                           # luma_log2_weight_denom
+        cd = r.ue()                           # chroma_log2_weight_denom
+        wp0 = _parse_pred_weight_table(r, nref0, ld, cd)
+        wp1 = _parse_pred_weight_table(r, nref1, ld, cd)
     if pps["weighted_bipred"] == 2:
         raise NotImplementedError(
-            "H.264 implicit weighted biprediction not supported")
+            "H.264 implicit weighted biprediction not supported "
+            "(needs POC-distance bookkeeping this low-delay decoder "
+            "does not track)")
     if nal_ref_idc:
         if r.u(1):
             raise NotImplementedError(
@@ -1204,6 +1340,7 @@ def decode_slice_b(rbsp: bytes, sps: dict, pps: dict, nal_ref_idc: int,
     ctx.deblock = deblock
     ctx.ref_pids0 = [id(rp) for rp in L0]
     ctx.ref_pids1 = [id(rp) for rp in L1]
+    ctx.wp0, ctx.wp1 = wp0, wp1
     total = ctx.mb_w * ctx.mb_h
     mb = 0
     while mb < total:
@@ -1381,7 +1518,8 @@ def _write_inter_residual(hi, H, ctx, bw, mbx, mby, qp, qpc, pred_y,
 
 def encode_b_slice(arr: np.ndarray, refs: list, qp: int, frame_num: int,
                    sps: dict, pps: dict, partition_cycle: bool = False,
-                   intra_every: int = 0, deblock: bool = False):
+                   intra_every: int = 0, deblock: bool = False,
+                   wp0: dict | None = None, wp1: dict | None = None):
     """One conforming non-reference B slice (spatial direct) →
     (rbsp, recon RGB). Per MB the encoder evaluates direct / L0 / L1 /
     Bi 16x16 predictions through the shared decoder machinery and emits
@@ -1399,6 +1537,14 @@ def encode_b_slice(arr: np.ndarray, refs: list, qp: int, frame_num: int,
     Ys, Cbs, Crs = H._rgb_to_yuv(pad)
     ctx = H._PicCtx(sps, pps)
     ctx.qp = qp
+    if pps["weighted_bipred"] == 1:
+        if wp0 is None:
+            wp0 = {"ld": 0, "cd": 0, "e": [(1, 0, 1, 0, 1, 0)]}
+        if wp1 is None:
+            wp1 = {"ld": wp0["ld"], "cd": wp0["cd"],
+                   "e": [(1 << wp0["ld"], 0, 1 << wp0["cd"], 0,
+                          1 << wp0["cd"], 0)]}
+        ctx.wp0, ctx.wp1 = wp0, wp1           # _apply_parts_b weights
     Yr, Cbr, Crr = ctx.Y, ctx.Cb, ctx.Cr
     L0, L1 = _b_lists(refs)
     qpc = hi.chroma_qp(qp, ctx.qpc_off)
@@ -1415,6 +1561,11 @@ def encode_b_slice(arr: np.ndarray, refs: list, qp: int, frame_num: int,
     bw.u(0, 1)                                # no num_ref_idx override
     bw.u(0, 1)                                # no list0 modification
     bw.u(0, 1)                                # no list1 modification
+    if pps["weighted_bipred"] == 1:           # two pred_weight_tables
+        bw.ue(wp0["ld"])
+        bw.ue(wp0["cd"])
+        _write_pred_weight_entries(bw, wp0)
+        _write_pred_weight_entries(bw, wp1)
     # nal_ref_idc == 0 → no dec_ref_pic_marking
     bw.se(qp - pps["init_qp"])
     if pps["deblock_ctrl"]:

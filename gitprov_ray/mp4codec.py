@@ -449,7 +449,7 @@ def encode_mp4_h264_gop(frames: list[np.ndarray], fps: int = 10,
                         qp: int = 26, gop: int = 8,
                         partition_cycle: bool = False,
                         intra_every: int = 0, bframes: bool = False,
-                        deblock: bool = False):
+                        deblock: bool = False, weighted: bool = False):
     """uint8 RGB frames → (avc1 MP4 with IDR+P(+B) GOP structure —
     predicted macroblocks, CAVLC, h264inter — plus the conforming
     decoder's expected reconstructions). stss marks only the IDR
@@ -458,14 +458,18 @@ def encode_mp4_h264_gop(frames: list[np.ndarray], fps: int = 10,
 
     samples, recons, sync = h264inter.encode_gop_samples(
         frames, qp=qp, gop=gop, partition_cycle=partition_cycle,
-        intra_every=intra_every, bframes=bframes, deblock=deblock)
+        intra_every=intra_every, bframes=bframes, deblock=deblock,
+        weighted=weighted)
     return _build_mp4_avc1(frames, samples, fps, sync=sync,
-                           num_ref=2 if bframes else 1), recons
+                           num_ref=2 if bframes else 1,
+                           weighted=weighted,
+                           bframes=bframes), recons
 
 
 def _build_mp4_avc1(frames: list[np.ndarray], samples: list[bytes],
                     fps: int = 10, sync: list | None = None,
-                    num_ref: int = 1) -> bytes:
+                    num_ref: int = 1, weighted: bool = False,
+                    bframes: bool = False) -> bytes:
     from . import h264codec
 
     if not frames:
@@ -480,7 +484,9 @@ def _build_mp4_avc1(frames: list[np.ndarray], samples: list[bytes],
     mdat_payload = b"".join(samples)
     first_sample_off = len(ftyp) + 8
 
-    avcc = _box(b"avcC", h264codec.avcc_config(w, h, num_ref))
+    avcc = _box(b"avcC", h264codec.avcc_config(
+        w, h, num_ref, weighted_pred=weighted,
+        weighted_bipred=1 if (weighted and bframes) else 0))
     entry = (b"\0" * 6 + struct.pack(">H", 1)
              + b"\0" * 16
              + struct.pack(">HH", w, h)

@@ -392,3 +392,98 @@ def test_direct_spatial_rules():
     assert parts[0][4] == (0, 0, 0)           # ref0, mv forced to zero
     parts = HI._direct_parts(ctx, 1, 1, [col3], [(0, 0)])
     assert parts[0][4] == (0, 8, 12)          # base mvp survives
+
+
+# ---------------------------------------------------------------------------
+# explicit weighted prediction (§7.3.3.2 / §8.4.2.3.2)
+# ---------------------------------------------------------------------------
+
+def _fade_frames(n, h, w):
+    """Moving texture under a global brightness ramp — the shape
+    weighted prediction exists for."""
+    base = rng.integers(0, 256, (h, w + n * 2, 3), dtype=np.uint8)
+    out = []
+    for i in range(n):
+        f = base[:, i * 2:i * 2 + w].astype(np.int32)
+        out.append(np.clip(f * (32 - i) // 32 + i * 3, 0,
+                           255).astype(np.uint8))
+    return out
+
+
+def test_wp_uni_matches_scalar_spec():
+    # eq. 8-269/8-271 straight-line integer twin (incl. logWD == 0
+    # and negative weights, where >> must stay arithmetic)
+    rng2 = np.random.default_rng(3)
+    p = rng2.integers(0, 256, (4, 4), np.uint8)
+    for w, o, d in ((40, -8, 5), (-13, 100, 5), (3, -2, 0), (1, 0, 0)):
+        got = HI._wp_uni(p, w, o, d)
+        for y in range(4):
+            for x in range(4):
+                v = int(p[y, x]) * w
+                if d >= 1:
+                    v = (v + (1 << (d - 1))) >> d
+                v += o
+                assert got[y, x] == min(255, max(0, v))
+
+
+def test_wp_bi_matches_scalar_spec():
+    rng2 = np.random.default_rng(4)
+    p0 = rng2.integers(0, 256, (4, 4), np.uint8)
+    p1 = rng2.integers(0, 256, (4, 4), np.uint8)
+    for w0, o0, w1, o1, d in ((20, 5, 12, -3, 4), (-16, 0, 48, 7, 5)):
+        got = HI._wp_bi(p0, p1, w0, o0, w1, o1, d)
+        for y in range(4):
+            for x in range(4):
+                v = ((int(p0[y, x]) * w0 + int(p1[y, x]) * w1
+                      + (1 << d)) >> (d + 1)) + ((o0 + o1 + 1) >> 1)
+                assert got[y, x] == min(255, max(0, v))
+
+
+def test_pred_weight_table_bit_exact_parse():
+    # hand-written table: 2 refs — ref0 custom luma+chroma, ref1 default
+    bw = H._BitWriter()
+    HI._write_pred_weight_entries(
+        bw, {"ld": 5, "cd": 4,
+             "e": [(40, -8, 28, 4, 36, -2), (32, 0, 16, 0, 16, 0)]})
+    r = H._BitReader(bw.trailing())
+    wp = HI._parse_pred_weight_table(r, 2, 5, 4)
+    assert wp["e"][0] == (40, -8, 28, 4, 36, -2)
+    assert wp["e"][1] == (32, 0, 16, 0, 16, 0)   # flag-0 defaults
+
+
+def test_weighted_p_gop_roundtrip_pixel_exact():
+    frames = _fade_frames(6, 32, 48)
+    stream, recons = HI.encode_gop_annexb(
+        frames, qp=24, gop=6, partition_cycle=True, intra_every=5,
+        weighted=True)
+    dec = H.decode_annexb(stream)
+    assert len(dec) == 6
+    for d, r in zip(dec, recons):
+        assert np.array_equal(d, r)
+    # weights genuinely engaged: stream with identical content but
+    # weighting off must produce different P-slice bits
+    stream0, _ = HI.encode_gop_annexb(
+        frames, qp=24, gop=6, partition_cycle=True, intra_every=5,
+        weighted=False)
+    assert stream != stream0
+
+
+def test_weighted_b_gop_roundtrip_pixel_exact():
+    frames = _fade_frames(8, 32, 48)
+    stream, recons = HI.encode_gop_annexb(
+        frames, qp=24, gop=8, bframes=True, partition_cycle=True,
+        weighted=True)
+    dec = H.decode_annexb(stream)
+    assert len(dec) == 8
+    for i, (d, r) in enumerate(zip(dec, recons)):
+        assert np.array_equal(d, r), f"frame {i}"
+
+
+def test_weighted_mp4_route_roundtrip():
+    frames = _fade_frames(6, 32, 32)
+    blob, recons = M.encode_mp4_h264_gop(frames, qp=26, gop=6,
+                                         bframes=True, weighted=True)
+    decoded = M.decode_mp4_frames(blob)
+    assert len(decoded) == len(recons)
+    for d, r in zip(decoded, recons):
+        assert np.array_equal(d, r)
