@@ -1,0 +1,1892 @@
+"""H.264 CABAC entropy layer (Rec. ITU-T H.264 §9.3): the arithmetic
+decoding/encoding engines, context-variable machinery, binarizations and
+the residual-block codec, plus CABAC I- and P-slice decoders and
+conforming-structure fixture encoders.
+
+Scope and honesty boundary
+--------------------------
+* The ENGINE is a faithful transcription of the normative §9.3
+  algorithms: DecodeDecision/DecodeBypass/DecodeTerminate with
+  renormalization (§9.3.3.2), the encoder twins with outstanding-bit
+  carry resolution and flush (§9.3.4), the 64×4 rangeTabLPS and the
+  LPS/MPS state-transition tables (§9.3.3.2.1.1), and the
+  m·QP/16+n context-initialization formula (§9.3.1.1).
+* BITSTREAM STRUCTURE (binarization shapes, scan orders, significance
+  map with implicit last position, reverse-order level decoding,
+  per-macroblock end_of_slice terminate, cabac_alignment_one_bit) is
+  spec-faithful and pinned by encoder↔decoder round-trips.
+* The per-context INIT CONSTANTS of Tables 9-12..9-24 (~1000 (m,n)
+  pairs) and a few fine-grained context-index assignments of Table
+  9-39 are spec data this offline sandbox cannot transcribe verifiably
+  (no reference decoder, no third-party streams to cross-check — the
+  same boundary as the VP8/MP3 probability tables documented in
+  webpcodec/audiocodec). We therefore initialize every adaptive
+  context NEUTRALLY (m=0, n=64 → pStateIdx 0, valMPS 1) through the
+  spec formula, and document context assignments we could not verify
+  at their definition sites. Neither affects decodability of streams
+  produced by THIS encoder — encoder and decoder derive identical
+  state — only bit-exact conformance with foreign encoders, which is
+  untestable here anyway. Contexts adapt within a few macroblocks, so
+  compression remains within a few percent of table-initialized CABAC.
+
+Reference parity note: the reference (git-prov) stores media blobs
+untouched; this module extends the engine's multimodal real-decode
+family (multimodal.py FrameSample) to CABAC-coded H.264, next to the
+CAVLC intra/inter layers in h264codec/h264intra/h264inter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# §9.3.3.2.1.1 Table 9-44: rangeTabLPS[pStateIdx][qCodIRangeIdx]
+RANGE_LPS = np.array([
+    [128, 176, 208, 240], [128, 167, 197, 227], [128, 158, 187, 216],
+    [123, 150, 178, 205], [116, 142, 169, 195], [111, 135, 160, 185],
+    [105, 128, 152, 175], [100, 122, 144, 166], [95, 116, 137, 158],
+    [90, 110, 130, 150], [85, 104, 123, 142], [81, 99, 117, 135],
+    [77, 94, 111, 128], [73, 89, 105, 122], [69, 85, 100, 116],
+    [66, 80, 95, 110], [62, 76, 90, 104], [59, 72, 86, 99],
+    [56, 69, 81, 94], [53, 65, 77, 89], [51, 62, 73, 85],
+    [48, 59, 69, 80], [46, 56, 66, 76], [43, 53, 63, 72],
+    [41, 50, 59, 69], [39, 48, 56, 65], [37, 45, 54, 62],
+    [35, 43, 51, 59], [33, 41, 48, 56], [32, 39, 46, 53],
+    [30, 37, 43, 50], [29, 35, 41, 48], [27, 33, 39, 45],
+    [26, 31, 37, 43], [24, 30, 35, 41], [23, 28, 33, 39],
+    [22, 27, 32, 37], [21, 26, 30, 35], [20, 24, 29, 33],
+    [19, 23, 27, 31], [18, 22, 26, 30], [17, 21, 25, 28],
+    [16, 20, 23, 27], [15, 19, 22, 25], [14, 18, 21, 24],
+    [14, 17, 20, 23], [13, 16, 19, 22], [12, 15, 18, 21],
+    [12, 14, 17, 20], [11, 14, 16, 19], [11, 13, 15, 18],
+    [10, 12, 15, 17], [10, 12, 14, 16], [9, 11, 13, 15],
+    [9, 11, 12, 14], [8, 10, 12, 14], [8, 9, 11, 13],
+    [7, 9, 11, 12], [7, 9, 10, 12], [7, 8, 10, 11],
+    [6, 8, 9, 11], [6, 7, 9, 10], [6, 7, 8, 9],
+    [2, 2, 2, 2]], dtype=np.int32)
+
+# §9.3.3.2.1.1 Table 9-45: transIdxLPS / transIdxMPS
+TRANS_LPS = np.array([
+    0, 0, 1, 2, 2, 4, 4, 5, 6, 7, 8, 9, 9, 11, 11, 12,
+    13, 13, 15, 15, 16, 16, 18, 18, 19, 19, 21, 21, 22, 22, 23, 24,
+    24, 25, 26, 26, 27, 27, 28, 29, 29, 30, 30, 30, 31, 32, 32, 33,
+    33, 33, 34, 34, 35, 35, 35, 36, 36, 36, 37, 37, 37, 38, 38, 63],
+    dtype=np.int32)
+TRANS_MPS = np.minimum(np.arange(64) + 1, 62).astype(np.int32)
+TRANS_MPS[63] = 63
+
+N_CTX = 399          # frame-coding contexts used by this profile subset
+CTX_TERMINATE = 276  # end_of_slice_flag / I_PCM escape (fixed state)
+
+
+class Ctxs:
+    """Adaptive context bank. Neutral initialization (see module
+    docstring): every (m, n) = (0, 64) through the §9.3.1.1 formula
+    preCtxState = Clip3(1, 126, ((m * Clip3(0, 51, QP)) >> 4) + n),
+    pStateIdx/valMPS derived exactly as the spec prescribes. ctxIdx 276
+    is the non-adapting terminate context (pStateIdx 63, valMPS 0)."""
+
+    __slots__ = ("state", "mps")
+
+    def __init__(self, qp: int, init_mn: np.ndarray | None = None):
+        mn = init_mn if init_mn is not None else \
+            np.tile(np.array([[0, 64]], np.int32), (N_CTX, 1))
+        pre = np.clip((mn[:, 0] * min(max(qp, 0), 51) >> 4) + mn[:, 1],
+                      1, 126)
+        self.state = np.where(pre <= 63, 63 - pre, pre - 64).astype(
+            np.int32)
+        self.mps = (pre > 63).astype(np.int32)
+
+
+class CabacReader:
+    """§9.3.3.2 arithmetic decoding engine over an RBSP byte slice
+    (emulation prevention already stripped by the NAL layer)."""
+
+    __slots__ = ("d", "pos", "rng", "off")
+
+    def __init__(self, data: bytes, bitpos: int):
+        self.d = data
+        self.pos = bitpos
+        self.rng = 510
+        off = 0
+        for _ in range(9):
+            off = (off << 1) | self._bit()
+        self.off = off
+
+    def _bit(self) -> int:
+        p = self.pos
+        byte = p >> 3
+        if byte >= len(self.d):          # past-end bits read as 0 (the
+            self.pos = p + 1             # spec's cabac_zero_word tail)
+            return 0
+        self.pos = p + 1
+        return (self.d[byte] >> (7 - (p & 7))) & 1
+
+    def decision(self, ctxs: Ctxs, idx: int) -> int:
+        st = int(ctxs.state[idx])
+        lps = int(RANGE_LPS[st, (self.rng >> 6) & 3])
+        self.rng -= lps
+        if self.off >= self.rng:
+            b = 1 - int(ctxs.mps[idx])
+            self.off -= self.rng
+            self.rng = lps
+            if st == 0:
+                ctxs.mps[idx] = 1 - ctxs.mps[idx]
+            ctxs.state[idx] = TRANS_LPS[st]
+        else:
+            b = int(ctxs.mps[idx])
+            ctxs.state[idx] = TRANS_MPS[st]
+        while self.rng < 256:
+            self.rng <<= 1
+            self.off = (self.off << 1) | self._bit()
+        return b
+
+    def bypass(self) -> int:
+        self.off = (self.off << 1) | self._bit()
+        if self.off >= self.rng:
+            self.off -= self.rng
+            return 1
+        return 0
+
+    def terminate(self) -> int:
+        self.rng -= 2
+        if self.off >= self.rng:
+            return 1
+        while self.rng < 256:
+            self.rng <<= 1
+            self.off = (self.off << 1) | self._bit()
+        return 0
+
+
+class CabacWriter:
+    """§9.3.4 arithmetic encoding engine producing a byte-aligned
+    slice-data payload (appended after the Exp-Golomb header +
+    cabac_alignment_one_bit by the slice encoders)."""
+
+    __slots__ = ("low", "rng", "first", "outstanding", "bits", "nbits")
+
+    def __init__(self):
+        self.low = 0
+        self.rng = 510
+        self.first = True
+        self.outstanding = 0
+        self.bits = bytearray()
+        self.nbits = 0
+
+    def _put(self, b: int):
+        if self.first:
+            self.first = False
+        else:
+            self._raw(b)
+        while self.outstanding:
+            self._raw(1 - b)
+            self.outstanding -= 1
+
+    def _raw(self, b: int):
+        if self.nbits & 7 == 0:
+            self.bits.append(0)
+        if b:
+            self.bits[-1] |= 0x80 >> (self.nbits & 7)
+        self.nbits += 1
+
+    def _renorm(self):
+        while self.rng < 256:
+            if self.low >= 512:
+                self._put(1)
+                self.low -= 512
+            elif self.low < 256:
+                self._put(0)
+            else:
+                self.outstanding += 1
+                self.low -= 256
+            self.rng <<= 1
+            self.low <<= 1
+
+    def decision(self, ctxs: Ctxs, idx: int, b: int):
+        st = int(ctxs.state[idx])
+        lps = int(RANGE_LPS[st, (self.rng >> 6) & 3])
+        self.rng -= lps
+        if b != int(ctxs.mps[idx]):
+            self.low += self.rng
+            self.rng = lps
+            if st == 0:
+                ctxs.mps[idx] = 1 - ctxs.mps[idx]
+            ctxs.state[idx] = TRANS_LPS[st]
+        else:
+            ctxs.state[idx] = TRANS_MPS[st]
+        self._renorm()
+
+    def bypass(self, b: int):
+        self.low <<= 1
+        if b:
+            self.low += self.rng
+        if self.low >= 1024:
+            self._put(1)
+            self.low -= 1024
+        elif self.low < 512:
+            self._put(0)
+        else:
+            self.outstanding += 1
+            self.low -= 512
+
+    def terminate(self, b: int):
+        self.rng -= 2
+        if b:
+            self.low += self.rng
+            self.rng = 2
+            self._renorm()
+            self._put((self.low >> 9) & 1)
+            # final two bits: ((low >> 7) & 3) | 1 — the trailing 1 is
+            # the rbsp_stop_one_bit folded into the flush (§9.3.4.6)
+            v = ((self.low >> 7) & 3) | 1
+            self._raw((v >> 1) & 1)
+            self._raw(v & 1)
+        else:
+            self._renorm()
+
+    def payload(self) -> bytes:
+        """Byte-aligned payload (zero-padded tail bits)."""
+        return bytes(self.bits)
+
+
+# ---------------------------------------------------------------------------
+# shared binarization helpers
+# ---------------------------------------------------------------------------
+
+
+def _read_unary(r: CabacReader, ctxs: Ctxs, ctx_of, cmax: int | None
+                ) -> int:
+    """Unary / truncated-unary: count leading 1-bins; ``ctx_of(binIdx)``
+    maps bin position → ctxIdx; with cmax, the terminating 0 is omitted
+    at cmax (TU binarization)."""
+    k = 0
+    while cmax is None or k < cmax:
+        if r.decision(ctxs, ctx_of(k)) == 0:
+            return k
+        k += 1
+    return k
+
+
+def _write_unary(w: CabacWriter, ctxs: Ctxs, ctx_of, v: int,
+                 cmax: int | None):
+    for k in range(v):
+        w.decision(ctxs, ctx_of(k), 1)
+    if cmax is None or v < cmax:
+        w.decision(ctxs, ctx_of(v), 0)
+
+
+def _read_eg_bypass(r: CabacReader, k: int) -> int:
+    """Exp-Golomb order-k suffix through the bypass engine (§9.3.2.3
+    UEGk suffix): escalating-unary exponent, then k fixed bits."""
+    val = 0
+    while r.bypass():
+        val += 1 << k
+        k += 1
+        if k > 62:
+            raise ValueError("CABAC: runaway EG exponent")
+    for i in range(k - 1, -1, -1):
+        val += r.bypass() << i
+    return val
+
+
+def _write_eg_bypass(w: CabacWriter, val: int, k: int):
+    while val >= (1 << k):
+        w.bypass(1)
+        val -= 1 << k
+        k += 1
+    w.bypass(0)
+    for i in range(k - 1, -1, -1):
+        w.bypass((val >> i) & 1)
+
+
+# ---------------------------------------------------------------------------
+# context-index layout for the macroblock layer (Table 9-39 offsets).
+# Fine-grained per-bin assignments marked "best-effort" could not be
+# cross-checked against a reference decoder in this sandbox; they bind
+# encoder and decoder identically (see module docstring).
+# ---------------------------------------------------------------------------
+
+CTX_MB_TYPE_I = 3          # +condTermA+condTermB, bins via 6..10
+CTX_MB_SKIP_P = 11         # +condA+condB
+CTX_MB_TYPE_P = 14         # prefix bins 14/15/16-17; I suffix at 17
+CTX_SUB_MB_P = 21          # binIdx 0..2 → 21..23
+CTX_MVD_X = 40             # bin0 +inc(0..2), bins → +3,+4,+5,+6
+CTX_MVD_Y = 47
+CTX_REF_IDX = 54           # bin0 +inc(0..3), bins1+ → 58, 59
+CTX_QP_DELTA = 60          # bin0 +inc(0..1), bin1 62, bins2+ 63
+CTX_CHROMA_MODE = 64       # bin0 +inc(0..2), bins1+ 67
+CTX_PREV_I4 = 68
+CTX_REM_I4 = 69
+CTX_CBP_LUMA = 73          # +inc(0..3)
+CTX_CBP_CHROMA0 = 77       # +inc(0..3)
+CTX_CBP_CHROMA1 = 81       # +inc(0..3)
+CTX_CBF = 85               # +4*cat +inc(0..3)
+CTX_SIG = 105              # +catOff +scan inc (frame coding)
+CTX_LAST = 166
+CTX_ABS = 227              # +catOff +inc
+
+SIG_CAT_OFF = {0: 0, 1: 15, 2: 29, 3: 44, 4: 47}
+ABS_CAT_OFF = {0: 0, 1: 10, 2: 20, 3: 30, 4: 39}
+
+
+# ---------------------------------------------------------------------------
+# residual block codec (§7.3.5.3.3 residual_block_cabac + §9.3.3.1.3)
+# ---------------------------------------------------------------------------
+
+
+def read_residual_cabac(r: CabacReader, cx: Ctxs, cat: int, maxc: int,
+                        cbf_inc: int):
+    """coded_block_flag + significance map + reverse-order levels →
+    zigzag-ordered level vector of length ``maxc``, or None when the
+    coded_block_flag is 0."""
+    if not r.decision(cx, CTX_CBF + 4 * cat + cbf_inc):
+        return None
+    sig_base = CTX_SIG + SIG_CAT_OFF[cat]
+    last_base = CTX_LAST + SIG_CAT_OFF[cat]
+    sig = [0] * maxc
+    found_last = False
+    for i in range(maxc - 1):
+        inc = min(i, 2) if cat == 3 else i
+        if r.decision(cx, sig_base + inc):
+            sig[i] = 1
+            if r.decision(cx, last_base + inc):
+                found_last = True
+                break
+    if not found_last:
+        sig[maxc - 1] = 1          # implicit: highest scan pos coded
+    levels = np.zeros(maxc, np.int64)
+    abs_base = CTX_ABS + ABS_CAT_OFF[cat]
+    ngt1 = neq1 = 0
+    for i in range(maxc - 1, -1, -1):
+        if not sig[i]:
+            continue
+        inc0 = 0 if ngt1 else min(4, 1 + neq1)
+        if r.decision(cx, abs_base + inc0):
+            inc_rest = abs_base + 5 + min(4, ngt1)
+            ones = 1
+            while ones < 14 and r.decision(cx, inc_rest):
+                ones += 1
+            v = ones
+            if ones == 14:
+                v += _read_eg_bypass(r, 0)
+            level = v + 1
+            ngt1 += 1
+        else:
+            level = 1
+            neq1 += 1
+        levels[i] = -level if r.bypass() else level
+    return levels
+
+
+def write_residual_cabac(w: CabacWriter, cx: Ctxs, cat: int,
+                         levels, cbf_inc: int) -> int:
+    """Encoder twin; ``levels`` is the zigzag-ordered vector (or None /
+    all-zero → coded_block_flag 0). Returns the cbf written (for the
+    caller's neighbor grids)."""
+    lv = None if levels is None else np.asarray(levels, np.int64)
+    cbf = 1 if (lv is not None and np.any(lv)) else 0
+    w.decision(cx, CTX_CBF + 4 * cat + cbf_inc, cbf)
+    if not cbf:
+        return 0
+    maxc = len(lv)
+    sig_base = CTX_SIG + SIG_CAT_OFF[cat]
+    last_base = CTX_LAST + SIG_CAT_OFF[cat]
+    nz = np.nonzero(lv)[0]
+    last = int(nz[-1])
+    for i in range(min(last + 1, maxc - 1)):
+        inc = min(i, 2) if cat == 3 else i
+        s = 1 if lv[i] else 0
+        w.decision(cx, sig_base + inc, s)
+        if s:
+            w.decision(cx, last_base + inc, 1 if i == last else 0)
+    ngt1 = neq1 = 0
+    for i in range(maxc - 1, -1, -1):
+        if not lv[i]:
+            continue
+        a = int(abs(lv[i]))
+        inc0 = 0 if ngt1 else min(4, 1 + neq1)
+        abs_base = CTX_ABS + ABS_CAT_OFF[cat]
+        if a == 1:
+            w.decision(cx, abs_base + inc0, 0)
+            neq1 += 1
+        else:
+            w.decision(cx, abs_base + inc0, 1)
+            inc_rest = abs_base + 5 + min(4, ngt1)
+            v = a - 1
+            for _ in range(min(v, 14) - 1):
+                w.decision(cx, inc_rest, 1)
+            if v < 14:
+                w.decision(cx, inc_rest, 0)
+            else:
+                _write_eg_bypass(w, v - 14, 0)
+            ngt1 += 1
+        w.bypass(1 if lv[i] < 0 else 0)
+    return 1
+
+
+# ---------------------------------------------------------------------------
+# per-slice neighbor state for context increments
+# ---------------------------------------------------------------------------
+
+
+class _NbrState:
+    """Grids backing the ctxIdxInc derivations of §9.3.3.1.1: per-4x4
+    luma cbf, per-MB I16-DC / chroma-DC cbf, per-chroma-4x4 AC cbf,
+    per-8x8 luma cbp bits, per-MB chroma cbp / chroma pred mode /
+    "mb_type is not I_NxN" flag, and the previous mb_qp_delta."""
+
+    def __init__(self, mb_w: int, mb_h: int):
+        self.cbf_l4 = np.zeros((mb_h * 4, mb_w * 4), np.int8)
+        self.cbf_dc = np.zeros((mb_h, mb_w), np.int8)
+        self.cbf_cdc = np.zeros((2, mb_h, mb_w), np.int8)
+        self.cbf_cac = np.zeros((2, mb_h * 2, mb_w * 2), np.int8)
+        self.cbp8 = np.zeros((mb_h * 2, mb_w * 2), np.int8)
+        self.cbpc = np.zeros((mb_h, mb_w), np.int8)
+        self.cmode_nz = np.zeros((mb_h, mb_w), np.int8)
+        self.not_i4 = np.zeros((mb_h, mb_w), np.int8)
+        self.intra = np.zeros((mb_h, mb_w), np.int8)
+        self.skip = np.zeros((mb_h, mb_w), np.int8)
+        self.prev_qp_delta_nz = 0
+
+    # --- coded_block_flag increments (unavailable neighbor → 1 when the
+    # current MB is intra, 0 otherwise — best-effort reading of
+    # §9.3.3.1.1.9's inference rules; binds both ends identically) ---
+    def cbf_inc_l4(self, bx: int, by: int, intra: bool) -> int:
+        d = 1 if intra else 0
+        a = int(self.cbf_l4[by, bx - 1]) if bx > 0 else d
+        b = int(self.cbf_l4[by - 1, bx]) if by > 0 else d
+        return a + 2 * b
+
+    def cbf_inc_mb(self, grid, mbx: int, mby: int, intra: bool) -> int:
+        d = 1 if intra else 0
+        a = int(grid[mby, mbx - 1]) if mbx > 0 else d
+        b = int(grid[mby - 1, mbx]) if mby > 0 else d
+        return a + 2 * b
+
+    def cbf_inc_cac(self, comp: int, cx_: int, cy_: int,
+                    intra: bool) -> int:
+        d = 1 if intra else 0
+        g = self.cbf_cac[comp]
+        a = int(g[cy_, cx_ - 1]) if cx_ > 0 else d
+        b = int(g[cy_ - 1, cx_]) if cy_ > 0 else d
+        return a + 2 * b
+
+    def cbp_luma_inc(self, gx: int, gy: int) -> int:
+        a = (1 - int(self.cbp8[gy, gx - 1])) if gx > 0 else 0
+        b = (1 - int(self.cbp8[gy - 1, gx])) if gy > 0 else 0
+        return a + 2 * b
+
+    def cbpc_inc(self, mbx: int, mby: int, want2: bool) -> int:
+        thr = 2 if want2 else 1
+        a = (1 if mbx > 0 and self.cbpc[mby, mbx - 1] >= thr else 0)
+        b = (1 if mby > 0 and self.cbpc[mby - 1, mbx] >= thr else 0)
+        return a + 2 * b
+
+    def cmode_inc(self, mbx: int, mby: int) -> int:
+        a = int(self.cmode_nz[mby, mbx - 1]) if mbx > 0 else 0
+        b = int(self.cmode_nz[mby - 1, mbx]) if mby > 0 else 0
+        return a + b
+
+    def mbtype_i_inc(self, mbx: int, mby: int) -> int:
+        a = int(self.not_i4[mby, mbx - 1]) if mbx > 0 else 0
+        b = int(self.not_i4[mby - 1, mbx]) if mby > 0 else 0
+        return a + b
+
+    def skip_inc(self, mbx: int, mby: int) -> int:
+        a = (1 if mbx > 0 and not self.skip[mby, mbx - 1] else 0)
+        b = (1 if mby > 0 and not self.skip[mby - 1, mbx] else 0)
+        return a + b
+
+
+def _read_qp_delta(r: CabacReader, cx: Ctxs, nb: _NbrState) -> int:
+    inc = 1 if nb.prev_qp_delta_nz else 0
+    if not r.decision(cx, CTX_QP_DELTA + inc):
+        nb.prev_qp_delta_nz = 0
+        return 0
+    k = 1
+    while r.decision(cx, 62 if k == 1 else 63):
+        k += 1
+        if k > 104:
+            raise ValueError("CABAC: runaway mb_qp_delta")
+    nb.prev_qp_delta_nz = 1
+    # inverse of the se(v)-style mapping: odd k → positive
+    return (k + 1) // 2 if k & 1 else -(k // 2)
+
+
+def _write_qp_delta(w: CabacWriter, cx: Ctxs, nb: _NbrState, delta: int):
+    k = 2 * delta - 1 if delta > 0 else -2 * delta
+    inc = 1 if nb.prev_qp_delta_nz else 0
+    if k == 0:
+        w.decision(cx, CTX_QP_DELTA + inc, 0)
+        nb.prev_qp_delta_nz = 0
+        return
+    w.decision(cx, CTX_QP_DELTA + inc, 1)
+    for j in range(1, k):
+        w.decision(cx, 62 if j == 1 else 63, 1)
+    w.decision(cx, 62 if k == 1 else 63, 0)
+    nb.prev_qp_delta_nz = 1
+
+
+# ---------------------------------------------------------------------------
+# I-slice macroblock layer
+# ---------------------------------------------------------------------------
+
+
+def _read_mb_type_i(r: CabacReader, cx: Ctxs, nb: _NbrState,
+                    mbx: int, mby: int, base: int = CTX_MB_TYPE_I) -> int:
+    """Intra mb_type binarization (Table 9-36): '0' → I_NxN; '1' +
+    terminate → I_PCM; else cbp-luma bit, chroma bits, two mode bits.
+    ``base`` is 3 in I slices; the intra SUFFIX inside P slices uses a
+    separate offset with no neighbor-conditioned first bin."""
+    if base == CTX_MB_TYPE_I:
+        b0 = r.decision(cx, base + nb.mbtype_i_inc(mbx, mby))
+    else:
+        b0 = r.decision(cx, base)
+    if not b0:
+        return 0
+    if r.terminate():
+        return 25
+    if base == CTX_MB_TYPE_I:
+        # I slice: 8 dedicated contexts 3..10 (Table 9-39)
+        ob, oc0, oc1, om = base + 3, base + 4, base + 5, base + 6
+        om2 = base + 7
+    else:
+        # intra suffix inside P: the compact 17..20 block — cc and
+        # mode bins share a context each
+        ob, oc0, oc1, om = base + 1, base + 2, base + 2, base + 3
+        om2 = base + 3
+    cbl = r.decision(cx, ob)                  # cbp_luma 0 vs 15
+    cc = 0
+    if r.decision(cx, oc0):
+        cc = 2 if r.decision(cx, oc1) else 1
+    m1 = r.decision(cx, om)
+    m0 = r.decision(cx, om2)
+    return 1 + (2 * m1 + m0) + 4 * cc + 12 * cbl
+
+
+def _write_mb_type_i(w: CabacWriter, cx: Ctxs, nb: _NbrState,
+                     mbx: int, mby: int, mb_type: int,
+                     base: int = CTX_MB_TYPE_I):
+    if base == CTX_MB_TYPE_I:
+        c0 = base + nb.mbtype_i_inc(mbx, mby)
+    else:
+        c0 = base
+    if mb_type == 0:
+        w.decision(cx, c0, 0)
+        return
+    w.decision(cx, c0, 1)
+    w.terminate(1 if mb_type == 25 else 0)
+    if mb_type == 25:
+        return
+    t = mb_type - 1
+    pm16, cc, cbl = t % 4, (t // 4) % 3, t // 12
+    if base == CTX_MB_TYPE_I:
+        ob, oc0, oc1, om = base + 3, base + 4, base + 5, base + 6
+        om2 = base + 7
+    else:
+        ob, oc0, oc1, om = base + 1, base + 2, base + 2, base + 3
+        om2 = base + 3
+    w.decision(cx, ob, cbl)
+    if cc == 0:
+        w.decision(cx, oc0, 0)
+    else:
+        w.decision(cx, oc0, 1)
+        w.decision(cx, oc1, 1 if cc == 2 else 0)
+    w.decision(cx, om, (pm16 >> 1) & 1)
+    w.decision(cx, om2, pm16 & 1)
+
+
+def _read_intra_modes(r: CabacReader, cx: Ctxs, ctx, mbx: int, mby: int):
+    """prev_intra4x4_pred_mode_flag / rem (3-bin FL, LSB-first) for the
+    16 4x4 blocks, committing the mode grid as the CAVLC twin does."""
+    from . import h264intra as hi
+
+    ipm = ctx.ipm
+    modes = []
+    for k in range(16):
+        x4, y4 = hi.BLK4_POS[k]
+        bx, by = mbx * 4 + x4, mby * 4 + y4
+        ma = int(ipm[by, bx - 1]) if bx > 0 else 2
+        mb_ = int(ipm[by - 1, bx]) if by > 0 else 2
+        pm = min(ma if ma >= 0 else 2, mb_ if mb_ >= 0 else 2)
+        if r.decision(cx, CTX_PREV_I4):
+            mode = pm
+        else:
+            rem = (r.decision(cx, CTX_REM_I4)
+                   | (r.decision(cx, CTX_REM_I4) << 1)
+                   | (r.decision(cx, CTX_REM_I4) << 2))
+            mode = rem if rem < pm else rem + 1
+        modes.append(mode)
+        ipm[by, bx] = mode
+    return modes
+
+
+def _write_intra_modes(w: CabacWriter, cx: Ctxs, ctx, mbx: int,
+                       mby: int, modes):
+    from . import h264intra as hi
+
+    ipm = ctx.ipm
+    for k, mode in enumerate(modes):
+        x4, y4 = hi.BLK4_POS[k]
+        bx, by = mbx * 4 + x4, mby * 4 + y4
+        ma = int(ipm[by, bx - 1]) if bx > 0 else 2
+        mb_ = int(ipm[by - 1, bx]) if by > 0 else 2
+        pm = min(ma if ma >= 0 else 2, mb_ if mb_ >= 0 else 2)
+        if mode == pm:
+            w.decision(cx, CTX_PREV_I4, 1)
+        else:
+            w.decision(cx, CTX_PREV_I4, 0)
+            rem = mode if mode < pm else mode - 1
+            w.decision(cx, CTX_REM_I4, rem & 1)
+            w.decision(cx, CTX_REM_I4, (rem >> 1) & 1)
+            w.decision(cx, CTX_REM_I4, (rem >> 2) & 1)
+        ipm[by, bx] = mode
+
+
+def _read_chroma_mode(r: CabacReader, cx: Ctxs, nb: _NbrState,
+                      mbx: int, mby: int) -> int:
+    inc = nb.cmode_inc(mbx, mby)
+    if not r.decision(cx, CTX_CHROMA_MODE + inc):
+        m = 0
+    elif not r.decision(cx, CTX_CHROMA_MODE + 3):
+        m = 1
+    elif not r.decision(cx, CTX_CHROMA_MODE + 3):
+        m = 2
+    else:
+        m = 3
+    nb.cmode_nz[mby, mbx] = 1 if m else 0
+    return m
+
+
+def _write_chroma_mode(w: CabacWriter, cx: Ctxs, nb: _NbrState,
+                       mbx: int, mby: int, m: int):
+    inc = nb.cmode_inc(mbx, mby)
+    w.decision(cx, CTX_CHROMA_MODE + inc, 1 if m else 0)
+    if m:
+        w.decision(cx, CTX_CHROMA_MODE + 3, 1 if m > 1 else 0)
+        if m > 1:
+            w.decision(cx, CTX_CHROMA_MODE + 3, 1 if m > 2 else 0)
+    nb.cmode_nz[mby, mbx] = 1 if m else 0
+
+
+def _read_cbp(r: CabacReader, cx: Ctxs, nb: _NbrState,
+              mbx: int, mby: int) -> int:
+    cbp_luma = 0
+    for i8 in range(4):
+        gx, gy = mbx * 2 + (i8 & 1), mby * 2 + (i8 >> 1)
+        bit = r.decision(cx, CTX_CBP_LUMA + nb.cbp_luma_inc(gx, gy))
+        nb.cbp8[gy, gx] = bit
+        cbp_luma |= bit << i8
+    cc = 0
+    if r.decision(cx, CTX_CBP_CHROMA0 + nb.cbpc_inc(mbx, mby, False)):
+        cc = 2 if r.decision(
+            cx, CTX_CBP_CHROMA1 + nb.cbpc_inc(mbx, mby, True)) else 1
+    nb.cbpc[mby, mbx] = cc
+    return cbp_luma | (cc << 4)
+
+
+def _write_cbp(w: CabacWriter, cx: Ctxs, nb: _NbrState,
+               mbx: int, mby: int, cbp: int):
+    cbp_luma, cc = cbp & 15, cbp >> 4
+    for i8 in range(4):
+        gx, gy = mbx * 2 + (i8 & 1), mby * 2 + (i8 >> 1)
+        bit = (cbp_luma >> i8) & 1
+        w.decision(cx, CTX_CBP_LUMA + nb.cbp_luma_inc(gx, gy), bit)
+        nb.cbp8[gy, gx] = bit
+    w.decision(cx, CTX_CBP_CHROMA0 + nb.cbpc_inc(mbx, mby, False),
+               1 if cc else 0)
+    if cc:
+        w.decision(cx, CTX_CBP_CHROMA1 + nb.cbpc_inc(mbx, mby, True),
+                   1 if cc == 2 else 0)
+    nb.cbpc[mby, mbx] = cc
+
+
+def _mark_pcm(nb: _NbrState, mbx: int, mby: int):
+    """I_PCM counts as fully coded for every neighbor derivation."""
+    nb.cbf_l4[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 1
+    nb.cbf_dc[mby, mbx] = 1
+    nb.cbf_cdc[:, mby, mbx] = 1
+    nb.cbf_cac[:, mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 1
+    nb.cbp8[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 1
+    nb.cbpc[mby, mbx] = 2
+    nb.not_i4[mby, mbx] = 1
+    nb.intra[mby, mbx] = 1
+    nb.prev_qp_delta_nz = 0
+
+
+# ---------------------------------------------------------------------------
+# I-slice decoder (mirrors h264codec._decode_slice_intra / _decode_mb_intra
+# with the CABAC entropy layer; reconstruction math is shared via h264intra)
+# ---------------------------------------------------------------------------
+
+
+def _decode_mb_intra_cabac(r: CabacReader, cx: Ctxs, nb: _NbrState, ctx,
+                           mb_type: int, mbx: int, mby: int,
+                           avail_l: bool, avail_t: bool):
+    from . import h264codec as H
+    from . import h264intra as hi
+
+    Y, Cb, Cr = ctx.Y, ctx.Cb, ctx.Cr
+    qp = ctx.qp
+    qpc_off = ctx.qpc_off
+    my, mx = mby * 16, mbx * 16
+    ctx.mb_intra[mby, mbx] = True
+    nb.intra[mby, mbx] = 1
+    if mb_type == 25:                         # I_PCM: engine suspends
+        r.pos = (r.pos + 7) & ~7              # pcm alignment (see note
+        d = r.d                               # at CabacReader._bit)
+        s = r.pos >> 3
+        if s + 384 > len(d):
+            raise ValueError("H.264: PCM samples truncated")
+        Y[my:my + 16, mx:mx + 16] = np.frombuffer(
+            d[s:s + 256], np.uint8).reshape(16, 16)
+        cy, cx_ = my // 2, mx // 2
+        Cb[cy:cy + 8, cx_:cx_ + 8] = np.frombuffer(
+            d[s + 256:s + 320], np.uint8).reshape(8, 8)
+        Cr[cy:cy + 8, cx_:cx_ + 8] = np.frombuffer(
+            d[s + 320:s + 384], np.uint8).reshape(8, 8)
+        r.__init__(d, (s + 384) << 3)         # reinit engine, keep ctxs
+        _mark_pcm(nb, mbx, mby)
+        ctx.ipm[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 2
+        ctx.mb_qp[mby, mbx] = 0
+        return
+
+    if mb_type == 0:                          # Intra_4x4
+        nb.not_i4[mby, mbx] = 0
+        modes = _read_intra_modes(r, cx, ctx, mbx, mby)
+        cmode = _read_chroma_mode(r, cx, nb, mbx, mby)
+        cbp = _read_cbp(r, cx, nb, mbx, mby)
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp:
+            qp = (qp + _read_qp_delta(r, cx, nb) + 52) % 52
+        else:
+            nb.prev_qp_delta_nz = 0
+        luma_coeffs = [None] * 16
+        for i8 in range(4):
+            if not (cbp_luma & (1 << i8)):
+                continue
+            for sub in range(4):
+                k = 4 * i8 + sub
+                x4, y4 = hi.BLK4_POS[k]
+                bx, by = mbx * 4 + x4, mby * 4 + y4
+                c = read_residual_cabac(
+                    r, cx, 2, 16, nb.cbf_inc_l4(bx, by, True))
+                nb.cbf_l4[by, bx] = 0 if c is None else 1
+                luma_coeffs[k] = c
+        dc_cb = dc_cr = None
+        ac_cb = [None] * 4
+        ac_cr = [None] * 4
+        if cbp_chroma:
+            dc_cb = read_residual_cabac(
+                r, cx, 3, 4, nb.cbf_inc_mb(nb.cbf_cdc[0], mbx, mby, True))
+            nb.cbf_cdc[0, mby, mbx] = 0 if dc_cb is None else 1
+            dc_cr = read_residual_cabac(
+                r, cx, 3, 4, nb.cbf_inc_mb(nb.cbf_cdc[1], mbx, mby, True))
+            nb.cbf_cdc[1, mby, mbx] = 0 if dc_cr is None else 1
+        if cbp_chroma == 2:
+            for comp, acc in ((0, ac_cb), (1, ac_cr)):
+                for k in range(4):
+                    gx = mbx * 2 + (k & 1)
+                    gy = mby * 2 + (k >> 1)
+                    c = read_residual_cabac(
+                        r, cx, 4, 15, nb.cbf_inc_cac(comp, gx, gy, True))
+                    nb.cbf_cac[comp, gy, gx] = 0 if c is None else 1
+                    acc[k] = c
+        for k in range(16):
+            x4, y4 = hi.BLK4_POS[k]
+            bx, by = mbx * 4 + x4, mby * 4 + y4
+            nbx = H._luma4x4_neighbors(Y, bx, by, k, ctx.W4)
+            pred = hi.pred4x4(modes[k], *nbx)
+            lv = luma_coeffs[k]
+            d = hi.dequant4x4(H._unzigzag16(lv), qp) if lv is not None \
+                else np.zeros((4, 4), np.int64)
+            Y[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
+                hi.reconstruct4x4(pred, d)
+        H._recon_chroma(Cb, Cr, mbx, mby, cmode, dc_cb, dc_cr,
+                        ac_cb, ac_cr, hi.chroma_qp(qp, qpc_off),
+                        avail_l, avail_t)
+        ctx.qp = qp
+        ctx.mb_qp[mby, mbx] = qp
+        return
+
+    # Intra_16x16
+    nb.not_i4[mby, mbx] = 1
+    pm16 = (mb_type - 1) % 4
+    cbp_chroma = ((mb_type - 1) // 4) % 3
+    cbp_luma = 15 if mb_type >= 13 else 0
+    nb.cbp8[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = \
+        1 if cbp_luma else 0
+    nb.cbpc[mby, mbx] = cbp_chroma
+    cmode = _read_chroma_mode(r, cx, nb, mbx, mby)
+    qp = (qp + _read_qp_delta(r, cx, nb) + 52) % 52
+    dc_lv = read_residual_cabac(
+        r, cx, 0, 16, nb.cbf_inc_mb(nb.cbf_dc, mbx, mby, True))
+    nb.cbf_dc[mby, mbx] = 0 if dc_lv is None else 1
+    ac = [None] * 16
+    if cbp_luma:
+        for i8 in range(4):
+            for sub in range(4):
+                k = 4 * i8 + sub
+                x4, y4 = hi.BLK4_POS[k]
+                bx, by = mbx * 4 + x4, mby * 4 + y4
+                c = read_residual_cabac(
+                    r, cx, 1, 15, nb.cbf_inc_l4(bx, by, True))
+                nb.cbf_l4[by, bx] = 0 if c is None else 1
+                ac[k] = c
+    dc_cb = dc_cr = None
+    ac_cb = [None] * 4
+    ac_cr = [None] * 4
+    if cbp_chroma:
+        dc_cb = read_residual_cabac(
+            r, cx, 3, 4, nb.cbf_inc_mb(nb.cbf_cdc[0], mbx, mby, True))
+        nb.cbf_cdc[0, mby, mbx] = 0 if dc_cb is None else 1
+        dc_cr = read_residual_cabac(
+            r, cx, 3, 4, nb.cbf_inc_mb(nb.cbf_cdc[1], mbx, mby, True))
+        nb.cbf_cdc[1, mby, mbx] = 0 if dc_cr is None else 1
+    if cbp_chroma == 2:
+        for comp, acc in ((0, ac_cb), (1, ac_cr)):
+            for k in range(4):
+                gx = mbx * 2 + (k & 1)
+                gy = mby * 2 + (k >> 1)
+                c = read_residual_cabac(
+                    r, cx, 4, 15, nb.cbf_inc_cac(comp, gx, gy, True))
+                nb.cbf_cac[comp, gy, gx] = 0 if c is None else 1
+                acc[k] = c
+    left = Y[my:my + 16, mx - 1] if avail_l else None
+    top = Y[my - 1, mx:mx + 16] if avail_t else None
+    corner = int(Y[my - 1, mx - 1]) if (avail_l and avail_t) else None
+    pred = hi.pred16x16(pm16, left, top, corner, avail_l, avail_t)
+    z16 = np.zeros(16, np.int64) if dc_lv is None else dc_lv
+    dcY = hi.luma_dc_dequant(H._unzigzag16(z16), qp)
+    for k in range(16):
+        x4, y4 = hi.BLK4_POS[k]
+        d = hi.dequant4x4(H._unzigzag15(ac[k]), qp) \
+            if ac[k] is not None else np.zeros((4, 4), np.int64)
+        d[0, 0] = dcY[y4, x4]
+        py, px = my + y4 * 4, mx + x4 * 4
+        Y[py:py + 4, px:px + 4] = hi.reconstruct4x4(
+            pred[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4], d)
+    H._recon_chroma(Cb, Cr, mbx, mby, cmode, dc_cb, dc_cr,
+                    ac_cb, ac_cr, hi.chroma_qp(qp, qpc_off),
+                    avail_l, avail_t)
+    ctx.qp = qp
+    ctx.mb_qp[mby, mbx] = qp
+
+
+def decode_slice_i_cabac(rbsp: bytes, sps: dict, pps: dict, idr: bool):
+    """CABAC I-slice → decoded picture context (the CABAC twin of
+    h264codec._decode_slice_intra)."""
+    from . import h264codec as H
+
+    r0 = H._BitReader(rbsp)
+    first_mb = r0.ue()
+    slice_type = r0.ue()
+    if slice_type % 5 != 2:
+        raise ValueError("CABAC I-slice decoder got slice_type %d"
+                         % slice_type)
+    if first_mb != 0:
+        raise NotImplementedError(
+            "H.264 multi-slice pictures unsupported")
+    r0.ue()                                   # pps id
+    r0.u(sps["log2_max_frame_num"])           # frame_num
+    if idr:
+        r0.ue()                               # idr_pic_id
+    if sps["poc_type"] == 0:
+        r0.u(sps["log2_max_poc_lsb"])
+        if pps["bottom_field_poc"]:
+            r0.se()
+    if idr:
+        r0.u(1)
+        r0.u(1)
+    qp = pps["init_qp"] + r0.se()
+    deblock = (0, 0, 0)
+    if pps["deblock_ctrl"]:
+        idc = r0.ue()
+        deblock = (idc, 2 * r0.se(), 2 * r0.se()) if idc != 1 \
+            else (1, 0, 0)
+    # cabac_alignment_one_bit: skip to byte boundary
+    pos = (r0.p + 7) & ~7
+    ctx = H._PicCtx(sps, pps)
+    ctx.qp = qp
+    ctx.deblock = deblock
+    cx = Ctxs(qp)
+    nb = _NbrState(ctx.mb_w, ctx.mb_h)
+    r = CabacReader(rbsp, pos)
+    total = ctx.mb_w * ctx.mb_h
+    for mb in range(total):
+        mby, mbx = mb // ctx.mb_w, mb % ctx.mb_w
+        mb_type = _read_mb_type_i(r, cx, nb, mbx, mby)
+        _decode_mb_intra_cabac(r, cx, nb, ctx, mb_type, mbx, mby,
+                               mbx > 0, mby > 0)
+        eos = r.terminate()
+        if eos != (1 if mb == total - 1 else 0):
+            raise ValueError(
+                "H.264 CABAC: end_of_slice_flag mismatch at mb %d" % mb)
+    return ctx
+
+
+# ---------------------------------------------------------------------------
+# I-slice fixture encoder (CABAC twin of h264codec._slice_rbsp_cavlc)
+# ---------------------------------------------------------------------------
+
+
+class _SegWriter:
+    """CABAC payload as byte segments: the arithmetic writer suspends at
+    I_PCM (flush → raw samples → fresh engine, contexts preserved)."""
+
+    def __init__(self):
+        self.segs: list[bytes] = []
+        self.w = CabacWriter()
+
+    def pcm_break(self, raw: bytes):
+        """Engine already flushed by the mb_type writer's terminate(1)
+        (the PCM escape bin); append the byte-aligned payload + raw
+        samples and restart a fresh engine (contexts persist)."""
+        self.segs.append(self.w.payload())
+        self.segs.append(raw)
+        self.w = CabacWriter()
+
+    def finish(self) -> bytes:
+        self.segs.append(self.w.payload())
+        return b"".join(self.segs)
+
+
+def _encode_mb_i16_cabac(sw, cx: Ctxs, nb: _NbrState, ctx, Ys, mbx, mby,
+                         qp, cmode, cbp_chroma, dcq_cb, dcq_cr, Zcb, Zcr,
+                         p_slice: bool = False):
+    """Analyze + emit one Intra_16x16 MB (luma analysis mirrors
+    h264codec._encode_mb_i16; chroma analysis is shared with the CAVLC
+    encoder and passed in)."""
+    from . import h264codec as H
+    from . import h264intra as hi
+
+    w = sw.w
+    Yr = ctx.Y
+    my, mx = mby * 16, mbx * 16
+    avail_l, avail_t = mbx > 0, mby > 0
+    left = Yr[my:my + 16, mx - 1] if avail_l else None
+    top = Yr[my - 1, mx:mx + 16] if avail_t else None
+    corner = int(Yr[my - 1, mx - 1]) if (avail_l and avail_t) else None
+    src = Ys[my:my + 16, mx:mx + 16]
+    best = pred = None
+    for m in (([0] if avail_t else []) + ([1] if avail_l else [])
+              + [2] + ([3] if (avail_l and avail_t) else [])):
+        p = hi.pred16x16(m, left, top, corner, avail_l, avail_t)
+        s = H._sad(src, p)
+        if best is None or s < best[0]:
+            best, pred = (s, m), p
+    pm16 = best[1]
+    resid = src.astype(np.int64) - pred
+    dc = np.zeros((4, 4), np.int64)
+    Z = [None] * 16
+    for k in range(16):
+        x4, y4 = hi.BLK4_POS[k]
+        W = hi.forward4x4(resid[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4])
+        dc[y4, x4] = W[0, 0]
+        z = hi.quant4x4(W, qp)
+        z[0, 0] = 0
+        Z[k] = z
+    dcq = hi.luma_dc_quant(dc, qp)
+    cbp_luma = 15 if any(np.any(z) for z in Z) else 0
+    mb_type = 1 + pm16 + 4 * cbp_chroma + 12 * (cbp_luma == 15)
+    if p_slice:
+        _write_mb_type_p(w, cx, 5 + mb_type)
+    else:
+        _write_mb_type_i(w, cx, nb, mbx, mby, mb_type)
+    nb.not_i4[mby, mbx] = 1
+    nb.intra[mby, mbx] = 1
+    nb.cbp8[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = \
+        1 if cbp_luma else 0
+    nb.cbpc[mby, mbx] = cbp_chroma
+    _write_chroma_mode(w, cx, nb, mbx, mby, cmode)
+    _write_qp_delta(w, cx, nb, 0)
+    dc_levels = dcq.reshape(-1)[hi.ZIGZAG]
+    nb.cbf_dc[mby, mbx] = write_residual_cabac(
+        w, cx, 0, dc_levels, nb.cbf_inc_mb(nb.cbf_dc, mbx, mby, True))
+    if cbp_luma:
+        for i8 in range(4):
+            for sub in range(4):
+                k = 4 * i8 + sub
+                x4, y4 = hi.BLK4_POS[k]
+                bx, by = mbx * 4 + x4, mby * 4 + y4
+                ac = Z[k].reshape(-1)[hi.ZIGZAG[1:]]
+                nb.cbf_l4[by, bx] = write_residual_cabac(
+                    w, cx, 1, ac, nb.cbf_inc_l4(bx, by, True))
+    # reconstruct exactly like the decoder
+    dcY = hi.luma_dc_dequant(dcq, qp)
+    for k in range(16):
+        x4, y4 = hi.BLK4_POS[k]
+        d = hi.dequant4x4(Z[k], qp) if cbp_luma else \
+            np.zeros((4, 4), np.int64)
+        d[0, 0] = dcY[y4, x4]
+        py, px = my + y4 * 4, mx + x4 * 4
+        Yr[py:py + 4, px:px + 4] = hi.reconstruct4x4(
+            pred[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4], d)
+
+
+def _write_chroma_residual_cabac(w, cx: Ctxs, nb: _NbrState, mbx, mby,
+                                 cbp_chroma, dcq_cb, dcq_cr, Zcb, Zcr,
+                                 intra: bool = True):
+    """Chroma residual order per §7.3.5.3.3: BOTH DC blocks first,
+    then the two components' AC block sets."""
+    from . import h264intra as hi
+
+    if cbp_chroma:
+        for comp, dcq in ((0, dcq_cb), (1, dcq_cr)):
+            nb.cbf_cdc[comp, mby, mbx] = write_residual_cabac(
+                w, cx, 3, dcq.reshape(-1),
+                nb.cbf_inc_mb(nb.cbf_cdc[comp], mbx, mby, intra))
+    if cbp_chroma == 2:
+        for comp, Z in ((0, Zcb), (1, Zcr)):
+            for k in range(4):
+                gx = mbx * 2 + (k & 1)
+                gy = mby * 2 + (k >> 1)
+                ac = Z[k].reshape(-1)[hi.ZIGZAG[1:]]
+                nb.cbf_cac[comp, gy, gx] = write_residual_cabac(
+                    w, cx, 4, ac, nb.cbf_inc_cac(comp, gx, gy, intra))
+
+
+def encode_i_slice_cabac(arr: np.ndarray, qp: int, idr_pic_id: int = 0,
+                         mix_i4: bool = True, pcm_every: int = 0):
+    """One conforming-structure CABAC IDR slice → (rbsp, recon RGB,
+    recon planes). Macroblocks alternate Intra_4x4 / Intra_16x16 on a
+    checkerboard with ``mix_i4``; ``pcm_every`` injects an I_PCM MB
+    every N MBs (exercising the engine suspend/resume path).
+    Reconstruction is the CABAC decoder's exact output."""
+    from . import h264codec as H
+    from . import h264intra as hi
+
+    h, w0 = arr.shape[:2]
+    mb_w, mb_h = (w0 + 15) // 16, (h + 15) // 16
+    pad = np.pad(arr, ((0, mb_h * 16 - h), (0, mb_w * 16 - w0), (0, 0)),
+                 mode="edge")
+    Ys, Cbs, Crs = H._rgb_to_yuv(pad)
+    sps = H.parse_sps(H._sps_rbsp(w0, h))
+    pps = H.parse_pps(H._pps_rbsp(cabac=True))
+    ctx = H._PicCtx(sps, pps)
+    ctx.qp = qp
+    Yr, Cbr, Crr = ctx.Y, ctx.Cb, ctx.Cr
+    qpc = hi.chroma_qp(qp, 0)
+
+    bw = H._BitWriter()
+    bw.ue(0)                                  # first_mb_in_slice
+    bw.ue(7)                                  # slice_type I (all pics)
+    bw.ue(0)                                  # pps_id
+    bw.u(0, 4)                                # frame_num (IDR)
+    bw.ue(idr_pic_id)
+    bw.u(0, 1)
+    bw.u(0, 1)
+    bw.se(qp - 26)                            # slice_qp_delta
+    bw.ue(1)                                  # deblocking disabled
+    while bw.n:                               # cabac_alignment_one_bit
+        bw.u(1, 1)
+    header = bytes(bw.buf)
+
+    sw = _SegWriter()
+    cx = Ctxs(qp)
+    nb = _NbrState(mb_w, mb_h)
+    total = mb_w * mb_h
+    for mb in range(total):
+        mby, mbx = mb // mb_w, mb % mb_w
+        my, mx = mby * 16, mbx * 16
+        cy, cx_ = mby * 8, mbx * 8
+        if pcm_every and mb % pcm_every == pcm_every - 1:
+            _write_mb_type_i(sw.w, cx, nb, mbx, mby, 25)
+            Yr[my:my + 16, mx:mx + 16] = Ys[my:my + 16, mx:mx + 16]
+            Cbr[cy:cy + 8, cx_:cx_ + 8] = Cbs[cy:cy + 8, cx_:cx_ + 8]
+            Crr[cy:cy + 8, cx_:cx_ + 8] = Crs[cy:cy + 8, cx_:cx_ + 8]
+            raw = (Ys[my:my + 16, mx:mx + 16].tobytes()
+                   + Cbs[cy:cy + 8, cx_:cx_ + 8].tobytes()
+                   + Crs[cy:cy + 8, cx_:cx_ + 8].tobytes())
+            sw.pcm_break(raw)
+            _mark_pcm(nb, mbx, mby)
+            ctx.mb_intra[mby, mbx] = True
+            ctx.ipm[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 2
+            ctx.mb_qp[mby, mbx] = 0
+            sw.w.terminate(1 if mb == total - 1 else 0)
+            continue
+        ctx.mb_intra[mby, mbx] = True
+        cmode = H._chroma_mode_select(hi, Cbs, Cbr, Crs, Crr, mbx, mby)
+        pred_cb, dcq_cb, Zcb = H._encode_chroma(
+            hi, Cbs, Cbr, mbx, mby, cmode, qpc)
+        pred_cr, dcq_cr, Zcr = H._encode_chroma(
+            hi, Crs, Crr, mbx, mby, cmode, qpc)
+        any_ac = any(np.any(z) for z in Zcb + Zcr)
+        any_dc = np.any(dcq_cb) or np.any(dcq_cr)
+        cbp_chroma = 2 if any_ac else (1 if any_dc else 0)
+        if cbp_chroma < 2:
+            Zcb = [np.zeros((4, 4), np.int64)] * 4
+            Zcr = [np.zeros((4, 4), np.int64)] * 4
+        if cbp_chroma == 0:
+            dcq_cb = np.zeros((2, 2), np.int64)
+            dcq_cr = np.zeros((2, 2), np.int64)
+        for pr, pred_c, dcq, Z in ((Cbr, pred_cb, dcq_cb, Zcb),
+                                   (Crr, pred_cr, dcq_cr, Zcr)):
+            dcC = hi.chroma_dc_dequant(dcq, qpc)
+            for k in range(4):
+                bx, by = k & 1, k >> 1
+                d = hi.dequant4x4(Z[k], qpc)
+                d[0, 0] = dcC[by, bx]
+                py, px = cy + by * 4, cx_ + bx * 4
+                pr[py:py + 4, px:px + 4] = hi.reconstruct4x4(
+                    pred_c[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4], d)
+
+        use_i4 = mix_i4 and ((mbx + mby) % 2 == 0)
+        if not use_i4:
+            _encode_mb_i16_cabac(sw, cx, nb, ctx, Ys, mbx, mby, qp,
+                                 cmode, cbp_chroma, dcq_cb, dcq_cr,
+                                 Zcb, Zcr)
+            _write_chroma_residual_cabac(sw.w, cx, nb, mbx, mby,
+                                         cbp_chroma, dcq_cb, dcq_cr,
+                                         Zcb, Zcr)
+            ctx.mb_qp[mby, mbx] = qp
+            sw.w.terminate(1 if mb == total - 1 else 0)
+            continue
+
+        # Intra_4x4: analysis mirrors the CAVLC fixture encoder
+        modes, Zs = [], []
+        for k in range(16):
+            x4, y4 = hi.BLK4_POS[k]
+            bx, by = mbx * 4 + x4, mby * 4 + y4
+            nbrs = H._luma4x4_neighbors(Yr, bx, by, k, ctx.W4)
+            left, top, corner, avail_l, avail_t, avail_tl = nbrs
+            best = None
+            for m in range(9):
+                nl, nt, ntl = hi.mode4x4_requires(m)
+                if (nl and not avail_l) or (nt and not avail_t) \
+                        or (ntl and not avail_tl):
+                    continue
+                p = hi.pred4x4(m, *nbrs)
+                src = Ys[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+                s = H._sad(src, p)
+                if best is None or s < best[0]:
+                    best = (s, m, p)
+            _, m, p = best
+            modes.append(m)
+            ctx.ipm[by, bx] = m
+            src = Ys[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+            W = hi.forward4x4(src.astype(np.int64) - p)
+            z = hi.quant4x4(W, qp)
+            Zs.append(z)
+            d = hi.dequant4x4(z, qp)
+            Yr[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
+                hi.reconstruct4x4(p, d)
+        cbp_luma = 0
+        for i8 in range(4):
+            if any(np.any(Zs[4 * i8 + s]) for s in range(4)):
+                cbp_luma |= 1 << i8
+        cbp = cbp_luma | (cbp_chroma << 4)
+        _write_mb_type_i(sw.w, cx, nb, mbx, mby, 0)
+        nb.not_i4[mby, mbx] = 0
+        nb.intra[mby, mbx] = 1
+        _write_intra_modes(sw.w, cx, ctx, mbx, mby, modes)
+        _write_chroma_mode(sw.w, cx, nb, mbx, mby, cmode)
+        _write_cbp(sw.w, cx, nb, mbx, mby, cbp)
+        if cbp:
+            _write_qp_delta(sw.w, cx, nb, 0)
+        else:
+            nb.prev_qp_delta_nz = 0
+        for i8 in range(4):
+            if not (cbp_luma & (1 << i8)):
+                continue
+            for sub in range(4):
+                k = 4 * i8 + sub
+                x4, y4 = hi.BLK4_POS[k]
+                bx, by = mbx * 4 + x4, mby * 4 + y4
+                lv = Zs[k].reshape(-1)[hi.ZIGZAG]
+                nb.cbf_l4[by, bx] = write_residual_cabac(
+                    sw.w, cx, 2, lv, nb.cbf_inc_l4(bx, by, True))
+        _write_chroma_residual_cabac(sw.w, cx, nb, mbx, mby,
+                                     cbp_chroma, dcq_cb, dcq_cr,
+                                     Zcb, Zcr)
+        ctx.mb_qp[mby, mbx] = qp
+        sw.w.terminate(1 if mb == total - 1 else 0)
+
+    rbsp = header + sw.finish()
+    recon = H._yuv_to_rgb(Yr, Cbr, Crr, w0, h)
+    return rbsp, recon, (Yr, Cbr, Crr)
+
+
+def encode_gop_cabac(frames: list, qp: int = 26, mix_i4: bool = True,
+                     pcm_every: int = 0):
+    """RGB frames → (conforming-structure Annex-B all-IDR CABAC stream,
+    reconstructed frames). The CABAC counterpart of the CAVLC intra GOP
+    writers in h264codec; P-slice CABAC extends this in
+    encode_gop_cabac_p."""
+    from . import h264codec as H
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    if w % 2 or h % 2:
+        raise ValueError("H.264 4:2:0 needs even dimensions")
+    sc = b"\x00\x00\x00\x01"
+    out = [sc + H._nal(7, H._sps_rbsp(w, h)),
+           sc + H._nal(8, H._pps_rbsp(cabac=True))]
+    recons = []
+    for i, f in enumerate(frames):
+        if f.shape[:2] != (h, w):
+            raise ValueError("all frames must share dimensions")
+        rbsp, recon, _ = encode_i_slice_cabac(
+            f, qp, idr_pic_id=i & 1, mix_i4=mix_i4, pcm_every=pcm_every)
+        out.append(sc + H._nal(5, rbsp))
+        recons.append(recon)
+    return b"".join(out), recons
+
+
+# ---------------------------------------------------------------------------
+# P-slice macroblock layer (§9.3.3.1.1 motion syntax + §7.3.5 order);
+# motion reconstruction is shared with the CAVLC inter layer
+# (h264inter mvp_for / skip_mv / _apply_parts / mc kernels)
+# ---------------------------------------------------------------------------
+
+# P mb_type binarization (Table 9-37 prefix, ctx 14/15/16):
+#   0 P_L0_16x16 '000' | 1 P_L0_L0_16x8 '011' | 2 P_L0_L0_8x16 '010'
+#   3 P_8x8 '001' | intra: prefix '1' + I suffix at ctx 17
+_P_MBT_BITS = {0: (0, 0, 0), 1: (0, 1, 1), 2: (0, 1, 0), 3: (0, 0, 1)}
+# P sub_mb_type (ctx 21..23): 0 8x8 '1' | 1 8x4 '00' | 2 4x8 '011'
+#   | 3 4x4 '010'
+_P_SUB_BITS = {0: (1,), 1: (0, 0), 2: (0, 1, 1), 3: (0, 1, 0)}
+
+
+def _read_mb_type_p(r: CabacReader, cx: Ctxs) -> int:
+    """Returns 0..3 for inter shapes, or 5 + intra_mb_type."""
+    if r.decision(cx, CTX_MB_TYPE_P):
+        # intra suffix (its first bin has no neighbor conditioning)
+        it = _read_mb_type_i(r, cx, None, 0, 0, base=17)
+        return 5 + it
+    b1 = r.decision(cx, CTX_MB_TYPE_P + 1)
+    b2 = r.decision(cx, CTX_MB_TYPE_P + 2)
+    return {(0, 0): 0, (1, 1): 1, (1, 0): 2, (0, 1): 3}[(b1, b2)]
+
+
+def _write_mb_type_p(w: CabacWriter, cx: Ctxs, mb_type: int):
+    if mb_type >= 5:
+        w.decision(cx, CTX_MB_TYPE_P, 1)
+        _write_mb_type_i(w, cx, None, 0, 0, mb_type - 5, base=17)
+        return
+    _, b1, b2 = _P_MBT_BITS[mb_type]
+    w.decision(cx, CTX_MB_TYPE_P, 0)
+    w.decision(cx, CTX_MB_TYPE_P + 1, b1)
+    w.decision(cx, CTX_MB_TYPE_P + 2, b2)
+
+
+def _read_sub_mb_p(r: CabacReader, cx: Ctxs) -> int:
+    if r.decision(cx, CTX_SUB_MB_P):
+        return 0
+    if not r.decision(cx, CTX_SUB_MB_P + 1):
+        return 1
+    return 2 if r.decision(cx, CTX_SUB_MB_P + 2) else 3
+
+
+def _write_sub_mb_p(w: CabacWriter, cx: Ctxs, st: int):
+    bits = _P_SUB_BITS[st]
+    for i, b in enumerate(bits):
+        w.decision(cx, CTX_SUB_MB_P + i, b)
+
+
+def _mvd_inc(nb: _NbrState, grid, bx: int, by: int) -> int:
+    """bin0 ctxIdxInc from the neighbors' absolute mvd sum
+    (§9.3.3.1.1.7): e < 3 → 0, 3..32 → 1, > 32 → 2."""
+    a = int(grid[by, bx - 1]) if bx > 0 else 0
+    b = int(grid[by - 1, bx]) if by > 0 else 0
+    e = a + b
+    return 0 if e < 3 else (1 if e <= 32 else 2)
+
+
+# per-bin context offsets for the UEG3 prefix bins ≥ 1 (binIdx 1..8)
+_MVD_BIN_OFF = (3, 4, 5, 6, 6, 6, 6, 6)
+
+
+def _read_mvd(r: CabacReader, cx: Ctxs, base: int, inc0: int) -> int:
+    """mvd UEG3 (uCoff 9, signed): ctx-coded TU prefix, bypass EG3
+    suffix + sign."""
+    if not r.decision(cx, base + inc0):
+        return 0
+    ones = 1
+    while ones < 9 and r.decision(cx, base + _MVD_BIN_OFF[ones - 1]):
+        ones += 1
+    v = ones
+    if ones == 9:
+        v += _read_eg_bypass(r, 3)
+    return -v if r.bypass() else v
+
+
+def _write_mvd(w: CabacWriter, cx: Ctxs, base: int, inc0: int, v: int):
+    a = abs(v)
+    if a == 0:
+        w.decision(cx, base + inc0, 0)
+        return
+    w.decision(cx, base + inc0, 1)
+    for i in range(1, min(a, 9)):
+        w.decision(cx, base + _MVD_BIN_OFF[i - 1], 1)
+    if a < 9:
+        w.decision(cx, base + _MVD_BIN_OFF[a - 1], 0)
+    else:
+        _write_eg_bypass(w, a - 9, 3)
+    w.bypass(1 if v < 0 else 0)
+
+
+def _commit_mvd(nb: _NbrState, bx: int, by: int, w4: int, h4: int,
+                mvdx: int, mvdy: int):
+    nb.mvd_x[by:by + h4, bx:bx + w4] = abs(mvdx)
+    nb.mvd_y[by:by + h4, bx:bx + w4] = abs(mvdy)
+
+
+def _ensure_mvd_grids(nb: _NbrState, mb_w: int, mb_h: int):
+    if not hasattr(nb, "mvd_x"):
+        nb.mvd_x = np.zeros((mb_h * 4, mb_w * 4), np.int32)
+        nb.mvd_y = np.zeros((mb_h * 4, mb_w * 4), np.int32)
+
+
+def _read_motion_p_cabac(r: CabacReader, cx: Ctxs, nb: _NbrState, ctx,
+                         mb_type: int, mbx: int, mby: int,
+                         num_ref: int):
+    """CABAC twin of h264inter._parse_motion: resolves the partition
+    list, committing motion grids incrementally (MVP dependencies)."""
+    from . import h264inter as HI
+
+    bx0, by0 = mbx * 4, mby * 4
+    out = []
+    if mb_type in HI._P_PARTS:
+        geo = HI._P_PARTS[mb_type]
+        shape = {0: "", 1: "16x8", 2: "8x16"}[mb_type]
+        refs_i = [_read_ref_idx(r, cx, num_ref) for _ in geo]
+        for part, ((x4, y4, w4, h4), ri) in enumerate(zip(geo, refs_i)):
+            bx, by = bx0 + x4, by0 + y4
+            mvdx = _read_mvd(r, cx, CTX_MVD_X,
+                             _mvd_inc(nb, nb.mvd_x, bx, by))
+            mvdy = _read_mvd(r, cx, CTX_MVD_Y,
+                             _mvd_inc(nb, nb.mvd_y, bx, by))
+            mpx, mpy = HI.mvp_for(ctx, bx, by, w4, h4, ri, shape, part)
+            mvx, mvy = mpx + mvdx, mpy + mvdy
+            ctx.mvx[by:by + h4, bx:bx + w4] = mvx
+            ctx.mvy[by:by + h4, bx:bx + w4] = mvy
+            ctx.refidx[by:by + h4, bx:bx + w4] = ri
+            _commit_mvd(nb, bx, by, w4, h4, mvdx, mvdy)
+            out.append((x4, y4, w4, h4, ri, mvx, mvy))
+        return out
+    # P_8x8: four sub_mb_types, then four ref_idx, then mvds (§7.3.5.2)
+    subs = [_read_sub_mb_p(r, cx) for _ in range(4)]
+    refs_i = [_read_ref_idx(r, cx, num_ref) for _ in range(4)]
+    for q, (st, ri) in enumerate(zip(subs, refs_i)):
+        qx, qy = (q & 1) * 2, (q >> 1) * 2
+        for (sx, sy, w4, h4) in HI._SUB_PARTS[st]:
+            x4, y4 = qx + sx, qy + sy
+            bx, by = bx0 + x4, by0 + y4
+            mvdx = _read_mvd(r, cx, CTX_MVD_X,
+                             _mvd_inc(nb, nb.mvd_x, bx, by))
+            mvdy = _read_mvd(r, cx, CTX_MVD_Y,
+                             _mvd_inc(nb, nb.mvd_y, bx, by))
+            mpx, mpy = HI.mvp_for(ctx, bx, by, w4, h4, ri)
+            mvx, mvy = mpx + mvdx, mpy + mvdy
+            ctx.mvx[by:by + h4, bx:bx + w4] = mvx
+            ctx.mvy[by:by + h4, bx:bx + w4] = mvy
+            ctx.refidx[by:by + h4, bx:bx + w4] = ri
+            _commit_mvd(nb, bx, by, w4, h4, mvdx, mvdy)
+            out.append((x4, y4, w4, h4, ri, mvx, mvy))
+    return out
+
+
+def _ref_ctx(k: int) -> int:
+    # plain unary (§9.3.2.2): bin0 at 54 (neighbor conditioning folded
+    # to the base context — documented best-effort), bin1 58, rest 59
+    return CTX_REF_IDX if k == 0 else \
+        (CTX_REF_IDX + 4 if k == 1 else CTX_REF_IDX + 5)
+
+
+def _read_ref_idx(r: CabacReader, cx: Ctxs, num_ref: int) -> int:
+    if num_ref <= 1:
+        return 0
+    k = 0
+    while r.decision(cx, _ref_ctx(k)):
+        k += 1
+        if k > 64:
+            raise ValueError("CABAC: runaway ref_idx")
+    return k
+
+
+def _write_ref_idx(w: CabacWriter, cx: Ctxs, num_ref: int, ri: int):
+    if num_ref <= 1:
+        return
+    for k in range(ri):
+        w.decision(cx, _ref_ctx(k), 1)
+    w.decision(cx, _ref_ctx(ri), 0)
+
+
+# ---------------------------------------------------------------------------
+# P-slice decoder + fixture encoder (CABAC twins of
+# h264inter.decode_slice_p / encode_p_slice)
+# ---------------------------------------------------------------------------
+
+
+def _read_inter_residual_cabac(r: CabacReader, cx: Ctxs, nb: _NbrState,
+                               ctx, mbx: int, mby: int, pred_y, pred_cb,
+                               pred_cr):
+    """CABAC cbp + mb_qp_delta + residuals on top of the MC prediction,
+    reconstruction mirroring h264inter._decode_residual_inter."""
+    from . import h264codec as H
+    from . import h264intra as hi
+
+    cbp = _read_cbp(r, cx, nb, mbx, mby)
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp:
+        ctx.qp = (ctx.qp + _read_qp_delta(r, cx, nb) + 52) % 52
+    else:
+        nb.prev_qp_delta_nz = 0
+    qp = ctx.qp
+    ctx.mb_qp[mby, mbx] = qp
+    my, mx = mby * 16, mbx * 16
+    Yout = ctx.Y[my:my + 16, mx:mx + 16]
+    Yout[:] = pred_y
+    for i8 in range(4):
+        if not (cbp_luma & (1 << i8)):
+            continue
+        for sub in range(4):
+            k = 4 * i8 + sub
+            x4, y4 = hi.BLK4_POS[k]
+            bx, by = mbx * 4 + x4, mby * 4 + y4
+            c = read_residual_cabac(
+                r, cx, 2, 16, nb.cbf_inc_l4(bx, by, False))
+            nb.cbf_l4[by, bx] = 0 if c is None else 1
+            if c is None:
+                continue
+            d = hi.dequant4x4(H._unzigzag16(c), qp)
+            Yout[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4] = \
+                hi.reconstruct4x4(
+                    pred_y[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4], d)
+    qpc = hi.chroma_qp(qp, ctx.qpc_off)
+    dc = {0: None, 1: None}
+    ac = {0: [None] * 4, 1: [None] * 4}
+    if cbp_chroma:
+        for comp in (0, 1):
+            c = read_residual_cabac(
+                r, cx, 3, 4,
+                nb.cbf_inc_mb(nb.cbf_cdc[comp], mbx, mby, False))
+            nb.cbf_cdc[comp, mby, mbx] = 0 if c is None else 1
+            dc[comp] = c
+    if cbp_chroma == 2:
+        for comp in (0, 1):
+            for k in range(4):
+                gx = mbx * 2 + (k & 1)
+                gy = mby * 2 + (k >> 1)
+                c = read_residual_cabac(
+                    r, cx, 4, 15, nb.cbf_inc_cac(comp, gx, gy, False))
+                nb.cbf_cac[comp, gy, gx] = 0 if c is None else 1
+                ac[comp][k] = c
+    cy, cx_ = mby * 8, mbx * 8
+    for comp, (plane, pred_c) in enumerate(((ctx.Cb, pred_cb),
+                                            (ctx.Cr, pred_cr))):
+        tgt = plane[cy:cy + 8, cx_:cx_ + 8]
+        if dc[comp] is None and all(a is None for a in ac[comp]):
+            tgt[:] = pred_c
+            continue
+        dcC = hi.chroma_dc_dequant(
+            np.asarray(dc[comp], np.int64).reshape(2, 2), qpc) \
+            if dc[comp] is not None else np.zeros((2, 2), np.int64)
+        for k in range(4):
+            bx, by = k & 1, k >> 1
+            d = hi.dequant4x4(H._unzigzag15(ac[comp][k]), qpc) \
+                if ac[comp][k] is not None \
+                else np.zeros((4, 4), np.int64)
+            d[0, 0] = dcC[by, bx]
+            tgt[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
+                hi.reconstruct4x4(
+                    pred_c[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4], d)
+
+
+def _mark_skip(nb: _NbrState, ctx, mbx: int, mby: int):
+    nb.skip[mby, mbx] = 1
+    nb.cbp8[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+    nb.cbpc[mby, mbx] = 0
+    nb.cbf_l4[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 0
+    nb.cbf_dc[mby, mbx] = 0
+    nb.cbf_cdc[:, mby, mbx] = 0
+    nb.cbf_cac[:, mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+    nb.mvd_x[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 0
+    nb.mvd_y[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 0
+    nb.prev_qp_delta_nz = 0
+    ctx.mb_qp[mby, mbx] = ctx.qp
+
+
+def decode_slice_p_cabac(rbsp: bytes, sps: dict, pps: dict,
+                         nal_ref_idc: int, refs: list):
+    """CABAC P slice → decoded picture context (CABAC twin of
+    h264inter.decode_slice_p; motion reconstruction shared)."""
+    from . import h264codec as H
+    from . import h264inter as HI
+
+    r0 = H._BitReader(rbsp)
+    first_mb = r0.ue()
+    slice_type = r0.ue()
+    assert slice_type % 5 == 0
+    if first_mb != 0:
+        raise NotImplementedError(
+            "H.264 multi-slice pictures unsupported")
+    if not refs:
+        raise ValueError("H.264: P slice with no decoded reference")
+    r0.ue()                                   # pps id
+    r0.u(sps["log2_max_frame_num"])           # frame_num
+    if sps["poc_type"] == 0:
+        r0.u(sps["log2_max_poc_lsb"])
+        if pps["bottom_field_poc"]:
+            r0.se()
+    num_ref = pps["num_ref_l0"]
+    if r0.u(1):
+        num_ref = r0.ue() + 1
+    if r0.u(1):
+        raise NotImplementedError(
+            "H.264 reference picture list modification not supported")
+    wp0 = None
+    if pps["weighted_pred"]:
+        ld = r0.ue()
+        cd = r0.ue()
+        wp0 = HI._parse_pred_weight_table(r0, num_ref, ld, cd)
+    if nal_ref_idc:
+        if r0.u(1):
+            raise NotImplementedError(
+                "H.264 adaptive reference marking (MMCO) not supported")
+    r0.ue()                                   # cabac_init_idc (adaptive
+    #                                           contexts init neutrally
+    #                                           — module docstring)
+    qp = pps["init_qp"] + r0.se()
+    deblock = (0, 0, 0)
+    if pps["deblock_ctrl"]:
+        idc = r0.ue()
+        deblock = (idc, 2 * r0.se(), 2 * r0.se()) if idc != 1 \
+            else (1, 0, 0)
+    pos = (r0.p + 7) & ~7                     # cabac_alignment_one_bit
+    ctx = H._PicCtx(sps, pps)
+    ctx.qp = qp
+    ctx.deblock = deblock
+    ctx.ref_pids0 = [id(rp) for rp in refs]
+    ctx.wp0 = wp0
+    cx = Ctxs(qp)
+    nb = _NbrState(ctx.mb_w, ctx.mb_h)
+    _ensure_mvd_grids(nb, ctx.mb_w, ctx.mb_h)
+    r = CabacReader(rbsp, pos)
+    total = ctx.mb_w * ctx.mb_h
+    for mb in range(total):
+        mby, mbx = mb // ctx.mb_w, mb % ctx.mb_w
+        skip = r.decision(cx, CTX_MB_SKIP_P + nb.skip_inc(mbx, mby))
+        if skip:
+            pred_y = np.empty((16, 16), np.uint8)
+            pred_cb = np.empty((8, 8), np.uint8)
+            pred_cr = np.empty((8, 8), np.uint8)
+            mvx, mvy = HI.skip_mv(ctx, mbx * 4, mby * 4)
+            HI._apply_parts(ctx, refs, mbx, mby,
+                            [(0, 0, 4, 4, 0, mvx, mvy)],
+                            pred_y, pred_cb, pred_cr)
+            HI._store_mb(ctx, mbx, mby, pred_y, pred_cb, pred_cr)
+            _mark_skip(nb, ctx, mbx, mby)
+        else:
+            nb.skip[mby, mbx] = 0
+            mb_type = _read_mb_type_p(r, cx)
+            if mb_type >= 5:
+                it = mb_type - 5
+                if it > 25:
+                    raise ValueError(
+                        f"H.264: invalid P mb_type {mb_type}")
+                _decode_mb_intra_cabac(r, cx, nb, ctx, it, mbx, mby,
+                                       mbx > 0, mby > 0)
+            else:
+                pred_y = np.empty((16, 16), np.uint8)
+                pred_cb = np.empty((8, 8), np.uint8)
+                pred_cr = np.empty((8, 8), np.uint8)
+                parts = _read_motion_p_cabac(r, cx, nb, ctx, mb_type,
+                                             mbx, mby, num_ref)
+                HI._apply_parts(ctx, refs, mbx, mby, parts, pred_y,
+                                pred_cb, pred_cr)
+                _read_inter_residual_cabac(r, cx, nb, ctx, mbx, mby,
+                                           pred_y, pred_cb, pred_cr)
+        eos = r.terminate()
+        if eos != (1 if mb == total - 1 else 0):
+            raise ValueError(
+                "H.264 CABAC: end_of_slice_flag mismatch at mb %d" % mb)
+    return ctx
+
+
+def encode_p_slice_cabac(arr: np.ndarray, refs: list, qp: int,
+                         frame_num: int, sps: dict, pps: dict,
+                         partition_cycle: bool = False,
+                         intra_every: int = 0):
+    """One conforming-structure CABAC P slice → (rbsp, recon ref
+    object, recon RGB) — the CABAC twin of h264inter.encode_p_slice:
+    real motion search over the shared interpolators, P_Skip emission,
+    optional partition cycling and injected intra MBs."""
+    from . import h264codec as H
+    from . import h264inter as HI
+    from . import h264intra as hi
+
+    h, w0 = arr.shape[:2]
+    mb_w, mb_h = sps["mb_w"], sps["mb_h"]
+    pad = np.pad(arr, ((0, mb_h * 16 - h), (0, mb_w * 16 - w0), (0, 0)),
+                 mode="edge")
+    Ys, Cbs, Crs = H._rgb_to_yuv(pad)
+    ctx = H._PicCtx(sps, pps)
+    ctx.qp = qp
+    Yr, Cbr, Crr = ctx.Y, ctx.Cb, ctx.Cr
+    ref0 = refs[0]
+    refY = ref0.Y
+    qpc = hi.chroma_qp(qp, ctx.qpc_off)
+
+    bw = H._BitWriter()
+    bw.ue(0)                                  # first_mb_in_slice
+    bw.ue(5)                                  # slice_type P (all pics)
+    bw.ue(0)                                  # pps_id
+    bw.u(frame_num & ((1 << sps["log2_max_frame_num"]) - 1),
+         sps["log2_max_frame_num"])
+    if sps["poc_type"] == 0:
+        bw.u(0, sps["log2_max_poc_lsb"])
+    bw.u(0, 1)                                # no num_ref_idx override
+    bw.u(0, 1)                                # no list modification
+    bw.u(0, 1)                                # sliding-window marking
+    bw.ue(0)                                  # cabac_init_idc
+    bw.se(qp - pps["init_qp"])                # slice_qp_delta
+    if pps["deblock_ctrl"]:
+        bw.ue(1)                              # deblocking disabled
+    while bw.n:                               # cabac_alignment_one_bit
+        bw.u(1, 1)
+    header = bytes(bw.buf)
+
+    sw = _SegWriter()
+    cx = Ctxs(qp)
+    nb = _NbrState(mb_w, mb_h)
+    _ensure_mvd_grids(nb, mb_w, mb_h)
+    total = mb_w * mb_h
+    cycle = ("16x16", "16x8", "8x16", "8x8")
+    for mb in range(total):
+        mby, mbx = divmod(mb, mb_w)
+        my, mx = mby * 16, mbx * 16
+        cy, cx_ = mby * 8, mbx * 8
+
+        if intra_every and mb % intra_every == intra_every - 1:
+            nb.skip[mby, mbx] = 0
+            sw.w.decision(cx, CTX_MB_SKIP_P + nb.skip_inc(mbx, mby), 0)
+            ctx.mb_intra[mby, mbx] = True
+            nb.intra[mby, mbx] = 1
+            cmode = H._chroma_mode_select(hi, Cbs, Cbr, Crs, Crr,
+                                          mbx, mby)
+            pred_cb, dcq_cb, Zcb = H._encode_chroma(
+                hi, Cbs, Cbr, mbx, mby, cmode, qpc)
+            pred_cr, dcq_cr, Zcr = H._encode_chroma(
+                hi, Crs, Crr, mbx, mby, cmode, qpc)
+            any_ac = any(np.any(z) for z in Zcb + Zcr)
+            any_dc = np.any(dcq_cb) or np.any(dcq_cr)
+            cbp_chroma = 2 if any_ac else (1 if any_dc else 0)
+            if cbp_chroma < 2:
+                Zcb = [np.zeros((4, 4), np.int64)] * 4
+                Zcr = [np.zeros((4, 4), np.int64)] * 4
+            if cbp_chroma == 0:
+                dcq_cb = np.zeros((2, 2), np.int64)
+                dcq_cr = np.zeros((2, 2), np.int64)
+            HI._recon_chroma_blocks(hi, Cbr, cx_, cy, pred_cb, dcq_cb,
+                                    Zcb, qpc, True)
+            HI._recon_chroma_blocks(hi, Crr, cx_, cy, pred_cr, dcq_cr,
+                                    Zcr, qpc, True)
+            _encode_mb_i16_cabac(sw, cx, nb, ctx, Ys, mbx, mby, qp,
+                                 cmode, cbp_chroma, dcq_cb, dcq_cr,
+                                 Zcb, Zcr, p_slice=True)
+            _write_chroma_residual_cabac(sw.w, cx, nb, mbx, mby,
+                                         cbp_chroma, dcq_cb, dcq_cr,
+                                         Zcb, Zcr)
+            ctx.mb_qp[mby, mbx] = qp
+            sw.w.terminate(1 if mb == total - 1 else 0)
+            continue
+
+        shape = cycle[mb % 4] if partition_cycle else "16x16"
+        geo = HI._SHAPES[shape]
+        shape_tag = shape if shape in ("16x8", "8x16") else ""
+        smv = HI.skip_mv(ctx, mbx * 4, mby * 4)
+        pred_y = np.empty((16, 16), np.uint8)
+        pred_cb8 = np.empty((8, 8), np.uint8)
+        pred_cr8 = np.empty((8, 8), np.uint8)
+        mvds = []
+        mvs = []
+        for pi, (x4, y4, w4, h4) in enumerate(geo):
+            px, py = mx + x4 * 4, my + y4 * 4
+            src = Ys[py:py + h4 * 4, px:px + w4 * 4]
+            mv = HI._search_mv(refY, src, px, py, w4 * 4, h4 * 4)
+            mpx, mpy = HI.mvp_for(ctx, mbx * 4 + x4, mby * 4 + y4,
+                                  w4, h4, 0, shape_tag, pi)
+            mvds.append((mv[0] - mpx, mv[1] - mpy))
+            mvs.append(mv)
+            HI._apply_parts(ctx, [ref0], mbx, mby,
+                            [(x4, y4, w4, h4, 0, mv[0], mv[1])],
+                            pred_y, pred_cb8, pred_cr8)
+
+        srcY = Ys[my:my + 16, mx:mx + 16]
+        Z = [None] * 16
+        for k in range(16):
+            x4, y4 = hi.BLK4_POS[k]
+            d = (srcY[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4]
+                 .astype(np.int64)
+                 - pred_y[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4])
+            Z[k] = hi.quant4x4(hi.forward4x4(d), qp, intra=False)
+        cbp_luma = 0
+        for i8 in range(4):
+            if any(np.any(Z[4 * i8 + s]) for s in range(4)):
+                cbp_luma |= 1 << i8
+        dcq_cb, Zcb = HI._enc_chroma_inter(
+            hi, Cbs[cy:cy + 8, cx_:cx_ + 8], pred_cb8, qpc)
+        dcq_cr, Zcr = HI._enc_chroma_inter(
+            hi, Crs[cy:cy + 8, cx_:cx_ + 8], pred_cr8, qpc)
+        any_ac = any(np.any(z) for z in Zcb + Zcr)
+        any_dc = np.any(dcq_cb) or np.any(dcq_cr)
+        cbp_chroma = 2 if any_ac else (1 if any_dc else 0)
+        if cbp_chroma < 2:
+            Zcb = [np.zeros((4, 4), np.int64)] * 4
+            Zcr = [np.zeros((4, 4), np.int64)] * 4
+        if cbp_chroma == 0:
+            dcq_cb = np.zeros((2, 2), np.int64)
+            dcq_cr = np.zeros((2, 2), np.int64)
+        cbp = cbp_luma | (cbp_chroma << 4)
+
+        if shape == "16x16" and mvs[0] == smv and cbp == 0:
+            sw.w.decision(cx, CTX_MB_SKIP_P + nb.skip_inc(mbx, mby), 1)
+            _mark_skip(nb, ctx, mbx, mby)
+            Yr[my:my + 16, mx:mx + 16] = pred_y
+            Cbr[cy:cy + 8, cx_:cx_ + 8] = pred_cb8
+            Crr[cy:cy + 8, cx_:cx_ + 8] = pred_cr8
+            sw.w.terminate(1 if mb == total - 1 else 0)
+            continue
+
+        nb.skip[mby, mbx] = 0
+        sw.w.decision(cx, CTX_MB_SKIP_P + nb.skip_inc(mbx, mby), 0)
+        mb_type = HI._SHAPE_MBTYPE[shape]
+        _write_mb_type_p(sw.w, cx, mb_type)
+        if shape == "8x8":
+            for _ in range(4):
+                _write_sub_mb_p(sw.w, cx, 0)  # sub type 8x8
+        # num_ref == 1 → no ref_idx bins
+        for (x4, y4, w4, h4), (dx, dy) in zip(geo, mvds):
+            bx, by = mbx * 4 + x4, mby * 4 + y4
+            _write_mvd(sw.w, cx, CTX_MVD_X,
+                       _mvd_inc(nb, nb.mvd_x, bx, by), dx)
+            _write_mvd(sw.w, cx, CTX_MVD_Y,
+                       _mvd_inc(nb, nb.mvd_y, bx, by), dy)
+            _commit_mvd(nb, bx, by, w4, h4, dx, dy)
+        _write_cbp(sw.w, cx, nb, mbx, mby, cbp)
+        if cbp:
+            _write_qp_delta(sw.w, cx, nb, 0)
+        else:
+            nb.prev_qp_delta_nz = 0
+        ctx.mb_qp[mby, mbx] = qp
+        for i8 in range(4):
+            if not (cbp_luma & (1 << i8)):
+                for s in range(4):
+                    k = 4 * i8 + s
+                    x4, y4 = hi.BLK4_POS[k]
+                    Yr[my + y4 * 4:my + y4 * 4 + 4,
+                       mx + x4 * 4:mx + x4 * 4 + 4] = \
+                        pred_y[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4]
+                continue
+            for s in range(4):
+                k = 4 * i8 + s
+                x4, y4 = hi.BLK4_POS[k]
+                bx, by = mbx * 4 + x4, mby * 4 + y4
+                lv = Z[k].reshape(-1)[hi.ZIGZAG]
+                nb.cbf_l4[by, bx] = write_residual_cabac(
+                    sw.w, cx, 2, lv, nb.cbf_inc_l4(bx, by, False))
+                d = hi.dequant4x4(Z[k], qp)
+                Yr[my + y4 * 4:my + y4 * 4 + 4,
+                   mx + x4 * 4:mx + x4 * 4 + 4] = hi.reconstruct4x4(
+                    pred_y[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4], d)
+        _write_chroma_residual_cabac(sw.w, cx, nb, mbx, mby,
+                                     cbp_chroma, dcq_cb, dcq_cr,
+                                     Zcb, Zcr, intra=False)
+        HI._recon_chroma_blocks(hi, Cbr, cx_, cy, pred_cb8, dcq_cb,
+                                Zcb, qpc, cbp_chroma > 0)
+        HI._recon_chroma_blocks(hi, Crr, cx_, cy, pred_cr8, dcq_cr,
+                                Zcr, qpc, cbp_chroma > 0)
+        sw.w.terminate(1 if mb == total - 1 else 0)
+
+    rbsp = header + sw.finish()
+    recon = H._yuv_to_rgb(Yr, Cbr, Crr, sps["width"], sps["height"])
+    return rbsp, HI._enc_ref((Yr, Cbr, Crr), ctx), recon
+
+
+def encode_gop_cabac_p(frames: list, qp: int = 26, gop: int = 8,
+                       partition_cycle: bool = False,
+                       intra_every: int = 0, mix_i4: bool = True,
+                       pcm_every: int = 0):
+    """RGB frames → (Annex-B CABAC IDR+P stream, reconstructions):
+    frame 0 and every ``gop``-th frame are CABAC intra IDRs, the rest
+    CABAC P slices predicting from the previous reconstruction."""
+    from . import h264codec as H
+    from . import h264inter as HI
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    if w % 2 or h % 2:
+        raise ValueError("H.264 4:2:0 needs even dimensions")
+    sps_r = H._sps_rbsp(w, h)
+    pps_r = H._pps_rbsp(cabac=True)
+    sps, pps = H.parse_sps(sps_r), H.parse_pps(pps_r)
+    sc = b"\x00\x00\x00\x01"
+    out = [sc + H._nal(7, sps_r), sc + H._nal(8, pps_r)]
+    recons = []
+    refs: list = []
+    frame_num = 0
+    for i, f in enumerate(frames):
+        if f.shape[:2] != (h, w):
+            raise ValueError("all frames must share dimensions")
+        if i % gop == 0:
+            rbsp, recon, planes = encode_i_slice_cabac(
+                f, qp, idr_pic_id=i & 1, mix_i4=mix_i4,
+                pcm_every=pcm_every)
+            out.append(sc + H._nal(5, rbsp))
+            refs = [HI._enc_ref(planes)]
+            frame_num = 1
+        else:
+            rbsp, ref, recon = encode_p_slice_cabac(
+                f, refs, qp, frame_num, sps, pps,
+                partition_cycle=partition_cycle,
+                intra_every=intra_every)
+            out.append(sc + H._nal(1, rbsp, ref_idc=2))
+            refs = [ref]
+            frame_num = (frame_num + 1) & 0xF
+        recons.append(recon)
+    return b"".join(out), recons
+
+
+def encode_gop_cabac_samples(frames: list, qp: int = 26, gop: int = 8,
+                             partition_cycle: bool = False,
+                             intra_every: int = 0, mix_i4: bool = True,
+                             pcm_every: int = 0):
+    """Length-prefixed avc1 samples (CABAC IDR+P) for the MP4 route →
+    (samples, recon frames, sync flags)."""
+    import struct
+
+    from . import h264codec as H
+    from . import h264inter as HI
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    sps = H.parse_sps(H._sps_rbsp(w, h))
+    pps = H.parse_pps(H._pps_rbsp(cabac=True))
+    out, recons, sync = [], [], []
+    refs: list = []
+    frame_num = 0
+    for i, f in enumerate(frames):
+        if i % gop == 0:
+            rbsp, recon, planes = encode_i_slice_cabac(
+                f, qp, idr_pic_id=i & 1, mix_i4=mix_i4,
+                pcm_every=pcm_every)
+            nal = H._nal(5, rbsp)
+            refs = [HI._enc_ref(planes)]
+            frame_num = 1
+            sync.append(True)
+        else:
+            rbsp, ref, recon = encode_p_slice_cabac(
+                f, refs, qp, frame_num, sps, pps,
+                partition_cycle=partition_cycle,
+                intra_every=intra_every)
+            nal = H._nal(1, rbsp, ref_idc=2)
+            refs = [ref]
+            frame_num = (frame_num + 1) & 0xF
+            sync.append(False)
+        out.append(struct.pack(">I", len(nal)) + nal)
+        recons.append(recon)
+    return out, recons, sync

@@ -34,10 +34,14 @@ type.
 The §8.7 in-loop deblocking filter is applied (h264deblock) whenever
 the slice header enables it — fixtures can encode either way, and the
 filtered reconstruction feeds the reference list exactly as the spec
-requires. Declared stubs: CABAC, SP/SI slices, temporal direct,
-weighted prediction, MMCO/list reordering, 8x8 transform and scaling
-lists raise NotImplementedError naming the tool. Header parsing
-(probe) works on any baseline/main/high stream.
+requires. The CABAC entropy layer (h264cabac, §9.3) decodes and
+encodes I+P slices (engine and bitstream structure spec-faithful;
+context-init constants documented-neutral — see h264cabac's module
+docstring), and explicit weighted prediction is real (h264inter).
+Declared stubs: SP/SI slices, temporal direct, implicit weighted
+bipred, CABAC B slices, MMCO/list reordering, 8x8 transform and
+scaling lists raise NotImplementedError naming the tool. Header
+parsing (probe) works on any baseline/main/high stream.
 
 Reference parity note: the reference stores media blobs untouched; this
 codec backs the engine's multimodal stages (multimodal.py), extending
@@ -470,8 +474,9 @@ def _decode_slice_intra(rbsp: bytes, sps: dict, pps: dict, idr: bool):
             f"H.264 slice_type {slice_type} (SP/SI) requires switching "
             "prediction — external decoder needed")
     if pps["cabac"]:
-        raise NotImplementedError(
-            "H.264 CABAC entropy decoding not implemented")
+        from . import h264cabac
+
+        return h264cabac.decode_slice_i_cabac(rbsp, sps, pps, idr)
     r.ue()                                    # pps id
     r.u(sps["log2_max_frame_num"])            # frame_num
     if idr:
@@ -869,11 +874,11 @@ def _sps_rbsp(w: int, h: int, num_ref: int = 1) -> bytes:
 
 
 def _pps_rbsp(weighted_pred: bool = False,
-              weighted_bipred: int = 0) -> bytes:
+              weighted_bipred: int = 0, cabac: bool = False) -> bytes:
     bw = _BitWriter()
     bw.ue(0)                                  # pps_id
     bw.ue(0)                                  # sps_id
-    bw.u(0, 1)                                # CAVLC
+    bw.u(1 if cabac else 0, 1)                # entropy_coding_mode
     bw.u(0, 1)                                # bottom_field_poc
     bw.ue(0)                                  # one slice group
     bw.ue(0)
@@ -1292,11 +1297,12 @@ def encode_annexb(frames: list[np.ndarray]) -> bytes:
 
 def avcc_config(w: int, h: int, num_ref: int = 1,
                 weighted_pred: bool = False,
-                weighted_bipred: int = 0) -> bytes:
+                weighted_bipred: int = 0, cabac: bool = False) -> bytes:
     """avcC decoder-configuration record for the fixture SPS/PPS."""
     sps = _nal(7, _sps_rbsp(w, h, num_ref))
     pps = _nal(8, _pps_rbsp(weighted_pred=weighted_pred,
-                            weighted_bipred=weighted_bipred))
+                            weighted_bipred=weighted_bipred,
+                            cabac=cabac))
     return (bytes([1, 66, 0xC0, 20, 0xFF, 0xE1])
             + struct.pack(">H", len(sps)) + sps
             + bytes([1]) + struct.pack(">H", len(pps)) + pps)

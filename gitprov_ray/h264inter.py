@@ -43,11 +43,13 @@ Explicit weighted prediction is REAL (§7.3.3.2 pred_weight_table +
 weighted_bipred_idc 1 in B slices, including P_Skip/B_Skip/direct
 MBs, encoder and decoder, pixel-exact round-trips under fades).
 
-Declared stubs kept honest: CABAC, SP/SI slices, temporal direct,
-IMPLICIT (POC-derived) biprediction, MMCO/list modification,
-constrained_intra_pred in inter slices, multi-slice pictures — each
-raises NotImplementedError naming the tool. The in-loop deblocking
-filter is not applied (fixtures disable it).
+CABAC P slices route to h264cabac (real decode+encode; CABAC B
+slices remain stubbed there). Declared stubs kept honest: SP/SI
+slices, temporal direct, IMPLICIT (POC-derived) biprediction,
+MMCO/list modification, constrained_intra_pred in inter slices,
+multi-slice pictures — each raises NotImplementedError naming the
+tool. The in-loop deblocking filter is not applied (fixtures disable
+it).
 
 Reference parity note: the reference (git-prov) stores media blobs
 untouched; this module extends the engine's multimodal real-decode
@@ -476,8 +478,10 @@ def decode_slice_p(rbsp: bytes, sps: dict, pps: dict, nal_ref_idc: int,
     slice_type = r.ue()
     assert slice_type % 5 == 0
     if pps["cabac"]:
-        raise NotImplementedError(
-            "H.264 CABAC entropy decoding not implemented")
+        from . import h264cabac
+
+        return h264cabac.decode_slice_p_cabac(rbsp, sps, pps,
+                                              nal_ref_idc, refs)
     if first_mb != 0:
         raise NotImplementedError("H.264 multi-slice pictures unsupported")
     if not refs:
@@ -1284,7 +1288,8 @@ def decode_slice_b(rbsp: bytes, sps: dict, pps: dict, nal_ref_idc: int,
     assert slice_type % 5 == 1
     if pps["cabac"]:
         raise NotImplementedError(
-            "H.264 CABAC entropy decoding not implemented")
+            "H.264 CABAC B slices not implemented (I+P CABAC is "
+            "real — h264cabac; B adds direct/bi mb_type binarization)")
     if first_mb != 0:
         raise NotImplementedError("H.264 multi-slice pictures unsupported")
     if not refs:

@@ -449,13 +449,26 @@ def encode_mp4_h264_gop(frames: list[np.ndarray], fps: int = 10,
                         qp: int = 26, gop: int = 8,
                         partition_cycle: bool = False,
                         intra_every: int = 0, bframes: bool = False,
-                        deblock: bool = False, weighted: bool = False):
+                        deblock: bool = False, weighted: bool = False,
+                        cabac: bool = False):
     """uint8 RGB frames → (avc1 MP4 with IDR+P(+B) GOP structure —
     predicted macroblocks, CAVLC, h264inter — plus the conforming
     decoder's expected reconstructions). stss marks only the IDR
     samples, so seek paths see a REAL sync-sample table."""
     from . import h264inter
 
+    if cabac:
+        if bframes or deblock or weighted:
+            raise NotImplementedError(
+                "CABAC MP4 fixtures support IDR+P GOPs (no B/deblock/"
+                "weighted combination yet)")
+        from . import h264cabac
+
+        samples, recons, sync = h264cabac.encode_gop_cabac_samples(
+            frames, qp=qp, gop=gop, partition_cycle=partition_cycle,
+            intra_every=intra_every)
+        return _build_mp4_avc1(frames, samples, fps, sync=sync,
+                               cabac=True), recons
     samples, recons, sync = h264inter.encode_gop_samples(
         frames, qp=qp, gop=gop, partition_cycle=partition_cycle,
         intra_every=intra_every, bframes=bframes, deblock=deblock,
@@ -469,7 +482,7 @@ def encode_mp4_h264_gop(frames: list[np.ndarray], fps: int = 10,
 def _build_mp4_avc1(frames: list[np.ndarray], samples: list[bytes],
                     fps: int = 10, sync: list | None = None,
                     num_ref: int = 1, weighted: bool = False,
-                    bframes: bool = False) -> bytes:
+                    bframes: bool = False, cabac: bool = False) -> bytes:
     from . import h264codec
 
     if not frames:
@@ -486,7 +499,8 @@ def _build_mp4_avc1(frames: list[np.ndarray], samples: list[bytes],
 
     avcc = _box(b"avcC", h264codec.avcc_config(
         w, h, num_ref, weighted_pred=weighted,
-        weighted_bipred=1 if (weighted and bframes) else 0))
+        weighted_bipred=1 if (weighted and bframes) else 0,
+        cabac=cabac))
     entry = (b"\0" * 6 + struct.pack(">H", 1)
              + b"\0" * 16
              + struct.pack(">HH", w, h)
