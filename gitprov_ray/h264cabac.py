@@ -1,6 +1,6 @@
 """H.264 CABAC entropy layer (Rec. ITU-T H.264 §9.3): the arithmetic
 decoding/encoding engines, context-variable machinery, binarizations and
-the residual-block codec, plus CABAC I- and P-slice decoders and
+the residual-block codec, plus CABAC I/P/B slice decoders and
 conforming-structure fixture encoders.
 
 Scope and honesty boundary
@@ -952,7 +952,7 @@ class _SegWriter:
 
 def _encode_mb_i16_cabac(sw, cx: Ctxs, nb: _NbrState, ctx, Ys, mbx, mby,
                          qp, cmode, cbp_chroma, dcq_cb, dcq_cr, Zcb, Zcr,
-                         p_slice: bool = False):
+                         slice_kind: str = "i"):
     """Analyze + emit one Intra_16x16 MB (luma analysis mirrors
     h264codec._encode_mb_i16; chroma analysis is shared with the CAVLC
     encoder and passed in)."""
@@ -988,8 +988,11 @@ def _encode_mb_i16_cabac(sw, cx: Ctxs, nb: _NbrState, ctx, Ys, mbx, mby,
     dcq = hi.luma_dc_quant(dc, qp)
     cbp_luma = 15 if any(np.any(z) for z in Z) else 0
     mb_type = 1 + pm16 + 4 * cbp_chroma + 12 * (cbp_luma == 15)
-    if p_slice:
+    if slice_kind == "p":
         _write_mb_type_p(w, cx, 5 + mb_type)
+    elif slice_kind == "b":
+        _write_mb_type_b(w, cx, _b_mbtype_inc(nb, mbx, mby),
+                         23 + mb_type)
     else:
         _write_mb_type_i(w, cx, nb, mbx, mby, mb_type)
     nb.not_i4[mby, mbx] = 1
@@ -1685,7 +1688,7 @@ def encode_p_slice_cabac(arr: np.ndarray, refs: list, qp: int,
                                     Zcr, qpc, True)
             _encode_mb_i16_cabac(sw, cx, nb, ctx, Ys, mbx, mby, qp,
                                  cmode, cbp_chroma, dcq_cb, dcq_cr,
-                                 Zcb, Zcr, p_slice=True)
+                                 Zcb, Zcr, slice_kind="p")
             _write_chroma_residual_cabac(sw.w, cx, nb, mbx, mby,
                                          cbp_chroma, dcq_cb, dcq_cr,
                                          Zcb, Zcr)
@@ -1808,10 +1811,12 @@ def encode_p_slice_cabac(arr: np.ndarray, refs: list, qp: int,
 def encode_gop_cabac_p(frames: list, qp: int = 26, gop: int = 8,
                        partition_cycle: bool = False,
                        intra_every: int = 0, mix_i4: bool = True,
-                       pcm_every: int = 0):
-    """RGB frames → (Annex-B CABAC IDR+P stream, reconstructions):
+                       pcm_every: int = 0, bframes: bool = False):
+    """RGB frames → (Annex-B CABAC IDR+P(+B) stream, reconstructions):
     frame 0 and every ``gop``-th frame are CABAC intra IDRs, the rest
-    CABAC P slices predicting from the previous reconstruction."""
+    CABAC P slices predicting from the previous reconstruction — with
+    ``bframes``, every second inter frame is a non-reference CABAC B
+    slice (spatial direct, low-delay, two reference frames)."""
     from . import h264codec as H
     from . import h264inter as HI
 
@@ -1820,7 +1825,8 @@ def encode_gop_cabac_p(frames: list, qp: int = 26, gop: int = 8,
     h, w = frames[0].shape[:2]
     if w % 2 or h % 2:
         raise ValueError("H.264 4:2:0 needs even dimensions")
-    sps_r = H._sps_rbsp(w, h)
+    num_ref = 2 if bframes else 1
+    sps_r = H._sps_rbsp(w, h, num_ref)
     pps_r = H._pps_rbsp(cabac=True)
     sps, pps = H.parse_sps(sps_r), H.parse_pps(pps_r)
     sc = b"\x00\x00\x00\x01"
@@ -1831,20 +1837,28 @@ def encode_gop_cabac_p(frames: list, qp: int = 26, gop: int = 8,
     for i, f in enumerate(frames):
         if f.shape[:2] != (h, w):
             raise ValueError("all frames must share dimensions")
-        if i % gop == 0:
+        pos = i % gop
+        if pos == 0:
             rbsp, recon, planes = encode_i_slice_cabac(
                 f, qp, idr_pic_id=i & 1, mix_i4=mix_i4,
                 pcm_every=pcm_every)
             out.append(sc + H._nal(5, rbsp))
             refs = [HI._enc_ref(planes)]
             frame_num = 1
+        elif bframes and pos >= 2 and pos % 2 == 0 and len(refs) >= 2:
+            rbsp, recon = encode_b_slice_cabac(
+                f, refs, qp, frame_num, sps, pps,
+                partition_cycle=partition_cycle,
+                intra_every=intra_every)
+            out.append(sc + H._nal(1, rbsp, ref_idc=0))
         else:
             rbsp, ref, recon = encode_p_slice_cabac(
                 f, refs, qp, frame_num, sps, pps,
                 partition_cycle=partition_cycle,
                 intra_every=intra_every)
             out.append(sc + H._nal(1, rbsp, ref_idc=2))
-            refs = [ref]
+            refs.insert(0, ref)
+            del refs[num_ref:]
             frame_num = (frame_num + 1) & 0xF
         recons.append(recon)
     return b"".join(out), recons
@@ -1853,9 +1867,9 @@ def encode_gop_cabac_p(frames: list, qp: int = 26, gop: int = 8,
 def encode_gop_cabac_samples(frames: list, qp: int = 26, gop: int = 8,
                              partition_cycle: bool = False,
                              intra_every: int = 0, mix_i4: bool = True,
-                             pcm_every: int = 0):
-    """Length-prefixed avc1 samples (CABAC IDR+P) for the MP4 route →
-    (samples, recon frames, sync flags)."""
+                             pcm_every: int = 0, bframes: bool = False):
+    """Length-prefixed avc1 samples (CABAC IDR+P(+B)) for the MP4
+    route → (samples, recon frames, sync flags)."""
     import struct
 
     from . import h264codec as H
@@ -1864,13 +1878,15 @@ def encode_gop_cabac_samples(frames: list, qp: int = 26, gop: int = 8,
     if not frames:
         raise ValueError("need at least one frame")
     h, w = frames[0].shape[:2]
-    sps = H.parse_sps(H._sps_rbsp(w, h))
+    num_ref = 2 if bframes else 1
+    sps = H.parse_sps(H._sps_rbsp(w, h, num_ref))
     pps = H.parse_pps(H._pps_rbsp(cabac=True))
     out, recons, sync = [], [], []
     refs: list = []
     frame_num = 0
     for i, f in enumerate(frames):
-        if i % gop == 0:
+        pos = i % gop
+        if pos == 0:
             rbsp, recon, planes = encode_i_slice_cabac(
                 f, qp, idr_pic_id=i & 1, mix_i4=mix_i4,
                 pcm_every=pcm_every)
@@ -1878,15 +1894,555 @@ def encode_gop_cabac_samples(frames: list, qp: int = 26, gop: int = 8,
             refs = [HI._enc_ref(planes)]
             frame_num = 1
             sync.append(True)
+        elif bframes and pos >= 2 and pos % 2 == 0 and len(refs) >= 2:
+            rbsp, recon = encode_b_slice_cabac(
+                f, refs, qp, frame_num, sps, pps,
+                partition_cycle=partition_cycle,
+                intra_every=intra_every)
+            nal = H._nal(1, rbsp, ref_idc=0)
+            sync.append(False)
         else:
             rbsp, ref, recon = encode_p_slice_cabac(
                 f, refs, qp, frame_num, sps, pps,
                 partition_cycle=partition_cycle,
                 intra_every=intra_every)
             nal = H._nal(1, rbsp, ref_idc=2)
-            refs = [ref]
+            refs.insert(0, ref)
+            del refs[num_ref:]
             frame_num = (frame_num + 1) & 0xF
             sync.append(False)
         out.append(struct.pack(">I", len(nal)) + nal)
         recons.append(recon)
     return out, recons, sync
+
+
+# ---------------------------------------------------------------------------
+# B-slice macroblock layer (binarizations follow the Table 9-37/9-38
+# prefix shapes; exact FL sub-field layouts are best-effort — see the
+# module docstring's conformance note — and bind both ends identically)
+# ---------------------------------------------------------------------------
+
+CTX_MB_SKIP_B = 24       # +condA+condB
+CTX_MB_TYPE_B = 27       # bin0 +inc (neighbor not direct/skip), 28, 29
+CTX_MB_TYPE_B_I = 32     # intra suffix base (bins 33..35 via the
+#                          compact layout of _read_mb_type_i)
+CTX_SUB_MB_B = 36        # bins 36..39
+
+
+def _read_fl(r: CabacReader, cx: Ctxs, idx: int, nbits: int) -> int:
+    v = 0
+    for _ in range(nbits):
+        v = (v << 1) | r.decision(cx, idx)
+    return v
+
+
+def _write_fl(w: CabacWriter, cx: Ctxs, idx: int, v: int, nbits: int):
+    for i in range(nbits - 1, -1, -1):
+        w.decision(cx, idx, (v >> i) & 1)
+
+
+def _read_mb_type_b(r: CabacReader, cx: Ctxs, inc: int) -> int:
+    if not r.decision(cx, CTX_MB_TYPE_B + inc):
+        return 0                               # B_Direct_16x16
+    if not r.decision(cx, CTX_MB_TYPE_B + 3):
+        return 1 if not r.decision(cx, CTX_MB_TYPE_B + 4) else 2
+    if not r.decision(cx, CTX_MB_TYPE_B + 4):
+        return 3 + _read_fl(r, cx, CTX_MB_TYPE_B + 4, 3)
+    v = _read_fl(r, cx, CTX_MB_TYPE_B + 4, 4)
+    if v <= 11:
+        return 11 + v                          # 11..22
+    if v == 12:
+        return 23 + _read_mb_type_i(r, cx, None, 0, 0,
+                                    base=CTX_MB_TYPE_B_I)
+    raise ValueError(f"H.264 CABAC: invalid B mb_type field {v}")
+
+
+def _write_mb_type_b(w: CabacWriter, cx: Ctxs, inc: int, mb_type: int):
+    if mb_type == 0:
+        w.decision(cx, CTX_MB_TYPE_B + inc, 0)
+        return
+    w.decision(cx, CTX_MB_TYPE_B + inc, 1)
+    if mb_type in (1, 2):
+        w.decision(cx, CTX_MB_TYPE_B + 3, 0)
+        w.decision(cx, CTX_MB_TYPE_B + 4, 0 if mb_type == 1 else 1)
+        return
+    w.decision(cx, CTX_MB_TYPE_B + 3, 1)
+    if 3 <= mb_type <= 10:
+        w.decision(cx, CTX_MB_TYPE_B + 4, 0)
+        _write_fl(w, cx, CTX_MB_TYPE_B + 4, mb_type - 3, 3)
+        return
+    w.decision(cx, CTX_MB_TYPE_B + 4, 1)
+    if 11 <= mb_type <= 22:
+        _write_fl(w, cx, CTX_MB_TYPE_B + 4, mb_type - 11, 4)
+        return
+    # intra: escape field 12 then the I suffix
+    _write_fl(w, cx, CTX_MB_TYPE_B + 4, 12, 4)
+    _write_mb_type_i(w, cx, None, 0, 0, mb_type - 23,
+                     base=CTX_MB_TYPE_B_I)
+
+
+def _read_sub_mb_b(r: CabacReader, cx: Ctxs) -> int:
+    if not r.decision(cx, CTX_SUB_MB_B):
+        return 0                               # B_Direct_8x8
+    if not r.decision(cx, CTX_SUB_MB_B + 1):
+        return 1 if not r.decision(cx, CTX_SUB_MB_B + 3) else 2
+    if not r.decision(cx, CTX_SUB_MB_B + 2):
+        return 3 + _read_fl(r, cx, CTX_SUB_MB_B + 3, 2)
+    v = _read_fl(r, cx, CTX_SUB_MB_B + 3, 3)
+    if v > 5:
+        raise ValueError(f"H.264 CABAC: invalid B sub_mb_type field {v}")
+    return 7 + v
+
+
+def _write_sub_mb_b(w: CabacWriter, cx: Ctxs, st: int):
+    if st == 0:
+        w.decision(cx, CTX_SUB_MB_B, 0)
+        return
+    w.decision(cx, CTX_SUB_MB_B, 1)
+    if st in (1, 2):
+        w.decision(cx, CTX_SUB_MB_B + 1, 0)
+        w.decision(cx, CTX_SUB_MB_B + 3, 0 if st == 1 else 1)
+        return
+    w.decision(cx, CTX_SUB_MB_B + 1, 1)
+    if 3 <= st <= 6:
+        w.decision(cx, CTX_SUB_MB_B + 2, 0)
+        _write_fl(w, cx, CTX_SUB_MB_B + 3, st - 3, 2)
+        return
+    w.decision(cx, CTX_SUB_MB_B + 2, 1)
+    _write_fl(w, cx, CTX_SUB_MB_B + 3, st - 7, 3)
+
+
+def _ensure_b_grids(nb: _NbrState, mb_w: int, mb_h: int):
+    if not hasattr(nb, "mvd_x1"):
+        _ensure_mvd_grids(nb, mb_w, mb_h)
+        nb.mvd_x1 = np.zeros((mb_h * 4, mb_w * 4), np.int32)
+        nb.mvd_y1 = np.zeros((mb_h * 4, mb_w * 4), np.int32)
+        nb.b_dirskip = np.zeros((mb_h, mb_w), np.int8)
+
+
+def _b_mbtype_inc(nb: _NbrState, mbx: int, mby: int) -> int:
+    """condTermFlagN = neighbor exists and is not B_Direct_16x16 /
+    B_Skip (§9.3.3.1.1.3)."""
+    a = (1 if mbx > 0 and not nb.b_dirskip[mby, mbx - 1] else 0)
+    b = (1 if mby > 0 and not nb.b_dirskip[mby - 1, mbx] else 0)
+    return a + b
+
+
+class _BMotionEnt:
+    """Entropy adapter for h264inter._parse_motion_b /
+    _write_motion_b: routes ref/sub/mvd syntax through the CABAC
+    engine with per-list neighbor-conditioned mvd contexts. ``rw`` is
+    a CabacReader (decode) or CabacWriter (encode)."""
+
+    def __init__(self, rw, cx: Ctxs, nb: _NbrState, nref0: int,
+                 nref1: int, writing: bool):
+        self.rw, self.cx, self.nb = rw, cx, nb
+        self.nref = (nref0, nref1)
+        self.writing = writing
+
+    def ref(self, lst: int, v: int | None = None):
+        if self.writing:
+            _write_ref_idx(self.rw, self.cx, self.nref[lst], v or 0)
+            return v
+        return _read_ref_idx(self.rw, self.cx, self.nref[lst])
+
+    def sub(self, v: int | None = None):
+        if self.writing:
+            _write_sub_mb_b(self.rw, self.cx, v)
+            return v
+        return _read_sub_mb_b(self.rw, self.cx)
+
+    def _grids(self, lst: int, comp: int):
+        if lst == 0:
+            return self.nb.mvd_x if comp == 0 else self.nb.mvd_y
+        return self.nb.mvd_x1 if comp == 0 else self.nb.mvd_y1
+
+    def mvd(self, lst: int, bx: int, by: int, w4: int, h4: int,
+            comp: int, v: int | None = None) -> int:
+        grid = self._grids(lst, comp)
+        base = CTX_MVD_X if comp == 0 else CTX_MVD_Y
+        inc = _mvd_inc(self.nb, grid, bx, by)
+        if self.writing:
+            _write_mvd(self.rw, self.cx, base, inc, v)
+        else:
+            v = _read_mvd(self.rw, self.cx, base, inc)
+        grid[by:by + h4, bx:bx + w4] = abs(v)
+        return v
+
+
+def decode_slice_b_cabac(rbsp: bytes, sps: dict, pps: dict,
+                         nal_ref_idc: int, refs: list):
+    """CABAC B slice (spatial direct) → decoded picture context (the
+    CABAC twin of h264inter.decode_slice_b; direct derivation, MC and
+    bi-combination shared with the CAVLC inter layer)."""
+    from . import h264codec as H
+    from . import h264inter as HI
+
+    r0 = H._BitReader(rbsp)
+    first_mb = r0.ue()
+    slice_type = r0.ue()
+    assert slice_type % 5 == 1
+    if first_mb != 0:
+        raise NotImplementedError(
+            "H.264 multi-slice pictures unsupported")
+    if not refs:
+        raise ValueError("H.264: B slice with no decoded reference")
+    r0.ue()                                   # pps id
+    r0.u(sps["log2_max_frame_num"])           # frame_num
+    if sps["poc_type"] == 0:
+        r0.u(sps["log2_max_poc_lsb"])
+        if pps["bottom_field_poc"]:
+            r0.se()
+    if not r0.u(1):                           # direct_spatial_mv_pred
+        raise NotImplementedError(
+            "H.264 temporal direct mode not supported (POC scaling)")
+    nref0, nref1 = pps["num_ref_l0"], pps["num_ref_l1"]
+    if r0.u(1):
+        nref0 = r0.ue() + 1
+        nref1 = r0.ue() + 1
+    if r0.u(1) or r0.u(1):                    # list0/list1 modification
+        raise NotImplementedError(
+            "H.264 reference picture list modification not supported")
+    wp0 = wp1 = None
+    if pps["weighted_bipred"] == 1:
+        ld = r0.ue()
+        cd = r0.ue()
+        wp0 = HI._parse_pred_weight_table(r0, nref0, ld, cd)
+        wp1 = HI._parse_pred_weight_table(r0, nref1, ld, cd)
+    if pps["weighted_bipred"] == 2:
+        raise NotImplementedError(
+            "H.264 implicit weighted biprediction not supported")
+    if nal_ref_idc:
+        if r0.u(1):
+            raise NotImplementedError(
+                "H.264 adaptive reference marking (MMCO) not supported")
+    r0.ue()                                   # cabac_init_idc
+    qp = pps["init_qp"] + r0.se()
+    deblock = (0, 0, 0)
+    if pps["deblock_ctrl"]:
+        idc = r0.ue()
+        deblock = (idc, 2 * r0.se(), 2 * r0.se()) if idc != 1 \
+            else (1, 0, 0)
+    pos = (r0.p + 7) & ~7
+    L0, L1 = HI._b_lists(refs)
+    ctx = H._PicCtx(sps, pps)
+    ctx.qp = qp
+    ctx.deblock = deblock
+    ctx.ref_pids0 = [id(rp) for rp in L0]
+    ctx.ref_pids1 = [id(rp) for rp in L1]
+    ctx.wp0, ctx.wp1 = wp0, wp1
+    cx = Ctxs(qp)
+    nb = _NbrState(ctx.mb_w, ctx.mb_h)
+    _ensure_b_grids(nb, ctx.mb_w, ctx.mb_h)
+    r = CabacReader(rbsp, pos)
+    ent = _BMotionEnt(r, cx, nb, nref0, nref1, writing=False)
+    all_blocks = [(xx, yy) for yy in range(4) for xx in range(4)]
+    total = ctx.mb_w * ctx.mb_h
+    for mb in range(total):
+        mby, mbx = mb // ctx.mb_w, mb % ctx.mb_w
+        skip = r.decision(cx, CTX_MB_SKIP_B + nb.skip_inc(mbx, mby))
+        if skip:                              # B_Skip: direct, no resid
+            pred_y = np.empty((16, 16), np.uint8)
+            pred_cb = np.empty((8, 8), np.uint8)
+            pred_cr = np.empty((8, 8), np.uint8)
+            parts = HI._direct_parts(ctx, mbx, mby, L1, all_blocks)
+            HI._apply_parts_b(ctx, L0, L1, mbx, mby, parts, pred_y,
+                              pred_cb, pred_cr)
+            HI._store_mb(ctx, mbx, mby, pred_y, pred_cb, pred_cr)
+            _mark_skip(nb, ctx, mbx, mby)
+            nb.b_dirskip[mby, mbx] = 1
+            nb.mvd_x1[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 0
+            nb.mvd_y1[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 0
+        else:
+            nb.skip[mby, mbx] = 0
+            mb_type = _read_mb_type_b(r, cx, _b_mbtype_inc(nb, mbx, mby))
+            nb.b_dirskip[mby, mbx] = 1 if mb_type == 0 else 0
+            if mb_type >= 23:
+                it = mb_type - 23
+                if it > 25:
+                    raise ValueError(
+                        f"H.264: invalid B mb_type {mb_type}")
+                _decode_mb_intra_cabac(r, cx, nb, ctx, it, mbx, mby,
+                                       mbx > 0, mby > 0)
+            else:
+                pred_y = np.empty((16, 16), np.uint8)
+                pred_cb = np.empty((8, 8), np.uint8)
+                pred_cr = np.empty((8, 8), np.uint8)
+                parts = HI._parse_motion_b(ctx, None, mb_type, mbx,
+                                           mby, nref0, nref1, L1,
+                                           ent=ent)
+                HI._apply_parts_b(ctx, L0, L1, mbx, mby, parts,
+                                  pred_y, pred_cb, pred_cr)
+                _read_inter_residual_cabac(r, cx, nb, ctx, mbx, mby,
+                                           pred_y, pred_cb, pred_cr)
+        eos = r.terminate()
+        if eos != (1 if mb == total - 1 else 0):
+            raise ValueError(
+                "H.264 CABAC: end_of_slice_flag mismatch at mb %d" % mb)
+    return ctx
+
+
+def _write_inter_residual_cabac(sw, cx: Ctxs, nb: _NbrState, ctx, mbx,
+                                mby, qp, qpc, pred_y, pred_cb8,
+                                pred_cr8, Z, cbp_luma, dcq_cb, dcq_cr,
+                                Zcb, Zcr, cbp_chroma):
+    """CABAC cbp + residual emission + decoder-exact reconstruction
+    for an inter MB whose motion syntax is already written (the CABAC
+    twin of h264inter._write_inter_residual)."""
+    from . import h264inter as HI
+    from . import h264intra as hi
+
+    Yr, Cbr, Crr = ctx.Y, ctx.Cb, ctx.Cr
+    my, mx = mby * 16, mbx * 16
+    cy, cx_ = mby * 8, mbx * 8
+    cbp = cbp_luma | (cbp_chroma << 4)
+    _write_cbp(sw.w, cx, nb, mbx, mby, cbp)
+    if cbp:
+        _write_qp_delta(sw.w, cx, nb, 0)
+    else:
+        nb.prev_qp_delta_nz = 0
+    ctx.mb_qp[mby, mbx] = qp
+    for i8 in range(4):
+        if not (cbp_luma & (1 << i8)):
+            for s in range(4):
+                k = 4 * i8 + s
+                x4, y4 = hi.BLK4_POS[k]
+                Yr[my + y4 * 4:my + y4 * 4 + 4,
+                   mx + x4 * 4:mx + x4 * 4 + 4] = \
+                    pred_y[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4]
+            continue
+        for s in range(4):
+            k = 4 * i8 + s
+            x4, y4 = hi.BLK4_POS[k]
+            bx, by = mbx * 4 + x4, mby * 4 + y4
+            lv = Z[k].reshape(-1)[hi.ZIGZAG]
+            nb.cbf_l4[by, bx] = write_residual_cabac(
+                sw.w, cx, 2, lv, nb.cbf_inc_l4(bx, by, False))
+            d = hi.dequant4x4(Z[k], qp)
+            Yr[my + y4 * 4:my + y4 * 4 + 4,
+               mx + x4 * 4:mx + x4 * 4 + 4] = hi.reconstruct4x4(
+                pred_y[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4], d)
+    _write_chroma_residual_cabac(sw.w, cx, nb, mbx, mby, cbp_chroma,
+                                 dcq_cb, dcq_cr, Zcb, Zcr, intra=False)
+    HI._recon_chroma_blocks(hi, Cbr, cx_, cy, pred_cb8, dcq_cb, Zcb,
+                            qpc, cbp_chroma > 0)
+    HI._recon_chroma_blocks(hi, Crr, cx_, cy, pred_cr8, dcq_cr, Zcr,
+                            qpc, cbp_chroma > 0)
+
+
+def encode_b_slice_cabac(arr: np.ndarray, refs: list, qp: int,
+                         frame_num: int, sps: dict, pps: dict,
+                         partition_cycle: bool = False,
+                         intra_every: int = 0):
+    """One conforming-structure CABAC non-reference B slice → (rbsp,
+    recon RGB): the CABAC twin of h264inter.encode_b_slice — direct /
+    L0 / L1 / Bi 16x16 evaluation through the shared machinery, B_Skip
+    when direct quantizes residual-free, composite/8x8 cycling."""
+    from . import h264codec as H
+    from . import h264inter as HI
+    from . import h264intra as hi
+
+    h, w0 = arr.shape[:2]
+    mb_w, mb_h = sps["mb_w"], sps["mb_h"]
+    pad = np.pad(arr, ((0, mb_h * 16 - h), (0, mb_w * 16 - w0), (0, 0)),
+                 mode="edge")
+    Ys, Cbs, Crs = H._rgb_to_yuv(pad)
+    ctx = H._PicCtx(sps, pps)
+    ctx.qp = qp
+    Yr, Cbr, Crr = ctx.Y, ctx.Cb, ctx.Cr
+    L0, L1 = HI._b_lists(refs)
+    qpc = hi.chroma_qp(qp, ctx.qpc_off)
+
+    bw = H._BitWriter()
+    bw.ue(0)                                  # first_mb_in_slice
+    bw.ue(6)                                  # slice_type B (all pics)
+    bw.ue(0)                                  # pps_id
+    bw.u(frame_num & ((1 << sps["log2_max_frame_num"]) - 1),
+         sps["log2_max_frame_num"])
+    if sps["poc_type"] == 0:
+        bw.u(0, sps["log2_max_poc_lsb"])
+    bw.u(1, 1)                                # direct_spatial_mv_pred
+    bw.u(0, 1)                                # no num_ref_idx override
+    bw.u(0, 1)                                # no list0 modification
+    bw.u(0, 1)                                # no list1 modification
+    # nal_ref_idc == 0 → no dec_ref_pic_marking
+    bw.ue(0)                                  # cabac_init_idc
+    bw.se(qp - pps["init_qp"])                # slice_qp_delta
+    if pps["deblock_ctrl"]:
+        bw.ue(1)                              # deblocking disabled
+    while bw.n:                               # cabac_alignment_one_bit
+        bw.u(1, 1)
+    header = bytes(bw.buf)
+
+    sw = _SegWriter()
+    cx = Ctxs(qp)
+    nb = _NbrState(mb_w, mb_h)
+    _ensure_b_grids(nb, mb_w, mb_h)
+    ent = _BMotionEnt(sw.w, cx, nb, 1, 1, writing=True)
+    all_blocks = [(xx, yy) for yy in range(4) for xx in range(4)]
+    total = mb_w * mb_h
+    for mb in range(total):
+        mby, mbx = divmod(mb, mb_w)
+        my, mx = mby * 16, mbx * 16
+        cy, cx_ = mby * 8, mbx * 8
+        ent.rw = sw.w                         # engine may restart (PCM)
+
+        if intra_every and mb % intra_every == intra_every - 1:
+            nb.skip[mby, mbx] = 0
+            sw.w.decision(cx, CTX_MB_SKIP_B + nb.skip_inc(mbx, mby), 0)
+            nb.b_dirskip[mby, mbx] = 0
+            ctx.mb_intra[mby, mbx] = True
+            nb.intra[mby, mbx] = 1
+            cmode = H._chroma_mode_select(hi, Cbs, Cbr, Crs, Crr,
+                                          mbx, mby)
+            pred_cb, dcq_cb, Zcb = H._encode_chroma(
+                hi, Cbs, Cbr, mbx, mby, cmode, qpc)
+            pred_cr, dcq_cr, Zcr = H._encode_chroma(
+                hi, Crs, Crr, mbx, mby, cmode, qpc)
+            any_ac = any(np.any(z) for z in Zcb + Zcr)
+            any_dc = np.any(dcq_cb) or np.any(dcq_cr)
+            cbp_chroma = 2 if any_ac else (1 if any_dc else 0)
+            if cbp_chroma < 2:
+                Zcb = [np.zeros((4, 4), np.int64)] * 4
+                Zcr = [np.zeros((4, 4), np.int64)] * 4
+            if cbp_chroma == 0:
+                dcq_cb = np.zeros((2, 2), np.int64)
+                dcq_cr = np.zeros((2, 2), np.int64)
+            HI._recon_chroma_blocks(hi, Cbr, cx_, cy, pred_cb, dcq_cb,
+                                    Zcb, qpc, True)
+            HI._recon_chroma_blocks(hi, Crr, cx_, cy, pred_cr, dcq_cr,
+                                    Zcr, qpc, True)
+            _encode_mb_i16_cabac(sw, cx, nb, ctx, Ys, mbx, mby, qp,
+                                 cmode, cbp_chroma, dcq_cb, dcq_cr,
+                                 Zcb, Zcr, slice_kind="b")
+            _write_chroma_residual_cabac(sw.w, cx, nb, mbx, mby,
+                                         cbp_chroma, dcq_cb, dcq_cr,
+                                         Zcb, Zcr)
+            ctx.mb_qp[mby, mbx] = qp
+            sw.w.terminate(1 if mb == total - 1 else 0)
+            continue
+
+        srcY = Ys[my:my + 16, mx:mx + 16]
+        pred_y = np.empty((16, 16), np.uint8)
+        pred_cb8 = np.empty((8, 8), np.uint8)
+        pred_cr8 = np.empty((8, 8), np.uint8)
+
+        dparts = HI._direct_parts(ctx, mbx, mby, L1, all_blocks)
+        HI._apply_parts_b(ctx, L0, L1, mbx, mby, dparts, pred_y,
+                          pred_cb8, pred_cr8, commit=False)
+        sad_d = H._sad(srcY, pred_y)
+        mv_l0 = HI._search_mv(L0[0].Y, srcY, mx, my, 16, 16)
+        p_l0 = HI.mc_luma(L0[0].Y, mx, my, mv_l0[0], mv_l0[1], 16, 16)
+        sad_l0 = H._sad(srcY, p_l0)
+        mv_l1 = HI._search_mv(L1[0].Y, srcY, mx, my, 16, 16)
+        p_l1 = HI.mc_luma(L1[0].Y, mx, my, mv_l1[0], mv_l1[1], 16, 16)
+        sad_l1 = H._sad(srcY, p_l1)
+        p_bi = ((p_l0.astype(np.int16) + p_l1 + 1) >> 1).astype(np.uint8)
+        sad_bi = H._sad(srcY, p_bi)
+
+        forced = None
+        if partition_cycle:
+            forced = (None, 8, 13, 22)[mb % 4]
+
+        if forced is None:
+            best = min((sad_d - 32, "direct"), (sad_l0, "L0"),
+                       (sad_l1, "L1"), (sad_bi, "BI"),
+                       key=lambda t: t[0])[1]
+            if best == "direct":
+                parts = HI._direct_parts(ctx, mbx, mby, L1, all_blocks)
+                HI._apply_parts_b(ctx, L0, L1, mbx, mby, parts,
+                                  pred_y, pred_cb8, pred_cr8)
+                q = HI._quant_inter_mb(hi, ctx, mbx, mby, qp, qpc, Ys,
+                                       Cbs, Crs, pred_y, pred_cb8,
+                                       pred_cr8)
+                cbp = q[1] | (q[6] << 4)
+                if cbp == 0:                  # B_Skip
+                    sw.w.decision(
+                        cx, CTX_MB_SKIP_B + nb.skip_inc(mbx, mby), 1)
+                    _mark_skip(nb, ctx, mbx, mby)
+                    nb.b_dirskip[mby, mbx] = 1
+                    Yr[my:my + 16, mx:mx + 16] = pred_y
+                    Cbr[cy:cy + 8, cx_:cx_ + 8] = pred_cb8
+                    Crr[cy:cy + 8, cx_:cx_ + 8] = pred_cr8
+                    sw.w.terminate(1 if mb == total - 1 else 0)
+                    continue
+                nb.skip[mby, mbx] = 0
+                sw.w.decision(
+                    cx, CTX_MB_SKIP_B + nb.skip_inc(mbx, mby), 0)
+                _write_mb_type_b(sw.w, cx, _b_mbtype_inc(nb, mbx, mby),
+                                 0)
+                nb.b_dirskip[mby, mbx] = 1
+                _write_inter_residual_cabac(sw, cx, nb, ctx, mbx, mby,
+                                            qp, qpc, pred_y, pred_cb8,
+                                            pred_cr8, *q)
+                sw.w.terminate(1 if mb == total - 1 else 0)
+                continue
+            mb_type = {"L0": 1, "L1": 2, "BI": 3}[best]
+            geo = HI._B_GEO["16x16"]
+            modes = (best,)
+            mvs0, mvs1 = [mv_l0], [mv_l1]
+            shape_tag = ""
+            dflags = [False]
+        elif forced == 22:                    # B_8x8
+            mb_type = 22
+            subs = [1, 0, 3, 6]
+            geo, modes, dflags = [], [], []
+            for i8, s in enumerate(subs):
+                ox, oy = (i8 & 1) * 2, (i8 >> 1) * 2
+                if s == 0:
+                    geo.append((ox, oy, 2, 2))
+                    modes.append("DIR")
+                    dflags.append(True)
+                else:
+                    gk, mode = HI._B_SUB[s]
+                    for x4, y4, w4, h4 in HI._B_SUB_GEO[gk]:
+                        geo.append((ox + x4, oy + y4, w4, h4))
+                        modes.append(mode)
+                        dflags.append(False)
+            shape_tag = ""
+        else:                                 # composite 16x8 / 8x16
+            mb_type = forced
+            shape, modes = HI._B_MODES[forced]
+            geo = HI._B_GEO[shape]
+            shape_tag = shape
+            dflags = [False] * len(geo)
+
+        nb.skip[mby, mbx] = 0
+        sw.w.decision(cx, CTX_MB_SKIP_B + nb.skip_inc(mbx, mby), 0)
+        _write_mb_type_b(sw.w, cx, _b_mbtype_inc(nb, mbx, mby), mb_type)
+        nb.b_dirskip[mby, mbx] = 0
+        if mb_type == 22:
+            for s in [1, 0, 3, 6]:
+                _write_sub_mb_b(sw.w, cx, s)
+            # ref_idx absent (single ref per list)
+        if mb_type != 1 and mb_type != 2 and mb_type != 3:
+            mvs0, mvs1 = [], []
+            for (x4, y4, w4, h4), mode, df in zip(geo, modes, dflags):
+                if df:
+                    mvs0.append(None)
+                    mvs1.append(None)
+                    continue
+                src = Ys[my + y4 * 4:my + (y4 + h4) * 4,
+                         mx + x4 * 4:mx + (x4 + w4) * 4]
+                mvs0.append(HI._search_mv(L0[0].Y, src, mx + x4 * 4,
+                                          my + y4 * 4, w4 * 4, h4 * 4)
+                            if mode in ("L0", "BI") else None)
+                mvs1.append(HI._search_mv(L1[0].Y, src, mx + x4 * 4,
+                                          my + y4 * 4, w4 * 4, h4 * 4)
+                            if mode in ("L1", "BI") else None)
+        parts = HI._write_motion_b(ctx, None, geo, list(modes),
+                                   list(dflags), mvs0, mvs1, L1, mbx,
+                                   mby, shape_tag, ent=ent)
+        HI._apply_parts_b(ctx, L0, L1, mbx, mby, parts, pred_y,
+                          pred_cb8, pred_cr8, commit=False)
+        q = HI._quant_inter_mb(hi, ctx, mbx, mby, qp, qpc, Ys, Cbs,
+                               Crs, pred_y, pred_cb8, pred_cr8)
+        _write_inter_residual_cabac(sw, cx, nb, ctx, mbx, mby, qp,
+                                    qpc, pred_y, pred_cb8, pred_cr8,
+                                    *q)
+        sw.w.terminate(1 if mb == total - 1 else 0)
+
+    rbsp = header + sw.finish()
+    recon = H._yuv_to_rgb(Yr, Cbr, Crr, sps["width"], sps["height"])
+    return rbsp, recon
+

@@ -35,11 +35,11 @@ The §8.7 in-loop deblocking filter is applied (h264deblock) whenever
 the slice header enables it — fixtures can encode either way, and the
 filtered reconstruction feeds the reference list exactly as the spec
 requires. The CABAC entropy layer (h264cabac, §9.3) decodes and
-encodes I+P slices (engine and bitstream structure spec-faithful;
-context-init constants documented-neutral — see h264cabac's module
-docstring), and explicit weighted prediction is real (h264inter).
-Declared stubs: SP/SI slices, temporal direct, implicit weighted
-bipred, CABAC B slices, MMCO/list reordering, 8x8 transform and
+encodes I, P AND B slices (engine and bitstream structure
+spec-faithful; context-init constants documented-neutral — see
+h264cabac's module docstring), and explicit weighted prediction is
+real (h264inter). Declared stubs: SP/SI slices, temporal direct,
+implicit weighted bipred, MMCO/list reordering, 8x8 transform and
 scaling lists raise NotImplementedError naming the tool. Header
 parsing (probe) works on any baseline/main/high stream.
 

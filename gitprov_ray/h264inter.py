@@ -43,8 +43,8 @@ Explicit weighted prediction is REAL (§7.3.3.2 pred_weight_table +
 weighted_bipred_idc 1 in B slices, including P_Skip/B_Skip/direct
 MBs, encoder and decoder, pixel-exact round-trips under fades).
 
-CABAC P slices route to h264cabac (real decode+encode; CABAC B
-slices remain stubbed there). Declared stubs kept honest: SP/SI
+CABAC P and B slices route to h264cabac (real decode+encode).
+Declared stubs kept honest: SP/SI
 slices, temporal direct, IMPLICIT (POC-derived) biprediction,
 MMCO/list modification, constrained_intra_pred in inter slices,
 multi-slice pictures — each raises NotImplementedError naming the
@@ -1170,10 +1170,13 @@ def _apply_parts_b(ctx, L0, L1, mbx: int, mby: int, parts, pred_y,
 
 
 def _parse_motion_b(ctx, r, mb_type: int, mbx: int, mby: int,
-                    nref0: int, nref1: int, L1):
+                    nref0: int, nref1: int, L1, ent=None):
     """B mb_pred / sub_mb_pred syntax → partition list for
     _apply_parts_b, committing per-list motion grids in parse order so
-    intra-MB MVP dependencies resolve exactly as the spec's."""
+    intra-MB MVP dependencies resolve exactly as the spec's. ``ent``
+    (optional) swaps the entropy layer: an adapter with
+    ``ref(lst)`` / ``sub()`` / ``mvd(lst, bx, by, w4, h4, comp)``
+    methods (h264cabac) replaces the CAVLC te/ue/se reads."""
     bx0, by0 = mbx * 4, mby * 4
 
     def walk(geo, modes, shape_tag, refs0, refs1, direct_flags):
@@ -1205,9 +1208,13 @@ def _parse_motion_b(ctx, r, mb_type: int, mbx: int, mby: int,
                     continue
                 if mode == "L0" and lst == 1:
                     continue
-                mvdx, mvdy = r.se(), r.se()
-                ri = refsv[i]
                 px, py = bx0 + x4, by0 + y4
+                if ent is not None:
+                    mvdx = ent.mvd(lst, px, py, w4, h4, 0)
+                    mvdy = ent.mvd(lst, px, py, w4, h4, 1)
+                else:
+                    mvdx, mvdy = r.se(), r.se()
+                ri = refsv[i]
                 mpx, mpy = mvp_for(ctx, px, py, w4, h4, ri,
                                    shape_tag, i, lst)
                 mvx, mvy = mpx + mvdx, mpy + mvdy
@@ -1236,14 +1243,21 @@ def _parse_motion_b(ctx, r, mb_type: int, mbx: int, mby: int,
         shape, modes = _B_MODES[mb_type]
         geo = _B_GEO[shape]
         shape_tag = shape if shape in ("16x8", "8x16") else ""
-        refs0 = [(_te(r, nref0 - 1) if m in ("L0", "BI") else -1)
-                 for m in modes]
-        refs1 = [(_te(r, nref1 - 1) if m in ("L1", "BI") else -1)
-                 for m in modes]
+        if ent is not None:
+            refs0 = [(ent.ref(0) if m in ("L0", "BI") else -1)
+                     for m in modes]
+            refs1 = [(ent.ref(1) if m in ("L1", "BI") else -1)
+                     for m in modes]
+        else:
+            refs0 = [(_te(r, nref0 - 1) if m in ("L0", "BI") else -1)
+                     for m in modes]
+            refs1 = [(_te(r, nref1 - 1) if m in ("L1", "BI") else -1)
+                     for m in modes]
         return walk(geo, modes, shape_tag, refs0, refs1,
                     [False] * len(geo))
     # B_8x8 (22)
-    subs = [r.ue() for _ in range(4)]
+    subs = [ent.sub() for _ in range(4)] if ent is not None \
+        else [r.ue() for _ in range(4)]
     for s in subs:
         if s > 12:
             raise ValueError(f"H.264: invalid B sub_mb_type {s}")
@@ -1264,10 +1278,12 @@ def _parse_motion_b(ctx, r, mb_type: int, mbx: int, mby: int,
     r8_0, r8_1 = [-1] * 4, [-1] * 4
     for i8, s in enumerate(subs):
         if s != 0 and _B_SUB[s][1] in ("L0", "BI"):
-            r8_0[i8] = _te(r, nref0 - 1)
+            r8_0[i8] = ent.ref(0) if ent is not None \
+                else _te(r, nref0 - 1)
     for i8, s in enumerate(subs):
         if s != 0 and _B_SUB[s][1] in ("L1", "BI"):
-            r8_1[i8] = _te(r, nref1 - 1)
+            r8_1[i8] = ent.ref(1) if ent is not None \
+                else _te(r, nref1 - 1)
     refs0 = [r8_0[(y4 // 2) * 2 + (x4 // 2)] for x4, y4, _, _ in geo]
     refs1 = [r8_1[(y4 // 2) * 2 + (x4 // 2)] for x4, y4, _, _ in geo]
     return walk(geo, modes, "", refs0, refs1, direct_flags)
@@ -1287,9 +1303,10 @@ def decode_slice_b(rbsp: bytes, sps: dict, pps: dict, nal_ref_idc: int,
     slice_type = r.ue()
     assert slice_type % 5 == 1
     if pps["cabac"]:
-        raise NotImplementedError(
-            "H.264 CABAC B slices not implemented (I+P CABAC is "
-            "real — h264cabac; B adds direct/bi mb_type binarization)")
+        from . import h264cabac
+
+        return h264cabac.decode_slice_b_cabac(rbsp, sps, pps,
+                                              nal_ref_idc, refs)
     if first_mb != 0:
         raise NotImplementedError("H.264 multi-slice pictures unsupported")
     if not refs:
@@ -1396,10 +1413,12 @@ def decode_slice_b(rbsp: bytes, sps: dict, pps: dict, nal_ref_idc: int,
 # ---------------------------------------------------------------------------
 
 def _write_motion_b(ctx, bw, geo, modes, direct_flags, mvs0, mvs1, L1,
-                    mbx: int, mby: int, shape_tag: str = ""):
+                    mbx: int, mby: int, shape_tag: str = "", ent=None):
     """Mirror of _parse_motion_b's two-pass walk on the WRITE side:
     emits mvds (ref_idx absent — one ref per list in fixture streams),
-    commits grids in the identical order, returns the partition list."""
+    commits grids in the identical order, returns the partition list.
+    ``ent`` swaps the entropy layer exactly as in _parse_motion_b
+    (write-side adapter: ``mvd(lst, bx, by, w4, h4, comp, v)``)."""
     bx0, by0 = mbx * 4, mby * 4
     direct_cache = {}
     out = [None] * len(geo)
@@ -1428,8 +1447,12 @@ def _write_motion_b(ctx, bw, geo, modes, direct_flags, mvs0, mvs1, L1,
             mv = mvsv[i]
             px, py = bx0 + x4, by0 + y4
             mpx, mpy = mvp_for(ctx, px, py, w4, h4, 0, shape_tag, i, lst)
-            bw.se(mv[0] - mpx)
-            bw.se(mv[1] - mpy)
+            if ent is not None:
+                ent.mvd(lst, px, py, w4, h4, 0, mv[0] - mpx)
+                ent.mvd(lst, px, py, w4, h4, 1, mv[1] - mpy)
+            else:
+                bw.se(mv[0] - mpx)
+                bw.se(mv[1] - mpy)
             gx, gy, gr = _grids(ctx, lst)
             gx[py:py + h4, px:px + w4] = mv[0]
             gy[py:py + h4, px:px + w4] = mv[1]

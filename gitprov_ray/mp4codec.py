@@ -458,16 +458,17 @@ def encode_mp4_h264_gop(frames: list[np.ndarray], fps: int = 10,
     from . import h264inter
 
     if cabac:
-        if bframes or deblock or weighted:
+        if deblock or weighted:
             raise NotImplementedError(
-                "CABAC MP4 fixtures support IDR+P GOPs (no B/deblock/"
+                "CABAC MP4 fixtures support IDR+P+B GOPs (no deblock/"
                 "weighted combination yet)")
         from . import h264cabac
 
         samples, recons, sync = h264cabac.encode_gop_cabac_samples(
             frames, qp=qp, gop=gop, partition_cycle=partition_cycle,
-            intra_every=intra_every)
+            intra_every=intra_every, bframes=bframes)
         return _build_mp4_avc1(frames, samples, fps, sync=sync,
+                               num_ref=2 if bframes else 1,
                                cabac=True), recons
     samples, recons, sync = h264inter.encode_gop_samples(
         frames, qp=qp, gop=gop, partition_cycle=partition_cycle,

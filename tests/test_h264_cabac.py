@@ -282,3 +282,46 @@ def test_cabac_mp4_route_end_to_end():
     assert len(dec) == len(recons)
     for d, r in zip(dec, recons):
         assert np.array_equal(d, r)
+
+
+def test_b_gop_roundtrip_pixel_exact():
+    frames = _frames(8, 32, 48)
+    stream, recons = C.encode_gop_cabac_p(frames, qp=24, bframes=True)
+    dec = H.decode_annexb(stream)
+    assert len(dec) == 8
+    for i, (d, r) in enumerate(zip(dec, recons)):
+        assert np.array_equal(d, r), f"frame {i}"
+
+
+def test_b_gop_partition_cycle_intra_and_noise():
+    # noise drives full-chroma cbp; cycle covers composite 16x8/8x16,
+    # B_8x8 with a direct sub-block, and intra-in-B
+    frames = [rng.integers(0, 256, (32, 48, 3), np.uint8)
+              for _ in range(8)]
+    stream, recons = C.encode_gop_cabac_p(
+        frames, qp=26, bframes=True, partition_cycle=True,
+        intra_every=5)
+    dec = H.decode_annexb(stream)
+    for i, (d, r) in enumerate(zip(dec, recons)):
+        assert np.array_equal(d, r), f"frame {i}"
+
+
+def test_b_static_collapses_to_skip():
+    still = rng.integers(0, 256, (32, 32, 3), np.uint8)
+    frames = [still.copy() for _ in range(6)]
+    stream, recons = C.encode_gop_cabac_p(frames, qp=26, bframes=True)
+    dec = H.decode_annexb(stream)
+    for d, r in zip(dec, recons):
+        assert np.array_equal(d, r)
+
+
+def test_cabac_mp4_bframes_route():
+    from gitprov_ray import mp4codec as M
+
+    frames = _frames(8, 32, 32)
+    blob, recons = M.encode_mp4_h264_gop(frames, qp=26, gop=8,
+                                         bframes=True, cabac=True)
+    dec = M.decode_mp4_frames(blob)
+    assert len(dec) == len(recons)
+    for d, r in zip(dec, recons):
+        assert np.array_equal(d, r)
