@@ -1247,7 +1247,8 @@ def _synth_mp4_h264(seed: int, frames: int = 5, w: int = 32,
     FrameSample: seed%3==0 → I_PCM, 1 → CAVLC all-intra, 2 → IDR+P GOP
     with predicted macroblocks (h264inter — the real-crawl shape; odd
     seeds enable the §8.7 in-loop deblocking filter, the default of
-    every real-world encoder)."""
+    every real-world encoder; even seeds use CABAC entropy coding —
+    h264cabac — the other real-world default)."""
     from . import mp4codec
 
     yy, xx = np.mgrid[0:h, 0:w]
@@ -1258,7 +1259,8 @@ def _synth_mp4_h264(seed: int, frames: int = 5, w: int = 32,
     if seed % 3 == 2:
         return mp4codec.encode_mp4_h264_gop(
             frs, fps=5, qp=22, gop=4, partition_cycle=bool(seed % 2),
-            bframes=bool(seed % 2), deblock=bool(seed % 2))[0]
+            bframes=bool(seed % 2), deblock=bool(seed % 2),
+            cabac=not (seed % 2))[0]
     if seed % 3 == 1:
         return mp4codec.encode_mp4_h264_cavlc(frs, fps=5, qp=22)[0]
     return mp4codec.encode_mp4_h264_ipcm(frs, fps=5)

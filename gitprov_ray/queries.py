@@ -6541,6 +6541,56 @@ def q_xlsx_roundtrip_events(sf_dir: str):
                      "n_users": "int64", "n_days": "int64"}))
 
 
+def q_avro_roundtrip_events(sf_dir: str):
+    """Avro OCF ingestion edge (avrocodec — the engine's own container
+    reader/writer from the Avro 1.11 spec: zigzag varints, deflate
+    codec, sync markers): events stream out as one .avro object
+    container file per block (timestamps as timestamp-micros longs),
+    read BACK block-parallel by file, and aggregate per event_type —
+    the parquet twin proves the full write→read→compute loop including
+    the micros timestamp mapping. Scale shape: one file per block both
+    ways (block-parallel, nothing driver-sized), partial per-batch
+    aggregate before the one small groupby."""
+    import hashlib as _h
+    import shutil as _sh
+
+    from . import sources
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+    out_dir = "/tmp/gitprov_avro_" + _h.md5(
+        str(sf_dir).encode()).hexdigest()[:12]
+    _sh.rmtree(out_dir, ignore_errors=True)
+    sources.write_table(ds, out_dir, fmt="avro")
+    back = sources.read_table(out_dir, fmt="avro",
+                              columns=["ts", "event_type", "user_id",
+                                       "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # ts decoded from the OCF as timestamp-micros int64
+        ts = pd.to_datetime(df["ts"].astype("int64"), unit="us")
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "cents": _cents(df["value"]),
+            "user_id": df["user_id"].astype("int64"),
+            "day": ts.dt.strftime("%Y-%m-%d")})
+
+    g = (back.map_batches(partial, batch_format="pandas")
+         .groupby("event_type")
+         .map_groups(lambda df: pd.DataFrame({
+             "event_type": [df["event_type"].iloc[0]],
+             "n_events": [np.int64(len(df))],
+             "sum_value_cents": [np.int64(df["cents"].sum())],
+             "n_users": [np.int64(df["user_id"].nunique())],
+             "n_days": [np.int64(df["day"].nunique())]}),
+             batch_format="pandas"))
+    return (g.to_pandas().sort_values("event_type")
+            .reset_index(drop=True)
+            .astype({"n_events": "int64", "sum_value_cents": "int64",
+                     "n_users": "int64", "n_days": "int64"}))
+
+
+
 def q_mmr_select_docs(sf_dir: str):
     """Maximal-marginal-relevance diverse selection (Carbonell &
     Goldstein 1998, the diversity-sampling curation primitive) over the
@@ -6889,6 +6939,7 @@ QUERIES = {
     "q_heavy_hitter_tokens": q_heavy_hitter_tokens,
     "q_quantile_hist_events": q_quantile_hist_events,
     # --- remainder (validated via tools/driver_sim.py at sf0.01)
+    "q_avro_roundtrip_events": q_avro_roundtrip_events,
     "q_embedding_decontaminate": q_embedding_decontaminate,
     "q_perceptron_docs": q_perceptron_docs,
     "q_bigram_coverage_docs": q_bigram_coverage_docs,
@@ -11406,6 +11457,15 @@ FROM test LEFT JOIN train ON train.bigram = test.bigram
 GROUP BY test.doc_id ORDER BY test.doc_id"""
 
 ORACLE_SQL["q_xlsx_roundtrip_events"] = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT) AS n_days
+FROM events GROUP BY event_type ORDER BY event_type"""
+
+ORACLE_SQL["q_avro_roundtrip_events"] = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)

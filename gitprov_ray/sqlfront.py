@@ -12,13 +12,16 @@ Supported surface (documented subset, hard errors beyond it):
   * SELECT projections/expressions with AS aliases, *, DISTINCT,
     CASE WHEN, scalar functions (LENGTH/LOWER/UPPER/ABS/ROUND
     half-away/SUBSTR/COALESCE);
-  * aggregates COUNT(*) / COUNT(col) / SUM / MIN / MAX / AVG, plain or
+  * aggregates COUNT(*) / COUNT(col) / COUNT(DISTINCT expr) —
+    exact, distributed as pickled per-group distinct-set partials
+    through the one bucketed exchange — / SUM / MIN / MAX / AVG, plain or
     per GROUP BY keys, with HAVING (aggregates compose inside
     expressions and functions);
   * WHERE with AND/OR/NOT, comparisons, arithmetic (+ - * / %),
     IN (...) / IN (SELECT ...) / NOT IN, BETWEEN, LIKE;
-  * INNER and LEFT [OUTER] JOIN ... ON a.col = b.col (equality;
-    composable; SQL-consistent NULL behavior on the left-join side);
+  * INNER / LEFT / RIGHT / FULL [OUTER] JOIN ... ON a.col = b.col
+    (equality; composable; SQL-consistent NULL behavior on the outer
+    sides);
   * UNION ALL chains with trailing ORDER BY/LIMIT;
   * window functions — ROW_NUMBER/RANK/DENSE_RANK, LAG/LEAD, running
     SUM/MIN/MAX/COUNT/AVG with the default frame's peer inclusion —
@@ -52,6 +55,7 @@ import pandas as pd
 _KEYWORDS = {"select", "from", "where", "group", "by", "having",
              "order", "limit", "as", "and", "or", "not", "in",
              "between", "like", "join", "on", "inner", "left", "outer",
+             "right", "full",
              "asc", "desc", "distinct", "case", "when", "then", "else",
              "end", "over", "partition"}
 _AGGS = {"count", "sum", "min", "max", "avg"}
@@ -255,6 +259,10 @@ def _parse_atom(p):
             if p.peek() == ("kw", "over"):
                 return _parse_over(p, "count", [])
             return ("agg", "count", None)
+        if t[1] == "count" and p.eat_kw("distinct"):
+            arg = _parse_expr(p)
+            p.expect_op(")")
+            return ("agg", "countd", arg)
         arg = _parse_expr(p)
         p.expect_op(")")
         if p.peek() == ("kw", "over"):
@@ -370,11 +378,17 @@ def _parse_select_body(p: _P) -> dict:
         if p.eat_kw("left"):
             p.eat_kw("outer")
             jtype = "left_outer"
+        elif p.eat_kw("right"):
+            p.eat_kw("outer")
+            jtype = "right_outer"
+        elif p.eat_kw("full"):
+            p.eat_kw("outer")
+            jtype = "full_outer"
         else:
             p.eat_kw("inner")
         if not p.eat_kw("join"):
-            if jtype == "left_outer":
-                raise ValueError("SQL: expected JOIN after LEFT")
+            if jtype != "inner":
+                raise ValueError("SQL: expected JOIN after join type")
             break
         tbl = _parse_table_ref(p)
         p.expect_kw("on")
@@ -630,6 +644,26 @@ def _find_aggs(e, acc: list):
 
 def _agg_key(a):
     return f"{a[1]}:{a[2]!r}"
+
+
+def _pickle_distinct(series: pd.Series):
+    """Per-group partial of COUNT(DISTINCT x): NULLs dropped per SQL,
+    distinct values as a deterministic pickled sorted tuple."""
+    import pickle
+
+    vals = {v for v in series if not pd.isna(v)}
+    return pickle.dumps(tuple(sorted(vals, key=repr)))
+
+
+def _merge_distinct(series: pd.Series):
+    """Combine step: union the partials' pickled value sets."""
+    import pickle
+
+    acc: set = set()
+    for b in series:
+        if isinstance(b, (bytes, bytearray)):
+            acc.update(pickle.loads(b))
+    return pickle.dumps(tuple(sorted(acc, key=repr)))
 
 
 def _subst_aggs(e, vals: dict):
@@ -1098,6 +1132,8 @@ def _run_select(q: dict, tables: dict):
                 col = names[k]
                 if a[1] == "count":
                     cols[col + "__c"] = pd.Series([], dtype="int64")
+                elif a[1] == "countd":
+                    cols[col + "__d"] = pd.Series([], dtype="object")
                 else:
                     dt = "object" if a[1] in ("min", "max") and \
                         _arg_is_string(a) else "float64"
@@ -1132,6 +1168,14 @@ def _run_select(q: dict, tables: dict):
                         v = _ev(arg, df)
                         out[col + "__c"] = pd.Series(
                             v, index=df.index).notna().astype("int64")
+                elif fn == "countd":
+                    # COUNT(DISTINCT x): the partial carries each
+                    # group's distinct-value SET as a pickled sorted
+                    # tuple in a bytes cell (Arrow-safe through the
+                    # bucketed exchange; sets/lists in object cells
+                    # break the pandas→Arrow block conversion)
+                    out[col + "__d"] = pd.Series(
+                        _ev(arg, df), index=df.index)
                 else:
                     v = _ev(arg, df)
                     out[col + "__s"] = v
@@ -1146,6 +1190,8 @@ def _run_select(q: dict, tables: dict):
                     continue
                 if c.endswith("__c"):
                     how[c] = "sum"
+                elif c.endswith("__d"):
+                    how[c] = _pickle_distinct
                 elif c.endswith("__s"):
                     k = c[:-3]
                     a = agg_map[[kk for kk, nn in names.items()
@@ -1180,6 +1226,8 @@ def _run_select(q: dict, tables: dict):
                     continue
                 if c.endswith("__c"):
                     agg_how[c] = "sum"
+                elif c.endswith("__d"):
+                    agg_how[c] = _merge_distinct
                 else:
                     k = c[:-3]
                     a = agg_map[[kk for kk, nn in names.items()
@@ -1201,6 +1249,13 @@ def _run_select(q: dict, tables: dict):
             col = names[k]
             if a[1] == "count":
                 res[col] = res[col + "__c"].astype("int64")
+            elif a[1] == "countd":
+                import pickle as _pk
+
+                res[col] = res[col + "__d"].map(
+                    lambda b: np.int64(len(_pk.loads(b)))
+                    if isinstance(b, (bytes, bytearray))
+                    else np.int64(0)).astype("int64")
             elif a[1] == "avg":
                 res[col] = res[col + "__s"] / res[col + "__c"]
             else:

@@ -53,6 +53,27 @@ BATTERY = [
     "JOIN nation ON customer.c_nationkey = nation.n_nationkey "
     "GROUP BY n_name ORDER BY n DESC, n_name",
 
+    # COUNT(DISTINCT): exact, distributed as pickled set partials
+    "SELECT event_type, COUNT(DISTINCT user_id) AS nu, COUNT(*) AS n "
+    "FROM events GROUP BY event_type ORDER BY event_type",
+
+    "SELECT COUNT(DISTINCT event_type) AS nt, "
+    "COUNT(DISTINCT user_id % 7) AS nb FROM events",
+
+    "SELECT lang, COUNT(DISTINCT source) AS ns FROM documents "
+    "WHERE n_chars > 50 GROUP BY lang "
+    "HAVING COUNT(DISTINCT source) > 2 ORDER BY lang",
+
+    # RIGHT / FULL outer joins (NULL-bearing group keys + aggregates)
+    "SELECT n_name, COUNT(c_custkey) AS n FROM customer "
+    "RIGHT JOIN nation ON c_nationkey = n_nationkey "
+    "GROUP BY n_name ORDER BY n_name",
+
+    "SELECT c_mktsegment, COUNT(*) AS n, "
+    "COUNT(DISTINCT c_nationkey) AS nn "
+    "FROM orders FULL JOIN customer ON o_custkey = c_custkey "
+    "GROUP BY c_mktsegment ORDER BY c_mktsegment",
+
     "SELECT r_name, COUNT(*) AS n FROM customer "
     "JOIN nation ON customer.c_nationkey = nation.n_nationkey "
     "JOIN region ON nation.n_regionkey = region.r_regionkey "
