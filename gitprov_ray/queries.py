@@ -6331,6 +6331,80 @@ def q_sql_front_events(sf_dir: str):
                        "max_id": "int64"})
 
 
+SQLFRONT_OUTER = (
+    "SELECT n_name, COUNT(c_custkey) AS n_cust, "
+    "COUNT(DISTINCT c_mktsegment) AS n_seg FROM customer "
+    "RIGHT JOIN nation ON c_nationkey = n_nationkey "
+    "GROUP BY n_name ORDER BY n_name")
+
+
+def q_sql_front_outer(sf_dir: str):
+    """SQL front door round 5 surface: RIGHT OUTER JOIN (NULL-bearing
+    left side) + exact distributed COUNT(DISTINCT) — the oracle twin is
+    the identical SQL string run by DuckDB, so parser, Ray-native
+    outer join, and the pickled-distinct-set aggregate must all agree
+    down to the NULL semantics."""
+    from . import sqlfront
+
+    out = sqlfront.sql_query(
+        SQLFRONT_OUTER, {"customer": f"{sf_dir}/customer.parquet",
+                         "nation": f"{sf_dir}/nation.parquet"})
+    return out.astype({"n_cust": "int64", "n_seg": "int64"})
+
+
+
+def q_dp_counts_events(sf_dir: str):
+    """Differentially-private count release (derandomized): per
+    event_type, count(*) plus discrete-Laplace noise — the two-sided
+    geometric mechanism with alpha = 1/2 (epsilon = ln 2, Ghosh-
+    Roughgarden-Sundararajan's universally-optimal count mechanism) —
+    realized by EXACT integer inverse-CDF transform of a seeded md5
+    fraction u = m / 2^48, so engine and oracle agree bit-for-bit.
+    The seeding makes the release deterministic (reproducible
+    pipelines); a production DP deployment would draw u from real
+    randomness — documented simplification, the mechanism math is the
+    real one. Noise support truncated to [-40, 40] (tail mass 2^-40).
+
+    Scale shape: per-batch partial counts, driver merge over the tiny
+    event_type cardinality (q1 pattern), noise per GROUP — nothing
+    row-sized leaves the cluster."""
+    import hashlib
+
+    ds = _read(sf_dir, "events", ["event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("event_type", as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby("event_type", as_index=False)["n"].sum()
+
+    M = 1 << 48
+
+    def noise_of(key: str) -> int:
+        # inverse CDF of the two-sided geometric, alpha = 1/2:
+        # F(-k) = 2^(1-k)/3,  F(n>=0) = 1 - 2^(-n)/3 — all
+        # comparisons in exact integers against u = m / 2^48
+        m = int(hashlib.md5(key.encode()).hexdigest()[:12], 16)
+        for nz in range(-40, 41):
+            if nz < 0:
+                if 3 * m * (1 << (-nz - 1)) < M:
+                    return nz
+            else:
+                if M < 3 * (M - m) * (1 << nz):
+                    return nz
+        return 40
+
+    g["noise"] = [np.int64(noise_of(t + ":dp1"))
+                  for t in g["event_type"]]
+    g["noisy_count"] = (g["n"].astype("int64")
+                        + g["noise"]).astype("int64")
+    return (g[["event_type", "noisy_count", "noise"]]
+            .sort_values("event_type").reset_index(drop=True)
+            .astype({"noisy_count": "int64", "noise": "int64"}))
+
+
+
 def q_embedding_decontaminate(sf_dir: str):
     """Embedding-space benchmark decontamination (the vector-similarity
     analogue of the n-gram protocol, q_decontaminate_docs): the held-out
@@ -6940,6 +7014,8 @@ QUERIES = {
     "q_quantile_hist_events": q_quantile_hist_events,
     # --- remainder (validated via tools/driver_sim.py at sf0.01)
     "q_avro_roundtrip_events": q_avro_roundtrip_events,
+    "q_sql_front_outer": q_sql_front_outer,
+    "q_dp_counts_events": q_dp_counts_events,
     "q_embedding_decontaminate": q_embedding_decontaminate,
     "q_perceptron_docs": q_perceptron_docs,
     "q_bigram_coverage_docs": q_bigram_coverage_docs,
@@ -11252,6 +11328,34 @@ SELECT CAST(cents AS BIGINT) AS split_cents,
 FROM sc ORDER BY score DESC, cents LIMIT 1"""
 
 ORACLE_SQL["q_sql_front_events"] = SQLFRONT_DEMO
+ORACLE_SQL["q_sql_front_outer"] = SQLFRONT_OUTER
+
+ORACLE_SQL["q_dp_counts_events"] = """
+WITH g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY event_type),
+hx AS (SELECT event_type, n,
+              substr(md5(event_type || ':dp1'), 1, 12) AS h FROM g),
+mm AS (SELECT event_type, n,
+              (SELECT CAST(SUM(
+                   (strpos('0123456789abcdef', substr(h, d.i, 1)) - 1)
+                   * CAST(power(16, 12 - d.i) AS BIGINT)) AS BIGINT)
+               FROM (SELECT unnest(generate_series(1, 12)) AS i) d)
+              AS m
+       FROM hx),
+ok AS (SELECT event_type, n, c.nz FROM mm
+       CROSS JOIN (SELECT unnest(generate_series(-40, 40)) AS nz) c
+       WHERE (c.nz < 0 AND CAST(3 AS HUGEINT) * m
+                * CAST(power(2, -c.nz - 1) AS HUGEINT)
+                < CAST(power(2, 48) AS HUGEINT))
+          OR (c.nz >= 0 AND CAST(power(2, 48) AS HUGEINT)
+                < CAST(3 AS HUGEINT)
+                  * (CAST(power(2, 48) AS HUGEINT) - m)
+                  * CAST(power(2, c.nz) AS HUGEINT))),
+sel AS (SELECT event_type, n, MIN(nz) AS noise
+        FROM ok GROUP BY event_type, n)
+SELECT event_type, CAST(n + noise AS BIGINT) AS noisy_count,
+       CAST(noise AS BIGINT) AS noise
+FROM sel ORDER BY event_type"""
 
 ORACLE_SQL["q_mad_outlier_events"] = """
 WITH h AS (
