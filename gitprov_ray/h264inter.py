@@ -658,7 +658,7 @@ def _write_chroma_bits(hi, bw, ctx, mbx, mby, cbp_chroma, dcq_cb, dcq_cr,
 def encode_p_slice(arr: np.ndarray, refs: list, qp: int, frame_num: int,
                    sps: dict, pps: dict, partition_cycle: bool = False,
                    intra_every: int = 0, deblock: bool = False,
-                   wp: dict | None = None):
+                   wp: dict | None = None, poc: int | None = None):
     """One conforming P slice predicting from ``refs[0]`` → (rbsp,
     recon planes, recon RGB). Per MB: real motion search (integer ±4 +
     sub-pel refinement through the decoder's own interpolators), P_Skip
@@ -678,6 +678,8 @@ def encode_p_slice(arr: np.ndarray, refs: list, qp: int, frame_num: int,
     Ys, Cbs, Crs = H._rgb_to_yuv(pad)
     ctx = H._PicCtx(sps, pps)
     ctx.qp = qp
+    ctx.ref_pids0 = [id(rp) for rp in refs]
+    ctx.poc = poc if poc is not None else 2 * frame_num
     if pps["weighted_pred"]:
         if wp is None:                        # identity weights
             wp = {"ld": 0, "cd": 0, "e": [(1, 0, 1, 0, 1, 0)]}
@@ -872,7 +874,9 @@ _WP_FIXTURE_B1 = {"ld": 4, "cd": 5, "e": [(12, -3, 36, 2, 28, -5)]}
 def encode_gop_annexb(frames: list, qp: int = 26, gop: int = 8,
                       partition_cycle: bool = False, intra_every: int = 0,
                       mix_i4: bool = True, bframes: bool = False,
-                      deblock: bool = False, weighted: bool = False):
+                      deblock: bool = False, weighted: bool = False,
+                      temporal_direct: bool = False,
+                      implicit_weighted: bool = False):
     """RGB frames → (conforming Annex-B IDR+P(+B) stream, reconstructed
     frames). Frame 0 and every ``gop``-th frame are CAVLC intra IDRs;
     the rest are P slices predicting from the previous reconstruction —
@@ -890,40 +894,48 @@ def encode_gop_annexb(frames: list, qp: int = 26, gop: int = 8,
     if w % 2 or h % 2:
         raise ValueError("H.264 4:2:0 needs even dimensions")
     num_ref = 2 if bframes else 1
+    wbidc = 2 if (implicit_weighted and bframes) else \
+        (1 if (weighted and bframes) else 0)
     sps_r = H._sps_rbsp(w, h, num_ref)
-    pps_r = H._pps_rbsp(
-        weighted_pred=weighted,
-        weighted_bipred=1 if (weighted and bframes) else 0)
+    pps_r = H._pps_rbsp(weighted_pred=weighted, weighted_bipred=wbidc)
     sps, pps = H.parse_sps(sps_r), H.parse_pps(pps_r)
     sc = b"\x00\x00\x00\x01"
     out = [sc + H._nal(7, sps_r), sc + H._nal(8, pps_r)]
     recons = []
     refs: list = []
     frame_num = 0
+    poc_state: dict = {}
     for i, f in enumerate(frames):
         if f.shape[:2] != (h, w):
             raise ValueError("all frames must share dimensions")
         pos = i % gop
         if pos == 0:
+            poc = H._poc_of(sps, 0, nonref=False, idr=True,
+                            poc_state=poc_state)
             rbsp, recon, planes = H._slice_rbsp_cavlc(
                 f, qp, idr_pic_id=i & 1, mix_i4=mix_i4, deblock=deblock)
             out.append(sc + H._nal(5, rbsp))
-            refs = [_enc_ref(planes)]
+            refs = [_enc_ref(planes, poc=poc)]
             frame_num = 1
         elif bframes and pos >= 2 and pos % 2 == 0 and len(refs) >= 2:
+            poc = H._poc_of(sps, frame_num, nonref=True, idr=False,
+                            poc_state=poc_state)
             rbsp, recon = encode_b_slice(
                 f, refs, qp, frame_num, sps, pps,
                 partition_cycle=partition_cycle, intra_every=intra_every,
                 deblock=deblock,
                 wp0=_WP_FIXTURE_B0 if weighted else None,
-                wp1=_WP_FIXTURE_B1 if weighted else None)
+                wp1=_WP_FIXTURE_B1 if weighted else None,
+                temporal_direct=temporal_direct, poc=poc)
             out.append(sc + H._nal(1, rbsp, ref_idc=0))
         else:
+            poc = H._poc_of(sps, frame_num, nonref=False, idr=False,
+                            poc_state=poc_state)
             rbsp, ref, recon = encode_p_slice(
                 f, refs, qp, frame_num, sps, pps,
                 partition_cycle=partition_cycle, intra_every=intra_every,
                 deblock=deblock,
-                wp=_WP_FIXTURE_P if weighted else None)
+                wp=_WP_FIXTURE_P if weighted else None, poc=poc)
             out.append(sc + H._nal(1, rbsp, ref_idc=2))
             refs.insert(0, ref)
             del refs[num_ref:]
@@ -1017,22 +1029,26 @@ _B_SUB_GEO = {"8x8": [(0, 0, 2, 2)],
                       (0, 1, 1, 1), (1, 1, 1, 1)]}
 
 
-def _enc_ref(planes, ctx=None):
+def _enc_ref(planes, ctx=None, poc: int = 0):
     """Wrap encoder reconstruction planes as a reference-picture object
     (same attribute surface as h264codec._RefPic). Intra pictures carry
-    an all-unavailable motion field."""
+    an all-unavailable motion field. ``poc``/``l0_pids`` feed temporal
+    direct and implicit bipred exactly as decoder-side _RefPic does."""
     import types
 
     Y, Cb, Cr = planes
     if ctx is not None:
-        return types.SimpleNamespace(Y=Y, Cb=Cb, Cr=Cr, mvx=ctx.mvx,
-                                     mvy=ctx.mvy, refidx=ctx.refidx)
+        return types.SimpleNamespace(
+            Y=Y, Cb=Cb, Cr=Cr, mvx=ctx.mvx, mvy=ctx.mvy,
+            refidx=ctx.refidx, poc=ctx.poc,
+            l0_pids=list(ctx.ref_pids0 or []))
     h4, w4 = Y.shape[0] // 4, Y.shape[1] // 4
     return types.SimpleNamespace(
         Y=Y, Cb=Cb, Cr=Cr,
         mvx=np.zeros((h4, w4), np.int32),
         mvy=np.zeros((h4, w4), np.int32),
-        refidx=np.full((h4, w4), -1, np.int32))
+        refidx=np.full((h4, w4), -1, np.int32),
+        poc=poc, l0_pids=[])
 
 
 def _b_lists(refs):
@@ -1079,10 +1095,101 @@ def _direct_spatial(ctx, mbx: int, mby: int, L1):
     return ref0, ref1, mv0, mv1, cz
 
 
+def _fn_from_header(rbsp: bytes, sps: dict) -> int:
+    from .h264codec import _BitReader
+
+    r = _BitReader(rbsp)
+    r.ue()
+    r.ue()
+    r.ue()
+    return r.u(sps["log2_max_frame_num"])
+
+
+def _tdiv(a: int, b: int) -> int:
+    """C-style integer division (truncation toward zero) — the spec's
+    '/' in the POC scale-factor derivations."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def _clip128(v: int) -> int:
+    return min(127, max(-128, v))
+
+
+def _poc_scale(poc_cur: int, pic0, pic1):
+    """(tb, td, DistScaleFactor) per §8.4.1.2.3 eq. 8-196..8-204;
+    returns None for the td == 0 fallback."""
+    td = _clip128(pic1.poc - pic0.poc)
+    if td == 0:
+        return None
+    tb = _clip128(poc_cur - pic0.poc)
+    tx = _tdiv(16384 + abs(td) // 2, td)
+    return min(1023, max(-1024, (tb * tx + 32) >> 6))
+
+
+def _direct_parts_temporal(ctx, mbx: int, mby: int, L0, L1, blocks):
+    """Temporal direct (§8.4.1.2.3, direct_8x8_inference 0): per 4x4,
+    the colocated RefPicList1[0] motion scaled by POC distances —
+    mvL0 = (DistScaleFactor * mvCol + 128) >> 8, mvL1 = mvL0 − mvCol —
+    with refIdxL0 mapped through the colocated picture's own list-0
+    PICTURE IDENTITY (references carry l0_pids). Intra colocated
+    blocks fall back to zero motion at refIdx 0, td == 0 to unscaled
+    copy, both per the spec's inference rules."""
+    col = L1[0]
+    bx0, by0 = mbx * 4, mby * 4
+    parts = []
+    for x4, y4 in blocks:
+        gx, gy = bx0 + x4, by0 + y4
+        rc = int(col.refidx[gy, gx])
+        if rc < 0:                             # colocated intra
+            mvcx = mvcy = 0
+            pid = col.l0_pids[0] if col.l0_pids else None
+        else:
+            mvcx, mvcy = int(col.mvx[gy, gx]), int(col.mvy[gy, gx])
+            pid = col.l0_pids[rc] if rc < len(col.l0_pids) else None
+        ref0 = 0
+        if pid is not None:
+            for i, p in enumerate(L0):
+                if id(p) == pid:
+                    ref0 = i
+                    break
+        pic0 = L0[ref0]
+        dsf = _poc_scale(ctx.poc, pic0, col)
+        if dsf is None:                        # td == 0: unscaled copy
+            p0 = (ref0, mvcx, mvcy)
+            p1 = (0, 0, 0)
+        else:
+            m0x = (dsf * mvcx + 128) >> 8
+            m0y = (dsf * mvcy + 128) >> 8
+            p0 = (ref0, m0x, m0y)
+            p1 = (0, m0x - mvcx, m0y - mvcy)
+        parts.append((x4, y4, 1, 1, p0, p1))
+    return parts
+
+
+def _implicit_weights(ctx, pic0, pic1):
+    """Implicit weighted bipred (§8.4.2.3.1): POC-distance-derived
+    (w0, w1) with logWD 5, zero offsets; falls back to 32/32 when the
+    scale factor is degenerate or w1 leaves [-64, 128]."""
+    dsf = _poc_scale(ctx.poc, pic0, pic1)
+    if dsf is None or pic0.poc == pic1.poc:
+        return 32, 32
+    w1 = dsf >> 2
+    if w1 < -64 or w1 > 128:
+        return 32, 32
+    return 64 - w1, w1
+
+
+
 def _direct_parts(ctx, mbx: int, mby: int, L1, blocks):
     """Per-4x4 direct-mode partition list for the given (x4, y4) blocks
     of the MB. Each entry: (x4, y4, 1, 1, p0, p1) with pX = None or
-    (refidx, mvx, mvy)."""
+    (refidx, mvx, mvy). Routes to the temporal derivation when the
+    slice header cleared direct_spatial_mv_pred (ctx.tdirect)."""
+    td = getattr(ctx, "tdirect", None)
+    if td is not None:
+        return _direct_parts_temporal(ctx, mbx, mby, td["L0"], L1,
+                                      blocks)
     ref0, ref1, mv0, mv1, cz = _direct_spatial(ctx, mbx, mby, L1)
     parts = []
     for x4, y4 in blocks:
@@ -1140,8 +1247,18 @@ def _apply_parts_b(ctx, L0, L1, mbx: int, mby: int, parts, pred_y,
                 gy[by:by + h4, bx:bx + w4] = mvy
                 gr[by:by + h4, bx:bx + w4] = ri
         wp_on = ctx.wp0 is not None and ctx.wp1 is not None
+        imp = getattr(ctx, "implicit_wp", None)
         if len(preds) == 2:
-            if wp_on:
+            if imp is not None:
+                L0w, L1w = imp
+                w0, w1 = _implicit_weights(
+                    ctx, L0w[used[0][1]], L1w[used[1][1]])
+                py_, pcb, pcr = (
+                    np.clip((a.astype(np.int32) * w0
+                             + b.astype(np.int32) * w1 + 32) >> 6,
+                            0, 255).astype(np.uint8)
+                    for a, b in zip(preds[0], preds[1]))
+            elif wp_on:
                 e0 = ctx.wp0["e"][used[0][1]]
                 e1 = ctx.wp1["e"][used[1][1]]
                 ld, cd = ctx.wp0["ld"], ctx.wp0["cd"]
@@ -1290,11 +1407,14 @@ def _parse_motion_b(ctx, r, mb_type: int, mbx: int, mby: int,
 
 
 def decode_slice_b(rbsp: bytes, sps: dict, pps: dict, nal_ref_idc: int,
-                   refs: list):
-    """B slice (spatial direct, CAVLC) → decoded _PicCtx. Supports the
+                   refs: list, poc: int | None = None):
+    """B slice (CAVLC) → decoded _PicCtx: spatial AND temporal direct
+    (POC-scaled colocated motion, §8.4.1.2.3), explicit and implicit
+    (POC-derived, §8.4.2.3.1) weighted biprediction. Supports the
     low-delay shape this engine's references allow (no list
-    reordering); temporal direct, weighted/implicit bipred, MMCO and
-    CABAC raise naming the tool."""
+    reordering); MMCO raises naming the tool. ``poc`` is the current
+    picture's order count (computed by _decode_slice_any; defaults to
+    the non-ref poc_type-2 form when called standalone)."""
     from .h264codec import _BitReader, _more_rbsp_data, _PicCtx
     from . import h264codec as H
 
@@ -1306,7 +1426,8 @@ def decode_slice_b(rbsp: bytes, sps: dict, pps: dict, nal_ref_idc: int,
         from . import h264cabac
 
         return h264cabac.decode_slice_b_cabac(rbsp, sps, pps,
-                                              nal_ref_idc, refs)
+                                              nal_ref_idc, refs,
+                                              poc=poc)
     if first_mb != 0:
         raise NotImplementedError("H.264 multi-slice pictures unsupported")
     if not refs:
@@ -1320,9 +1441,7 @@ def decode_slice_b(rbsp: bytes, sps: dict, pps: dict, nal_ref_idc: int,
     elif sps["poc_type"] == 1:
         raise NotImplementedError(
             "H.264 poc_type 1 slice fields not supported")
-    if not r.u(1):                            # direct_spatial_mv_pred
-        raise NotImplementedError(
-            "H.264 temporal direct mode not supported (POC scaling)")
+    direct_spatial = r.u(1)                   # direct_spatial_mv_pred
     nref0, nref1 = pps["num_ref_l0"], pps["num_ref_l1"]
     if r.u(1):                                # num_ref_idx override
         nref0 = r.ue() + 1
@@ -1339,11 +1458,7 @@ def decode_slice_b(rbsp: bytes, sps: dict, pps: dict, nal_ref_idc: int,
         cd = r.ue()                           # chroma_log2_weight_denom
         wp0 = _parse_pred_weight_table(r, nref0, ld, cd)
         wp1 = _parse_pred_weight_table(r, nref1, ld, cd)
-    if pps["weighted_bipred"] == 2:
-        raise NotImplementedError(
-            "H.264 implicit weighted biprediction not supported "
-            "(needs POC-distance bookkeeping this low-delay decoder "
-            "does not track)")
+    implicit_wp = pps["weighted_bipred"] == 2
     if nal_ref_idc:
         if r.u(1):
             raise NotImplementedError(
@@ -1363,6 +1478,12 @@ def decode_slice_b(rbsp: bytes, sps: dict, pps: dict, nal_ref_idc: int,
     ctx.ref_pids0 = [id(rp) for rp in L0]
     ctx.ref_pids1 = [id(rp) for rp in L1]
     ctx.wp0, ctx.wp1 = wp0, wp1
+    ctx.poc = poc if poc is not None else \
+        2 * _fn_from_header(rbsp, sps) - 1
+    if not direct_spatial:
+        ctx.tdirect = {"L0": L0, "L1": L1}
+    if implicit_wp:
+        ctx.implicit_wp = (L0, L1)
     total = ctx.mb_w * ctx.mb_h
     mb = 0
     while mb < total:
@@ -1547,7 +1668,9 @@ def _write_inter_residual(hi, H, ctx, bw, mbx, mby, qp, qpc, pred_y,
 def encode_b_slice(arr: np.ndarray, refs: list, qp: int, frame_num: int,
                    sps: dict, pps: dict, partition_cycle: bool = False,
                    intra_every: int = 0, deblock: bool = False,
-                   wp0: dict | None = None, wp1: dict | None = None):
+                   wp0: dict | None = None, wp1: dict | None = None,
+                   temporal_direct: bool = False,
+                   poc: int | None = None):
     """One conforming non-reference B slice (spatial direct) →
     (rbsp, recon RGB). Per MB the encoder evaluates direct / L0 / L1 /
     Bi 16x16 predictions through the shared decoder machinery and emits
@@ -1565,6 +1688,7 @@ def encode_b_slice(arr: np.ndarray, refs: list, qp: int, frame_num: int,
     Ys, Cbs, Crs = H._rgb_to_yuv(pad)
     ctx = H._PicCtx(sps, pps)
     ctx.qp = qp
+    ctx.poc = poc if poc is not None else 2 * frame_num - 1
     if pps["weighted_bipred"] == 1:
         if wp0 is None:
             wp0 = {"ld": 0, "cd": 0, "e": [(1, 0, 1, 0, 1, 0)]}
@@ -1575,6 +1699,10 @@ def encode_b_slice(arr: np.ndarray, refs: list, qp: int, frame_num: int,
         ctx.wp0, ctx.wp1 = wp0, wp1           # _apply_parts_b weights
     Yr, Cbr, Crr = ctx.Y, ctx.Cb, ctx.Cr
     L0, L1 = _b_lists(refs)
+    if temporal_direct:
+        ctx.tdirect = {"L0": L0, "L1": L1}
+    if pps["weighted_bipred"] == 2:
+        ctx.implicit_wp = (L0, L1)
     qpc = hi.chroma_qp(qp, ctx.qpc_off)
 
     bw = H._BitWriter()
@@ -1585,7 +1713,7 @@ def encode_b_slice(arr: np.ndarray, refs: list, qp: int, frame_num: int,
          sps["log2_max_frame_num"])
     if sps["poc_type"] == 0:
         bw.u(0, sps["log2_max_poc_lsb"])
-    bw.u(1, 1)                                # direct_spatial_mv_pred
+    bw.u(0 if temporal_direct else 1, 1)      # direct_spatial_mv_pred
     bw.u(0, 1)                                # no num_ref_idx override
     bw.u(0, 1)                                # no list0 modification
     bw.u(0, 1)                                # no list1 modification

@@ -487,3 +487,87 @@ def test_weighted_mp4_route_roundtrip():
     assert len(decoded) == len(recons)
     for d, r in zip(decoded, recons):
         assert np.array_equal(d, r)
+
+
+# ---------------------------------------------------------------------------
+# temporal direct + implicit weighted biprediction (POC-derived)
+# ---------------------------------------------------------------------------
+
+def test_temporal_direct_scaling_spec_exact():
+    """§8.4.1.2.3 eq. 8-196..8-204 against a hand computation:
+    colocated MV scaled by DistScaleFactor, refIdxL0 mapped through
+    the colocated picture's list-0 identity."""
+    import types
+
+    sps = H.parse_sps(H._sps_rbsp(32, 32, 2))
+    pps = H.parse_pps(H._pps_rbsp())
+    ctx = H._PicCtx(sps, pps)
+    ctx.poc = 5
+    p_old = types.SimpleNamespace(poc=0, l0_pids=[])
+    col = types.SimpleNamespace(
+        poc=4, l0_pids=[id(p_old)],
+        refidx=np.zeros((8, 8), np.int32),
+        mvx=np.full((8, 8), 16, np.int32),
+        mvy=np.full((8, 8), -8, np.int32))
+    parts = HI._direct_parts_temporal(ctx, 0, 0, [col, p_old], [col],
+                                      [(0, 0)])
+    _, _, _, _, p0, p1 = parts[0]
+    tx = (16384 + 2) // 4                     # td = 4
+    dsf = (5 * tx + 32) >> 6                  # tb = 5
+    assert p0 == (1, (dsf * 16 + 128) >> 8, (dsf * -8 + 128) >> 8)
+    assert p1 == (0, p0[1] - 16, p0[2] + 8)
+    # td == 0 → unscaled copy; colocated intra → zero motion
+    col.poc = 0
+    _, _, _, _, q0, q1 = HI._direct_parts_temporal(
+        ctx, 0, 0, [col, p_old], [col], [(0, 0)])[0]
+    assert q0 == (1, 16, -8) and q1 == (0, 0, 0)
+    col.refidx[:] = -1
+    _, _, _, _, z0, _ = HI._direct_parts_temporal(
+        ctx, 0, 0, [col, p_old], [col], [(0, 0)])[0]
+    assert z0[1:] == (0, 0)
+
+
+def test_temporal_direct_gop_roundtrip():
+    frames = _moving_frames(8, 32, 48)
+    stream, recons = HI.encode_gop_annexb(
+        frames, qp=24, bframes=True, temporal_direct=True,
+        partition_cycle=True)
+    dec = H.decode_annexb(stream)
+    for i, (d, r) in enumerate(zip(dec, recons)):
+        assert np.array_equal(d, r), f"frame {i}"
+    # the stream genuinely clears direct_spatial_mv_pred: a spatial
+    # encode of the same frames produces different B-slice bits
+    stream_sp, _ = HI.encode_gop_annexb(
+        frames, qp=24, bframes=True, partition_cycle=True)
+    assert stream != stream_sp
+
+
+def test_implicit_weighted_bipred_gop_roundtrip():
+    frames = _moving_frames(8, 32, 48)
+    stream, recons = HI.encode_gop_annexb(
+        frames, qp=24, bframes=True, implicit_weighted=True)
+    dec = H.decode_annexb(stream)
+    for i, (d, r) in enumerate(zip(dec, recons)):
+        assert np.array_equal(d, r), f"frame {i}"
+
+
+def test_temporal_plus_implicit_roundtrip():
+    frames = _moving_frames(8, 32, 48)
+    stream, recons = HI.encode_gop_annexb(
+        frames, qp=26, bframes=True, temporal_direct=True,
+        implicit_weighted=True, intra_every=5)
+    dec = H.decode_annexb(stream)
+    for i, (d, r) in enumerate(zip(dec, recons)):
+        assert np.array_equal(d, r), f"frame {i}"
+
+
+def test_poc_type2_wrap_consistency():
+    """frame_num wraps at 2^4 in the fixture SPS; POC must keep
+    increasing through the wrap on both sides (long GOP)."""
+    frames = _moving_frames(20, 16, 16)
+    stream, recons = HI.encode_gop_annexb(
+        frames, qp=28, gop=20, bframes=True, temporal_direct=True)
+    dec = H.decode_annexb(stream)
+    assert len(dec) == 20
+    for i, (d, r) in enumerate(zip(dec, recons)):
+        assert np.array_equal(d, r), f"frame {i}"
