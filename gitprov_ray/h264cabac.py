@@ -1528,7 +1528,7 @@ def decode_slice_p_cabac(rbsp: bytes, sps: dict, pps: dict,
     if not refs:
         raise ValueError("H.264: P slice with no decoded reference")
     r0.ue()                                   # pps id
-    r0.u(sps["log2_max_frame_num"])           # frame_num
+    cur_fn = r0.u(sps["log2_max_frame_num"])  # frame_num
     if sps["poc_type"] == 0:
         r0.u(sps["log2_max_poc_lsb"])
         if pps["bottom_field_poc"]:
@@ -1536,9 +1536,10 @@ def decode_slice_p_cabac(rbsp: bytes, sps: dict, pps: dict,
     num_ref = pps["num_ref_l0"]
     if r0.u(1):
         num_ref = r0.ue() + 1
-    if r0.u(1):
-        raise NotImplementedError(
-            "H.264 reference picture list modification not supported")
+    if r0.u(1):                               # ref_pic_list_modification
+        refs = HI._apply_list_mod(refs, HI._parse_list_mod(r0),
+                                  cur_fn,
+                                  1 << sps["log2_max_frame_num"])
     wp0 = None
     if pps["weighted_pred"]:
         ld = r0.ue()
@@ -2089,7 +2090,7 @@ def decode_slice_b_cabac(rbsp: bytes, sps: dict, pps: dict,
     if not refs:
         raise ValueError("H.264: B slice with no decoded reference")
     r0.ue()                                   # pps id
-    r0.u(sps["log2_max_frame_num"])           # frame_num
+    cur_fn = r0.u(sps["log2_max_frame_num"])  # frame_num
     if sps["poc_type"] == 0:
         r0.u(sps["log2_max_poc_lsb"])
         if pps["bottom_field_poc"]:
@@ -2099,9 +2100,9 @@ def decode_slice_b_cabac(rbsp: bytes, sps: dict, pps: dict,
     if r0.u(1):
         nref0 = r0.ue() + 1
         nref1 = r0.ue() + 1
-    if r0.u(1) or r0.u(1):                    # list0/list1 modification
-        raise NotImplementedError(
-            "H.264 reference picture list modification not supported")
+    max_fn = 1 << sps["log2_max_frame_num"]
+    mod0 = HI._parse_list_mod(r0) if r0.u(1) else None
+    mod1 = HI._parse_list_mod(r0) if r0.u(1) else None
     wp0 = wp1 = None
     if pps["weighted_bipred"] == 1:
         ld = r0.ue()
@@ -2122,6 +2123,10 @@ def decode_slice_b_cabac(rbsp: bytes, sps: dict, pps: dict,
             else (1, 0, 0)
     pos = (r0.p + 7) & ~7
     L0, L1 = HI._b_lists(refs)
+    if mod0 is not None:
+        L0 = HI._apply_list_mod(L0, mod0, cur_fn, max_fn)
+    if mod1 is not None:
+        L1 = HI._apply_list_mod(L1, mod1, cur_fn, max_fn)
     ctx = H._PicCtx(sps, pps)
     ctx.qp = qp
     ctx.deblock = deblock

@@ -38,10 +38,10 @@ requires. The CABAC entropy layer (h264cabac, §9.3) decodes and
 encodes I, P AND B slices (engine and bitstream structure
 spec-faithful; context-init constants documented-neutral — see
 h264cabac's module docstring), and explicit weighted prediction is
-real (h264inter). Temporal direct and implicit weighted bipred are real (POC tracking,
-h264inter). Declared stubs: SP/SI slices, MMCO/list reordering, 8x8
-transform and scaling lists raise NotImplementedError naming the
-tool. Header
+real (h264inter). Temporal direct, implicit weighted bipred (POC tracking) and
+short-term reference list modification are real (h264inter).
+Declared stubs: SP/SI slices, MMCO adaptive marking, 8x8 transform
+and scaling lists raise NotImplementedError naming the tool. Header
 parsing (probe) works on any baseline/main/high stream.
 
 Reference parity note: the reference stores media blobs untouched; this
@@ -452,12 +452,13 @@ class _RefPic:
     RefPicList1[0] (§8.4.1.2.2), so references must carry it."""
 
     __slots__ = ("Y", "Cb", "Cr", "mvx", "mvy", "refidx", "poc",
-                 "l0_pids")
+                 "l0_pids", "fn")
 
     def __init__(self, ctx: "_PicCtx"):
         self.Y, self.Cb, self.Cr = ctx.Y, ctx.Cb, ctx.Cr
         self.mvx, self.mvy, self.refidx = ctx.mvx, ctx.mvy, ctx.refidx
         self.poc = ctx.poc
+        self.fn = ctx.frame_num
         # identities of ITS list-0 pictures: temporal direct maps the
         # colocated MV's reference through picture identity (§8.4.1.2.3)
         self.l0_pids = list(ctx.ref_pids0 or [])

@@ -242,6 +242,70 @@ def mc_chroma(ref: np.ndarray, x0: int, y0: int, mvx: int, mvy: int,
     return out.astype(np.uint8)
 
 
+
+
+def _parse_list_mod(r) -> list:
+    """ref_pic_list_modification entries (§7.3.3.1): list of
+    (idc, value) until idc 3; long-term (idc 2) unsupported."""
+    mods = []
+    while True:
+        idc = r.ue()
+        if idc == 3:
+            return mods
+        if idc == 2:
+            raise NotImplementedError(
+                "H.264 long-term reference list modification "
+                "not supported")
+        if idc > 3:
+            raise ValueError(f"H.264: bad modification idc {idc}")
+        mods.append((idc, r.ue()))
+        if len(mods) > 64:
+            raise ValueError("H.264: runaway list modification")
+
+
+def _apply_list_mod(lst: list, mods: list, cur_fn: int,
+                    max_fn: int) -> list:
+    """§8.2.4.3.1 short-term reordering: each (idc, abs_diff-1) names a
+    picture by PicNum; it is moved to the next slot, duplicates behind
+    it removed, list truncated to its original length."""
+
+    def picnum(fn: int) -> int:
+        return fn if fn <= cur_fn else fn - max_fn
+
+    out = list(lst)
+    n = len(out)
+    pred = cur_fn
+    idx = 0
+    for idc, v in mods:
+        d = v + 1
+        pn = pred - d if idc == 0 else pred + d
+        if pn < cur_fn - max_fn + 1:
+            pn += max_fn
+        elif pn > cur_fn:
+            pn -= max_fn
+        pred = pn
+        pic = next((p for p in lst if picnum(p.fn) == pn), None)
+        if pic is None:
+            raise ValueError(
+                f"H.264: list modification names absent PicNum {pn}")
+        out.insert(idx, pic)
+        # drop the later duplicate
+        for j in range(len(out) - 1, idx, -1):
+            if out[j] is pic:
+                del out[j]
+                break
+        idx += 1
+    return out[:n]
+
+
+def _write_list_mod(bw, mods: list):
+    """Encoder twin of _parse_list_mod."""
+    for idc, v in mods:
+        bw.ue(idc)
+        bw.ue(v)
+    bw.ue(3)
+
+
 def _te(r, cmax: int) -> int:
     """te(v) truncated Exp-Golomb (§9.1.1)."""
     if cmax == 0:
@@ -487,7 +551,7 @@ def decode_slice_p(rbsp: bytes, sps: dict, pps: dict, nal_ref_idc: int,
     if not refs:
         raise ValueError("H.264: P slice with no decoded reference frame")
     r.ue()                                    # pps id
-    r.u(sps["log2_max_frame_num"])            # frame_num
+    cur_fn = r.u(sps["log2_max_frame_num"])   # frame_num
     if sps["poc_type"] == 0:
         r.u(sps["log2_max_poc_lsb"])
         if pps["bottom_field_poc"]:
@@ -499,8 +563,8 @@ def decode_slice_p(rbsp: bytes, sps: dict, pps: dict, nal_ref_idc: int,
     if r.u(1):                                # num_ref_idx override
         num_ref = r.ue() + 1
     if r.u(1):                                # ref_pic_list_modification
-        raise NotImplementedError(
-            "H.264 reference picture list modification not supported")
+        refs = _apply_list_mod(refs, _parse_list_mod(r), cur_fn,
+                               1 << sps["log2_max_frame_num"])
     wp0 = None
     if pps["weighted_pred"]:                  # pred_weight_table (§7.3.3.2)
         ld = r.ue()                           # luma_log2_weight_denom
@@ -523,6 +587,7 @@ def decode_slice_p(rbsp: bytes, sps: dict, pps: dict, nal_ref_idc: int,
     ctx.deblock = deblock
     ctx.ref_pids0 = [id(rp) for rp in refs]
     ctx.wp0 = wp0
+    ctx.frame_num = cur_fn
     total = ctx.mb_w * ctx.mb_h
     mb = 0
     while mb < total:
@@ -658,7 +723,8 @@ def _write_chroma_bits(hi, bw, ctx, mbx, mby, cbp_chroma, dcq_cb, dcq_cr,
 def encode_p_slice(arr: np.ndarray, refs: list, qp: int, frame_num: int,
                    sps: dict, pps: dict, partition_cycle: bool = False,
                    intra_every: int = 0, deblock: bool = False,
-                   wp: dict | None = None, poc: int | None = None):
+                   wp: dict | None = None, poc: int | None = None,
+                   reorder_refs: bool = False):
     """One conforming P slice predicting from ``refs[0]`` → (rbsp,
     recon planes, recon RGB). Per MB: real motion search (integer ±4 +
     sub-pel refinement through the decoder's own interpolators), P_Skip
@@ -676,9 +742,20 @@ def encode_p_slice(arr: np.ndarray, refs: list, qp: int, frame_num: int,
     pad = np.pad(arr, ((0, mb_h * 16 - h), (0, mb_w * 16 - w), (0, 0)),
                  mode="edge")
     Ys, Cbs, Crs = H._rgb_to_yuv(pad)
+    reorder_refs = reorder_refs and len(refs) >= 2
+    mods = None
+    if reorder_refs:
+        # fixture modification: the SECOND most recent picture leads
+        # the list (exercises §8.2.4.3.1 on decode); active refs = 2
+        max_fn = 1 << sps["log2_max_frame_num"]
+        pn1 = refs[1].fn if refs[1].fn <= frame_num \
+            else refs[1].fn - max_fn
+        mods = [(0, frame_num - pn1 - 1)]
+        refs = _apply_list_mod(refs, mods, frame_num, max_fn)
     ctx = H._PicCtx(sps, pps)
     ctx.qp = qp
     ctx.ref_pids0 = [id(rp) for rp in refs]
+    ctx.frame_num = frame_num
     ctx.poc = poc if poc is not None else 2 * frame_num
     if pps["weighted_pred"]:
         if wp is None:                        # identity weights
@@ -697,8 +774,14 @@ def encode_p_slice(arr: np.ndarray, refs: list, qp: int, frame_num: int,
          sps["log2_max_frame_num"])
     if sps["poc_type"] == 0:
         bw.u(0, sps["log2_max_poc_lsb"])
-    bw.u(0, 1)                                # no num_ref_idx override
-    bw.u(0, 1)                                # no list modification
+    if reorder_refs:
+        bw.u(1, 1)                            # num_ref_idx override
+        bw.ue(1)                              # num_ref_l0 = 2
+        bw.u(1, 1)                            # list modification
+        _write_list_mod(bw, mods)
+    else:
+        bw.u(0, 1)                            # no num_ref_idx override
+        bw.u(0, 1)                            # no list modification
     if pps["weighted_pred"]:                  # pred_weight_table
         bw.ue(wp["ld"])
         bw.ue(wp["cd"])
@@ -815,7 +898,10 @@ def encode_p_slice(arr: np.ndarray, refs: list, qp: int, frame_num: int,
         if shape == "8x8":
             for _ in range(4):
                 bw.ue(0)                      # sub_mb_type 8x8
-        # num_ref_l0 == 1 → te(v) cMax 0 → ref_idx absent
+        if reorder_refs:                      # te cMax 1: ref_idx 0
+            for _ in (mvds if shape != "8x8" else range(4)):
+                bw.u(1, 1)
+        # else num_ref_l0 == 1 → te(v) cMax 0 → ref_idx absent
         for dx, dy in mvds:
             bw.se(dx)
             bw.se(dy)
@@ -1041,14 +1127,14 @@ def _enc_ref(planes, ctx=None, poc: int = 0):
         return types.SimpleNamespace(
             Y=Y, Cb=Cb, Cr=Cr, mvx=ctx.mvx, mvy=ctx.mvy,
             refidx=ctx.refidx, poc=ctx.poc,
-            l0_pids=list(ctx.ref_pids0 or []))
+            l0_pids=list(ctx.ref_pids0 or []), fn=ctx.frame_num)
     h4, w4 = Y.shape[0] // 4, Y.shape[1] // 4
     return types.SimpleNamespace(
         Y=Y, Cb=Cb, Cr=Cr,
         mvx=np.zeros((h4, w4), np.int32),
         mvy=np.zeros((h4, w4), np.int32),
         refidx=np.full((h4, w4), -1, np.int32),
-        poc=poc, l0_pids=[])
+        poc=poc, l0_pids=[], fn=0)
 
 
 def _b_lists(refs):
@@ -1433,7 +1519,7 @@ def decode_slice_b(rbsp: bytes, sps: dict, pps: dict, nal_ref_idc: int,
     if not refs:
         raise ValueError("H.264: B slice with no decoded reference frame")
     r.ue()                                    # pps id
-    r.u(sps["log2_max_frame_num"])            # frame_num
+    cur_fn = r.u(sps["log2_max_frame_num"])   # frame_num
     if sps["poc_type"] == 0:
         r.u(sps["log2_max_poc_lsb"])
         if pps["bottom_field_poc"]:
@@ -1446,12 +1532,12 @@ def decode_slice_b(rbsp: bytes, sps: dict, pps: dict, nal_ref_idc: int,
     if r.u(1):                                # num_ref_idx override
         nref0 = r.ue() + 1
         nref1 = r.ue() + 1
+    max_fn = 1 << sps["log2_max_frame_num"]
+    mod0 = mod1 = None
     if r.u(1):                                # list0 modification
-        raise NotImplementedError(
-            "H.264 reference picture list modification not supported")
+        mod0 = _parse_list_mod(r)
     if r.u(1):                                # list1 modification
-        raise NotImplementedError(
-            "H.264 reference picture list modification not supported")
+        mod1 = _parse_list_mod(r)
     wp0 = wp1 = None
     if pps["weighted_bipred"] == 1:           # explicit (§7.3.3.2)
         ld = r.ue()                           # luma_log2_weight_denom
@@ -1472,14 +1558,18 @@ def decode_slice_b(rbsp: bytes, sps: dict, pps: dict, nal_ref_idc: int,
         idc = r.ue()
         deblock = (idc, 2 * r.se(), 2 * r.se()) if idc != 1 else (1, 0, 0)
     L0, L1 = _b_lists(refs)
+    if mod0 is not None:
+        L0 = _apply_list_mod(L0, mod0, cur_fn, max_fn)
+    if mod1 is not None:
+        L1 = _apply_list_mod(L1, mod1, cur_fn, max_fn)
     ctx = _PicCtx(sps, pps)
     ctx.qp = qp
     ctx.deblock = deblock
     ctx.ref_pids0 = [id(rp) for rp in L0]
     ctx.ref_pids1 = [id(rp) for rp in L1]
     ctx.wp0, ctx.wp1 = wp0, wp1
-    ctx.poc = poc if poc is not None else \
-        2 * _fn_from_header(rbsp, sps) - 1
+    ctx.frame_num = cur_fn
+    ctx.poc = poc if poc is not None else 2 * cur_fn - 1
     if not direct_spatial:
         ctx.tdirect = {"L0": L0, "L1": L1}
     if implicit_wp:

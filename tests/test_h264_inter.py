@@ -571,3 +571,60 @@ def test_poc_type2_wrap_consistency():
     assert len(dec) == 20
     for i, (d, r) in enumerate(zip(dec, recons)):
         assert np.array_equal(d, r), f"frame {i}"
+
+
+def test_ref_pic_list_modification_roundtrip():
+    """§8.2.4.3.1 short-term reordering: P slices alternate between
+    default order and a modification placing the second-most-recent
+    picture first (num_ref_idx override + per-partition te ref_idx);
+    decode must follow the reordered list exactly."""
+    frames = _moving_frames(6, 32, 48)
+    sps_r = H._sps_rbsp(48, 32, 2)
+    pps_r = H._pps_rbsp()
+    sps, pps = H.parse_sps(sps_r), H.parse_pps(pps_r)
+    sc = b"\x00\x00\x00\x01"
+    out = [sc + H._nal(7, sps_r), sc + H._nal(8, pps_r)]
+    recons = []
+    poc_state = {}
+    poc = H._poc_of(sps, 0, nonref=False, idr=True,
+                    poc_state=poc_state)
+    rbsp, recon, planes = H._slice_rbsp_cavlc(frames[0], 24)
+    out.append(sc + H._nal(5, rbsp))
+    refs = [HI._enc_ref(planes, poc=poc)]
+    recons.append(recon)
+    fn = 1
+    for f in frames[1:]:
+        poc = H._poc_of(sps, fn, nonref=False, idr=False,
+                        poc_state=poc_state)
+        rbsp, ref, recon = HI.encode_p_slice(
+            f, refs, 24, fn, sps, pps, partition_cycle=True,
+            poc=poc, reorder_refs=(fn % 2 == 0))
+        out.append(sc + H._nal(1, rbsp, ref_idc=2))
+        refs.insert(0, ref)
+        del refs[2:]
+        fn = (fn + 1) & 0xF
+        recons.append(recon)
+    dec = H.decode_annexb(b"".join(out))
+    for i, (d, r) in enumerate(zip(dec, recons)):
+        assert np.array_equal(d, r), f"frame {i}"
+
+
+def test_apply_list_mod_spec_cases():
+    import types
+
+    a = types.SimpleNamespace(fn=5)
+    b = types.SimpleNamespace(fn=4)
+    c = types.SimpleNamespace(fn=3)
+    lst = [a, b, c]
+    # name pic 3 (abs_diff 3 → v=2, idc 0) → moves to front
+    out = HI._apply_list_mod(lst, [(0, 2)], cur_fn=6, max_fn=16)
+    assert [p.fn for p in out] == [3, 5, 4]
+    # two mods: 4 then 3
+    out = HI._apply_list_mod(lst, [(0, 1), (0, 0)], cur_fn=6,
+                             max_fn=16)
+    assert [p.fn for p in out] == [4, 3, 5]
+    # frame_num wrap: cur_fn 1, ref with fn 15 has PicNum -1
+    w = types.SimpleNamespace(fn=15)
+    x = types.SimpleNamespace(fn=0)
+    out = HI._apply_list_mod([x, w], [(0, 1)], cur_fn=1, max_fn=16)
+    assert [p.fn for p in out] == [15, 0]
