@@ -39,9 +39,13 @@ encodes I, P AND B slices (engine and bitstream structure
 spec-faithful; context-init constants documented-neutral — see
 h264cabac's module docstring), and explicit weighted prediction is
 real (h264inter). Temporal direct, implicit weighted bipred (POC tracking) and
-short-term reference list modification are real (h264inter).
-Declared stubs: SP/SI slices, MMCO adaptive marking, 8x8 transform
-and scaling lists raise NotImplementedError naming the tool. Header
+short-term reference list modification are real (h264inter), and
+High-profile Intra_8x8 decodes (h264high: filtered 8x8 prediction,
+the 8x8 transform with position-classed dequant, CAVLC interleave —
+see its docstring for the one documented normalization constant).
+Declared stubs: SP/SI slices, MMCO adaptive marking, inter/CABAC 8x8
+and explicit scaling lists raise NotImplementedError naming the
+tool. Header
 parsing (probe) works on any baseline/main/high stream.
 
 Reference parity note: the reference stores media blobs untouched; this
@@ -551,11 +555,13 @@ def _decode_mb_intra(r: "_BitReader", ctx: _PicCtx, mb_type: int,
         ctx.mb_qp[mby, mbx] = 0               # §8.7: I_PCM filters at QP 0
         return
 
-    if mb_type == 0:                          # Intra_4x4
+    if mb_type == 0:                          # Intra_4x4 / Intra_8x8
         if pps.get("transform_8x8"):
             if r.u(1):                    # transform_size_8x8_flag
-                raise NotImplementedError(
-                    "H.264 8x8 transform not supported")
+                from . import h264high
+
+                h264high.decode_mb_i8x8(r, ctx, mbx, mby)
+                return
         modes = []
         for k in range(16):
             x4, y4 = hi.BLK4_POS[k]
@@ -898,14 +904,21 @@ def decode_avcc(avcc: bytes, samples: list[bytes]) -> list[np.ndarray]:
 # ---------------------------------------------------------------------------
 
 
-def _sps_rbsp(w: int, h: int, num_ref: int = 1) -> bytes:
+def _sps_rbsp(w: int, h: int, num_ref: int = 1,
+              high: bool = False) -> bytes:
     mb_w = (w + 15) // 16
     mb_h = (h + 15) // 16
     bw = _BitWriter()
-    bw.u(66, 8)                               # baseline profile
-    bw.u(0xC0, 8)                             # constraint_set0+1, rest 0
+    bw.u(100 if high else 66, 8)              # high / baseline profile
+    bw.u(0 if high else 0xC0, 8)              # constraint flags
     bw.u(20, 8)                               # level 2.0
     bw.ue(0)                                  # sps_id
+    if high:
+        bw.ue(1)                              # chroma_format_idc 4:2:0
+        bw.ue(0)                              # bit_depth_luma_minus8
+        bw.ue(0)                              # bit_depth_chroma_minus8
+        bw.u(0, 1)                            # qpprime_y_zero_transform
+        bw.u(0, 1)                            # seq_scaling_matrix
     bw.ue(0)                                  # log2_max_frame_num_minus4
     bw.ue(2)                                  # poc_type 2 (no extra fields)
     bw.ue(num_ref)                            # max_num_ref_frames
@@ -929,7 +942,8 @@ def _sps_rbsp(w: int, h: int, num_ref: int = 1) -> bytes:
 
 
 def _pps_rbsp(weighted_pred: bool = False,
-              weighted_bipred: int = 0, cabac: bool = False) -> bytes:
+              weighted_bipred: int = 0, cabac: bool = False,
+              transform_8x8: bool = False) -> bytes:
     bw = _BitWriter()
     bw.ue(0)                                  # pps_id
     bw.ue(0)                                  # sps_id
@@ -946,6 +960,10 @@ def _pps_rbsp(weighted_pred: bool = False,
     bw.u(1, 1)                                # deblocking control present
     bw.u(0, 1)                                # constrained_intra
     bw.u(0, 1)                                # redundant_pic_cnt
+    if transform_8x8:                         # High-profile extension
+        bw.u(1, 1)                            # transform_8x8_mode_flag
+        bw.u(0, 1)                            # pic_scaling_matrix
+        bw.se(0)                              # second_chroma_qp_offset
     return bw.trailing()
 
 
