@@ -74,8 +74,20 @@ TRANS_LPS = np.array([
 TRANS_MPS = np.minimum(np.arange(64) + 1, 62).astype(np.int32)
 TRANS_MPS[63] = 63
 
-N_CTX = 399          # frame-coding contexts used by this profile subset
+N_CTX = 512          # frame-coding contexts used by this profile
+#                      subset, incl. the engine-local 8x8 block below
 CTX_TERMINATE = 276  # end_of_slice_flag / I_PCM escape (fixed state)
+
+# High-profile 8x8 contexts. transform_size_8x8_flag sits at 399 with
+# neighbor conditioning (as in the spec); the category-5 residual
+# blocks use an ENGINE-LOCAL layout (the spec's 8x8 significance
+# position-map tables are offline-unverifiable data — module
+# docstring), with monotone position folds onto 15/9/10 contexts:
+CTX_T8_FLAG = 399    # +inc(0..2)
+CTX_CBF8 = 460       # +inc(0..3)
+CTX_SIG8 = 464       # + pos*15//63   (15 contexts)
+CTX_LAST8 = 479      # + pos*9//63    (9 contexts)
+CTX_ABS8 = 488       # + the 4x4 scheme's 10-context layout
 
 
 class Ctxs:
@@ -333,6 +345,84 @@ ABS_CAT_OFF = {0: 0, 1: 10, 2: 20, 3: 30, 4: 39}
 # ---------------------------------------------------------------------------
 
 
+def read_residual8_cabac(r: CabacReader, cx: Ctxs, cbf_inc: int):
+    """Category-5 (luma 8x8) residual: 64-coefficient significance map
+    over the engine-local context folds, reverse-order levels with the
+    shared UEG0 suffix."""
+    if not r.decision(cx, CTX_CBF8 + cbf_inc):
+        return None
+    sig = [0] * 64
+    found_last = False
+    for i in range(63):
+        if r.decision(cx, CTX_SIG8 + i * 15 // 63):
+            sig[i] = 1
+            if r.decision(cx, CTX_LAST8 + i * 9 // 63):
+                found_last = True
+                break
+    if not found_last:
+        sig[63] = 1
+    levels = np.zeros(64, np.int64)
+    ngt1 = neq1 = 0
+    for i in range(63, -1, -1):
+        if not sig[i]:
+            continue
+        inc0 = 0 if ngt1 else min(4, 1 + neq1)
+        if r.decision(cx, CTX_ABS8 + inc0):
+            inc_rest = CTX_ABS8 + 5 + min(4, ngt1)
+            ones = 1
+            while ones < 14 and r.decision(cx, inc_rest):
+                ones += 1
+            v = ones
+            if ones == 14:
+                v += _read_eg_bypass(r, 0)
+            level = v + 1
+            ngt1 += 1
+        else:
+            level = 1
+            neq1 += 1
+        levels[i] = -level if r.bypass() else level
+    return levels
+
+
+def write_residual8_cabac(w: CabacWriter, cx: Ctxs, levels,
+                          cbf_inc: int) -> int:
+    lv = None if levels is None else np.asarray(levels, np.int64)
+    cbf = 1 if (lv is not None and np.any(lv)) else 0
+    w.decision(cx, CTX_CBF8 + cbf_inc, cbf)
+    if not cbf:
+        return 0
+    nz = np.nonzero(lv)[0]
+    last = int(nz[-1])
+    for i in range(min(last + 1, 63)):
+        sgn = 1 if lv[i] else 0
+        w.decision(cx, CTX_SIG8 + i * 15 // 63, sgn)
+        if sgn:
+            w.decision(cx, CTX_LAST8 + i * 9 // 63,
+                       1 if i == last else 0)
+    ngt1 = neq1 = 0
+    for i in range(63, -1, -1):
+        if not lv[i]:
+            continue
+        a = int(abs(lv[i]))
+        inc0 = 0 if ngt1 else min(4, 1 + neq1)
+        if a == 1:
+            w.decision(cx, CTX_ABS8 + inc0, 0)
+            neq1 += 1
+        else:
+            w.decision(cx, CTX_ABS8 + inc0, 1)
+            inc_rest = CTX_ABS8 + 5 + min(4, ngt1)
+            v = a - 1
+            for _ in range(min(v, 14) - 1):
+                w.decision(cx, inc_rest, 1)
+            if v < 14:
+                w.decision(cx, inc_rest, 0)
+            else:
+                _write_eg_bypass(w, v - 14, 0)
+            ngt1 += 1
+        w.bypass(1 if lv[i] < 0 else 0)
+    return 1
+
+
 def read_residual_cabac(r: CabacReader, cx: Ctxs, cat: int, maxc: int,
                         cbf_inc: int):
     """coded_block_flag + significance map + reverse-order levels →
@@ -445,6 +535,8 @@ class _NbrState:
         self.not_i4 = np.zeros((mb_h, mb_w), np.int8)
         self.intra = np.zeros((mb_h, mb_w), np.int8)
         self.skip = np.zeros((mb_h, mb_w), np.int8)
+        self.t8 = np.zeros((mb_h, mb_w), np.int8)
+        self.cbf8 = np.zeros((mb_h * 2, mb_w * 2), np.int8)
         self.prev_qp_delta_nz = 0
 
     # --- coded_block_flag increments (unavailable neighbor → 1 when the
@@ -750,8 +842,17 @@ def _decode_mb_intra_cabac(r: CabacReader, cx: Ctxs, nb: _NbrState, ctx,
         ctx.mb_qp[mby, mbx] = 0
         return
 
-    if mb_type == 0:                          # Intra_4x4
+    if mb_type == 0:                          # Intra_4x4 / Intra_8x8
         nb.not_i4[mby, mbx] = 0
+        if ctx.pps.get("transform_8x8"):
+            inc = ((int(nb.t8[mby, mbx - 1]) if mbx > 0 else 0)
+                   + (int(nb.t8[mby - 1, mbx]) if mby > 0 else 0))
+            if r.decision(cx, CTX_T8_FLAG + inc):
+                nb.t8[mby, mbx] = 1
+                _decode_mb_i8x8_cabac(r, cx, nb, ctx, mbx, mby,
+                                      avail_l, avail_t)
+                return
+        nb.t8[mby, mbx] = 0
         modes = _read_intra_modes(r, cx, ctx, mbx, mby)
         cmode = _read_chroma_mode(r, cx, nb, mbx, mby)
         cbp = _read_cbp(r, cx, nb, mbx, mby)
@@ -1049,13 +1150,17 @@ def _write_chroma_residual_cabac(w, cx: Ctxs, nb: _NbrState, mbx, mby,
 
 
 def encode_i_slice_cabac(arr: np.ndarray, qp: int, idr_pic_id: int = 0,
-                         mix_i4: bool = True, pcm_every: int = 0):
+                         mix_i4: bool = True, pcm_every: int = 0,
+                         transform_8x8: bool = False):
     """One conforming-structure CABAC IDR slice → (rbsp, recon RGB,
     recon planes). Macroblocks alternate Intra_4x4 / Intra_16x16 on a
     checkerboard with ``mix_i4``; ``pcm_every`` injects an I_PCM MB
-    every N MBs (exercising the engine suspend/resume path).
+    every N MBs (exercising the engine suspend/resume path). With
+    ``transform_8x8`` (High-profile PPS) the cycle rotates
+    Intra_8x8 / Intra_16x16 / Intra_4x4 — x264's High-intra shape.
     Reconstruction is the CABAC decoder's exact output."""
     from . import h264codec as H
+    from . import h264high as HH
     from . import h264intra as hi
 
     h, w0 = arr.shape[:2]
@@ -1063,8 +1168,9 @@ def encode_i_slice_cabac(arr: np.ndarray, qp: int, idr_pic_id: int = 0,
     pad = np.pad(arr, ((0, mb_h * 16 - h), (0, mb_w * 16 - w0), (0, 0)),
                  mode="edge")
     Ys, Cbs, Crs = H._rgb_to_yuv(pad)
-    sps = H.parse_sps(H._sps_rbsp(w0, h))
-    pps = H.parse_pps(H._pps_rbsp(cabac=True))
+    sps = H.parse_sps(H._sps_rbsp(w0, h, high=transform_8x8))
+    pps = H.parse_pps(H._pps_rbsp(cabac=True,
+                                  transform_8x8=transform_8x8))
     ctx = H._PicCtx(sps, pps)
     ctx.qp = qp
     Yr, Cbr, Crr = ctx.Y, ctx.Cb, ctx.Cr
@@ -1133,11 +1239,65 @@ def encode_i_slice_cabac(arr: np.ndarray, qp: int, idr_pic_id: int = 0,
                 pr[py:py + 4, px:px + 4] = hi.reconstruct4x4(
                     pred_c[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4], d)
 
-        use_i4 = mix_i4 and ((mbx + mby) % 2 == 0)
+        if transform_8x8 and mb % 3 == 0:     # Intra_8x8
+            modes8, zs8, cbp_luma8 = HH.analyze_mb_i8x8(
+                ctx, Ys, mbx, mby, qp)
+            cbp8v = cbp_luma8 | (cbp_chroma << 4)
+            _write_mb_type_i(sw.w, cx, nb, mbx, mby, 0)
+            nb.not_i4[mby, mbx] = 0
+            nb.intra[mby, mbx] = 1
+            inc = ((int(nb.t8[mby, mbx - 1]) if mbx > 0 else 0)
+                   + (int(nb.t8[mby - 1, mbx]) if mby > 0 else 0))
+            sw.w.decision(cx, CTX_T8_FLAG + inc, 1)
+            nb.t8[mby, mbx] = 1
+            for k8, m in enumerate(modes8):
+                bx = mbx * 4 + (k8 & 1) * 2
+                by = mby * 4 + (k8 >> 1) * 2
+                ma = int(ctx.ipm[by, bx - 1]) if bx > 0 else 2
+                mb_ = int(ctx.ipm[by - 1, bx]) if by > 0 else 2
+                pm = min(ma if ma >= 0 else 2, mb_ if mb_ >= 0 else 2)
+                if m == pm:
+                    sw.w.decision(cx, CTX_PREV_I4, 1)
+                else:
+                    sw.w.decision(cx, CTX_PREV_I4, 0)
+                    rem = m if m < pm else m - 1
+                    sw.w.decision(cx, CTX_REM_I4, rem & 1)
+                    sw.w.decision(cx, CTX_REM_I4, (rem >> 1) & 1)
+                    sw.w.decision(cx, CTX_REM_I4, (rem >> 2) & 1)
+            _write_chroma_mode(sw.w, cx, nb, mbx, mby, cmode)
+            _write_cbp(sw.w, cx, nb, mbx, mby, cbp8v)
+            if cbp8v:
+                _write_qp_delta(sw.w, cx, nb, 0)
+            else:
+                nb.prev_qp_delta_nz = 0
+            for k8 in range(4):
+                gx = mbx * 2 + (k8 & 1)
+                gy = mby * 2 + (k8 >> 1)
+                if not (cbp_luma8 & (1 << k8)):
+                    nb.cbf8[gy, gx] = 0
+                    continue
+                a = int(nb.cbf8[gy, gx - 1]) if gx > 0 else 1
+                b = int(nb.cbf8[gy - 1, gx]) if gy > 0 else 1
+                lv = zs8[k8].reshape(-1)[HH.ZIGZAG8]
+                nb.cbf8[gy, gx] = write_residual8_cabac(
+                    sw.w, cx, lv, a + 2 * b)
+                bx = mbx * 4 + (k8 & 1) * 2
+                by = mby * 4 + (k8 >> 1) * 2
+                nb.cbf_l4[by:by + 2, bx:bx + 2] = nb.cbf8[gy, gx]
+            _write_chroma_residual_cabac(sw.w, cx, nb, mbx, mby,
+                                         cbp_chroma, dcq_cb, dcq_cr,
+                                         Zcb, Zcr)
+            ctx.mb_qp[mby, mbx] = qp
+            sw.w.terminate(1 if mb == total - 1 else 0)
+            continue
+
+        use_i4 = mix_i4 and (((mbx + mby) % 2 == 0)
+                             or (transform_8x8 and mb % 3 == 2))
         if not use_i4:
             _encode_mb_i16_cabac(sw, cx, nb, ctx, Ys, mbx, mby, qp,
                                  cmode, cbp_chroma, dcq_cb, dcq_cr,
                                  Zcb, Zcr)
+            nb.t8[mby, mbx] = 0
             _write_chroma_residual_cabac(sw.w, cx, nb, mbx, mby,
                                          cbp_chroma, dcq_cb, dcq_cr,
                                          Zcb, Zcr)
@@ -1181,6 +1341,11 @@ def encode_i_slice_cabac(arr: np.ndarray, qp: int, idr_pic_id: int = 0,
         _write_mb_type_i(sw.w, cx, nb, mbx, mby, 0)
         nb.not_i4[mby, mbx] = 0
         nb.intra[mby, mbx] = 1
+        if transform_8x8:                     # flag 0: stay 4x4
+            inc = ((int(nb.t8[mby, mbx - 1]) if mbx > 0 else 0)
+                   + (int(nb.t8[mby - 1, mbx]) if mby > 0 else 0))
+            sw.w.decision(cx, CTX_T8_FLAG + inc, 0)
+            nb.t8[mby, mbx] = 0
         _write_intra_modes(sw.w, cx, ctx, mbx, mby, modes)
         _write_chroma_mode(sw.w, cx, nb, mbx, mby, cmode)
         _write_cbp(sw.w, cx, nb, mbx, mby, cbp)
@@ -1210,11 +1375,12 @@ def encode_i_slice_cabac(arr: np.ndarray, qp: int, idr_pic_id: int = 0,
 
 
 def encode_gop_cabac(frames: list, qp: int = 26, mix_i4: bool = True,
-                     pcm_every: int = 0):
+                     pcm_every: int = 0, transform_8x8: bool = False):
     """RGB frames → (conforming-structure Annex-B all-IDR CABAC stream,
     reconstructed frames). The CABAC counterpart of the CAVLC intra GOP
-    writers in h264codec; P-slice CABAC extends this in
-    encode_gop_cabac_p."""
+    writers in h264codec; ``transform_8x8`` emits High-profile
+    CABAC+8x8 intra (the x264 High-intra shape). P-slice CABAC
+    extends this in encode_gop_cabac_p."""
     from . import h264codec as H
 
     if not frames:
@@ -1223,14 +1389,16 @@ def encode_gop_cabac(frames: list, qp: int = 26, mix_i4: bool = True,
     if w % 2 or h % 2:
         raise ValueError("H.264 4:2:0 needs even dimensions")
     sc = b"\x00\x00\x00\x01"
-    out = [sc + H._nal(7, H._sps_rbsp(w, h)),
-           sc + H._nal(8, H._pps_rbsp(cabac=True))]
+    out = [sc + H._nal(7, H._sps_rbsp(w, h, high=transform_8x8)),
+           sc + H._nal(8, H._pps_rbsp(cabac=True,
+                                      transform_8x8=transform_8x8))]
     recons = []
     for i, f in enumerate(frames):
         if f.shape[:2] != (h, w):
             raise ValueError("all frames must share dimensions")
         rbsp, recon, _ = encode_i_slice_cabac(
-            f, qp, idr_pic_id=i & 1, mix_i4=mix_i4, pcm_every=pcm_every)
+            f, qp, idr_pic_id=i & 1, mix_i4=mix_i4,
+            pcm_every=pcm_every, transform_8x8=transform_8x8)
         out.append(sc + H._nal(5, rbsp))
         recons.append(recon)
     return b"".join(out), recons
@@ -2454,3 +2622,100 @@ def encode_b_slice_cabac(arr: np.ndarray, refs: list, qp: int,
     recon = H._yuv_to_rgb(Yr, Cbr, Crr, sps["width"], sps["height"])
     return rbsp, recon
 
+
+
+# ---------------------------------------------------------------------------
+# High-profile Intra_8x8 under CABAC (transform_size_8x8_flag + the
+# category-5 residual codec; reconstruction shared with h264high)
+# ---------------------------------------------------------------------------
+
+
+def _decode_mb_i8x8_cabac(r: CabacReader, cx: Ctxs, nb: _NbrState, ctx,
+                          mbx: int, mby: int, avail_l: bool,
+                          avail_t: bool):
+    from . import h264codec as H
+    from . import h264high as HH
+    from . import h264intra as hi
+
+    qp = ctx.qp
+    ipm = ctx.ipm
+    modes = []
+    for k8 in range(4):
+        bx = mbx * 4 + (k8 & 1) * 2
+        by = mby * 4 + (k8 >> 1) * 2
+        ma = int(ipm[by, bx - 1]) if bx > 0 else 2
+        mb_ = int(ipm[by - 1, bx]) if by > 0 else 2
+        pm = min(ma if ma >= 0 else 2, mb_ if mb_ >= 0 else 2)
+        if r.decision(cx, CTX_PREV_I4):
+            mode = pm
+        else:
+            rem = (r.decision(cx, CTX_REM_I4)
+                   | (r.decision(cx, CTX_REM_I4) << 1)
+                   | (r.decision(cx, CTX_REM_I4) << 2))
+            mode = rem if rem < pm else rem + 1
+        modes.append(mode)
+        ipm[by:by + 2, bx:bx + 2] = mode
+    cmode = _read_chroma_mode(r, cx, nb, mbx, mby)
+    cbp = _read_cbp(r, cx, nb, mbx, mby)
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp:
+        qp = (qp + _read_qp_delta(r, cx, nb) + 52) % 52
+    else:
+        nb.prev_qp_delta_nz = 0
+    coeffs = [None] * 4
+    for k8 in range(4):
+        gx = mbx * 2 + (k8 & 1)
+        gy = mby * 2 + (k8 >> 1)
+        if not (cbp_luma & (1 << k8)):
+            nb.cbf8[gy, gx] = 0
+            continue
+        a = int(nb.cbf8[gy, gx - 1]) if gx > 0 else 1
+        b = int(nb.cbf8[gy - 1, gx]) if gy > 0 else 1
+        c = read_residual8_cabac(r, cx, a + 2 * b)
+        nb.cbf8[gy, gx] = 0 if c is None else 1
+        bx = mbx * 4 + (k8 & 1) * 2
+        by = mby * 4 + (k8 >> 1) * 2
+        nb.cbf_l4[by:by + 2, bx:bx + 2] = nb.cbf8[gy, gx]
+        coeffs[k8] = c
+    dc_cb = dc_cr = None
+    ac_cb = [None] * 4
+    ac_cr = [None] * 4
+    if cbp_chroma:
+        for comp, tgt in ((0, "cb"), (1, "cr")):
+            c = read_residual_cabac(
+                r, cx, 3, 4,
+                nb.cbf_inc_mb(nb.cbf_cdc[comp], mbx, mby, True))
+            nb.cbf_cdc[comp, mby, mbx] = 0 if c is None else 1
+            if comp == 0:
+                dc_cb = c
+            else:
+                dc_cr = c
+    if cbp_chroma == 2:
+        for comp, acc in ((0, ac_cb), (1, ac_cr)):
+            for k in range(4):
+                gx = mbx * 2 + (k & 1)
+                gy = mby * 2 + (k >> 1)
+                c = read_residual_cabac(
+                    r, cx, 4, 15, nb.cbf_inc_cac(comp, gx, gy, True))
+                nb.cbf_cac[comp, gy, gx] = 0 if c is None else 1
+                acc[k] = c
+    Y = ctx.Y
+    for k8 in range(4):
+        x8 = mbx * 2 + (k8 & 1)
+        y8 = mby * 2 + (k8 >> 1)
+        left, top, corner, al, at, _ = HH._luma8x8_refs(
+            Y, x8, y8, ctx.mb_w)
+        pred = HH.pred8x8(modes[k8], left, top, corner, al, at)
+        if coeffs[k8] is not None:
+            d = HH.dequant8x8(HH._unzigzag64(coeffs[k8]), qp)
+            blk = HH.reconstruct8x8(pred, d)
+        else:
+            blk = pred
+        Y[y8 * 8:y8 * 8 + 8, x8 * 8:x8 * 8 + 8] = blk
+    H._recon_chroma(ctx.Cb, ctx.Cr, mbx, mby, cmode, dc_cb, dc_cr,
+                    ac_cb, ac_cr, hi.chroma_qp(qp, ctx.qpc_off),
+                    avail_l, avail_t)
+    ctx.qp = qp
+    ctx.mb_qp[mby, mbx] = qp
+    ctx.mb_intra[mby, mbx] = True
+    nb.intra[mby, mbx] = 1

@@ -43,9 +43,10 @@ short-term reference list modification are real (h264inter), and
 High-profile Intra_8x8 decodes (h264high: filtered 8x8 prediction,
 the 8x8 transform with position-classed dequant, CAVLC interleave —
 see its docstring for the one documented normalization constant).
-Declared stubs: SP/SI slices, MMCO adaptive marking, inter/CABAC 8x8
-and explicit scaling lists raise NotImplementedError naming the
-tool. Header
+CABAC Intra_8x8 decodes too (h264cabac + h264high — the x264
+High-intra shape). Declared stubs: SP/SI slices, MMCO adaptive
+marking, inter 8x8 and explicit scaling lists raise
+NotImplementedError naming the tool. Header
 parsing (probe) works on any baseline/main/high stream.
 
 Reference parity note: the reference stores media blobs untouched; this

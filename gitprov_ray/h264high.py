@@ -475,12 +475,11 @@ def decode_mb_i8x8(r, ctx, mbx: int, mby: int):
     ctx.mb_intra[mby, mbx] = True
 
 
-def encode_mb_i8x8(bw, ctx, Ys, mbx: int, mby: int, qp: int):
-    """Analyze + emit one Intra_8x8 MB's LUMA syntax pieces; returns
-    (modes, coeffs, cbp_luma, write_luma) with reconstruction done —
-    the slice writer interleaves chroma exactly like the 4x4 path."""
+def analyze_mb_i8x8(ctx, Ys, mbx: int, mby: int, qp: int):
+    """SAD mode selection + transform/quant + reconstruction for one
+    Intra_8x8 MB's luma → (modes, zs, cbp_luma); entropy-agnostic
+    (shared by the CAVLC and CABAC writers)."""
     from . import h264codec as H
-    from . import h264intra as hi
 
     Y = ctx.Y
     ipm = ctx.ipm
@@ -519,6 +518,18 @@ def encode_mb_i8x8(bw, ctx, Ys, mbx: int, mby: int, qp: int):
         else:
             blk = p
         Y[y8 * 8:y8 * 8 + 8, x8 * 8:x8 * 8 + 8] = blk
+    return modes, zs, cbp_luma
+
+
+def encode_mb_i8x8(bw, ctx, Ys, mbx: int, mby: int, qp: int):
+    """CAVLC writer over analyze_mb_i8x8; returns (modes, cbp_luma,
+    write_modes, write_luma) — the slice writer interleaves chroma
+    exactly like the 4x4 path."""
+    from . import h264codec as H
+    from . import h264intra as hi
+
+    ipm = ctx.ipm
+    modes, zs, cbp_luma = analyze_mb_i8x8(ctx, Ys, mbx, mby, qp)
 
     def write_modes(bw):
         # mode prediction must replay against the grid state the

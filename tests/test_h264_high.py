@@ -103,3 +103,42 @@ def test_high_recon_approximates_source():
     dec = H.decode_annexb(stream)
     err = np.abs(dec[0].astype(int) - arr.astype(int)).mean()
     assert err < 8                            # real compression quality
+
+
+def test_cabac_high_intra_roundtrip():
+    """CABAC + transform_8x8 — the exact shape x264 emits for High
+    intra frames — through the full Annex-B route."""
+    from gitprov_ray import h264cabac as C
+
+    frames = [rng.integers(0, 256, (48, 64, 3), np.uint8)
+              for _ in range(2)]
+    frames[0][:24] = np.linspace(0, 255, 64,
+                                 dtype=np.uint8)[None, :, None]
+    stream, recons = C.encode_gop_cabac(frames, qp=26,
+                                        transform_8x8=True)
+    dec = H.decode_annexb(stream)
+    for i, (d, r) in enumerate(zip(dec, recons)):
+        assert np.array_equal(d, r), f"frame {i}"
+    nal = next(n for n in H.iter_nals_annexb(stream)
+               if (n[0] & 0x1F) == 7)
+    assert nal[1] == 100                      # High profile SPS
+
+
+def test_cabac_cat5_residual_roundtrip():
+    from gitprov_ray import h264cabac as C
+
+    for trial in range(20):
+        lv = np.zeros(64, np.int64)
+        nnz = int(rng.integers(0, 65))
+        lv[rng.choice(64, nnz, replace=False)] = rng.integers(-60, 61,
+                                                              nnz)
+        cw = C.Ctxs(26)
+        w = C.CabacWriter()
+        cbf = C.write_residual8_cabac(w, cw, lv, 1)
+        w.terminate(1)
+        got = C.read_residual8_cabac(
+            C.CabacReader(w.payload(), 0), C.Ctxs(26), 1)
+        if not np.any(lv):
+            assert cbf == 0 and got is None
+        else:
+            assert np.array_equal(got, lv)
