@@ -2278,10 +2278,10 @@ def decode_slice_b_cabac(rbsp: bytes, sps: dict, pps: dict,
         wp0 = HI._parse_pred_weight_table(r0, nref0, ld, cd)
         wp1 = HI._parse_pred_weight_table(r0, nref1, ld, cd)
     implicit_wp = pps["weighted_bipred"] == 2
+    mmco = None
     if nal_ref_idc:
         if r0.u(1):
-            raise NotImplementedError(
-                "H.264 adaptive reference marking (MMCO) not supported")
+            mmco = HI._parse_mmco(r0)
     r0.ue()                                   # cabac_init_idc
     qp = pps["init_qp"] + r0.se()
     deblock = (0, 0, 0)
@@ -2303,6 +2303,8 @@ def decode_slice_b_cabac(rbsp: bytes, sps: dict, pps: dict,
     ctx.wp0, ctx.wp1 = wp0, wp1
     ctx.poc = poc if poc is not None else \
         2 * HI._fn_from_header(rbsp, sps) - 1
+    ctx.frame_num = cur_fn
+    ctx.mmco = mmco
     if not direct_spatial:
         ctx.tdirect = {"L0": L0, "L1": L1}
     if implicit_wp:

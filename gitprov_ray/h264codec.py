@@ -44,9 +44,9 @@ High-profile Intra_8x8 decodes (h264high: filtered 8x8 prediction,
 the 8x8 transform with position-classed dequant, CAVLC interleave —
 see its docstring for the one documented normalization constant).
 CABAC Intra_8x8 decodes too (h264cabac + h264high — the x264
-High-intra shape). Declared stubs: SP/SI slices, MMCO adaptive
-marking, inter 8x8 and explicit scaling lists raise
-NotImplementedError naming the tool. Header
+High-intra shape). MMCO op-1 adaptive marking works; declared stubs: SP/SI slices,
+long-term reference management, inter 8x8 and explicit scaling
+lists raise NotImplementedError naming the tool. Header
 parsing (probe) works on any baseline/main/high stream.
 
 Reference parity note: the reference stores media blobs untouched; this
@@ -814,8 +814,17 @@ def _decode_slice_any(rbsp: bytes, sps: dict, pps: dict, ntype: int,
     if ntype == 5:
         refs.clear()
     if ref_idc:
+        mmco = getattr(ctx, "mmco", None)
+        if mmco:
+            from . import h264inter
+
+            h264inter.apply_mmco(refs, mmco, ctx.frame_num,
+                                 1 << sps["log2_max_frame_num"])
         refs.insert(0, _RefPic(ctx))
-        del refs[max(1, sps.get("max_num_ref", 1)):]
+        if not mmco:                          # sliding window (§8.2.5.3)
+            del refs[max(1, sps.get("max_num_ref", 1)):]
+        else:                                 # adaptive: manual size,
+            del refs[max(1, sps.get("max_num_ref", 1)):]  # safe cap
     return ctx.Y, ctx.Cb, ctx.Cr
 
 

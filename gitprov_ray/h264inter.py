@@ -298,6 +298,52 @@ def _apply_list_mod(lst: list, mods: list, cur_fn: int,
     return out[:n]
 
 
+def _parse_mmco(r) -> list:
+    """dec_ref_pic_marking adaptive ops (§7.3.3.3): op 1 (unmark a
+    short-term picture by PicNum difference) is supported; the
+    long-term ops (2/3/4/6) and the reset op 5 raise naming the
+    tool."""
+    ops = []
+    while True:
+        op = r.ue()
+        if op == 0:
+            return ops
+        if op == 1:
+            ops.append((1, r.ue()))
+        else:
+            raise NotImplementedError(
+                f"H.264 MMCO op {op} (long-term/reset marking) "
+                "not supported")
+        if len(ops) > 32:
+            raise ValueError("H.264: runaway MMCO")
+
+
+def apply_mmco(refs: list, ops: list, cur_fn: int, max_fn: int):
+    """§8.2.5.4.1: remove the named short-term pictures from the
+    reference list (called by the slice dispatcher BEFORE the current
+    picture is inserted)."""
+
+    def picnum(fn: int) -> int:
+        return fn if fn <= cur_fn else fn - max_fn
+
+    for op, v in ops:
+        pn = cur_fn - (v + 1)
+        idx = next((i for i, p in enumerate(refs)
+                    if picnum(p.fn) == pn), None)
+        if idx is None:
+            raise ValueError(
+                f"H.264: MMCO names absent PicNum {pn}")
+        del refs[idx]
+
+
+def _write_mmco(bw, ops: list):
+    """Encoder twin of _parse_mmco."""
+    for op, v in ops:
+        bw.ue(op)
+        bw.ue(v)
+    bw.ue(0)
+
+
 def _write_list_mod(bw, mods: list):
     """Encoder twin of _parse_list_mod."""
     for idc, v in mods:
@@ -570,10 +616,10 @@ def decode_slice_p(rbsp: bytes, sps: dict, pps: dict, nal_ref_idc: int,
         ld = r.ue()                           # luma_log2_weight_denom
         cd = r.ue()                           # chroma_log2_weight_denom
         wp0 = _parse_pred_weight_table(r, num_ref, ld, cd)
+    mmco = None
     if nal_ref_idc:
         if r.u(1):                            # adaptive marking (MMCO)
-            raise NotImplementedError(
-                "H.264 adaptive reference marking (MMCO) not supported")
+            mmco = _parse_mmco(r)
     if pps["constrained_intra"]:
         raise NotImplementedError(
             "H.264 constrained_intra_pred in P slices not supported")
@@ -588,6 +634,7 @@ def decode_slice_p(rbsp: bytes, sps: dict, pps: dict, nal_ref_idc: int,
     ctx.ref_pids0 = [id(rp) for rp in refs]
     ctx.wp0 = wp0
     ctx.frame_num = cur_fn
+    ctx.mmco = mmco
     total = ctx.mb_w * ctx.mb_h
     mb = 0
     while mb < total:
@@ -724,7 +771,8 @@ def encode_p_slice(arr: np.ndarray, refs: list, qp: int, frame_num: int,
                    sps: dict, pps: dict, partition_cycle: bool = False,
                    intra_every: int = 0, deblock: bool = False,
                    wp: dict | None = None, poc: int | None = None,
-                   reorder_refs: bool = False):
+                   reorder_refs: bool = False,
+                   mmco: list | None = None):
     """One conforming P slice predicting from ``refs[0]`` → (rbsp,
     recon planes, recon RGB). Per MB: real motion search (integer ±4 +
     sub-pel refinement through the decoder's own interpolators), P_Skip
@@ -786,7 +834,11 @@ def encode_p_slice(arr: np.ndarray, refs: list, qp: int, frame_num: int,
         bw.ue(wp["ld"])
         bw.ue(wp["cd"])
         _write_pred_weight_entries(bw, wp)
-    bw.u(0, 1)                                # sliding-window marking
+    if mmco:
+        bw.u(1, 1)                            # adaptive marking
+        _write_mmco(bw, mmco)
+    else:
+        bw.u(0, 1)                            # sliding-window marking
     bw.se(qp - pps["init_qp"])                # slice_qp_delta
     if pps["deblock_ctrl"]:
         if deblock:
@@ -1545,10 +1597,10 @@ def decode_slice_b(rbsp: bytes, sps: dict, pps: dict, nal_ref_idc: int,
         wp0 = _parse_pred_weight_table(r, nref0, ld, cd)
         wp1 = _parse_pred_weight_table(r, nref1, ld, cd)
     implicit_wp = pps["weighted_bipred"] == 2
+    mmco = None
     if nal_ref_idc:
         if r.u(1):
-            raise NotImplementedError(
-                "H.264 adaptive reference marking (MMCO) not supported")
+            mmco = _parse_mmco(r)
     if pps["constrained_intra"]:
         raise NotImplementedError(
             "H.264 constrained_intra_pred in B slices not supported")
@@ -1569,6 +1621,7 @@ def decode_slice_b(rbsp: bytes, sps: dict, pps: dict, nal_ref_idc: int,
     ctx.ref_pids1 = [id(rp) for rp in L1]
     ctx.wp0, ctx.wp1 = wp0, wp1
     ctx.frame_num = cur_fn
+    ctx.mmco = mmco
     ctx.poc = poc if poc is not None else 2 * cur_fn - 1
     if not direct_spatial:
         ctx.tdirect = {"L0": L0, "L1": L1}

@@ -628,3 +628,50 @@ def test_apply_list_mod_spec_cases():
     x = types.SimpleNamespace(fn=0)
     out = HI._apply_list_mod([x, w], [(0, 1)], cur_fn=1, max_fn=16)
     assert [p.fn for p in out] == [15, 0]
+
+
+def test_mmco_adaptive_marking_roundtrip():
+    """§8.2.5.4.1 MMCO op 1: P slices with a 3-deep reference window
+    periodically unmark the OLDEST short-term picture by PicNum
+    difference; the decoder's window must track the encoder's."""
+    frames = _moving_frames(8, 32, 48)
+    sps_r = H._sps_rbsp(48, 32, 3)
+    pps_r = H._pps_rbsp()
+    sps, pps = H.parse_sps(sps_r), H.parse_pps(pps_r)
+    sc = b"\x00\x00\x00\x01"
+    out = [sc + H._nal(7, sps_r), sc + H._nal(8, pps_r)]
+    recons = []
+    poc_state = {}
+    poc = H._poc_of(sps, 0, nonref=False, idr=True,
+                    poc_state=poc_state)
+    rbsp, recon, planes = H._slice_rbsp_cavlc(frames[0], 24)
+    out.append(sc + H._nal(5, rbsp))
+    refs = [HI._enc_ref(planes, poc=poc)]
+    recons.append(recon)
+    fn = 1
+    for i, f in enumerate(frames[1:]):
+        poc = H._poc_of(sps, fn, nonref=False, idr=False,
+                        poc_state=poc_state)
+        mmco = None
+        if len(refs) >= 3 and i % 3 == 2:
+            oldest = refs[-1]
+            pn = oldest.fn if oldest.fn <= fn else oldest.fn - 16
+            mmco = [(1, fn - pn - 1)]
+        rbsp, ref, recon = HI.encode_p_slice(
+            f, refs, 24, fn, sps, pps, poc=poc, mmco=mmco)
+        out.append(sc + H._nal(1, rbsp, ref_idc=2))
+        if mmco:
+            HI.apply_mmco(refs, mmco, fn, 16)
+        refs.insert(0, ref)
+        del refs[3:]
+        fn = (fn + 1) & 0xF
+        recons.append(recon)
+    dec = H.decode_annexb(b"".join(out))
+    for i, (d, r) in enumerate(zip(dec, recons)):
+        assert np.array_equal(d, r), f"frame {i}"
+    # long-term ops still raise by name
+    bw = H._BitWriter()
+    bw.ue(4)
+    bw.ue(0)
+    with pytest.raises(NotImplementedError, match="MMCO op 4"):
+        HI._parse_mmco(H._BitReader(bw.trailing()))
