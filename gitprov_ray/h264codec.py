@@ -1380,13 +1380,15 @@ def encode_annexb(frames: list[np.ndarray]) -> bytes:
 
 def avcc_config(w: int, h: int, num_ref: int = 1,
                 weighted_pred: bool = False,
-                weighted_bipred: int = 0, cabac: bool = False) -> bytes:
+                weighted_bipred: int = 0, cabac: bool = False,
+                high: bool = False) -> bytes:
     """avcC decoder-configuration record for the fixture SPS/PPS."""
-    sps = _nal(7, _sps_rbsp(w, h, num_ref))
+    sps = _nal(7, _sps_rbsp(w, h, num_ref, high=high))
     pps = _nal(8, _pps_rbsp(weighted_pred=weighted_pred,
                             weighted_bipred=weighted_bipred,
-                            cabac=cabac))
-    return (bytes([1, 66, 0xC0, 20, 0xFF, 0xE1])
+                            cabac=cabac, transform_8x8=high))
+    return (bytes([1, 100 if high else 66, 0 if high else 0xC0,
+                   20, 0xFF, 0xE1])
             + struct.pack(">H", len(sps)) + sps
             + bytes([1]) + struct.pack(">H", len(pps)) + pps)
 

@@ -450,13 +450,36 @@ def encode_mp4_h264_gop(frames: list[np.ndarray], fps: int = 10,
                         partition_cycle: bool = False,
                         intra_every: int = 0, bframes: bool = False,
                         deblock: bool = False, weighted: bool = False,
-                        cabac: bool = False):
+                        cabac: bool = False, high_intra: bool = False):
     """uint8 RGB frames → (avc1 MP4 with IDR+P(+B) GOP structure —
     predicted macroblocks, CAVLC, h264inter — plus the conforming
     decoder's expected reconstructions). stss marks only the IDR
     samples, so seek paths see a REAL sync-sample table."""
     from . import h264inter
 
+    if high_intra:
+        if bframes or deblock or weighted:
+            raise NotImplementedError(
+                "High-intra MP4 fixtures are all-IDR (no B/deblock/"
+                "weighted combination)")
+        import struct as _st
+
+        from . import h264cabac, h264codec, h264high
+
+        samples, recons, sync = [], [], []
+        for i, f in enumerate(frames):
+            if cabac:
+                rbsp, recon, _ = h264cabac.encode_i_slice_cabac(
+                    f, qp, idr_pic_id=i & 1, transform_8x8=True)
+            else:
+                rbsp, recon, _ = h264high.encode_i_slice_high(
+                    f, qp, idr_pic_id=i & 1)
+            nal = h264codec._nal(5, rbsp)
+            samples.append(_st.pack(">I", len(nal)) + nal)
+            recons.append(recon)
+            sync.append(True)
+        return _build_mp4_avc1(frames, samples, fps, sync=sync,
+                               cabac=cabac, high=True), recons
     if cabac:
         if deblock or weighted:
             raise NotImplementedError(
@@ -483,7 +506,8 @@ def encode_mp4_h264_gop(frames: list[np.ndarray], fps: int = 10,
 def _build_mp4_avc1(frames: list[np.ndarray], samples: list[bytes],
                     fps: int = 10, sync: list | None = None,
                     num_ref: int = 1, weighted: bool = False,
-                    bframes: bool = False, cabac: bool = False) -> bytes:
+                    bframes: bool = False, cabac: bool = False,
+                    high: bool = False) -> bytes:
     from . import h264codec
 
     if not frames:
@@ -501,7 +525,7 @@ def _build_mp4_avc1(frames: list[np.ndarray], samples: list[bytes],
     avcc = _box(b"avcC", h264codec.avcc_config(
         w, h, num_ref, weighted_pred=weighted,
         weighted_bipred=1 if (weighted and bframes) else 0,
-        cabac=cabac))
+        cabac=cabac, high=high))
     entry = (b"\0" * 6 + struct.pack(">H", 1)
              + b"\0" * 16
              + struct.pack(">HH", w, h)

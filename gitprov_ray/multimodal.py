@@ -23,18 +23,20 @@ animated GIF is the real compressed path through the video FrameSample
 stage). MP4 demux is REAL (``mp4codec.py``: ISO BMFF box walk + full
 sample-table resolution), and MJPEG-in-MP4 decodes end-to-end through
 the JPEG codec. WebP lossless is REAL (``webpcodec.py``: VP8L prefix
-codes, LZ77 + color cache, all four transforms), and H.264 is real for
-I_PCM streams (``h264codec.py``: NAL/avcC/SPS/PPS/slice layers +
-I_PCM macroblock reconstruction — conforming avc1-in-MP4 fixtures
-decode end-to-end). Remaining compressed paths (H.264 PREDICTED
-macroblocks — CAVLC/CABAC + intra/inter prediction — HEVC, lossy
-WebP/VP8, ...) are NOT implementable without external libraries in
-this container, so those paths are STUBS:
-by default they raise
-``NotImplementedError`` naming the missing dependency; with
-``deterministic_fake=True`` they produce seeded deterministic fakes so the
-Ray-side plumbing (schemas, batch sizing, actor signatures, output layout)
-is exercised end-to-end regardless of payload format.
+codes, LZ77 + color cache, all four transforms), and H.264 is REAL
+from I_PCM all the way through predicted macroblocks: CAVLC AND CABAC
+entropy coding, Intra_4x4/8x8/16x16 (High profile, ``h264high``),
+P/B inter prediction with spatial+temporal direct, weighted
+prediction, in-loop deblocking, reference list modification and MMCO
+(``h264codec``/``h264intra``/``h264inter``/``h264cabac``/
+``h264deblock``) — conforming avc1-in-MP4 fixtures decode end-to-end
+pixel-exactly. Remaining externally-blocked paths (HEVC, lossy
+WebP/VP8 — RFC 6386 probability tables — MP3/AAC sample decode) stay
+STUBS: by default they raise ``NotImplementedError`` naming the
+missing dependency; with ``deterministic_fake=True`` they produce
+seeded deterministic fakes so the Ray-side plumbing (schemas, batch
+sizing, actor signatures, output layout) is exercised end-to-end
+regardless of payload format.
 
 Batch-size guidance: payload columns dominate memory — size ``batch_size``
 so batch_bytes × concurrency fits the worker heap (a 1 MiB-mean image
@@ -1262,6 +1264,10 @@ def _synth_mp4_h264(seed: int, frames: int = 5, w: int = 32,
             bframes=bool(seed % 2), deblock=bool(seed % 2),
             cabac=not (seed % 2))[0]
     if seed % 3 == 1:
+        if seed % 2 == 0:                     # High-profile intra
+            return mp4codec.encode_mp4_h264_gop(
+                frs, fps=5, qp=22, high_intra=True,
+                cabac=(seed % 4 == 0))[0]
         return mp4codec.encode_mp4_h264_cavlc(frs, fps=5, qp=22)[0]
     return mp4codec.encode_mp4_h264_ipcm(frs, fps=5)
 

@@ -142,3 +142,16 @@ def test_cabac_cat5_residual_roundtrip():
             assert cbf == 0 and got is None
         else:
             assert np.array_equal(got, lv)
+
+
+def test_high_intra_mp4_route_both_entropy_modes():
+    from gitprov_ray import mp4codec as M
+
+    frames = [rng.integers(0, 256, (32, 48, 3), np.uint8)
+              for _ in range(3)]
+    for cabac in (False, True):
+        blob, recons = M.encode_mp4_h264_gop(
+            frames, qp=26, high_intra=True, cabac=cabac)
+        dec = M.decode_mp4_frames(blob)
+        for d, r in zip(dec, recons):
+            assert np.array_equal(d, r), cabac
