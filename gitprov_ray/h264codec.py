@@ -44,9 +44,11 @@ High-profile Intra_8x8 decodes (h264high: filtered 8x8 prediction,
 the 8x8 transform with position-classed dequant, CAVLC interleave —
 see its docstring for the one documented normalization constant).
 CABAC Intra_8x8 decodes too (h264cabac + h264high — the x264
-High-intra shape). MMCO op-1 adaptive marking works; declared stubs: SP/SI slices,
-long-term reference management, inter 8x8 and explicit scaling
-lists raise NotImplementedError naming the tool. Header
+High-intra shape). MMCO op-1 adaptive marking works, and the 8x8 transform covers
+INTER residuals too (transform_size_8x8_flag after cbp in P
+macroblocks). Declared stubs: SP/SI slices, long-term reference
+management and explicit scaling lists raise NotImplementedError
+naming the tool. Header
 parsing (probe) works on any baseline/main/high stream.
 
 Reference parity note: the reference stores media blobs untouched; this

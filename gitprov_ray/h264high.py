@@ -755,3 +755,47 @@ def encode_gop_high(frames: list, qp: int = 26, mix: bool = True):
         out.append(sc + H._nal(5, rbsp))
         recons.append(recon)
     return b"".join(out), recons
+
+
+def encode_gop_high_p(frames: list, qp: int = 26, gop: int = 8,
+                      partition_cycle: bool = False):
+    """RGB frames → (Annex-B High-profile IDR+P stream where BOTH the
+    intra slices (Intra_8x8 cycle) and the inter residuals use the 8x8
+    transform, reconstructions)."""
+    from . import h264codec as H
+    from . import h264inter as HI
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    if w % 2 or h % 2:
+        raise ValueError("H.264 4:2:0 needs even dimensions")
+    sps_r = H._sps_rbsp(w, h, high=True)
+    pps_r = H._pps_rbsp(transform_8x8=True)
+    sps, pps = H.parse_sps(sps_r), H.parse_pps(pps_r)
+    sc = b"\x00\x00\x00\x01"
+    out = [sc + H._nal(7, sps_r), sc + H._nal(8, pps_r)]
+    recons = []
+    refs: list = []
+    frame_num = 0
+    poc_state: dict = {}
+    for i, f in enumerate(frames):
+        if i % gop == 0:
+            poc = H._poc_of(sps, 0, nonref=False, idr=True,
+                            poc_state=poc_state)
+            rbsp, recon, planes = encode_i_slice_high(
+                f, qp, idr_pic_id=i & 1)
+            out.append(sc + H._nal(5, rbsp))
+            refs = [HI._enc_ref(planes, poc=poc)]
+            frame_num = 1
+        else:
+            poc = H._poc_of(sps, frame_num, nonref=False, idr=False,
+                            poc_state=poc_state)
+            rbsp, ref, recon = HI.encode_p_slice(
+                f, refs, qp, frame_num, sps, pps,
+                partition_cycle=partition_cycle, poc=poc, t8=True)
+            out.append(sc + H._nal(1, rbsp, ref_idc=2))
+            refs = [ref]
+            frame_num = (frame_num + 1) & 0xF
+        recons.append(recon)
+    return b"".join(out), recons

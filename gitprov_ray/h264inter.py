@@ -513,14 +513,20 @@ def _parse_motion(ctx, r, mb_type: int, mbx: int, mby: int, num_ref: int):
 
 
 def _decode_residual_inter(ctx, r, mbx: int, mby: int, pred_y, pred_cb,
-                           pred_cr):
+                           pred_cr, allow_t8: bool = False):
     """coded_block_pattern (inter me(v)) + CAVLC residuals on top of the
-    motion-compensated prediction; reconstruct into the picture."""
+    motion-compensated prediction; reconstruct into the picture. With
+    ``allow_t8`` (every partition ≥ 8x8 under a transform_8x8 PPS) the
+    transform_size_8x8_flag follows cbp (§7.3.5) and coded 8x8 blocks
+    carry the High-profile transform via the 4-way CAVLC interleave."""
     from . import h264intra as hi
     from .h264codec import _nc_of, _unzigzag15, _unzigzag16
 
     cbp = CBP_INTER[r.ue()]
     cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    t8 = False
+    if allow_t8 and cbp_luma and ctx.pps.get("transform_8x8"):
+        t8 = bool(r.u(1))
     if cbp:
         ctx.qp = (ctx.qp + r.se() + 52) % 52
     qp = ctx.qp
@@ -528,20 +534,39 @@ def _decode_residual_inter(ctx, r, mbx: int, mby: int, pred_y, pred_cb,
     my, mx = mby * 16, mbx * 16
     Yout = ctx.Y[my:my + 16, mx:mx + 16]
     Yout[:] = pred_y
-    for i8 in range(4):
-        if not (cbp_luma & (1 << i8)):
-            continue
-        for sub in range(4):
-            k = 4 * i8 + sub
-            x4, y4 = hi.BLK4_POS[k]
-            bx, by = mbx * 4 + x4, mby * 4 + y4
-            c = hi.decode_residual_block(
-                r, _nc_of(ctx.luma_nc, bx, by), 16)
-            ctx.luma_nc[by, bx] = int(np.count_nonzero(c))
-            d = hi.dequant4x4(_unzigzag16(c), qp)
-            Yout[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4] = \
-                hi.reconstruct4x4(
-                    pred_y[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4], d)
+    if t8:
+        from . import h264high as HH
+
+        for k8 in range(4):
+            if not (cbp_luma & (1 << k8)):
+                continue
+            lv = np.zeros(64, np.int64)
+            for sub in range(4):
+                bx4 = mbx * 4 + (k8 & 1) * 2 + (sub & 1)
+                by4 = mby * 4 + (k8 >> 1) * 2 + (sub >> 1)
+                c = hi.decode_residual_block(
+                    r, _nc_of(ctx.luma_nc, bx4, by4), 16)
+                ctx.luma_nc[by4, bx4] = int(np.count_nonzero(c))
+                lv[sub::4] = c
+            x0, y0 = (k8 & 1) * 8, (k8 >> 1) * 8
+            d = HH.dequant8x8(HH._unzigzag64(lv), qp)
+            Yout[y0:y0 + 8, x0:x0 + 8] = HH.reconstruct8x8(
+                pred_y[y0:y0 + 8, x0:x0 + 8], d)
+    else:
+        for i8 in range(4):
+            if not (cbp_luma & (1 << i8)):
+                continue
+            for sub in range(4):
+                k = 4 * i8 + sub
+                x4, y4 = hi.BLK4_POS[k]
+                bx, by = mbx * 4 + x4, mby * 4 + y4
+                c = hi.decode_residual_block(
+                    r, _nc_of(ctx.luma_nc, bx, by), 16)
+                ctx.luma_nc[by, bx] = int(np.count_nonzero(c))
+                d = hi.dequant4x4(_unzigzag16(c), qp)
+                Yout[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4] = \
+                    hi.reconstruct4x4(
+                        pred_y[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4], d)
     qpc = hi.chroma_qp(qp, ctx.qpc_off)
     dc = {0: None, 1: None}
     ac = {0: [None] * 4, 1: [None] * 4}
@@ -670,8 +695,10 @@ def decode_slice_p(rbsp: bytes, sps: dict, pps: dict, nal_ref_idc: int,
         parts = _parse_motion(ctx, r, mb_type, mbx, mby, num_ref)
         _apply_parts(ctx, refs, mbx, mby, parts, pred_y, pred_cb,
                      pred_cr)
+        allow_t8 = all(min(w4, h4) >= 2 for _, _, w4, h4, _, _, _
+                       in parts)
         _decode_residual_inter(ctx, r, mbx, mby, pred_y, pred_cb,
-                               pred_cr)
+                               pred_cr, allow_t8=allow_t8)
         mb += 1
     return ctx
 
@@ -772,7 +799,7 @@ def encode_p_slice(arr: np.ndarray, refs: list, qp: int, frame_num: int,
                    intra_every: int = 0, deblock: bool = False,
                    wp: dict | None = None, poc: int | None = None,
                    reorder_refs: bool = False,
-                   mmco: list | None = None):
+                   mmco: list | None = None, t8: bool = False):
     """One conforming P slice predicting from ``refs[0]`` → (rbsp,
     recon planes, recon RGB). Per MB: real motion search (integer ±4 +
     sub-pel refinement through the decoder's own interpolators), P_Skip
@@ -912,16 +939,28 @@ def encode_p_slice(arr: np.ndarray, refs: list, qp: int, frame_num: int,
 
         srcY = Ys[my:my + 16, mx:mx + 16]
         Z = [None] * 16
-        for k in range(16):
-            x4, y4 = hi.BLK4_POS[k]
-            d = (srcY[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4]
-                 .astype(np.int64)
-                 - pred_y[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4])
-            Z[k] = hi.quant4x4(hi.forward4x4(d), qp, intra=False)
+        Z8 = [None] * 4
         cbp_luma = 0
-        for i8 in range(4):
-            if any(np.any(Z[4 * i8 + s]) for s in range(4)):
-                cbp_luma |= 1 << i8
+        if t8:
+            from . import h264high as HH
+
+            for k8 in range(4):
+                x0, y0 = (k8 & 1) * 8, (k8 >> 1) * 8
+                d = (srcY[y0:y0 + 8, x0:x0 + 8].astype(np.int64)
+                     - pred_y[y0:y0 + 8, x0:x0 + 8])
+                Z8[k8] = HH.quant8x8(HH.forward8x8(d), qp)
+                if np.any(Z8[k8]):
+                    cbp_luma |= 1 << k8
+        else:
+            for k in range(16):
+                x4, y4 = hi.BLK4_POS[k]
+                d = (srcY[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4]
+                     .astype(np.int64)
+                     - pred_y[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4])
+                Z[k] = hi.quant4x4(hi.forward4x4(d), qp, intra=False)
+            for i8 in range(4):
+                if any(np.any(Z[4 * i8 + s]) for s in range(4)):
+                    cbp_luma |= 1 << i8
         dcq_cb, Zcb = _enc_chroma_inter(
             hi, Cbs[cy:cy + 8, cx:cx + 8], pred_cb8, qpc)
         dcq_cr, Zcr = _enc_chroma_inter(
@@ -958,29 +997,52 @@ def encode_p_slice(arr: np.ndarray, refs: list, qp: int, frame_num: int,
             bw.se(dx)
             bw.se(dy)
         bw.ue(CBP_INTER_INV[cbp])
+        if t8 and cbp_luma:
+            bw.u(1, 1)                        # transform_size_8x8_flag
         if cbp:
             bw.se(0)                          # mb_qp_delta
-        for i8 in range(4):
-            if not (cbp_luma & (1 << i8)):
+        if t8:
+            from . import h264high as HH
+
+            for k8 in range(4):
+                x0, y0 = (k8 & 1) * 8, (k8 >> 1) * 8
+                if not (cbp_luma & (1 << k8)):
+                    Yr[my + y0:my + y0 + 8, mx + x0:mx + x0 + 8] = \
+                        pred_y[y0:y0 + 8, x0:x0 + 8]
+                    continue
+                lv = Z8[k8].reshape(-1)[HH.ZIGZAG8]
+                for sub in range(4):
+                    bx4 = mbx * 4 + (k8 & 1) * 2 + (sub & 1)
+                    by4 = mby * 4 + (k8 >> 1) * 2 + (sub >> 1)
+                    tc = hi.encode_residual_block(
+                        bw, lv[sub::4],
+                        _nc_of(ctx.luma_nc, bx4, by4), 16)
+                    ctx.luma_nc[by4, bx4] = tc
+                d = HH.dequant8x8(Z8[k8], qp)
+                Yr[my + y0:my + y0 + 8, mx + x0:mx + x0 + 8] = \
+                    HH.reconstruct8x8(pred_y[y0:y0 + 8, x0:x0 + 8], d)
+        else:
+            for i8 in range(4):
+                if not (cbp_luma & (1 << i8)):
+                    for s in range(4):
+                        k = 4 * i8 + s
+                        x4, y4 = hi.BLK4_POS[k]
+                        Yr[my + y4 * 4:my + y4 * 4 + 4,
+                           mx + x4 * 4:mx + x4 * 4 + 4] = \
+                            pred_y[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4]
+                    continue
                 for s in range(4):
                     k = 4 * i8 + s
                     x4, y4 = hi.BLK4_POS[k]
+                    bx, by = mbx * 4 + x4, mby * 4 + y4
+                    levels = Z[k].reshape(-1)[hi.ZIGZAG]
+                    tc = hi.encode_residual_block(
+                        bw, levels, _nc_of(ctx.luma_nc, bx, by), 16)
+                    ctx.luma_nc[by, bx] = tc
+                    d = hi.dequant4x4(Z[k], qp)
                     Yr[my + y4 * 4:my + y4 * 4 + 4,
-                       mx + x4 * 4:mx + x4 * 4 + 4] = \
-                        pred_y[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4]
-                continue
-            for s in range(4):
-                k = 4 * i8 + s
-                x4, y4 = hi.BLK4_POS[k]
-                bx, by = mbx * 4 + x4, mby * 4 + y4
-                levels = Z[k].reshape(-1)[hi.ZIGZAG]
-                tc = hi.encode_residual_block(
-                    bw, levels, _nc_of(ctx.luma_nc, bx, by), 16)
-                ctx.luma_nc[by, bx] = tc
-                d = hi.dequant4x4(Z[k], qp)
-                Yr[my + y4 * 4:my + y4 * 4 + 4,
-                   mx + x4 * 4:mx + x4 * 4 + 4] = hi.reconstruct4x4(
-                    pred_y[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4], d)
+                       mx + x4 * 4:mx + x4 * 4 + 4] = hi.reconstruct4x4(
+                        pred_y[y4 * 4:y4 * 4 + 4, x4 * 4:x4 * 4 + 4], d)
         _write_chroma_bits(hi, bw, ctx, mbx, mby, cbp_chroma,
                            dcq_cb, dcq_cr, Zcb, Zcr)
         _recon_chroma_blocks(hi, Cbr, cx, cy, pred_cb8, dcq_cb, Zcb,

@@ -155,3 +155,26 @@ def test_high_intra_mp4_route_both_entropy_modes():
         dec = M.decode_mp4_frames(blob)
         for d, r in zip(dec, recons):
             assert np.array_equal(d, r), cabac
+
+
+def test_inter_8x8_gop_roundtrip():
+    """P slices under a transform_8x8 PPS: the flag follows cbp
+    (§7.3.5) and coded 8x8 luma blocks carry the High transform over
+    the motion-compensated prediction — full High-profile IDR+P."""
+    def moving(n, h, w, step=3):
+        base = rng.integers(0, 256, (h + n * step, w + n * step),
+                            np.uint8)
+        return [np.stack([base[i * step:i * step + h,
+                               i * step:i * step + w]] * 3, -1).copy()
+                for i in range(n)]
+
+    frames = moving(6, 32, 48)
+    stream, recons = HH.encode_gop_high_p(frames, qp=24,
+                                          partition_cycle=True)
+    dec = H.decode_annexb(stream)
+    assert len(dec) == 6
+    for i, (d, r) in enumerate(zip(dec, recons)):
+        assert np.array_equal(d, r), f"frame {i}"
+    # P frames genuinely approximate the moving source
+    err = np.abs(dec[3].astype(int) - frames[3].astype(int)).mean()
+    assert err < 12
